@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+import scala.collection.mutable
+
+/** T7 — the sequential portfolio backtest fold, plus its downstream
+  * metric blocks (A8 trade metrics, A10 risk metrics) over the fold's
+  * own output.
+  *
+  * Reference: `scripts/07_backtest.py:37-164` — a day-ordered loop
+  * carrying `{cash, positions, equity_history, trade_history}`; per
+  * day it ages positions, exits on stop-loss/take-profit/hold-period,
+  * enters on BUY (one 80%-of-cash position, slippage+cost), marks
+  * equity to market, and force-closes at the end. Shared cash couples
+  * all keys ⇒ inherently sequential in day order.
+  *
+  * Spark shape (SURVEY §2.9 T7): the fold itself CANNOT parallelize
+  * across days, so the design isolates it: everything before the fold
+  * is distributed (daily per-key aggregation = map-side-combinable
+  * hash agg over the fact table), and only the already-aggregated
+  * per-(day,key) signal rows — O(days × keys), thousands of rows at
+  * any fact-table scale — pass through a single deliberate
+  * `coalesce(1).mapPartitions` running the pure fold. At 100 TB the
+  * fold input stays the same size; only the upstream agg scales.
+  *
+  * Not SQL-expressible → omitted from oracleSql (rows-only check);
+  * exact semantics covered by BacktestSpec invariants + golden fold.
+  */
+object Backtest {
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  // Strategy parameters (mirroring config/stock_universe.py:26-28 and
+  // scripts/07_backtest.py:26-30 semantics).
+  val InitialCash = 10000.0
+  val PositionFrac = 0.8        // 80% of cash per entry (07_backtest.py:27)
+  val MaxPositions = 3          // position cap (07_backtest.py:58-60)
+  val StopLoss = -0.05          // exit below -5%
+  val TakeProfit = 0.20         // exit above +20%
+  val HoldDays = 5              // max holding period in trading days
+  val Cost = 0.001              // 0.1% transaction cost (07_backtest.py:29)
+  val Slippage = 0.0005         // 0.05% slippage (07_backtest.py:30)
+
+  /** One (day, key) input row: signal + mark price. */
+  final case class DayRow(day: java.sql.Timestamp, key: Long,
+                          signal: String, price: Double)
+
+  /** Fold output: unioned trade + equity rows (kind discriminates). */
+  final case class OutRow(kind: String, day: java.sql.Timestamp, key: Long,
+                          entryPrice: Double, exitPrice: Double,
+                          shares: Double, pnl: Double, pnlPct: Double,
+                          exitReason: String, daysHeld: Int,
+                          equity: Double, cash: Double, numPositions: Int)
+
+  private final case class Position(entryDay: java.sql.Timestamp,
+                                    entryPrice: Double, shares: Double,
+                                    var daysHeld: Int)
+
+  /** Pure sequential fold over day-ordered rows (rows within a day in
+    * key order for determinism). Emits one trade row per exit and one
+    * equity row per day. */
+  def fold(rows: Iterator[DayRow]): Iterator[OutRow] = {
+    var cash = InitialCash
+    val positions = mutable.LinkedHashMap.empty[Long, Position]
+    val out = mutable.ArrayBuffer.empty[OutRow]
+    var lastPrice = mutable.Map.empty[Long, Double]
+
+    def exit(key: Long, pos: Position, price: Double, reason: String,
+             day: java.sql.Timestamp): Unit = {
+      val px = price * (1 - Slippage)          // sell slippage
+      val proceeds = pos.shares * px * (1 - Cost)
+      val costBasis = pos.shares * pos.entryPrice
+      val pnl = proceeds - costBasis
+      cash += proceeds
+      out += OutRow("trade", day, key, pos.entryPrice, px, pos.shares,
+        math.rint(pnl * 1e6) / 1e6, math.rint(pnl / costBasis * 1e8) / 1e8,
+        reason, pos.daysHeld, 0.0, 0.0, 0)
+      positions.remove(key)
+    }
+
+    rows.toSeq.groupBy(_.day).toSeq.sortBy(_._1.getTime).foreach {
+      case (day, dayRows) =>
+        val byKey = dayRows.sortBy(_.key)
+        byKey.foreach(r => lastPrice(r.key) = r.price)
+        // 1. age + exit existing positions (key order for determinism)
+        positions.toSeq.sortBy(_._1).foreach { case (key, pos) =>
+          lastPrice.get(key).foreach { px =>
+            pos.daysHeld += 1
+            val ret = px / pos.entryPrice - 1
+            if (ret <= StopLoss) exit(key, pos, px, "stop_loss", day)
+            else if (ret >= TakeProfit) exit(key, pos, px, "take_profit", day)
+            else if (pos.daysHeld >= HoldDays) exit(key, pos, px, "hold_period", day)
+          }
+        }
+        // 2. enter on BUY if not held and below the position cap
+        byKey.foreach { r =>
+          if (r.signal == "BUY" && !positions.contains(r.key) &&
+              positions.size < MaxPositions && cash > 0) {
+            val px = r.price * (1 + Slippage)   // buy slippage
+            val alloc = cash * PositionFrac
+            val shares = alloc / (px * (1 + Cost))
+            if (shares > 0) {
+              cash -= shares * px * (1 + Cost)
+              positions(r.key) = Position(day, px, shares, 0)
+            }
+          }
+        }
+        // 3. mark-to-market equity
+        val mtm = positions.map { case (k, p) =>
+          p.shares * lastPrice.getOrElse(k, p.entryPrice)
+        }.sum
+        out += OutRow("equity", day, -1L, 0.0, 0.0, 0.0, 0.0, 0.0, "",
+          0, math.rint((cash + mtm) * 1e6) / 1e6,
+          math.rint(cash * 1e6) / 1e6, positions.size)
+    }
+    // 4. force-close at end of backtest
+    val lastDay = out.lastOption.map(_.day)
+    lastDay.foreach { day =>
+      positions.toSeq.sortBy(_._1).foreach { case (key, pos) =>
+        exit(key, pos, lastPrice.getOrElse(key, pos.entryPrice),
+          "end_of_backtest", day)
+      }
+    }
+    out.iterator
+  }
+
+  /** Distributed prep: daily per-key signal + mark price from events.
+    * This is the part that scales — hash agg over the fact table. */
+  def dayInputs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"),
+        col("user_id").as("key"))
+      .agg(avg(col("value")).as("price"), count(lit(1)).as("n"))
+      .select(col("day"), col("key"), col("price"),
+        when(col("price") > 120, "BUY")
+          .when(col("price") < 80, "SELL")
+          .otherwise("HOLD").as("signal"))
+
+  /** The full fold as a DataFrame query (single deliberate partition
+    * over the already-aggregated day rows only). */
+  def run(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val in = dayInputs(s, d)
+      .select(col("day"), col("key"), col("signal"), col("price"))
+      .as[DayRow]
+    in.coalesce(1).sortWithinPartitions("day", "key")
+      .mapPartitions(fold).toDF()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T7: the fold itself — trades + equity curve.
+    "t7_portfolio_fold" -> ((s, d) =>
+      run(s, d).orderBy(col("kind"), col("day"), col("key"))),
+
+    // A8 over fold output: the trade-metrics block of 07_backtest.py:284-303.
+    "t7_trade_metrics" -> ((s, d) =>
+      run(s, d).filter(col("kind") === "trade")
+        .agg(
+          count(lit(1)).as("n_trades"),
+          sum(when(col("pnl") > 0, 1L).otherwise(0L)).as("wins"),
+          r6(avg(when(col("pnl") > 0, col("pnl")))).as("avg_win"),
+          r6(avg(when(col("pnl") <= 0, col("pnl")))).as("avg_loss"),
+          r6(max(col("pnl"))).as("largest_win"),
+          r6(min(col("pnl"))).as("largest_loss"),
+          r6(sum(col("pnl"))).as("total_pnl"))),
+
+    // A10 over fold output: equity-curve risk block (drawdown etc).
+    "t7_equity_metrics" -> ((s, d) => {
+      val eq = run(s, d).filter(col("kind") === "equity")
+        .select(col("day"), col("equity"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      eq.withColumn("peak", max(col("equity")).over(w))
+        .withColumn("dd", col("equity") / col("peak") - 1)
+        .agg(r6(min(col("dd"))).as("max_drawdown"),
+          r6(last(col("equity"))).as("final_equity"),
+          r6(last(col("equity")) / lit(InitialCash) - 1).as("total_return"),
+          count(lit(1)).as("n_days"))
+    })
+  )
+
+  /** Fold is order-sensitive multi-output — not SQL-expressible;
+    * rows-only checks (invariants in BacktestSpec). */
+  val oracles: Map[String, String] = Map()
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalable near-duplicate detection: MinHash + LSH banding and
+  * SimHash signatures over `documents.text`.
+  *
+  * This is the 100 TB dedup path (exact + Jaccard live in
+  * TextAnalysis): shingle → 32 minhashes → 8 bands × 4 rows →
+  * bucket equi-join for candidates → signature-estimated Jaccard.
+  * Every stage is a hash shuffle on a bounded key — no all-pairs
+  * comparison anywhere. Signatures are built with xxhash64 (built-in,
+  * codegen'd) and fixed odd multipliers; Long overflow wraps, which is
+  * fine for hashing and fully deterministic.
+  *
+  * Oracle: xxhash64 has no DuckDB equivalent → rows-only check;
+  * behavioral correctness (identical docs collide, disjoint docs
+  * don't, estimate tracks true Jaccard) is asserted in DedupSpec on
+  * crafted fixtures.
+  */
+object Dedup {
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  private val NumHashes = 32
+  private val Bands = 8
+  private val RowsPerBand = NumHashes / Bands
+
+  /** Fixed hash-family parameters (odd multiplier + offset per i). */
+  private val hashA: Array[Long] =
+    (1 to NumHashes).map(i => (0x9E3779B97F4A7C15L * i) | 1L).toArray
+  private val hashB: Array[Long] =
+    (1 to NumHashes).map(i => 0xC2B2AE3D27D4EB4FL * i).toArray
+
+  private def toks: Column = split(lower(trim(col("text"))), "\\s+")
+
+  /** Distinct 3-token shingles per doc. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("t")) - 3),
+          i => concat_ws(" ",
+            element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2),
+            element_at(col("t"), i + 3))))).as("sh"))
+
+  /** MinHash signatures: doc_id, sig array<long>(32). */
+  def signatures(s: SparkSession, d: String): DataFrame = {
+    val hashed = shingles(s, d).withColumn("h", xxhash64(col("sh")))
+    val mins: Seq[Column] = (0 until NumHashes).map(i =>
+      min((lit(hashA(i)) * col("h") + lit(hashB(i)))
+        .bitwiseAND(lit(Long.MaxValue))).as(s"m$i"))
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs + signature-estimated Jaccard ≥ minEst. */
+  def minhashPairs(sigs: DataFrame, minEst: Double): DataFrame = {
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until Bands).map { j =>
+        val bandCols = (0 until RowsPerBand)
+          .map(r => col("sig").getItem(j * RowsPerBand + r))
+        struct(lit(j).as("band"),
+          xxhash64(concat_ws(",", bandCols: _*)).as("bk"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("sig"),
+        col("b.band").as("band"), col("b.bk").as("bk"))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .dropDuplicates("da", "db")
+    cand
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          bb => bb)).cast("double") / NumHashes)
+      .filter(col("est_jaccard") >= minEst)
+      .select(col("da"), col("db"), r6(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // D3: MinHash+LSH near-dup candidate pairs (est Jaccard ≥ 0.5).
+    "d3_minhash_lsh" -> ((s, d) =>
+      minhashPairs(signatures(s, d), 0.5).orderBy("da", "db")),
+
+    // D4: 64-bit SimHash signature per document (bitstring form).
+    "d4_simhash" -> ((s, d) => {
+      val tokens = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+      val bitSums: Seq[Column] = (0 until 64).map(bToBit =>
+        sum(when(shiftright(col("h"), bToBit).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"s$bToBit"))
+      tokens.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          concat((63 to 0 by -1).map(i =>
+            when(col(s"s$i") > 0, "1").otherwise("0")): _*).as("simhash"))
+        .orderBy("doc_id")
+    })
+  )
+
+  /** No DuckDB equivalent of xxhash64 — rows-only checks. */
+  val oracles: Map[String, String] = Map()
+}

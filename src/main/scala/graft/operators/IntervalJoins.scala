@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Interval (time-range) joins and event-time windowed aggregation.
+  *
+  * J1 is the load-bearing computation of the reference: for each
+  * (key, trading day), aggregate all news with
+  * `published_utc ∈ [day − lookback_h, day)` — implemented there as an
+  * O(configs × days × |news|) Python rescan
+  * (`scripts/05_lag_analysis.py:45-76,122-124`), and as the
+  * `[day−24h, day+1d)` variant in
+  * `scripts/04_correlation_analysis.py:46-62`.
+  *
+  * Here each variant is ONE join: equi-key on the entity id with the
+  * time range as a residual predicate, then a hash aggregation. The
+  * equi key makes Catalyst plan a shuffled hash / sort-merge join —
+  * never a BroadcastNestedLoopJoin (asserted in IntervalJoinSpec) —
+  * so at 100 TB it shuffles both sides by key once and streams.
+  * Window width bounds the per-row match count, so the join output is
+  * O(|events| × days_in_window) — linear in the fact table.
+  */
+object IntervalJoins {
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  /** Distinct (user_id, day) spine — the trading-day calendar per key. */
+  private def spine(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J1: lookback window [day - 48h, day) per (user, day).
+    "j1_interval_lookback" -> ((s, d) => {
+      val sp = spine(s, d).alias("sp")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("value")).alias("ev")
+      sp.join(ev,
+          col("sp.user_id") === col("ev.user_id") &&
+          col("ev.ts") >= col("sp.day") - expr("INTERVAL 48 HOURS") &&
+          col("ev.ts") <  col("sp.day"))
+        .groupBy(col("sp.user_id").as("user_id"), col("sp.day").as("day"))
+        .agg(r6(avg(col("ev.value"))).as("avg_value"),
+             count(lit(1)).as("n"))
+        .orderBy("user_id", "day")
+    }),
+
+    // J1 variant: symmetric window [day - 24h, day + 1d) — the
+    // 04_correlation_analysis.py:48-55 window. Distinct operator per
+    // SURVEY §7.3 (don't unify half-open variants).
+    "j1_interval_sym" -> ((s, d) => {
+      val sp = spine(s, d).alias("sp")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("value")).alias("ev")
+      sp.join(ev,
+          col("sp.user_id") === col("ev.user_id") &&
+          col("ev.ts") >= col("sp.day") - expr("INTERVAL 24 HOURS") &&
+          col("ev.ts") <  col("sp.day") + expr("INTERVAL 1 DAYS"))
+        .groupBy(col("sp.user_id").as("user_id"), col("sp.day").as("day"))
+        .agg(r6(avg(col("ev.value"))).as("avg_value"),
+             count(lit(1)).as("n"))
+        .orderBy("user_id", "day")
+    }),
+
+    // T5: tumbling event-time window aggregation (streaming-shaped; the
+    // same groupBy(window(...)) runs unchanged on readStream).
+    "t5_tumbling_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r6(avg(col("value"))).as("avg_value"))
+        .select(col("w.start").as("win_start"), col("event_type"),
+          col("n"), col("avg_value"))
+        .orderBy("win_start", "event_type")),
+
+    // T5 sliding: 48h window sliding every 24h — each event lands in 2
+    // windows (Spark expands; oracle replicates via an offsets join).
+    "t5_sliding_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "48 hours", "24 hours").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), r6(avg(col("value"))).as("avg_value"))
+        .select(col("w.start").as("win_start"), col("event_type"),
+          col("n"), col("avg_value"))
+        .orderBy("win_start", "event_type"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "j1_interval_lookback" ->
+      """WITH spine AS (
+           SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+         SELECT s.user_id, s.day,
+                round(avg(e.value), 6) AS avg_value, count(*) AS n
+         FROM spine s JOIN events e
+           ON s.user_id = e.user_id
+          AND e.ts >= s.day - INTERVAL 48 HOUR
+          AND e.ts <  s.day
+         GROUP BY 1, 2 ORDER BY user_id, day""",
+    "j1_interval_sym" ->
+      """WITH spine AS (
+           SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+         SELECT s.user_id, s.day,
+                round(avg(e.value), 6) AS avg_value, count(*) AS n
+         FROM spine s JOIN events e
+           ON s.user_id = e.user_id
+          AND e.ts >= s.day - INTERVAL 24 HOUR
+          AND e.ts <  s.day + INTERVAL 1 DAY
+         GROUP BY 1, 2 ORDER BY user_id, day""",
+    "t5_tumbling_window" ->
+      """SELECT date_trunc('day', ts) AS win_start, event_type,
+                count(*) AS n, round(avg(value), 6) AS avg_value
+         FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "t5_sliding_window" ->
+      """SELECT date_trunc('day', ts) - o * INTERVAL 1 DAY AS win_start,
+                event_type, count(*) AS n, round(avg(value), 6) AS avg_value
+         FROM events CROSS JOIN (VALUES (0), (1)) AS offs(o)
+         GROUP BY 1, 2 ORDER BY win_start, event_type"""
+  )
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: opaque binary payloads with typed
+  * metadata, and a deterministic "decode + feature extract" stage.
+  *
+  * The container ships no image/audio codecs, so the decode itself is
+  * a clearly-marked deterministic stub (byte histogram standing in for
+  * a pixel/sample decoder); the Spark-side plumbing — binary column,
+  * schema, partition-parallel batch iteration, feature vector shape —
+  * is real and tested (MultimodalSpec).
+  *
+  * Scale notes: binary payloads stay opaque through the scan (no
+  * row-level decode before the filter); feature extraction is
+  * mapPartitions-parallel with no shuffle; at 100 TB the histogram
+  * stub swaps for a real codec with the identical plan shape.
+  */
+object Multimodal {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MM1: binary column + typed metadata (byte length, content hash,
+    // magic prefix) — fully relational, oracle-checked.
+    "mm1_binary_meta" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          md5(col("text")).as("content_hash"),
+          substring(col("text"), 1, 4).as("magic"))
+        .orderBy("doc_id")),
+
+    // MM2: decode + feature-extract over the binary payload.
+    // STUB decode: a real deployment would decode image/audio here;
+    // this container has no codecs, so the "decoder" is a
+    // deterministic 8-bin byte histogram with identical plumbing.
+    "mm2_feature_extract" -> ((s, d) => {
+      import s.implicits._
+      val bin = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      bin.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val hist = new Array[Double](8)
+          var i = 0
+          while (i < bytes.length) {
+            hist((bytes(i) & 0xFF) >> 5) += 1.0
+            i += 1
+          }
+          val n = math.max(bytes.length, 1).toDouble
+          (id, hist.map(h => math.rint(h / n * 1e6) / 1e6).toSeq)
+        }
+      }.toDF("doc_id", "features").orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm1_binary_meta" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                md5(text) AS content_hash,
+                substring(text, 1, 4) AS magic
+         FROM documents ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,407 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational slice: scans, filters, projections, equi joins,
+  * grouped aggregation, sort/limit, set ops and scalar functions.
+  *
+  * Reference semantics (SURVEY.md §2.1–2.2, §2.6–2.8): each query
+  * re-expresses one operator of
+  * `/root/reference/scripts/04_correlation_analysis.py:19-62` /
+  * `scripts/02_fetch_news.py:109-131` / `scripts/03_add_sentiment.py:25`
+  * over the harness testdata.
+  *
+  * Scale notes (100 TB design):
+  *  - every query filters + projects immediately after the scan so
+  *    Catalyst pushes predicates/pruning into the parquet reader;
+  *  - small dimensions (part, customer) are broadcast explicitly;
+  *  - dedup uses hash-partitioned window by key, never a global sort;
+  *  - final orderBy is presentation-only (driver compares sorted output)
+  *    and would be dropped / replaced by a bounded top-k at scale.
+  */
+object Relational {
+
+  /** Round doubles for oracle-tolerant compare (BOTH sides round to 6). */
+  private def r6(c: Column): Column = round(c, 6)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1: parquet scan with pushed filter + pruned projection.
+    // Ref: scripts/04_correlation_analysis.py:19 (per-stage parquet load).
+    "s1_scan_prune" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2000-01-01 00:00:00"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P1: null-safe derived concat column (text = title ⊕ ' ' ⊕ description).
+    // Ref: scripts/03_add_sentiment.py:25.
+    "p1_derived_concat" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          trim(concat_ws(" ", coalesce(col("source"), lit("")),
+            coalesce(col("lang"), lit("")))).as("tag"))
+        .orderBy("doc_id")),
+
+    // P2: equality filter (per-ticker slice). Ref: scripts/05_lag_analysis.py:59.
+    "p2_filter_eq" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy("event_id")),
+
+    // P3: half-open time-range predicate [start, end).
+    // Ref: scripts/05_lag_analysis.py:66-69.
+    "p3_time_range" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("ts") >= lit("2024-01-10 00:00:00") &&
+                col("ts") <  lit("2024-01-20 00:00:00"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")),
+
+    // P4: closed date-window filter (backtest period).
+    // Ref: scripts/07_backtest.py:190-196.
+    "p4_date_window" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderdate").between(lit("1997-01-01 00:00:00"),
+                                           lit("1998-12-31 00:00:00")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")),
+
+    // P5: threshold predicates (sentiment/min-count style).
+    // Ref: scripts/06_strategy_signals.py:94-96.
+    "p5_threshold" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("value") >= lit(400.0) && col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy("event_id")),
+
+    // P7: keep-last dedup by key with explicit arrival order (ts, event_id).
+    // Ref: scripts/02_fetch_news.py:117-120 (drop_duplicates keep='last').
+    // Scale: window is hash-partitioned by the dedup key — no global sort.
+    "p7_dedup_keep_last" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // S13: incremental merge-dedup ingest — union old+new overlapping
+    // batches, keep the newest arrival per id.
+    // Ref: scripts/02_fetch_news.py:109-131.
+    "s13_merge_dedup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val old = ev.filter(col("ts") < lit("2024-01-20 00:00:00"))
+        .withColumn("batch", lit(1))
+      val fresh = ev.filter(col("ts") >= lit("2024-01-15 00:00:00"))
+        .withColumn("batch", lit(2))
+      val w = Window.partitionBy("event_id").orderBy(col("batch").desc)
+      old.unionByName(fresh)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("event_id")
+    }),
+
+    // J2: plain equi join fact×dim. Ref: scripts/08_visualize_equity.py:134-139.
+    "j2_equi_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // J3: point-lookup join against a small dim — broadcast explicitly.
+    // Ref: scripts/06_strategy_signals.py:135 (price_data.at[date,'Close']).
+    "j3_point_lookup" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"))
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_name"),
+          col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // A1: grouped avg+count per (event_type, day) — the post-J1 aggregate.
+    // Ref: scripts/05_lag_analysis.py:71-76.
+    "a1_grouped_avg" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(r6(avg(col("value"))).as("avg_value"),
+             count(lit(1)).as("n"))
+        .orderBy("event_type", "day")),
+
+    // A5: value_counts. Ref: scripts/06_strategy_signals.py:181-184.
+    "a5_value_counts" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // A6: distinct count. Ref: scripts/02_fetch_news.py:141.
+    "a6_distinct_count" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")),
+
+    // A7: stats block — min/max/mean/std + share above threshold.
+    // Ref: scripts/03_add_sentiment.py:36-42.
+    "a7_stats_block" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(r6(min(col("value"))).as("min_v"),
+             r6(max(col("value"))).as("max_v"),
+             r6(avg(col("value"))).as("mean_v"),
+             r6(stddev_samp(col("value"))).as("std_v"),
+             r6(sum(when(col("value") > 100, 1.0).otherwise(0.0)) /
+               count(lit(1))).as("pct_high"))
+        .orderBy("event_type")),
+
+    // O1: global sort + limit (top-k). Ref: scripts/02_fetch_news.py:130.
+    // Scale: orderBy+limit plans as TakeOrderedAndProject — no full sort.
+    "o1_sort_limit" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("value"))
+        .orderBy(col("value").desc, col("event_id"))
+        .limit(500)),
+
+    // O2/U2: sorted date spine = union of two tables' date sets.
+    // Ref: scripts/07_backtest.py:202-205.
+    "o2_date_spine" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(date_trunc("day", col("ts")).as("day"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00"))
+        .select(date_trunc("day", col("o_orderdate")).as("day"))
+      e.union(o).distinct().orderBy("day")
+    }),
+
+    // U1: unionByName with missing columns (schema drift between batches).
+    // Ref: scripts/02_fetch_news.py:114.
+    "u1_union_by_name" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val a = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val b = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+      a.unionByName(b, allowMissingColumns = true).orderBy("event_id")
+    }),
+
+    // U3: membership exclusion — customers that never ordered (left_anti).
+    // Ref: ingestion/producer.py:187 (seen_ids filter).
+    "u3_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      val o = Tables.orders(s, d).select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .orderBy("c_custkey")
+    }),
+
+    // F1: string functions. Ref: SURVEY §2.8 string family.
+    "f1_string_funcs" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_name"), 1, 8).as("name8"),
+          length(col("p_name")).cast("long").as("name_len"),
+          regexp_replace(col("p_type"), " ", "_").as("type_u"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("bt"))
+        .orderBy("p_partkey")),
+
+    // F2: date/time functions. Ref: SURVEY §2.8 date family.
+    "f2_datetime_funcs" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("int").as("yr"),
+          month(col("o_orderdate")).cast("int").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("int").as("dom"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30"))
+        .orderBy("o_orderkey")),
+
+    // F3: math functions over the revenue expression.
+    // Ref: scripts/07_backtest.py:302,348-361.
+    "f3_math_funcs" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"),
+          r6(abs(col("l_discount") - lit(0.05))).as("abs_d"),
+          r6(sqrt(col("l_extendedprice"))).as("sqrt_p"),
+          r6(pow(lit(1.0) + col("l_tax"), lit(12.0))).as("pow_t"),
+          floor(col("l_quantity") / 10).cast("long").as("qbucket"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // F4: array/struct access over the embedding column.
+    "f4_array_access" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          r6(element_at(col("embedding"), 1).cast("double")).as("first_dim"),
+          r6(aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => acc + x.cast("double"))).as("sum_all"))
+        .orderBy("vec_id")),
+
+    // F5: JSON extraction from the props payload.
+    // Ref: consumer/consumer.py:9 (json deserialize).
+    "f5_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")),
+
+    // A9: win/loss grouped conditional counts.
+    // Ref: scripts/10_visualize_trades.py:54-59.
+    "a9_win_loss" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("value") > 100, 1L).otherwise(0L)).as("wins"),
+             sum(when(col("value") <= 100, 1L).otherwise(0L)).as("losses"))
+        .orderBy("user_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_scan_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+         ORDER BY l_orderkey, l_linenumber""",
+    "p1_derived_concat" ->
+      """SELECT doc_id, trim(concat_ws(' ', coalesce(source,''), coalesce(lang,''))) AS tag
+         FROM documents ORDER BY doc_id""",
+    "p2_filter_eq" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE event_type = 'purchase' ORDER BY event_id""",
+    "p3_time_range" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+         ORDER BY event_id""",
+    "p4_date_window" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                               AND TIMESTAMP '1998-12-31 00:00:00'
+         ORDER BY o_orderkey""",
+    "p5_threshold" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE value >= 400.0 AND event_type = 'purchase' ORDER BY event_id""",
+    "p7_dedup_keep_last" ->
+      """SELECT user_id, event_type, event_id, ts, value FROM (
+           SELECT user_id, event_type, event_id, ts, value,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1
+         ORDER BY user_id, event_type""",
+    "s13_merge_dedup" ->
+      """WITH unioned AS (
+           SELECT event_id, ts, user_id, value, 1 AS batch FROM events
+           WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+           UNION ALL
+           SELECT event_id, ts, user_id, value, 2 AS batch FROM events
+           WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+         SELECT event_id, ts, user_id, value, batch FROM (
+           SELECT *, row_number() OVER (PARTITION BY event_id
+                                        ORDER BY batch DESC) AS rn
+           FROM unioned) WHERE rn = 1
+         ORDER BY event_id""",
+    "j2_equi_join" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    "j3_point_lookup" ->
+      """SELECT l_orderkey, l_linenumber, p_name, l_quantity
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_quantity >= 45
+         ORDER BY l_orderkey, l_linenumber""",
+    "a1_grouped_avg" ->
+      """SELECT event_type, date_trunc('day', ts) AS day,
+                round(avg(value), 6) AS avg_value, count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
+    "a5_value_counts" ->
+      """SELECT event_type, count(*) AS n FROM events
+         GROUP BY 1 ORDER BY event_type""",
+    "a6_distinct_count" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users FROM events
+         GROUP BY 1 ORDER BY event_type""",
+    "a7_stats_block" ->
+      """SELECT event_type,
+                round(min(value), 6) AS min_v,
+                round(max(value), 6) AS max_v,
+                round(avg(value), 6) AS mean_v,
+                round(stddev_samp(value), 6) AS std_v,
+                round(sum(CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END)
+                      / count(*), 6) AS pct_high
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    "o1_sort_limit" ->
+      """SELECT event_id, ts, value FROM events
+         ORDER BY value DESC, event_id LIMIT 500""",
+    "o2_date_spine" ->
+      """SELECT DISTINCT day FROM (
+           SELECT date_trunc('day', ts) AS day FROM events
+           UNION ALL
+           SELECT date_trunc('day', o_orderdate) AS day FROM orders
+           WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+         ORDER BY day""",
+    "u1_union_by_name" ->
+      """SELECT event_id, user_id, value, NULL::INT AS k FROM events
+         WHERE event_type = 'purchase'
+         UNION ALL
+         SELECT event_id, user_id, NULL::DOUBLE AS value,
+                CAST(json_extract_string(props, '$.k') AS INT) AS k
+         FROM events WHERE event_type = 'click'
+         ORDER BY event_id""",
+    "u3_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "f1_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+                substring(p_name, 1, 8) AS name8,
+                CAST(length(p_name) AS BIGINT) AS name_len,
+                regexp_replace(p_type, ' ', '_', 'g') AS type_u,
+                concat_ws('|', p_brand, p_type) AS bt
+         FROM part ORDER BY p_partkey""",
+    "f2_datetime_funcs" ->
+      """SELECT o_orderkey,
+                CAST(year(o_orderdate) AS INT) AS yr,
+                CAST(month(o_orderdate) AS INT) AS mo,
+                CAST(day(o_orderdate) AS INT) AS dom,
+                date_trunc('month', o_orderdate) AS month_start,
+                o_orderdate + INTERVAL 30 DAY AS plus30
+         FROM orders ORDER BY o_orderkey""",
+    "f3_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(l_extendedprice * (1.0 - l_discount), 6) AS revenue,
+                round(abs(l_discount - 0.05), 6) AS abs_d,
+                round(sqrt(l_extendedprice), 6) AS sqrt_p,
+                round(pow(1.0 + l_tax, 12.0), 6) AS pow_t,
+                CAST(floor(l_quantity / 10) AS BIGINT) AS qbucket
+         FROM lineitem WHERE l_orderkey < 2000
+         ORDER BY l_orderkey, l_linenumber""",
+    "f4_array_access" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+                round(CAST(embedding[1] AS DOUBLE), 6) AS first_dim,
+                round(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE))), 6) AS sum_all
+         FROM embeddings ORDER BY vec_id""",
+    "f5_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+         FROM events ORDER BY event_id""",
+    "a9_win_loss" ->
+      """SELECT user_id,
+                CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+                CAST(sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS losses
+         FROM events GROUP BY 1 ORDER BY user_id"""
+  )
+}

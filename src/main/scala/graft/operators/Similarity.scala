@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Similarity search over the embedding column (`Array[Float]`, 64-d):
+  * brute-force cosine top-k (baseline), LSH-bucketed ANN (scale path)
+  * and embedding-cosine near-duplicate pairs.
+  *
+  * All vector math is built-in `zip_with`/`aggregate` (codegen'd) —
+  * no UDF in the hot path; dot products fold left-to-right in index
+  * order so the oracle's list_sum reproduces them bit-for-bit.
+  *
+  * Scale notes: brute force is O(|Q|·N) with the query side broadcast —
+  * correct baseline, unusable at 100 TB. The LSH variant buckets both
+  * sides by 8 fixed hyperplane signs: candidates co-locate by bucket
+  * equi-join (a shuffle on bucket id), cutting the candidate space
+  * ~256× at the cost of recall — the IVF-style pattern to scale out.
+  */
+object Similarity {
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  /** Σ aᵢ·bᵢ as a left fold in index order (deterministic fp). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** 8 deterministic hyperplanes (cos-sequence pseudo-noise). */
+  private val planes: Seq[Seq[Double]] =
+    (0 until 8).map(p => (0 until 64).map(i => math.cos(1.0 + i * 8 + p)))
+
+  /** LSH bucket id: sign bit per hyperplane. */
+  private def bucket(v: Column): Column =
+    planes.zipWithIndex.map { case (pl, p) =>
+      val plc = array(pl.map(lit): _*)
+      when(dot(v, plc) > 0, 1 << p).otherwise(0)
+    }.reduce(_ + _)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SIM1: brute-force cosine top-5 per query vector (vec_id < 10).
+    "sim1_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
+      val c = emb
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        .withColumn("cn", sqrt(dot(col("ce"), col("ce"))))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("c_id"))
+      c.crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine",
+          dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("c_id"),
+          r6(col("cosine")).as("cosine"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // SIM2: LSH-bucketed ANN — same top-k but only within the query's
+    // hyperplane-sign bucket (rows-only check; recall vs brute force
+    // asserted in SimilaritySpec).
+    "sim2_lsh_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("bkt", bucket(col("embedding")))
+        .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("bkt"), col("nrm").as("qn"))
+      val c = emb.select(col("vec_id").as("c_id"),
+        col("embedding").as("ce"), col("bkt"), col("nrm").as("cn"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("c_id"))
+      c.join(broadcast(q), Seq("bkt"))   // candidate pruning by bucket
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine",
+          dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("c_id"),
+          r6(col("cosine")).as("cosine"), col("bkt"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // D5: embedding-cosine near-duplicate pairs (vec_id < 200, τ=0.35).
+    "d5_embedding_neardup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+      a.crossJoin(b)
+        .filter(col("va") < col("vb"))
+        .withColumn("cosine",
+          dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("cosine") >= 0.35)
+        .select(col("va"), col("vb"), r6(col("cosine")).as("cosine"))
+        .orderBy("va", "vb")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim1_cosine_topk" ->
+      """WITH v AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, e,
+                  sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+           FROM v),
+         pairs AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                  list_sum(list_transform(generate_series(1, len(q.e)),
+                    i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS cosine
+           FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         SELECT q_id, rank, c_id, round(cosine, 6) AS cosine FROM (
+           SELECT q_id, c_id, cosine,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, c_id) AS rank
+           FROM pairs) WHERE rank <= 5
+         ORDER BY q_id, rank""",
+    "d5_embedding_neardup" ->
+      """WITH v AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings WHERE vec_id < 200),
+         n AS (
+           SELECT vec_id, e,
+                  sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+           FROM v)
+         SELECT a.vec_id AS va, b.vec_id AS vb,
+                round(list_sum(list_transform(generate_series(1, len(a.e)),
+                  i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) AS cosine
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE list_sum(list_transform(generate_series(1, len(a.e)),
+                 i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.35
+         ORDER BY va, vb"""
+  )
+}

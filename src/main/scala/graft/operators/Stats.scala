@@ -1,0 +1,314 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.StudentT
+
+/** Statistics: Pearson correlation (A2), its p-value (A3, custom UDF),
+  * argmax-by-|corr| best-config selection (A4), the trade / risk metric
+  * blocks (A8/A10), monthly compounded returns + annual rollup
+  * (A11/A12), histogram binning (A13) and heatmap argmax cells (A14).
+  *
+  * Reference: the lag grid + pearsonr of `scripts/05_lag_analysis.py:
+  * 141-198`, metric blocks `scripts/07_backtest.py:284-365`, heatmap
+  * rollups `scripts/11_visualize_heatmap.py:19-74`, histograms
+  * `scripts/10_visualize_trades.py:39-51`.
+  *
+  * Scale notes: every aggregate here is a map-side-combinable hash agg
+  * (corr/avg/stddev merge partial moments); the per-day series the
+  * risk metrics run on is already reduced to O(days) rows before any
+  * single-partition window touches it.
+  */
+object Stats {
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  /** Daily avg value per event_type — the shared grid input. */
+  private def daily(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(avg(col("value")).as("v"))
+
+  /** Daily revenue returns from orders (the long multi-year series). */
+  private def dailyReturns(s: SparkSession, d: String): DataFrame = {
+    val day = Tables.orders(s, d)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+    val w = Window.orderBy("day")
+    day.withColumn("prev", lag(col("rev"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("day"), col("rev"), (col("rev") / col("prev") - 1).as("r"))
+  }
+
+  /** Autocorrelation grid: corr(v_t, v_{t+k}) per (event_type, k). */
+  private def grid(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily(s, d)
+      .withColumn("l1", lead(col("v"), 1).over(w))
+      .withColumn("l2", lead(col("v"), 2).over(w))
+      .withColumn("l3", lead(col("v"), 3).over(w))
+      .select(col("event_type"), col("v"),
+        expr("stack(3, 1, l1, 2, l2, 3, l3) as (k, fwd)"))
+      .groupBy(col("event_type"), col("k"))
+      .agg(corr(col("v"), col("fwd")).as("c"), count(col("fwd")).as("n"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A2: Pearson correlation per group (value vs the json-extracted k).
+    "a2_pearson_corr" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"),
+          get_json_object(col("props"), "$.k").cast("double").as("k"))
+        .groupBy(col("event_type"))
+        .agg(r6(corr(col("value"), col("k"))).as("r"),
+             count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // A3: correlation p-value — custom Scala UDF (Student-t via
+    // regularized incomplete beta). Not SQL-expressible in DuckDB →
+    // rows-only check; exact values covered by StudentTSpec goldens.
+    "a3_corr_pvalue" -> ((s, d) => {
+      val pv = udf((r: Double, n: Long) => StudentT.pValue(r, n))
+      grid(s, d)
+        .select(col("event_type"), col("k"),
+          r6(col("c")).as("r"), col("n"),
+          r6(pv(col("c"), col("n"))).as("p_value"))
+        .orderBy("event_type", "k")
+    }),
+
+    // A4: best config per key by max |corr| (deterministic tiebreak).
+    "a4_best_config" -> ((s, d) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(abs(col("c")).desc, col("k").asc)
+      grid(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("k").as("best_k"),
+          r6(col("c")).as("r"), col("n"))
+        .orderBy("event_type")
+    }),
+
+    // A8: trade-metrics block over pnl-shaped rows (single row).
+    "a8_trade_metrics" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select((col("value") - 100).as("pnl"))
+        .agg(
+          count(lit(1)).as("n_trades"),
+          sum(when(col("pnl") > 0, 1L).otherwise(0L)).as("wins"),
+          r6(sum(when(col("pnl") > 0, 1.0).otherwise(0.0)) / count(lit(1)))
+            .as("win_rate"),
+          r6(avg(when(col("pnl") > 0, col("pnl")))).as("avg_win"),
+          r6(avg(when(col("pnl") <= 0, col("pnl")))).as("avg_loss"),
+          r6(max(col("pnl"))).as("largest_win"),
+          r6(min(col("pnl"))).as("largest_loss"),
+          r6(sum(when(col("pnl") > 0, col("pnl")).otherwise(0.0)) /
+             abs(sum(when(col("pnl") <= 0, col("pnl")).otherwise(0.0))))
+            .as("profit_factor"),
+          r6(avg(col("pnl"))).as("expectancy"))),
+
+    // A10: risk-metrics block — annualized return/vol, Sharpe, Sortino,
+    // Calmar, max drawdown — over the daily revenue-return series.
+    // pandas .std() is sample stddev (ddof=1) → stddev_samp throughout.
+    "a10_risk_metrics" -> ((s, d) => {
+      val rets = dailyReturns(s, d)
+      val wCum = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val withDd = rets
+        .withColumn("peak", max(col("rev")).over(wCum))
+        .withColumn("dd", col("rev") / col("peak") - 1)
+      withDd.agg(
+          avg(col("r")).as("mu"),
+          stddev_samp(col("r")).as("sigma"),
+          stddev_samp(when(col("r") < 0, col("r"))).as("downside"),
+          min(col("dd")).as("max_dd"))
+        .select(
+          r6(col("mu")).as("mean_daily"),
+          r6(col("sigma")).as("std_daily"),
+          r6(pow(lit(1.0) + col("mu"), 252.0) - 1).as("ann_return"),
+          r6(col("sigma") * sqrt(lit(252.0))).as("ann_vol"),
+          r6((pow(lit(1.0) + col("mu"), 252.0) - 1) /
+             (col("sigma") * sqrt(lit(252.0)))).as("sharpe"),
+          r6((pow(lit(1.0) + col("mu"), 252.0) - 1) /
+             (col("downside") * sqrt(lit(252.0)))).as("sortino"),
+          r6((pow(lit(1.0) + col("mu"), 252.0) - 1) / abs(col("max_dd")))
+            .as("calmar"),
+          r6(col("max_dd")).as("max_dd"))
+    }),
+
+    // A11: monthly compounded return = exp(Σ ln(1+r)) − 1.
+    "a11_monthly_returns" -> ((s, d) =>
+      dailyReturns(s, d)
+        .groupBy(date_trunc("month", col("day")).as("month"))
+        .agg(r6(exp(sum(log(lit(1.0) + col("r")))) - 1).as("ret"),
+             count(lit(1)).as("n_days"))
+        .orderBy("month")),
+
+    // A12: annual rollup (sum of monthly returns, as the heatmap does).
+    "a12_annual_rollup" -> ((s, d) =>
+      dailyReturns(s, d)
+        .groupBy(date_trunc("month", col("day")).as("month"))
+        .agg((exp(sum(log(lit(1.0) + col("r")))) - 1).as("mret"))
+        .groupBy(year(col("month")).cast("int").as("yr"))
+        .agg(r6(sum(col("mret"))).as("yearly_ret"))
+        .orderBy("yr")),
+
+    // A13: histogram binning — 15 equal-width global bins per event_type.
+    "a13_histogram" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("bin",
+          least(floor((col("value") - col("lo")) /
+            ((col("hi") - col("lo")) / 15.0)), lit(14.0)).cast("long"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bin")
+    }),
+
+    // A14: heatmap argmax/argmin cell — best and worst month.
+    "a14_heatmap_argmax" -> ((s, d) => {
+      val monthly = dailyReturns(s, d)
+        .groupBy(date_trunc("month", col("day")).as("month"))
+        .agg((exp(sum(log(lit(1.0) + col("r")))) - 1).as("ret"))
+      val wBest = Window.orderBy(col("ret").desc, col("month"))
+      val wWorst = Window.orderBy(col("ret").asc, col("month"))
+      val best = monthly.withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select(lit("best").as("kind"), col("month"), r6(col("ret")).as("ret"))
+      val worst = monthly.withColumn("rn", row_number().over(wWorst))
+        .filter(col("rn") === 1)
+        .select(lit("worst").as("kind"), col("month"), r6(col("ret")).as("ret"))
+      best.unionByName(worst).orderBy("kind")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a2_pearson_corr" ->
+      """SELECT event_type,
+                round(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS r,
+                count(*) AS n
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    "a4_best_config" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS v
+           FROM events GROUP BY 1, 2),
+         leads AS (
+           SELECT event_type, day, v,
+                  lead(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+                  lead(v, 2) OVER (PARTITION BY event_type ORDER BY day) AS l2,
+                  lead(v, 3) OVER (PARTITION BY event_type ORDER BY day) AS l3
+           FROM daily),
+         grid AS (
+           SELECT event_type, k, corr(v, fwd) AS c, count(fwd) AS n FROM (
+             SELECT event_type, v, 1 AS k, l1 AS fwd FROM leads
+             UNION ALL
+             SELECT event_type, v, 2 AS k, l2 AS fwd FROM leads
+             UNION ALL
+             SELECT event_type, v, 3 AS k, l3 AS fwd FROM leads)
+           GROUP BY 1, 2)
+         SELECT event_type, k AS best_k, round(c, 6) AS r, n FROM (
+           SELECT *, row_number() OVER (PARTITION BY event_type
+                       ORDER BY abs(c) DESC, k ASC) AS rn
+           FROM grid) WHERE rn = 1
+         ORDER BY event_type""",
+    "a8_trade_metrics" ->
+      """WITH t AS (SELECT value - 100 AS pnl FROM events
+                    WHERE event_type = 'purchase')
+         SELECT count(*) AS n_trades,
+                CAST(sum(CASE WHEN pnl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+                round(sum(CASE WHEN pnl > 0 THEN 1.0 ELSE 0.0 END) / count(*), 6) AS win_rate,
+                round(avg(CASE WHEN pnl > 0 THEN pnl END), 6) AS avg_win,
+                round(avg(CASE WHEN pnl <= 0 THEN pnl END), 6) AS avg_loss,
+                round(max(pnl), 6) AS largest_win,
+                round(min(pnl), 6) AS largest_loss,
+                round(sum(CASE WHEN pnl > 0 THEN pnl ELSE 0.0 END)
+                      / abs(sum(CASE WHEN pnl <= 0 THEN pnl ELSE 0.0 END)), 6) AS profit_factor,
+                round(avg(pnl), 6) AS expectancy
+         FROM t""",
+    "a10_risk_metrics" ->
+      """WITH day AS (
+           SELECT date_trunc('day', o_orderdate) AS day, sum(o_totalprice) AS rev
+           FROM orders GROUP BY 1),
+         rets AS (
+           SELECT day, rev, rev / prev - 1 AS r FROM (
+             SELECT day, rev, lag(rev, 1) OVER (ORDER BY day) AS prev FROM day)
+           WHERE prev IS NOT NULL),
+         dd AS (
+           SELECT day, r, rev / peak - 1 AS dd FROM (
+             SELECT day, r, rev,
+                    max(rev) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+             FROM rets)),
+         agg AS (
+           SELECT avg(r) AS mu, stddev_samp(r) AS sigma,
+                  stddev_samp(CASE WHEN r < 0 THEN r END) AS downside,
+                  min(dd) AS max_dd
+           FROM dd)
+         SELECT round(mu, 6) AS mean_daily,
+                round(sigma, 6) AS std_daily,
+                round(pow(1.0 + mu, 252.0) - 1, 6) AS ann_return,
+                round(sigma * sqrt(252.0), 6) AS ann_vol,
+                round((pow(1.0 + mu, 252.0) - 1) / (sigma * sqrt(252.0)), 6) AS sharpe,
+                round((pow(1.0 + mu, 252.0) - 1) / (downside * sqrt(252.0)), 6) AS sortino,
+                round((pow(1.0 + mu, 252.0) - 1) / abs(max_dd), 6) AS calmar,
+                round(max_dd, 6) AS max_dd
+         FROM agg""",
+    "a11_monthly_returns" ->
+      """WITH day AS (
+           SELECT date_trunc('day', o_orderdate) AS day, sum(o_totalprice) AS rev
+           FROM orders GROUP BY 1),
+         rets AS (
+           SELECT day, rev / prev - 1 AS r FROM (
+             SELECT day, rev, lag(rev, 1) OVER (ORDER BY day) AS prev FROM day)
+           WHERE prev IS NOT NULL)
+         SELECT date_trunc('month', day) AS month,
+                round(exp(sum(ln(1.0 + r))) - 1, 6) AS ret,
+                count(*) AS n_days
+         FROM rets GROUP BY 1 ORDER BY month""",
+    "a12_annual_rollup" ->
+      """WITH day AS (
+           SELECT date_trunc('day', o_orderdate) AS day, sum(o_totalprice) AS rev
+           FROM orders GROUP BY 1),
+         rets AS (
+           SELECT day, rev / prev - 1 AS r FROM (
+             SELECT day, rev, lag(rev, 1) OVER (ORDER BY day) AS prev FROM day)
+           WHERE prev IS NOT NULL),
+         monthly AS (
+           SELECT date_trunc('month', day) AS month,
+                  exp(sum(ln(1.0 + r))) - 1 AS mret
+           FROM rets GROUP BY 1)
+         SELECT CAST(year(month) AS INT) AS yr,
+                round(sum(mret), 6) AS yearly_ret
+         FROM monthly GROUP BY 1 ORDER BY yr""",
+    "a13_histogram" ->
+      """WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+         SELECT event_type,
+                CAST(least(floor((value - lo) / ((hi - lo) / 15.0)), 14.0) AS BIGINT) AS bin,
+                count(*) AS n
+         FROM events CROSS JOIN bounds
+         GROUP BY 1, 2 ORDER BY event_type, bin""",
+    "a14_heatmap_argmax" ->
+      """WITH day AS (
+           SELECT date_trunc('day', o_orderdate) AS day, sum(o_totalprice) AS rev
+           FROM orders GROUP BY 1),
+         rets AS (
+           SELECT day, rev / prev - 1 AS r FROM (
+             SELECT day, rev, lag(rev, 1) OVER (ORDER BY day) AS prev FROM day)
+           WHERE prev IS NOT NULL),
+         monthly AS (
+           SELECT date_trunc('month', day) AS month,
+                  exp(sum(ln(1.0 + r))) - 1 AS ret
+           FROM rets GROUP BY 1)
+         SELECT 'best' AS kind, month, round(ret, 6) AS ret FROM (
+           SELECT *, row_number() OVER (ORDER BY ret DESC, month) AS rn
+           FROM monthly) WHERE rn = 1
+         UNION ALL
+         SELECT 'worst' AS kind, month, round(ret, 6) AS ret FROM (
+           SELECT *, row_number() OVER (ORDER BY ret ASC, month) AS rn
+           FROM monthly) WHERE rn = 1
+         ORDER BY kind"""
+  )
+}

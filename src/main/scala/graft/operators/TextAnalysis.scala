@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Text-analysis pillar over `documents.text`: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting,
+  * lexicon sentiment (the F6 VADER-subset, relational form), exact
+  * dedup and n-gram Jaccard near-dup pairs.
+  *
+  * Reference: sentiment scoring `scripts/03_add_sentiment.py:25-28`;
+  * dedup-by-content `scripts/02_fetch_news.py:117-120`. The rest is
+  * the training-data-pipeline extension set (builder brief).
+  *
+  * Scale notes: everything is per-document map work + hash aggregation;
+  * the Jaccard pair query joins on shared shingles (inverted-index
+  * join), which at 100 TB is run after MinHash banding (Dedup.scala)
+  * has cut the candidate space — here it is additionally bounded to a
+  * fixed doc subset so the oracle stays checkable.
+  */
+object TextAnalysis {
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  /** Whitespace tokenization of lowercased text — the one definition
+    * shared by every query here AND by the DuckDB oracles. */
+  private def toks: Column = split(lower(trim(col("text"))), "\\s+")
+
+  /** VADER-style lexicon subset (public VADER algorithm; valences on
+    * the corpus vocabulary + common sentiment words). The full rule
+    * set (negation/boosters/punctuation) is in graft.functions.Vader;
+    * this relational form is the oracle-checkable core. */
+  val lexicon: Seq[(String, Double)] = Seq(
+    "fast" -> 1.9, "slow" -> -1.6, "error" -> -2.2, "big" -> 0.4,
+    "small" -> -0.4, "good" -> 1.9, "bad" -> -2.5, "great" -> 3.1,
+    "terrible" -> -2.1, "best" -> 3.2, "worst" -> -3.1, "merge" -> 0.2,
+    "value" -> 0.9, "key" -> 0.5, "query" -> 0.1, "stream" -> 0.3,
+    "filter" -> -0.1, "sort" -> 0.1, "hash" -> -0.2, "scan" -> -0.3)
+
+  private def lexiconSqlValues: String =
+    lexicon.map { case (w, v) => s"('$w', $v)" }.mkString(", ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TXT1: token counting (whitespace tokenizer) + char accounting.
+    "txt1_token_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_chk"),
+          r6(length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+             size(toks)).as("avg_token_len"))
+        .orderBy("doc_id")),
+
+    // TXT2: quality scoring — punct/digit/upper/stopword ratios.
+    "txt2_quality_score" -> ((s, d) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+      val nTok = size(toks).cast("double")
+      val punct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+        .cast("double")
+      val digit = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+        .cast("double")
+      val upper = size(regexp_extract_all(col("text"), lit("[A-Z]"), lit(0)))
+        .cast("double")
+      val stopN = size(filter(toks, t => t.isInCollection(stop))).cast("double")
+      val len = length(col("text")).cast("double")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          r6(punct / len).as("punct_ratio"),
+          r6(digit / len).as("digit_ratio"),
+          r6(upper / len).as("upper_ratio"),
+          r6(stopN / nTok).as("stopword_ratio"),
+          r6(lit(0.5) * (stopN / nTok) + lit(0.3) * (lit(1.0) - punct / len) +
+             lit(0.2) * (lit(1.0) - digit / len)).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // TXT3: language-ID heuristic — stopword votes with a fixed
+    // priority order (en > de > es) on ties.
+    "txt3_langid" -> ((s, d) => {
+      def votes(words: Seq[String]): Column =
+        size(filter(toks, t => t.isInCollection(words))).cast("long")
+      val en = votes(Seq("the", "and", "of", "to", "is", "a"))
+      val de = votes(Seq("der", "die", "das", "und", "ist", "ein"))
+      val es = votes(Seq("el", "la", "los", "de", "es", "un"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang").as("lang_actual"),
+          en.as("en_votes"), de.as("de_votes"), es.as("es_votes"),
+          when(en >= de && en >= es, "en")
+            .when(de >= es, "de").otherwise("es").as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // TXT4: document fingerprint — md5 of whitespace-normalized text.
+    "txt4_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+        .orderBy("doc_id")),
+
+    // F6: lexicon sentiment, relational form — Σ valence over all token
+    // occurrences, VADER-normalized s/sqrt(s²+15).
+    "f6_sentiment_lexicon" -> ((s, d) => {
+      val lex = s.createDataFrame(lexicon).toDF("word", "valence")
+      val tokens = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("word"))
+      tokens.join(broadcast(lex), Seq("word"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(coalesce(col("valence"), lit(0.0))).as("sv"),
+             count(col("valence")).as("n_hits"))
+        .select(col("doc_id"),
+          r6(col("sv") / sqrt(col("sv") * col("sv") + 15.0)).as("compound"),
+          col("n_hits"))
+        .orderBy("doc_id")
+    }),
+
+    // D1: exact dedup — md5 content hash, keep lowest doc_id per hash.
+    "d1_exact_dedup" -> ((s, d) => {
+      val hashed = Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
+      val w = Window.partitionBy("h").orderBy("doc_id")
+      hashed
+        .withColumn("rn", row_number().over(w))
+        .withColumn("group_size", count(lit(1))
+          .over(Window.partitionBy("h")))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("h"), col("group_size"))
+        .orderBy("doc_id")
+    }),
+
+    // D2: n-gram Jaccard near-dup pairs via inverted-index shingle join
+    // (bounded to doc_id < 100 so the oracle's pair space is fixed).
+    "d2_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= 3)
+      val shingles = docs.select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("t")) - 3),
+          i => concat_ws(" ",
+            element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2),
+            element_at(col("t"), i + 3))))).as("sh"))
+      val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val a = shingles.alias("a"); val b = shingles.alias("b")
+      val inter = a.join(b,
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "da")
+          .withColumnRenamed("sz", "sza"), Seq("da"))
+        .join(sizes.withColumnRenamed("doc_id", "db")
+          .withColumnRenamed("sz", "szb"), Seq("db"))
+        .withColumn("jaccard",
+          col("i").cast("double") / (col("sza") + col("szb") - col("i")))
+        .filter(col("jaccard") >= 0.01)
+        .select(col("da"), col("db"), r6(col("jaccard")).as("jaccard"))
+        .orderBy("da", "db")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "txt1_token_stats" ->
+      """SELECT doc_id,
+                CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+                CAST(length(text) AS BIGINT) AS n_chars_chk,
+                round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                      / len(string_split_regex(lower(trim(text)), '\s+')), 6) AS avg_token_len
+         FROM documents ORDER BY doc_id""",
+    "txt2_quality_score" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS toks,
+                  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS punct,
+                  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS digit,
+                  CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS upper,
+                  CAST(length(text) AS DOUBLE) AS len
+           FROM documents),
+         r AS (
+           SELECT doc_id, punct, digit, upper, len,
+                  CAST(len(toks) AS DOUBLE) AS n_tok,
+                  CAST(len(list_filter(toks, x -> x IN
+                    ('the','a','of','and','to','in','is','on'))) AS DOUBLE) AS stop_n
+           FROM t)
+         SELECT doc_id,
+                round(punct / len, 6) AS punct_ratio,
+                round(digit / len, 6) AS digit_ratio,
+                round(upper / len, 6) AS upper_ratio,
+                round(stop_n / n_tok, 6) AS stopword_ratio,
+                round(0.5 * (stop_n / n_tok) + 0.3 * (1.0 - punct / len)
+                      + 0.2 * (1.0 - digit / len), 6) AS quality
+         FROM r ORDER BY doc_id""",
+    "txt3_langid" ->
+      """WITH t AS (
+           SELECT doc_id, lang AS lang_actual,
+                  string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         v AS (
+           SELECT doc_id, lang_actual,
+                  CAST(len(list_filter(toks, x -> x IN
+                    ('the','and','of','to','is','a'))) AS BIGINT) AS en_votes,
+                  CAST(len(list_filter(toks, x -> x IN
+                    ('der','die','das','und','ist','ein'))) AS BIGINT) AS de_votes,
+                  CAST(len(list_filter(toks, x -> x IN
+                    ('el','la','los','de','es','un'))) AS BIGINT) AS es_votes
+           FROM t)
+         SELECT doc_id, lang_actual, en_votes, de_votes, es_votes,
+                CASE WHEN en_votes >= de_votes AND en_votes >= es_votes THEN 'en'
+                     WHEN de_votes >= es_votes THEN 'de'
+                     ELSE 'es' END AS lang_pred
+         FROM v ORDER BY doc_id""",
+    "txt4_fingerprint" ->
+      """SELECT doc_id,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+    "f6_sentiment_lexicon" -> s"""
+         WITH lex(word, valence) AS (VALUES $lexiconSqlValues),
+         tok AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+           FROM documents),
+         scored AS (
+           SELECT t.doc_id, sum(coalesce(l.valence, 0.0)) AS sv,
+                  count(l.valence) AS n_hits
+           FROM tok t LEFT JOIN lex l ON t.word = l.word
+           GROUP BY 1)
+         SELECT doc_id, round(sv / sqrt(sv * sv + 15.0), 6) AS compound, n_hits
+         FROM scored ORDER BY doc_id""",
+    "d1_exact_dedup" ->
+      """WITH hashed AS (
+           SELECT doc_id,
+                  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+           FROM documents)
+         SELECT doc_id, h, group_size FROM (
+           SELECT doc_id, h,
+                  row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn,
+                  count(*) OVER (PARTITION BY h) AS group_size
+           FROM hashed) WHERE rn = 1
+         ORDER BY doc_id""",
+    "d2_ngram_jaccard" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents WHERE doc_id < 100),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+           FROM docs WHERE len(t) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT da, db,
+                round(CAST(i AS DOUBLE) / (x.sz + y.sz - i), 6) AS jaccard
+         FROM inter JOIN sizes x ON da = x.doc_id
+                    JOIN sizes y ON db = y.doc_id
+         WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.01
+         ORDER BY da, db"""
+  )
+}

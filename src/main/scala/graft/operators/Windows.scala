@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Window-function suite: leads/lags (forward returns), running max,
+  * drawdown, streak sessionization, latest-run selection, and the
+  * as-of join idiom.
+  *
+  * Reference semantics: forward returns
+  * `scripts/04_correlation_analysis.py:41-43` (W1) and the
+  * trading-day lead `scripts/05_lag_analysis.py:78-109` (W2);
+  * running max / drawdown `scripts/07_backtest.py:326-330` (W3-W5);
+  * streaks `scripts/07_backtest.py:308-314` (W6); daily returns
+  * `scripts/07_backtest.py:247-250` (W7); latest-run
+  * `scripts/08_visualize_equity.py:224-232` (W8); as-of price lookup
+  * `scripts/08_visualize_equity.py:52-63` (J4).
+  *
+  * Scale notes: every per-entity window partitions by `user_id` —
+  * state per partition is one entity's history, which shuffles evenly
+  * at any scale. The only single-partition windows (W7 daily series)
+  * run over an already-aggregated per-day frame (≤ a few thousand rows
+  * regardless of fact-table size), which is the documented pattern for
+  * equity-curve post-processing.
+  */
+object Windows {
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  /** Per-user event ordering: ts with event_id tiebreak (deterministic). */
+  private def wUser = Window.partitionBy("user_id")
+    .orderBy(col("ts"), col("event_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W1: calendar forward return over the next row (+ P6 null gate).
+    "w1_forward_return" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("nxt", lead(col("value"), 1).over(wUser))
+        .filter(col("nxt").isNotNull)   // P6: pd.notna(return) gate
+        .select(col("user_id"), col("event_id"),
+          r6(col("nxt") / col("value") - 1).as("ret_1"))
+        .orderBy("user_id", "event_id")),
+
+    // W2: k-step lead (trading-day lead is a row-position lead, k=3).
+    "w2_lead_k" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("nxt3", lead(col("value"), 3).over(wUser))
+        .filter(col("nxt3").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          r6(col("nxt3") / col("value") - 1).as("ret_3"))
+        .orderBy("user_id", "event_id")),
+
+    // W3: running max (equity peak).
+    "w3_running_max" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("peak", max(col("value"))
+          .over(wUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("user_id"), col("event_id"), col("value"), col("peak"))
+        .orderBy("user_id", "event_id")),
+
+    // W4: drawdown = value/peak - 1.
+    "w4_drawdown" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("peak", max(col("value"))
+          .over(wUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("user_id"), col("event_id"),
+          r6(col("value") / col("peak") - 1).as("dd"))
+        .orderBy("user_id", "event_id")),
+
+    // W5: max-drawdown row per user (deterministic argmin via row_number).
+    "w5_max_drawdown" -> ((s, d) => {
+      val dd = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("peak", max(col("value"))
+          .over(wUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("dd", col("value") / col("peak") - 1)
+      val wMin = Window.partitionBy("user_id")
+        .orderBy(col("dd"), col("ts"), col("event_id"))
+      dd.withColumn("rn", row_number().over(wMin))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), r6(col("dd")).as("max_dd"))
+        .orderBy("user_id")
+    }),
+
+    // W6: streak sessionization — (flag != lag(flag)).cumsum() streak ids,
+    // then the longest win / loss streak per user.
+    "w6_streaks" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          (col("value") > 100).as("win"))
+      val changed = when(
+        lag(col("win"), 1).over(wUser).isNull ||
+        lag(col("win"), 1).over(wUser) =!= col("win"), 1L).otherwise(0L)
+      ev.withColumn("chg", changed)
+        .withColumn("streak_id", sum(col("chg"))
+          .over(wUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("win"), col("streak_id"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"), col("win"))
+        .agg(max(col("len")).as("max_streak"))
+        .orderBy("user_id", "win")
+    }),
+
+    // W7: daily returns of an aggregated series (orders daily revenue).
+    // Single-partition window over the per-day aggregate only (small by
+    // construction — never over the raw fact table).
+    "w7_daily_returns" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      val w = Window.orderBy("day")
+      daily.withColumn("prev", lag(col("rev"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("day"), r6(col("rev") / col("prev") - 1).as("ret"))
+        .orderBy("day")
+    }),
+
+    // W8: latest-run selection — newest event per user.
+    "w8_latest_run" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("user_id")
+    }),
+
+    // J4: as-of join — for each (user, day) the last 'purchase' value with
+    // ts < day+1 (forward-fill of the last known price).
+    // Spark has no ASOF JOIN: equi-join the daily last value onto the
+    // spine, then last(..., ignoreNulls) forward-fill — O(n log n) per
+    // key, no inequality join.
+    "j4_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val spine = ev.select(col("user_id"),
+        date_trunc("day", col("ts")).as("day")).distinct()
+      val wLast = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val pDaily = ev.filter(col("event_type") === "purchase")
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("value").as("day_val"))
+      val wFill = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      spine.join(pDaily, Seq("user_id", "day"), "left")
+        .withColumn("asof_value",
+          r6(last(col("day_val"), ignoreNulls = true).over(wFill)))
+        .select(col("user_id"), col("day"), col("asof_value"))
+        .orderBy("user_id", "day")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "w1_forward_return" ->
+      """SELECT user_id, event_id, round(nxt / value - 1, 6) AS ret_1 FROM (
+           SELECT user_id, event_id, value,
+                  lead(value, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS nxt
+           FROM events) WHERE nxt IS NOT NULL
+         ORDER BY user_id, event_id""",
+    "w2_lead_k" ->
+      """SELECT user_id, event_id, round(nxt3 / value - 1, 6) AS ret_3 FROM (
+           SELECT user_id, event_id, value,
+                  lead(value, 3) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS nxt3
+           FROM events) WHERE nxt3 IS NOT NULL
+         ORDER BY user_id, event_id""",
+    "w3_running_max" ->
+      """SELECT user_id, event_id, value,
+                max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+         FROM events ORDER BY user_id, event_id""",
+    "w4_drawdown" ->
+      """SELECT user_id, event_id, round(value / peak - 1, 6) AS dd FROM (
+           SELECT user_id, event_id, value,
+                  max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+           FROM events)
+         ORDER BY user_id, event_id""",
+    "w5_max_drawdown" ->
+      """SELECT user_id, event_id, round(dd, 6) AS max_dd FROM (
+           SELECT user_id, event_id, dd,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY dd, ts, event_id) AS rn
+           FROM (
+             SELECT user_id, event_id, ts, value / peak - 1 AS dd FROM (
+               SELECT user_id, event_id, ts, value,
+                      max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+               FROM events)))
+         WHERE rn = 1 ORDER BY user_id""",
+    "w6_streaks" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, value > 100 AS win FROM events),
+         chg AS (
+           SELECT user_id, event_id, ts, win,
+                  CASE WHEN lag(win) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) IS NULL
+                       OR lag(win) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) <> win
+                       THEN 1 ELSE 0 END AS c
+           FROM flagged),
+         streaks AS (
+           SELECT user_id, win,
+                  sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS streak_id
+           FROM chg),
+         lens AS (
+           SELECT user_id, win, streak_id, count(*) AS len
+           FROM streaks GROUP BY 1, 2, 3)
+         SELECT user_id, win, max(len) AS max_streak
+         FROM lens GROUP BY 1, 2 ORDER BY user_id, win""",
+    "w7_daily_returns" ->
+      """WITH daily AS (
+           SELECT date_trunc('day', o_orderdate) AS day,
+                  sum(o_totalprice) AS rev
+           FROM orders GROUP BY 1)
+         SELECT day, round(rev / prev - 1, 6) AS ret FROM (
+           SELECT day, rev, lag(rev, 1) OVER (ORDER BY day) AS prev
+           FROM daily) WHERE prev IS NOT NULL
+         ORDER BY day""",
+    "w8_latest_run" ->
+      """SELECT user_id, event_id, ts, value FROM (
+           SELECT user_id, event_id, ts, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1
+         ORDER BY user_id""",
+    "j4_asof_join" ->
+      """WITH spine AS (
+           SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+         purchases AS (
+           SELECT user_id, ts, value FROM events
+           WHERE event_type = 'purchase')
+         SELECT s.user_id, s.day, round(p.value, 6) AS asof_value
+         FROM spine s ASOF LEFT JOIN purchases p
+           ON s.user_id = p.user_id AND s.day + INTERVAL 1 DAY > p.ts
+         ORDER BY s.user_id, s.day"""
+  )
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Structured-Streaming pipeline over events-shaped data (T1–T6,
+  * S11–S12) — the Spark-native re-expression of the reference's
+  * Kafka poller/producer/consumer loop (`ingestion/producer.py:184-197`,
+  * `consumer/consumer.py:4-15`, poll loop `tests/test-producer.py:24-26`).
+  *
+  * The SAME transform (`dedupWindowAgg`) runs on a batch DataFrame and
+  * on a readStream DataFrame — StreamingSpec asserts equal results.
+  * Streaming semantics:
+  *  - T1 micro-batch trigger: supplied at writeStream time;
+  *  - T2 resume: checkpoint + file-source offsets (Kafka offsets on a
+  *    real broker — no broker in this container, so tests use the
+  *    file source with identical plan shape);
+  *  - T3 stateful dedup: dropDuplicates("event_id") scoped by the
+  *    watermark — BOUNDED state, unlike the reference's ever-growing
+  *    seen_ids set (divergence documented in SURVEY §7.3);
+  *  - T5/T6 event-time windowed agg with late-data handling via
+  *    withWatermark.
+  */
+object EventStream {
+
+  /** Explicit schema for the streaming source (no inference on streams). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Watermarked dedup + tumbling event-time aggregation — works
+    * identically on batch and streaming DataFrames. */
+  def dedupWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 days")
+      .dropDuplicates("event_id")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("avg_value"))
+
+  /** S11: keyed Kafka-sink payload — key = event id, value = JSON.
+    * On a real cluster this feeds `.writeStream.format("kafka")`;
+    * the payload shape is what the reference's producer emits
+    * (`ingestion/producer.py:58-63,173-182`). */
+  def kafkaPayload(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id").cast("string").as("key"),
+      to_json(struct(col("event_id"), col("event_type"), col("user_id"),
+        col("value"))).as("value"))
+
+  /** File-drop streaming source over a JSON-lines directory (stands in
+    * for the Kafka source S12; identical downstream plan). */
+  def readJsonStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).json(dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S11 payload formatting as a batch query (oracle-checked JSON).
+    "s11_kafka_payload" -> ((s, d) =>
+      kafkaPayload(Tables.events(s, d)).orderBy("key")),
+
+    // T3 batch-equivalent of the streaming dedup+window pipeline.
+    "t3_stream_dedup_agg" -> ((s, d) =>
+      dedupWindowAgg(Tables.events(s, d))
+        .orderBy("win_start", "event_type"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s11_kafka_payload" ->
+      """SELECT CAST(event_id AS VARCHAR) AS key,
+                to_json(struct_pack(event_id := event_id,
+                                    event_type := event_type,
+                                    user_id := user_id,
+                                    value := value))::VARCHAR AS value
+         FROM events ORDER BY key""",
+    "t3_stream_dedup_agg" ->
+      """WITH dedup AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY event_id
+                                          ORDER BY ts) AS rn
+             FROM events) WHERE rn = 1)
+         SELECT date_trunc('day', ts) AS win_start, event_type,
+                count(*) AS n, round(avg(value), 6) AS avg_value
+         FROM dedup GROUP BY 1, 2 ORDER BY win_start, event_type"""
+  )
+}
