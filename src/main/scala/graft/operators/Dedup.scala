@@ -11,9 +11,11 @@ import graft.Tables
   * TextAnalysis): shingle → 32 minhashes → 8 bands × 4 rows →
   * bucket equi-join for candidates → signature-estimated Jaccard.
   * Every stage is a hash shuffle on a bounded key — no all-pairs
-  * comparison anywhere. Signatures are built with xxhash64 (built-in,
-  * codegen'd) and fixed odd multipliers; Long overflow wraps, which is
-  * fine for hashing and fully deterministic.
+  * comparison anywhere. The i-th hash of the family is a SEEDED
+  * built-in hash — `xxhash64(lit(i), shingle)` — codegen'd,
+  * deterministic, and overflow-free (Spark 4 runs ANSI mode by
+  * default, so affine `a*h + b` arithmetic would throw
+  * ARITHMETIC_OVERFLOW instead of wrapping).
   *
   * Oracle: xxhash64 has no DuckDB equivalent → rows-only check;
   * behavioral correctness (identical docs collide, disjoint docs
@@ -27,12 +29,6 @@ object Dedup {
   private val NumHashes = 32
   private val Bands = 8
   private val RowsPerBand = NumHashes / Bands
-
-  /** Fixed hash-family parameters (odd multiplier + offset per i). */
-  private val hashA: Array[Long] =
-    (1 to NumHashes).map(i => (0x9E3779B97F4A7C15L * i) | 1L).toArray
-  private val hashB: Array[Long] =
-    (1 to NumHashes).map(i => 0xC2B2AE3D27D4EB4FL * i).toArray
 
   private def toks: Column = split(lower(trim(col("text"))), "\\s+")
 
@@ -49,13 +45,14 @@ object Dedup {
             element_at(col("t"), i + 2),
             element_at(col("t"), i + 3))))).as("sh"))
 
-  /** MinHash signatures: doc_id, sig array<long>(32). */
+  /** MinHash signatures: doc_id, sig array<long>(32).
+    * The i-th family member is xxhash64 seeded with i (extra column) —
+    * min over distinct shingles per doc, all inside one hash agg. */
   def signatures(s: SparkSession, d: String): DataFrame = {
-    val hashed = shingles(s, d).withColumn("h", xxhash64(col("sh")))
+    val sh = shingles(s, d)
     val mins: Seq[Column] = (0 until NumHashes).map(i =>
-      min((lit(hashA(i)) * col("h") + lit(hashB(i)))
-        .bitwiseAND(lit(Long.MaxValue))).as(s"m$i"))
-    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
   }

@@ -97,7 +97,7 @@ object IntervalJoins {
            ON s.user_id = e.user_id
           AND e.ts >= s.day - INTERVAL 48 HOUR
           AND e.ts <  s.day
-         GROUP BY 1, 2 ORDER BY user_id, day""",
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "j1_interval_sym" ->
       """WITH spine AS (
            SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
@@ -107,7 +107,7 @@ object IntervalJoins {
            ON s.user_id = e.user_id
           AND e.ts >= s.day - INTERVAL 24 HOUR
           AND e.ts <  s.day + INTERVAL 1 DAY
-         GROUP BY 1, 2 ORDER BY user_id, day""",
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "t5_tumbling_window" ->
       """SELECT date_trunc('day', ts) AS win_start, event_type,
                 count(*) AS n, round(avg(value), 6) AS avg_value

@@ -34,13 +34,17 @@ object Multimodal {
     // MM2: decode + feature-extract over the binary payload.
     // STUB decode: a real deployment would decode image/audio here;
     // this container has no codecs, so the "decoder" is a
-    // deterministic 8-bin byte histogram with identical plumbing.
+    // deterministic 8-bin byte histogram with identical plumbing
+    // (binary in, fixed-width feature vector out, partition-parallel,
+    // no shuffle). Features are flattened to scalar columns f0..f7 so
+    // the result is oracle-comparable; rounding happens in the
+    // DataFrame layer (round(), half-up) to match DuckDB's round().
     "mm2_feature_extract" -> ((s, d) => {
       import s.implicits._
       val bin = Tables.documents(s, d)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[(Long, Array[Byte])]
-      bin.mapPartitions { it =>
+      val feats = bin.mapPartitions { it =>
         it.map { case (id, bytes) =>
           val hist = new Array[Double](8)
           var i = 0
@@ -49,9 +53,12 @@ object Multimodal {
             i += 1
           }
           val n = math.max(bytes.length, 1).toDouble
-          (id, hist.map(h => math.rint(h / n * 1e6) / 1e6).toSeq)
+          (id, hist.map(_ / n).toSeq)
         }
-      }.toDF("doc_id", "features").orderBy("doc_id")
+      }.toDF("doc_id", "features")
+      feats.select(col("doc_id") +:
+          (0 until 8).map(i => round(col("features")(i), 6).as(s"f$i")): _*)
+        .orderBy("doc_id")
     })
   )
 
@@ -61,6 +68,25 @@ object Multimodal {
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 md5(text) AS content_hash,
                 substring(text, 1, 4) AS magic
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    // documents.text is ASCII (octet_length == length holds corpus-wide),
+    // so code points == bytes and ascii()//32 reproduces byte>>5.
+    "mm2_feature_extract" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  list_transform(range(1, length(text) + 1),
+                    i -> ascii(substring(text, i, 1)) // 32) AS bins,
+                  greatest(CAST(length(text) AS DOUBLE), 1) AS n
+           FROM documents)
+         SELECT doc_id,
+                round(CAST(len(list_filter(bins, x -> x = 0)) AS DOUBLE) / n, 6) AS f0,
+                round(CAST(len(list_filter(bins, x -> x = 1)) AS DOUBLE) / n, 6) AS f1,
+                round(CAST(len(list_filter(bins, x -> x = 2)) AS DOUBLE) / n, 6) AS f2,
+                round(CAST(len(list_filter(bins, x -> x = 3)) AS DOUBLE) / n, 6) AS f3,
+                round(CAST(len(list_filter(bins, x -> x = 4)) AS DOUBLE) / n, 6) AS f4,
+                round(CAST(len(list_filter(bins, x -> x = 5)) AS DOUBLE) / n, 6) AS f5,
+                round(CAST(len(list_filter(bins, x -> x = 6)) AS DOUBLE) / n, 6) AS f6,
+                round(CAST(len(list_filter(bins, x -> x = 7)) AS DOUBLE) / n, 6) AS f7
+         FROM b ORDER BY doc_id"""
   )
 }

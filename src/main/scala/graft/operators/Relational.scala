@@ -70,11 +70,14 @@ object Relational {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy("o_orderkey")),
 
-    // P5: threshold predicates (sentiment/min-count style).
+    // P5: threshold predicates (sentiment/min-count style). Threshold
+    // sits at the ~p97 of the purchase value distribution — selective
+    // but non-empty (a 0-row match can't distinguish a right filter
+    // from an over-tight one).
     // Ref: scripts/06_strategy_signals.py:94-96.
     "p5_threshold" -> ((s, d) =>
       Tables.events(s, d)
-        .filter(col("value") >= lit(400.0) && col("event_type") === "purchase")
+        .filter(col("value") >= lit(200.0) && col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("value"))
         .orderBy("event_id")),
 
@@ -199,11 +202,15 @@ object Relational {
       a.unionByName(b, allowMissingColumns = true).orderBy("event_id")
     }),
 
-    // U3: membership exclusion — customers that never ordered (left_anti).
+    // U3: membership exclusion — customers with no RECENT order
+    // (left_anti vs the 1998+ order slice; every customer in this
+    // testdata has *some* order, so the unfiltered form is vacuous).
     // Ref: ingestion/producer.py:187 (seen_ids filter).
     "u3_anti_join" -> ((s, d) => {
       val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
-      val o = Tables.orders(s, d).select(col("o_custkey"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1998-01-01 00:00:00"))
+        .select(col("o_custkey"))
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .orderBy("c_custkey")
     }),
@@ -295,7 +302,7 @@ object Relational {
          ORDER BY o_orderkey""",
     "p5_threshold" ->
       """SELECT event_id, user_id, value FROM events
-         WHERE value >= 400.0 AND event_type = 'purchase' ORDER BY event_id""",
+         WHERE value >= 200.0 AND event_type = 'purchase' ORDER BY event_id""",
     "p7_dedup_keep_last" ->
       """SELECT user_id, event_type, event_id, ts, value FROM (
            SELECT user_id, event_type, event_id, ts, value,
@@ -363,7 +370,8 @@ object Relational {
          ORDER BY event_id""",
     "u3_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
          ORDER BY c_custkey""",
     "f1_string_funcs" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u,

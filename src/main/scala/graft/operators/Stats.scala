@@ -112,6 +112,9 @@ object Stats {
     // A10: risk-metrics block — annualized return/vol, Sharpe, Sortino,
     // Calmar, max drawdown — over the daily revenue-return series.
     // pandas .std() is sample stddev (ddof=1) → stddev_samp throughout.
+    // Outputs are cast to FLOAT: (1+mu)^252 amplifies summation-order
+    // ulps to ~1e34 where round(,6) can't absorb them; float32's
+    // relative 6e-8 grid makes the compare order-insensitive.
     "a10_risk_metrics" -> ((s, d) => {
       val rets = dailyReturns(s, d)
       val wCum = Window.orderBy("day")
@@ -125,17 +128,17 @@ object Stats {
           stddev_samp(when(col("r") < 0, col("r"))).as("downside"),
           min(col("dd")).as("max_dd"))
         .select(
-          r6(col("mu")).as("mean_daily"),
-          r6(col("sigma")).as("std_daily"),
-          r6(pow(lit(1.0) + col("mu"), 252.0) - 1).as("ann_return"),
-          r6(col("sigma") * sqrt(lit(252.0))).as("ann_vol"),
-          r6((pow(lit(1.0) + col("mu"), 252.0) - 1) /
-             (col("sigma") * sqrt(lit(252.0)))).as("sharpe"),
-          r6((pow(lit(1.0) + col("mu"), 252.0) - 1) /
-             (col("downside") * sqrt(lit(252.0)))).as("sortino"),
-          r6((pow(lit(1.0) + col("mu"), 252.0) - 1) / abs(col("max_dd")))
-            .as("calmar"),
-          r6(col("max_dd")).as("max_dd"))
+          r6(col("mu")).cast("float").as("mean_daily"),
+          r6(col("sigma")).cast("float").as("std_daily"),
+          (pow(lit(1.0) + col("mu"), 252.0) - 1).cast("float").as("ann_return"),
+          r6(col("sigma") * sqrt(lit(252.0))).cast("float").as("ann_vol"),
+          ((pow(lit(1.0) + col("mu"), 252.0) - 1) /
+             (col("sigma") * sqrt(lit(252.0)))).cast("float").as("sharpe"),
+          ((pow(lit(1.0) + col("mu"), 252.0) - 1) /
+             (col("downside") * sqrt(lit(252.0)))).cast("float").as("sortino"),
+          ((pow(lit(1.0) + col("mu"), 252.0) - 1) / abs(col("max_dd")))
+            .cast("float").as("calmar"),
+          r6(col("max_dd")).cast("float").as("max_dd"))
     }),
 
     // A11: monthly compounded return = exp(Σ ln(1+r)) − 1.
@@ -247,14 +250,14 @@ object Stats {
                   stddev_samp(CASE WHEN r < 0 THEN r END) AS downside,
                   min(dd) AS max_dd
            FROM dd)
-         SELECT round(mu, 6) AS mean_daily,
-                round(sigma, 6) AS std_daily,
-                round(pow(1.0 + mu, 252.0) - 1, 6) AS ann_return,
-                round(sigma * sqrt(252.0), 6) AS ann_vol,
-                round((pow(1.0 + mu, 252.0) - 1) / (sigma * sqrt(252.0)), 6) AS sharpe,
-                round((pow(1.0 + mu, 252.0) - 1) / (downside * sqrt(252.0)), 6) AS sortino,
-                round((pow(1.0 + mu, 252.0) - 1) / abs(max_dd), 6) AS calmar,
-                round(max_dd, 6) AS max_dd
+         SELECT CAST(round(mu, 6) AS REAL) AS mean_daily,
+                CAST(round(sigma, 6) AS REAL) AS std_daily,
+                CAST(pow(1.0 + mu, 252.0) - 1 AS REAL) AS ann_return,
+                CAST(round(sigma * sqrt(252.0), 6) AS REAL) AS ann_vol,
+                CAST((pow(1.0 + mu, 252.0) - 1) / (sigma * sqrt(252.0)) AS REAL) AS sharpe,
+                CAST((pow(1.0 + mu, 252.0) - 1) / (downside * sqrt(252.0)) AS REAL) AS sortino,
+                CAST((pow(1.0 + mu, 252.0) - 1) / abs(max_dd) AS REAL) AS calmar,
+                CAST(round(max_dd, 6) AS REAL) AS max_dd
          FROM agg""",
     "a11_monthly_returns" ->
       """WITH day AS (

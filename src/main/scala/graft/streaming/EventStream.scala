@@ -34,16 +34,37 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Watermarked dedup + tumbling event-time aggregation — works
-    * identically on batch and streaming DataFrames. */
-  def dedupWindowAgg(events: DataFrame): DataFrame =
+  /** Tumbling event-time aggregation shared by the batch and streaming
+    * dedup pipelines. `value` is averaged through DECIMAL so partial
+    * aggregation order (which differs between Spark plans and the
+    * DuckDB oracle) cannot flip a ×1e6 rounding half-boundary — exact
+    * decimal sums are order-insensitive where double sums are not. */
+  private def windowAgg(events: DataFrame): DataFrame =
     events
-      .withWatermark("ts", "2 days")
-      .dropDuplicates("event_id")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1)), 6).as("avg_value"))
       .select(col("w.start").as("win_start"), col("event_type"),
         col("n"), col("avg_value"))
+
+  /** Streaming form: watermarked state-store dedup (bounded state,
+    * unlike the reference's ever-growing seen_ids set) + window agg. */
+  def dedupWindowAgg(events: DataFrame): DataFrame =
+    windowAgg(events.withWatermark("ts", "2 days").dropDuplicates("event_id"))
+
+  /** Batch form: DETERMINISTIC keep-first dedup — row_number over
+    * (ts, user_id, value) per event_id, matching the oracle's tiebreak
+    * exactly (streaming dropDuplicates keeps an arbitrary row; a batch
+    * correctness gate needs a total order). */
+  def dedupWindowAggBatch(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_id")
+      .orderBy(col("ts"), col("user_id"), col("value"))
+    windowAgg(events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn"))
+  }
 
   /** S11: keyed Kafka-sink payload — key = event id, value = JSON.
     * On a real cluster this feeds `.writeStream.format("kafka")`;
@@ -65,9 +86,10 @@ object EventStream {
     "s11_kafka_payload" -> ((s, d) =>
       kafkaPayload(Tables.events(s, d)).orderBy("key")),
 
-    // T3 batch-equivalent of the streaming dedup+window pipeline.
+    // T3 batch-equivalent of the streaming dedup+window pipeline
+    // (deterministic keep-first; streaming form runs in StreamingSpec).
     "t3_stream_dedup_agg" -> ((s, d) =>
-      dedupWindowAgg(Tables.events(s, d))
+      dedupWindowAggBatch(Tables.events(s, d))
         .orderBy("win_start", "event_type"))
   )
 
@@ -83,10 +105,12 @@ object EventStream {
       """WITH dedup AS (
            SELECT * FROM (
              SELECT *, row_number() OVER (PARTITION BY event_id
-                                          ORDER BY ts) AS rn
+                                          ORDER BY ts, user_id, value) AS rn
              FROM events) WHERE rn = 1)
          SELECT date_trunc('day', ts) AS win_start, event_type,
-                count(*) AS n, round(avg(value), 6) AS avg_value
+                count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                      / count(*), 6) AS avg_value
          FROM dedup GROUP BY 1, 2 ORDER BY win_start, event_type"""
   )
 }
