@@ -81,6 +81,69 @@ object EventStream {
   def readJsonStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).json(dir)
 
+  private def freshDir(path: String): String = {
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
+      f.delete()
+    }
+    val f = new java.io.File(path)
+    if (f.exists()) del(f)
+    f.mkdirs()
+    path
+  }
+
+  /** Run one micro-batch streaming query to completion: source dir →
+    * windowAgg → named memory sink, complete mode, checkpointed,
+    * Trigger.AvailableNow (the batch-bounded form of the reference's
+    * 300 s poll loop, `tests/test-producer.py:24-26`). */
+  private def runToCompletion(s: SparkSession, srcDir: String,
+                              ckpt: String, sink: String): Unit = {
+    val q = windowAgg(readJsonStream(s, srcDir))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** T1: an ACTUAL Structured Streaming execution — events dropped as
+    * JSON, consumed by readStream, aggregated with event-time windows,
+    * delivered through a checkpointed memory sink. The returned
+    * DataFrame is the sink table, so the DuckDB oracle verifies a real
+    * streaming run end-to-end. */
+  def runStreamingAgg(s: SparkSession, d: String): DataFrame = {
+    val base = freshDir(s"/tmp/graft-stream-t1-${new java.io.File(d).getName}")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    Tables.events(s, d).coalesce(1).write.mode("overwrite").json(src)
+    runToCompletion(s, src, ckpt, "t1_mem")
+    s.table("t1_mem")
+  }
+
+  /** T2: checkpoint/offset resume, proven by the result. First run
+    * consumes the chronological first half and terminates (simulated
+    * shutdown). The second half is then dropped into the source dir
+    * and a NEW query starts on the SAME checkpoint: it restores the
+    * aggregation state + file offsets and processes only the new
+    * files. The final table equals the full-data aggregate ONLY if
+    * recovery worked — which is exactly what the oracle checks. */
+  def runCheckpointResume(s: SparkSession, d: String): DataFrame = {
+    val base = freshDir(s"/tmp/graft-stream-t2-${new java.io.File(d).getName}")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    new java.io.File(src).mkdirs()
+    val ev = Tables.events(s, d)
+    val bounds = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val mid = new java.sql.Timestamp(
+      (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+    ev.filter(col("ts") <= lit(mid)).coalesce(1)
+      .write.mode("append").json(src)
+    runToCompletion(s, src, ckpt, "t2_mem")       // first half, then stop
+    ev.filter(col("ts") > lit(mid)).coalesce(1)
+      .write.mode("append").json(src)
+    runToCompletion(s, src, ckpt, "t2_mem")       // resume from checkpoint
+    s.table("t2_mem")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S11 payload formatting as a batch query (oracle-checked JSON).
     "s11_kafka_payload" -> ((s, d) =>
@@ -90,7 +153,17 @@ object EventStream {
     // (deterministic keep-first; streaming form runs in StreamingSpec).
     "t3_stream_dedup_agg" -> ((s, d) =>
       dedupWindowAggBatch(Tables.events(s, d))
-        .orderBy("win_start", "event_type"))
+        .orderBy("win_start", "event_type")),
+
+    // T1: real streaming execution (readStream → windowed agg →
+    // checkpointed memory sink, Trigger.AvailableNow).
+    "t1_streaming_window_agg" -> ((s, d) =>
+      runStreamingAgg(s, d).orderBy("win_start", "event_type")),
+
+    // T2: checkpoint resume across two streaming runs — result is the
+    // full-data aggregate only if offsets + state recovered.
+    "t2_checkpoint_resume" -> ((s, d) =>
+      runCheckpointResume(s, d).orderBy("win_start", "event_type"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -111,6 +184,18 @@ object EventStream {
                 count(*) AS n,
                 round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
                       / count(*), 6) AS avg_value
-         FROM dedup GROUP BY 1, 2 ORDER BY win_start, event_type"""
+         FROM dedup GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "t1_streaming_window_agg" ->
+      """SELECT date_trunc('day', ts) AS win_start, event_type,
+                count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                      / count(*), 6) AS avg_value
+         FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "t2_checkpoint_resume" ->
+      """SELECT date_trunc('day', ts) AS win_start, event_type,
+                count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                      / count(*), 6) AS avg_value
+         FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""
   )
 }
