@@ -33,7 +33,8 @@ object SparkEntry {
     Relational.queries ++ Windows.queries ++ IntervalJoins.queries ++
       Stats.queries ++ Signals.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      EventStream.queries ++ Backtest.queries ++ SourceSinks.queries
+      EventStream.queries ++ Backtest.queries ++ SourceSinks.queries ++
+      LagGrid.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -42,5 +43,6 @@ object SparkEntry {
     Relational.oracles ++ Windows.oracles ++ IntervalJoins.oracles ++
       Stats.oracles ++ Signals.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
-      EventStream.oracles ++ Backtest.oracles ++ SourceSinks.oracles
+      EventStream.oracles ++ Backtest.oracles ++ SourceSinks.oracles ++
+      LagGrid.oracles
 }

@@ -33,6 +33,12 @@ object Backtest {
 
   private def r6(c: Column): Column = round(c, 6)
 
+  /** NULL-on-zero division: Spark 4 ANSI mode throws DIVIDE_BY_ZERO
+    * even for doubles, and a wiped-out portfolio legitimately reaches
+    * equity = 0 (ratio metrics are undefined from there on). */
+  private def safeDiv(a: Column, b: Column): Column =
+    when(b =!= 0, a / b)
+
   // Strategy parameters (mirroring config/stock_universe.py:26-28 and
   // scripts/07_backtest.py:26-30 semantics).
   val InitialCash = 10000.0
@@ -166,6 +172,92 @@ object Backtest {
           r6(max(col("pnl"))).as("largest_win"),
           r6(min(col("pnl"))).as("largest_loss"),
           r6(sum(col("pnl"))).as("total_pnl"))),
+
+    // The reference's full backtest summary (scripts/07_backtest.py:
+    // 368-418): trade stats, exit-reason counts, streaks, days-held,
+    // equity/drawdown and annualized risk metrics — one wide row over
+    // the fold output. Order-sensitive fold upstream → rows-only.
+    "t7_full_metrics" -> ((s, d) => {
+      val out = run(s, d).cache()
+      val trades = out.filter(col("kind") === "trade")
+      val equity = out.filter(col("kind") === "equity")
+
+      // win/loss streaks: sessionize consecutive same-sign trades
+      // (scripts/07_backtest.py:308-314) — W6 over the trade log.
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .orderBy("day", "key")
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy("day", "key")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val streaks = trades
+        .withColumn("win", (col("pnl") > 0).cast("int"))
+        .withColumn("chg",
+          when(lag(col("win"), 1).over(wOrd).isNull ||
+               lag(col("win"), 1).over(wOrd) =!= col("win"), 1).otherwise(0))
+        .withColumn("sid", sum(col("chg")).over(wCum))
+        .groupBy("sid", "win").agg(count(lit(1)).as("len"))
+        .agg(max(when(col("win") === 1, col("len"))).as("max_win_streak"),
+             max(when(col("win") === 0, col("len"))).as("max_loss_streak"))
+
+      val tradeAgg = trades.agg(
+        count(lit(1)).as("n_trades"),
+        sum(when(col("pnl") > 0, 1L).otherwise(0L)).as("wins"),
+        sum(when(col("pnl") <= 0, 1L).otherwise(0L)).as("losses"),
+        r6(safeDiv(sum(when(col("pnl") > 0, 1.0).otherwise(0.0)),
+           count(lit(1)))).as("win_rate"),
+        r6(avg(when(col("pnl") > 0, col("pnl")))).as("avg_win"),
+        r6(avg(when(col("pnl") <= 0, col("pnl")))).as("avg_loss"),
+        r6(max(col("pnl"))).as("largest_win"),
+        r6(min(col("pnl"))).as("largest_loss"),
+        r6(safeDiv(sum(when(col("pnl") > 0, col("pnl")).otherwise(0.0)),
+           abs(sum(when(col("pnl") <= 0, col("pnl")).otherwise(0.0)))))
+          .as("profit_factor"),
+        r6(avg(col("pnl"))).as("expectancy"),
+        r6(sum(col("pnl"))).as("total_pnl"),
+        r6(avg(col("daysHeld"))).as("avg_days_held"),
+        max(col("daysHeld")).as("max_days_held"),
+        sum(when(col("exitReason") === "stop_loss", 1L).otherwise(0L))
+          .as("n_stop_loss"),
+        sum(when(col("exitReason") === "take_profit", 1L).otherwise(0L))
+          .as("n_take_profit"),
+        sum(when(col("exitReason") === "hold_period", 1L).otherwise(0L))
+          .as("n_hold_period"),
+        sum(when(col("exitReason") === "end_of_backtest", 1L).otherwise(0L))
+          .as("n_end_close"))
+
+      // equity-curve block: daily returns, annualized, drawdown.
+      val wDay = org.apache.spark.sql.expressions.Window.orderBy("day")
+      val wPeak = org.apache.spark.sql.expressions.Window.orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val eqAgg = equity
+        .select(col("day"), col("equity"))
+        .withColumn("prev", lag(col("equity"), 1).over(wDay))
+        .withColumn("r", safeDiv(col("equity"), col("prev")) - 1)
+        .withColumn("peak", max(col("equity")).over(wPeak))
+        .withColumn("dd", safeDiv(col("equity"), col("peak")) - 1)
+        .agg(
+          count(lit(1)).as("n_days"),
+          r6(last(col("equity"))).as("final_equity"),
+          r6(last(col("equity")) / lit(InitialCash) - 1).as("total_return"),
+          avg(col("r")).as("mu"),
+          stddev_samp(col("r")).as("sigma"),
+          stddev_samp(when(col("r") < 0, col("r"))).as("downside"),
+          r6(min(col("dd"))).as("max_drawdown"),
+          r6(max(col("r"))).as("best_day"),
+          r6(min(col("r"))).as("worst_day"))
+        .select(col("n_days"), col("final_equity"), col("total_return"),
+          r6(col("mu")).as("mean_daily"),
+          r6(col("sigma")).as("std_daily"),
+          (pow(lit(1.0) + col("mu"), 252.0) - 1).cast("float").as("ann_return"),
+          r6(col("sigma") * sqrt(lit(252.0))).cast("float").as("ann_vol"),
+          safeDiv(pow(lit(1.0) + col("mu"), 252.0) - 1,
+            col("sigma") * sqrt(lit(252.0))).cast("float").as("sharpe"),
+          safeDiv(pow(lit(1.0) + col("mu"), 252.0) - 1,
+            col("downside") * sqrt(lit(252.0))).cast("float").as("sortino"),
+          col("max_drawdown"), col("best_day"), col("worst_day"))
+
+      tradeAgg.crossJoin(streaks).crossJoin(eqAgg)
+    }),
 
     // A10 over fold output: equity-curve risk block (drawdown etc).
     "t7_equity_metrics" -> ((s, d) => {

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.StudentT
+
+/** The crossed lag grid — the reference's core analysis
+  * (`scripts/05_lag_analysis.py:20-21,122-124,177-198`): for every
+  * (key, lookback_hours ∈ {12,24,48,72,168}, lead_days ∈ {1,2,3,5})
+  * config, correlate the lookback-window average signal with the
+  * lead_days-ahead forward return, then keep the best config per key
+  * by |corr| with its p-value.
+  *
+  * The reference runs this as an O(configs × days × |news|) Python
+  * rescan (one full filter pass per config per day). Here the whole
+  * grid is ONE plan (SURVEY §4 calls this the single biggest perf win
+  * of the port):
+  *
+  *  - the 5 lookbacks enter as a broadcast dimension crossed onto the
+  *    (key, day) spine BEFORE the interval join, so the join runs once
+  *    with an equi key on user_id and a per-row range residual — a
+  *    shuffled hash join whose output is ≤5× the single-lookback one,
+  *    never a re-scan;
+  *  - the 4 leads enter as a `stack` unpivot of window-function leads
+  *    AFTER daily aggregation (O(days×keys) rows), so the fact table
+  *    is never widened;
+  *  - corr/count are map-side-combinable hash aggregates over the
+  *    (key, lookback, lead) grid — 20 cells per key, one shuffle.
+  *
+  * At 100 TB: events shuffle once by user_id for the interval join,
+  * the grid agg shuffles O(days × keys × 20) rows. Nothing rescans.
+  */
+object LagGrid {
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  private val Lookbacks = Seq(12, 24, 48, 72, 168)
+  private val Leads = Seq(1, 2, 3, 5)
+
+  /** Daily close per key (avg event value — the price-series proxy). */
+  private def daily(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(avg(col("value")).as("close"))
+
+  /** (key, day, lead_days, fwd_ret) — leads unpivoted after the daily
+    * agg, so the ×4 blow-up applies to O(days×keys) rows only. */
+  private def forwardReturns(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val withLeads = daily(s, d)
+      .select(Seq(col("user_id"), col("day"), col("close")) ++
+        Leads.map(k => lead(col("close"), k).over(w).as(s"l$k")): _*)
+    val stackExpr = Leads.map(k => s"$k, l$k").mkString(", ")
+    withLeads
+      .select(col("user_id"), col("day"), col("close"),
+        expr(s"stack(${Leads.size}, $stackExpr) as (lead_days, fwd_close)"))
+      .filter(col("fwd_close").isNotNull)
+      .select(col("user_id"), col("day"), col("lead_days"),
+        (col("fwd_close") / col("close") - 1).as("fwd_ret"))
+  }
+
+  /** (key, day, lookback_h, senti) — ONE interval join over the
+    * crossed lookback dimension: win_start is computed per (day, lb)
+    * row, so the range residual varies by row while the equi key on
+    * user_id keeps the plan a shuffled hash join. */
+  private def lookbackSignal(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("value")).alias("ev")
+    val lbs = s.createDataFrame(Lookbacks.map(Tuple1(_))).toDF("lookback_h")
+    val spine = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+      .crossJoin(broadcast(lbs))
+      .withColumn("win_start",
+        col("day") - expr("make_dt_interval(0, lookback_h, 0, 0)"))
+      .alias("sp")
+    spine.join(ev,
+        col("sp.user_id") === col("ev.user_id") &&
+        col("ev.ts") >= col("sp.win_start") &&
+        col("ev.ts") <  col("sp.day"))
+      .groupBy(col("sp.user_id").as("user_id"), col("sp.day").as("day"),
+        col("sp.lookback_h").as("lookback_h"))
+      .agg(avg(col("ev.value")).as("senti"))
+  }
+
+  /** The full 20-cell grid: corr + n per (key, lookback, lead). */
+  def grid(s: SparkSession, d: String): DataFrame =
+    lookbackSignal(s, d)
+      .join(forwardReturns(s, d), Seq("user_id", "day"))
+      .groupBy(col("user_id"), col("lookback_h"), col("lead_days"))
+      .agg(corr(col("senti"), col("fwd_ret")).as("c"),
+           count(lit(1)).as("n"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The grid itself — SQL-expressible, fully oracle-checked.
+    "lag_grid_corr" -> ((s, d) =>
+      grid(s, d)
+        .select(col("user_id"), col("lookback_h"), col("lead_days"),
+          r6(col("c")).as("r"), col("n"))
+        .orderBy("user_id", "lookback_h", "lead_days")),
+
+    // Best config per key by |corr| + its p-value (UDF → rows-only;
+    // p-value math itself is golden-tested in StudentTSpec).
+    "lag_grid_best_config" -> ((s, d) => {
+      val pv = udf((r: Double, n: Long) => StudentT.pValue(r, n))
+      val w = Window.partitionBy("user_id")
+        .orderBy(abs(col("c")).desc, col("lookback_h"), col("lead_days"))
+      grid(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("lookback_h"), col("lead_days"),
+          r6(col("c")).as("r"), r6(pv(col("c"), col("n"))).as("p_value"),
+          col("n"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "lag_grid_corr" ->
+      """WITH daily AS (
+           SELECT user_id, date_trunc('day', ts) AS day, avg(value) AS close
+           FROM events GROUP BY 1, 2),
+         leads AS (
+           SELECT user_id, day, close,
+                  lead(close, 1) OVER w AS l1, lead(close, 2) OVER w AS l2,
+                  lead(close, 3) OVER w AS l3, lead(close, 5) OVER w AS l5
+           FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+         fwd AS (
+           SELECT user_id, day, lead_days, fwd_close / close - 1 AS fwd_ret
+           FROM (
+             SELECT user_id, day, close, 1 AS lead_days, l1 AS fwd_close FROM leads
+             UNION ALL SELECT user_id, day, close, 2, l2 FROM leads
+             UNION ALL SELECT user_id, day, close, 3, l3 FROM leads
+             UNION ALL SELECT user_id, day, close, 5, l5 FROM leads)
+           WHERE fwd_close IS NOT NULL),
+         lb(lookback_h) AS (VALUES (12), (24), (48), (72), (168)),
+         senti AS (
+           SELECT s.user_id, s.day, l.lookback_h, avg(e.value) AS senti
+           FROM (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                 FROM events) s
+           CROSS JOIN lb l
+           JOIN events e ON s.user_id = e.user_id
+             AND e.ts >= s.day - to_hours(CAST(l.lookback_h AS BIGINT))
+             AND e.ts <  s.day
+           GROUP BY 1, 2, 3)
+         SELECT f.user_id, s.lookback_h, f.lead_days,
+                round(corr(s.senti, f.fwd_ret), 6) AS r, count(*) AS n
+         FROM senti s
+         JOIN fwd f ON s.user_id = f.user_id AND s.day = f.day
+         GROUP BY 1, 2, 3
+         ORDER BY 1, 2, 3"""
+  )
+}
