@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Goldens for the VADER rule engine (negation, boosters, punctuation
+  * emphasis — the published algorithm's core rules, reference scorer
+  * `scripts/03_add_sentiment.py:10,28`). Expected values are computed
+  * by hand from the documented rule constants and the embedded
+  * lexicon ("good" → 1.9, "bad" → -2.5, "best" → 3.2).
+  */
+class VaderSpec extends AnyFunSuite {
+
+  private def norm(s: Double): Double = s / math.sqrt(s * s + 15.0)
+
+  test("empty / null / neutral text scores 0") {
+    assert(Vader.compound("") == 0.0)
+    assert(Vader.compound(null) == 0.0)
+    assert(Vader.compound("the and of with") == 0.0)
+  }
+
+  test("single lexicon word: compound = v/sqrt(v²+15)") {
+    assert(math.abs(Vader.compound("good") - norm(1.9)) < 1e-12)
+    assert(math.abs(Vader.compound("bad") - norm(-2.5)) < 1e-12)
+  }
+
+  test("negation flips and damps: 'not good' = ×(−0.74)") {
+    val expect = norm(1.9 * -0.74)
+    assert(math.abs(Vader.compound("not good") - expect) < 1e-12)
+    assert(Vader.compound("not good") < 0)
+  }
+
+  test("booster amplifies with distance decay") {
+    // adjacent: v = 1.9 + 0.293
+    assert(math.abs(Vader.compound("very good") - norm(1.9 + 0.293)) < 1e-12)
+    assert(Vader.compound("very good") > Vader.compound("good"))
+    // one token between: decay 0.95 (second-back slot)
+    val oneGap = norm(1.9 + 0.293 * 0.95)
+    assert(math.abs(Vader.compound("very so good") - oneGap) < 1e-12)
+    // damper reduces
+    assert(Vader.compound("slightly good") < Vader.compound("good"))
+    assert(Vader.compound("slightly good") > 0)
+  }
+
+  test("exclamation emphasis: +0.292 per bang, capped at 4") {
+    val one = norm(1.9 + 0.292)
+    val four = norm(1.9 + 4 * 0.292)
+    assert(math.abs(Vader.compound("good!") - one) < 1e-12)
+    assert(math.abs(Vader.compound("good!!!!") - four) < 1e-12)
+    // cap: 6 bangs == 4 bangs
+    assert(Vader.compound("good!!!!!!") == Vader.compound("good!!!!"))
+    // emphasis follows the sign of the summed valence
+    assert(Vader.compound("bad!") < Vader.compound("bad"))
+    // bangs alone (no valence) stay 0
+    assert(Vader.compound("!!!") == 0.0)
+  }
+
+  test("compound stays within [-1, 1] and is monotone in repetition") {
+    val many = Seq.fill(200)("best").mkString(" ")
+    val c = Vader.compound(many)
+    assert(c <= 1.0 && c > 0.99)
+    assert(Vader.compound("best best") > Vader.compound("best"))
+    val manyBad = Seq.fill(200)("worst").mkString(" ")
+    assert(Vader.compound(manyBad) >= -1.0 && Vader.compound(manyBad) < -0.99)
+  }
+
+  test("punctuation is stripped before lexicon lookup") {
+    assert(Vader.compound("good.") == Vader.compound("good"))
+    assert(math.abs(Vader.compound("(good)") - norm(1.9)) < 1e-12)
+  }
+}

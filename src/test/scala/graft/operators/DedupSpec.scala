@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Behavioral fixtures for MinHash+LSH and SimHash (the 100 TB dedup
+  * path): identical docs collide with estimated Jaccard 1.0, disjoint
+  * docs produce no candidate pair at all, and the signature estimate
+  * tracks true shingle Jaccard on a crafted half-overlap pair.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Write a documents fixture and return its dir. */
+  private def docs(rows: (Long, String)*): String = {
+    val d = SparkTestSession.fixtureDir("dedup-fix")
+    import spark.implicits._
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private val wordsA = (0 until 40).map(i => s"alpha$i").mkString(" ")
+  private val wordsB = (0 until 40).map(i => s"beta$i").mkString(" ")
+  // half-overlap: 20 shared words + 20 unique per side
+  private val wordsC = ((0 until 20).map(i => s"alpha$i") ++
+    (0 until 20).map(i => s"gamma$i")).mkString(" ")
+
+  test("identical documents: equal signatures, est_jaccard = 1.0") {
+    val d = docs(1L -> wordsA, 2L -> wordsA, 3L -> wordsB)
+    val sigs = Dedup.signatures(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).size == 32)
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+
+    val pairs = Dedup.minhashPairs(Dedup.signatures(spark, d), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("disjoint documents never become candidates (even at minEst=0)") {
+    val d = docs(1L -> wordsA, 2L -> wordsB)
+    val pairs = Dedup.minhashPairs(Dedup.signatures(spark, d), 0.0).collect()
+    assert(pairs.isEmpty, "no shared shingle → no shared band bucket")
+  }
+
+  test("signature estimate tracks true Jaccard on a half-overlap pair") {
+    // doc1 vs doc3 share the alpha0..alpha19 prefix. True 3-shingle
+    // Jaccard = 18 shared / (38+38-18) ≈ 0.31; with 32 hashes the
+    // estimator's std-err is ~0.08, so assert a generous band. (The
+    // LSH bucket join is intentionally NOT used here — at J≈0.31 a
+    // band collision has probability ≈ 8·J⁴ ≈ 7%, i.e. LSH correctly
+    // prunes this pair; the estimator itself is what's under test.)
+    val d = docs(1L -> wordsA, 3L -> wordsC)
+    val sigs = Dedup.signatures(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val est = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b } / 32.0
+    assert(est > 0.05 && est < 0.65, s"est=$est vs true≈0.31")
+  }
+
+  test("simhash: identical docs share the signature, disjoint differ") {
+    val d = docs(1L -> wordsA, 2L -> wordsA, 3L -> wordsB)
+    val sh = Dedup.queries("d4_simhash")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh(1L).length == 64 && sh(1L).forall(c => c == '0' || c == '1'))
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(3L))
+    // near-dup text flips few bits: hamming(half-overlap) < hamming(disjoint)
+    val d2 = docs(1L -> wordsA, 2L -> wordsC, 3L -> wordsB)
+    val sh2 = Dedup.queries("d4_simhash")(spark, d2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(sh2(1L), sh2(2L)) < ham(sh2(1L), sh2(3L)))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Plan-shape + hand-fixture checks for the interval join (the
+  * reference's load-bearing computation, `scripts/05_lag_analysis.py:
+  * 45-76`): the equi key must make Catalyst plan a shuffled
+  * hash / sort-merge join — never a BroadcastNestedLoopJoin, which
+  * would be O(|spine|·|events|) at scale.
+  */
+class IntervalJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** events fixture: ts written as raw nanos (Long), matching the
+    * harness parquet convention that Tables.events converts from. */
+  private def events(rows: (Long, String, Long, Double)*): String = {
+    val d = SparkTestSession.fixtureDir("ij-fix")
+    import spark.implicits._
+    rows.toSeq.zipWithIndex
+      .map { case ((uid, tsStr, eid, v), _) =>
+        val micros = java.sql.Timestamp.valueOf(tsStr).getTime * 1000L
+        (eid, micros * 1000L, uid, "click", v, "{}")
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("never a nested-loop join; joins on the equi key") {
+    for (q <- Seq("j1_interval_lookback", "j1_interval_sym")) {
+      val plan = IntervalJoins.queries(q)(spark, SparkTestSession.Sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q planned a nested loop:\n${plan.take(2000)}")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+        || plan.contains("BroadcastHashJoin"),
+        s"$q missing a keyed join:\n${plan.take(2000)}")
+    }
+  }
+
+  test("half-open window semantics on a hand fixture") {
+    // key 1: event at day0 10:00 (v=10) and day1 09:00 (v=20).
+    // 48h lookback [day−48h, day):
+    //   day0 → {} (10:00 event is ≥ day0, excluded by the open end)
+    //   day1 → {day0 10:00} → avg 10, n 1
+    val d = events(
+      (1L, "2024-03-01 10:00:00", 1L, 10.0),
+      (1L, "2024-03-02 09:00:00", 2L, 20.0))
+    val rows = IntervalJoins.queries("j1_interval_lookback")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getDouble(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, "2024-03-02 00:00:00.0", 10.0, 1L)))
+  }
+
+  test("symmetric window includes same-day and next-24h events") {
+    // [day−24h, day+1d): day0's window sees both events (the day-1
+    // 09:00 one falls outside +1d? No: day0+1d = day1 00:00, so the
+    // 09:00 next-day event is excluded; same-day 10:00 included).
+    val d = events(
+      (1L, "2024-03-01 10:00:00", 1L, 10.0),
+      (1L, "2024-03-02 09:00:00", 2L, 20.0))
+    val rows = IntervalJoins.queries("j1_interval_sym")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getDouble(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1L, "2024-03-01 00:00:00.0", 10.0, 1L),     // own-day event only
+      (1L, "2024-03-02 00:00:00.0", 15.0, 2L)))    // 24h back reaches both
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Fixtures for the multimodal plumbing: binary payload metadata and
+  * the deterministic decode-stub feature extractor (8-bin byte
+  * histogram — known bytes → known bins).
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def docs(rows: (Long, String)*): String = {
+    val d = SparkTestSession.fixtureDir("mm-fix")
+    import spark.implicits._
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("mm1: byte length, md5 content hash, magic prefix") {
+    val d = docs(1L -> "GIF8whatever", 2L -> "ab")
+    val rows = Multimodal.queries("mm1_binary_meta")(spark, d).collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getString(2), r.getString(3))).toMap
+    assert(byId(1L)._1 == 12L)
+    assert(byId(1L)._3 == "GIF8")
+    assert(byId(2L)._1 == 2L)
+    assert(byId(2L)._3 == "ab")
+    // md5 of "ab" (well-known vector)
+    assert(byId(2L)._2 == "187ef4436122d1cc2f40dc2b92f0eba0")
+  }
+
+  test("mm2: known bytes land in known histogram bins, rows normalized") {
+    // 'A' = 65 → bin 65>>5 = 2; 'a' = 97 → bin 3; ' ' = 32 → bin 1.
+    val d = docs(1L -> "AAAA", 2L -> "Aa", 3L -> "A a")
+    val rows = Multimodal.queries("mm2_feature_extract")(spark, d).collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      (0 until 8).map(i => r.getDouble(i + 1))).toMap
+    assert(byId(1L) == Seq(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    assert(byId(2L) == Seq(0.0, 0.0, 0.5, 0.5, 0.0, 0.0, 0.0, 0.0))
+    assert(byId(3L)(1) > 0.33 && byId(3L)(1) < 0.34) // the space byte
+    // histogram always sums to 1 for non-empty payloads
+    rows.foreach { r =>
+      val s = (0 until 8).map(i => r.getDouble(i + 1)).sum
+      assert(math.abs(s - 1.0) < 1e-5)
+    }
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Recall and sanity checks for the ANN path: SIM2 (LSH-bucketed)
+  * against SIM1 (brute force, exact) on sf0.001 — the trade the LSH
+  * variant makes is candidates for recall, and the recall actually
+  * achieved is what this spec pins.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.Sf0001
+
+  private def pairs(q: String): Set[(Long, Long)] =
+    Similarity.queries(q)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+
+  test("LSH ANN recall vs brute force ≥ 0.6 on sf0.001") {
+    val exact = pairs("sim1_cosine_topk")
+    val approx = pairs("sim2_lsh_ann")
+    assert(exact.nonEmpty)
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"recall = $recall%.3f (|exact|=${exact.size}, |lsh|=${approx.size})")
+    assert(recall >= 0.6, f"recall $recall%.3f below 0.6")
+  }
+
+  test("cosines are valid and ranked descending per query") {
+    val rows = Similarity.queries("sim1_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, c) => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9 })
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._2).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"query $q not ranked descending")
+    }
+  }
+
+  test("LSH cosines agree with brute force on shared pairs") {
+    val exact = Similarity.queries("sim1_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val approx = Similarity.queries("sim2_lsh_ann")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val shared = exact.keySet.intersect(approx.keySet)
+    assert(shared.nonEmpty)
+    shared.foreach { k => assert(exact(k) == approx(k), s"cosine differs at $k") }
+  }
+}
