@@ -57,8 +57,10 @@ object LagGrid {
       .select(col("user_id"), col("day"), col("close"),
         expr(s"stack(${Leads.size}, $stackExpr) as (lead_days, fwd_close)"))
       .filter(col("fwd_close").isNotNull)
+      // NULL-on-zero close (a day whose avg value is exactly 0): corr
+      // skips NULL pairs on both engines; ANSI x/0 would throw instead.
       .select(col("user_id"), col("day"), col("lead_days"),
-        (col("fwd_close") / col("close") - 1).as("fwd_ret"))
+        (col("fwd_close") / nullif(col("close"), lit(0.0)) - 1).as("fwd_ret"))
   }
 
   /** (key, day, lookback_h, senti) — ONE interval join over the
@@ -128,7 +130,8 @@ object LagGrid {
                   lead(close, 3) OVER w AS l3, lead(close, 5) OVER w AS l5
            FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)),
          fwd AS (
-           SELECT user_id, day, lead_days, fwd_close / close - 1 AS fwd_ret
+           SELECT user_id, day, lead_days,
+                  fwd_close / nullif(close, 0) - 1 AS fwd_ret
            FROM (
              SELECT user_id, day, close, 1 AS lead_days, l1 AS fwd_close FROM leads
              UNION ALL SELECT user_id, day, close, 2, l2 FROM leads

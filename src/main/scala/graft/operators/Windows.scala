@@ -40,8 +40,11 @@ object Windows {
         .select(col("user_id"), col("event_id"), col("ts"), col("value"))
         .withColumn("nxt", lead(col("value"), 1).over(wUser))
         .filter(col("nxt").isNotNull)   // P6: pd.notna(return) gate
+        // NULL-on-zero base: `value` hits exactly 0 at sf0.1+, and
+        // ANSI mode makes x/0 throw instead of inf (oracle: NULLIF).
         .select(col("user_id"), col("event_id"),
-          r6(col("nxt") / col("value") - 1).as("ret_1"))
+          r6(when(col("value") =!= 0, col("nxt") / col("value") - 1))
+            .as("ret_1"))
         .orderBy("user_id", "event_id")),
 
     // W2: k-step lead (trading-day lead is a row-position lead, k=3).
@@ -51,7 +54,8 @@ object Windows {
         .withColumn("nxt3", lead(col("value"), 3).over(wUser))
         .filter(col("nxt3").isNotNull)
         .select(col("user_id"), col("event_id"),
-          r6(col("nxt3") / col("value") - 1).as("ret_3"))
+          r6(when(col("value") =!= 0, col("nxt3") / col("value") - 1))
+            .as("ret_3"))
         .orderBy("user_id", "event_id")),
 
     // W3: running max (equity peak).
@@ -70,7 +74,8 @@ object Windows {
         .withColumn("peak", max(col("value"))
           .over(wUser.rowsBetween(Window.unboundedPreceding, 0)))
         .select(col("user_id"), col("event_id"),
-          r6(col("value") / col("peak") - 1).as("dd"))
+          r6(when(col("peak") =!= 0, col("value") / col("peak") - 1))
+            .as("dd"))
         .orderBy("user_id", "event_id")),
 
     // W5: max-drawdown row per user (deterministic argmin via row_number).
@@ -79,9 +84,12 @@ object Windows {
         .select(col("user_id"), col("event_id"), col("ts"), col("value"))
         .withColumn("peak", max(col("value"))
           .over(wUser.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("dd", col("value") / col("peak") - 1)
+        .withColumn("dd",
+          when(col("peak") =!= 0, col("value") / col("peak") - 1))
+      // NULLS LAST explicitly: Spark sorts NULL first ascending, DuckDB
+      // last — the argmin must agree once zero-peak rows yield NULL dd.
       val wMin = Window.partitionBy("user_id")
-        .orderBy(col("dd"), col("ts"), col("event_id"))
+        .orderBy(col("dd").asc_nulls_last, col("ts"), col("event_id"))
       dd.withColumn("rn", row_number().over(wMin))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_id"), r6(col("dd")).as("max_dd"))
@@ -160,14 +168,16 @@ object Windows {
 
   val oracles: Map[String, String] = Map(
     "w1_forward_return" ->
-      """SELECT user_id, event_id, round(nxt / value - 1, 6) AS ret_1 FROM (
+      """SELECT user_id, event_id,
+                round(nxt / nullif(value, 0) - 1, 6) AS ret_1 FROM (
            SELECT user_id, event_id, value,
                   lead(value, 1) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) AS nxt
            FROM events) WHERE nxt IS NOT NULL
          ORDER BY user_id, event_id""",
     "w2_lead_k" ->
-      """SELECT user_id, event_id, round(nxt3 / value - 1, 6) AS ret_3 FROM (
+      """SELECT user_id, event_id,
+                round(nxt3 / nullif(value, 0) - 1, 6) AS ret_3 FROM (
            SELECT user_id, event_id, value,
                   lead(value, 3) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) AS nxt3
@@ -179,7 +189,8 @@ object Windows {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
          FROM events ORDER BY user_id, event_id""",
     "w4_drawdown" ->
-      """SELECT user_id, event_id, round(value / peak - 1, 6) AS dd FROM (
+      """SELECT user_id, event_id,
+                round(value / nullif(peak, 0) - 1, 6) AS dd FROM (
            SELECT user_id, event_id, value,
                   max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
@@ -189,9 +200,10 @@ object Windows {
       """SELECT user_id, event_id, round(dd, 6) AS max_dd FROM (
            SELECT user_id, event_id, dd,
                   row_number() OVER (PARTITION BY user_id
-                                     ORDER BY dd, ts, event_id) AS rn
+                    ORDER BY dd NULLS LAST, ts, event_id) AS rn
            FROM (
-             SELECT user_id, event_id, ts, value / peak - 1 AS dd FROM (
+             SELECT user_id, event_id, ts,
+                    value / nullif(peak, 0) - 1 AS dd FROM (
                SELECT user_id, event_id, ts, value,
                       max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
