@@ -71,9 +71,11 @@ object LagGrid {
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("value")).alias("ev")
     val lbs = s.createDataFrame(Lookbacks.map(Tuple1(_))).toDF("lookback_h")
-    val spine = Tables.events(s, d)
-      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
-      .distinct()
+    // Spine from the SAME daily aggregate the forward-return side
+    // builds (identical subplan → ReuseExchange): one events scan +
+    // one shuffle serves both, instead of a separate distinct() pass.
+    val spine = daily(s, d)
+      .select(col("user_id"), col("day"))
       .crossJoin(broadcast(lbs))
       .withColumn("win_start",
         col("day") - expr("make_dt_interval(0, lookback_h, 0, 0)"))
@@ -102,6 +104,24 @@ object LagGrid {
         .select(col("user_id"), col("lookback_h"), col("lead_days"),
           r6(col("c")).as("r"), col("n"))
         .orderBy("user_id", "lookback_h", "lead_days")),
+
+    // Best config per key by |corr| — the SQL-expressible core of the
+    // selection (fully oracle-checked); ties broken by (lookback, lead).
+    "lag_grid_best" -> ((s, d) => {
+      // argmax on the ROUNDED |corr| (both engines compute corr with
+      // different summation order; ranking on the 1e-6 grid with a
+      // (lookback, lead) tiebreak keeps the selection deterministic
+      // across engines).
+      val w = Window.partitionBy("user_id")
+        .orderBy(abs(r6(col("c"))).desc, col("lookback_h"), col("lead_days"))
+      grid(s, d)
+        .filter(col("c").isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("lookback_h"), col("lead_days"),
+          r6(col("c")).as("r"), col("n"))
+        .orderBy("user_id")
+    }),
 
     // Best config per key by |corr| + its p-value (UDF → rows-only;
     // p-value math itself is golden-tested in StudentTSpec).
@@ -153,6 +173,45 @@ object LagGrid {
          FROM senti s
          JOIN fwd f ON s.user_id = f.user_id AND s.day = f.day
          GROUP BY 1, 2, 3
-         ORDER BY 1, 2, 3"""
+         ORDER BY 1, 2, 3""",
+    "lag_grid_best" ->
+      """WITH daily AS (
+           SELECT user_id, date_trunc('day', ts) AS day, avg(value) AS close
+           FROM events GROUP BY 1, 2),
+         leads AS (
+           SELECT user_id, day, close,
+                  lead(close, 1) OVER w AS l1, lead(close, 2) OVER w AS l2,
+                  lead(close, 3) OVER w AS l3, lead(close, 5) OVER w AS l5
+           FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+         fwd AS (
+           SELECT user_id, day, lead_days,
+                  fwd_close / nullif(close, 0) - 1 AS fwd_ret
+           FROM (
+             SELECT user_id, day, close, 1 AS lead_days, l1 AS fwd_close FROM leads
+             UNION ALL SELECT user_id, day, close, 2, l2 FROM leads
+             UNION ALL SELECT user_id, day, close, 3, l3 FROM leads
+             UNION ALL SELECT user_id, day, close, 5, l5 FROM leads)
+           WHERE fwd_close IS NOT NULL),
+         lb(lookback_h) AS (VALUES (12), (24), (48), (72), (168)),
+         senti AS (
+           SELECT s.user_id, s.day, l.lookback_h, avg(e.value) AS senti
+           FROM (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                 FROM events) s
+           CROSS JOIN lb l
+           JOIN events e ON s.user_id = e.user_id
+             AND e.ts >= s.day - to_hours(CAST(l.lookback_h AS BIGINT))
+             AND e.ts <  s.day
+           GROUP BY 1, 2, 3),
+         cells AS (
+           SELECT f.user_id, s.lookback_h, f.lead_days,
+                  corr(s.senti, f.fwd_ret) AS c, count(*) AS n
+           FROM senti s
+           JOIN fwd f ON s.user_id = f.user_id AND s.day = f.day
+           GROUP BY 1, 2, 3)
+         SELECT user_id, lookback_h, lead_days, round(c, 6) AS r, n FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+                     ORDER BY abs(round(c, 6)) DESC, lookback_h, lead_days) AS rn
+           FROM cells WHERE c IS NOT NULL)
+         WHERE rn = 1 ORDER BY user_id"""
   )
 }
