@@ -34,6 +34,28 @@ object Tables {
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Time-bounded events scan WITH parquet pushdown: a filter written
+    * against the converted `ts` cannot push through
+    * `timestamp_micros(ts div 1000)`, so every time-filtered query
+    * would full-scan. Here the [lo, hi) bound is translated to raw
+    * nanos and applied to the long column BEFORE conversion — it
+    * reaches the reader as `PushedFilters: [GreaterThanOrEqual(ts,…),
+    * LessThan(ts,…)]` and prunes row groups via int64 min/max stats.
+    * At production scale the table would also be day-partitioned,
+    * adding partition pruning on top. Bounds are UTC
+    * "yyyy-MM-dd HH:mm:ss" strings (harness convention). */
+  def eventsBetween(s: SparkSession, d: String,
+                    loUtc: String, hiUtc: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    def ns(t: String): Long =
+      java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+    table(s, d, "events")
+      .filter(col("ts") >= ns(loUtc) && col("ts") < ns(hiUtc))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -54,10 +54,11 @@ object Relational {
 
     // P3: half-open time-range predicate [start, end).
     // Ref: scripts/05_lag_analysis.py:66-69.
+    // Uses the pushdown-preserving bounded scan: the range reaches the
+    // parquet reader as int64 PushedFilters (asserted in TablesSpec)
+    // instead of filtering above the ns→µs conversion.
     "p3_time_range" -> ((s, d) =>
-      Tables.events(s, d)
-        .filter(col("ts") >= lit("2024-01-10 00:00:00") &&
-                col("ts") <  lit("2024-01-20 00:00:00"))
+      Tables.eventsBetween(s, d, "2024-01-10 00:00:00", "2024-01-20 00:00:00")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .orderBy("event_id")),
 
