@@ -144,6 +144,31 @@ object EventStream {
     s.table("t2_mem")
   }
 
+  /** T4/S11: keyed publish through a REAL streaming query — the
+    * producer's keyed emit (`ingestion/producer.py:173-182`) as
+    * readStream → key/value payload → file sink (append mode,
+    * checkpointed). On a cluster the sink line changes to
+    * `.format("kafka")` with the same key/value contract; no broker
+    * ships in this container, so the payload lands as JSON files and
+    * is read back for the oracle compare. */
+  def runKeyedPublish(s: SparkSession, d: String): DataFrame = {
+    val base = freshDir(s"/tmp/graft-stream-t4-${new java.io.File(d).getName}")
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    Tables.events(s, d).coalesce(1).write.mode("overwrite").json(src)
+    val q = kafkaPayload(readJsonStream(s, src))
+      .writeStream.format("json")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key", StringType),
+        org.apache.spark.sql.types.StructField("value", StringType))))
+      .json(out)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S11 payload formatting as a batch query (oracle-checked JSON).
     "s11_kafka_payload" -> ((s, d) =>
@@ -163,7 +188,12 @@ object EventStream {
     // T2: checkpoint resume across two streaming runs — result is the
     // full-data aggregate only if offsets + state recovered.
     "t2_checkpoint_resume" -> ((s, d) =>
-      runCheckpointResume(s, d).orderBy("win_start", "event_type"))
+      runCheckpointResume(s, d).orderBy("win_start", "event_type")),
+
+    // T4: keyed publish executed as a real writeStream (file sink
+    // standing in for the Kafka sink; same key/value contract).
+    "t4_keyed_publish" -> ((s, d) =>
+      runKeyedPublish(s, d).orderBy("key"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -196,6 +226,13 @@ object EventStream {
                 count(*) AS n,
                 round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
                       / count(*), 6) AS avg_value
-         FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""
+         FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "t4_keyed_publish" ->
+      """SELECT CAST(event_id AS VARCHAR) AS key,
+                to_json(struct_pack(event_id := event_id,
+                                    event_type := event_type,
+                                    user_id := user_id,
+                                    value := value))::VARCHAR AS value
+         FROM events ORDER BY key"""
   )
 }
