@@ -59,6 +59,34 @@ object Multimodal {
       feats.select(col("doc_id") +:
           (0 until 8).map(i => round(col("features")(i), 6).as(s"f$i")): _*)
         .orderBy("doc_id")
+    }),
+
+    // MM3: frame sampling — the video/audio pattern (decode → sample
+    // every k-th frame → per-frame features) with the same stub
+    // decoder: the payload is treated as 16-byte frames, every 4th
+    // frame is sampled, and each sampled frame emits one row with its
+    // mean byte value. flatMap inside mapPartitions: rows fan out
+    // per-partition with no shuffle; at scale the frame loop swaps
+    // for a codec with the identical plan shape.
+    "mm3_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val FrameBytes = 16; val Stride = 4
+      val bin = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      bin.mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val nFrames = bytes.length / FrameBytes
+          (0 until nFrames).filter(_ % Stride == 0).map { k =>
+            var sum = 0L
+            var i = k * FrameBytes
+            while (i < (k + 1) * FrameBytes) { sum += bytes(i) & 0xFF; i += 1 }
+            // sum/16 is an exact binary fraction — no rounding slack
+            (id, k.toLong, sum / FrameBytes.toDouble)
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "frame_mean")
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -87,6 +115,20 @@ object Multimodal {
                 round(CAST(len(list_filter(bins, x -> x = 5)) AS DOUBLE) / n, 6) AS f5,
                 round(CAST(len(list_filter(bins, x -> x = 6)) AS DOUBLE) / n, 6) AS f6,
                 round(CAST(len(list_filter(bins, x -> x = 7)) AS DOUBLE) / n, 6) AS f7
-         FROM b ORDER BY doc_id"""
+         FROM b ORDER BY doc_id""",
+    // ASCII corpus: ascii(char) == byte value, so frame means over
+    // text substrings reproduce the byte-frame means exactly.
+    "mm3_frame_sample" ->
+      """WITH f AS (
+           SELECT doc_id, text,
+                  unnest(generate_series(0,
+                    CAST(length(text) // 16 AS INT) - 1)) AS k
+           FROM documents)
+         SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+                list_sum(list_transform(generate_series(1, 16),
+                  i -> ascii(substring(text, k * 16 + i, 1)))) / 16.0
+                  AS frame_mean
+         FROM f WHERE k % 4 = 0
+         ORDER BY doc_id, frame_idx"""
   )
 }

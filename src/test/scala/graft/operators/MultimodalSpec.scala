@@ -46,4 +46,15 @@ class MultimodalSpec extends AnyFunSuite {
       assert(math.abs(s - 1.0) < 1e-5)
     }
   }
+
+  test("mm3: every 4th 16-byte frame sampled, exact frame means") {
+    // 80 bytes = 5 frames (0..4); sampled: 0 and 4. Frame 0 is all 'A'
+    // (mean 65), frame 4 all 'B' (mean 66). Partial tail discarded.
+    val text = "A" * 16 + "x" * 48 + "B" * 16 + "zzz"
+    val d = docs(1L -> text, 2L -> "short")
+    val rows = Multimodal.queries("mm3_frame_sample")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, 0L, 65.0), (1L, 4L, 66.0)))
+    // doc 2 (< one frame) emits nothing — no empty-frame rows
+  }
 }
