@@ -88,6 +88,32 @@ object Dedup {
     "d3_minhash_lsh" -> ((s, d) =>
       minhashPairs(signatures(s, d), 0.5).orderBy("da", "db")),
 
+    // D6: the complete scale-dedup pipeline — LSH candidates verified
+    // with TRUE shingle Jaccard. The exact |A∩B|/|A∪B| join runs ONLY
+    // over the LSH-bounded candidate set (never all pairs): candidates
+    // × their shingles → equi-join on (other doc, shingle) counts the
+    // intersection; sizes come from one shingle count per doc. At
+    // 100 TB this is the dedup decision path: bands prune, exact
+    // Jaccard confirms.
+    "d6_lsh_verified" -> ((s, d) => {
+      val cand = minhashPairs(signatures(s, d), 0.5)
+      val sh = shingles(s, d)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val inter = cand.select(col("da"), col("db"))
+        .join(sh.select(col("doc_id").as("da"), col("sh")), Seq("da"))
+        .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
+        .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+      cand
+        .join(inter, Seq("da", "db"), "left")
+        .join(sizes.select(col("doc_id").as("da"), col("nsh").as("na")), Seq("da"))
+        .join(sizes.select(col("doc_id").as("db"), col("nsh").as("nb")), Seq("db"))
+        .select(col("da"), col("db"), col("est_jaccard"),
+          r6(coalesce(col("ni"), lit(0L)).cast("double") /
+             (col("na") + col("nb") - coalesce(col("ni"), lit(0L))))
+            .as("true_jaccard"))
+        .orderBy("da", "db")
+    }),
+
     // D4: 64-bit SimHash signature per document (bitstring form).
     "d4_simhash" -> ((s, d) => {
       val tokens = Tables.documents(s, d)

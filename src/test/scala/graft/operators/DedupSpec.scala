@@ -59,6 +59,14 @@ class DedupSpec extends AnyFunSuite {
     assert(est > 0.05 && est < 0.65, s"est=$est vs true≈0.31")
   }
 
+  test("lsh-verified pipeline: true Jaccard confirms exact duplicates") {
+    val d = docs(1L -> wordsA, 2L -> wordsA, 3L -> wordsB)
+    val rows = Dedup.queries("d6_lsh_verified")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq((1L, 2L, 1.0, 1.0)),
+      "identical docs: est AND true Jaccard both 1.0, no other pairs")
+  }
+
   test("simhash: identical docs share the signature, disjoint differ") {
     val d = docs(1L -> wordsA, 2L -> wordsA, 3L -> wordsB)
     val sh = Dedup.queries("d4_simhash")(spark, d).collect()
