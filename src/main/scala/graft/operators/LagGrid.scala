@@ -123,10 +123,12 @@ object LagGrid {
         .orderBy("user_id")
     }),
 
-    // Best config per key by |corr| + its p-value (UDF → rows-only;
-    // p-value math itself is golden-tested in StudentTSpec).
+    // Best config per key by |corr| + its p-value (native expression,
+    // not SQL-expressible → rows-only; p-value math golden-tested in
+    // StudentTSpec).
     "lag_grid_best_config" -> ((s, d) => {
-      val pv = udf((r: Double, n: Long) => StudentT.pValue(r, n))
+      val pv = (r: Column, n: Column) =>
+        graft.functions.PearsonPValue.pValue(r, n)
       val w = Window.partitionBy("user_id")
         .orderBy(abs(col("c")).desc, col("lookback_h"), col("lead_days"))
       grid(s, d)

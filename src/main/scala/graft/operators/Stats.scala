@@ -66,17 +66,17 @@ object Stats {
              count(lit(1)).as("n"))
         .orderBy("event_type")),
 
-    // A3: correlation p-value — custom Scala UDF (Student-t via
-    // regularized incomplete beta). Not SQL-expressible in DuckDB →
+    // A3: correlation p-value — native Catalyst expression (Student-t
+    // via regularized incomplete beta, codegen'd straight into the
+    // stage; see PearsonPValue). Not SQL-expressible in DuckDB →
     // rows-only check; exact values covered by StudentTSpec goldens.
-    "a3_corr_pvalue" -> ((s, d) => {
-      val pv = udf((r: Double, n: Long) => StudentT.pValue(r, n))
+    "a3_corr_pvalue" -> ((s, d) =>
       grid(s, d)
         .select(col("event_type"), col("k"),
           r6(col("c")).as("r"), col("n"),
-          r6(pv(col("c"), col("n"))).as("p_value"))
-        .orderBy("event_type", "k")
-    }),
+          r6(graft.functions.PearsonPValue.pValue(col("c"), col("n")))
+            .as("p_value"))
+        .orderBy("event_type", "k")),
 
     // A4: best config per key by max |corr| (deterministic tiebreak).
     "a4_best_config" -> ((s, d) => {
