@@ -43,7 +43,7 @@ object Windows {
         // NULL-on-zero base: `value` hits exactly 0 at sf0.1+, and
         // ANSI mode makes x/0 throw instead of inf (oracle: NULLIF).
         .select(col("user_id"), col("event_id"),
-          r6(when(col("value") =!= 0, col("nxt") / col("value") - 1))
+          when(col("value") =!= 0, col("nxt") / col("value") - 1)
             .as("ret_1"))
         .orderBy("user_id", "event_id")),
 
@@ -54,7 +54,7 @@ object Windows {
         .withColumn("nxt3", lead(col("value"), 3).over(wUser))
         .filter(col("nxt3").isNotNull)
         .select(col("user_id"), col("event_id"),
-          r6(when(col("value") =!= 0, col("nxt3") / col("value") - 1))
+          when(col("value") =!= 0, col("nxt3") / col("value") - 1)
             .as("ret_3"))
         .orderBy("user_id", "event_id")),
 
@@ -74,7 +74,7 @@ object Windows {
         .withColumn("peak", max(col("value"))
           .over(wUser.rowsBetween(Window.unboundedPreceding, 0)))
         .select(col("user_id"), col("event_id"),
-          r6(when(col("peak") =!= 0, col("value") / col("peak") - 1))
+          when(col("peak") =!= 0, col("value") / col("peak") - 1)
             .as("dd"))
         .orderBy("user_id", "event_id")),
 
@@ -92,7 +92,7 @@ object Windows {
         .orderBy(col("dd").asc_nulls_last, col("ts"), col("event_id"))
       dd.withColumn("rn", row_number().over(wMin))
         .filter(col("rn") === 1)
-        .select(col("user_id"), col("event_id"), r6(col("dd")).as("max_dd"))
+        .select(col("user_id"), col("event_id"), col("dd").as("max_dd"))
         .orderBy("user_id")
     }),
 
@@ -169,7 +169,7 @@ object Windows {
   val oracles: Map[String, String] = Map(
     "w1_forward_return" ->
       """SELECT user_id, event_id,
-                round(nxt / nullif(value, 0) - 1, 6) AS ret_1 FROM (
+                nxt / nullif(value, 0) - 1 AS ret_1 FROM (
            SELECT user_id, event_id, value,
                   lead(value, 1) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) AS nxt
@@ -177,7 +177,7 @@ object Windows {
          ORDER BY user_id, event_id""",
     "w2_lead_k" ->
       """SELECT user_id, event_id,
-                round(nxt3 / nullif(value, 0) - 1, 6) AS ret_3 FROM (
+                nxt3 / nullif(value, 0) - 1 AS ret_3 FROM (
            SELECT user_id, event_id, value,
                   lead(value, 3) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) AS nxt3
@@ -190,14 +190,14 @@ object Windows {
          FROM events ORDER BY user_id, event_id""",
     "w4_drawdown" ->
       """SELECT user_id, event_id,
-                round(value / nullif(peak, 0) - 1, 6) AS dd FROM (
+                value / nullif(peak, 0) - 1 AS dd FROM (
            SELECT user_id, event_id, value,
                   max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
            FROM events)
          ORDER BY user_id, event_id""",
     "w5_max_drawdown" ->
-      """SELECT user_id, event_id, round(dd, 6) AS max_dd FROM (
+      """SELECT user_id, event_id, dd AS max_dd FROM (
            SELECT user_id, event_id, dd,
                   row_number() OVER (PARTITION BY user_id
                     ORDER BY dd NULLS LAST, ts, event_id) AS rn

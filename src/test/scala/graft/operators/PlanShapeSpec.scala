@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Scale guarantees as plan assertions: the designated 100 TB paths
+  * (LSH dedup, banded ANN, lag grid, signal pipeline) must never plan
+  * an unbounded nested-loop/cartesian join — only keyed joins and the
+  * documented broadcast of tiny dimension tables. The bounded
+  * baselines (sim1/d5 crossJoins) are intentionally exempt.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.Sf0001
+
+  private def planOf(qs: Map[String, (org.apache.spark.sql.SparkSession,
+      String) => org.apache.spark.sql.DataFrame], q: String): String =
+    qs(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("LSH dedup paths join on bucket keys, never all pairs") {
+    for (q <- Seq("d3_minhash_lsh", "d6_lsh_verified")) {
+      val plan = planOf(Dedup.queries, q)
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(1500)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q:\n${plan.take(1500)}")
+    }
+  }
+
+  test("banded ANN joins on (band, bucket), never all pairs") {
+    val plan = planOf(Similarity.queries, "sim2_lsh_ann")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
+  test("lag grid: only the 5-row lookback dim crosses the spine") {
+    val plan = planOf(LagGrid.queries, "lag_grid_corr")
+    // the broadcast cross of the tiny LocalTableScan dimension is the
+    // designed shape; what must NOT appear is a cartesian between two
+    // fact-table-derived sides
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    val nlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj.size <= 1, s"unexpected nested loops:\n${plan.take(2000)}")
+    assert(plan.contains("LocalTableScan"),
+      "lookback dim should be a local (broadcast) relation")
+  }
+
+  test("signal pipeline broadcasts config, fact side stays keyed") {
+    val plan = planOf(Signals.queries, "p8_signal_pipeline")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+}
