@@ -127,6 +127,57 @@ object Similarity {
         .orderBy("q_id", "rank")
     }),
 
+    // SIM3: IVF-style ANN — the other canonical scale path next to
+    // banded LSH. A tiny coarse quantizer (16 deterministically
+    // sampled dataset vectors, collected once on the driver and
+    // inlined as literals) assigns every vector to its nearest
+    // centroid's inverted list; queries probe their nprobe=2 closest
+    // lists. Candidates co-locate by an equi-join on the list id —
+    // at 100 TB the lists shuffle-partition the corpus and each query
+    // touches ~2/16 of it. Rows-only (recall vs brute force asserted
+    // in SimilaritySpec).
+    "sim3_ivf_ann" -> ((s, d) => {
+      val embAll = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      // coarse quantizer: every 31st vector, first 16 — deterministic
+      val cents = embAll.filter(col("vec_id") % 31 === 0)
+        .orderBy("vec_id").limit(16)
+        .collect()
+        .map { r =>
+          val v = r.getSeq[Float](1).map(_.toDouble)
+          (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
+        }
+      def centCos(v: Column, nrm: Column) = array(cents.map {
+        case (cid, cv, cn) =>
+          struct((dot(v, array(cv.map(lit): _*)) / (nrm * cn)).as("cos"),
+            lit(cid).as("cid"))
+      }: _*)
+      // corpus side: nearest list only; query side: top-nprobe lists
+      val c = embAll
+        .withColumn("lst",
+          array_max(centCos(col("embedding"), col("nrm"))).getField("cid"))
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+          col("nrm").as("cn"), col("lst"))
+      val q = embAll.filter(col("vec_id") < 10)
+        .withColumn("probe", explode(slice(
+          reverse(array_sort(centCos(col("embedding"), col("nrm")))), 1, 2)))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("probe.cid").as("lst"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("c_id"))
+      c.join(broadcast(q), Seq("lst"))
+        .filter(col("q_id") =!= col("c_id"))
+        .dropDuplicates("q_id", "c_id")       // union of the 2 probes
+        .withColumn("cosine",
+          dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("c_id"),
+          r6(col("cosine")).as("cosine"))
+        .orderBy("q_id", "rank")
+    }),
+
     // D5: embedding-cosine near-duplicate pairs (vec_id < 200, τ=0.35).
     "d5_embedding_neardup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).filter(col("vec_id") < 200)

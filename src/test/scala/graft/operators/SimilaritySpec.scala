@@ -25,6 +25,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, f"recall $recall%.3f below 0.6")
   }
 
+  test("IVF ANN (nprobe=2) recall vs brute force ≥ 0.3 on sf0.001") {
+    // 2 of 16 probed lists cover 1/8 of the corpus; on near-random
+    // synthetic embeddings (true top-5 cosines only 0.26–0.39) that
+    // bounds recall well below the LSH path — assert the measured
+    // floor and that probing beats the random-subset baseline (0.125).
+    val exact = pairs("sim1_cosine_topk")
+    val approx = pairs("sim3_ivf_ann")
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"ivf recall = $recall%.3f (|ivf|=${approx.size})")
+    assert(recall >= 0.3, f"recall $recall%.3f below 0.3")
+  }
+
   test("cosines are valid and ranked descending per query") {
     val rows = Similarity.queries("sim1_cosine_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
