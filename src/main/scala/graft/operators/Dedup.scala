@@ -33,8 +33,8 @@ object Dedup {
   private def toks: Column = split(lower(trim(col("text"))), "\\s+")
 
   /** Distinct 3-token shingles per doc. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
@@ -44,6 +44,9 @@ object Dedup {
             element_at(col("t"), i + 1),
             element_at(col("t"), i + 2),
             element_at(col("t"), i + 3))))).as("sh"))
+
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(Tables.documents(s, d))
 
   /** MinHash signatures: doc_id, sig array<long>(32).
     * The i-th family member is xxhash64 seeded with i (extra column) —
@@ -97,7 +100,14 @@ object Dedup {
     // Jaccard confirms.
     "d6_lsh_verified" -> ((s, d) => {
       val cand = minhashPairs(signatures(s, d), 0.5)
-      val sh = shingles(s, d)
+      // re-shingle ONLY the candidate docs: semi-join documents to the
+      // candidate id set BEFORE the shingle explode, so the exact
+      // verification stage scales with |candidates| (per-mille of the
+      // corpus after banding), not with the corpus.
+      val candDocs = cand.select(col("da").as("doc_id"))
+        .union(cand.select(col("db").as("doc_id"))).distinct()
+      val sh = shinglesOf(
+        Tables.documents(s, d).join(candDocs, Seq("doc_id"), "left_semi"))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val inter = cand.select(col("da"), col("db"))
         .join(sh.select(col("doc_id").as("da"), col("sh")), Seq("da"))
