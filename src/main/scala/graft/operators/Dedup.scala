@@ -99,7 +99,11 @@ object Dedup {
     // 100 TB this is the dedup decision path: bands prune, exact
     // Jaccard confirms.
     "d6_lsh_verified" -> ((s, d) => {
-      val cand = minhashPairs(signatures(s, d), 0.5)
+      // materialize the (small) candidate table once: it feeds four
+      // downstream subtrees, and without truncation each would re-run
+      // the whole MinHash pipeline. The 100 TB analogue is persisting
+      // the candidate table before the verify stage.
+      val cand = minhashPairs(signatures(s, d), 0.5).localCheckpoint()
       // re-shingle ONLY the candidate docs: semi-join documents to the
       // candidate id set BEFORE the shingle explode, so the exact
       // verification stage scales with |candidates| (per-mille of the
