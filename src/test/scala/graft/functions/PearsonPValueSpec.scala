@@ -42,6 +42,18 @@ class PearsonPValueSpec extends AnyFunSuite {
     assert(rows(3).isNullAt(0))   // n=2 → NaN → NULL
   }
 
+  test("SQL-callable after extension registration") {
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunctions(spark)
+    val p = spark.sql("SELECT pearson_pvalue(CAST(0.529 AS DOUBLE), 34L)")
+      .head().getDouble(0)
+    assert(math.abs(p - StudentT.pValue(0.529, 34)) < 1e-15)
+    // arity misuse is rejected with the function's own message
+    val e = intercept[Exception] {
+      spark.sql("SELECT pearson_pvalue(1.0)").head()
+    }
+    assert(e.getMessage.contains("pearson_pvalue"))
+  }
+
   test("stays inside WholeStageCodegen (no UDF barrier)") {
     // over a parquet scan — a local Seq collapses to LocalTableScan
     // before any codegen stage exists
