@@ -22,8 +22,10 @@ import graft.functions.PearsonPValue
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.PushTimestampNanosFilters)
+  }
 }
 
 object GraftExtensions {
