@@ -159,6 +159,50 @@ object Relational {
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")),
 
+    // A15: salted two-stage aggregation — the hot-key mitigation for
+    // skewed groupBy at 100 TB: stage 1 aggregates by (key, salt) so a
+    // hot key spreads over 16 reducers; stage 2 merges the partials.
+    // Result is EXACTLY the plain groupBy (oracle-checked): sums and
+    // counts merge losslessly, avg derives from the merged pair.
+    "a15_salted_agg" -> ((s, d) => {
+      val partial = Tables.events(s, d)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(sum(col("value").cast("decimal(24,10)")).as("ps"),
+             count(lit(1)).as("pn"))
+      partial
+        .groupBy(col("event_type"))
+        .agg((sum(col("ps")).cast("double") / sum(col("pn")))
+          .cast("double").as("avg_value"),
+          sum(col("pn")).as("n"))
+        .select(col("event_type"), round(col("avg_value"), 6).as("avg_value"),
+          col("n"))
+        .orderBy("event_type")
+    }),
+
+    // A16: HyperLogLog approximate distinct — the 100 TB form of A6
+    // (mergeable sketches, no shuffle of distinct values). Sketch
+    // internals differ per engine → rows-only; the ≤5%-of-exact error
+    // bound is asserted in ApproxAggSpec.
+    "a16_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users"))
+        .orderBy("event_type")),
+
+    // A17: exact quantiles per group (linear interpolation — matches
+    // DuckDB's quantile_cont). At scale the same query swaps
+    // percentile→percentile_approx with identical plan shape.
+    "a17_quantiles" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.25)"), 6).as("p25"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.75)"), 6).as("p75"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"))
+        .orderBy("event_type")),
+
     // A7: stats block — min/max/mean/std + share above threshold.
     // Ref: scripts/03_add_sentiment.py:36-42.
     "a7_stats_block" -> ((s, d) =>
@@ -342,6 +386,20 @@ object Relational {
     "a6_distinct_count" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users FROM events
          GROUP BY 1 ORDER BY event_type""",
+    // the salted two-stage plan must equal the plain aggregate exactly
+    "a15_salted_agg" ->
+      """SELECT event_type,
+                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                      / count(*), 6) AS avg_value,
+                count(*) AS n
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    "a17_quantiles" ->
+      """SELECT event_type,
+                round(quantile_cont(value, 0.25), 6) AS p25,
+                round(quantile_cont(value, 0.50), 6) AS p50,
+                round(quantile_cont(value, 0.75), 6) AS p75,
+                round(quantile_cont(value, 0.95), 6) AS p95
+         FROM events GROUP BY 1 ORDER BY event_type""",
     "a7_stats_block" ->
       """SELECT event_type,
                 round(min(value), 6) AS min_v,
