@@ -75,6 +75,23 @@ object IntervalJoins {
           col("n"), col("avg_value"))
         .orderBy("win_start", "event_type")),
 
+    // T5 session: gap-based sessionization with the NATIVE
+    // session_window (merges while the gap to the previous event is
+    // < 2h; runs unchanged on readStream with state-store merging).
+    // Oracle reproduces the merge with lag/cumsum island detection.
+    // avg through DECIMAL — session groups are small, so summation
+    // order would otherwise flip ×1e6 half-boundary roundings.
+    "t5_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "2 hours").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(24,10)")).cast("double") /
+            count(lit(1)), 6).as("avg_value"))
+        .select(col("user_id"), col("w.start").as("sess_start"),
+          col("w.end").as("sess_end"), col("n"), col("avg_value"))
+        .orderBy("user_id", "sess_start")),
+
     // T5 sliding: 48h window sliding every 24h — each event lands in 2
     // windows (Spark expands; oracle replicates via an offsets join).
     "t5_sliding_window" -> ((s, d) =>
@@ -112,6 +129,24 @@ object IntervalJoins {
       """SELECT date_trunc('day', ts) AS win_start, event_type,
                 count(*) AS n, round(avg(value), 6) AS avg_value
          FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "t5_session_window" ->
+      """WITH o AS (
+           SELECT user_id, ts, event_id, value,
+                  CASE WHEN ts - lag(ts) OVER w < INTERVAL 2 HOUR
+                       THEN 0 ELSE 1 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o)
+         SELECT user_id, min(ts) AS sess_start,
+                max(ts) + INTERVAL 2 HOUR AS sess_end,
+                count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                      / count(*), 6) AS avg_value
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, sess_start""",
     "t5_sliding_window" ->
       """SELECT date_trunc('day', ts) - o * INTERVAL 1 DAY AS win_start,
                 event_type, count(*) AS n, round(avg(value), 6) AS avg_value
