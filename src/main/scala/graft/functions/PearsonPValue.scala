@@ -30,7 +30,11 @@ case class PearsonPValue(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
-    val kernel = StudentT.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // Call the object's STATIC FORWARDER (graft.functions.StudentT
+    // .pValue) — janino rejects `StudentT.MODULE$` because the
+    // forwarder class has no MODULE$ field, and `StudentT$.MODULE$`
+    // trips on the $ in the class name; the forwarder is plain Java.
+    val kernel = StudentT.getClass.getName.stripSuffix("$")
     nullSafeCodeGen(ctx, ev, (r, n) => {
       val p = ctx.freshName("p")
       s"""
