@@ -178,7 +178,12 @@ object Backtest {
     // equity/drawdown and annualized risk metrics — one wide row over
     // the fold output. Order-sensitive fold upstream → rows-only.
     "t7_full_metrics" -> ((s, d) => {
-      val out = run(s, d).cache()
+      // localCheckpoint, not cache(): materializes the fold ONCE for
+      // the several downstream subtrees, and its blocks are released
+      // when the plan is GC'd — a .cache() here accumulated pinned
+      // entries across a Verify sweep with no unpersist point (the
+      // query builder never owns the action).
+      val out = run(s, d).localCheckpoint()
       val trades = out.filter(col("kind") === "trade")
       val equity = out.filter(col("kind") === "equity")
 
@@ -229,16 +234,21 @@ object Backtest {
       val wDay = org.apache.spark.sql.expressions.Window.orderBy("day")
       val wPeak = org.apache.spark.sql.expressions.Window.orderBy("day")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val eqAgg = equity
+      val curve = equity
         .select(col("day"), col("equity"))
         .withColumn("prev", lag(col("equity"), 1).over(wDay))
         .withColumn("r", safeDiv(col("equity"), col("prev")) - 1)
         .withColumn("peak", max(col("equity")).over(wPeak))
         .withColumn("dd", safeDiv(col("equity"), col("peak")) - 1)
+      val eqAgg = curve
         .agg(
           count(lit(1)).as("n_days"),
-          r6(last(col("equity"))).as("final_equity"),
-          r6(last(col("equity")) / lit(InitialCash) - 1).as("total_return"),
+          // max_by(equity, day), NOT last(equity): last() is
+          // order-dependent and only held because the global window
+          // upstream left one sorted partition.
+          r6(max_by(col("equity"), col("day"))).as("final_equity"),
+          r6(max_by(col("equity"), col("day")) / lit(InitialCash) - 1)
+            .as("total_return"),
           avg(col("r")).as("mu"),
           stddev_samp(col("r")).as("sigma"),
           stddev_samp(when(col("r") < 0, col("r"))).as("downside"),
@@ -256,7 +266,27 @@ object Backtest {
             col("downside") * sqrt(lit(252.0))).cast("float").as("sortino"),
           col("max_drawdown"), col("best_day"), col("worst_day"))
 
-      tradeAgg.crossJoin(streaks).crossJoin(eqAgg)
+      // max-drawdown PERIOD (scripts/07_backtest.py:333-338): trough
+      // day = argmin drawdown; peak day = first day achieving the
+      // running max at the trough (idxmax semantics); duration in
+      // days — the "-29.45% (63 d, ...)" line of the summary.
+      val wTrough = org.apache.spark.sql.expressions.Window
+        .orderBy(col("dd").asc_nulls_last, col("day"))
+      val trough = curve.withColumn("rn", row_number().over(wTrough))
+        .filter(col("rn") === 1)
+        .select(col("day").as("trough_day"), col("peak").as("peak_val"))
+      val ddPeriod = curve.select(col("day"), col("equity"))
+        .crossJoin(broadcast(trough))    // 1 row
+        .filter(col("day") <= col("trough_day") &&
+                col("equity") === col("peak_val"))
+        .groupBy(col("trough_day"))
+        .agg(min(col("day")).as("peak_day"))
+        .select(to_date(col("peak_day")).as("max_dd_peak_date"),
+          to_date(col("trough_day")).as("max_dd_trough_date"),
+          datediff(to_date(col("trough_day")), to_date(col("peak_day")))
+            .cast("long").as("max_dd_duration_days"))
+
+      tradeAgg.crossJoin(streaks).crossJoin(eqAgg).crossJoin(ddPeriod)
     }),
 
     // A10 over fold output: equity-curve risk block (drawdown etc).
@@ -268,8 +298,9 @@ object Backtest {
       eq.withColumn("peak", max(col("equity")).over(w))
         .withColumn("dd", col("equity") / col("peak") - 1)
         .agg(r6(min(col("dd"))).as("max_drawdown"),
-          r6(last(col("equity"))).as("final_equity"),
-          r6(last(col("equity")) / lit(InitialCash) - 1).as("total_return"),
+          r6(max_by(col("equity"), col("day"))).as("final_equity"),
+          r6(max_by(col("equity"), col("day")) / lit(InitialCash) - 1)
+            .as("total_return"),
           count(lit(1)).as("n_days"))
     })
   )

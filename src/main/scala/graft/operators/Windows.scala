@@ -96,6 +96,43 @@ object Windows {
         .orderBy("user_id")
     }),
 
+    // W5b: max-drawdown PERIOD per user — trough date, the preceding
+    // peak date (first row achieving the running max before the
+    // trough, pandas idxmax semantics), and duration in days.
+    // Ref: scripts/07_backtest.py:333-338 (golden shape
+    // docs/imp_numbers.txt:415-418 "-29.45% (63 d, 2025-02-04 ->
+    // 2025-04-08)"). Scale: trough table is O(keys) -> broadcast back
+    // onto the dd frame; everything else is the W4 window.
+    "w5_dd_period" -> ((s, d) => {
+      val dd = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("peak", max(col("value"))
+          .over(wUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("dd",
+          when(col("peak") =!= 0, col("value") / col("peak") - 1))
+      val wMin = Window.partitionBy("user_id")
+        .orderBy(col("dd").asc_nulls_last, col("ts"), col("event_id"))
+      val trough = dd.withColumn("rn", row_number().over(wMin))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("trough_ts"),
+          col("event_id").as("trough_eid"), col("dd").as("max_dd"),
+          col("peak").as("peak_val"))
+      dd.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .join(broadcast(trough), Seq("user_id"))
+        .filter(col("ts") < col("trough_ts") ||
+          (col("ts") === col("trough_ts") &&
+           col("event_id") <= col("trough_eid")))
+        .filter(col("value") === col("peak_val"))
+        .groupBy(col("user_id"), col("max_dd"), col("trough_ts"))
+        .agg(min(col("ts")).as("peak_ts"))
+        .select(col("user_id"), col("max_dd"),
+          to_date(col("peak_ts")).as("peak_date"),
+          to_date(col("trough_ts")).as("trough_date"),
+          datediff(to_date(col("trough_ts")), to_date(col("peak_ts")))
+            .cast("long").as("dd_duration_days"))
+        .orderBy("user_id")
+    }),
+
     // W6: streak sessionization — (flag != lag(flag)).cumsum() streak ids,
     // then the longest win / loss streak per user.
     "w6_streaks" -> ((s, d) => {
@@ -209,6 +246,33 @@ object Windows {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
                FROM events)))
          WHERE rn = 1 ORDER BY user_id""",
+    "w5_dd_period" ->
+      """WITH base AS (
+           SELECT user_id, event_id, ts, value,
+                  max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+           FROM events),
+         dd AS (
+           SELECT user_id, event_id, ts, value, peak,
+                  value / nullif(peak, 0) - 1 AS dd
+           FROM base),
+         trough AS (
+           SELECT user_id, ts AS trough_ts, event_id AS trough_eid,
+                  dd AS max_dd, peak AS peak_val
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY dd NULLS LAST, ts, event_id) AS rn FROM dd)
+           WHERE rn = 1)
+         SELECT d.user_id, t.max_dd,
+                CAST(min(d.ts) AS DATE) AS peak_date,
+                CAST(t.trough_ts AS DATE) AS trough_date,
+                date_diff('day', CAST(min(d.ts) AS DATE),
+                          CAST(t.trough_ts AS DATE)) AS dd_duration_days
+         FROM dd d JOIN trough t ON d.user_id = t.user_id
+         WHERE (d.ts < t.trough_ts
+                OR (d.ts = t.trough_ts AND d.event_id <= t.trough_eid))
+           AND d.value = t.peak_val
+         GROUP BY d.user_id, t.max_dd, t.trough_ts
+         ORDER BY d.user_id""",
     "w6_streaks" ->
       """WITH flagged AS (
            SELECT user_id, event_id, ts, value > 100 AS win FROM events),
