@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.PearsonPValue
+import graft.functions.{PearsonPValue, VaderCompound}
 
 /** SparkSessionExtensions entry point for the engine's native
   * functions — the registration path for custom Catalyst expressions:
@@ -38,5 +38,12 @@ object GraftExtensions {
         require(children.size == 2,
           s"pearson_pvalue expects (r DOUBLE, n BIGINT), got ${children.size} args")
         PearsonPValue(children.head, children(1))
+      }),
+    (FunctionIdentifier("vader_compound"),
+      new ExpressionInfo(classOf[VaderCompound].getName, "vader_compound"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"vader_compound expects (text STRING), got ${children.size} args")
+        VaderCompound(children.head)
       }))
 }

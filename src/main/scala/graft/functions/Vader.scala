@@ -1,25 +1,33 @@
 package graft.functions
 
-/** VADER-style rule-based sentiment scorer (F6).
+/** VADER-style rule-based sentiment scorer (F6/F7).
   *
   * The reference scores each article with the published VADER
   * algorithm (`/root/reference/scripts/03_add_sentiment.py:10,28`,
   * via the `vaderSentiment` package). This is an original Scala
-  * implementation of the public algorithm's core rules over a reduced
-  * embedded lexicon (the full ~7.5k-entry lexicon is not shipped in
-  * this container; divergence documented):
+  * implementation of the public algorithm's core rules (Hutto &
+  * Gilbert 2014) over the embedded lexicon (the full ~7.5k-entry
+  * published file is not shipped in this container; divergence
+  * documented on [[VaderLexicon]]):
   *
-  *  - token valences from the lexicon;
+  *  - token valences from the lexicon ([[VaderLexicon.entries]]
+  *    merged under the oracle-checked F6 set, which wins on collision);
   *  - booster words within 3 tokens scale the valence (decayed
   *    0.95/0.9 by distance, as published);
   *  - a negator within 3 preceding tokens flips valence × −0.74;
+  *  - ALL-CAPS emphasis: when the text mixes cases, an upper-cased
+  *    lexicon or booster token adds ±0.733 along the valence sign;
+  *  - the "but" pivot: valences before the first "but" are halved,
+  *    valences after it are amplified ×1.5;
   *  - trailing exclamation marks add emphasis (×0.292 each, max 4);
   *  - compound = s / sqrt(s² + 15), clamped to [−1, 1].
   */
 object Vader {
 
+  /** Merged scoring lexicon: the published-slice entries overlaid by
+    * the 20 oracle-checked F6 valences (F6 wins on collision). */
   val lexicon: Map[String, Double] =
-    graft.operators.TextAnalysis.lexicon.toMap
+    VaderLexicon.entries ++ graft.operators.TextAnalysis.lexicon.toMap
 
   private val boosters: Map[String, Double] = Map(
     "very" -> 0.293, "extremely" -> 0.293, "incredibly" -> 0.293,
@@ -29,30 +37,52 @@ object Vader {
     "not", "no", "never", "none", "isnt", "dont", "cant", "wont",
     "isn't", "don't", "can't", "won't", "neither", "nor")
 
+  private val CapsIncr = 0.733   // published C_INCR
+  private val NegScalar = -0.74  // published N_SCALAR
+  private val BangIncr = 0.292   // per-'!' emphasis, capped at 4
+
   private def stripPunct(t: String): String =
     t.dropWhile(c => !c.isLetterOrDigit)
       .reverse.dropWhile(c => !c.isLetterOrDigit).reverse
 
+  /** Python str.isupper() semantics: has a cased char and every cased
+    * char is upper — the published allcap-differential test. */
+  private def isAllCaps(t: String): Boolean =
+    t.exists(_.isLetter) && t.forall(c => !c.isLetter || c.isUpper)
+
   /** Compound score in [-1, 1]; 0.0 for empty/neutral text. */
   def compound(text: String): Double = {
     if (text == null || text.isEmpty) return 0.0
-    val raw = text.toLowerCase.trim.split("\\s+").toIndexedSeq
-    val toks = raw.map(stripPunct)
+    val raw = text.trim.split("\\s+").toIndexedSeq.map(stripPunct)
+    val toks = raw.map(_.toLowerCase)
+    // ALL-CAPS emphasis only applies when the text MIXES cases
+    // (all-caps headlines shout uniformly → no differential).
+    val nCaps = raw.count(isAllCaps)
+    val capsDiff = nCaps > 0 && nCaps < raw.length
+    val butIdx = toks.indexOf("but")
+    val decay = Array(1.0, 0.95, 0.9)
     var s = 0.0
     var i = 0
     while (i < toks.length) {
       lexicon.get(toks(i)).foreach { v0 =>
         var v = v0
+        if (capsDiff && isAllCaps(raw(i))) v += math.signum(v0) * CapsIncr
         // look back up to 3 tokens for boosters / negators
-        val decay = Array(1.0, 0.95, 0.9)
         var back = 1
         while (back <= 3 && i - back >= 0) {
           val prev = toks(i - back)
           boosters.get(prev).foreach { b =>
-            v += math.signum(v0) * b * decay(back - 1)
+            var sc = math.signum(v0) * b
+            if (capsDiff && isAllCaps(raw(i - back)))
+              sc += math.signum(v0) * CapsIncr
+            v += sc * decay(back - 1)
           }
-          if (negators.contains(prev)) v *= -0.74
+          if (negators.contains(prev)) v *= NegScalar
           back += 1
+        }
+        if (butIdx >= 0) {
+          if (i < butIdx) v *= 0.5
+          else if (i > butIdx) v *= 1.5
         }
         s += v
       }
@@ -60,7 +90,7 @@ object Vader {
     }
     if (s != 0.0) {
       val bangs = math.min(text.count(_ == '!'), 4)
-      s += math.signum(s) * bangs * 0.292
+      s += math.signum(s) * bangs * BangIncr
     }
     val c = s / math.sqrt(s * s + 15.0)
     math.max(-1.0, math.min(1.0, c))

@@ -115,17 +115,18 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
-    // F7: full VADER rule engine (negation / boosters / exclamation
-    // emphasis) as a scalar UDF over the text column — the reference's
-    // actual scorer (scripts/03_add_sentiment.py:10,28). Not
-    // SQL-expressible → rows-only; rule semantics golden-tested in
-    // VaderSpec.
-    "f7_vader_rules" -> ((s, d) => {
-      val vader = udf((t: String) => graft.functions.Vader.compound(t))
+    // F7: full VADER rule engine (negation / boosters / ALL-CAPS /
+    // "but" pivot / exclamation emphasis) as a native codegen
+    // expression over the text column — the reference's actual scorer
+    // (scripts/03_add_sentiment.py:10,28). Not SQL-expressible →
+    // rows-only; rule semantics golden-tested in VaderSpec, codegen
+    // path in VaderCompoundSpec.
+    "f7_vader_rules" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), r6(vader(col("text"))).as("compound"))
-        .orderBy("doc_id")
-    }),
+        .select(col("doc_id"),
+          r6(graft.functions.VaderCompound.compound(col("text")))
+            .as("compound"))
+        .orderBy("doc_id")),
 
     // D1: exact dedup — md5 content hash, keep lowest doc_id per hash.
     "d1_exact_dedup" -> ((s, d) => {

@@ -67,4 +67,38 @@ class VaderSpec extends AnyFunSuite {
     assert(Vader.compound("good.") == Vader.compound("good"))
     assert(math.abs(Vader.compound("(good)") - norm(1.9)) < 1e-12)
   }
+
+  test("merged lexicon: published-slice words score, F6 set wins") {
+    // words only in the big published slice (VaderLexicon.entries)
+    assert(math.abs(Vader.compound("excellent") - norm(2.7)) < 1e-12)
+    assert(math.abs(Vader.compound("disaster") - norm(-2.7)) < 1e-12)
+    // the 20 oracle-checked F6 valences take precedence on collision
+    graft.operators.TextAnalysis.lexicon.foreach { case (w, v) =>
+      assert(Vader.lexicon(w) == v, s"F6 word '$w' must keep valence $v")
+    }
+    assert(Vader.lexicon.size > 240, "merge must keep the big slice")
+  }
+
+  test("ALL-CAPS emphasis: +0.733 along the sign, only on mixed case") {
+    // mixed-case text: the upper-cased lexicon word gets the bump
+    assert(math.abs(Vader.compound("GOOD day") - norm(1.9 + 0.733)) < 1e-12)
+    assert(math.abs(Vader.compound("BAD day") - norm(-2.5 - 0.733)) < 1e-12)
+    // uniformly-cased text: no differential, no bump
+    assert(math.abs(Vader.compound("GOOD DAY") - norm(1.9)) < 1e-12)
+    assert(math.abs(Vader.compound("good day") - norm(1.9)) < 1e-12)
+    // an ALL-CAPS booster gets its own bump (published scalar rule)
+    val capsBooster = norm(1.9 + (0.293 + 0.733))
+    assert(math.abs(Vader.compound("VERY good day") - capsBooster) < 1e-12)
+  }
+
+  test("'but' pivot: pre-but halved, post-but amplified 1.5x") {
+    val expect = norm(1.9 * 0.5 + (-2.5) * 1.5)
+    assert(math.abs(Vader.compound("good but bad") - expect) < 1e-12)
+    assert(Vader.compound("good but bad") < 0)
+    // symmetric check: the later clause dominates
+    assert(Vader.compound("bad but good") > 0)
+    // no pivot → plain sum
+    assert(math.abs(Vader.compound("good and bad") -
+      norm(1.9 - 2.5)) < 1e-12)
+  }
 }
