@@ -60,7 +60,17 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // Persist the COMPLETE per-query map to a file as well: the
+    // harness captures a bounded stdout tail, which truncated ~28 of
+    // 90 query timings out of the round-5 artifact. A file survives
+    // regardless of how much of the log the capture keeps.
+    val out = java.nio.file.Paths.get("target", "bench_full.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -13,8 +13,14 @@ package graft.functions
   *  - token valences from the lexicon ([[VaderLexicon.entries]]
   *    merged under the oracle-checked F6 set, which wins on collision);
   *  - booster words within 3 tokens scale the valence (decayed
-  *    0.95/0.9 by distance, as published);
+  *    0.95/0.9 by distance, as published) — and, as published, only
+  *    when the booster token is not itself a lexicon word;
   *  - a negator within 3 preceding tokens flips valence × −0.74;
+  *  - "no" before a lexicon word is negation-only: its own −1.2
+  *    valence is skipped (published special case). Divergence: the
+  *    published scorer limits "no"-as-negator to 1–2 tokens back
+  *    (3 with or/nor); here it shares the uniform 3-token negator
+  *    window;
   *  - ALL-CAPS emphasis: when the text mixes cases, an upper-cased
   *    lexicon or booster token adds ±0.733 along the valence sign;
   *  - the "but" pivot: valences before the first "but" are halved,
@@ -64,14 +70,21 @@ object Vader {
     var s = 0.0
     var i = 0
     while (i < toks.length) {
-      lexicon.get(toks(i)).foreach { v0 =>
+      // "no" directly before a lexicon word acts as pure negation:
+      // its own lexicon valence is zeroed (published special case —
+      // otherwise "no good" would double-count "no" AND the flip).
+      val noAsNegation = toks(i) == "no" && i + 1 < toks.length &&
+        lexicon.contains(toks(i + 1))
+      if (!noAsNegation) lexicon.get(toks(i)).foreach { v0 =>
         var v = v0
         if (capsDiff && isAllCaps(raw(i))) v += math.signum(v0) * CapsIncr
         // look back up to 3 tokens for boosters / negators
         var back = 1
         while (back <= 3 && i - back >= 0) {
           val prev = toks(i - back)
-          boosters.get(prev).foreach { b =>
+          // published guard: a lexicon word is scored on its own and
+          // never doubles as a booster for the word after it
+          if (!lexicon.contains(prev)) boosters.get(prev).foreach { b =>
             var sc = math.signum(v0) * b
             if (capsDiff && isAllCaps(raw(i - back)))
               sc += math.signum(v0) * CapsIncr

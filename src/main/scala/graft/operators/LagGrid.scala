@@ -89,13 +89,26 @@ object LagGrid {
       .agg(avg(col("ev.value")).as("senti"))
   }
 
-  /** The full 20-cell grid: corr + n per (key, lookback, lead). */
-  def grid(s: SparkSession, d: String): DataFrame =
+  /** The full 20-cell grid: corr + n per (key, lookback, lead) — the
+    * raw plan (PlanShapeSpec asserts join shapes on this form). */
+  def gridPlan(s: SparkSession, d: String): DataFrame =
     lookbackSignal(s, d)
       .join(forwardReturns(s, d), Seq("user_id", "day"))
       .groupBy(col("user_id"), col("lookback_h"), col("lead_days"))
       .agg(corr(col("senti"), col("fwd_ret")).as("c"),
            count(lit(1)).as("n"))
+
+  private val gridCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Memoized, materialized grid. All three lag_grid queries consume
+    * the SAME O(keys × 20)-row table; without sharing, each rebuilt
+    * the full interval-join pipeline (3× the round-5 bench cost).
+    * `localCheckpoint` truncates the lineage once per (session, dir) —
+    * the 100 TB analogue of persisting the grid before the selection
+    * passes (same pattern as the D6 candidate table, Dedup.scala). */
+  def grid(s: SparkSession, d: String): DataFrame =
+    gridCache.getOrElseUpdate((s, d), gridPlan(s, d).localCheckpoint())
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The grid itself — SQL-expressible, fully oracle-checked.

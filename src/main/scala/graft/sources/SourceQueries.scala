@@ -67,10 +67,12 @@ object SourceQueries {
 
   // ---- S9: Finlight news ------------------------------------------------
 
-  /** Render ALL documents as Finlight POST pages (exactly full pages,
-    * so the loop must terminate on the trailing empty page). */
+  /** Render documents (doc_id < 500 — a fixed bound like s8's, so the
+    * driver-side page map never grows with the corpus) as Finlight
+    * POST pages. 500 is a multiple of PageSize: every page is exactly
+    * full, so the loop must terminate on the trailing empty page. */
   private def finlightPages(s: SparkSession, d: String): Map[Int, String] = {
-    Tables.documents(s, d)
+    Tables.documents(s, d).filter(col("doc_id") < 500)
       .select((col("doc_id") / PageSize).cast("int").as("pg"),
         struct(
           concat(lit("https://example.com/a/"), col("doc_id")).as("link"),
@@ -178,7 +180,7 @@ object SourceQueries {
                 substring(text, 1, 40) AS title,
                 substring(text, 1, 80) AS summary,
                 lang AS language
-         FROM documents ORDER BY link""",
+         FROM documents WHERE doc_id < 500 ORDER BY link""",
     "s10_ohlcv_source" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS date,
                 arg_min(value, event_id) AS open,

@@ -29,6 +29,16 @@ class VaderSpec extends AnyFunSuite {
     assert(Vader.compound("not good") < 0)
   }
 
+  test("'no' is negation-only before a lexicon word, standalone otherwise") {
+    // "no good": 'no' contributes NO valence of its own (published
+    // special case) — only the negation flip applies: 1.9 × −0.74
+    assert(math.abs(Vader.compound("no good") - norm(1.9 * -0.74)) < 1e-12)
+    // standalone 'no' keeps its lexicon valence (−1.2)
+    assert(math.abs(Vader.compound("no") - norm(-1.2)) < 1e-12)
+    // 'no' NOT followed by a lexicon word: own valence counts
+    assert(math.abs(Vader.compound("good no") - norm(1.9 - 1.2)) < 1e-12)
+  }
+
   test("booster amplifies with distance decay") {
     // adjacent: v = 1.9 + 0.293
     assert(math.abs(Vader.compound("very good") - norm(1.9 + 0.293)) < 1e-12)

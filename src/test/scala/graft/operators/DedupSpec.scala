@@ -67,6 +67,46 @@ class DedupSpec extends AnyFunSuite {
       "identical docs: est AND true Jaccard both 1.0, no other pairs")
   }
 
+  test("D6 true_jaccard cross-anchors to D2's oracle-verified jaccard") {
+    // D6 is rows-only (xxhash64 has no DuckDB equivalent), but its
+    // dedup DECISION value — true_jaccard — is the same quantity D2
+    // computes under a full DuckDB oracle on the doc_id<100 subset.
+    // Every LSH-surfaced pair inside that subset must carry exactly
+    // the jaccard D2 reports for it (both round to 1e-6 before
+    // compare), transitively oracle-anchoring the scale pipeline.
+    val sf = SparkTestSession.Sf0001
+    val d2 = TextAnalysis.queries("d2_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val d6 = Dedup.queries("d6_lsh_verified")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .filter { case (da, db, _) => da < 100 && db < 100 }
+    assert(d6.nonEmpty,
+      "vacuous: no LSH candidate pair inside doc_id<100 at sf0.001")
+    d6.foreach { case (da, db, tj) =>
+      assert(d2.contains((da, db)),
+        s"LSH pair ($da,$db) missing from D2's oracle-verified pairs")
+      assert(d2((da, db)) == tj,
+        s"($da,$db): D2 jaccard=${d2((da, db))} vs D6 true_jaccard=$tj")
+    }
+  }
+
+  test("D6 true_jaccard equals D2 jaccard on a crafted near-dup fixture") {
+    // deterministic companion to the testdata cross-check: 35 shared +
+    // 5 unique words per side gives true shingle Jaccard well above
+    // the LSH est>=0.5 cut, so the pair MUST surface in both paths.
+    val shared = (0 until 35).map(i => s"common$i")
+    val nearA = (shared ++ (0 until 5).map(i => s"left$i")).mkString(" ")
+    val nearB = (shared ++ (0 until 5).map(i => s"right$i")).mkString(" ")
+    val d = docs(1L -> nearA, 2L -> nearB, 3L -> wordsB)
+    val d6 = Dedup.queries("d6_lsh_verified")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val d2 = TextAnalysis.queries("d2_ngram_jaccard")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(d6.contains((1L, 2L)), s"LSH must surface the near-dup pair: $d6")
+    assert(d2((1L, 2L)) == d6((1L, 2L)),
+      s"fixture pair: D2=${d2.get((1L, 2L))} vs D6=${d6.get((1L, 2L))}")
+  }
+
   test("simhash: identical docs share the signature, disjoint differ") {
     val d = docs(1L -> wordsA, 2L -> wordsA, 3L -> wordsB)
     val sh = Dedup.queries("d4_simhash")(spark, d).collect()

@@ -33,7 +33,10 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("lag grid: only the 5-row lookback dim crosses the spine") {
-    val plan = planOf(LagGrid.queries, "lag_grid_corr")
+    // inspect the raw plan — the memoized `grid` the queries consume
+    // is a localCheckpoint of exactly this subtree, which executes as
+    // an opaque RDD scan and would hide the join shapes
+    val plan = LagGrid.gridPlan(spark, sf).queryExecution.executedPlan.toString
     // the broadcast cross of the tiny LocalTableScan dimension is the
     // designed shape; what must NOT appear is a cartesian between two
     // fact-table-derived sides
@@ -48,5 +51,22 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = planOf(Signals.queries, "p8_signal_pipeline")
     assert(!plan.contains("CartesianProduct") &&
            !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
+  test("o1 sort+limit plans as TakeOrderedAndProject, never a full sort") {
+    // orderBy().limit(k) must stay a per-partition top-k + driver
+    // merge — a global Sort before the limit would shuffle the whole
+    // fact table at 100 TB for 500 output rows
+    val plan = planOf(Relational.queries, "o1_sort_limit")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+
+  test("a13 histogram: the 1-row bounds table joins as a broadcast") {
+    // the global min/max aggregate is a single row — crossing it onto
+    // the fact table must be a broadcast nested loop (replicated tiny
+    // side), never a CartesianProduct that repartitions the fact side
+    val plan = planOf(Stats.queries, "a13_histogram")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 }
