@@ -86,8 +86,46 @@ object SourceSinks {
         .groupBy(date_trunc("day", col("ts")).as("day"))
         .agg(round(sum(col("value")), 6).as("total_value"),
           count(lit(1)).as("n_events"))
-        .orderBy("day"))
+        .orderBy("day")),
+
+    // S15: bucketed co-located layout — write once bucketed by the
+    // join key, then run aggregate + aggregate + join with ZERO
+    // shuffle (PlanShapeSpec asserts no Exchange in the tree).
+    "s15_bucketed_join" -> ((s, d) =>
+      bucketedJoinPlan(s, d).orderBy("user_id"))
   )
+
+  /** The S15 plan before the presentation sort: events are written
+    * bucketed + sorted by `user_id` into the session catalog, and the
+    * bucketed scan reports `HashPartitioning(user_id, 8)` — which
+    * satisfies the distribution requirement of BOTH per-key hash
+    * aggregates AND the sort-merge join, so the whole tree plans with
+    * no Exchange. At 100 TB this is the layout decision the engine is
+    * built around: pay the partitioning shuffle ONCE at ingest, run
+    * every downstream per-key aggregation and co-located join
+    * shuffle-free (the `merge` hint pins the join to sort-merge so a
+    * broadcast of the smaller side cannot mask the co-location).
+    */
+  def bucketedJoinPlan(s: SparkSession, d: String): DataFrame = {
+    val tbl = "graft_s15_events_bucketed"
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite")
+      .option("path", tmp("s15"))      // external location: keep data
+      .bucketBy(8, "user_id")          // out of ./spark-warehouse
+      .sortBy("user_id")
+      .format("parquet")
+      .saveAsTable(tbl)
+    val ev = s.table(tbl)
+    val byUser = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("total_value"))
+    val highs = ev.filter(col("value") > 100).groupBy("user_id")
+      .agg(count(lit(1)).as("n_high"))
+    byUser.hint("merge").join(highs, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"), col("total_value"),
+        coalesce(col("n_high"), lit(0L)).as("n_high"))
+  }
 
   val oracles: Map[String, String] = Map(
     "s2_parquet_roundtrip" ->
@@ -104,6 +142,18 @@ object SourceSinks {
     "s14_chart_data" ->
       """SELECT date_trunc('day', ts) AS day,
                 round(sum(value), 6) AS total_value, count(*) AS n_events
-         FROM events GROUP BY 1 ORDER BY day"""
+         FROM events GROUP BY 1 ORDER BY day""",
+    "s15_bucketed_join" ->
+      """WITH byu AS (
+           SELECT user_id, count(*) AS n_events,
+                  round(sum(value), 6) AS total_value
+           FROM events GROUP BY 1),
+         h AS (
+           SELECT user_id, count(*) AS n_high
+           FROM events WHERE value > 100 GROUP BY 1)
+         SELECT b.user_id, b.n_events, b.total_value,
+                coalesce(h.n_high, 0) AS n_high
+         FROM byu b LEFT JOIN h ON b.user_id = h.user_id
+         ORDER BY b.user_id"""
   )
 }

@@ -61,6 +61,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
 
+  test("s15 bucketed layout: agg + agg + join plan with zero shuffle") {
+    // the whole point of the bucketed write: the scan's bucket
+    // partitioning satisfies both hash aggregates AND the sort-merge
+    // join, so no Exchange may appear anywhere in the tree (local
+    // Sort nodes are fine — sorting isn't shuffling)
+    val plan = SourceSinks.bucketedJoinPlan(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
   test("a13 histogram: the 1-row bounds table joins as a broadcast") {
     // the global min/max aggregate is a single row — crossing it onto
     // the fact table must be a broadcast nested loop (replicated tiny
