@@ -86,7 +86,22 @@ class VaderSpec extends AnyFunSuite {
     graft.operators.TextAnalysis.lexicon.foreach { case (w, v) =>
       assert(Vader.lexicon(w) == v, s"F6 word '$w' must keep valence $v")
     }
-    assert(Vader.lexicon.size > 240, "merge must keep the big slice")
+    assert(Vader.lexicon.size > 500, "merge must keep the full slice")
+  }
+
+  test("round-6 breadth extension: finance-news and general vocabulary") {
+    // finance/news domain — the vocabulary the reference's headlines
+    // actually carry (scripts/03_add_sentiment.py scoring domain)
+    assert(math.abs(Vader.compound("bankruptcy") - norm(-2.6)) < 1e-12)
+    assert(math.abs(Vader.compound("rally") - norm(1.4)) < 1e-12)
+    assert(math.abs(Vader.compound("downgraded") - norm(-1.6)) < 1e-12)
+    // general extension range
+    assert(math.abs(Vader.compound("nightmare") - norm(-2.5)) < 1e-12)
+    assert(math.abs(Vader.compound("stellar") - norm(2.4)) < 1e-12)
+    // rules compose with the new vocabulary
+    assert(math.abs(Vader.compound("not bullish") - norm(1.9 * -0.74)) < 1e-12)
+    assert(Vader.compound("stocks rally on earnings") > 0)
+    assert(Vader.compound("recession fears deepen") < 0)
   }
 
   test("ALL-CAPS emphasis: +0.733 along the sign, only on mixed case") {
