@@ -51,7 +51,7 @@ object Dedup {
   /** MinHash signatures: doc_id, sig array<long>(32).
     * The i-th family member is xxhash64 seeded with i (extra column) —
     * min over distinct shingles per doc, all inside one hash agg. */
-  def signatures(s: SparkSession, d: String): DataFrame = {
+  private def signaturesPlan(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
     val mins: Seq[Column] = (0 until NumHashes).map(i =>
       min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
@@ -59,6 +59,18 @@ object Dedup {
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
+
+  private val sigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Signatures, materialized once per (session, dir): the banding
+    * query (D3) and the verified pipeline (D6) consume the SAME
+    * signature table, and the shingle-explode + 32-min corpus pass is
+    * by far the dominant cost of both. The 100 TB analogue is
+    * persisting the signature table after the one expensive corpus
+    * scan and running every banding/verification pass against it. */
+  def signatures(s: SparkSession, d: String): DataFrame =
+    sigCache.getOrElseUpdate((s, d), signaturesPlan(s, d).localCheckpoint())
 
   /** LSH candidate pairs + signature-estimated Jaccard ≥ minEst. */
   def minhashPairs(sigs: DataFrame, minEst: Double): DataFrame = {

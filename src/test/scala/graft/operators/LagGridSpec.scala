@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Cross-anchors for the one rows-only lag-grid query:
+  * `lag_grid_best_config` carries the native p-value expression (no
+  * DuckDB equivalent), but every NON-p-value column it emits is the
+  * same quantity two fully oracle-checked queries compute —
+  * `lag_grid_corr` (the grid cells) and `lag_grid_best` (the
+  * selection). Anchoring against both leaves only the p-value itself
+  * rows-only, and that is golden-tested in StudentTSpec /
+  * PearsonPValueSpec.
+  */
+class LagGridSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.Sf0001
+
+  test("best_config rows are oracle-verified grid cells") {
+    val cells = LagGrid.queries("lag_grid_corr")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) ->
+        (Option(r.get(3)).map(_ => r.getDouble(3)), r.getLong(4))).toMap
+    val cfg = LagGrid.queries("lag_grid_best_config")(spark, sf).collect()
+    assert(cfg.nonEmpty)
+    cfg.foreach { r =>
+      val key = (r.getLong(0), r.getInt(1), r.getInt(2))
+      // lag_grid_corr drops nothing, so the selected cell must exist
+      // and agree on (r, n) exactly
+      assert(cells.contains(key), s"selected cell $key not in the grid")
+      val (cellR, cellN) = cells(key)
+      assert(Option(r.get(3)).map(_ => r.getDouble(3)) == cellR,
+        s"$key: best_config r=${r.get(3)} vs grid r=$cellR")
+      assert(r.getLong(5) == cellN, s"$key: n mismatch")
+    }
+  }
+
+  test("best_config agrees with the oracle-verified best selection") {
+    // best ranks on the ROUNDED |corr| (cross-engine determinism),
+    // best_config on the raw |corr| — a 1e-6 tie may pick a different
+    // config, but the rounded max |corr| per key must be identical.
+    val best = LagGrid.queries("lag_grid_best")(spark, sf).collect()
+      .map(r => r.getLong(0) -> math.abs(r.getDouble(3))).toMap
+    val cfg = LagGrid.queries("lag_grid_best_config")(spark, sf).collect()
+      .flatMap(r => Option(r.get(3)).map(_ => r.getLong(0) -> math.abs(r.getDouble(3))))
+      .toMap
+    assert(best.keySet == cfg.keySet,
+      "same keys select a best config (nulls-last ordering on both)")
+    best.foreach { case (k, b) =>
+      assert(math.abs(cfg(k) - b) < 5e-7, s"key $k: |r| $b vs ${cfg(k)}")
+    }
+    // the p-value column itself: valid probability wherever defined
+    LagGrid.queries("lag_grid_best_config")(spark, sf).collect().foreach { r =>
+      if (r.get(4) != null) {
+        val p = r.getDouble(4)
+        assert(p >= 0.0 && p <= 1.0, s"p_value out of range: $p")
+      }
+    }
+  }
+}
