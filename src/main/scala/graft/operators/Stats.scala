@@ -66,6 +66,16 @@ object Stats {
              count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // A3 companion: the autocorrelation grid cells WITHOUT the
+    // p-value — fully SQL-expressible, so the rows-only a3 below gets
+    // an oracle-checked anchor for every column except the p-value
+    // itself (StatsSpec asserts the row-for-row match; the p-value
+    // math is golden-tested in StudentTSpec/PearsonPValueSpec).
+    "a3_corr_grid" -> ((s, d) =>
+      grid(s, d)
+        .select(col("event_type"), col("k"), r6(col("c")).as("r"), col("n"))
+        .orderBy("event_type", "k")),
+
     // A3: correlation p-value — native Catalyst expression (Student-t
     // via regularized incomplete beta, codegen'd straight into the
     // stage; see PearsonPValue). Not SQL-expressible in DuckDB →
@@ -194,6 +204,26 @@ object Stats {
                 round(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS r,
                 count(*) AS n
          FROM events GROUP BY 1 ORDER BY event_type""",
+    "a3_corr_grid" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS v
+           FROM events GROUP BY 1, 2),
+         leads AS (
+           SELECT event_type, day, v,
+                  lead(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+                  lead(v, 2) OVER (PARTITION BY event_type ORDER BY day) AS l2,
+                  lead(v, 3) OVER (PARTITION BY event_type ORDER BY day) AS l3
+           FROM daily),
+         grid AS (
+           SELECT event_type, k, corr(v, fwd) AS c, count(fwd) AS n FROM (
+             SELECT event_type, v, 1 AS k, l1 AS fwd FROM leads
+             UNION ALL
+             SELECT event_type, v, 2 AS k, l2 AS fwd FROM leads
+             UNION ALL
+             SELECT event_type, v, 3 AS k, l3 AS fwd FROM leads)
+           GROUP BY 1, 2)
+         SELECT event_type, k, round(c, 6) AS r, n FROM grid
+         ORDER BY event_type, k""",
     "a4_best_config" ->
       """WITH daily AS (
            SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS v
