@@ -116,4 +116,32 @@ class BacktestSpec extends AnyFunSuite {
     val naive = t.shares * 25.0
     assert(t.pnl < naive)
   }
+
+  test("t7_trade_metrics equals an independent recomputation of the fold") {
+    // the fold itself is golden/invariant-tested above; this anchors
+    // the rows-only METRIC block on real testdata by recomputing every
+    // aggregate from the fold's own trade rows in plain Scala.
+    val spark = graft.SparkTestSession.spark
+    val sf = graft.SparkTestSession.Sf0001
+    val pnls = Backtest.queries("t7_portfolio_fold")(spark, sf).collect()
+      .filter(_.getString(0) == "trade").map(_.getAs[Double]("pnl"))
+    assert(pnls.nonEmpty, "vacuous: no trades at sf0.001")
+    val m = Backtest.queries("t7_trade_metrics")(spark, sf).collect().head
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val wins = pnls.filter(_ > 0); val losses = pnls.filter(_ <= 0)
+    assert(m.getLong(0) == pnls.length, "n_trades")
+    assert(m.getLong(1) == wins.length, "wins")
+    // pnl values are 1e-6-rounded by the fold, so count/extreme/total
+    // aggregates snap to the same grid regardless of summation order;
+    // the averages divide off the grid, so compare within one grid step
+    if (wins.nonEmpty)
+      assert(math.abs(m.getDouble(2) - r6(wins.sum / wins.length)) <= 1e-6,
+        "avg_win")
+    if (losses.nonEmpty)
+      assert(math.abs(m.getDouble(3) - r6(losses.sum / losses.length)) <= 1e-6,
+        "avg_loss")
+    assert(m.getDouble(4) == r6(pnls.max), "largest_win")
+    assert(m.getDouble(5) == r6(pnls.min), "largest_loss")
+    assert(m.getDouble(6) == r6(pnls.sum), "total_pnl")
+  }
 }

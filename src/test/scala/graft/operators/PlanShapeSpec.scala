@@ -53,6 +53,18 @@ class PlanShapeSpec extends AnyFunSuite {
            !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
+  test("s1 parquet scan: filter pushed down, unused columns never read") {
+    // at 100 TB the difference between a pushed and a post-scan filter
+    // is the whole I/O bill — the predicate must reach the parquet
+    // reader, and the scan schema must carry only the 4 referenced
+    // columns (wide lineitem columns like l_comment stay unread)
+    val plan = planOf(Relational.queries, "s1_scan_prune")
+    assert(plan.contains("PushedFilters") &&
+           plan.contains("GreaterThanOrEqual(l_shipdate"), plan.take(2000))
+    assert(!plan.contains("l_comment") && !plan.contains("l_quantity"),
+      "scan schema must be pruned to the referenced columns")
+  }
+
   test("o1 sort+limit plans as TakeOrderedAndProject, never a full sort") {
     // orderBy().limit(k) must stay a per-partition top-k + driver
     // merge — a global Sort before the limit would shuffle the whole
