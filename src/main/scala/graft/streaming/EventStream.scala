@@ -81,6 +81,78 @@ object EventStream {
   def readJsonStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).json(dir)
 
+  // ---- T8: custom keyed state (flatMapGroupsWithState) ------------------
+
+  /** One event row in typed form (the custom-state path runs on a
+    * Dataset; fields match [[eventSchema]]). */
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+                         user_id: Long, event_type: String,
+                         value: Double, props: String)
+
+  /** Per-key running tally — the reference consumer's per-ticker
+    * counters (`consumer/consumer.py:4-15` keeps per-topic tallies in
+    * process memory; here the state store holds them, checkpointed
+    * and restorable). Fields are deliberately order-insensitive
+    * aggregates (count / extremes / max id), so the final tally is
+    * identical regardless of micro-batch slicing. */
+  final case class KeyTally(user_id: Long, n_events: Long,
+                            max_value: Double, min_value: Double,
+                            last_event_id: Long)
+
+  /** The one streaming shape built-in aggregations cannot express:
+    * arbitrary per-key state evolved by a user function.
+    * `flatMapGroupsWithState` in Update mode — each micro-batch folds
+    * its new rows into the key's stored tally and emits the updated
+    * row; the state store persists tallies across batches AND across
+    * restarts (StreamingSpec proves recovery on a second run over the
+    * same checkpoint). At scale: state is hash-partitioned by key
+    * across executors; per-key memory is O(1). */
+  def statefulTally(events: org.apache.spark.sql.Dataset[Event])
+      : org.apache.spark.sql.Dataset[KeyTally] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[KeyTally, KeyTally](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: org.apache.spark.sql.streaming.GroupState[KeyTally]) =>
+          var t = state.getOption.getOrElse(KeyTally(key, 0L,
+            Double.NegativeInfinity, Double.PositiveInfinity, Long.MinValue))
+          rows.foreach { e =>
+            t = KeyTally(key, t.n_events + 1,
+              math.max(t.max_value, e.value), math.min(t.min_value, e.value),
+              math.max(t.last_event_id, e.event_id))
+          }
+          state.update(t)
+          Iterator.single(t)
+      }
+  }
+
+  /** T8 as a REAL streaming run: deliver the full rig, fold through
+    * the state store, land updated tallies in an update-mode memory
+    * sink. A key may emit once per micro-batch that carried its rows;
+    * `n_events` is strictly monotone per key, so keep-max-n yields
+    * the final tally no matter how AvailableNow sliced the files. */
+  def runStatefulTally(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rig = stageRig(s, d)
+    val base = freshDir(s"/tmp/graft-stream-t8-run${runSeq.incrementAndGet()}")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
+    val q = statefulTally(readJsonStream(s, src).as[Event])
+      .toDF()
+      .writeStream.format("memory").queryName("t8_mem")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    s.table("t8_mem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   private def freshDir(path: String): String = {
     def del(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
@@ -232,7 +304,13 @@ object EventStream {
     // T4: keyed publish executed as a real writeStream (file sink
     // standing in for the Kafka sink; same key/value contract).
     "t4_keyed_publish" -> ((s, d) =>
-      runKeyedPublish(s, d).orderBy("key"))
+      runKeyedPublish(s, d).orderBy("key")),
+
+    // T8: custom keyed state (flatMapGroupsWithState) executed as a
+    // real streaming run; final per-key tallies equal the plain
+    // GROUP BY — which is exactly what the oracle checks.
+    "t8_stateful_tally" -> ((s, d) =>
+      runStatefulTally(s, d).orderBy("user_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -272,6 +350,10 @@ object EventStream {
                                     event_type := event_type,
                                     user_id := user_id,
                                     value := value))::VARCHAR AS value
-         FROM events ORDER BY key"""
+         FROM events ORDER BY key""",
+    "t8_stateful_tally" ->
+      """SELECT user_id, count(*) AS n_events, max(value) AS max_value,
+                min(value) AS min_value, max(event_id) AS last_event_id
+         FROM events GROUP BY 1 ORDER BY user_id"""
   )
 }
