@@ -87,6 +87,40 @@ object Multimodal {
         }
       }.toDF("doc_id", "frame_idx", "frame_mean")
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // MM4: resize — area (block-mean) downsampling of the payload to a
+    // fixed 8-sample signal, the 1-D form of image area interpolation.
+    // Same stub-decoder contract as MM2/MM3: bytes in, fixed-width
+    // output, partition-parallel, no shuffle; a real deployment swaps
+    // the byte signal for decoded pixels with the identical plan.
+    // Block k covers bytes [k·L/8, (k+1)·L/8) (integer division), so
+    // every byte lands in exactly one block; block sums are integers
+    // and the division is the only float op — bit-identical across
+    // engines, no rounding slack needed.
+    "mm4_resize" -> ((s, d) => {
+      import s.implicits._
+      val Target = 8
+      val bin = Tables.documents(s, d)
+        .filter(octet_length(col("text")) >= Target)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      bin.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val L = bytes.length
+          val out = (0 until Target).map { k =>
+            val lo = k * L / Target; val hi = (k + 1) * L / Target
+            var sum = 0L
+            var i = lo
+            while (i < hi) { sum += bytes(i) & 0xFF; i += 1 }
+            sum.toDouble / (hi - lo)
+          }
+          (id, out)
+        }
+      }.toDF("doc_id", "resized")
+        .select(col("doc_id") +:
+          (0 until Target).map(i => col("resized")(i).as(s"r$i")): _*)
+        .orderBy("doc_id")
     })
   )
 
@@ -129,6 +163,29 @@ object Multimodal {
                   i -> ascii(substring(text, k * 16 + i, 1)))) / 16.0
                   AS frame_mean
          FROM f WHERE k % 4 = 0
-         ORDER BY doc_id, frame_idx"""
+         ORDER BY doc_id, frame_idx""",
+    // ASCII corpus again: ascii(char) == byte value; block bounds use
+    // the same integer division (// matches Scala int division).
+    "mm4_resize" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS L FROM documents
+           WHERE octet_length(encode(text)) >= 8),
+         blocks AS (
+           SELECT doc_id, k,
+                  list_sum(list_transform(
+                    range(k * L // 8 + 1, (k + 1) * L // 8 + 1),
+                    i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT)))
+                    / CAST((k + 1) * L // 8 - k * L // 8 AS DOUBLE) AS v
+           FROM d, unnest(generate_series(0, 7)) AS u(k))
+         SELECT doc_id,
+                max(CASE WHEN k = 0 THEN v END) AS r0,
+                max(CASE WHEN k = 1 THEN v END) AS r1,
+                max(CASE WHEN k = 2 THEN v END) AS r2,
+                max(CASE WHEN k = 3 THEN v END) AS r3,
+                max(CASE WHEN k = 4 THEN v END) AS r4,
+                max(CASE WHEN k = 5 THEN v END) AS r5,
+                max(CASE WHEN k = 6 THEN v END) AS r6,
+                max(CASE WHEN k = 7 THEN v END) AS r7
+         FROM blocks GROUP BY doc_id ORDER BY doc_id"""
   )
 }

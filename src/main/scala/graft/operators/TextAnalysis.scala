@@ -99,6 +99,63 @@ object TextAnalysis {
           md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
         .orderBy("doc_id")),
 
+    // TXT5: BPE-ish regex tokenization (the GPT-2 pre-tokenizer idea:
+    // letter runs, digit runs, single punctuation marks as separate
+    // tokens — the unit a byte-pair encoder would merge from). Counts
+    // per class; the whitespace tokenizer stays TXT1.
+    "txt5_bpe_tokens" -> ((s, d) => {
+      val toksB = regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^\\sa-z0-9]"), lit(0))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toksB).cast("long").as("n_bpe_tokens"),
+          size(array_distinct(toksB)).cast("long").as("n_unique"),
+          size(filter(toksB, t => t.rlike("^[a-z]+$")))
+            .cast("long").as("n_alpha"),
+          size(filter(toksB, t => t.rlike("^[0-9]+$")))
+            .cast("long").as("n_num"))
+        .orderBy("doc_id")
+    }),
+
+    // TXT6: rolling-hash fingerprinting (winnowing, Schleimer et al.
+    // 2003): Rabin–Karp polynomial hashes over 8-char grams, then the
+    // minimum hash of each 4-gram window — the classic local
+    // document-fingerprint scheme (TXT4's md5 is the global form).
+    // Modular fold stays far below Long.MaxValue, so Spark 4's ANSI
+    // overflow checking never fires. Summary scalars (count/extremes)
+    // keep the result comparator-hashable.
+    //
+    // codes → hashes → fps are SEPARATE projection stages on purpose:
+    // each alias is referenced ≥2× downstream, so CollapseProject keeps
+    // them materialized once per row. Inlining them (the naive form)
+    // re-evaluates the whole hash array inside every windowed slice —
+    // O(len²·K) per document with an O(len) lower() at the leaf, which
+    // took 14 min on 500 rows. This form is one O(len·K) pass.
+    // (split("", -1) appends a trailing "" element, hence the slice to
+    // length(txt).)
+    "txt6_rolling_fp" -> ((s, d) => {
+      val K = 8; val W = 4; val B = 257L; val M = 1000000007L
+      val txt = lower(trim(col("text")))
+      Tables.documents(s, d)
+        .filter(length(txt) >= K + W - 1)
+        .select(col("doc_id"),
+          slice(transform(split(txt, ""), ch => ascii(ch).cast("long")),
+            lit(1), length(txt)).as("codes"))
+        .select(col("doc_id"),
+          transform(sequence(lit(1), size(col("codes")) - K + 1), p =>
+            aggregate(sequence(lit(0), lit(K - 1)), lit(0L),
+              (h, j) => (h * B + element_at(col("codes"), p + j)) % M))
+            .as("hashes"))
+        .select(col("doc_id"),
+          transform(sequence(lit(1), size(col("hashes")) - W + 1), i =>
+            array_min(slice(col("hashes"), i, lit(W)))).as("fps"))
+        .select(col("doc_id"),
+          size(array_distinct(col("fps"))).cast("long").as("n_fp"),
+          array_min(col("fps")).as("min_fp"),
+          array_max(col("fps")).as("max_fp"))
+        .orderBy("doc_id")
+    }),
+
     // F6: lexicon sentiment, relational form — Σ valence over all token
     // occurrences, VADER-normalized s/sqrt(s²+15).
     "f6_sentiment_lexicon" -> ((s, d) => {
@@ -230,6 +287,41 @@ object TextAnalysis {
       """SELECT doc_id,
                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
+    "txt5_bpe_tokens" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^\sa-z0-9]') AS toks
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+                CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+                CAST(len(list_filter(toks,
+                  x -> regexp_matches(x, '^[a-z]+$'))) AS BIGINT) AS n_alpha,
+                CAST(len(list_filter(toks,
+                  x -> regexp_matches(x, '^[0-9]+$'))) AS BIGINT) AS n_num
+         FROM t ORDER BY doc_id""",
+    "txt6_rolling_fp" ->
+      """WITH d AS (
+           SELECT doc_id, lower(trim(text)) AS t FROM documents
+           WHERE length(lower(trim(text))) >= 11),
+         h AS (
+           SELECT doc_id,
+                  list_transform(range(1, length(t) - 8 + 2),
+                    p -> list_reduce(
+                           list_prepend(CAST(0 AS BIGINT),
+                             list_transform(range(0, 8),
+                               j -> CAST(ascii(substring(t, p + j, 1)) AS BIGINT))),
+                           (h, c) -> (h * 257 + c) % 1000000007)) AS hs
+           FROM d),
+         w AS (
+           SELECT doc_id,
+                  list_transform(range(1, len(hs) - 4 + 2),
+                    i -> list_min(hs[i:i+3])) AS fps
+           FROM h)
+         SELECT doc_id, CAST(len(list_distinct(fps)) AS BIGINT) AS n_fp,
+                list_min(fps) AS min_fp, list_max(fps) AS max_fp
+         FROM w ORDER BY doc_id""",
     "f6_sentiment_lexicon" -> s"""
          WITH lex(word, valence) AS (VALUES $lexiconSqlValues),
          tok AS (

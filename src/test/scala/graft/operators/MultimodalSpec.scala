@@ -57,4 +57,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 0L, 65.0), (1L, 4L, 66.0)))
     // doc 2 (< one frame) emits nothing — no empty-frame rows
   }
+
+  test("mm4: area resize — exact block means, uneven blocks, short docs dropped") {
+    // "abcdefghijkl" (L=12, codes 97..108) over 8 blocks: sizes
+    // alternate 1,2 via integer division → means 97, 98.5, 100, 101.5,
+    // 103, 104.5, 106, 107.5. "ABABABAB" (L=8) maps byte-per-block.
+    val d = docs(1L -> "abcdefghijkl", 2L -> "ABABABAB", 3L -> "tiny")
+    val rows = Multimodal.queries("mm4_resize")(spark, d).collect()
+      .map(r => r.getLong(0) -> (0 until 8).map(i => r.getDouble(i + 1))).toMap
+    assert(rows.keySet == Set(1L, 2L)) // doc 3 (< 8 bytes) excluded
+    assert(rows(1L) == Seq(97.0, 98.5, 100.0, 101.5, 103.0, 104.5, 106.0, 107.5))
+    assert(rows(2L) == Seq(65.0, 66.0, 65.0, 66.0, 65.0, 66.0, 65.0, 66.0))
+  }
 }

@@ -43,4 +43,48 @@ class TextAnalysisSpec extends AnyFunSuite {
     // non-vacuous: the fixture spans positive, negative and neutral
     assert(f6(1L) > 0 && f6(2L) < 0 && f6(5L) == 0.0)
   }
+
+  test("txt5: BPE-ish pre-tokenizer splits letter runs, digit runs, punct") {
+    // lower("Hello, world 123 foo!") → hello , world 123 foo !
+    val d = docs(1L -> "Hello, world 123 foo!", 2L -> "aa aa")
+    val rows = TextAnalysis.queries("txt5_bpe_tokens")(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows(1L) == ((6L, 6L, 3L, 1L)))  // total, unique, alpha, num
+    assert(rows(2L) == ((2L, 1L, 2L, 0L)))  // dup run collapses in unique
+  }
+
+  /** Independent recomputation of TXT6's winnowing scheme: Rabin–Karp
+    * over K=8 grams mod 1e9+7, min of each W=4 window.
+    */
+  private def winnow(text: String): Seq[Long] = {
+    val t = text.trim.toLowerCase
+    val hashes = (0 to t.length - 8).map { p =>
+      t.substring(p, p + 8).foldLeft(0L)((h, c) => (h * 257L + c.toLong) % 1000000007L)
+    }
+    (0 to hashes.length - 4).map(i => hashes.slice(i, i + 4).min)
+  }
+
+  test("txt6: rolling-hash fingerprints match independent recomputation") {
+    val texts = Map(
+      1L -> "The quick brown fox jumps over the lazy dog",
+      2L -> "  MiXeD Case With   Leading spaces  ",
+      3L -> "abcdefghijk") // exactly K+W-1 = 11 chars → one window
+    val d = docs(texts.toSeq: _*)
+    val rows = TextAnalysis.queries("txt6_rolling_fp")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    texts.foreach { case (id, t) =>
+      val fp = winnow(t)
+      assert(rows(id) == ((fp.distinct.size.toLong, fp.min, fp.max)),
+        s"doc $id: got ${rows(id)}, want ${(fp.distinct.size, fp.min, fp.max)}")
+    }
+    // normalization: case/whitespace variants fingerprint identically
+    val d2 = docs(9L -> "the quick brown fox jumps over the lazy dog  ")
+    val norm = TextAnalysis.queries("txt6_rolling_fp")(spark, d2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert(norm == rows(1L))
+    // too-short docs (< K+W-1) are excluded, not errored
+    val d3 = docs(7L -> "tiny")
+    assert(TextAnalysis.queries("txt6_rolling_fp")(spark, d3).count() == 0L)
+  }
 }
