@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{PearsonPValue, VaderCompound}
+import graft.functions.{PearsonPValue, RollingFingerprint, VaderCompound}
 
 /** SparkSessionExtensions entry point for the engine's native
   * functions — the registration path for custom Catalyst expressions:
@@ -45,5 +45,12 @@ object GraftExtensions {
         require(children.size == 1,
           s"vader_compound expects (text STRING), got ${children.size} args")
         VaderCompound(children.head)
+      }),
+    (FunctionIdentifier("rolling_fp"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fp"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"rolling_fp expects (text STRING), got ${children.size} args")
+        RollingFingerprint(children.head)
       }))
 }

@@ -102,18 +102,27 @@ object TextAnalysis {
     // TXT5: BPE-ish regex tokenization (the GPT-2 pre-tokenizer idea:
     // letter runs, digit runs, single punctuation marks as separate
     // tokens — the unit a byte-pair encoder would merge from). Counts
-    // per class; the whitespace tokenizer stays TXT1.
+    // per class; the whitespace tokenizer stays TXT1. The token array
+    // is materialized in its own projection (referenced 4× downstream,
+    // so CollapseProject keeps it): inlined, the regex scan would run
+    // once per output column, and the HOF filters fall back to
+    // interpreted eval where no subexpression elimination saves it.
+    // Class counts need no second regex: letter/digit runs are decided
+    // by their first char (the extraction grammar guarantees a token
+    // never mixes classes).
     "txt5_bpe_tokens" -> ((s, d) => {
-      val toksB = regexp_extract_all(lower(col("text")),
-        lit("[a-z]+|[0-9]+|[^\\sa-z0-9]"), lit(0))
+      val first = (t: Column) => ascii(substring(t, 1, 1))
       Tables.documents(s, d)
         .select(col("doc_id"),
-          size(toksB).cast("long").as("n_bpe_tokens"),
-          size(array_distinct(toksB)).cast("long").as("n_unique"),
-          size(filter(toksB, t => t.rlike("^[a-z]+$")))
-            .cast("long").as("n_alpha"),
-          size(filter(toksB, t => t.rlike("^[0-9]+$")))
-            .cast("long").as("n_num"))
+          regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^\\sa-z0-9]"), lit(0)).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_bpe_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_unique"),
+          size(filter(col("toks"), t =>
+            first(t).between(97, 122))).cast("long").as("n_alpha"),
+          size(filter(col("toks"), t =>
+            first(t).between(48, 57))).cast("long").as("n_num"))
         .orderBy("doc_id")
     }),
 
@@ -136,8 +145,16 @@ object TextAnalysis {
     "txt6_rolling_fp" -> ((s, d) => {
       val K = 8; val W = 4; val B = 257L; val M = 1000000007L
       val txt = lower(trim(col("text")))
+      // Fingerprinting cost is per-row CPU (~12 hash ops per byte),
+      // not per-byte IO, so input-split parallelism undersizes the
+      // stage whenever the corpus sits in few files (here: one file →
+      // one partition → single-threaded). The explicit hash
+      // repartition spreads the compute across all cores; relative to
+      // the gram hashing it amortizes even on a many-file corpus, and
+      // the final orderBy re-sorts anyway.
       Tables.documents(s, d)
         .filter(length(txt) >= K + W - 1)
+        .repartition(col("doc_id"))
         .select(col("doc_id"),
           slice(transform(split(txt, ""), ch => ascii(ch).cast("long")),
             lit(1), length(txt)).as("codes"))
