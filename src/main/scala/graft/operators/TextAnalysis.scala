@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.{RollingFingerprint, RollingFp}
 
 /** Text-analysis pillar over `documents.text`: token counting,
   * quality scoring, language-ID heuristic, document fingerprinting,
@@ -130,46 +131,29 @@ object TextAnalysis {
     // 2003): Rabin–Karp polynomial hashes over 8-char grams, then the
     // minimum hash of each 4-gram window — the classic local
     // document-fingerprint scheme (TXT4's md5 is the global form).
-    // Modular fold stays far below Long.MaxValue, so Spark 4's ANSI
-    // overflow checking never fires. Summary scalars (count/extremes)
-    // keep the result comparator-hashable.
+    // Summary scalars (count/extremes) keep the result
+    // comparator-hashable.
     //
-    // codes → hashes → fps are SEPARATE projection stages on purpose:
-    // each alias is referenced ≥2× downstream, so CollapseProject keeps
-    // them materialized once per row. Inlining them (the naive form)
-    // re-evaluates the whole hash array inside every windowed slice —
-    // O(len²·K) per document with an O(len) lower() at the leaf, which
-    // took 14 min on 500 rows. This form is one O(len·K) pass.
-    // (split("", -1) appends a trailing "" element, hence the slice to
-    // length(txt).)
+    // The fingerprint pass is graft.functions.RollingFingerprint — a
+    // codegen Catalyst expression doing one O(len·K) array pass per
+    // document inside whole-stage codegen. (An equivalent
+    // transform/aggregate/slice HOF formulation exists in
+    // TextAnalysisSpec as the cross-check; HOFs never enter codegen,
+    // so as the query it was ~8× slower.) The length filter sits on
+    // the raw column so the kernel runs once per surviving row: the
+    // kernel's contract maps short docs to EMPTY arrays, so filtering
+    // on size(fps) would be equivalent but would let the pushed-down
+    // predicate re-evaluate the kernel. SQL trim = spaces only, the
+    // kernel's normalization exactly.
     "txt6_rolling_fp" -> ((s, d) => {
-      val K = 8; val W = 4; val B = 257L; val M = 1000000007L
-      val txt = lower(trim(col("text")))
-      // Fingerprinting cost is per-row CPU (~12 hash ops per byte),
-      // not per-byte IO, so input-split parallelism undersizes the
-      // stage whenever the corpus sits in few files (here: one file →
-      // one partition → single-threaded). The explicit hash
-      // repartition spreads the compute across all cores; relative to
-      // the gram hashing it amortizes even on a many-file corpus, and
-      // the final orderBy re-sorts anyway.
+      val fps = col("fps")
       Tables.documents(s, d)
-        .filter(length(txt) >= K + W - 1)
-        .repartition(col("doc_id"))
+        .filter(length(trim(col("text"))) >= RollingFp.K + RollingFp.W - 1)
+        .select(col("doc_id"), RollingFingerprint.fps(col("text")).as("fps"))
         .select(col("doc_id"),
-          slice(transform(split(txt, ""), ch => ascii(ch).cast("long")),
-            lit(1), length(txt)).as("codes"))
-        .select(col("doc_id"),
-          transform(sequence(lit(1), size(col("codes")) - K + 1), p =>
-            aggregate(sequence(lit(0), lit(K - 1)), lit(0L),
-              (h, j) => (h * B + element_at(col("codes"), p + j)) % M))
-            .as("hashes"))
-        .select(col("doc_id"),
-          transform(sequence(lit(1), size(col("hashes")) - W + 1), i =>
-            array_min(slice(col("hashes"), i, lit(W)))).as("fps"))
-        .select(col("doc_id"),
-          size(array_distinct(col("fps"))).cast("long").as("n_fp"),
-          array_min(col("fps")).as("min_fp"),
-          array_max(col("fps")).as("max_fp"))
+          size(array_distinct(fps)).cast("long").as("n_fp"),
+          array_min(fps).as("min_fp"),
+          array_max(fps).as("max_fp"))
         .orderBy("doc_id")
     }),
 

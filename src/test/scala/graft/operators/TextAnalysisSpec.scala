@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{SparkTestSession, Tables}
 
 /** Cross-anchor for the rows-only F7: on text whose tokens are only
   * F6-lexicon words plus out-of-lexicon fillers — no negators,
@@ -86,5 +88,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     // too-short docs (< K+W-1) are excluded, not errored
     val d3 = docs(7L -> "tiny")
     assert(TextAnalysis.queries("txt6_rolling_fp")(spark, d3).count() == 0L)
+  }
+
+  /** The higher-order-function formulation TXT6 shipped with before the
+    * codegen kernel replaced it (r7) — kept VERBATIM here as the
+    * cross-check: a declarative Spark-SQL derivation of the same
+    * winnowing scheme, sharing no code with RollingFp. */
+  private def hofRollingFp(dir: String): DataFrame = {
+    val K = 8; val W = 4; val B = 257L; val M = 1000000007L
+    val txt = lower(trim(col("text")))
+    Tables.documents(spark, dir)
+      .filter(length(txt) >= K + W - 1)
+      .select(col("doc_id"),
+        slice(transform(split(txt, ""), ch => ascii(ch).cast("long")),
+          lit(1), length(txt)).as("codes"))
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("codes")) - K + 1), p =>
+          aggregate(sequence(lit(0), lit(K - 1)), lit(0L),
+            (h, j) => (h * B + element_at(col("codes"), p + j)) % M))
+          .as("hashes"))
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("hashes")) - W + 1), i =>
+          array_min(slice(col("hashes"), i, lit(W)))).as("fps"))
+      .select(col("doc_id"),
+        size(array_distinct(col("fps"))).cast("long").as("n_fp"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
+      .orderBy("doc_id")
+  }
+
+  test("txt6: codegen kernel agrees with the HOF formulation on real docs") {
+    val d = SparkTestSession.Sf0001
+    val kernel = TextAnalysis.queries("txt6_rolling_fp")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val hof = hofRollingFp(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(kernel.nonEmpty)
+    assert(kernel.toSeq == hof.toSeq)
   }
 }
