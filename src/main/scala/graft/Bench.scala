@@ -40,37 +40,65 @@ object Bench {
     // Stage the streaming rig (JSON render of events) outside the
     // timed region — t1/t2/t4 then only copy staged files + stream.
     graft.streaming.EventStream.stageRig(spark, sfDir)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def medianOf(name: String)(run: () => Unit): Double = {
       val times = (1 to Reps).map { _ =>
         val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
+        try { run(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }
       }
-      val median =
-        if (times.exists(_ < 0)) -1.0 else times.sorted.apply(Reps / 2)
-      name -> median
+      if (times.exists(_ < 0)) -1.0 else times.sorted.apply(Reps / 2)
+    }
+    // The shared materialized tables (MinHash signatures for D3/D6, the
+    // lag grid for the three lag_grid selections) are built once per
+    // session, so median-of-3 would discard their one-time cost from
+    // every consuming query's timing. Time the builds as their own
+    // entries — invalidate before each rep so every rep pays the full
+    // corpus pass; the final rep leaves a warm cache for the query loop
+    // (which then times post-build consumption, as in production).
+    val builds: Seq[(String, Double)] = Seq(
+      "sig_build" -> medianOf("sig_build") { () =>
+        graft.operators.Dedup.signatures.invalidate(spark, sfDir)
+        graft.operators.Dedup.signatures(spark, sfDir)
+      },
+      "grid_build" -> medianOf("grid_build") { () =>
+        graft.operators.LagGrid.grid.invalidate(spark, sfDir)
+        graft.operators.LagGrid.grid(spark, sfDir)
+      })
+    val results = builds ++ SparkEntry.queries.map { case (name, fn) =>
+      name -> medianOf(name) { () =>
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
-    // Persist the COMPLETE per-query map to a file as well: the
-    // harness captures a bounded stdout tail, which truncated ~28 of
-    // 90 query timings out of the round-5 artifact. A file survives
-    // regardless of how much of the log the capture keeps.
+    // Persist the COMPLETE per-query map to files as well: the harness
+    // captures a bounded stdout tail, which truncated ~28 of 90 query
+    // timings out of the round-5 artifact, and target/ is overwritten
+    // by every run. BENCH_FULL_r{N}.json at the repo root is tracked,
+    // so each round's full map survives in history; N is the round
+    // being benched — one past the highest BENCH_r{N}.json the driver
+    // has committed so far (overridable via SPARK_GRAFT_ROUND).
+    val bytes = (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val out = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out,
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(out, bytes)
+    val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+      val prev = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => "^BENCH_r(\\d+)\\.json$".r
+          .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      if (prev.isEmpty) 1 else prev.max + 1
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(f"BENCH_FULL_r$round%02d.json"), bytes)
     spark.stop()
   }
 }

@@ -60,17 +60,14 @@ object Dedup {
         array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  private val sigCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
   /** Signatures, materialized once per (session, dir): the banding
     * query (D3) and the verified pipeline (D6) consume the SAME
     * signature table, and the shingle-explode + 32-min corpus pass is
-    * by far the dominant cost of both. The 100 TB analogue is
-    * persisting the signature table after the one expensive corpus
-    * scan and running every banding/verification pass against it. */
-  def signatures(s: SparkSession, d: String): DataFrame =
-    sigCache.getOrElseUpdate((s, d), signaturesPlan(s, d).localCheckpoint())
+    * by far the dominant cost of both. Lifecycle (validity while the
+    * dir is immutable, explicit invalidation, executor-loss recompute)
+    * is [[graft.MaterializedTable]]'s contract; Bench times the build
+    * as its own `sig_build` entry. */
+  val signatures = new graft.MaterializedTable(signaturesPlan)
 
   /** LSH candidate pairs + signature-estimated Jaccard ≥ minEst. */
   def minhashPairs(sigs: DataFrame, minEst: Double): DataFrame = {

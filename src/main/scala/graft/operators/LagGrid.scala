@@ -98,17 +98,14 @@ object LagGrid {
       .agg(corr(col("senti"), col("fwd_ret")).as("c"),
            count(lit(1)).as("n"))
 
-  private val gridCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
   /** Memoized, materialized grid. All three lag_grid queries consume
     * the SAME O(keys × 20)-row table; without sharing, each rebuilt
     * the full interval-join pipeline (3× the round-5 bench cost).
-    * `localCheckpoint` truncates the lineage once per (session, dir) —
-    * the 100 TB analogue of persisting the grid before the selection
-    * passes (same pattern as the D6 candidate table, Dedup.scala). */
-  def grid(s: SparkSession, d: String): DataFrame =
-    gridCache.getOrElseUpdate((s, d), gridPlan(s, d).localCheckpoint())
+    * Lifecycle (validity while the dir is immutable, explicit
+    * invalidation, executor-loss recompute) is
+    * [[graft.MaterializedTable]]'s contract; Bench times the build as
+    * its own `grid_build` entry. */
+  val grid = new graft.MaterializedTable(gridPlan)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The grid itself — SQL-expressible, fully oracle-checked.

@@ -33,9 +33,13 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("lag grid: only the 5-row lookback dim crosses the spine") {
-    // inspect the raw plan — the memoized `grid` the queries consume
-    // is a localCheckpoint of exactly this subtree, which executes as
-    // an opaque RDD scan and would hide the join shapes
+    // inspect the raw plan: the memoized `grid` the queries consume is
+    // a persisted copy of exactly this subtree, and once it exists the
+    // CacheManager substitutes it into ANY structurally-equal plan —
+    // hiding the join shapes behind an InMemoryTableScan (and
+    // rendering the cached AQE plan twice, initial + final). Dropping
+    // the cache entry makes the builder plan raw again.
+    LagGrid.grid.invalidate(spark, sf)
     val plan = LagGrid.gridPlan(spark, sf).queryExecution.executedPlan.toString
     // the broadcast cross of the tiny LocalTableScan dimension is the
     // designed shape; what must NOT appear is a cartesian between two
