@@ -6,6 +6,31 @@ import graft.Tables
 
 import scala.collection.mutable
 
+/** Strategy parameters of the portfolio fold (mirroring
+  * `config/stock_universe.py:26-28` and `scripts/07_backtest.py:26-30`
+  * semantics). The reference's dashboard re-runs the backtest with
+  * slider-chosen parameters (`app/experiment.py:252-325`); this config
+  * is that re-run surface: thread any instance through
+  * [[Backtest.fold]]/[[Backtest.run]].
+  */
+final case class BacktestConfig(
+    initialCash: Double,
+    positionFrac: Double,  // fraction of cash per entry (07_backtest.py:27)
+    maxPositions: Int,     // position cap (07_backtest.py:58-60)
+    stopLoss: Double,      // exit at/below this return
+    takeProfit: Double,    // exit at/above this return
+    holdDays: Int,         // max holding period in trading days
+    cost: Double,          // transaction cost rate (07_backtest.py:29)
+    slippage: Double)      // per-leg slippage rate (07_backtest.py:30)
+
+object BacktestConfig {
+  /** The shipped default run. */
+  val Default = BacktestConfig(10000.0, 0.8, 3, -0.05, 0.20, 5, 0.001, 0.0005)
+  /** The reference's published long-hold variant
+    * (`trades/HOLDING_PERIOD_24/`): same strategy, 24-day max hold. */
+  val Hold24 = Default.copy(holdDays = 24)
+}
+
 /** T7 — the sequential portfolio backtest fold, plus its downstream
   * metric blocks (A8 trade metrics, A10 risk metrics) over the fold's
   * own output.
@@ -39,17 +64,6 @@ object Backtest {
   private def safeDiv(a: Column, b: Column): Column =
     when(b =!= 0, a / b)
 
-  // Strategy parameters (mirroring config/stock_universe.py:26-28 and
-  // scripts/07_backtest.py:26-30 semantics).
-  val InitialCash = 10000.0
-  val PositionFrac = 0.8        // 80% of cash per entry (07_backtest.py:27)
-  val MaxPositions = 3          // position cap (07_backtest.py:58-60)
-  val StopLoss = -0.05          // exit below -5%
-  val TakeProfit = 0.20         // exit above +20%
-  val HoldDays = 5              // max holding period in trading days
-  val Cost = 0.001              // 0.1% transaction cost (07_backtest.py:29)
-  val Slippage = 0.0005         // 0.05% slippage (07_backtest.py:30)
-
   /** One (day, key) input row: signal + mark price. */
   final case class DayRow(day: java.sql.Timestamp, key: Long,
                           signal: String, price: Double)
@@ -68,16 +82,17 @@ object Backtest {
   /** Pure sequential fold over day-ordered rows (rows within a day in
     * key order for determinism). Emits one trade row per exit and one
     * equity row per day. */
-  def fold(rows: Iterator[DayRow]): Iterator[OutRow] = {
-    var cash = InitialCash
+  def fold(rows: Iterator[DayRow],
+           cfg: BacktestConfig = BacktestConfig.Default): Iterator[OutRow] = {
+    var cash = cfg.initialCash
     val positions = mutable.LinkedHashMap.empty[Long, Position]
     val out = mutable.ArrayBuffer.empty[OutRow]
     var lastPrice = mutable.Map.empty[Long, Double]
 
     def exit(key: Long, pos: Position, price: Double, reason: String,
              day: java.sql.Timestamp): Unit = {
-      val px = price * (1 - Slippage)          // sell slippage
-      val proceeds = pos.shares * px * (1 - Cost)
+      val px = price * (1 - cfg.slippage)      // sell slippage
+      val proceeds = pos.shares * px * (1 - cfg.cost)
       val costBasis = pos.shares * pos.entryPrice
       val pnl = proceeds - costBasis
       cash += proceeds
@@ -96,20 +111,20 @@ object Backtest {
           lastPrice.get(key).foreach { px =>
             pos.daysHeld += 1
             val ret = px / pos.entryPrice - 1
-            if (ret <= StopLoss) exit(key, pos, px, "stop_loss", day)
-            else if (ret >= TakeProfit) exit(key, pos, px, "take_profit", day)
-            else if (pos.daysHeld >= HoldDays) exit(key, pos, px, "hold_period", day)
+            if (ret <= cfg.stopLoss) exit(key, pos, px, "stop_loss", day)
+            else if (ret >= cfg.takeProfit) exit(key, pos, px, "take_profit", day)
+            else if (pos.daysHeld >= cfg.holdDays) exit(key, pos, px, "hold_period", day)
           }
         }
         // 2. enter on BUY if not held and below the position cap
         byKey.foreach { r =>
           if (r.signal == "BUY" && !positions.contains(r.key) &&
-              positions.size < MaxPositions && cash > 0) {
-            val px = r.price * (1 + Slippage)   // buy slippage
-            val alloc = cash * PositionFrac
-            val shares = alloc / (px * (1 + Cost))
+              positions.size < cfg.maxPositions && cash > 0) {
+            val px = r.price * (1 + cfg.slippage)  // buy slippage
+            val alloc = cash * cfg.positionFrac
+            val shares = alloc / (px * (1 + cfg.cost))
             if (shares > 0) {
-              cash -= shares * px * (1 + Cost)
+              cash -= shares * px * (1 + cfg.cost)
               positions(r.key) = Position(day, px, shares, 0)
             }
           }
@@ -147,19 +162,29 @@ object Backtest {
 
   /** The full fold as a DataFrame query (single deliberate partition
     * over the already-aggregated day rows only). */
-  def run(s: SparkSession, d: String): DataFrame = {
+  def run(s: SparkSession, d: String,
+          cfg: BacktestConfig = BacktestConfig.Default): DataFrame = {
     import s.implicits._
     val in = dayInputs(s, d)
       .select(col("day"), col("key"), col("signal"), col("price"))
       .as[DayRow]
     in.coalesce(1).sortWithinPartitions("day", "key")
-      .mapPartitions(fold).toDF()
+      .mapPartitions(rows => fold(rows, cfg)).toDF()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T7: the fold itself — trades + equity curve.
     "t7_portfolio_fold" -> ((s, d) =>
       run(s, d).orderBy(col("kind"), col("day"), col("key"))),
+
+    // T7 parameterized re-run — the reference dashboard's slider
+    // lifecycle (app/experiment.py:252-325 rewrites config and re-runs
+    // 06+07; trades/HOLDING_PERIOD_24/ is the shipped variant): same
+    // fold, 24-day max hold. BacktestSpec pins how the variant moves
+    // hold-period exits relative to the default.
+    "t7_portfolio_fold_h24" -> ((s, d) =>
+      run(s, d, BacktestConfig.Hold24)
+        .orderBy(col("kind"), col("day"), col("key"))),
 
     // A8 over fold output: the trade-metrics block of 07_backtest.py:284-303.
     "t7_trade_metrics" -> ((s, d) =>
@@ -247,8 +272,8 @@ object Backtest {
           // order-dependent and only held because the global window
           // upstream left one sorted partition.
           r6(max_by(col("equity"), col("day"))).as("final_equity"),
-          r6(max_by(col("equity"), col("day")) / lit(InitialCash) - 1)
-            .as("total_return"),
+          r6(max_by(col("equity"), col("day")) /
+             lit(BacktestConfig.Default.initialCash) - 1).as("total_return"),
           avg(col("r")).as("mu"),
           stddev_samp(col("r")).as("sigma"),
           stddev_samp(when(col("r") < 0, col("r"))).as("downside"),
@@ -299,8 +324,8 @@ object Backtest {
         .withColumn("dd", col("equity") / col("peak") - 1)
         .agg(r6(min(col("dd"))).as("max_drawdown"),
           r6(max_by(col("equity"), col("day"))).as("final_equity"),
-          r6(max_by(col("equity"), col("day")) / lit(InitialCash) - 1)
-            .as("total_return"),
+          r6(max_by(col("equity"), col("day")) /
+             lit(BacktestConfig.Default.initialCash) - 1).as("total_return"),
           count(lit(1)).as("n_days"))
     })
   )

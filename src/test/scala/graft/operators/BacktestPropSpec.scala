@@ -10,12 +10,13 @@ import java.sql.Timestamp
   *  - cash never goes negative and positions never exceed the cap,
   *  - per key, exits arrive in day order (no overlapping holdings),
   *  - every trade's exit reason is one of the four defined,
-  *  - the accounting identity Δcash = Σpnl − Cost·Σbasis holds.
+  *  - the accounting identity Δcash = Σpnl − cost·Σbasis holds.
   * Scenarios come from seeded ScalaCheck generators (deterministic —
   * no wall-clock randomness), sampled 200×.
   */
 class BacktestPropSpec extends AnyFunSuite {
   import Backtest._
+  import BacktestConfig.Default.{initialCash, maxPositions, cost}
 
   private def day(i: Int): Timestamp =
     new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime +
@@ -44,7 +45,7 @@ class BacktestPropSpec extends AnyFunSuite {
         rows.map(_.day.getTime).distinct.sorted)
       // cash ≥ 0 and the position cap respected every day
       assert(equity.forall(e => e.cash >= -1e-6))
-      assert(equity.forall(_.numPositions <= MaxPositions))
+      assert(equity.forall(_.numPositions <= maxPositions))
       // defined exit reasons only; holding periods non-negative
       val reasons = Set("stop_loss", "take_profit", "hold_period",
         "end_of_backtest")
@@ -59,10 +60,10 @@ class BacktestPropSpec extends AnyFunSuite {
       // last equity row)
       val sumPnl = trades.map(_.pnl).sum
       val sumBasis = trades.map(t => t.shares * t.entryPrice).sum
-      val finalCash = equity.lastOption.map(_.cash).getOrElse(InitialCash) +
+      val finalCash = equity.lastOption.map(_.cash).getOrElse(initialCash) +
         trades.filter(_.exitReason == "end_of_backtest")
-          .map(t => t.shares * t.exitPrice * (1 - Cost)).sum
-      assert(math.abs(finalCash - (InitialCash + sumPnl - Cost * sumBasis))
+          .map(t => t.shares * t.exitPrice * (1 - cost)).sum
+      assert(math.abs(finalCash - (initialCash + sumPnl - cost * sumBasis))
         < 1e-2, s"cash=$finalCash pnl=$sumPnl basis=$sumBasis")
     }
   }

@@ -6,11 +6,13 @@ import java.sql.Timestamp
 /** Hand-computed fixtures + invariants for the sequential portfolio
   * fold (reference `scripts/07_backtest.py:37-164`): entry sizing,
   * stop-loss / take-profit / hold-period / end-of-backtest exits,
-  * no re-entry while held, the MaxPositions cap, and the cash ↔ pnl
+  * no re-entry while held, the maxPositions cap, and the cash ↔ pnl
   * accounting identity (SURVEY §7.3 invariants).
   */
 class BacktestSpec extends AnyFunSuite {
   import Backtest._
+  import BacktestConfig.Default.{initialCash, positionFrac, maxPositions,
+    holdDays, cost, slippage}
 
   private def day(i: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00")
@@ -28,14 +30,14 @@ class BacktestSpec extends AnyFunSuite {
 
     // hand-computed: px = 100·(1+0.0005); alloc = 10000·0.8;
     // shares = alloc / (px·(1+0.001)); cash after entry = 2000 exactly.
-    val px = 100.0 * (1 + Slippage)
-    val shares = InitialCash * PositionFrac / (px * (1 + Cost))
+    val px = 100.0 * (1 + slippage)
+    val shares = initialCash * positionFrac / (px * (1 + cost))
     val t = trades.head
     assert(t.exitReason == "stop_loss" && t.daysHeld == 1)
     assert(math.abs(t.entryPrice - px) < 1e-12)
     assert(math.abs(t.shares - shares) < 1e-12)
-    val exitPx = 90.0 * (1 - Slippage)
-    val proceeds = shares * exitPx * (1 - Cost)
+    val exitPx = 90.0 * (1 - slippage)
+    val proceeds = shares * exitPx * (1 - cost)
     val expectedPnl = proceeds - shares * px
     assert(math.abs(t.pnl - expectedPnl) < 1e-5, s"pnl=${t.pnl}")
     assert(t.pnl < 0)
@@ -55,12 +57,12 @@ class BacktestSpec extends AnyFunSuite {
     assert(t.exitReason == "take_profit" && t.pnl > 0)
   }
 
-  test("hold-period exit after HoldDays flat days") {
+  test("hold-period exit after holdDays flat days") {
     val rows = (0 to 6).map(d => row(d, 1, if (d == 0) "BUY" else "HOLD", 100.0))
     val trades = runFold(rows: _*).filter(_.kind == "trade")
     assert(trades.size == 1)
     assert(trades.head.exitReason == "hold_period")
-    assert(trades.head.daysHeld == HoldDays)
+    assert(trades.head.daysHeld == holdDays)
   }
 
   test("no re-entry while a position is held") {
@@ -74,16 +76,16 @@ class BacktestSpec extends AnyFunSuite {
     assert(out.filter(_.kind == "equity").forall(_.numPositions <= 1))
   }
 
-  test("MaxPositions cap holds with more BUY signals than slots") {
+  test("maxPositions cap holds with more BUY signals than slots") {
     val rows = (1L to 6L).map(k => row(0, k, "BUY", 100.0))
     val out = runFold(rows: _*)
-    assert(out.filter(_.kind == "equity").forall(_.numPositions <= MaxPositions))
-    assert(out.filter(_.kind == "equity").head.numPositions == MaxPositions)
-    // force-close emits exactly MaxPositions trades
-    assert(out.count(_.kind == "trade") == MaxPositions)
+    assert(out.filter(_.kind == "equity").forall(_.numPositions <= maxPositions))
+    assert(out.filter(_.kind == "equity").head.numPositions == maxPositions)
+    // force-close emits exactly maxPositions trades
+    assert(out.count(_.kind == "trade") == maxPositions)
   }
 
-  test("accounting identity: final cash = initial + Σpnl − Cost·Σbasis") {
+  test("accounting identity: final cash = initial + Σpnl − cost·Σbasis") {
     // a volatile multi-key run exercising all exit paths
     val prices = Map(
       1L -> Seq(100.0, 94.0, 99.0, 101.0, 103.0, 104.0, 100.0),
@@ -97,24 +99,41 @@ class BacktestSpec extends AnyFunSuite {
     assert(trades.nonEmpty)
     val sumPnl = trades.map(_.pnl).sum
     val sumBasis = trades.map(t => t.shares * t.entryPrice).sum
-    // Δcash = Σ(proceeds − alloc) = Σpnl − Cost·Σbasis (alloc = basis·(1+Cost))
+    // Δcash = Σ(proceeds − alloc) = Σpnl − cost·Σbasis (alloc = basis·(1+cost))
     val lastCash = out.filter(_.kind == "equity").last.cash +
       trades.filter(_.exitReason == "end_of_backtest")
-        .map(t => t.shares * t.exitPrice * (1 - Cost)).sum
-    assert(math.abs(lastCash - (InitialCash + sumPnl - Cost * sumBasis)) < 1e-3,
+        .map(t => t.shares * t.exitPrice * (1 - cost)).sum
+    assert(math.abs(lastCash - (initialCash + sumPnl - cost * sumBasis)) < 1e-3,
       s"cash=$lastCash pnl=$sumPnl basis=$sumBasis")
     // every day: position count within cap, cash non-negative
     val eq = out.filter(_.kind == "equity")
-    assert(eq.forall(e => e.numPositions <= MaxPositions && e.cash >= -1e-9))
+    assert(eq.forall(e => e.numPositions <= maxPositions && e.cash >= -1e-9))
   }
 
   test("exit-price slippage and cost are applied on both legs") {
     val out = runFold(row(0, 1, "BUY", 100.0), row(1, 1, "HOLD", 125.0))
     val t = out.filter(_.kind == "trade").head
-    assert(math.abs(t.exitPrice - 125.0 * (1 - Slippage)) < 1e-12)
+    assert(math.abs(t.exitPrice - 125.0 * (1 - slippage)) < 1e-12)
     // naive pnl without frictions would be shares·25; actual is less
     val naive = t.shares * 25.0
     assert(t.pnl < naive)
+  }
+
+  test("Hold24 variant moves the hold-period exit from day 5 to day 24") {
+    // the parameterized re-run the reference ships as
+    // trades/HOLDING_PERIOD_24/: on a flat 30-day path the ONLY
+    // config-sensitive exit is the holding period, so the two configs
+    // must produce the same single trade at different ages.
+    val rows = (0 to 29).map(d => row(d, 1, if (d == 0) "BUY" else "HOLD", 100.0))
+    val d5 = fold(rows.iterator).toSeq.filter(_.kind == "trade")
+    val h24 = fold(rows.iterator, BacktestConfig.Hold24).toSeq
+      .filter(_.kind == "trade")
+    assert(d5.size == 1 && d5.head.exitReason == "hold_period" &&
+           d5.head.daysHeld == holdDays)
+    assert(h24.size == 1 && h24.head.exitReason == "hold_period" &&
+           h24.head.daysHeld == BacktestConfig.Hold24.holdDays)
+    // flat price + frictions: both exits realize the same (small) loss
+    assert(math.abs(d5.head.pnl - h24.head.pnl) < 1e-9)
   }
 
   test("t7_trade_metrics equals an independent recomputation of the fold") {
