@@ -106,24 +106,49 @@ object EventStream {
     * row; the state store persists tallies across batches AND across
     * restarts (StreamingSpec proves recovery on a second run over the
     * same checkpoint). At scale: state is hash-partitioned by key
-    * across executors; per-key memory is O(1). */
-  def statefulTally(events: org.apache.spark.sql.Dataset[Event])
+    * across executors; per-key memory is O(1).
+    *
+    * State lifetime: with `ttl` set, a key's state expires once the
+    * event-time watermark passes its last event + ttl
+    * (`EventTimeTimeout` — the input must be watermarked); the
+    * unbounded-key production shape, where a retired key must not pin
+    * store memory forever (the bug the reference's ever-growing
+    * `seen_ids` set has, `consumer/consumer.py`). Without `ttl`,
+    * tallies are immortal (`NoTimeout`) — correct for the BOUNDED
+    * historical replay in [[runStatefulTally]], where the watermark
+    * races far ahead of old keys mid-replay and an expiry would
+    * wrongly restart their counts. */
+  def statefulTally(events: org.apache.spark.sql.Dataset[Event],
+                    ttl: Option[java.time.Duration] = None)
       : org.apache.spark.sql.Dataset[KeyTally] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (ttl.isDefined)
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()
+      else org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[KeyTally, KeyTally](
-        org.apache.spark.sql.streaming.OutputMode.Update(),
-        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        org.apache.spark.sql.streaming.OutputMode.Update(), timeoutConf) {
         (key, rows, state: org.apache.spark.sql.streaming.GroupState[KeyTally]) =>
-          var t = state.getOption.getOrElse(KeyTally(key, 0L,
-            Double.NegativeInfinity, Double.PositiveInfinity, Long.MinValue))
-          rows.foreach { e =>
-            t = KeyTally(key, t.n_events + 1,
-              math.max(t.max_value, e.value), math.min(t.min_value, e.value),
-              math.max(t.last_event_id, e.event_id))
+          if (state.hasTimedOut) {
+            // watermark passed last event + ttl: release the key's state
+            state.remove()
+            Iterator.empty
+          } else {
+            var t = state.getOption.getOrElse(KeyTally(key, 0L,
+              Double.NegativeInfinity, Double.PositiveInfinity, Long.MinValue))
+            var maxTs = Long.MinValue
+            rows.foreach { e =>
+              t = KeyTally(key, t.n_events + 1,
+                math.max(t.max_value, e.value), math.min(t.min_value, e.value),
+                math.max(t.last_event_id, e.event_id))
+              maxTs = math.max(maxTs, e.ts.getTime)
+            }
+            state.update(t)
+            ttl.foreach(d =>
+              state.setTimeoutTimestamp(maxTs + d.toMillis))
+            Iterator.single(t)
           }
-          state.update(t)
-          Iterator.single(t)
       }
   }
 

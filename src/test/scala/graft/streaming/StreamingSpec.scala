@@ -134,4 +134,58 @@ class StreamingSpec extends AnyFunSuite {
       assert(tally == full(k), s"key $k: run-2 tally $tally != full ${full(k)}")
     }
   }
+
+  test("T8 TTL: key state expires once the watermark passes last+ttl") {
+    // Four single-event files processed as four micro-batches
+    // (maxFilesPerTrigger=1). Key 1 appears in batch 1 (10:00) and
+    // batch 4 (22:00); with a 1 h TTL the watermark (20:00 after
+    // batch 2) passes key 1's 11:00 expiry during batch 3, the state
+    // store drops it, and batch 4 restarts its count at 1. The
+    // NoTimeout control over the same files keeps the state and
+    // counts 2 — the pair proves expiry does exactly one thing.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("t8-ttl").toFile
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    def evJson(id: Long, hour: Int, user: Long): String =
+      f"""{"event_id":$id,"ts":"2024-01-01T$hour%02d:00:00.000Z","user_id":$user,"event_type":"x","value":1.0,"props":"{}"}"""
+    val files = Seq(
+      "f1.json" -> evJson(1, 10, 1L),
+      "f2.json" -> evJson(2, 20, 2L),
+      "f3.json" -> evJson(3, 21, 3L),
+      "f4.json" -> evJson(4, 22, 1L))
+    files.zipWithIndex.foreach { case ((name, line), i) =>
+      val f = new java.io.File(src, name)
+      java.nio.file.Files.write(f.toPath, (line + "\n").getBytes)
+      f.setLastModified(1700000000000L + i * 60000L)  // batch order
+    }
+
+    def run(ttl: Option[java.time.Duration], tag: String): Map[Long, Long] = {
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[EventStream.KeyTally]
+      val in = spark.readStream.schema(EventStream.eventSchema)
+        .option("maxFilesPerTrigger", 1).json(src.getAbsolutePath)
+        .withWatermark("ts", "0 seconds").as[EventStream.Event]
+      val q = EventStream.statefulTally(in, ttl)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt-$tag")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[EventStream.KeyTally], _: Long) =>
+            val rows = df.collect()
+            got.synchronized { got ++= rows }
+            ()
+        }
+        .start()
+      q.awaitTermination()
+      // final tally per key = the emission carrying its max event id
+      got.groupBy(_.user_id)
+        .map { case (k, ts) => k -> ts.maxBy(_.last_event_id).n_events }
+    }
+
+    val withTtl = run(Some(java.time.Duration.ofHours(1)), "ttl")
+    val control = run(None, "nottl")
+    assert(control(1L) == 2L, s"control must keep state: $control")
+    assert(withTtl(1L) == 1L, s"state did not expire: $withTtl")
+    assert(withTtl(2L) == 1L && withTtl(3L) == 1L)
+  }
 }
