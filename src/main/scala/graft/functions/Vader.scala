@@ -35,7 +35,9 @@ object Vader {
   val lexicon: Map[String, Double] =
     VaderLexicon.entries ++ graft.operators.TextAnalysis.lexicon.toMap
 
-  private val boosters: Map[String, Double] = Map(
+  // package-visible so VaderSpec can assert booster/lexicon
+  // disjointness (a shared key would double-count: valence AND boost)
+  private[functions] val boosters: Map[String, Double] = Map(
     "very" -> 0.293, "extremely" -> 0.293, "incredibly" -> 0.293,
     "really" -> 0.193, "slightly" -> -0.293, "somewhat" -> -0.193)
 

@@ -12,6 +12,15 @@ class VaderSpec extends AnyFunSuite {
 
   private def norm(s: Double): Double = s / math.sqrt(s * s + 15.0)
 
+  test("boosters and lexicon keys stay disjoint (no double-counting)") {
+    // the scorer guards the overlap at runtime (a booster token is
+    // consumed as a booster, never also as a lexicon word); this pins
+    // the invariant at the data level so a future lexicon addition
+    // cannot silently change booster semantics
+    val shared = Vader.boosters.keySet.intersect(Vader.lexicon.keySet)
+    assert(shared.isEmpty, s"booster words present in lexicon: $shared")
+  }
+
   test("empty / null / neutral text scores 0") {
     assert(Vader.compound("") == 0.0)
     assert(Vader.compound(null) == 0.0)
