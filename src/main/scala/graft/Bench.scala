@@ -66,6 +66,10 @@ object Bench {
       "grid_build" -> medianOf("grid_build") { () =>
         graft.operators.LagGrid.grid.invalidate(spark, sfDir)
         graft.operators.LagGrid.grid(spark, sfDir)
+      },
+      "s15_layout_build" -> medianOf("s15_layout_build") { () =>
+        graft.operators.SourceSinks.invalidateBucketed(spark, sfDir)
+        graft.operators.SourceSinks.bucketedTable(spark, sfDir)
       })
     val results = builds ++ SparkEntry.queries.map { case (name, fn) =>
       name -> medianOf(name) { () =>
