@@ -98,11 +98,18 @@ object Multimodal {
     // every byte lands in exactly one block; block sums are integers
     // and the division is the only float op — bit-identical across
     // engines, no rounding slack needed.
+    // ASCII guard (octet_length == length, mirrored in the oracle):
+    // this side blocks over UTF-8 BYTES while the oracle indexes
+    // CHARACTERS, so a multibyte document would silently diverge (and
+    // one with ≥8 bytes but <8 chars would yield NULL oracle blocks).
+    // Restricting both engines to single-byte text makes the two
+    // formulations provably the same partition of the same sequence.
     "mm4_resize" -> ((s, d) => {
       import s.implicits._
       val Target = 8
       val bin = Tables.documents(s, d)
-        .filter(octet_length(col("text")) >= Target)
+        .filter(octet_length(col("text")) >= Target &&
+                octet_length(col("text")) === length(col("text")))
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[(Long, Array[Byte])]
       bin.mapPartitions { it =>
@@ -164,12 +171,14 @@ object Multimodal {
                   AS frame_mean
          FROM f WHERE k % 4 = 0
          ORDER BY doc_id, frame_idx""",
-    // ASCII corpus again: ascii(char) == byte value; block bounds use
-    // the same integer division (// matches Scala int division).
+    // ascii(char) == byte value under the ASCII guard (single-byte
+    // text only, enforced in BOTH engines — see the Spark side); block
+    // bounds use the same integer division (// = Scala int division).
     "mm4_resize" ->
       """WITH d AS (
            SELECT doc_id, text, length(text) AS L FROM documents
-           WHERE octet_length(encode(text)) >= 8),
+           WHERE octet_length(encode(text)) >= 8
+             AND octet_length(encode(text)) = length(text)),
          blocks AS (
            SELECT doc_id, k,
                   list_sum(list_transform(
