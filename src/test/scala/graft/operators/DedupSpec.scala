@@ -90,6 +90,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH recall: banding surfaces the high-Jaccard pairs D2 knows about") {
+    // the cross-anchor above proves PRECISION (every surfaced pair
+    // carries D2's oracle-verified jaccard); this is the other
+    // direction: the banding must FIND the high-overlap pairs the
+    // exact baseline reports. With 8 bands × 4 rows the analytic miss
+    // probability (1−J⁴)⁸ is ~11% at J=0.7, ~1.5% at J=0.8 and ~0.02%
+    // at J=0.9 — and the hash family is seeded xxhash64, so observed
+    // recall on this corpus is a fixed quantity, not a flake.
+    val sf = SparkTestSession.Sf0001
+    val cands = Dedup.minhashPairs(Dedup.signatures(spark, sf), 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val high = TextAnalysis.queries("d2_ngram_jaccard")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .filter(_._2 >= 0.7)
+    assert(high.nonEmpty, "vacuous: no D2 pair with jaccard >= 0.7")
+    val missed = high.filterNot { case (p, _) => cands(p) }
+    assert(missed.isEmpty, s"banding missed high-Jaccard pairs: $missed")
+  }
+
   test("D6 true_jaccard equals D2 jaccard on a crafted near-dup fixture") {
     // deterministic companion to the testdata cross-check: 35 shared +
     // 5 unique words per side gives true shingle Jaccard well above
