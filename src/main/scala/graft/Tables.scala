@@ -56,6 +56,17 @@ object Tables {
       .filter(col("ts") >= ns(loUtc) && col("ts") < ns(hiUtc))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+  /** documents.text drives per-row-CPU operators (fingerprinting,
+    * tokenization, sentiment), whose parallelism comes entirely from
+    * input splits: the testdata corpus sits in ONE parquet file, so a
+    * CPU-bound stage over it runs one task unless the file exceeds
+    * maxPartitionBytes. At scale the corpus is expected to be written
+    * as many files (any partitioned/bucketed ingest does this), which
+    * is the correct fix — operators here deliberately do NOT each
+    * carry a repartition() band-aid, since an extra full-corpus
+    * shuffle ahead of a map-only stage is exactly what a 100 TB plan
+    * must not pay. (The one historical exception, txt6's repartition,
+    * was removed when its codegen kernel made the stage cheap.) */
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
