@@ -203,6 +203,24 @@ object Relational {
           round(expr("percentile(value, 0.95)"), 6).as("p95"))
         .orderBy("event_type")),
 
+    // A18: approximate quantiles — the 100 TB form of A17.
+    // percentile_approx is a mergeable rank sketch (map-side
+    // combinable, memory bounded by the accuracy parameter), where
+    // exact percentile buffers every group value; at accuracy 1000
+    // the guaranteed rank error is n/1000 per group. Sketch internals
+    // have no DuckDB equivalent → rows-only; ApproxAggSpec asserts
+    // every approx quantile lands inside the exact ±1%-rank band of
+    // the oracle-checked A17 baseline.
+    "a18_approx_quantiles" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile_approx(value, 0.25, 1000)"), 6).as("p25"),
+          round(expr("percentile_approx(value, 0.5, 1000)"), 6).as("p50"),
+          round(expr("percentile_approx(value, 0.75, 1000)"), 6).as("p75"),
+          round(expr("percentile_approx(value, 0.95, 1000)"), 6).as("p95"))
+        .orderBy("event_type")),
+
     // A7: stats block — min/max/mean/std + share above threshold.
     // Ref: scripts/03_add_sentiment.py:36-42.
     "a7_stats_block" -> ((s, d) =>

@@ -23,6 +23,36 @@ class ApproxAggSpec extends AnyFunSuite {
     }
   }
 
+  test("approx quantiles inside the exact ±1%-rank band per group") {
+    // percentile_approx(accuracy=1000) guarantees rank error n/1000
+    // (0.1% of each group); the assertion band is the exact quantile
+    // at ±1% rank — 10× the guarantee — computed with the same
+    // linear-interpolation percentile the oracle-checked A17 uses.
+    import org.apache.spark.sql.functions._
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    val bandCols = qs.flatMap(q => Seq(
+      expr(s"percentile(value, ${math.max(q - 0.01, 0.0)})").as(s"lo$q"),
+      expr(s"percentile(value, ${math.min(q + 0.01, 1.0)})").as(s"hi$q")))
+    val bands = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(bandCols.head, bandCols.tail: _*)
+      .collect()
+      .map(r => r.getString(0) ->
+        qs.indices.map(i => (r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i))))
+      .toMap
+    val approx = Relational.queries("a18_approx_quantiles")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> qs.indices.map(i => r.getDouble(1 + i)))
+      .toMap
+    assert(approx.nonEmpty && approx.keySet == bands.keySet)
+    approx.foreach { case (k, vals) =>
+      vals.zip(bands(k)).zip(qs).foreach { case ((v, (lo, hi)), q) =>
+        assert(v >= lo - 1e-6 && v <= hi + 1e-6,
+          s"group $k q=$q: approx $v outside exact band [$lo, $hi]")
+      }
+    }
+  }
+
   test("salted aggregation equals the plain aggregate") {
     val plain = Relational.queries("a1_grouped_avg")(spark, sf)
     val salted = Relational.queries("a15_salted_agg")(spark, sf)
