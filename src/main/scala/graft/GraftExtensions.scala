@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{PearsonPValue, RollingFingerprint, VaderCompound}
+import graft.functions.{DotProduct, PearsonPValue, RollingFingerprint, VaderCompound}
 
 /** SparkSessionExtensions entry point for the engine's native
   * functions — the registration path for custom Catalyst expressions:
@@ -52,5 +52,12 @@ object GraftExtensions {
         require(children.size == 1,
           s"rolling_fp expects (text STRING), got ${children.size} args")
         RollingFingerprint(children.head)
+      }),
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"vec_dot expects (a ARRAY, b ARRAY), got ${children.size} args")
+        DotProduct(children.head, children(1))
       }))
 }

@@ -9,9 +9,13 @@ import graft.Tables
   * brute-force cosine top-k (baseline), LSH-bucketed ANN (scale path)
   * and embedding-cosine near-duplicate pairs.
   *
-  * All vector math is built-in `zip_with`/`aggregate` (codegen'd) —
-  * no UDF in the hot path; dot products fold left-to-right in index
-  * order so the oracle's list_sum reproduces them bit-for-bit.
+  * All vector math runs through the [[graft.functions.DotProduct]]
+  * codegen kernel — no UDF in the hot path, and no interpreted
+  * higher-order functions either (the `aggregate(zip_with(...))`
+  * formulation it replaced never entered codegen and allocated an
+  * intermediate array per row; the kernel preserves its index-order
+  * summation bit-for-bit, which is what keeps SIM1 hash-equal to the
+  * DuckDB oracle's list_sum).
   *
   * Scale notes: brute force is O(|Q|·N) with the query side broadcast —
   * correct baseline, unusable at 100 TB. The LSH variant hashes both
@@ -30,10 +34,10 @@ object Similarity {
 
   private def r6(c: Column): Column = round(c, 6)
 
-  /** Σ aᵢ·bᵢ as a left fold in index order (deterministic fp). */
+  /** Σ aᵢ·bᵢ in index order (deterministic fp) — the codegen kernel;
+    * DotProductSpec pins it to the HOF fold it replaced. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.dot(a, b)
 
   /** 18 deterministic hyperplanes (splitmix64 components), used
     * as 6 bands × 3 sign bits. One band of many bits prunes hard but
