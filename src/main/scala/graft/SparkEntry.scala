@@ -34,7 +34,8 @@ object SparkEntry {
       Stats.queries ++ Signals.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
       EventStream.queries ++ Backtest.queries ++ SourceSinks.queries ++
-      LagGrid.queries ++ graft.sources.SourceQueries.queries
+      LagGrid.queries ++ DatasetOps.queries ++
+      graft.sources.SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -44,5 +45,6 @@ object SparkEntry {
       Stats.oracles ++ Signals.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
       EventStream.oracles ++ Backtest.oracles ++ SourceSinks.oracles ++
-      LagGrid.oracles ++ graft.sources.SourceQueries.oracles
+      LagGrid.oracles ++ DatasetOps.oracles ++
+      graft.sources.SourceQueries.oracles
 }

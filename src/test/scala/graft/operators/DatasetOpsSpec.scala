@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{SparkTestSession, Tables}
+
+/** Properties of the dataset-assembly operators that the row/hash
+  * oracle can't express: the split is leakage-free at the group
+  * level, conserves rows, and lands near its design mass; the
+  * balanced sample is exactly-k per class and rerun-stable.
+  */
+class DatasetOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.Sf0001
+
+  test("ds1: no user straddles splits; rows conserve; mass near design") {
+    val tagged = Tables.events(spark, sf)
+      .withColumn("split", DatasetOps.split(col("user_id")))
+    // leakage-free: (user, split) pairs == users
+    val users = tagged.select("user_id").distinct().count()
+    val pairs = tagged.select("user_id", "split").distinct().count()
+    assert(pairs == users, "a user appears in both splits")
+    val agg = DatasetOps.queries("ds1_hash_split")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(agg.keySet == Set("train", "val"), s"both splits present: $agg")
+    assert(agg.values.map(_._1).sum == Tables.events(spark, sf).count())
+    // 81.25% design mass over ~150 users: generous band
+    val frac = agg("train")._2.toDouble / users
+    assert(frac > 0.6 && frac < 0.95, s"train user fraction $frac")
+  }
+
+  test("ds2: exactly min(k, class size) rows per class, rerun-stable") {
+    val got = DatasetOps.queries("ds2_balanced_sample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val classSizes = Tables.events(spark, sf)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perClass = got.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    assert(perClass == classSizes.map { case (k, n) => k -> math.min(100L, n) })
+    // deterministic: a second run selects the identical rows
+    val again = DatasetOps.queries("ds2_balanced_sample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == again.toSeq)
+  }
+}
