@@ -70,6 +70,10 @@ object Bench {
       "s15_layout_build" -> medianOf("s15_layout_build") { () =>
         graft.operators.SourceSinks.invalidateBucketed(spark, sfDir)
         graft.operators.SourceSinks.bucketedTable(spark, sfDir)
+      },
+      "ivf_build" -> medianOf("ivf_build") { () =>
+        graft.operators.Similarity.invalidateIvf(spark, sfDir)
+        graft.operators.Similarity.ivfIndex(spark, sfDir)
       })
     val results = builds ++ SparkEntry.queries.map { case (name, fn) =>
       name -> medianOf(name) { () =>

@@ -60,6 +60,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfRecall >= 0.3, f"sf0.1 ivf recall $ivfRecall%.3f below 0.3")
   }
 
+  test("IVF index rebuild after invalidate reproduces the same answer") {
+    // The memoized quantizer + inverted lists must be a pure function
+    // of the (immutable) data under the dir: dropping the cache and
+    // rebuilding has to yield bit-identical probe results, otherwise
+    // the memoization would change answers across a session.
+    val before = Similarity.queries("sim3_ivf_ann")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    Similarity.invalidateIvf(spark, sf)
+    val after = Similarity.queries("sim3_ivf_ann")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(before.nonEmpty)
+    assert(before.toSeq == after.toSeq)
+  }
+
   test("cosines are valid and ranked descending per query") {
     val rows = Similarity.queries("sim1_cosine_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
