@@ -34,7 +34,7 @@ object SparkEntry {
       Stats.queries ++ Signals.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
       EventStream.queries ++ Backtest.queries ++ SourceSinks.queries ++
-      LagGrid.queries ++ DatasetOps.queries ++
+      LagGrid.queries ++ DatasetOps.queries ++ Curation.queries ++
       graft.sources.SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -45,6 +45,6 @@ object SparkEntry {
       Stats.oracles ++ Signals.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
       EventStream.oracles ++ Backtest.oracles ++ SourceSinks.oracles ++
-      LagGrid.oracles ++ DatasetOps.oracles ++
+      LagGrid.oracles ++ DatasetOps.oracles ++ Curation.oracles ++
       graft.sources.SourceQueries.oracles
 }

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators a training-data pipeline runs between
+  * cleaning and assembly: benchmark decontamination and repetition
+  * scoring. Both are builder-brief training-pipeline extensions (the
+  * reference dashboard has no corpus-curation story); both are FULLY
+  * oracle-checked — every computation is count arithmetic + pure
+  * IEEE division, which hashes bit-identically across engines.
+  *
+  * Scale notes: DECON1's eval side is tiny by construction (a
+  * benchmark suite is MBs against a 100 TB corpus), so the membership
+  * probe is a broadcast semi-join — the corpus never shuffles except
+  * the final partial-aggregated count by doc. TXT7 is one corpus pass:
+  * per-row shingle arithmetic plus a hash agg on doc_id; the word
+  * histogram goes through (doc_id, word) partial aggregation, so no
+  * reducer sees more than a doc's distinct vocabulary.
+  */
+object Curation {
+
+  private def toks: Column = split(lower(trim(col("text"))), "\\s+")
+
+  /** Distinct word n-gram shingles of the token array `t` (the D2
+    * 3-gram shape generalized to n). */
+  private def shingleCol(n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), size(col("t")) - n),
+      i => concat_ws(" ", (1 to n).map(k => element_at(col("t"), i + k)): _*)))
+
+  /** Eval-set membership: every 97th doc stands in for the held-out
+    * benchmark suite a real pipeline decontaminates against. */
+  private val EvalMod = 97
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DECON1: benchmark decontamination — flag training docs sharing
+    // any 5-gram with the eval slice, with the shared-shingle count as
+    // evidence. The classic eval-leakage guard (per GPT-3 §C / PaLM
+    // app.: n-gram overlap against benchmark text); n=5 on this
+    // small-vocabulary corpus plays the role 13-grams play on natural
+    // text. Eval shingles broadcast; the corpus side is one scan.
+    "decon1_ngram_overlap" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= 5)
+        .select(col("doc_id"), explode(shingleCol(5)).as("sh"))
+      val ev = sh.filter(col("doc_id") % EvalMod === 0)
+        .select(col("sh")).distinct()
+      sh.filter(col("doc_id") % EvalMod =!= 0)
+        .join(broadcast(ev), Seq("sh"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("sh")).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
+    // TXT7: repetition signals (Gopher §A.1.1-style filters, adapted
+    // to this corpus's line-less word-soup text): the fraction of
+    // tokens that are the single most frequent token, and the
+    // fraction of 3-grams that are duplicates of an earlier 3-gram.
+    // Raw doubles (pure division of counts) — no rounding, so the
+    // hash compare is exact across engines.
+    "txt7_repetition" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= 3)
+      val words = docs.select(col("doc_id"), explode(col("t")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("mx"), sum(col("c")).as("n"))
+      val tri = docs.select(col("doc_id"),
+        (size(col("t")) - 2).cast("long").as("ntri"),
+        size(shingleCol(3)).cast("long").as("ndis"))
+      words.join(tri, Seq("doc_id"))
+        .select(col("doc_id"),
+          col("n").as("n_tokens"),
+          (col("mx").cast("double") / col("n")).as("top_word_frac"),
+          (lit(1.0) - col("ndis").cast("double") / col("ntri"))
+            .as("dup_trigram_frac"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "decon1_ngram_overlap" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(t) - 4),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                         t[i+3] || ' ' || t[i+4]))) AS sh
+           FROM docs WHERE len(t) >= 5),
+         ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+         SELECT s.doc_id, count(DISTINCT s.sh) AS n_shared
+         FROM sh s JOIN ev USING (sh)
+         WHERE s.doc_id % 97 <> 0
+         GROUP BY 1 ORDER BY 1""",
+    "txt7_repetition" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         d3 AS (SELECT * FROM docs WHERE len(t) >= 3),
+         toks AS (SELECT doc_id, unnest(t) AS w FROM d3),
+         wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+         tw AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS n
+                FROM wc GROUP BY 1),
+         tg AS (SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS ntri,
+                       CAST(len(list_distinct(list_transform(
+                         generate_series(1, len(t) - 2),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+                         AS BIGINT) AS ndis
+                FROM d3)
+         SELECT doc_id, n AS n_tokens,
+                CAST(mx AS DOUBLE) / n AS top_word_frac,
+                1.0 - CAST(ndis AS DOUBLE) / ntri AS dup_trigram_frac
+         FROM tw JOIN tg USING (doc_id)
+         ORDER BY doc_id"""
+  )
+}

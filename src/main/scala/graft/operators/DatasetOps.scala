@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -48,14 +49,42 @@ object DatasetOps {
     // would bias toward whatever the scan order favors).
     "ds2_balanced_sample" -> ((s, d) => {
       val k = 100
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type")
+      val w = Window.partitionBy("event_type")
         .orderBy(md5(col("event_id").cast("string")), col("event_id"))
       Tables.events(s, d)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k)
         .select(col("event_id"), col("event_type"), col("value"))
         .orderBy("event_type", "event_id")
+    }),
+
+    // DS3: sequence packing — the concat-and-chunk layout LLM
+    // training uses (documents laid head-to-tail, split into
+    // fixed-size context blocks; a doc may straddle a block
+    // boundary). A GLOBAL running offset is a global sort at 100 TB,
+    // so packing is per-shard: each shard packs independently via a
+    // windowed running sum — embarrassingly parallel, one shuffle by
+    // shard — and each doc reports its token offset and the block
+    // span it lands in. Deterministic (shard and order are pure
+    // functions of doc_id), fully oracle-checked.
+    "ds3_sequence_pack" -> ((s, d) => {
+      val ctx = 512
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(org.apache.spark.sql.functions
+              .split(lower(trim(col("text"))), "\\s+"))
+            .cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("shard", col("doc_id") % 8)
+        .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("start_block", floor(col("off") / ctx))
+        .withColumn("end_block",
+          floor((col("off") + col("n_tokens") - 1) / ctx))
+        .select(col("shard"), col("doc_id"), col("n_tokens"), col("off"),
+          col("start_block"), col("end_block"))
+        .orderBy("shard", "doc_id")
     })
   )
 
@@ -76,6 +105,23 @@ object DatasetOps {
                     ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
            FROM events)
          WHERE rn <= 100
-         ORDER BY event_type, event_id"""
+         ORDER BY event_type, event_id""",
+    "ds3_sequence_pack" ->
+      """WITH docs AS (
+           SELECT doc_id, doc_id % 8 AS shard,
+                  CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                    AS BIGINT) AS n_tokens
+           FROM documents),
+         packed AS (
+           SELECT shard, doc_id, n_tokens,
+                  CAST(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS off
+           FROM docs WHERE n_tokens > 0)
+         SELECT shard, doc_id, n_tokens, off,
+                off // 512 AS start_block,
+                (off + n_tokens - 1) // 512 AS end_block
+         FROM packed ORDER BY shard, doc_id"""
   )
 }

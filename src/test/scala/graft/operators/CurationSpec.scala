@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Behavioral fixtures for the curation + assembly operators: the
+  * decontamination probe flags exactly the planted copy, the
+  * repetition signals separate uniform from degenerate text, and the
+  * packing layout is a valid concat-and-chunk assignment. (Value
+  * correctness against DuckDB is the Verify oracle's job — these pin
+  * the semantics on crafted inputs where the right answer is known by
+  * construction.)
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def docs(rows: (Long, String)*): String = {
+    val d = SparkTestSession.fixtureDir("curation-fix")
+    import spark.implicits._
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private val evalText = (0 until 40).map(i => s"alpha$i").mkString(" ")
+  private val otherText = (0 until 40).map(i => s"beta$i").mkString(" ")
+
+  test("decon1 flags the doc that copies eval text, not the disjoint one") {
+    // doc 0 is in the eval slice (0 % 97 == 0); doc 1 copies it
+    // verbatim; doc 2 shares nothing.
+    val d = docs(0L -> evalText, 1L -> evalText, 2L -> otherText)
+    val out = Curation.queries("decon1_ngram_overlap")(spark, d).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    // 40 tokens, all distinct → 36 distinct 5-grams, all shared
+    assert(out.head.getLong(1) == 36L)
+  }
+
+  test("txt7 separates all-distinct text from a degenerate repeat") {
+    val uniform = (0 until 20).map(i => s"w$i").mkString(" ")
+    val degenerate = Seq.fill(20)("spam").mkString(" ")
+    val d = docs(1L -> uniform, 2L -> degenerate)
+    val rows = Curation.queries("txt7_repetition")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val (uTop, uDup) = rows(1L)
+    val (gTop, gDup) = rows(2L)
+    assert(uTop == 1.0 / 20 && uDup == 0.0)
+    // all tokens identical: top fraction 1, 18 trigrams but 1 distinct
+    assert(gTop == 1.0 && gDup == 1.0 - 1.0 / 18)
+  }
+
+  test("ds3 packing is a valid concat-and-chunk layout per shard") {
+    val out = DatasetOps.queries("ds3_sequence_pack")(
+        spark, SparkTestSession.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (shard, rs) =>
+      val ordered = rs.sortBy(_._2)
+      // first doc of a shard starts at offset 0; every next doc starts
+      // exactly where the previous one ended (concat, no gaps)
+      assert(ordered.head._4 == 0L, s"shard $shard does not start at 0")
+      ordered.zip(ordered.tail).foreach { case (a, b) =>
+        assert(b._4 == a._4 + a._3,
+          s"shard $shard: doc ${b._2} offset not contiguous")
+      }
+      // block span is exactly the chunk arithmetic over the offsets
+      ordered.foreach { case (_, id, n, off, sb, eb) =>
+        assert(sb == off / 512 && eb == (off + n - 1) / 512,
+          s"doc $id block span wrong")
+        assert(sb <= eb)
+      }
+    }
+  }
+}

@@ -88,6 +88,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("decon1: eval shingles broadcast, corpus side never shuffles to join") {
+    // the eval side is tiny by construction (a benchmark suite vs the
+    // corpus) — the membership probe must be a broadcast hash join;
+    // a sort-merge join here would shuffle every corpus shingle at
+    // 100 TB just to probe a set that fits in memory
+    val plan = planOf(Curation.queries, "decon1_ngram_overlap")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin") &&
+           !plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
   test("a13 histogram: the 1-row bounds table joins as a broadcast") {
     // the global min/max aggregate is a single row — crossing it onto
     // the fact table must be a broadcast nested loop (replicated tiny
