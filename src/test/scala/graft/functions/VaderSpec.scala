@@ -21,6 +21,19 @@ class VaderSpec extends AnyFunSuite {
     assert(shared.isEmpty, s"booster words present in lexicon: $shared")
   }
 
+  test("lexicon blocks are pairwise disjoint (no entry silently masked)") {
+    // the three Map literals are merged with ++, so a key repeated
+    // across blocks would silently take the LAST value — a transcription
+    // slip that nothing else would catch (scores are not oracle-compared)
+    val b = VaderLexicon.base.keySet
+    val e = VaderLexicon.extended.keySet
+    val e2 = VaderLexicon.extended2.keySet
+    assert(b.intersect(e).isEmpty, s"base∩extended: ${b.intersect(e)}")
+    assert(b.intersect(e2).isEmpty, s"base∩extended2: ${b.intersect(e2)}")
+    assert(e.intersect(e2).isEmpty, s"extended∩extended2: ${e.intersect(e2)}")
+    assert(VaderLexicon.entries.size == b.size + e.size + e2.size)
+  }
+
   test("empty / null / neutral text scores 0") {
     assert(Vader.compound("") == 0.0)
     assert(Vader.compound(null) == 0.0)
