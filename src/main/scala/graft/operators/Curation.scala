@@ -34,6 +34,42 @@ object Curation {
     * benchmark suite a real pipeline decontaminates against. */
   private val EvalMod = 97
 
+  /** Per-doc quality signals + the first failing cleaning rule
+    * (precedence: too_short → word_length → top_word → dup_trigram),
+    * 'kept' if none fail. Shared by pipe1 and its funnel. */
+  private def filterDecisions(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 1)
+    val words = docs.select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        max(col("c")).as("mx"), sum(col("c")).as("n"),
+        sum(col("c") * length(col("w"))).as("chars"))
+    // guard: sequence(0, n) DESCENDS when n < 0, so the shingle
+    // transform is only evaluated for docs with ≥3 tokens
+    val tri = docs.select(col("doc_id"),
+      greatest(size(col("t")) - 2, lit(0)).cast("long").as("ntri"),
+      when(size(col("t")) >= 3, size(shingleCol(3)))
+        .otherwise(lit(0)).cast("long").as("ndis"))
+    words.join(tri, Seq("doc_id"))
+      .withColumn("mean_len", col("chars").cast("double") / col("n"))
+      .withColumn("top_frac", col("mx").cast("double") / col("n"))
+      .withColumn("dup_frac",
+        when(col("ntri") > 0,
+          lit(1.0) - col("ndis").cast("double") / col("ntri"))
+          .otherwise(lit(0.0)))
+      .withColumn("verdict",
+        when(col("n") < 10, "too_short")
+          .when(col("mean_len") < 3.0 || col("mean_len") > 10.0,
+            "word_length")
+          .when(col("top_frac") > 0.2, "top_word")
+          .when(col("dup_frac") > 0.2, "dup_trigram")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        col("mean_len"), col("top_frac"), col("dup_frac"), col("verdict"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // DECON1: benchmark decontamination — flag training docs sharing
     // any 5-gram with the eval slice, with the shared-shingle count as
@@ -54,6 +90,23 @@ object Curation {
         .agg(countDistinct(col("sh")).as("n_shared"))
         .orderBy("doc_id")
     }),
+
+    // PIPE1: the composed corpus filter — the C4/Gopher-style cleaning
+    // decision a training-data pipeline applies before assembly. Every
+    // doc gets its quality signals (token count, mean token length,
+    // top-word fraction, duplicate-trigram fraction) and the FIRST
+    // failing rule in precedence order becomes its drop reason. One
+    // corpus pass + one (doc, word) partial agg; the decision is pure
+    // integer/IEEE arithmetic so the oracle hash-matches exactly.
+    "pipe1_corpus_filter" -> ((s, d) =>
+      filterDecisions(s, d).orderBy("doc_id")),
+
+    // PIPE1 funnel: docs dropped per reason + kept — the summary a
+    // cleaning job reports. Same plan as pipe1 under one more agg.
+    "pipe1_filter_funnel" -> ((s, d) =>
+      filterDecisions(s, d)
+        .groupBy("verdict").agg(count(lit(1)).as("n_docs"))
+        .orderBy("verdict")),
 
     // TXT7: repetition signals (Gopher §A.1.1-style filters, adapted
     // to this corpus's line-less word-soup text): the fraction of
@@ -97,6 +150,74 @@ object Curation {
          FROM sh s JOIN ev USING (sh)
          WHERE s.doc_id % 97 <> 0
          GROUP BY 1 ORDER BY 1""",
+    "pipe1_corpus_filter" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         d1 AS (SELECT * FROM docs WHERE len(t) >= 1),
+         toks AS (SELECT doc_id, unnest(t) AS w FROM d1),
+         wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+         tw AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS n,
+                       CAST(sum(c * length(w)) AS BIGINT) AS chars
+                FROM wc GROUP BY 1),
+         tg AS (SELECT doc_id,
+                       CAST(greatest(len(t) - 2, 0) AS BIGINT) AS ntri,
+                       CAST(CASE WHEN len(t) >= 3 THEN
+                         len(list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+                         ELSE 0 END AS BIGINT) AS ndis
+                FROM d1),
+         sig AS (
+           SELECT doc_id, n,
+                  CAST(chars AS DOUBLE) / n AS mean_len,
+                  CAST(mx AS DOUBLE) / n AS top_frac,
+                  CASE WHEN ntri > 0
+                       THEN 1.0 - CAST(ndis AS DOUBLE) / ntri
+                       ELSE 0.0 END AS dup_frac
+           FROM tw JOIN tg USING (doc_id))
+         SELECT doc_id, n AS n_tokens, mean_len, top_frac, dup_frac,
+                CASE WHEN n < 10 THEN 'too_short'
+                     WHEN mean_len < 3.0 OR mean_len > 10.0 THEN 'word_length'
+                     WHEN top_frac > 0.2 THEN 'top_word'
+                     WHEN dup_frac > 0.2 THEN 'dup_trigram'
+                     ELSE 'kept' END AS verdict
+         FROM sig ORDER BY doc_id""",
+    "pipe1_filter_funnel" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         d1 AS (SELECT * FROM docs WHERE len(t) >= 1),
+         toks AS (SELECT doc_id, unnest(t) AS w FROM d1),
+         wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+         tw AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS n,
+                       CAST(sum(c * length(w)) AS BIGINT) AS chars
+                FROM wc GROUP BY 1),
+         tg AS (SELECT doc_id,
+                       CAST(greatest(len(t) - 2, 0) AS BIGINT) AS ntri,
+                       CAST(CASE WHEN len(t) >= 3 THEN
+                         len(list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+                         ELSE 0 END AS BIGINT) AS ndis
+                FROM d1),
+         sig AS (
+           SELECT doc_id, n,
+                  CAST(chars AS DOUBLE) / n AS mean_len,
+                  CAST(mx AS DOUBLE) / n AS top_frac,
+                  CASE WHEN ntri > 0
+                       THEN 1.0 - CAST(ndis AS DOUBLE) / ntri
+                       ELSE 0.0 END AS dup_frac
+           FROM tw JOIN tg USING (doc_id)),
+         verdicts AS (
+           SELECT CASE WHEN n < 10 THEN 'too_short'
+                       WHEN mean_len < 3.0 OR mean_len > 10.0 THEN 'word_length'
+                       WHEN top_frac > 0.2 THEN 'top_word'
+                       WHEN dup_frac > 0.2 THEN 'dup_trigram'
+                       ELSE 'kept' END AS verdict
+           FROM sig)
+         SELECT verdict, count(*) AS n_docs
+         FROM verdicts GROUP BY 1 ORDER BY 1""",
     "txt7_repetition" ->
       """WITH docs AS (
            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

@@ -48,6 +48,28 @@ class CurationSpec extends AnyFunSuite {
     assert(gTop == 1.0 && gDup == 1.0 - 1.0 / 18)
   }
 
+  test("pipe1 assigns the first failing rule in precedence order") {
+    val d = docs(
+      // 5 tokens → too_short (even though 'spam spam…' also trips
+      // top_word: precedence picks the first rule)
+      1L -> "spam spam spam spam spam",
+      // 20 long tokens → word_length (mean 12 chars)
+      2L -> (0 until 20).map(i => f"verylongtoken$i%03d").mkString(" "),
+      // 20 tokens, half 'spam' → top_word (mean_len fine)
+      3L -> ((0 until 10).map(_ => "spam") ++
+        (0 until 10).map(i => s"ok$i")).mkString(" "),
+      // healthy: 20 distinct medium tokens → kept
+      4L -> (0 until 20).map(i => s"word$i").mkString(" "))
+    val out = Curation.queries("pipe1_corpus_filter")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(out == Map(1L -> "too_short", 2L -> "word_length",
+      3L -> "top_word", 4L -> "kept"))
+    val funnel = Curation.queries("pipe1_filter_funnel")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel == Map("too_short" -> 1L, "word_length" -> 1L,
+      "top_word" -> 1L, "kept" -> 1L))
+  }
+
   test("ds3 packing is a valid concat-and-chunk layout per shard") {
     val out = DatasetOps.queries("ds3_sequence_pack")(
         spark, SparkTestSession.Sf0001).collect()
