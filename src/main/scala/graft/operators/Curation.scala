@@ -36,8 +36,9 @@ object Curation {
 
   /** Per-doc quality signals + the first failing cleaning rule
     * (precedence: too_short → word_length → top_word → dup_trigram),
-    * 'kept' if none fail. Shared by pipe1 and its funnel. */
-  private def filterDecisions(s: SparkSession, d: String): DataFrame = {
+    * 'kept' if none fail. Shared by pipe1 and its funnel, and by the
+    * DS4 shard writer (the kept set is what gets written). */
+  private[operators] def filterDecisions(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= 1)

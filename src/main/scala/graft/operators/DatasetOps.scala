@@ -85,8 +85,38 @@ object DatasetOps {
         .select(col("shard"), col("doc_id"), col("n_tokens"), col("off"),
           col("start_block"), col("end_block"))
         .orderBy("shard", "doc_id")
-    })
+    }),
+
+    // DS4: the shard write that ends the assembly pipeline — the
+    // PIPE1-kept docs land as a dataset partitioned by shard with
+    // size-bounded files (maxRecordsPerFile caps any one file no
+    // matter how skewed a shard gets — at 100 TB that bound is what
+    // keeps downstream readers' task sizes uniform). The query
+    // round-trips: write, read back, report per-shard accounting;
+    // the oracle recomputes the same accounting from the raw corpus,
+    // so the filter → shard → write → read cycle is what's checked.
+    "ds4_shard_write" -> ((s, d) => shardWrite(s, d,
+      java.nio.file.Files.createTempDirectory("graft_ds4").toString))
   )
+
+  /** DS4 body with an explicit output dir so the spec can inspect the
+    * produced file layout (the query wraps it with a fresh temp dir). */
+  private[operators] def shardWrite(s: SparkSession, d: String,
+      out: String): DataFrame = {
+    Curation.filterDecisions(s, d)
+      .filter(col("verdict") === "kept")
+      .withColumn("shard", col("doc_id") % 8)
+      .select(col("shard"), col("doc_id"), col("n_tokens"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 50)
+      .partitionBy("shard")
+      .parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy("shard")
+  }
 
   val oracles: Map[String, String] = Map(
     "ds1_hash_split" ->
@@ -122,6 +152,41 @@ object DatasetOps {
          SELECT shard, doc_id, n_tokens, off,
                 off // 512 AS start_block,
                 (off + n_tokens - 1) // 512 AS end_block
-         FROM packed ORDER BY shard, doc_id"""
+         FROM packed ORDER BY shard, doc_id""",
+    "ds4_shard_write" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         d1 AS (SELECT * FROM docs WHERE len(t) >= 1),
+         toks AS (SELECT doc_id, unnest(t) AS w FROM d1),
+         wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+         tw AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS n,
+                       CAST(sum(c * length(w)) AS BIGINT) AS chars
+                FROM wc GROUP BY 1),
+         tg AS (SELECT doc_id,
+                       CAST(greatest(len(t) - 2, 0) AS BIGINT) AS ntri,
+                       CAST(CASE WHEN len(t) >= 3 THEN
+                         len(list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+                         ELSE 0 END AS BIGINT) AS ndis
+                FROM d1),
+         sig AS (
+           SELECT doc_id, n,
+                  CAST(chars AS DOUBLE) / n AS mean_len,
+                  CAST(mx AS DOUBLE) / n AS top_frac,
+                  CASE WHEN ntri > 0
+                       THEN 1.0 - CAST(ndis AS DOUBLE) / ntri
+                       ELSE 0.0 END AS dup_frac
+           FROM tw JOIN tg USING (doc_id)),
+         kept AS (
+           SELECT doc_id, n FROM sig
+           WHERE NOT (n < 10)
+             AND NOT (mean_len < 3.0 OR mean_len > 10.0)
+             AND NOT (top_frac > 0.2)
+             AND NOT (dup_frac > 0.2))
+         SELECT doc_id % 8 AS shard, count(*) AS n_docs,
+                CAST(sum(n) AS BIGINT) AS n_tokens
+         FROM kept GROUP BY 1 ORDER BY 1"""
   )
 }

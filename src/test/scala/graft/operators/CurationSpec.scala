@@ -70,6 +70,25 @@ class CurationSpec extends AnyFunSuite {
       "top_word" -> 1L, "kept" -> 1L))
   }
 
+  test("ds4 shard write: per-shard accounting survives the roundtrip " +
+      "and maxRecordsPerFile splits a big shard into bounded files") {
+    // 120 kept-quality docs, all in shard 0 (doc_id multiples of 8):
+    // with maxRecordsPerFile=50 the writer MUST split shard 0 into
+    // ≥3 parquet files — the size bound is the point of the operator
+    val rows = (0 until 120).map { i =>
+      (i * 8L) -> (0 until 20).map(j => s"tok${i}x$j").mkString(" ")
+    }
+    val d = docs(rows: _*)
+    val outDir = SparkTestSession.fixtureDir("ds4-out") + "/data"
+    val out = DatasetOps.shardWrite(spark, d, outDir).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 0L)
+    assert(out.head.getLong(1) == 120L)
+    assert(out.head.getLong(2) == 120L * 20)
+    val parts = new java.io.File(outDir, "shard=0")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts >= 3, s"expected >=3 bounded files in shard 0, got $parts")
+  }
+
   test("ds3 packing is a valid concat-and-chunk layout per shard") {
     val out = DatasetOps.queries("ds3_sequence_pack")(
         spark, SparkTestSession.Sf0001).collect()
