@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import graft.Tables
 
 /** Scalable near-duplicate detection: MinHash + LSH banding and
@@ -137,6 +140,50 @@ object Dedup {
         .orderBy("da", "db")
     }),
 
+    // D7 exact twin: incremental ingest dedup — which docs of the
+    // incoming batch (doc_id % 4 == 0, a scale-invariant stand-in for
+    // "today's crawl") are NEW against the existing corpus, by exact
+    // content hash. Anti join on md5(text): one shuffle on the digest.
+    // Oracle-checked; the bloom variant below is anchored to it.
+    "d7_incremental_new" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val existing = docs.filter(col("doc_id") % 4 =!= 0)
+        .select(col("h")).distinct()
+      docs.filter(col("doc_id") % 4 === 0)
+        .join(existing, Seq("h"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // D7 scale path: the same question answered with a Bloom filter —
+    // Spark's own BloomFilterAggregate / BloomFilterMightContain
+    // (the runtime-filter machinery, used here directly). The corpus
+    // side reduces to ONE ~200 KB binary on the driver; the incoming
+    // batch is then a single scan with a codegen membership probe —
+    // no join, no shuffle of the existing corpus per batch (build
+    // once, probe every batch). Bloom semantics: no false negatives,
+    // so every reported doc is truly new (result ⊆ exact twin,
+    // asserted in DedupSpec); false positives make it conservative —
+    // a truly-new doc can be missed at the configured fpp, never
+    // invented. Rows-only (the bloom binary is not SQL-expressible).
+    "d7_bloom_new" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), xxhash64(col("text")).as("h"))
+      val bf = new BloomFilterAggregate(
+        ColumnBridge.expression(col("h")),
+        Literal(100000L), Literal(1600000L), 0, 0).toAggregateExpression()
+      val bytes = docs.filter(col("doc_id") % 4 =!= 0)
+        .select(ColumnBridge.column(bf).as("bf"))
+        .head.getAs[Array[Byte]](0)
+      docs.filter(col("doc_id") % 4 === 0)
+        .filter(!ColumnBridge.column(BloomFilterMightContain(
+          ColumnBridge.expression(lit(bytes)),
+          ColumnBridge.expression(col("h")))))
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // D4: 64-bit SimHash signature per document (bitstring form).
     "d4_simhash" -> ((s, d) => {
       val tokens = Tables.documents(s, d)
@@ -153,6 +200,13 @@ object Dedup {
     })
   )
 
-  /** No DuckDB equivalent of xxhash64 — rows-only checks. */
-  val oracles: Map[String, String] = Map()
+  /** xxhash64 has no DuckDB equivalent → rows-only for the hash-family
+    * queries; the md5-based exact incremental twin IS oracle-checked. */
+  val oracles: Map[String, String] = Map(
+    "d7_incremental_new" ->
+      """SELECT i.doc_id FROM documents i
+         WHERE i.doc_id % 4 = 0 AND NOT EXISTS (
+           SELECT 1 FROM documents e
+           WHERE e.doc_id % 4 <> 0 AND md5(e.text) = md5(i.text))
+         ORDER BY i.doc_id""")
 }

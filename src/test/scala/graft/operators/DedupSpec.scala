@@ -126,6 +126,37 @@ class DedupSpec extends AnyFunSuite {
       s"fixture pair: D2=${d2.get((1L, 2L))} vs D6=${d6.get((1L, 2L))}")
   }
 
+  test("bloom incremental dedup: subset of the exact twin, high recall") {
+    // Bloom guarantees NO false negatives on membership, so every doc
+    // the bloom path reports as new is truly new — its result must be
+    // a SUBSET of the oracle-checked exact anti-join. False positives
+    // only shrink the result (a new doc wrongly judged seen); with
+    // 1.6M bits for ~40 existing hashes the fp probability is ~0, so
+    // recall on fixtures and the sf0.001 corpus is pinned ≥ 0.9.
+    // Fixture: docs 4,8 copy existing text (1,2) → dropped by BOTH
+    // paths; doc 12 is fresh → reported by BOTH.
+    val d = docs(1L -> wordsA, 2L -> wordsB, 3L -> wordsC,
+      4L -> wordsA, 8L -> wordsB, 12L -> (0 until 40)
+        .map(i => s"fresh$i").mkString(" "))
+    val exact = Dedup.queries("d7_incremental_new")(spark, d).collect()
+      .map(_.getLong(0)).toSet
+    val bloom = Dedup.queries("d7_bloom_new")(spark, d).collect()
+      .map(_.getLong(0)).toSet
+    assert(exact == Set(12L), s"exact twin wrong on fixture: $exact")
+    assert(bloom == Set(12L), s"bloom path wrong on fixture: $bloom")
+
+    val sf = SparkTestSession.Sf0001
+    val exactSf = Dedup.queries("d7_incremental_new")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val bloomSf = Dedup.queries("d7_bloom_new")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(exactSf.nonEmpty)
+    assert(bloomSf.subsetOf(exactSf),
+      s"bloom invented new docs: ${bloomSf.diff(exactSf)}")
+    val recall = bloomSf.size.toDouble / exactSf.size
+    assert(recall >= 0.9, s"bloom recall $recall below 0.9")
+  }
+
   test("simhash: identical docs share the signature, disjoint differ") {
     val d = docs(1L -> wordsA, 2L -> wordsA, 3L -> wordsB)
     val sh = Dedup.queries("d4_simhash")(spark, d).collect()
