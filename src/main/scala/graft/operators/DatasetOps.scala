@@ -96,7 +96,33 @@ object DatasetOps {
     // the oracle recomputes the same accounting from the raw corpus,
     // so the filter → shard → write → read cycle is what's checked.
     "ds4_shard_write" -> ((s, d) => shardWrite(s, d,
-      java.nio.file.Files.createTempDirectory("graft_ds4").toString))
+      java.nio.file.Files.createTempDirectory("graft_ds4").toString)),
+
+    // DS5: mixture sampling — downweight/upweight sources to a target
+    // mixture (the data-mixture step of training-set assembly: keep
+    // fraction w(source) of each source's docs). Membership is a pure
+    // function of doc_id: a 60-bit md5 prefix scaled to [0,1) against
+    // the source's target fraction — deterministic, shuffle-free
+    // (stateless filter; the only shuffle is the audit agg), identical
+    // decision arithmetic in both engines. Weights here derive from
+    // the source index (stand-in for a mixture config table).
+    "ds5_mixture_sample" -> ((s, d) => {
+      val idx = substring(col("source"), 4, 10).cast("int")
+      val w = lit(0.1) + lit(0.04) * (idx % 10).cast("double")
+      val frac = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+          16, 10).cast("long").cast("double") /
+        lit(1152921504606846976L).cast("double") // 2^60, exact as double
+      Tables.documents(s, d)
+        .withColumn("target_frac", w)
+        .withColumn("kept", when(frac < col("target_frac"), 1L)
+          .otherwise(0L))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_in"), sum(col("kept")).as("n_kept"),
+          max(col("target_frac")).as("target_frac"))
+        .withColumn("realized_frac",
+          col("n_kept").cast("double") / col("n_in"))
+        .orderBy("source")
+    })
   )
 
   /** DS4 body with an explicit output dir so the spec can inspect the
@@ -187,6 +213,21 @@ object DatasetOps {
              AND NOT (dup_frac > 0.2))
          SELECT doc_id % 8 AS shard, count(*) AS n_docs,
                 CAST(sum(n) AS BIGINT) AS n_tokens
-         FROM kept GROUP BY 1 ORDER BY 1"""
+         FROM kept GROUP BY 1 ORDER BY 1""",
+    "ds5_mixture_sample" ->
+      """WITH tagged AS (
+           SELECT source,
+                  CAST(0.1 AS DOUBLE) + CAST(0.04 AS DOUBLE) *
+                    (CAST(substring(source, 4) AS INT) % 10) AS target_frac,
+                  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    / CAST(1152921504606846976 AS DOUBLE) AS frac
+           FROM documents)
+         SELECT source, count(*) AS n_in,
+                CAST(sum(CASE WHEN frac < target_frac THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept,
+                max(target_frac) AS target_frac,
+                CAST(sum(CASE WHEN frac < target_frac THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) AS realized_frac
+         FROM tagged GROUP BY source ORDER BY source"""
   )
 }

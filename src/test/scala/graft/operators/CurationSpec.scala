@@ -89,6 +89,24 @@ class CurationSpec extends AnyFunSuite {
     assert(parts >= 3, s"expected >=3 bounded files in shard 0, got $parts")
   }
 
+  test("ds5 mixture: realized per-source fraction tracks its target") {
+    // sf0.1 has 250 docs per source: the md5-uniform keep decision
+    // should realize each source's target fraction within ~3σ
+    // (σ = sqrt(w(1−w)/250) ≈ 0.03) — and the hashes are fixed, so
+    // this is a deterministic property of the corpus, not a flake.
+    val rows = DatasetOps.queries("ds5_mixture_sample")(
+        spark, "/root/testdata/sf0.1").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 20)
+    rows.foreach { case (src, nIn, nKept, target, realized) =>
+      assert(nIn == 250L, s"$src: n_in $nIn")
+      assert(nKept >= 0 && nKept <= nIn)
+      assert(math.abs(realized - target) < 0.1,
+        s"$src: realized $realized vs target $target")
+    }
+  }
+
   test("ds3 packing is a valid concat-and-chunk layout per shard") {
     val out = DatasetOps.queries("ds3_sequence_pack")(
         spark, SparkTestSession.Sf0001).collect()
