@@ -74,6 +74,10 @@ object Bench {
       "ivf_build" -> medianOf("ivf_build") { () =>
         graft.operators.Similarity.invalidateIvf(spark, sfDir)
         graft.operators.Similarity.ivfIndex(spark, sfDir)
+      },
+      "bloom_build" -> medianOf("bloom_build") { () =>
+        graft.operators.Dedup.invalidateBloom(spark, sfDir)
+        graft.operators.Dedup.bloomOf(spark, sfDir)
       })
     val results = builds ++ SparkEntry.queries.map { case (name, fn) =>
       name -> medianOf(name) { () =>

@@ -21,7 +21,7 @@ import graft.Tables
   */
 object Curation {
 
-  private def toks: Column = split(lower(trim(col("text"))), "\\s+")
+  private def toks: Column = TextAnalysis.toks
 
   /** Distinct word n-gram shingles of the token array `t` (the D2
     * 3-gram shape generalized to n). */
@@ -39,9 +39,12 @@ object Curation {
     * 'kept' if none fail. Shared by pipe1 and its funnel, and by the
     * DS4 shard writer (the kept set is what gets written). */
   private[operators] def filterDecisions(s: SparkSession, d: String): DataFrame = {
+    // no length guard: split() yields at least [""] for any input, so
+    // a whitespace-only doc flows through as 1 zero-length token and
+    // lands in too_short — same in the oracle (no dead filter on
+    // either side)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), toks.as("t"))
-      .filter(size(col("t")) >= 1)
     val words = docs.select(col("doc_id"), explode(col("t")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(
@@ -155,7 +158,7 @@ object Curation {
       """WITH docs AS (
            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
            FROM documents),
-         d1 AS (SELECT * FROM docs WHERE len(t) >= 1),
+         d1 AS (SELECT * FROM docs),
          toks AS (SELECT doc_id, unnest(t) AS w FROM d1),
          wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
          tw AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS n,
@@ -188,7 +191,7 @@ object Curation {
       """WITH docs AS (
            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
            FROM documents),
-         d1 AS (SELECT * FROM docs WHERE len(t) >= 1),
+         d1 AS (SELECT * FROM docs),
          toks AS (SELECT doc_id, unnest(t) AS w FROM d1),
          wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
          tw AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS n,

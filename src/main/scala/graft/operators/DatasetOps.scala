@@ -73,9 +73,7 @@ object DatasetOps {
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables.documents(s, d)
         .select(col("doc_id"),
-          size(org.apache.spark.sql.functions
-              .split(lower(trim(col("text"))), "\\s+"))
-            .cast("long").as("n_tokens"))
+          size(TextAnalysis.toks).cast("long").as("n_tokens"))
         .filter(col("n_tokens") > 0)
         .withColumn("shard", col("doc_id") % 8)
         .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
@@ -95,8 +93,7 @@ object DatasetOps {
     // round-trips: write, read back, report per-shard accounting;
     // the oracle recomputes the same accounting from the raw corpus,
     // so the filter → shard → write → read cycle is what's checked.
-    "ds4_shard_write" -> ((s, d) => shardWrite(s, d,
-      java.nio.file.Files.createTempDirectory("graft_ds4").toString)),
+    "ds4_shard_write" -> ((s, d) => shardWrite(s, d, ds4Dir(s, d))),
 
     // DS5: mixture sampling — downweight/upweight sources to a target
     // mixture (the data-mixture step of training-set assembly: keep
@@ -125,8 +122,18 @@ object DatasetOps {
     })
   )
 
+  /** One output dir per (session, source dir), reused across
+    * invocations with mode=overwrite — repeated bench reps / verify
+    * runs must not accumulate unbounded kept-corpus copies in /tmp. */
+  private val ds4Dirs = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def ds4Dir(s: SparkSession, d: String): String =
+    ds4Dirs.getOrElseUpdate((s, d),
+      java.nio.file.Files.createTempDirectory("graft_ds4").toString)
+
   /** DS4 body with an explicit output dir so the spec can inspect the
-    * produced file layout (the query wraps it with a fresh temp dir). */
+    * produced file layout (the query wraps it with the session-scoped
+    * reused dir above). */
   private[operators] def shardWrite(s: SparkSession, d: String,
       out: String): DataFrame = {
     Curation.filterDecisions(s, d)
@@ -183,7 +190,7 @@ object DatasetOps {
       """WITH docs AS (
            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
            FROM documents),
-         d1 AS (SELECT * FROM docs WHERE len(t) >= 1),
+         d1 AS (SELECT * FROM docs),
          toks AS (SELECT doc_id, unnest(t) AS w FROM d1),
          wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
          tw AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS n,

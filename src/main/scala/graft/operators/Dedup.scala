@@ -33,7 +33,7 @@ object Dedup {
   private val Bands = 8
   private val RowsPerBand = NumHashes / Bands
 
-  private def toks: Column = split(lower(trim(col("text"))), "\\s+")
+  private def toks: Column = TextAnalysis.toks
 
   /** Distinct 3-token shingles per doc. */
   private def shinglesOf(docs: DataFrame): DataFrame =
@@ -98,6 +98,31 @@ object Dedup {
       .select(col("da"), col("db"), r6(col("est_jaccard")).as("est_jaccard"))
   }
 
+  /** The existing-corpus Bloom binary for (session, dir), built once
+    * and reused by every d7_bloom_new probe — the production shape is
+    * one index build amortized over every incoming batch, same
+    * lifecycle contract as [[signatures]] (valid while the dir is
+    * immutable; [[invalidateBloom]] releases/refreshes). ~200 KB on
+    * the driver (1.6 M bits), sized for ≲10⁵ existing hashes. */
+  private val bloomCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Option[Array[Byte]]]
+  private[graft] def bloomOf(s: SparkSession, d: String): Option[Array[Byte]] =
+    bloomCache.getOrElseUpdate((s, d), {
+      val bf = new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("text"))),
+        Literal(100000L), Literal(1600000L), 0, 0).toAggregateExpression()
+      // the aggregate evals to NULL over an empty corpus (first-ever
+      // ingest) — surface that as None, not a null binary
+      Option(Tables.documents(s, d)
+        .filter(col("doc_id") % 4 =!= 0)
+        .select(ColumnBridge.column(bf).as("bf"))
+        .head.getAs[Array[Byte]](0))
+    })
+
+  /** Drop the cached Bloom binary for (session, dir). */
+  def invalidateBloom(s: SparkSession, d: String): Unit =
+    bloomCache.remove((s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D3: MinHash+LSH near-dup candidate pairs (est Jaccard ≥ 0.5).
     "d3_minhash_lsh" -> ((s, d) =>
@@ -159,29 +184,31 @@ object Dedup {
     // D7 scale path: the same question answered with a Bloom filter —
     // Spark's own BloomFilterAggregate / BloomFilterMightContain
     // (the runtime-filter machinery, used here directly). The corpus
-    // side reduces to ONE ~200 KB binary on the driver; the incoming
-    // batch is then a single scan with a codegen membership probe —
-    // no join, no shuffle of the existing corpus per batch (build
-    // once, probe every batch). Bloom semantics: no false negatives,
-    // so every reported doc is truly new (result ⊆ exact twin,
-    // asserted in DedupSpec); false positives make it conservative —
-    // a truly-new doc can be missed at the configured fpp, never
-    // invented. Rows-only (the bloom binary is not SQL-expressible).
+    // side reduces to ONE ~200 KB binary on the driver — built once
+    // per (session, dir) (memoized like the signature/grid tables;
+    // Bench times the build as its own `bloom_build` entry) — and the
+    // incoming batch is then a single scan with a codegen membership
+    // probe: no join, no shuffle of the existing corpus per batch.
+    // Bloom semantics: no false negatives, so every reported doc is
+    // truly new (result ⊆ exact twin, asserted in DedupSpec); false
+    // positives make it conservative — a truly-new doc can be missed
+    // at the configured fpp, never invented. Rows-only (the bloom
+    // binary is not SQL-expressible).
     "d7_bloom_new" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val incoming = Tables.documents(s, d)
         .select(col("doc_id"), xxhash64(col("text")).as("h"))
-      val bf = new BloomFilterAggregate(
-        ColumnBridge.expression(col("h")),
-        Literal(100000L), Literal(1600000L), 0, 0).toAggregateExpression()
-      val bytes = docs.filter(col("doc_id") % 4 =!= 0)
-        .select(ColumnBridge.column(bf).as("bf"))
-        .head.getAs[Array[Byte]](0)
-      docs.filter(col("doc_id") % 4 === 0)
-        .filter(!ColumnBridge.column(BloomFilterMightContain(
-          ColumnBridge.expression(lit(bytes)),
-          ColumnBridge.expression(col("h")))))
-        .select(col("doc_id"))
-        .orderBy("doc_id")
+        .filter(col("doc_id") % 4 === 0)
+      val probed = bloomOf(s, d) match {
+        case Some(bytes) =>
+          incoming.filter(!ColumnBridge.column(BloomFilterMightContain(
+            ColumnBridge.expression(lit(bytes)),
+            ColumnBridge.expression(col("h")))))
+        // empty existing corpus (first-ever batch): nothing was seen,
+        // every incoming doc is new — might_contain over a NULL bloom
+        // would instead null out the predicate and drop ALL rows
+        case None => incoming
+      }
+      probed.select(col("doc_id")).orderBy("doc_id")
     }),
 
     // D4: 64-bit SimHash signature per document (bitstring form).

@@ -131,13 +131,22 @@ object Similarity {
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
         col("nrm").as("cn"), col("lst"))
   }
-  val ivfIndex = new graft.MaterializedTable(ivfIndexPlan)
+  // private: the quantizer cache and the inverted-list table must be
+  // invalidated TOGETHER (a caller reaching the MaterializedTable's
+  // own invalidate would leave a stale quantizer feeding a rebuilt
+  // index) — ivfIndex/invalidateIvf below are the only surface
+  private val ivfIndexTable = new graft.MaterializedTable(ivfIndexPlan)
+
+  /** The materialized inverted lists for (session, dir) — the IVF
+    * index build, built on first use. */
+  def ivfIndex(s: SparkSession, d: String): DataFrame = ivfIndexTable(s, d)
 
   /** Drop the cached quantizer AND inverted lists for (session, dir) —
-    * required before re-probing if data under the dir was rewritten. */
+    * required before re-probing if data under the dir was rewritten.
+    * The ONLY invalidation hook (quantizer and lists stay in sync). */
   def invalidateIvf(s: SparkSession, d: String): Unit = {
     centCache.remove((s, d))
-    ivfIndex.invalidate(s, d)
+    ivfIndexTable.invalidate(s, d)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

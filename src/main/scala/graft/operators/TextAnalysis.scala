@@ -27,7 +27,14 @@ object TextAnalysis {
 
   /** Whitespace tokenization of lowercased text — the one definition
     * shared by every query here AND by the DuckDB oracles. */
-  private def toks: Column = split(lower(trim(col("text"))), "\\s+")
+  /** THE corpus tokenizer — whitespace split of lower(trim(text)).
+    * Single source of truth shared by every text operator (Dedup
+    * shingles, Curation signals, DatasetOps packing): the DuckDB
+    * oracles all hardcode the matching string_split_regex, and the
+    * cross-query anchors (pipe1↔txt*, decon1↔d2) assume identical
+    * tokenization — change it here or nowhere. */
+  private[operators] def toks: Column =
+    split(lower(trim(col("text"))), "\\s+")
 
   /** VADER-style lexicon subset (public VADER algorithm; valences on
     * the corpus vocabulary + common sentiment words). The full rule

@@ -138,6 +138,7 @@ class DedupSpec extends AnyFunSuite {
     val d = docs(1L -> wordsA, 2L -> wordsB, 3L -> wordsC,
       4L -> wordsA, 8L -> wordsB, 12L -> (0 until 40)
         .map(i => s"fresh$i").mkString(" "))
+    Dedup.invalidateBloom(spark, d)
     val exact = Dedup.queries("d7_incremental_new")(spark, d).collect()
       .map(_.getLong(0)).toSet
     val bloom = Dedup.queries("d7_bloom_new")(spark, d).collect()
@@ -155,6 +156,22 @@ class DedupSpec extends AnyFunSuite {
       s"bloom invented new docs: ${bloomSf.diff(exactSf)}")
     val recall = bloomSf.size.toDouble / exactSf.size
     assert(recall >= 0.9, s"bloom recall $recall below 0.9")
+  }
+
+  test("bloom path on an empty existing corpus reports every doc new") {
+    // first-ever ingest: every doc_id % 4 == 0, the existing
+    // partition is empty and the bloom aggregate evals to NULL —
+    // might_contain over a null bloom would null the predicate and
+    // silently drop ALL rows (recall 0, undetectable by the subset
+    // assertion). The operator must treat no-bloom as nothing-seen.
+    val d = docs(0L -> wordsA, 4L -> wordsB, 8L -> wordsC)
+    Dedup.invalidateBloom(spark, d)
+    val exact = Dedup.queries("d7_incremental_new")(spark, d).collect()
+      .map(_.getLong(0)).toSet
+    val bloom = Dedup.queries("d7_bloom_new")(spark, d).collect()
+      .map(_.getLong(0)).toSet
+    assert(exact == Set(0L, 4L, 8L))
+    assert(bloom == exact, s"empty-corpus bloom must report all new: $bloom")
   }
 
   test("simhash: identical docs share the signature, disjoint differ") {
