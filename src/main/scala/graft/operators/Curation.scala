@@ -112,6 +112,29 @@ object Curation {
         .groupBy("verdict").agg(count(lit(1)).as("n_docs"))
         .orderBy("verdict")),
 
+    // PIPE2: adaptive quantile cut — "keep the top 90% by quality"
+    // rather than a fixed threshold (corpora drift; percentile
+    // thresholds self-calibrate). Score = stopword ratio (the txt2
+    // quality family); the p10 threshold is ONE exact-percentile row
+    // broadcast onto the corpus (the a13 bounds pattern), so the
+    // corpus scans twice and never shuffles beyond the percentile
+    // agg. Raw doubles; `percentile` ≡ DuckDB `quantile_cont`
+    // (linear interpolation, parity proven by a17).
+    "pipe2_quantile_cut" -> ((s, d) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+      val nTok = size(col("t")).cast("double")
+      val stopN = size(filter(col("t"), t => t.isInCollection(stop)))
+        .cast("double")
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"), (stopN / nTok).as("score"))
+      val thr = scored.agg(expr("percentile(score, 0.1)").as("p10"))
+      scored.crossJoin(broadcast(thr))
+        .filter(col("score") >= col("p10"))
+        .select(col("doc_id"), col("score"), col("p10"))
+        .orderBy("doc_id")
+    }),
+
     // TXT7: repetition signals (Gopher §A.1.1-style filters, adapted
     // to this corpus's line-less word-soup text): the fraction of
     // tokens that are the single most frequent token, and the
@@ -222,6 +245,19 @@ object Curation {
            FROM sig)
          SELECT verdict, count(*) AS n_docs
          FROM verdicts GROUP BY 1 ORDER BY 1""",
+    "pipe2_quantile_cut" ->
+      """WITH scored AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    t -> t IN ('the','a','of','and','to','in','is','on')))
+                    AS DOUBLE)
+                  / len(string_split_regex(lower(trim(text)), '\s+'))
+                    AS score
+           FROM documents),
+         thr AS (SELECT quantile_cont(score, 0.1) AS p10 FROM scored)
+         SELECT doc_id, score, p10
+         FROM scored, thr WHERE score >= p10 ORDER BY doc_id""",
     "txt7_repetition" ->
       """WITH docs AS (
            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

@@ -89,6 +89,23 @@ class CurationSpec extends AnyFunSuite {
     assert(parts >= 3, s"expected >=3 bounded files in shard 0, got $parts")
   }
 
+  test("pipe2 quantile cut keeps exactly the docs above the p10 score") {
+    // 10 docs, doc i has i 'the' among 20 tokens → score i/20, all
+    // distinct. quantile_cont(0.1) over 10 values interpolates at
+    // rank 0.9: thr = v0 + 0.9·(v1−v0) = 0.045, strictly between
+    // doc 0 (0.0) and doc 1 (0.05) → exactly docs 1..9 survive.
+    val rows = (0 until 10).map { i =>
+      i.toLong -> (Seq.fill(i)("the") ++
+        (0 until (20 - i)).map(j => s"w${i}x$j")).mkString(" ")
+    }
+    val d = docs(rows: _*)
+    val out = Curation.queries("pipe2_quantile_cut")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == (1L to 9L))
+    assert(out.forall { case (_, score, p10) => score >= p10 })
+    assert(math.abs(out.head._3 - 0.045) < 1e-12)
+  }
+
   test("ds5 mixture: realized per-source fraction tracks its target") {
     // sf0.1 has 250 docs per source: the md5-uniform keep decision
     // should realize each source's target fraction within ~3σ
