@@ -5,19 +5,24 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Corpus-curation operators a training-data pipeline runs between
-  * cleaning and assembly: benchmark decontamination and repetition
-  * scoring. Both are builder-brief training-pipeline extensions (the
-  * reference dashboard has no corpus-curation story); both are FULLY
+  * ingest and assembly: benchmark decontamination (DECON1), the
+  * composed static-rule cleaning filter with its drop funnel (PIPE1),
+  * the adaptive percentile-threshold cut (PIPE2), and repetition
+  * scoring (TXT7). All builder-brief training-pipeline extensions
+  * (the reference dashboard has no corpus-curation story); all FULLY
   * oracle-checked — every computation is count arithmetic + pure
-  * IEEE division, which hashes bit-identically across engines.
+  * IEEE division/percentile, which hashes bit-identically across
+  * engines.
   *
   * Scale notes: DECON1's eval side is tiny by construction (a
   * benchmark suite is MBs against a 100 TB corpus), so the membership
   * probe is a broadcast semi-join — the corpus never shuffles except
-  * the final partial-aggregated count by doc. TXT7 is one corpus pass:
-  * per-row shingle arithmetic plus a hash agg on doc_id; the word
-  * histogram goes through (doc_id, word) partial aggregation, so no
-  * reducer sees more than a doc's distinct vocabulary.
+  * the final partial-aggregated count by doc (plan-asserted in
+  * PlanShapeSpec). PIPE1/TXT7 are one corpus pass: per-row shingle
+  * arithmetic plus a hash agg on doc_id; the word histogram goes
+  * through (doc_id, word) partial aggregation, so no reducer sees
+  * more than a doc's distinct vocabulary. PIPE2's threshold is one
+  * percentile row broadcast onto the corpus (the a13 bounds pattern).
   */
 object Curation {
 
