@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Partition-layout determinism: every assembly/curation decision must
+  * be a pure function of the DATA, never of how the data is laid out
+  * in files — on a 1000-executor cluster the same corpus arrives in
+  * arbitrarily many splits, in arbitrary order, and a query whose
+  * output drifts with the layout is silently nondeterministic at
+  * scale. The same 200-doc corpus is written once as a single file
+  * and once as 7 files; each query must produce identical rows.
+  *
+  * (Hash-membership ops are layout-free by construction; windowed ops
+  * order by doc_id inside the partition key; aggregations are
+  * commutative — this spec is the executable form of those claims.)
+  */
+class DeterminismSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Deterministic word-soup corpus: 200 docs over a 30-word vocab
+    * with planted duplicates (every 17th doc repeats doc 3's text). */
+  private lazy val (oneFile, sevenFiles): (String, String) = {
+    import spark.implicits._
+    def sm(x: Long): Long = { // splitmix64 step, no RNG state
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val vocab = (0 until 30).map(i => s"w$i")
+    def text(id: Long): String =
+      (0 until 20 + (sm(id) & 15).toInt)
+        .map(j => vocab(((sm(id * 131 + j) % 30 + 30) % 30).toInt))
+        .mkString(" ")
+    val rows = (0L until 200L).map { id =>
+      // planted duplicates: every 17th doc repeats doc 3 (dedup
+      // fodder), and docs ending in 7 repeat EVAL doc 0 so the
+      // decontamination query has non-vacuous hits
+      val t = if (id > 0 && id % 17 == 0) text(3L)
+        else if (id > 0 && id % 10 == 7) text(0L)
+        else text(id)
+      (id, t, s"src${id % 20}")
+    }
+    val df = rows.toDF("doc_id", "text", "source")
+    val d1 = SparkTestSession.fixtureDir("det-one")
+    val d7 = SparkTestSession.fixtureDir("det-seven")
+    df.coalesce(1).write.mode("overwrite").parquet(s"$d1/documents.parquet")
+    df.repartition(7).write.mode("overwrite")
+      .parquet(s"$d7/documents.parquet")
+    (d1, d7)
+  }
+
+  private val cases: Seq[(String, Map[String,
+      (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame])] = Seq(
+    "pipe1_corpus_filter" -> Curation.queries,
+    "pipe1_filter_funnel" -> Curation.queries,
+    "pipe2_quantile_cut" -> Curation.queries,
+    "txt7_repetition" -> Curation.queries,
+    "decon1_ngram_overlap" -> Curation.queries,
+    "ds3_sequence_pack" -> DatasetOps.queries,
+    "ds5_mixture_sample" -> DatasetOps.queries,
+    "d7_incremental_new" -> Dedup.queries,
+    "d7_bloom_new" -> Dedup.queries)
+
+  cases.foreach { case (name, qs) =>
+    test(s"$name is identical on 1-file and 7-file layouts") {
+      if (name == "d7_bloom_new") {
+        Dedup.invalidateBloom(spark, oneFile)
+        Dedup.invalidateBloom(spark, sevenFiles)
+      }
+      val a = qs(name)(spark, oneFile).collect().map(_.toString).toSeq
+      val b = qs(name)(spark, sevenFiles).collect().map(_.toString).toSeq
+      assert(a.nonEmpty, s"$name vacuous on the fixture")
+      assert(a == b, s"$name drifts with the file layout")
+    }
+  }
+}
