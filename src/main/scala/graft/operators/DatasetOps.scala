@@ -131,17 +131,18 @@ object DatasetOps {
     ds4Dirs.getOrElseUpdate((s, d),
       java.nio.file.Files.createTempDirectory("graft_ds4").toString)
 
-  /** DS4 body with an explicit output dir so the spec can inspect the
-    * produced file layout (the query wraps it with the session-scoped
-    * reused dir above). */
+  /** DS4 body with an explicit output dir and file bound so the spec
+    * can inspect the produced layout (the query wraps it with the
+    * session-scoped reused dir and the default bound; real pipelines
+    * size the bound to the reader's task budget — ~10⁵–10⁶ rows). */
   private[operators] def shardWrite(s: SparkSession, d: String,
-      out: String): DataFrame = {
+      out: String, maxRecordsPerFile: Int = 500): DataFrame = {
     Curation.filterDecisions(s, d)
       .filter(col("verdict") === "kept")
       .withColumn("shard", col("doc_id") % 8)
       .select(col("shard"), col("doc_id"), col("n_tokens"))
       .write.mode("overwrite")
-      .option("maxRecordsPerFile", 50)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("shard")
       .parquet(out)
     s.read.parquet(out)

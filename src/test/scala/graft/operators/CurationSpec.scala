@@ -80,7 +80,8 @@ class CurationSpec extends AnyFunSuite {
     }
     val d = docs(rows: _*)
     val outDir = SparkTestSession.fixtureDir("ds4-out") + "/data"
-    val out = DatasetOps.shardWrite(spark, d, outDir).collect()
+    val out = DatasetOps.shardWrite(spark, d, outDir,
+      maxRecordsPerFile = 50).collect()
     assert(out.length == 1 && out.head.getLong(0) == 0L)
     assert(out.head.getLong(1) == 120L)
     assert(out.head.getLong(2) == 120L * 20)

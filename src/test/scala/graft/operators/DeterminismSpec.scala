@@ -62,7 +62,9 @@ class DeterminismSpec extends AnyFunSuite {
     "ds3_sequence_pack" -> DatasetOps.queries,
     "ds5_mixture_sample" -> DatasetOps.queries,
     "d7_incremental_new" -> Dedup.queries,
-    "d7_bloom_new" -> Dedup.queries)
+    "d7_bloom_new" -> Dedup.queries,
+    "d1_exact_dedup" -> TextAnalysis.queries,
+    "txt4_fingerprint" -> TextAnalysis.queries)
 
   cases.foreach { case (name, qs) =>
     test(s"$name is identical on 1-file and 7-file layouts") {
