@@ -85,6 +85,34 @@ object DatasetOps {
         .orderBy("shard", "doc_id")
     }),
 
+    // DS6: length-grouped batching — the padding-reduction trick for
+    // PADDED batches (each sequence pads to its batch's max): sorting
+    // a shard by token count before slicing fixed-size batches groups
+    // like-sized docs, so per-batch max≈mean and the padded waste
+    // collapses (vs doc_id order, where one long doc inflates a whole
+    // batch). NOTE this is deliberately NOT ds3's concat-and-chunk
+    // form — there, order doesn't change the boundary count; padding
+    // is where length-sorting pays. The audit emits per-batch size,
+    // tokens, max and padding; fully oracle-checked.
+    "ds6_length_batching" -> ((s, d) => {
+      val b = 32
+      val w = Window.partitionBy("shard").orderBy("n_tokens", "doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextAnalysis.toks).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("shard", col("doc_id") % 8)
+        .withColumn("batch_id",
+          floor((row_number().over(w) - 1) / b).cast("long"))
+        .groupBy("shard", "batch_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("batch_tokens"),
+          max(col("n_tokens")).as("max_len"))
+        .withColumn("padding",
+          col("n_docs") * col("max_len") - col("batch_tokens"))
+        .orderBy("shard", "batch_id")
+    }),
+
     // DS4: the shard write that ends the assembly pipeline — the
     // PIPE1-kept docs land as a dataset partitioned by shard with
     // size-bounded files (maxRecordsPerFile caps any one file no
@@ -187,6 +215,24 @@ object DatasetOps {
                 off // 512 AS start_block,
                 (off + n_tokens - 1) // 512 AS end_block
          FROM packed ORDER BY shard, doc_id""",
+    "ds6_length_batching" ->
+      """WITH docs AS (
+           SELECT doc_id, doc_id % 8 AS shard,
+                  CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                    AS BIGINT) AS n_tokens
+           FROM documents),
+         ranked AS (
+           SELECT shard, doc_id, n_tokens,
+                  (row_number() OVER (PARTITION BY shard
+                     ORDER BY n_tokens, doc_id) - 1) // 32 AS batch_id
+           FROM docs WHERE n_tokens > 0)
+         SELECT shard, batch_id, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS batch_tokens,
+                max(n_tokens) AS max_len,
+                count(*) * max(n_tokens) - CAST(sum(n_tokens) AS BIGINT)
+                  AS padding
+         FROM ranked GROUP BY shard, batch_id
+         ORDER BY shard, batch_id""",
     "ds4_shard_write" ->
       """WITH docs AS (
            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

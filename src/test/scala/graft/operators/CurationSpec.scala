@@ -125,6 +125,29 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("ds6 length batching: audit is exact and sorting beats doc order") {
+    // recompute the batching independently from ds3's (doc, tokens)
+    // rows and assert the query's padding audit matches exactly; then
+    // the point of the operator: length-sorted batches waste less
+    // padding than doc_id-ordered batches on this corpus
+    val toks = DatasetOps.queries("ds3_sequence_pack")(
+        spark, SparkTestSession.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def padding(order: Seq[(Long, Long, Long)] => Seq[Long]): Long =
+      toks.groupBy(_._1).map { case (_, rs) =>
+        order(rs.toSeq).grouped(32)
+          .map(b => b.max * b.size - b.sum).sum
+      }.sum
+    val sortedPad = padding(_.sortBy(r => (r._3, r._2)).map(_._3))
+    val docOrderPad = padding(_.sortBy(_._2).map(_._3))
+    val out = DatasetOps.queries("ds6_length_batching")(
+        spark, SparkTestSession.Sf0001).collect()
+    assert(out.map(_.getLong(5)).sum == sortedPad,
+      "query padding audit differs from independent recomputation")
+    assert(sortedPad < docOrderPad,
+      s"sorted padding $sortedPad not below doc-order $docOrderPad")
+  }
+
   test("ds3 packing is a valid concat-and-chunk layout per shard") {
     val out = DatasetOps.queries("ds3_sequence_pack")(
         spark, SparkTestSession.Sf0001).collect()

@@ -60,6 +60,7 @@ class DeterminismSpec extends AnyFunSuite {
     "txt7_repetition" -> Curation.queries,
     "decon1_ngram_overlap" -> Curation.queries,
     "ds3_sequence_pack" -> DatasetOps.queries,
+    "ds6_length_batching" -> DatasetOps.queries,
     "ds5_mixture_sample" -> DatasetOps.queries,
     "d7_incremental_new" -> Dedup.queries,
     "d7_bloom_new" -> Dedup.queries,
