@@ -68,7 +68,7 @@ class DeterminismSpec extends AnyFunSuite {
     "txt4_fingerprint" -> TextAnalysis.queries)
 
   cases.foreach { case (name, qs) =>
-    test(s"$name is identical on 1-file and 7-file layouts") {
+    test(s"$name is identical across file layouts and shuffle widths") {
       if (name == "d7_bloom_new") {
         Dedup.invalidateBloom(spark, oneFile)
         Dedup.invalidateBloom(spark, sevenFiles)
@@ -77,6 +77,16 @@ class DeterminismSpec extends AnyFunSuite {
       val b = qs(name)(spark, sevenFiles).collect().map(_.toString).toSeq
       assert(a.nonEmpty, s"$name vacuous on the fixture")
       assert(a == b, s"$name drifts with the file layout")
+      // second axis: the shuffle width decides how windows/aggs
+      // decompose into tasks — a 1000-executor cluster runs wide, the
+      // test session runs at 4; answers must not know the difference
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      try {
+        spark.conf.set(key, "11")
+        val c = qs(name)(spark, oneFile).collect().map(_.toString).toSeq
+        assert(a == c, s"$name drifts with the shuffle width")
+      } finally spark.conf.set(key, prev)
     }
   }
 }
