@@ -61,6 +61,10 @@ object Curation {
       greatest(size(col("t")) - 2, lit(0)).cast("long").as("ntri"),
       when(size(col("t")) >= 3, size(shingleCol(3)))
         .otherwise(lit(0)).cast("long").as("ndis"))
+    // no join hint: BOTH sides are per-doc aggregates (corpus-sized at
+    // 100 TB), so the strategy must stay adaptive — AQE broadcasts at
+    // test SF and sort-merge-joins on doc_id at scale; forcing either
+    // would be wrong at the other end
     words.join(tri, Seq("doc_id"))
       .withColumn("mean_len", col("chars").cast("double") / col("n"))
       .withColumn("top_frac", col("mx").cast("double") / col("n"))
