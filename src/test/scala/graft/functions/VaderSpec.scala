@@ -25,13 +25,16 @@ class VaderSpec extends AnyFunSuite {
     // the three Map literals are merged with ++, so a key repeated
     // across blocks would silently take the LAST value — a transcription
     // slip that nothing else would catch (scores are not oracle-compared)
-    val b = VaderLexicon.base.keySet
-    val e = VaderLexicon.extended.keySet
-    val e2 = VaderLexicon.extended2.keySet
-    assert(b.intersect(e).isEmpty, s"base∩extended: ${b.intersect(e)}")
-    assert(b.intersect(e2).isEmpty, s"base∩extended2: ${b.intersect(e2)}")
-    assert(e.intersect(e2).isEmpty, s"extended∩extended2: ${e.intersect(e2)}")
-    assert(VaderLexicon.entries.size == b.size + e.size + e2.size)
+    val blocks = Seq(
+      "base" -> VaderLexicon.base.keySet,
+      "extended" -> VaderLexicon.extended.keySet,
+      "extended2" -> VaderLexicon.extended2.keySet,
+      "extended3" -> VaderLexicon.extended3.keySet)
+    for (Seq((na, a), (nb, bk)) <- blocks.combinations(2)) {
+      val shared = a.intersect(bk)
+      assert(shared.isEmpty, s"$na∩$nb: $shared")
+    }
+    assert(VaderLexicon.entries.size == blocks.map(_._2.size).sum)
   }
 
   test("empty / null / neutral text scores 0") {
