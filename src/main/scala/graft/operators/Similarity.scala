@@ -82,6 +82,27 @@ object Similarity {
       struct(lit(b).as("band"), bits.as("bkt"))
     }: _*))
 
+  /** SIM4 scalar quantization: per-vector symmetric int8 — scale =
+    * 127 / max|xᵢ|, qᵢ = round(xᵢ·scale) ∈ [-127, 127]. The SQ8
+    * compression every large ANN deployment applies before the index
+    * (4× smaller vectors, integer SIMD dots); here the quantized
+    * values ride in DOUBLE arrays so the [[graft.functions.DotProduct]]
+    * kernel runs them unchanged — every product and partial sum is an
+    * exact integer below 2⁵³ (|q|≤127, 64 dims → |Σ|≤127²·64 ≈ 10⁶),
+    * so quantized dots are EXACT and order-insensitive, which is what
+    * makes the quantized top-k fully oracle-checkable where the float
+    * cosine paths need index-order summation. Zero vectors (max|x|=0)
+    * have no quantization and are filtered on both engines. */
+  private def quantized(emb: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("mx", array_max(transform(col("embedding"), x => abs(x))))
+      .filter(col("mx") > 0)
+      .withColumn("scale", lit(127.0) / col("mx"))
+      .withColumn("q",
+        transform(col("embedding"), x => round(x * col("scale"))))
+      .select(col("vec_id"), col("scale"), col("q"))
+
   /** The IVF coarse quantizer: 16 deterministically sampled corpus
     * vectors (every 31st vec_id, first 16) as (id, components, norm),
     * collected once per (session, dir) — the probe side needs them on
@@ -241,6 +262,48 @@ object Similarity {
         .orderBy("q_id", "rank")
     }),
 
+    // SIM4a: the int8 quantization itself, one row per (vector,
+    // dimension) — codebook-free symmetric SQ8. Exact integer
+    // arithmetic end to end (round half-away-from-zero on both
+    // engines), so the oracle hash-matches including the raw IEEE
+    // scale. One stateless map over the corpus: no shuffle at all
+    // until the output sort.
+    "sim4_quantize_int8" -> ((s, d) =>
+      quantized(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("scale"), posexplode(col("q")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("col").cast("int").as("q8"), col("scale"))
+        .orderBy("vec_id", "pos")),
+
+    // SIM4b: brute-force top-5 in the QUANTIZED space — cos_q =
+    // qd/√(qa·qb): the per-vector scales cancel, so the ranking needs
+    // only integer dots of the stored int8 codes (the memory-bound
+    // first pass of an SQ8 ANN engine; a production system rescopes
+    // the float cosine only over these survivors). Integer dots are
+    // exact (see [[quantized]]) → fully oracle-checked, unlike the
+    // float ANN paths (rows-only + recall specs). Recall vs the exact
+    // SIM1 top-5 is asserted in SimilaritySpec.
+    "sim4_quant_topk" -> ((s, d) => {
+      val qz = quantized(Tables.embeddings(s, d))
+        .withColumn("qq", dot(col("q"), col("q")))
+      val q = qz.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("q").as("qe"),
+          col("qq").as("qn"))
+      val c = qz.select(col("vec_id").as("c_id"), col("q").as("ce"),
+        col("qq").as("cn"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("c_id"))
+      c.crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine",
+          dot(col("qe"), col("ce")) / sqrt(col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("c_id"),
+          r6(col("cosine")).as("cosine"))
+        .orderBy("q_id", "rank")
+    }),
+
     // D5: embedding-cosine near-duplicate pairs (vec_id < 200, τ=0.35).
     "d5_embedding_neardup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).filter(col("vec_id") < 200)
@@ -274,6 +337,47 @@ object Similarity {
            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
                   list_sum(list_transform(generate_series(1, len(q.e)),
                     i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS cosine
+           FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         SELECT q_id, rank, c_id, round(cosine, 6) AS cosine FROM (
+           SELECT q_id, c_id, cosine,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, c_id) AS rank
+           FROM pairs) WHERE rank <= 5
+         ORDER BY q_id, rank""",
+    "sim4_quantize_int8" ->
+      """WITH v AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(x))) AS mx
+           FROM embeddings),
+         s AS (
+           SELECT vec_id, embedding, CAST(127 AS DOUBLE) / mx AS scale
+           FROM v WHERE mx > 0),
+         u AS (
+           SELECT vec_id, scale,
+                  unnest(generate_series(1, len(embedding))) AS i,
+                  unnest(embedding) AS x
+           FROM s)
+         SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+                CAST(round(x * scale) AS INTEGER) AS q8, scale
+         FROM u ORDER BY vec_id, pos""",
+    "sim4_quant_topk" ->
+      """WITH v AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(x))) AS mx
+           FROM embeddings),
+         qz AS (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> round(x * (CAST(127 AS DOUBLE) / mx))) AS q
+           FROM v WHERE mx > 0),
+         n AS (
+           SELECT vec_id, q,
+                  list_sum(list_transform(q, x -> x * x)) AS qq
+           FROM qz),
+         pairs AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                  list_sum(list_transform(generate_series(1, len(q.q)),
+                    i -> q.q[i] * c.q[i])) / sqrt(q.qq * c.qq) AS cosine
            FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
          SELECT q_id, rank, c_id, round(cosine, 6) AS cosine FROM (
            SELECT q_id, c_id, cosine,

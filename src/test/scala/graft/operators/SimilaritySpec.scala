@@ -60,6 +60,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfRecall >= 0.3, f"sf0.1 ivf recall $ivfRecall%.3f below 0.3")
   }
 
+  test("int8-quantized top-k recall vs the float exact top-k") {
+    // SQ8 keeps the DIRECTION of each vector to ~1/254 per-component
+    // resolution, so quantized cosine ranking should agree with the
+    // float ranking almost everywhere — this is a much tighter bound
+    // than the bucketing paths (which drop candidates), and the gap
+    // that remains is pure quantization noise at the rank-5 boundary.
+    val exact = pairs("sim1_cosine_topk")
+    val quant = pairs("sim4_quant_topk")
+    assert(exact.nonEmpty)
+    val recall = exact.intersect(quant).size.toDouble / exact.size
+    info(f"sq8 recall = $recall%.3f (|exact|=${exact.size})")
+    assert(recall >= 0.9, f"sq8 recall $recall%.3f below 0.9")
+  }
+
+  test("quantized codes are int8-bounded and hit ±127 at the max dim") {
+    val rows = Similarity.queries("sim4_quantize_int8")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, q) => q >= -127 && q <= 127 })
+    // symmetric quantization maps the largest-|x| component of every
+    // vector to exactly ±127 — that's what "scale = 127/max|x|" means
+    rows.groupBy(_._1).foreach { case (v, qs) =>
+      assert(qs.map { case (_, q) => math.abs(q) }.max == 127,
+        s"vec $v never reaches ±127")
+    }
+  }
+
   test("IVF index rebuild after invalidate reproduces the same answer") {
     // The memoized quantizer + inverted lists must be a pure function
     // of the (immutable) data under the dir: dropping the cache and
