@@ -123,6 +123,19 @@ object Dedup {
   def invalidateBloom(s: SparkSession, d: String): Unit =
     bloomCache.remove((s, d))
 
+  /** Per-doc SimHash bit sums s0…s63 (sᵢ > 0 ⇔ bit i of the signature
+    * is set): one token explode + one hash agg, shared by the D4
+    * signature render and the D8 banded pair search. */
+  private def simhashBitSums(s: SparkSession, d: String): DataFrame = {
+    val tokens = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums: Seq[Column] = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$b"))
+    tokens.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D3: MinHash+LSH near-dup candidate pairs (est Jaccard ≥ 0.5).
     "d3_minhash_lsh" -> ((s, d) =>
@@ -212,18 +225,47 @@ object Dedup {
     }),
 
     // D4: 64-bit SimHash signature per document (bitstring form).
-    "d4_simhash" -> ((s, d) => {
-      val tokens = Tables.documents(s, d)
-        .select(col("doc_id"), explode(toks).as("tok"))
-        .withColumn("h", xxhash64(col("tok")))
-      val bitSums: Seq[Column] = (0 until 64).map(bToBit =>
-        sum(when(shiftright(col("h"), bToBit).bitwiseAND(lit(1L)) === 1L, 1L)
-          .otherwise(-1L)).as(s"s$bToBit"))
-      tokens.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    "d4_simhash" -> ((s, d) =>
+      simhashBitSums(s, d)
         .select(col("doc_id"),
           concat((63 to 0 by -1).map(i =>
             when(col(s"s$i") > 0, "1").otherwise("0")): _*).as("simhash"))
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // D8: SimHash near-duplicate PAIRS — the scale path D4's signature
+    // exists for. 4 bands × 16 bits: by pigeonhole, two signatures at
+    // Hamming distance ≤ 3 cannot differ in all 4 bands, so every such
+    // pair shares ≥1 band bucket and the band equi-join has PERFECT
+    // recall over the h ≤ 3 predicate — banding + popcount verify is
+    // EXACT, not approximate (asserted against an all-pairs
+    // recomputation in DedupSpec). Candidates co-locate by a
+    // (band, bucket) hash shuffle — 2¹⁶ buckets per band bound the
+    // per-reducer pair work; no all-pairs comparison anywhere.
+    "d8_simhash_pairs" -> ((s, d) => {
+      val sig = simhashBitSums(s, d)
+        .select(col("doc_id"),
+          (0 until 64).map(i =>
+            when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+            .reduce(_ bitwiseOR _).as("sh"))
+      val banded = sig.select(col("doc_id"), col("sh"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))
+              .as("bk"))): _*)).as("b"))
+        .select(col("doc_id"), col("sh"),
+          col("b.band").as("band"), col("b.bk").as("bk"))
+      val a = banded.alias("a"); val b = banded.alias("b")
+      a.join(b,
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.sh").as("sa"), col("b.sh").as("sb"))
+        .dropDuplicates("da", "db")
+        .withColumn("hamming",
+          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("da"), col("db"), col("hamming"))
+        .orderBy("da", "db")
     })
   )
 

@@ -174,6 +174,28 @@ class DedupSpec extends AnyFunSuite {
     assert(bloom == exact, s"empty-corpus bloom must report all new: $bloom")
   }
 
+  test("D8 banded pairs equal an exhaustive Hamming search (pigeonhole)") {
+    // 4 bands × 16 bits: a pair at Hamming ≤ 3 differs in at most 3
+    // bits, so at least one of the 4 bands is untouched — the band
+    // equi-join finds EVERY such pair, and the popcount verify keeps
+    // nothing else. D8 is therefore exact over the h ≤ 3 predicate;
+    // prove it by recomputing all pairs from the oracle-shaped D4
+    // bitstrings (no banding) and asserting set equality.
+    val sf = "/root/testdata/sf0.01"
+    val sigs = Dedup.queries("d4_simhash")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val exact = (for {
+      (da, sa) <- sigs; (db, sb) <- sigs
+      if da < db && ham(sa, sb) <= 3
+    } yield (da, db, ham(sa, sb).toLong)).toSet
+    assert(exact.nonEmpty, "vacuous: no pair at hamming <= 3 at sf0.01")
+    val banded = Dedup.queries("d8_simhash_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == exact,
+      s"missed=${exact.diff(banded)} extra=${banded.diff(exact)}")
+  }
+
   test("simhash: identical docs share the signature, disjoint differ") {
     val d = docs(1L -> wordsA, 2L -> wordsA, 3L -> wordsB)
     val sh = Dedup.queries("d4_simhash")(spark, d).collect()
