@@ -137,6 +137,31 @@ object Relational {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // J6: salted shuffle join — the hot-key mitigation for skewed JOIN
+    // keys at 100 TB (the join-side complement of A15). The fact side
+    // salts every row deterministically (pmod(xxhash64(event_id), 16));
+    // the dim side replicates ×16 carrying every salt value, so one
+    // hot user_id spreads across 16 reducers instead of melting one.
+    // The `merge` hint pins a shuffle join — a broadcast would mask
+    // the mitigation this query demonstrates (and at real skew scale
+    // the dim is too big to broadcast after replication). Result is
+    // EXACTLY the plain equi join — which is what the oracle checks.
+    "j6_salted_join" -> ((s, d) => {
+      val salts = 16
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(salts.toLong)))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .withColumn("salt",
+          explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+      ev.join(dim.hint("merge"),
+          ev("user_id") === dim("c_custkey") && ev("salt") === dim("salt"))
+        .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+          col("value"))
+        .orderBy("event_id")
+    }),
+
     // A1: grouped avg+count per (event_type, day) — the post-J1 aggregate.
     // Ref: scripts/05_lag_analysis.py:71-76.
     "a1_grouped_avg" -> ((s, d) =>
@@ -220,6 +245,43 @@ object Relational {
           round(expr("percentile_approx(value, 0.75, 1000)"), 6).as("p75"),
           round(expr("percentile_approx(value, 0.95, 1000)"), 6).as("p95"))
         .orderBy("event_type")),
+
+    // A19: hierarchical ROLLUP — (type, day), per-type, and grand
+    // totals in ONE pass (Spark expands the grouping sets inside a
+    // single hash aggregate; no Union of three scans). NULL grouping
+    // markers are coalesced to '(all)' on both engines so the subtotal
+    // rows hash identically. Decimal-sum avg: partial-agg order per
+    // grouping set differs from DuckDB's, exact sums don't care.
+    "a19_rollup" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("day",
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+        .rollup(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(24,10)")).cast("double") /
+            count(lit(1)), 6).as("avg_value"))
+        .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("day"), lit("(all)")).as("day"),
+          col("n"), col("avg_value"))
+        .orderBy("event_type", "day")),
+
+    // A20: pivot — per-user event-type counts as columns (the
+    // wide-format table every dashboard heatmap/chart consumes;
+    // S14's chart pivot generalized to N columns). Values are
+    // ENUMERATED, which is what keeps pivot scale-safe: Spark plans
+    // one pass with a fixed column set instead of collecting distinct
+    // values to the driver first. Absent combinations are 0, not NULL.
+    "a20_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"),
+          col("click").as("n_click"), col("error").as("n_error"),
+          col("purchase").as("n_purchase"), col("signup").as("n_signup"),
+          col("view").as("n_view"))
+        .orderBy("user_id")),
 
     // A7: stats block — min/max/mean/std + share above threshold.
     // Ref: scripts/03_add_sentiment.py:36-42.
@@ -399,6 +461,31 @@ object Relational {
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE l_quantity >= 45
          ORDER BY l_orderkey, l_linenumber""",
+    "j6_salted_join" ->
+      """SELECT event_id, user_id, c_mktsegment, value
+         FROM events JOIN customer ON user_id = c_custkey
+         ORDER BY event_id""",
+    "a19_rollup" ->
+      """WITH e AS (
+           SELECT event_type,
+                  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                  value
+           FROM events)
+         SELECT coalesce(event_type, '(all)') AS event_type,
+                coalesce(day, '(all)') AS day,
+                count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                      / count(*), 6) AS avg_value
+         FROM e GROUP BY ROLLUP (event_type, day)
+         ORDER BY event_type, day""",
+    "a20_pivot" ->
+      """SELECT user_id,
+                count(*) FILTER (event_type = 'click') AS n_click,
+                count(*) FILTER (event_type = 'error') AS n_error,
+                count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                count(*) FILTER (event_type = 'signup') AS n_signup,
+                count(*) FILTER (event_type = 'view') AS n_view
+         FROM events GROUP BY 1 ORDER BY user_id""",
     "a1_grouped_avg" ->
       """SELECT event_type, date_trunc('day', ts) AS day,
                 round(avg(value), 6) AS avg_value, count(*) AS n

@@ -193,6 +193,25 @@ object TextAnalysis {
             .as("compound"))
         .orderBy("doc_id")),
 
+    // TXT8: vocabulary build — the top-1000 tokens by corpus frequency
+    // with a deterministic rank (count desc, token asc), the first
+    // step of training any tokenizer (and the stats table behind the
+    // TXT5 BPE merges). Scale: the corpus-sized work is the (word)
+    // hash agg with map-side partial aggregation — the classic
+    // word count; the global row_number then runs over the VOCAB
+    // (≪ corpus, bounded by distinct tokens), where one ordering
+    // partition is the standard and correct plan.
+    "txt8_vocab" -> ((s, d) => {
+      val w = Window.orderBy(col("n").desc, col("w"))
+      Tables.documents(s, d)
+        .select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 1000)
+        .select(col("rank"), col("w").as("token"), col("n"))
+        .orderBy("rank")
+    }),
+
     // D1: exact dedup — md5 content hash, keep lowest doc_id per hash.
     "d1_exact_dedup" -> ((s, d) => {
       val hashed = Tables.documents(s, d)
@@ -242,6 +261,16 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "txt8_vocab" ->
+      """WITH wc AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+           FROM documents),
+         agg AS (SELECT w, count(*) AS n FROM wc GROUP BY 1)
+         SELECT rank, w AS token, n FROM (
+           SELECT w, n,
+                  row_number() OVER (ORDER BY n DESC, w) AS rank
+           FROM agg)
+         WHERE rank <= 1000 ORDER BY rank""",
     "txt1_token_stats" ->
       """SELECT doc_id,
                 CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,

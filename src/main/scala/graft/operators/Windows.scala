@@ -177,6 +177,26 @@ object Windows {
         .orderBy("user_id")
     }),
 
+    // W9: bounded-frame rolling mean — the 7-row trailing average per
+    // user, the moving-average smoothing every price/metric dashboard
+    // applies. Distinct window SHAPE from W3/W4 (unbounded-preceding)
+    // and W1/W2 (point leads): a sliding ROWS frame, which Spark
+    // evaluates incrementally per partition. Sum through DECIMAL so
+    // frame-accumulation order can't flip a ×1e6 rounding boundary
+    // against the oracle. Same even user_id shuffle as every per-entity
+    // window here.
+    "w9_rolling_mean" -> ((s, d) => {
+      val w = wUser.rowsBetween(-6, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("roll_avg",
+          round(sum(col("value").cast("decimal(24,10)")).over(w)
+            .cast("double") / count(lit(1)).over(w), 6))
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("roll_avg"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // J4: as-of join — for each (user, day) the last 'purchase' value with
     // ts < day+1 (forward-fill of the last known price).
     // Spark has no ASOF JOIN: equi-join the daily last value onto the
@@ -204,6 +224,14 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "w9_rolling_mean" ->
+      """SELECT user_id, event_id, value,
+                round(CAST(sum(CAST(value AS DECIMAL(24,10))) OVER w AS DOUBLE)
+                      / count(*) OVER w, 6) AS roll_avg
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
     "w1_forward_return" ->
       """SELECT user_id, event_id,
                 nxt / nullif(value, 0) - 1 AS ret_1 FROM (

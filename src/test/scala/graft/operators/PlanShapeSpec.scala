@@ -57,6 +57,18 @@ class PlanShapeSpec extends AnyFunSuite {
            !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
+  test("j6 salted join: shuffle join keyed on (key, salt), no broadcast") {
+    // the query's whole purpose is spreading a hot key over 16
+    // reducers — a broadcast join would bypass the shuffle the salt
+    // is redistributing (and be impossible at real skew scale after
+    // the ×16 dim replication), so the plan must keep the pinned
+    // sort-merge join with the salt in its join key
+    val plan = planOf(Relational.queries, "j6_salted_join")
+    assert(plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(!plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(plan.contains("salt"), "salt must appear in the join keys")
+  }
+
   test("s1 parquet scan: filter pushed down, unused columns never read") {
     // at 100 TB the difference between a pushed and a post-scan filter
     // is the whole I/O bill — the predicate must reach the parquet
