@@ -76,10 +76,17 @@ object EventStream {
       to_json(struct(col("event_id"), col("event_type"), col("user_id"),
         col("value"))).as("value"))
 
+  /** Timestamp format for the JSON rig: Spark's default truncates to
+    * milliseconds on WRITE, which would silently shave sub-ms event
+    * times off every streamed row (first visible in T10, whose output
+    * carries raw timestamps the oracle compares at full precision). */
+  private val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
   /** File-drop streaming source over a JSON-lines directory (stands in
     * for the Kafka source S12; identical downstream plan). */
   def readJsonStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventSchema).json(dir)
+    spark.readStream.schema(eventSchema)
+      .option("timestampFormat", TsFormat).json(dir)
 
   // ---- T8: custom keyed state (flatMapGroupsWithState) ------------------
 
@@ -214,9 +221,11 @@ object EventStream {
       val mid = new java.sql.Timestamp(
         (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
       ev.filter(col("ts") <= lit(mid)).coalesce(1)
-        .write.mode("overwrite").json(s"$base/half1")
+        .write.mode("overwrite").option("timestampFormat", TsFormat)
+        .json(s"$base/half1")
       ev.filter(col("ts") > lit(mid)).coalesce(1)
-        .write.mode("overwrite").json(s"$base/half2")
+        .write.mode("overwrite").option("timestampFormat", TsFormat)
+        .json(s"$base/half2")
       base
     })
 
@@ -279,6 +288,73 @@ object EventStream {
     s.table("t2_mem")
   }
 
+  /** T9: stream-static enrichment join — the canonical "enrich the
+    * stream with a dimension table" shape (the reference enriches
+    * ticker events with per-symbol config the same way, batch-side:
+    * `scripts/06_strategy_signals.py`). The static side is a batch
+    * DataFrame joined INSIDE the streaming query: Spark re-plans it
+    * per micro-batch, here as a broadcast hash join, so the stream
+    * never shuffles — the 100 TB shape for a fact stream against a
+    * dimension that fits in executor memory. Stateless (no watermark
+    * needed): each event joins alone, append mode. */
+  def runStreamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    val rig = stageRig(s, d)
+    val base = freshDir(s"/tmp/graft-stream-t9-run${runSeq.incrementAndGet()}")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val q = readJsonStream(s, src)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+        col("value"))
+      .writeStream.format("memory").queryName("t9_mem")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("t9_mem")
+  }
+
+  /** T10: stream-stream interval join — click→purchase attribution
+    * within a 4-hour window, the flagship Structured Streaming
+    * capability a batch engine has no analogue for. Both sides carry
+    * watermarks and the join condition bounds purchase_ts to
+    * [click_ts, click_ts+4h], which is what lets Spark EXPIRE buffered
+    * rows: state per side is bounded by watermark + window width, the
+    * production requirement for an unbounded stream (an unbounded
+    * stream-stream join would buffer both streams forever). Inner
+    * join → matches emit as they form; append mode. */
+  def runStreamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val rig = stageRig(s, d)
+    val base = freshDir(s"/tmp/graft-stream-t10-run${runSeq.incrementAndGet()}")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
+    val ev = readJsonStream(s, src)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 day")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 day")
+    val q = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 4 HOURS"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+      .writeStream.format("memory").queryName("t10_mem")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("t10_mem")
+  }
+
   /** T4/S11: keyed publish through a REAL streaming query — the
     * producer's keyed emit (`ingestion/producer.py:173-182`) as
     * readStream → key/value payload → file sink (append mode,
@@ -335,7 +411,17 @@ object EventStream {
     // real streaming run; final per-key tallies equal the plain
     // GROUP BY — which is exactly what the oracle checks.
     "t8_stateful_tally" -> ((s, d) =>
-      runStatefulTally(s, d).orderBy("user_id"))
+      runStatefulTally(s, d).orderBy("user_id")),
+
+    // T9: stream-static enrichment executed as a real streaming run;
+    // result equals the plain batch join — the oracle's check.
+    "t9_stream_static_join" -> ((s, d) =>
+      runStreamStaticJoin(s, d).orderBy("event_id")),
+
+    // T10: watermarked stream-stream interval join executed for real;
+    // the emitted matches equal the batch interval join (oracle).
+    "t10_stream_stream_join" -> ((s, d) =>
+      runStreamStreamJoin(s, d).orderBy("click_id", "purchase_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -379,6 +465,19 @@ object EventStream {
     "t8_stateful_tally" ->
       """SELECT user_id, count(*) AS n_events, max(value) AS max_value,
                 min(value) AS min_value, max(event_id) AS last_event_id
-         FROM events GROUP BY 1 ORDER BY user_id"""
+         FROM events GROUP BY 1 ORDER BY user_id""",
+    "t9_stream_static_join" ->
+      """SELECT event_id, user_id, c_mktsegment, value
+         FROM events JOIN customer ON user_id = c_custkey
+         ORDER BY event_id""",
+    "t10_stream_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id,
+                p.event_id AS purchase_id,
+                c.ts AS click_ts, p.ts AS purchase_ts
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOURS
+         ORDER BY click_id, purchase_id"""
   )
 }
