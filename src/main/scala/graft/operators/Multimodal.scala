@@ -20,6 +20,51 @@ import graft.Tables
   */
 object Multimodal {
 
+  /** MM5 shared stage: 64-bit average-hash perceptual fingerprint per
+    * payload — the aHash every image-dedup pipeline runs (resize to a
+    * fixed grid, threshold each cell against the mean). Same stub
+    * decoder contract as MM2–MM4 (byte signal stands in for pixels):
+    * the payload area-resizes to 64 block means (the MM4 kernel at
+    * Target=64) and bit k is set iff block k's mean exceeds the GLOBAL
+    * byte mean — all integer sums and two exact int/int divisions per
+    * comparison, so the hash is bit-identical across engines and the
+    * whole family is fully oracle-checkable (no simhash-style
+    * rows-only compromise). Emitted both as a bitstring (block 0
+    * leftmost; the oracle's form) and as the packed long the banded
+    * pair search keys on. */
+  private def perceptHash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val Target = 64
+    val bin = Tables.documents(s, d)
+      .filter(octet_length(col("text")) >= Target &&
+              octet_length(col("text")) === length(col("text")))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    bin.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val L = bytes.length
+        var tot = 0L
+        var i = 0
+        while (i < L) { tot += bytes(i) & 0xFF; i += 1 }
+        val gmean = tot.toDouble / L
+        var ph = 0L
+        val sb = new StringBuilder(Target)
+        var k = 0
+        while (k < Target) {
+          val lo = k * L / Target; val hi = (k + 1) * L / Target
+          var sum = 0L
+          var j = lo
+          while (j < hi) { sum += bytes(j) & 0xFF; j += 1 }
+          val bit = sum.toDouble / (hi - lo) > gmean
+          sb.append(if (bit) '1' else '0')
+          if (bit) ph |= 1L << k
+          k += 1
+        }
+        (id, sb.toString, ph)
+      }
+    }.toDF("doc_id", "phash", "ph64")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MM1: binary column + typed metadata (byte length, content hash,
     // magic prefix) — fully relational, oracle-checked.
@@ -128,6 +173,46 @@ object Multimodal {
         .select(col("doc_id") +:
           (0 until Target).map(i => col("resized")(i).as(s"r$i")): _*)
         .orderBy("doc_id")
+    }),
+
+    // MM5a: the perceptual hash itself (bitstring form) — fully
+    // oracle-checked, unlike the token-hash simhash (D4): every
+    // quantity is an integer sum or an exact int/int division.
+    "mm5_percept_hash" -> ((s, d) =>
+      perceptHash(s, d)
+        .select(col("doc_id"), col("phash"))
+        .orderBy("doc_id")),
+
+    // MM5b: perceptual near-dup pairs at Hamming ≤ 11 — the image-dedup
+    // decision. Spark side searches via banding (16 bands × 4 bits:
+    // pigeonhole-complete through Hamming 15, so nothing inside the
+    // radius can be missed) + popcount verify; the oracle recomputes
+    // the SAME pair set exhaustively in SQL, so the banded scale path
+    // is itself oracle-checked end to end. Band width trades pruning
+    // power against the provable radius: 4-bit buckets prune ~16× per
+    // band (fine here); a billion-image corpus wanting a tighter
+    // radius uses fewer, wider bands (8×8 → radius 7, 256× pruning).
+    "mm5_phash_pairs" -> ((s, d) => {
+      val sig = perceptHash(s, d).select(col("doc_id"), col("ph64"))
+      val banded = sig.select(col("doc_id"), col("ph64"),
+        explode(array((0 until 16).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("ph64"), b * 4).bitwiseAND(lit(0xFL))
+              .as("bk"))): _*)).as("b"))
+        .select(col("doc_id"), col("ph64"),
+          col("b.band").as("band"), col("b.bk").as("bk"))
+      val a = banded.alias("a"); val b = banded.alias("b")
+      a.join(b,
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.ph64").as("pa"), col("b.ph64").as("pb"))
+        .dropDuplicates("da", "db")
+        .withColumn("hamming",
+          bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long"))
+        .filter(col("hamming") <= 11)
+        .select(col("da"), col("db"), col("hamming"))
+        .orderBy("da", "db")
     })
   )
 
@@ -171,6 +256,69 @@ object Multimodal {
                   AS frame_mean
          FROM f WHERE k % 4 = 0
          ORDER BY doc_id, frame_idx""",
+    // MM5: ascii(char) == byte under the same ASCII guard; block
+    // bounds, the global mean, and every comparison are exact, so the
+    // hash — and the exhaustive pair search over it — reproduce the
+    // banded Spark path bit-for-bit.
+    "mm5_percept_hash" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS L FROM documents
+           WHERE octet_length(encode(text)) >= 64
+             AND octet_length(encode(text)) = length(text)),
+         g AS (
+           SELECT doc_id, text, L,
+                  CAST(list_sum(list_transform(range(1, L + 1),
+                    i -> CAST(ascii(substring(text, CAST(i AS INT), 1))
+                         AS BIGINT))) AS DOUBLE) / L AS gmean
+           FROM d),
+         blocks AS (
+           SELECT doc_id, k,
+                  list_sum(list_transform(
+                    range(k * L // 64 + 1, (k + 1) * L // 64 + 1),
+                    i -> CAST(ascii(substring(text, CAST(i AS INT), 1))
+                         AS BIGINT)))
+                  / CAST((k + 1) * L // 64 - k * L // 64 AS DOUBLE) AS v,
+                  gmean
+           FROM g, unnest(generate_series(0, 63)) AS u(k))
+         SELECT doc_id,
+                string_agg(CASE WHEN v > gmean THEN '1' ELSE '0' END,
+                           '' ORDER BY k) AS phash
+         FROM blocks GROUP BY doc_id ORDER BY doc_id""",
+    "mm5_phash_pairs" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS L FROM documents
+           WHERE octet_length(encode(text)) >= 64
+             AND octet_length(encode(text)) = length(text)),
+         g AS (
+           SELECT doc_id, text, L,
+                  CAST(list_sum(list_transform(range(1, L + 1),
+                    i -> CAST(ascii(substring(text, CAST(i AS INT), 1))
+                         AS BIGINT))) AS DOUBLE) / L AS gmean
+           FROM d),
+         blocks AS (
+           SELECT doc_id, k,
+                  list_sum(list_transform(
+                    range(k * L // 64 + 1, (k + 1) * L // 64 + 1),
+                    i -> CAST(ascii(substring(text, CAST(i AS INT), 1))
+                         AS BIGINT)))
+                  / CAST((k + 1) * L // 64 - k * L // 64 AS DOUBLE) AS v,
+                  gmean
+           FROM g, unnest(generate_series(0, 63)) AS u(k)),
+         ph AS (
+           SELECT doc_id,
+                  string_agg(CASE WHEN v > gmean THEN '1' ELSE '0' END,
+                             '' ORDER BY k) AS phash
+           FROM blocks GROUP BY doc_id)
+         SELECT a.doc_id AS da, b.doc_id AS db,
+                CAST(len(list_filter(generate_series(1, 64),
+                  i -> substring(a.phash, CAST(i AS INT), 1) <>
+                       substring(b.phash, CAST(i AS INT), 1)))
+                  AS BIGINT) AS hamming
+         FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         WHERE len(list_filter(generate_series(1, 64),
+                 i -> substring(a.phash, CAST(i AS INT), 1) <>
+                      substring(b.phash, CAST(i AS INT), 1))) <= 11
+         ORDER BY da, db""",
     // ascii(char) == byte value under the ASCII guard (single-byte
     // text only, enforced in BOTH engines — see the Spark side); block
     // bounds use the same integer division (// = Scala int division).

@@ -69,4 +69,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(1L) == Seq(97.0, 98.5, 100.0, 101.5, 103.0, 104.5, 106.0, 107.5))
     assert(rows(2L) == Seq(65.0, 66.0, 65.0, 66.0, 65.0, 66.0, 65.0, 66.0))
   }
+
+  test("mm5: identical payloads collide at hamming 0, banding finds them") {
+    // docs 1/2 share one 128-byte payload → identical aHashes → the
+    // banded pair search MUST emit (1,2) at distance 0; doc 3 is a
+    // different byte pattern. Also pin the hash's shape: 64 bits,
+    // non-constant (the global-mean threshold splits blocks both ways
+    // whenever the signal isn't flat).
+    val payload = ("A" * 8 + "z" * 8) * 8       // 128 bytes, alternating
+    val other = ("qX" * 32) + ("m" * 64)        // 128 bytes, different
+    val d = docs(1L -> payload, 2L -> payload, 3L -> other)
+    val hashes = Multimodal.queries("mm5_percept_hash")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L))
+    assert(hashes(1L).length == 64 &&
+      hashes(1L).forall(c => c == '0' || c == '1'))
+    assert(hashes(1L) == hashes(2L))
+    assert(hashes(1L).contains('0') && hashes(1L).contains('1'))
+    val pairs = Multimodal.queries("mm5_phash_pairs")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 2L, 0L)), s"identical pair missing: ${pairs.toSeq}")
+  }
+
+  test("mm5: banded pairs equal an exhaustive search on the corpus") {
+    // 16 bands × 4 bits are pigeonhole-complete through Hamming 15, so
+    // over the ≤ 11 predicate the banded join must reproduce the
+    // all-pairs answer exactly — same guarantee D8 proves for simhash,
+    // here over the oracle-checked perceptual hash.
+    val sf = "/root/testdata/sf0.01"
+    val hs = Multimodal.queries("mm5_percept_hash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val exact = (for {
+      (da, sa) <- hs; (db, sb) <- hs
+      if da < db && ham(sa, sb) <= 11
+    } yield (da, db, ham(sa, sb).toLong)).toSet
+    assert(exact.nonEmpty, "vacuous: no pair at hamming <= 11 at sf0.01")
+    val banded = Multimodal.queries("mm5_phash_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == exact,
+      s"missed=${exact.diff(banded)} extra=${banded.diff(exact)}")
+  }
 }
