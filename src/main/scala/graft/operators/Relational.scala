@@ -340,6 +340,52 @@ object Relational {
         .orderBy("c_custkey")
     }),
 
+    // U4: INTERSECT — distinct (user, day) pairs where a click AND a
+    // purchase both happened: the set-semantics operator (Catalyst
+    // plans it as a distinct + left-semi hash join — keyed shuffle,
+    // no all-pairs anywhere).
+    "u4_intersect" -> ((s, d) => {
+      def days(t: String) = Tables.events(s, d)
+        .filter(col("event_type") === t)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      days("click").intersect(days("purchase"))
+        .orderBy("user_id", "day")
+    }),
+
+    // U5: EXCEPT — distinct (user, day) click pairs with NO purchase
+    // that day (the complement of U4; plans as distinct + anti join).
+    "u5_except" -> ((s, d) => {
+      def days(t: String) = Tables.events(s, d)
+        .filter(col("event_type") === t)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      days("click").except(days("purchase"))
+        .orderBy("user_id", "day")
+    }),
+
+    // A21: conversion funnel — how deep each user gets through
+    // signup → view → click → purchase, where a stage only counts if
+    // its FIRST occurrence is strictly after the previous stage's
+    // first occurrence; reported as users per deepest stage. ONE
+    // conditional-min hash agg per user (map-side partials) + a tiny
+    // agg by stage — the event-analytics staple, entirely relational.
+    "a21_funnel" -> ((s, d) => {
+      def firstTs(t: String) =
+        min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(firstTs("signup"), firstTs("view"), firstTs("click"),
+          firstTs("purchase"))
+        .withColumn("stage",
+          when(col("t_signup").isNull, 0)
+            .when(col("t_view").isNull || col("t_view") <= col("t_signup"), 1)
+            .when(col("t_click").isNull || col("t_click") <= col("t_view"), 2)
+            .when(col("t_purchase").isNull ||
+              col("t_purchase") <= col("t_click"), 3)
+            .otherwise(4))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .orderBy("stage")
+    }),
+
     // F1: string functions. Ref: SURVEY §2.8 string family.
     "f1_string_funcs" -> ((s, d) =>
       Tables.part(s, d)
@@ -542,6 +588,38 @@ object Relational {
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                            AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
          ORDER BY c_custkey""",
+    "u4_intersect" ->
+      """SELECT user_id, date_trunc('day', ts) AS day FROM events
+         WHERE event_type = 'click'
+         INTERSECT
+         SELECT user_id, date_trunc('day', ts) AS day FROM events
+         WHERE event_type = 'purchase'
+         ORDER BY user_id, day""",
+    "u5_except" ->
+      """SELECT user_id, date_trunc('day', ts) AS day FROM events
+         WHERE event_type = 'click'
+         EXCEPT
+         SELECT user_id, date_trunc('day', ts) AS day FROM events
+         WHERE event_type = 'purchase'
+         ORDER BY user_id, day""",
+    "a21_funnel" ->
+      """WITH f AS (
+           SELECT user_id,
+                  min(ts) FILTER (event_type = 'signup') AS t_signup,
+                  min(ts) FILTER (event_type = 'view') AS t_view,
+                  min(ts) FILTER (event_type = 'click') AS t_click,
+                  min(ts) FILTER (event_type = 'purchase') AS t_purchase
+           FROM events GROUP BY 1),
+         s AS (
+           SELECT user_id,
+                  CASE WHEN t_signup IS NULL THEN 0
+                       WHEN t_view IS NULL OR t_view <= t_signup THEN 1
+                       WHEN t_click IS NULL OR t_click <= t_view THEN 2
+                       WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 3
+                       ELSE 4 END AS stage
+           FROM f)
+         SELECT stage, count(*) AS n_users FROM s
+         GROUP BY 1 ORDER BY stage""",
     "f1_string_funcs" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u,
                 substring(p_name, 1, 8) AS name8,
