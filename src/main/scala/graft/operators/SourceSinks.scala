@@ -79,6 +79,18 @@ object SourceSinks {
       s.read.schema(schema).json(out).orderBy("s_suppkey")
     }),
 
+    // S16: ORC write + read back — the other columnar format Spark
+    // ships natively (predicate pushdown + column pruning work the
+    // same as parquet); completes the format matrix next to
+    // parquet/CSV/JSON.
+    "s16_orc_roundtrip" -> ((s, d) => {
+      val out = tmp("s16")
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy("p_partkey")
+    }),
+
     // S14: chart-data sink — the exact per-day series a dashboard equity
     // chart consumes (scripts/08_visualize_equity.py data prep).
     "s14_chart_data" -> ((s, d) =>
@@ -153,6 +165,9 @@ object SourceSinks {
   }
 
   val oracles: Map[String, String] = Map(
+    "s16_orc_roundtrip" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+         ORDER BY p_partkey""",
     "s2_parquet_roundtrip" ->
       """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
          ORDER BY o_orderkey""",

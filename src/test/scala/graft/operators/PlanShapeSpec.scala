@@ -32,6 +32,19 @@ class PlanShapeSpec extends AnyFunSuite {
            !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
+  test("hamming pair searches join on band buckets, never all pairs") {
+    // d8 (simhash) and mm5 (perceptual hash) both promise banding in
+    // place of an all-pairs scan — hold them to it
+    for ((qs, q) <- Seq(
+        (Dedup.queries, "d8_simhash_pairs"),
+        (Multimodal.queries, "mm5_phash_pairs"))) {
+      val plan = planOf(qs, q)
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(1500)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q:\n${plan.take(1500)}")
+    }
+  }
+
   test("lag grid: only the 5-row lookback dim crosses the spine") {
     // inspect the raw plan: the memoized `grid` the queries consume is
     // a persisted copy of exactly this subtree, and once it exists the
