@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.SparkTestSession
 
 /** Scale guarantees as plan assertions: the designated 100 TB paths
@@ -92,6 +93,26 @@ class PlanShapeSpec extends AnyFunSuite {
            plan.contains("GreaterThanOrEqual(l_shipdate"), plan.take(2000))
     assert(!plan.contains("l_comment") && !plan.contains("l_quantity"),
       "scan schema must be pruned to the referenced columns")
+  }
+
+  test("partitioned layout: a partition predicate prunes at plan time") {
+    // the read-side contract of the S3 partitioned write: filtering on
+    // the partition column must become a PartitionFilter (directories
+    // never listed), not a post-scan Filter — at 100 TB this is the
+    // difference between reading one partition and reading the table
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_prune").toString
+    graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val plan = spark.read.parquet(out)
+      .filter(col("event_type") === "click")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
+    assert(plan.replaceAll("\\s+", " ")
+      .matches(".*PartitionFilters: \\[[^\\]]*event_type[^\\]]*\\].*"),
+      s"partition predicate not pushed to the directory listing:\n" +
+        plan.take(1500))
   }
 
   test("o1 sort+limit plans as TakeOrderedAndProject, never a full sort") {
