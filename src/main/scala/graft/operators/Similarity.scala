@@ -304,6 +304,37 @@ object Similarity {
         .orderBy("q_id", "rank")
     }),
 
+    // D9: LSH-banded embedding near-dup PAIRS — the scale path D5's
+    // bounded all-pairs baseline exists to ground-truth. Every vector
+    // lands in 6 (band, bucket) cells; candidate pairs are bucket-mates
+    // in ANY band (union + dedup), then the exact cosine verifies
+    // ≥ τ=0.35 — the same band-prune-then-verify shape as D6/D8/MM5,
+    // here over hyperplane sign bits. Analytic recall at cosine 0.35:
+    // per-bit agreement p = 1−θ/π ≈ 0.61 → 1−(1−p³)⁶ ≈ 0.78; measured
+    // against the oracle-checked D5 slice in SimilaritySpec. Rows-only
+    // (the plane literals have no SQL twin); precision is exact by
+    // construction (the verify stage recomputes the true cosine).
+    "d9_embedding_neardup_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+        .withColumn("bb", banded(col("embedding")))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+      val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("nrm").as("na"), col("band"), col("bkt"))
+      val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+        col("nrm").as("nb"), col("band"), col("bkt"))
+      a.join(b, Seq("band", "bkt"))
+        .filter(col("va") < col("vb"))
+        .dropDuplicates("va", "vb")
+        .withColumn("cosine",
+          dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("cosine") >= 0.35)
+        .select(col("va"), col("vb"), r6(col("cosine")).as("cosine"))
+        .orderBy("va", "vb")
+    }),
+
     // D5: embedding-cosine near-duplicate pairs (vec_id < 200, τ=0.35).
     "d5_embedding_neardup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).filter(col("vec_id") < 200)
