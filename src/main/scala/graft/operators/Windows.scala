@@ -197,6 +197,25 @@ object Windows {
         .orderBy("user_id", "event_id")
     }),
 
+    // W10: ranking family — ntile quartiles, percent_rank, dense_rank
+    // per user over a deterministic (value, event_id) order. The one
+    // window family the rest of the suite never touches (row_number
+    // appears only as a dedup tool); all three are rank computations
+    // over an already-partitioned sort, so the scale story is the same
+    // even per-user shuffle as every window here. Semantics match
+    // DuckDB exactly: ntile splits remainder-first, percent_rank =
+    // (rank-1)/(n-1), dense_rank has no gaps — fully oracle-checked.
+    "w10_ranking" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("dns_rank", dense_rank().over(w).cast("long"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // J4: as-of join — for each (user, day) the last 'purchase' value with
     // ts < day+1 (forward-fill of the last known price).
     // Spark has no ASOF JOIN: equi-join the daily last value onto the
@@ -224,6 +243,14 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "w10_ranking" ->
+      """SELECT user_id, event_id, value,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                percent_rank() OVER w AS pct_rank,
+                CAST(dense_rank() OVER w AS BIGINT) AS dns_rank
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+         ORDER BY user_id, event_id""",
     "w9_rolling_mean" ->
       """SELECT user_id, event_id, value,
                 round(CAST(sum(CAST(value AS DECIMAL(24,10))) OVER w AS DOUBLE)
