@@ -255,16 +255,17 @@ object Dedup {
         .select(col("doc_id"), col("sh"),
           col("b.band").as("band"), col("b.bk").as("bk"))
       val a = banded.alias("a"); val b = banded.alias("b")
+      // verify BEFORE dedup: one codegen popcount per candidate, so
+      // the dedup shuffle carries only surviving pairs, not every
+      // band collision
       a.join(b,
           col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          col("a.sh").as("sa"), col("b.sh").as("sb"))
-        .dropDuplicates("da", "db")
-        .withColumn("hamming",
-          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+          bit_count(col("a.sh").bitwiseXOR(col("b.sh")))
+            .cast("long").as("hamming"))
         .filter(col("hamming") <= 3)
-        .select(col("da"), col("db"), col("hamming"))
+        .dropDuplicates("da", "db")
         .orderBy("da", "db")
     })
   )

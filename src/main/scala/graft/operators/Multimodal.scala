@@ -188,10 +188,16 @@ object Multimodal {
     // pigeonhole-complete through Hamming 15, so nothing inside the
     // radius can be missed) + popcount verify; the oracle recomputes
     // the SAME pair set exhaustively in SQL, so the banded scale path
-    // is itself oracle-checked end to end. Band width trades pruning
-    // power against the provable radius: 4-bit buckets prune ~16× per
-    // band (fine here); a billion-image corpus wanting a tighter
-    // radius uses fewer, wider bands (8×8 → radius 7, 256× pruning).
+    // is itself oracle-checked end to end. Band width is the
+    // radius/pruning dial, and radius 11 of 64 sits at its weak end:
+    // 4-bit buckets over skewed text-derived hashes collide heavily
+    // (measured: candidate volume ≈ all pairs at 5k docs), so what
+    // keeps the query cheap is the verify-before-dedup below — one
+    // codegen popcount per collision, shuffle only survivors. A
+    // production corpus dedups at a tighter radius where wider bands
+    // (8×8 → radius 7) prune 256× per band; this corpus has no pairs
+    // inside radius 7 below sf0.1, so the demo keeps the wide radius
+    // and pays the candidate scan honestly.
     "mm5_phash_pairs" -> ((s, d) => {
       val sig = perceptHash(s, d).select(col("doc_id"), col("ph64"))
       val banded = sig.select(col("doc_id"), col("ph64"),
@@ -202,16 +208,19 @@ object Multimodal {
         .select(col("doc_id"), col("ph64"),
           col("b.band").as("band"), col("b.bk").as("bk"))
       val a = banded.alias("a"); val b = banded.alias("b")
+      // verify BEFORE dedup: the popcount is one codegen op per
+      // candidate, so filtering first means the dedup shuffle carries
+      // only the few surviving pairs instead of every band collision
+      // (at 4-bit buckets the raw candidate volume is large; shuffling
+      // it was the dominant cost of this query)
       a.join(b,
           col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          col("a.ph64").as("pa"), col("b.ph64").as("pb"))
-        .dropDuplicates("da", "db")
-        .withColumn("hamming",
-          bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long"))
+          bit_count(col("a.ph64").bitwiseXOR(col("b.ph64")))
+            .cast("long").as("hamming"))
         .filter(col("hamming") <= 11)
-        .select(col("da"), col("db"), col("hamming"))
+        .dropDuplicates("da", "db")
         .orderBy("da", "db")
     })
   )

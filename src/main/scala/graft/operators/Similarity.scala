@@ -325,13 +325,18 @@ object Similarity {
         col("nrm").as("na"), col("band"), col("bkt"))
       val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"),
         col("nrm").as("nb"), col("band"), col("bkt"))
+      // verify BEFORE dedup: the codegen dot runs once per band
+      // collision inside the join's output partition (no shuffle), so
+      // the dedup shuffle carries only pairs that already passed the
+      // τ filter — shuffling every wide candidate row first was the
+      // dominant cost of this query
       a.join(b, Seq("band", "bkt"))
         .filter(col("va") < col("vb"))
-        .dropDuplicates("va", "vb")
         .withColumn("cosine",
           dot(col("ea"), col("eb")) / (col("na") * col("nb")))
         .filter(col("cosine") >= 0.35)
         .select(col("va"), col("vb"), r6(col("cosine")).as("cosine"))
+        .dropDuplicates("va", "vb")
         .orderBy("va", "vb")
     }),
 
