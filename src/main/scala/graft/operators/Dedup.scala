@@ -116,7 +116,7 @@ object Dedup {
       Option(Tables.documents(s, d)
         .filter(col("doc_id") % 4 =!= 0)
         .select(ColumnBridge.column(bf).as("bf"))
-        .head.getAs[Array[Byte]](0))
+        .head().getAs[Array[Byte]](0))
     })
 
   /** Drop the cached Bloom binary for (session, dir). */

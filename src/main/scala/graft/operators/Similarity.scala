@@ -128,7 +128,7 @@ object Similarity {
   /** Centroid-cosine struct array for ranking/argmax against the 16
     * inlined centroid literals. */
   private def centCos(cents: Array[(Long, Seq[Double], Double)])(
-      v: Column, nrm: Column): Column = array(cents.map {
+      v: Column, nrm: Column): Column = array(cents.toIndexedSeq.map {
     case (cid, cv, cn) =>
       struct((dot(v, array(cv.map(lit): _*)) / (nrm * cn)).as("cos"),
         lit(cid).as("cid"))

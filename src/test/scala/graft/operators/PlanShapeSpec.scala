@@ -145,6 +145,24 @@ class PlanShapeSpec extends AnyFunSuite {
            !plan.contains("CartesianProduct"), plan.take(1500))
   }
 
+  test("a19 rollup expands grouping sets in one pass, no union of scans") {
+    // the scaladoc's claim: Spark's rollup is a single Expand +
+    // aggregate over ONE scan of the fact table — a Union of three
+    // re-aggregations would read the table three times at 100 TB
+    val plan = planOf(Relational.queries, "a19_rollup")
+    assert(plan.contains("Expand"), plan.take(1500))
+    assert(!plan.contains("Union"), plan.take(1500))
+    assert(plan.split("Scan parquet").length - 1 == 1,
+      s"rollup must scan the fact table exactly once:\n${plan.take(2000)}")
+  }
+
+  test("a20 pivot with enumerated values plans one aggregate, one scan") {
+    val plan = planOf(Relational.queries, "a20_pivot")
+    assert(!plan.contains("Union"), plan.take(1500))
+    assert(plan.split("Scan parquet").length - 1 == 1,
+      s"pivot must scan the fact table exactly once:\n${plan.take(2000)}")
+  }
+
   test("a13 histogram: the 1-row bounds table joins as a broadcast") {
     // the global min/max aggregate is a single row — crossing it onto
     // the fact table must be a broadcast nested loop (replicated tiny
