@@ -340,6 +340,34 @@ object Relational {
         .orderBy("c_custkey")
     }),
 
+    // SQL1: the SQL front-end — TPC-H Q1 submitted as a SQL STRING
+    // through spark.sql over a registered view, not the DataFrame API.
+    // Same Catalyst plan either way (that's the point: the engine's
+    // two query surfaces are one engine), and the oracle runs the
+    // near-identical text in DuckDB. Sums go through DECIMAL so
+    // partial-agg order can't flip a rounding boundary; disc_price
+    // is computed per-row in DECIMAL before the sum for the same
+    // reason.
+    "sql1_tpch_q1" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(24,10))) AS DOUBLE)
+                 AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(24,10))) AS DOUBLE)
+                 AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(24,10))) AS DOUBLE)
+                 AS sum_disc_price,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(24,10))) AS DOUBLE)
+                     / count(*), 6) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem_v
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    }),
+
     // U4: INTERSECT — distinct (user, day) pairs where a click AND a
     // purchase both happened: the set-semantics operator (Catalyst
     // plans it as a distinct + left-semi hash join — keyed shuffle,
@@ -588,6 +616,26 @@ object Relational {
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                            AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
          ORDER BY c_custkey""",
+    // decimal→double via VARCHAR: DuckDB's direct decimal→double divides
+    // the scaled int128 in floating point (off by an ulp for 17+ digit
+    // sums); the string round-trip is correctly rounded, matching
+    // Spark's BigDecimal.doubleValue exactly.
+    "sql1_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(24,10)))
+                     AS VARCHAR) AS DOUBLE) AS sum_qty,
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(24,10)))
+                     AS VARCHAR) AS DOUBLE) AS sum_base_price,
+                CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(24,10)))
+                     AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+                round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(24,10)))
+                      AS VARCHAR) AS DOUBLE) / count(*), 6) AS avg_qty,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
     "u4_intersect" ->
       """SELECT user_id, date_trunc('day', ts) AS day FROM events
          WHERE event_type = 'click'
