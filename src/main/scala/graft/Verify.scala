@@ -9,6 +9,10 @@ object Verify {
     // optional extra args: restrict the dump to the named queries
     // (local iteration; the driver always passes exactly two args)
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty)
+      // a typo'd name would otherwise silently dump nothing
+      System.err.println(s"[verify] unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -123,6 +123,43 @@ object Dedup {
   def invalidateBloom(s: SparkSession, d: String): Unit =
     bloomCache.remove((s, d))
 
+  /** Banded Hamming pair search over a 64-bit signature column — the
+    * shared engine of D8 (simhash) and MM5 (perceptual hash): explode
+    * each id into `bands` fixed-width bit slices, equi-join on
+    * (band, slice value), verify with ONE codegen popcount per
+    * collision BEFORE the dedup shuffle (so only surviving pairs
+    * shuffle), and keep pairs at Hamming ≤ maxDist. Pigeonhole
+    * completeness: pairs within `bands − 1` differing bits cannot
+    * differ in every band, so the join has perfect recall whenever
+    * maxDist ≤ bands − 1 (both callers' specs assert set equality
+    * against exhaustive recomputations).
+    *
+    * @param sig (id, hash) rows — hash is the packed 64-bit signature
+    */
+  private[operators] def hammingPairs(sig: DataFrame, id: String,
+      hash: String, bands: Int, maxDist: Int): DataFrame = {
+    require(maxDist <= bands - 1, "banding incomplete for this radius")
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1
+    val banded = sig.select(col(id).as("doc_id"), col(hash).as("sh"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col(hash), b * bits).bitwiseAND(lit(mask))
+            .as("bk"))): _*)).as("b"))
+      .select(col("doc_id"), col("sh"),
+        col("b.band").as("band"), col("b.bk").as("bk"))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .dropDuplicates("da", "db")
+      .orderBy("da", "db")
+  }
+
   /** Per-doc SimHash bit sums s0…s63 (sᵢ > 0 ⇔ bit i of the signature
     * is set): one token explode + one hash agg, shared by the D4
     * signature render and the D8 banded pair search. */
@@ -247,26 +284,7 @@ object Dedup {
           (0 until 64).map(i =>
             when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
             .reduce(_ bitwiseOR _).as("sh"))
-      val banded = sig.select(col("doc_id"), col("sh"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))
-              .as("bk"))): _*)).as("b"))
-        .select(col("doc_id"), col("sh"),
-          col("b.band").as("band"), col("b.bk").as("bk"))
-      val a = banded.alias("a"); val b = banded.alias("b")
-      // verify BEFORE dedup: one codegen popcount per candidate, so
-      // the dedup shuffle carries only surviving pairs, not every
-      // band collision
-      a.join(b,
-          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          bit_count(col("a.sh").bitwiseXOR(col("b.sh")))
-            .cast("long").as("hamming"))
-        .filter(col("hamming") <= 3)
-        .dropDuplicates("da", "db")
-        .orderBy("da", "db")
+      hammingPairs(sig, "doc_id", "sh", bands = 4, maxDist = 3)
     })
   )
 

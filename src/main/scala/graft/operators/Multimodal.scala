@@ -198,32 +198,39 @@ object Multimodal {
     // (8×8 → radius 7) prune 256× per band; this corpus has no pairs
     // inside radius 7 below sf0.1, so the demo keeps the wide radius
     // and pays the candidate scan honestly.
-    "mm5_phash_pairs" -> ((s, d) => {
-      val sig = perceptHash(s, d).select(col("doc_id"), col("ph64"))
-      val banded = sig.select(col("doc_id"), col("ph64"),
-        explode(array((0 until 16).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("ph64"), b * 4).bitwiseAND(lit(0xFL))
-              .as("bk"))): _*)).as("b"))
-        .select(col("doc_id"), col("ph64"),
-          col("b.band").as("band"), col("b.bk").as("bk"))
-      val a = banded.alias("a"); val b = banded.alias("b")
-      // verify BEFORE dedup: the popcount is one codegen op per
-      // candidate, so filtering first means the dedup shuffle carries
-      // only the few surviving pairs instead of every band collision
-      // (at 4-bit buckets the raw candidate volume is large; shuffling
-      // it was the dominant cost of this query)
-      a.join(b,
-          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          bit_count(col("a.ph64").bitwiseXOR(col("b.ph64")))
-            .cast("long").as("hamming"))
-        .filter(col("hamming") <= 11)
-        .dropDuplicates("da", "db")
-        .orderBy("da", "db")
-    })
+    "mm5_phash_pairs" -> ((s, d) =>
+      Dedup.hammingPairs(perceptHash(s, d), "doc_id", "ph64",
+        bands = 16, maxDist = 11))
   )
+
+  /** The aHash computation as a DuckDB CTE ending in
+    * `ph(doc_id, phash)` — interpolated into BOTH mm5 oracles so the
+    * pair search verifies exactly the hash the hash oracle defines. */
+  private val phashCte =
+    """WITH d AS (
+         SELECT doc_id, text, length(text) AS L FROM documents
+         WHERE octet_length(encode(text)) >= 64
+           AND octet_length(encode(text)) = length(text)),
+       g AS (
+         SELECT doc_id, text, L,
+                CAST(list_sum(list_transform(range(1, L + 1),
+                  i -> CAST(ascii(substring(text, CAST(i AS INT), 1))
+                       AS BIGINT))) AS DOUBLE) / L AS gmean
+         FROM d),
+       blocks AS (
+         SELECT doc_id, k,
+                list_sum(list_transform(
+                  range(k * L // 64 + 1, (k + 1) * L // 64 + 1),
+                  i -> CAST(ascii(substring(text, CAST(i AS INT), 1))
+                       AS BIGINT)))
+                / CAST((k + 1) * L // 64 - k * L // 64 AS DOUBLE) AS v,
+                gmean
+         FROM g, unnest(generate_series(0, 63)) AS u(k)),
+       ph AS (
+         SELECT doc_id,
+                string_agg(CASE WHEN v > gmean THEN '1' ELSE '0' END,
+                           '' ORDER BY k) AS phash
+         FROM blocks GROUP BY doc_id)"""
 
   val oracles: Map[String, String] = Map(
     "mm1_binary_meta" ->
@@ -268,65 +275,23 @@ object Multimodal {
     // MM5: ascii(char) == byte under the same ASCII guard; block
     // bounds, the global mean, and every comparison are exact, so the
     // hash — and the exhaustive pair search over it — reproduce the
-    // banded Spark path bit-for-bit.
+    // banded Spark path bit-for-bit. Both oracles interpolate ONE
+    // shared hash CTE [[phashCte]], so the pair search can never
+    // silently verify a different hash than the hash oracle.
     "mm5_percept_hash" ->
-      """WITH d AS (
-           SELECT doc_id, text, length(text) AS L FROM documents
-           WHERE octet_length(encode(text)) >= 64
-             AND octet_length(encode(text)) = length(text)),
-         g AS (
-           SELECT doc_id, text, L,
-                  CAST(list_sum(list_transform(range(1, L + 1),
-                    i -> CAST(ascii(substring(text, CAST(i AS INT), 1))
-                         AS BIGINT))) AS DOUBLE) / L AS gmean
-           FROM d),
-         blocks AS (
-           SELECT doc_id, k,
-                  list_sum(list_transform(
-                    range(k * L // 64 + 1, (k + 1) * L // 64 + 1),
-                    i -> CAST(ascii(substring(text, CAST(i AS INT), 1))
-                         AS BIGINT)))
-                  / CAST((k + 1) * L // 64 - k * L // 64 AS DOUBLE) AS v,
-                  gmean
-           FROM g, unnest(generate_series(0, 63)) AS u(k))
-         SELECT doc_id,
-                string_agg(CASE WHEN v > gmean THEN '1' ELSE '0' END,
-                           '' ORDER BY k) AS phash
-         FROM blocks GROUP BY doc_id ORDER BY doc_id""",
+      s"""$phashCte
+         SELECT doc_id, phash FROM ph ORDER BY doc_id""",
     "mm5_phash_pairs" ->
-      """WITH d AS (
-           SELECT doc_id, text, length(text) AS L FROM documents
-           WHERE octet_length(encode(text)) >= 64
-             AND octet_length(encode(text)) = length(text)),
-         g AS (
-           SELECT doc_id, text, L,
-                  CAST(list_sum(list_transform(range(1, L + 1),
-                    i -> CAST(ascii(substring(text, CAST(i AS INT), 1))
-                         AS BIGINT))) AS DOUBLE) / L AS gmean
-           FROM d),
-         blocks AS (
-           SELECT doc_id, k,
-                  list_sum(list_transform(
-                    range(k * L // 64 + 1, (k + 1) * L // 64 + 1),
-                    i -> CAST(ascii(substring(text, CAST(i AS INT), 1))
-                         AS BIGINT)))
-                  / CAST((k + 1) * L // 64 - k * L // 64 AS DOUBLE) AS v,
-                  gmean
-           FROM g, unnest(generate_series(0, 63)) AS u(k)),
-         ph AS (
-           SELECT doc_id,
-                  string_agg(CASE WHEN v > gmean THEN '1' ELSE '0' END,
-                             '' ORDER BY k) AS phash
-           FROM blocks GROUP BY doc_id)
-         SELECT a.doc_id AS da, b.doc_id AS db,
-                CAST(len(list_filter(generate_series(1, 64),
-                  i -> substring(a.phash, CAST(i AS INT), 1) <>
-                       substring(b.phash, CAST(i AS INT), 1)))
-                  AS BIGINT) AS hamming
-         FROM ph a JOIN ph b ON a.doc_id < b.doc_id
-         WHERE len(list_filter(generate_series(1, 64),
-                 i -> substring(a.phash, CAST(i AS INT), 1) <>
-                      substring(b.phash, CAST(i AS INT), 1))) <= 11
+      s"""$phashCte,
+         pairs AS (
+           SELECT a.doc_id AS da, b.doc_id AS db,
+                  CAST(len(list_filter(generate_series(1, 64),
+                    i -> substring(a.phash, CAST(i AS INT), 1) <>
+                         substring(b.phash, CAST(i AS INT), 1)))
+                    AS BIGINT) AS hamming
+           FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
+         SELECT da, db, hamming FROM pairs
+         WHERE hamming <= 11
          ORDER BY da, db""",
     // ascii(char) == byte value under the ASCII guard (single-byte
     // text only, enforced in BOTH engines — see the Spark side); block

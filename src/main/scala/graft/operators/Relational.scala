@@ -27,6 +27,14 @@ object Relational {
   /** Round doubles for oracle-tolerant compare (BOTH sides round to 6). */
   private def r6(c: Column): Column = round(c, 6)
 
+  /** Distinct (user, day) pairs for one event type — the common side
+    * of the U4/U5 set-operator complement pair (one definition, so the
+    * day derivation can't drift between the two). */
+  private def eventDays(s: SparkSession, d: String, t: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === t)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1: parquet scan with pushed filter + pruned projection.
     // Ref: scripts/04_correlation_analysis.py:19 (per-stage parquet load).
@@ -372,23 +380,15 @@ object Relational {
     // purchase both happened: the set-semantics operator (Catalyst
     // plans it as a distinct + left-semi hash join — keyed shuffle,
     // no all-pairs anywhere).
-    "u4_intersect" -> ((s, d) => {
-      def days(t: String) = Tables.events(s, d)
-        .filter(col("event_type") === t)
-        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
-      days("click").intersect(days("purchase"))
-        .orderBy("user_id", "day")
-    }),
+    "u4_intersect" -> ((s, d) =>
+      eventDays(s, d, "click").intersect(eventDays(s, d, "purchase"))
+        .orderBy("user_id", "day")),
 
     // U5: EXCEPT — distinct (user, day) click pairs with NO purchase
     // that day (the complement of U4; plans as distinct + anti join).
-    "u5_except" -> ((s, d) => {
-      def days(t: String) = Tables.events(s, d)
-        .filter(col("event_type") === t)
-        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
-      days("click").except(days("purchase"))
-        .orderBy("user_id", "day")
-    }),
+    "u5_except" -> ((s, d) =>
+      eventDays(s, d, "click").except(eventDays(s, d, "purchase"))
+        .orderBy("user_id", "day")),
 
     // A21: conversion funnel — how deep each user gets through
     // signup → view → click → purchase, where a stage only counts if

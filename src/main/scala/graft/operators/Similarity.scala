@@ -359,6 +359,19 @@ object Similarity {
     })
   )
 
+  /** The SQ8 quantization as a DuckDB CTE ending in
+    * `s(vec_id, embedding, scale)` — interpolated into BOTH sim4
+    * oracles so the top-k can never rank a different quantization
+    * than the one the quantize oracle defines. */
+  private val sq8Cte =
+    """WITH v AS (
+         SELECT vec_id, embedding,
+                list_max(list_transform(embedding, x -> abs(x))) AS mx
+         FROM embeddings),
+       s AS (
+         SELECT vec_id, embedding, CAST(127 AS DOUBLE) / mx AS scale
+         FROM v WHERE mx > 0)"""
+
   val oracles: Map[String, String] = Map(
     "sim1_cosine_topk" ->
       """WITH v AS (
@@ -381,13 +394,7 @@ object Similarity {
            FROM pairs) WHERE rank <= 5
          ORDER BY q_id, rank""",
     "sim4_quantize_int8" ->
-      """WITH v AS (
-           SELECT vec_id, embedding,
-                  list_max(list_transform(embedding, x -> abs(x))) AS mx
-           FROM embeddings),
-         s AS (
-           SELECT vec_id, embedding, CAST(127 AS DOUBLE) / mx AS scale
-           FROM v WHERE mx > 0),
+      s"""$sq8Cte,
          u AS (
            SELECT vec_id, scale,
                   unnest(generate_series(1, len(embedding))) AS i,
@@ -397,15 +404,11 @@ object Similarity {
                 CAST(round(x * scale) AS INTEGER) AS q8, scale
          FROM u ORDER BY vec_id, pos""",
     "sim4_quant_topk" ->
-      """WITH v AS (
-           SELECT vec_id, embedding,
-                  list_max(list_transform(embedding, x -> abs(x))) AS mx
-           FROM embeddings),
+      s"""$sq8Cte,
          qz AS (
            SELECT vec_id,
-                  list_transform(embedding,
-                    x -> round(x * (CAST(127 AS DOUBLE) / mx))) AS q
-           FROM v WHERE mx > 0),
+                  list_transform(embedding, x -> round(x * scale)) AS q
+           FROM s),
          n AS (
            SELECT vec_id, q,
                   list_sum(list_transform(q, x -> x * x)) AS qq
