@@ -304,6 +304,21 @@ object Relational {
                count(lit(1))).as("pct_high"))
         .orderBy("event_type")),
 
+    // A22: higher-moment block — per-group skewness and excess
+    // kurtosis, the distribution-shape aggregates A7/A10 stop short
+    // of. Spark's built-ins are the POPULATION forms (m3/m2^1.5 and
+    // m4/m2²−3); DuckDB's skewness/kurtosis apply sample bias
+    // correction, so the oracle derives the population moments
+    // explicitly instead of calling them. r6 absorbs the engines'
+    // different moment-update arithmetic (streaming updates vs
+    // two-pass), the same tolerance convention as the A7/A10 blocks.
+    "a22_moments" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(r6(skewness(col("value"))).as("skew"),
+             r6(kurtosis(col("value"))).as("kurt"))
+        .orderBy("event_type")),
+
     // O1: global sort + limit (top-k). Ref: scripts/02_fetch_news.py:130.
     // Scale: orderBy+limit plans as TakeOrderedAndProject — no full sort.
     "o1_sort_limit" -> ((s, d) =>
@@ -650,6 +665,17 @@ object Relational {
          SELECT user_id, date_trunc('day', ts) AS day FROM events
          WHERE event_type = 'purchase'
          ORDER BY user_id, day""",
+    "a22_moments" ->
+      """WITH c AS (
+           SELECT event_type, value,
+                  avg(value) OVER (PARTITION BY event_type) AS m
+           FROM events)
+         SELECT event_type,
+                round(avg((value-m)*(value-m)*(value-m))
+                      / pow(avg((value-m)*(value-m)), 1.5), 6) AS skew,
+                round(avg((value-m)*(value-m)*(value-m)*(value-m))
+                      / pow(avg((value-m)*(value-m)), 2) - 3, 6) AS kurt
+         FROM c GROUP BY event_type ORDER BY event_type""",
     "a21_funnel" ->
       """WITH f AS (
            SELECT user_id,
