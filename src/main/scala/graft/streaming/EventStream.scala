@@ -355,6 +355,44 @@ object EventStream {
     s.table("t10_mem")
   }
 
+  /** T11: foreachBatch upsert sink — the bridge pattern for sinks with
+    * no native streaming support (JDBC, key-value stores, lakehouse
+    * MERGE): an update-mode aggregation hands each micro-batch's
+    * CHANGED per-key rows to arbitrary batch code. Here each batch
+    * appends its rows stamped with the batch id (an idempotent append
+    * log — reprocessing a batch after failure rewrites the same ids),
+    * and the read side compacts latest-batch-wins per key; the final
+    * serving table therefore equals the plain batch GROUP BY, which is
+    * what the oracle checks. Aggregates are order-insensitive
+    * (count / max), so batch slicing can't change the final values. */
+  def runForeachBatchUpsert(s: SparkSession, d: String): DataFrame = {
+    val rig = stageRig(s, d)
+    val base = freshDir(s"/tmp/graft-stream-t11-run${runSeq.incrementAndGet()}")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    val log = s"$base/servelog"
+    deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
+    val q = readJsonStream(s, src)
+      .withWatermark("ts", "2 days")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(log)
+      }
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("batch_id").desc)
+    s.read.parquet(log)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), col("max_value"))
+  }
+
   /** T4/S11: keyed publish through a REAL streaming query — the
     * producer's keyed emit (`ingestion/producer.py:173-182`) as
     * readStream → key/value payload → file sink (append mode,
@@ -421,7 +459,13 @@ object EventStream {
     // T10: watermarked stream-stream interval join executed for real;
     // the emitted matches equal the batch interval join (oracle).
     "t10_stream_stream_join" -> ((s, d) =>
-      runStreamStreamJoin(s, d).orderBy("click_id", "purchase_id"))
+      runStreamStreamJoin(s, d).orderBy("click_id", "purchase_id")),
+
+    // T11: foreachBatch upsert sink — update-mode agg through an
+    // idempotent append log, compacted latest-wins; final serving
+    // table equals the plain GROUP BY (oracle).
+    "t11_foreachbatch_upsert" -> ((s, d) =>
+      runForeachBatchUpsert(s, d).orderBy("user_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -470,6 +514,9 @@ object EventStream {
       """SELECT event_id, user_id, c_mktsegment, value
          FROM events JOIN customer ON user_id = c_custkey
          ORDER BY event_id""",
+    "t11_foreachbatch_upsert" ->
+      """SELECT user_id, count(*) AS n_events, max(value) AS max_value
+         FROM events GROUP BY 1 ORDER BY user_id""",
     "t10_stream_stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id,
                 p.event_id AS purchase_id,
