@@ -29,13 +29,20 @@ final class MaterializedTable(build: (SparkSession, String) => DataFrame) {
 
   private val cache = TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** The materialized table for (session, dir), building it on first use. */
-  def apply(s: SparkSession, d: String): DataFrame =
+  /** The materialized table for (session, dir), building it on first
+    * use. The build is serialized under a lock: TrieMap's
+    * getOrElseUpdate may run the supplier in two racing threads and
+    * keep one result — the loser's persisted blocks would stay pinned
+    * for the session with no handle to unpersist them. Builds are rare
+    * (once per (session, dir)) and concurrent first use is exactly the
+    * advertised sharing scenario, so a coarse lock is the right cost. */
+  def apply(s: SparkSession, d: String): DataFrame = synchronized {
     cache.getOrElseUpdate((s, d), {
       val m = build(s, d).persist(StorageLevel.MEMORY_AND_DISK)
       m.count()
       m
     })
+  }
 
   /** Drop the (session, dir) entry and unpin its blocks. Next `apply`
     * rebuilds from the current data under `dir`. */

@@ -72,9 +72,13 @@ object DatasetOps {
       val w = Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables.documents(s, d)
+        // exclude truly blank docs: split() yields [""] for
+        // whitespace-only text, so a token-count guard would be dead
+        // (size >= 1 always) and a blank doc would pack as a phantom
+        // 1-token entry shifting every later offset in its shard
+        .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"),
           size(TextAnalysis.toks).cast("long").as("n_tokens"))
-        .filter(col("n_tokens") > 0)
         .withColumn("shard", col("doc_id") % 8)
         .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
         .withColumn("start_block", floor(col("off") / ctx))
@@ -98,9 +102,13 @@ object DatasetOps {
       val b = 32
       val w = Window.partitionBy("shard").orderBy("n_tokens", "doc_id")
       Tables.documents(s, d)
+        // exclude truly blank docs: split() yields [""] for
+        // whitespace-only text, so a token-count guard would be dead
+        // (size >= 1 always) and a blank doc would pack as a phantom
+        // 1-token entry shifting every later offset in its shard
+        .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"),
           size(TextAnalysis.toks).cast("long").as("n_tokens"))
-        .filter(col("n_tokens") > 0)
         .withColumn("shard", col("doc_id") % 8)
         .withColumn("batch_id",
           floor((row_number().over(w) - 1) / b).cast("long"))
@@ -203,14 +211,14 @@ object DatasetOps {
            SELECT doc_id, doc_id % 8 AS shard,
                   CAST(len(string_split_regex(lower(trim(text)), '\s+'))
                     AS BIGINT) AS n_tokens
-           FROM documents),
+           FROM documents WHERE length(trim(text)) > 0),
          packed AS (
            SELECT shard, doc_id, n_tokens,
                   CAST(COALESCE(SUM(n_tokens) OVER (
                     PARTITION BY shard ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                     AS BIGINT) AS off
-           FROM docs WHERE n_tokens > 0)
+           FROM docs)
          SELECT shard, doc_id, n_tokens, off,
                 off // 512 AS start_block,
                 (off + n_tokens - 1) // 512 AS end_block
@@ -220,12 +228,12 @@ object DatasetOps {
            SELECT doc_id, doc_id % 8 AS shard,
                   CAST(len(string_split_regex(lower(trim(text)), '\s+'))
                     AS BIGINT) AS n_tokens
-           FROM documents),
+           FROM documents WHERE length(trim(text)) > 0),
          ranked AS (
            SELECT shard, doc_id, n_tokens,
                   (row_number() OVER (PARTITION BY shard
                      ORDER BY n_tokens, doc_id) - 1) // 32 AS batch_id
-           FROM docs WHERE n_tokens > 0)
+           FROM docs)
          SELECT shard, batch_id, count(*) AS n_docs,
                 CAST(sum(n_tokens) AS BIGINT) AS batch_tokens,
                 max(n_tokens) AS max_len,

@@ -106,8 +106,11 @@ object Dedup {
     * the driver (1.6 M bits), sized for ≲10⁵ existing hashes. */
   private val bloomCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Option[Array[Byte]]]
+  // synchronized: TrieMap.getOrElseUpdate can race two builders on
+  // first use; the corpus-scan build should run once (same rationale
+  // as MaterializedTable, minus the block leak — bytes are plain heap)
   private[graft] def bloomOf(s: SparkSession, d: String): Option[Array[Byte]] =
-    bloomCache.getOrElseUpdate((s, d), {
+    synchronized { bloomCache.getOrElseUpdate((s, d), {
       val bf = new BloomFilterAggregate(
         ColumnBridge.expression(xxhash64(col("text"))),
         Literal(100000L), Literal(1600000L), 0, 0).toAggregateExpression()
@@ -117,7 +120,7 @@ object Dedup {
         .filter(col("doc_id") % 4 =!= 0)
         .select(ColumnBridge.column(bf).as("bf"))
         .head().getAs[Array[Byte]](0))
-    })
+    })}
 
   /** Drop the cached Bloom binary for (session, dir). */
   def invalidateBloom(s: SparkSession, d: String): Unit =

@@ -112,8 +112,10 @@ object Similarity {
     * [[invalidateIvf]]. */
   private val centCache =
     TrieMap.empty[(SparkSession, String), Array[(Long, Seq[Double], Double)]]
+  // synchronized: getOrElseUpdate can race two corpus-scan collects
+  // on first use (same rationale as MaterializedTable)
   private def centroids(s: SparkSession, d: String): Array[(Long, Seq[Double], Double)] =
-    centCache.getOrElseUpdate((s, d), {
+    synchronized { centCache.getOrElseUpdate((s, d), {
       Tables.embeddings(s, d)
         .filter(col("vec_id") % 31 === 0)
         .orderBy("vec_id").limit(16)
@@ -123,7 +125,7 @@ object Similarity {
           val v = r.getSeq[Float](1).map(_.toDouble)
           (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
         }
-    })
+    })}
 
   /** Centroid-cosine struct array for ranking/argmax against the 16
     * inlined centroid literals. */

@@ -152,8 +152,20 @@ object EventStream {
               maxTs = math.max(maxTs, e.ts.getTime)
             }
             state.update(t)
-            ttl.foreach(d =>
-              state.setTimeoutTimestamp(maxTs + d.toMillis))
+            // clamp above the current watermark: setTimeoutTimestamp
+            // THROWS (killing the query) if handed a timestamp the
+            // watermark already passed. In EventTimeTimeout mode Spark
+            // filters late input before this function, so surviving
+            // rows normally keep maxTs+ttl above the watermark — the
+            // clamp is defense in depth against that implicit coupling
+            // (a ttl shorter than the gap to the watermark, or a
+            // future Spark relaxing the filter, must degrade to
+            // expire-next-tick, not crash the stream). StreamingSpec
+            // pins the late-row filter asymmetry this relies on.
+            ttl.foreach { dur =>
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(maxTs + dur.toMillis, wm + 1))
+            }
             Iterator.single(t)
           }
       }

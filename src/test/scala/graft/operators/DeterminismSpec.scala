@@ -22,12 +22,7 @@ class DeterminismSpec extends AnyFunSuite {
     * with planted duplicates (every 17th doc repeats doc 3's text). */
   private lazy val (oneFile, sevenFiles): (String, String) = {
     import spark.implicits._
-    def sm(x: Long): Long = { // splitmix64 step, no RNG state
-      var z = x + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
+    def sm(x: Long): Long = SparkTestSession.splitmix64(x)
     val vocab = (0 until 30).map(i => s"w$i")
     def text(id: Long): String =
       (0 until 20 + (sm(id) & 15).toInt)

@@ -28,12 +28,7 @@ class PipelineIntegrationSpec extends AnyFunSuite {
     // == 0 — so the copies are contamination), docs 4 and 44 are
     // degenerate repeats (cleaning fodder)
     val vocab = (0 until 40).map(i => s"tok$i")
-    def sm(x: Long): Long = { // splitmix64: uncorrelated word picks,
-      var z = x + 0x9e3779b97f4a7c15L // so docs only overlap if planted
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
+    def sm(x: Long): Long = SparkTestSession.splitmix64(x)
     def text(id: Long): String =
       (0 until 24).map(j => vocab(((sm(id * 131 + j) % 40 + 40) % 40).toInt))
         .mkString(" ")

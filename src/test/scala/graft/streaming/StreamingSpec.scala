@@ -152,7 +152,15 @@ class StreamingSpec extends AnyFunSuite {
       "f1.json" -> evJson(1, 10, 1L),
       "f2.json" -> evJson(2, 20, 2L),
       "f3.json" -> evJson(3, 21, 3L),
-      "f4.json" -> evJson(4, 22, 1L))
+      "f4.json" -> evJson(4, 22, 1L),
+      // f5 is LATE: a 12:00 event arriving after the watermark reached
+      // 22:00. Under EventTimeTimeout Spark filters late rows before
+      // the user function (so key 5 never materializes in the ttl
+      // run); under NoTimeout nothing filters and the key is tallied.
+      // The pair pins this asymmetry — and documents why the operator
+      // also clamps setTimeoutTimestamp (which throws below the
+      // watermark) rather than relying on the filter
+      "f5.json" -> evJson(5, 12, 5L))
     files.zipWithIndex.foreach { case ((name, line), i) =>
       val f = new java.io.File(src, name)
       java.nio.file.Files.write(f.toPath, (line + "\n").getBytes)
@@ -186,6 +194,11 @@ class StreamingSpec extends AnyFunSuite {
     val control = run(None, "nottl")
     assert(control(1L) == 2L, s"control must keep state: $control")
     assert(withTtl(1L) == 1L, s"state did not expire: $withTtl")
+    // late-row asymmetry: EventTimeTimeout filters late input before
+    // the function (key 5 never appears); NoTimeout processes it
+    assert(!withTtl.contains(5L),
+      s"EventTimeTimeout must filter the late row: $withTtl")
+    assert(control(5L) == 1L, s"late key lost in control: $control")
     assert(withTtl(2L) == 1L && withTtl(3L) == 1L)
   }
 }
