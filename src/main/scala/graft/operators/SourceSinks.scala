@@ -91,6 +91,52 @@ object SourceSinks {
       s.read.orc(out).orderBy("p_partkey")
     }),
 
+    // S17: schema evolution across file generations — the lake
+    // reality at 100 TB: years-old files lack columns added later.
+    // Generation 1 writes (event_id, value); generation 2 adds
+    // event_type; a mergeSchema read reconciles both under the union
+    // schema with NULLs where the old files have no column. The
+    // read-side contract (NULL fill, no rewrite of old data) is what
+    // the oracle checks.
+    "s17_schema_evolution" -> ((s, d) => {
+      val out = tmp("s17")
+      val ev = Tables.events(s, d)
+      ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("value"))
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("value"), col("event_type"))
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      s.read.option("mergeSchema", "true")
+        .option("basePath", out).parquet(s"$out/gen=1", s"$out/gen=2")
+        .select(col("event_id"), col("value"), col("event_type"))
+        .orderBy("event_id")
+    }),
+
+    // S18: dynamic partition overwrite — reprocess ONE partition in
+    // place without touching its siblings (the daily-backfill pattern:
+    // a corrected pipeline rewrites day=X while years of other
+    // partitions stay untouched). Static overwrite mode would TRUNCATE
+    // the whole table first; `partitionOverwriteMode=dynamic` replaces
+    // only partitions the write produces. The read-back proves it:
+    // clicks carry the reprocessed (doubled) values, every other
+    // partition the original load.
+    "s18_dynamic_overwrite" -> ((s, d) => {
+      val out = tmp("s18")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+      ev.filter(col("event_type") === "click")
+        .withColumn("value", col("value") * 2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type").parquet(out)
+      s.read.parquet(out)
+        .select(col("event_id"), col("event_type").cast("string"),
+          col("value"))
+        .orderBy("event_id")
+    }),
+
     // S14: chart-data sink — the exact per-day series a dashboard equity
     // chart consumes (scripts/08_visualize_equity.py data prep).
     "s14_chart_data" -> ((s, d) =>
@@ -165,9 +211,21 @@ object SourceSinks {
   }
 
   val oracles: Map[String, String] = Map(
+    "s17_schema_evolution" ->
+      """SELECT event_id, value, NULL AS event_type
+         FROM events WHERE event_id % 2 = 0
+         UNION ALL
+         SELECT event_id, value, event_type
+         FROM events WHERE event_id % 2 = 1
+         ORDER BY event_id""",
     "s16_orc_roundtrip" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
          ORDER BY p_partkey""",
+    "s18_dynamic_overwrite" ->
+      """SELECT event_id, event_type,
+                CASE WHEN event_type = 'click' THEN value * 2
+                     ELSE value END AS value
+         FROM events ORDER BY event_id""",
     "s2_parquet_roundtrip" ->
       """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
          ORDER BY o_orderkey""",
