@@ -22,6 +22,31 @@ import graft.Tables
   */
 object SourceSinks {
 
+  /** A deliberately fragmented copy of events (64 files) for the
+    * compaction operator — written once per (session, dir), same
+    * immutable-dir lifecycle as the other staged layouts. */
+  private val fragCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private[operators] def fragmentedDir(s: SparkSession, d: String): String =
+    synchronized { fragCache.getOrElseUpdate((s, d), {
+      val out = tmp("s19frag")
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(out)
+      out
+    })}
+
+  /** The compaction itself: rewrite a fragmented layout into 2
+    * right-sized files (at real scale the `2` is computed from target
+    * bytes / input size). Shared by the S19 query and the spec that
+    * asserts the file-count collapse. */
+  private[operators] def compact(s: SparkSession, fragDir: String,
+      out: String): Unit =
+    s.read.parquet(fragDir)
+      .repartition(2)
+      .write.mode("overwrite").parquet(out)
+
   private def tmp(name: String): String = {
     val d = java.nio.file.Files.createTempDirectory(s"graft_$name")
     d.toFile.deleteOnExit()
@@ -137,6 +162,21 @@ object SourceSinks {
         .orderBy("event_id")
     }),
 
+    // S19: small-file compaction — the OPTIMIZE pattern: streaming and
+    // incremental ingest fragment a table into thousands of tiny files
+    // whose per-file scheduling overhead dominates reads at 100 TB;
+    // compaction rewrites the fragmented layout into few
+    // right-sized files with IDENTICAL content. The oracle checks the
+    // content identity; SourceSinksSpec asserts the file-count
+    // collapse (the part the content compare can't see).
+    "s19_compaction" -> ((s, d) => {
+      val out = tmp("s19c")
+      compact(s, fragmentedDir(s, d), out)
+      s.read.parquet(out)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
+
     // S14: chart-data sink — the exact per-day series a dashboard equity
     // chart consumes (scripts/08_visualize_equity.py data prep).
     "s14_chart_data" -> ((s, d) =>
@@ -221,6 +261,9 @@ object SourceSinks {
     "s16_orc_roundtrip" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
          ORDER BY p_partkey""",
+    "s19_compaction" ->
+      """SELECT event_id, event_type, value FROM events
+         ORDER BY event_id""",
     "s18_dynamic_overwrite" ->
       """SELECT event_id, event_type,
                 CASE WHEN event_type = 'click' THEN value * 2
