@@ -10,9 +10,13 @@ object Verify {
     // (local iteration; the driver always passes exactly two args)
     val only = args.drop(2).toSet
     val unknown = only.diff(SparkEntry.queries.keySet)
-    if (unknown.nonEmpty)
-      // a typo'd name would otherwise silently dump nothing
+    if (unknown.nonEmpty) {
       System.err.println(s"[verify] unknown queries: ${unknown.mkString(", ")}")
+      // all-typo'd filter → nothing would be dumped; exiting 0 there
+      // makes a local iteration run look green while producing an
+      // empty output dir
+      if (only.forall(unknown)) sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -256,10 +256,12 @@ object Relational {
 
     // A19: hierarchical ROLLUP — (type, day), per-type, and grand
     // totals in ONE pass (Spark expands the grouping sets inside a
-    // single hash aggregate; no Union of three scans). NULL grouping
-    // markers are coalesced to '(all)' on both engines so the subtotal
-    // rows hash identically. Decimal-sum avg: partial-agg order per
-    // grouping set differs from DuckDB's, exact sums don't care.
+    // single hash aggregate; no Union of three scans). Subtotal rows
+    // are marked via grouping() — NOT by coalescing NULL keys — so a
+    // naturally-NULL event_type/day row could never masquerade as a
+    // subtotal (both engines use the same GROUPING() marker).
+    // Decimal-sum avg: partial-agg order per grouping set differs
+    // from DuckDB's, exact sums don't care.
     "a19_rollup" -> ((s, d) =>
       Tables.events(s, d)
         .withColumn("day",
@@ -267,11 +269,49 @@ object Relational {
         .rollup(col("event_type"), col("day"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("value").cast("decimal(24,10)")).cast("double") /
-            count(lit(1)), 6).as("avg_value"))
-        .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
-          coalesce(col("day"), lit("(all)")).as("day"),
+            count(lit(1)), 6).as("avg_value"),
+          grouping(col("event_type")).as("g_et"),
+          grouping(col("day")).as("g_day"))
+        .select(
+          when(col("g_et") === 1, lit("(all)"))
+            .otherwise(col("event_type")).as("event_type"),
+          when(col("g_day") === 1, lit("(all)"))
+            .otherwise(col("day")).as("day"),
           col("n"), col("avg_value"))
         .orderBy("event_type", "day")),
+
+    // A23: full CUBE — all 8 grouping sets of (type, day, value
+    // bucket) in ONE pass (same single-Expand + hash-agg plan as A19,
+    // asserted in PlanShapeSpec). grouping_id() disambiguates the
+    // sets exactly — two rows with identical '(all)' markers but
+    // different provenance can never collide — and the per-column
+    // grouping() markers keep data NULLs distinct from subtotals
+    // (same contract as A19). Bit order: first cube column is the
+    // most significant grouping_id bit on BOTH engines (verified
+    // against DuckDB's GROUPING(a,b,c)).
+    "a23_cube" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("day",
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+        .withColumn("bucket",
+          when(col("value") > 100, lit("high")).otherwise(lit("low")))
+        .cube(col("event_type"), col("day"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(24,10)")).cast("double") /
+            count(lit(1)), 6).as("avg_value"),
+          grouping_id().cast("long").as("gid"),
+          grouping(col("event_type")).as("g_et"),
+          grouping(col("day")).as("g_day"),
+          grouping(col("bucket")).as("g_b"))
+        .select(
+          when(col("g_et") === 1, lit("(all)"))
+            .otherwise(col("event_type")).as("event_type"),
+          when(col("g_day") === 1, lit("(all)"))
+            .otherwise(col("day")).as("day"),
+          when(col("g_b") === 1, lit("(all)"))
+            .otherwise(col("bucket")).as("bucket"),
+          col("gid"), col("n"), col("avg_value"))
+        .orderBy("gid", "event_type", "day", "bucket")),
 
     // A20: pivot — per-user event-type counts as columns (the
     // wide-format table every dashboard heatmap/chart consumes;
@@ -389,6 +429,34 @@ object Relational {
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus""")
+    }),
+
+    // SQL2: TPC-H Q3 through the SQL front-end — where SQL1 proves the
+    // surface on a single-table aggregate, Q3 drives it through JOIN
+    // PLANNING: a 3-way join (customer ⋈ orders ⋈ lineitem) with
+    // selective filters on every input, an aggregate over the join,
+    // and a top-10 that must plan as TakeOrderedAndProject (asserted
+    // in PlanShapeSpec), not a global sort. The customer side is
+    // segment-filtered and tiny → Catalyst broadcasts it; revenue
+    // sums through DECIMAL so partial-agg order can't flip rounding.
+    // Tiebreak on l_orderkey makes the top-10 deterministic.
+    "sql2_tpch_q3" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT l_orderkey,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(24,10))) AS DOUBLE), 6) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer_v JOIN orders_v ON c_custkey = o_custkey
+             JOIN lineitem_v ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10""")
     }),
 
     // U4: INTERSECT — distinct (user, day) pairs where a click AND a
@@ -560,13 +628,49 @@ object Relational {
                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                   value
            FROM events)
-         SELECT coalesce(event_type, '(all)') AS event_type,
-                coalesce(day, '(all)') AS day,
+         SELECT CASE WHEN GROUPING(event_type) = 1 THEN '(all)'
+                     ELSE event_type END AS event_type,
+                CASE WHEN GROUPING(day) = 1 THEN '(all)'
+                     ELSE day END AS day,
                 count(*) AS n,
                 round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
                       / count(*), 6) AS avg_value
          FROM e GROUP BY ROLLUP (event_type, day)
          ORDER BY event_type, day""",
+    "a23_cube" ->
+      """WITH e AS (
+           SELECT event_type,
+                  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                  CASE WHEN value > 100 THEN 'high' ELSE 'low' END AS bucket,
+                  value
+           FROM events)
+         SELECT CASE WHEN GROUPING(event_type) = 1 THEN '(all)'
+                     ELSE event_type END AS event_type,
+                CASE WHEN GROUPING(day) = 1 THEN '(all)'
+                     ELSE day END AS day,
+                CASE WHEN GROUPING(bucket) = 1 THEN '(all)'
+                     ELSE bucket END AS bucket,
+                CAST(GROUPING(event_type, day, bucket) AS BIGINT) AS gid,
+                count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                      / count(*), 6) AS avg_value
+         FROM e GROUP BY CUBE (event_type, day, bucket)
+         ORDER BY gid, event_type, day, bucket""",
+    // decimal→double via VARCHAR, same rationale as sql1.
+    "sql2_tpch_q3" ->
+      """SELECT l_orderkey,
+                round(CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE), 6)
+                  AS revenue,
+                o_orderdate, o_orderpriority
+         FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+           AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderdate, l_orderkey
+         LIMIT 10""",
     "a20_pivot" ->
       """SELECT user_id,
                 count(*) FILTER (event_type = 'click') AS n_click,

@@ -47,9 +47,23 @@ object SourceSinks {
       .repartition(2)
       .write.mode("overwrite").parquet(out)
 
+  /** Staged dirs removed at JVM exit. File.deleteOnExit is useless
+    * here (it only removes EMPTY dirs, and these fill with part
+    * files), so a single shutdown hook recursively deletes everything
+    * this object staged. */
+  private val staged = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  locally {
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
+      f.delete()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      staged.forEach(p => del(new java.io.File(p)))))
+  }
+
   private def tmp(name: String): String = {
     val d = java.nio.file.Files.createTempDirectory(s"graft_$name")
-    d.toFile.deleteOnExit()
+    staged.add(d.toString)
     d.toString
   }
 

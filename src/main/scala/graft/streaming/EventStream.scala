@@ -371,9 +371,13 @@ object EventStream {
     * no native streaming support (JDBC, key-value stores, lakehouse
     * MERGE): an update-mode aggregation hands each micro-batch's
     * CHANGED per-key rows to arbitrary batch code. Here each batch
-    * appends its rows stamped with the batch id (an idempotent append
-    * log — reprocessing a batch after failure rewrites the same ids),
-    * and the read side compacts latest-batch-wins per key; the final
+    * appends its rows stamped with the batch id; a batch REPLAYED
+    * after a failure between the append and the checkpoint commit
+    * appends the same (user_id, batch_id) rows again, so the read
+    * side first collapses exact replays (dropDuplicates on the
+    * user_id+batch_id key — safe because a replayed batch recomputes
+    * byte-identical rows) and then compacts latest-batch-wins per
+    * key; the final
     * serving table therefore equals the plain batch GROUP BY, which is
     * what the oracle checks. Aggregates are order-insensitive
     * (count / max), so batch slicing can't change the final values. */
@@ -400,6 +404,10 @@ object EventStream {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("batch_id").desc)
     s.read.parquet(log)
+      // collapse replayed batches BEFORE latest-wins: a failure after
+      // the parquet append but before the checkpoint commit re-runs
+      // the batch and appends identical (user_id, batch_id) rows
+      .dropDuplicates("user_id", "batch_id")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("n_events"), col("max_value"))

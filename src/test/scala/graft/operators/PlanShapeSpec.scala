@@ -172,6 +172,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rollup must scan the fact table exactly once:\n${plan.take(2000)}")
   }
 
+  test("a23 cube expands all 8 grouping sets in one pass, one scan") {
+    // same contract as a19, over the full 2³ lattice: ONE Expand +
+    // hash aggregate, never a Union of 8 re-aggregations
+    val plan = planOf(Relational.queries, "a23_cube")
+    assert(plan.contains("Expand"), plan.take(1500))
+    assert(!plan.contains("Union"), plan.take(1500))
+    assert(plan.split("Scan parquet").length - 1 == 1,
+      s"cube must scan the fact table exactly once:\n${plan.take(2000)}")
+  }
+
+  test("sql2 (TPC-H Q3): broadcast dim joins + top-k, never a full sort") {
+    // the SQL surface must reach the same physical decisions the
+    // DataFrame API gets: the segment-filtered customer side
+    // broadcasts, and ORDER BY ... LIMIT 10 plans as
+    // TakeOrderedAndProject rather than a global Sort of the aggregate
+    val plan = planOf(Relational.queries, "sql2_tpch_q3")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("a20 pivot with enumerated values plans one aggregate, one scan") {
     val plan = planOf(Relational.queries, "a20_pivot")
     assert(!plan.contains("Union"), plan.take(1500))
