@@ -170,6 +170,24 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // J7: the ENGINE-level skew mitigation — the same hot-key problem
+    // J6 solves by hand (deterministic salting), answered by AQE's
+    // OptimizeSkewedJoin: runtime shuffle statistics detect the
+    // oversized partition and split it across reducers, with the
+    // other side's matching partition replicated. Half the fact rows
+    // collapse onto one join key (user_id % 10 < 5 → key 1), the
+    // thresholds are scaled to the test data inside
+    // [[withSkewJoinConfs]], and the plan assertion (PlanShapeSpec)
+    // proves the skew split fired. localCheckpoint materializes the
+    // join WHILE the configs are in force — the configs are restored
+    // before the query returns, so they can't leak into whichever
+    // query a Verify/Bench loop runs next. Result is EXACTLY the
+    // plain remapped equi join — which is what the oracle checks.
+    // README ("skew: manual salt vs AQE") documents when each applies.
+    "j7_aqe_skew_join" -> ((s, d) =>
+      withSkewJoinConfs(s) { aqeSkewJoinPlan(s, d).localCheckpoint() }
+        .orderBy("event_id")),
+
     // A1: grouped avg+count per (event_type, day) — the post-J1 aggregate.
     // Ref: scripts/05_lag_analysis.py:71-76.
     "a1_grouped_avg" -> ((s, d) =>
@@ -566,7 +584,59 @@ object Relational {
         .orderBy("user_id"))
   )
 
+  /** J7's join tree (shared by the query and the PlanShapeSpec skew
+    * assertion): a deliberately skewed key — half the fact rows remap
+    * onto hot key 1 — joined to the customer dim under a pinned
+    * sort-merge join (a broadcast would sidestep the shuffle whose
+    * skew AQE is being asked to repair). */
+  private[operators] def aqeSkewJoinPlan(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"))
+      // OptimizeSkewedJoin splits a skewed reducer partition at MAP
+      // OUTPUT boundaries (PartialReducerPartitionSpec is a map-index
+      // range) — a single-file test scan yields ONE mapper, whose one
+      // output block is indivisible, so the rule silently no-ops. The
+      // repartition gives the join's map stage 16 tasks, mimicking
+      // the thousands-of-mappers reality of any production shuffle;
+      // at 100 TB it isn't needed and would be dropped.
+      .repartition(16)
+      .withColumn("jk",
+        when(col("user_id") % 10 < 5, lit(1L)).otherwise(col("user_id")))
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    ev.join(dim.hint("merge"), ev("jk") === dim("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+        col("value"))
+  }
+
+  /** Run `body` with AQE skew-join thresholds scaled DOWN to the test
+    * corpus (the defaults — 256 MB skew threshold — would never
+    * trigger on megabyte inputs; production keeps them). Every
+    * touched key is restored afterwards, so the session the query
+    * loop shares sees no config drift. `forceOptimizeSkewedJoin`
+    * keeps AQE from vetoing the split when it would add a shuffle —
+    * at test scale every byte count is far below the planner's
+    * economic cutoffs. */
+  private[operators] def withSkewJoinConfs[T](s: SparkSession)(body: => T): T = {
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val saved = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
   val oracles: Map[String, String] = Map(
+    "j7_aqe_skew_join" ->
+      """SELECT event_id, user_id, c_mktsegment, value
+         FROM events JOIN customer
+           ON (CASE WHEN user_id % 10 < 5 THEN 1
+                    ELSE user_id END) = c_custkey
+         ORDER BY event_id""",
     "s1_scan_prune" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'

@@ -89,6 +89,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"salt must appear in the join keys: $smjLine")
   }
 
+  test("j7: AQE detects the hot partition and splits it at runtime") {
+    // J6 proves the MANUAL mitigation (deterministic salt); J7 is the
+    // engine answer — runtime shuffle stats flag the oversized
+    // partition and OptimizeSkewedJoin splits it. Needs enough bytes
+    // in the hot partition to clear the (already scaled-down)
+    // thresholds, so this test reads sf0.01 (read-only testdata, like
+    // every other fixture dir). The final adaptive plan must carry a
+    // skew-marked join — and the result must still equal the plain
+    // remapped join (the oracle's check, re-asserted here in-process).
+    val d001 = "/root/testdata/sf0.01"
+    val df = Relational.withSkewJoinConfs(spark) {
+      val j = Relational.aqeSkewJoinPlan(spark, d001)
+      j.collect() // materialize under the skew confs → final AQE plan
+      j
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), plan.take(2000))
+    assert(plan.contains("skew=true"),
+      s"AQE did not mark a skewed join:\n${plan.take(3000)}")
+  }
+
   test("s1 parquet scan: filter pushed down, unused columns never read") {
     // at 100 TB the difference between a pushed and a post-scan filter
     // is the whole I/O bill — the predicate must reach the parquet
