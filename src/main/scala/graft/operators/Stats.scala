@@ -66,6 +66,28 @@ object Stats {
              count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // A24: A2's correlation re-answered by the suite's one custom
+    // TYPED Aggregator UDAF (§2.10) — Welford/Chan streaming moments,
+    // map-side combinable because the state merges exactly (the
+    // associativity WelfordCorrSpec golden-tests). Same input slice
+    // as A2, so the built-in corr cross-anchors the custom one; also
+    // oracle-checked against DuckDB corr/covar_samp directly. The
+    // null pre-filter pins pair semantics (corr skips null pairs;
+    // an Aggregator over primitive tuples would see 0.0).
+    "a24_welford_corr" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"),
+          get_json_object(col("props"), "$.k").cast("double").as("k"))
+        .filter(col("value").isNotNull && col("k").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.WelfordCorr.welford(col("value"), col("k"))
+          .as("wc"))
+        .select(col("event_type"),
+          r6(col("wc.r")).as("r"),
+          r6(col("wc.cov_samp")).as("cov_samp"),
+          col("wc.n").as("n"))
+        .orderBy("event_type")),
+
     // A3 companion: the autocorrelation grid cells WITHOUT the
     // p-value — fully SQL-expressible, so the rows-only a3 below gets
     // an oracle-checked anchor for every column except the p-value
@@ -204,6 +226,18 @@ object Stats {
                 round(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS r,
                 count(*) AS n
          FROM events GROUP BY 1 ORDER BY event_type""",
+    "a24_welford_corr" ->
+      """SELECT event_type,
+                round(corr(value,
+                  CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS r,
+                round(covar_samp(value,
+                  CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6)
+                  AS cov_samp,
+                count(*) AS n
+         FROM events
+         WHERE value IS NOT NULL
+           AND json_extract_string(props, '$.k') IS NOT NULL
+         GROUP BY 1 ORDER BY event_type""",
     "a3_corr_grid" ->
       """WITH daily AS (
            SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS v
