@@ -84,6 +84,10 @@ object Bench {
       "bloom_build" -> medianOf("bloom_build",
         () => graft.operators.Dedup.invalidateBloom(spark, sfDir)) { () =>
         graft.operators.Dedup.bloomOf(spark, sfDir)
+      },
+      "phash_tight_build" -> medianOf("phash_tight_build",
+        () => graft.operators.Multimodal.phashTight.invalidate(spark, sfDir)) { () =>
+        graft.operators.Multimodal.phashTight(spark, sfDir)
       })
     val results = builds ++ SparkEntry.queries.map { case (name, fn) =>
       name -> medianOf(name) { () =>

@@ -144,7 +144,19 @@ object Dedup {
     require(maxDist <= bands - 1, "banding incomplete for this radius")
     val bits = 64 / bands
     val mask = (1L << bits) - 1
-    val banded = sig.select(col(id).as("doc_id"), col(hash).as("sh"),
+    // materialize the signature table ONCE before the self-join: both
+    // aliases below would otherwise re-execute the entire signature
+    // subtree (for MM5 the full corpus hash, for D8 the token-explode
+    // bit-sum aggregate — the dominant cost of either query). The
+    // 100 TB analogue is persisting the signature table before the
+    // pair search, exactly as D6 persists its candidate table. An
+    // input that is ALREADY persisted (the memoized MM5c hash table)
+    // is reused as-is — re-checkpointing it would add a pointless
+    // materialization job to every search.
+    val sigOnce =
+      if (sig.storageLevel != org.apache.spark.storage.StorageLevel.NONE) sig
+      else sig.localCheckpoint()
+    val banded = sigOnce.select(col(id).as("doc_id"), col(hash).as("sh"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col(hash), b * bits).bitwiseAND(lit(mask))

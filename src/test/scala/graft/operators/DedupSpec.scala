@@ -196,6 +196,42 @@ class DedupSpec extends AnyFunSuite {
       s"missed=${exact.diff(banded)} extra=${banded.diff(exact)}")
   }
 
+  test("8×8 banding is pigeonhole-complete through Hamming 7, and no further") {
+    // the MM5c production geometry: 8 bands × 8 bits. A pair at
+    // Hamming ≤ 7 cannot differ in all 8 bands, so recall is perfect
+    // exactly up to maxDist = bands − 1 = 7 — prove it on signatures
+    // with CONTROLLED distances (7 kept, 8 dropped, bits spread so
+    // every band is touched in the distance-8 case) plus a
+    // pseudo-random field checked against an exhaustive popcount scan.
+    import spark.implicits._
+    val base = 0x0123456789abcdefL
+    def flip(x: Long, bits: Seq[Int]) = bits.foldLeft(x)((a, b) => a ^ (1L << b))
+    val crafted = Seq(
+      1L -> base,
+      2L -> flip(base, Seq(0, 9, 18, 27, 36, 45, 54)),      // d=7, 7 bands
+      3L -> flip(base, Seq(0, 9, 18, 27, 36, 45, 54, 63)),  // d=8, ALL bands
+      4L -> flip(base, Seq(5, 14, 23)))                     // d=3
+    val field = (10L until 60L).map(i =>
+      i -> graft.SparkTestSession.splitmix64(i)) ++
+      Seq(60L -> flip(graft.SparkTestSession.splitmix64(10L), Seq(2, 40)))
+    val all = crafted ++ field
+    val got = Dedup.hammingPairs(all.toDF("id", "h"), "id", "h",
+        bands = 8, maxDist = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = (for {
+      (da, sa) <- all; (db, sb) <- all
+      if da < db && java.lang.Long.bitCount(sa ^ sb) <= 7
+    } yield (da, db, java.lang.Long.bitCount(sa ^ sb).toLong)).toSet
+    assert(exact.contains((1L, 2L, 7L)) && exact.contains((1L, 4L, 3L)))
+    assert(!exact.exists(p => p._1 == 1L && p._2 == 3L), "d=8 must be out")
+    assert(got == exact, s"missed=${exact.diff(got)} extra=${got.diff(exact)}")
+    // the engine refuses a radius its banding can't guarantee
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(all.toDF("id", "h"), "id", "h",
+        bands = 8, maxDist = 8)
+    }
+  }
+
   test("simhash: identical docs share the signature, disjoint differ") {
     val d = docs(1L -> wordsA, 2L -> wordsA, 3L -> wordsB)
     val sh = Dedup.queries("d4_simhash")(spark, d).collect()

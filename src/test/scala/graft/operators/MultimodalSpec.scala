@@ -110,4 +110,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(banded == exact,
       s"missed=${exact.diff(banded)} extra=${banded.diff(exact)}")
   }
+
+  /** Independent pure-Scala aHash (the MM5 contract): None when the
+    * payload is shorter than 64 bytes or non-ASCII. */
+  private def ahash(text: String): Option[String] = {
+    val bytes = text.getBytes("UTF-8")
+    val L = bytes.length
+    if (L < 64 || L != text.length) None
+    else {
+      val gmean = bytes.map(_ & 0xFF).map(_.toLong).sum.toDouble / L
+      Some((0 until 64).map { k =>
+        val lo = k * L / 64; val hi = (k + 1) * L / 64
+        val m = (lo until hi).map(bytes(_) & 0xFF).map(_.toLong).sum.toDouble /
+          (hi - lo)
+        if (m > gmean) '1' else '0'
+      }.mkString)
+    }
+  }
+
+  test("mm5 tight: planted pairs all surface; banding equals exhaustive") {
+    // the production-radius query plants its own near-dups (first/last
+    // char swap per 17th hashable doc). Recompute the ENTIRE pipeline
+    // independently in plain Scala — planting, aHash, exhaustive
+    // Hamming scan at radius 7 — and assert the banded 8×8 query
+    // reproduces it exactly, plus the two headline guarantees: every
+    // planted pair is found, and each sits at Hamming ≤ 2 (the
+    // swap-two-chars construction bound).
+    val sf = "/root/testdata/sf0.001"
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def swap(t: String) =
+      s"${t.last}${t.substring(1, t.length - 1)}${t.head}"
+    val planted = base.collect {
+      case (id, t) if ahash(t).isDefined && id % 17 == 0 =>
+        (id + 100000000L) -> swap(t)
+    }
+    val hs = (base ++ planted).flatMap { case (id, t) =>
+      ahash(t).map(id -> _) }
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val exact = (for {
+      (da, sa) <- hs; (db, sb) <- hs
+      if da < db && ham(sa, sb) <= 7
+    } yield (da, db, ham(sa, sb).toLong)).toSet
+    val got = Multimodal.queries("mm5_phash_pairs_tight")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exact,
+      s"missed=${exact.diff(got)} extra=${got.diff(exact)}")
+    // non-vacuous by construction: every planted (src, src + 10⁸)
+    // pair must be in the result, at the construction's distance bound
+    val plantedPairs = planted.map { case (pid, _) =>
+      (pid - 100000000L, pid) }.toSet
+    assert(plantedPairs.nonEmpty)
+    for ((src, pid) <- plantedPairs) {
+      val hit = got.find(p => p._1 == src && p._2 == pid)
+      assert(hit.isDefined, s"planted pair ($src,$pid) missing")
+      assert(hit.get._3 <= 2L, s"planted pair past the swap bound: $hit")
+    }
+  }
 }
