@@ -367,6 +367,101 @@ object EventStream {
     s.table("t10_mem")
   }
 
+  /** T10b: LEFT OUTER stream-stream join — the harder semantics on
+    * top of T10's inner machinery: a click with NO purchase in its
+    * 4-hour window must STILL emit (with NULL purchase columns), but
+    * only once the watermark proves no matching purchase can arrive —
+    * i.e. unmatched rows are *watermark-triggered*, not data-
+    * triggered. Two rig consequences:
+    *  - the watermark is applied on the source BEFORE the type
+    *    filters, so both join inputs share it (each branch's renamed
+    *    ts column carries the watermark metadata);
+    *  - a bounded replay ends exactly where the data ends, so the
+    *    watermark would never pass the LAST clicks' windows and their
+    *    NULL rows would stay stuck in the state store forever — and
+    *    `Trigger.AvailableNow` terminates after the last DATA batch
+    *    without a trailing no-data batch, so a watermark advanced by
+    *    the final batch is never acted on (measured: the last ~4 h of
+    *    unmatched clicks stayed stuck with a single sentinel). The
+    *    rig therefore appends TWO sentinel events (30 and 60 days
+    *    past the corpus horizon) and forces one file per micro-batch:
+    *    the first sentinel's batch advances the watermark past every
+    *    click's window, and the second sentinel's batch EXECUTES
+    *    under that watermark, flushing the expired state. Two
+    *    non-obvious constraints shape the sentinels themselves:
+    *    (1) Catalyst pushes each branch's type filter BELOW the
+    *    watermark operator, so a row only feeds the watermark stats
+    *    if it SURVIVES the branch filter — and (2) the global
+    *    watermark is the MIN across both branches' watermark nodes
+    *    (multipleWatermarkPolicy=min), so advancing one side is not
+    *    enough (both measured: a filtered-out sentinel left the
+    *    watermark untouched; a one-sided one would cap it at the
+    *    other side's data). Each sentinel file therefore carries one
+    *    CLICK and one PURCHASE, with negative user ids no real event
+    *    shares (and distinct from each other, so they can't match
+    *    across sides); the output filter strips user_id < 0, so no
+    *    sentinel can ever surface even if a future engine version
+    *    adds a final flush batch. On an unbounded production stream
+    *    none of this is needed — new traffic advances the watermark
+    *    and every batch flushes expired state.
+    * Result equals the batch LEFT JOIN with the same window condition
+    * — which is what the oracle checks. */
+  def runStreamStreamOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val rig = stageRig(s, d)
+    val base = freshDir(s"/tmp/graft-stream-t10o-run${runSeq.incrementAndGet()}")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
+    // sentinel: one event far past the corpus horizon (event-time is
+    // what matters; the type matches neither side's filter)
+    val maxTs = Tables.events(s, d).agg(max(col("ts"))).head().getTimestamp(0)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern(TsFormat).withZone(java.time.ZoneOffset.UTC)
+    for (days <- Seq(30, 60)) {
+      val sentinelTs =
+        fmt.format(maxTs.toInstant.plus(java.time.Duration.ofDays(days)))
+      def row(id: Long, user: Long, tpe: String) =
+        s"""{"event_id":$id,"ts":"$sentinelTs","user_id":$user,""" +
+          s""""event_type":"$tpe","value":0.0,"props":"{}"}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(src, s"zz_sentinel_$days.json"),
+        row(-days, -1, "click") + "\n" + row(-days - 1, -2, "purchase") + "\n")
+    }
+    // one file per micro-batch so the sentinels land in their own
+    // batches (file order is lexicographic: data, then zz_sentinel_30,
+    // then zz_sentinel_60)
+    val ev = s.readStream.schema(eventSchema)
+      .option("timestampFormat", TsFormat)
+      .option("maxFilesPerTrigger", 1)
+      .json(src)
+      .withWatermark("ts", "1 day")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val q = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 4 HOURS"),
+        "leftOuter")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+      .writeStream.format("memory").queryName("t10o_mem")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // sentinel guard applied on the SINK, not inside the streaming
+    // query: an in-stream `user_id >= 0` would be pushed below the
+    // left join into both scans (measured — left-side predicates
+    // propagate through the equi-key to the right side too), dropping
+    // the sentinels before the watermark operator and re-creating the
+    // stuck-tail bug the sentinels exist to fix.
+    s.table("t10o_mem").filter(col("user_id") >= 0)
+  }
+
   /** T11: foreachBatch upsert sink — the bridge pattern for sinks with
     * no native streaming support (JDBC, key-value stores, lakehouse
     * MERGE): an update-mode aggregation hands each micro-batch's
@@ -481,6 +576,13 @@ object EventStream {
     "t10_stream_stream_join" -> ((s, d) =>
       runStreamStreamJoin(s, d).orderBy("click_id", "purchase_id")),
 
+    // T10b: LEFT OUTER stream-stream join — unmatched clicks emit
+    // with NULL purchase only after watermark expiry (sentinel-driven
+    // on a bounded replay); equals the batch left join (oracle).
+    "t10_outer_join" -> ((s, d) =>
+      runStreamStreamOuterJoin(s, d)
+        .orderBy("click_id", "purchase_id")),
+
     // T11: foreachBatch upsert sink — update-mode agg through an
     // idempotent append log, compacted latest-wins; final serving
     // table equals the plain GROUP BY (oracle).
@@ -537,6 +639,15 @@ object EventStream {
     "t11_foreachbatch_upsert" ->
       """SELECT user_id, count(*) AS n_events, max(value) AS max_value
          FROM events GROUP BY 1 ORDER BY user_id""",
+    "t10_outer_join" ->
+      """SELECT c.user_id, c.event_id AS click_id,
+                p.event_id AS purchase_id,
+                c.ts AS click_ts, p.ts AS purchase_ts
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOURS
+         ORDER BY click_id, purchase_id""",
     "t10_stream_stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id,
                 p.event_id AS purchase_id,
