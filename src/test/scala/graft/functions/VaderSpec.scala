@@ -30,7 +30,8 @@ class VaderSpec extends AnyFunSuite {
       "extended" -> VaderLexicon.extended.keySet,
       "extended2" -> VaderLexicon.extended2.keySet,
       "extended3" -> VaderLexicon.extended3.keySet,
-      "extended4" -> VaderLexicon.extended4.keySet)
+      "extended4" -> VaderLexicon.extended4.keySet,
+      "extended5" -> VaderLexicon.extended5.keySet)
     for (Seq((na, a), (nb, bk)) <- blocks.combinations(2)) {
       val shared = a.intersect(bk)
       assert(shared.isEmpty, s"$na∩$nb: $shared")
