@@ -96,7 +96,11 @@ object LagGrid {
       .join(forwardReturns(s, d), Seq("user_id", "day"))
       .groupBy(col("user_id"), col("lookback_h"), col("lead_days"))
       .agg(corr(col("senti"), col("fwd_ret")).as("c"),
-           count(lit(1)).as("n"))
+           count(lit(1)).as("n"),
+           // the artifact's per-cell means (scripts/05_lag_analysis.py
+           // :154-158) — same hash agg, zero extra passes
+           avg(col("fwd_ret")).as("mr"),
+           avg(col("senti")).as("ms"))
 
   /** Memoized, materialized grid. All three lag_grid queries consume
     * the SAME O(keys × 20)-row table; without sharing, each rebuilt
@@ -130,6 +134,46 @@ object LagGrid {
         .filter(col("rn") === 1)
         .select(col("user_id"), col("lookback_h"), col("lead_days"),
           r6(col("c")).as("r"), col("n"))
+        .orderBy("user_id")
+    }),
+
+    // The reference's ARTIFACT form: one JSON document per key with
+    // best_config + the full all_configs map, exactly the shape
+    // `scripts/05_lag_analysis.py:220-229` serializes (best_config
+    // fields :193-198, per-cell fields :154-158). The JSON is
+    // composed with format_string / array_sort / array_join — not
+    // to_json — so the byte layout is deterministic (fixed key order,
+    // %.6f numerics, cells sorted by (lookback, lead)); p_value makes
+    // it rows-only, anchored in LagGridSpec: best_config fields are
+    // re-parsed and matched row-for-row against the oracle-checked
+    // lag_grid_best, and the cell count against lag_grid_corr.
+    "lag_grid_artifact" -> ((s, d) => {
+      val pv = r6(graft.functions.PearsonPValue.pValue(col("c"), col("n")))
+      val cell = format_string(
+        "\"%dh_%dd\":{\"correlation\":%.6f,\"p_value\":%.6f," +
+          "\"observations\":%d,\"mean_return\":%.6f,\"mean_sentiment\":%.6f}",
+        col("lookback_h"), col("lead_days"), r6(col("c")), pv, col("n"),
+        r6(col("mr")), r6(col("ms")))
+      val best = format_string(
+        "{\"lookback_hours\":%d,\"lead_days\":%d,\"correlation\":%.6f," +
+          "\"p_value\":%.6f,\"observations\":%d}",
+        col("lookback_h"), col("lead_days"), r6(col("c")), pv, col("n"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(abs(r6(col("c"))).desc, col("lookback_h"), col("lead_days"))
+      grid(s, d).filter(col("c").isNotNull)
+        .withColumn("cell", cell)
+        .withColumn("best", best)
+        .withColumn("rn", row_number().over(w))
+        .groupBy("user_id")
+        .agg(concat(
+          lit("{\"best_config\":"),
+          max(when(col("rn") === 1, col("best"))),
+          lit(",\"all_configs\":{"),
+          array_join(transform(
+            array_sort(collect_list(
+              struct(col("lookback_h"), col("lead_days"), col("cell")))),
+            x => x.getField("cell")), ","),
+          lit("}}")).as("artifact"))
         .orderBy("user_id")
     }),
 

@@ -56,4 +56,41 @@ class LagGridSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("artifact JSON round-trips to the oracle-checked selections") {
+    // the artifact is rows-only (p_value); everything else in it is
+    // re-parsed here and matched against the two oracle-checked twins:
+    // best_config fields against lag_grid_best (row for row), and the
+    // all_configs cell count + correlations against lag_grid_corr.
+    val best = LagGrid.queries("lag_grid_best")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2),
+        BigDecimal(r.getDouble(3)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP), r.getLong(4))).toMap
+    val cellsPerKey = LagGrid.queries("lag_grid_corr")(spark, sf).collect()
+      .filter(r => !r.isNullAt(3))
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    val arts = LagGrid.queries("lag_grid_artifact")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(arts.keySet == best.keySet)
+    val bestRe = ("\\{\"best_config\":\\{\"lookback_hours\":(\\d+)," +
+      "\"lead_days\":(\\d+),\"correlation\":(-?\\d+\\.\\d{6})," +
+      "\"p_value\":(-?\\d+\\.\\d{6}),\"observations\":(\\d+)\\}").r
+    for ((k, art) <- arts) {
+      val m = bestRe.findFirstMatchIn(art)
+      assert(m.isDefined, s"$k: best_config shape mismatch: ${art.take(120)}")
+      val (lb, ld, r6c, n) = (m.get.group(1).toInt, m.get.group(2).toInt,
+        BigDecimal(m.get.group(3)), m.get.group(5).toLong)
+      val (blb, bld, br, bn) = best(k)
+      // both rank on rounded |corr| with the same tiebreak -> same cell
+      assert((lb, ld) == (blb, bld), s"$k: best cell ($lb,$ld) vs ($blb,$bld)")
+      assert(r6c == br, s"$k: correlation $r6c vs $br")
+      assert(n == bn, s"$k: observations $n vs $bn")
+      // every non-null grid cell appears exactly once in all_configs
+      val nCells = "\"correlation\"".r.findAllIn(art).size - 1
+      assert(nCells == cellsPerKey(k),
+        s"$k: $nCells cells vs grid ${cellsPerKey(k)}")
+      // shape sanity: parseable-looking JSON document
+      assert(art.startsWith("{\"best_config\":{") && art.endsWith("}}"))
+    }
+  }
 }
