@@ -175,6 +175,58 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** D10's engine: connected components over a near-dup pair graph by
+    * iterative MIN-LABEL PROPAGATION — the missing last stage of every
+    * dedup pipeline (D2/D3/D8 emit PAIRS; the keep/drop decision needs
+    * CLUSTERS, because near-duplication is transitive: A≈B and B≈C
+    * must collapse to one canonical even when A≈C was never scored).
+    *
+    * Each iteration: every vertex offers its current component label
+    * to its neighbors through one edge equi-join, labels fold with a
+    * min() hash agg, and the loop stops at the first fixpoint. This
+    * is the standard distributed-CC shape (what GraphX/GraphFrames
+    * run): rounds ≈ the cluster diameter (tiny for dup graphs — near
+    * complete subgraphs), every round is a keyed hash join + hash
+    * agg, nothing ever materializes the transitive closure.
+    * localCheckpoint per round truncates the lineage a loop would
+    * otherwise stack (at cluster scale: reliable checkpoint). The
+    * driver-side convergence count is one tiny job per round over
+    * O(vertices-in-pairs) rows. The iteration cap is a runaway guard:
+    * label propagation converges in ≤ diameter rounds, so 50 covers
+    * any realistic dup graph; hitting the cap throws rather than
+    * silently shipping unconverged components.
+    *
+    * @param pairs    (da, db) near-dup pairs (undirected edges)
+    * @param vertices (doc_id) — every doc in scope; docs in no pair
+    *                 come out as their own singleton component
+    */
+  private[operators] def connectedComponents(pairs: DataFrame,
+      vertices: DataFrame): DataFrame = {
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+      .localCheckpoint()
+    var labels = vertices.select(col("doc_id"),
+      col("doc_id").as("comp")).localCheckpoint()
+    var iter = 0
+    while (iter >= 0) {
+      val offered = edges.join(labels, col("src") === col("doc_id"))
+        .select(col("dst").as("doc_id"), col("comp"))
+      val next = labels.unionByName(offered)
+        .groupBy("doc_id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      val changed = next.alias("n")
+        .join(labels.alias("o"), Seq("doc_id"))
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels = next
+      if (changed == 0) iter = -1
+      else {
+        iter += 1
+        require(iter < 50, "label propagation failed to converge")
+      }
+    }
+    labels
+  }
+
   /** Per-doc SimHash bit sums s0…s63 (sᵢ > 0 ⇔ bit i of the signature
     * is set): one token explode + one hash agg, shared by the D4
     * signature render and the D8 banded pair search. */
@@ -276,6 +328,23 @@ object Dedup {
       probed.select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // D10: duplicate-CLUSTER resolution — connected components over
+    // the exact-Jaccard pair graph (doc_id < 100 slice, J ≥ 0.02,
+    // where the corpus has genuine transitive chains), electing the
+    // min doc_id as each cluster's canonical. The keep set is
+    // `doc_id == canonical_id`. Fully oracle-checked: DuckDB computes
+    // the same components via a recursive transitive-closure CTE over
+    // the identical pair SQL.
+    "d10_dup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") < 100).select(col("doc_id"))
+      val pairs = TextAnalysis.ngramJaccardPairs(s, d, maxId = 100,
+        minJ = 0.02)
+      connectedComponents(pairs, docs)
+        .select(col("doc_id"), col("comp").as("canonical_id"))
+        .orderBy("doc_id")
+    }),
+
     // D4: 64-bit SimHash signature per document (bitstring form).
     "d4_simhash" -> ((s, d) =>
       simhashBitSums(s, d)
@@ -306,6 +375,36 @@ object Dedup {
   /** xxhash64 has no DuckDB equivalent → rows-only for the hash-family
     * queries; the md5-based exact incremental twin IS oracle-checked. */
   val oracles: Map[String, String] = Map(
+    // same pair SQL as d2 (threshold 0.02), components via recursive
+    // transitive closure: reach(id, r) = every doc reachable from id,
+    // canonical = min reachable
+    "d10_dup_clusters" ->
+      """WITH RECURSIVE
+           docs AS (
+             SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             FROM documents WHERE doc_id < 100),
+           sh AS (
+             SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+             FROM docs WHERE len(t) >= 3),
+           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           inter AS (
+             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           pairs AS (
+             SELECT da, db FROM inter
+             JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+             WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.02),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION SELECT db AS src, da AS dst FROM pairs),
+           reach AS (
+             SELECT doc_id AS id, doc_id AS r FROM docs
+             UNION
+             SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+         SELECT id AS doc_id, min(r) AS canonical_id FROM reach
+         GROUP BY id ORDER BY doc_id""",
     "d7_incremental_new" ->
       """SELECT i.doc_id FROM documents i
          WHERE i.doc_id % 4 = 0 AND NOT EXISTS (

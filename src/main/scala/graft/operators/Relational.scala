@@ -477,6 +477,39 @@ object Relational {
         LIMIT 10""")
     }),
 
+    // SQL3: TPC-H Q5 — the 6-way join (customer ⋈ orders ⋈ lineitem ⋈
+    // supplier ⋈ nation ⋈ region) through the SQL surface: the query
+    // that exercises JOIN REORDERING and the snowflake dimension walk
+    // (region → nation are tiny broadcasts; the c_nationkey =
+    // s_nationkey residual makes one join non-trivially selective).
+    // Also the only query family touching region/nation, completing
+    // table coverage of the test catalog. Decimal revenue sums, as in
+    // SQL1/SQL2.
+    "sql3_tpch_q5" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      Tables.region(s, d).createOrReplaceTempView("region_v")
+      s.sql("""
+        SELECT n_name,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(24,10))) AS DOUBLE), 6) AS revenue
+        FROM customer_v
+             JOIN orders_v   ON c_custkey = o_custkey
+             JOIN lineitem_v ON l_orderkey = o_orderkey
+             JOIN supplier_v ON l_suppkey = s_suppkey
+                            AND c_nationkey = s_nationkey
+             JOIN nation_v   ON s_nationkey = n_nationkey
+             JOIN region_v   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name""")
+    }),
+
     // U4: INTERSECT — distinct (user, day) pairs where a click AND a
     // purchase both happened: the set-semantics operator (Catalyst
     // plans it as a distinct + left-semi hash join — keyed shuffle,
@@ -741,6 +774,23 @@ object Relational {
          GROUP BY l_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC, o_orderdate, l_orderkey
          LIMIT 10""",
+    "sql3_tpch_q5" ->
+      """SELECT n_name,
+                round(CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE), 6)
+                  AS revenue
+         FROM customer
+              JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+                           AND c_nationkey = s_nationkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
     "a20_pivot" ->
       """SELECT user_id,
                 count(*) FILTER (event_type = 'click') AS n_click,

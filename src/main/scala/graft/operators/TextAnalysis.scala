@@ -50,6 +50,39 @@ object TextAnalysis {
   private def lexiconSqlValues: String =
     lexicon.map { case (w, v) => s"('$w', $v)" }.mkString(", ")
 
+  /** D2's engine, parameterized (shared with D10's cluster builder):
+    * exact n-gram Jaccard pairs over the bounded `doc_id < maxId`
+    * slice via the inverted-index shingle join — intersection counts
+    * from a shingle equi-join, never an all-pairs document compare. */
+  private[operators] def ngramJaccardPairs(s: SparkSession, d: String,
+      maxId: Long, minJ: Double): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id") < maxId)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+    val shingles = docs.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(0), size(col("t")) - 3),
+        i => concat_ws(" ",
+          element_at(col("t"), i + 1),
+          element_at(col("t"), i + 2),
+          element_at(col("t"), i + 3))))).as("sh"))
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = shingles.alias("a"); val b = shingles.alias("b")
+    val inter = a.join(b,
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "da")
+        .withColumnRenamed("sz", "sza"), Seq("da"))
+      .join(sizes.withColumnRenamed("doc_id", "db")
+        .withColumnRenamed("sz", "szb"), Seq("db"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("sza") + col("szb") - col("i")))
+      .filter(col("jaccard") >= minJ)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TXT1: token counting (whitespace tokenizer) + char accounting.
     "txt1_token_stats" -> ((s, d) =>
@@ -229,35 +262,10 @@ object TextAnalysis {
 
     // D2: n-gram Jaccard near-dup pairs via inverted-index shingle join
     // (bounded to doc_id < 100 so the oracle's pair space is fixed).
-    "d2_ngram_jaccard" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .filter(col("doc_id") < 100)
-        .select(col("doc_id"), toks.as("t"))
-        .filter(size(col("t")) >= 3)
-      val shingles = docs.select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(0), size(col("t")) - 3),
-          i => concat_ws(" ",
-            element_at(col("t"), i + 1),
-            element_at(col("t"), i + 2),
-            element_at(col("t"), i + 3))))).as("sh"))
-      val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val a = shingles.alias("a"); val b = shingles.alias("b")
-      val inter = a.join(b,
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "da")
-          .withColumnRenamed("sz", "sza"), Seq("da"))
-        .join(sizes.withColumnRenamed("doc_id", "db")
-          .withColumnRenamed("sz", "szb"), Seq("db"))
-        .withColumn("jaccard",
-          col("i").cast("double") / (col("sza") + col("szb") - col("i")))
-        .filter(col("jaccard") >= 0.01)
+    "d2_ngram_jaccard" -> ((s, d) =>
+      ngramJaccardPairs(s, d, maxId = 100, minJ = 0.01)
         .select(col("da"), col("db"), r6(col("jaccard")).as("jaccard"))
-        .orderBy("da", "db")
-    })
+        .orderBy("da", "db"))
   )
 
   val oracles: Map[String, String] = Map(

@@ -232,6 +232,23 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: transitive chains collapse, singletons stand") {
+    // chain 1-2, 2-3 (1≈3 never scored) → one cluster with canonical
+    // 1; separate pair 10-11; isolated 20 stays its own singleton; a
+    // long path 30-31-32-33-34 exercises multi-round propagation
+    // (diameter 4 > 1 iteration)
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L)).toDF("da", "db")
+    val verts = Seq(1L, 2L, 3L, 10L, 11L, 20L, 30L, 31L, 32L, 33L, 34L)
+      .toDF("doc_id")
+    val got = Dedup.connectedComponents(pairs, verts).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L,
+      33L -> 30L, 34L -> 30L))
+  }
+
   test("simhash: identical docs share the signature, disjoint differ") {
     val d = docs(1L -> wordsA, 2L -> wordsA, 3L -> wordsB)
     val sh = Dedup.queries("d4_simhash")(spark, d).collect()
