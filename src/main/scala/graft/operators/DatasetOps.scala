@@ -58,6 +58,28 @@ object DatasetOps {
         .orderBy("event_type", "event_id")
     }),
 
+    // DS7: deterministic epoch shuffle — the "global shuffle" every
+    // training loader needs, without RNG state OR a global sort. The
+    // permutation is a pure function of (epoch, doc_id): a seeded md5
+    // ranks the rows, and the corpus is sharded by the hash's first
+    // byte so the ordering window is PER-SHARD (hash-partitioned, no
+    // single-reducer global row_number). A loader consumes shards
+    // independently in (shard, pos) order; changing the epoch literal
+    // yields an uncorrelated new permutation. Reproducible across
+    // reruns, partitionings, and engines — fully oracle-checked.
+    "ds7_epoch_shuffle" -> ((s, d) => {
+      val epoch = 7
+      val k = md5(concat_ws(":", lit(epoch), col("doc_id")))
+      val shard = pmod(
+        conv(substring(k, 1, 2), 16, 10).cast("long"), lit(8L))
+      val w = Window.partitionBy("shard").orderBy("k", "doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), k.as("k"), shard.as("shard"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    }),
+
     // DS3: sequence packing — the concat-and-chunk layout LLM
     // training uses (documents laid head-to-tail, split into
     // fixed-size context blocks; a doc may straddle a block
@@ -189,6 +211,20 @@ object DatasetOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // Spark concat_ws(':', 7, doc_id) == '7:' || doc_id; shard is the
+    // hash's first byte mod 8 (hex via the 0x-cast bridge)
+    "ds7_epoch_shuffle" ->
+      """WITH h AS (
+           SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS k
+           FROM documents),
+         sharded AS (
+           SELECT doc_id, k,
+                  ('0x' || substring(k, 1, 2))::BIGINT % 8 AS shard
+           FROM h)
+         SELECT doc_id, shard,
+                row_number() OVER (PARTITION BY shard
+                                   ORDER BY k, doc_id) AS pos
+         FROM sharded ORDER BY shard, pos""",
     "ds1_hash_split" ->
       """WITH tagged AS (
            SELECT user_id,
