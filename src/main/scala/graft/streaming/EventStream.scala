@@ -508,6 +508,46 @@ object EventStream {
       .select(col("user_id"), col("n_events"), col("max_value"))
   }
 
+  /** Checkpoint dir of the most recent T12 run (StreamingSpec asserts
+    * the state files on disk are RocksDB's, not the default
+    * provider's — the part the result compare can't see). */
+  @volatile private[streaming] var lastT12Ckpt: String = _
+
+  /** T12: the same stateful pipeline under the ROCKSDB state store —
+    * the 100 TB state backend. The default HDFSBackedStateStoreProvider
+    * holds every partition's state map in executor HEAP, so state
+    * capacity is bounded by JVM memory and GC; RocksDB keeps working
+    * state on local SSD with changelog/snapshot files in the
+    * checkpoint, which is what makes billions of keys per executor
+    * (big watermark windows, wide dedup sets, stream-stream buffers)
+    * operable. The provider is a session conf snapshot at query
+    * start; it is set for this run and restored after, so the other
+    * streaming queries keep exercising the default provider. Result
+    * must equal the plain batch aggregate — the oracle's check, same
+    * as T1 (the corpus has unique event_ids, so the dedup stage's
+    * state machinery runs for real but must not change the answer). */
+  def runRocksDbStateAgg(s: SparkSession, d: String): DataFrame = {
+    val rig = stageRig(s, d)
+    val base = freshDir(s"/tmp/graft-stream-t12-run${runSeq.incrementAndGet()}")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val q = dedupWindowAgg(readJsonStream(s, src))
+        .writeStream.format("memory").queryName("t12_mem")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+    lastT12Ckpt = ckpt
+    s.table("t12_mem")
+  }
+
   /** T4/S11: keyed publish through a REAL streaming query — the
     * producer's keyed emit (`ingestion/producer.py:173-182`) as
     * readStream → key/value payload → file sink (append mode,
@@ -583,6 +623,11 @@ object EventStream {
       runStreamStreamOuterJoin(s, d)
         .orderBy("click_id", "purchase_id")),
 
+    // T12: the stateful dedup+agg pipeline on the RocksDB state store
+    // (the scale state backend); equals the plain aggregate (oracle).
+    "t12_rocksdb_state" -> ((s, d) =>
+      runRocksDbStateAgg(s, d).orderBy("win_start", "event_type")),
+
     // T11: foreachBatch upsert sink — update-mode agg through an
     // idempotent append log, compacted latest-wins; final serving
     // table equals the plain GROUP BY (oracle).
@@ -610,6 +655,12 @@ object EventStream {
                       / count(*), 6) AS avg_value
          FROM dedup GROUP BY 1, 2 ORDER BY win_start, event_type""",
     "t1_streaming_window_agg" ->
+      """SELECT date_trunc('day', ts) AS win_start, event_type,
+                count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                      / count(*), 6) AS avg_value
+         FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "t12_rocksdb_state" ->
       """SELECT date_trunc('day', ts) AS win_start, event_type,
                 count(*) AS n,
                 round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)

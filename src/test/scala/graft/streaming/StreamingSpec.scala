@@ -135,6 +135,25 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("T12: the RocksDB provider actually backs the state store") {
+    // the result compare (oracle) can't see WHICH provider ran — the
+    // default heap provider would produce identical numbers. Prove
+    // engagement from the checkpoint: RocksDB writes .changelog/.zip
+    // state files where the default provider writes .delta/.snapshot.
+    val df = EventStream.runRocksDbStateAgg(spark, SparkTestSession.Sf0001)
+    assert(df.count() > 0)
+    val stateDir = new java.io.File(s"${EventStream.lastT12Ckpt}/state")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val names = walk(stateDir).map(_.getName)
+    assert(names.exists(n => n.endsWith(".changelog") || n.endsWith(".zip")),
+      s"no RocksDB state files under $stateDir: ${names.take(20)}")
+    assert(!names.exists(_.endsWith(".delta")),
+      "default-provider .delta files present — RocksDB did not engage")
+  }
+
   test("T8 TTL: key state expires once the watermark passes last+ttl") {
     // Four single-event files processed as four micro-batches
     // (maxFilesPerTrigger=1). Key 1 appears in batch 1 (10:00) and
