@@ -232,6 +232,50 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components equal union-find on random graphs") {
+    // property: for ANY edge set, the distributed label propagation
+    // must produce exactly the components a sequential union-find
+    // computes. 12 seeded random graphs across densities (sparse →
+    // everything chains); splitmix64-derived, no wall-clock
+    // randomness.
+    import spark.implicits._
+    def sm(x: Long): Long = graft.SparkTestSession.splitmix64(x)
+    for (trial <- 1 to 12) {
+      val nV = 6 + (math.abs(sm(trial * 1009L)) % 25).toInt
+      val nE = (math.abs(sm(trial * 2003L)) % (2 * nV)).toInt
+      val edges = (0 until nE).map { i =>
+        val a = math.abs(sm(trial * 70001L + i * 2)) % nV
+        val b = math.abs(sm(trial * 70001L + i * 2 + 1)) % nV
+        (a, b)
+      }.filter(e => e._1 != e._2)
+      // sequential union-find reference
+      val parent = Array.tabulate(nV)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until nV).map { v =>
+        // canonical = min vertex in the component
+        v.toLong -> (0 until nV).filter(u => find(u) == find(v)).min.toLong
+      }.toMap
+      val got =
+        if (edges.isEmpty)
+          (0 until nV).map(v => v.toLong -> v.toLong).toMap
+        else Dedup.connectedComponents(
+            edges.map { case (a, b) => (a, b) }.toDF("da", "db"),
+            (0 until nV).map(_.toLong).toDF("doc_id"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected,
+        s"trial $trial (nV=$nV, edges=$edges): $got vs $expected")
+    }
+  }
+
   test("connected components: transitive chains collapse, singletons stand") {
     // chain 1-2, 2-3 (1≈3 never scored) → one cluster with canonical
     // 1; separate pair 10-11; isolated 20 stays its own singleton; a
