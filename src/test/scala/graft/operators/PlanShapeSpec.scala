@@ -214,6 +214,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("a24: the custom Aggregator plans a map-side partial aggregate") {
+    // the scaladoc's scale claim: only the 48-byte Welford state
+    // shuffles per group. That is true exactly when Catalyst plans a
+    // partial aggregate BELOW the exchange — pin it (an Aggregator
+    // that failed to merge would plan a single post-shuffle aggregate
+    // over raw rows)
+    val plan = planOf(Stats.queries, "a24_welford_corr")
+    assert(plan.contains("partial_welfordcorr"), plan.take(2000))
+    val partialIdx = plan.indexOf("partial_welfordcorr")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning(event_type")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      "partial aggregate must sit below the shuffle")
+  }
+
+  test("sql3 (TPC-H Q5): every dim broadcasts, fact scans once, no cartesian") {
+    val plan = planOf(Relational.queries, "sql3_tpch_q5")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.split("Scan parquet").length - 1 == 6,
+      s"each of the 6 tables must scan exactly once:\n${plan.take(2500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "at this dim/fact ratio the whole snowflake should broadcast")
+  }
+
   test("a20 pivot with enumerated values plans one aggregate, one scan") {
     val plan = planOf(Relational.queries, "a20_pivot")
     assert(!plan.contains("Union"), plan.take(1500))
