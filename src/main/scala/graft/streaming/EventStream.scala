@@ -410,7 +410,19 @@ object EventStream {
     val rig = stageRig(s, d)
     val base = freshDir(s"/tmp/graft-stream-t10o-run${runSeq.incrementAndGet()}")
     val src = s"$base/src"; val ckpt = s"$base/ckpt"
-    deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
+    // ONE data file (halves concatenated): with maxFilesPerTrigger=1
+    // the replay then costs one data batch + two sentinel batches —
+    // each extra micro-batch pays the full per-partition state-store
+    // open/commit cycle on both join sides, the dominant cost of this
+    // query at test scale
+    new java.io.File(src).mkdirs()
+    val dataOut = java.nio.file.Paths.get(src, "aa_data.json")
+    val halves = Seq(s"$rig/half1", s"$rig/half2").flatMap(h =>
+      Option(new java.io.File(h).listFiles()).getOrElse(Array.empty).toSeq
+        .filter(_.getName.endsWith(".json")).sortBy(_.getName))
+    val out = java.nio.file.Files.newOutputStream(dataOut)
+    try halves.foreach(f => java.nio.file.Files.copy(f.toPath, out))
+    finally out.close()
     // sentinel: one event far past the corpus horizon (event-time is
     // what matters; the type matches neither side's filter)
     val maxTs = Tables.events(s, d).agg(max(col("ts"))).head().getTimestamp(0)
@@ -440,19 +452,33 @@ object EventStream {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"),
         col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
-    val q = clicks.join(purchases,
+    val joined = clicks.join(purchases,
         col("user_id") === col("p_user") &&
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 4 HOURS"),
         "leftOuter")
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"))
-      .writeStream.format("memory").queryName("t10o_mem")
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // the stream-stream join opens/commits one state store PER
+    // SHUFFLE PARTITION per side per micro-batch; the checkpoint pins
+    // the count at first start, so a bounded 3-batch replay at the
+    // session's width pays ~6× partitions of store churn for a
+    // toy-sized state. Run the replay at 8 partitions (restored
+    // after) — at production state volumes the session width is the
+    // right setting and this override disappears with the sentinels.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = s.conf.getOption(partsKey)
+    s.conf.set(partsKey, "8")
+    try {
+      val q = joined
+        .writeStream.format("memory").queryName("t10o_mem")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prevParts.fold(s.conf.unset(partsKey))(
+      s.conf.set(partsKey, _))
     // sentinel guard applied on the SINK, not inside the streaming
     // query: an in-stream `user_id >= 0` would be pushed below the
     // left join into both scans (measured — left-side predicates
