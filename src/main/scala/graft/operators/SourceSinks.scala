@@ -191,6 +191,34 @@ object SourceSinks {
         .orderBy("event_id")
     }),
 
+    // S21: batch MERGE upsert — the lakehouse MERGE INTO kernel
+    // without a table format: an updates batch lands on an existing
+    // parquet table, matched keys take the update's values, unmatched
+    // updates insert, untouched rows carry over; the merge writes a
+    // NEW snapshot (immutable lake data — never in-place). The engine
+    // of it is ONE full-outer shuffle join on the key + null-safe
+    // coalesce; at 100 TB the rewrite partition-prunes (S18's dynamic
+    // overwrite) and the base is bucketed by the merge key (S15) so
+    // the join side of MERGE is co-located. Oracle checks the merged
+    // read-back against the same FULL JOIN in SQL.
+    "s21_merge_upsert" -> ((s, d) => {
+      val out = tmp("s21")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      ev.filter(col("event_id") % 4 =!= 0)
+        .write.mode("overwrite").parquet(s"$out/v1")
+      val updates = ev.filter(col("event_id") % 2 === 0)
+        .withColumn("value", col("value") * 2)
+      val merged = s.read.parquet(s"$out/v1").alias("t")
+        .join(updates.alias("u"), Seq("event_id"), "full_outer")
+        .select(col("event_id"),
+          coalesce(col("u.event_type"), col("t.event_type"))
+            .as("event_type"),
+          coalesce(col("u.value"), col("t.value")).as("value"))
+      merged.write.mode("overwrite").parquet(s"$out/v2")
+      s.read.parquet(s"$out/v2").orderBy("event_id")
+    }),
+
     // S14: chart-data sink — the exact per-day series a dashboard equity
     // chart consumes (scripts/08_visualize_equity.py data prep).
     "s14_chart_data" -> ((s, d) =>
@@ -265,6 +293,18 @@ object SourceSinks {
   }
 
   val oracles: Map[String, String] = Map(
+    "s21_merge_upsert" ->
+      """WITH base AS (
+           SELECT event_id, event_type, value FROM events
+           WHERE event_id % 4 <> 0),
+         updates AS (
+           SELECT event_id, event_type, value * 2 AS value FROM events
+           WHERE event_id % 2 = 0)
+         SELECT coalesce(u.event_id, t.event_id) AS event_id,
+                coalesce(u.event_type, t.event_type) AS event_type,
+                coalesce(u.value, t.value) AS value
+         FROM base t FULL JOIN updates u ON t.event_id = u.event_id
+         ORDER BY event_id""",
     "s17_schema_evolution" ->
       """SELECT event_id, value, NULL AS event_type
          FROM events WHERE event_id % 2 = 0

@@ -197,6 +197,38 @@ object Windows {
         .orderBy("user_id", "event_id")
     }),
 
+    // W11: resample + gap fill — the time-series normalization J4's
+    // as-of idiom exists inside: each user's sparse daily series
+    // expands onto its full [first_day, last_day] calendar spine
+    // (generated per user with sequence/explode — no driver-side
+    // calendar, no cross join against a global spine that would carry
+    // every user through every date), missing days forward-fill from
+    // the last observed value, and the output marks which rows are
+    // gap-synthesized. The reference does this with pandas reindex +
+    // ffill (`scripts/08_visualize_equity.py:52-63`). Scale: the
+    // spine explode is per-user (output bounded by user's day span);
+    // fill is one unbounded-preceding window per user — the same
+    // even shuffle as every per-entity window here.
+    "w11_gap_fill" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum(col("value").cast("decimal(24,10)")).cast("double"),
+          6).as("v"))
+      val spine = daily.groupBy("user_id")
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"),
+            expr("INTERVAL 1 DAY"))).as("day"))
+      val wFill = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("gap", col("v").isNull)
+        .withColumn("v_filled", last(col("v"), ignoreNulls = true)
+          .over(wFill))
+        .select(col("user_id"), col("day"), col("gap"), col("v_filled"))
+        .orderBy("user_id", "day")
+    }),
+
     // W10: ranking family — ntile quartiles, percent_rank, dense_rank
     // per user over a deterministic (value, event_id) order. The one
     // window family the rest of the suite never touches (row_number
@@ -243,6 +275,25 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "w11_gap_fill" ->
+      """WITH daily AS (
+           SELECT user_id, date_trunc('day', ts) AS day,
+                  round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE), 6)
+                    AS v
+           FROM events GROUP BY 1, 2),
+         spine AS (
+           SELECT user_id,
+                  unnest(generate_series(min(day), max(day),
+                                         INTERVAL 1 DAY)) AS day
+           FROM daily GROUP BY user_id)
+         SELECT s.user_id, s.day, d.v IS NULL AS gap,
+                last_value(d.v IGNORE NULLS) OVER (
+                  PARTITION BY s.user_id ORDER BY s.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS v_filled
+         FROM spine s LEFT JOIN daily d
+           ON s.user_id = d.user_id AND s.day = d.day
+         ORDER BY s.user_id, s.day""",
     "w10_ranking" ->
       """SELECT user_id, event_id, value,
                 CAST(ntile(4) OVER w AS BIGINT) AS quartile,

@@ -557,10 +557,17 @@ object EventStream {
     val base = freshDir(s"/tmp/graft-stream-t12-run${runSeq.incrementAndGet()}")
     val src = s"$base/src"; val ckpt = s"$base/ckpt"
     deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
-      "state.RocksDBStateStoreProvider")
+    // one RocksDB INSTANCE opens per shuffle partition per stateful
+    // operator per batch — run the bounded replay at 8 partitions
+    // (same rationale and restore discipline as the t10_outer rig;
+    // production keeps the session width)
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider"),
+      "spark.sql.shuffle.partitions" -> "8")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
     try {
       val q = dedupWindowAgg(readJsonStream(s, src))
         .writeStream.format("memory").queryName("t12_mem")
@@ -569,7 +576,8 @@ object EventStream {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+    } finally prev.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
     lastT12Ckpt = ckpt
     s.table("t12_mem")
   }
