@@ -152,7 +152,13 @@ object Dedup {
     // pair search, exactly as D6 persists its candidate table. An
     // input that is ALREADY persisted (the memoized MM5c hash table)
     // is reused as-is — re-checkpointing it would add a pointless
-    // materialization job to every search.
+    // materialization job to every search. The checkpoint's blocks
+    // live until session end (the returned DataFrame consumes them
+    // lazily, so there is no release point inside this function) —
+    // one signature-table copy per search invocation, bounded and
+    // small; long-lived sessions wanting zero growth should memoize
+    // the signature input (the MM5c pattern) so this branch is a
+    // no-op.
     val sigOnce =
       if (sig.storageLevel != org.apache.spark.storage.StorageLevel.NONE) sig
       else sig.localCheckpoint()
@@ -202,29 +208,45 @@ object Dedup {
     */
   private[operators] def connectedComponents(pairs: DataFrame,
       vertices: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // persist (NOT localCheckpoint) inside the loop: persist keeps
+    // lineage, which is what makes it legal to RELEASE each superseded
+    // label table the moment its successor is materialized — a loop of
+    // checkpoints would pin every round's blocks for the session.
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .union(pairs.select(col("db").as("src"), col("da").as("dst")))
-      .localCheckpoint()
-    var labels = vertices.select(col("doc_id"),
-      col("doc_id").as("comp")).localCheckpoint()
-    var iter = 0
-    while (iter >= 0) {
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // convergence bound from the input itself: propagation needs at
+    // most diameter rounds and diameter < |V| — a fixed literal cap
+    // would reject long-but-convergent chains
+    val cap = vertices.count() + 2
+    var iter = 0L
+    var result: DataFrame = null
+    while (result == null) {
       val offered = edges.join(labels, col("src") === col("doc_id"))
         .select(col("dst").as("doc_id"), col("comp"))
       val next = labels.unionByName(offered)
         .groupBy("doc_id").agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val changed = next.alias("n")
         .join(labels.alias("o"), Seq("doc_id"))
         .filter(col("n.comp") =!= col("o.comp")).count()
-      labels = next
-      if (changed == 0) iter = -1
-      else {
+      if (changed == 0) {
+        // copy the fixpoint out of the cache chain, then release
+        // every intermediate block the loop pinned
+        result = next.localCheckpoint()
+        next.unpersist(); labels.unpersist(); edges.unpersist()
+      } else {
+        val prev = labels
+        labels = next
+        prev.unpersist()
         iter += 1
-        require(iter < 50, "label propagation failed to converge")
+        require(iter < cap, "label propagation failed to converge")
       }
     }
-    labels
+    result
   }
 
   /** Per-doc SimHash bit sums s0…s63 (sᵢ > 0 ⇔ bit i of the signature

@@ -148,7 +148,15 @@ object LagGrid {
     // re-parsed and matched row-for-row against the oracle-checked
     // lag_grid_best, and the cell count against lag_grid_corr.
     "lag_grid_artifact" -> ((s, d) => {
-      val pv = r6(graft.functions.PearsonPValue.pValue(col("c"), col("n")))
+      // degenerate cells (n = 2 → |r| = 1, p-value undefined) must
+      // not NULL-poison the document: format_string propagates a
+      // NULL/NaN p into the cell string, a NULL best cell would
+      // null the whole concat, and array_join silently DROPS null
+      // cells — so undefined p renders as 1.0 ("no evidence"), the
+      // conservative reading of an unestimable significance
+      val pv = coalesce(nanvl(
+        r6(graft.functions.PearsonPValue.pValue(col("c"), col("n"))),
+        lit(1.0)), lit(1.0))
       val cell = format_string(
         "\"%dh_%dd\":{\"correlation\":%.6f,\"p_value\":%.6f," +
           "\"observations\":%d,\"mean_return\":%.6f,\"mean_sentiment\":%.6f}",

@@ -53,12 +53,8 @@ object SourceSinks {
     * this object staged. */
   private val staged = new java.util.concurrent.ConcurrentLinkedQueue[String]
   locally {
-    def del(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
-      f.delete()
-    }
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      staged.forEach(p => del(new java.io.File(p)))))
+      staged.forEach(p => graft.Fs.deleteRecursively(new java.io.File(p)))))
   }
 
   private def tmp(name: String): String = {

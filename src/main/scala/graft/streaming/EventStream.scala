@@ -198,12 +198,8 @@ object EventStream {
   }
 
   private def freshDir(path: String): String = {
-    def del(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
-      f.delete()
-    }
     val f = new java.io.File(path)
-    if (f.exists()) del(f)
+    if (f.exists()) graft.Fs.deleteRecursively(f)
     f.mkdirs()
     path
   }
@@ -423,6 +419,13 @@ object EventStream {
     val out = java.nio.file.Files.newOutputStream(dataOut)
     try halves.foreach(f => java.nio.file.Files.copy(f.toPath, out))
     finally out.close()
+    // FileStreamSource orders pending files by MODIFICATION TIME, not
+    // name — on a coarse-mtime filesystem the three back-to-back
+    // writes could tie and run a sentinel batch BEFORE the data batch
+    // (whose rows would then all be discarded as late). Pin an
+    // explicit minute-spaced mtime ladder so the order is never
+    // granularity-dependent.
+    val t0 = dataOut.toFile.lastModified()
     // sentinel: one event far past the corpus horizon (event-time is
     // what matters; the type matches neither side's filter)
     val maxTs = Tables.events(s, d).agg(max(col("ts"))).head().getTimestamp(0)
@@ -434,9 +437,10 @@ object EventStream {
       def row(id: Long, user: Long, tpe: String) =
         s"""{"event_id":$id,"ts":"$sentinelTs","user_id":$user,""" +
           s""""event_type":"$tpe","value":0.0,"props":"{}"}"""
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(src, s"zz_sentinel_$days.json"),
+      val f = java.nio.file.Paths.get(src, s"zz_sentinel_$days.json")
+      java.nio.file.Files.writeString(f,
         row(-days, -1, "click") + "\n" + row(-days - 1, -2, "purchase") + "\n")
+      f.toFile.setLastModified(t0 + days * 60000L)
     }
     // one file per micro-batch so the sentinels land in their own
     // batches (file order is lexicographic: data, then zz_sentinel_30,
@@ -494,11 +498,11 @@ object EventStream {
     * CHANGED per-key rows to arbitrary batch code. Here each batch
     * appends its rows stamped with the batch id; a batch REPLAYED
     * after a failure between the append and the checkpoint commit
-    * appends the same (user_id, batch_id) rows again, so the read
-    * side first collapses exact replays (dropDuplicates on the
-    * user_id+batch_id key — safe because a replayed batch recomputes
-    * byte-identical rows) and then compacts latest-batch-wins per
-    * key; the final
+    * appends the same (user_id, batch_id) rows AGAIN — replay-safe
+    * not because the log is idempotent (it is not) but because a
+    * replayed batch recomputes byte-identical rows and the read
+    * side's latest-wins row_number keeps exactly one row per key
+    * either way; the final
     * serving table therefore equals the plain batch GROUP BY, which is
     * what the oracle checks. Aggregates are order-insensitive
     * (count / max), so batch slicing can't change the final values. */
@@ -525,10 +529,10 @@ object EventStream {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("batch_id").desc)
     s.read.parquet(log)
-      // collapse replayed batches BEFORE latest-wins: a failure after
-      // the parquet append but before the checkpoint commit re-runs
-      // the batch and appends identical (user_id, batch_id) rows
-      .dropDuplicates("user_id", "batch_id")
+      // a replayed batch (failure between append and checkpoint
+      // commit) duplicates (user_id, batch_id) rows with identical
+      // values; row_number picks ONE row per user regardless, so no
+      // separate replay-collapse pass (and its shuffle) is needed
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("n_events"), col("max_value"))
