@@ -510,6 +510,43 @@ object Relational {
         ORDER BY revenue DESC, n_name""")
     }),
 
+    // SQL4: correlated EXISTS (TPC-H Q4 shape) — the subquery surface
+    // SQL1–3 don't touch: a per-row EXISTS that Catalyst must
+    // DECORRELATE into a left-semi join (plan-asserted; a naive
+    // engine re-executes the inner query per outer row — the
+    // difference between one keyed join and |orders| scans at 100 TB).
+    "sql4_exists_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders_v
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem_v
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    }),
+
+    // SQL5: correlated SCALAR subquery (TPC-H Q17 shape) — a per-part
+    // aggregate threshold referenced from the outer WHERE; Catalyst
+    // decorrelates it into one grouped aggregate joined back on the
+    // correlation key (plan-asserted: no per-row subquery execution).
+    "sql5_scalar_subquery" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(24,10)))
+                     AS DOUBLE) / 7.0, 6) AS avg_yearly
+        FROM lineitem_v l JOIN part_v p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                              FROM lineitem_v l2
+                              WHERE l2.l_partkey = p.p_partkey)""")
+    }),
+
     // U4: INTERSECT — distinct (user, day) pairs where a click AND a
     // purchase both happened: the set-semantics operator (Catalyst
     // plans it as a distinct + left-semi hash join — keyed shuffle,
@@ -791,6 +828,27 @@ object Relational {
            AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
          GROUP BY n_name
          ORDER BY revenue DESC, n_name""",
+    "sql4_exists_subquery" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+    // CAST(0.5 AS DOUBLE): DuckDB fractional literals are DECIMALs —
+    // the threshold must be double math on both engines
+    "sql5_scalar_subquery" ->
+      """SELECT round(CAST(CAST(sum(CAST(l.l_extendedprice
+                          AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE)
+                      / 7.0, 6) AS avg_yearly
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_brand = 'Brand#1'
+           AND l.l_quantity < (SELECT CAST(0.5 AS DOUBLE) * avg(l2.l_quantity)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = p.p_partkey)""",
     "a20_pivot" ->
       """SELECT user_id,
                 count(*) FILTER (event_type = 'click') AS n_click,

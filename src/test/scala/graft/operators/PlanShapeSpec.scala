@@ -238,6 +238,31 @@ class PlanShapeSpec extends AnyFunSuite {
       "at this dim/fact ratio the whole snowflake should broadcast")
   }
 
+  test("sql4: the correlated EXISTS decorrelates to one semi join") {
+    // a naive engine evaluates the EXISTS per outer row — |orders|
+    // scans of lineitem; Catalyst must plan ONE keyed LeftSemi join
+    // and zero per-row subqueries
+    val plan = planOf(Relational.queries, "sql4_exists_subquery")
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    assert(!plan.contains("SubqueryExec") && !plan.contains("Subquery subquery"),
+      s"per-row subquery survived decorrelation:\n${plan.take(2000)}")
+    assert(plan.split("Scan parquet").length - 1 == 2,
+      s"orders + lineitem must each scan once:\n${plan.take(2000)}")
+  }
+
+  test("sql5: the correlated scalar subquery decorrelates to an aggregate join") {
+    // the per-part average threshold must become one grouped
+    // aggregate joined back on the correlation key — never a scalar
+    // subquery re-executed per probe row
+    val plan = planOf(Relational.queries, "sql5_scalar_subquery")
+    assert(!plan.contains("SubqueryExec") && !plan.contains("Subquery subquery"),
+      s"per-row subquery survived decorrelation:\n${plan.take(2000)}")
+    // the decorrelated aggregate over lineitem by l_partkey
+    assert(plan.contains("partial_avg") || plan.contains("avg("),
+      plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("a20 pivot with enumerated values plans one aggregate, one scan") {
     val plan = planOf(Relational.queries, "a20_pivot")
     assert(!plan.contains("Union"), plan.take(1500))
