@@ -349,6 +349,25 @@ object Relational {
           col("view").as("n_view"))
         .orderBy("user_id")),
 
+    // A26: UNPIVOT — the reshape inverse of A20: the wide per-user
+    // count table melts back to long (user_id, event_type, n) via the
+    // native unpivot operator (an Expand over the value columns, one
+    // pass — not a Union of N projections). Composing A20's pivot
+    // with this unpivot must reproduce the plain GROUP BY, which is
+    // exactly what the oracle checks (absent combinations were filled
+    // with 0 by the pivot, so the round trip drops n = 0 rows to
+    // recover the original sparse form).
+    "a26_unpivot" -> ((s, d) =>
+      queries("a20_pivot")(s, d)
+        .unpivot(Array(col("user_id")),
+          Array(col("n_click"), col("n_error"), col("n_purchase"),
+            col("n_signup"), col("n_view")),
+          "event_type", "n")
+        .withColumn("event_type",
+          regexp_replace(col("event_type"), "^n_", ""))
+        .filter(col("n") > 0)
+        .orderBy("user_id", "event_type")),
+
     // A7: stats block — min/max/mean/std + share above threshold.
     // Ref: scripts/03_add_sentiment.py:36-42.
     "a7_stats_block" -> ((s, d) =>
@@ -762,6 +781,11 @@ object Relational {
       """SELECT event_id, user_id, c_mktsegment, value
          FROM events JOIN customer ON user_id = c_custkey
          ORDER BY event_id""",
+    // pivot → unpivot round trip must land back on the plain GROUP BY
+    "a26_unpivot" ->
+      """SELECT user_id, event_type, count(*) AS n
+         FROM events GROUP BY 1, 2
+         ORDER BY user_id, event_type""",
     "a19_rollup" ->
       """WITH e AS (
            SELECT event_type,
