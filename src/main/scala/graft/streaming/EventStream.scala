@@ -182,14 +182,16 @@ object EventStream {
     val base = freshDir(s"/tmp/graft-stream-t8-run${runSeq.incrementAndGet()}")
     val src = s"$base/src"; val ckpt = s"$base/ckpt"
     deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
-    val q = statefulTally(readJsonStream(s, src).as[Event])
-      .toDF()
-      .writeStream.format("memory").queryName("t8_mem")
-      .outputMode("update")
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withReplayWidth(s) {
+      val q = statefulTally(readJsonStream(s, src).as[Event])
+        .toDF()
+        .writeStream.format("memory").queryName("t8_mem")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("n_events").desc)
     s.table("t8_mem")
@@ -253,16 +255,33 @@ object EventStream {
     * windowAgg → named memory sink, complete mode, checkpointed,
     * Trigger.AvailableNow (the batch-bounded form of the reference's
     * 300 s poll loop, `tests/test-producer.py:24-26`). */
-  private def runToCompletion(s: SparkSession, srcDir: String,
-                              ckpt: String, sink: String): Unit = {
-    val q = windowAgg(readJsonStream(s, srcDir))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+  /** Bounded-replay shuffle width: every STATEFUL operator opens one
+    * state store per shuffle partition per micro-batch, so a
+    * toy-sized replay at the session's width pays mostly store churn
+    * (measured: the t10_outer rig halved from this alone). Stateful
+    * rig runners execute their streaming query at 8 partitions,
+    * restored after — the checkpoint pins the width at first start,
+    * so resumes stay consistent. Production keeps the session width:
+    * there state VOLUME, not store count, dominates. Result
+    * invariance to shuffle width is DeterminismSpec's assertion. */
+  private def withReplayWidth[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "8")
+    try body finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
   }
+
+  private def runToCompletion(s: SparkSession, srcDir: String,
+                              ckpt: String, sink: String): Unit =
+    withReplayWidth(s) {
+      val q = windowAgg(readJsonStream(s, srcDir))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
   /** T1: an ACTUAL Structured Streaming execution — events dropped as
     * JSON, consumed by readStream, aggregated with event-time windows,
@@ -348,18 +367,20 @@ object EventStream {
       .select(col("user_id").as("p_user"),
         col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", "1 day")
-    val q = clicks.join(purchases,
-        col("user_id") === col("p_user") &&
-        col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 4 HOURS"))
-      .select(col("user_id"), col("click_id"), col("purchase_id"),
-        col("click_ts"), col("purchase_ts"))
-      .writeStream.format("memory").queryName("t10_mem")
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withReplayWidth(s) {
+      val q = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 4 HOURS"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          col("click_ts"), col("purchase_ts"))
+        .writeStream.format("memory").queryName("t10_mem")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table("t10_mem")
   }
 
@@ -463,17 +484,7 @@ object EventStream {
         "leftOuter")
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"))
-    // the stream-stream join opens/commits one state store PER
-    // SHUFFLE PARTITION per side per micro-batch; the checkpoint pins
-    // the count at first start, so a bounded 3-batch replay at the
-    // session's width pays ~6× partitions of store churn for a
-    // toy-sized state. Run the replay at 8 partitions (restored
-    // after) — at production state volumes the session width is the
-    // right setting and this override disappears with the sentinels.
-    val partsKey = "spark.sql.shuffle.partitions"
-    val prevParts = s.conf.getOption(partsKey)
-    s.conf.set(partsKey, "8")
-    try {
+    withReplayWidth(s) {
       val q = joined
         .writeStream.format("memory").queryName("t10o_mem")
         .outputMode("append")
@@ -481,8 +492,7 @@ object EventStream {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally prevParts.fold(s.conf.unset(partsKey))(
-      s.conf.set(partsKey, _))
+    }
     // sentinel guard applied on the SINK, not inside the streaming
     // query: an in-stream `user_id >= 0` would be pushed below the
     // left join into both scans (measured — left-side predicates
@@ -512,20 +522,22 @@ object EventStream {
     val src = s"$base/src"; val ckpt = s"$base/ckpt"
     val log = s"$base/servelog"
     deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
-    val q = readJsonStream(s, src)
-      .withWatermark("ts", "2 days")
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
-      .writeStream
-      .outputMode("update")
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        batch.withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(log)
-      }
-      .start()
-    q.awaitTermination()
+    withReplayWidth(s) {
+      val q = readJsonStream(s, src)
+        .withWatermark("ts", "2 days")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(log)
+        }
+        .start()
+      q.awaitTermination()
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("batch_id").desc)
     s.read.parquet(log)
@@ -562,17 +574,12 @@ object EventStream {
     val src = s"$base/src"; val ckpt = s"$base/ckpt"
     deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
     // one RocksDB INSTANCE opens per shuffle partition per stateful
-    // operator per batch — run the bounded replay at 8 partitions
-    // (same rationale and restore discipline as the t10_outer rig;
-    // production keeps the session width)
-    val confs = Seq(
-      "spark.sql.streaming.stateStore.providerClass" ->
-        ("org.apache.spark.sql.execution.streaming." +
-          "state.RocksDBStateStoreProvider"),
-      "spark.sql.shuffle.partitions" -> "8")
-    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
-    confs.foreach { case (k, v) => s.conf.set(k, v) }
-    try {
+    // operator per batch — the replay-width rationale applies doubly
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try withReplayWidth(s) {
       val q = dedupWindowAgg(readJsonStream(s, src))
         .writeStream.format("memory").queryName("t12_mem")
         .outputMode("complete")
@@ -580,8 +587,7 @@ object EventStream {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally prev.foreach { case (k, v) =>
-      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+    } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
     lastT12Ckpt = ckpt
     s.table("t12_mem")
   }
