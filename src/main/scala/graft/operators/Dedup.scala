@@ -195,12 +195,18 @@ object Dedup {
     * complete subgraphs), every round is a keyed hash join + hash
     * agg, nothing ever materializes the transitive closure.
     * localCheckpoint per round truncates the lineage a loop would
-    * otherwise stack (at cluster scale: reliable checkpoint). The
-    * driver-side convergence count is one tiny job per round over
+    * otherwise stack (at cluster scale: reliable checkpoint). This is
+    * not optional: `next` references `labels` twice (the edge join and
+    * the union), so without truncation the logical plan DOUBLES every
+    * round — the driver dies building exponential plan strings long
+    * before any executor struggles. Superseded rounds' blocks are
+    * released by the ContextCleaner once unreferenced; the pinned
+    * volume is bounded by diameter × |V| label rows. The driver-side
+    * convergence count is one tiny job per round over
     * O(vertices-in-pairs) rows. The iteration cap is a runaway guard:
-    * label propagation converges in ≤ diameter rounds, so 50 covers
-    * any realistic dup graph; hitting the cap throws rather than
-    * silently shipping unconverged components.
+    * label propagation converges in ≤ diameter rounds and
+    * diameter < |V|; hitting the cap throws rather than silently
+    * shipping unconverged components.
     *
     * @param pairs    (da, db) near-dup pairs (undirected edges)
     * @param vertices (doc_id) — every doc in scope; docs in no pair
@@ -209,15 +215,14 @@ object Dedup {
   private[operators] def connectedComponents(pairs: DataFrame,
       vertices: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // persist (NOT localCheckpoint) inside the loop: persist keeps
-    // lineage, which is what makes it legal to RELEASE each superseded
-    // label table the moment its successor is materialized — a loop of
-    // checkpoints would pin every round's blocks for the session.
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .union(pairs.select(col("db").as("src"), col("da").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager localCheckpoint per round: each `labels` is a flat scan of
+    // materialized blocks, so every round's plan is O(1) regardless of
+    // how many rounds the diameter demands
     var labels = vertices.select(col("doc_id"), col("doc_id").as("comp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // convergence bound from the input itself: propagation needs at
     // most diameter rounds and diameter < |V| — a fixed literal cap
     // would reject long-but-convergent chains
@@ -229,19 +234,15 @@ object Dedup {
         .select(col("dst").as("doc_id"), col("comp"))
       val next = labels.unionByName(offered)
         .groupBy("doc_id").agg(min(col("comp")).as("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val changed = next.alias("n")
         .join(labels.alias("o"), Seq("doc_id"))
         .filter(col("n.comp") =!= col("o.comp")).count()
       if (changed == 0) {
-        // copy the fixpoint out of the cache chain, then release
-        // every intermediate block the loop pinned
-        result = next.localCheckpoint()
-        next.unpersist(); labels.unpersist(); edges.unpersist()
+        result = next
+        edges.unpersist()
       } else {
-        val prev = labels
         labels = next
-        prev.unpersist()
         iter += 1
         require(iter < cap, "label propagation failed to converge")
       }

@@ -60,6 +60,8 @@ class DeterminismSpec extends AnyFunSuite {
     "d7_incremental_new" -> Dedup.queries,
     "d7_bloom_new" -> Dedup.queries,
     "d1_exact_dedup" -> TextAnalysis.queries,
+    "d10_dup_clusters" -> Dedup.queries,
+    "ds7_epoch_shuffle" -> DatasetOps.queries,
     "txt4_fingerprint" -> TextAnalysis.queries)
 
   cases.foreach { case (name, qs) =>
