@@ -88,6 +88,10 @@ object Bench {
       "phash_tight_build" -> medianOf("phash_tight_build",
         () => graft.operators.Multimodal.phashTight.invalidate(spark, sfDir)) { () =>
         graft.operators.Multimodal.phashTight(spark, sfDir)
+      },
+      "s22_layout_build" -> medianOf("s22_layout_build",
+        () => graft.operators.SourceSinks.invalidateZorder(spark, sfDir)) { () =>
+        graft.operators.SourceSinks.zorderDir(spark, sfDir)
       })
     val results = builds ++ SparkEntry.queries.map { case (name, fn) =>
       name -> medianOf(name) { () =>

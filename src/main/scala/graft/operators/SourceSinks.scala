@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -46,6 +46,66 @@ object SourceSinks {
     s.read.parquet(fragDir)
       .repartition(2)
       .write.mode("overwrite").parquet(out)
+
+  /** Morton interleave of two 16-bit dimension ranks: bit i of `ux`
+    * lands at z-bit 2i, bit i of `vx` at 2i+1, so a contiguous z range
+    * constrains the TOP bits of BOTH dimensions at once. Pure
+    * shift/and/or builtins — whole-stage codegen, no UDF. */
+  private def interleave16(ux: Column, vx: Column): Column =
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(ux, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(vx, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Linear 16-bit rank of `x` within [mn, mx] (clamped). Spark's
+    * `floor(double)` is already BIGINT. */
+  private def scale16(x: Column, mn: Column, mx: Column): Column =
+    least(floor((x - mn) / (mx - mn + lit(1e-9)) * 65536), lit(65535L))
+
+  private val zCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** S22's staged layout: events Z-ORDERED on (user_id, value) — the
+    * multi-dimensional clustering a 100 TB lake runs as OPTIMIZE
+    * ZORDER. A sort by one column makes that column's min/max file
+    * stats tight and leaves every other column's spanning the full
+    * range; the Morton curve gives every file a compact rectangle in
+    * BOTH dimensions, so box predicates (and single-column slices on
+    * EITHER dimension) prune files/row-groups. Two passes over the
+    * data: a 1-row bounds aggregate (broadcast onto the scan — the
+    * a13 pattern), then rank → interleave → range-repartition by z →
+    * sort-within-partitions. Same (session, dir) immutable-input
+    * lifecycle as the other staged layouts. */
+  def zorderDir(s: SparkSession, d: String): String =
+    zCache.synchronized { zCache.getOrElseUpdate((s, d), {
+      val out = tmp("s22z")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val bounds = ev.agg(
+        min(col("user_id")).cast("double").as("umin"),
+        max(col("user_id")).cast("double").as("umax"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("ux",
+          scale16(col("user_id").cast("double"), col("umin"), col("umax")))
+        .withColumn("vx", scale16(col("value"), col("vmin"), col("vmax")))
+        .withColumn("z", interleave16(col("ux"), col("vx")))
+        .repartitionByRange(16, col("z"))
+        .sortWithinPartitions("z")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })}
+
+  /** Drop the (session, dir) Z-ordered layout; next use re-stages. */
+  def invalidateZorder(s: SparkSession, d: String): Unit =
+    zCache.synchronized {
+      zCache.remove((s, d))
+        .foreach(p => graft.Fs.deleteRecursively(new java.io.File(p)))
+    }
 
   /** Staged dirs removed at JVM exit. File.deleteOnExit is useless
     * here (it only removes EMPTY dirs, and these fill with part
@@ -228,7 +288,22 @@ object SourceSinks {
     // join key, then run aggregate + aggregate + join with ZERO
     // shuffle (PlanShapeSpec asserts no Exchange in the tree).
     "s15_bucketed_join" -> ((s, d) =>
-      bucketedJoinPlan(s, d).orderBy("user_id"))
+      bucketedJoinPlan(s, d).orderBy("user_id")),
+
+    // S22: Z-order clustered read — the box query the layout exists
+    // for: both range predicates land on file/row-group min-max stats
+    // (each z-file is a compact rectangle in (user_id, value) space).
+    // The oracle proves content is layout-invariant; SourceSinksSpec
+    // measures the clustering itself (a value slice concentrates into
+    // a fraction of the z-files while spanning EVERY file of a
+    // user_id-sorted layout).
+    "s22_zorder_prune" -> ((s, d) =>
+      s.read.parquet(zorderDir(s, d))
+        .filter(col("user_id").between(2, 5) &&
+          col("value").between(20, 80))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .orderBy("event_id"))
   )
 
   private val bucketedTables =
@@ -319,6 +394,10 @@ object SourceSinks {
                 CASE WHEN event_type = 'click' THEN value * 2
                      ELSE value END AS value
          FROM events ORDER BY event_id""",
+    "s22_zorder_prune" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE user_id BETWEEN 2 AND 5 AND value BETWEEN 20 AND 80
+         ORDER BY event_id""",
     "s2_parquet_roundtrip" ->
       """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
          ORDER BY o_orderkey""",
