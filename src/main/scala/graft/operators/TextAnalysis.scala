@@ -245,6 +245,26 @@ object TextAnalysis {
         .orderBy("rank")
     }),
 
+    // TXT9: TXT8's scale path — approximate heavy hitters via the
+    // Space-Saving sketch UDAF (k = 64 slots). TXT8's exact count
+    // shuffles the full (token, count) space; the sketch shuffles k
+    // slots per map task, period — the constant-state summary a
+    // 100 TB vocab scan runs first (exact counting then touches only
+    // the survivors). On this corpus capacity ≥ vocabulary (31 < 64),
+    // so the sketch provably never evicts: est is the exact count,
+    // err = 0, and the whole query is oracle-checked; SpaceSavingSpec
+    // drives the k < vocab approximating regime (bounds invariant,
+    // heavy-item guarantee, merge-order robustness).
+    "txt9_heavy_hitters" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(toks).as("w"))
+        .agg(graft.functions.SpaceSaving.heavyHitters(col("w")).as("hh"))
+        .select(explode(col("hh.items")).as("it"))
+        .select(col("it.token").as("token"), col("it.est").as("est"),
+          col("it.err").as("err"))
+        .orderBy(col("est").desc, col("token"))
+        .limit(20)),
+
     // D1: exact dedup — md5 content hash, keep lowest doc_id per hash.
     "d1_exact_dedup" -> ((s, d) => {
       val hashed = Tables.documents(s, d)
@@ -269,6 +289,15 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact because capacity (64) ≥ corpus vocabulary (31): the
+    // sketch never evicts, so est ≡ count and err ≡ 0
+    "txt9_heavy_hitters" ->
+      """WITH wc AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+           FROM documents)
+         SELECT w AS token, count(*) AS est, CAST(0 AS BIGINT) AS err
+         FROM wc GROUP BY 1
+         ORDER BY est DESC, token LIMIT 20""",
     "txt8_vocab" ->
       """WITH wc AS (
            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
