@@ -566,6 +566,31 @@ object Relational {
                               WHERE l2.l_partkey = p.p_partkey)""")
     }),
 
+    // SQL6: window functions through the SQL front-end — the surface
+    // SQL1–SQL5 don't touch: a ranking (row_number), an offset (lag),
+    // and a windowed aggregate (count) over the same partition key,
+    // filtered to a per-customer top-3. All three specs partition by
+    // o_custkey, so Catalyst plans ONE hash shuffle feeding the
+    // Window operators — the per-entity window shape that scales
+    // evenly. Pure value shuffling (no float aggregation), so every
+    // column is exact. Tiebreak on o_orderkey pins determinism.
+    "sql6_window_topn" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c_custkey, o_orderkey, o_totalprice, rnk, prev_price,
+               n_orders
+        FROM (
+          SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+                 lag(o_totalprice) OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS prev_price,
+                 count(*) OVER (PARTITION BY o_custkey) AS n_orders
+          FROM orders_v)
+        WHERE rnk <= 3
+        ORDER BY c_custkey, rnk""")
+    }),
+
     // U4: INTERSECT — distinct (user, day) pairs where a click AND a
     // purchase both happened: the set-semantics operator (Catalyst
     // plans it as a distinct + left-semi hash join — keyed shuffle,
@@ -873,6 +898,19 @@ object Relational {
            AND l.l_quantity < (SELECT CAST(0.5 AS DOUBLE) * avg(l2.l_quantity)
                                FROM lineitem l2
                                WHERE l2.l_partkey = p.p_partkey)""",
+    "sql6_window_topn" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice, rnk, prev_price,
+                n_orders
+         FROM (
+           SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+                  lag(o_totalprice) OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS prev_price,
+                  count(*) OVER (PARTITION BY o_custkey) AS n_orders
+           FROM orders)
+         WHERE rnk <= 3
+         ORDER BY c_custkey, rnk""",
     "a20_pivot" ->
       """SELECT user_id,
                 count(*) FILTER (event_type = 'click') AS n_click,

@@ -33,6 +33,40 @@ object Windows {
   private def wUser = Window.partitionBy("user_id")
     .orderBy(col("ts"), col("event_id"))
 
+  /** W12's truncation depth and weights — shared by the query and the
+    * GENERATED oracle SQL so both engines run the identical literal
+    * arithmetic (span 20 → α = 2/21, decay q = 19/21). */
+  private val EwmaK = 24
+  private def ewmaWeight(j: Int): Double = math.pow(19.0 / 21.0, j)
+
+  /** W12 oracle, generated from the same constants. Weights are
+    * emitted in 17-significant-digit EXPONENT form: e-notation
+    * literals parse as DOUBLE in DuckDB (plain decimals parse as
+    * DECIMAL and their cast to double can be off by an ulp), and 17
+    * digits round-trips the exact Scala double. */
+  private def ewmaOracleSql: String = {
+    val lags = (1 until EwmaK).map(j =>
+      s"lag(value, $j) OVER (PARTITION BY user_id ORDER BY ts, event_id)" +
+        s" AS l$j").mkString(",\n           ")
+    def w(j: Int): String = "%.17e".formatLocal(java.util.Locale.ROOT,
+      ewmaWeight(j))
+    def term(j: Int, body: Int => String): String = {
+      val c = if (j == 0) "value" else s"l$j"
+      s"CASE WHEN $c IS NOT NULL THEN ${body(j)} ELSE 0.0 END"
+    }
+    val num = (0 until EwmaK).map(j => term(j,
+      k => s"${w(k)} * ${if (k == 0) "value" else s"l$k"}")).mkString(" + ")
+    val den = (0 until EwmaK).map(j => term(j, k => w(k))).mkString(" + ")
+    s"""WITH lagged AS (
+           SELECT user_id, event_id, value,
+           $lags
+           FROM events)
+         SELECT user_id, event_id, value,
+                ($num) / ($den) AS ewma
+         FROM lagged
+         ORDER BY user_id, event_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // W1: calendar forward return over the next row (+ P6 null gate).
     "w1_forward_return" -> ((s, d) =>
@@ -229,6 +263,34 @@ object Windows {
         .orderBy("user_id", "day")
     }),
 
+    // W12: exponentially weighted moving average, the smoothing every
+    // price/sentiment chart runs (pandas `ewm(span=20, adjust=True)`
+    // semantics, truncated at K=24 lags where the weight has decayed
+    // to (19/21)²⁴ ≈ 9% — the truncation IS the definition here, on
+    // both engines, so the query is fully oracle-checkable with raw
+    // IEEE doubles: identical lags, identical literal weights,
+    // identical left-associated summation order ⇒ bit-equal output,
+    // no rounding grid needed). One window pass computes all K lags
+    // (single per-user shuffle + sort); the weighted sums are plain
+    // projections — whole-stage codegen end to end.
+    "w12_ewma" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val lagged = (1 until EwmaK).foldLeft(base)((df, j) =>
+        df.withColumn(s"l$j", lag(col("value"), j).over(wUser)))
+      val terms = (0 until EwmaK).map { j =>
+        val c = if (j == 0) col("value") else col(s"l$j")
+        val wj = lit(ewmaWeight(j))
+        (when(c.isNotNull, wj * c).otherwise(lit(0.0)),
+         when(c.isNotNull, wj).otherwise(lit(0.0)))
+      }
+      val num = terms.map(_._1).reduce(_ + _)
+      val den = terms.map(_._2).reduce(_ + _)
+      lagged.withColumn("ewma", num / den)
+        .select(col("user_id"), col("event_id"), col("value"), col("ewma"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // W10: ranking family — ntile quartiles, percent_rank, dense_rank
     // per user over a deterministic (value, event_id) order. The one
     // window family the rest of the suite never touches (row_number
@@ -275,6 +337,7 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "w12_ewma" -> ewmaOracleSql,
     "w11_gap_fill" ->
       """WITH daily AS (
            SELECT user_id, date_trunc('day', ts) AS day,
