@@ -265,6 +265,38 @@ object TextAnalysis {
         .orderBy(col("est").desc, col("token"))
         .limit(20)),
 
+    // TXT10: PII redaction — the scrub pass every training corpus
+    // runs before anything else: find-and-mask emails and phone-shaped
+    // strings, with per-doc match counts as the audit trail. The test
+    // corpus has no PII, so every 13th doc gets a deterministic
+    // contact string PLANTED first (the MM5c planted-fixture pattern —
+    // pure string ops both engines replay identically), making
+    // the detection, the counts, and the rewritten text all fully
+    // oracle-checkable. Patterns stay in the Java∩RE2 common dialect
+    // (char classes, \b, {m,}) so Spark and DuckDB agree; Spark's
+    // regexp_replace is global by default, DuckDB takes the 'g' flag.
+    // Scale: stateless per-row projection — no shuffle at all except
+    // the presentation sort; the regex runs inside codegen.
+    "txt10_pii_redact" -> ((s, d) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b555-\\d{4}\\b"
+      Tables.documents(s, d)
+        .withColumn("t", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" contact u"),
+            col("doc_id").cast("string"), lit("@example.com call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(email), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(phone), lit(0)))
+            .cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"),
+            phone, "<PHONE>").as("redacted"))
+        .filter(col("n_emails") > 0 || col("n_phones") > 0)
+        .orderBy("doc_id")
+    }),
+
     // D1: exact dedup — md5 content hash, keep lowest doc_id per hash.
     "d1_exact_dedup" -> ((s, d) => {
       val hashed = Tables.documents(s, d)
@@ -289,6 +321,30 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "txt10_pii_redact" ->
+      """WITH planted AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 13 = 0
+                       THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                            || '@example.com call 555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE text END AS t
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                  AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(t, '\b555-\d{4}\b'))
+                  AS BIGINT) AS n_phones,
+                regexp_replace(regexp_replace(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'), '\b555-\d{4}\b', '<PHONE>', 'g')
+                  AS redacted
+         FROM planted
+         WHERE len(regexp_extract_all(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+            OR len(regexp_extract_all(t, '\b555-\d{4}\b')) > 0
+         ORDER BY doc_id""",
     // exact because capacity (64) ≥ corpus vocabulary (31): the
     // sketch never evicts, so est ≡ count and err ≡ 0
     "txt9_heavy_hitters" ->
