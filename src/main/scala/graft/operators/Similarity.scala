@@ -82,6 +82,44 @@ object Similarity {
       struct(lit(b).as("band"), bits.as("bkt"))
     }: _*))
 
+  /** SIM5's random projection: 16 dense hyperplanes of splitmix64
+    * components (seed base disjoint from [[planes]]) — the
+    * Johnson-Lindenstrauss dimensionality reduction every large ANN
+    * deployment considers before quantization: 64-d → 16-d makes
+    * every downstream dot product 4× cheaper while distorting
+    * pairwise angles by a bounded factor (recall vs the exact top-k
+    * measured in SimilaritySpec). Cosine is scale-invariant, so the
+    * components need no 1/√k normalization. */
+  private val JlDims = 16
+  private val jlPlanes: Seq[Seq[Double]] =
+    (0 until JlDims).map(k => (0 until 64).map(i =>
+      sm64(0x51AC0DE5L + k.toLong * 64 + i).toDouble / Long.MaxValue))
+
+  /** The 16 projected components — 16 codegen dots against literal
+    * plane arrays, one stateless map over the corpus. */
+  private def jlProject(v: Column): Column =
+    array(jlPlanes.map(p => dot(v, array(p.map(lit): _*))): _*)
+
+  /** Oracle fragment computing the identical projection in DuckDB:
+    * plane components emitted as 17-digit e-notation literals (parse
+    * as DOUBLE, round-trip the exact Scala double), summed in index
+    * order like the codegen kernel — projections match bit-for-bit. */
+  private def jlProjCte: String = {
+    def lits(k: Int): String = jlPlanes(k)
+      .map(x => "%.17e".formatLocal(java.util.Locale.ROOT, x))
+      .mkString("[", ", ", "]")
+    val projs = (0 until JlDims).map(k =>
+      s"list_sum(list_transform(generate_series(1, 64)," +
+        s" i -> e[i] * (${lits(k)})[i]))").mkString(",\n             ")
+    s"""WITH v AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+         pj AS (
+           SELECT vec_id, [$projs] AS p
+           FROM v)"""
+  }
+
   /** SIM4 scalar quantization: per-vector symmetric int8 — scale =
     * 127 / max|xᵢ|, qᵢ = round(xᵢ·scale) ∈ [-127, 127]. The SQ8
     * compression every large ANN deployment applies before the index
@@ -264,6 +302,61 @@ object Similarity {
         .orderBy("q_id", "rank")
     }),
 
+    // SIM5a: the JL projection itself, one row per (vector, projected
+    // dimension). Deterministic float math against literal planes →
+    // raw doubles hash-match the generated DuckDB oracle exactly.
+    "sim5_jl_project" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), jlProject(col("embedding")).as("p"))
+        .select(col("vec_id"), posexplode(col("p")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("col").as("pv"))
+        .orderBy("vec_id", "pos")),
+
+    // SIM5b: project → shortlist → EXACT re-rank, the production JL
+    // shape (a raw 16-d top-5 reshuffles the weakly separated
+    // neighbors too much — measured recall 0.16 — so the projection
+    // serves as the cheap COARSE stage, like every banded path here
+    // verifies before deciding): the 16-mult projected cosine scans
+    // the corpus and keeps a top-100 shortlist per query, then the
+    // full 64-d cosine re-ranks only those 100 — 4× less arithmetic on
+    // the corpus-sized stage, exact math on the bounded one. Both
+    // stages are deterministic on both engines → fully oracle-checked;
+    // the recall the shortlist actually achieves vs SIM1 is pinned in
+    // SimilaritySpec.
+    "sim5_jl_topk" -> ((s, d) => {
+      val proj = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          jlProject(col("embedding")).as("p"))
+        .withColumn("pn", sqrt(dot(col("p"), col("p"))))
+      val q = proj.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("p").as("qp"), col("pn").as("qpn"))
+        .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
+      val wp = Window.partitionBy("q_id")
+        .orderBy(col("pcos").desc, col("c_id"))
+      val shortlist = proj
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+          col("p").as("cp"), col("pn").as("cpn"))
+        .crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("pcos",
+          dot(col("qp"), col("cp")) / (col("qpn") * col("cpn")))
+        .withColumn("prank", row_number().over(wp))
+        .filter(col("prank") <= 100)
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("c_id"))
+      shortlist
+        .withColumn("cn", sqrt(dot(col("ce"), col("ce"))))
+        .withColumn("cosine",
+          dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("c_id"),
+          r6(col("cosine")).as("cosine"))
+        .orderBy("q_id", "rank")
+    }),
+
     // SIM4a: the int8 quantization itself, one row per (vector,
     // dimension) — codebook-free symmetric SQ8. Exact integer
     // arithmetic end to end (round half-away-from-zero on both
@@ -375,6 +468,48 @@ object Similarity {
          FROM v WHERE mx > 0)"""
 
   val oracles: Map[String, String] = Map(
+    "sim5_jl_project" ->
+      s"""$jlProjCte,
+         u AS (
+           SELECT vec_id,
+                  unnest(generate_series(1, ${JlDims})) AS i,
+                  unnest(p) AS pv
+           FROM pj)
+         SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, pv
+         FROM u ORDER BY vec_id, pos""",
+    "sim5_jl_topk" ->
+      s"""$jlProjCte,
+         n AS (
+           SELECT vec_id, p,
+                  sqrt(list_sum(list_transform(p, x -> x * x))) AS pn
+           FROM pj),
+         x AS (
+           SELECT vec_id, e,
+                  sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+           FROM v),
+         short AS (
+           SELECT q_id, c_id FROM (
+             SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                      list_sum(list_transform(generate_series(1, ${JlDims}),
+                        i -> q.p[i] * c.p[i])) / (q.pn * c.pn) DESC,
+                      c.vec_id) AS prank
+             FROM n q JOIN n c
+               ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+           WHERE prank <= 100),
+         pairs AS (
+           SELECT s.q_id, s.c_id,
+                  list_sum(list_transform(generate_series(1, len(a.e)),
+                    i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) AS cosine
+           FROM short s
+           JOIN x a ON a.vec_id = s.q_id
+           JOIN x b ON b.vec_id = s.c_id)
+         SELECT q_id, rank, c_id, round(cosine, 6) AS cosine FROM (
+           SELECT q_id, c_id, cosine,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, c_id) AS rank
+           FROM pairs) WHERE rank <= 5
+         ORDER BY q_id, rank""",
     "sim1_cosine_topk" ->
       """WITH v AS (
            SELECT vec_id,

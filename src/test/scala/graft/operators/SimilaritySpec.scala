@@ -37,6 +37,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, f"recall $recall%.3f below 0.3")
   }
 
+  test("JL shortlist + exact re-rank recall vs brute force on sf0.001") {
+    // the projected cosine alone reshuffles the weakly separated
+    // neighbors (measured top-5 recall 0.16 at 16-d on these
+    // near-random embeddings) — which is why SIM5b is the two-stage
+    // shape: the 16-d scan only SHORTLISTS 100 candidates, the exact
+    // 64-d cosine decides. The spec pins what the shortlist recovers
+    // (0.72 measured — these weak neighbor gaps need ε far below what
+    // 16 dims can carry, so the shortlist, not the projection, does
+    // the recall work).
+    val exact = pairs("sim1_cosine_topk")
+    val approx = pairs("sim5_jl_topk")
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"jl recall = $recall%.3f (|jl|=${approx.size})")
+    assert(recall >= 0.5, f"recall $recall%.3f below 0.5")
+  }
+
   test("ANN recall at sf0.1, where true neighbors are denser") {
     // sf0.001's true top-5 cosines are weak (0.26–0.39 on near-random
     // synthetic embeddings), which caps what any bucketing can find;
