@@ -214,6 +214,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("sql6: three window specs on one key plan a single shuffle") {
+    // row_number, lag, and count(*) all partition by o_custkey — the
+    // Window operators must share ONE hash exchange, not re-shuffle
+    // per spec (the ordered specs collapse into one Window; the
+    // unbounded count runs as its own Window over the same
+    // partitioning, which satisfies its distribution with no new
+    // Exchange)
+    val plan = planOf(Relational.queries, "sql6_window_topn")
+    val shuffles = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n" +
+      plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("a24: the custom Aggregator plans a map-side partial aggregate") {
     // the scaladoc's scale claim: only the 48-byte Welford state
     // shuffles per group. That is true exactly when Catalyst plans a
