@@ -83,10 +83,16 @@ object EventStream {
   private val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
   /** File-drop streaming source over a JSON-lines directory (stands in
-    * for the Kafka source S12; identical downstream plan). */
-  def readJsonStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventSchema)
-      .option("timestampFormat", TsFormat).json(dir)
+    * for the Kafka source S12; identical downstream plan).
+    * `maxFilesPerTrigger` bounds each micro-batch for the T13 backfill
+    * (the Kafka analogue is `maxOffsetsPerTrigger`). */
+  def readJsonStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(eventSchema)
+      .option("timestampFormat", TsFormat)
+    maxFilesPerTrigger.fold(r)(n =>
+      r.option("maxFilesPerTrigger", n.toString)).json(dir)
+  }
 
   // ---- T8: custom keyed state (flatMapGroupsWithState) ------------------
 
@@ -282,6 +288,36 @@ object EventStream {
         .start()
       q.awaitTermination()
     }
+
+  /** T13: bounded backfill — the operational answer to "replay a month
+    * of backlog without one giant batch": Trigger.AvailableNow drains
+    * everything currently in the source and stops, while
+    * `maxFilesPerTrigger = 1` (Kafka: maxOffsetsPerTrigger) caps each
+    * micro-batch, so the backlog replays as a SEQUENCE of
+    * bounded-memory batches with state + checkpoint advancing per
+    * batch. The result must equal the one-shot batch aggregate no
+    * matter how the slicing landed — exactly what the oracle checks;
+    * StreamingSpec asserts the slicing actually happened (the batch
+    * count is recorded here for it). */
+  @volatile private[streaming] var lastBackfillBatches: Long = -1L
+  def runBoundedBackfill(s: SparkSession, d: String): DataFrame = {
+    val rig = stageRig(s, d)
+    val base = freshDir(
+      s"/tmp/graft-stream-t13-run${runSeq.incrementAndGet()}")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
+    withReplayWidth(s) {
+      val q = windowAgg(readJsonStream(s, src, maxFilesPerTrigger = Some(1)))
+        .writeStream.format("memory").queryName("t13_mem")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastBackfillBatches = q.recentProgress.count(_.numInputRows > 0).toLong
+    }
+    s.table("t13_mem")
+  }
 
   /** T1: an ACTUAL Structured Streaming execution — events dropped as
     * JSON, consumed by readStream, aggregated with event-time windows,
@@ -672,6 +708,12 @@ object EventStream {
     "t12_rocksdb_state" -> ((s, d) =>
       runRocksDbStateAgg(s, d).orderBy("win_start", "event_type")),
 
+    // T13: bounded backfill — AvailableNow + maxFilesPerTrigger=1
+    // replays the backlog as capped micro-batches; final aggregate
+    // equals the one-shot batch result (oracle) regardless of slicing.
+    "t13_bounded_backfill" -> ((s, d) =>
+      runBoundedBackfill(s, d).orderBy("win_start", "event_type")),
+
     // T11: foreachBatch upsert sink — update-mode agg through an
     // idempotent append log, compacted latest-wins; final serving
     // table equals the plain GROUP BY (oracle).
@@ -705,6 +747,12 @@ object EventStream {
                       / count(*), 6) AS avg_value
          FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
     "t12_rocksdb_state" ->
+      """SELECT date_trunc('day', ts) AS win_start, event_type,
+                count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                      / count(*), 6) AS avg_value
+         FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "t13_bounded_backfill" ->
       """SELECT date_trunc('day', ts) AS win_start, event_type,
                 count(*) AS n,
                 round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)

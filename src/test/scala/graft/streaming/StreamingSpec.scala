@@ -48,6 +48,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(resumed == batchExpected)
   }
 
+  test("T13: bounded backfill slices the replay AND equals the batch result") {
+    // maxFilesPerTrigger=1 over a 2-file source must take (at least)
+    // one micro-batch per file — the slicing is the point of the
+    // operator; a single giant batch would be the failure mode the
+    // pattern exists to avoid. Correctness under slicing is the same
+    // equality every streaming run here asserts.
+    val streamed = asSet(EventStream.runBoundedBackfill(spark, sf))
+    assert(streamed == batchExpected)
+    assert(EventStream.lastBackfillBatches >= 2,
+      s"backlog replayed in ${EventStream.lastBackfillBatches} batch(es); " +
+        "expected the file-capped trigger to slice it")
+  }
+
   test("T6: watermarked streaming dedup+agg runs and stays bounded") {
     // The watermarked form (dropDuplicates under a 2-day watermark)
     // through a real streaming execution: drop events as JSON, run
