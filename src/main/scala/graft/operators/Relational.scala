@@ -688,6 +688,55 @@ object Relational {
             .getField("k").as("k"))
         .orderBy("event_id")),
 
+    // F8: array higher-order functions — filter / exists / zip_with /
+    // aggregate / array_sort, the lambda surface F4's element access
+    // stops short of. These run INTERPRETED (no codegen) — fine for a
+    // scalar-surface demo, and exactly why the hot ANN paths use the
+    // codegen DotProduct kernel instead (the suite's documented trade).
+    "f8_array_hofs" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          size(filter(col("embedding"), x => x > lit(0.0f)))
+            .cast("long").as("n_pos"),
+          exists(col("embedding"), x => x > lit(0.3f)).as("has_big"),
+          r6(element_at(array_sort(col("embedding")), -1).cast("double"))
+            .as("max_dim"),
+          r6(aggregate(
+            zip_with(col("embedding"), reverse(col("embedding")),
+              (a, b) => a.cast("double") * b.cast("double")),
+            lit(0.0d), (acc, x) => acc + x)).as("rev_dot"))
+        .orderBy("vec_id")),
+
+    // S23: dead-letter JSON ingest — the quarantine pattern a 100 TB
+    // ingest cannot live without: a batch where some payloads are
+    // corrupt must route good rows onward and COUNT the quarantined
+    // ones, never abort (FAILFAST) and never silently drop. Every
+    // 19th payload is truncated (deterministic plant — always invalid
+    // JSON since the closing brace goes); the PERMISSIVE parser's
+    // `_corrupt_record` column marks the quarantine — NOT a null
+    // struct: Spark's partial-result parsing (enablePartialResults,
+    // default on) still recovers `k` from the truncated payload, so
+    // null-struct detection silently passes corrupt rows. The oracle
+    // classifies by the GROUND TRUTH plant (event_id % 19), so the
+    // check proves the parser's quarantine verdict identifies exactly
+    // the planted corruption — and sum_k_good proves the surviving
+    // rows parse to real values.
+    "s23_deadletter_ingest" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("raw", when(col("event_id") % 19 === 0,
+          expr("substring(props, 1, length(props) - 2)"))
+          .otherwise(col("props")))
+        .withColumn("parsed",
+          from_json(col("raw"), "k INT, _corrupt_record STRING",
+            Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
+        .withColumn("bad", col("parsed._corrupt_record").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("bad"), 1L).otherwise(0L)).as("n_quarantined"),
+          sum(when(!col("bad"), col("parsed.k").cast("long"))
+            .otherwise(0L)).as("sum_k_good"))
+        .orderBy("event_type")),
+
     // A9: win/loss grouped conditional counts.
     // Ref: scripts/10_visualize_trades.py:54-59.
     "a9_win_loss" -> ((s, d) =>
@@ -1075,6 +1124,28 @@ object Relational {
       """SELECT user_id,
                 CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
                 CAST(sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS losses
-         FROM events GROUP BY 1 ORDER BY user_id"""
+         FROM events GROUP BY 1 ORDER BY user_id""",
+    "f8_array_hofs" ->
+      """SELECT vec_id,
+                CAST(len(list_filter(embedding,
+                  x -> CAST(x AS DOUBLE) > 0.0)) AS BIGINT) AS n_pos,
+                len(list_filter(embedding,
+                  x -> CAST(x AS DOUBLE) > CAST(0.3 AS DOUBLE))) > 0
+                  AS has_big,
+                round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_dim,
+                round(list_sum(list_transform(
+                  generate_series(1, len(embedding)),
+                  i -> CAST(embedding[i] AS DOUBLE)
+                       * CAST(embedding[len(embedding) - i + 1] AS DOUBLE))),
+                  6) AS rev_dot
+         FROM embeddings ORDER BY vec_id""",
+    "s23_deadletter_ingest" ->
+      """SELECT event_type, count(*) AS n_total,
+                CAST(sum(CASE WHEN event_id % 19 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_quarantined,
+                CAST(sum(CASE WHEN event_id % 19 <> 0
+                  THEN CAST(json_extract_string(props, '$.k') AS INT)
+                  ELSE 0 END) AS BIGINT) AS sum_k_good
+         FROM events GROUP BY 1 ORDER BY event_type"""
   )
 }
