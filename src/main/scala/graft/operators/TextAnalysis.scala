@@ -297,6 +297,39 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // TXT11: unigram LM scoring — the language-model quality signal
+    // (avg per-token log-likelihood under the corpus's own unigram
+    // model): fluent docs score near the corpus mean, repetitive or
+    // vocabulary-skewed docs fall off. Two-pass: the vocab model
+    // (token → ln(count/N)) is vocab-sized and BROADCASTS; docs join
+    // it on token with one hash agg — the corpus never shuffles
+    // whole. Float discipline: the per-doc sum runs over the SORTED
+    // per-doc vocab slice (array_sort + ordered fold), so summation
+    // order is pinned on both engines and the only engine divergence
+    // left is the ≤1-ulp libm ln(), absorbed by round6.
+    "txt11_unigram_loglik" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("w"))
+      val vocab = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum(col("cnt")).as("tot"))
+      val model = vocab.crossJoin(broadcast(total))
+        .select(col("w"),
+          log(col("cnt").cast("double") / col("tot").cast("double"))
+            .as("logp"))
+      tok.groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+        .join(broadcast(model), Seq("w"))
+        .groupBy("doc_id")
+        .agg(sum(col("n")).as("n_tokens"),
+          aggregate(
+            array_sort(collect_list(struct(col("w"),
+              (col("n").cast("double") * col("logp")).as("t")))),
+            lit(0.0d), (acc, x) => acc + x.getField("t")).as("ll"))
+        .select(col("doc_id"), col("n_tokens"),
+          r6(col("ll")).as("log_lik"),
+          r6(col("ll") / col("n_tokens")).as("avg_log_lik"))
+        .orderBy("doc_id")
+    }),
+
     // D1: exact dedup — md5 content hash, keep lowest doc_id per hash.
     "d1_exact_dedup" -> ((s, d) => {
       val hashed = Tables.documents(s, d)
@@ -321,6 +354,28 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "txt11_unigram_loglik" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+           FROM documents),
+         vocab AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+         model AS (
+           SELECT w, ln(CAST(cnt AS DOUBLE) /
+                        CAST((SELECT sum(cnt) FROM vocab) AS DOUBLE)) AS logp
+           FROM vocab),
+         dw AS (SELECT doc_id, w, count(*) AS n FROM tok GROUP BY 1, 2),
+         j AS (
+           SELECT d.doc_id, d.w, CAST(d.n AS BIGINT) AS n,
+                  CAST(d.n AS DOUBLE) * m.logp AS t
+           FROM dw d JOIN model m ON d.w = m.w),
+         agg AS (
+           SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+                  list_sum(list(t ORDER BY w)) AS ll
+           FROM j GROUP BY 1)
+         SELECT doc_id, n_tokens, round(ll, 6) AS log_lik,
+                round(ll / n_tokens, 6) AS avg_log_lik
+         FROM agg ORDER BY doc_id""",
     "txt10_pii_redact" ->
       """WITH planted AS (
            SELECT doc_id,

@@ -291,6 +291,30 @@ object Windows {
         .orderBy("user_id", "event_id")
     }),
 
+    // W13: time-gap sessionization (gaps-and-islands) — W6 sessionizes
+    // on VALUE changes, T5 on event-time gaps in streaming; this is
+    // the batch form every funnel/engagement pipeline runs: a >30 min
+    // silence starts a new session, sessions aggregate to (start, end,
+    // n_events, duration). Two windows over the same per-user
+    // partitioning (lag for the gap flag, running sum for the session
+    // id) + one hash agg — a single shuffle on user_id end to end.
+    "w13_sessionize" -> ((s, d) => {
+      val gapUs = 1800L * 1000000L  // 30 min silence starts a session
+      val prevUs = lag(unix_micros(col("ts")), 1).over(wUser)
+      val newSess = when(prevUs.isNull ||
+        unix_micros(col("ts")) - prevUs > gapUs, 1L).otherwise(0L)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("sess_id",
+          sum(newSess).over(wUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_id")
+        .agg(min(unix_micros(col("ts"))).as("sess_start_us"),
+          max(unix_micros(col("ts"))).as("sess_end_us"),
+          count(lit(1)).as("n_events"))
+        .withColumn("duration_us", col("sess_end_us") - col("sess_start_us"))
+        .orderBy("user_id", "sess_id")
+    }),
+
     // W10: ranking family — ntile quartiles, percent_rank, dense_rank
     // per user over a deterministic (value, event_id) order. The one
     // window family the rest of the suite never touches (row_number
@@ -337,6 +361,28 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "w13_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, event_id, ts,
+                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ts,
+                  CAST(sum(new_sess) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS sess_id
+           FROM g)
+         SELECT user_id, sess_id,
+                min(epoch_us(ts)) AS sess_start_us,
+                max(epoch_us(ts)) AS sess_end_us,
+                count(*) AS n_events,
+                max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+         FROM s GROUP BY 1, 2 ORDER BY user_id, sess_id""",
     "w12_ewma" -> ewmaOracleSql,
     "w11_gap_fill" ->
       """WITH daily AS (
