@@ -254,6 +254,46 @@ object Relational {
           round(expr("percentile(value, 0.95)"), 6).as("p95"))
         .orderBy("event_type")),
 
+    // A25: median absolute deviation — the robust dispersion statistic
+    // (outlier-immune where A7's stddev is not): MAD = median of
+    // |x − median(x)| per group. Two exact-percentile passes; the
+    // per-group medians are a GROUP-CARDINALITY row set, broadcast
+    // back onto the fact scan (the a13 bounds pattern) — the corpus
+    // shuffles once per pass, never to a single node.
+    "a25_robust_mad" -> ((s, d) => {
+      val med = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      Tables.events(s, d)
+        .join(broadcast(med), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(round(max(col("med")), 6).as("med"),
+          round(expr("percentile(abs(value - med), 0.5)"), 6).as("mad"))
+        .orderBy("event_type")
+    }),
+
+    // A27: incremental aggregate maintenance — the don't-rescan-history
+    // pattern every nightly rollup runs at 100 TB: partial aggregates
+    // of the history and of the new delta MERGE into the exact full
+    // aggregate ((count, decimal-sum) is algebraic), so refreshing a
+    // rollup costs O(delta), not O(history). The oracle is the plain
+    // full-scan aggregate — equality IS the maintenance invariant.
+    "a27_incremental_rollup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      def partial(df: DataFrame): DataFrame =
+        df.groupBy("event_type")
+          .agg(count(lit(1)).as("pn"),
+            sum(col("value").cast("decimal(24,10)")).as("psv"))
+      partial(ev.filter(col("event_id") % 10 < 8))
+        .unionByName(partial(ev.filter(col("event_id") % 10 >= 8)))
+        .groupBy("event_type")
+        .agg(sum(col("pn")).as("n"), sum(col("psv")).as("sv"))
+        .select(col("event_type"), col("n"),
+          round(col("sv").cast("double"), 6).as("total"),
+          round(col("sv").cast("double") / col("n"), 6).as("avg_value"))
+        .orderBy("event_type")
+    }),
+
     // A18: approximate quantiles — the 100 TB form of A17.
     // percentile_approx is a mergeable rank sketch (map-side
     // combinable, memory bounded by the accuracy parameter), where
@@ -984,6 +1024,21 @@ object Relational {
                 round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
                       / count(*), 6) AS avg_value,
                 count(*) AS n
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    "a25_robust_mad" ->
+      """WITH m AS (
+           SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY 1)
+         SELECT e.event_type AS event_type, round(max(m.med), 6) AS med,
+                round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+         FROM events e JOIN m ON e.event_type = m.event_type
+         GROUP BY e.event_type ORDER BY e.event_type""",
+    "a27_incremental_rollup" ->
+      """SELECT event_type, count(*) AS n,
+                round(CAST(CAST(sum(CAST(value AS DECIMAL(24,10)))
+                  AS VARCHAR) AS DOUBLE), 6) AS total,
+                round(CAST(CAST(sum(CAST(value AS DECIMAL(24,10)))
+                  AS VARCHAR) AS DOUBLE) / count(*), 6) AS avg_value
          FROM events GROUP BY 1 ORDER BY event_type""",
     "a17_quantiles" ->
       """SELECT event_type,
