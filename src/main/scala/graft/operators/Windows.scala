@@ -315,6 +315,29 @@ object Windows {
         .orderBy("user_id", "sess_id")
     }),
 
+    // W14: cumulative distinct count — "how many distinct event types
+    // has this user seen so far" at every event. Spark (like every
+    // engine) has no COUNT(DISTINCT) OVER a running frame; the
+    // standard rewrite marks each (user, type)'s FIRST occurrence
+    // with one ranking window and running-sums the marks with a
+    // second — two windows, one user_id shuffle, no distinct-state
+    // blowup (the mark is 0/1, not a growing set).
+    "w14_cum_distinct" -> ((s, d) => {
+      val wFirst = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+        .withColumn("first_seen",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .withColumn("n_types_seen",
+          sum(col("first_seen"))
+            .over(wUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("n_types_seen"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // W10: ranking family — ntile quartiles, percent_rank, dense_rank
     // per user over a deterministic (value, event_id) order. The one
     // window family the rest of the suite never touches (row_number
@@ -361,6 +384,20 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "w14_cum_distinct" ->
+      """WITH f AS (
+           SELECT user_id, event_id, ts, event_type,
+                  CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END
+                    AS first_seen
+           FROM events)
+         SELECT user_id, event_id, event_type,
+                CAST(sum(first_seen) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_types_seen
+         FROM f ORDER BY user_id, event_id""",
     "w13_sessionize" ->
       """WITH g AS (
            SELECT user_id, event_id, ts,
