@@ -62,6 +62,10 @@ class DeterminismSpec extends AnyFunSuite {
     "d1_exact_dedup" -> TextAnalysis.queries,
     "d10_dup_clusters" -> Dedup.queries,
     "ds7_epoch_shuffle" -> DatasetOps.queries,
+    // float sums with a PINNED fold order (sorted per-doc vocab) —
+    // the claim is exactly that the answer can't drift with layout
+    "txt11_unigram_loglik" -> TextAnalysis.queries,
+    "txt10_pii_redact" -> TextAnalysis.queries,
     "txt4_fingerprint" -> TextAnalysis.queries)
 
   cases.foreach { case (name, qs) =>
