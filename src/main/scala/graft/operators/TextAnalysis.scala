@@ -330,6 +330,46 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // TXT12: BM25 ranked retrieval — the relevance score behind
+    // domain-targeted corpus selection (keep documents that score high
+    // against a topic query). Okapi BM25 (Robertson & Spärck Jones;
+    // public formula, k1 = 1.2, b = 0.75) over the corpus tokenizer:
+    // score(d) = Σ_w idf(w) · n·(k1+1) / (n + k1·(1−b+b·dl/avgdl)).
+    // Scale: one corpus pass builds per-doc lengths (hash agg,
+    // map-side partial); the query-term postings are filtered BEFORE
+    // any join (the inverted-index access path — candidates are docs
+    // containing a query term, ≪ corpus); idf + avgdl are a ≤|q|-row
+    // broadcast. Float discipline: per-doc term sum folds in sorted
+    // term order (TXT11's pattern), ln() divergence absorbed by round6.
+    "txt12_bm25" -> ((s, d) => {
+      val terms = Seq("spark", "stream", "dup")
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("w"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl").cast("double")).as("avgdl"))
+      val post = tok.filter(col("w").isin(terms: _*))
+      val idf = post.groupBy("w")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .crossJoin(broadcast(stats))
+        .select(col("w"),
+          log((col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)).as("idf"),
+          col("avgdl"))
+      post.groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+        .join(dl, Seq("doc_id"))
+        .join(broadcast(idf), Seq("w"))
+        .withColumn("t", col("idf") * (col("n") * lit(2.2)) /
+          (col("n") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          aggregate(array_sort(collect_list(struct(col("w"), col("t")))),
+            lit(0.0d), (acc, x) => acc + x.getField("t")).as("score"))
+        .select(col("doc_id"), col("n_terms"), r6(col("score")).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+    }),
+
     // D1: exact dedup — md5 content hash, keep lowest doc_id per hash.
     "d1_exact_dedup" -> ((s, d) => {
       val hashed = Tables.documents(s, d)
@@ -354,6 +394,34 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "txt12_bm25" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+           FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         stats AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                  avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+         post AS (SELECT * FROM tok WHERE w IN ('spark', 'stream', 'dup')),
+         idf AS (
+           SELECT w, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf,
+                  avgdl
+           FROM (SELECT w, count(DISTINCT doc_id) AS df
+                 FROM post GROUP BY 1), stats),
+         sc AS (
+           SELECT q.doc_id, q.w,
+                  i.idf * (q.n * 2.2) /
+                  (q.n + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / i.avgdl))
+                    AS t
+           FROM (SELECT doc_id, w, count(*) AS n FROM post GROUP BY 1, 2) q
+           JOIN dl l USING (doc_id) JOIN idf i USING (w)),
+         agg AS (
+           SELECT doc_id, count(*) AS n_terms,
+                  list_sum(list(t ORDER BY w)) AS score
+           FROM sc GROUP BY 1)
+         SELECT doc_id, n_terms, round(score, 6) AS bm25
+         FROM agg ORDER BY bm25 DESC, doc_id LIMIT 50""",
     "txt11_unigram_loglik" ->
       """WITH tok AS (
            SELECT doc_id,

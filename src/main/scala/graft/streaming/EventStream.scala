@@ -185,7 +185,7 @@ object EventStream {
   def runStatefulTally(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val rig = stageRig(s, d)
-    val base = freshDir(s"/tmp/graft-stream-t8-run${runSeq.incrementAndGet()}")
+    val base = freshDir(s"/tmp/graft-stream-t8-run${nextRunId()}")
     val src = s"$base/src"; val ckpt = s"$base/ckpt"
     deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
     withReplayWidth(s) {
@@ -222,7 +222,13 @@ object EventStream {
 
   private val rigStaged =
     scala.collection.concurrent.TrieMap.empty[String, String]
-  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Per-run work dirs carry the JVM pid: two concurrent processes
+    * (a Verify next to a Bench, or a local test next to the driver)
+    * each start their own sequence at 0, so a pid-free name would let
+    * them clobber each other's checkpoints mid-query. */
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0)
+  private def nextRunId(): String =
+    s"${java.lang.ProcessHandle.current().pid()}-${seq.incrementAndGet()}"
 
   /** Stage the events table as two chronological JSON halves (first /
     * second half by the ts midpoint — the T2 resume protocol's split).
@@ -303,7 +309,7 @@ object EventStream {
   def runBoundedBackfill(s: SparkSession, d: String): DataFrame = {
     val rig = stageRig(s, d)
     val base = freshDir(
-      s"/tmp/graft-stream-t13-run${runSeq.incrementAndGet()}")
+      s"/tmp/graft-stream-t13-run${nextRunId()}")
     val src = s"$base/src"; val ckpt = s"$base/ckpt"
     deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
     withReplayWidth(s) {
@@ -319,6 +325,64 @@ object EventStream {
     s.table("t13_mem")
   }
 
+  /** Staged retransmit rig for T14: every 7th event re-delivered with
+    * its event time shifted +30 s — same event_id, DIFFERENT event
+    * time, the duplicate shape a flaky producer actually emits (the
+    * reference's producer re-sends on ack timeout with a fresh
+    * timestamp, `ingestion/producer.py:184-197`). Memoized per sfDir
+    * like [[stageRig]] so benchmarks time the stream, not the render. */
+  private val retransStaged =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def stageRetransmits(s: SparkSession, d: String): String =
+    retransStaged.getOrElseUpdate(d, {
+      val dir = freshDir(
+        s"/tmp/graft-stream-retrans-${new java.io.File(d).getName}")
+      Tables.events(s, d).filter(col("event_id") % 7 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 30 SECONDS"))
+        .coalesce(1).write.mode("overwrite")
+        .option("timestampFormat", TsFormat).json(dir)
+      dir
+    })
+
+  /** T14: retransmit-tolerant streaming dedup via
+    * `dropDuplicatesWithinWatermark` — the Spark-4 dedup contract for
+    * duplicates whose EVENT TIMES differ (a retransmit carries a fresh
+    * timestamp, so plain dropDuplicates-with-watermark gives no
+    * guarantee about which state-eviction horizon applies; the
+    * WithinWatermark form guarantees dedup for duplicates arriving
+    * within the watermark delay and evicts each key once the watermark
+    * passes its first-seen time + delay — bounded state with explicit
+    * semantics). The downstream aggregate is deliberately
+    * event-time-free (per-type count + exact decimal sum), so the
+    * result is invariant to WHICH copy survived — every event counts
+    * once iff the dedup worked, which is exactly what the oracle
+    * checks against the retransmit-free events table. */
+  def runDedupWithinWatermark(s: SparkSession, d: String): DataFrame = {
+    val rig = stageRig(s, d)
+    val dups = stageRetransmits(s, d)
+    val base = freshDir(
+      s"/tmp/graft-stream-t14-run${nextRunId()}")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
+    deliver(dups, src)
+    withReplayWidth(s) {
+      val q = readJsonStream(s, src)
+        .withWatermark("ts", "2 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(24,10)")).cast("double") /
+            count(lit(1)), 6).as("avg_value"))
+        .writeStream.format("memory").queryName("t14_mem")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table("t14_mem")
+  }
+
   /** T1: an ACTUAL Structured Streaming execution — events dropped as
     * JSON, consumed by readStream, aggregated with event-time windows,
     * delivered through a checkpointed memory sink. The returned
@@ -326,7 +390,7 @@ object EventStream {
     * streaming run end-to-end. */
   def runStreamingAgg(s: SparkSession, d: String): DataFrame = {
     val rig = stageRig(s, d)
-    val base = freshDir(s"/tmp/graft-stream-t1-run${runSeq.incrementAndGet()}")
+    val base = freshDir(s"/tmp/graft-stream-t1-run${nextRunId()}")
     val src = s"$base/src"; val ckpt = s"$base/ckpt"
     deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
     runToCompletion(s, src, ckpt, "t1_mem")
@@ -342,7 +406,7 @@ object EventStream {
     * recovery worked — which is exactly what the oracle checks. */
   def runCheckpointResume(s: SparkSession, d: String): DataFrame = {
     val rig = stageRig(s, d)
-    val base = freshDir(s"/tmp/graft-stream-t2-run${runSeq.incrementAndGet()}")
+    val base = freshDir(s"/tmp/graft-stream-t2-run${nextRunId()}")
     val src = s"$base/src"; val ckpt = s"$base/ckpt"
     deliver(s"$rig/half1", src)
     runToCompletion(s, src, ckpt, "t2_mem")       // first half, then stop
@@ -362,7 +426,7 @@ object EventStream {
     * needed): each event joins alone, append mode. */
   def runStreamStaticJoin(s: SparkSession, d: String): DataFrame = {
     val rig = stageRig(s, d)
-    val base = freshDir(s"/tmp/graft-stream-t9-run${runSeq.incrementAndGet()}")
+    val base = freshDir(s"/tmp/graft-stream-t9-run${nextRunId()}")
     val src = s"$base/src"; val ckpt = s"$base/ckpt"
     deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
     val dim = Tables.customer(s, d)
@@ -391,7 +455,7 @@ object EventStream {
     * join → matches emit as they form; append mode. */
   def runStreamStreamJoin(s: SparkSession, d: String): DataFrame = {
     val rig = stageRig(s, d)
-    val base = freshDir(s"/tmp/graft-stream-t10-run${runSeq.incrementAndGet()}")
+    val base = freshDir(s"/tmp/graft-stream-t10-run${nextRunId()}")
     val src = s"$base/src"; val ckpt = s"$base/ckpt"
     deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
     val ev = readJsonStream(s, src)
@@ -461,7 +525,7 @@ object EventStream {
     * — which is what the oracle checks. */
   def runStreamStreamOuterJoin(s: SparkSession, d: String): DataFrame = {
     val rig = stageRig(s, d)
-    val base = freshDir(s"/tmp/graft-stream-t10o-run${runSeq.incrementAndGet()}")
+    val base = freshDir(s"/tmp/graft-stream-t10o-run${nextRunId()}")
     val src = s"$base/src"; val ckpt = s"$base/ckpt"
     // ONE data file (halves concatenated): with maxFilesPerTrigger=1
     // the replay then costs one data batch + two sentinel batches —
@@ -554,7 +618,7 @@ object EventStream {
     * (count / max), so batch slicing can't change the final values. */
   def runForeachBatchUpsert(s: SparkSession, d: String): DataFrame = {
     val rig = stageRig(s, d)
-    val base = freshDir(s"/tmp/graft-stream-t11-run${runSeq.incrementAndGet()}")
+    val base = freshDir(s"/tmp/graft-stream-t11-run${nextRunId()}")
     val src = s"$base/src"; val ckpt = s"$base/ckpt"
     val log = s"$base/servelog"
     deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
@@ -606,7 +670,7 @@ object EventStream {
     * state machinery runs for real but must not change the answer). */
   def runRocksDbStateAgg(s: SparkSession, d: String): DataFrame = {
     val rig = stageRig(s, d)
-    val base = freshDir(s"/tmp/graft-stream-t12-run${runSeq.incrementAndGet()}")
+    val base = freshDir(s"/tmp/graft-stream-t12-run${nextRunId()}")
     val src = s"$base/src"; val ckpt = s"$base/ckpt"
     deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
     // one RocksDB INSTANCE opens per shuffle partition per stateful
@@ -637,7 +701,7 @@ object EventStream {
     * is read back for the oracle compare. */
   def runKeyedPublish(s: SparkSession, d: String): DataFrame = {
     val rig = stageRig(s, d)
-    val base = freshDir(s"/tmp/graft-stream-t4-run${runSeq.incrementAndGet()}")
+    val base = freshDir(s"/tmp/graft-stream-t4-run${nextRunId()}")
     val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
     deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
     val q = kafkaPayload(readJsonStream(s, src))
@@ -714,6 +778,13 @@ object EventStream {
     "t13_bounded_backfill" -> ((s, d) =>
       runBoundedBackfill(s, d).orderBy("win_start", "event_type")),
 
+    // T14: dropDuplicatesWithinWatermark on a planted-retransmit rig —
+    // duplicates with DIFFERENT event times deduped within the
+    // watermark delay; per-type totals equal the retransmit-free
+    // batch aggregate (oracle) iff every event counted exactly once.
+    "t14_dedup_within_wm" -> ((s, d) =>
+      runDedupWithinWatermark(s, d).orderBy("event_type")),
+
     // T11: foreachBatch upsert sink — update-mode agg through an
     // idempotent append log, compacted latest-wins; final serving
     // table equals the plain GROUP BY (oracle).
@@ -771,6 +842,11 @@ object EventStream {
                                     user_id := user_id,
                                     value := value))::VARCHAR AS value
          FROM events ORDER BY key""",
+    "t14_dedup_within_wm" ->
+      """SELECT event_type, count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                      / count(*), 6) AS avg_value
+         FROM events GROUP BY 1 ORDER BY event_type""",
     "t8_stateful_tally" ->
       """SELECT user_id, count(*) AS n_events, max(value) AS max_value,
                 min(value) AS min_value, max(event_id) AS last_event_id

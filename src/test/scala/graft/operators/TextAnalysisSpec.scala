@@ -46,6 +46,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(f6(1L) > 0 && f6(2L) < 0 && f6(5L) == 0.0)
   }
 
+  test("txt12: BM25 golden — tf, idf and length normalization by hand") {
+    // N = 4 docs, avgdl = (3+2+4+1)/4 = 2.5; query = {spark, stream, dup}
+    val d = docs(
+      1L -> "spark spark stream",
+      2L -> "spark data",
+      3L -> "data table row scan",
+      4L -> "dup")
+    val rows = TextAnalysis.queries("txt12_bm25")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def idf(df: Long): Double = math.log((4.0 - df + 0.5) / (df + 0.5) + 1.0)
+    def term(n: Long, dl: Long, df: Long): Double =
+      idf(df) * (n * 2.2) / (n + 1.2 * (0.25 + 0.75 * dl / 2.5))
+    val expected = Map(
+      1L -> (2L, term(2, 3, 2) + term(1, 3, 1)), // spark ×2 + stream
+      2L -> (1L, term(1, 2, 2)),                 // spark, shorter doc
+      4L -> (1L, term(1, 1, 1)))                 // rare term, shortest doc
+    assert(rows.keySet == expected.keySet)       // doc 3: no query term
+    expected.foreach { case (id, (nt, sc)) =>
+      assert(rows(id)._1 == nt, s"doc $id n_terms")
+      assert(math.abs(rows(id)._2 - sc) < 1e-6, s"doc $id score")
+    }
+    // the orderings BM25 exists for: two matched terms beat one
+    // (doc 1 first), rare-term idf beats common-term idf (doc 4 > doc 2)
+    assert(rows(1L)._2 > rows(4L)._2 && rows(4L)._2 > rows(2L)._2)
+  }
+
   test("txt5: BPE-ish pre-tokenizer splits letter runs, digit runs, punct") {
     // lower("Hello, world 123 foo!") → hello , world 123 foo !
     val d = docs(1L -> "Hello, world 123 foo!", 2L -> "aa aa")

@@ -61,6 +61,26 @@ class StreamingSpec extends AnyFunSuite {
         "expected the file-capped trigger to slice it")
   }
 
+  test("T14: dropDuplicatesWithinWatermark absorbs shifted-ts retransmits") {
+    val ev = Tables.events(spark, sf)
+    val total = ev.count()
+    // non-vacuity: the rig re-delivers every 7th event at ts+30 s, so
+    // the source holds MORE rows than the events table
+    assert(ev.filter(col("event_id") % 7 === 0).count() > 0)
+    val streamed = EventStream.runDedupWithinWatermark(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val expected = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1)), 6).as("avg_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(streamed == expected)
+    // each event counted exactly once: retransmits did NOT inflate n
+    assert(streamed.toSeq.map(_._2).sum == total)
+  }
+
   test("T6: watermarked streaming dedup+agg runs and stays bounded") {
     // The watermarked form (dropDuplicates under a 2-day watermark)
     // through a real streaming execution: drop events as JSON, run
