@@ -692,6 +692,80 @@ object EventStream {
     s.table("t12_mem")
   }
 
+  // ---- T15: transformWithState (the Spark-4 arbitrary-state API) --------
+
+  /** T8's fold re-expressed on `transformWithState`, the successor
+    * API to flatMapGroupsWithState: state decomposes into NAMED typed
+    * primitives (ValueState / ListState / MapState, each with its own
+    * TTL) instead of one opaque blob, with user timers and state
+    * schema evolution — the composability an evolving 100 TB pipeline
+    * needs (add a second state variable without migrating the first).
+    * Only implemented on the RocksDB state-store provider. Same
+    * order-insensitive tally, same oracle as T8 — what changes is the
+    * engine surface, which is exactly what the equality proves. */
+  private class TallyProcessor extends
+      org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, KeyTally] {
+    @transient private var tally:
+      org.apache.spark.sql.streaming.ValueState[KeyTally] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      tally = getHandle.getValueState[KeyTally]("tally",
+        org.apache.spark.sql.Encoders.product[KeyTally],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[KeyTally] = {
+      var t =
+        if (tally.exists()) tally.get()
+        else KeyTally(key, 0L, Double.NegativeInfinity,
+          Double.PositiveInfinity, Long.MinValue)
+      rows.foreach { e =>
+        t = KeyTally(key, t.n_events + 1,
+          math.max(t.max_value, e.value), math.min(t.min_value, e.value),
+          math.max(t.last_event_id, e.event_id))
+      }
+      tally.update(t)
+      Iterator.single(t)
+    }
+  }
+
+  /** T15 as a real checkpointed run (RocksDB provider set for the run,
+    * restored after — the API throws on the default provider). A key
+    * emits once per micro-batch that carried its rows; n_events is
+    * strictly monotone per key, so keep-max-n is the final tally
+    * regardless of how AvailableNow sliced the files (T8's protocol). */
+  def runTransformWithState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rig = stageRig(s, d)
+    val base = freshDir(s"/tmp/graft-stream-t15-run${nextRunId()}")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try withReplayWidth(s) {
+      val q = readJsonStream(s, src).as[Event]
+        .groupByKey(_.user_id)
+        .transformWithState(new TallyProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF()
+        .writeStream.format("memory").queryName("t15_mem")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    s.table("t15_mem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   /** T4/S11: keyed publish through a REAL streaming query — the
     * producer's keyed emit (`ingestion/producer.py:173-182`) as
     * readStream → key/value payload → file sink (append mode,
@@ -778,6 +852,12 @@ object EventStream {
     "t13_bounded_backfill" -> ((s, d) =>
       runBoundedBackfill(s, d).orderBy("win_start", "event_type")),
 
+    // T15: transformWithState (Spark-4 arbitrary-state API) executed
+    // for real on RocksDB; final per-key tallies equal the plain
+    // GROUP BY — the oracle's check, same contract as T8.
+    "t15_transform_with_state" -> ((s, d) =>
+      runTransformWithState(s, d).orderBy("user_id")),
+
     // T14: dropDuplicatesWithinWatermark on a planted-retransmit rig —
     // duplicates with DIFFERENT event times deduped within the
     // watermark delay; per-type totals equal the retransmit-free
@@ -842,6 +922,10 @@ object EventStream {
                                     user_id := user_id,
                                     value := value))::VARCHAR AS value
          FROM events ORDER BY key""",
+    "t15_transform_with_state" ->
+      """SELECT user_id, count(*) AS n_events, max(value) AS max_value,
+                min(value) AS min_value, max(event_id) AS last_event_id
+         FROM events GROUP BY 1 ORDER BY user_id""",
     "t14_dedup_within_wm" ->
       """SELECT event_type, count(*) AS n,
                 round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)

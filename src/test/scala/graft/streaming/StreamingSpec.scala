@@ -168,6 +168,23 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("T15: transformWithState tallies equal the batch GROUP BY") {
+    // the new-API fold must land exactly where flatMapGroupsWithState
+    // (T8) and the plain aggregate land — per-key, order-insensitive
+    val df = EventStream.runTransformWithState(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    val want = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max("value").as("max_value"),
+        min("value").as("min_value"), max("event_id").as("last_event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    assert(got == want)
+  }
+
   test("T12: the RocksDB provider actually backs the state store") {
     // the result compare (oracle) can't see WHICH provider ran — the
     // default heap provider would produce identical numbers. Prove
