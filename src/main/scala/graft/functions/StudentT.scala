@@ -77,6 +77,14 @@ object StudentT {
     }
   }
 
+  /** Two-sided p-value for a t statistic at (possibly FRACTIONAL)
+    * degrees of freedom — Welch's test feeds Satterthwaite df here;
+    * the incomplete-beta kernel is continuous in df, so nothing
+    * special is needed for non-integer values. */
+  def tPValue(t: Double, df: Double): Double =
+    if (df <= 0.0 || t.isNaN || df.isNaN) Double.NaN
+    else betainc(df / 2.0, 0.5, df / (df + t * t))
+
   /** Two-sided p-value for Pearson r with n observations (dof = n-2). */
   def pValue(r: Double, n: Long): Double = {
     if (n < 3 || r.isNaN) Double.NaN

@@ -110,6 +110,49 @@ object Stats {
             .as("p_value"))
         .orderBy("event_type", "k")),
 
+    // A28: Welch two-sample t-test — does mean(value) differ between
+    // click and purchase events? The unequal-variance form (no pooled
+    // variance) with Welch–Satterthwaite fractional df. One pass over
+    // the fact table: conditional aggregates (count/avg/var_samp over
+    // CASE slices) are a single map-side-combinable hash agg — the two
+    // groups never materialize separately, the 100 TB shape for A/B
+    // comparisons. t and df are scalar projections on the 1-row
+    // aggregate; fully oracle-checkable (avg/var_samp exist in DuckDB,
+    // round6 absorbs partial-aggregation-order ulps, the a2 pattern).
+    "a28_welch_ttest" -> ((s, d) => {
+      val a = when(col("event_type") === "click", col("value"))
+      val b = when(col("event_type") === "purchase", col("value"))
+      Tables.events(s, d)
+        .agg(count(a).as("n_a"), avg(a).as("mean_a"),
+          var_samp(a).as("var_a"),
+          count(b).as("n_b"), avg(b).as("mean_b"),
+          var_samp(b).as("var_b"))
+        .withColumn("se2_a", col("var_a") / col("n_a"))
+        .withColumn("se2_b", col("var_b") / col("n_b"))
+        .withColumn("t_raw",
+          (col("mean_a") - col("mean_b")) / sqrt(col("se2_a") + col("se2_b")))
+        .withColumn("df_raw",
+          pow(col("se2_a") + col("se2_b"), 2) /
+            (pow(col("se2_a"), 2) / (col("n_a") - 1) +
+             pow(col("se2_b"), 2) / (col("n_b") - 1)))
+        .select(col("n_a"), col("n_b"),
+          r6(col("mean_a")).as("mean_a"), r6(col("mean_b")).as("mean_b"),
+          r6(col("t_raw")).as("t_stat"), r6(col("df_raw")).as("df_welch"))
+    }),
+
+    // A28 p-value twin: adds the two-sided p at the FRACTIONAL Welch
+    // df via the TTestPValue codegen expression (the incomplete-beta
+    // kernel is continuous in df). Not SQL-expressible → rows-only;
+    // every other column anchors to the oracle-checked a28 row
+    // (StatsSpec asserts the match + recomputes p from the
+    // golden-tested kernel).
+    "a28_welch_pvalue" -> ((s, d) => {
+      val base = queries("a28_welch_ttest")(s, d)
+      base.withColumn("p_value",
+        r6(graft.functions.TTestPValue.pValue(
+          col("t_stat"), col("df_welch"))))
+    }),
+
     // A4: best config per key by max |corr| (deterministic tiebreak).
     "a4_best_config" -> ((s, d) => {
       val w = Window.partitionBy("event_type")
@@ -221,6 +264,23 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "a28_welch_ttest" ->
+      """WITH agg AS (
+           SELECT count(CASE WHEN event_type = 'click' THEN value END) AS n_a,
+                  avg(CASE WHEN event_type = 'click' THEN value END) AS mean_a,
+                  var_samp(CASE WHEN event_type = 'click' THEN value END) AS var_a,
+                  count(CASE WHEN event_type = 'purchase' THEN value END) AS n_b,
+                  avg(CASE WHEN event_type = 'purchase' THEN value END) AS mean_b,
+                  var_samp(CASE WHEN event_type = 'purchase' THEN value END) AS var_b
+           FROM events)
+         SELECT n_a, n_b, round(mean_a, 6) AS mean_a,
+                round(mean_b, 6) AS mean_b,
+                round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6)
+                  AS t_stat,
+                round(pow(var_a / n_a + var_b / n_b, 2) /
+                      (pow(var_a / n_a, 2) / (n_a - 1) +
+                       pow(var_b / n_b, 2) / (n_b - 1)), 6) AS df_welch
+         FROM agg""",
     "a2_pearson_corr" ->
       """SELECT event_type,
                 round(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS r,

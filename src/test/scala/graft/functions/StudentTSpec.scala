@@ -75,6 +75,33 @@ class StudentTSpec extends AnyFunSuite {
     assert(pn == pn.sorted.reverse && pn.distinct.size == pn.size)
   }
 
+  test("tPValue: independent quadrature at FRACTIONAL (Welch) df") {
+    for (t <- Seq(0.5, 1.3, 2.7); df <- Seq(3.7, 11.25, 40.5)) {
+      val got = StudentT.tPValue(t, df)
+      val want = pByQuadrature(t, df)
+      assert(math.abs(got - want) < 1e-8, s"t=$t df=$df: $got vs $want")
+    }
+  }
+
+  test("tPValue: collapses to the Pearson kernel at integer df") {
+    // pValue(r, n) is DEFINED as the two-sided t test of
+    // t = r·√(df/(1−r²)) at df = n−2 — the two kernels must agree
+    for (r <- Seq(0.1, 0.42, 0.9); n <- Seq(5L, 34L, 200L)) {
+      val df = (n - 2).toDouble
+      val t = r * math.sqrt(df / (1 - r * r))
+      assert(math.abs(StudentT.tPValue(t, df) -
+        StudentT.pValue(r, n)) < 1e-14, s"r=$r n=$n")
+    }
+  }
+
+  test("tPValue edges: p(0)=1, sign symmetry, monotone in |t|, df≤0 NaN") {
+    assert(StudentT.tPValue(0.0, 7.3) == 1.0)
+    assert(StudentT.tPValue(-2.1, 9.4) == StudentT.tPValue(2.1, 9.4))
+    assert(StudentT.tPValue(3.0, 9.4) < StudentT.tPValue(2.0, 9.4))
+    assert(StudentT.tPValue(1.0, 0.0).isNaN)
+    assert(StudentT.tPValue(1.0, -3.0).isNaN)
+  }
+
   test("betainc analytic golden: I_x(1/2, 1/2) = (2/π)·asin(√x)") {
     for (x <- Seq(0.1, 0.25, 0.5, 0.75, 0.9)) {
       val expect = 2.0 / math.Pi * math.asin(math.sqrt(x))
