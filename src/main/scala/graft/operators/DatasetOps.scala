@@ -177,6 +177,33 @@ object DatasetOps {
         .withColumn("realized_frac",
           col("n_kept").cast("double") / col("n_in"))
         .orderBy("source")
+    }),
+
+    // DS8: weighted sampling WITHOUT replacement — Efraimidis–Spirakis
+    // A-ES (2006, public algorithm): each item draws uniform u and the
+    // k largest u^(1/w) are the sample; equivalently the k largest
+    // ln(u)/w, computed that way to avoid pow-underflow at large
+    // weights. With u from the DS5 md5-prefix construction the whole
+    // query is DETERMINISTIC → fully oracle-checkable — and the scale
+    // shape is exactly O1: a stateless scored scan into a top-k
+    // (TakeOrderedAndProject — per-partition heaps, no global sort).
+    // Weight = doc token length: long docs preferentially sampled, the
+    // token-budget-aware corpus draw. Distributional behavior (heavy
+    // items overrepresented vs uniform) is spec-asserted.
+    "ds8_weighted_sample" -> ((s, d) => {
+      val u = conv(substring(md5(concat(lit("ds8:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long").cast("double") /
+        lit(1152921504606846976L).cast("double") // 2^60, exact as double
+      val w = size(org.apache.spark.sql.functions.split(
+        lower(trim(col("text"))), "\\s+")).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"), w.as("n_tokens"),
+          (log(u) / w).as("key_raw"))
+        .orderBy(col("key_raw").desc, col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("key_raw"), 6).as("es_key"))
     })
   )
 
@@ -326,6 +353,18 @@ object DatasetOps {
                 max(target_frac) AS target_frac,
                 CAST(sum(CASE WHEN frac < target_frac THEN 1 ELSE 0 END)
                   AS DOUBLE) / count(*) AS realized_frac
-         FROM tagged GROUP BY source ORDER BY source"""
+         FROM tagged GROUP BY source ORDER BY source""",
+    "ds8_weighted_sample" ->
+      """WITH scored AS (
+           SELECT doc_id,
+                  CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                    AS BIGINT) AS n_tokens,
+                  ('0x' || substring(md5('ds8:' || CAST(doc_id AS VARCHAR)),
+                     1, 15))::BIGINT
+                    / CAST(1152921504606846976 AS DOUBLE) AS u
+           FROM documents)
+         SELECT doc_id, n_tokens, round(ln(u) / n_tokens, 6) AS es_key
+         FROM scored
+         ORDER BY ln(u) / n_tokens DESC, doc_id LIMIT 100"""
   )
 }

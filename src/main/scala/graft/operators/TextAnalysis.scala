@@ -370,6 +370,29 @@ object TextAnalysis {
         .orderBy(col("bm25").desc, col("doc_id")).limit(50)
     }),
 
+    // TXT13: per-document token entropy — Shannon H = −Σ p·ln p over
+    // the doc's own token histogram (p = n/len): the diversity signal
+    // complementary to TXT7's surface repetition ratios (a doc looping
+    // one phrase scores low however long it is; TXT11 scores against
+    // the CORPUS model, this scores against the doc itself). Scale:
+    // one (doc, token) hash agg, map-side combinable, zero joins —
+    // totals and the ordered histogram come out of the same per-doc
+    // agg; the fold runs in sorted token order (TXT11's discipline).
+    "txt13_entropy" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(sum(col("n")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          array_sort(collect_list(struct(col("w"), col("n")))).as("hist"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          r6(aggregate(col("hist"), lit(0.0d), (acc, x) => {
+            val p = x.getField("n").cast("double") / col("n_tokens")
+            acc - p * log(p)
+          })).as("entropy"))
+        .orderBy("doc_id")),
+
     // D1: exact dedup — md5 content hash, keep lowest doc_id per hash.
     "d1_exact_dedup" -> ((s, d) => {
       val hashed = Tables.documents(s, d)
@@ -394,6 +417,25 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "txt13_entropy" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+           FROM documents),
+         wc AS (SELECT doc_id, w, count(*) AS n FROM tok GROUP BY 1, 2),
+         tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+                        count(*) AS n_distinct FROM wc GROUP BY 1),
+         terms AS (
+           SELECT wc.doc_id, wc.w,
+                  -(CAST(wc.n AS DOUBLE) / tot.n_tokens) *
+                   ln(CAST(wc.n AS DOUBLE) / tot.n_tokens) AS t
+           FROM wc JOIN tot USING (doc_id)),
+         h AS (SELECT doc_id, list_sum(list(t ORDER BY w)) AS h
+               FROM terms GROUP BY 1)
+         SELECT tot.doc_id, tot.n_tokens, tot.n_distinct,
+                round(h.h, 6) AS entropy
+         FROM tot JOIN h USING (doc_id)
+         ORDER BY doc_id""",
     "txt12_bm25" ->
       """WITH tok AS (
            SELECT doc_id,

@@ -231,6 +231,31 @@ object Windows {
         .orderBy("user_id", "event_id")
     }),
 
+    // W15: cumulative compounded return — the equity-curve-from-returns
+    // op (running PRODUCT, which no engine has as a window aggregate):
+    // the standard rewrite exp(Σ ln(1+r)) turns it into a running sum.
+    // Per event_type: daily avg (decimal-exact, so the base series is
+    // bit-identical on both engines) → day-over-day return → cumulative
+    // growth factor. Float discipline: the window sum runs in day order
+    // on BOTH engines (ordered frame ⇒ pinned summation order); the
+    // only divergence is ≤1-ulp libm ln/exp, absorbed by round6.
+    // Scale: one hash agg to O(types×days) rows, then per-type windows.
+    "w15_cum_return" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val cum = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("ret", col("v") / lag(col("v"), 1).over(w) - 1)
+        .filter(col("ret").isNotNull)
+        .select(col("event_type"), col("day"), r6(col("ret")).as("ret"),
+          r6(exp(sum(log(lit(1.0) + col("ret"))).over(cum)))
+            .as("cum_growth"))
+        .orderBy("event_type", "day")
+    }),
+
     // W11: resample + gap fill — the time-series normalization J4's
     // as-of idiom exists inside: each user's sparse daily series
     // expands onto its full [first_day, last_day] calendar spine
@@ -448,6 +473,23 @@ object Windows {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
          ORDER BY user_id, event_id""",
+    "w15_cum_return" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS v
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT event_type, day, v,
+                  v / lag(v) OVER (PARTITION BY event_type ORDER BY day) - 1
+                    AS ret
+           FROM daily)
+         SELECT event_type, day, round(ret, 6) AS ret,
+                round(exp(sum(ln(1 + ret)) OVER (
+                  PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                  AS cum_growth
+         FROM r WHERE ret IS NOT NULL ORDER BY event_type, day""",
     "w9_rolling_mean" ->
       """SELECT user_id, event_id, value,
                 round(CAST(sum(CAST(value AS DECIMAL(24,10))) OVER w AS DOUBLE)

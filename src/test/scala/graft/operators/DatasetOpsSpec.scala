@@ -13,6 +13,23 @@ class DatasetOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = SparkTestSession.Sf0001
 
+  test("ds8: weighted sample favors long docs, deterministic, size k") {
+    val docs = graft.Tables.documents(spark, sf)
+    val corpusMean = docs
+      .select(avg(size(split(lower(trim(col("text"))), "\\s+"))))
+      .head().getDouble(0)
+    val s1 = DatasetOps.queries("ds8_weighted_sample")(spark, sf).collect()
+    val s2 = DatasetOps.queries("ds8_weighted_sample")(spark, sf).collect()
+    // deterministic: the md5-derived uniforms make reruns identical
+    assert(s1.map(_.getLong(0)).toSeq == s2.map(_.getLong(0)).toSeq)
+    assert(s1.length == math.min(100L, docs.count()))
+    // A-ES with weight = length: inclusion odds scale with tokens, so
+    // the sample's mean length must exceed the corpus mean
+    val sampleMean = s1.map(_.getLong(1)).sum.toDouble / s1.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean vs corpus mean $corpusMean")
+  }
+
   test("ds1: no user straddles splits; rows conserve; mass near design") {
     val tagged = Tables.events(spark, sf)
       .withColumn("split", DatasetOps.split(col("user_id")))

@@ -14,6 +14,26 @@ class StatsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = SparkTestSession.Sf0001
 
+  test("w15: cum_growth is the literal running product of (1+ret)") {
+    // the query computes exp(Σ ln(1+r)) — verify the REWRITE against a
+    // direct sequential product, per event_type in day order
+    val rows = graft.operators.Windows.queries("w15_cum_return")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.get(1).toString,
+        r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (et, rs) =>
+      var prod = 1.0
+      rs.sortBy(_._2).foreach { case (_, day, ret, cum) =>
+        prod *= (1.0 + ret)
+        // tolerance: ret is the ROUNDED (1e-6) return, so the product
+        // drifts up to ~n·5e-7 relative over n days vs the raw-ret sum
+        assert(math.abs(cum - prod) < 5e-4,
+          s"$et $day: cum=$cum vs product=$prod")
+      }
+    }
+  }
+
   test("a28_welch_pvalue anchors to the oracle-checked a28 row") {
     val base = Stats.queries("a28_welch_ttest")(spark, sf).collect()
     val pv = Stats.queries("a28_welch_pvalue")(spark, sf).collect()

@@ -72,6 +72,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows(1L)._2 > rows(4L)._2 && rows(4L)._2 > rows(2L)._2)
   }
 
+  test("txt13: entropy goldens — 0 for constant, ln k for uniform") {
+    val d = docs(
+      1L -> "aa aa aa aa",          // constant: H = 0
+      2L -> "a b",                  // uniform over 2: H = ln 2
+      3L -> "a b c d",              // uniform over 4: H = ln 4
+      4L -> "a a a b")              // skewed: 0 < H < ln 2
+    val rows = TextAnalysis.queries("txt13_entropy")(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows(1L) == ((4L, 1L, 0.0)))
+    assert(math.abs(rows(2L)._3 - math.log(2)) < 1e-6)
+    assert(math.abs(rows(3L)._3 - math.log(4)) < 1e-6)
+    val h4 = rows(4L)._3
+    assert(h4 > 0 && h4 < math.log(2))          // upper bound ln(distinct)
+    // skewed golden: −(3/4)ln(3/4) − (1/4)ln(1/4)
+    val want = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(h4 - want) < 1e-6)
+  }
+
   test("txt5: BPE-ish pre-tokenizer splits letter runs, digit runs, punct") {
     // lower("Hello, world 123 foo!") → hello , world 123 foo !
     val d = docs(1L -> "Hello, world 123 foo!", 2L -> "aa aa")
