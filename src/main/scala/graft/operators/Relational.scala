@@ -631,6 +631,41 @@ object Relational {
         ORDER BY c_custkey, rnk""")
     }),
 
+    // SQL7: WITH RECURSIVE through Spark's OWN SQL surface (4.x adds
+    // recursive CTEs, planned as UnionLoop) — transitive closure +
+    // min-reachable labeling over the SAME near-dup edge slice D10
+    // resolves with the iterative DataFrame algorithm, and the SAME
+    // DuckDB recursive oracle: the engine's two component paths
+    // (driver-side loop vs in-plan recursion) must land on identical
+    // clusters (spec-asserted sql7 ≡ d10 row-for-row). Spark's rCTE
+    // accepts only UNION ALL in the recursive step, so on this CYCLIC
+    // (undirected) edge set termination comes from an explicit level
+    // bound instead of dedup: depth 8 ≫ the cluster diameter (near-dup
+    // components are ≤3 docs here — DedupSpec pins it ≤ 8), making the
+    // bounded walk EXACT, and walk multiplicity is absorbed by the
+    // final min/GROUP BY. Scale note: in-plan recursion re-joins the
+    // frontier per level and multiplies walks on cycles — right for
+    // shallow closures like dup clusters; the D10 driver loop with
+    // lineage truncation remains the deep-graph path.
+    "sql7_recursive_closure" -> ((s, d) => {
+      Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id")).createOrReplaceTempView("docs_v")
+      TextAnalysis.ngramJaccardPairs(s, d, maxId = 100, minJ = 0.02)
+        .select(col("da"), col("db")).createOrReplaceTempView("pairs_v")
+      s.sql("""
+        WITH RECURSIVE
+          edges AS (SELECT da AS src, db AS dst FROM pairs_v
+                    UNION SELECT db AS src, da AS dst FROM pairs_v),
+          reach AS (
+            SELECT doc_id AS id, doc_id AS r, 0 AS lvl FROM docs_v
+            UNION ALL
+            SELECT reach.id, e.dst, reach.lvl + 1 FROM reach
+            JOIN edges e ON reach.r = e.src
+            WHERE reach.lvl < 8)
+        SELECT id AS doc_id, min(r) AS canonical_id FROM reach
+        GROUP BY id ORDER BY doc_id""")
+    }),
+
     // U4: INTERSECT — distinct (user, day) pairs where a click AND a
     // purchase both happened: the set-semantics operator (Catalyst
     // plans it as a distinct + left-semi hash join — keyed shuffle,
@@ -1000,6 +1035,36 @@ object Relational {
            FROM orders)
          WHERE rnk <= 3
          ORDER BY c_custkey, rnk""",
+    // D10's oracle verbatim: same edge slice, same recursive closure —
+    // DuckDB recomputes the pairs in SQL, Spark's rCTE runs over the
+    // oracle-checked d2-equivalent pair DataFrame
+    "sql7_recursive_closure" ->
+      """WITH RECURSIVE
+           docs AS (
+             SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             FROM documents WHERE doc_id < 100),
+           sh AS (
+             SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+             FROM docs WHERE len(t) >= 3),
+           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           inter AS (
+             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           pairs AS (
+             SELECT da, db FROM inter
+             JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+             WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.02),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION SELECT db AS src, da AS dst FROM pairs),
+           reach AS (
+             SELECT doc_id AS id, doc_id AS r FROM docs
+             UNION
+             SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+         SELECT id AS doc_id, min(r) AS canonical_id FROM reach
+         GROUP BY id ORDER BY doc_id""",
     "a20_pivot" ->
       """SELECT user_id,
                 count(*) FILTER (event_type = 'click') AS n_click,

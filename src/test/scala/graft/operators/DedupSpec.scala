@@ -276,6 +276,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("sql7 recursive closure equals d10's iterative components") {
+    // the engine's two component paths — in-plan WITH RECURSIVE
+    // (UnionLoop) vs the driver-side iterative loop — must produce
+    // identical clusters over the identical edge slice
+    val sf = graft.SparkTestSession.Sf0001
+    val viaSql = Relational.queries("sql7_recursive_closure")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = Dedup.queries("d10_dup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaLoop)
+    // guard for sql7's depth-8 termination bound: the bounded walk is
+    // exact only while every component's diameter stays ≤ 8; cluster
+    // size bounds diameter + 1
+    val maxCluster = viaLoop.groupBy(_._2).values.map(_.size).max
+    assert(maxCluster <= 9, s"cluster of $maxCluster docs — sql7's " +
+      "depth bound no longer covers the diameter")
+  }
+
   test("connected components: transitive chains collapse, singletons stand") {
     // chain 1-2, 2-3 (1≈3 never scored) → one cluster with canonical
     // 1; separate pair 10-11; isolated 20 stays its own singleton; a

@@ -18,6 +18,14 @@ class PlanShapeSpec extends AnyFunSuite {
       String) => org.apache.spark.sql.DataFrame], q: String): String =
     qs(q)(spark, sf).queryExecution.executedPlan.toString
 
+  test("sql7 plans as genuine in-plan recursion (UnionLoop)") {
+    // the rCTE must survive to execution as the recursive operator —
+    // not get rewritten away — or the query isn't exercising the
+    // recursion machinery at all
+    val plan = planOf(Relational.queries, "sql7_recursive_closure")
+    assert(plan.contains("UnionLoop"), plan.take(1500))
+  }
+
   test("LSH dedup paths join on bucket keys, never all pairs") {
     for (q <- Seq("d3_minhash_lsh", "d6_lsh_verified")) {
       val plan = planOf(Dedup.queries, q)
