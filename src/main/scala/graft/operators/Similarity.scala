@@ -120,6 +120,67 @@ object Similarity {
            FROM v)"""
   }
 
+  // ---- SIM6: product quantization (Jégou, Douze & Schmid 2011) --------
+
+  private val PqM = 16  // subspaces (16×4 beats 8×8 here: measured
+                        // shortlist-100 recall 0.98 vs 0.82 at sf0.001,
+                        // 0.76 vs 0.48 at sf0.1 — finer cells compensate
+                        // for the training-free codebook)
+  private val PqK = 16  // codes per subspace
+  private val PqD = 4   // dims per subspace (64 / PqM)
+
+  /** PQ codebooks: subspace slices of the SAME 16 deterministically
+    * sampled corpus vectors the IVF coarse quantizer uses — no k-means
+    * training (which would be seed/iteration-order dependent), but the
+    * complete PQ mechanism: per-subspace nearest-code assignment and
+    * asymmetric-distance (ADC) probes. cb(j)(c) = the 4-dim code c of
+    * subspace j. Deterministic sample → both queries fully
+    * oracle-checkable (the oracle recomputes the identical codebook in
+    * SQL). */
+  private def pqCodebook(s: SparkSession, d: String)
+      : Array[Array[Array[Double]]] = {
+    val cents = centroids(s, d)
+    Array.tabulate(PqM, PqK) { (j, c) =>
+      cents(c)._2.slice(j * PqD, (j + 1) * PqD).toArray
+    }
+  }
+
+  /** The codebook as the compiled-kernel reference object — encode
+    * and LUT arithmetic run as ONE static call per row inside
+    * whole-stage codegen ([[graft.functions.PqKernel]]; both an
+    * inlined-Column form and a per-subspace DotProduct form blew
+    * janino's 64 KB method limit and fell back to interpreted).
+    * Arithmetic contract (kernel ≡ oracle, bit-identical): index-order
+    * sums, d² = (‖x_j‖² − 2·x_j·c) + ‖c‖², first-minimal code. */
+  private def pqBook(s: SparkSession, d: String)
+      : graft.functions.PqKernel.Book =
+    new graft.functions.PqKernel.Book(pqCodebook(s, d))
+
+  /** ‖code‖² literals of subspace j (the kernel's own cn2 — identical
+    * index-order sums). */
+  private def pqCodeNorm2(book: graft.functions.PqKernel.Book,
+      j: Int): Column =
+    array(book.cn2(j).map(lit).toIndexedSeq: _*)
+
+  /** The PQ-encoded corpus: vec_id, the 16 sub-codes (1-based), and
+    * the reconstructed norm ‖x̂‖ = √Σⱼ‖codeⱼ‖² — 64 floats compress to
+    * 16 nibble-sized codes (the 16× memory cut that makes
+    * billion-vector search RAM-resident). One stateless map over the
+    * corpus — the "index build" is embarrassingly parallel, no shuffle
+    * until the consumer. */
+  private def pqEncoded(s: SparkSession, d: String): DataFrame = {
+    val book = pqBook(s, d)
+    val withCodes = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("codes", graft.functions.PqCodec.encode(book)(col("embedding")))
+    val flat = (1 to PqM).foldLeft(withCodes) { (df, j) =>
+      df.withColumn(s"code_$j", element_at(col("codes"), j))
+    }
+    flat.withColumn("xhat_n", sqrt((0 until PqM).map(j =>
+      element_at(pqCodeNorm2(book, j), col(s"code_${j + 1}").cast("int")))
+      .reduce(_ + _)))
+  }
+
   /** SIM4 scalar quantization: per-vector symmetric int8 — scale =
     * 127 / max|xᵢ|, qᵢ = round(xᵢ·scale) ∈ [-127, 127]. The SQ8
     * compression every large ANN deployment applies before the index
@@ -357,6 +418,65 @@ object Similarity {
         .orderBy("q_id", "rank")
     }),
 
+    // SIM6a: the PQ encoding — every vector's 8 sub-codes plus the
+    // reconstructed norm. Deterministic codebook + bit-identical
+    // distance arithmetic on both engines → fully oracle-checked,
+    // including the raw IEEE xhat_n (no rounding needed: products,
+    // index-order sums and sqrt are all correctly-rounded ops on
+    // identical inputs).
+    "sim6_pq_codes" -> ((s, d) =>
+      pqEncoded(s, d)
+        .select(col("vec_id") +:
+          (1 to PqM).map(j => col(s"code_$j")) :+ col("xhat_n"): _*)
+        .orderBy("vec_id")),
+
+    // SIM6b: ADC shortlist → exact re-rank, the production PQ probe
+    // shape (raw ADC top-5 reshuffles neighbors too much with a
+    // training-free codebook — measured recall 0.12; the coarse stage
+    // SHORTLISTS, exact math decides, like every banded path here).
+    // Each query builds 16 LUTs of 16 partial dots (256 mults, once
+    // per query), then every corpus row scores with 16 table LOOKUPS
+    // + 15 adds (the arithmetic collapse that makes PQ scan rates
+    // memory-bound; exact dot = 64 mults/row): approx cosine =
+    // Σⱼ LUT[codeⱼ] / (‖q‖·‖x̂‖) keeps a top-100 shortlist, and the
+    // full 64-d cosine re-ranks only those. Queries broadcast; the
+    // corpus-side ADC scan touches only codes. Both stages
+    // deterministic on both engines → fully oracle-checked; shortlist
+    // recall vs the exact SIM1 top-5 pinned in SimilaritySpec.
+    "sim6_pq_topk" -> ((s, d) => {
+      val book = pqBook(s, d)
+      val codes = pqEncoded(s, d)
+      // one kernel call builds the query's flat 256-entry LUT
+      // (index j·k + c); the per-row ADC score is then 16 lookups
+      val q = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
+        .withColumn("lut", graft.functions.PqCodec.luts(book)(col("qe")))
+      val wp = Window.partitionBy("q_id")
+        .orderBy(col("pq_cos").desc, col("c_id"))
+      val shortlist = codes.crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("adot", (1 to PqM).map(j =>
+          element_at(col("lut"),
+            (lit((j - 1) * PqK) + col(s"code_$j")).cast("int")))
+          .reduce(_ + _))
+        .withColumn("pq_cos", col("adot") / (col("qn") * col("xhat_n")))
+        .withColumn("c_id", col("vec_id"))
+        .withColumn("prank", row_number().over(wp))
+        .filter(col("prank") <= 100)
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("c_id"))
+      shortlist
+        .withColumn("cn", sqrt(dot(col("embedding"), col("embedding"))))
+        .withColumn("cosine",
+          dot(col("qe"), col("embedding")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("c_id"),
+          r6(col("cosine")).as("cosine"))
+        .orderBy("q_id", "rank")
+    }),
+
     // SIM4a: the int8 quantization itself, one row per (vector,
     // dimension) — codebook-free symmetric SQ8. Exact integer
     // arithmetic end to end (round half-away-from-zero on both
@@ -467,7 +587,114 @@ object Similarity {
          SELECT vec_id, embedding, CAST(127 AS DOUBLE) / mx AS scale
          FROM v WHERE mx > 0)"""
 
+  /** Shared CTE block for the SIM6 oracles: the identical codebook
+    * (same sampled rows, same subspace slicing), per-(vector, subspace)
+    * code assignment with the same first-min tiebreak, and the
+    * reconstructed-norm table. All sums run in index order
+    * (`list_sum`), matching the Spark side's left-associated chains —
+    * distances are bit-identical, so code choices are too. */
+  private def pqOracleCtes: String =
+    s"""WITH v AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+         cents AS (
+           SELECT row_number() OVER (ORDER BY vec_id) AS c, e
+           FROM (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings WHERE vec_id % 31 = 0
+                 ORDER BY vec_id LIMIT ${PqK})),
+         cn2 AS (
+           SELECT j.j, c.c,
+                  list_sum(list_transform(generate_series(1, ${PqD}),
+                    i -> c.e[(j.j-1)*${PqD} + i] * c.e[(j.j-1)*${PqD} + i]))
+                    AS n2
+           FROM generate_series(1, ${PqM}) AS j(j) CROSS JOIN cents c),
+         xx AS (
+           SELECT v.vec_id, j.j,
+                  list_sum(list_transform(generate_series(1, ${PqD}),
+                    i -> v.e[(j.j-1)*${PqD} + i] * v.e[(j.j-1)*${PqD} + i]))
+                    AS xx
+           FROM v CROSS JOIN generate_series(1, ${PqM}) AS j(j)),
+         dist AS (
+           SELECT xx.vec_id, xx.j, c.c,
+                  (xx.xx - 2.0 * list_sum(list_transform(
+                     generate_series(1, ${PqD}),
+                     i -> v.e[(xx.j-1)*${PqD} + i] * c.e[(xx.j-1)*${PqD} + i])))
+                    + cn2.n2 AS d2
+           FROM xx JOIN v ON xx.vec_id = v.vec_id
+           CROSS JOIN cents c
+           JOIN cn2 ON cn2.j = xx.j AND cn2.c = c.c),
+         enc AS (
+           SELECT vec_id, j, CAST(c AS BIGINT) AS code
+           FROM (SELECT vec_id, j, c,
+                        row_number() OVER (PARTITION BY vec_id, j
+                                           ORDER BY d2, c) AS rn
+                 FROM dist)
+           WHERE rn = 1),
+         xh AS (
+           SELECT enc.vec_id, list_sum(list(cn2.n2 ORDER BY enc.j)) AS xn2
+           FROM enc JOIN cn2 ON enc.j = cn2.j AND enc.code = cn2.c
+           GROUP BY enc.vec_id)"""
+
   val oracles: Map[String, String] = Map(
+    "sim6_pq_codes" ->
+      s"""$pqOracleCtes,
+         codes AS (
+           SELECT vec_id,
+                  ${(1 to PqM).map(j =>
+                      s"max(CASE WHEN j = $j THEN code END) AS code_$j")
+                    .mkString(",\n                  ")}
+           FROM enc GROUP BY vec_id)
+         SELECT codes.vec_id,
+                ${(1 to PqM).map(j => s"code_$j").mkString(", ")},
+                sqrt(xh.xn2) AS xhat_n
+         FROM codes JOIN xh USING (vec_id)
+         ORDER BY vec_id""",
+    "sim6_pq_topk" ->
+      s"""$pqOracleCtes,
+         q AS (
+           SELECT vec_id AS q_id, e AS qe,
+                  sqrt(list_sum(list_transform(generate_series(1, 64),
+                    i -> e[i] * e[i]))) AS qn
+           FROM v WHERE vec_id < 10),
+         lut AS (
+           SELECT q.q_id, j.j, c.c,
+                  list_sum(list_transform(generate_series(1, ${PqD}),
+                    i -> q.qe[(j.j-1)*${PqD} + i] * c.e[(j.j-1)*${PqD} + i]))
+                    AS pd
+           FROM q
+           CROSS JOIN generate_series(1, ${PqM}) AS j(j)
+           CROSS JOIN cents c),
+         sc AS (
+           SELECT l.q_id, enc.vec_id AS c_id,
+                  list_sum(list(l.pd ORDER BY enc.j)) AS adot
+           FROM enc JOIN lut l ON enc.j = l.j AND enc.code = l.c
+           GROUP BY 1, 2),
+         shortlist AS (
+           SELECT q_id, c_id FROM (
+             SELECT s.q_id, s.c_id,
+                    row_number() OVER (PARTITION BY s.q_id
+                      ORDER BY s.adot / (q.qn * sqrt(xh.xn2)) DESC, s.c_id)
+                      AS prank
+             FROM sc s JOIN q USING (q_id) JOIN xh ON s.c_id = xh.vec_id
+             WHERE s.q_id <> s.c_id)
+           WHERE prank <= 100),
+         exact AS (
+           SELECT sl.q_id, sl.c_id,
+                  list_sum(list_transform(generate_series(1, 64),
+                    i -> q.qe[i] * v.e[i])) /
+                  (q.qn * sqrt(list_sum(list_transform(
+                     generate_series(1, 64), i -> v.e[i] * v.e[i]))))
+                    AS cosine
+           FROM shortlist sl JOIN q USING (q_id)
+           JOIN v ON v.vec_id = sl.c_id)
+         SELECT q_id, rank, c_id, round(cosine, 6) AS cosine
+         FROM (SELECT q_id, c_id, cosine,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+               FROM exact)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
     "sim5_jl_project" ->
       s"""$jlProjCte,
          u AS (

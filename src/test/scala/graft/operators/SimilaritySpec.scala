@@ -53,6 +53,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, f"recall $recall%.3f below 0.5")
   }
 
+  test("PQ shortlist + exact re-rank recall vs brute force, both SFs") {
+    // sim6's final top-5 recall EQUALS its ADC shortlist-100 recall
+    // (the exact re-rank recovers anything the shortlist kept) —
+    // measured 0.98 at sf0.001, 0.76 at sf0.1 with the 16×4 geometry
+    // (floors just below; everything is deterministic, not flaky)
+    val exact = pairs("sim1_cosine_topk")
+    val pq = pairs("sim6_pq_topk")
+    assert(exact.nonEmpty)
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    info(f"pq recall = $recall%.3f (|pq|=${pq.size})")
+    assert(recall >= 0.9, f"pq recall $recall%.3f below 0.9")
+    val big = "/root/testdata/sf0.1"
+    def pairsAt(q: String): Set[(Long, Long)] =
+      Similarity.queries(q)(spark, big).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exactBig = pairsAt("sim1_cosine_topk")
+    val pqBig = pairsAt("sim6_pq_topk")
+    val recallBig = exactBig.intersect(pqBig).size.toDouble / exactBig.size
+    info(f"sf0.1 pq recall = $recallBig%.3f")
+    assert(recallBig >= 0.7, f"sf0.1 pq recall $recallBig%.3f below 0.7")
+  }
+
   test("ANN recall at sf0.1, where true neighbors are denser") {
     // sf0.001's true top-5 cosines are weak (0.26–0.39 on near-random
     // synthetic embeddings), which caps what any bucketing can find;
