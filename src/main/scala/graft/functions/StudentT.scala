@@ -77,6 +77,56 @@ object StudentT {
     }
   }
 
+  /** Regularized upper incomplete gamma Q(a, x) — series for x < a+1,
+    * modified-Lentz continued fraction beyond (the published
+    * Numerical Recipes §6.2 construction, like betacf above).
+    * Q(k/2, x/2) is the chi-square survival function. */
+  def gammaQ(a: Double, x: Double): Double = {
+    if (a <= 0.0 || x < 0.0 || a.isNaN || x.isNaN) Double.NaN
+    else if (x == 0.0) 1.0
+    else if (x < a + 1.0) 1.0 - gser(a, x)
+    else gcf(a, x)
+  }
+
+  /** Lower regularized gamma P by series (x < a+1 regime). */
+  private def gser(a: Double, x: Double): Double = {
+    var ap = a
+    var sum = 1.0 / a
+    var del = sum
+    var n = 0
+    while (n < 500 && math.abs(del) >= math.abs(sum) * 1e-16) {
+      ap += 1.0; del *= x / ap; sum += del; n += 1
+    }
+    sum * math.exp(-x + a * math.log(x) - logGamma(a))
+  }
+
+  /** Upper regularized gamma Q by continued fraction (x ≥ a+1). */
+  private def gcf(a: Double, x: Double): Double = {
+    val tiny = 1e-300
+    var b = x + 1.0 - a
+    var c = 1.0 / tiny
+    var dd = 1.0 / b
+    var h = dd
+    var i = 1
+    var del = 0.0
+    do {
+      val an = -i * (i - a)
+      b += 2.0
+      dd = an * dd + b; if (math.abs(dd) < tiny) dd = tiny
+      c = b + an / c; if (math.abs(c) < tiny) c = tiny
+      dd = 1.0 / dd
+      del = dd * c
+      h *= del
+      i += 1
+    } while (i < 500 && math.abs(del - 1.0) >= 1e-16)
+    math.exp(-x + a * math.log(x) - logGamma(a)) * h
+  }
+
+  /** Chi-square upper-tail p-value at k degrees of freedom. */
+  def chiSqPValue(x: Double, k: Double): Double =
+    if (k <= 0.0 || x < 0.0 || x.isNaN || k.isNaN) Double.NaN
+    else gammaQ(k / 2.0, x / 2.0)
+
   /** Two-sided p-value for a t statistic at (possibly FRACTIONAL)
     * degrees of freedom — Welch's test feeds Satterthwaite df here;
     * the incomplete-beta kernel is continuous in df, so nothing

@@ -275,6 +275,37 @@ object SourceSinks {
       s.read.parquet(s"$out/v2").orderBy("event_id")
     }),
 
+    // S24: snapshot diff — the change-data-capture primitive next to
+    // S21's MERGE: given two table versions, classify every key as
+    // insert / delete / update (unchanged rows drop out). Simulated
+    // versions are deterministic slices of orders (v1 lacks keys
+    // %7=0; v2 lacks %11=0 and bumps %5=0 prices ×1.1), so the whole
+    // diff is oracle-checkable. The engine of it is ONE full-outer
+    // shuffle join on the key — at 100 TB both snapshots partition-
+    // prune to the touched partitions first (S18) and co-locate when
+    // bucketed by key (S15), the same scaling story as S21.
+    "s24_snapshot_diff" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val v1 = base.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumnRenamed("o_totalprice", "old_price")
+      val v2 = base.filter(col("o_orderkey") % 11 =!= 0)
+        .withColumn("new_price",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")))
+        .drop("o_totalprice")
+      v1.join(v2, Seq("o_orderkey"), "full_outer")
+        .withColumn("change",
+          when(col("old_price").isNull, "insert")
+            .when(col("new_price").isNull, "delete")
+            .otherwise("update"))
+        .filter(col("old_price").isNull || col("new_price").isNull ||
+          col("old_price") =!= col("new_price"))
+        .select(col("o_orderkey"), col("change"),
+          col("old_price"), col("new_price"))
+        .orderBy("o_orderkey")
+    }),
+
     // S14: chart-data sink — the exact per-day series a dashboard equity
     // chart consumes (scripts/08_visualize_equity.py data prep).
     "s14_chart_data" -> ((s, d) =>
@@ -364,6 +395,25 @@ object SourceSinks {
   }
 
   val oracles: Map[String, String] = Map(
+    "s24_snapshot_diff" ->
+      """WITH v1 AS (
+           SELECT o_orderkey, o_totalprice AS old_price FROM orders
+           WHERE o_orderkey % 7 <> 0),
+         v2 AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 5 = 0
+                       THEN o_totalprice * CAST(1.1 AS DOUBLE)
+                       ELSE o_totalprice END AS new_price
+           FROM orders WHERE o_orderkey % 11 <> 0)
+         SELECT o_orderkey,
+                CASE WHEN old_price IS NULL THEN 'insert'
+                     WHEN new_price IS NULL THEN 'delete'
+                     ELSE 'update' END AS change,
+                old_price, new_price
+         FROM v1 FULL JOIN v2 USING (o_orderkey)
+         WHERE old_price IS NULL OR new_price IS NULL
+            OR old_price <> new_price
+         ORDER BY o_orderkey""",
     "s21_merge_upsert" ->
       """WITH base AS (
            SELECT event_id, event_type, value FROM events

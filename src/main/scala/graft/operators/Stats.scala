@@ -153,6 +153,52 @@ object Stats {
           col("t_stat"), col("df_welch"))))
     }),
 
+    // A29: Benford first-digit screen — the classic financial-forensics
+    // goodness-of-fit: do order totals' leading digits follow
+    // log10(1 + 1/d)? First digit comes from the INTEGER rendering
+    // (substring of the exact BIGINT string — no float-log boundary
+    // risk at powers of ten), a digit spine keeps zero-count digits in
+    // the statistic, and the Benford expectations are Scala-computed
+    // doubles inlined as literals in BOTH engines (the W12 generated-
+    // oracle pattern) → every column oracle-checked. One hash agg over
+    // the fact table; everything after is 9 rows.
+    "a29_benford" -> ((s, d) => {
+      val pd = (1 to 9).map(dd => math.log10(1.0 + 1.0 / dd))
+      val digit = substring(floor(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1).cast("int")
+      val counts = Tables.orders(s, d).filter(col("o_totalprice") >= 1)
+        .select(digit.as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("total"))
+      s.range(1, 10).select(col("id").cast("int").as("digit"))
+        .join(counts, Seq("digit"), "left")
+        .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
+        .crossJoin(broadcast(total))
+        .withColumn("expected",
+          col("total") * element_at(array(pd.map(lit): _*), col("digit")))
+        .withColumn("term",
+          (col("n").cast("double") - col("expected")) *
+            (col("n").cast("double") - col("expected")) / col("expected"))
+        .select(col("digit"), col("n"), r6(col("expected")).as("expected"),
+          r6(col("term")).as("term"))
+        .orderBy("digit")
+    }),
+
+    // A29 p-value twin: χ² = Σ terms (folded in digit order over the
+    // ROUNDED oracle-checked terms) at 8 dof, upper-tail p via the
+    // ChiSquarePValue codegen expression (regularized gamma Q kernel).
+    // Not SQL-expressible → rows-only; anchored in StatsSpec by
+    // recomputation from a29's oracle-checked rows + the
+    // quadrature-validated kernel (StudentTSpec).
+    "a29_benford_pvalue" -> ((s, d) =>
+      queries("a29_benford")(s, d)
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("digit"), col("term")))),
+          lit(0.0d), (acc, x) => acc + x.getField("term")).as("chi2"))
+        .select(r6(col("chi2")).as("chi2"), lit(8L).as("df"),
+          r6(graft.functions.ChiSquarePValue.pValue(col("chi2"), lit(8.0d)))
+            .as("p_value"))),
+
     // A4: best config per key by max |corr| (deterministic tiebreak).
     "a4_best_config" -> ((s, d) => {
       val w = Window.partitionBy("event_type")
@@ -263,7 +309,30 @@ object Stats {
     })
   )
 
+  /** Benford expectations emitted as 17-digit e-notation literals —
+    * DuckDB parses back the exact Scala doubles (the W12 pattern). */
+  private def benfordLits: String =
+    (1 to 9).map(dd => "%.17e".formatLocal(java.util.Locale.ROOT,
+      math.log10(1.0 + 1.0 / dd))).mkString("[", ", ", "]")
+
   val oracles: Map[String, String] = Map(
+    "a29_benford" ->
+      s"""WITH counts AS (
+           SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS INT) AS digit,
+                  count(*) AS n
+           FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+         total AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+         spine AS (SELECT unnest(generate_series(1, 9)) AS digit),
+         j AS (
+           SELECT s.digit, coalesce(c.n, 0) AS n,
+                  total.total * ($benfordLits)[s.digit] AS expected
+           FROM spine s LEFT JOIN counts c USING (digit), total)
+         SELECT digit, CAST(n AS BIGINT) AS n,
+                round(expected, 6) AS expected,
+                round((CAST(n AS DOUBLE) - expected) *
+                      (CAST(n AS DOUBLE) - expected) / expected, 6) AS term
+         FROM j ORDER BY digit""",
     "a28_welch_ttest" ->
       """WITH agg AS (
            SELECT count(CASE WHEN event_type = 'click' THEN value END) AS n_a,

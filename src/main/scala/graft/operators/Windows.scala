@@ -256,6 +256,30 @@ object Windows {
         .orderBy("event_type", "day")
     }),
 
+    // W16: OHLC candle resample — the tick→candle aggregation every
+    // price chart runs (the reference's OHLCV source S10 consumes
+    // candles; this OP produces them from raw events): per (type, day)
+    // open = first value, close = last value in (ts, event_id) order
+    // (the id tiebreak makes simultaneous ticks deterministic),
+    // high/low = extremes. One (type, day) shuffle: the ranking window
+    // and the final hash agg share partitioning, so Catalyst reuses
+    // the exchange. All picks are exact doubles — no float risk.
+    "w16_ohlc_candles" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(when(col("rn") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rn") === col("cnt"), col("value"))).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type", "day")
+    }),
+
     // W11: resample + gap fill — the time-series normalization J4's
     // as-of idiom exists inside: each user's sparse daily series
     // expands onto its full [first_day, last_day] calendar spine
@@ -473,6 +497,23 @@ object Windows {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
          ORDER BY user_id, event_id""",
+    "w16_ohlc_candles" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e)
+         SELECT event_type, day,
+                max(CASE WHEN rn = 1 THEN value END) AS open,
+                max(value) AS high, min(value) AS low,
+                max(CASE WHEN rn = cnt THEN value END) AS close,
+                count(*) AS n
+         FROM r GROUP BY 1, 2 ORDER BY event_type, day""",
     "w15_cum_return" ->
       """WITH daily AS (
            SELECT event_type, date_trunc('day', ts) AS day,

@@ -102,6 +102,50 @@ class StudentTSpec extends AnyFunSuite {
     assert(StudentT.tPValue(1.0, -3.0).isNaN)
   }
 
+  test("chiSqPValue: analytic goldens at k = 2 and k = 4") {
+    // k=2: Q(1, x/2) = e^{-x/2} exactly; k=4: Q(2, x/2) = e^{-x/2}(1 + x/2)
+    for (x <- Seq(0.1, 1.0, 3.7, 10.0, 25.0)) {
+      val p2 = StudentT.chiSqPValue(x, 2.0)
+      assert(math.abs(p2 - math.exp(-x / 2)) < 1e-12, s"k=2 x=$x: $p2")
+      val p4 = StudentT.chiSqPValue(x, 4.0)
+      val want4 = math.exp(-x / 2) * (1 + x / 2)
+      assert(math.abs(p4 - want4) < 1e-12, s"k=4 x=$x: $p4 vs $want4")
+    }
+  }
+
+  test("chiSqPValue: independent quadrature across the (x, k) grid") {
+    // 1 − ∫₀ˣ chi²-pdf via Simpson — shares no code with gammaQ
+    def pdf(t: Double, k: Double): Double =
+      math.exp((k / 2 - 1) * math.log(t) - t / 2 -
+        (k / 2) * math.log(2.0) - StudentT.logGamma(k / 2))
+    def byQuad(x: Double, k: Double): Double = {
+      val n = 20000
+      val h = x / n
+      var s = pdf(1e-12, k) + pdf(x, k)
+      var i = 1
+      while (i < n) {
+        s += pdf(i * h, k) * (if (i % 2 == 1) 4.0 else 2.0); i += 1
+      }
+      1.0 - s * h / 3.0
+    }
+    for (x <- Seq(2.0, 7.5, 15.5); k <- Seq(3.0, 8.0, 20.0)) {
+      val got = StudentT.chiSqPValue(x, k)
+      val want = byQuad(x, k)
+      // 1e-6: Simpson converges slowly at odd k (√t-type integrand
+      // near 0 is not smooth), so the cross-check tolerance is looser
+      // than the t-test one
+      assert(math.abs(got - want) < 1e-6, s"x=$x k=$k: $got vs $want")
+    }
+  }
+
+  test("chiSqPValue edges: p(0)=1, monotone in x, invalid → NaN") {
+    assert(StudentT.chiSqPValue(0.0, 8.0) == 1.0)
+    assert(StudentT.chiSqPValue(12.0, 8.0) <
+      StudentT.chiSqPValue(6.0, 8.0))
+    assert(StudentT.chiSqPValue(-1.0, 8.0).isNaN)
+    assert(StudentT.chiSqPValue(1.0, 0.0).isNaN)
+  }
+
   test("betainc analytic golden: I_x(1/2, 1/2) = (2/π)·asin(√x)") {
     for (x <- Seq(0.1, 0.25, 0.5, 0.75, 0.9)) {
       val expect = 2.0 / math.Pi * math.asin(math.sqrt(x))

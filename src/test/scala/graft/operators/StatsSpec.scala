@@ -51,6 +51,26 @@ class StatsSpec extends AnyFunSuite {
     assert(got > 0.0 && got <= 1.0)
   }
 
+  test("a29_benford_pvalue anchors to the oracle-checked digit rows") {
+    val rows = Stats.queries("a29_benford")(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).sortBy(_._1)
+    assert(rows.length == 9)
+    val pv = Stats.queries("a29_benford_pvalue")(spark, sf).head()
+    // chi2 is the digit-ordered sum of a29's oracle-checked terms
+    val chi2 = math.rint(rows.map(_._2).sum * 1e6) / 1e6
+    assert(math.abs(pv.getDouble(0) - chi2) <= 1e-6,
+      s"chi2 ${pv.getDouble(0)} vs recomputed $chi2")
+    assert(pv.getLong(1) == 8L)
+    // p recomputed from the quadrature-validated kernel at the same
+    // rounded chi2
+    val want = math.rint(
+      graft.functions.StudentT.chiSqPValue(pv.getDouble(0), 8.0) * 1e6) / 1e6
+    assert(math.abs(pv.getDouble(2) - want) <= 1e-6)
+    // the synthetic totals are decidedly NON-Benford (that's the point
+    // of a screen: chi2 is huge), so p legitimately rounds to 0.0
+    assert(pv.getDouble(2) >= 0.0 && pv.getDouble(2) <= 1.0)
+  }
+
   test("a3_corr_pvalue rows are oracle-verified grid cells") {
     val cells = Stats.queries("a3_corr_grid")(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1)) ->
