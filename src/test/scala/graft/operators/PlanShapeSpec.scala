@@ -18,6 +18,32 @@ class PlanShapeSpec extends AnyFunSuite {
       String) => org.apache.spark.sql.DataFrame], q: String): String =
     qs(q)(spark, sf).queryExecution.executedPlan.toString
 
+  test("w16 candles reuse one hash exchange for window + aggregate") {
+    // the ranking window and the final hash agg both key on
+    // (event_type, day): exactly ONE hash-partitioning exchange may
+    // appear (plus the presentation sort's range exchange)
+    val plan = planOf(Windows.queries, "w16_ohlc_candles")
+    val hashEx = "hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx >= 1 && plan.contains("Window"), plan.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected one hash exchange:\n${plan.take(1500)}")
+  }
+
+  test("ds8 weighted sample plans as TakeOrderedAndProject, no sort") {
+    // the A-ES draw is a scored scan into a top-k: per-partition heaps
+    // (TakeOrderedAndProject), never a global Sort of the corpus
+    val plan = planOf(DatasetOps.queries, "ds8_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+  }
+
+  test("txt12 BM25 broadcasts the idf side") {
+    // the ≤|q|-row idf/avgdl table must broadcast — the corpus-sized
+    // postings never shuffle to meet it
+    val plan = planOf(TextAnalysis.queries, "txt12_bm25")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("sql7 plans as genuine in-plan recursion (UnionLoop)") {
     // the rCTE must survive to execution as the recursive operator —
     // not get rewritten away — or the query isn't exercising the
