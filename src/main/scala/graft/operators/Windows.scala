@@ -256,6 +256,40 @@ object Windows {
         .orderBy("event_type", "day")
     }),
 
+    // W17: rolling z-score anomaly flag — the monitoring primitive:
+    // each event scored against its user's TRAILING 15-event window
+    // (excluding itself: -15..-1, so the anomaly can't dilute its own
+    // baseline); |z| > 2.5 with ≥10 prior events flags the row. Float
+    // discipline: windowed mean/std are derived from DECIMAL-exact
+    // sliding sums of value and value² (raw double products are exact
+    // IEEE, the decimal cast pins them identically on both engines;
+    // Spark evaluates sliding frames by re-accumulation, DuckDB by
+    // segment tree — EXACT sums make the summation-order difference
+    // vanish), so z matches to the last ulp and round6 is cosmetic.
+    // Scale: one user_id shuffle, incremental frame evaluation.
+    "w17_rolling_zscore" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-15, -1)
+      Tables.events(s, d)
+        .withColumn("n_prior", count(col("value")).over(w))
+        .withColumn("s1",
+          sum(col("value").cast("decimal(24,10)")).over(w).cast("double"))
+        .withColumn("s2",
+          sum((col("value") * col("value")).cast("decimal(30,10)")).over(w)
+            .cast("double"))
+        .filter(col("n_prior") >= 10)
+        .withColumn("mean", col("s1") / col("n_prior"))
+        .withColumn("variance",
+          (col("s2") - col("s1") * col("s1") / col("n_prior")) /
+            (col("n_prior") - 1))
+        .filter(col("variance") > 0)
+        .withColumn("z", (col("value") - col("mean")) / sqrt(col("variance")))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("user_id"), col("event_id"), col("value"),
+          r6(col("mean")).as("win_mean"), r6(col("z")).as("z"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // W16: OHLC candle resample — the tick→candle aggregation every
     // price chart runs (the reference's OHLCV source S10 consumes
     // candles; this OP produces them from raw events): per (type, day)
@@ -496,6 +530,28 @@ object Windows {
                 CAST(dense_rank() OVER w AS BIGINT) AS dns_rank
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+         ORDER BY user_id, event_id""",
+    "w17_rolling_zscore" ->
+      """WITH win AS (
+           SELECT user_id, event_id, value,
+                  count(value) OVER w AS n_prior,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) OVER w
+                       AS VARCHAR) AS DOUBLE) AS s1,
+                  CAST(CAST(sum(CAST(value * value AS DECIMAL(30,10))) OVER w
+                       AS VARCHAR) AS DOUBLE) AS s2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 15 PRECEDING AND 1 PRECEDING)),
+         scored AS (
+           SELECT user_id, event_id, value, n_prior,
+                  s1 / n_prior AS mean,
+                  (s2 - s1 * s1 / n_prior) / (n_prior - 1) AS variance
+           FROM win WHERE n_prior >= 10)
+         SELECT user_id, event_id, value,
+                round(mean, 6) AS win_mean,
+                round((value - mean) / sqrt(variance), 6) AS z
+         FROM scored
+         WHERE variance > 0 AND abs((value - mean) / sqrt(variance)) > 2.5
          ORDER BY user_id, event_id""",
     "w16_ohlc_candles" ->
       """WITH e AS (
