@@ -190,6 +190,31 @@ object DatasetOps {
     // Weight = doc token length: long docs preferentially sampled, the
     // token-budget-aware corpus draw. Distributional behavior (heavy
     // items overrepresented vs uniform) is spec-asserted.
+    // DS9: per-group winsorization — the outlier treatment a feature
+    // pipeline applies before normalization: clamp each value into its
+    // OWN event type's exact [p05, p95] band and flag what was
+    // clipped. The bounds are a |types|-row exact-percentile aggregate
+    // broadcast back onto the stream — the big side never shuffles, the
+    // clamp is a pure codegen projection (greatest/least). Interior
+    // rows pass through as raw doubles (bit-identical by construction);
+    // both engines' linear-interpolation percentiles agree to the last
+    // ulp (a17/a25 established the parity), so clipped rows match raw
+    // too.
+    "ds9_winsorize" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val bounds = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.05)").as("lo"),
+          expr("percentile(value, 0.95)").as("hi"))
+      ev.join(broadcast(bounds), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          greatest(col("lo"), least(col("hi"), col("value")))
+            .as("winsorized"),
+          (col("value") < col("lo") || col("value") > col("hi"))
+            .as("clipped"))
+        .orderBy("event_id")
+    }),
+
     "ds8_weighted_sample" -> ((s, d) => {
       val u = conv(substring(md5(concat(lit("ds8:"),
           col("doc_id").cast("string"))), 1, 15), 16, 10)
@@ -365,6 +390,17 @@ object DatasetOps {
            FROM documents)
          SELECT doc_id, n_tokens, round(ln(u) / n_tokens, 6) AS es_key
          FROM scored
-         ORDER BY ln(u) / n_tokens DESC, doc_id LIMIT 100"""
+         ORDER BY ln(u) / n_tokens DESC, doc_id LIMIT 100""",
+    "ds9_winsorize" ->
+      """WITH b AS (
+           SELECT event_type,
+                  quantile_cont(value, 0.05) AS lo,
+                  quantile_cont(value, 0.95) AS hi
+           FROM events GROUP BY event_type)
+         SELECT event_id, e.event_type, value,
+                greatest(lo, least(hi, value)) AS winsorized,
+                (value < lo OR value > hi) AS clipped
+         FROM events e JOIN b ON e.event_type = b.event_type
+         ORDER BY event_id"""
   )
 }

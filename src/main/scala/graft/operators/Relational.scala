@@ -408,6 +408,64 @@ object Relational {
         .filter(col("n") > 0)
         .orderBy("user_id", "event_type")),
 
+    // A30: cohort retention matrix — the engagement-analytics staple
+    // the reference's dashboard stops short of: users cohorted by
+    // FIRST-activity day, each (cohort, day-offset) cell counts the
+    // cohort's users active that day, retention = cell / cohort size.
+    // All cells are exact integer counts and the share is ONE division
+    // of two longs — bit-identical IEEE on both engines, no rounding
+    // grid. Scale: first-activity and distinct-activity-days aggregate
+    // in the same user_id shuffle (the join is co-partitioned on it),
+    // cohort sizes are a tiny broadcast.
+    "a30_cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val firstDay = ev.groupBy("user_id")
+        .agg(min(col("day")).as("cohort_day"))
+      val sizes = firstDay.groupBy("cohort_day")
+        .agg(count(lit(1)).as("cohort_size"))
+      ev.join(firstDay, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long")
+            .as("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), "cohort_day")
+        .select(col("cohort_day"), col("day_offset"), col("n_active"),
+          col("cohort_size"),
+          (col("n_active").cast("double") / col("cohort_size"))
+            .as("retention"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
+    // A31: co-occurrence (market-basket) pairs — which event types
+    // appear together in the same (user, day) basket, with support
+    // counts and the share over all baskets. The pair join shuffles
+    // on the basket key (user, day), so candidates stay inside a
+    // ≤|types| group — output is C(|types|,2)-bounded per basket,
+    // never quadratic in events. Share is one long/long division
+    // (exact IEEE); the basket total rides in as a 1-row broadcast.
+    "a31_cooccurrence" -> ((s, d) => {
+      val baskets = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+          col("event_type"))
+        .distinct()
+      val total = baskets.select(col("user_id"), col("day")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      baskets.as("a").join(baskets.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.day") === col("b.day") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("support"))
+        .crossJoin(broadcast(total))
+        .select(col("type_a"), col("type_b"), col("support"),
+          (col("support").cast("double") / col("n_baskets"))
+            .as("support_share"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // A7: stats block — min/max/mean/std + share above threshold.
     // Ref: scripts/03_add_sentiment.py:36-42.
     "a7_stats_block" -> ((s, d) =>
@@ -666,6 +724,29 @@ object Relational {
         GROUP BY id ORDER BY doc_id""")
     }),
 
+    // SQL8: correlated LATERAL subquery with ORDER BY + LIMIT — the
+    // "top-2 line items per part" shape through the declarative SQL
+    // path (SQL6 is the window-function form of top-n; LATERAL is the
+    // correlated form every migrating Postgres/DuckDB user writes).
+    // Spark 4 decorrelates the limited lateral into a ranked
+    // window/join plan — NOT a per-row nested loop — so it scales as
+    // a keyed shuffle; parts without line items drop (inner lateral),
+    // identically on both engines. Oracle is the same text.
+    "sql8_lateral_topn" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT p.p_partkey, p.p_brand, t.l_orderkey, t.l_linenumber,
+               t.l_extendedprice
+        FROM part_v p,
+        LATERAL (SELECT l_orderkey, l_linenumber, l_extendedprice
+                 FROM lineitem_v l
+                 WHERE l.l_partkey = p.p_partkey
+                 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+                 LIMIT 2) t
+        ORDER BY p.p_partkey, t.l_orderkey, t.l_linenumber""")
+    }),
+
     // U4: INTERSECT — distinct (user, day) pairs where a click AND a
     // purchase both happened: the set-semantics operator (Catalyst
     // plans it as a distinct + left-semi hash join — keyed shuffle,
@@ -781,6 +862,23 @@ object Relational {
               (a, b) => a.cast("double") * b.cast("double")),
             lit(0.0d), (acc, x) => acc + x)).as("rev_dot"))
         .orderBy("vec_id")),
+
+    // F9: bitwise function family — and/or/xor, shifts, popcount over
+    // the integer ids; the bit-manipulation surface the engine's own
+    // hash/banding kernels (SimHash, pHash, PQ) use internally,
+    // exposed as queryable scalars. Pure codegen projections, exact
+    // integer semantics on both engines (ids are small, no overflow
+    // near the ANSI fault line).
+    "f9_bitwise_funcs" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          expr("event_id & 255").as("band"),
+          expr("event_id | 4096").as("bor"),
+          expr("event_id ^ user_id").as("bxor"),
+          shiftleft(col("user_id"), 3).as("shl"),
+          shiftright(col("event_id"), 2).as("shr"),
+          bit_count(col("event_id")).cast("int").as("popcnt"))
+        .orderBy("event_id")),
 
     // S23: dead-letter JSON ingest — the quarantine pattern a 100 TB
     // ingest cannot live without: a batch where some payloads are
@@ -929,6 +1027,65 @@ object Relational {
     "j6_salted_join" ->
       """SELECT event_id, user_id, c_mktsegment, value
          FROM events JOIN customer ON user_id = c_custkey
+         ORDER BY event_id""",
+    "a30_cohort_retention" ->
+      """WITH ev AS (
+           SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+           FROM events),
+         fd AS (
+           SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id),
+         sz AS (
+           SELECT cohort_day, count(*) AS cohort_size
+           FROM fd GROUP BY cohort_day)
+         SELECT f.cohort_day,
+                datediff('day', f.cohort_day, e.day) AS day_offset,
+                count(*) AS n_active,
+                sz.cohort_size,
+                CAST(count(*) AS DOUBLE) / sz.cohort_size AS retention
+         FROM ev e
+         JOIN fd f USING (user_id)
+         JOIN sz ON f.cohort_day = sz.cohort_day
+         GROUP BY f.cohort_day, sz.cohort_size,
+                  datediff('day', f.cohort_day, e.day)
+         ORDER BY 1, 2""",
+    "a31_cooccurrence" ->
+      """WITH b AS (
+           SELECT DISTINCT user_id, date_trunc('day', ts) AS day,
+                  event_type
+           FROM events),
+         tot AS (
+           SELECT count(*) AS n_baskets
+           FROM (SELECT DISTINCT user_id, day FROM b)),
+         pairs AS (
+           SELECT a.event_type AS type_a, c.event_type AS type_b,
+                  count(*) AS support
+           FROM b a JOIN b c
+             ON a.user_id = c.user_id AND a.day = c.day
+            AND a.event_type < c.event_type
+           GROUP BY 1, 2)
+         SELECT type_a, type_b, support,
+                CAST(support AS DOUBLE) / n_baskets AS support_share
+         FROM pairs, tot
+         ORDER BY type_a, type_b""",
+    "sql8_lateral_topn" ->
+      """SELECT p.p_partkey, p.p_brand, t.l_orderkey, t.l_linenumber,
+                t.l_extendedprice
+         FROM part p,
+         LATERAL (SELECT l_orderkey, l_linenumber, l_extendedprice
+                  FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey
+                  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+                  LIMIT 2) t
+         ORDER BY p.p_partkey, t.l_orderkey, t.l_linenumber""",
+    "f9_bitwise_funcs" ->
+      """SELECT event_id,
+                event_id & 255 AS band,
+                event_id | 4096 AS bor,
+                xor(event_id, user_id) AS bxor,
+                user_id << 3 AS shl,
+                event_id >> 2 AS shr,
+                CAST(bit_count(event_id) AS INT) AS popcnt
+         FROM events
          ORDER BY event_id""",
     // pivot → unpivot round trip must land back on the plain GROUP BY
     "a26_unpivot" ->
