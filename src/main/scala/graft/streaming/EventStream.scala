@@ -325,6 +325,47 @@ object EventStream {
     s.table("t13_mem")
   }
 
+  /** T16: streaming SESSION windows — the one windowing mode where
+    * micro-batch boundaries genuinely matter: a session spanning two
+    * batches must MERGE in the state store (tumbling windows just
+    * accumulate into disjoint buckets; session windows coalesce
+    * overlapping [ts, ts+gap) intervals, and Spark's session state
+    * re-reads + re-merges the key's open sessions per batch). The rig
+    * replays the events chronologically as two file-batches split at
+    * the ts midpoint (`maxFilesPerTrigger = 1`), so every
+    * midpoint-spanning session exercises the cross-batch merge; the
+    * batch count is recorded for StreamingSpec to pin the slicing.
+    * Complete mode emits the final merged sessions without watermark
+    * eviction at replay scale; production uses append mode +
+    * `withWatermark` so closed sessions evict and state stays bounded
+    * — same plan shape. Oracle = T5's lag/cumsum island
+    * reconstruction (the batch definition of a 2 h-gap session). */
+  @volatile private[streaming] var lastSessionBatches: Long = -1L
+  def runSessionStream(s: SparkSession, d: String): DataFrame = {
+    val rig = stageRig(s, d)
+    val base = freshDir(s"/tmp/graft-stream-t16-run${nextRunId()}")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
+    withReplayWidth(s) {
+      val q = readJsonStream(s, src, maxFilesPerTrigger = Some(1))
+        .groupBy(session_window(col("ts"), "2 hours").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(24,10)")).cast("double") /
+            count(lit(1)), 6).as("avg_value"))
+        .select(col("user_id"), col("w.start").as("sess_start"),
+          col("w.end").as("sess_end"), col("n"), col("avg_value"))
+        .writeStream.format("memory").queryName("t16_mem")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastSessionBatches = q.recentProgress.count(_.numInputRows > 0).toLong
+    }
+    s.table("t16_mem")
+  }
+
   /** Staged retransmit rig for T14: every 7th event re-delivered with
     * its event time shifted +30 s — same event_id, DIFFERENT event
     * time, the duplicate shape a flaky producer actually emits (the
@@ -865,6 +906,12 @@ object EventStream {
     "t14_dedup_within_wm" -> ((s, d) =>
       runDedupWithinWatermark(s, d).orderBy("event_type")),
 
+    // T16: streaming session windows — sessions spanning the two
+    // replay batches merge in the state store; final sessions equal
+    // the batch gap/island reconstruction (oracle, same as T5's).
+    "t16_session_stream" -> ((s, d) =>
+      runSessionStream(s, d).orderBy("user_id", "sess_start")),
+
     // T11: foreachBatch upsert sink — update-mode agg through an
     // idempotent append log, compacted latest-wins; final serving
     // table equals the plain GROUP BY (oracle).
@@ -873,6 +920,26 @@ object EventStream {
   )
 
   val oracles: Map[String, String] = Map(
+    // same island reconstruction as T5's batch session oracle — the
+    // streamed, state-merged sessions must land on the identical set.
+    "t16_session_stream" ->
+      """WITH o AS (
+           SELECT user_id, ts, event_id, value,
+                  CASE WHEN ts - lag(ts) OVER w < INTERVAL 2 HOUR
+                       THEN 0 ELSE 1 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o)
+         SELECT user_id, min(ts) AS sess_start,
+                max(ts) + INTERVAL 2 HOUR AS sess_end,
+                count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                      / count(*), 6) AS avg_value
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, sess_start""",
     "s11_kafka_payload" ->
       """SELECT CAST(event_id AS VARCHAR) AS key,
                 to_json(struct_pack(event_id := event_id,

@@ -61,6 +61,33 @@ class StreamingSpec extends AnyFunSuite {
         "expected the file-capped trigger to slice it")
   }
 
+  test("T16: streaming session windows merge state across micro-batches") {
+    // sf0.01 (read-only testdata): the only SF where a session spans
+    // the replay midpoint — sf0.001's sessions are too sparse for the
+    // cross-batch merge to be non-vacuous (measured: 0 spanning
+    // sessions there, exactly 1 here).
+    val sf01 = "/root/testdata/sf0.01"
+    def asSess(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3), r.getDouble(4))).toSet
+    val streamed = asSess(EventStream.runSessionStream(spark, sf01))
+    val batch = asSess(graft.SparkEntry.queries("t5_session_window")(spark, sf01))
+    assert(streamed == batch)
+    // the slicing actually happened — otherwise no cross-batch merge ran
+    assert(EventStream.lastSessionBatches >= 2,
+      s"replay ran in ${EventStream.lastSessionBatches} batch(es); " +
+        "expected the file-capped trigger to slice it")
+    // non-vacuity: at least one session has events on BOTH sides of the
+    // replay midpoint (first event ≤ mid < last event), so the state
+    // store really merged a session across the batch boundary
+    val b = Tables.events(spark, sf01)
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val mid = (b.getTimestamp(0).getTime + b.getTimestamp(1).getTime) / 2
+    assert(streamed.exists(s =>
+      s._2.getTime <= mid && s._3.getTime - 7200000L > mid),
+      "no session spans the replay midpoint — merge path not exercised")
+  }
+
   test("T14: dropDuplicatesWithinWatermark absorbs shifted-ts retransmits") {
     val ev = Tables.events(spark, sf)
     val total = ev.count()
