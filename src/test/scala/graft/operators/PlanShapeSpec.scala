@@ -52,6 +52,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("UnionLoop"), plan.take(1500))
   }
 
+  test("sql8 lateral top-n decorrelates to a window plan, no nested loop") {
+    // the correlated LATERAL + LIMIT must decorrelate into a ranked
+    // window + keyed join — a per-outer-row nested loop would be the
+    // quadratic failure mode at scale
+    val plan = planOf(Relational.queries, "sql8_lateral_topn")
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("ds9 winsorize broadcasts the percentile bounds") {
+    // the |types|-row bounds join must broadcast — the event stream
+    // never shuffles to meet its own clamp thresholds
+    val plan = planOf(DatasetOps.queries, "ds9_winsorize")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 1, s"unexpected extra shuffles:\n${plan.take(1500)}")
+  }
+
+  test("a30 cohort retention broadcasts cohort sizes") {
+    val plan = planOf(Relational.queries, "a30_cohort_retention")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("LSH dedup paths join on bucket keys, never all pairs") {
     for (q <- Seq("d3_minhash_lsh", "d6_lsh_verified")) {
       val plan = planOf(Dedup.queries, q)
