@@ -178,6 +178,35 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // MM6: patch extraction — the ViT-style tiling a patch-based
+    // trainer feeds from: treat the payload as a W=32-wide raster
+    // (H = L/32 rows) and cut it into 8×8 tiles; each patch gathers 8
+    // STRIDED row-slices (the genuinely 2-D access pattern the 1-D
+    // frame/resize stubs MM3/MM4 never touch) and emits its bytes +
+    // content hash (the dedup key D1 consumes downstream). Entirely
+    // relational — explode the tile grid, concat 8 substring slices —
+    // so it runs as stateless codegen with ZERO shuffle and is fully
+    // oracle-checked; same ASCII guard as MM4 (byte == char indexing
+    // provably identical on both engines). Scale: patches fan out
+    // rows per doc with no shuffle; a real deployment swaps the char
+    // slices for pixel-buffer slices with the identical plan.
+    "mm6_patch_extract" -> ((s, d) => {
+      val P = 8; val W = 32 // patch edge, raster width (W*P = 256 min)
+      Tables.documents(s, d)
+        .filter(octet_length(col("text")) >= W * P &&
+                octet_length(col("text")) === length(col("text")))
+        .withColumn("n_tr", (length(col("text")) / (W * P)).cast("int"))
+        .withColumn("tr", explode(sequence(lit(0), col("n_tr") - 1)))
+        .withColumn("tc", explode(sequence(lit(0), lit(W / P - 1))))
+        .select(col("doc_id"), col("tr").cast("long").as("tile_row"),
+          col("tc").cast("long").as("tile_col"),
+          concat((0 until P).map(i =>
+            expr(s"substring(text, (tr*$P + $i)*$W + tc*$P + 1, $P)")): _*)
+            .as("patch"))
+        .withColumn("patch_hash", md5(col("patch")))
+        .orderBy("doc_id", "tile_row", "tile_col")
+    }),
+
     // MM5a: the perceptual hash itself (bitstring form) — fully
     // oracle-checked, unlike the token-hash simhash (D4): every
     // quantity is an integer sum or an exact int/int division.
@@ -287,6 +316,32 @@ object Multimodal {
          FROM blocks GROUP BY doc_id)"""
 
   val oracles: Map[String, String] = Map(
+    // same tiling arithmetic, DuckDB's range() standing in for the
+    // exploded grid; the 8 strided slices concat in fixed order
+    "mm6_patch_extract" ->
+      """WITH g AS (
+           SELECT doc_id, text, length(text) // 256 AS n_tr
+           FROM documents
+           WHERE octet_length(encode(text)) >= 256
+             AND octet_length(encode(text)) = length(text)),
+         tiles AS (
+           SELECT doc_id, text, k // 4 AS tile_row, k % 4 AS tile_col
+           FROM (SELECT doc_id, text, unnest(range(n_tr * 4)) AS k
+                 FROM g)),
+         p AS (
+           SELECT doc_id, tile_row, tile_col,
+                  substring(text, (tile_row*8 + 0)*32 + tile_col*8 + 1, 8)
+               || substring(text, (tile_row*8 + 1)*32 + tile_col*8 + 1, 8)
+               || substring(text, (tile_row*8 + 2)*32 + tile_col*8 + 1, 8)
+               || substring(text, (tile_row*8 + 3)*32 + tile_col*8 + 1, 8)
+               || substring(text, (tile_row*8 + 4)*32 + tile_col*8 + 1, 8)
+               || substring(text, (tile_row*8 + 5)*32 + tile_col*8 + 1, 8)
+               || substring(text, (tile_row*8 + 6)*32 + tile_col*8 + 1, 8)
+               || substring(text, (tile_row*8 + 7)*32 + tile_col*8 + 1, 8)
+                  AS patch
+           FROM tiles)
+         SELECT doc_id, tile_row, tile_col, patch, md5(patch) AS patch_hash
+         FROM p ORDER BY doc_id, tile_row, tile_col""",
     "mm1_binary_meta" ->
       """SELECT doc_id,
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -241,6 +241,24 @@ object Relational {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users"))
         .orderBy("event_type")),
 
+    // A32: HLL sketch UNION — the pattern that makes approx-distinct
+    // viable at 100 TB: sketch each partition ONCE (here: per day),
+    // persist the sketches, and answer any rollup by merging them —
+    // no rescan of the raw data, and the merge is tiny (one
+    // fixed-size sketch per day vs re-shuffling every user_id).
+    // A16 is the one-shot form; this is the incremental/rollup form
+    // (Spark 3.5+ DataSketches HLL: hll_sketch_agg / hll_union_agg).
+    // The estimate has no DuckDB twin → rows-only; ApproxAggSpec
+    // anchors it ≤5% of the exact month-wide distinct AND asserts
+    // grouping-invariance (merging day sketches ≡ sketching the
+    // whole month — the associativity that makes the pattern safe).
+    "a32_hll_union" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        .agg(count(lit(1)).as("n_days"),
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))),
+
     // A17: exact quantiles per group (linear interpolation — matches
     // DuckDB's quantile_cont). At scale the same query swaps
     // percentile→percentile_approx with identical plan shape.

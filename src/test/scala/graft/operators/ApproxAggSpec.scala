@@ -53,6 +53,25 @@ class ApproxAggSpec extends AnyFunSuite {
     }
   }
 
+  test("a32 merged day-sketches estimate within 5% of exact, grouping-invariant") {
+    import org.apache.spark.sql.functions._
+    val exact = graft.Tables.events(spark, sf)
+      .agg(countDistinct(col("user_id"))).head().getLong(0)
+    val row = Relational.queries("a32_hll_union")(spark, sf).head()
+    val est = row.getLong(1)
+    assert(row.getLong(0) > 1, "need >1 day for the merge to be real")
+    assert(math.abs(est - exact).toDouble / exact <= 0.05,
+      s"exact=$exact merged est=$est")
+    // associativity: merging per-day sketches must equal sketching the
+    // whole table in one pass — the property that makes precomputed
+    // sketch rollups safe to serve
+    val oneShot = graft.Tables.events(spark, sf)
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))"))
+      .head().getLong(0)
+    assert(est === oneShot,
+      s"merged=$est one-shot=$oneShot — sketch union not associative")
+  }
+
   test("salted aggregation equals the plain aggregate") {
     val plain = Relational.queries("a1_grouped_avg")(spark, sf)
     val salted = Relational.queries("a15_salted_agg")(spark, sf)
