@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Corpus-curation operators a training-data pipeline runs between
@@ -144,6 +145,62 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // PIPE3: the assembly line END-TO-END — exact dedup (D1) →
+    // quality filter (PIPE1) → benchmark decontamination (DECON1) →
+    // train split (DS1), reported as the cumulative survival funnel a
+    // curation job publishes (each stage applies to the previous
+    // stage's survivors; precedence is the pipeline order, so a doc
+    // failing dedup never re-counts as a quality drop). ONE plan:
+    // per-doc stage flags fold into a last-surviving-stage int, the
+    // funnel is a ≤5-row agg joined to a literal stage spine, and the
+    // share is long/long division (exact IEEE). Scale: the flag
+    // builders are the SAME plans as their standalone operators
+    // (hash-window dedup, one (doc, word) partial agg, broadcast eval
+    // shingles) — the funnel adds one tiny agg on top, nothing else.
+    "pipe3_assembly_funnel" -> ((s, d) => {
+      import s.implicits._
+      val canon = Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("h").orderBy("doc_id")))
+        .select(col("doc_id"), (col("rn") === 1).as("is_canonical"))
+      val quality = filterDecisions(s, d)
+        .select(col("doc_id"), (col("verdict") === "kept").as("q"))
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= 5)
+        .select(col("doc_id"), explode(shingleCol(5)).as("sh"))
+      val ev = sh.filter(col("doc_id") % EvalMod === 0)
+        .select(col("sh")).distinct()
+      val contaminated = sh.filter(col("doc_id") % EvalMod =!= 0)
+        .join(broadcast(ev), Seq("sh"))
+        .select(col("doc_id")).distinct()
+        .withColumn("bad", lit(true))
+      val flags = Tables.documents(s, d).select(col("doc_id"))
+        .join(canon, Seq("doc_id"))
+        .join(quality, Seq("doc_id"))
+        .join(contaminated, Seq("doc_id"), "left")
+        .withColumn("last_stage",
+          when(!col("is_canonical"), 0L)
+            .when(!col("q"), 1L)
+            .when(col("doc_id") % EvalMod === 0 || col("bad").isNotNull, 2L)
+            .when(DatasetOps.split(col("doc_id")) =!= "train", 3L)
+            .otherwise(4L))
+      val counts = flags.groupBy("last_stage").agg(count(lit(1)).as("c"))
+      val total = flags.agg(count(lit(1)).as("n_total"))
+      val spine = Seq((0L, "1_ingest"), (1L, "2_exact_dedup"),
+        (2L, "3_quality"), (3L, "4_decontamination"),
+        (4L, "5_train_split")).toDF("stage_id", "stage")
+      spine.join(counts, counts("last_stage") >= spine("stage_id"), "left")
+        .groupBy(col("stage_id"), col("stage"))
+        .agg(coalesce(sum(col("c")), lit(0L)).cast("long").as("n_docs"))
+        .crossJoin(broadcast(total))
+        .select(col("stage_id"), col("stage"), col("n_docs"),
+          (col("n_docs").cast("double") / col("n_total")).as("frac"))
+        .orderBy("stage_id")
+    }),
+
     // TXT7: repetition signals (Gopher §A.1.1-style filters, adapted
     // to this corpus's line-less word-soup text): the fraction of
     // tokens that are the single most frequent token, and the
@@ -267,6 +324,87 @@ object Curation {
          thr AS (SELECT quantile_cont(score, 0.1) AS p10 FROM scored)
          SELECT doc_id, score, p10
          FROM scored, thr WHERE score >= p10 ORDER BY doc_id""",
+    // the standalone stages' oracle CTEs composed into the funnel
+    "pipe3_assembly_funnel" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         hashed AS (
+           SELECT doc_id,
+                  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+           FROM documents),
+         canon AS (
+           SELECT doc_id,
+                  row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+                    AS is_canonical
+           FROM hashed),
+         toks AS (SELECT doc_id, unnest(t) AS w FROM docs),
+         wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+         tw AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS n,
+                       CAST(sum(c * length(w)) AS BIGINT) AS chars
+                FROM wc GROUP BY 1),
+         tg AS (SELECT doc_id,
+                       CAST(greatest(len(t) - 2, 0) AS BIGINT) AS ntri,
+                       CAST(CASE WHEN len(t) >= 3 THEN
+                         len(list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+                         ELSE 0 END AS BIGINT) AS ndis
+                FROM docs),
+         sig AS (
+           SELECT doc_id, n,
+                  CAST(chars AS DOUBLE) / n AS mean_len,
+                  CAST(mx AS DOUBLE) / n AS top_frac,
+                  CASE WHEN ntri > 0
+                       THEN 1.0 - CAST(ndis AS DOUBLE) / ntri
+                       ELSE 0.0 END AS dup_frac
+           FROM tw JOIN tg USING (doc_id)),
+         verd AS (
+           SELECT doc_id,
+                  (CASE WHEN n < 10 THEN 'too_short'
+                        WHEN mean_len < 3.0 OR mean_len > 10.0
+                          THEN 'word_length'
+                        WHEN top_frac > 0.2 THEN 'top_word'
+                        WHEN dup_frac > 0.2 THEN 'dup_trigram'
+                        ELSE 'kept' END) = 'kept' AS q
+           FROM sig),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(t) - 4),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                         t[i+3] || ' ' || t[i+4]))) AS sh
+           FROM docs WHERE len(t) >= 5),
+         ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+         cont AS (
+           SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (sh)
+           WHERE s.doc_id % 97 <> 0),
+         ls AS (
+           SELECT d.doc_id,
+                  CASE WHEN NOT c.is_canonical THEN 0
+                       WHEN NOT v.q THEN 1
+                       WHEN d.doc_id % 97 = 0
+                            OR cont.doc_id IS NOT NULL THEN 2
+                       WHEN NOT (substring(md5(CAST(d.doc_id AS VARCHAR)),
+                                 1, 1) < 'd') THEN 3
+                       ELSE 4 END AS last_stage
+           FROM documents d
+           JOIN canon c USING (doc_id)
+           JOIN verd v USING (doc_id)
+           LEFT JOIN cont ON d.doc_id = cont.doc_id),
+         tot AS (SELECT count(*) AS n_total FROM ls),
+         spine AS (
+           SELECT * FROM (VALUES (0, '1_ingest'), (1, '2_exact_dedup'),
+             (2, '3_quality'), (3, '4_decontamination'),
+             (4, '5_train_split')) AS v(stage_id, stage)),
+         f AS (
+           SELECT stage_id, stage,
+                  (SELECT count(*) FROM ls WHERE last_stage >= stage_id)
+                    AS n_docs
+           FROM spine)
+         SELECT CAST(stage_id AS BIGINT) AS stage_id, stage,
+                CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(n_docs AS DOUBLE) / n_total AS frac
+         FROM f, tot ORDER BY stage_id""",
     "txt7_repetition" ->
       """WITH docs AS (
            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
