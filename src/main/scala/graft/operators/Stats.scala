@@ -184,6 +184,64 @@ object Stats {
         .orderBy("digit")
     }),
 
+    // A33: two-sample Kolmogorov–Smirnov test — does the click value
+    // distribution differ from the purchase one? D = max |F1 − F2|
+    // over the pooled values, computed WITHOUT a global sort: values
+    // hash into 1024 range buckets (bounds broadcast, the a13
+    // pattern), the within-bucket cumulative runs partitioned by
+    // bucket (parallel), and only the ≤1024-row bucket-offset
+    // cumulative touches a single-partition window — the two-level
+    // ECDF every distributed KS implementation uses. Per-value
+    // grouping makes tie handling exact; every F difference is one
+    // long→double division (bit-identical IEEE), so D is raw-double
+    // oracle-checked. The asymptotic p (Kolmogorov series, 10 terms
+    // in pinned left-assoc order) differs only by libm exp ulps →
+    // round6, same as TXT11's ln discipline.
+    "a33_ks_test" -> ((s, d) => {
+      val B = 1024
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("value"), (col("event_type") === "click").as("g1"))
+      val bounds = ev.agg(min(col("value")).as("lo"),
+        max(col("value")).as("hi"),
+        sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("g1"), 1L).otherwise(0L)).as("n2"))
+      val perv = ev.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          least(floor((col("value") - col("lo")) /
+            (col("hi") - col("lo")) * B), lit(B - 1)).cast("int"))
+        .groupBy(col("bucket"), col("value"))
+        .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("k1"),
+          sum(when(!col("g1"), 1L).otherwise(0L)).as("k2"))
+      val wIn = Window.partitionBy("bucket").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val inB = perv
+        .withColumn("c1in", sum(col("k1")).over(wIn))
+        .withColumn("c2in", sum(col("k2")).over(wIn))
+      val wB = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = perv.groupBy("bucket")
+        .agg(sum(col("k1")).as("b1"), sum(col("k2")).as("b2"))
+        .withColumn("off1", coalesce(sum(col("b1")).over(wB), lit(0L)))
+        .withColumn("off2", coalesce(sum(col("b2")).over(wB), lit(0L)))
+        .select(col("bucket"), col("off1"), col("off2"))
+      val d0 = inB.join(offs, Seq("bucket"))
+        .crossJoin(broadcast(bounds.select(col("n1"), col("n2"))))
+        .select(abs((col("off1") + col("c1in")).cast("double") / col("n1") -
+          (col("off2") + col("c2in")).cast("double") / col("n2")).as("diff"))
+        .agg(max(col("diff")).as("ks_d"))
+      val lamC = col("ks_d") *
+        sqrt((col("n1") * col("n2")).cast("double") / (col("n1") + col("n2")))
+      val series = (1 to 10).map(k =>
+        exp(lit(-2.0 * k * k) * col("lam") * col("lam")) *
+          lit(if (k % 2 == 1) 1.0 else -1.0)).reduce(_ + _)
+      d0.crossJoin(broadcast(bounds.select(col("n1"), col("n2"))))
+        .withColumn("lam", lamC)
+        .select(col("n1"), col("n2"), col("ks_d"),
+          r6(least(lit(1.0), greatest(lit(0.0), lit(2.0) * series)))
+            .as("p_value"))
+    }),
+
     // A29 p-value twin: χ² = Σ terms (folded in digit order over the
     // ROUNDED oracle-checked terms) at 8 dof, upper-tail p via the
     // ChiSquarePValue codegen expression (regularized gamma Q kernel).
@@ -316,6 +374,43 @@ object Stats {
       math.log10(1.0 + 1.0 / dd))).mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // single global window here (the oracle doesn't need the bucketed
+    // two-level form — result identity is what's checked); the p
+    // series is the same 10-term left-assoc chain
+    "a33_ks_test" ->
+      """WITH s AS (
+           SELECT value, event_type = 'click' AS g1
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         n AS (
+           SELECT CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                  CAST(sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n2
+           FROM s),
+         perv AS (
+           SELECT value,
+                  CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+                  CAST(sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS k2
+           FROM s GROUP BY value),
+         r AS (
+           SELECT sum(k1) OVER w AS c1, sum(k2) OVER w AS c2
+           FROM perv
+           WINDOW w AS (ORDER BY value ROWS UNBOUNDED PRECEDING)),
+         dmax AS (
+           SELECT max(abs(CAST(c1 AS DOUBLE) / n1 -
+                          CAST(c2 AS DOUBLE) / n2)) AS ks_d
+           FROM r, n),
+         lam AS (
+           SELECT ks_d, n1, n2,
+                  ks_d * sqrt(CAST(n1 * n2 AS DOUBLE) / (n1 + n2)) AS l
+           FROM dmax, n)
+         SELECT n1, n2, ks_d,
+                round(least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                  2 * (exp(-2*l*l) - exp(-8*l*l) + exp(-18*l*l)
+                     - exp(-32*l*l) + exp(-50*l*l) - exp(-72*l*l)
+                     + exp(-98*l*l) - exp(-128*l*l) + exp(-162*l*l)
+                     - exp(-200*l*l)))), 6) AS p_value
+         FROM lam""",
     "a29_benford" ->
       s"""WITH counts AS (
            SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)

@@ -34,6 +34,29 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("a33 KS statistic equals a sequential single-threaded recomputation") {
+    // the query's bucketed two-level ECDF must land on exactly the D a
+    // plain sorted sweep computes — the anchor that proves the
+    // distributed decomposition introduces no drift
+    import org.apache.spark.sql.functions._
+    val row = Stats.queries("a33_ks_test")(spark, sf).head()
+    val (n1, n2, ksD) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    val vals = graft.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("value"), (col("event_type") === "click").as("g1"))
+      .collect().map(r => (r.getDouble(0), r.getBoolean(1)))
+    assert(vals.count(_._2).toLong == n1 &&
+      vals.count(!_._2).toLong == n2)
+    var c1 = 0L; var c2 = 0L; var d = 0.0
+    vals.sortBy(_._1).groupBy(_._1).toSeq.sortBy(_._1).foreach {
+      case (_, g) =>
+        c1 += g.count(_._2); c2 += g.count(!_._2)
+        d = math.max(d,
+          math.abs(c1.toDouble / n1 - c2.toDouble / n2))
+    }
+    assert(d == ksD, s"sequential D=$d, query D=$ksD")
+  }
+
   test("a28_welch_pvalue anchors to the oracle-checked a28 row") {
     val base = Stats.queries("a28_welch_ttest")(spark, sf).collect()
     val pv = Stats.queries("a28_welch_pvalue")(spark, sf).collect()
