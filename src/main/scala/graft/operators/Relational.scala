@@ -779,6 +779,29 @@ object Relational {
       eventDays(s, d, "click").except(eventDays(s, d, "purchase"))
         .orderBy("user_id", "day")),
 
+    // U6/U7: the BAG-semantics set ops — EXCEPT ALL keeps the
+    // multiplicity difference (a user with 3 click-days and 1
+    // purchase-day on the same date keeps 2 rows), INTERSECT ALL the
+    // minimum multiplicity. Catalyst plans both as a count-aggregated
+    // join (no distinct collapse) — one keyed shuffle, and the
+    // per-key multiplicity arithmetic is exactly what distinguishes
+    // them from U4/U5's set forms.
+    "u6_except_all" -> ((s, d) =>
+      Tables.events(s, d).filter(col("event_type") === "click")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .exceptAll(
+          Tables.events(s, d).filter(col("event_type") === "purchase")
+            .select(col("user_id"), date_trunc("day", col("ts")).as("day")))
+        .orderBy("user_id", "day")),
+
+    "u7_intersect_all" -> ((s, d) =>
+      Tables.events(s, d).filter(col("event_type") === "click")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .intersectAll(
+          Tables.events(s, d).filter(col("event_type") === "purchase")
+            .select(col("user_id"), date_trunc("day", col("ts")).as("day")))
+        .orderBy("user_id", "day")),
+
     // A21: conversion funnel — how deep each user gets through
     // signup → view → click → purchase, where a stage only counts if
     // its FIRST occurrence is strictly after the previous stage's
@@ -1350,6 +1373,20 @@ object Relational {
       """SELECT user_id, date_trunc('day', ts) AS day FROM events
          WHERE event_type = 'click'
          EXCEPT
+         SELECT user_id, date_trunc('day', ts) AS day FROM events
+         WHERE event_type = 'purchase'
+         ORDER BY user_id, day""",
+    "u6_except_all" ->
+      """SELECT user_id, date_trunc('day', ts) AS day FROM events
+         WHERE event_type = 'click'
+         EXCEPT ALL
+         SELECT user_id, date_trunc('day', ts) AS day FROM events
+         WHERE event_type = 'purchase'
+         ORDER BY user_id, day""",
+    "u7_intersect_all" ->
+      """SELECT user_id, date_trunc('day', ts) AS day FROM events
+         WHERE event_type = 'click'
+         INTERSECT ALL
          SELECT user_id, date_trunc('day', ts) AS day FROM events
          WHERE event_type = 'purchase'
          ORDER BY user_id, day""",

@@ -184,6 +184,29 @@ object Stats {
         .orderBy("digit")
     }),
 
+    // A34: OLS trend per series — slope/intercept/R² of the daily
+    // average against the day index, the "is this series drifting"
+    // regression the lag grid's correlations stop short of. Spark's
+    // regr_* aggregates are map-side-combinable moment merges (one
+    // hash agg, same shape as A2); daily y pins through the decimal
+    // discipline so both engines regress over identical inputs; r6
+    // absorbs the engines' different moment-update orders (A2's
+    // contract). DuckDB's regr_* family matches definitionally.
+    "a34_ols_trend" -> ((s, d) => {
+      val dly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("y"))
+        .withColumn("x",
+          datediff(col("day"), lit("2024-01-01")).cast("double"))
+      dly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          r6(expr("regr_slope(y, x)")).as("slope"),
+          r6(expr("regr_intercept(y, x)")).as("intercept"),
+          r6(expr("regr_r2(y, x)")).as("r2"))
+        .orderBy("event_type")
+    }),
+
     // A33: two-sample Kolmogorov–Smirnov test — does the click value
     // distribution differ from the purchase one? D = max |F1 − F2|
     // over the pooled values, computed WITHOUT a global sort: values
@@ -374,6 +397,22 @@ object Stats {
       math.log10(1.0 + 1.0 / dd))).mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "a34_ols_trend" ->
+      """WITH dly AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS y
+           FROM events GROUP BY 1, 2),
+         xy AS (
+           SELECT event_type, y,
+                  CAST(datediff('day', DATE '2024-01-01', day) AS DOUBLE)
+                    AS x
+           FROM dly)
+         SELECT event_type, count(*) AS n_days,
+                round(regr_slope(y, x), 6) AS slope,
+                round(regr_intercept(y, x), 6) AS intercept,
+                round(regr_r2(y, x), 6) AS r2
+         FROM xy GROUP BY 1 ORDER BY event_type""",
     // single global window here (the oracle doesn't need the bucketed
     // two-level form — result identity is what's checked); the p
     // series is the same 10-term left-assoc chain
