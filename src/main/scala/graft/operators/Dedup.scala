@@ -250,6 +250,45 @@ object Dedup {
     result
   }
 
+  /** D11 iterative kernel: damped PageRank by power iteration over the
+    * undirected near-dup graph — the centrality signal a rank-weighted
+    * canonical election uses where D10's min-id election is arbitrary.
+    * Fixed iteration count (rank deltas decay geometrically at damp =
+    * 0.85; 10 rounds ≫ convergence on dup-cluster diameters), each
+    * round one keyed join + hash agg with an eager localCheckpoint so
+    * round k's plan stays O(1) (the D10 lineage-truncation pattern).
+    * Isolated vertices hold the bare teleport term — dangling mass is
+    * NOT redistributed (documented convention, mirrored exactly by the
+    * spec's sequential recomputation). |V| is one bounded driver
+    * scalar (the teleport constant), same contract as the IVF rig. */
+  private[operators] def pageRank(pairs: DataFrame, vertices: DataFrame,
+      iters: Int, damp: Double): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = vertices.count()
+    val teleport = (1.0 - damp) / n
+    var ranks = vertices.select(col("doc_id"), lit(1.0 / n).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(ranks, col("src") === col("doc_id"))
+        .join(deg, "src")
+        .select(col("dst").as("doc_id"), (col("rank") / col("deg")).as("c"))
+      ranks = vertices.select(col("doc_id"))
+        .join(contrib.groupBy("doc_id").agg(sum(col("c")).as("cs")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(teleport) + lit(damp) * coalesce(col("cs"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    edges.unpersist(); deg.unpersist()
+    ranks
+  }
+
   /** Per-doc SimHash bit sums s0…s63 (sᵢ > 0 ⇔ bit i of the signature
     * is set): one token explode + one hash agg, shared by the D4
     * signature render and the D8 banded pair search. */
@@ -365,6 +404,22 @@ object Dedup {
         minJ = 0.02)
       connectedComponents(pairs, docs)
         .select(col("doc_id"), col("comp").as("canonical_id"))
+        .orderBy("doc_id")
+    }),
+
+    // D11: PageRank centrality over the SAME near-dup edge slice D10
+    // clusters — the rank-weighted alternative to min-id canonical
+    // election. No SQL-expressible oracle (iterative aggregation is
+    // outside recursive-CTE semantics) → rows-only; DedupSpec anchors
+    // it against a sequential driver-side power iteration (≤1e-9 per
+    // node) plus structural invariants (mass bound, isolated-vertex
+    // teleport floor).
+    "d11_pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") < 100).select(col("doc_id"))
+      val pairs = TextAnalysis.ngramJaccardPairs(s, d, maxId = 100,
+        minJ = 0.02)
+      pageRank(pairs, docs, iters = 10, damp = 0.85)
         .orderBy("doc_id")
     }),
 

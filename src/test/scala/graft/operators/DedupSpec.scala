@@ -174,6 +174,46 @@ class DedupSpec extends AnyFunSuite {
     assert(bloom == exact, s"empty-corpus bloom must report all new: $bloom")
   }
 
+  test("D11 PageRank equals a sequential power iteration (≤1e-9/node)") {
+    // same slice as the query (sf0.001 documents, doc_id < 100); the
+    // distributed per-round join+agg may sum contributions in any
+    // order, so the anchor allows float-noise tolerance only
+    val sf = SparkTestSession.Sf0001
+    import org.apache.spark.sql.functions.col
+    val nodes = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 100).select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    val pairs = TextAnalysis.ngramJaccardPairs(spark, sf, maxId = 100,
+      minJ = 0.02).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "vacuous: no near-dup edges in the slice")
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    val n = nodes.length
+    val damp = 0.85; val teleport = (1.0 - damp) / n
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 10) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Double]
+        .withDefaultValue(0.0)
+      adj.foreach { case (src, dsts) =>
+        val share = rank(src) / dsts.length
+        dsts.foreach(dst => contrib(dst) += share)
+      }
+      rank = nodes.map(v => v -> (teleport + damp * contrib(v))).toMap
+    }
+    val got = Dedup.queries("d11_pagerank")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == rank.keySet)
+    rank.foreach { case (v, r) =>
+      assert(math.abs(got(v) - r) <= 1e-9, s"node $v: seq=$r got=${got(v)}")
+    }
+    // structural invariants: isolated vertices sit exactly on the
+    // teleport floor; total mass stays ≤ 1 (dangling mass undistributed)
+    val isolated = nodes.filterNot(adj.contains)
+    assert(isolated.nonEmpty, "vacuous: every doc has a near-dup edge?")
+    isolated.foreach(v => assert(got(v) == teleport))
+    assert(got.values.sum <= 1.0 + 1e-9)
+  }
+
   test("D8 banded pairs equal an exhaustive Hamming search (pigeonhole)") {
     // 4 bands × 16 bits: a pair at Hamming ≤ 3 differs in at most 3
     // bits, so at least one of the 4 bands is untouched — the band
