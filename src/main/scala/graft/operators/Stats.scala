@@ -184,6 +184,75 @@ object Stats {
         .orderBy("digit")
     }),
 
+    // A35: Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric
+    // two-sample location test beside A33's distribution-shape KS and
+    // A28's parametric Welch. Midranks with exact tie correction, and
+    // the same bucketed two-level cumulative as A33 (no global sort).
+    // The float discipline is structural: every midrank is an exact
+    // half-integer (c_before + (t+1)/2), so R1 = Σ k1·midrank is a sum
+    // of exactly-representable multiples of 0.5 — order-INSENSITIVE by
+    // construction, no decimal cast needed — and U, the tie term, and
+    // z's variance are all integer arithmetic + one sqrt/division
+    // chain over identical doubles → z is raw-double oracle-checked.
+    // (Asymptotic z without continuity correction; the p twin below.)
+    "a35_mannwhitney" -> ((s, d) => {
+      val B = 1024
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("value"), (col("event_type") === "click").as("g1"))
+      val bounds = ev.agg(min(col("value")).as("lo"),
+        max(col("value")).as("hi"),
+        sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("g1"), 1L).otherwise(0L)).as("n2"))
+      val perv = ev.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          least(floor((col("value") - col("lo")) /
+            (col("hi") - col("lo")) * B), lit(B - 1)).cast("int"))
+        .groupBy(col("bucket"), col("value"))
+        .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("k1"),
+          count(lit(1)).as("k"))
+      val wIn = Window.partitionBy("bucket").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wB = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = perv.groupBy("bucket").agg(sum(col("k")).as("bk"))
+        .withColumn("off", coalesce(sum(col("bk")).over(wB), lit(0L)))
+        .select(col("bucket"), col("off"))
+      val ranked = perv
+        .withColumn("cin", coalesce(sum(col("k")).over(wIn), lit(0L)))
+        .join(offs, Seq("bucket"))
+        .withColumn("midrank",
+          (col("off") + col("cin")).cast("double") +
+            (col("k") + 1).cast("double") / 2.0)
+      val aggd = ranked.agg(
+        sum(col("k1").cast("double") * col("midrank")).as("r1"),
+        sum(col("k") * col("k") * col("k") - col("k")).as("ties"))
+      aggd.crossJoin(broadcast(bounds.select(col("n1"), col("n2"))))
+        .withColumn("n", col("n1") + col("n2"))
+        .withColumn("u1",
+          col("r1") - (col("n1") * (col("n1") + 1)).cast("double") / 2.0)
+        .withColumn("sigma", sqrt(
+          (col("n1") * col("n2")).cast("double") / 12.0 *
+            ((col("n") + 1).cast("double") -
+              col("ties").cast("double") /
+                (col("n") * (col("n") - 1)).cast("double"))))
+        .withColumn("z",
+          (col("u1") - (col("n1") * col("n2")).cast("double") / 2.0) /
+            col("sigma"))
+        .select(col("n1"), col("n2"), col("r1"), col("u1"), col("z"))
+    }),
+
+    // A35 p twin: two-sided asymptotic p = P(|Z| > |z|) = P(χ²₁ > z²)
+    // — the exact distributional identity that lets the quadrature-
+    // validated gamma-Q kernel (A29's) serve as the normal tail, with
+    // no erf anywhere. Not SQL-expressible → rows-only; StatsSpec
+    // anchors by recomputation from the oracle-checked z.
+    "a35_mw_pvalue" -> ((s, d) =>
+      queries("a35_mannwhitney")(s, d)
+        .select(col("n1"), col("n2"), r6(col("z")).as("z"),
+          r6(graft.functions.ChiSquarePValue.pValue(
+            col("z") * col("z"), lit(1.0d))).as("p_value"))),
+
     // A34: OLS trend per series — slope/intercept/R² of the daily
     // average against the day index, the "is this series drifting"
     // regression the lag grid's correlations stop short of. Spark's
@@ -397,6 +466,44 @@ object Stats {
       math.log10(1.0 + 1.0 / dd))).mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // single global window (the two-level decomposition is the Spark
+    // side's scale concern, not the oracle's); every rank quantity is
+    // an exact half-integer so the sums are order-insensitive
+    "a35_mannwhitney" ->
+      """WITH s AS (
+           SELECT value, event_type = 'click' AS g1
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         n AS (
+           SELECT CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                  CAST(sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n2
+           FROM s),
+         perv AS (
+           SELECT value,
+                  CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+                  CAST(count(*) AS BIGINT) AS k
+           FROM s GROUP BY value),
+         r AS (
+           SELECT k1, k,
+                  coalesce(sum(k) OVER (ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cbef
+           FROM perv),
+         a AS (
+           SELECT sum(CAST(k1 AS DOUBLE) *
+                      (CAST(cbef AS DOUBLE) + CAST(k + 1 AS DOUBLE) / 2))
+                    AS r1,
+                  CAST(sum(k*k*k - k) AS BIGINT) AS ties
+           FROM r)
+         SELECT n1, n2, r1,
+                r1 - CAST(n1*(n1+1) AS DOUBLE)/2 AS u1,
+                (r1 - CAST(n1*(n1+1) AS DOUBLE)/2
+                    - CAST(n1*n2 AS DOUBLE)/2)
+                / sqrt(CAST(n1*n2 AS DOUBLE)/12 *
+                    (CAST(n1+n2+1 AS DOUBLE)
+                     - CAST(ties AS DOUBLE)
+                       / CAST((n1+n2)*(n1+n2-1) AS DOUBLE))) AS z
+         FROM a, n""",
     "a34_ols_trend" ->
       """WITH dly AS (
            SELECT event_type, date_trunc('day', ts) AS day,

@@ -57,6 +57,49 @@ class StatsSpec extends AnyFunSuite {
     assert(d == ksD, s"sequential D=$d, query D=$ksD")
   }
 
+  test("a35 Mann–Whitney on planted ties matches sequential midranks") {
+    // sf values are continuous (ties vacuously absent), so the tie
+    // correction needs a planted fixture: click [1,2,2,3] vs purchase
+    // [2,3,3,5] — value 2 ties across groups, 3 within+across
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = SparkTestSession.fixtureDir("mw-fix")
+    val click = Seq(1.0, 2.0, 2.0, 3.0)
+    val purch = Seq(2.0, 3.0, 3.0, 5.0)
+    (click.map(("click", _)) ++ purch.map(("purchase", _)))
+      .zipWithIndex
+      .map { case ((t, v), i) => (i.toLong, i.toLong * 1000000000L,
+        i.toLong, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val row = Stats.queries("a35_mannwhitney")(spark, d).head()
+    val (r1q, u1q, zq) = (row.getDouble(2), row.getDouble(3),
+      row.getDouble(4))
+    // sequential midrank recomputation (the definition, single thread)
+    val all = click.map((_, true)) ++ purch.map((_, false))
+    val n1 = click.size; val n2 = purch.size; val n = n1 + n2
+    var cbef = 0L; var r1 = 0.0; var ties = 0L
+    all.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, g) =>
+      val k = g.size; val k1 = g.count(_._2)
+      r1 += k1 * (cbef + (k + 1) / 2.0)
+      ties += k.toLong * k * k - k
+      cbef += k
+    }
+    val u1 = r1 - n1 * (n1 + 1) / 2.0
+    val sigma = math.sqrt(n1.toDouble * n2 / 12.0 *
+      ((n + 1) - ties.toDouble / (n.toDouble * (n - 1))))
+    val z = (u1 - n1.toDouble * n2 / 2.0) / sigma
+    assert(ties > 0, "vacuous: fixture has no ties")
+    assert(r1q == r1 && u1q == u1, s"r1 $r1q vs $r1, u1 $u1q vs $u1")
+    assert(math.abs(zq - z) <= 1e-12, s"z $zq vs $z")
+    // p twin: recompute from the oracle-checked z via the χ²₁ identity
+    val p = Stats.queries("a35_mw_pvalue")(spark, d).head().getDouble(3)
+    val pRef = spark.range(1).select(
+      round(graft.functions.ChiSquarePValue.pValue(
+        lit(zq * zq), lit(1.0d)), 6)).head().getDouble(0)
+    assert(p == pRef && p >= 0.0 && p <= 1.0)
+  }
+
   test("a28_welch_pvalue anchors to the oracle-checked a28 row") {
     val base = Stats.queries("a28_welch_ttest")(spark, sf).collect()
     val pv = Stats.queries("a28_welch_pvalue")(spark, sf).collect()
