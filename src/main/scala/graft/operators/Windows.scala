@@ -231,6 +231,44 @@ object Windows {
         .orderBy("user_id", "event_id")
     }),
 
+    // W18: rolling correlation vs the market — each series' trailing
+    // 10-day correlation with the all-type daily average (the rolling
+    // beta/coupling diagnostic next to W9's rolling mean and W17's
+    // rolling z). Five DECIMAL-exact sliding sums (x, y, x², y², xy)
+    // feed the closed-form corr, so both engines window over
+    // bit-identical partials in pinned day order; the raw products
+    // are exact IEEE before the decimal cast pins them. round6
+    // absorbs only the final sqrt/division chain. Scale: one hash agg
+    // to O(types×days) rows, market series joined by day (broadcast —
+    // O(days) rows), then per-type incremental frames.
+    "w18_rolling_corr" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("y"))
+      val market = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-9, 0)
+      def s1(c: Column) = sum(c.cast("decimal(30,12)")).over(w)
+        .cast("double")
+      daily.join(broadcast(market), Seq("day"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", s1(col("x"))).withColumn("sy", s1(col("y")))
+        .withColumn("sxx", s1(col("x") * col("x")))
+        .withColumn("syy", s1(col("y") * col("y")))
+        .withColumn("sxy", s1(col("x") * col("y")))
+        .filter(col("n") === 10)
+        .select(col("event_type"), col("day"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                 (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("roll_corr"))
+        .orderBy("event_type", "day")
+    }),
+
     // W15: cumulative compounded return — the equity-curve-from-returns
     // op (running PRODUCT, which no engine has as a window aggregate):
     // the standard rewrite exp(Σ ln(1+r)) turns it into a running sum.
@@ -587,6 +625,39 @@ object Windows {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
                   AS cum_growth
          FROM r WHERE ret IS NOT NULL ORDER BY event_type, day""",
+    "w18_rolling_corr" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS y
+           FROM events GROUP BY 1, 2),
+         market AS (
+           SELECT date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS x
+           FROM events GROUP BY 1),
+         j AS (
+           SELECT event_type, d.day, x, y
+           FROM daily d JOIN market m ON d.day = m.day),
+         r AS (
+           SELECT event_type, day, count(*) OVER w AS n,
+                  CAST(CAST(sum(CAST(x AS DECIMAL(30,12))) OVER w
+                       AS VARCHAR) AS DOUBLE) AS sx,
+                  CAST(CAST(sum(CAST(y AS DECIMAL(30,12))) OVER w
+                       AS VARCHAR) AS DOUBLE) AS sy,
+                  CAST(CAST(sum(CAST(x * x AS DECIMAL(30,12))) OVER w
+                       AS VARCHAR) AS DOUBLE) AS sxx,
+                  CAST(CAST(sum(CAST(y * y AS DECIMAL(30,12))) OVER w
+                       AS VARCHAR) AS DOUBLE) AS syy,
+                  CAST(CAST(sum(CAST(x * y AS DECIMAL(30,12))) OVER w
+                       AS VARCHAR) AS DOUBLE) AS sxy
+           FROM j
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+         SELECT event_type, day,
+                round((n*sxy - sx*sy) /
+                  sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS roll_corr
+         FROM r WHERE n = 10 ORDER BY event_type, day""",
     "w9_rolling_mean" ->
       """SELECT user_id, event_id, value,
                 round(CAST(sum(CAST(value AS DECIMAL(24,10))) OVER w AS DOUBLE)

@@ -366,6 +366,62 @@ object EventStream {
     s.table("t16_mem")
   }
 
+  /** T17: watermark LATE-DATA DROP made observable — the semantics T14
+    * (dedup of retransmits) never surfaces: rows arriving after the
+    * watermark has passed their event time are DISCARDED, and the
+    * engine counts them (`numRowsDroppedByWatermark`). Two engine
+    * facts shape the rig, both measured on this Spark version:
+    * (1) streaming AGGREGATIONS do not pre-filter late input at all —
+    * a late row resurrects its long-closed window, which is then
+    * instantly evicted and emitted (late windows appear in the
+    * output); the operator with enforced late-row dropping is the
+    * watermarked DEDUP, used here. (2) under Trigger.AvailableNow the
+    * late-events watermark stays at its query-start value for the
+    * whole run (nothing is ever "too late"), so this rig runs a real
+    * incremental delivery: start on the data file, drain it
+    * (processAllAvailable — deterministic, no sleeps), THEN deliver
+    * the late file so its batch runs under the advanced watermark.
+    * The plant: every 11th event re-delivered with a FRESH negative
+    * id at ts − 60 days — if the drop failed, the result would carry
+    * extra ids (rows mismatch) rather than silently passing. Result =
+    * the deduped on-time stream = exactly the original events table
+    * (oracle); drop count spec-pinned to the plant size. */
+  @volatile private[streaming] var lastLateDropped: Long = -1L
+  @volatile private[streaming] var lastLatePlanted: Long = -1L
+  def runLateDataDrop(s: SparkSession, d: String): DataFrame = {
+    val rig = stageRig(s, d)
+    val base = freshDir(s"/tmp/graft-stream-t17-run${nextRunId()}")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
+    val lateDir = s"$base/late"
+    val late = Tables.events(s, d).filter(col("event_id") % 11 === 0)
+      .withColumn("event_id", -col("event_id") - 1000000L)
+      .withColumn("ts", col("ts") - expr("INTERVAL 60 DAYS"))
+    lastLatePlanted = late.count()
+    late.coalesce(1).write.mode("overwrite")
+      .option("timestampFormat", TsFormat).json(lateDir)
+    withReplayWidth(s) {
+      val q = readJsonStream(s, src)
+        .withWatermark("ts", "2 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .writeStream.format("memory").queryName("t17_mem")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("250 milliseconds"))
+        .start()
+      try {
+        q.processAllAvailable()        // data batch: watermark advances
+        deliver(lateDir, src)          // late batch: runs under max-2d
+        q.processAllAvailable()
+        lastLateDropped = q.recentProgress
+          .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      } finally q.stop()
+    }
+    s.table("t17_mem")
+  }
+
   /** Staged retransmit rig for T14: every 7th event re-delivered with
     * its event time shifted +30 s — same event_id, DIFFERENT event
     * time, the duplicate shape a flaky producer actually emits (the
@@ -906,6 +962,13 @@ object EventStream {
     "t14_dedup_within_wm" -> ((s, d) =>
       runDedupWithinWatermark(s, d).orderBy("event_type")),
 
+    // T17: watermark late-data drop — planted 60-day-late rows (fresh
+    // negative ids) must be discarded by the watermarked dedup; the
+    // on-time stream equals the original events exactly (oracle),
+    // drop count spec-pinned to the plant.
+    "t17_late_data_drop" -> ((s, d) =>
+      runLateDataDrop(s, d).orderBy("event_id")),
+
     // T16: streaming session windows — sessions spanning the two
     // replay batches merge in the state store; final sessions equal
     // the batch gap/island reconstruction (oracle, same as T5's).
@@ -964,6 +1027,11 @@ object EventStream {
                 round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
                       / count(*), 6) AS avg_value
          FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    // equals the ORIGINAL events exactly — the late plant (fresh
+    // negative ids) must leave no trace or rows mismatch
+    "t17_late_data_drop" ->
+      """SELECT event_id, event_type, value
+         FROM events ORDER BY event_id""",
     "t12_rocksdb_state" ->
       """SELECT date_trunc('day', ts) AS win_start, event_type,
                 count(*) AS n,

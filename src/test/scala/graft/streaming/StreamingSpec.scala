@@ -88,6 +88,23 @@ class StreamingSpec extends AnyFunSuite {
       "no session spans the replay midpoint — merge path not exercised")
   }
 
+  test("T17: watermark drops the planted late rows, result equals batch") {
+    val streamed = EventStream.runLateDataDrop(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(EventStream.lastLatePlanted > 0, "vacuous: nothing planted")
+    assert(EventStream.lastLateDropped == EventStream.lastLatePlanted,
+      s"dropped ${EventStream.lastLateDropped} of " +
+        s"${EventStream.lastLatePlanted} planted late rows")
+    val expected = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(streamed == expected,
+      s"extra=${streamed.diff(expected).take(3)} " +
+        s"missing=${expected.diff(streamed).take(3)}")
+  }
+
   test("T14: dropDuplicatesWithinWatermark absorbs shifted-ts retransmits") {
     val ev = Tables.events(spark, sf)
     val total = ev.count()
