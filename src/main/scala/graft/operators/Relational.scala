@@ -765,6 +765,40 @@ object Relational {
         ORDER BY p.p_partkey, t.l_orderkey, t.l_linenumber""")
     }),
 
+    // SQL9: the DDL/catalog surface — CREATE a partitioned managed
+    // table, INSERT the daily rollup through dynamic partitions, read
+    // it back through the catalog. What a warehouse user does all day
+    // and nothing else in the suite exercises: table lifecycle,
+    // catalog resolution, partitioned managed storage (spark-warehouse).
+    // DROP + CREATE each run keeps the query idempotent across bench
+    // reps; the partition column is the query's coarse access path
+    // (partition pruning on event_type for any later reader). Oracle =
+    // the same rollup straight off the fact table: the round trip
+    // through the catalog must be lossless.
+    "sql9_ddl_insert" -> ((s, d) => {
+      val tbl = "graft_sql9_daily"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      // the in-memory catalog of a fresh JVM does not know a previous
+      // run's managed table, so DROP alone leaves its warehouse
+      // location orphaned and CREATE fails on LOCATION_ALREADY_EXISTS
+      // — purge the location explicitly
+      graft.Fs.deleteRecursively(new java.io.File(
+        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath,
+        tbl))
+      s.sql(s"""CREATE TABLE $tbl
+        (day TIMESTAMP, n BIGINT, avg_value DOUBLE, event_type STRING)
+        USING parquet PARTITIONED BY (event_type)""")
+      Tables.events(s, d).createOrReplaceTempView("events_v_sql9")
+      s.sql(s"""INSERT INTO $tbl
+        SELECT date_trunc('day', ts) AS day, count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                     / count(*), 6) AS avg_value,
+               event_type
+        FROM events_v_sql9 GROUP BY date_trunc('day', ts), event_type""")
+      s.sql(s"SELECT event_type, day, n, avg_value FROM $tbl " +
+        "ORDER BY event_type, day")
+    }),
+
     // U4: INTERSECT — distinct (user, day) pairs where a click AND a
     // purchase both happened: the set-semantics operator (Catalyst
     // plans it as a distinct + left-semi hash join — keyed shuffle,
@@ -1376,6 +1410,12 @@ object Relational {
          SELECT user_id, date_trunc('day', ts) AS day FROM events
          WHERE event_type = 'purchase'
          ORDER BY user_id, day""",
+    "sql9_ddl_insert" ->
+      """SELECT event_type, date_trunc('day', ts) AS day,
+                count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                      / count(*), 6) AS avg_value
+         FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
     "u6_except_all" ->
       """SELECT user_id, date_trunc('day', ts) AS day FROM events
          WHERE event_type = 'click'
