@@ -484,6 +484,42 @@ object Relational {
         .orderBy("type_a", "type_b")
     }),
 
+    // A36: RFM segmentation — the classic user-value scoring: per user
+    // Recency (days from last activity to the corpus horizon),
+    // Frequency (events), Monetary (decimal-exact value sum), each
+    // quartile-scored with ntile over a DETERMINISTIC total order
+    // (metric, user_id — ntile ties are order-dependent, so the
+    // tiebreak is part of the contract and the oracle's OVER clauses
+    // mirror it; R orders ASCENDING so quartile 1 = most recent).
+    // One hash agg + three O(users)-row window passes; the horizon is
+    // a 1-row broadcast.
+    "a36_rfm" -> ((s, d) => {
+      val per = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as("last_ts"),
+          count(lit(1)).as("frequency"),
+          sum(col("value").cast("decimal(24,10)")).cast("double")
+            .as("monetary"))
+      val horizon = Tables.events(s, d).agg(max(col("ts")).as("h"))
+      per.crossJoin(broadcast(horizon))
+        .withColumn("recency_days",
+          datediff(col("h"), col("last_ts")).cast("long"))
+        .withColumn("r_q", ntile(4).over(
+          Window.orderBy(col("recency_days"), col("user_id"))))
+        .withColumn("f_q", ntile(4).over(
+          Window.orderBy(col("frequency").desc, col("user_id"))))
+        .withColumn("m_q", ntile(4).over(
+          Window.orderBy(col("monetary").desc, col("user_id"))))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          r6(col("monetary")).as("monetary"),
+          col("r_q").cast("long").as("r_q"),
+          col("f_q").cast("long").as("f_q"),
+          col("m_q").cast("long").as("m_q"),
+          concat(col("r_q").cast("string"), col("f_q").cast("string"),
+            col("m_q").cast("string")).as("rfm"))
+        .orderBy("user_id")
+    }),
+
     // A7: stats block — min/max/mean/std + share above threshold.
     // Ref: scripts/03_add_sentiment.py:36-42.
     "a7_stats_block" -> ((s, d) =>
@@ -1410,6 +1446,29 @@ object Relational {
          SELECT user_id, date_trunc('day', ts) AS day FROM events
          WHERE event_type = 'purchase'
          ORDER BY user_id, day""",
+    "a36_rfm" ->
+      """WITH per AS (
+           SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) AS monetary
+           FROM events GROUP BY 1),
+         h AS (SELECT max(ts) AS h FROM events),
+         r AS (
+           SELECT user_id,
+                  datediff('day', last_ts, h) AS recency_days,
+                  frequency, monetary,
+                  ntile(4) OVER (ORDER BY datediff('day', last_ts, h),
+                                 user_id) AS r_q,
+                  ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+                  ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_q
+           FROM per, h)
+         SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+                frequency, round(monetary, 6) AS monetary,
+                CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+                CAST(m_q AS BIGINT) AS m_q,
+                CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR)
+                  || CAST(m_q AS VARCHAR) AS rfm
+         FROM r ORDER BY user_id""",
     "sql9_ddl_insert" ->
       """SELECT event_type, date_trunc('day', ts) AS day,
                 count(*) AS n,
