@@ -422,6 +422,72 @@ object EventStream {
     s.table("t17_mem")
   }
 
+  /** T18: CHAINED stateful aggregation — daily windows re-aggregated
+    * to weekly windows inside ONE streaming query (`window()` over the
+    * first agg's window struct), the Spark-4 multiple-stateful-
+    * operators path that previously demanded two queries glued by a
+    * sink. Both stages run in append mode with watermark propagation:
+    * a daily window emits into the weekly agg when the watermark
+    * passes its end, the weekly window when it passes the WEEK's end.
+    * The T10 two-sentinel ladder flushes the tail (emission/eviction
+    * watermarks DO advance under AvailableNow — only the late-events
+    * watermark is pinned, the T17 finding — so the bounded replay
+    * works here); sentinel windows are excluded after the aggregates
+    * by type. The weekly sum runs on the daily DECIMAL partials, so
+    * the final avg is exact regardless of how days landed in batches.
+    * Oracle: the batch weekly rollup with epoch-aligned 7-day buckets
+    * (Spark's window origin), n + decimal-exact avg. */
+  @volatile private[streaming] var lastChainedStateOps: Long = -1L
+  def runChainedWindows(s: SparkSession, d: String): DataFrame = {
+    val rig = stageRig(s, d)
+    val base = freshDir(s"/tmp/graft-stream-t18-run${nextRunId()}")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    new java.io.File(src).mkdirs()
+    val dataOut = java.nio.file.Paths.get(src, "aa_data.json")
+    val halves = Seq(s"$rig/half1", s"$rig/half2").flatMap(h =>
+      Option(new java.io.File(h).listFiles()).getOrElse(Array.empty).toSeq
+        .filter(_.getName.endsWith(".json")).sortBy(_.getName))
+    val out = java.nio.file.Files.newOutputStream(dataOut)
+    try halves.foreach(f => java.nio.file.Files.copy(f.toPath, out))
+    finally out.close()
+    val t0 = dataOut.toFile.lastModified()
+    val maxTs = Tables.events(s, d).agg(max(col("ts"))).head().getTimestamp(0)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern(TsFormat).withZone(java.time.ZoneOffset.UTC)
+    for (days <- Seq(30, 60)) {
+      val sentinelTs =
+        fmt.format(maxTs.toInstant.plus(java.time.Duration.ofDays(days)))
+      val f = java.nio.file.Paths.get(src, s"zz_sentinel_$days.json")
+      java.nio.file.Files.writeString(f,
+        s"""{"event_id":${-days},"ts":"$sentinelTs","user_id":-1,""" +
+          s""""event_type":"sentinel","value":0.0,"props":"{}"}""" + "\n")
+      f.toFile.setLastModified(t0 + days * 60000L)
+    }
+    withReplayWidth(s) {
+      val q = readJsonStream(s, src, maxFilesPerTrigger = Some(1))
+        .withWatermark("ts", "2 days")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("dn"),
+          sum(col("value").cast("decimal(24,10)")).as("dsum"))
+        .groupBy(window(col("w"), "7 days").as("wk"), col("event_type"))
+        .agg(sum(col("dn")).as("n"),
+          round(sum(col("dsum")).cast("double") / sum(col("dn")), 6)
+            .as("avg_value"))
+        .select(col("wk.start").as("week_start"), col("event_type"),
+          col("n"), col("avg_value"))
+        .writeStream.format("memory").queryName("t18_mem")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastChainedStateOps =
+        q.recentProgress.map(_.stateOperators.length.toLong).foldLeft(0L)(
+          math.max)
+    }
+    s.table("t18_mem").filter(col("event_type") =!= "sentinel")
+  }
+
   /** Staged retransmit rig for T14: every 7th event re-delivered with
     * its event time shifted +30 s — same event_id, DIFFERENT event
     * time, the duplicate shape a flaky producer actually emits (the
@@ -969,6 +1035,12 @@ object EventStream {
     "t17_late_data_drop" -> ((s, d) =>
       runLateDataDrop(s, d).orderBy("event_id")),
 
+    // T18: chained daily→weekly window aggregation in one streaming
+    // query (two stateful operators, append mode, sentinel-flushed);
+    // equals the batch weekly rollup (oracle).
+    "t18_chained_windows" -> ((s, d) =>
+      runChainedWindows(s, d).orderBy("week_start", "event_type")),
+
     // T16: streaming session windows — sessions spanning the two
     // replay batches merge in the state store; final sessions equal
     // the batch gap/island reconstruction (oracle, same as T5's).
@@ -1027,6 +1099,15 @@ object EventStream {
                 round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
                       / count(*), 6) AS avg_value
          FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    // epoch-aligned 7-day buckets = Spark's window() origin;
+    // 604800000000 µs = 7 days
+    "t18_chained_windows" ->
+      """SELECT make_timestamp((epoch_us(ts) // 604800000000)
+                               * 604800000000) AS week_start,
+                event_type, count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                      / count(*), 6) AS avg_value
+         FROM events GROUP BY 1, 2 ORDER BY week_start, event_type""",
     // equals the ORIGINAL events exactly — the late plant (fresh
     // negative ids) must leave no trace or rows mismatch
     "t17_late_data_drop" ->

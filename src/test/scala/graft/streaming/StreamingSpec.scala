@@ -105,6 +105,28 @@ class StreamingSpec extends AnyFunSuite {
         s"missing=${expected.diff(streamed).take(3)}")
   }
 
+  test("T18: chained daily→weekly windows equal the batch weekly rollup") {
+    val streamed = EventStream.runChainedWindows(spark, sf)
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val expected = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "7 days").as("wk"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1)), 6).as("avg_value"))
+      .select(col("wk.start"), col("event_type"), col("n"),
+        col("avg_value"))
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed == expected)
+    // the chain genuinely ran as TWO stateful operators in one query —
+    // not an optimizer collapse into a single aggregation
+    assert(EventStream.lastChainedStateOps == 2,
+      s"expected 2 stateful operators, saw ${EventStream.lastChainedStateOps}")
+  }
+
   test("T14: dropDuplicatesWithinWatermark absorbs shifted-ts retransmits") {
     val ev = Tables.events(spark, sf)
     val total = ev.count()
