@@ -66,7 +66,10 @@ class DeterminismSpec extends AnyFunSuite {
     // the claim is exactly that the answer can't drift with layout
     "txt11_unigram_loglik" -> TextAnalysis.queries,
     "txt10_pii_redact" -> TextAnalysis.queries,
-    "txt4_fingerprint" -> TextAnalysis.queries)
+    "txt4_fingerprint" -> TextAnalysis.queries,
+    // the composed end-to-end funnel: every stage decision must be a
+    // pure function of the data, so the 5-row funnel can't move
+    "pipe3_assembly_funnel" -> Curation.queries)
 
   cases.foreach { case (name, qs) =>
     test(s"$name is identical across file layouts and shuffle widths") {

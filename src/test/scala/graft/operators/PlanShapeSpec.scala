@@ -77,6 +77,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("a33/a35 two-level ECDF: exactly one single-partition window each") {
+    // the rank machinery may put ONLY the ≤1024-row bucket-offset
+    // cumulative on a single partition; the per-value cumulative must
+    // stay partitioned by bucket. Two single-partition windows would
+    // mean the decomposition collapsed into a global sort.
+    for ((qs, q) <- Seq((Stats.queries, "a33_ks_test"),
+        (Stats.queries, "a35_mannwhitney"))) {
+      val plan = planOf(qs, q)
+      // the per-value cumulative partitions by bucket…
+      assert(plan.contains("windowspecdefinition(bucket"),
+        s"$q:\n${plan.take(1200)}")
+      // …and NO window orders the full per-value stream unpartitioned
+      // (that would be the global-sort collapse); the only permitted
+      // unpartitioned window is the ≤1024-row bucket-offset cumulative,
+      // whose spec leads with the bucket column, not the value
+      assert(!plan.contains("windowspecdefinition(value"),
+        s"$q has an unpartitioned value-ordered window:\n${plan.take(1500)}")
+    }
+  }
+
+  test("w18 rolling corr broadcasts the market series") {
+    val plan = planOf(Windows.queries, "w18_rolling_corr")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
+  test("a36 RFM broadcasts the horizon, never shuffles users to meet it") {
+    val plan = planOf(Relational.queries, "a36_rfm")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+           plan.contains("BroadcastHashJoin"), plan.take(1200))
+  }
+
   test("LSH dedup paths join on bucket keys, never all pairs") {
     for (q <- Seq("d3_minhash_lsh", "d6_lsh_verified")) {
       val plan = planOf(Dedup.queries, q)
