@@ -207,6 +207,35 @@ object Multimodal {
         .orderBy("doc_id", "tile_row", "tile_col")
     }),
 
+    // MM7: linear-interpolation resample — the audio-style fractional
+    // resample next to MM4's area (block-mean) form: 16 output taps at
+    // positions k·(L−1)/15, each a lerp between its two neighboring
+    // samples. Entirely relational (explode + substring/ascii + pure
+    // arithmetic projection — codegen, zero shuffle) and exact: tap
+    // positions, fractions, and the lerp are the same IEEE ops over
+    // the same integers on both engines, so raw doubles hash-match.
+    // Same ASCII guard as MM4; the tap at the last position has
+    // frac = 0, so the clamped hi index never contributes.
+    "mm7_resample_linear" -> ((s, d) => {
+      val T = 16
+      Tables.documents(s, d)
+        .filter(octet_length(col("text")) >= T &&
+                octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id"), col("text"), length(col("text")).as("L"))
+        .withColumn("k", explode(sequence(lit(0), lit(T - 1))))
+        .withColumn("pos",
+          (col("k") * (col("L") - 1)).cast("double") / (T - 1).toDouble)
+        .withColumn("lo", floor(col("pos")).cast("int"))
+        .withColumn("frac", col("pos") - col("lo"))
+        .withColumn("blo",
+          ascii(expr("substring(text, lo + 1, 1)")).cast("double"))
+        .withColumn("bhi",
+          ascii(expr("substring(text, least(lo + 2, L), 1)")).cast("double"))
+        .select(col("doc_id"), col("k").cast("long").as("k"),
+          (col("blo") + col("frac") * (col("bhi") - col("blo"))).as("y"))
+        .orderBy("doc_id", "k")
+    }),
+
     // MM5a: the perceptual hash itself (bitstring form) — fully
     // oracle-checked, unlike the token-hash simhash (D4): every
     // quantity is an integer sum or an exact int/int division.
@@ -342,6 +371,27 @@ object Multimodal {
            FROM tiles)
          SELECT doc_id, tile_row, tile_col, patch, md5(patch) AS patch_hash
          FROM p ORDER BY doc_id, tile_row, tile_col""",
+    "mm7_resample_linear" ->
+      """WITH g AS (
+           SELECT doc_id, text, length(text) AS L
+           FROM documents
+           WHERE octet_length(encode(text)) >= 16
+             AND octet_length(encode(text)) = length(text)),
+         e AS (
+           SELECT doc_id, text, L, unnest(range(16)) AS k FROM g),
+         p AS (
+           SELECT doc_id, k, text, L,
+                  CAST(k * (L - 1) AS DOUBLE) / 15 AS pos
+           FROM e),
+         q AS (
+           SELECT doc_id, k, pos, text, L,
+                  CAST(floor(pos) AS INT) AS lo
+           FROM p)
+         SELECT doc_id, k,
+                (ascii(substring(text, lo + 1, 1)) + (pos - lo) *
+                 (ascii(substring(text, least(lo + 2, L), 1))
+                  - ascii(substring(text, lo + 1, 1)))) AS y
+         FROM q ORDER BY doc_id, k""",
     "mm1_binary_meta" ->
       """SELECT doc_id,
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -835,6 +835,31 @@ object Relational {
         "ORDER BY event_type, day")
     }),
 
+    // SQL10: explicit GROUPING SETS through the SQL front-end — the
+    // third member of the grouping family (A19 ROLLUP is the prefix
+    // chain, A23 CUBE the power set); an EXPLICIT set list expresses
+    // what neither can: here (type, day), (type), (day) — per-day
+    // totals WITHOUT a grand total. Catalyst plans one Expand over one
+    // aggregate, same single-pass shape a19/a23 plan-assert. GROUPING()
+    // markers distinguish subtotal rows from data (the a19 fix).
+    "sql10_grouping_sets" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_v_sql10")
+      s.sql("""
+        SELECT CASE WHEN GROUPING(event_type) = 1 THEN '(all)'
+                    ELSE event_type END AS event_type,
+               CASE WHEN GROUPING(day) = 1 THEN '(all)'
+                    ELSE day END AS day,
+               count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                     / count(*), 6) AS avg_value
+        FROM (SELECT event_type,
+                     date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
+                     value
+              FROM events_v_sql10)
+        GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))
+        ORDER BY event_type, day""")
+    }),
+
     // U4: INTERSECT — distinct (user, day) pairs where a click AND a
     // purchase both happened: the set-semantics operator (Catalyst
     // plans it as a distinct + left-semi hash join — keyed shuffle,
@@ -1446,6 +1471,22 @@ object Relational {
          SELECT user_id, date_trunc('day', ts) AS day FROM events
          WHERE event_type = 'purchase'
          ORDER BY user_id, day""",
+    "sql10_grouping_sets" ->
+      """WITH e AS (
+           SELECT event_type,
+                  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                  value
+           FROM events)
+         SELECT CASE WHEN GROUPING(event_type) = 1 THEN '(all)'
+                     ELSE event_type END AS event_type,
+                CASE WHEN GROUPING(day) = 1 THEN '(all)'
+                     ELSE day END AS day,
+                count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                      / count(*), 6) AS avg_value
+         FROM e
+         GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))
+         ORDER BY event_type, day""",
     "a36_rfm" ->
       """WITH per AS (
            SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,

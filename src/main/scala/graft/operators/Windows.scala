@@ -501,6 +501,39 @@ object Windows {
           r6(last(col("day_val"), ignoreNulls = true).over(wFill)))
         .select(col("user_id"), col("day"), col("asof_value"))
         .orderBy("user_id", "day")
+    }),
+
+    // J8: as-of join with TOLERANCE — pandas merge_asof's `tolerance`:
+    // the forward-filled value only counts while it is ≤3 days stale,
+    // else NULL (a quote older than the staleness budget must not
+    // silently serve). Same plan as J4 plus a second forward-filled
+    // column carrying the SOURCE day, so freshness is a pure
+    // projection — no extra joins, no inequality join anywhere.
+    // Oracle: DuckDB's native ASOF JOIN + the same staleness CASE.
+    "j8_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val spine = ev.select(col("user_id"),
+        date_trunc("day", col("ts")).as("day")).distinct()
+      val wLast = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val pDaily = ev.filter(col("event_type") === "purchase")
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("value").as("day_val"),
+          col("day").as("src_day"))
+      val wFill = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      spine.join(pDaily, Seq("user_id", "day"), "left")
+        .withColumn("fill_val",
+          last(col("day_val"), ignoreNulls = true).over(wFill))
+        .withColumn("fill_src",
+          last(col("src_day"), ignoreNulls = true).over(wFill))
+        .withColumn("asof_value",
+          when(datediff(col("day"), col("fill_src")) <= 3,
+            r6(col("fill_val"))))
+        .select(col("user_id"), col("day"), col("asof_value"))
+        .orderBy("user_id", "day")
     })
   )
 
@@ -779,6 +812,18 @@ object Windows {
            SELECT user_id, ts, value FROM events
            WHERE event_type = 'purchase')
          SELECT s.user_id, s.day, round(p.value, 6) AS asof_value
+         FROM spine s ASOF LEFT JOIN purchases p
+           ON s.user_id = p.user_id AND s.day + INTERVAL 1 DAY > p.ts
+         ORDER BY s.user_id, s.day""",
+    "j8_asof_tolerance" ->
+      """WITH spine AS (
+           SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+         purchases AS (
+           SELECT user_id, ts, value FROM events
+           WHERE event_type = 'purchase')
+         SELECT s.user_id, s.day,
+                CASE WHEN datediff('day', date_trunc('day', p.ts), s.day) <= 3
+                     THEN round(p.value, 6) END AS asof_value
          FROM spine s ASOF LEFT JOIN purchases p
            ON s.user_id = p.user_id AND s.day + INTERVAL 1 DAY > p.ts
          ORDER BY s.user_id, s.day"""
