@@ -921,6 +921,42 @@ object Relational {
         .orderBy("stage")
     }),
 
+    // A37: funnel stage latency — how LONG each conversion step takes
+    // (A21 reports how deep users get; this reports the p50/p90 wait
+    // between consecutive first-occurrences, the product-analytics
+    // follow-up question). Per user one conditional-min hash agg (the
+    // a21 shape), each transition counted independently when both
+    // stages exist in order; durations are exact-µs differences
+    // scaled to seconds (identical division on both engines), and the
+    // exact percentiles ride the a17 parity + r6 contract.
+    "a37_funnel_latency" -> ((s, d) => {
+      def firstTs(t: String) =
+        min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+      val f = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(firstTs("signup"), firstTs("view"), firstTs("click"),
+          firstTs("purchase"))
+      def dur(a: String, b: String) =
+        when(col(s"t_$b") > col(s"t_$a"),
+          (unix_micros(col(s"t_$b")) - unix_micros(col(s"t_$a")))
+            .cast("double") / 1e6)
+      f.select(explode(array(
+          struct(lit("1_signup_view").as("transition"),
+            dur("signup", "view").as("dur_sec")),
+          struct(lit("2_view_click").as("transition"),
+            dur("view", "click").as("dur_sec")),
+          struct(lit("3_click_purchase").as("transition"),
+            dur("click", "purchase").as("dur_sec")))).as("x"))
+        .select(col("x.transition").as("transition"),
+          col("x.dur_sec").as("dur_sec"))
+        .filter(col("dur_sec").isNotNull)
+        .groupBy("transition")
+        .agg(count(lit(1)).as("n_users"),
+          r6(expr("percentile(dur_sec, 0.5)")).as("p50_sec"),
+          r6(expr("percentile(dur_sec, 0.9)")).as("p90_sec"))
+        .orderBy("transition")
+    }),
+
     // F1: string functions. Ref: SURVEY §2.8 string family.
     "f1_string_funcs" -> ((s, d) =>
       Tables.part(s, d)
@@ -1471,6 +1507,38 @@ object Relational {
          SELECT user_id, date_trunc('day', ts) AS day FROM events
          WHERE event_type = 'purchase'
          ORDER BY user_id, day""",
+    "a37_funnel_latency" ->
+      """WITH f AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                  min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END)
+                    AS t_purchase
+           FROM events GROUP BY user_id),
+         durs AS (
+           SELECT '1_signup_view' AS transition,
+                  CASE WHEN t_view > t_signup THEN
+                    CAST(epoch_us(t_view) - epoch_us(t_signup) AS DOUBLE)
+                      / 1e6 END AS dur_sec
+           FROM f
+           UNION ALL
+           SELECT '2_view_click',
+                  CASE WHEN t_click > t_view THEN
+                    CAST(epoch_us(t_click) - epoch_us(t_view) AS DOUBLE)
+                      / 1e6 END
+           FROM f
+           UNION ALL
+           SELECT '3_click_purchase',
+                  CASE WHEN t_purchase > t_click THEN
+                    CAST(epoch_us(t_purchase) - epoch_us(t_click) AS DOUBLE)
+                      / 1e6 END
+           FROM f)
+         SELECT transition, count(*) AS n_users,
+                round(quantile_cont(dur_sec, 0.5), 6) AS p50_sec,
+                round(quantile_cont(dur_sec, 0.9), 6) AS p90_sec
+         FROM durs WHERE dur_sec IS NOT NULL
+         GROUP BY transition ORDER BY transition""",
     "sql10_grouping_sets" ->
       """WITH e AS (
            SELECT event_type,
