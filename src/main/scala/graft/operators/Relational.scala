@@ -957,6 +957,58 @@ object Relational {
         .orderBy("transition")
     }),
 
+    // A38: Markov transition matrix — P(next event type | current)
+    // per user sequence, the sequence-analytics staple (what follows
+    // a click?). One per-user lag window (deterministic (ts, event_id)
+    // order) + one hash agg; row-normalized probabilities are exact
+    // long/long divisions, row totals ride a window over the ≤|types|²
+    // matrix. Fully oracle-checked.
+    "a38_transition_matrix" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      trans
+        .withColumn("row_total",
+          sum(col("n")).over(Window.partitionBy("prev_type")))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          (col("n").cast("double") / col("row_total")).as("p"))
+        .orderBy("prev_type", "next_type")
+    }),
+
+    // A39: Gini coefficient — value-concentration inequality across
+    // users, per event type (the "do a few users drive everything"
+    // screen): G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over users sorted by
+    // their value sum. Float discipline: user sums stay DECIMAL and
+    // the rank-weighted sum i·xᵢ accumulates in DECIMAL too — exact,
+    // order-insensitive — so G is three exact integers/decimals
+    // through one division chain, identical on both engines (raw
+    // doubles). The rank window runs per type over USER AGGREGATES
+    // (O(users) rows, already reduced); at a scale where one type's
+    // users outgrow a partition, the a33 two-level rank decomposition
+    // applies unchanged.
+    "a39_gini" -> ((s, d) => {
+      val per = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("value").cast("decimal(24,10)")).as("x"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("x"), col("user_id"))
+      per.withColumn("i", row_number().over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x")).as("sx"),
+          sum(col("x") * col("i")).as("sxi"))
+        .select(col("event_type"), col("n_users"),
+          ((lit(2.0) * col("sxi").cast("double")) /
+            (col("n_users") * col("sx").cast("double")) -
+            (col("n_users") + 1).cast("double") / col("n_users"))
+            .as("gini"))
+        .orderBy("event_type")
+    }),
+
     // F1: string functions. Ref: SURVEY §2.8 string family.
     "f1_string_funcs" -> ((s, d) =>
       Tables.part(s, d)
@@ -1507,6 +1559,38 @@ object Relational {
          SELECT user_id, date_trunc('day', ts) AS day FROM events
          WHERE event_type = 'purchase'
          ORDER BY user_id, day""",
+    "a38_transition_matrix" ->
+      """WITH t AS (
+           SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         c AS (
+           SELECT prev_type, event_type AS next_type, count(*) AS n
+           FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, next_type, n,
+                CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type)
+                  AS p
+         FROM c ORDER BY prev_type, next_type""",
+    "a39_gini" ->
+      """WITH per AS (
+           SELECT event_type, user_id,
+                  sum(CAST(value AS DECIMAL(24,10))) AS x
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT event_type, x,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY x, user_id) AS i
+           FROM per),
+         a AS (
+           SELECT event_type, count(*) AS n_users,
+                  CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+                  CAST(CAST(sum(x * i) AS VARCHAR) AS DOUBLE) AS sxi
+           FROM r GROUP BY 1)
+         SELECT event_type, n_users,
+                (2 * sxi) / (n_users * sx)
+                  - CAST(n_users + 1 AS DOUBLE) / n_users AS gini
+         FROM a ORDER BY event_type""",
     "a37_funnel_latency" ->
       """WITH f AS (
            SELECT user_id,
