@@ -215,6 +215,38 @@ object DatasetOps {
         .orderBy("event_id")
     }),
 
+    // DS10: deterministic negative sampling — the contrastive-training
+    // draw: 4 negatives per anchor doc, each a pure function of
+    // (anchor, slot) via the shared md5 60-bit uniform (the DS5/DS8
+    // hash), so the draw is reproducible across reruns, partitionings,
+    // and engines — and fully oracle-checked. Self-collisions remap to
+    // the next id (mod N). Precondition (asserted by the generated
+    // corpus, min=0/max=N−1): doc_ids are contiguous, so floor(u·N)
+    // IS a doc id and the negative fetch is a plain keyed join.
+    // Scale: stateless explode + one broadcast count + one hash join;
+    // nothing quadratic, no RNG state.
+    "ds10_negative_sample" -> ((s, d) => {
+      val K = 4
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val negs = docs.select(col("doc_id")).crossJoin(broadcast(n))
+        .withColumn("j", explode(sequence(lit(0), lit(K - 1))))
+        .withColumn("u",
+          conv(substring(md5(concat(lit("ds10:"), col("j").cast("string"),
+            lit(":"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long").cast("double") /
+            lit(1152921504606846976.0))
+        .withColumn("raw", floor(col("u") * col("n_docs")).cast("long"))
+        .withColumn("neg_id",
+          when(col("raw") === col("doc_id"),
+            (col("raw") + 1) % col("n_docs")).otherwise(col("raw")))
+      negs.join(docs.select(col("doc_id").as("neg_id"),
+          col("source").as("neg_source")), Seq("neg_id"))
+        .select(col("doc_id"), col("j").cast("long").as("slot"),
+          col("neg_id"), col("neg_source"))
+        .orderBy("doc_id", "slot")
+    }),
+
     "ds8_weighted_sample" -> ((s, d) => {
       val u = conv(substring(md5(concat(lit("ds8:"),
           col("doc_id").cast("string"))), 1, 15), 16, 10)
@@ -391,6 +423,27 @@ object DatasetOps {
          SELECT doc_id, n_tokens, round(ln(u) / n_tokens, 6) AS es_key
          FROM scored
          ORDER BY ln(u) / n_tokens DESC, doc_id LIMIT 100""",
+    "ds10_negative_sample" ->
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+         negs AS (
+           SELECT d.doc_id, j.range AS slot,
+                  ('0x' || substring(md5('ds10:' || CAST(j.range AS VARCHAR)
+                     || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    / CAST(1152921504606846976 AS DOUBLE) AS u,
+                  n_docs
+           FROM documents d, range(0, 4) j, n),
+         m AS (
+           SELECT doc_id, slot,
+                  CAST(floor(u * n_docs) AS BIGINT) AS raw, n_docs
+           FROM negs),
+         picked AS (
+           SELECT doc_id, slot,
+                  CASE WHEN raw = doc_id THEN (raw + 1) % n_docs
+                       ELSE raw END AS neg_id
+           FROM m)
+         SELECT p.doc_id, p.slot, p.neg_id, d2.source AS neg_source
+         FROM picked p JOIN documents d2 ON p.neg_id = d2.doc_id
+         ORDER BY p.doc_id, p.slot""",
     "ds9_winsorize" ->
       """WITH b AS (
            SELECT event_type,

@@ -69,7 +69,10 @@ class DeterminismSpec extends AnyFunSuite {
     "txt4_fingerprint" -> TextAnalysis.queries,
     // the composed end-to-end funnel: every stage decision must be a
     // pure function of the data, so the 5-row funnel can't move
-    "pipe3_assembly_funnel" -> Curation.queries)
+    "pipe3_assembly_funnel" -> Curation.queries,
+    // the negative draw is a pure function of (anchor, slot) — the
+    // reproducibility contrastive training depends on
+    "ds10_negative_sample" -> DatasetOps.queries)
 
   cases.foreach { case (name, qs) =>
     test(s"$name is identical across file layouts and shuffle widths") {
