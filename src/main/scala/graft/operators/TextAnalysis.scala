@@ -234,6 +234,34 @@ object TextAnalysis {
     // word count; the global row_number then runs over the VOCAB
     // (≪ corpus, bounded by distinct tokens), where one ordering
     // partition is the standard and correct plan.
+    // TXT14: TF-IDF keyword extraction — the doc-tagging op on top of
+    // the txt8/txt12 machinery: per doc the top-3 terms by tf·ln(N/df)
+    // with a deterministic (score desc, term) tiebreak. One (doc, w)
+    // hash agg for tf, one vocab agg for df, a keyed join on w (the
+    // vocab CAN outgrow a broadcast at corpus scale — unlike txt12's
+    // ≤|query| idf), then a per-doc ranking window. Exact-tf ties
+    // share identical doubles on both engines; the ≤1-ulp libm ln is
+    // absorbed by round6 on the emitted score and cannot flip an
+    // order between distinct (tf, df) pairs at this granularity.
+    "txt14_tfidf_keywords" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val rankW = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("w"))
+      tf.join(df, Seq("w"))
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf") * log(col("n_docs").cast("double") / col("df")))
+        .withColumn("rank", row_number().over(rankW).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("w").as("term"),
+          col("tf"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
     "txt8_vocab" -> ((s, d) => {
       val w = Window.orderBy(col("n").desc, col("w"))
       Tables.documents(s, d)
@@ -519,6 +547,26 @@ object TextAnalysis {
          SELECT w AS token, count(*) AS est, CAST(0 AS BIGINT) AS err
          FROM wc GROUP BY 1
          ORDER BY est DESC, token LIMIT 20""",
+    "txt14_tfidf_keywords" ->
+      """WITH tf AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+           FROM documents),
+         tfa AS (SELECT doc_id, w, count(*) AS tf FROM tf GROUP BY 1, 2),
+         dfa AS (SELECT w, count(*) AS df FROM tfa GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT t.doc_id, t.w, t.tf,
+                  t.tf * ln(CAST(n_docs AS DOUBLE) / df) AS score
+           FROM tfa t JOIN dfa USING (w), n),
+         ranked AS (
+           SELECT doc_id, w, tf, score,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, w) AS rank
+           FROM scored)
+         SELECT doc_id, rank, w AS term, tf, round(score, 6) AS score
+         FROM ranked WHERE rank <= 3
+         ORDER BY doc_id, rank""",
     "txt8_vocab" ->
       """WITH wc AS (
            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
