@@ -22,39 +22,33 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. The data is microsecond-precision (verified: no
-    * sub-µs component), so read nanos as long and convert losslessly.
-    * Trade-off: `ts` predicates no longer push into the parquet scan —
-    * at production scale the table would be written with µs timestamps
-    * and partitioned by day, restoring pushdown + partition pruning. */
+  /** `events.ts` is parquet timestamp[us] written without the UTC
+    * flag, which Spark 4 infers as TIMESTAMP_NTZ by default. The
+    * engine's time semantics are session-UTC TimestampType throughout
+    * (all sessions pin spark.sql.session.timeZone=UTC), so disable the
+    * NTZ inference and read the column as plain TimestampType — the
+    * wall-clock values are identical under UTC, every downstream
+    * date_trunc/window/watermark behaves as documented, and ts
+    * predicates push natively into the parquet scan (µs min/max
+    * row-group stats prune). At production scale the table would also
+    * be day-partitioned, adding partition pruning on top. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions._
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Time-bounded events scan WITH parquet pushdown: a filter written
-    * against the converted `ts` cannot push through
-    * `timestamp_micros(ts div 1000)`, so every time-filtered query
-    * would full-scan. Here the [lo, hi) bound is translated to raw
-    * nanos and applied to the long column BEFORE conversion — it
-    * reaches the reader as `PushedFilters: [GreaterThanOrEqual(ts,…),
-    * LessThan(ts,…)]` and prunes row groups via int64 min/max stats.
-    * At production scale the table would also be day-partitioned,
-    * adding partition pruning on top. Bounds are UTC
+  /** Time-bounded events scan. With µs timestamps in the file the
+    * bound is a plain comparison the file-source strategy pushes as
+    * `PushedFilters: [GreaterThanOrEqual(ts,…), LessThan(ts,…)]` —
+    * no raw-column rewrite needed (the historical int64-nanos layout
+    * required one; see git history of this file). Bounds are UTC
     * "yyyy-MM-dd HH:mm:ss" strings (harness convention). */
   def eventsBetween(s: SparkSession, d: String,
                     loUtc: String, hiUtc: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    def ns(t: String): Long =
-      java.time.LocalDateTime.parse(t.replace(' ', 'T'))
-        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
-    table(s, d, "events")
-      .filter(col("ts") >= ns(loUtc) && col("ts") < ns(hiUtc))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    events(s, d)
+      .filter(col("ts") >= to_timestamp(lit(loUtc)) &&
+              col("ts") < to_timestamp(lit(hiUtc)))
   }
   /** documents.text drives per-row-CPU operators (fingerprinting,
     * tokenization, sentiment), whose parallelism comes entirely from

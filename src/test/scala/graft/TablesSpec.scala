@@ -4,8 +4,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
 /** Scan-shape checks: the bounded events scan must reach the parquet
-  * reader as pushed int64 filters (row-group pruning), and must return
-  * exactly the same rows as the post-conversion timestamp filter.
+  * reader as pushed µs-timestamp filters (row-group pruning), and a
+  * filter written directly against `ts` must push identically — with
+  * the timestamp[us] layout there is no conversion layer for a
+  * predicate to get stuck above.
   */
 class TablesSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -22,13 +24,14 @@ class TablesSpec extends AnyFunSuite {
     assert(scan.contains("GreaterThanOrEqual(ts") &&
            scan.contains("LessThan(ts"),
       s"ts bounds not pushed: $scan")
-    // the naive form (filter above the conversion) must NOT push them —
-    // that asymmetry is the reason eventsBetween exists
+    // an ad-hoc filter on ts must push just as well — pushdown is
+    // native to the timestamp[us] layout, not a property of the helper
     val naive = Tables.events(spark, sf)
       .filter(col("ts") >= lit(Lo) && col("ts") < lit(Hi))
       .queryExecution.executedPlan.toString
     val naiveScan = naive.linesIterator.find(_.contains("PushedFilters")).get
-    assert(!naiveScan.contains("GreaterThanOrEqual(ts"))
+    assert(naiveScan.contains("GreaterThanOrEqual(ts"),
+      s"ad-hoc ts bound not pushed: $naiveScan")
   }
 
   test("eventsBetween equals the post-conversion filter row-for-row") {

@@ -12,15 +12,14 @@ import graft.SparkTestSession
 class IntervalJoinSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
-  /** events fixture: ts written as raw nanos (Long), matching the
-    * harness parquet convention that Tables.events converts from. */
+  /** events fixture: ts written as TimestampType, matching the
+    * harness parquet timestamp[us] convention Tables.events reads. */
   private def events(rows: (Long, String, Long, Double)*): String = {
     val d = SparkTestSession.fixtureDir("ij-fix")
     import spark.implicits._
     rows.toSeq.zipWithIndex
       .map { case ((uid, tsStr, eid, v), _) =>
-        val micros = java.sql.Timestamp.valueOf(tsStr).getTime * 1000L
-        (eid, micros * 1000L, uid, "click", v, "{}")
+        (eid, java.sql.Timestamp.valueOf(tsStr), uid, "click", v, "{}")
       }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")

@@ -68,8 +68,8 @@ class StatsSpec extends AnyFunSuite {
     val purch = Seq(2.0, 3.0, 3.0, 5.0)
     (click.map(("click", _)) ++ purch.map(("purchase", _)))
       .zipWithIndex
-      .map { case ((t, v), i) => (i.toLong, i.toLong * 1000000000L,
-        i.toLong, t, v, "{}") }
+      .map { case ((t, v), i) => (i.toLong,
+        new java.sql.Timestamp(i.toLong * 1000L), i.toLong, t, v, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
     val row = Stats.queries("a35_mannwhitney")(spark, d).head()
