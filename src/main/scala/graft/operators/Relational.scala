@@ -860,6 +860,92 @@ object Relational {
         ORDER BY event_type, day""")
     }),
 
+    // SQL11: TPC-H Q10 shape — returned-item revenue by customer over
+    // a quarter: a 4-way join where the FACT side (lineitem) is
+    // flag-filtered, the mid table (orders) date-filtered, and the
+    // dimensions (customer, nation) broadcast; the grouped revenue
+    // tops out with LIMIT 20 → TakeOrderedAndProject, never a global
+    // sort. Exercises the mixed join tree SQL2/SQL3 don't: a
+    // selective fact filter UNDER a selective mid-table filter, where
+    // join order (orders⋈lineitem first, dims after) decides whether
+    // the big shuffle carries 3 columns or 8. Decimal revenue sums;
+    // c_custkey tiebreak pins the top-20.
+    "sql11_tpch_q10" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT c_custkey, c_name,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(24,10))) AS DOUBLE), 6) AS revenue,
+               c_acctbal, n_name
+        FROM customer_v
+             JOIN orders_v   ON c_custkey = o_custkey
+             JOIN lineitem_v ON l_orderkey = o_orderkey
+             JOIN nation_v   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20""")
+    }),
+
+    // SQL12: TPC-H Q18 shape — large-volume orders: an IN subquery
+    // whose inner is itself a grouped HAVING aggregate over the fact
+    // table. Catalyst decorrelates the IN into a left-semi join
+    // against the aggregated key set — the fact table is aggregated
+    // ONCE for the filter and once for the output sum, never
+    // re-executed per row (the per-row form is |orders| scans at
+    // 100 TB). Quantity sums through DECIMAL on both engines.
+    "sql12_tpch_q18" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(sum(CAST(l_quantity AS DECIMAL(24,10))) AS DOUBLE)
+                 AS total_qty
+        FROM customer_v
+             JOIN orders_v   ON c_custkey = o_custkey
+             JOIN lineitem_v ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem_v
+                             GROUP BY l_orderkey
+                             HAVING sum(l_quantity) > 300)
+        GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20""")
+    }),
+
+    // SQL13: TPC-H Q19 shape — an OR of three brand/size/quantity
+    // conjunctions across a join. The planner test here is predicate
+    // DECOMPOSITION: from the disjunction Catalyst must still derive
+    // the common join key plus per-side implied filters
+    // (p_brand IN (…) pushes to the part scan, the l_quantity
+    // envelope to the lineitem scan) so both inputs prune BEFORE the
+    // join, with the full disjunction left as a residual — an engine
+    // that only pushes conjuncts scans everything at 100 TB. Part is
+    // tiny → broadcast.
+    "sql13_disjunctive_scan" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT l_returnflag,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(24,10))) AS DOUBLE), 6) AS revenue,
+               count(*) AS n
+        FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 30)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 5 AND 40)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 10 AND 50)
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    }),
+
     // U4: INTERSECT — distinct (user, day) pairs where a click AND a
     // purchase both happened: the set-semantics operator (Catalyst
     // plans it as a distinct + left-semi hash join — keyed shuffle,
@@ -1639,6 +1725,48 @@ object Relational {
          FROM e
          GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))
          ORDER BY event_type, day""",
+    "sql11_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+                round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(24,10))) AS DOUBLE), 6) AS revenue,
+                c_acctbal, n_name
+         FROM customer
+              JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN nation   ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+           AND l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey
+         LIMIT 20""",
+    "sql12_tpch_q18" ->
+      """SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                CAST(sum(CAST(l_quantity AS DECIMAL(24,10))) AS DOUBLE)
+                  AS total_qty
+         FROM customer
+              JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey
+                              HAVING sum(l_quantity) > 300)
+         GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 20""",
+    "sql13_disjunctive_scan" ->
+      """SELECT l_returnflag,
+                round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(24,10))) AS DOUBLE), 6) AS revenue,
+                count(*) AS n
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 30)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                AND l_quantity BETWEEN 5 AND 40)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                AND l_quantity BETWEEN 10 AND 50)
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
     "a36_rfm" ->
       """WITH per AS (
            SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,

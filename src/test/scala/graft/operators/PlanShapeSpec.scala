@@ -305,6 +305,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("sql11 (TPC-H Q10): top-k over the join, dims broadcast") {
+    val plan = planOf(Relational.queries, "sql11_tpch_q10")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("sql12 (TPC-H Q18): the IN subquery decorrelates to one semi join") {
+    // the HAVING-aggregated key set must join as LeftSemi — the fact
+    // table is aggregated once, never re-executed per outer row
+    val plan = planOf(Relational.queries, "sql12_tpch_q18")
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("sql13 (TPC-H Q19): implied per-side filters pushed from the OR") {
+    // from the disjunction of conjunctions Catalyst must derive
+    // scan-level filters for BOTH sides (p_brand IN (...) on part,
+    // the l_quantity envelope on lineitem) so each input prunes
+    // before the join — the full OR stays as a residual
+    val plan = planOf(Relational.queries, "sql13_disjunctive_scan")
+    val scans = plan.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    // part scan: the brand/size disjunction reaches PushedFilters
+    assert(scans.contains("EqualTo(p_brand,Brand#1"),
+      s"no implied part-side pushdown:\n$scans")
+    // lineitem scan: the quantity envelope disjunction reaches it too
+    assert(scans.contains("GreaterThanOrEqual(l_quantity"),
+      s"no implied lineitem-side pushdown:\n$scans")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("sql6: three window specs on one key plan a single shuffle") {
     // row_number, lag, and count(*) all partition by o_custkey — the
     // Window operators must share ONE hash exchange, not re-shuffle
