@@ -39,6 +39,13 @@ object Windows {
   private val EwmaK = 24
   private def ewmaWeight(j: Int): Double = math.pow(19.0 / 21.0, j)
 
+  /** W20's truncation depth and span-parametrized weights (decay
+    * q = (span−1)/(span+1), i.e. pandas `ewm(span=…, adjust=True)`),
+    * shared by the query and the generated oracle like W12's. */
+  private val MacdK = 24
+  private def macdWeight(span: Int, j: Int): Double =
+    math.pow((span - 1.0) / (span + 1.0), j)
+
   /** W12 oracle, generated from the same constants. Weights are
     * emitted in 17-significant-digit EXPONENT form: e-notation
     * literals parse as DOUBLE in DuckDB (plain decimals parse as
@@ -65,6 +72,88 @@ object Windows {
                 ($num) / ($den) AS ewma
          FROM lagged
          ORDER BY user_id, event_id"""
+  }
+
+  /** The per-type daily price series shared by the W19/W20 oracles —
+    * the VARCHAR round-trip pins the decimal→double conversion to the
+    * correctly-rounded value (see the verify notes). */
+  private val DailyPxCte =
+    """daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS px
+           FROM events GROUP BY 1, 2)"""
+
+  /** W19 oracle — same decimal sliding sums, same RS→RSI map. */
+  private def rsiOracleSql: String =
+    s"""WITH $DailyPxCte,
+         d AS (
+           SELECT event_type, day, px,
+                  px - lag(px, 1) OVER (PARTITION BY event_type
+                                        ORDER BY day) AS delta
+           FROM daily),
+         g AS (
+           SELECT event_type, day, px, delta,
+                  CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS gain,
+                  CASE WHEN delta < 0 THEN -delta ELSE 0.0 END AS loss
+           FROM d),
+         r AS (
+           SELECT event_type, day, px,
+                  count(delta) OVER f AS n,
+                  CAST(CAST(sum(CAST(gain AS DECIMAL(30,12))) OVER f
+                       AS VARCHAR) AS DOUBLE) AS sg,
+                  CAST(CAST(sum(CAST(loss AS DECIMAL(30,12))) OVER f
+                       AS VARCHAR) AS DOUBLE) AS sl
+           FROM g
+           WINDOW f AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+       SELECT event_type, day, round(px, 6) AS px,
+              round(CASE WHEN sl = 0 THEN 100.0
+                         ELSE 100.0 - 100.0 /
+                              (1.0 + (sg / n) / (sl / n)) END, 6) AS rsi
+       FROM r WHERE n = 14 ORDER BY event_type, day"""
+
+  /** W20 oracle, generated from the same span constants and MacdK as
+    * the query (same 17-digit literal weights, same left-associated
+    * sums — see ewmaOracleSql for the emission rules). */
+  private def macdOracleSql: String = {
+    def w(span: Int, j: Int): String = "%.17e".formatLocal(
+      java.util.Locale.ROOT, macdWeight(span, j))
+    def ewma(span: Int, c0: String, p: String): String = {
+      def cn(j: Int) = if (j == 0) c0 else s"$p$j"
+      def term(j: Int, body: String): String =
+        s"CASE WHEN ${cn(j)} IS NOT NULL THEN $body ELSE 0.0 END"
+      val num = (0 until MacdK).map(j =>
+        term(j, s"${w(span, j)} * ${cn(j)}")).mkString(" + ")
+      val den = (0 until MacdK).map(j =>
+        term(j, w(span, j))).mkString(" + ")
+      s"(($num) / ($den))"
+    }
+    val pxLags = (1 until MacdK).map(j =>
+      s"lag(px, $j) OVER wt AS l$j").mkString(",\n                  ")
+    val mLags = (1 until MacdK).map(j =>
+      s"lag(macd, $j) OVER wt AS m$j").mkString(",\n                  ")
+    s"""WITH $DailyPxCte,
+         lagged AS (
+           SELECT event_type, day, px,
+                  $pxLags
+           FROM daily
+           WINDOW wt AS (PARTITION BY event_type ORDER BY day)),
+         m AS (
+           SELECT event_type, day,
+                  ${ewma(12, "px", "l")} - ${ewma(26, "px", "l")} AS macd
+           FROM lagged),
+         lagged2 AS (
+           SELECT event_type, day, macd,
+                  $mLags
+           FROM m
+           WINDOW wt AS (PARTITION BY event_type ORDER BY day)),
+         sig AS (
+           SELECT event_type, day, macd,
+                  ${ewma(9, "macd", "m")} AS signal
+           FROM lagged2)
+       SELECT event_type, day, macd, signal, macd - signal AS hist
+       FROM sig ORDER BY event_type, day"""
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -266,6 +355,90 @@ object Windows {
             sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
                  (col("n") * col("syy") - col("sy") * col("sy"))), 6)
             .as("roll_corr"))
+        .orderBy("event_type", "day")
+    }),
+
+    // W19: RSI (relative strength index, Cutler's simple-average form)
+    // — the overbought/oversold oscillator on the dashboard the
+    // reference renders price panels for. Per-type daily series (same
+    // decimal-exact base as W15/W18), then one sliding 14-delta frame:
+    // gains and losses sum through DECIMAL (pinned accumulation
+    // order), the RS ratio and the 100−100/(1+RS) map are elementwise
+    // IEEE over identical doubles, round6 absorbs the division chain.
+    // Cutler's SMA variant rather than Wilder's recursive smoothing
+    // precisely because it is window-expressible — a recursion would
+    // need a sequential fold (T7's machinery) and can't oracle-check.
+    // Scale: hash agg to O(types×days), then per-type incremental
+    // frames — nothing touches the raw fact table twice.
+    "w19_rsi" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("px"))
+      val wT = Window.partitionBy("event_type").orderBy("day")
+      val frame = wT.rowsBetween(-13, 0)
+      val withDelta = daily
+        .withColumn("delta", col("px") - lag(col("px"), 1).over(wT))
+        .withColumn("gain",
+          when(col("delta") > 0, col("delta")).otherwise(lit(0.0)))
+        .withColumn("loss",
+          when(col("delta") < 0, -col("delta")).otherwise(lit(0.0)))
+      def s14(c: Column) = sum(c.cast("decimal(30,12)")).over(frame)
+        .cast("double")
+      withDelta
+        .withColumn("n", count(col("delta")).over(frame))
+        .withColumn("sg", s14(col("gain")))
+        .withColumn("sl", s14(col("loss")))
+        .filter(col("n") === 14)
+        .select(col("event_type"), col("day"), r6(col("px")).as("px"),
+          r6(when(col("sl") === 0, lit(100.0))
+            .otherwise(lit(100.0) - lit(100.0) /
+              (lit(1.0) + (col("sg") / col("n")) / (col("sl") / col("n")))))
+            .as("rsi"))
+        .orderBy("event_type", "day")
+    }),
+
+    // W20: MACD (12/26 EWMA spread + 9-span signal line + histogram)
+    // — the trend-following indicator beside W19's oscillator, and
+    // the compositional stress test of W12's truncated-EWMA design:
+    // THREE spans over TWO cascaded series (px, then the derived macd
+    // line) in one plan. Both EWMA passes share one per-type window
+    // cascade — the 2×(K−1) lag projections are pure map work over
+    // the O(types×days) daily frame, and Catalyst plans ONE hash
+    // exchange for the whole cascade (the second Window's
+    // partitioning is satisfied by the first's — plan-asserted).
+    // Same float discipline as W12: identical literal weights
+    // (17-digit round-trip into the generated oracle), identical
+    // left-associated summation, raw-double outputs hash-match with
+    // no rounding grid.
+    "w20_macd" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("px"))
+      val wT = Window.partitionBy("event_type").orderBy("day")
+      def ewma(span: Int, cn: Int => Column): Column = {
+        val terms = (0 until MacdK).map { j =>
+          val c = cn(j)
+          (when(c.isNotNull, lit(macdWeight(span, j)) * c)
+             .otherwise(lit(0.0)),
+           when(c.isNotNull, lit(macdWeight(span, j))).otherwise(lit(0.0)))
+        }
+        terms.map(_._1).reduce(_ + _) / terms.map(_._2).reduce(_ + _)
+      }
+      val lagged = (1 until MacdK).foldLeft(daily)((df, j) =>
+        df.withColumn(s"l$j", lag(col("px"), j).over(wT)))
+      def lcol(j: Int) = if (j == 0) col("px") else col(s"l$j")
+      val withMacd = lagged
+        .withColumn("macd", ewma(12, lcol) - ewma(26, lcol))
+        .select(col("event_type"), col("day"), col("macd"))
+      val lagged2 = (1 until MacdK).foldLeft(withMacd)((df, j) =>
+        df.withColumn(s"m$j", lag(col("macd"), j).over(wT)))
+      def mcol(j: Int) = if (j == 0) col("macd") else col(s"m$j")
+      lagged2
+        .withColumn("signal", ewma(9, mcol))
+        .select(col("event_type"), col("day"), col("macd"),
+          col("signal"), (col("macd") - col("signal")).as("hist"))
         .orderBy("event_type", "day")
     }),
 
@@ -575,6 +748,8 @@ object Windows {
                 max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
          FROM s GROUP BY 1, 2 ORDER BY user_id, sess_id""",
     "w12_ewma" -> ewmaOracleSql,
+    "w19_rsi" -> rsiOracleSql,
+    "w20_macd" -> macdOracleSql,
     "w11_gap_fill" ->
       """WITH daily AS (
            SELECT user_id, date_trunc('day', ts) AS day,

@@ -338,6 +338,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("w20 MACD: both EWMA passes share one per-type hash exchange") {
+    // the px-lag cascade and the macd-lag cascade window over the
+    // same (event_type, day-ordered) spec — the second Window sits
+    // DIRECTLY on the first (no exchange or sort between them), so
+    // the whole plan has exactly two hash exchanges: the daily
+    // aggregate's and the windows' shared per-type repartition
+    val plan = planOf(Windows.queries, "w20_macd")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2,
+      s"expected two hash exchanges:\n${plan.take(1500)}")
+    val ops = plan.linesIterator
+      .filter(l => l.contains("Window") || l.contains("Exchange"))
+      .map(_.trim.takeWhile(_ != '[')).toList
+    val wins = ops.zipWithIndex.filter(_._1.contains("Window")).map(_._2)
+    assert(wins.size == 2 && (wins(1) - wins(0)).abs == 1,
+      s"windows not adjacent: $ops")
+  }
+
   test("sql6: three window specs on one key plan a single shuffle") {
     // row_number, lag, and count(*) all partition by o_custkey — the
     // Window operators must share ONE hash exchange, not re-shuffle
