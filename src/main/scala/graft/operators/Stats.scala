@@ -456,7 +456,88 @@ object Stats {
         .filter(col("rn") === 1)
         .select(lit("worst").as("kind"), col("month"), r6(col("ret")).as("ret"))
       best.unionByName(worst).orderBy("kind")
-    })
+    }),
+
+    // A40: autocorrelation function — ACF(1..5) of each type's daily
+    // series, the serial-dependence diagnostic behind every
+    // stationarity / seasonality check (and the quantity the
+    // reference's lag analysis implicitly sweeps: lag_grid correlates
+    // sentiment against FUTURE returns; ACF is the same machinery
+    // pointed at the series' own past). One per-type window cascade
+    // builds the K lag columns, stack() unpivots them to (lag_k,
+    // prev) rows, and one grouped corr per (type, lag) finishes —
+    // the fact table aggregates once, the windows run over
+    // O(types×days) rows, and corr at round6 is the proven A2
+    // cross-engine discipline. Scale: identical to W18-W20's daily
+    // frame; K widens columns, never rows.
+    "a40_acf" -> ((s, d) => {
+      val K = 5
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("px"))
+      val wT = Window.partitionBy("event_type").orderBy("day")
+      val lagged = (1 to K).foldLeft(daily)((df, j) =>
+        df.withColumn(s"l$j", lag(col("px"), j).over(wT)))
+      lagged.select(col("event_type"), col("px"),
+          expr(s"stack($K, ${(1 to K).map(j => s"$j, l$j").mkString(", ")})")
+            .as(Seq("lag_k", "prev")))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("event_type"), col("lag_k"))
+        .agg(r6(corr(col("px"), col("prev"))).as("acf"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type", "lag_k")
+    }),
+
+    // A41: χ² test of independence — is event_type distributed
+    // independently of day-of-week? The categorical association test
+    // beside A29's goodness-of-fit (fixed expected law) — here the
+    // expected counts come from the MARGINS (row_total × col_total /
+    // N). Per-cell output (obs, expected, term) is fully
+    // oracle-checkable like A29; the grid completes missing cells
+    // via a margins cross join (5×7 rows — broadcast-trivial) so a
+    // zero-observation cell still contributes its expected mass.
+    // All inputs are exact integer counts (<2^53 — products exact in
+    // double), so only the final division chain needs round6.
+    "a41_chi2_independence" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_type"), dayofweek(col("ts")).as("dow"))
+      val obs = base.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n"))
+      val rowT = obs.groupBy("event_type").agg(sum(col("n")).as("rt"))
+      val colT = obs.groupBy("dow").agg(sum(col("n")).as("ct"))
+      val tot = obs.agg(sum(col("n")).as("t"))
+      rowT.crossJoin(colT)
+        .join(obs, Seq("event_type", "dow"), "left")
+        .na.fill(0L, Seq("n"))
+        .crossJoin(broadcast(tot))
+        .withColumn("expected",
+          col("rt").cast("double") * col("ct") / col("t"))
+        .withColumn("term",
+          (col("n").cast("double") - col("expected")) *
+            (col("n").cast("double") - col("expected")) / col("expected"))
+        .select(col("event_type"), col("dow"), col("n"),
+          r6(col("expected")).as("expected"), r6(col("term")).as("term"))
+        .orderBy("event_type", "dow")
+    }),
+
+    // A41 p-value twin — χ² folded in (type, dow) order over the
+    // oracle-checked rounded terms (the A29 pattern), df derived from
+    // the observed margins ((R−1)(C−1)), upper-tail p via the
+    // ChiSquarePValue codegen kernel. Rows-only; anchored in
+    // StatsSpec by recomputation from a41's oracle-checked rows.
+    "a41_chi2_pvalue" -> ((s, d) =>
+      queries("a41_chi2_independence")(s, d)
+        .agg(
+          aggregate(
+            array_sort(collect_list(struct(col("event_type"), col("dow"),
+              col("term")))),
+            lit(0.0d), (acc, x) => acc + x.getField("term")).as("chi2"),
+          ((countDistinct(col("event_type")) - 1) *
+            (countDistinct(col("dow")) - 1)).as("df"))
+        .select(r6(col("chi2")).as("chi2"), col("df"),
+          r6(graft.functions.ChiSquarePValue.pValue(col("chi2"),
+            col("df").cast("double"))).as("p_value")))
   )
 
   /** Benford expectations emitted as 17-digit e-notation literals —
@@ -591,6 +672,52 @@ object Stats {
                       (pow(var_a / n_a, 2) / (n_a - 1) +
                        pow(var_b / n_b, 2) / (n_b - 1)), 6) AS df_welch
          FROM agg""",
+    "a40_acf" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS px
+           FROM events GROUP BY 1, 2),
+         lagged AS (
+           SELECT event_type, px,
+                  lag(px, 1) OVER wt AS l1, lag(px, 2) OVER wt AS l2,
+                  lag(px, 3) OVER wt AS l3, lag(px, 4) OVER wt AS l4,
+                  lag(px, 5) OVER wt AS l5
+           FROM daily
+           WINDOW wt AS (PARTITION BY event_type ORDER BY day)),
+         s AS (
+           SELECT event_type, 1 AS lag_k, px, l1 AS prev FROM lagged
+           UNION ALL
+           SELECT event_type, 2, px, l2 FROM lagged
+           UNION ALL
+           SELECT event_type, 3, px, l3 FROM lagged
+           UNION ALL
+           SELECT event_type, 4, px, l4 FROM lagged
+           UNION ALL
+           SELECT event_type, 5, px, l5 FROM lagged)
+         SELECT event_type, CAST(lag_k AS INT) AS lag_k,
+                round(corr(px, prev), 6) AS acf, count(*) AS n
+         FROM s WHERE prev IS NOT NULL
+         GROUP BY 1, 2 ORDER BY event_type, lag_k""",
+    "a41_chi2_independence" ->
+      """WITH base AS (
+           SELECT event_type, dayofweek(ts) + 1 AS dow FROM events),
+         obs AS (
+           SELECT event_type, dow, count(*) AS n FROM base GROUP BY 1, 2),
+         rt AS (SELECT event_type, sum(n) AS rt FROM obs GROUP BY 1),
+         ct AS (SELECT dow, sum(n) AS ct FROM obs GROUP BY 1),
+         tot AS (SELECT sum(n) AS t FROM obs),
+         grid AS (
+           SELECT r.event_type, c.dow, coalesce(o.n, 0) AS n,
+                  CAST(r.rt AS DOUBLE) * c.ct / tot.t AS expected
+           FROM rt r CROSS JOIN ct c
+                LEFT JOIN obs o ON o.event_type = r.event_type
+                              AND o.dow = c.dow, tot)
+         SELECT event_type, CAST(dow AS INT) AS dow, CAST(n AS BIGINT) AS n,
+                round(expected, 6) AS expected,
+                round((CAST(n AS DOUBLE) - expected) *
+                      (CAST(n AS DOUBLE) - expected) / expected, 6) AS term
+         FROM grid ORDER BY event_type, dow""",
     "a2_pearson_corr" ->
       """SELECT event_type,
                 round(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS r,

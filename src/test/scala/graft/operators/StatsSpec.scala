@@ -137,6 +137,27 @@ class StatsSpec extends AnyFunSuite {
     assert(pv.getDouble(2) >= 0.0 && pv.getDouble(2) <= 1.0)
   }
 
+  test("a41_chi2_pvalue anchors to the oracle-checked contingency cells") {
+    val rows = Stats.queries("a41_chi2_independence")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(4))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    val nTypes = rows.map(_._1._1).distinct.length
+    val nDows = rows.map(_._1._2).distinct.length
+    assert(rows.length == nTypes * nDows, "margin grid incomplete")
+    val pv = Stats.queries("a41_chi2_pvalue")(spark, sf).head()
+    // chi2 is the cell-ordered fold of a41's oracle-checked terms
+    val chi2 = math.rint(rows.map(_._2).sum * 1e6) / 1e6
+    assert(math.abs(pv.getDouble(0) - chi2) <= 1e-6,
+      s"chi2 ${pv.getDouble(0)} vs recomputed $chi2")
+    val df = (nTypes - 1L) * (nDows - 1L)
+    assert(pv.getLong(1) == df, s"df ${pv.getLong(1)} vs $df")
+    val want = math.rint(graft.functions.StudentT.chiSqPValue(
+      pv.getDouble(0), df.toDouble) * 1e6) / 1e6
+    assert(math.abs(pv.getDouble(2) - want) <= 1e-6)
+    assert(pv.getDouble(2) >= 0.0 && pv.getDouble(2) <= 1.0)
+  }
+
   test("a3_corr_pvalue rows are oracle-verified grid cells") {
     val cells = Stats.queries("a3_corr_grid")(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1)) ->
