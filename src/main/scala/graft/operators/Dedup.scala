@@ -423,6 +423,47 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // D12: triangle counting over the near-dup graph — the local
+    // clustering signal that separates a tight plagiarism ring (dense
+    // triangles) from a hub doc that merely shares boilerplate with
+    // many others (star, no triangles). Uses the DEGREE-ORDERED
+    // orientation: every edge points from its (degree, id)-smaller
+    // endpoint, so wedges enumerate only from each triangle's
+    // minimum vertex and the wedge count is bounded by O(m·α)
+    // (arboricity), not Σdeg² — the difference between feasible and
+    // quadratic on a power-law graph at 100 TB. Both joins are keyed
+    // hash joins (src; then (v,w) pair), never all-pairs. Fully
+    // oracle-checked: DuckDB replays the identical orientation and
+    // wedge-close arithmetic over the same pair SQL.
+    "d12_triangle_count" -> ((s, d) => {
+      val und = TextAnalysis.ngramJaccardPairs(s, d, maxId = 200,
+        minJ = 0.01).select(col("da"), col("db"))
+      val deg = und.select(col("da").as("v"))
+        .unionAll(und.select(col("db").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+      val wd = und
+        .join(deg.select(col("v").as("da"), col("dg").as("dga")), Seq("da"))
+        .join(deg.select(col("v").as("db"), col("dg").as("dgb")), Seq("db"))
+      val aFirst = col("dga") < col("dgb") ||
+        (col("dga") === col("dgb") && col("da") < col("db"))
+      val e = wd.select(
+        when(aFirst, col("da")).otherwise(col("db")).as("src"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dst"),
+        when(aFirst, col("dgb")).otherwise(col("dga")).as("ddst"))
+      val wedges = e.as("x").join(e.as("y"),
+          col("x.src") === col("y.src") &&
+            (col("x.ddst") < col("y.ddst") ||
+             (col("x.ddst") === col("y.ddst") &&
+              col("x.dst") < col("y.dst"))))
+        .select(col("x.src").as("u"), col("x.dst").as("v"),
+          col("y.dst").as("w"))
+      val tri = wedges.join(
+        e.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      tri.select(explode(array(col("u"), col("v"), col("w"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+        .orderBy("doc_id")
+    }),
+
     // D4: 64-bit SimHash signature per document (bitstring form).
     "d4_simhash" -> ((s, d) =>
       simhashBitSums(s, d)
@@ -453,6 +494,50 @@ object Dedup {
   /** xxhash64 has no DuckDB equivalent → rows-only for the hash-family
     * queries; the md5-based exact incremental twin IS oracle-checked. */
   val oracles: Map[String, String] = Map(
+    // same pair SQL (maxId 200, threshold 0.01), then the identical
+    // degree-ordered orientation + wedge-close join as the query
+    "d12_triangle_count" ->
+      """WITH docs AS (
+             SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             FROM documents WHERE doc_id < 200),
+           sh AS (
+             SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+             FROM docs WHERE len(t) >= 3),
+           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           inter AS (
+             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           pairs AS (
+             SELECT da, db FROM inter
+             JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+             WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.01),
+           deg AS (
+             SELECT v, count(*) AS dg FROM (
+               SELECT da AS v FROM pairs
+               UNION ALL SELECT db AS v FROM pairs)
+             GROUP BY 1),
+           e AS (
+             SELECT CASE WHEN x.dg < y.dg OR (x.dg = y.dg AND da < db)
+                         THEN da ELSE db END AS src,
+                    CASE WHEN x.dg < y.dg OR (x.dg = y.dg AND da < db)
+                         THEN db ELSE da END AS dst,
+                    CASE WHEN x.dg < y.dg OR (x.dg = y.dg AND da < db)
+                         THEN y.dg ELSE x.dg END AS ddst
+             FROM pairs JOIN deg x ON da = x.v JOIN deg y ON db = y.v),
+           wed AS (
+             SELECT a.src AS u, a.dst AS v1, b.dst AS w1
+             FROM e a JOIN e b ON a.src = b.src
+               AND (a.ddst < b.ddst
+                    OR (a.ddst = b.ddst AND a.dst < b.dst))),
+           tri AS (
+             SELECT u, v1, w1 FROM wed
+             JOIN e ON wed.v1 = e.src AND wed.w1 = e.dst)
+         SELECT doc_id, count(*) AS n_tri
+         FROM (SELECT unnest([u, v1, w1]) AS doc_id FROM tri)
+         GROUP BY 1 ORDER BY doc_id""",
     // same pair SQL as d2 (threshold 0.02), components via recursive
     // transitive closure: reach(id, r) = every doc reachable from id,
     // canonical = min reachable

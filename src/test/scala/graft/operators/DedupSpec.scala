@@ -90,6 +90,28 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d12 degree-oriented count equals the naive closed-wedge count") {
+    // the degree-ordered orientation is an optimization, not a
+    // semantics change: per-doc triangle counts must equal a
+    // sequential adjacency-set recomputation over the same edges
+    val sf = SparkTestSession.Sf0001
+    val und = TextAnalysis.ngramJaccardPairs(spark, sf, maxId = 200,
+        minJ = 0.01)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val want = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- und; c <- adj(a) if c > b && adj(b).contains(c)) {
+      want(a) += 1; want(b) += 1; want(c) += 1
+    }
+    val got = Dedup.queries("d12_triangle_count")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(want.nonEmpty, "vacuous: no triangles at sf0.001")
+    assert(got == want.toMap,
+      s"mismatch: got ${got.toSeq.sorted} want ${want.toSeq.sorted}")
+  }
+
   test("LSH recall: banding surfaces the high-Jaccard pairs D2 knows about") {
     // the cross-anchor above proves PRECISION (every surfaced pair
     // carries D2's oracle-verified jaccard); this is the other
