@@ -421,6 +421,44 @@ object TextAnalysis {
           })).as("entropy"))
         .orderBy("doc_id")),
 
+    // TXT15: Zipf's-law fit — OLS of ln(freq) on ln(rank) over the
+    // top-100 vocabulary: the one-number distributional health check
+    // for a corpus (natural text slopes ≈ −1; boilerplate-flooded or
+    // templated corpora flatten/steepen it) that sits beside TXT8's
+    // raw ranks and TXT13's per-doc entropy. Float discipline: the
+    // ln() values are ≤1-ulp libm; the five OLS sums go through
+    // DECIMAL(30,12) so accumulation order can't move them, and
+    // round6 absorbs the final division chain (the W18 playbook).
+    // Scale: the rank window runs over the top of an aggregated
+    // vocab, not the corpus; everything before it is one map-side-
+    // combinable hash agg.
+    "txt15_zipf" -> ((s, d) => {
+      val w = Window.orderBy(col("n").desc, col("w"))
+      val ranked = Tables.documents(s, d)
+        .select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 100)
+      def dsum(c: Column) = sum(c.cast("decimal(30,12)")).cast("double")
+      val x = log(col("rank").cast("double"))
+      val y = log(col("n").cast("double"))
+      ranked
+        .agg(count(lit(1)).as("k"), dsum(x).as("sx"), dsum(y).as("sy"),
+          dsum(x * x).as("sxx"), dsum(x * y).as("sxy"),
+          dsum(y * y).as("syy"))
+        .withColumn("slope",
+          (col("k") * col("sxy") - col("sx") * col("sy")) /
+            (col("k") * col("sxx") - col("sx") * col("sx")))
+        .select(col("k"), r6(col("slope")).as("slope"),
+          r6((col("sy") - col("slope") * col("sx")) / col("k"))
+            .as("intercept"),
+          r6((col("k") * col("sxy") - col("sx") * col("sy")) *
+             (col("k") * col("sxy") - col("sx") * col("sy")) /
+             ((col("k") * col("sxx") - col("sx") * col("sx")) *
+              (col("k") * col("syy") - col("sy") * col("sy"))))
+            .as("r2"))
+    }),
+
     // D1: exact dedup — md5 content hash, keep lowest doc_id per hash.
     "d1_exact_dedup" -> ((s, d) => {
       val hashed = Tables.documents(s, d)
@@ -445,6 +483,37 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "txt15_zipf" ->
+      """WITH wc AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+           FROM documents),
+         agg AS (SELECT w, count(*) AS n FROM wc GROUP BY 1),
+         ranked AS (
+           SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rank
+           FROM agg QUALIFY rank <= 100),
+         s AS (
+           SELECT count(*) AS k,
+                  CAST(CAST(sum(CAST(ln(CAST(rank AS DOUBLE))
+                       AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) AS sx,
+                  CAST(CAST(sum(CAST(ln(CAST(n AS DOUBLE))
+                       AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) AS sy,
+                  CAST(CAST(sum(CAST(ln(CAST(rank AS DOUBLE)) *
+                       ln(CAST(rank AS DOUBLE))
+                       AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) AS sxx,
+                  CAST(CAST(sum(CAST(ln(CAST(rank AS DOUBLE)) *
+                       ln(CAST(n AS DOUBLE))
+                       AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) AS sxy,
+                  CAST(CAST(sum(CAST(ln(CAST(n AS DOUBLE)) *
+                       ln(CAST(n AS DOUBLE))
+                       AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) AS syy
+           FROM ranked)
+         SELECT k,
+                round((k*sxy - sx*sy) / (k*sxx - sx*sx), 6) AS slope,
+                round((sy - ((k*sxy - sx*sy) / (k*sxx - sx*sx)) * sx) / k,
+                      6) AS intercept,
+                round((k*sxy - sx*sy) * (k*sxy - sx*sy) /
+                      ((k*sxx - sx*sx) * (k*syy - sy*sy)), 6) AS r2
+         FROM s""",
     "txt13_entropy" ->
       """WITH tok AS (
            SELECT doc_id,
