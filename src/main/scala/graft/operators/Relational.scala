@@ -188,6 +188,35 @@ object Relational {
       withSkewJoinConfs(s) { aqeSkewJoinPlan(s, d).localCheckpoint() }
         .orderBy("event_id")),
 
+    // J9: band join — classifying a fact column into a TINY table of
+    // half-open value bands (price tiers) via a range-condition join.
+    // With no equi key Catalyst plans BroadcastNestedLoopJoin — here
+    // that is the CORRECT 100 TB shape, not a smell: the build side
+    // is 4 fixed rows, so the "nested loop" is 4 comparisons per fact
+    // row inside whole-stage codegen (same cost as the equivalent
+    // CASE ladder) and the fact side never shuffles. The smell the
+    // plan audit polices is BNLJ against an UNBOUNDED side; the
+    // banding alternatives for large band tables are J1/J8's
+    // equi-bucket prefix joins. NULL hi = open-ended top band.
+    "j9_band_join" -> ((s, d) => {
+      val tiers = s.createDataFrame(Seq(
+          ("micro", 0.0, Some(100.0)),
+          ("small", 100.0, Some(1000.0)),
+          ("mid", 1000.0, Some(10000.0)),
+          ("large", 10000.0, None: Option[Double])))
+        .toDF("tier", "lo", "hi")
+      Tables.orders(s, d)
+        .join(broadcast(tiers),
+          col("o_totalprice") >= col("lo") &&
+            (col("hi").isNull || col("o_totalprice") < col("hi")))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("o_totalprice").cast("decimal(24,10)")).cast("double"))
+            .as("total"))
+        .select(col("tier"), col("n"), round(col("total"), 6).as("total"))
+        .orderBy("tier")
+    }),
+
     // A1: grouped avg+count per (event_type, day) — the post-J1 aggregate.
     // Ref: scripts/05_lag_analysis.py:71-76.
     "a1_grouped_avg" -> ((s, d) =>
@@ -1725,6 +1754,18 @@ object Relational {
          FROM e
          GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))
          ORDER BY event_type, day""",
+    "j9_band_join" ->
+      """WITH tiers(tier, lo, hi) AS (
+           VALUES ('micro', CAST(0 AS DOUBLE), CAST(100 AS DOUBLE)),
+                  ('small', CAST(100 AS DOUBLE), CAST(1000 AS DOUBLE)),
+                  ('mid', CAST(1000 AS DOUBLE), CAST(10000 AS DOUBLE)),
+                  ('large', CAST(10000 AS DOUBLE), CAST(NULL AS DOUBLE)))
+         SELECT tier, count(*) AS n,
+                round(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(24,10)))
+                      AS VARCHAR) AS DOUBLE), 6) AS total
+         FROM orders JOIN tiers
+           ON o_totalprice >= lo AND (hi IS NULL OR o_totalprice < hi)
+         GROUP BY tier ORDER BY tier""",
     "sql11_tpch_q10" ->
       """SELECT c_custkey, c_name,
                 round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)

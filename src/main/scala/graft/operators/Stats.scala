@@ -521,6 +521,59 @@ object Stats {
         .orderBy("event_type", "dow")
     }),
 
+    // A42: weekly seasonality index — mean daily volume per day-of-
+    // week over the grand daily mean (index 1.0 = flat week): the
+    // decomposition behind every "weekend dip" chart, and the
+    // categorical-seasonality complement to A40's lag view of the
+    // same series. Two tiny aggregates over the daily frame; the
+    // grand mean broadcasts as one row. Decimal-pinned sums at both
+    // levels (daily, then across ≤31 daily values) so accumulation
+    // order never moves the doubles; round6 absorbs the division.
+    "a42_weekly_seasonality" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("v"))
+      def dmean(c: Column) =
+        sum(c.cast("decimal(30,12)")).cast("double") / count(lit(1))
+      val byDow = daily
+        .groupBy(dayofweek(col("day")).as("dow"))
+        .agg(dmean(col("v")).as("dow_mean"), count(lit(1)).as("n_days"))
+      val overall = daily.agg(dmean(col("v")).as("grand_mean"))
+      byDow.crossJoin(broadcast(overall))
+        .select(col("dow"), col("n_days"), r6(col("dow_mean")).as("dow_mean"),
+          r6(col("dow_mean") / col("grand_mean")).as("seasonal_index"))
+        .orderBy("dow")
+    }),
+
+    // A43: Spearman rank correlation — A2's monotone-association
+    // robust sibling: Pearson over MIDRANKS, exact under ties (the
+    // A35 discipline: midrank = rank + (t−1)/2, an exactly-
+    // representable half-integer, so the rank transform is
+    // order-insensitive by construction; corr at round6 is the
+    // proven A2 cross-engine bar). Two ranking windows per type +
+    // one grouped corr — ranks partition by event_type, so the
+    // shuffle is the same even per-entity spread as every window
+    // here; no global sort.
+    "a43_spearman" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_type"), col("value"),
+          get_json_object(col("props"), "$.k").cast("double").as("k"))
+        .filter(col("value").isNotNull && col("k").isNotNull)
+      def midrank(name: String) =
+        rank().over(Window.partitionBy("event_type").orderBy(col(name)))
+          .cast("double") +
+          (count(lit(1)).over(Window.partitionBy("event_type", name))
+            .cast("double") - 1) / 2
+      val ranked = base
+        .withColumn("rv", midrank("value"))
+        .withColumn("rk", midrank("k"))
+      ranked.groupBy("event_type")
+        .agg(r6(corr(col("rv"), col("rk"))).as("rho"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
     // A41 p-value twin — χ² folded in (type, dow) order over the
     // oracle-checked rounded terms (the A29 pattern), df derived from
     // the observed margins ((R−1)(C−1)), upper-tail p via the
@@ -672,6 +725,46 @@ object Stats {
                       (pow(var_a / n_a, 2) / (n_a - 1) +
                        pow(var_b / n_b, 2) / (n_b - 1)), 6) AS df_welch
          FROM agg""",
+    "a42_weekly_seasonality" ->
+      """WITH daily AS (
+           SELECT date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS v
+           FROM events GROUP BY 1),
+         byd AS (
+           SELECT dayofweek(day) + 1 AS dow,
+                  CAST(CAST(sum(CAST(v AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS dow_mean,
+                  count(*) AS n_days
+           FROM daily GROUP BY 1),
+         g AS (
+           SELECT CAST(CAST(sum(CAST(v AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS grand_mean
+           FROM daily)
+         SELECT CAST(dow AS INT) AS dow, n_days,
+                round(dow_mean, 6) AS dow_mean,
+                round(dow_mean / grand_mean, 6) AS seasonal_index
+         FROM byd, g ORDER BY dow""",
+    "a43_spearman" ->
+      """WITH base AS (
+           SELECT event_type, value,
+                  CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+           FROM events
+           WHERE value IS NOT NULL
+             AND json_extract_string(props, '$.k') IS NOT NULL),
+         ranked AS (
+           SELECT event_type,
+                  CAST(rank() OVER (PARTITION BY event_type ORDER BY value)
+                       AS DOUBLE) +
+                  (CAST(count(*) OVER (PARTITION BY event_type, value)
+                        AS DOUBLE) - 1) / 2 AS rv,
+                  CAST(rank() OVER (PARTITION BY event_type ORDER BY k)
+                       AS DOUBLE) +
+                  (CAST(count(*) OVER (PARTITION BY event_type, k)
+                        AS DOUBLE) - 1) / 2 AS rk
+           FROM base)
+         SELECT event_type, round(corr(rv, rk), 6) AS rho, count(*) AS n
+         FROM ranked GROUP BY 1 ORDER BY event_type""",
     "a40_acf" ->
       """WITH daily AS (
            SELECT event_type, date_trunc('day', ts) AS day,

@@ -936,6 +936,47 @@ object EventStream {
     * `.format("kafka")` with the same key/value contract; no broker
     * ships in this container, so the payload lands as JSON files and
     * is read back for the oracle compare. */
+  /** T19: per-batch trending leaderboard — the "top types right now"
+    * panel: a complete-mode windowed count feeding foreachBatch,
+    * which ranks the CURRENT totals and overwrites a small
+    * leaderboard table each micro-batch (T11 upserts rows; this
+    * re-derives a ranking — the other canonical foreachBatch shape).
+    * The rank runs per batch over the aggregated (window, type) frame
+    * — O(windows×types) rows, never the stream — and the final
+    * leaderboard equals the batch top-3-per-day, which is exactly
+    * what the oracle checks. Complete mode is the right output mode
+    * here BECAUSE the sink is a full overwrite: replay after a crash
+    * rewrites the same table (self-healing, no dedup log needed). */
+  def runTrendingTopK(s: SparkSession, d: String): DataFrame = {
+    val rig = stageRig(s, d)
+    val base = freshDir(s"/tmp/graft-stream-t19-run${nextRunId()}")
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
+    withReplayWidth(s) {
+      val counts = readJsonStream(s, src)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+      val q = counts.writeStream
+        .outputMode("complete")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val wr = org.apache.spark.sql.expressions.Window
+            .partitionBy("win_start")
+            .orderBy(col("n").desc, col("event_type"))
+          batch.withColumn("rnk", row_number().over(wr))
+            .filter(col("rnk") <= 3)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out)
+  }
+
   def runKeyedPublish(s: SparkSession, d: String): DataFrame = {
     val rig = stageRig(s, d)
     val base = freshDir(s"/tmp/graft-stream-t4-run${nextRunId()}")
@@ -980,6 +1021,12 @@ object EventStream {
     // standing in for the Kafka sink; same key/value contract).
     "t4_keyed_publish" -> ((s, d) =>
       runKeyedPublish(s, d).orderBy("key")),
+
+    // T19: per-batch trending leaderboard (complete mode →
+    // foreachBatch rank + overwrite); final table equals the batch
+    // top-3-per-day (oracle).
+    "t19_trending_topk" -> ((s, d) =>
+      runTrendingTopK(s, d).orderBy("win_start", "rnk")),
 
     // T8: custom keyed state (flatMapGroupsWithState) executed as a
     // real streaming run; final per-key tallies equal the plain
@@ -1093,6 +1140,18 @@ object EventStream {
                 round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
                       / count(*), 6) AS avg_value
          FROM dedup GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "t19_trending_topk" ->
+      """WITH counts AS (
+           SELECT date_trunc('day', ts) AS win_start, event_type,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT win_start, event_type, n,
+                CAST(rnk AS INT) AS rnk
+         FROM (SELECT win_start, event_type, n,
+                      row_number() OVER (PARTITION BY win_start
+                        ORDER BY n DESC, event_type) AS rnk
+               FROM counts)
+         WHERE rnk <= 3 ORDER BY win_start, rnk""",
     "t1_streaming_window_agg" ->
       """SELECT date_trunc('day', ts) AS win_start, event_type,
                 count(*) AS n,
