@@ -574,6 +574,52 @@ object Stats {
         .orderBy("event_type")
     }),
 
+    // A44: Cramér's V — the EFFECT-SIZE companion to A41's χ²
+    // significance (at 60k rows even a trivial association is
+    // "significant"; V ∈ [0,1] says whether it matters). Fully
+    // oracle-checked, unlike the p twin: the χ² here is the sum of
+    // A41's ROUNDED terms through DECIMAL — exact at 1e-6 grain and
+    // order-insensitive, so both engines sum identically without a
+    // pinned fold. V = sqrt(χ² / (N·min(R−1, C−1))).
+    "a44_cramers_v" -> ((s, d) =>
+      queries("a41_chi2_independence")(s, d)
+        .agg(
+          sum(col("term").cast("decimal(24,10)")).cast("double").as("chi2"),
+          sum(col("n")).as("n_total"),
+          countDistinct(col("event_type")).as("r"),
+          countDistinct(col("dow")).as("c"))
+        .select(r6(col("chi2")).as("chi2"), col("n_total"),
+          r6(sqrt(col("chi2") / (col("n_total") *
+            least(col("r") - 1, col("c") - 1)))).as("cramers_v"))),
+
+    // A45: two-proportion z-test — the A/B-test primitive (pooled
+    // standard error): does the share of high-value events differ
+    // between clicks and purchases? Everything is integer counts
+    // (<2^53 — exact in double) until one division/sqrt chain, so z
+    // is raw-arithmetic identical on both engines; round6 absorbs
+    // the libm sqrt ulp. One map-side-combinable aggregate over the
+    // filtered slice; no shuffle beyond the 1-row agg.
+    "a45_two_proportion_z" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select((col("event_type") === "click").as("g1"),
+          (col("value") > 50).as("hit"))
+      ev.agg(
+          sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("g1") && col("hit"), 1L).otherwise(0L)).as("x1"),
+          sum(when(!col("g1"), 1L).otherwise(0L)).as("n2"),
+          sum(when(!col("g1") && col("hit"), 1L).otherwise(0L)).as("x2"))
+        .withColumn("p1", col("x1").cast("double") / col("n1"))
+        .withColumn("p2", col("x2").cast("double") / col("n2"))
+        .withColumn("pp",
+          (col("x1") + col("x2")).cast("double") / (col("n1") + col("n2")))
+        .select(col("n1"), col("x1"), col("n2"), col("x2"),
+          r6(col("p1")).as("p1"), r6(col("p2")).as("p2"),
+          r6((col("p1") - col("p2")) /
+            sqrt(col("pp") * (lit(1.0) - col("pp")) *
+              (lit(1.0) / col("n1") + lit(1.0) / col("n2")))).as("z"))
+    }),
+
     // A41 p-value twin — χ² folded in (type, dow) order over the
     // oracle-checked rounded terms (the A29 pattern), df derived from
     // the observed margins ((R−1)(C−1)), upper-tail p via the
@@ -725,6 +771,60 @@ object Stats {
                       (pow(var_a / n_a, 2) / (n_a - 1) +
                        pow(var_b / n_b, 2) / (n_b - 1)), 6) AS df_welch
          FROM agg""",
+    "a44_cramers_v" ->
+      """WITH base AS (
+           SELECT event_type, dayofweek(ts) + 1 AS dow FROM events),
+         obs AS (
+           SELECT event_type, dow, count(*) AS n FROM base GROUP BY 1, 2),
+         rt AS (SELECT event_type, sum(n) AS rt FROM obs GROUP BY 1),
+         ct AS (SELECT dow, sum(n) AS ct FROM obs GROUP BY 1),
+         tot AS (SELECT sum(n) AS t FROM obs),
+         grid AS (
+           SELECT r.event_type, c.dow, coalesce(o.n, 0) AS n,
+                  CAST(r.rt AS DOUBLE) * c.ct / tot.t AS expected
+           FROM rt r CROSS JOIN ct c
+                LEFT JOIN obs o ON o.event_type = r.event_type
+                              AND o.dow = c.dow, tot),
+         terms AS (
+           SELECT n,
+                  round((CAST(n AS DOUBLE) - expected) *
+                        (CAST(n AS DOUBLE) - expected) / expected, 6)
+                    AS term
+           FROM grid),
+         agg AS (
+           SELECT CAST(CAST(sum(CAST(term AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) AS chi2,
+                  CAST(sum(n) AS BIGINT) AS n_total,
+                  (SELECT count(*) FROM rt) AS r,
+                  (SELECT count(*) FROM ct) AS c
+           FROM terms)
+         SELECT round(chi2, 6) AS chi2, n_total,
+                round(sqrt(chi2 / (n_total * least(r - 1, c - 1))), 6)
+                  AS cramers_v
+         FROM agg""",
+    "a45_two_proportion_z" ->
+      """WITH agg AS (
+           SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS n1,
+                  sum(CASE WHEN event_type = 'click' AND value > 50
+                           THEN 1 ELSE 0 END) AS x1,
+                  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS n2,
+                  sum(CASE WHEN event_type = 'purchase' AND value > 50
+                           THEN 1 ELSE 0 END) AS x2
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         p AS (
+           SELECT n1, x1, n2, x2,
+                  CAST(x1 AS DOUBLE) / n1 AS p1,
+                  CAST(x2 AS DOUBLE) / n2 AS p2,
+                  CAST(x1 + x2 AS DOUBLE) / (n1 + n2) AS pp
+           FROM agg)
+         SELECT CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+                CAST(n2 AS BIGINT) AS n2, CAST(x2 AS BIGINT) AS x2,
+                round(p1, 6) AS p1, round(p2, 6) AS p2,
+                round((p1 - p2) / sqrt(pp * (1.0 - pp) *
+                      (1.0 / n1 + 1.0 / n2)), 6) AS z
+         FROM p""",
     "a42_weekly_seasonality" ->
       """WITH daily AS (
            SELECT date_trunc('day', ts) AS day,
