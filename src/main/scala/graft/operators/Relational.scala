@@ -975,6 +975,47 @@ object Relational {
         ORDER BY l_returnflag""")
     }),
 
+    // SQL14: TPC-H Q13 shape — the orders-per-customer distribution:
+    // a LEFT OUTER join whose residual filter lives in the ON clause
+    // (move it to WHERE and zero-order customers silently vanish —
+    // the classic outer-join bug this query exists to catch), then
+    // TWO stacked aggregates (per-customer count, then the histogram
+    // of counts). The zero bucket is real data: customers with no
+    // non-urgent orders must appear at c_count = 0.
+    "sql14_tpch_q13" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer_v LEFT OUTER JOIN orders_v
+                ON c_custkey = o_custkey
+               AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")
+    }),
+
+    // SQL15: TPC-H Q14 shape — promo revenue share: a conditional
+    // aggregate (CASE inside sum) over a month-sliced join, the
+    // numerator/denominator-in-one-pass pattern (two scans of the
+    // join would double the dominant cost at 100 TB). Both sums run
+    // through DECIMAL; the share divides once at the end.
+    "sql15_tpch_q14" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(24,10))
+                   ELSE CAST(0 AS DECIMAL(24,10)) END) AS DOUBLE) /
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(24,10))) AS DOUBLE), 6) AS promo_share
+        FROM lineitem_v JOIN part_v ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'""")
+    }),
+
     // U4: INTERSECT — distinct (user, day) pairs where a click AND a
     // purchase both happened: the set-semantics operator (Catalyst
     // plans it as a distinct + left-semi hash join — keyed shuffle,
@@ -1766,6 +1807,27 @@ object Relational {
          FROM orders JOIN tiers
            ON o_totalprice >= lo AND (hi IS NULL OR o_totalprice < hi)
          GROUP BY tier ORDER BY tier""",
+    "sql14_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT OUTER JOIN orders
+                 ON c_custkey = o_custkey
+                AND o_orderpriority <> '1-URGENT'
+               GROUP BY c_custkey)
+         GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    "sql15_tpch_q14" ->
+      """SELECT round(100.0 * CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(24,10))
+                    ELSE CAST(0 AS DECIMAL(24,10)) END) AS VARCHAR)
+                    AS DOUBLE) /
+                CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE), 6)
+                  AS promo_share
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'""",
     "sql11_tpch_q10" ->
       """SELECT c_custkey, c_name,
                 round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
