@@ -110,6 +110,35 @@ object Stats {
             .as("p_value"))
         .orderBy("event_type", "k")),
 
+    // A46: Benjamini–Hochberg FDR correction over A3's p-value grid —
+    // the multiple-testing step every metric sweep needs (the
+    // reference's lag grid tests 20 (type, lag) hypotheses; at
+    // α=0.05, one false positive per sweep is EXPECTED without
+    // correction). Step-up: rank p ascending, p_adj(i) = min over
+    // j ≥ i of p(j)·m/j capped at 1 — the suffix-min is a reversed
+    // running min window. The windows are single-partition but run
+    // over the m-row GRID (m = 20 here, m = #hypotheses always),
+    // never the fact table — the standard shape for decision layers.
+    // Rows-only (p comes from the custom kernel); StatsSpec anchors
+    // the whole transform against a sequential recompute from the
+    // a3-anchored p-values.
+    "a46_bh_fdr" -> ((s, d) => {
+      val pv = queries("a3_corr_pvalue")(s, d)
+      val byP = Window.orderBy(col("p_value"), col("event_type"), col("k"))
+      val suffix = Window
+        .orderBy(col("p_value").desc, col("event_type").desc, col("k").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val m = Window.partitionBy()
+      pv.withColumn("m", count(lit(1)).over(m))
+        .withColumn("rnk", row_number().over(byP))
+        .withColumn("raw", col("p_value") * col("m") / col("rnk"))
+        .withColumn("p_adj", least(lit(1.0), min(col("raw")).over(suffix)))
+        .select(col("event_type"), col("k"), col("p_value"),
+          col("rnk").cast("long").as("rnk"), r6(col("p_adj")).as("p_adj"),
+          (col("p_adj") <= 0.05).as("significant"))
+        .orderBy("event_type", "k")
+    }),
+
     // A28: Welch two-sample t-test — does mean(value) differ between
     // click and purchase events? The unequal-variance form (no pooled
     // variance) with Welch–Satterthwaite fractional df. One pass over

@@ -158,6 +158,35 @@ class StatsSpec extends AnyFunSuite {
     assert(pv.getDouble(2) >= 0.0 && pv.getDouble(2) <= 1.0)
   }
 
+  test("a46 BH adjustment matches a sequential step-up recompute") {
+    // a46 is rows-only (p from the custom kernel); the whole
+    // rank → raw → suffix-min transform must equal the textbook
+    // sequential algorithm over the same (a3-anchored) p-values
+    val pv = Stats.queries("a3_corr_pvalue")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(4)))
+    val m = pv.length
+    val sorted = pv.sortBy(t => (t._3, t._1, t._2))
+    val raw = sorted.zipWithIndex.map { case ((et, k, p), i) =>
+      (et, k, i + 1L, p * m / (i + 1)) }
+    var run = Double.MaxValue
+    val adj = raw.reverse.map { case (et, k, r0, rw) =>
+      run = math.min(run, rw)
+      (et, k) -> (r0, math.min(1.0, run))
+    }.toMap
+    val got = Stats.queries("a46_bh_fdr")(spark, sf).collect()
+    assert(got.length == m && m > 0)
+    // Spark round() = HALF_UP on the shortest decimal repr (not
+    // rint's half-even) — replicate it exactly for tie values
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    got.foreach { r =>
+      val (r0, a) = adj((r.getString(0), r.getInt(1)))
+      assert(r.getLong(3) == r0, s"rank ${r.getLong(3)} vs $r0")
+      assert(r.getDouble(4) == r6(a), s"p_adj ${r.getDouble(4)} vs $a")
+      assert(r.getBoolean(5) == (a <= 0.05))
+    }
+  }
+
   test("a3_corr_pvalue rows are oracle-verified grid cells") {
     val cells = Stats.queries("a3_corr_grid")(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1)) ->
