@@ -188,6 +188,24 @@ object Relational {
       withSkewJoinConfs(s) { aqeSkewJoinPlan(s, d).localCheckpoint() }
         .orderBy("event_id")),
 
+    // P9: day slice written against the TRUNCATED column — the way
+    // dashboards naturally phrase "show me Jan 10" — relying on the
+    // PushDateTruncFilters optimizer rule (GraftExtensions) to add
+    // the implied raw-ts bounds so the parquet scan prunes row
+    // groups instead of full-scanning (PushDateTruncFiltersSpec
+    // asserts the plan shape and exact result preservation; at
+    // production scale the same rewrite unlocks partition pruning
+    // on a day-partitioned table).
+    "p9_day_slice" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(date_trunc("day", col("ts")) ===
+          lit("2024-01-10 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(24,10)")).cast("double") /
+            count(lit(1)), 6).as("avg_value"))
+        .orderBy("event_type")),
+
     // J9: band join — classifying a fact column into a TINY table of
     // half-open value bands (price tiers) via a range-condition join.
     // With no equi key Catalyst plans BroadcastNestedLoopJoin — here
@@ -1795,6 +1813,13 @@ object Relational {
          FROM e
          GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))
          ORDER BY event_type, day""",
+    "p9_day_slice" ->
+      """SELECT event_type, count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                      / count(*), 6) AS avg_value
+         FROM events
+         WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-10 00:00:00'
+         GROUP BY 1 ORDER BY event_type""",
     "j9_band_join" ->
       """WITH tiers(tier, lo, hi) AS (
            VALUES ('micro', CAST(0 AS DOUBLE), CAST(100 AS DOUBLE)),
