@@ -79,6 +79,36 @@ object Multimodal {
           substring(col("text"), 1, 4).as("magic"))
         .orderBy("doc_id")),
 
+    // MM8: byte-class entropy of the binary payload — MM2's
+    // histogram re-expressed WITHOUT the mapPartitions lambda: the
+    // payload hex-expands in place (`hex` + `transform` + `substr`
+    // are all codegen'd column functions), so the per-byte stage
+    // stays inside whole-stage codegen and needs no closure
+    // serialization — the "functions, not UDFs" doctrine applied to
+    // binary columns. Nibble classes (16) rather than MM2's 8 bins;
+    // entropy folds in sorted class order (TXT13's pinned-order
+    // discipline). Zero joins; two map-side-combinable aggs.
+    "mm8_byte_entropy" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), hex(encode(col("text"), "UTF-8")).as("h"),
+          octet_length(col("text")).as("n"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), col("n") - 1),
+            i => col("h").substr(i * 2 + 1, lit(1)))).as("cls"))
+        .groupBy("doc_id", "cls").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n_bytes"),
+          count(lit(1)).as("n_classes"),
+          array_sort(collect_list(struct(col("cls"), col("cnt"))))
+            .as("hist"))
+        .select(col("doc_id"), col("n_bytes"), col("n_classes"),
+          round(aggregate(col("hist"), lit(0.0d), (acc, x) => {
+            val p = x.getField("cnt").cast("double") / col("n_bytes")
+            acc - p * log(p)
+          }), 6).as("entropy"))
+        .orderBy("doc_id")),
+
     // MM2: decode + feature-extract over the binary payload.
     // STUB decode: a real deployment would decode image/audio here;
     // this container has no codecs, so the "decoder" is a
@@ -398,6 +428,30 @@ object Multimodal {
                 md5(text) AS content_hash,
                 substring(text, 1, 4) AS magic
          FROM documents ORDER BY doc_id""",
+    // same nibble classes from the hex expansion; Spark's hex() is
+    // uppercase — upper() aligns DuckDB's
+    "mm8_byte_entropy" ->
+      """WITH nib AS (
+           SELECT doc_id,
+                  unnest(list_transform(
+                    range(1, octet_length(encode(text)) + 1),
+                    i -> substring(upper(hex(encode(text))),
+                                   (i - 1) * 2 + 1, 1))) AS cls
+           FROM documents WHERE octet_length(encode(text)) > 0),
+         cc AS (SELECT doc_id, cls, count(*) AS cnt FROM nib GROUP BY 1, 2),
+         tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bytes,
+                        count(*) AS n_classes FROM cc GROUP BY 1),
+         terms AS (
+           SELECT cc.doc_id, cc.cls,
+                  -(CAST(cc.cnt AS DOUBLE) / tot.n_bytes) *
+                   ln(CAST(cc.cnt AS DOUBLE) / tot.n_bytes) AS t
+           FROM cc JOIN tot USING (doc_id)),
+         h AS (SELECT doc_id, list_sum(list(t ORDER BY cls)) AS h
+               FROM terms GROUP BY 1)
+         SELECT tot.doc_id, tot.n_bytes, tot.n_classes,
+                round(h.h, 6) AS entropy
+         FROM tot JOIN h USING (doc_id)
+         ORDER BY doc_id""",
     // documents.text is ASCII (octet_length == length holds corpus-wide),
     // so code points == bytes and ascii()//32 reproduces byte>>5.
     "mm2_feature_extract" ->

@@ -110,6 +110,60 @@ object Stats {
             .as("p_value"))
         .orderBy("event_type", "k")),
 
+    // A47: multiple regression (two regressors + intercept) by
+    // closed-form normal equations — value ~ k + hour(ts) per type:
+    // the multivariate step past A34's single-regressor trend, done
+    // the way a distributed engine should (one map-side-combinable
+    // pass accumulating the 10 moment sums, then Cramer's rule on
+    // the 3×3 normal matrix as scalar projections — no iterative
+    // solver, no driver-side matrix library). Every sum is
+    // decimal-pinned, the determinant arithmetic is elementwise IEEE
+    // over identical doubles on both engines, round6 absorbs the
+    // final division chain. A planted-plane fixture in StatsSpec
+    // pins the formulas (exact recovery of known coefficients).
+    "a47_ols_multiple" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_type"), col("value").as("y"),
+          get_json_object(col("props"), "$.k").cast("double").as("x1"),
+          hour(col("ts")).cast("double").as("x2"))
+        .filter(col("y").isNotNull && col("x1").isNotNull)
+      def dsum(c: Column) = sum(c.cast("decimal(30,12)")).cast("double")
+      val m = base.groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("x1")).as("s1"), dsum(col("x2")).as("s2"),
+        dsum(col("y")).as("sy"),
+        dsum(col("x1") * col("x1")).as("s11"),
+        dsum(col("x1") * col("x2")).as("s12"),
+        dsum(col("x2") * col("x2")).as("s22"),
+        dsum(col("x1") * col("y")).as("s1y"),
+        dsum(col("x2") * col("y")).as("s2y"),
+        dsum(col("y") * col("y")).as("syy"))
+      val det = col("n") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+        col("s1") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+        col("s2") * (col("s1") * col("s12") - col("s11") * col("s2"))
+      val d0 = col("sy") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+        col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y")) +
+        col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y"))
+      val d1 = col("n") * (col("s1y") * col("s22") - col("s12") * col("s2y")) -
+        col("sy") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+        col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
+      val d2 = col("n") * (col("s11") * col("s2y") - col("s1y") * col("s12")) -
+        col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2")) +
+        col("sy") * (col("s1") * col("s12") - col("s11") * col("s2"))
+      m.withColumn("b0", d0 / det)
+        .withColumn("b1", d1 / det)
+        .withColumn("b2", d2 / det)
+        .withColumn("sse", col("syy") - col("b0") * col("sy") -
+          col("b1") * col("s1y") - col("b2") * col("s2y"))
+        .withColumn("sst",
+          col("syy") - col("sy") * col("sy") / col("n"))
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          r6(col("b0")).as("b0"), r6(col("b1")).as("b1"),
+          r6(col("b2")).as("b2"),
+          r6(lit(1.0) - col("sse") / col("sst")).as("r2"))
+        .orderBy("event_type")
+    }),
+
     // A46: Benjamini–Hochberg FDR correction over A3's p-value grid —
     // the multiple-testing step every metric sweep needs (the
     // reference's lag grid tests 20 (type, lag) hypotheses; at
@@ -800,6 +854,57 @@ object Stats {
                       (pow(var_a / n_a, 2) / (n_a - 1) +
                        pow(var_b / n_b, 2) / (n_b - 1)), 6) AS df_welch
          FROM agg""",
+    "a47_ols_multiple" ->
+      """WITH base AS (
+           SELECT event_type, value AS y,
+                  CAST(json_extract_string(props, '$.k') AS DOUBLE) AS x1,
+                  CAST(hour(ts) AS DOUBLE) AS x2
+           FROM events
+           WHERE value IS NOT NULL
+             AND json_extract_string(props, '$.k') IS NOT NULL),
+         m AS (
+           SELECT event_type,
+                  CAST(count(*) AS DOUBLE) AS n,
+                  CAST(CAST(sum(CAST(x1 AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) AS s1,
+                  CAST(CAST(sum(CAST(x2 AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) AS s2,
+                  CAST(CAST(sum(CAST(y AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) AS sy,
+                  CAST(CAST(sum(CAST(x1 * x1 AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) AS s11,
+                  CAST(CAST(sum(CAST(x1 * x2 AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) AS s12,
+                  CAST(CAST(sum(CAST(x2 * x2 AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) AS s22,
+                  CAST(CAST(sum(CAST(x1 * y AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) AS s1y,
+                  CAST(CAST(sum(CAST(x2 * y AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) AS s2y,
+                  CAST(CAST(sum(CAST(y * y AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) AS syy
+           FROM base GROUP BY 1),
+         c AS (
+           SELECT event_type, n, sy, s1y, s2y, syy,
+                  n * (s11*s22 - s12*s12) - s1 * (s1*s22 - s12*s2)
+                    + s2 * (s1*s12 - s11*s2) AS det,
+                  sy * (s11*s22 - s12*s12) - s1 * (s1y*s22 - s12*s2y)
+                    + s2 * (s1y*s12 - s11*s2y) AS d0,
+                  n * (s1y*s22 - s12*s2y) - sy * (s1*s22 - s12*s2)
+                    + s2 * (s1*s2y - s1y*s2) AS d1,
+                  n * (s11*s2y - s1y*s12) - s1 * (s1*s2y - s1y*s2)
+                    + sy * (s1*s12 - s11*s2) AS d2
+           FROM m),
+         b AS (
+           SELECT event_type, n, sy, s1y, s2y, syy,
+                  d0/det AS b0, d1/det AS b1, d2/det AS b2
+           FROM c)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+                round(b0, 6) AS b0, round(b1, 6) AS b1,
+                round(b2, 6) AS b2,
+                round(1.0 - (syy - b0*sy - b1*s1y - b2*s2y) /
+                      (syy - sy*sy / n), 6) AS r2
+         FROM b ORDER BY event_type""",
     "a44_cramers_v" ->
       """WITH base AS (
            SELECT event_type, dayofweek(ts) + 1 AS dow FROM events),

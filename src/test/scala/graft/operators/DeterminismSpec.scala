@@ -72,7 +72,11 @@ class DeterminismSpec extends AnyFunSuite {
     "pipe3_assembly_funnel" -> Curation.queries,
     // the negative draw is a pure function of (anchor, slot) — the
     // reproducibility contrastive training depends on
-    "ds10_negative_sample" -> DatasetOps.queries)
+    "ds10_negative_sample" -> DatasetOps.queries,
+    // graph + corpus-distribution additions: triangle participation
+    // and the Zipf fit must be pure functions of the edge/token data
+    "d12_triangle_count" -> Dedup.queries,
+    "txt15_zipf" -> TextAnalysis.queries)
 
   cases.foreach { case (name, qs) =>
     test(s"$name is identical across file layouts and shuffle widths") {

@@ -158,6 +158,31 @@ class StatsSpec extends AnyFunSuite {
     assert(pv.getDouble(2) >= 0.0 && pv.getDouble(2) <= 1.0)
   }
 
+  test("a47 recovers planted plane coefficients exactly") {
+    // y = 2 + 3·x1 − 0.5·x2 with zero noise: the closed-form solve
+    // must recover (b0, b1, b2) to rounding and r2 = 1 — this pins
+    // the Cramer determinant formulas (a mirrored sign error in the
+    // query AND oracle would pass the oracle check; it cannot pass
+    // an exact plane recovery)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = SparkTestSession.fixtureDir("ols-fix")
+    val rows = for (i <- 0 until 48) yield {
+      val x1 = (i % 7).toDouble; val x2 = (i % 24).toDouble
+      val y = 2.0 + 3.0 * x1 - 0.5 * x2
+      (i.toLong, new java.sql.Timestamp(i.toLong * 3600L * 1000L),
+        i.toLong, "click", y, s"""{"k": $x1}""")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = Stats.queries("a47_ols_multiple")(spark, d).head()
+    assert(r.getString(0) == "click" && r.getLong(1) == 48)
+    assert(math.abs(r.getDouble(2) - 2.0) <= 1e-6, s"b0 ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - 3.0) <= 1e-6, s"b1 ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) + 0.5) <= 1e-6, s"b2 ${r.getDouble(4)}")
+    assert(math.abs(r.getDouble(5) - 1.0) <= 1e-6, s"r2 ${r.getDouble(5)}")
+  }
+
   test("a46 BH adjustment matches a sequential step-up recompute") {
     // a46 is rows-only (p from the custom kernel); the whole
     // rank → raw → suffix-min transform must equal the textbook
