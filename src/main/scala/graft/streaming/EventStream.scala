@@ -779,6 +779,118 @@ object EventStream {
     * serving table therefore equals the plain batch GROUP BY, which is
     * what the oracle checks. Aggregates are order-insensitive
     * (count / max), so batch slicing can't change the final values. */
+  /** T20: SCD2 (slowly-changing-dimension type 2) maintenance in
+    * foreachBatch — the lakehouse dimension-history op: each user's
+    * event_type is the tracked attribute; every CHANGE opens a
+    * version row (valid_from = change ts) and closes the previous
+    * one (valid_to = next valid_from; NULL = current). Per batch the
+    * merge (1) detects in-batch change points with a per-user window,
+    * (2) compares each user's FIRST batch row against the history's
+    * current attribute (the cross-batch boundary), (3) re-derives
+    * every valid_to as lead(valid_from) over the union — closures
+    * are a pure function of the change set, so replaying a batch
+    * rewrites the same history (self-healing overwrite, T19's
+    * argument). Version identity = the opening event_id, which also
+    * tiebreaks simultaneous changes. The rig's time-ordered halves
+    * replay as 2+ real micro-batches (maxFilesPerTrigger = 1), and
+    * the final history must equal the one-shot batch derivation —
+    * exactly what the oracle computes with two windows. */
+  /** Batch count of the most recent T20 run — StreamingSpec asserts
+    * ≥ 2, proving the cross-batch boundary merge actually executed
+    * (a single-batch run would make the history trivially right). */
+  @volatile private[streaming] var lastScd2Batches: Long = -1L
+
+  def runScd2Maintain(s: SparkSession, d: String): DataFrame = {
+    val rig = stageRig(s, d)
+    val base = freshDir(s"/tmp/graft-stream-t20-run${nextRunId()}")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    val hist = s"$base/hist"
+    // SCD2's contract is IN-ORDER arrival per key (a CDC feed is
+    // ordered within a partition; Kafka guarantees it per partition).
+    // The generic deliver() copies part files under their random
+    // UUID names with one mtime — the file source may then replay
+    // half2 before half1 and the boundary comparison sees attributes
+    // from the future. Deliver with ordered names AND strictly
+    // increasing mtimes so the maxFilesPerTrigger=1 replay is the
+    // time-ordered sequence the operator is defined over.
+    def deliverOrdered(staged: String, prefix: String,
+                       mtime: Long): Unit = {
+      val dst = new java.io.File(src); dst.mkdirs()
+      Option(new java.io.File(staged).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          val t = new java.io.File(dst, f"$prefix-$i%03d.json")
+          java.nio.file.Files.copy(f.toPath, t.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          t.setLastModified(mtime)
+          ()
+        }
+    }
+    val now = System.currentTimeMillis()
+    deliverOrdered(s"$rig/half1", "batch-000", now - 120000L)
+    deliverOrdered(s"$rig/half2", "batch-001", now - 60000L)
+    val histSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", StringType),
+      org.apache.spark.sql.types.StructField("valid_from",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("valid_to",
+        org.apache.spark.sql.types.TimestampType)))
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    withReplayWidth(s) {
+      val q = readJsonStream(s, src, maxFilesPerTrigger = Some(1))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batches.incrementAndGet()
+          val ss = batch.sparkSession
+          val wU = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          val cur =
+            if (new java.io.File(hist).exists()) ss.read.parquet(hist)
+            else ss.createDataFrame(
+              ss.sparkContext.emptyRDD[org.apache.spark.sql.Row], histSchema)
+          val current = cur.filter(col("valid_to").isNull)
+            .select(col("user_id"), col("event_type").as("cur_attr"))
+          val changes = batch
+            .select(col("user_id"), col("event_id"), col("event_type"),
+              col("ts"))
+            .withColumn("prev", lag(col("event_type"), 1).over(wU))
+            .join(current, Seq("user_id"), "left")
+            .filter(
+              (col("prev").isNull &&
+                (col("cur_attr").isNull ||
+                 col("cur_attr") =!= col("event_type"))) ||
+              (col("prev").isNotNull && col("prev") =!= col("event_type")))
+            .select(col("user_id"), col("event_id"), col("event_type"),
+              col("ts").as("valid_from"))
+          val wV = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy(col("valid_from"), col("event_id"))
+          val merged = cur
+            .select(col("user_id"), col("event_id"), col("event_type"),
+              col("valid_from"))
+            .unionByName(changes)
+            .withColumn("valid_to", lead(col("valid_from"), 1).over(wV))
+            // materialize BEFORE overwriting the parquet it reads from
+            .localCheckpoint(true)
+          merged.write.mode("overwrite").parquet(hist)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    lastScd2Batches = batches.get()
+    s.read.parquet(hist)
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
+
   def runForeachBatchUpsert(s: SparkSession, d: String): DataFrame = {
     val rig = stageRig(s, d)
     val base = freshDir(s"/tmp/graft-stream-t11-run${nextRunId()}")
@@ -1028,6 +1140,13 @@ object EventStream {
     "t19_trending_topk" -> ((s, d) =>
       runTrendingTopK(s, d).orderBy("win_start", "rnk")),
 
+    // T20: SCD2 dimension-history maintenance in foreachBatch; the
+    // incrementally-merged history equals the one-shot batch
+    // derivation (oracle).
+    "t20_scd2_history" -> ((s, d) =>
+      runScd2Maintain(s, d)
+        .orderBy("user_id", "valid_from", "event_id")),
+
     // T8: custom keyed state (flatMapGroupsWithState) executed as a
     // real streaming run; final per-key tallies equal the plain
     // GROUP BY — which is exactly what the oracle checks.
@@ -1140,6 +1259,23 @@ object EventStream {
                 round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
                       / count(*), 6) AS avg_value
          FROM dedup GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "t20_scd2_history" ->
+      """WITH ordered AS (
+           SELECT user_id, event_id, event_type, ts,
+                  lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev
+           FROM events),
+         changes AS (
+           SELECT user_id, event_id, event_type, ts AS valid_from
+           FROM ordered WHERE prev IS NULL OR prev <> event_type),
+         v AS (
+           SELECT user_id, event_id, event_type, valid_from,
+                  lead(valid_from) OVER (PARTITION BY user_id
+                    ORDER BY valid_from, event_id) AS valid_to
+           FROM changes)
+         SELECT user_id, event_id, event_type, valid_from, valid_to,
+                valid_to IS NULL AS is_current
+         FROM v ORDER BY user_id, valid_from, event_id""",
     "t19_trending_topk" ->
       """WITH counts AS (
            SELECT date_trunc('day', ts) AS win_start, event_type,

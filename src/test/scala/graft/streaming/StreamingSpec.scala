@@ -61,6 +61,28 @@ class StreamingSpec extends AnyFunSuite {
         "expected the file-capped trigger to slice it")
   }
 
+  test("T20: SCD2 history merges across 2+ real micro-batches") {
+    // the incremental merge must survive a real batch boundary (the
+    // cross-batch current-attribute comparison is the hard path); a
+    // single-batch run would make the history trivially right. The
+    // result itself equals the one-shot batch derivation via the
+    // DuckDB oracle; here we recompute it in-process as well.
+    val hist = EventStream.runScd2Maintain(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(EventStream.lastScd2Batches >= 2,
+      s"history built in ${EventStream.lastScd2Batches} batch(es)")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val wU = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val want = graft.Tables.events(spark, sf)
+      .withColumn("prev", lag(col("event_type"), 1).over(wU))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(hist.nonEmpty && hist.toSet == want.toSet,
+      s"history versions ${hist.length} vs batch change points ${want.length}")
+  }
+
   test("T16: streaming session windows merge state across micro-batches") {
     // sf0.01 (read-only testdata): the only SF where a session spans
     // the replay midpoint — sf0.001's sessions are too sparse for the
