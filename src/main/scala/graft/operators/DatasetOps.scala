@@ -44,6 +44,36 @@ object DatasetOps {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("split")),
 
+    // DS11: k-fold cross-validation assignment — GROUP-AWARE (every
+    // event of a user lands in one fold, the same leakage guard as
+    // DS1's split) via the md5-uniform ladder, with the audit a CV
+    // harness needs: per-fold test/train sizes (train = complement),
+    // user counts, and class balance (click share) to confirm the
+    // folds are exchangeable. Stateless map + one hash agg; the
+    // 1-row total broadcasts. floor(frac·K) is clamped to K−1 (frac
+    // can hit 1.0 only at the 2⁶⁰ boundary, but the clamp makes the
+    // invariant structural).
+    "ds11_kfold" -> ((s, d) => {
+      val K = 5
+      val frac = conv(substring(md5(col("user_id").cast("string")), 1, 15),
+          16, 10).cast("long").cast("double") /
+        lit(1152921504606846976L).cast("double") // 2^60, exact as double
+      val folds = Tables.events(s, d)
+        .withColumn("fold",
+          least(floor(frac * K), lit(K - 1)).cast("int"))
+      val tot = folds.agg(count(lit(1)).as("n_total"))
+      folds.groupBy("fold")
+        .agg(count(lit(1)).as("n_test"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("click_share"))
+        .crossJoin(broadcast(tot))
+        .withColumn("n_train", col("n_total") - col("n_test"))
+        .select(col("fold"), col("n_test"), col("n_train"),
+          col("n_users"), col("click_share"))
+        .orderBy("fold")
+    }),
+
     // DS2: class-balanced downsample — exactly k rows per class,
     // chosen by deterministic hash order (not "first k seen", which
     // would bias toward whatever the scan order favors).
@@ -309,6 +339,26 @@ object DatasetOps {
                 row_number() OVER (PARTITION BY shard
                                    ORDER BY k, doc_id) AS pos
          FROM sharded ORDER BY shard, pos""",
+    "ds11_kfold" ->
+      """WITH tagged AS (
+           SELECT user_id, event_type,
+                  CAST(least(floor(
+                    (('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                        1, 15))::BIGINT
+                     / CAST(1152921504606846976 AS DOUBLE)) * 5),
+                    4) AS INT) AS fold
+           FROM events),
+         tot AS (SELECT count(*) AS n_total FROM tagged),
+         f AS (
+           SELECT fold, count(*) AS n_test,
+                  count(DISTINCT user_id) AS n_users,
+                  round(CAST(sum(CASE WHEN event_type = 'click'
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                        / count(*), 6) AS click_share
+           FROM tagged GROUP BY 1)
+         SELECT fold, n_test, CAST(tot.n_total - n_test AS BIGINT)
+                  AS n_train, n_users, click_share
+         FROM f, tot ORDER BY fold""",
     "ds1_hash_split" ->
       """WITH tagged AS (
            SELECT user_id,

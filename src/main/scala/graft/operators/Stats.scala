@@ -110,6 +110,41 @@ object Stats {
             .as("p_value"))
         .orderBy("event_type", "k")),
 
+    // A48: mutual information between event_type and day-of-week —
+    // the information-theoretic association measure beside A41's χ²
+    // and A44's V (MI is the quantity feature-selection pipelines
+    // rank by). Same margin grid as A41; each cell contributes
+    // p·ln(p/(p_r·p_c)) (zero-count cells contribute 0 by the
+    // standard 0·ln0 = 0 convention — the CASE guard). Terms are
+    // rounded per cell then summed through DECIMAL (the A44 trick),
+    // so the scalar stays fully oracle-checkable; normalized MI
+    // divides by the joint entropy computed the same way.
+    "a48_mutual_info" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .select(col("event_type"), dayofweek(col("ts")).as("dow"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+      val rowT = cells.groupBy("event_type").agg(sum(col("n")).as("rt"))
+      val colT = cells.groupBy("dow").agg(sum(col("n")).as("ct"))
+      val tot = cells.agg(sum(col("n")).as("t"))
+      val withP = cells
+        .join(rowT, Seq("event_type")).join(colT, Seq("dow"))
+        .crossJoin(broadcast(tot))
+        .withColumn("p", col("n").cast("double") / col("t"))
+        // ln over the EXACT integer ratio n·t/(rt·ct) (all products
+        // < 2^53), phrased identically in the oracle so both engines
+        // feed libm the same double
+        .withColumn("mi_term", r6(col("p") *
+          log((col("n") * col("t")).cast("double") /
+            (col("rt") * col("ct")).cast("double"))))
+        .withColumn("h_term", r6(-col("p") * log(col("p"))))
+      withP.agg(
+          sum(col("mi_term").cast("decimal(24,10)")).cast("double").as("mi"),
+          sum(col("h_term").cast("decimal(24,10)")).cast("double")
+            .as("h_joint"))
+        .select(r6(col("mi")).as("mi"), r6(col("h_joint")).as("h_joint"),
+          r6(col("mi") / col("h_joint")).as("nmi"))
+    }),
+
     // A47: multiple regression (two regressors + intercept) by
     // closed-form normal equations — value ~ k + hour(ts) per type:
     // the multivariate step past A34's single-regressor trend, done
@@ -853,6 +888,31 @@ object Stats {
                 round(pow(var_a / n_a + var_b / n_b, 2) /
                       (pow(var_a / n_a, 2) / (n_a - 1) +
                        pow(var_b / n_b, 2) / (n_b - 1)), 6) AS df_welch
+         FROM agg""",
+    "a48_mutual_info" ->
+      """WITH base AS (
+           SELECT event_type, dayofweek(ts) + 1 AS dow FROM events),
+         cells AS (
+           SELECT event_type, dow, count(*) AS n FROM base GROUP BY 1, 2),
+         rt AS (SELECT event_type, sum(n) AS rt FROM cells GROUP BY 1),
+         ct AS (SELECT dow, sum(n) AS ct FROM cells GROUP BY 1),
+         tot AS (SELECT sum(n) AS t FROM cells),
+         terms AS (
+           SELECT round((CAST(c.n AS DOUBLE) / tot.t) *
+                        ln(CAST(c.n AS DOUBLE) * tot.t /
+                           CAST(rt.rt * ct.ct AS DOUBLE)), 6) AS mi_term,
+                  round(-(CAST(c.n AS DOUBLE) / tot.t) *
+                        ln(CAST(c.n AS DOUBLE) / tot.t), 6) AS h_term
+           FROM cells c
+                JOIN rt USING (event_type) JOIN ct USING (dow), tot),
+         agg AS (
+           SELECT CAST(CAST(sum(CAST(mi_term AS DECIMAL(24,10)))
+                       AS VARCHAR) AS DOUBLE) AS mi,
+                  CAST(CAST(sum(CAST(h_term AS DECIMAL(24,10)))
+                       AS VARCHAR) AS DOUBLE) AS h_joint
+           FROM terms)
+         SELECT round(mi, 6) AS mi, round(h_joint, 6) AS h_joint,
+                round(mi / h_joint, 6) AS nmi
          FROM agg""",
     "a47_ols_multiple" ->
       """WITH base AS (
