@@ -464,6 +464,30 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // D13: local clustering coefficient — D12's triangle counts
+    // normalized by each node's wedge capacity: cc = 2·tri/(deg·
+    // (deg−1)), the 0..1 "how clique-like is this doc's
+    // neighborhood" score (1 = closed plagiarism ring, →0 = hub
+    // sharing boilerplate pairwise). Degrees come from the same edge
+    // slice; docs with deg < 2 are excluded (cc undefined — and
+    // ANSI mode would throw on the 0 denominator, which is the
+    // guard's other job). Two keyed joins over node-sized frames.
+    "d13_clustering_coeff" -> ((s, d) => {
+      val und = TextAnalysis.ngramJaccardPairs(s, d, maxId = 200,
+        minJ = 0.01).select(col("da"), col("db"))
+      val deg = und.select(col("da").as("doc_id"))
+        .unionAll(und.select(col("db").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+      val tri = queries("d12_triangle_count")(s, d)
+      deg.filter(col("deg") >= 2)
+        .join(tri, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_tri"))
+        .select(col("doc_id"), col("deg"), col("n_tri"),
+          round(lit(2.0) * col("n_tri") /
+            (col("deg") * (col("deg") - 1)).cast("double"), 6).as("cc"))
+        .orderBy("doc_id")
+    }),
+
     // D4: 64-bit SimHash signature per document (bitstring form).
     "d4_simhash" -> ((s, d) =>
       simhashBitSums(s, d)
@@ -538,6 +562,56 @@ object Dedup {
          SELECT doc_id, count(*) AS n_tri
          FROM (SELECT unnest([u, v1, w1]) AS doc_id FROM tri)
          GROUP BY 1 ORDER BY doc_id""",
+    // d12's CTE chain + degree normalization; deg < 2 excluded
+    "d13_clustering_coeff" ->
+      """WITH docs AS (
+             SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             FROM documents WHERE doc_id < 200),
+           sh AS (
+             SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+             FROM docs WHERE len(t) >= 3),
+           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           inter AS (
+             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           pairs AS (
+             SELECT da, db FROM inter
+             JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+             WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.01),
+           deg AS (
+             SELECT v, count(*) AS dg FROM (
+               SELECT da AS v FROM pairs
+               UNION ALL SELECT db AS v FROM pairs)
+             GROUP BY 1),
+           e AS (
+             SELECT CASE WHEN x.dg < y.dg OR (x.dg = y.dg AND da < db)
+                         THEN da ELSE db END AS src,
+                    CASE WHEN x.dg < y.dg OR (x.dg = y.dg AND da < db)
+                         THEN db ELSE da END AS dst,
+                    CASE WHEN x.dg < y.dg OR (x.dg = y.dg AND da < db)
+                         THEN y.dg ELSE x.dg END AS ddst
+             FROM pairs JOIN deg x ON da = x.v JOIN deg y ON db = y.v),
+           wed AS (
+             SELECT a.src AS u, a.dst AS v1, b.dst AS w1
+             FROM e a JOIN e b ON a.src = b.src
+               AND (a.ddst < b.ddst
+                    OR (a.ddst = b.ddst AND a.dst < b.dst))),
+           tri AS (
+             SELECT u, v1, w1 FROM wed
+             JOIN e ON wed.v1 = e.src AND wed.w1 = e.dst),
+           pt AS (
+             SELECT doc_id, count(*) AS n_tri
+             FROM (SELECT unnest([u, v1, w1]) AS doc_id FROM tri)
+             GROUP BY 1)
+         SELECT deg.v AS doc_id, CAST(deg.dg AS BIGINT) AS deg,
+                CAST(coalesce(pt.n_tri, 0) AS BIGINT) AS n_tri,
+                round(CAST(2 AS DOUBLE) * coalesce(pt.n_tri, 0) /
+                      (deg.dg * (deg.dg - 1)), 6) AS cc
+         FROM deg LEFT JOIN pt ON deg.v = pt.doc_id
+         WHERE deg.dg >= 2 ORDER BY doc_id""",
     // same pair SQL as d2 (threshold 0.02), components via recursive
     // transitive closure: reach(id, r) = every doc reachable from id,
     // canonical = min reachable

@@ -1034,6 +1034,36 @@ object Relational {
           AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'""")
     }),
 
+    // SQL16: the PIVOT clause through the SQL front-end — A20 proves
+    // the DataFrame pivot; this is the declarative surface form
+    // (Spark parses PIVOT into the same single-aggregate plan — no
+    // per-column scan fan-out, same shape A20's PlanShapeSpec test
+    // asserts). Values enumerated explicitly (the 100 TB rule: an
+    // unenumerated pivot needs a driver-side distinct pass first).
+    // DuckDB's PIVOT syntax differs, so the oracle states the same
+    // result as conditional aggregates — the comparison is on
+    // results, not syntax.
+    "sql16_pivot" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_v_sql16")
+      // count over an absent (user, type) cell is NULL in pivot
+      // semantics (aggregate of an empty group) — coalesce to the 0
+      // a conditional-aggregate formulation produces
+      s.sql("""
+        SELECT user_id,
+               coalesce(click, CAST(0 AS BIGINT)) AS n_click,
+               coalesce(error, CAST(0 AS BIGINT)) AS n_error,
+               coalesce(purchase, CAST(0 AS BIGINT)) AS n_purchase,
+               coalesce(signup, CAST(0 AS BIGINT)) AS n_signup,
+               coalesce(view, CAST(0 AS BIGINT)) AS n_view
+        FROM (SELECT user_id, event_type FROM events_v_sql16)
+             PIVOT (count(*)
+                    FOR event_type IN ('click' AS click, 'error' AS error,
+                                       'purchase' AS purchase,
+                                       'signup' AS signup,
+                                       'view' AS view))
+        ORDER BY user_id""")
+    }),
+
     // U4: INTERSECT — distinct (user, day) pairs where a click AND a
     // purchase both happened: the set-semantics operator (Catalyst
     // plans it as a distinct + left-semi hash join — keyed shuffle,
@@ -1832,6 +1862,14 @@ object Relational {
          FROM orders JOIN tiers
            ON o_totalprice >= lo AND (hi IS NULL OR o_totalprice < hi)
          GROUP BY tier ORDER BY tier""",
+    "sql16_pivot" ->
+      """SELECT user_id,
+                count(*) FILTER (event_type = 'click') AS n_click,
+                count(*) FILTER (event_type = 'error') AS n_error,
+                count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                count(*) FILTER (event_type = 'signup') AS n_signup,
+                count(*) FILTER (event_type = 'view') AS n_view
+         FROM events GROUP BY 1 ORDER BY user_id""",
     "sql14_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist
          FROM (SELECT c_custkey, count(o_orderkey) AS c_count
