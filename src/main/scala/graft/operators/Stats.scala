@@ -110,6 +110,42 @@ object Stats {
             .as("p_value"))
         .orderBy("event_type", "k")),
 
+    // A49: CUSUM drift detection — the sequential change-point
+    // monitor every data-quality pipeline wants over its daily
+    // metrics. The textbook form is a RECURSION (gₜ = max(0, gₜ₋₁ +
+    // xₜ − μ₀ − δ)), which no window aggregate computes — but it
+    // equals Sₜ − min_{j≤t} Sⱼ for the prefix sums S of (x − μ₀ − δ):
+    // the recursion ELIMINATES into a running sum plus a running min,
+    // two ordinary cumulative windows over one per-type shuffle.
+    // μ₀ = the type's own series mean (two-pass target, broadcast
+    // join); drift flagged when g > h = 3σ. Decimal-pinned prefix
+    // sums; the subtraction/comparison chain is elementwise IEEE;
+    // fully oracle-checked.
+    "a49_cusum_drift" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("v"))
+      def dmean(c: Column) =
+        sum(c.cast("decimal(30,12)")).cast("double") / count(lit(1))
+      val target = daily.groupBy("event_type")
+        .agg(dmean(col("v")).as("mu0"),
+          sqrt(dmean(col("v") * col("v")) -
+            dmean(col("v")) * dmean(col("v"))).as("sigma"))
+      val wCum = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(broadcast(target), Seq("event_type"))
+        .withColumn("dev", col("v") - col("mu0") - lit(0.1) * col("sigma"))
+        .withColumn("s",
+          sum(col("dev").cast("decimal(30,12)")).over(wCum).cast("double"))
+        .withColumn("g",
+          col("s") - least(min(col("s")).over(wCum), lit(0.0)))
+        .select(col("event_type"), col("day"), r6(col("v")).as("v"),
+          r6(col("g")).as("g"),
+          (col("g") > lit(3.0) * col("sigma")).as("drift"))
+        .orderBy("event_type", "day")
+    }),
+
     // A48: mutual information between event_type and day-of-week —
     // the information-theoretic association measure beside A41's χ²
     // and A44's V (MI is the quantity feature-selection pipelines
@@ -889,6 +925,43 @@ object Stats {
                       (pow(var_a / n_a, 2) / (n_a - 1) +
                        pow(var_b / n_b, 2) / (n_b - 1)), 6) AS df_welch
          FROM agg""",
+    "a49_cusum_drift" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS v
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT event_type,
+                  CAST(CAST(sum(CAST(v AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS mu0,
+                  sqrt(CAST(CAST(sum(CAST(v * v AS DECIMAL(30,12)))
+                       AS VARCHAR) AS DOUBLE) / count(*) -
+                       (CAST(CAST(sum(CAST(v AS DECIMAL(30,12)))
+                        AS VARCHAR) AS DOUBLE) / count(*)) *
+                       (CAST(CAST(sum(CAST(v AS DECIMAL(30,12)))
+                        AS VARCHAR) AS DOUBLE) / count(*))) AS sigma
+           FROM daily GROUP BY 1),
+         j AS (
+           SELECT d.event_type, d.day, d.v, t.mu0, t.sigma,
+                  d.v - t.mu0 - CAST(0.1 AS DOUBLE) * t.sigma AS dev
+           FROM daily d JOIN t USING (event_type)),
+         c AS (
+           SELECT event_type, day, v, sigma,
+                  CAST(CAST(sum(CAST(dev AS DECIMAL(30,12))) OVER w
+                       AS VARCHAR) AS DOUBLE) AS s
+           FROM j
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         g AS (
+           SELECT event_type, day, v, sigma,
+                  s - least(min(s) OVER (PARTITION BY event_type
+                        ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW), CAST(0 AS DOUBLE)) AS g
+           FROM c)
+         SELECT event_type, day, round(v, 6) AS v, round(g, 6) AS g,
+                g > CAST(3 AS DOUBLE) * sigma AS drift
+         FROM g ORDER BY event_type, day""",
     "a48_mutual_info" ->
       """WITH base AS (
            SELECT event_type, dayofweek(ts) + 1 AS dow FROM events),

@@ -183,6 +183,38 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(5) - 1.0) <= 1e-6, s"r2 ${r.getDouble(5)}")
   }
 
+  test("a49 prefix-min form equals the textbook CUSUM recursion") {
+    // planted mean shift: 15 days at 10.0 then 15 days at 20.0 (all
+    // values exact in binary, so mu0 = 15 and sigma = 5 exactly);
+    // the window form must equal g_t = max(0, g_{t-1} + dev_t)
+    // computed sequentially, and the shift must actually flag
+    import spark.implicits._
+    val d = SparkTestSession.fixtureDir("cusum-fix")
+    val rows = (0 until 30).map { i =>
+      val v = if (i < 15) 10.0 else 20.0
+      (i.toLong, new java.sql.Timestamp(i.toLong * 86400000L),
+        i.toLong, "click", v, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Stats.queries("a49_cusum_drift")(spark, d).collect()
+      .map(r => (r.getDouble(3), r.getBoolean(4)))
+    val mu0 = 15.0; val sigma = 5.0
+    var g = 0.0
+    val want = (0 until 30).map { i =>
+      val v = if (i < 15) 10.0 else 20.0
+      g = math.max(0.0, g + (v - mu0 - 0.1 * sigma))
+      (math.rint(g * 1e6) / 1e6, g > 3.0 * sigma)
+    }
+    assert(got.length == 30)
+    got.zip(want).zipWithIndex.foreach { case (((gq, fq), (gw, fw)), i) =>
+      assert(math.abs(gq - gw) <= 1e-9, s"day $i: g $gq vs $gw")
+      assert(fq == fw, s"day $i: drift $fq vs $fw")
+    }
+    assert(want.exists(_._2), "vacuous: planted shift never flags")
+    assert(!want.take(15).exists(_._2), "false alarm before the shift")
+  }
+
   test("a46 BH adjustment matches a sequential step-up recompute") {
     // a46 is rows-only (p from the custom kernel); the whole
     // rank → raw → suffix-min transform must equal the textbook
