@@ -110,6 +110,49 @@ object Stats {
             .as("p_value"))
         .orderBy("event_type", "k")),
 
+    // A50: Kaplan–Meier survival curve over user lifetimes — the
+    // churn/retention estimator (the A30 cohort table's principled
+    // sibling): lifetime = first→last event span in days; a user
+    // whose last event predates the 7-day quiet horizon CHURNED
+    // (event), otherwise they're CENSORED (still alive at observation
+    // end) — the distinction KM exists for. S(t) = Π(1 − dᵢ/nᵢ) over
+    // event times is a running PRODUCT, rewritten exp(Σ ln(·)) — the
+    // W15 trick; the at-risk count nᵢ = N − (users whose lifetime
+    // ended earlier) is one cumulative window over the ≤31-row
+    // duration spine. Everything before the spine is a per-user hash
+    // agg; the global horizon broadcasts as one row. All counts are
+    // exact integers; round6 absorbs the libm ln/exp chain.
+    "a50_kaplan_meier" -> ((s, d) => {
+      val life = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      val horizon = Tables.events(s, d).agg(max(col("ts")).as("h"))
+      val durs = life.crossJoin(broadcast(horizon))
+        .select(
+          datediff(to_date(col("last_ts")), to_date(col("first_ts")))
+            .as("dur_days"),
+          (col("last_ts") < col("h") - expr("INTERVAL 7 DAYS"))
+            .as("churned"))
+      val spine = durs.groupBy("dur_days")
+        .agg(count(lit(1)).as("c_all"),
+          sum(when(col("churned"), 1L).otherwise(0L)).as("d_churn"))
+      val n = durs.agg(count(lit(1)).as("n_total"))
+      val wAsc = Window.orderBy("dur_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPrev = Window.orderBy("dur_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      spine.crossJoin(broadcast(n))
+        .withColumn("n_at_risk",
+          col("n_total") - coalesce(sum(col("c_all")).over(wPrev), lit(0L)))
+        .withColumn("survival",
+          exp(sum(log(lit(1.0) -
+            col("d_churn").cast("double") / col("n_at_risk"))).over(wAsc)))
+        .select(col("dur_days"), col("n_at_risk"), col("d_churn"),
+          (col("c_all") - col("d_churn")).as("c_censored"),
+          r6(col("survival")).as("survival"))
+        .orderBy("dur_days")
+    }),
+
     // A49: CUSUM drift detection — the sequential change-point
     // monitor every data-quality pipeline wants over its daily
     // metrics. The textbook form is a RECURSION (gₜ = max(0, gₜ₋₁ +
@@ -925,6 +968,36 @@ object Stats {
                       (pow(var_a / n_a, 2) / (n_a - 1) +
                        pow(var_b / n_b, 2) / (n_b - 1)), 6) AS df_welch
          FROM agg""",
+    "a50_kaplan_meier" ->
+      """WITH life AS (
+           SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+           FROM events GROUP BY 1),
+         h AS (SELECT max(ts) AS h FROM events),
+         durs AS (
+           SELECT datediff('day', CAST(first_ts AS DATE),
+                           CAST(last_ts AS DATE)) AS dur_days,
+                  last_ts < h.h - INTERVAL 7 DAY AS churned
+           FROM life, h),
+         spine AS (
+           SELECT dur_days, count(*) AS c_all,
+                  sum(CASE WHEN churned THEN 1 ELSE 0 END) AS d_churn
+           FROM durs GROUP BY 1),
+         n AS (SELECT count(*) AS n_total FROM durs),
+         r AS (
+           SELECT dur_days, c_all, d_churn,
+                  n.n_total - coalesce(sum(c_all) OVER (
+                    ORDER BY dur_days ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS n_at_risk
+           FROM spine, n)
+         SELECT CAST(dur_days AS INT) AS dur_days,
+                CAST(n_at_risk AS BIGINT) AS n_at_risk,
+                CAST(d_churn AS BIGINT) AS d_churn,
+                CAST(c_all - d_churn AS BIGINT) AS c_censored,
+                round(exp(sum(ln(CAST(1 AS DOUBLE) -
+                      CAST(d_churn AS DOUBLE) / n_at_risk)) OVER (
+                      ORDER BY dur_days ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)), 6) AS survival
+         FROM r ORDER BY dur_days""",
     "a49_cusum_drift" ->
       """WITH daily AS (
            SELECT event_type, date_trunc('day', ts) AS day,
