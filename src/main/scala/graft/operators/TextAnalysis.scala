@@ -226,6 +226,25 @@ object TextAnalysis {
             .as("compound"))
         .orderBy("doc_id")),
 
+    // SQL17: the custom Catalyst expressions through the SQL
+    // front-end — the point of registering them via
+    // SparkSessionExtensions/injectFunction is that ANY session SQL
+    // (notebooks, JDBC, views) can call them by name; this drives
+    // vader_compound, rolling_fp, and pearson_pvalue as plain SQL
+    // functions. Each column ≡ its Column-API twin (f7 / txt4 / a3),
+    // asserted exactly in TextAnalysisSpec; rows-only vs DuckDB (no
+    // equivalent functions there — the same reason the twins are).
+    "sql17_native_fn" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("docs_v_sql17")
+      s.sql("""
+        SELECT doc_id,
+               round(vader_compound(text), 6) AS compound,
+               rolling_fp(text) AS fp,
+               round(pearson_pvalue(CAST(0.3 AS DOUBLE),
+                                    CAST(50 AS BIGINT)), 6) AS p_const
+        FROM docs_v_sql17 ORDER BY doc_id""")
+    }),
+
     // TXT8: vocabulary build — the top-1000 tokens by corpus frequency
     // with a deterministic rank (count desc, token asc), the first
     // step of training any tokenizer (and the stats table behind the

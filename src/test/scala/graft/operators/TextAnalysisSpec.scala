@@ -171,4 +171,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(kernel.nonEmpty)
     assert(kernel.toSeq == hof.toSeq)
   }
+
+  test("sql17: SQL-registered functions equal their Column-API twins") {
+    // the extension registration's whole point: the same expressions
+    // by name from spark.sql. The shared test session is built
+    // without GraftExtensions, so apply the live-registry bridge.
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunctions(spark)
+    val sf = SparkTestSession.Sf0001
+    val viaSql = TextAnalysis.queries("sql17_native_fn")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Long](2),
+        r.getDouble(3)))
+    val viaCols = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        round(graft.functions.VaderCompound.compound(col("text")), 6),
+        graft.functions.RollingFingerprint.fps(col("text")))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Long](2)))
+    assert(viaSql.nonEmpty && viaSql.length == viaCols.length)
+    val pConst = math.rint(graft.functions.StudentT
+      .pValue(0.3, 50L) * 1e6) / 1e6
+    viaSql.zip(viaCols).foreach { case ((id1, (c1, f1, p)), (id2, (c2, f2))) =>
+      assert(id1 == id2 && c1 == c2 && f1 == f2)
+      assert(p == pConst, s"pearson_pvalue const $p vs $pConst")
+    }
+  }
 }
