@@ -442,6 +442,31 @@ object Windows {
         .orderBy("event_type", "day")
     }),
 
+    // W21: RANGE-frame window — the trailing 7 DAYS of each user's
+    // activity at every event, where "7 days" means event TIME, not
+    // row count: the frame no other query here uses (W9/W17/W18 are
+    // ROWS frames — k neighboring rows regardless of how far apart
+    // in time; on an irregular event stream the time-bounded
+    // question needs RANGE). Ordering key is unix_micros so the
+    // bound is exact integer µs on both engines; peers at the same
+    // instant are all in-frame by RANGE semantics (value-based, so
+    // no tiebreak nondeterminism). Decimal-pinned sliding sum; same
+    // even per-user shuffle as every window here.
+    "w21_range_frame" -> ((s, d) => {
+      val wR = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-7L * 86400L * 1000000L, 0L)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("n_7d", count(lit(1)).over(wR))
+        .withColumn("sum_7d",
+          round(sum(col("value").cast("decimal(24,10)")).over(wR)
+            .cast("double"), 6))
+        .select(col("user_id"), col("event_id"), col("n_7d"),
+          col("sum_7d"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // W15: cumulative compounded return — the equity-curve-from-returns
     // op (running PRODUCT, which no engine has as a window aggregate):
     // the standard rewrite exp(Σ ln(1+r)) turns it into a running sum.
@@ -749,6 +774,16 @@ object Windows {
          FROM s GROUP BY 1, 2 ORDER BY user_id, sess_id""",
     "w12_ewma" -> ewmaOracleSql,
     "w19_rsi" -> rsiOracleSql,
+    "w21_range_frame" ->
+      """SELECT user_id, event_id,
+                count(*) OVER w AS n_7d,
+                round(CAST(sum(CAST(value AS DECIMAL(24,10))) OVER w
+                      AS DOUBLE), 6) AS sum_7d
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 604800000000 PRECEDING
+                      AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
     "w20_macd" -> macdOracleSql,
     "w11_gap_fill" ->
       """WITH daily AS (
