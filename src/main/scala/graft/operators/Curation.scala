@@ -201,6 +201,55 @@ object Curation {
         .orderBy("stage_id")
     }),
 
+    // PIPE4: the corpus DATASHEET — the one-row report a data-curation
+    // run publishes next to its output (Gebru et al.'s "datasheets
+    // for datasets", reduced to the machine-computable vitals):
+    // volume (docs, tokens, chars), exact-duplication rate, language
+    // mix (count, dominant share), mean quality (TXT2's
+    // oracle-checked per-doc score, decimal-mean'd), and vocabulary
+    // size. Two corpus passes (doc-level projection+agg; token
+    // distinct), both map-side-combinable; the four 1-row partials
+    // broadcast into the final row. Deterministic dominant-language
+    // tiebreak via max(struct(n, lang)).
+    "pipe4_corpus_datasheet" -> ((s, d) => {
+      def dmean(c: Column) =
+        sum(c.cast("decimal(30,12)")).cast("double") / count(lit(1))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+            .as("h"),
+          size(toks).cast("long").as("n_tok"),
+          length(col("text")).cast("long").as("n_chars"))
+      val docAgg = base.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_unique"),
+        sum(col("n_tok")).as("total_tokens"),
+        dmean(col("n_tok")).as("mean_tokens"),
+        dmean(col("n_chars")).as("mean_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      val topLang = base.groupBy("lang").agg(count(lit(1)).as("n"))
+        .agg(max(struct(col("n"), col("lang"))).as("top"))
+        .select(col("top.lang").as("top_lang"), col("top.n").as("top_n"))
+      val quality = TextAnalysis.queries("txt2_quality_score")(s, d)
+        .agg(dmean(col("quality")).as("mean_quality"))
+      val vocab = Tables.documents(s, d)
+        .select(explode(toks).as("w"))
+        .agg(countDistinct(col("w")).as("vocab_size"))
+      docAgg.crossJoin(broadcast(topLang))
+        .crossJoin(broadcast(quality)).crossJoin(broadcast(vocab))
+        .select(col("n_docs"), col("n_unique"),
+          round((col("n_docs") - col("n_unique")).cast("double") /
+            col("n_docs"), 6).as("dup_rate"),
+          col("total_tokens"), round(col("mean_tokens"), 6)
+            .as("mean_tokens"),
+          round(col("mean_chars"), 6).as("mean_chars"),
+          round(col("mean_quality"), 6).as("mean_quality"),
+          col("n_langs"), col("top_lang"),
+          round(col("top_n").cast("double") / col("n_docs"), 6)
+            .as("top_lang_share"),
+          col("vocab_size"))
+    }),
+
     // TXT7: repetition signals (Gopher §A.1.1-style filters, adapted
     // to this corpus's line-less word-soup text): the fraction of
     // tokens that are the single most frequent token, and the
@@ -228,6 +277,66 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipe4_corpus_datasheet" ->
+      """WITH base AS (
+           SELECT doc_id, lang,
+                  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                    AS h,
+                  CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                       AS BIGINT) AS n_tok,
+                  CAST(length(text) AS BIGINT) AS n_chars
+           FROM documents),
+         da AS (
+           SELECT count(*) AS n_docs,
+                  count(DISTINCT h) AS n_unique,
+                  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                  CAST(CAST(sum(CAST(n_tok AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS mean_tokens,
+                  CAST(CAST(sum(CAST(n_chars AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS mean_chars,
+                  count(DISTINCT lang) AS n_langs
+           FROM base),
+         lt AS (
+           SELECT lang AS top_lang, n AS top_n
+           FROM (SELECT lang, count(*) AS n FROM base GROUP BY 1)
+           ORDER BY n DESC, lang DESC LIMIT 1),
+         q AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS toks,
+                  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+                    AS punct,
+                  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                    AS digit,
+                  CAST(length(text) AS DOUBLE) AS len
+           FROM documents),
+         qs AS (
+           SELECT round(CAST(0.5 AS DOUBLE) *
+                    (CAST(len(list_filter(toks, x -> x IN
+                       ('the','a','of','and','to','in','is','on')))
+                      AS DOUBLE) / len(toks)) +
+                  CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - punct / len) +
+                  CAST(0.2 AS DOUBLE) * (CAST(1 AS DOUBLE) - digit / len),
+                  6) AS quality
+           FROM q),
+         mq AS (
+           SELECT CAST(CAST(sum(CAST(quality AS DECIMAL(30,12)))
+                       AS VARCHAR) AS DOUBLE) / count(*) AS mean_quality
+           FROM qs),
+         v AS (
+           SELECT count(DISTINCT w) AS vocab_size
+           FROM (SELECT unnest(string_split_regex(lower(trim(text)),
+                        '\s+')) AS w FROM documents))
+         SELECT n_docs, n_unique,
+                round(CAST(n_docs - n_unique AS DOUBLE) / n_docs, 6)
+                  AS dup_rate,
+                total_tokens, round(mean_tokens, 6) AS mean_tokens,
+                round(mean_chars, 6) AS mean_chars,
+                round(mean_quality, 6) AS mean_quality,
+                n_langs, top_lang,
+                round(CAST(top_n AS DOUBLE) / n_docs, 6)
+                  AS top_lang_share,
+                vocab_size
+         FROM da, lt, mq, v""",
     "decon1_ngram_overlap" ->
       """WITH docs AS (
            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
