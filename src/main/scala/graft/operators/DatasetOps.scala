@@ -74,6 +74,51 @@ object DatasetOps {
         .orderBy("fold")
     }),
 
+    // DS12: temperature-based mixture reweighting — the multilingual
+    // /multi-source sampling formula (q_i ∝ p_i^α, α = 0.7 here; the
+    // mT5/XLM-R recipe): raising source probabilities to α < 1
+    // flattens the mixture so low-resource sources are upsampled
+    // RELATIVELY without duplicating rows — the computed keep
+    // fraction per source is q_i·N_target/n_i capped at 1 (no
+    // replication, subsampling only). Unlike DS5 the weights are
+    // DERIVED from the observed counts (one tiny agg + broadcast),
+    // then the same shuffle-free md5-ladder filter decides
+    // membership. Audit output: per-source n_in, natural share,
+    // temperature share, realized kept counts. Fully oracle-checked.
+    "ds12_temperature_mix" -> ((s, d) => {
+      val alpha = 0.7
+      val counts = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n_in"))
+      // z sums ~20 libm pows — decimal-pinned so accumulation order
+      // can't move it; the keep decision compares against the ROUNDED
+      // fraction so a 1-ulp pow divergence can't flip a membership
+      val tot = counts.agg(sum(col("n_in")).as("n"),
+        sum(pow(col("n_in").cast("double"), lit(alpha))
+          .cast("decimal(30,12)")).cast("double").as("z"))
+      val frac = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+          16, 10).cast("long").cast("double") /
+        lit(1152921504606846976L).cast("double") // 2^60, exact as double
+      val targets = counts.crossJoin(broadcast(tot))
+        .withColumn("p_nat", col("n_in").cast("double") / col("n"))
+        .withColumn("q_temp",
+          pow(col("n_in").cast("double"), lit(alpha)) / col("z"))
+        // budget = half the corpus; cap at 1 (subsample, never clone)
+        .withColumn("keep_frac",
+          round(least(lit(1.0),
+            col("q_temp") * (col("n").cast("double") / 2) / col("n_in")),
+            6))
+      Tables.documents(s, d)
+        .join(broadcast(targets), Seq("source"))
+        .withColumn("kept", when(frac < col("keep_frac"), 1L)
+          .otherwise(0L))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_in"), sum(col("kept")).as("n_kept"),
+          round(max(col("p_nat")), 6).as("p_nat"),
+          round(max(col("q_temp")), 6).as("q_temp"),
+          max(col("keep_frac")).as("keep_frac"))
+        .orderBy("source")
+    }),
+
     // DS2: class-balanced downsample — exactly k rows per class,
     // chosen by deterministic hash order (not "first k seen", which
     // would bias toward whatever the scan order favors).
@@ -359,6 +404,39 @@ object DatasetOps {
          SELECT fold, n_test, CAST(tot.n_total - n_test AS BIGINT)
                   AS n_train, n_users, click_share
          FROM f, tot ORDER BY fold""",
+    "ds12_temperature_mix" ->
+      """WITH counts AS (
+           SELECT source, count(*) AS n_in FROM documents GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(n_in) AS BIGINT) AS n,
+                  CAST(CAST(sum(CAST(pow(CAST(n_in AS DOUBLE), 0.7)
+                       AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) AS z
+           FROM counts),
+         targets AS (
+           SELECT source, n_in,
+                  CAST(n_in AS DOUBLE) / tot.n AS p_nat,
+                  pow(CAST(n_in AS DOUBLE), 0.7) / tot.z AS q_temp,
+                  round(least(CAST(1 AS DOUBLE),
+                    (pow(CAST(n_in AS DOUBLE), 0.7) / tot.z) *
+                    (CAST(tot.n AS DOUBLE) / 2) / n_in), 6) AS keep_frac
+           FROM counts, tot),
+         tagged AS (
+           SELECT d.source,
+                  CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                              1, 15))::BIGINT
+                        / CAST(1152921504606846976 AS DOUBLE)
+                        < t.keep_frac
+                       THEN 1 ELSE 0 END AS kept
+           FROM documents d JOIN targets t USING (source)),
+         k AS (
+           SELECT source, CAST(sum(kept) AS BIGINT) AS n_kept
+           FROM tagged GROUP BY 1)
+         SELECT t.source, t.n_in, k.n_kept,
+                round(t.p_nat, 6) AS p_nat,
+                round(t.q_temp, 6) AS q_temp,
+                t.keep_frac
+         FROM targets t JOIN k USING (source)
+         ORDER BY t.source""",
     "ds1_hash_split" ->
       """WITH tagged AS (
            SELECT user_id,
