@@ -273,6 +273,36 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SIM1: brute-force cosine top-5 per query vector (vec_id < 10).
+    // SIM7: maximum-inner-product search (MIPS) — retrieval scored by
+    // the RAW dot product, the objective recommender/reranker models
+    // train for (cosine's normalization deliberately discards the
+    // magnitude signal MIPS keeps). Brute-force exact baseline over
+    // the same broadcast-query shape as SIM1; fully oracle-checked.
+    // The SCALE path is the published norm-augmentation reduction
+    // (Bachrach et al. 2014): append sqrt(M²−‖x‖²) to candidates and
+    // 0 to queries — then every augmented vector has norm M, cosine
+    // order equals dot order, and ALL the suite's cosine-ANN
+    // machinery (SIM2/3/5/6) applies verbatim; SimilaritySpec proves
+    // the reduction by asserting the augmented-cosine ranking is
+    // row-identical to this query's.
+    "sim7_mips_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val c = emb
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("c_id"))
+      c.crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("score", dot(col("qe"), col("ce")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("c_id"),
+          r6(col("score")).as("score"))
+        .orderBy("q_id", "rank")
+    }),
+
     "sim1_cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val q = emb.filter(col("vec_id") < 10)
@@ -735,6 +765,22 @@ object Similarity {
            SELECT q_id, c_id, cosine,
                   row_number() OVER (PARTITION BY q_id
                     ORDER BY cosine DESC, c_id) AS rank
+           FROM pairs) WHERE rank <= 5
+         ORDER BY q_id, rank""",
+    "sim7_mips_topk" ->
+      """WITH v AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+         pairs AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                  list_sum(list_transform(generate_series(1, len(q.e)),
+                    i -> q.e[i] * c.e[i])) AS score
+           FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         SELECT q_id, rank, c_id, round(score, 6) AS score FROM (
+           SELECT q_id, c_id, score,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, c_id) AS rank
            FROM pairs) WHERE rank <= 5
          ORDER BY q_id, rank""",
     "sim1_cosine_topk" ->

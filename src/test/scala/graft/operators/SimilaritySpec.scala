@@ -16,6 +16,37 @@ class SimilaritySpec extends AnyFunSuite {
     Similarity.queries(q)(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
 
+  test("sim7: norm-augmented cosine ranking equals the MIPS ranking") {
+    // the Bachrach et al. reduction, computed NUMERICALLY: append
+    // sqrt(M²−‖c‖²) to candidates (M = max norm) and 0 to queries —
+    // every augmented candidate has norm M, so the augmented-cosine
+    // order must reproduce the raw-dot order the query ships. This
+    // is what licenses running MIPS through the cosine-ANN machinery.
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val m = math.sqrt(vecs.values.map(v => v.map(x => x * x).sum).max)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val got = Similarity.queries("sim7_mips_topk")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    assert(got.nonEmpty)
+    got.foreach { case (q, wantIds) =>
+      val qv = vecs(q)
+      val ranked = vecs.toSeq.filter(_._1 != q).map { case (c, cv) =>
+        val aug = math.sqrt(m * m - cv.map(x => x * x).sum)
+        val cos = dot(qv :+ 0.0, cv :+ aug) /
+          (math.sqrt(dot(qv, qv)) * m)
+        (c, cos)
+      }.sortBy { case (c, cos) => (-cos, c) }.take(5).map(_._1)
+      assert(ranked == wantIds,
+        s"q=$q: augmented-cosine $ranked vs MIPS $wantIds")
+    }
+  }
+
   test("LSH ANN recall vs brute force ≥ 0.6 on sf0.001") {
     val exact = pairs("sim1_cosine_topk")
     val approx = pairs("sim2_lsh_ann")
