@@ -35,9 +35,9 @@ class DeterminismSpec extends AnyFunSuite {
       val t = if (id > 0 && id % 17 == 0) text(3L)
         else if (id > 0 && id % 10 == 7) text(0L)
         else text(id)
-      (id, t, s"src${id % 20}")
+      (id, t, s"src${id % 20}", if (id % 5 == 0) "de" else "en")
     }
-    val df = rows.toDF("doc_id", "text", "source")
+    val df = rows.toDF("doc_id", "text", "source", "lang")
     val d1 = SparkTestSession.fixtureDir("det-one")
     val d7 = SparkTestSession.fixtureDir("det-seven")
     df.coalesce(1).write.mode("overwrite").parquet(s"$d1/documents.parquet")
@@ -76,7 +76,11 @@ class DeterminismSpec extends AnyFunSuite {
     // graph + corpus-distribution additions: triangle participation
     // and the Zipf fit must be pure functions of the edge/token data
     "d12_triangle_count" -> Dedup.queries,
-    "txt15_zipf" -> TextAnalysis.queries)
+    "txt15_zipf" -> TextAnalysis.queries,
+    // derived-weight sampling and the datasheet must not see layout
+    "ds12_temperature_mix" -> DatasetOps.queries,
+    "pipe4_corpus_datasheet" -> Curation.queries,
+    "d13_clustering_coeff" -> Dedup.queries)
 
   cases.foreach { case (name, qs) =>
     test(s"$name is identical across file layouts and shuffle widths") {
