@@ -110,6 +110,75 @@ object Stats {
             .as("p_value"))
         .orderBy("event_type", "k")),
 
+    // A51: Hurst exponent by rescaled-range (R/S) analysis — the
+    // long-memory diagnostic (H ≈ 0.5 random walk, > 0.5 trending,
+    // < 0.5 mean-reverting) the reference's lag sweep implicitly
+    // asks about. Per block size k ∈ {4, 8, 16}: chunk each type's
+    // daily series into FULL consecutive k-day blocks, per block
+    // R = max−min of the centered cumulative deviations and S = the
+    // population std, then H = the log-log OLS slope of mean(R/S)
+    // against k. Everything decomposes into windows and hash aggs
+    // over the O(types×days) frame: block id from a ranking window,
+    // centered cumsum from a block-partitioned window over
+    // decimal-pinned sums, the 3-point OLS from the TXT15 mini-sums.
+    // Output one row per event_type (plus per-k diagnostics rows
+    // would be the drill-down; the slope is the decision value).
+    "a51_hurst_rs" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("v"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("day")) - 1)
+      val ks = Seq(4, 8, 16)
+      val perK = ks.map { k =>
+        val blocked = daily
+          .withColumn("blk", floor(col("rn") / k))
+          .withColumn("n_in_blk", count(lit(1)).over(
+            Window.partitionBy("event_type", "blk")))
+          .filter(col("n_in_blk") === k)
+        val wBlk = Window.partitionBy("event_type", "blk")
+        val wCum = wBlk.orderBy("rn")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        def dsumOver(c: Column, w: org.apache.spark.sql.expressions
+            .WindowSpec) = sum(c.cast("decimal(30,12)")).over(w)
+          .cast("double")
+        val centered = blocked
+          .withColumn("mu", dsumOver(col("v"), wBlk) / k)
+          .withColumn("z", dsumOver(col("v"), wCum) -
+            (col("rn") % k + 1) * col("mu"))
+          .withColumn("s2", dsumOver(col("v") * col("v"), wBlk) / k -
+            col("mu") * col("mu"))
+          // all-equal block ⇒ S = 0 ⇒ R/S is 0/0; s2 is constant per
+          // block so the guard drops whole blocks, never partial ones
+          .filter(col("s2") > 0)
+        centered.groupBy(col("event_type"), col("blk"))
+          .agg(((max(col("z")) - min(col("z"))) /
+            sqrt(max(col("s2")))).as("rs"))
+          .groupBy("event_type")
+          .agg((sum(col("rs").cast("decimal(30,12)")).cast("double") /
+            count(lit(1))).as("mean_rs"),
+            count(lit(1)).as("n_blocks"))
+          .withColumn("k", lit(k))
+      }
+      val pts = perK.reduce(_ unionByName _)
+        .withColumn("x", log(col("k").cast("double")))
+        .withColumn("y", log(col("mean_rs")))
+      def ds(c: Column) = sum(c.cast("decimal(30,12)")).cast("double")
+      pts.groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("m"),
+          ds(col("x")).as("sx"), ds(col("y")).as("sy"),
+          ds(col("x") * col("x")).as("sxx"),
+          ds(col("x") * col("y")).as("sxy"),
+          sum(col("n_blocks")).as("n_blocks_total"))
+        .select(col("event_type"),
+          r6((col("m") * col("sxy") - col("sx") * col("sy")) /
+             (col("m") * col("sxx") - col("sx") * col("sx")))
+            .as("hurst"),
+          col("n_blocks_total"))
+        .orderBy("event_type")
+    }),
+
     // A50: Kaplan–Meier survival curve over user lifetimes — the
     // churn/retention estimator (the A30 cohort table's principled
     // sibling): lifetime = first→last event span in days; a user
@@ -836,6 +905,82 @@ object Stats {
             col("df").cast("double"))).as("p_value")))
   )
 
+  /** A51 oracle, GENERATED per block size so both engines run the
+    * identical decimal-pinned window arithmetic (the W12/W20 emission
+    * pattern — one source of truth for the constants). */
+  private def hurstOracleSql: String = {
+    val ks = Seq(4, 8, 16)
+    def perK(k: Int) = s"""
+         b$k AS (
+           SELECT event_type, rn // $k AS blk, rn, v,
+                  count(*) OVER (PARTITION BY event_type, rn // $k)
+                    AS nb
+           FROM r),
+         c$k AS (
+           SELECT event_type, blk, rn, v,
+                  CAST(CAST(sum(CAST(v AS DECIMAL(30,12))) OVER
+                       (PARTITION BY event_type, blk) AS VARCHAR)
+                       AS DOUBLE) / $k AS mu,
+                  CAST(CAST(sum(CAST(v AS DECIMAL(30,12))) OVER
+                       (PARTITION BY event_type, blk ORDER BY rn
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                        ROW) AS VARCHAR) AS DOUBLE) AS cs,
+                  CAST(CAST(sum(CAST(v * v AS DECIMAL(30,12))) OVER
+                       (PARTITION BY event_type, blk) AS VARCHAR)
+                       AS DOUBLE) / $k AS m2
+           FROM b$k WHERE nb = $k),
+         z$k AS (
+           SELECT event_type, blk,
+                  cs - (rn % $k + 1) * mu AS z,
+                  m2 - mu * mu AS s2
+           FROM c$k),
+         rs$k AS (
+           SELECT event_type, blk,
+                  (max(z) - min(z)) / sqrt(max(s2)) AS rs
+           FROM z$k WHERE s2 > 0 GROUP BY 1, 2),
+         mk$k AS (
+           SELECT event_type,
+                  CAST(CAST(sum(CAST(rs AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS mean_rs,
+                  count(*) AS n_blocks, $k AS k
+           FROM rs$k GROUP BY 1)"""
+    val union = ks.map(k => s"SELECT * FROM mk$k").mkString(
+      "\n           UNION ALL ")
+    s"""WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS v
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT event_type, v,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY day) - 1 AS rn
+           FROM daily),
+         ${ks.map(perK).mkString(",")},
+         pts AS (
+           SELECT event_type, ln(CAST(k AS DOUBLE)) AS x,
+                  ln(mean_rs) AS y, n_blocks
+           FROM ($union)),
+         ols AS (
+           SELECT event_type,
+                  CAST(count(*) AS DOUBLE) AS m,
+                  CAST(CAST(sum(CAST(x AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) AS sx,
+                  CAST(CAST(sum(CAST(y AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) AS sy,
+                  CAST(CAST(sum(CAST(x * x AS DECIMAL(30,12)))
+                       AS VARCHAR) AS DOUBLE) AS sxx,
+                  CAST(CAST(sum(CAST(x * y AS DECIMAL(30,12)))
+                       AS VARCHAR) AS DOUBLE) AS sxy,
+                  CAST(sum(n_blocks) AS BIGINT) AS n_blocks_total
+           FROM pts GROUP BY 1)
+         SELECT event_type,
+                round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6)
+                  AS hurst,
+                n_blocks_total
+         FROM ols ORDER BY event_type"""
+  }
+
   /** Benford expectations emitted as 17-digit e-notation literals —
     * DuckDB parses back the exact Scala doubles (the W12 pattern). */
   private def benfordLits: String =
@@ -968,6 +1113,7 @@ object Stats {
                       (pow(var_a / n_a, 2) / (n_a - 1) +
                        pow(var_b / n_b, 2) / (n_b - 1)), 6) AS df_welch
          FROM agg""",
+    "a51_hurst_rs" -> hurstOracleSql,
     "a50_kaplan_meier" ->
       """WITH life AS (
            SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
