@@ -82,36 +82,39 @@ object Multimodal {
     // MM8: byte-class entropy of the binary payload — MM2's
     // histogram re-expressed WITHOUT the mapPartitions lambda: the
     // payload hex-expands in place (`hex` + `transform` + `substr`
-    // are all codegen'd column functions), so the per-byte stage
-    // stays inside whole-stage codegen and needs no closure
-    // serialization — the "functions, not UDFs" doctrine applied to
-    // binary columns. The 16 nibble-class counts are computed IN-ROW
-    // (`filter`/`size` over the nibble array, one per class), so the
-    // whole query is a stateless projection — zero shuffles, zero
-    // joins; nothing byte-sized ever leaves its input split (the
-    // first form of this query exploded one row per byte and paid a
-    // corpus×bytes shuffle — 3.7 s at sf0.1 vs ~1 s in-row). Entropy
-    // folds over the count array in fixed class order 0..F (ASCII
-    // order — TXT13's pinned-order discipline, here by construction).
-    "mm8_byte_entropy" -> ((s, d) => {
-      val classes = "0123456789ABCDEF".map(_.toString)
-      val nibbles = transform(sequence(lit(0), col("n") - 1),
-        i => col("h").substr(i * 2 + 1, lit(1)))
+    // are all column functions, no closure serialization) — the
+    // "functions, not UDFs" doctrine applied to binary columns.
+    // Nibble classes (16) rather than MM2's 8 bins; entropy folds in
+    // sorted class order (TXT13's pinned-order discipline). Shape
+    // note, measured at sf0.1: this explode → (doc, cls) hash agg
+    // runs ~3.7 s; an "optimized" in-row variant (16 filter/size
+    // calls over the nibble array) measured 102 s because each
+    // per-class filter re-materializes the hex expansion — 16× the
+    // per-byte work with none of the shuffle's parallelism. The
+    // shuffle here carries one row per (doc, nibble-class) — 16/doc
+    // after partial aggregation, not per byte — which is exactly
+    // what map-side combine is for. MM2's mapPartitions stays the
+    // single-pass fast path; MM8 is the declarative twin.
+    "mm8_byte_entropy" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), hex(encode(col("text"), "UTF-8")).as("h"),
           octet_length(col("text")).as("n"))
         .filter(col("n") > 0)
-        .withColumn("cnts", array(classes.map(c =>
-          size(filter(nibbles, x => x === lit(c)))): _*))
-        .select(col("doc_id"), col("n").cast("long").as("n_bytes"),
-          size(filter(col("cnts"), c => c > 0)).cast("long")
-            .as("n_classes"),
-          round(aggregate(col("cnts"), lit(0.0d), (acc, c) => {
-            val p = c.cast("double") / col("n")
-            acc - when(c > 0, p * log(p)).otherwise(lit(0.0))
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), col("n") - 1),
+            i => col("h").substr(i * 2 + 1, lit(1)))).as("cls"))
+        .groupBy("doc_id", "cls").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n_bytes"),
+          count(lit(1)).as("n_classes"),
+          array_sort(collect_list(struct(col("cls"), col("cnt"))))
+            .as("hist"))
+        .select(col("doc_id"), col("n_bytes"), col("n_classes"),
+          round(aggregate(col("hist"), lit(0.0d), (acc, x) => {
+            val p = x.getField("cnt").cast("double") / col("n_bytes")
+            acc - p * log(p)
           }), 6).as("entropy"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // MM2: decode + feature-extract over the binary payload.
     // STUB decode: a real deployment would decode image/audio here;
@@ -432,31 +435,30 @@ object Multimodal {
                 md5(text) AS content_hash,
                 substring(text, 1, 4) AS magic
          FROM documents ORDER BY doc_id""",
-    // same in-row nibble-class counts in the same fixed 0..F order;
-    // Spark's hex() is uppercase — upper() aligns DuckDB's
+    // same nibble classes from the hex expansion; Spark's hex() is
+    // uppercase — upper() aligns DuckDB's
     "mm8_byte_entropy" ->
-      """WITH b AS (
-           SELECT doc_id, octet_length(encode(text)) AS n,
-                  list_transform(range(1, octet_length(encode(text)) + 1),
+      """WITH nib AS (
+           SELECT doc_id,
+                  unnest(list_transform(
+                    range(1, octet_length(encode(text)) + 1),
                     i -> substring(upper(hex(encode(text))),
-                                   (i - 1) * 2 + 1, 1)) AS nibbles
+                                   (i - 1) * 2 + 1, 1))) AS cls
            FROM documents WHERE octet_length(encode(text)) > 0),
-         c AS (
-           SELECT doc_id, n,
-                  list_transform(
-                    ['0','1','2','3','4','5','6','7',
-                     '8','9','A','B','C','D','E','F'],
-                    cl -> len(list_filter(nibbles, x -> x = cl))) AS cnts
-           FROM b)
-         SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
-                CAST(len(list_filter(cnts, c2 -> c2 > 0)) AS BIGINT)
-                  AS n_classes,
-                round(list_sum(list_transform(cnts,
-                  c2 -> CASE WHEN c2 > 0 THEN
-                          -(CAST(c2 AS DOUBLE) / n) *
-                           ln(CAST(c2 AS DOUBLE) / n)
-                        ELSE 0.0 END)), 6) AS entropy
-         FROM c ORDER BY doc_id""",
+         cc AS (SELECT doc_id, cls, count(*) AS cnt FROM nib GROUP BY 1, 2),
+         tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bytes,
+                        count(*) AS n_classes FROM cc GROUP BY 1),
+         terms AS (
+           SELECT cc.doc_id, cc.cls,
+                  -(CAST(cc.cnt AS DOUBLE) / tot.n_bytes) *
+                   ln(CAST(cc.cnt AS DOUBLE) / tot.n_bytes) AS t
+           FROM cc JOIN tot USING (doc_id)),
+         h AS (SELECT doc_id, list_sum(list(t ORDER BY cls)) AS h
+               FROM terms GROUP BY 1)
+         SELECT tot.doc_id, tot.n_bytes, tot.n_classes,
+                round(h.h, 6) AS entropy
+         FROM tot JOIN h USING (doc_id)
+         ORDER BY doc_id""",
     // documents.text is ASCII (octet_length == length holds corpus-wide),
     // so code points == bytes and ascii()//32 reproduces byte>>5.
     "mm2_feature_extract" ->
