@@ -135,6 +135,14 @@ object StudentT {
     if (df <= 0.0 || t.isNaN || df.isNaN) Double.NaN
     else betainc(df / 2.0, 0.5, df / (df + t * t))
 
+  /** Upper-tail p-value for an F statistic at (d1, d2) dof —
+    * P(F > f) = I_{d2/(d2+d1·f)}(d2/2, d1/2), the same regularized
+    * incomplete beta the t kernel uses (ANOVA feeds k−1, N−k). */
+  def fPValue(f: Double, d1: Double, d2: Double): Double =
+    if (d1 <= 0.0 || d2 <= 0.0 || f < 0.0 ||
+        f.isNaN || d1.isNaN || d2.isNaN) Double.NaN
+    else betainc(d2 / 2.0, d1 / 2.0, d2 / (d2 + d1 * f))
+
   /** Two-sided p-value for Pearson r with n observations (dof = n-2). */
   def pValue(r: Double, n: Long): Double = {
     if (n < 3 || r.isNaN) Double.NaN

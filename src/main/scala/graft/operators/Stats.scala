@@ -110,6 +110,54 @@ object Stats {
             .as("p_value"))
         .orderBy("event_type", "k")),
 
+    // A52: one-way ANOVA — does mean(value) differ across the k event
+    // types? The k-group generalization of A28's two-sample t. One
+    // grouped pass accumulates each group's decimal-pinned (n, Σx,
+    // Σx²); SSB/SSW then derive from per-group terms folded in
+    // event_type order (collect over the K-ROW group frame, not the
+    // corpus — the A29/TXT13 pinned-fold discipline), so F is
+    // identical IEEE arithmetic on both engines; round6 absorbs the
+    // division chain. Fully oracle-checked; the p twin feeds (k−1,
+    // N−k) to the F kernel (rows-only, StatsSpec-anchored).
+    "a52_anova" -> ((s, d) => {
+      def dsum(c: Column) = sum(c.cast("decimal(30,12)")).cast("double")
+      val g = Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_g"), dsum(col("value")).as("s_g"),
+          dsum(col("value") * col("value")).as("q_g"))
+      def fold(body: Column => Column) =
+        aggregate(col("gs"), lit(0.0d), (acc, x) => acc + body(x))
+      g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+          array_sort(collect_list(struct(col("event_type"), col("n_g"),
+            col("s_g"), col("q_g")))).as("gs"))
+        .withColumn("sum_s", fold(_.getField("s_g")))
+        .withColumn("sum_sq_over_n", fold(x =>
+          x.getField("s_g") * x.getField("s_g") /
+            x.getField("n_g").cast("double")))
+        .withColumn("sum_q", fold(_.getField("q_g")))
+        .withColumn("ssb", col("sum_sq_over_n") -
+          col("sum_s") * col("sum_s") / col("n").cast("double"))
+        .withColumn("ssw", col("sum_q") - col("sum_sq_over_n"))
+        .select(col("k"), col("n"), r6(col("ssb")).as("ssb"),
+          r6(col("ssw")).as("ssw"),
+          r6((col("ssb") / (col("k") - 1).cast("double")) /
+             (col("ssw") / (col("n") - col("k")).cast("double")))
+            .as("f_stat"))
+    }),
+
+    // A52 p twin — upper-tail F p at (k−1, N−k) via the FPValue
+    // codegen kernel (incomplete beta, the same machinery the t and
+    // χ² twins trust). Rows-only; StatsSpec anchors by recomputation
+    // from a52's oracle-checked row.
+    "a52_anova_pvalue" -> ((s, d) =>
+      queries("a52_anova")(s, d)
+        .select(col("f_stat"),
+          (col("k") - 1).cast("double").as("d1"),
+          (col("n") - col("k")).cast("double").as("d2"))
+        .select(col("f_stat"), col("d1"), col("d2"),
+          r6(graft.functions.FPValue.pValue(col("f_stat"), col("d1"),
+            col("d2"))).as("p_value"))),
+
     // A51: Hurst exponent by rescaled-range (R/S) analysis — the
     // long-memory diagnostic (H ≈ 0.5 random walk, > 0.5 trending,
     // < 0.5 mean-reverting) the reference's lag sweep implicitly
@@ -1114,6 +1162,31 @@ object Stats {
                        pow(var_b / n_b, 2) / (n_b - 1)), 6) AS df_welch
          FROM agg""",
     "a51_hurst_rs" -> hurstOracleSql,
+    "a52_anova" ->
+      """WITH g AS (
+           SELECT event_type, count(*) AS n_g,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) AS s_g,
+                  CAST(CAST(sum(CAST(value * value AS DECIMAL(30,12)))
+                       AS VARCHAR) AS DOUBLE) AS q_g
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         f AS (
+           SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+                  list_sum(list(s_g ORDER BY event_type)) AS sum_s,
+                  list_sum(list(s_g * s_g / CAST(n_g AS DOUBLE)
+                           ORDER BY event_type)) AS sum_sq_over_n,
+                  list_sum(list(q_g ORDER BY event_type)) AS sum_q
+           FROM g),
+         c AS (
+           SELECT k, n,
+                  sum_sq_over_n - sum_s * sum_s / CAST(n AS DOUBLE)
+                    AS ssb,
+                  sum_q - sum_sq_over_n AS ssw
+           FROM f)
+         SELECT k, n, round(ssb, 6) AS ssb, round(ssw, 6) AS ssw,
+                round((ssb / CAST(k - 1 AS DOUBLE)) /
+                      (ssw / CAST(n - k AS DOUBLE)), 6) AS f_stat
+         FROM c""",
     "a50_kaplan_meier" ->
       """WITH life AS (
            SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts

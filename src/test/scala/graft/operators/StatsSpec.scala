@@ -183,6 +183,28 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(5) - 1.0) <= 1e-6, s"r2 ${r.getDouble(5)}")
   }
 
+  test("a52_anova_pvalue anchors to the F row; kernel pinned by identities") {
+    val row = Stats.queries("a52_anova")(spark, sf).head()
+    val (k, n, f) = (row.getLong(0), row.getLong(1), row.getDouble(4))
+    val pv = Stats.queries("a52_anova_pvalue")(spark, sf).head()
+    assert(pv.getDouble(0) == f)
+    assert(pv.getDouble(1) == (k - 1).toDouble)
+    assert(pv.getDouble(2) == (n - k).toDouble)
+    val want = math.rint(graft.functions.StudentT.fPValue(f,
+      (k - 1).toDouble, (n - k).toDouble) * 1e6) / 1e6
+    assert(pv.getDouble(3) == want)
+    // analytic identity: F(1, d) upper tail ≡ two-sided t at √f —
+    // ties the new kernel to the quadrature-validated t kernel
+    for (fv <- Seq(0.5, 1.0, 4.9646); d <- Seq(5.0, 10.0, 30.0)) {
+      val lhs = graft.functions.StudentT.fPValue(fv, 1.0, d)
+      val rhs = graft.functions.StudentT.tPValue(math.sqrt(fv), d)
+      assert(math.abs(lhs - rhs) <= 1e-12, s"F(1,$d) at $fv: $lhs vs $rhs")
+    }
+    // published golden: F(0.95; 1, 10) = 4.9646 ⇒ upper tail ≈ 0.05
+    assert(math.abs(graft.functions.StudentT.fPValue(4.9646, 1.0, 10.0)
+      - 0.05) <= 2e-4)
+  }
+
   test("a49 prefix-min form equals the textbook CUSUM recursion") {
     // planted mean shift: 15 days at 10.0 then 15 days at 20.0 (all
     // values exact in binary, so mu0 = 15 and sigma = 5 exactly);
