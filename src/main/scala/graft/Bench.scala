@@ -93,7 +93,14 @@ object Bench {
         () => graft.operators.SourceSinks.invalidateZorder(spark, sfDir)) { () =>
         graft.operators.SourceSinks.zorderDir(spark, sfDir)
       })
-    val results = builds ++ SparkEntry.queries.map { case (name, fn) =>
+    // Local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 times just those
+    // queries (builds are skipped unless named). The driver never sets
+    // it, so round artifacts always carry the complete map.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    def keep(name: String): Boolean = only.forall(_.contains(name))
+    val results = builds.filter(b => keep(b._1)) ++
+      SparkEntry.queries.filter(q => keep(q._1)).map { case (name, fn) =>
       name -> medianOf(name) { () =>
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
@@ -123,8 +130,9 @@ object Bench {
           .findFirstMatchIn(f.getName).map(_.group(1).toInt))
       if (prev.isEmpty) 1 else prev.max + 1
     }
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(f"BENCH_FULL_r$round%02d.json"), bytes)
+    if (only.isEmpty) // never clobber the round artifact from a filtered run
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"BENCH_FULL_r$round%02d.json"), bytes)
     spark.stop()
   }
 }

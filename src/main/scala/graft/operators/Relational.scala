@@ -306,6 +306,28 @@ object Relational {
         .agg(count(lit(1)).as("n_days"),
           expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))),
 
+    // A53: Count-Min Sketch point-frequency estimates — the third leg
+    // of the sketch family (A16/A32 = distinct via HLL, TXT9 = top-k
+    // via SpaceSaving, this = per-key frequency). The sketch agg is
+    // algebraic (map-side partial sketches merge), so 100 TB of
+    // events collapse to ONE ~1 MB binary on the driver — the probe
+    // of a fixed 20-key watchlist then costs zero cluster work, where
+    // the exact A5-style groupBy shuffles every key. eps=1e-4,
+    // δ=0.01: estimates overcount by ≤ eps·N = 10 w.p. 0.99 per key
+    // (CMS never undercounts) — both bounds + merge associativity
+    // asserted in ApproxAggSpec against the exact counts. Sketch
+    // internals have no DuckDB twin → rows-only, anchored.
+    "a53_cms_freq" -> ((s, d) => {
+      import s.implicits._
+      val bin = Tables.events(s, d)
+        .agg(expr("count_min_sketch(user_id, 0.0001d, 0.99d, 42)").as("sk"))
+        .head.getAs[Array[Byte]](0)
+      val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bin))
+      (0L until 20L).map(u => (u, sk.estimateCount(u)))
+        .toDF("user_id", "est_n").orderBy("user_id")
+    }),
+
     // A17: exact quantiles per group (linear interpolation — matches
     // DuckDB's quantile_cont). At scale the same query swaps
     // percentile→percentile_approx with identical plan shape.
@@ -1064,6 +1086,77 @@ object Relational {
         ORDER BY user_id""")
     }),
 
+    // SQL18: TPC-H Q21 shape — the hardest decorrelation pattern in
+    // the TPC-H suite: a correlated EXISTS (another supplier on the
+    // same order) AND a correlated NOT EXISTS (another LATE supplier
+    // on the same order) against the SAME fact table, both carrying a
+    // non-equality correlated predicate (l_suppkey <>). Catalyst must
+    // plan BOTH as keyed left-semi / left-anti joins on l_orderkey —
+    // a naive engine re-scans lineitem per outer row, the difference
+    // between 3 keyed shuffles and |lineitem|² at 100 TB. The
+    // testdata has no l_commitdate/l_receiptdate, so "late" is
+    // l_shipdate > o_orderdate + 45 days (joined through orders
+    // inside the subquery, keeping the inner block self-contained
+    // exactly as Q21's receipt/commit comparison is). Count-only
+    // aggregate → no float risk; fully oracle-checked.
+    // Ref workload shape: scripts/07_backtest.py's per-order state
+    // checks; surface-parity extension (SURVEY §2.4 SQL family).
+    "sql18_tpch_q21" -> ((s, d) => {
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT s_name, count(*) AS numwait
+        FROM supplier_v
+             JOIN lineitem_v l1 ON s_suppkey = l1.l_suppkey
+             JOIN orders_v o    ON o_orderkey = l1.l_orderkey
+             JOIN nation_v      ON s_nationkey = n_nationkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+          AND EXISTS (SELECT 1 FROM lineitem_v l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem_v l3
+                               JOIN orders_v o3
+                                 ON l3.l_orderkey = o3.o_orderkey
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate >
+                                o3.o_orderdate + INTERVAL 45 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100""")
+    }),
+
+    // SQL19: TPC-H Q22 shape — an UNCORRELATED scalar subquery (the
+    // global mean balance, computed once and broadcast as a 1-row
+    // literal, never per-row) gating a correlated NOT EXISTS (lapsed
+    // customers: no order since the cutoff — the anti-join). The
+    // threshold is decimal-exact sum ÷ count cast through double, so
+    // both engines compare against the bit-identical IEEE value and
+    // no boundary row can flip. Q22's phone-prefix grouping maps to
+    // c_nationkey (the testdata's country attribute).
+    "sql19_tpch_q22" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c_nationkey AS cntry, count(*) AS numcust,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(24,10)))
+                     AS DOUBLE), 6) AS totacctbal
+        FROM customer_v c
+        WHERE c_acctbal >
+              (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(24,10)))
+                      AS DOUBLE) / count(*)
+               FROM customer_v WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders_v o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >=
+                                TIMESTAMP '2000-06-01 00:00:00')
+        GROUP BY c_nationkey
+        ORDER BY cntry""")
+    }),
+
     // U4: INTERSECT — distinct (user, day) pairs where a click AND a
     // purchase both happened: the set-semantics operator (Catalyst
     // plans it as a distinct + left-semi hash join — keyed shuffle,
@@ -1308,6 +1401,28 @@ object Relational {
           bit_count(col("event_id")).cast("int").as("popcnt"))
         .orderBy("event_id")),
 
+    // F10: URL parsing family — the web-corpus curation surface
+    // (domain-level quality filters, per-host caps, UTM stripping all
+    // key on these pieces; the reference dedups articles BY url —
+    // scripts/02_fetch_news.py:117-120 — and any scaled version of
+    // that pipeline groups by host). The URL is derived
+    // deterministically from (source, doc_id) so both engines parse
+    // the same strings; Spark's side is the native parse_url codegen
+    // expression, the oracle re-derives the pieces with regexes —
+    // results compare, not syntax. Fully oracle-checked.
+    "f10_url_funcs" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/articles/"), col("doc_id"),
+          lit("?ref=feed&page="), col("doc_id") % 10))
+        .select(col("doc_id"), col("url"),
+          expr("parse_url(url, 'PROTOCOL')").as("proto"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("qstring"),
+          expr("parse_url(url, 'QUERY', 'page')").as("page"))
+        .orderBy("doc_id")),
+
     // S23: dead-letter JSON ingest — the quarantine pattern a 100 TB
     // ingest cannot live without: a batch where some payloads are
     // corrupt must route good rows onward and COUNT the quarantined
@@ -1515,6 +1630,20 @@ object Relational {
                 CAST(bit_count(event_id) AS INT) AS popcnt
          FROM events
          ORDER BY event_id""",
+    "f10_url_funcs" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  'https://' || source || '.example.com/articles/' ||
+                  doc_id || '?ref=feed&page=' || (doc_id % 10) AS url
+           FROM documents)
+         SELECT doc_id, url,
+                'https' AS proto,
+                regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+                regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+                regexp_extract(url, '\?(.*)$', 1) AS qstring,
+                regexp_extract(url, '[?&]page=([^&]*)', 1) AS page
+         FROM u
+         ORDER BY doc_id""",
     // pivot → unpivot round trip must land back on the plain GROUP BY
     "a26_unpivot" ->
       """SELECT user_id, event_type, count(*) AS n
@@ -1870,6 +1999,42 @@ object Relational {
                 count(*) FILTER (event_type = 'signup') AS n_signup,
                 count(*) FILTER (event_type = 'view') AS n_view
          FROM events GROUP BY 1 ORDER BY user_id""",
+    "sql18_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier
+              JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+              JOIN orders o    ON o_orderkey = l1.l_orderkey
+              JOIN nation      ON s_nationkey = n_nationkey
+         WHERE o.o_orderstatus = 'F'
+           AND l1.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                                JOIN orders o3
+                                  ON l3.l_orderkey = o3.o_orderkey
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate >
+                                 o3.o_orderdate + INTERVAL 45 DAY)
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name
+         LIMIT 100""",
+    "sql19_tpch_q22" ->
+      """SELECT c_nationkey AS cntry, count(*) AS numcust,
+                round(CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(24,10)))
+                      AS VARCHAR) AS DOUBLE), 6) AS totacctbal
+         FROM customer c
+         WHERE c_acctbal >
+               (SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(24,10)))
+                       AS VARCHAR) AS DOUBLE) / count(*)
+                FROM customer WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderdate >=
+                                 TIMESTAMP '2000-06-01 00:00:00')
+         GROUP BY c_nationkey
+         ORDER BY cntry""",
     "sql14_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist
          FROM (SELECT c_custkey, count(o_orderkey) AS c_count

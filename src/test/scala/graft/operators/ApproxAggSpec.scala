@@ -72,6 +72,40 @@ class ApproxAggSpec extends AnyFunSuite {
       s"merged=$est one-shot=$oneShot — sketch union not associative")
   }
 
+  test("a53 CMS estimates bounded by [exact, exact + eps*N]; day-merge associative") {
+    import org.apache.spark.sql.functions._
+    val events = graft.Tables.events(spark, sf)
+    val n = events.count()
+    val exact = events.filter(col("user_id") < 20)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = Relational.queries("a53_cms_freq")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.size == 20)
+    val epsN = math.ceil(1e-4 * n).toLong
+    est.foreach { case (u, e) =>
+      val x = exact.getOrElse(u, 0L)
+      assert(e >= x, s"user $u: CMS undercounted ($e < $x) — impossible by construction")
+      assert(e <= x + epsN, s"user $u: est $e > exact $x + eps*N $epsN")
+    }
+    // associativity: merging per-day sketches must equal the one-shot
+    // sketch — the property that lets 100 TB be sketched
+    // partition-by-partition and rolled up without rescans
+    val dayBins = events
+      .groupBy(date_trunc("day", col("ts")))
+      .agg(expr("count_min_sketch(user_id, 0.0001d, 0.99d, 42)").as("sk"))
+      .collect().map(_.getAs[Array[Byte]]("sk"))
+    assert(dayBins.length > 1, "need >1 day for the merge to be real")
+    val merged = dayBins.map(b =>
+        org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(b)))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    (0L until 20L).foreach { u =>
+      assert(merged.estimateCount(u) == est(u),
+        s"user $u: day-merged ${merged.estimateCount(u)} != one-shot ${est(u)}")
+    }
+  }
+
   test("salted aggregation equals the plain aggregate") {
     val plain = Relational.queries("a1_grouped_avg")(spark, sf)
     val salted = Relational.queries("a15_salted_agg")(spark, sf)

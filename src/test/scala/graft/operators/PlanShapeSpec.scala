@@ -406,6 +406,34 @@ class PlanShapeSpec extends AnyFunSuite {
       s"orders + lineitem must each scan once:\n${plan.take(2000)}")
   }
 
+  test("sql18: Q21's EXISTS + NOT EXISTS both decorrelate to keyed joins") {
+    // the same fact table is probed by a correlated EXISTS and a
+    // correlated NOT EXISTS, each carrying a non-equality predicate
+    // (l_suppkey <>) — both must become keyed LeftSemi/LeftAnti joins
+    // on l_orderkey, never a per-outer-row rescan of lineitem
+    val plan = planOf(Relational.queries, "sql18_tpch_q21")
+    assert(plan.contains("LeftSemi"), plan.take(2500))
+    assert(plan.contains("LeftAnti"), plan.take(2500))
+    assert(!plan.contains("SubqueryExec") && !plan.contains("Subquery subquery"),
+      s"per-row subquery survived decorrelation:\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+  }
+
+  test("sql19: Q22's scalar subquery runs once; the anti join is keyed") {
+    // the global-mean threshold is an UNCORRELATED scalar subquery —
+    // it must execute exactly once (a reusable subquery feeding a
+    // literal into the filter), and the lapsed-customer NOT EXISTS
+    // must plan as a keyed LeftAnti join against orders
+    val plan = planOf(Relational.queries, "sql19_tpch_q22")
+    assert(plan.contains("LeftAnti"), plan.take(2500))
+    assert(plan.contains("Subquery subquery") || plan.contains("ReusedSubquery")
+        || plan.contains("scalar-subquery"),
+      s"expected the one-shot scalar subquery node:\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+  }
+
   test("sql5: the correlated scalar subquery decorrelates to an aggregate join") {
     // the per-part average threshold must become one grouped
     // aggregate joined back on the correlation key — never a scalar
