@@ -80,38 +80,43 @@ object Multimodal {
         .orderBy("doc_id")),
 
     // MM8: byte-class entropy of the binary payload — MM2's
-    // histogram re-expressed WITHOUT the mapPartitions lambda: the
-    // payload hex-expands in place (`hex` + `transform` + `substr`
-    // are all column functions, no closure serialization) — the
-    // "functions, not UDFs" doctrine applied to binary columns.
-    // Nibble classes (16) rather than MM2's 8 bins; entropy folds in
-    // sorted class order (TXT13's pinned-order discipline). Shape
-    // note, measured at sf0.1: this explode → (doc, cls) hash agg
-    // runs ~3.7 s; an "optimized" in-row variant (16 filter/size
-    // calls over the nibble array) measured 102 s because each
-    // per-class filter re-materializes the hex expansion — 16× the
-    // per-byte work with none of the shuffle's parallelism. The
-    // shuffle here carries one row per (doc, nibble-class) — 16/doc
-    // after partial aggregation, not per byte — which is exactly
-    // what map-side combine is for. MM2's mapPartitions stays the
-    // single-pass fast path; MM8 is the declarative twin.
+    // histogram re-expressed WITHOUT the mapPartitions lambda: pure
+    // column functions, no closure serialization — the "functions,
+    // not UDFs" doctrine applied to binary columns. Nibble classes
+    // (16) rather than MM2's 8 bins; entropy folds in sorted class
+    // order (TXT13's pinned-order discipline). Shape history,
+    // measured at sf0.1: (1) explode per byte → (doc, cls) hash agg
+    // ran ~3.7 s (per-byte substr rows; map-side combine kept the
+    // shuffle at 16/doc but the 10M-row expansion dominated); (2) an
+    // in-row variant of 16 filter/size calls over the nibble ARRAY
+    // measured 102 s — each per-class filter re-materialized the
+    // expansion. This third shape is in-row WITHOUT the array: ONE
+    // regexp pass strips the hex string to its high nibbles (kept in
+    // its own projection — CollapseProject won't inline a non-cheap
+    // alias referenced 33×), then each class count is a replace+
+    // length scan of that 1-char-per-byte string (16 linear char
+    // scans, no per-byte objects, no shuffle at all) — 1.3 s, ~3×
+    // the explode form; the remainder is the single-file corpus
+    // running as one input split (see Tables.documents), not plan
+    // shape. (translate() for the scans measured 2.4 s — slower than
+    // replace().) MM2's mapPartitions stays the imperative fast
+    // path; MM8 is the declarative twin.
     "mm8_byte_entropy" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), hex(encode(col("text"), "UTF-8")).as("h"),
-          octet_length(col("text")).as("n"))
-        .filter(col("n") > 0)
+        .filter(octet_length(col("text")) > 0)
         .select(col("doc_id"),
-          explode(transform(sequence(lit(0), col("n") - 1),
-            i => col("h").substr(i * 2 + 1, lit(1)))).as("cls"))
-        .groupBy("doc_id", "cls").agg(count(lit(1)).as("cnt"))
-        .groupBy("doc_id")
-        .agg(sum(col("cnt")).as("n_bytes"),
-          count(lit(1)).as("n_classes"),
-          array_sort(collect_list(struct(col("cls"), col("cnt"))))
-            .as("hist"))
-        .select(col("doc_id"), col("n_bytes"), col("n_classes"),
+          regexp_replace(hex(encode(col("text"), "UTF-8")),
+            "(.).", "$1").as("hs"))
+        .select(col("doc_id"),
+          length(col("hs")).cast("long").as("n_bytes"),
+          filter(array("0123456789ABCDEF".map(c =>
+              (length(col("hs")) -
+                length(expr(s"replace(hs, '$c', '')"))).cast("long")): _*),
+            x => x > 0).as("hist"))
+        .select(col("doc_id"), col("n_bytes"),
+          size(col("hist")).cast("long").as("n_classes"),
           round(aggregate(col("hist"), lit(0.0d), (acc, x) => {
-            val p = x.getField("cnt").cast("double") / col("n_bytes")
+            val p = x.cast("double") / col("n_bytes")
             acc - p * log(p)
           }), 6).as("entropy"))
         .orderBy("doc_id")),
