@@ -289,6 +289,43 @@ object Dedup {
     ranks
   }
 
+  /** D14's engine: synchronous label propagation (Raghavan et al.
+    * 2007) over the undirected pair graph — community detection as
+    * the third canonical-election strategy next to D10's min-id and
+    * D11's rank-weighted election. Each round every vertex adopts the
+    * most frequent label among its neighbors PLUS ITSELF (the
+    * self-vote breaks the classic 2-node synchronous oscillation and
+    * makes cliques converge in one round), ties to the smallest
+    * label — fully deterministic, no RNG. Per round: one keyed join +
+    * hash agg + ranking window, all shuffling on the vertex key;
+    * eager localCheckpoint keeps round k's plan O(1) (the D10/D11
+    * lineage-truncation pattern). Labels are exact integers, so the
+    * spec's sequential recomputation matches bit-for-bit. */
+  private[operators] def labelPropagation(pairs: DataFrame,
+      vertices: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.expressions.Window
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val votes = edges.join(labels, col("src") === col("doc_id"))
+        .select(col("dst"), col("label"))
+        .union(labels.select(col("doc_id").as("dst"), col("label")))
+      val w = Window.partitionBy("dst")
+        .orderBy(col("n").desc, col("label").asc)
+      val best = votes.groupBy("dst", "label").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("dst").as("doc_id"), col("label"))
+      labels = best.localCheckpoint()
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Per-doc SimHash bit sums s0…s63 (sᵢ > 0 ⇔ bit i of the signature
     * is set): one token explode + one hash agg, shared by the D4
     * signature render and the D8 banded pair search. */
@@ -420,6 +457,25 @@ object Dedup {
       val pairs = TextAnalysis.ngramJaccardPairs(s, d, maxId = 100,
         minJ = 0.02)
       pageRank(pairs, docs, iters = 10, damp = 0.85)
+        .orderBy("doc_id")
+    }),
+
+    // D14: label-propagation communities over the SAME near-dup edge
+    // slice — D10 answers "which docs are transitively connected",
+    // D14 answers the finer "which docs cluster densely": a hub doc
+    // chaining two otherwise-unrelated plagiarism rings joins ONE
+    // ring instead of gluing both into a single canonical group (the
+    // over-merge failure mode of pure connected components at scale).
+    // Iterative (outside recursive-CTE semantics) → rows-only;
+    // DedupSpec anchors the exact integer labels against a
+    // sequential recomputation of the same synchronous update AND
+    // asserts every community stays inside one D10 component.
+    "d14_label_prop" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") < 100).select(col("doc_id"))
+      val pairs = TextAnalysis.ngramJaccardPairs(s, d, maxId = 100,
+        minJ = 0.02)
+      labelPropagation(pairs, docs, iters = 4)
         .orderBy("doc_id")
     }),
 

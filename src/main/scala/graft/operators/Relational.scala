@@ -1423,6 +1423,34 @@ object Relational {
           expr("parse_url(url, 'QUERY', 'page')").as("page"))
         .orderBy("doc_id")),
 
+    // F11: the try_* error-safe function family — Spark 4 runs ANSI
+    // mode by default (overflow/bad-cast/array-out-of-bounds THROW,
+    // killing the whole 100 TB job on one poisoned row), and try_* is
+    // the documented per-expression escape hatch: NULL instead of
+    // abort, without turning ANSI off globally. Planted hazards per
+    // row: divide-by-zero every 5th user, an unparseable cast
+    // (event_type is never numeric), a parseable cast (the JSON k
+    // field), an out-of-bounds array index beyond the 2-element
+    // split, and a guaranteed bigint overflow for every event_id > 0.
+    // Oracle re-derives each NULL from the ground-truth plant
+    // (NULLIF / TRY_CAST / CASE), so the check proves the try_*
+    // verdicts identify exactly the hazardous rows. Fully
+    // oracle-checked.
+    "f11_try_funcs" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          // raw double: elementwise IEEE division is bit-identical
+          // across engines — no rounding grid needed (verify-skill
+          // discipline)
+          expr("try_divide(value, cast(user_id % 5 as double))")
+            .as("safe_div"),
+          expr("try_cast(event_type AS INT)").as("bad_cast"),
+          expr("try_cast(get_json_object(props, '$.k') AS INT)")
+            .as("json_k"),
+          expr("try_element_at(split(event_type, 'i'), 5)").as("oob"),
+          expr("try_add(9223372036854775807L, event_id)").as("ovf"))
+        .orderBy("event_id")),
+
     // S23: dead-letter JSON ingest — the quarantine pattern a 100 TB
     // ingest cannot live without: a batch where some payloads are
     // corrupt must route good rows onward and COUNT the quarantined
@@ -1628,6 +1656,18 @@ object Relational {
                 user_id << 3 AS shl,
                 event_id >> 2 AS shr,
                 CAST(bit_count(event_id) AS INT) AS popcnt
+         FROM events
+         ORDER BY event_id""",
+    "f11_try_funcs" ->
+      """SELECT event_id,
+                value / NULLIF(CAST(user_id % 5 AS DOUBLE), 0)
+                  AS safe_div,
+                TRY_CAST(event_type AS INT) AS bad_cast,
+                TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                  AS json_k,
+                string_split(event_type, 'i')[5] AS oob,
+                CASE WHEN event_id = 0 THEN 9223372036854775807
+                     ELSE NULL END AS ovf
          FROM events
          ORDER BY event_id""",
     "f10_url_funcs" ->

@@ -236,6 +236,51 @@ class DedupSpec extends AnyFunSuite {
     assert(got.values.sum <= 1.0 + 1e-9)
   }
 
+  test("D14 label propagation matches the sequential update; communities nest in components") {
+    // same slice as the query; labels are exact integers so the
+    // sequential recomputation of the identical synchronous
+    // self-vote/min-tie update must match bit-for-bit
+    val sf = SparkTestSession.Sf0001
+    import org.apache.spark.sql.functions.col
+    val nodes = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 100).select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    val pairs = TextAnalysis.ngramJaccardPairs(spark, sf, maxId = 100,
+      minJ = 0.02).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "vacuous: no near-dup edges in the slice")
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    var label = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to 4) {
+      label = nodes.map { v =>
+        val votes = (v +: adj.getOrElse(v, Seq.empty))
+          .map(label).groupBy(identity).map { case (l, o) => l -> o.size }
+        // max count, ties to the smallest label
+        v -> votes.toSeq.minBy { case (l, n) => (-n, l) }._1
+      }.toMap
+    }
+    val got = Dedup.queries("d14_label_prop")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == label.keySet)
+    label.foreach { case (v, l) =>
+      assert(got(v) == l, s"node $v: seq=$l got=${got(v)}")
+    }
+    // structural: labels only travel along edges, so every community
+    // must sit inside ONE connected component; isolated docs keep
+    // their own id; and the slice must form a non-trivial community
+    val comp = Dedup.queries("d10_dup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.groupBy(_._2).foreach { case (lbl, members) =>
+      val comps = members.keys.map(comp).toSet
+      assert(comps.size == 1,
+        s"community $lbl spans components $comps")
+    }
+    val isolated = nodes.filterNot(adj.contains)
+    assert(isolated.nonEmpty && isolated.forall(v => got(v) == v))
+    assert(got.groupBy(_._2).exists(_._2.size > 1),
+      "vacuous: no multi-doc community formed")
+  }
+
   test("D8 banded pairs equal an exhaustive Hamming search (pigeonhole)") {
     // 4 bands × 16 bits: a pair at Hamming ≤ 3 differs in at most 3
     // bits, so at least one of the 4 bands is untouched — the band
