@@ -61,6 +61,25 @@ class StreamingSpec extends AnyFunSuite {
         "expected the file-capped trigger to slice it")
   }
 
+  test("T21: streaming HLL distinct within 5% of batch exact, sketches merged across batches") {
+    import org.apache.spark.sql.functions._
+    val got = EventStream.runStreamingApproxDistinct(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(EventStream.lastApproxDistinctBatches >= 2,
+      s"replayed in ${EventStream.lastApproxDistinctBatches} batch(es); " +
+        "the cross-batch sketch merge needs the file-capped trigger to slice")
+    val exact = graft.Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .select(col("w.start"), col("event_type"), col("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val err = math.abs(got(k) - n).toDouble / n
+      assert(err <= 0.05, s"window $k: exact=$n streamed est=${got(k)} err=$err")
+    }
+  }
+
   test("T20: SCD2 history merges across 2+ real micro-batches") {
     // the incremental merge must survive a real batch boundary (the
     // cross-batch current-attribute comparison is the hard path); a
