@@ -1157,6 +1157,77 @@ object Relational {
         ORDER BY cntry""")
     }),
 
+    // SQL20: TPC-H Q7 shape (volume shipping) — the nation SELF-JOIN
+    // the suite lacked: the same dimension participates twice under
+    // different roles (supplier's nation vs customer's nation), with
+    // a DISJUNCTIVE cross-role predicate (pair (1,2) OR (2,1)) that
+    // cannot collapse into either single join. Both nation sides are
+    // tiny broadcasts; the fact chain shuffles on its join keys only.
+    // Decimal-exact revenue, grouped by the derived year.
+    "sql20_tpch_q7" -> ((s, d) => {
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT supp_nation, cust_nation, l_year,
+               round(CAST(sum(CAST(volume AS DECIMAL(24,10)))
+                     AS DOUBLE), 6) AS revenue
+        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     year(l_shipdate) AS l_year,
+                     l_extendedprice * (1 - l_discount) AS volume
+              FROM supplier_v
+                   JOIN lineitem_v ON s_suppkey = l_suppkey
+                   JOIN orders_v   ON o_orderkey = l_orderkey
+                   JOIN customer_v ON c_custkey = o_custkey
+                   JOIN nation_v n1 ON s_nationkey = n1.n_nationkey
+                   JOIN nation_v n2 ON c_nationkey = n2.n_nationkey
+              WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year""")
+    }),
+
+    // SQL21: TPC-H Q8 shape (market share) — a conditional share of a
+    // conditional aggregate: one nation's slice of a region's market,
+    // computed as CASE-gated decimal sum ÷ total decimal sum in ONE
+    // grouped pass over an 8-table snowflake (nation again twice:
+    // the customer side walks nation→region to scope the market, the
+    // supplier side names the contender). The share division is
+    // double÷double of decimal-exact sums — bit-identical IEEE on
+    // both engines.
+    "sql21_tpch_q8" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      Tables.region(s, d).createOrReplaceTempView("region_v")
+      s.sql("""
+        SELECT o_year,
+               round(CAST(sum(CASE WHEN nation = 'NATION_3'
+                          THEN CAST(volume AS DECIMAL(24,10))
+                          ELSE CAST(0 AS DECIMAL(24,10)) END) AS DOUBLE) /
+                     CAST(sum(CAST(volume AS DECIMAL(24,10)))
+                          AS DOUBLE), 6) AS mkt_share
+        FROM (SELECT year(o_orderdate) AS o_year,
+                     l_extendedprice * (1 - l_discount) AS volume,
+                     n2.n_name AS nation
+              FROM part_v
+                   JOIN lineitem_v ON p_partkey = l_partkey
+                   JOIN supplier_v ON s_suppkey = l_suppkey
+                   JOIN orders_v   ON l_orderkey = o_orderkey
+                   JOIN customer_v ON o_custkey = c_custkey
+                   JOIN nation_v n1 ON c_nationkey = n1.n_nationkey
+                   JOIN region_v   ON n1.n_regionkey = r_regionkey
+                   JOIN nation_v n2 ON s_nationkey = n2.n_nationkey
+              WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+        GROUP BY o_year
+        ORDER BY o_year""")
+    }),
+
     // U4: INTERSECT — distinct (user, day) pairs where a click AND a
     // purchase both happened: the set-semantics operator (Catalyst
     // plans it as a distinct + left-semi hash join — keyed shuffle,
@@ -2075,6 +2146,45 @@ object Relational {
                                  TIMESTAMP '2000-06-01 00:00:00')
          GROUP BY c_nationkey
          ORDER BY cntry""",
+    "sql20_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+                round(CAST(CAST(sum(CAST(volume AS DECIMAL(24,10)))
+                      AS VARCHAR) AS DOUBLE), 6) AS revenue
+         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                      year(l_shipdate) AS l_year,
+                      l_extendedprice * (1 - l_discount) AS volume
+               FROM supplier
+                    JOIN lineitem ON s_suppkey = l_suppkey
+                    JOIN orders   ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+               WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
+    "sql21_tpch_q8" ->
+      """SELECT o_year,
+                round(CAST(CAST(sum(CASE WHEN nation = 'NATION_3'
+                           THEN CAST(volume AS DECIMAL(24,10))
+                           ELSE CAST(0 AS DECIMAL(24,10)) END)
+                      AS VARCHAR) AS DOUBLE) /
+                      CAST(CAST(sum(CAST(volume AS DECIMAL(24,10)))
+                      AS VARCHAR) AS DOUBLE), 6) AS mkt_share
+         FROM (SELECT year(o_orderdate) AS o_year,
+                      l_extendedprice * (1 - l_discount) AS volume,
+                      n2.n_name AS nation
+               FROM part
+                    JOIN lineitem ON p_partkey = l_partkey
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN orders   ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                    JOIN region   ON n1.n_regionkey = r_regionkey
+                    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+               WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+         GROUP BY o_year
+         ORDER BY o_year""",
     "sql14_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist
          FROM (SELECT c_custkey, count(o_orderkey) AS c_count

@@ -434,6 +434,17 @@ class PlanShapeSpec extends AnyFunSuite {
            !plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
   }
 
+  test("sql20: Q7's nation self-join broadcasts both roles, no nested loop") {
+    // the same dimension joins twice under different roles with a
+    // disjunctive cross-role predicate — both sides must stay tiny
+    // broadcasts against the fact chain, never a cartesian expansion
+    val plan = planOf(Relational.queries, "sql20_tpch_q7")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"both nation roles should broadcast:\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+  }
+
   test("sql5: the correlated scalar subquery decorrelates to an aggregate join") {
     // the per-part average threshold must become one grouped
     // aggregate joined back on the correlation key — never a scalar
