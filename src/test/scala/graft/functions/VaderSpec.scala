@@ -31,7 +31,8 @@ class VaderSpec extends AnyFunSuite {
       "extended2" -> VaderLexicon.extended2.keySet,
       "extended3" -> VaderLexicon.extended3.keySet,
       "extended4" -> VaderLexicon.extended4.keySet,
-      "extended5" -> VaderLexicon.extended5.keySet)
+      "extended5" -> VaderLexicon.extended5.keySet,
+      "extended6" -> VaderLexicon.extended6.keySet)
     for (Seq((na, a), (nb, bk)) <- blocks.combinations(2)) {
       val shared = a.intersect(bk)
       assert(shared.isEmpty, s"$na∩$nb: $shared")
