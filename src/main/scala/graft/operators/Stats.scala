@@ -590,6 +590,43 @@ object Stats {
         .orderBy("event_type")
     }),
 
+    // A54: Theil–Sen robust trend — the median of all pairwise slopes
+    // (Sen 1968), the outlier-immune complement to A34's OLS (one
+    // corrupted day drags a least-squares slope arbitrarily; it moves
+    // a median of C(n,2) slopes by one rank). The day-pair self-join
+    // is bounded by the TIME dimension, not the corpus: n_days rows
+    // per series join to C(n_days, 2) pairs regardless of how many
+    // billions of events fold into each daily mean — the hash agg to
+    // daily means is the only corpus-wide pass. Slopes are
+    // elementwise IEEE divisions of decimal-pinned daily means;
+    // median via the same interpolating percentile a17 proves;
+    // intercept = median(y − slope·x). Fully oracle-checked.
+    "a54_theil_sen" -> ((s, d) => {
+      val dly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("y"))
+        .withColumn("x",
+          datediff(col("day"), lit("2024-01-01")).cast("double"))
+        .select(col("event_type"), col("x"), col("y"))
+      val a = dly.select(col("event_type"), col("x").as("x1"),
+        col("y").as("y1"))
+      val b = dly.select(col("event_type"), col("x").as("x2"),
+        col("y").as("y2"))
+      val slope = a.join(b, Seq("event_type"))
+        .filter(col("x2") > col("x1"))
+        .select(col("event_type"),
+          ((col("y2") - col("y1")) / (col("x2") - col("x1"))).as("m"))
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(m, 0.5)").as("slope"))
+      dly.join(slope, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          round(max(col("slope")), 6).as("slope"),
+          round(expr("percentile(y - slope * x, 0.5)"), 6).as("intercept"))
+        .orderBy("event_type")
+    }),
+
     // A33: two-sample Kolmogorov–Smirnov test — does the click value
     // distribution differ from the purchase one? D = max |F1 − F2|
     // over the pooled values, computed WITHOUT a global sort: values
@@ -1090,6 +1127,26 @@ object Stats {
                 round(regr_intercept(y, x), 6) AS intercept,
                 round(regr_r2(y, x), 6) AS r2
          FROM xy GROUP BY 1 ORDER BY event_type""",
+    "a54_theil_sen" ->
+      """WITH dly AS (
+           SELECT event_type,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS y,
+                  CAST(datediff('day', DATE '2024-01-01',
+                       date_trunc('day', ts)) AS DOUBLE) AS x
+           FROM events GROUP BY event_type, date_trunc('day', ts)),
+         sl AS (
+           SELECT a.event_type AS et, quantile_cont(
+                    (b.y - a.y) / (b.x - a.x), 0.5) AS slope
+           FROM dly a JOIN dly b
+             ON a.event_type = b.event_type AND b.x > a.x
+           GROUP BY 1)
+         SELECT d.event_type, count(*) AS n_days,
+                round(max(sl.slope), 6) AS slope,
+                round(quantile_cont(d.y - sl.slope * d.x, 0.5), 6)
+                  AS intercept
+         FROM dly d JOIN sl ON d.event_type = sl.et
+         GROUP BY d.event_type ORDER BY d.event_type""",
     // single global window here (the oracle doesn't need the bucketed
     // two-level form — result identity is what's checked); the p
     // series is the same 10-term left-assoc chain
