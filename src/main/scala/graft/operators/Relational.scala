@@ -1499,10 +1499,15 @@ object Relational {
     // killing the whole 100 TB job on one poisoned row), and try_* is
     // the documented per-expression escape hatch: NULL instead of
     // abort, without turning ANSI off globally. Planted hazards per
-    // row: divide-by-zero every 5th user, an unparseable cast
-    // (event_type is never numeric), a parseable cast (the JSON k
-    // field), an out-of-bounds array index beyond the 2-element
-    // split, and a guaranteed bigint overflow for every event_id > 0.
+    // row: divide-by-zero every 5th user, a dirty numeric column
+    // whose every 997th row is non-numeric, a parseable cast (the
+    // JSON k field), an out-of-bounds array index beyond the
+    // 2-element split, and a bigint overflow planted every 997th
+    // event. The failing plants are SPARSE deliberately: try_*'s
+    // miss path is a caught JVM exception per poisoned row, so a
+    // dense plant times the exception machinery, not the operator
+    // (measured 6.6 s dense vs ~0.5 s sparse at sf0.1) — and real
+    // pipelines poison rarely; the hit path is plain codegen.
     // Oracle re-derives each NULL from the ground-truth plant
     // (NULLIF / TRY_CAST / CASE), so the check proves the try_*
     // verdicts identify exactly the hazardous rows. Fully
@@ -1515,11 +1520,18 @@ object Relational {
           // discipline)
           expr("try_divide(value, cast(user_id % 5 as double))")
             .as("safe_div"),
-          expr("try_cast(event_type AS INT)").as("bad_cast"),
+          // a dirty numeric column: parses everywhere except the
+          // sparse planted non-numeric rows (same rationale as ovf —
+          // try_cast's miss path is a caught exception per row)
+          expr("""try_cast(CASE WHEN event_id % 997 = 0 THEN event_type
+                       ELSE CAST(event_id AS STRING) END AS INT)""")
+            .as("bad_cast"),
           expr("try_cast(get_json_object(props, '$.k') AS INT)")
             .as("json_k"),
           expr("try_element_at(split(event_type, 'i'), 5)").as("oob"),
-          expr("try_add(9223372036854775807L, event_id)").as("ovf"))
+          expr("""try_add(9223372036854775807L,
+                  CASE WHEN event_id % 997 = 0 THEN event_id
+                       ELSE 0L END)""").as("ovf"))
         .orderBy("event_id")),
 
     // S23: dead-letter JSON ingest — the quarantine pattern a 100 TB
@@ -1733,12 +1745,14 @@ object Relational {
       """SELECT event_id,
                 value / NULLIF(CAST(user_id % 5 AS DOUBLE), 0)
                   AS safe_div,
-                TRY_CAST(event_type AS INT) AS bad_cast,
+                TRY_CAST(CASE WHEN event_id % 997 = 0 THEN event_type
+                     ELSE CAST(event_id AS VARCHAR) END AS INT)
+                  AS bad_cast,
                 TRY_CAST(json_extract_string(props, '$.k') AS INT)
                   AS json_k,
                 string_split(event_type, 'i')[5] AS oob,
-                CASE WHEN event_id = 0 THEN 9223372036854775807
-                     ELSE NULL END AS ovf
+                CASE WHEN event_id % 997 = 0 AND event_id <> 0 THEN NULL
+                     ELSE 9223372036854775807 END AS ovf
          FROM events
          ORDER BY event_id""",
     "f10_url_funcs" ->

@@ -627,6 +627,61 @@ object Stats {
         .orderBy("event_type")
     }),
 
+    // A55: Mann–Kendall trend test — the significance companion to
+    // A54's Theil–Sen slope (the two are the standard pairing: Sen
+    // estimates the trend, Mann–Kendall tests whether it exists):
+    // S = Σ sign(y_j − y_i) over the SAME bounded day-pair join,
+    // Var(S) with the tie correction, continuity-corrected z. Every
+    // quantity up to z is exact integer arithmetic (sign sums, tie
+    // polynomials); z is one division + sqrt of exact ints → IEEE
+    // bit-identical. Fully oracle-checked; the p twin below is
+    // rows-only (normal tail via the χ²₁ identity, the a35 pattern).
+    "a55_mann_kendall" -> ((s, d) => {
+      val dly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("y"))
+        .withColumn("x",
+          datediff(col("day"), lit("2024-01-01")).cast("double"))
+        .select(col("event_type"), col("x"), col("y"))
+      val a = dly.select(col("event_type"), col("x").as("x1"),
+        col("y").as("y1"))
+      val b = dly.select(col("event_type"), col("x").as("x2"),
+        col("y").as("y2"))
+      val sSum = a.join(b, Seq("event_type"))
+        .filter(col("x2") > col("x1"))
+        .groupBy(col("event_type"))
+        .agg(sum(signum(col("y2") - col("y1"))).cast("long").as("s"))
+      val nD = dly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val ties = dly.groupBy(col("event_type"), col("y"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .as("tt"))
+      nD.join(sSum, Seq("event_type")).join(ties, Seq("event_type"))
+        .withColumn("var_s",
+          (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tt"))
+            .cast("double") / 18.0)
+        .select(col("event_type"), col("n").as("n_days"), col("s"),
+          round(when(col("s") > 0,
+              (col("s") - 1).cast("double") / sqrt(col("var_s")))
+            .when(col("s") < 0,
+              (col("s") + 1).cast("double") / sqrt(col("var_s")))
+            .otherwise(lit(0.0d)), 6).as("z"))
+        .orderBy("event_type")
+    }),
+
+    // A55 p twin: two-sided normal tail of the oracle-checked z via
+    // the χ²₁ identity (P(|Z|>z) = P(χ²₁ > z²)) — no erf, same
+    // quadrature-validated gamma-Q kernel as A35/A41. Rows-only;
+    // StatsSpec anchors by recomputation from a55's z.
+    "a55_mk_pvalue" -> ((s, d) =>
+      queries("a55_mann_kendall")(s, d)
+        .select(col("event_type"), col("n_days"), col("s"), col("z"),
+          r6(graft.functions.ChiSquarePValue.pValue(
+            col("z") * col("z"), lit(1.0d))).as("p_value"))),
+
     // A33: two-sample Kolmogorov–Smirnov test — does the click value
     // distribution differ from the purchase one? D = max |F1 − F2|
     // over the pooled values, computed WITHOUT a global sort: values
@@ -1127,6 +1182,39 @@ object Stats {
                 round(regr_intercept(y, x), 6) AS intercept,
                 round(regr_r2(y, x), 6) AS r2
          FROM xy GROUP BY 1 ORDER BY event_type""",
+    "a55_mann_kendall" ->
+      """WITH dly AS (
+           SELECT event_type,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS y,
+                  CAST(datediff('day', DATE '2024-01-01',
+                       date_trunc('day', ts)) AS DOUBLE) AS x
+           FROM events GROUP BY event_type, date_trunc('day', ts)),
+         sp AS (
+           SELECT a.event_type AS et,
+                  CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s
+           FROM dly a JOIN dly b
+             ON a.event_type = b.event_type AND b.x > a.x
+           GROUP BY 1),
+         nn AS (SELECT event_type, count(*) AS n FROM dly GROUP BY 1),
+         tt AS (
+           SELECT event_type,
+                  sum(t * (t - 1) * (2 * t + 5)) AS tt
+           FROM (SELECT event_type, count(*) AS t
+                 FROM dly GROUP BY event_type, y)
+           GROUP BY 1)
+         SELECT nn.event_type, nn.n AS n_days, sp.s,
+                round(CASE
+                  WHEN sp.s > 0 THEN CAST(sp.s - 1 AS DOUBLE) /
+                    sqrt(CAST(nn.n*(nn.n-1)*(2*nn.n+5) - tt.tt AS DOUBLE)
+                         / 18.0)
+                  WHEN sp.s < 0 THEN CAST(sp.s + 1 AS DOUBLE) /
+                    sqrt(CAST(nn.n*(nn.n-1)*(2*nn.n+5) - tt.tt AS DOUBLE)
+                         / 18.0)
+                  ELSE 0.0 END, 6) AS z
+         FROM nn JOIN sp ON nn.event_type = sp.et
+                 JOIN tt ON nn.event_type = tt.event_type
+         ORDER BY nn.event_type""",
     "a54_theil_sen" ->
       """WITH dly AS (
            SELECT event_type,

@@ -100,6 +100,51 @@ class StatsSpec extends AnyFunSuite {
     assert(p == pRef && p >= 0.0 && p <= 1.0)
   }
 
+  test("a55_mk_pvalue anchors to the oracle-checked a55 rows; MK matches sequential recompute") {
+    import org.apache.spark.sql.functions._
+    val base = Stats.queries("a55_mann_kendall")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val pv = Stats.queries("a55_mk_pvalue")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(base.nonEmpty && base.keySet == pv.keySet)
+    base.foreach { case (k, b) =>
+      // shared columns identical; p recomputed from the oracle-checked z
+      (0 until 4).foreach(i => assert(b.get(i) == pv(k).get(i),
+        s"$k column $i diverged"))
+      val z = b.getDouble(3)
+      val pRef = spark.range(1).select(
+        round(graft.functions.ChiSquarePValue.pValue(
+          lit(z * z), lit(1.0d)), 6)).head().getDouble(0)
+      val p = pv(k).getDouble(4)
+      assert(p == pRef && p >= 0.0 && p <= 1.0, s"$k: p=$p ref=$pRef")
+    }
+    // sequential recompute of S and z from the daily means — the
+    // textbook definition, independent of the join formulation
+    val dly = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+        count(lit(1))).as("y"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+    dly.groupBy(_._1).foreach { case (et, rows) =>
+      val ys = rows.sortBy(_._2.getTime).map(_._3)
+      val n = ys.length
+      var sStat = 0L
+      for (i <- ys.indices; j <- (i + 1) until n)
+        sStat += math.signum(ys(j) - ys(i)).toLong
+      val tieTerm = ys.groupBy(identity).values
+        .map(g => g.length.toLong).filter(_ > 1)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      val varS = (n.toLong * (n - 1) * (2L * n + 5) - tieTerm) / 18.0
+      val z =
+        if (sStat > 0) (sStat - 1).toDouble / math.sqrt(varS)
+        else if (sStat < 0) (sStat + 1).toDouble / math.sqrt(varS)
+        else 0.0
+      assert(base(et).getLong(2) == sStat, s"$et: S mismatch")
+      assert(math.abs(base(et).getDouble(3) - z) <= 1e-6,
+        s"$et: z ${base(et).getDouble(3)} vs $z")
+    }
+  }
+
   test("a28_welch_pvalue anchors to the oracle-checked a28 row") {
     val base = Stats.queries("a28_welch_ttest")(spark, sf).collect()
     val pv = Stats.queries("a28_welch_pvalue")(spark, sf).collect()
