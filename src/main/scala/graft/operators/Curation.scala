@@ -105,6 +105,37 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // DECON2: FUZZY benchmark decontamination — the second leg of the
+    // production decon stack (GPT-3 §C removes exact n-gram overlaps;
+    // the Llama/PaLM-era pipelines pair that with near-duplicate
+    // detection, because a paraphrased or lightly-edited benchmark
+    // item sails through an exact 5-gram probe). Reuses the D3/D6
+    // machinery end-to-end: corpus MinHash signatures (memoized
+    // build), banded candidate join restricted to eval↔corpus
+    // crossings, then exact-Jaccard verification over candidates
+    // only — contaminated = corpus docs whose verified trigram
+    // Jaccard vs some eval doc ≥ 0.5. Eval membership doc_id % 5
+    // (mod chosen so the planted near-dup pairs actually cross the
+    // eval/corpus boundary — % 97 never does at test SF; a real
+    // suite is an external table joined the same way). Rows-only
+    // (MinHash has no SQL twin); DedupSpec anchors precision exactly
+    // (every true_jaccard ≡ the D2-style exact recomputation) and
+    // recall ≥ 0.7 against the exhaustive exact crossing pairs.
+    "decon2_fuzzy_overlap" -> ((s, d) => {
+      val crossings = Dedup
+        .minhashPairs(Dedup.signatures(s, d), 0.5)
+        .filter((col("da") % 5 === 0) =!= (col("db") % 5 === 0))
+      Dedup.verifyPairs(s, d, crossings)
+        .filter(col("true_jaccard") >= 0.5)
+        .select(
+          when(col("da") % 5 === 0, col("db")).otherwise(col("da"))
+            .as("corpus_doc"),
+          when(col("da") % 5 === 0, col("da")).otherwise(col("db"))
+            .as("eval_doc"),
+          col("est_jaccard"), col("true_jaccard"))
+        .orderBy("corpus_doc", "eval_doc")
+    }),
+
     // PIPE1: the composed corpus filter — the C4/Gopher-style cleaning
     // decision a training-data pipeline applies before assembly. Every
     // doc gets its quality signals (token count, mean token length,

@@ -326,6 +326,37 @@ object Dedup {
     labels
   }
 
+  /** D6/DECON2's exact-verification stage: candidate pairs →
+    * (da, db, est_jaccard, true_jaccard). The candidate table is
+    * materialized once (localCheckpoint) because it feeds four
+    * downstream subtrees — without truncation each would re-run the
+    * whole MinHash pipeline; the 100 TB analogue is persisting the
+    * candidate table before the verify stage. Re-shingles ONLY the
+    * candidate docs (semi-join BEFORE the shingle explode), so exact
+    * verification scales with |candidates| (per-mille of the corpus
+    * after banding), not the corpus. */
+  private[operators] def verifyPairs(s: SparkSession, d: String,
+      candidates: DataFrame): DataFrame = {
+    val cand = candidates.localCheckpoint()
+    val candDocs = cand.select(col("da").as("doc_id"))
+      .union(cand.select(col("db").as("doc_id"))).distinct()
+    val sh = shinglesOf(
+      Tables.documents(s, d).join(candDocs, Seq("doc_id"), "left_semi"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = cand.select(col("da"), col("db"))
+      .join(sh.select(col("doc_id").as("da"), col("sh")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
+      .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+    cand
+      .join(inter, Seq("da", "db"), "left")
+      .join(sizes.select(col("doc_id").as("da"), col("nsh").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("nsh").as("nb")), Seq("db"))
+      .select(col("da"), col("db"), col("est_jaccard"),
+        r6(coalesce(col("ni"), lit(0L)).cast("double") /
+           (col("na") + col("nb") - coalesce(col("ni"), lit(0L))))
+          .as("true_jaccard"))
+  }
+
   /** Per-doc SimHash bit sums s0…s63 (sᵢ > 0 ⇔ bit i of the signature
     * is set): one token explode + one hash agg, shared by the D4
     * signature render and the D8 banded pair search. */
@@ -351,35 +382,9 @@ object Dedup {
     // intersection; sizes come from one shingle count per doc. At
     // 100 TB this is the dedup decision path: bands prune, exact
     // Jaccard confirms.
-    "d6_lsh_verified" -> ((s, d) => {
-      // materialize the (small) candidate table once: it feeds four
-      // downstream subtrees, and without truncation each would re-run
-      // the whole MinHash pipeline. The 100 TB analogue is persisting
-      // the candidate table before the verify stage.
-      val cand = minhashPairs(signatures(s, d), 0.5).localCheckpoint()
-      // re-shingle ONLY the candidate docs: semi-join documents to the
-      // candidate id set BEFORE the shingle explode, so the exact
-      // verification stage scales with |candidates| (per-mille of the
-      // corpus after banding), not with the corpus.
-      val candDocs = cand.select(col("da").as("doc_id"))
-        .union(cand.select(col("db").as("doc_id"))).distinct()
-      val sh = shinglesOf(
-        Tables.documents(s, d).join(candDocs, Seq("doc_id"), "left_semi"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-      val inter = cand.select(col("da"), col("db"))
-        .join(sh.select(col("doc_id").as("da"), col("sh")), Seq("da"))
-        .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
-        .groupBy("da", "db").agg(count(lit(1)).as("ni"))
-      cand
-        .join(inter, Seq("da", "db"), "left")
-        .join(sizes.select(col("doc_id").as("da"), col("nsh").as("na")), Seq("da"))
-        .join(sizes.select(col("doc_id").as("db"), col("nsh").as("nb")), Seq("db"))
-        .select(col("da"), col("db"), col("est_jaccard"),
-          r6(coalesce(col("ni"), lit(0L)).cast("double") /
-             (col("na") + col("nb") - coalesce(col("ni"), lit(0L))))
-            .as("true_jaccard"))
-        .orderBy("da", "db")
-    }),
+    "d6_lsh_verified" -> ((s, d) =>
+      verifyPairs(s, d, minhashPairs(signatures(s, d), 0.5))
+        .orderBy("da", "db")),
 
     // D7 exact twin: incremental ingest dedup — which docs of the
     // incoming batch (doc_id % 4 == 0, a scale-invariant stand-in for

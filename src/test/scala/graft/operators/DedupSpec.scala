@@ -281,6 +281,42 @@ class DedupSpec extends AnyFunSuite {
       "vacuous: no multi-doc community formed")
   }
 
+  test("DECON2 fuzzy decon: precision exact vs the D2-style baseline, recall on crossings") {
+    // sf0.01: the planted near-dup pairs cross the mod-5 eval
+    // boundary there (none cross mod 97, which is why DECON2 uses a
+    // different eval stand-in than DECON1)
+    val sf = "/root/testdata/sf0.01"
+    val got = Curation.queries("decon2_fuzzy_overlap")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(got.nonEmpty, "vacuous: no contaminated docs surfaced")
+    // exhaustive exact crossings ≥ 0.5 via the shingle-equi-join
+    // baseline (no banding, no estimation — shares only the
+    // oracle-checked D2 shape)
+    val exact = TextAnalysis.ngramJaccardPairs(spark, sf,
+        maxId = Long.MaxValue, minJ = 0.5)
+      .select("da", "db", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (da, db, _) => (da % 5 == 0) != (db % 5 == 0) }
+      .map { case (da, db, j) =>
+        (if (da % 5 == 0) (db, da) else (da, db)) -> j
+      }.toMap
+    // precision: every reported pair is a true ≥0.5 crossing and
+    // carries the exact jaccard (decon2's value is r6-rounded)
+    got.foreach { case (p, tj) =>
+      assert(exact.contains(p), s"pair $p not in the exact baseline")
+      assert(math.abs(exact(p) - tj) <= 1e-6,
+        s"$p: exact=${exact(p)} reported=$tj")
+    }
+    // recall: the banding's analytic miss rate at J=0.8 is ~1.5%
+    // ((1−J⁴)⁸), and the seeded hash family makes observed recall a
+    // fixed quantity — assert the high-overlap crossings are found
+    val high = exact.filter(_._2 >= 0.8)
+    assert(high.nonEmpty, "vacuous: no crossing with J >= 0.8")
+    val found = high.keys.count(got.contains)
+    assert(found.toDouble / high.size >= 0.8,
+      s"recall ${found.toDouble / high.size} over ${high.size} high-J crossings")
+  }
+
   test("D8 banded pairs equal an exhaustive Hamming search (pigeonhole)") {
     // 4 bands × 16 bits: a pair at Hamming ≤ 3 differs in at most 3
     // bits, so at least one of the 4 bands is untouched — the band
