@@ -80,7 +80,13 @@ class DeterminismSpec extends AnyFunSuite {
     // derived-weight sampling and the datasheet must not see layout
     "ds12_temperature_mix" -> DatasetOps.queries,
     "pipe4_corpus_datasheet" -> Curation.queries,
-    "d13_clustering_coeff" -> Dedup.queries)
+    "d13_clustering_coeff" -> Dedup.queries,
+    // fuzzy decon reports (corpus, eval, jaccard) rows — pure
+    // set-overlap arithmetic over seeded hashes, layout-free by the
+    // same argument as d10; and LPA labels are exact integers from a
+    // deterministic synchronous update
+    "decon2_fuzzy_overlap" -> Curation.queries,
+    "d14_label_prop" -> Dedup.queries)
 
   cases.foreach { case (name, qs) =>
     test(s"$name is identical across file layouts and shuffle widths") {
