@@ -323,7 +323,25 @@ object Multimodal {
     // scale path is oracle-checked end to end like MM5b.
     "mm5_phash_pairs_tight" -> ((s, d) =>
       Dedup.hammingPairs(phashTight(s, d),
-        "doc_id", "ph64", bands = 8, maxDist = 7))
+        "doc_id", "ph64", bands = 8, maxDist = 7)),
+
+    // MM9: image near-dup CLUSTERS — the multimodal mirror of the
+    // text pipeline's D10: the oracle-checked MM5c pair graph
+    // resolved to canonical groups by the same driver-loop connected
+    // components (min-id election), so "keep one of each image
+    // family" becomes a join against this table exactly as text
+    // dedup joins D10's. Pairs, vertices (the hashable planted
+    // corpus), and the closure are all integer-exact → fully
+    // oracle-checked (DuckDB recursive CTE over the same planted
+    // corpus + exhaustive pair scan).
+    "mm9_image_clusters" -> ((s, d) => {
+      val pairs = Dedup.hammingPairs(phashTight(s, d), "doc_id", "ph64",
+        bands = 8, maxDist = 7).select(col("da"), col("db"))
+      val verts = phashTight(s, d).select(col("doc_id"))
+      Dedup.connectedComponents(pairs, verts)
+        .select(col("doc_id"), col("comp").as("canonical_id"))
+        .orderBy("doc_id")
+    })
   )
 
   /** Planted-corpus perceptual hashes, materialized once per
@@ -543,6 +561,35 @@ object Multimodal {
          SELECT da, db, hamming FROM pairs
          WHERE hamming <= 7
          ORDER BY da, db""",
+    // the MM5c pair scan extended with the d10-style recursive
+    // closure: min-reachable-id per hashable planted-corpus doc
+    "mm9_image_clusters" ->
+      s"""WITH RECURSIVE corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000000 AS doc_id,
+                  concat(substr(text, length(text), 1),
+                         substr(text, 2, length(text) - 2),
+                         substr(text, 1, 1)) AS text
+           FROM documents
+           WHERE octet_length(encode(text)) >= 64
+             AND octet_length(encode(text)) = length(text)
+             AND doc_id % 17 = 0),
+         ${phashBody("corpus")},
+         pairs AS (
+           SELECT a.doc_id AS da, b.doc_id AS db
+           FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+           WHERE len(list_filter(generate_series(1, 64),
+                   i -> substring(a.phash, CAST(i AS INT), 1) <>
+                        substring(b.phash, CAST(i AS INT), 1))) <= 7),
+         edges AS (SELECT da AS src, db AS dst FROM pairs
+                   UNION SELECT db AS src, da AS dst FROM pairs),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS r FROM ph
+           UNION
+           SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+         SELECT id AS doc_id, min(r) AS canonical_id FROM reach
+         GROUP BY id ORDER BY doc_id""",
     // ascii(char) == byte value under the ASCII guard (single-byte
     // text only, enforced in BOTH engines — see the Spark side); block
     // bounds use the same integer division (// = Scala int division).
