@@ -682,6 +682,51 @@ object Stats {
           r6(graft.functions.ChiSquarePValue.pValue(
             col("z") * col("z"), lit(1.0d))).as("p_value"))),
 
+    // A56: bootstrap confidence interval — DETERMINISTIC distributed
+    // bootstrap (the resampling stats primitive that needs no
+    // distributional assumption where A34/A54's trends assume one):
+    // B = 200 resamples of each series' daily means, the (b, i)-th
+    // draw picked by the engine's md5-uniform ladder (seeded, exact
+    // in both engines — DS1's reproducibility contract applied to
+    // resampling), so the "random" bootstrap is a pure function of
+    // the data and fully oracle-checkable. Resample means go through
+    // the decimal discipline (exact sums, no float-order drift);
+    // CI bounds via the a17-proven interpolating percentile. Scale
+    // shape: the corpus-wide pass is the daily-mean hash agg; the
+    // resample fan-out is |types| × B × n_days rows — bounded by the
+    // TIME dimension like A54, never by the corpus.
+    "a56_bootstrap_ci" -> ((s, d) => {
+      val B = 200
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val dly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("y"))
+        .withColumn("idx", row_number().over(w) - 1)
+      val n = dly.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val draws = n
+        .select(col("event_type"), col("n"),
+          explode(sequence(lit(0), lit(B - 1))).as("b"))
+        .select(col("event_type"), col("n"), col("b"),
+          explode(sequence(lit(0), col("n") - 1)).as("i"))
+        .select(col("event_type"), col("b"),
+          pmod(conv(substring(md5(concat_ws(":",
+              col("event_type"), col("b"), col("i"))), 1, 15), 16, 10)
+            .cast("long"), col("n")).as("idx"))
+      val means = draws
+        .join(dly.select(col("event_type"), col("idx"), col("y")),
+          Seq("event_type", "idx"))
+        .groupBy(col("event_type"), col("b"))
+        .agg((sum(col("y").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("m"))
+      means.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_resamples"),
+          round(expr("percentile(m, 0.025)"), 6).as("ci_lo"),
+          round(expr("percentile(m, 0.5)"), 6).as("ci_mid"),
+          round(expr("percentile(m, 0.975)"), 6).as("ci_hi"))
+        .orderBy("event_type")
+    }),
+
     // A33: two-sample Kolmogorov–Smirnov test — does the click value
     // distribution differ from the purchase one? D = max |F1 − F2|
     // over the pooled values, computed WITHOUT a global sort: values
@@ -1182,6 +1227,39 @@ object Stats {
                 round(regr_intercept(y, x), 6) AS intercept,
                 round(regr_r2(y, x), 6) AS r2
          FROM xy GROUP BY 1 ORDER BY event_type""",
+    // the md5-uniform ladder is the engine's cross-engine identity:
+    // ('0x' || hex15)::BIGINT ≡ Spark conv(hex15, 16, 10)
+    "a56_bootstrap_ci" ->
+      """WITH dly AS (
+           SELECT event_type,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS y,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY date_trunc('day', ts)) - 1 AS idx
+           FROM events GROUP BY event_type, date_trunc('day', ts)),
+         nn AS (SELECT event_type, count(*) AS n FROM dly GROUP BY 1),
+         draws AS (
+           -- DuckDB's FROM-clause generate_series takes no lateral
+           -- column args: generate a fixed 0..365 day-index spine and
+           -- keep i < n (366 bounds any per-series day count here)
+           SELECT nn.event_type, g.b,
+                  ('0x' || substring(md5(nn.event_type || ':' || g.b ||
+                     ':' || h.i), 1, 15))::BIGINT % nn.n AS idx
+           FROM nn, generate_series(0, 199) AS g(b),
+                generate_series(0, 365) AS h(i)
+           WHERE h.i < nn.n),
+         means AS (
+           SELECT d.event_type, d.b,
+                  CAST(CAST(sum(CAST(dly.y AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS m
+           FROM draws d JOIN dly
+             ON d.event_type = dly.event_type AND d.idx = dly.idx
+           GROUP BY d.event_type, d.b)
+         SELECT event_type, count(*) AS n_resamples,
+                round(quantile_cont(m, 0.025), 6) AS ci_lo,
+                round(quantile_cont(m, 0.5), 6) AS ci_mid,
+                round(quantile_cont(m, 0.975), 6) AS ci_hi
+         FROM means GROUP BY event_type ORDER BY event_type""",
     "a55_mann_kendall" ->
       """WITH dly AS (
            SELECT event_type,
