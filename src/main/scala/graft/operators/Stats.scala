@@ -727,6 +727,65 @@ object Stats {
         .orderBy("event_type")
     }),
 
+    // A57: deterministic permutation test — the resampling companion
+    // to A56: does the click vs purchase daily-mean difference
+    // survive label exchange? Each of B = 200 permutations ranks the
+    // pooled elements by a seeded md5 key and takes the top n₁ as
+    // pseudo-group-1 (an EXACT permutation draw — sampling without
+    // replacement via hash ranking, not a binomial approximation),
+    // so the whole test is a pure function of the data and fully
+    // oracle-checked. p = (1 + #{|diff_b| ≥ |observed|}) / (B + 1)
+    // (the add-one estimator — never exactly zero). Decimal sums
+    // everywhere; the rank window partitions by permutation id, so
+    // the fan-out (B × n elements, time-bounded like A54/A56)
+    // parallelizes across permutations.
+    "a57_permutation_test" -> ((s, d) => {
+      val B = 200
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val el = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("y"))
+        .withColumn("eid", concat_ws(":", col("event_type"),
+          (row_number().over(w) - 1)))
+        .select(col("eid"), col("event_type").as("g"), col("y"))
+      val stats = el.agg(
+        sum(when(col("g") === "click", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") =!= "click", 1L).otherwise(0L)).as("n2"),
+        (sum(when(col("g") === "click", col("y").cast("decimal(24,10)"))
+            .otherwise(lit(0).cast("decimal(24,10)"))).cast("double") /
+          sum(when(col("g") === "click", 1L).otherwise(0L)) -
+         sum(when(col("g") =!= "click", col("y").cast("decimal(24,10)"))
+            .otherwise(lit(0).cast("decimal(24,10)"))).cast("double") /
+          sum(when(col("g") =!= "click", 1L).otherwise(0L))).as("obs"))
+      val wb = Window.partitionBy("b")
+        .orderBy(col("h"), col("eid"))
+      val diffs = el
+        .select(col("eid"), col("y"),
+          explode(sequence(lit(0), lit(B - 1))).as("b"))
+        .withColumn("h", md5(concat_ws(":", col("b"), col("eid"))))
+        .withColumn("r", row_number().over(wb))
+        .crossJoin(broadcast(stats))
+        .groupBy(col("b"))
+        .agg((sum(when(col("r") <= col("n1"),
+              col("y").cast("decimal(24,10)"))
+            .otherwise(lit(0).cast("decimal(24,10)"))).cast("double") /
+            max(col("n1")) -
+          sum(when(col("r") > col("n1"), col("y").cast("decimal(24,10)"))
+            .otherwise(lit(0).cast("decimal(24,10)"))).cast("double") /
+            max(col("n2"))).as("diff"),
+          max(abs(col("obs"))).as("aobs"))
+      diffs
+        .agg(sum(when(abs(col("diff")) >= col("aobs"), 1L).otherwise(0L))
+          .as("n_extreme"))
+        .crossJoin(broadcast(stats))
+        .select(col("n1"), col("n2"), round(col("obs"), 6).as("obs_diff"),
+          col("n_extreme"),
+          round((col("n_extreme") + 1).cast("double") / (B + 1), 6)
+            .as("p_value"))
+    }),
+
     // A33: two-sample Kolmogorov–Smirnov test — does the click value
     // distribution differ from the purchase one? D = max |F1 − F2|
     // over the pooled values, computed WITHOUT a global sort: values
@@ -1227,6 +1286,53 @@ object Stats {
                 round(regr_intercept(y, x), 6) AS intercept,
                 round(regr_r2(y, x), 6) AS r2
          FROM xy GROUP BY 1 ORDER BY event_type""",
+    "a57_permutation_test" ->
+      """WITH dly AS (
+           SELECT event_type AS g,
+                  event_type || ':' ||
+                    (row_number() OVER (PARTITION BY event_type
+                       ORDER BY date_trunc('day', ts)) - 1) AS eid,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS y
+           FROM events WHERE event_type IN ('click', 'purchase')
+           GROUP BY event_type, date_trunc('day', ts)),
+         st AS (
+           SELECT sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS n1,
+                  sum(CASE WHEN g <> 'click' THEN 1 ELSE 0 END) AS n2,
+                  CAST(CAST(sum(CASE WHEN g = 'click'
+                        THEN CAST(y AS DECIMAL(24,10))
+                        ELSE CAST(0 AS DECIMAL(24,10)) END) AS VARCHAR)
+                    AS DOUBLE) /
+                    sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) -
+                  CAST(CAST(sum(CASE WHEN g <> 'click'
+                        THEN CAST(y AS DECIMAL(24,10))
+                        ELSE CAST(0 AS DECIMAL(24,10)) END) AS VARCHAR)
+                    AS DOUBLE) /
+                    sum(CASE WHEN g <> 'click' THEN 1 ELSE 0 END) AS obs
+           FROM dly),
+         rk AS (
+           SELECT gs.b, dly.y,
+                  row_number() OVER (PARTITION BY gs.b
+                    ORDER BY md5(gs.b || ':' || dly.eid), dly.eid) AS r
+           FROM dly, generate_series(0, 199) AS gs(b)),
+         diffs AS (
+           SELECT rk.b,
+                  CAST(CAST(sum(CASE WHEN rk.r <= st.n1
+                        THEN CAST(rk.y AS DECIMAL(24,10))
+                        ELSE CAST(0 AS DECIMAL(24,10)) END) AS VARCHAR)
+                    AS DOUBLE) / max(st.n1) -
+                  CAST(CAST(sum(CASE WHEN rk.r > st.n1
+                        THEN CAST(rk.y AS DECIMAL(24,10))
+                        ELSE CAST(0 AS DECIMAL(24,10)) END) AS VARCHAR)
+                    AS DOUBLE) / max(st.n2) AS diff
+           FROM rk, st GROUP BY rk.b)
+         SELECT st.n1, st.n2, round(st.obs, 6) AS obs_diff,
+                (SELECT sum(CASE WHEN abs(diff) >= abs(st.obs)
+                            THEN 1 ELSE 0 END) FROM diffs) AS n_extreme,
+                round(CAST((SELECT sum(CASE WHEN abs(diff) >= abs(st.obs)
+                            THEN 1 ELSE 0 END) FROM diffs) + 1 AS DOUBLE)
+                      / 201, 6) AS p_value
+         FROM st""",
     // the md5-uniform ladder is the engine's cross-engine identity:
     // ('0x' || hex15)::BIGINT ≡ Spark conv(hex15, 16, 10)
     "a56_bootstrap_ci" ->
