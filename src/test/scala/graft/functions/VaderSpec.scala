@@ -32,7 +32,8 @@ class VaderSpec extends AnyFunSuite {
       "extended3" -> VaderLexicon.extended3.keySet,
       "extended4" -> VaderLexicon.extended4.keySet,
       "extended5" -> VaderLexicon.extended5.keySet,
-      "extended6" -> VaderLexicon.extended6.keySet)
+      "extended6" -> VaderLexicon.extended6.keySet,
+      "extended7" -> VaderLexicon.extended7.keySet)
     for (Seq((na, a), (nb, bk)) <- blocks.combinations(2)) {
       val shared = a.intersect(bk)
       assert(shared.isEmpty, s"$na∩$nb: $shared")
