@@ -131,6 +131,35 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
+    // J10: incremental JOIN-view maintenance — A27's don't-rescan-
+    // history pattern extended from aggregates to joins: with V_old =
+    // f_old ⋈ d_old already materialized, the refreshed view is
+    // V_old ∪ (Δf ⋈ d_old) ∪ (f_old ⋈ Δd) ∪ (Δf ⋈ Δd) — three
+    // delta-sized joins instead of re-joining 100 TB of history
+    // (append-only deltas; updates/deletes add retraction terms,
+    // which is the full IVM algebra). Deltas here are deterministic
+    // slices (every 10th order = today's facts, every 50th customer
+    // = newly arrived dims). The oracle is the plain monolithic
+    // join — equality IS the maintenance invariant, same contract as
+    // A27. Pure row passthrough (no float aggregation) → exact.
+    "j10_incremental_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val fOld = o.filter(col("o_orderkey") % 10 =!= 0)
+      val fNew = o.filter(col("o_orderkey") % 10 === 0)
+      val dOld = c.filter(col("c_custkey") % 50 =!= 0)
+      val dNew = c.filter(col("c_custkey") % 50 === 0)
+      def j(f: DataFrame, dd: DataFrame): DataFrame =
+        f.join(dd, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("c_mktsegment"), col("o_totalprice"))
+      j(fOld, dOld).unionByName(j(fNew, dOld))
+        .unionByName(j(fOld, dNew)).unionByName(j(fNew, dNew))
+        .orderBy("o_orderkey")
+    }),
+
     // J3: point-lookup join against a small dim — broadcast explicitly.
     // Ref: scripts/06_strategy_signals.py:135 (price_data.at[date,'Close']).
     "j3_point_lookup" -> ((s, d) => {
@@ -1671,6 +1700,12 @@ object Relational {
          ORDER BY event_id""",
     "j2_equi_join" ->
       """SELECT o_orderkey, c_name, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    // the monolithic join IS the oracle — equality is the
+    // incremental-maintenance invariant
+    "j10_incremental_join" ->
+      """SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
          FROM orders JOIN customer ON o_custkey = c_custkey
          ORDER BY o_orderkey""",
     "j3_point_lookup" ->
