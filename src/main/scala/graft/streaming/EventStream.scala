@@ -1125,6 +1125,41 @@ object EventStream {
     s.table("t21_mem")
   }
 
+  /** T22: streaming progress audit — the OBSERVABILITY surface every
+    * production stream is operated through: after a real checkpointed
+    * run, the engine's own per-micro-batch instrumentation
+    * (StreamingQueryProgress) is surfaced as a relational table of
+    * (batch_id, input_rows, state_rows) — the numbers an on-call
+    * dashboard alerts on (sudden input drop, state-store growth).
+    * Rows-only (instrumentation has no DuckDB twin); StreamingSpec
+    * anchors the audit against ground truth: batch ids consecutive,
+    * ≥2 data batches (the file-capped trigger slices), and
+    * Σ input_rows == the exact corpus row count — the engine's
+    * telemetry must account for every row it claims to have read. */
+  def runProgressAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rig = stageRig(s, d)
+    val base = freshDir(s"/tmp/graft-stream-t22-run${nextRunId()}")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
+    val progress = withReplayWidth(s) {
+      val q = windowAgg(readJsonStream(s, src, maxFilesPerTrigger = Some(1)))
+        .writeStream.format("memory").queryName("t22_mem")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.toSeq
+    }
+    progress.map { p =>
+      val stateRows = Option(p.stateOperators)
+        .map(_.map(_.numRowsTotal).sum).getOrElse(0L)
+      (p.batchId, p.numInputRows, stateRows)
+    }.toDF("batch_id", "input_rows", "state_rows")
+      .orderBy("batch_id")
+  }
+
   def runKeyedPublish(s: SparkSession, d: String): DataFrame = {
     val rig = stageRig(s, d)
     val base = freshDir(s"/tmp/graft-stream-t4-run${nextRunId()}")
@@ -1178,6 +1213,11 @@ object EventStream {
     // (sketch estimate), StreamingSpec anchors ≤5% of batch exact.
     "t21_stream_approx_distinct" -> ((s, d) =>
       runStreamingApproxDistinct(s, d).orderBy("win_start", "event_type")),
+
+    // T22: per-batch progress telemetry from a real run — rows-only,
+    // StreamingSpec anchors Σ input_rows == exact corpus count.
+    "t22_progress_audit" -> ((s, d) =>
+      runProgressAudit(s, d)),
 
     "t19_trending_topk" -> ((s, d) =>
       runTrendingTopK(s, d).orderBy("win_start", "rnk")),

@@ -80,6 +80,22 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("T22: progress telemetry accounts for every corpus row across sliced batches") {
+    val rows = EventStream.runProgressAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dataBatches = rows.filter(_._2 > 0)
+    assert(dataBatches.length >= 2,
+      s"file-capped trigger should slice: ${rows.toSeq}")
+    // consecutive ids from 0 — a gap means telemetry lost a batch
+    assert(rows.map(_._1).toSeq == rows.indices.map(_.toLong),
+      s"batch ids not consecutive: ${rows.map(_._1).toSeq}")
+    val corpus = graft.Tables.events(spark, sf).count()
+    assert(rows.map(_._2).sum == corpus,
+      s"telemetry rows ${rows.map(_._2).sum} != corpus $corpus")
+    // the complete-mode window agg holds state — the audit must see it
+    assert(rows.exists(_._3 > 0), "no state rows reported")
+  }
+
   test("T20: SCD2 history merges across 2+ real micro-batches") {
     // the incremental merge must survive a real batch boundary (the
     // cross-batch current-attribute comparison is the hard path); a
