@@ -146,6 +146,38 @@ object SourceSinks {
         .orderBy("event_id")
     }),
 
+    // S25: file-provenance lineage via the hidden _metadata column —
+    // the data-governance surface a 100 TB lake audits with: every
+    // row carries WHICH file it came from at zero storage cost (the
+    // reader synthesizes the column; no extra scan). The query
+    // re-derives per-partition row counts purely from file-path
+    // provenance (the partition value parsed OUT of the path, never
+    // read from the data) over a day-partitioned layout — and the
+    // oracle computes the same accounting from the DATA, so the check
+    // proves file lineage and content agree row-for-row. Distinct
+    // file count per partition rides along (the small-files audit
+    // S19's compaction acts on).
+    "s25_file_provenance" -> ((s, d) => {
+      val out = tmp("s25")
+      Tables.events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .select(col("event_id"), col("day"), col("value"))
+        // one file per partition (the anti-small-files ingest shape
+        // S19 compacts toward) — and what makes n_files an invariant
+        // the oracle can state from the data alone
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+      s.read.parquet(out)
+        .select(col("event_id"),
+          regexp_extract(col("_metadata").getField("file_path"),
+            "day=([0-9-]+)/", 1).as("day"),
+          col("_metadata").getField("file_name").as("fname"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("fname")).as("n_files"))
+        .orderBy("day")
+    }),
+
     // S4+S5: CSV write then schema'd scan (header, explicit schema —
     // timestamps serialize ISO and parse back exactly).
     "s4_csv_roundtrip" -> ((s, d) => {
@@ -453,6 +485,12 @@ object SourceSinks {
          ORDER BY o_orderkey""",
     "s3_partitioned_write" ->
       """SELECT event_id, event_type, value FROM events ORDER BY event_id""",
+    // provenance accounting re-derived from the DATA: lineage and
+    // content must agree; n_files = 1 is the repartition invariant
+    "s25_file_provenance" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                count(*) AS n_rows, CAST(1 AS BIGINT) AS n_files
+         FROM events GROUP BY 1 ORDER BY day""",
     "s4_csv_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
          ORDER BY c_custkey""",
