@@ -786,6 +786,49 @@ object Stats {
             .as("p_value"))
     }),
 
+    // A58: classical seasonal decomposition (additive y = trend +
+    // seasonal + residual) — A42 measures weekly seasonality; this
+    // SEPARATES the series into the three components every anomaly
+    // detector and forecaster consumes. Trend = centered 7-day moving
+    // average (full-window only — edges stay NULL rather than biased);
+    // seasonal = per-weekday mean of the detrended series, re-centered
+    // to sum to zero over the week (the identifiability constraint);
+    // residual = the rest. Sliding and grouped sums go through the
+    // decimal discipline (w17's contract), so Spark's re-accumulating
+    // window and DuckDB's segment tree cannot diverge. One (type)
+    // shuffle for the window + one tiny weekday agg broadcast back.
+    // Fully oracle-checked.
+    "a58_seasonal_decomp" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      val dly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("y"))
+      val tr = dly
+        .withColumn("trend",
+          when(count(lit(1)).over(w) === 7,
+            sum(col("y").cast("decimal(24,10)")).over(w).cast("double") / 7))
+        .withColumn("dt", col("y") - col("trend"))
+        .withColumn("dow", dayofweek(col("day")))
+      val sea = tr.filter(col("dt").isNotNull)
+        .groupBy(col("event_type"), col("dow"))
+        .agg((sum(col("dt").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("s_raw"))
+      val seaCentered = sea
+        .withColumn("s_mean",
+          sum(col("s_raw").cast("decimal(24,10)"))
+            .over(Window.partitionBy("event_type")).cast("double") / 7)
+        .select(col("event_type"), col("dow"),
+          (col("s_raw") - col("s_mean")).as("seasonal"))
+      tr.join(broadcast(seaCentered), Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), col("y"),
+          round(col("trend"), 6).as("trend"),
+          round(col("seasonal"), 6).as("seasonal"),
+          round(col("y") - col("trend") - col("seasonal"), 6).as("residual"))
+        .orderBy("event_type", "day")
+    }),
+
     // A33: two-sample Kolmogorov–Smirnov test — does the click value
     // distribution differ from the purchase one? D = max |F1 − F2|
     // over the pooled values, computed WITHOUT a global sort: values
@@ -1286,6 +1329,44 @@ object Stats {
                 round(regr_intercept(y, x), 6) AS intercept,
                 round(regr_r2(y, x), 6) AS r2
          FROM xy GROUP BY 1 ORDER BY event_type""",
+    // dayofweek labels differ across engines (Spark 1=Sun..7, DuckDB
+    // 0=Sun..6) but both PARTITION the days identically, and dow is
+    // an internal join key, never an output column
+    "a58_seasonal_decomp" ->
+      """WITH dly AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS y
+           FROM events GROUP BY 1, 2),
+         tr AS (
+           SELECT event_type, day, y,
+                  CASE WHEN count(*) OVER w7 = 7 THEN
+                    CAST(CAST(sum(CAST(y AS DECIMAL(24,10))) OVER w7
+                         AS VARCHAR) AS DOUBLE) / 7 END AS trend
+           FROM dly
+           WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         dt AS (SELECT event_type, day, y, trend, y - trend AS dt,
+                       dayofweek(day) AS dow
+                FROM tr),
+         sea AS (
+           SELECT event_type, dow,
+                  CAST(CAST(sum(CAST(dt AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS s_raw
+           FROM dt WHERE dt IS NOT NULL GROUP BY 1, 2),
+         sc AS (
+           SELECT event_type, dow,
+                  s_raw - CAST(CAST(sum(CAST(s_raw AS DECIMAL(24,10)))
+                    OVER (PARTITION BY event_type) AS VARCHAR) AS DOUBLE)
+                    / 7 AS seasonal
+           FROM sea)
+         SELECT t.event_type, t.day, t.y,
+                round(t.trend, 6) AS trend,
+                round(sc.seasonal, 6) AS seasonal,
+                round(t.y - t.trend - sc.seasonal, 6) AS residual
+         FROM dt t JOIN sc ON t.event_type = sc.event_type
+                          AND t.dow = sc.dow
+         ORDER BY t.event_type, t.day""",
     "a57_permutation_test" ->
       """WITH dly AS (
            SELECT event_type AS g,
