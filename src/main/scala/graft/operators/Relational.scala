@@ -138,10 +138,15 @@ object Relational {
     // delta-sized joins instead of re-joining 100 TB of history
     // (append-only deltas; updates/deletes add retraction terms,
     // which is the full IVM algebra). Deltas here are deterministic
-    // slices (every 10th order = today's facts, every 50th customer
-    // = newly arrived dims). The oracle is the plain monolithic
-    // join — equality IS the maintenance invariant, same contract as
-    // A27. Pure row passthrough (no float aggregation) → exact.
+    // mod-slices of one table (every 10th order = today's facts,
+    // every 50th customer = newly arrived dims), so the DEMO re-scans
+    // the parquet once per term; in production each delta is its own
+    // SOURCE (today's partition / the CDC feed), so the three delta
+    // joins read only delta-sized inputs — that separation, not this
+    // slicing, is what makes the refresh O(Δ). The oracle is the
+    // plain monolithic join — equality IS the maintenance invariant,
+    // same contract as A27. Pure row passthrough (no float
+    // aggregation) → exact.
     "j10_incremental_join" -> ((s, d) => {
       val o = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
