@@ -165,6 +165,56 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
+    // J11: grid-bucketed SPATIAL join — the banded-LSH candidate
+    // pattern applied to geography: "every event within 100 km of a
+    // hub" must never evaluate points × hubs at scale; instead points
+    // land in (1° lat × 2° lon) grid cells once, each hub expands to
+    // its 3×3 neighbor cells (cell sizes chosen so 100 km can never
+    // escape the neighborhood at |lat| ≤ 60 — pigeonhole-complete,
+    // the D8 argument), candidates equi-join on the cell key, and the
+    // haversine verify runs only per collision. Coordinates derive
+    // deterministically from ids via the md5-uniform ladder → both
+    // engines compute identical doubles; the oracle is the EXHAUSTIVE
+    // hub-cross filter (hubs are a bounded dim, so the oracle may be
+    // quadratic where the engine must not) — the grid path is proven
+    // to return exactly the exhaustive answer. Haversine is pure IEEE
+    // + libm (asin/sin/cos last-ulp → round6, TXT11's discipline).
+    "j11_spatial_join" -> ((s, d) => {
+      val denom = lit(1152921504606846976L).cast("double") // 2^60
+      def frac(c: Column, salt: String): Column =
+        conv(substring(md5(concat(c.cast("string"), lit(salt))), 1, 15),
+          16, 10).cast("long").cast("double") / denom
+      val pts = Tables.events(s, d).select(col("event_id"),
+        (frac(col("event_id"), ":lat") * 120 - 60).as("lat"),
+        (frac(col("event_id"), ":lon") * 360 - 180).as("lon"))
+      val hubs = Tables.nation(s, d).select(
+        col("n_nationkey").as("hub_id"),
+        (frac(col("n_nationkey"), ":hlat") * 120 - 60).as("hlat"),
+        (frac(col("n_nationkey"), ":hlon") * 360 - 180).as("hlon"))
+      val ptsCell = pts
+        .withColumn("cy", floor(col("lat") / 1.0))
+        .withColumn("cx", floor(col("lon") / 2.0))
+      val offsets = array((for (dy <- -1 to 1; dx <- -1 to 1)
+        yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
+      val hubCells = hubs
+        .withColumn("o", explode(offsets))
+        .select(col("hub_id"), col("hlat"), col("hlon"),
+          (floor(col("hlat") / 1.0) + col("o.dy")).as("cy"),
+          (floor(col("hlon") / 2.0) + col("o.dx")).as("cx"))
+      val dist = lit(2.0) * lit(6371.0) * asin(sqrt(
+        sin(radians((col("hlat") - col("lat")) / 2)) *
+          sin(radians((col("hlat") - col("lat")) / 2)) +
+        cos(radians(col("lat"))) * cos(radians(col("hlat"))) *
+          sin(radians((col("hlon") - col("lon")) / 2)) *
+          sin(radians((col("hlon") - col("lon")) / 2))))
+      ptsCell.join(broadcast(hubCells), Seq("cy", "cx"))
+        .withColumn("dist_km", dist)
+        .filter(col("dist_km") <= 100.0)
+        .select(col("event_id"), col("hub_id"),
+          round(col("dist_km"), 6).as("dist_km"))
+        .orderBy("event_id", "hub_id")
+    }),
+
     // J3: point-lookup join against a small dim — broadcast explicitly.
     // Ref: scripts/06_strategy_signals.py:135 (price_data.at[date,'Close']).
     "j3_point_lookup" -> ((s, d) => {
@@ -1707,6 +1757,39 @@ object Relational {
       """SELECT o_orderkey, c_name, o_totalprice
          FROM orders JOIN customer ON o_custkey = c_custkey
          ORDER BY o_orderkey""",
+    // exhaustive hub-cross filter: hubs are a bounded dim, so the
+    // ORACLE may be quadratic where the engine's grid path must not
+    "j11_spatial_join" ->
+      """WITH pts AS (
+           SELECT event_id,
+                  (('0x' || substring(md5(event_id || ':lat'), 1, 15))
+                     ::BIGINT / CAST(1152921504606846976 AS DOUBLE))
+                    * 120 - 60 AS lat,
+                  (('0x' || substring(md5(event_id || ':lon'), 1, 15))
+                     ::BIGINT / CAST(1152921504606846976 AS DOUBLE))
+                    * 360 - 180 AS lon
+           FROM events),
+         hubs AS (
+           SELECT n_nationkey AS hub_id,
+                  (('0x' || substring(md5(n_nationkey || ':hlat'), 1, 15))
+                     ::BIGINT / CAST(1152921504606846976 AS DOUBLE))
+                    * 120 - 60 AS hlat,
+                  (('0x' || substring(md5(n_nationkey || ':hlon'), 1, 15))
+                     ::BIGINT / CAST(1152921504606846976 AS DOUBLE))
+                    * 360 - 180 AS hlon
+           FROM nation),
+         cand AS (
+           SELECT p.event_id, h.hub_id,
+                  2.0 * 6371.0 * asin(sqrt(
+                    sin(radians((h.hlat - p.lat) / 2)) *
+                      sin(radians((h.hlat - p.lat) / 2)) +
+                    cos(radians(p.lat)) * cos(radians(h.hlat)) *
+                      sin(radians((h.hlon - p.lon) / 2)) *
+                      sin(radians((h.hlon - p.lon) / 2)))) AS dist_km
+           FROM pts p, hubs h)
+         SELECT event_id, hub_id, round(dist_km, 6) AS dist_km
+         FROM cand WHERE dist_km <= 100.0
+         ORDER BY event_id, hub_id""",
     // the monolithic join IS the oracle — equality is the
     // incremental-maintenance invariant
     "j10_incremental_join" ->
