@@ -44,6 +44,28 @@ object DatasetOps {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("split")),
 
+    // DS13: NEAR-DUP-cluster-aware split — the leakage DS1's
+    // group-aware hashing cannot see: two near-duplicate documents
+    // with different ids can straddle train/test, and the model is
+    // then evaluated on paraphrases of its training data (the
+    // contamination fuzzy decon (DECON2) exists to catch across
+    // corpora, here prevented WITHIN one). Split key = the D10
+    // canonical component id, so every member of a near-dup cluster
+    // lands on the same side by construction. Composes the engine's
+    // own pieces (exact pair graph → connected components → md5
+    // split ladder) in one plan; fully oracle-checked (the d10
+    // recursive-CTE closure + the DS1 split CASE in DuckDB).
+    "ds13_cluster_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") < 100).select(col("doc_id"))
+      val pairs = TextAnalysis.ngramJaccardPairs(s, d, maxId = 100,
+        minJ = 0.02)
+      Dedup.connectedComponents(pairs, docs)
+        .select(col("doc_id"), col("comp").as("canonical_id"),
+          split(col("comp")).as("split"))
+        .orderBy("doc_id")
+    }),
+
     // DS11: k-fold cross-validation assignment — GROUP-AWARE (every
     // event of a user lands in one fold, the same leakage guard as
     // DS1's split) via the md5-uniform ladder, with the audit a CV
@@ -437,6 +459,39 @@ object DatasetOps {
                 t.keep_frac
          FROM targets t JOIN k USING (source)
          ORDER BY t.source""",
+    // d10's recursive closure + the DS1 split CASE on the component id
+    "ds13_cluster_split" ->
+      """WITH RECURSIVE
+           docs AS (
+             SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             FROM documents WHERE doc_id < 100),
+           sh AS (
+             SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+             FROM docs WHERE len(t) >= 3),
+           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           inter AS (
+             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           pairs AS (
+             SELECT da, db FROM inter
+             JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+             WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.02),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION SELECT db AS src, da AS dst FROM pairs),
+           reach AS (
+             SELECT doc_id AS id, doc_id AS r FROM docs
+             UNION
+             SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+           cc AS (SELECT id AS doc_id, min(r) AS canonical_id
+                  FROM reach GROUP BY id)
+         SELECT doc_id, canonical_id,
+                CASE WHEN substring(md5(CAST(canonical_id AS VARCHAR)), 1, 1)
+                       < 'd'
+                     THEN 'train' ELSE 'val' END AS split
+         FROM cc ORDER BY doc_id""",
     "ds1_hash_split" ->
       """WITH tagged AS (
            SELECT user_id,
