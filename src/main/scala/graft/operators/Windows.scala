@@ -467,6 +467,36 @@ object Windows {
         .orderBy("user_id", "event_id")
     }),
 
+    // W22: touch attribution — the marketing-analytics staple A21's
+    // funnel stops short of: every purchase attributed to the user's
+    // FIRST and LAST click inside the preceding 7 days, in ONE pass
+    // with W21's time-RANGE frame (no purchase↔click self-join — the
+    // conditional min/max over the event-time window does the as-of
+    // lookup for every purchase simultaneously, one user_id shuffle).
+    // Timestamps only (set-min/max — order-independent, exact);
+    // n_clicks audits window support. Purchases with no click in
+    // range keep NULL touches (unattributed — a real category, not
+    // dropped). Fully oracle-checked.
+    "w22_attribution" -> ((s, d) => {
+      val wR = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-7L * 86400L * 1000000L, 0L)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"))
+        .withColumn("first_touch_ts",
+          min(when(col("event_type") === "click", col("ts"))).over(wR))
+        .withColumn("last_touch_ts",
+          max(when(col("event_type") === "click", col("ts"))).over(wR))
+        .withColumn("n_clicks",
+          count(when(col("event_type") === "click", lit(1))).over(wR))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("first_touch_ts"), col("last_touch_ts"), col("n_clicks"))
+        .orderBy("event_id")
+    }),
+
     // W15: cumulative compounded return — the equity-curve-from-returns
     // op (running PRODUCT, which no engine has as a window aggregate):
     // the standard rewrite exp(Σ ln(1+r)) turns it into a running sum.
@@ -784,6 +814,26 @@ object Windows {
                       RANGE BETWEEN 604800000000 PRECEDING
                       AND CURRENT ROW)
          ORDER BY user_id, event_id""",
+    "w22_attribution" ->
+      """WITH cp AS (
+           SELECT event_id, user_id, event_type, ts
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         att AS (
+           SELECT event_id, user_id, event_type, ts,
+                  min(CASE WHEN event_type = 'click' THEN ts END)
+                    OVER w AS first_touch_ts,
+                  max(CASE WHEN event_type = 'click' THEN ts END)
+                    OVER w AS last_touch_ts,
+                  count(CASE WHEN event_type = 'click' THEN 1 END)
+                    OVER w AS n_clicks
+           FROM cp
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                        RANGE BETWEEN 604800000000 PRECEDING
+                        AND CURRENT ROW))
+         SELECT event_id, user_id, ts, first_touch_ts, last_touch_ts,
+                n_clicks
+         FROM att WHERE event_type = 'purchase'
+         ORDER BY event_id""",
     "w20_macd" -> macdOracleSql,
     "w11_gap_fill" ->
       """WITH daily AS (
