@@ -412,6 +412,32 @@ object Relational {
         .toDF("user_id", "est_n").orderBy("user_id")
     }),
 
+    // A59: HLL set ALGEBRA — what makes persisted sketches (A32) an
+    // audience-analytics engine: distinct click users, distinct
+    // purchase users, their UNION (lossless sketch merge), and their
+    // INTERSECTION via inclusion–exclusion — all from two fixed-size
+    // sketches built in ONE corpus pass, where the exact form
+    // re-shuffles every user_id per question. Union inherits HLL's
+    // rsd; intersection error compounds through I–E (fine when the
+    // overlap is a large share, the audience case) — both bounds
+    // asserted vs exact in ApproxAggSpec. Rows-only (sketch
+    // internals).
+    "a59_hll_set_algebra" -> ((s, d) =>
+      Tables.events(s, d)
+        .agg(
+          expr("""hll_sketch_agg(CASE WHEN event_type = 'click'
+                  THEN user_id END)""").as("skc"),
+          expr("""hll_sketch_agg(CASE WHEN event_type = 'purchase'
+                  THEN user_id END)""").as("skp"))
+        .select(
+          expr("hll_sketch_estimate(skc)").as("est_click"),
+          expr("hll_sketch_estimate(skp)").as("est_purchase"),
+          expr("hll_sketch_estimate(hll_union(skc, skp))").as("est_union"),
+          (expr("hll_sketch_estimate(skc)") +
+           expr("hll_sketch_estimate(skp)") -
+           expr("hll_sketch_estimate(hll_union(skc, skp))"))
+            .as("est_intersection"))),
+
     // A17: exact quantiles per group (linear interpolation — matches
     // DuckDB's quantile_cont). At scale the same query swaps
     // percentile→percentile_approx with identical plan shape.

@@ -106,6 +106,28 @@ class ApproxAggSpec extends AnyFunSuite {
     }
   }
 
+  test("a59 HLL set-algebra estimates within bounds of the exact set sizes") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sf)
+    def users(t: String) = ev.filter(col("event_type") === t)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    val c = users("click"); val p = users("purchase")
+    val row = Relational.queries("a59_hll_set_algebra")(spark, sf).head()
+    val (ec, ep, eu, ei) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3))
+    def within(est: Long, exact: Int, tol: Double, what: String): Unit =
+      assert(math.abs(est - exact).toDouble / math.max(exact, 1) <= tol,
+        s"$what: est=$est exact=$exact")
+    within(ec, c.size, 0.05, "click")
+    within(ep, p.size, 0.05, "purchase")
+    within(eu, c.union(p).size, 0.05, "union")
+    // inclusion–exclusion compounds three sketch errors — the bound
+    // is on the UNION scale, not the intersection's own size
+    assert(math.abs(ei - c.intersect(p).size).toDouble /
+      math.max(c.union(p).size, 1) <= 0.10,
+      s"intersection: est=$ei exact=${c.intersect(p).size}")
+  }
+
   test("salted aggregation equals the plain aggregate") {
     val plain = Relational.queries("a1_grouped_avg")(spark, sf)
     val salted = Relational.queries("a15_salted_agg")(spark, sf)
