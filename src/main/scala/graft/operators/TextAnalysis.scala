@@ -451,6 +451,32 @@ object TextAnalysis {
     // Scale: the rank window runs over the top of an aggregated
     // vocab, not the corpus; everything before it is one map-side-
     // combinable hash agg.
+    // TXT16: Flesch reading-ease — the readability quality signal
+    // web-corpus filters cut on (too-hard and too-trivial text both
+    // correlate with junk): 206.835 − 1.015·(words/sentences) −
+    // 84.6·(syllables/words). Sentences = terminal-punctuation runs
+    // (floored at 1); syllables ≈ maximal vowel runs (the standard
+    // heuristic — runs cannot span whitespace, so no per-word explode
+    // is needed: ONE regexp_count over the doc). Stateless codegen
+    // projections, zero shuffle; every ratio is elementwise IEEE →
+    // raw doubles hash-match, no rounding grid. Fully oracle-checked.
+    "txt16_readability" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_words"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+            .cast("long").as("n_sentences"),
+          regexp_count(lower(col("text")), lit("[aeiouy]+"))
+            .cast("long").as("n_syllables"))
+        .filter(col("n_words") > 0)
+        .withColumn("flesch",
+          lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences")) -
+            lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words")))
+        .orderBy("doc_id")),
+
     "txt15_zipf" -> ((s, d) => {
       val w = Window.orderBy(col("n").desc, col("w"))
       val ranked = Tables.documents(s, d)
@@ -502,6 +528,26 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // DECIMAL literals cast to DOUBLE (DuckDB fractional literals are
+    // decimals; the linear combination must be double math both sides)
+    "txt16_readability" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                       AS BIGINT) AS n_words,
+                  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                       AS BIGINT) AS n_sentences,
+                  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                       AS BIGINT) AS n_syllables
+           FROM documents)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+                CAST(206.835 AS DOUBLE) -
+                  CAST(1.015 AS DOUBLE) *
+                    (CAST(n_words AS DOUBLE) / n_sentences) -
+                  CAST(84.6 AS DOUBLE) *
+                    (CAST(n_syllables AS DOUBLE) / n_words) AS flesch
+         FROM m WHERE n_words > 0
+         ORDER BY doc_id""",
     "txt15_zipf" ->
       """WITH wc AS (
            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
