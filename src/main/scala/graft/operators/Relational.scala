@@ -1644,6 +1644,29 @@ object Relational {
                        ELSE 0L END)""").as("ovf"))
         .orderBy("event_id")),
 
+    // F12: collation-aware comparison (Spark 4's collation engine) —
+    // grouping/equality under UTF8_LCASE treats 'SRC1'/'src1' as one
+    // key INSIDE the hash agg and the equality operator, without
+    // materializing a lowercased copy of the column (the projection a
+    // pre-collation engine needs on every case-insensitive join key
+    // at 100 TB). Mixed case planted deterministically (every 3rd doc
+    // uppercases its source); the oracle states the same semantics
+    // with lower() — results compare, not mechanisms. The collated
+    // key is cast back to a plain string for output (parquet writes
+    // collated strings with collation metadata; the compare layer
+    // wants plain UTF8). Fully oracle-checked.
+    "f12_collation" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("src_mixed",
+          when(col("doc_id") % 3 === 0, upper(col("source")))
+            .otherwise(col("source")))
+        .groupBy(expr("collate(src_mixed, 'UTF8_LCASE')").as("src_ci"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .select(lower(col("src_ci")).cast("string").as("source"),
+          col("n_docs"), col("total_chars"))
+        .orderBy("source")),
+
     // S23: dead-letter JSON ingest — the quarantine pattern a 100 TB
     // ingest cannot live without: a batch where some payloads are
     // corrupt must route good rows onward and COUNT the quarantined
@@ -1904,6 +1927,15 @@ object Relational {
                      ELSE 9223372036854775807 END AS ovf
          FROM events
          ORDER BY event_id""",
+    "f12_collation" ->
+      """WITH m AS (
+           SELECT CASE WHEN doc_id % 3 = 0 THEN upper(source)
+                       ELSE source END AS src_mixed,
+                  n_chars
+           FROM documents)
+         SELECT lower(src_mixed) AS source, count(*) AS n_docs,
+                sum(n_chars) AS total_chars
+         FROM m GROUP BY 1 ORDER BY source""",
     "f10_url_funcs" ->
       """WITH u AS (
            SELECT doc_id,
