@@ -829,6 +829,47 @@ object Stats {
         .orderBy("event_type", "day")
     }),
 
+    // A60: CUPED variance reduction — the experimentation-platform
+    // staple (Deng et al. 2013, WSDM: "Improving the Sensitivity of
+    // Online Controlled Experiments"): adjust each user's experiment
+    // metric Y by their PRE-period covariate X, Y' = Y − θ(X − X̄)
+    // with θ = cov(X,Y)/var(X), shrinking metric variance by the
+    // factor (1 − ρ²) without biasing the mean (E[Y'] = E[Y]
+    // identically). Everything reduces to ONE user-level moment
+    // aggregate: var(Y') = var(Y) − cov²/var(X) — no second pass
+    // over adjusted rows. Pre/post user means go through the decimal
+    // discipline; the population moments are definitional on both
+    // engines (r6 absorbs moment-merge order, A2's contract). Fully
+    // oracle-checked.
+    "a60_cuped" -> ((s, d) => {
+      val mid = lit("2024-01-16 00:00:00").cast("timestamp")
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts") < mid, col("value").cast("decimal(24,10)")))
+            .as("sx"),
+          count(when(col("ts") < mid, lit(1))).as("nx"),
+          sum(when(col("ts") >= mid, col("value").cast("decimal(24,10)")))
+            .as("sy"),
+          count(when(col("ts") >= mid, lit(1))).as("ny"))
+        .filter(col("nx") > 0 && col("ny") > 0)
+        .select(
+          (col("sx").cast("double") / col("nx")).as("x"),
+          (col("sy").cast("double") / col("ny")).as("y"))
+      perUser
+        .agg(count(lit(1)).as("n_users"),
+          covar_pop(col("x"), col("y")).as("cxy"),
+          var_pop(col("x")).as("vx"),
+          var_pop(col("y")).as("vy"))
+        .select(col("n_users"),
+          round(col("cxy") / col("vx"), 6).as("theta"),
+          round(col("vy"), 6).as("var_y"),
+          round(col("vy") - col("cxy") * col("cxy") / col("vx"), 6)
+            .as("var_y_adj"),
+          round((col("cxy") * col("cxy") / col("vx")) / col("vy"), 6)
+            .as("var_reduction"))
+    }),
+
     // A33: two-sample Kolmogorov–Smirnov test — does the click value
     // distribution differ from the purchase one? D = max |F1 − F2|
     // over the pooled values, computed WITHOUT a global sort: values
@@ -1367,6 +1408,32 @@ object Stats {
          FROM dt t JOIN sc ON t.event_type = sc.event_type
                           AND t.dow = sc.dow
          ORDER BY t.event_type, t.day""",
+    "a60_cuped" ->
+      """WITH pu AS (
+           SELECT user_id,
+                  CAST(CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN CAST(value AS DECIMAL(24,10)) END) AS VARCHAR)
+                    AS DOUBLE) /
+                    count(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                          THEN 1 END) AS x,
+                  CAST(CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                        THEN CAST(value AS DECIMAL(24,10)) END) AS VARCHAR)
+                    AS DOUBLE) /
+                    count(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                          THEN 1 END) AS y,
+                  count(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN 1 END) AS nx,
+                  count(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                        THEN 1 END) AS ny
+           FROM events GROUP BY user_id)
+         SELECT count(*) AS n_users,
+                round(covar_pop(x, y) / var_pop(x), 6) AS theta,
+                round(var_pop(y), 6) AS var_y,
+                round(var_pop(y) - covar_pop(x, y) * covar_pop(x, y)
+                      / var_pop(x), 6) AS var_y_adj,
+                round((covar_pop(x, y) * covar_pop(x, y) / var_pop(x))
+                      / var_pop(y), 6) AS var_reduction
+         FROM pu WHERE nx > 0 AND ny > 0""",
     "a57_permutation_test" ->
       """WITH dly AS (
            SELECT event_type AS g,
