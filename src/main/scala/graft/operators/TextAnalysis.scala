@@ -524,6 +524,22 @@ object TextAnalysis {
     "d2_ngram_jaccard" -> ((s, d) =>
       ngramJaccardPairs(s, d, maxId = 100, minJ = 0.01)
         .select(col("da"), col("db"), r6(col("jaccard")).as("jaccard"))
+        .orderBy("da", "db")),
+
+    // D15: shingle CONTAINMENT — the asymmetric overlap Jaccard is
+    // blind to: a short doc fully quoted inside a long one scores
+    // C(a→b) = |A∩B|/|A| ≈ 1 while J = |A∩B|/|A∪B| stays small (the
+    // news-syndication case — excerpts, wrapped reprints). Same
+    // shingle-equi-join access path as D2 (pairs sharing ≥1 shingle;
+    // never all-pairs), reporting BOTH directions so the caller sees
+    // which side is the fragment. Exact long/long divisions → fully
+    // oracle-checked.
+    "d15_containment" -> ((s, d) =>
+      ngramJaccardPairs(s, d, maxId = 500, minJ = 0.0)
+        .select(col("da"), col("db"),
+          r6(col("i").cast("double") / col("sza")).as("cont_a_in_b"),
+          r6(col("i").cast("double") / col("szb")).as("cont_b_in_a"))
+        .filter(col("cont_a_in_b") >= 0.5 || col("cont_b_in_a") >= 0.5)
         .orderBy("da", "db"))
   )
 
@@ -842,6 +858,32 @@ object TextAnalysis {
          FROM inter JOIN sizes x ON da = x.doc_id
                     JOIN sizes y ON db = y.doc_id
          WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.01
+         ORDER BY da, db""",
+    // threshold applied to the ROUNDED values, mirroring the engine;
+    // doc_id < 500 covers the planted near-dup families (the < 100
+    // slice holds none of the high-containment pairs)
+    "d15_containment" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents WHERE doc_id < 500),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+           FROM docs WHERE len(t) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         c AS (
+           SELECT da, db,
+                  round(CAST(i AS DOUBLE) / x.sz, 6) AS cont_a_in_b,
+                  round(CAST(i AS DOUBLE) / y.sz, 6) AS cont_b_in_a
+           FROM inter JOIN sizes x ON da = x.doc_id
+                      JOIN sizes y ON db = y.doc_id)
+         SELECT da, db, cont_a_in_b, cont_b_in_a FROM c
+         WHERE cont_a_in_b >= 0.5 OR cont_b_in_a >= 0.5
          ORDER BY da, db"""
   )
 }
