@@ -870,6 +870,38 @@ object Stats {
             .as("var_reduction"))
     }),
 
+    // A61: Value-at-Risk + Conditional VaR (expected shortfall) — the
+    // tail-risk block the reference's A10 metrics stop short of (and
+    // the regulatory standard since Basel/RiskMetrics): VaR₅ = the
+    // 5th-percentile daily return, CVaR₅ = the mean return GIVEN the
+    // tail (coherent where VaR alone is not). Daily returns from
+    // decimal-pinned means (elementwise IEEE — bit-identical); the
+    // per-series VaR thresholds are a group-cardinality row set
+    // broadcast back onto the returns (the a13/a25 bounds pattern),
+    // so the tail mean is one more keyed agg, never a re-sort; tail
+    // sums decimal-exact. Fully oracle-checked.
+    "a61_var_cvar" -> ((s, d) => {
+      val wl = Window.partitionBy("event_type").orderBy("day")
+      val rets = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("y"))
+        .withColumn("prev", lag(col("y"), 1).over(wl))
+        .filter(col("prev").isNotNull && col("prev") =!= 0.0)
+        .withColumn("r", (col("y") - col("prev")) / col("prev"))
+      val varT = rets.groupBy(col("event_type"))
+        .agg(expr("percentile(r, 0.05)").as("var05"))
+      rets.join(broadcast(varT), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          round(max(col("var05")), 6).as("var_05"),
+          round(sum(when(col("r") <= col("var05"),
+              col("r").cast("decimal(24,10)"))).cast("double") /
+            sum(when(col("r") <= col("var05"), 1L).otherwise(0L)), 6)
+            .as("cvar_05"))
+        .orderBy("event_type")
+    }),
+
     // A33: two-sample Kolmogorov–Smirnov test — does the click value
     // distribution differ from the purchase one? D = max |F1 − F2|
     // over the pooled values, computed WITHOUT a global sort: values
@@ -1408,6 +1440,29 @@ object Stats {
          FROM dt t JOIN sc ON t.event_type = sc.event_type
                           AND t.dow = sc.dow
          ORDER BY t.event_type, t.day""",
+    "a61_var_cvar" ->
+      """WITH dly AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS y
+           FROM events GROUP BY 1, 2),
+         rets AS (
+           SELECT event_type, day, y, lag(y) OVER w AS prev
+           FROM dly
+           WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         rr AS (SELECT event_type, (y - prev) / prev AS r FROM rets
+                WHERE prev IS NOT NULL AND prev <> 0),
+         vt AS (SELECT event_type, quantile_cont(r, 0.05) AS var05
+                FROM rr GROUP BY 1)
+         SELECT rr.event_type, count(*) AS n_days,
+                round(max(vt.var05), 6) AS var_05,
+                round(CAST(CAST(sum(CASE WHEN rr.r <= vt.var05
+                           THEN CAST(rr.r AS DECIMAL(24,10)) END)
+                      AS VARCHAR) AS DOUBLE) /
+                      sum(CASE WHEN rr.r <= vt.var05 THEN 1 ELSE 0 END), 6)
+                  AS cvar_05
+         FROM rr JOIN vt ON rr.event_type = vt.event_type
+         GROUP BY rr.event_type ORDER BY rr.event_type""",
     "a60_cuped" ->
       """WITH pu AS (
            SELECT user_id,
