@@ -902,6 +902,36 @@ object Stats {
         .orderBy("event_type")
     }),
 
+    // A62: difference-in-differences — the quasi-experimental
+    // estimator completing the experimentation block (A57 tests by
+    // permutation, A60 reduces variance, this handles the NO-random-
+    // assignment case): DiD = (T,post − T,pre) − (C,post − C,pre),
+    // which cancels both the group-level baseline difference and the
+    // common time trend. Assignment is the deterministic user parity
+    // (a stand-in for a rollout cohort); all four cell means are
+    // decimal-exact conditional sums in ONE pass (the sql21 CASE
+    // pattern). Fully oracle-checked.
+    "a62_diff_in_diff" -> ((s, d) => {
+      val mid = lit("2024-01-16 00:00:00").cast("timestamp")
+      val treated = col("user_id") % 2 === 0
+      val post = col("ts") >= mid
+      def cell(p: Column): Column =
+        sum(when(p, col("value").cast("decimal(24,10)"))
+          .otherwise(lit(0).cast("decimal(24,10)"))).cast("double") /
+          sum(when(p, 1L).otherwise(0L))
+      Tables.events(s, d)
+        .agg(cell(treated && !post).as("t_pre"),
+          cell(treated && post).as("t_post"),
+          cell(!treated && !post).as("c_pre"),
+          cell(!treated && post).as("c_post"))
+        .select(round(col("t_pre"), 6).as("t_pre"),
+          round(col("t_post"), 6).as("t_post"),
+          round(col("c_pre"), 6).as("c_pre"),
+          round(col("c_post"), 6).as("c_post"),
+          round((col("t_post") - col("t_pre")) -
+            (col("c_post") - col("c_pre")), 6).as("did"))
+    }),
+
     // A33: two-sample Kolmogorov–Smirnov test — does the click value
     // distribution differ from the purchase one? D = max |F1 − F2|
     // over the pooled values, computed WITHOUT a global sort: values
@@ -1440,6 +1470,46 @@ object Stats {
          FROM dt t JOIN sc ON t.event_type = sc.event_type
                           AND t.dow = sc.dow
          ORDER BY t.event_type, t.day""",
+    "a62_diff_in_diff" ->
+      """WITH c AS (
+           SELECT
+             CAST(CAST(sum(CASE WHEN user_id % 2 = 0
+                   AND ts < TIMESTAMP '2024-01-16 00:00:00'
+                   THEN CAST(value AS DECIMAL(24,10))
+                   ELSE CAST(0 AS DECIMAL(24,10)) END) AS VARCHAR)
+               AS DOUBLE) /
+               sum(CASE WHEN user_id % 2 = 0
+                   AND ts < TIMESTAMP '2024-01-16 00:00:00'
+                   THEN 1 ELSE 0 END) AS t_pre,
+             CAST(CAST(sum(CASE WHEN user_id % 2 = 0
+                   AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+                   THEN CAST(value AS DECIMAL(24,10))
+                   ELSE CAST(0 AS DECIMAL(24,10)) END) AS VARCHAR)
+               AS DOUBLE) /
+               sum(CASE WHEN user_id % 2 = 0
+                   AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+                   THEN 1 ELSE 0 END) AS t_post,
+             CAST(CAST(sum(CASE WHEN user_id % 2 <> 0
+                   AND ts < TIMESTAMP '2024-01-16 00:00:00'
+                   THEN CAST(value AS DECIMAL(24,10))
+                   ELSE CAST(0 AS DECIMAL(24,10)) END) AS VARCHAR)
+               AS DOUBLE) /
+               sum(CASE WHEN user_id % 2 <> 0
+                   AND ts < TIMESTAMP '2024-01-16 00:00:00'
+                   THEN 1 ELSE 0 END) AS c_pre,
+             CAST(CAST(sum(CASE WHEN user_id % 2 <> 0
+                   AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+                   THEN CAST(value AS DECIMAL(24,10))
+                   ELSE CAST(0 AS DECIMAL(24,10)) END) AS VARCHAR)
+               AS DOUBLE) /
+               sum(CASE WHEN user_id % 2 <> 0
+                   AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+                   THEN 1 ELSE 0 END) AS c_post
+           FROM events)
+         SELECT round(t_pre, 6) AS t_pre, round(t_post, 6) AS t_post,
+                round(c_pre, 6) AS c_pre, round(c_post, 6) AS c_post,
+                round((t_post - t_pre) - (c_post - c_pre), 6) AS did
+         FROM c""",
     "a61_var_cvar" ->
       """WITH dly AS (
            SELECT event_type, date_trunc('day', ts) AS day,
