@@ -445,6 +445,40 @@ class PlanShapeSpec extends AnyFunSuite {
            !plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
   }
 
+  test("j11: the spatial join is a broadcast cell join, never points x hubs") {
+    // the grid path's whole claim: candidates come from the cell
+    // equi-join against the broadcast 9-cell hub expansion — an
+    // unkeyed plan (cartesian / BNLJ) would be the quadratic failure
+    val plan = planOf(Relational.queries, "j11_spatial_join")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("w22: attribution runs as one user_id window, no self-join") {
+    // the point of the time-RANGE formulation: purchases never join
+    // back to clicks — one hash exchange feeds the window operator
+    val plan = planOf(Windows.queries, "w22_attribution")
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("Join"), s"self-join crept in:\n${plan.take(2000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one hash exchange:\n${plan.take(2000)}")
+  }
+
+  test("a61: the VaR thresholds broadcast back onto the returns") {
+    // per-series thresholds are a group-cardinality row set — the
+    // returns never re-shuffle or re-sort to meet them
+    val plan = planOf(Stats.queries, "a61_var_cvar")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("d15: containment stays on the shingle equi-join access path") {
+    val plan = planOf(TextAnalysis.queries, "d15_containment")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("sql5: the correlated scalar subquery decorrelates to an aggregate join") {
     // the per-part average threshold must become one grouped
     // aggregate joined back on the correlation key — never a scalar
