@@ -33,7 +33,8 @@ class VaderSpec extends AnyFunSuite {
       "extended4" -> VaderLexicon.extended4.keySet,
       "extended5" -> VaderLexicon.extended5.keySet,
       "extended6" -> VaderLexicon.extended6.keySet,
-      "extended7" -> VaderLexicon.extended7.keySet)
+      "extended7" -> VaderLexicon.extended7.keySet,
+      "extended8" -> VaderLexicon.extended8.keySet)
     for (Seq((na, a), (nb, bk)) <- blocks.combinations(2)) {
       val shared = a.intersect(bk)
       assert(shared.isEmpty, s"$na∩$nb: $shared")
