@@ -1338,6 +1338,28 @@ object Relational {
         ORDER BY o_year""")
     }),
 
+    // SQL22: TPC-H Q6 (forecast revenue change) — the suite's pure
+    // scan-predicate-aggregate query, run near-verbatim (all its
+    // columns exist here): three conjunctive predicates that must ALL
+    // reach the parquet reader as pushed filters + one decimal sum,
+    // no join, no shuffle beyond the final 1-row merge. With SQL22
+    // the engine covers every TPC-H query expressible without the
+    // partsupp table or the shipmode/commitdate columns the testdata
+    // omits: Q1,Q3,Q4*,Q5,Q6,Q7,Q8,Q10,Q13,Q14,Q17*,Q18,Q19,Q21*,Q22*
+    // (*adapted where those columns appear). Fully oracle-checked.
+    "sql22_tpch_q6" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT round(CAST(sum(CAST(l_extendedprice * l_discount
+                     AS DECIMAL(24,10))) AS DOUBLE), 6) AS revenue
+        FROM lineitem_v
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN CAST(0.05 AS DOUBLE)
+                             AND CAST(0.07 AS DOUBLE)
+          AND l_quantity < 24""")
+    }),
+
     // U4: INTERSECT — distinct (user, day) pairs where a click AND a
     // purchase both happened: the set-semantics operator (Catalyst
     // plans it as a distinct + left-semi hash join — keyed shuffle,
@@ -2380,6 +2402,16 @@ object Relational {
                WHERE r_name = 'ASIA' AND p_type = 'PROMO')
          GROUP BY o_year
          ORDER BY o_year""",
+    "sql22_tpch_q6" ->
+      """SELECT round(CAST(CAST(sum(CAST(l_extendedprice * l_discount
+                      AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE), 6)
+                  AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN CAST(0.05 AS DOUBLE)
+                              AND CAST(0.07 AS DOUBLE)
+           AND l_quantity < 24""",
     "sql14_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist
          FROM (SELECT c_custkey, count(o_orderkey) AS c_count
