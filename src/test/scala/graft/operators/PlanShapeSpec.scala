@@ -479,6 +479,17 @@ class PlanShapeSpec extends AnyFunSuite {
            !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("sql22: Q6's predicates all push to the parquet scan") {
+    // the whole query is scan efficiency — a predicate evaluated
+    // post-scan instead of inside the reader forfeits row-group
+    // pruning on 100 TB of lineitem
+    val plan = planOf(Relational.queries, "sql22_tpch_q6")
+    assert(plan.contains("PushedFilters:"), plan.take(2000))
+    val pushed = plan.split("PushedFilters: ")(1).split("]")(0)
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(pushed.contains(c), s"$c not pushed: $pushed"))
+  }
+
   test("sql5: the correlated scalar subquery decorrelates to an aggregate join") {
     // the per-part average threshold must become one grouped
     // aggregate joined back on the correlation key — never a scalar
