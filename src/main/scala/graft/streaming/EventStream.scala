@@ -1160,6 +1160,53 @@ object EventStream {
       .orderBy("batch_id")
   }
 
+  /** T23: STATELESS streaming ingest dedup via a Bloom probe — the
+    * constant-memory alternative to T3's state-store dropDuplicates:
+    * per-key dedup state grows with distinct keys forever (watermarks
+    * only bound it when keys expire), while a Bloom ledger of the
+    * already-ingested set is a fixed ~200 KB binary broadcast into a
+    * stateless filter — O(1) memory at any key cardinality, no false
+    * negatives (nothing already ingested ever re-enters), and the
+    * small false-positive rate drops only NEW items (production
+    * routes bloom-positives to an exact re-check; the rate is the
+    * spec's assertion). Here the first rig half is the ledger, both
+    * halves replay as the stream, and only (most of) the second half
+    * survives. The query is append-mode with NO watermark and NO
+    * state store — the plan difference IS the point. */
+  def runBloomIngestFilter(s: SparkSession, d: String): DataFrame = {
+    val rig = stageRig(s, d)
+    val base = freshDir(s"/tmp/graft-stream-t23-run${nextRunId()}")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
+    // ledger: Bloom over the first half's event ids (batch-side build,
+    // amortized across every future micro-batch in production)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bfAgg = new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col("event_id"))),
+      Literal(100000L), Literal(1600000L), 0, 0).toAggregateExpression()
+    val bytes = s.read.schema(eventSchema).option("timestampFormat", TsFormat)
+      .json(s"$rig/half1")
+      .select(ColumnBridge.column(bfAgg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    withReplayWidth(s) {
+      val q = readJsonStream(s, src)
+        .filter(!ColumnBridge.column(BloomFilterMightContain(
+          ColumnBridge.expression(lit(bytes)),
+          ColumnBridge.expression(xxhash64(col("event_id"))))))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .writeStream.format("memory").queryName("t23_mem")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table("t23_mem")
+  }
+
   def runKeyedPublish(s: SparkSession, d: String): DataFrame = {
     val rig = stageRig(s, d)
     val base = freshDir(s"/tmp/graft-stream-t4-run${nextRunId()}")
@@ -1218,6 +1265,12 @@ object EventStream {
     // StreamingSpec anchors Σ input_rows == exact corpus count.
     "t22_progress_audit" -> ((s, d) =>
       runProgressAudit(s, d)),
+
+    // T23: stateless Bloom-probe ingest dedup — rows-only;
+    // StreamingSpec anchors exactness (no ledger row survives) and
+    // the FP bound (≥99% of genuinely-new rows survive).
+    "t23_bloom_ingest" -> ((s, d) =>
+      runBloomIngestFilter(s, d).orderBy("event_id")),
 
     "t19_trending_topk" -> ((s, d) =>
       runTrendingTopK(s, d).orderBy("win_start", "rnk")),

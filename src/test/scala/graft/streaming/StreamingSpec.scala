@@ -96,6 +96,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.exists(_._3 > 0), "no state rows reported")
   }
 
+  test("T23: the Bloom ingest filter is exact on the ledger and loses <1% of new rows") {
+    import org.apache.spark.sql.functions._
+    val got = EventStream.runBloomIngestFilter(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    // ground truth from the same chronological halves the rig stages
+    val ev = graft.Tables.events(spark, sf)
+    val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+    val mid = new java.sql.Timestamp(
+      (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+    val ledger = ev.filter(col("ts") <= lit(mid))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val fresh = ev.filter(col("ts") > lit(mid))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && fresh.nonEmpty)
+    // no false negatives: NOTHING already ingested re-enters
+    assert(got.intersect(ledger).isEmpty,
+      s"ledger rows survived: ${got.intersect(ledger).take(5)}")
+    // only genuinely-new rows, minus the bounded false-positive loss
+    assert(got.subsetOf(fresh))
+    val kept = got.size.toDouble / fresh.size
+    assert(kept >= 0.99, s"FP loss too high: kept ${got.size}/${fresh.size}")
+  }
+
   test("T20: SCD2 history merges across 2+ real micro-batches") {
     // the incremental merge must survive a real batch boundary (the
     // cross-batch current-attribute comparison is the hard path); a
