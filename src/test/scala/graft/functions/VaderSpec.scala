@@ -34,7 +34,8 @@ class VaderSpec extends AnyFunSuite {
       "extended5" -> VaderLexicon.extended5.keySet,
       "extended6" -> VaderLexicon.extended6.keySet,
       "extended7" -> VaderLexicon.extended7.keySet,
-      "extended8" -> VaderLexicon.extended8.keySet)
+      "extended8" -> VaderLexicon.extended8.keySet,
+      "extended9" -> VaderLexicon.extended9.keySet)
     for (Seq((na, a), (nb, bk)) <- blocks.combinations(2)) {
       val shared = a.intersect(bk)
       assert(shared.isEmpty, s"$na∩$nb: $shared")
