@@ -424,6 +424,31 @@ object Stats {
         .orderBy("event_type", "k")
     }),
 
+    // A63: Holm–Bonferroni step-down — the FWER companion to A46's
+    // BH step-up (BH controls the false-discovery RATE, Holm the
+    // familywise error — the stricter guarantee a regulated analysis
+    // needs; uniformly more powerful than plain Bonferroni): rank p
+    // ascending, raw_i = (m − i + 1)·p_i, adjusted = running PREFIX
+    // MAX of raw (monotone enforcement is forward here where BH's is
+    // a suffix min), clamp at 1. Same lag-grid p-value family, same
+    // two-window shape. Rows-only (kernel p-values); StatsSpec
+    // anchors against a sequential textbook recompute.
+    "a63_holm" -> ((s, d) => {
+      val pv = queries("a3_corr_pvalue")(s, d)
+      val byP = Window.orderBy(col("p_value"), col("event_type"), col("k"))
+      val prefix = byP.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val m = Window.partitionBy()
+      pv.withColumn("m", count(lit(1)).over(m))
+        .withColumn("rnk", row_number().over(byP))
+        .withColumn("raw", col("p_value") * (col("m") - col("rnk") + 1))
+        .withColumn("p_adj", least(lit(1.0), max(col("raw")).over(prefix)))
+        .select(col("event_type"), col("k"), col("p_value"),
+          col("rnk").cast("long").as("rnk"), r6(col("p_adj")).as("p_adj"),
+          (col("p_adj") <= 0.05).as("significant"))
+        .orderBy("event_type", "k")
+    }),
+
     // A28: Welch two-sample t-test — does mean(value) differ between
     // click and purchase events? The unequal-variance form (no pooled
     // variance) with Welch–Satterthwaite fractional df. One pass over

@@ -311,6 +311,34 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("a63 Holm adjustment matches a sequential step-down recompute; Holm >= BH") {
+    val pv = Stats.queries("a3_corr_pvalue")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(4)))
+    val m = pv.length
+    val sorted = pv.sortBy(t => (t._3, t._1, t._2))
+    var run = 0.0
+    val adj = sorted.zipWithIndex.map { case ((et, k, p), i) =>
+      run = math.max(run, p * (m - i))
+      (et, k) -> (i + 1L, math.min(1.0, run))
+    }.toMap
+    val got = Stats.queries("a63_holm")(spark, sf).collect()
+    assert(got.length == m && m > 0)
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val bh = Stats.queries("a46_bh_fdr")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(4)).toMap
+    got.foreach { r =>
+      val key = (r.getString(0), r.getInt(1))
+      val (r0, a) = adj(key)
+      assert(r.getLong(3) == r0, s"$key rank ${r.getLong(3)} vs $r0")
+      assert(r.getDouble(4) == r6(a), s"$key p_adj ${r.getDouble(4)} vs $a")
+      assert(r.getBoolean(5) == (a <= 0.05))
+      // FWER control is never more permissive than FDR control
+      assert(r.getDouble(4) >= bh(key) - 1e-9,
+        s"$key: Holm ${r.getDouble(4)} < BH ${bh(key)}")
+    }
+  }
+
   test("a3_corr_pvalue rows are oracle-verified grid cells") {
     val cells = Stats.queries("a3_corr_grid")(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1)) ->
