@@ -449,6 +449,50 @@ object Stats {
         .orderBy("event_type", "k")
     }),
 
+    // A64: Newey–West (HAC) standard error — the econometrics answer
+    // to "my daily series is autocorrelated, so the naive sqrt(γ₀/n)
+    // understates the mean's uncertainty" (A40 measures the ACF; this
+    // USES it): long-run variance = γ₀ + 2·Σⱼ (1 − j/(L+1))·γⱼ with
+    // Bartlett weights (PSD-guaranteed), L = 5 lags. Per series: the
+    // group mean broadcasts back (a25's pattern), lagged demeaned
+    // products come from L lag-windows sharing ONE series shuffle,
+    // every γ sum decimal-pinned (w17's contract). Reported as naive
+    // vs HAC se with their ratio — the inflation factor a
+    // positively-autocorrelated series needs. Fully oracle-checked.
+    "a64_newey_west" -> ((s, d) => {
+      val L = 5
+      val dly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("y"))
+      val mu = dly.groupBy(col("event_type"))
+        .agg((sum(col("y").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("mu"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val dm = dly.join(broadcast(mu), Seq("event_type"))
+        .withColumn("dv", col("y") - col("mu"))
+      val withLags = (1 to L).foldLeft(dm) { (df, j) =>
+        df.withColumn(s"p$j",
+          (col("dv") * lag(col("dv"), j).over(w)).cast("decimal(24,10)"))
+      }
+      val aggs: Seq[Column] = count(lit(1)).as("n") +:
+        sum((col("dv") * col("dv")).cast("decimal(24,10)"))
+          .cast("double").as("g0") +:
+        (1 to L).map(j => sum(col(s"p$j")).cast("double").as(s"g$j"))
+      val gammas = withLags.groupBy(col("event_type"))
+        .agg(aggs.head, aggs.tail: _*)
+      val longrun = (1 to L).foldLeft(col("g0") / col("n")) { (acc, j) =>
+        acc + lit(2.0 * (1.0 - j.toDouble / (L + 1))) *
+          (col(s"g$j") / col("n"))
+      }
+      gammas.select(col("event_type"), col("n").as("n_days"),
+          round(sqrt((col("g0") / col("n")) / col("n")), 6).as("se_naive"),
+          round(sqrt(longrun / col("n")), 6).as("se_hac"),
+          round(sqrt(longrun / col("n")) /
+            sqrt((col("g0") / col("n")) / col("n")), 6).as("inflation"))
+        .orderBy("event_type")
+    }),
+
     // A28: Welch two-sample t-test — does mean(value) differ between
     // click and purchase events? The unequal-variance form (no pooled
     // variance) with Welch–Satterthwaite fractional df. One pass over
@@ -1495,6 +1539,51 @@ object Stats {
          FROM dt t JOIN sc ON t.event_type = sc.event_type
                           AND t.dow = sc.dow
          ORDER BY t.event_type, t.day""",
+    // weights emitted as 17-digit e-notation from the SAME Scala
+    // arithmetic the query uses (the W12 literal-generation pattern)
+    // → bit-identical doubles on both engines
+    "a64_newey_west" -> {
+      val L = 5
+      val lagDefs = (1 to L).map(j => s"lag(dv, $j) OVER w AS l$j")
+        .mkString(",\n                        ")
+      val lagCols = (1 to L).map(j =>
+        s"""CAST(CAST(sum(CAST(dv * l$j AS DECIMAL(24,10)))
+           AS VARCHAR) AS DOUBLE) AS g$j""")
+        .mkString(",\n                  ")
+      val longrun = (1 to L).foldLeft("g0 / n") { (acc, j) =>
+        val w = 2.0 * (1.0 - j.toDouble / (L + 1))
+        f"$acc + CAST($w%.17e AS DOUBLE) * (g$j / n)"
+      }
+      s"""WITH dly AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS y
+           FROM events GROUP BY 1, 2),
+         mu AS (
+           SELECT event_type,
+                  CAST(CAST(sum(CAST(y AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS mu
+           FROM dly GROUP BY 1),
+         dm AS (
+           SELECT dly.event_type, dly.day, dly.y - mu.mu AS dv
+           FROM dly JOIN mu ON dly.event_type = mu.event_type),
+         g AS (
+           SELECT event_type, count(*) AS n,
+                  CAST(CAST(sum(CAST(dv * dv AS DECIMAL(24,10)))
+                       AS VARCHAR) AS DOUBLE) AS g0,
+                  $lagCols
+           FROM (SELECT event_type, dv,
+                        $lagDefs
+                 FROM dm WINDOW w AS (PARTITION BY event_type
+                                      ORDER BY day)) x
+           GROUP BY event_type)
+         SELECT event_type, n AS n_days,
+                round(sqrt((g0 / n) / n), 6) AS se_naive,
+                round(sqrt(($longrun) / n), 6) AS se_hac,
+                round(sqrt(($longrun) / n) / sqrt((g0 / n) / n), 6)
+                  AS inflation
+         FROM g ORDER BY event_type"""
+    },
     "a62_diff_in_diff" ->
       """WITH c AS (
            SELECT
