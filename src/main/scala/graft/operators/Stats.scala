@@ -493,6 +493,35 @@ object Stats {
         .orderBy("event_type")
     }),
 
+    // A65: Cohen's d effect size — the continuous companion to A44's
+    // Cramér's V (significance tests say whether a difference exists;
+    // effect sizes say whether it MATTERS — at 100 TB everything is
+    // "significant", so the effect size is the decision value):
+    // d = (mean_a − mean_b) / s_pooled with the exact pooled sample
+    // sd, plus Hedges' g small-sample correction (1 − 3/(4(n−2)−1)).
+    // Same one-pass conditional-aggregate shape as A28; fully
+    // oracle-checked (avg/var_samp definitional, r6 absorbs moment
+    // merge order — the a2 contract).
+    "a65_cohens_d" -> ((s, d) => {
+      val a = when(col("event_type") === "click", col("value"))
+      val b = when(col("event_type") === "purchase", col("value"))
+      Tables.events(s, d)
+        .agg(count(a).as("n_a"), avg(a).as("mean_a"),
+          var_samp(a).as("var_a"),
+          count(b).as("n_b"), avg(b).as("mean_b"),
+          var_samp(b).as("var_b"))
+        .withColumn("sp", sqrt(
+          ((col("n_a") - 1) * col("var_a") + (col("n_b") - 1) * col("var_b"))
+            / (col("n_a") + col("n_b") - 2)))
+        .withColumn("d_raw",
+          (col("mean_a") - col("mean_b")) / col("sp"))
+        .select(col("n_a"), col("n_b"),
+          round(col("d_raw"), 6).as("cohens_d"),
+          round(col("d_raw") * (lit(1.0) -
+            lit(3.0) / (lit(4.0) * (col("n_a") + col("n_b") - 2) - 1)), 6)
+            .as("hedges_g"))
+    }),
+
     // A28: Welch two-sample t-test — does mean(value) differ between
     // click and purchase events? The unequal-variance form (no pooled
     // variance) with Welch–Satterthwaite fractional df. One pass over
@@ -1539,6 +1568,32 @@ object Stats {
          FROM dt t JOIN sc ON t.event_type = sc.event_type
                           AND t.dow = sc.dow
          ORDER BY t.event_type, t.day""",
+    "a65_cohens_d" ->
+      """WITH m AS (
+           SELECT count(CASE WHEN event_type = 'click' THEN 1 END) AS n_a,
+                  avg(CASE WHEN event_type = 'click' THEN value END)
+                    AS mean_a,
+                  var_samp(CASE WHEN event_type = 'click' THEN value END)
+                    AS var_a,
+                  count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    AS n_b,
+                  avg(CASE WHEN event_type = 'purchase' THEN value END)
+                    AS mean_b,
+                  var_samp(CASE WHEN event_type = 'purchase' THEN value END)
+                    AS var_b
+           FROM events),
+         s AS (
+           SELECT n_a, n_b,
+                  (mean_a - mean_b) /
+                    sqrt(((n_a - 1) * var_a + (n_b - 1) * var_b)
+                         / (n_a + n_b - 2)) AS d_raw
+           FROM m)
+         SELECT n_a, n_b, round(d_raw, 6) AS cohens_d,
+                round(d_raw * (CAST(1.0 AS DOUBLE) -
+                  CAST(3.0 AS DOUBLE) /
+                    (CAST(4.0 AS DOUBLE) * (n_a + n_b - 2) - 1)), 6)
+                  AS hedges_g
+         FROM s""",
     // weights emitted as 17-digit e-notation from the SAME Scala
     // arithmetic the query uses (the W12 literal-generation pattern)
     // → bit-identical doubles on both engines
