@@ -94,12 +94,29 @@ object Bench {
         graft.operators.SourceSinks.zorderDir(spark, sfDir)
       })
     // Local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 times just those
-    // queries (builds are skipped unless named). The driver never sets
-    // it, so round artifacts always carry the complete map.
+    // queries. A named query that consumes a staged build artifact
+    // pulls that build in automatically (the caches are lazy, so the
+    // build would otherwise fold silently into the query's first-rep
+    // timing); builds can still be named directly. The driver never
+    // sets the filter, so round artifacts always carry the full map.
+    val buildDeps: Map[String, Set[String]] = Map(
+      "sig_build" -> Set("d3_minhash_lsh", "d6_lsh_verified",
+        "decon2_fuzzy_overlap"),
+      "grid_build" -> Set("lag_grid_corr", "lag_grid_best",
+        "lag_grid_best_config", "lag_grid_artifact"),
+      "s15_layout_build" -> Set("s15_bucketed_join"),
+      "ivf_build" -> Set("sim3_ivf_ann"),
+      "bloom_build" -> Set("d7_bloom_new"),
+      "phash_tight_build" -> Set("mm5_phash_pairs_tight",
+        "mm9_image_clusters"),
+      "s22_layout_build" -> Set("s22_zorder_prune"))
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     def keep(name: String): Boolean = only.forall(_.contains(name))
-    val results = builds.filter(b => keep(b._1)) ++
+    def keepBuild(name: String): Boolean = only.forall(o =>
+      o.contains(name) ||
+        buildDeps.getOrElse(name, Set.empty).exists(o.contains))
+    val results = builds.filter(b => keepBuild(b._1)) ++
       SparkEntry.queries.filter(q => keep(q._1)).map { case (name, fn) =>
       name -> medianOf(name) { () =>
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

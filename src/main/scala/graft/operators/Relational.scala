@@ -401,6 +401,12 @@ object Relational {
     // (CMS never undercounts) — both bounds + merge associativity
     // asserted in ApproxAggSpec against the exact counts. Sketch
     // internals have no DuckDB twin → rows-only, anchored.
+    // NOTE: the sketch agg executes EAGERLY (.head on the driver)
+    // while the DataFrame is being constructed — the driver-sketch
+    // pattern requires it (the probe table is built from the sketch).
+    // This is the one entry in `queries` that breaks the
+    // build-is-lazy contract: plan-only callers (plan-shape
+    // inspection, explain tooling) pay a full corpus scan here.
     "a53_cms_freq" -> ((s, d) => {
       import s.implicits._
       val bin = Tables.events(s, d)
@@ -1956,7 +1962,7 @@ object Relational {
                   n_chars
            FROM documents)
          SELECT lower(src_mixed) AS source, count(*) AS n_docs,
-                sum(n_chars) AS total_chars
+                CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM m GROUP BY 1 ORDER BY source""",
     "f10_url_funcs" ->
       """WITH u AS (

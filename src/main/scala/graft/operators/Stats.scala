@@ -913,10 +913,14 @@ object Stats {
         .groupBy(col("event_type"), col("dow"))
         .agg((sum(col("dt").cast("decimal(24,10)")).cast("double") /
           count(lit(1))).as("s_raw"))
+      // re-center over however many dow groups the series actually
+      // produced (a short series — 3-day trend edges NULLed — can have
+      // fewer than 7), so the zero-sum constraint holds identically
       val seaCentered = sea
         .withColumn("s_mean",
           sum(col("s_raw").cast("decimal(24,10)"))
-            .over(Window.partitionBy("event_type")).cast("double") / 7)
+            .over(Window.partitionBy("event_type")).cast("double") /
+            count(lit(1)).over(Window.partitionBy("event_type")))
         .select(col("event_type"), col("dow"),
           (col("s_raw") - col("s_mean")).as("seasonal"))
       tr.join(broadcast(seaCentered), Seq("event_type", "dow"))
@@ -1559,7 +1563,7 @@ object Stats {
            SELECT event_type, dow,
                   s_raw - CAST(CAST(sum(CAST(s_raw AS DECIMAL(24,10)))
                     OVER (PARTITION BY event_type) AS VARCHAR) AS DOUBLE)
-                    / 7 AS seasonal
+                    / count(*) OVER (PARTITION BY event_type) AS seasonal
            FROM sea)
          SELECT t.event_type, t.day, t.y,
                 round(t.trend, 6) AS trend,
@@ -1768,9 +1772,11 @@ object Stats {
                         ELSE CAST(0 AS DECIMAL(24,10)) END) AS VARCHAR)
                     AS DOUBLE) / max(st.n2) AS diff
            FROM rk, st GROUP BY rk.b)
-         SELECT st.n1, st.n2, round(st.obs, 6) AS obs_diff,
-                (SELECT sum(CASE WHEN abs(diff) >= abs(st.obs)
-                            THEN 1 ELSE 0 END) FROM diffs) AS n_extreme,
+         SELECT CAST(st.n1 AS BIGINT) AS n1, CAST(st.n2 AS BIGINT) AS n2,
+                round(st.obs, 6) AS obs_diff,
+                CAST((SELECT sum(CASE WHEN abs(diff) >= abs(st.obs)
+                            THEN 1 ELSE 0 END) FROM diffs)
+                     AS BIGINT) AS n_extreme,
                 round(CAST((SELECT sum(CASE WHEN abs(diff) >= abs(st.obs)
                             THEN 1 ELSE 0 END) FROM diffs) + 1 AS DOUBLE)
                       / 201, 6) AS p_value
@@ -1788,13 +1794,17 @@ object Stats {
          nn AS (SELECT event_type, count(*) AS n FROM dly GROUP BY 1),
          draws AS (
            -- DuckDB's FROM-clause generate_series takes no lateral
-           -- column args: generate a fixed 0..365 day-index spine and
-           -- keep i < n (366 bounds any per-series day count here)
+           -- column args: generate a fixed day-index spine and keep
+           -- i < n. The 0..9999 bound is far above any per-series day
+           -- count the events table can produce (the Spark side is
+           -- fully lateral via sequence(0, n-1)); if a series ever
+           -- exceeded it the n_resamples mean-count below would shrink
+           -- and the CI rows would diverge loudly, not silently.
            SELECT nn.event_type, g.b,
                   ('0x' || substring(md5(nn.event_type || ':' || g.b ||
                      ':' || h.i), 1, 15))::BIGINT % nn.n AS idx
            FROM nn, generate_series(0, 199) AS g(b),
-                generate_series(0, 365) AS h(i)
+                generate_series(0, 9999) AS h(i)
            WHERE h.i < nn.n),
          means AS (
            SELECT d.event_type, d.b,

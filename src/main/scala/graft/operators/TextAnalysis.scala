@@ -234,12 +234,17 @@ object TextAnalysis {
     // functions. Each column ≡ its Column-API twin (f7 / txt4 / a3),
     // asserted exactly in TextAnalysisSpec; rows-only vs DuckDB (no
     // equivalent functions there — the same reason the twins are).
+    // The fingerprint array is projected to sortable scalars
+    // (size + first element) so the driver's rows-only comparator —
+    // which sorts/hashes column values — never sees a raw array cell;
+    // txt6_rolling_fp keeps the full array form under its own spec.
     "sql17_native_fn" -> ((s, d) => {
       Tables.documents(s, d).createOrReplaceTempView("docs_v_sql17")
       s.sql("""
         SELECT doc_id,
                round(vader_compound(text), 6) AS compound,
-               rolling_fp(text) AS fp,
+               size(rolling_fp(text)) AS fp_n,
+               rolling_fp(text)[0] AS fp_head,
                round(pearson_pvalue(CAST(0.3 AS DOUBLE),
                                     CAST(50 AS BIGINT)), 6) AS p_const
         FROM docs_v_sql17 ORDER BY doc_id""")

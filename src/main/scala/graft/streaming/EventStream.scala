@@ -1348,9 +1348,11 @@ object EventStream {
     "t16_session_stream" -> ((s, d) =>
       runSessionStream(s, d).orderBy("user_id", "sess_start")),
 
-    // T11: foreachBatch upsert sink — update-mode agg through an
-    // idempotent append log, compacted latest-wins; final serving
-    // table equals the plain GROUP BY (oracle).
+    // T11: foreachBatch upsert sink — update-mode agg through a
+    // batch-id-stamped append log (the log itself is NOT idempotent;
+    // replay-safety comes from latest-batch-wins compaction — see
+    // runForeachBatchUpsert's doc); final serving table equals the
+    // plain GROUP BY (oracle).
     "t11_foreachbatch_upsert" -> ((s, d) =>
       runForeachBatchUpsert(s, d).orderBy("user_id"))
   )

@@ -180,8 +180,9 @@ class TextAnalysisSpec extends AnyFunSuite {
     val sf = SparkTestSession.Sf0001
     val viaSql = TextAnalysis.queries("sql17_native_fn")(spark, sf)
       .collect()
-      .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Long](2),
-        r.getDouble(3)))
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getDouble(4)))
     val viaCols = Tables.documents(spark, sf)
       .select(col("doc_id"),
         round(graft.functions.VaderCompound.compound(col("text")), 6),
@@ -191,9 +192,11 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(viaSql.nonEmpty && viaSql.length == viaCols.length)
     val pConst = math.rint(graft.functions.StudentT
       .pValue(0.3, 50L) * 1e6) / 1e6
-    viaSql.zip(viaCols).foreach { case ((id1, (c1, f1, p)), (id2, (c2, f2))) =>
-      assert(id1 == id2 && c1 == c2 && f1 == f2)
-      assert(p == pConst, s"pearson_pvalue const $p vs $pConst")
+    viaSql.zip(viaCols).foreach {
+      case ((id1, (c1, n1, h1, p)), (id2, (c2, f2))) =>
+        assert(id1 == id2 && c1 == c2)
+        assert(n1 == f2.length && h1 == f2.headOption)
+        assert(p == pConst, s"pearson_pvalue const $p vs $pConst")
     }
   }
 }
