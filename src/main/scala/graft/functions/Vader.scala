@@ -39,7 +39,25 @@ object Vader {
   // disjointness (a shared key would double-count: valence AND boost)
   private[functions] val boosters: Map[String, Double] = Map(
     "very" -> 0.293, "extremely" -> 0.293, "incredibly" -> 0.293,
-    "really" -> 0.193, "slightly" -> -0.293, "somewhat" -> -0.193)
+    "really" -> 0.193, "slightly" -> -0.293, "somewhat" -> -0.193,
+    // published BOOSTER_DICT completion (round 9), single-token
+    // entries only and minus the ones already carrying a lexicon
+    // valence here (amazingly/awfully/greatly/... — the published
+    // scorer lets the two dicts overlap and checks boosters first;
+    // this engine keeps them disjoint, VaderSpec-asserted, so a
+    // shared key can never double-count valence AND boost)
+    "absolutely" -> 0.293, "completely" -> 0.293,
+    "considerably" -> 0.293, "decidedly" -> 0.293, "deeply" -> 0.293,
+    "enormously" -> 0.293, "entirely" -> 0.293, "especially" -> 0.293,
+    "exceptionally" -> 0.293, "fully" -> 0.293, "highly" -> 0.293,
+    "hugely" -> 0.293, "intensely" -> 0.293, "majorly" -> 0.293,
+    "particularly" -> 0.293, "purely" -> 0.293, "quite" -> 0.293,
+    "substantially" -> 0.293, "thoroughly" -> 0.293,
+    "totally" -> 0.293, "tremendously" -> 0.293,
+    "unbelievably" -> 0.293, "unusually" -> 0.293, "utterly" -> 0.293,
+    "almost" -> -0.293, "barely" -> -0.293, "hardly" -> -0.293,
+    "marginally" -> -0.293, "occasionally" -> -0.293,
+    "partly" -> -0.293, "scarcely" -> -0.293, "slight" -> -0.293)
 
   private val negators: Set[String] = Set(
     "not", "no", "never", "none", "isnt", "dont", "cant", "wont",

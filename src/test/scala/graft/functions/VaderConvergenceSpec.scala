@@ -82,8 +82,11 @@ class VaderConvergenceSpec extends AnyFunSuite {
     val (mean, posShare) = metrics
     info(f"fixture mean compound = $mean%.3f (reference golden 0.433)")
     info(f"fixture positive share = ${posShare * 100}%.1f%% (reference 74.7%%)")
-    // loose convergence bands: the reference golden ±~0.15 / ±10pp
-    assert(mean > 0.28 && mean < 0.58, f"mean drifted: $mean%.3f")
+    // converged bands (round 9): the reference golden ±~0.05 / ±10pp.
+    // Round-8 measured 0.332; the round-9 market-register tranche
+    // (beat/lifts/secures/reassures/brightens + inflections) moved the
+    // fixture to 0.387 — the bands are tightened to hold that.
+    assert(mean > 0.38 && mean < 0.48, f"mean drifted: $mean%.3f")
     assert(posShare > 0.65 && posShare < 0.85,
       f"positive share drifted: $posShare%.3f")
     // every headline must hit the lexicon — a 0.0 score means the

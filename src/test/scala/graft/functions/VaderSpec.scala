@@ -36,7 +36,8 @@ class VaderSpec extends AnyFunSuite {
       "extended7" -> VaderLexicon.extended7.keySet,
       "extended8" -> VaderLexicon.extended8.keySet,
       "extended9" -> VaderLexicon.extended9.keySet,
-      "extended10" -> VaderLexicon.extended10.keySet)
+      "extended10" -> VaderLexicon.extended10.keySet,
+      "extended11" -> VaderLexicon.extended11.keySet)
     for (Seq((na, a), (nb, bk)) <- blocks.combinations(2)) {
       val shared = a.intersect(bk)
       assert(shared.isEmpty, s"$na∩$nb: $shared")
