@@ -112,7 +112,7 @@ object Bench {
     // sets the filter, so round artifacts always carry the full map.
     val buildDeps: Map[String, Set[String]] = Map(
       "sig_build" -> Set("d3_minhash_lsh", "d6_lsh_verified",
-        "decon2_fuzzy_overlap"),
+        "decon2_fuzzy_overlap", "d10_cc_corpus", "d12_tri_corpus"),
       "grid_build" -> Set("lag_grid_corr", "lag_grid_best",
         "lag_grid_best_config", "lag_grid_artifact"),
       "s15_layout_build" -> Set("s15_bucketed_join"),

@@ -335,6 +335,58 @@ object Dedup {
     * candidate docs (semi-join BEFORE the shingle explode), so exact
     * verification scales with |candidates| (per-mille of the corpus
     * after banding), not the corpus. */
+  /** D12 kernel: per-doc triangle counts over an undirected (da, db)
+    * pair graph, via the DEGREE-ORDERED orientation — every edge
+    * points from its (degree, id)-smaller endpoint, so wedges
+    * enumerate only from each triangle's minimum vertex and the wedge
+    * count is bounded by O(m·α) (arboricity), not Σdeg². Both joins
+    * are keyed hash joins (src; then (v, w) pair), never all-pairs. */
+  private[operators] def triangleCounts(und: DataFrame): DataFrame = {
+    val deg = und.select(col("da").as("v"))
+      .unionAll(und.select(col("db").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val wd = und
+      .join(deg.select(col("v").as("da"), col("dg").as("dga")), Seq("da"))
+      .join(deg.select(col("v").as("db"), col("dg").as("dgb")), Seq("db"))
+    val aFirst = col("dga") < col("dgb") ||
+      (col("dga") === col("dgb") && col("da") < col("db"))
+    val e = wd.select(
+      when(aFirst, col("da")).otherwise(col("db")).as("src"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dst"),
+      when(aFirst, col("dgb")).otherwise(col("dga")).as("ddst"))
+    val wedges = e.as("x").join(e.as("y"),
+        col("x.src") === col("y.src") &&
+          (col("x.ddst") < col("y.ddst") ||
+           (col("x.ddst") === col("y.ddst") &&
+            col("x.dst") < col("y.dst"))))
+      .select(col("x.src").as("u"), col("x.dst").as("v"),
+        col("y.dst").as("w"))
+    val tri = wedges.join(
+      e.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** The corpus-scale verified near-dup pair graph: banded LSH
+    * candidates (est ≥ minJ over the materialized signature table) →
+    * exact shingle-Jaccard verification → keep true J ≥ minJ. This is
+    * the graph every corpus-scale graph query (D10b/D12b) runs on —
+    * NO doc_id slice and no exhaustive pair join anywhere: the only
+    * all-corpus pass is the signature build (shared, `sig_build`).
+    * Oracle-checkable because true duplicates in a real (and this
+    * synthetic) corpus sit far above the 0.5 threshold (measured
+    * min true J = 0.8 at sf0.1): a pair at J ≥ 0.8 shares ≥1 of the
+    * 16 two-row bands with probability 1 − (1 − 0.8²)¹⁶ ≈ 1 − 10⁻¹³,
+    * and its 32-hash estimate stays above 0.5 just as surely — so
+    * the banded graph EQUALS the exhaustive exact-Jaccard graph the
+    * DuckDB oracle computes, and any recall miss fails the hash
+    * compare loudly. */
+  private def verifiedCorpusPairs(s: SparkSession, d: String,
+      minJ: Double): DataFrame =
+    verifyPairs(s, d, minhashPairs(signatures(s, d), minJ))
+      .filter(col("true_jaccard") >= minJ)
+      .select(col("da"), col("db"))
+
   private[operators] def verifyPairs(s: SparkSession, d: String,
       candidates: DataFrame): DataFrame = {
     val cand = candidates.localCheckpoint()
@@ -496,34 +548,37 @@ object Dedup {
     // hash joins (src; then (v,w) pair), never all-pairs. Fully
     // oracle-checked: DuckDB replays the identical orientation and
     // wedge-close arithmetic over the same pair SQL.
-    "d12_triangle_count" -> ((s, d) => {
-      val und = TextAnalysis.ngramJaccardPairs(s, d, maxId = 200,
-        minJ = 0.01).select(col("da"), col("db"))
-      val deg = und.select(col("da").as("v"))
-        .unionAll(und.select(col("db").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("dg"))
-      val wd = und
-        .join(deg.select(col("v").as("da"), col("dg").as("dga")), Seq("da"))
-        .join(deg.select(col("v").as("db"), col("dg").as("dgb")), Seq("db"))
-      val aFirst = col("dga") < col("dgb") ||
-        (col("dga") === col("dgb") && col("da") < col("db"))
-      val e = wd.select(
-        when(aFirst, col("da")).otherwise(col("db")).as("src"),
-        when(aFirst, col("db")).otherwise(col("da")).as("dst"),
-        when(aFirst, col("dgb")).otherwise(col("dga")).as("ddst"))
-      val wedges = e.as("x").join(e.as("y"),
-          col("x.src") === col("y.src") &&
-            (col("x.ddst") < col("y.ddst") ||
-             (col("x.ddst") === col("y.ddst") &&
-              col("x.dst") < col("y.dst"))))
-        .select(col("x.src").as("u"), col("x.dst").as("v"),
-          col("y.dst").as("w"))
-      val tri = wedges.join(
-        e.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
-      tri.select(explode(array(col("u"), col("v"), col("w"))).as("doc_id"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
-        .orderBy("doc_id")
-    }),
+    "d12_triangle_count" -> ((s, d) =>
+      triangleCounts(TextAnalysis.ngramJaccardPairs(s, d, maxId = 200,
+        minJ = 0.01).select(col("da"), col("db")))
+        .orderBy("doc_id")),
+
+    // D10b: FULL-CORPUS near-dup clusters — the round-9 answer to
+    // "the graph stage only ran on planted doc_id slices": the same
+    // connected-components kernel as D10, but over every document,
+    // with the edges coming from the PRODUCTION scale path
+    // (signatures → banded LSH → exact verify at J ≥ 0.5) instead of
+    // the slice's exhaustive shingle join. Fully oracle-checked: the
+    // DuckDB twin computes the exhaustive exact-Jaccard graph + a
+    // recursive min-propagation closure, so the check also PROVES the
+    // banded candidate generation lost no edge (see
+    // [[verifiedCorpusPairs]]). Scale shape: candidate join is
+    // (band, bucket)-keyed, verify touches only candidates, CC rounds
+    // are keyed join + min-agg with localCheckpoint lineage
+    // truncation — no all-pairs anywhere.
+    "d10_cc_corpus" -> ((s, d) =>
+      connectedComponents(verifiedCorpusPairs(s, d, 0.5),
+        Tables.documents(s, d).select(col("doc_id")))
+        .select(col("doc_id"), col("comp").as("canonical_id"))
+        .orderBy("doc_id")),
+
+    // D12b: full-corpus triangle counts over the same verified graph
+    // — duplicate RINGS (3+ mutually-similar docs) vs mere pairs, at
+    // corpus scale. Same degree-ordered kernel as D12; fully
+    // oracle-checked against the exhaustive graph.
+    "d12_tri_corpus" -> ((s, d) =>
+      triangleCounts(verifiedCorpusPairs(s, d, 0.5))
+        .orderBy("doc_id")),
 
     // D13: local clustering coefficient — D12's triangle counts
     // normalized by each node's wedge capacity: cc = 2·tri/(deg·
@@ -579,6 +634,81 @@ object Dedup {
   /** xxhash64 has no DuckDB equivalent → rows-only for the hash-family
     * queries; the md5-based exact incremental twin IS oracle-checked. */
   val oracles: Map[String, String] = Map(
+    // D10b: exhaustive exact-Jaccard pairs over the FULL corpus at
+    // the same 0.5 threshold, closed by recursive min-propagation —
+    // hash equality proves the engine's banded LSH path recalled
+    // every exhaustive edge (verifiedCorpusPairs' contract)
+    "d10_cc_corpus" ->
+      """WITH RECURSIVE
+           docs AS (
+             SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             FROM documents),
+           sh AS (
+             SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+             FROM docs WHERE len(t) >= 3),
+           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           inter AS (
+             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           pairs AS (
+             SELECT da, db FROM inter
+             JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+             WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.5),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION SELECT db AS src, da AS dst FROM pairs),
+           reach AS (
+             SELECT doc_id AS id, doc_id AS r FROM documents
+             UNION
+             SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+         SELECT id AS doc_id, min(r) AS canonical_id FROM reach
+         GROUP BY id ORDER BY doc_id""",
+    // D12b: same exhaustive full-corpus pair graph at 0.5, then the
+    // identical degree-ordered orientation + wedge-close arithmetic
+    "d12_tri_corpus" ->
+      """WITH docs AS (
+             SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             FROM documents),
+           sh AS (
+             SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+             FROM docs WHERE len(t) >= 3),
+           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           inter AS (
+             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           pairs AS (
+             SELECT da, db FROM inter
+             JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+             WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.5),
+           deg AS (
+             SELECT v, count(*) AS dg FROM (
+               SELECT da AS v FROM pairs
+               UNION ALL SELECT db AS v FROM pairs)
+             GROUP BY 1),
+           e AS (
+             SELECT CASE WHEN x.dg < y.dg OR (x.dg = y.dg AND da < db)
+                         THEN da ELSE db END AS src,
+                    CASE WHEN x.dg < y.dg OR (x.dg = y.dg AND da < db)
+                         THEN db ELSE da END AS dst,
+                    CASE WHEN x.dg < y.dg OR (x.dg = y.dg AND da < db)
+                         THEN y.dg ELSE x.dg END AS ddst
+             FROM pairs JOIN deg x ON da = x.v JOIN deg y ON db = y.v),
+           wed AS (
+             SELECT a.src AS u, a.dst AS v1, b.dst AS w1
+             FROM e a JOIN e b ON a.src = b.src
+               AND (a.ddst < b.ddst
+                    OR (a.ddst = b.ddst AND a.dst < b.dst))),
+           tri AS (
+             SELECT u, v1, w1 FROM wed
+             JOIN e ON wed.v1 = e.src AND wed.w1 = e.dst)
+         SELECT doc_id, count(*) AS n_tri
+         FROM (SELECT unnest([u, v1, w1]) AS doc_id FROM tri)
+         GROUP BY 1 ORDER BY doc_id""",
     // same pair SQL (maxId 200, threshold 0.01), then the identical
     // degree-ordered orientation + wedge-close join as the query
     "d12_triangle_count" ->
