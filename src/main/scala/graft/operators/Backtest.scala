@@ -202,13 +202,43 @@ object Backtest {
     // 368-418): trade stats, exit-reason counts, streaks, days-held,
     // equity/drawdown and annualized risk metrics — one wide row over
     // the fold output. Order-sensitive fold upstream → rows-only.
-    "t7_full_metrics" -> ((s, d) => {
+    "t7_full_metrics" -> ((s, d) =>
       // localCheckpoint, not cache(): materializes the fold ONCE for
       // the several downstream subtrees, and its blocks are released
       // when the plan is GC'd — a .cache() here accumulated pinned
       // entries across a Verify sweep with no unpersist point (the
       // query builder never owns the action).
-      val out = run(s, d).localCheckpoint()
+      fullMetricsOf(run(s, d).localCheckpoint(),
+        BacktestConfig.Default.initialCash)),
+
+    // A10 over fold output: equity-curve risk block (drawdown etc).
+    "t7_equity_metrics" -> ((s, d) => {
+      val eq = run(s, d).filter(col("kind") === "equity")
+        .select(col("day"), col("equity"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      eq.withColumn("peak", max(col("equity")).over(w))
+        .withColumn("dd", col("equity") / col("peak") - 1)
+        .agg(r6(min(col("dd"))).as("max_drawdown"),
+          r6(max_by(col("equity"), col("day"))).as("final_equity"),
+          r6(max_by(col("equity"), col("day")) /
+             lit(BacktestConfig.Default.initialCash) - 1).as("total_return"),
+          count(lit(1)).as("n_days"))
+    })
+  )
+
+  /** The 34-metric summary block (scripts/07_backtest.py:368-418)
+    * over a fold-output-shaped frame (`kind` = trade | equity rows) —
+    * shared by `t7_full_metrics` (over the live fold) and the
+    * golden-run-A replay spec (over the reference's SHIPPED trade log
+    * and equity curve, `trades/HOLDING_PERIOD_24/`), which pins every
+    * headline metric to the published summary JSON. Daily and
+    * downside volatilities are POPULATION std (numpy's ddof=0 default
+    * in 07_backtest.py:345,356 — `stddev_samp` here diverged in the
+    * 4th significant digit on the golden curve), and the downside std
+    * is centered on the DOWNSIDE mean, exactly numpy's
+    * `downside_returns.std()`. */
+  def fullMetricsOf(out: DataFrame, initialCash: Double): DataFrame = {
       val trades = out.filter(col("kind") === "trade")
       val equity = out.filter(col("kind") === "equity")
 
@@ -273,10 +303,10 @@ object Backtest {
           // upstream left one sorted partition.
           r6(max_by(col("equity"), col("day"))).as("final_equity"),
           r6(max_by(col("equity"), col("day")) /
-             lit(BacktestConfig.Default.initialCash) - 1).as("total_return"),
+             lit(initialCash) - 1).as("total_return"),
           avg(col("r")).as("mu"),
-          stddev_samp(col("r")).as("sigma"),
-          stddev_samp(when(col("r") < 0, col("r"))).as("downside"),
+          stddev_pop(col("r")).as("sigma"),
+          stddev_pop(when(col("r") < 0, col("r"))).as("downside"),
           r6(min(col("dd"))).as("max_drawdown"),
           r6(max(col("r"))).as("best_day"),
           r6(min(col("r"))).as("worst_day"))
@@ -312,23 +342,7 @@ object Backtest {
             .cast("long").as("max_dd_duration_days"))
 
       tradeAgg.crossJoin(streaks).crossJoin(eqAgg).crossJoin(ddPeriod)
-    }),
-
-    // A10 over fold output: equity-curve risk block (drawdown etc).
-    "t7_equity_metrics" -> ((s, d) => {
-      val eq = run(s, d).filter(col("kind") === "equity")
-        .select(col("day"), col("equity"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy("day")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      eq.withColumn("peak", max(col("equity")).over(w))
-        .withColumn("dd", col("equity") / col("peak") - 1)
-        .agg(r6(min(col("dd"))).as("max_drawdown"),
-          r6(max_by(col("equity"), col("day"))).as("final_equity"),
-          r6(max_by(col("equity"), col("day")) /
-             lit(BacktestConfig.Default.initialCash) - 1).as("total_return"),
-          count(lit(1)).as("n_days"))
-    })
-  )
+  }
 
   /** Fold is order-sensitive multi-output — not SQL-expressible;
     * rows-only checks (invariants in BacktestSpec). */
