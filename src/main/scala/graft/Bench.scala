@@ -103,6 +103,10 @@ object Bench {
       "s22_layout_build" -> medianOf("s22_layout_build",
         () => graft.operators.SourceSinks.invalidateZorder(spark, sfDir)) { () =>
         graft.operators.SourceSinks.zorderDir(spark, sfDir)
+      },
+      "a55_base_build" -> medianOf("a55_base_build",
+        () => graft.operators.Stats.mkBase.invalidate(spark, sfDir)) { () =>
+        graft.operators.Stats.mkBase(spark, sfDir)
       })
     // Local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 times just those
     // queries. A named query that consumes a staged build artifact
@@ -120,7 +124,8 @@ object Bench {
       "bloom_build" -> Set("d7_bloom_new"),
       "phash_tight_build" -> Set("mm5_phash_pairs_tight",
         "mm9_image_clusters"),
-      "s22_layout_build" -> Set("s22_zorder_prune"))
+      "s22_layout_build" -> Set("s22_zorder_prune"),
+      "a55_base_build" -> Set("a55_mann_kendall", "a55_mk_pvalue"))
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     def keep(name: String): Boolean = only.forall(_.contains(name))

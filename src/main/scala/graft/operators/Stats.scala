@@ -55,6 +55,50 @@ object Stats {
       .agg(corr(col("v"), col("fwd")).as("c"), count(col("fwd")).as("n"))
   }
 
+  /** A55's base result (event_type, n_days, s, z — one row per type),
+    * materialized once per (session, dir): the day-pair sign join is
+    * the most expensive stats plan in the suite (~3.7 s at sf0.1) and
+    * BOTH a55_mann_kendall and its p-value twin consume it — without
+    * sharing, the twin re-executed the full join (round-8 advisory).
+    * Same [[graft.MaterializedTable]] lifecycle as the MinHash
+    * signatures; Bench times the build as its own `a55_base_build`
+    * entry. The materialized table is tiny (|event types| rows), so
+    * the persist overhead is nil. */
+  private[graft] val mkBase = new graft.MaterializedTable((s, d) => {
+    val dly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+        count(lit(1))).as("y"))
+      .withColumn("x",
+        datediff(col("day"), lit("2024-01-01")).cast("double"))
+      .select(col("event_type"), col("x"), col("y"))
+    val a = dly.select(col("event_type"), col("x").as("x1"),
+      col("y").as("y1"))
+    val b = dly.select(col("event_type"), col("x").as("x2"),
+      col("y").as("y2"))
+    val sSum = a.join(b, Seq("event_type"))
+      .filter(col("x2") > col("x1"))
+      .groupBy(col("event_type"))
+      .agg(sum(signum(col("y2") - col("y1"))).cast("long").as("s"))
+    val nD = dly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val ties = dly.groupBy(col("event_type"), col("y"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+        .as("tt"))
+    nD.join(sSum, Seq("event_type")).join(ties, Seq("event_type"))
+      .withColumn("var_s",
+        (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tt"))
+          .cast("double") / 18.0)
+      .select(col("event_type"), col("n").as("n_days"), col("s"),
+        round(when(col("s") > 0,
+            (col("s") - 1).cast("double") / sqrt(col("var_s")))
+          .when(col("s") < 0,
+            (col("s") + 1).cast("double") / sqrt(col("var_s")))
+          .otherwise(lit(0.0d)), 6).as("z"))
+  })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A2: Pearson correlation per group (value vs the json-extracted k).
     "a2_pearson_corr" -> ((s, d) =>
@@ -734,51 +778,21 @@ object Stats {
     // polynomials); z is one division + sqrt of exact ints → IEEE
     // bit-identical. Fully oracle-checked; the p twin below is
     // rows-only (normal tail via the χ²₁ identity, the a35 pattern).
-    "a55_mann_kendall" -> ((s, d) => {
-      val dly = Tables.events(s, d)
-        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
-          count(lit(1))).as("y"))
-        .withColumn("x",
-          datediff(col("day"), lit("2024-01-01")).cast("double"))
-        .select(col("event_type"), col("x"), col("y"))
-      val a = dly.select(col("event_type"), col("x").as("x1"),
-        col("y").as("y1"))
-      val b = dly.select(col("event_type"), col("x").as("x2"),
-        col("y").as("y2"))
-      val sSum = a.join(b, Seq("event_type"))
-        .filter(col("x2") > col("x1"))
-        .groupBy(col("event_type"))
-        .agg(sum(signum(col("y2") - col("y1"))).cast("long").as("s"))
-      val nD = dly.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"))
-      val ties = dly.groupBy(col("event_type"), col("y"))
-        .agg(count(lit(1)).as("t"))
-        .groupBy(col("event_type"))
-        .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
-          .as("tt"))
-      nD.join(sSum, Seq("event_type")).join(ties, Seq("event_type"))
-        .withColumn("var_s",
-          (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tt"))
-            .cast("double") / 18.0)
-        .select(col("event_type"), col("n").as("n_days"), col("s"),
-          round(when(col("s") > 0,
-              (col("s") - 1).cast("double") / sqrt(col("var_s")))
-            .when(col("s") < 0,
-              (col("s") + 1).cast("double") / sqrt(col("var_s")))
-            .otherwise(lit(0.0d)), 6).as("z"))
-        .orderBy("event_type")
-    }),
+    "a55_mann_kendall" -> ((s, d) =>
+      mkBase(s, d).orderBy("event_type")),
 
     // A55 p twin: two-sided normal tail of the oracle-checked z via
     // the χ²₁ identity (P(|Z|>z) = P(χ²₁ > z²)) — no erf, same
     // quadrature-validated gamma-Q kernel as A35/A41. Rows-only;
-    // StatsSpec anchors by recomputation from a55's z.
+    // StatsSpec anchors by recomputation from a55's z. Consumes the
+    // SAME materialized base as a55 — the twin pair pays the day-pair
+    // join once, not twice.
     "a55_mk_pvalue" -> ((s, d) =>
-      queries("a55_mann_kendall")(s, d)
+      mkBase(s, d)
         .select(col("event_type"), col("n_days"), col("s"), col("z"),
           r6(graft.functions.ChiSquarePValue.pValue(
-            col("z") * col("z"), lit(1.0d))).as("p_value"))),
+            col("z") * col("z"), lit(1.0d))).as("p_value"))
+        .orderBy("event_type")),
 
     // A56: bootstrap confidence interval — DETERMINISTIC distributed
     // bootstrap (the resampling stats primitive that needs no
