@@ -79,7 +79,12 @@ object Vader {
   /** Compound score in [-1, 1]; 0.0 for empty/neutral text. */
   def compound(text: String): Double = {
     if (text == null || text.isEmpty) return 0.0
-    val raw = text.trim.split("\\s+").toIndexedSeq.map(stripPunct)
+    // published tokenization: punctuation is stripped from a token
+    // UNLESS the raw form is itself a lexicon entry — that's how
+    // emoticons (":)", "<3") and scored punctuation-words survive
+    // (vaderSentiment's _words_and_emoticons preserves emoticons)
+    val raw = text.trim.split("\\s+").toIndexedSeq
+      .map(t => if (lexicon.contains(t.toLowerCase)) t else stripPunct(t))
     val toks = raw.map(_.toLowerCase)
     // ALL-CAPS emphasis only applies when the text MIXES cases
     // (all-caps headlines shout uniformly → no differential).

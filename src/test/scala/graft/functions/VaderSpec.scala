@@ -37,7 +37,8 @@ class VaderSpec extends AnyFunSuite {
       "extended8" -> VaderLexicon.extended8.keySet,
       "extended9" -> VaderLexicon.extended9.keySet,
       "extended10" -> VaderLexicon.extended10.keySet,
-      "extended11" -> VaderLexicon.extended11.keySet)
+      "extended11" -> VaderLexicon.extended11.keySet,
+      "extended12" -> VaderLexicon.extended12.keySet)
     for (Seq((na, a), (nb, bk)) <- blocks.combinations(2)) {
       val shared = a.intersect(bk)
       assert(shared.isEmpty, s"$na∩$nb: $shared")
@@ -135,6 +136,20 @@ class VaderSpec extends AnyFunSuite {
     assert(math.abs(Vader.compound("not bullish") - norm(1.9 * -0.74)) < 1e-12)
     assert(Vader.compound("stocks rally on earnings") > 0)
     assert(Vader.compound("recession fears deepen") < 0)
+  }
+
+  test("tranche 12: emoticons survive tokenization and score") {
+    // a raw token that IS a lexicon entry skips punctuation stripping
+    // (the published _words_and_emoticons behavior)
+    assert(math.abs(Vader.compound(":)") - norm(2.0)) < 1e-12)
+    assert(math.abs(Vader.compound("<3") - norm(3.0)) < 1e-12)
+    assert(Vader.compound(":(") < 0)
+    assert(Vader.compound("great launch :)") >
+      Vader.compound("great launch"))
+    // non-lexicon punctuation still strips ("(good)" → "good")
+    assert(math.abs(Vader.compound("(good)") - norm(1.9)) < 1e-12)
+    // slang register
+    assert(Vader.compound("lol") > 0 && Vader.compound("ugh") < 0)
   }
 
   test("ALL-CAPS emphasis: +0.733 along the sign, only on mixed case") {
