@@ -186,6 +186,32 @@ object DatasetOps {
     // shard — and each doc reports its token offset and the block
     // span it lands in. Deterministic (shard and order are pure
     // functions of doc_id), fully oracle-checked.
+    // DS14: overlapping-window chunking — the RAG/retrieval-corpus
+    // sibling of DS3's pack-and-chunk: each document yields windows of
+    // 64 tokens every 48 (16-token overlap so no boundary sentence is
+    // ever split across chunks without a copy that contains it whole).
+    // Pure per-row explode over the shared corpus tokenizer — no
+    // shuffle, no state, trivially 100 TB-parallel; chunk identity
+    // (doc_id, chunk_idx) is a pure function of the text. Fully
+    // oracle-checked (DuckDB replays the same slicing arithmetic).
+    "ds14_chunk_overlap" -> ((s, d) => {
+      val win = 64; val stride = 48
+      Tables.documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), TextAnalysis.toks.as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), size(col("t")) - 1, lit(stride)))
+            .as("start"))
+        .select(col("doc_id"),
+          floor(col("start") / stride).cast("long").as("chunk_idx"),
+          col("start").cast("long").as("start_tok"),
+          size(slice(col("t"), col("start") + 1, lit(win)))
+            .cast("long").as("n_tok"),
+          concat_ws(" ", slice(col("t"), col("start") + 1, lit(win)))
+            .as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "ds3_sequence_pack" -> ((s, d) => {
       val ctx = 512
       val w = Window.partitionBy("shard").orderBy("doc_id")
@@ -509,6 +535,22 @@ object DatasetOps {
            FROM events)
          WHERE rn <= 100
          ORDER BY event_type, event_id""",
+    "ds14_chunk_overlap" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents WHERE length(trim(text)) > 0),
+         starts AS (
+           SELECT doc_id, t,
+                  unnest(generate_series(0, len(t) - 1, 48)) AS s
+           FROM docs)
+         SELECT doc_id,
+                CAST(s // 48 AS BIGINT) AS chunk_idx,
+                CAST(s AS BIGINT) AS start_tok,
+                CAST(len(t[s + 1 : least(s + 64, len(t))]) AS BIGINT)
+                  AS n_tok,
+                array_to_string(t[s + 1 : least(s + 64, len(t))], ' ')
+                  AS chunk_text
+         FROM starts ORDER BY doc_id, chunk_idx""",
     "ds3_sequence_pack" ->
       """WITH docs AS (
            SELECT doc_id, doc_id % 8 AS shard,

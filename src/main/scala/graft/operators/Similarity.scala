@@ -91,6 +91,10 @@ object Similarity {
     * measured in SimilaritySpec). Cosine is scale-invariant, so the
     * components need no 1/√k normalization. */
   private val JlDims = 16
+
+  /** SIM8 coarse-stage width: the Matryoshka prefix (first 16 of 64
+    * dims), the truncation analogue of the JL projection. */
+  private val MrlDims = 16
   private val jlPlanes: Seq[Seq[Double]] =
     (0 until JlDims).map(k => (0 until 64).map(i =>
       sm64(0x51AC0DE5L + k.toLong * 64 + i).toDouble / Long.MaxValue))
@@ -448,6 +452,51 @@ object Similarity {
         .orderBy("q_id", "rank")
     }),
 
+    // SIM8: Matryoshka-prefix shortlist → exact re-rank (Kusupati et
+    // al. 2022, "Matryoshka Representation Learning"): MRL-trained
+    // embeddings concentrate signal in the leading dimensions, so the
+    // FIRST 16 of 64 dims serve as the cheap coarse stage — the same
+    // shortlist-then-verify shape as SIM5, but with NO projection
+    // arithmetic at all (truncation is free, and at 100 TB the coarse
+    // scan reads a quarter of the vector bytes — column-pruned to the
+    // prefix if vectors are stored dimension-sliced). Both stages
+    // deterministic on both engines → fully oracle-checked; shortlist
+    // recall vs SIM1 pinned in SimilaritySpec (synthetic embeddings
+    // are NOT MRL-trained, so the pinned recall documents the
+    // truncation penalty the re-rank stage absorbs).
+    "sim8_mrl_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          slice(col("embedding"), 1, MrlDims).as("m"))
+        .withColumn("mn", sqrt(dot(col("m"), col("m"))))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("m").as("qm"), col("mn").as("qmn"))
+        .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
+      val wp = Window.partitionBy("q_id")
+        .orderBy(col("mcos").desc, col("c_id"))
+      val shortlist = emb
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+          col("m").as("cm"), col("mn").as("cmn"))
+        .crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("mcos",
+          dot(col("qm"), col("cm")) / (col("qmn") * col("cmn")))
+        .withColumn("mrank", row_number().over(wp))
+        .filter(col("mrank") <= 100)
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("c_id"))
+      shortlist
+        .withColumn("cn", sqrt(dot(col("ce"), col("ce"))))
+        .withColumn("cosine",
+          dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("c_id"),
+          r6(col("cosine")).as("cosine"))
+        .orderBy("q_id", "rank")
+    }),
+
     // SIM6a: the PQ encoding — every vector's 8 sub-codes plus the
     // reconstructed norm. Deterministic codebook + bit-identical
     // distance arithmetic on both engines → fully oracle-checked,
@@ -761,6 +810,40 @@ object Similarity {
            FROM short s
            JOIN x a ON a.vec_id = s.q_id
            JOIN x b ON b.vec_id = s.c_id)
+         SELECT q_id, rank, c_id, round(cosine, 6) AS cosine FROM (
+           SELECT q_id, c_id, cosine,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, c_id) AS rank
+           FROM pairs) WHERE rank <= 5
+         ORDER BY q_id, rank""",
+    "sim8_mrl_topk" ->
+      s"""WITH v AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, e,
+                  sqrt(list_sum(list_transform(e[1:${MrlDims}],
+                    x -> x * x))) AS mn,
+                  sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+           FROM v),
+         short AS (
+           SELECT q_id, c_id FROM (
+             SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                      list_sum(list_transform(generate_series(1, ${MrlDims}),
+                        i -> q.e[i] * c.e[i])) / (q.mn * c.mn) DESC,
+                      c.vec_id) AS mrank
+             FROM n q JOIN n c
+               ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+           WHERE mrank <= 100),
+         pairs AS (
+           SELECT s.q_id, s.c_id,
+                  list_sum(list_transform(generate_series(1, len(a.e)),
+                    i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) AS cosine
+           FROM short s
+           JOIN n a ON a.vec_id = s.q_id
+           JOIN n b ON b.vec_id = s.c_id)
          SELECT q_id, rank, c_id, round(cosine, 6) AS cosine FROM (
            SELECT q_id, c_id, cosine,
                   row_number() OVER (PARTITION BY q_id

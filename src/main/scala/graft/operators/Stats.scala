@@ -794,6 +794,46 @@ object Stats {
             col("z") * col("z"), lit(1.0d))).as("p_value"))
         .orderBy("event_type")),
 
+    // A66: rank correlation between the click and purchase daily-mean
+    // series — the robust companions to A3's Pearson: Spearman's ρ
+    // (Pearson over value ranks — monotone association, outlier-
+    // immune) and Kendall's τ (sign concordance over day pairs — the
+    // probabilistic "do they move together" reading). Ranks are
+    // integers from rank() ORDER BY value (identical in both engines;
+    // the daily means are continuous so ties are measure-zero and
+    // τ-a = τ-b), the concordance sum is exact ±1 arithmetic over the
+    // TIME-bounded day-pair join (a55's scale argument: C(n_days, 2)
+    // pairs, never corpus-sized — the small side broadcast). Fully
+    // oracle-checked.
+    "a66_rank_corr" -> ((s, d) => {
+      val dly = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("y"))
+      val j = dly.filter(col("event_type") === "click")
+        .select(col("day"), col("y").as("xc"))
+        .join(dly.filter(col("event_type") === "purchase")
+          .select(col("day"), col("y").as("xp")), Seq("day"))
+      val ranked = j
+        .withColumn("rc",
+          rank().over(Window.orderBy("xc")).cast("double"))
+        .withColumn("rp",
+          rank().over(Window.orderBy("xp")).cast("double"))
+      val rho = ranked.agg(count(lit(1)).as("n_days"),
+        corr(col("rc"), col("rp")).as("rho"))
+      val sAgg = j.select(col("day").as("d1"), col("xc").as("c1"),
+          col("xp").as("p1"))
+        .join(broadcast(j.select(col("day").as("d2"), col("xc").as("c2"),
+          col("xp").as("p2"))), col("d1") < col("d2"))
+        .agg(sum(signum(col("c2") - col("c1")) *
+          signum(col("p2") - col("p1"))).as("s"))
+      rho.crossJoin(sAgg)
+        .select(col("n_days"), r6(col("rho")).as("spearman_rho"),
+          r6(col("s") / (col("n_days") * (col("n_days") - 1) / lit(2.0d)))
+            .as("kendall_tau"))
+    }),
+
     // A56: bootstrap confidence interval — DETERMINISTIC distributed
     // bootstrap (the resampling stats primitive that needs no
     // distributional assumption where A34/A54's trends assume one):
@@ -1795,6 +1835,33 @@ object Stats {
                             THEN 1 ELSE 0 END) FROM diffs) + 1 AS DOUBLE)
                       / 201, 6) AS p_value
          FROM st""",
+    "a66_rank_corr" ->
+      """WITH dly AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS y
+           FROM events WHERE event_type IN ('click', 'purchase')
+           GROUP BY 1, 2),
+         j AS (
+           SELECT c.day, c.y AS xc, p.y AS xp
+           FROM (SELECT day, y FROM dly WHERE event_type = 'click') c
+           JOIN (SELECT day, y FROM dly WHERE event_type = 'purchase') p
+             USING (day)),
+         ranked AS (
+           SELECT xc, xp,
+                  CAST(rank() OVER (ORDER BY xc) AS DOUBLE) AS rc,
+                  CAST(rank() OVER (ORDER BY xp) AS DOUBLE) AS rp
+           FROM j),
+         rho AS (
+           SELECT count(*) AS n_days, corr(rc, rp) AS rho FROM ranked),
+         conc AS (
+           SELECT sum(sign(b.xc - a.xc) * sign(b.xp - a.xp)) AS s
+           FROM j a JOIN j b ON a.day < b.day)
+         SELECT CAST(n_days AS BIGINT) AS n_days,
+                round(rho, 6) AS spearman_rho,
+                round(CAST(s AS DOUBLE) /
+                      (n_days * (n_days - 1) / 2.0), 6) AS kendall_tau
+         FROM rho, conc""",
     // the md5-uniform ladder is the engine's cross-engine identity:
     // ('0x' || hex15)::BIGINT ≡ Spark conv(hex15, 16, 10)
     "a56_bootstrap_ci" ->

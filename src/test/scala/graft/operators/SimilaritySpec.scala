@@ -84,6 +84,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, f"recall $recall%.3f below 0.5")
   }
 
+  test("MRL-prefix shortlist + exact re-rank recall vs brute force") {
+    // sim8 truncates to the FIRST 16 dims instead of projecting;
+    // these synthetic embeddings are not MRL-trained, so the prefix
+    // carries no privileged signal — the measured shortlist recall
+    // documents what the two-stage shape recovers anyway (the exact
+    // re-rank decides; deterministic, not flaky).
+    val exact = pairs("sim1_cosine_topk")
+    val approx = pairs("sim8_mrl_topk")
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"mrl recall = $recall%.3f (|mrl|=${approx.size})")
+    assert(recall >= 0.5, f"recall $recall%.3f below 0.5")
+  }
+
   test("PQ shortlist + exact re-rank recall vs brute force, both SFs") {
     // sim6's final top-5 recall EQUALS its ADC shortlist-100 recall
     // (the exact re-rank recovers anything the shortlist kept) —
