@@ -186,6 +186,43 @@ object DatasetOps {
     // shard — and each doc reports its token offset and the block
     // span it lands in. Deterministic (shard and order are pure
     // functions of doc_id), fully oracle-checked.
+    // DS15: curriculum bucketing — order training data easy→hard
+    // (Bengio et al. 2009): exact decile buckets over a difficulty
+    // proxy (the pipe2 stopword-ratio quality score). Bucket comes
+    // from the doc's EXACT integer rank, computed distributively —
+    // a distinct-score histogram (hash agg, bounded by distinct
+    // (stop, total) token-count pairs, not the corpus) prefix-summed
+    // and broadcast back, plus a per-score tie row_number (partitions
+    // bounded by tie-group size) — where the naive ntile(10) global
+    // window single-partitions 100 TB, and interpolated-percentile
+    // thresholds flip buckets on cross-engine ulp differences (the
+    // first draft of this query did, at exactly one sf0.1 row).
+    // Integer arithmetic end to end → fully oracle-checked. Loaders
+    // feed buckets in order (epoch shuffle WITHIN a bucket via ds7).
+    "ds15_curriculum" -> ((s, d) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+      val nTok = size(col("t")).cast("double")
+      val stopN = size(filter(col("t"), t => t.isInCollection(stop)))
+        .cast("double")
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.toks.as("t"))
+        .select(col("doc_id"), (stopN / nTok).as("score"))
+      val wCum = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val hist = scored.groupBy("score").agg(count(lit(1)).as("c"))
+        .withColumn("before", coalesce(sum(col("c")).over(wCum), lit(0L)))
+        .select(col("score"), col("before"))
+      val n = scored.agg(count(lit(1)).as("n"))
+      scored
+        .join(broadcast(hist), Seq("score"))
+        .withColumn("tie_rn", row_number().over(
+          Window.partitionBy("score").orderBy("doc_id")))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), round(col("score"), 6).as("score"),
+          (expr("div((before + tie_rn - 1) * 10, n)") + 1L).as("bucket"))
+        .orderBy("doc_id")
+    }),
+
     // DS14: overlapping-window chunking — the RAG/retrieval-corpus
     // sibling of DS3's pack-and-chunk: each document yields windows of
     // 64 tokens every 48 (16-token overlap so no boundary sentence is
@@ -535,6 +572,24 @@ object DatasetOps {
            FROM events)
          WHERE rn <= 100
          ORDER BY event_type, event_id""",
+    "ds15_curriculum" ->
+      """WITH scored AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    t -> t IN ('the','a','of','and','to','in','is','on')))
+                    AS DOUBLE)
+                  / len(string_split_regex(lower(trim(text)), '\s+'))
+                    AS score
+           FROM documents),
+         n AS (SELECT count(*) AS n FROM scored),
+         r AS (
+           SELECT doc_id, score,
+                  row_number() OVER (ORDER BY score, doc_id) AS rnk
+           FROM scored)
+         SELECT doc_id, round(score, 6) AS score,
+                CAST((rnk - 1) * 10 // n + 1 AS BIGINT) AS bucket
+         FROM r, n ORDER BY doc_id""",
     "ds14_chunk_overlap" ->
       """WITH docs AS (
            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

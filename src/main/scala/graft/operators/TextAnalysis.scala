@@ -391,6 +391,46 @@ object TextAnalysis {
     // map-side partial); the query-term postings are filtered BEFORE
     // any join (the inverted-index access path — candidates are docs
     // containing a query term, ≪ corpus); idf + avgdl are a ≤|q|-row
+    // TXT17: bigram LM log-likelihood — the second-order upgrade of
+    // TXT11's unigram score (the KenLM-style fluency filter in
+    // miniature): p(w₂|w₁) = c(w₁w₂)/c(w₁·), both counts from ONE
+    // bigram pass over the corpus tokenizer (c(w₁·) = the bigram-
+    // context marginal, so the conditional normalizes exactly); every
+    // doc bigram exists in the model by construction (scored corpus =
+    // training corpus), so MLE needs no smoothing. Per-doc sums fold
+    // in sorted bigram order (TXT11's float discipline). Scale shape:
+    // two hash aggs + one broadcast of the model — the model is
+    // vocabulary-sized, not corpus-sized. Fully oracle-checked.
+    "txt17_bigram_loglik" -> ((s, d) => {
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("t")) - 2),
+          i => concat_ws(" ",
+            element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2)))).as("bg"))
+      val counts = bg.groupBy("bg").agg(count(lit(1)).as("cnt"))
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+      val ctx = counts.groupBy("w1").agg(sum(col("cnt")).as("ctx"))
+      val model = counts.join(ctx, Seq("w1"))
+        .select(col("bg"),
+          log(col("cnt").cast("double") / col("ctx").cast("double"))
+            .as("logp"))
+      bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+        .join(broadcast(model), Seq("bg"))
+        .groupBy("doc_id")
+        .agg(sum(col("n")).as("n_bigrams"),
+          aggregate(
+            array_sort(collect_list(struct(col("bg"),
+              (col("n").cast("double") * col("logp")).as("t")))),
+            lit(0.0d), (acc, x) => acc + x.getField("t")).as("ll"))
+        .select(col("doc_id"), col("n_bigrams"),
+          r6(col("ll")).as("log_lik"),
+          r6(col("ll") / col("n_bigrams")).as("avg_log_lik"))
+        .orderBy("doc_id")
+    }),
+
     // broadcast. Float discipline: per-doc term sum folds in sorted
     // term order (TXT11's pattern), ln() divergence absorbed by round6.
     "txt12_bm25" -> ((s, d) => {
@@ -647,6 +687,34 @@ object TextAnalysis {
            FROM sc GROUP BY 1)
          SELECT doc_id, n_terms, round(score, 6) AS bm25
          FROM agg ORDER BY bm25 DESC, doc_id LIMIT 50""",
+    "txt17_bigram_loglik" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(
+                    generate_series(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1])) AS bg
+           FROM docs WHERE len(t) >= 2),
+         counts AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY 1),
+         ctx AS (
+           SELECT string_split(bg, ' ')[1] AS w1, sum(cnt) AS ctx
+           FROM counts GROUP BY 1),
+         model AS (
+           SELECT bg, ln(CAST(cnt AS DOUBLE) / CAST(ctx AS DOUBLE)) AS logp
+           FROM counts JOIN ctx ON string_split(counts.bg, ' ')[1] = ctx.w1),
+         db AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY 1, 2),
+         j AS (
+           SELECT d.doc_id, d.bg, CAST(d.n AS BIGINT) AS n,
+                  CAST(d.n AS DOUBLE) * m.logp AS t
+           FROM db d JOIN model m ON d.bg = m.bg),
+         agg AS (
+           SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+                  list_sum(list(t ORDER BY bg)) AS ll
+           FROM j GROUP BY 1)
+         SELECT doc_id, n_bigrams, round(ll, 6) AS log_lik,
+                round(ll / n_bigrams, 6) AS avg_log_lik
+         FROM agg ORDER BY doc_id""",
     "txt11_unigram_loglik" ->
       """WITH tok AS (
            SELECT doc_id,
