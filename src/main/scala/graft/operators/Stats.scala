@@ -1301,6 +1301,94 @@ object Stats {
         .orderBy("event_type", "lag_k")
     }),
 
+    // A67: Jarque–Bera normality test per event type — the moment
+    // test every parametric pipeline should run before trusting
+    // t/ANOVA machinery: JB = n/6·(S² + (K−3)²/4) from skewness and
+    // kurtosis. ONE hash agg computes the four power sums through the
+    // decimal discipline (xᵏ multiplied in IEEE double — identical on
+    // identical inputs — then decimal-summed, so accumulation order
+    // cannot drift); central moments, S, K, JB and even the p-value
+    // are then fixed double expression trees: χ²₂'s survival is the
+    // CLOSED FORM exp(−x/2), so the whole test — p included — is
+    // fully oracle-checked, no quadrature kernel needed.
+    "a67_jarque_bera" -> ((s, d) => {
+      val x = col("value")
+      val agg = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(x.cast("decimal(24,10)")).as("s1"),
+          sum((x * x).cast("decimal(28,8)")).as("s2"),
+          sum((x * x * x).cast("decimal(32,6)")).as("s3"),
+          sum((x * x * x * x).cast("decimal(36,4)")).as("s4"))
+        .select(col("event_type"), col("n"),
+          (col("s1").cast("double") / col("n")).as("mu"),
+          (col("s2").cast("double") / col("n")).as("r2"),
+          (col("s3").cast("double") / col("n")).as("r3"),
+          (col("s4").cast("double") / col("n")).as("r4"))
+      val m2 = col("r2") - col("mu") * col("mu")
+      val m3 = col("r3") - lit(3.0d) * col("mu") * col("r2") +
+        lit(2.0d) * col("mu") * col("mu") * col("mu")
+      val m4 = col("r4") - lit(4.0d) * col("mu") * col("r3") +
+        lit(6.0d) * col("mu") * col("mu") * col("r2") -
+        lit(3.0d) * col("mu") * col("mu") * col("mu") * col("mu")
+      agg
+        .withColumn("skew", m3 / pow(m2, 1.5d))
+        .withColumn("kurt", m4 / (m2 * m2))
+        .withColumn("jb",
+          col("n").cast("double") / 6.0d *
+            (col("skew") * col("skew") +
+             (col("kurt") - 3.0d) * (col("kurt") - 3.0d) / 4.0d))
+        .select(col("event_type"), col("n"),
+          r6(col("skew")).as("skewness"),
+          r6(col("kurt")).as("kurtosis"),
+          r6(col("jb")).as("jb_stat"),
+          r6(exp(-col("jb") / 2.0d)).as("p_value"))
+        .orderBy("event_type")
+    }),
+
+    // A68: Ljung–Box portmanteau test per event type — "is there ANY
+    // serial dependence in the first 4 lags": Q = n(n+2)·Σ ρ²ₖ/(n−k)
+    // over A40's per-lag autocorrelations (documented variant: ρₖ is
+    // the per-lag Pearson over available pairs, A40's definition,
+    // rounded to 6dp FIRST so both engines square identical values —
+    // corr's last ulp may differ, everything after it must not). Four
+    // lags → χ²₄, whose survival is the closed form
+    // exp(−x/2)·(1 + x/2) — p-value fully oracle-checked like A67.
+    // The per-type terms pivot into FIXED columns (t1..t4) so the
+    // final sum has one deterministic association order.
+    "a68_ljung_box" -> ((s, d) => {
+      val K = 4
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("px"))
+      val wT = Window.partitionBy("event_type").orderBy("day")
+      val lagged = (1 to K).foldLeft(daily)((df, j) =>
+        df.withColumn(s"l$j", lag(col("px"), j).over(wT)))
+      val rho = lagged.select(col("event_type"), col("px"),
+          expr(s"stack($K, ${(1 to K).map(j => s"$j, l$j").mkString(", ")})")
+            .as(Seq("lag_k", "prev")))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("event_type"), col("lag_k"))
+        .agg(round(corr(col("px"), col("prev")), 6).as("rho"))
+      val nD = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      rho.join(nD, Seq("event_type"))
+        .withColumn("term", col("rho") * col("rho") /
+          (col("n") - col("lag_k")).cast("double"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_days"),
+          (1 to K).map(j =>
+            max(when(col("lag_k") === j, col("term"))).as(s"t$j")): _*)
+        .withColumn("q",
+          col("n_days").cast("double") * (col("n_days") + 2) *
+            (col("t1") + col("t2") + col("t3") + col("t4")))
+        .select(col("event_type"), col("n_days"),
+          r6(col("q")).as("q_stat"),
+          r6(exp(-col("q") / 2.0d) * (lit(1.0d) + col("q") / 2.0d))
+            .as("p_value"))
+        .orderBy("event_type")
+    }),
+
     // A41: χ² test of independence — is event_type distributed
     // independently of day-of-week? The categorical association test
     // beside A29's goodness-of-fit (fixed expected law) — here the
@@ -2286,6 +2374,82 @@ object Stats {
            FROM base)
          SELECT event_type, round(corr(rv, rk), 6) AS rho, count(*) AS n
          FROM ranked GROUP BY 1 ORDER BY event_type""",
+    "a67_jarque_bera" ->
+      """WITH agg AS (
+           SELECT event_type, count(*) AS n,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS mu,
+                  CAST(CAST(sum(CAST(value * value AS DECIMAL(28,8)))
+                       AS VARCHAR) AS DOUBLE) / count(*) AS r2,
+                  CAST(CAST(sum(CAST(value * value * value
+                       AS DECIMAL(32,6))) AS VARCHAR) AS DOUBLE)
+                    / count(*) AS r3,
+                  CAST(CAST(sum(CAST(value * value * value * value
+                       AS DECIMAL(36,4))) AS VARCHAR) AS DOUBLE)
+                    / count(*) AS r4
+           FROM events GROUP BY 1),
+         m AS (
+           SELECT event_type, n,
+                  r2 - mu * mu AS m2,
+                  r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+                  r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+                     - 3.0 * mu * mu * mu * mu AS m4
+           FROM agg),
+         sk AS (
+           SELECT event_type, n,
+                  m3 / pow(m2, CAST(1.5 AS DOUBLE)) AS skew,
+                  m4 / (m2 * m2) AS kurt
+           FROM m),
+         jb AS (
+           SELECT event_type, n, skew, kurt,
+                  CAST(n AS DOUBLE) / 6.0 *
+                    (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0) AS jb
+           FROM sk)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+                round(skew, 6) AS skewness, round(kurt, 6) AS kurtosis,
+                round(jb, 6) AS jb_stat,
+                round(exp(-jb / 2.0), 6) AS p_value
+         FROM jb ORDER BY event_type""",
+    "a68_ljung_box" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS px
+           FROM events GROUP BY 1, 2),
+         lagged AS (
+           SELECT event_type, px,
+                  lag(px, 1) OVER wt AS l1, lag(px, 2) OVER wt AS l2,
+                  lag(px, 3) OVER wt AS l3, lag(px, 4) OVER wt AS l4
+           FROM daily
+           WINDOW wt AS (PARTITION BY event_type ORDER BY day)),
+         s AS (
+           SELECT event_type, 1 AS lag_k, px, l1 AS prev FROM lagged
+           UNION ALL SELECT event_type, 2, px, l2 FROM lagged
+           UNION ALL SELECT event_type, 3, px, l3 FROM lagged
+           UNION ALL SELECT event_type, 4, px, l4 FROM lagged),
+         rho AS (
+           SELECT event_type, lag_k, round(corr(px, prev), 6) AS rho
+           FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+         nd AS (SELECT event_type, count(*) AS n FROM daily GROUP BY 1),
+         terms AS (
+           SELECT r.event_type, nd.n,
+                  max(CASE WHEN lag_k = 1 THEN
+                    rho * rho / CAST(nd.n - 1 AS DOUBLE) END) AS t1,
+                  max(CASE WHEN lag_k = 2 THEN
+                    rho * rho / CAST(nd.n - 2 AS DOUBLE) END) AS t2,
+                  max(CASE WHEN lag_k = 3 THEN
+                    rho * rho / CAST(nd.n - 3 AS DOUBLE) END) AS t3,
+                  max(CASE WHEN lag_k = 4 THEN
+                    rho * rho / CAST(nd.n - 4 AS DOUBLE) END) AS t4
+           FROM rho r JOIN nd USING (event_type) GROUP BY 1, 2),
+         q AS (
+           SELECT event_type, n,
+                  CAST(n AS DOUBLE) * (n + 2) * (t1 + t2 + t3 + t4) AS q
+           FROM terms)
+         SELECT event_type, CAST(n AS BIGINT) AS n_days,
+                round(q, 6) AS q_stat,
+                round(exp(-q / 2.0) * (1.0 + q / 2.0), 6) AS p_value
+         FROM q ORDER BY event_type""",
     "a40_acf" ->
       """WITH daily AS (
            SELECT event_type, date_trunc('day', ts) AS day,
