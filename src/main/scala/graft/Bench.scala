@@ -107,6 +107,10 @@ object Bench {
       "a55_base_build" -> medianOf("a55_base_build",
         () => graft.operators.Stats.mkBase.invalidate(spark, sfDir)) { () =>
         graft.operators.Stats.mkBase(spark, sfDir)
+      },
+      "corpus_pairs_build" -> medianOf("corpus_pairs_build",
+        () => graft.operators.Dedup.corpusPairs.invalidate(spark, sfDir)) { () =>
+        graft.operators.Dedup.corpusPairs(spark, sfDir)
       })
     // Local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 times just those
     // queries. A named query that consumes a staged build artifact
@@ -125,7 +129,8 @@ object Bench {
       "phash_tight_build" -> Set("mm5_phash_pairs_tight",
         "mm9_image_clusters"),
       "s22_layout_build" -> Set("s22_zorder_prune"),
-      "a55_base_build" -> Set("a55_mann_kendall", "a55_mk_pvalue"))
+      "a55_base_build" -> Set("a55_mann_kendall", "a55_mk_pvalue"),
+      "corpus_pairs_build" -> Set("d10_cc_corpus", "d12_tri_corpus"))
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     def keep(name: String): Boolean = only.forall(_.contains(name))
