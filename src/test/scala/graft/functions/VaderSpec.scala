@@ -39,7 +39,8 @@ class VaderSpec extends AnyFunSuite {
       "extended10" -> VaderLexicon.extended10.keySet,
       "extended11" -> VaderLexicon.extended11.keySet,
       "extended12" -> VaderLexicon.extended12.keySet,
-      "extended13" -> VaderLexicon.extended13.keySet)
+      "extended13" -> VaderLexicon.extended13.keySet,
+      "extended14" -> VaderLexicon.extended14.keySet)
     for (Seq((na, a), (nb, bk)) <- blocks.combinations(2)) {
       val shared = a.intersect(bk)
       assert(shared.isEmpty, s"$na∩$nb: $shared")
