@@ -40,7 +40,8 @@ class VaderSpec extends AnyFunSuite {
       "extended11" -> VaderLexicon.extended11.keySet,
       "extended12" -> VaderLexicon.extended12.keySet,
       "extended13" -> VaderLexicon.extended13.keySet,
-      "extended14" -> VaderLexicon.extended14.keySet)
+      "extended14" -> VaderLexicon.extended14.keySet,
+      "extended15" -> VaderLexicon.extended15.keySet)
     for (Seq((na, a), (nb, bk)) <- blocks.combinations(2)) {
       val shared = a.intersect(bk)
       assert(shared.isEmpty, s"$na∩$nb: $shared")
