@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -120,6 +121,46 @@ object Multimodal {
             acc - p * log(p)
           }), 6).as("entropy"))
         .orderBy("doc_id")),
+
+    // MM10: scene-change detection over the sampled frame stream —
+    // the video-curation primitive built on MM3's frames (sample
+    // every 4th 16-byte frame) computed DECLARATIVELY (the MM8-twin
+    // discipline: hex expansion + HOF sums, so the whole chain is
+    // oracle-checkable): per-frame mean → per-doc lag window →
+    // boundary where |Δmean| ≥ 8.0. Frame means are exact binary
+    // fractions (integer byte sums / 16), so the threshold compare
+    // cannot straddle engines. One narrow window per doc (frames per
+    // payload, bounded), no corpus shuffle. At scale the hex-sum
+    // "decoder" swaps for a codec emitting the same (doc, frame,
+    // feature) rows — the windowed boundary logic is unchanged.
+    "mm10_scene_change" -> ((s, d) => {
+      val FrameBytes = 16; val Stride = 4
+      val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      Tables.documents(s, d)
+        .filter(octet_length(encode(col("text"), "UTF-8")) >= FrameBytes)
+        .select(col("doc_id"),
+          hex(encode(col("text"), "UTF-8")).as("hx"),
+          (octet_length(encode(col("text"), "UTF-8")) / FrameBytes)
+            .cast("long").as("n_frames"))
+        .select(col("doc_id"), col("hx"),
+          explode(filter(sequence(lit(0L), col("n_frames") - 1),
+            k => k % Stride === 0)).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          (aggregate(
+            transform(sequence(lit(0), lit(FrameBytes - 1)),
+              i => conv(col("hx").substr(
+                (col("frame_idx") * FrameBytes + i) * 2 + 1, lit(2)),
+                16, 10).cast("long")),
+            lit(0L), (acc, x) => acc + x).cast("double") / FrameBytes)
+            .as("frame_mean"))
+        .withColumn("prev", lag(col("frame_mean"), 1).over(w))
+        .select(col("doc_id"), col("frame_idx"),
+          round(col("frame_mean"), 6).as("frame_mean"),
+          when(col("prev").isNotNull &&
+               abs(col("frame_mean") - col("prev")) >= 8.0d, 1L)
+            .otherwise(0L).as("is_boundary"))
+        .orderBy("doc_id", "frame_idx")
+    }),
 
     // MM2: decode + feature-extract over the binary payload.
     // STUB decode: a real deployment would decode image/audio here;
@@ -458,6 +499,36 @@ object Multimodal {
                 md5(text) AS content_hash,
                 substring(text, 1, 4) AS magic
          FROM documents ORDER BY doc_id""",
+    // MM10: identical hex-pair byte arithmetic (frame means are exact
+    // sums/16), the same lag window, the same 8.0 threshold
+    "mm10_scene_change" ->
+      """WITH b AS (
+           SELECT doc_id, upper(hex(encode(text))) AS hx,
+                  octet_length(encode(text)) // 16 AS n_frames
+           FROM documents WHERE octet_length(encode(text)) >= 16),
+         fr AS (
+           SELECT doc_id, hx,
+                  unnest(list_filter(range(0, n_frames),
+                    k -> k % 4 = 0)) AS frame_idx
+           FROM b),
+         m AS (
+           SELECT doc_id, frame_idx,
+                  CAST(list_sum(list_transform(range(0, 16),
+                    i -> ('0x' || substring(hx,
+                      CAST((frame_idx * 16 + i) * 2 + 1 AS INT), 2))
+                      ::BIGINT)) AS DOUBLE) / 16 AS frame_mean
+           FROM fr),
+         lagd AS (
+           SELECT doc_id, frame_idx, frame_mean,
+                  lag(frame_mean, 1) OVER (
+                    PARTITION BY doc_id ORDER BY frame_idx) AS prev
+           FROM m)
+         SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                round(frame_mean, 6) AS frame_mean,
+                CAST(CASE WHEN prev IS NOT NULL
+                          AND abs(frame_mean - prev) >= 8.0
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_boundary
+         FROM lagd ORDER BY doc_id, frame_idx""",
     // same nibble classes from the hex expansion; Spark's hex() is
     // uppercase — upper() aligns DuckDB's
     "mm8_byte_entropy" ->
