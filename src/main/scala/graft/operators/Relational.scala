@@ -1695,6 +1695,36 @@ object Relational {
           col("n_docs"), col("total_chars"))
         .orderBy("source")),
 
+    // F13: edit distance — the fuzzy-match scalar behind title/record
+    // linkage that token-set Jaccard (D2) misses (transpositions,
+    // small typos keep shingles apart but edit distance close):
+    // Levenshtein between each doc's 40-char prefix and its
+    // predecessor within the same source (the incoming-batch "is this
+    // a near-retitle of the previous article?" probe), plus the
+    // normalized similarity 1 − d/max(len). Both engines run the
+    // classic DP — identical integers, so only the ratio needs r6.
+    // Scale: the window is per-source consecutive pairs, O(corpus)
+    // rows total with a 40-char cap on the DP (the quadratic kernel
+    // is bounded by design, never by data).
+    "f13_edit_distance" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          substring(col("text"), 1, 40).as("pfx"))
+        .withColumn("prev_id", lag(col("doc_id"), 1).over(w))
+        .withColumn("prev_pfx", lag(col("pfx"), 1).over(w))
+        .filter(col("prev_id").isNotNull)
+        .withColumn("dist", levenshtein(col("pfx"), col("prev_pfx")))
+        .withColumn("mx",
+          greatest(length(col("pfx")), length(col("prev_pfx"))))
+        .select(col("source"), col("doc_id"), col("prev_id"),
+          col("dist").cast("long").as("edit_dist"),
+          r6(when(col("mx") === 0, lit(1.0d))
+            .otherwise(lit(1.0d) -
+              col("dist").cast("double") / col("mx"))).as("similarity"))
+        .orderBy("source", "doc_id")
+    }),
+
     // S23: dead-letter JSON ingest — the quarantine pattern a 100 TB
     // ingest cannot live without: a batch where some payloads are
     // corrupt must route good rows onward and COUNT the quarantined
@@ -1955,6 +1985,23 @@ object Relational {
                      ELSE 9223372036854775807 END AS ovf
          FROM events
          ORDER BY event_id""",
+    "f13_edit_distance" ->
+      """WITH p AS (
+           SELECT doc_id, source, substring(text, 1, 40) AS pfx
+           FROM documents),
+         l AS (
+           SELECT source, doc_id, pfx,
+                  lag(doc_id) OVER w AS prev_id,
+                  lag(pfx) OVER w AS prev_pfx
+           FROM p WINDOW w AS (PARTITION BY source ORDER BY doc_id))
+         SELECT source, doc_id, prev_id,
+                CAST(levenshtein(pfx, prev_pfx) AS BIGINT) AS edit_dist,
+                round(CASE WHEN greatest(length(pfx), length(prev_pfx)) = 0
+                      THEN 1.0
+                      ELSE 1.0 - CAST(levenshtein(pfx, prev_pfx) AS DOUBLE)
+                           / greatest(length(pfx), length(prev_pfx)) END,
+                      6) AS similarity
+         FROM l WHERE prev_id IS NOT NULL ORDER BY source, doc_id""",
     "f12_collation" ->
       """WITH m AS (
            SELECT CASE WHEN doc_id % 3 = 0 THEN upper(source)

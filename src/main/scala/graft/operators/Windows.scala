@@ -533,6 +533,43 @@ object Windows {
     // segment tree — EXACT sums make the summation-order difference
     // vanish), so z matches to the last ulp and round6 is cosmetic.
     // Scale: one user_id shuffle, incremental frame evaluation.
+    // W23: Bollinger bands — the volatility envelope beside RSI (W19)
+    // and MACD (W20), the reference dashboard's chart family: 20-day
+    // rolling mean ± 2σ over each type's daily mean price, plus %B
+    // ((px − lower)/(upper − lower), the position-in-band signal).
+    // Full windows only (edges NULL rather than biased, A58's rule);
+    // rolling sums through the decimal discipline (W17's contract) so
+    // re-accumulating windows and segment trees cannot diverge. Same
+    // scale shape as W19/W20: one hash agg to O(types×days), then
+    // per-type incremental frames. Fully oracle-checked.
+    "w23_bollinger" -> ((s, d) => {
+      val N = 20
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-(N - 1), 0)
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("px"))
+        .withColumn("n_win", count(lit(1)).over(w))
+        .withColumn("s1",
+          sum(col("px").cast("decimal(24,10)")).over(w).cast("double"))
+        .withColumn("s2",
+          sum((col("px") * col("px")).cast("decimal(30,10)")).over(w)
+            .cast("double"))
+        .filter(col("n_win") === N)
+        .withColumn("mid", col("s1") / N)
+        .withColumn("sd", sqrt(
+          (col("s2") - col("s1") * col("s1") / N) / (N - 1)))
+        .withColumn("upper", col("mid") + col("sd") * 2.0d)
+        .withColumn("lower", col("mid") - col("sd") * 2.0d)
+        .select(col("event_type"), col("day"), r6(col("px")).as("px"),
+          r6(col("mid")).as("mid"),
+          r6(col("upper")).as("upper"), r6(col("lower")).as("lower"),
+          r6((col("px") - col("lower")) /
+             (col("upper") - col("lower"))).as("pct_b"))
+        .orderBy("event_type", "day")
+    }),
+
     "w17_rolling_zscore" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id")).rowsBetween(-15, -1)
@@ -862,6 +899,34 @@ object Windows {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
          ORDER BY user_id, event_id""",
+    "w23_bollinger" ->
+      """WITH dly AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS px
+           FROM events GROUP BY 1, 2),
+         win AS (
+           SELECT event_type, day, px,
+                  count(*) OVER w AS n_win,
+                  CAST(CAST(sum(CAST(px AS DECIMAL(24,10))) OVER w
+                       AS VARCHAR) AS DOUBLE) AS s1,
+                  CAST(CAST(sum(CAST(px * px AS DECIMAL(30,10))) OVER w
+                       AS VARCHAR) AS DOUBLE) AS s2
+           FROM dly
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         b AS (
+           SELECT event_type, day, px,
+                  s1 / 20 AS mid,
+                  sqrt((s2 - s1 * s1 / 20) / 19) AS sd
+           FROM win WHERE n_win = 20)
+         SELECT event_type, day, round(px, 6) AS px,
+                round(mid, 6) AS mid,
+                round(mid + 2.0 * sd, 6) AS upper,
+                round(mid - 2.0 * sd, 6) AS lower,
+                round((px - (mid - 2.0 * sd)) /
+                      ((mid + 2.0 * sd) - (mid - 2.0 * sd)), 6) AS pct_b
+         FROM b ORDER BY event_type, day""",
     "w17_rolling_zscore" ->
       """WITH win AS (
            SELECT user_id, event_id, value,
