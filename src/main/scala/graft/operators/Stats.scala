@@ -1301,6 +1301,33 @@ object Stats {
         .orderBy("event_type", "lag_k")
     }),
 
+    // A69: 5%-trimmed mean per event type — the robust location
+    // estimate between the mean (efficient, outlier-fragile) and
+    // A25's median/MAD (robust, inefficient): drop the k lowest and
+    // k highest observations and average the rest. k comes from
+    // INTEGER arithmetic (k = n div 20), and the trim is by EXACT
+    // rank with an event_id tiebreak — no interpolated percentile
+    // cutoffs (DS15's ulp lesson: a float threshold compare can flip
+    // one row between engines; an integer rank cannot). Kept sums go
+    // through the decimal discipline. One per-type window + one hash
+    // agg; the per-type window partitions evenly at scale. Fully
+    // oracle-checked.
+    "a69_trimmed_mean" -> ((s, d) => {
+      val wRank = Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))
+      val wAll = Window.partitionBy("event_type")
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("k", expr("div(n, 20)"))
+        .filter(col("rn") > col("k") && col("rn") <= col("n") - col("k"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_total"), count(lit(1)).as("n_kept"),
+          r6(sum(col("value").cast("decimal(24,10)")).cast("double") /
+            count(lit(1))).as("trimmed_mean"))
+        .orderBy("event_type")
+    }),
+
     // A67: Jarque–Bera normality test per event type — the moment
     // test every parametric pipeline should run before trusting
     // t/ANOVA machinery: JB = n/6·(S² + (K−3)²/4) from skewness and
@@ -2374,6 +2401,22 @@ object Stats {
            FROM base)
          SELECT event_type, round(corr(rv, rk), 6) AS rho, count(*) AS n
          FROM ranked GROUP BY 1 ORDER BY event_type""",
+    "a69_trimmed_mean" ->
+      """WITH r AS (
+           SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY value, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+         kept AS (
+           SELECT event_type, value, n
+           FROM r WHERE rn > n // 20 AND rn <= n - n // 20)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n_total,
+                count(*) AS n_kept,
+                round(CAST(CAST(sum(CAST(value AS DECIMAL(24,10)))
+                      AS VARCHAR) AS DOUBLE) / count(*), 6)
+                  AS trimmed_mean
+         FROM kept GROUP BY event_type ORDER BY event_type""",
     "a67_jarque_bera" ->
       """WITH agg AS (
            SELECT event_type, count(*) AS n,
