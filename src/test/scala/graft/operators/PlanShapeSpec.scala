@@ -518,4 +518,52 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
+
+  test("ds14 chunking is a stateless explode: no shuffle before the sort") {
+    // the chunker must be a pure per-row generate — the only exchange
+    // allowed is the presentation sort's range partitioning
+    val plan = planOf(DatasetOps.queries, "ds14_chunk_overlap")
+    assert(plan.contains("Generate"), plan.take(1500))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle:\n${plan.take(2000)}")
+  }
+
+  test("ds15 curriculum broadcasts the histogram, corpus never re-sorts") {
+    // the distinct-score histogram and the 1-row count broadcast back
+    // onto the corpus; the corpus itself must not pass through a
+    // global (empty-key) sort window — only the bounded per-score
+    // tie window and the tiny histogram's own prefix-sum window
+    val plan = planOf(DatasetOps.queries, "ds15_curriculum")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("sim8 MRL prefix search broadcasts queries, no projection compute") {
+    // truncation is free: the coarse stage must plan as slice() over
+    // the stored vector (no matrix-multiply subtree) with the 10-row
+    // query side broadcast
+    val plan = planOf(Similarity.queries, "sim8_mrl_topk")
+    assert(plan.contains("BroadcastExchange"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("a69 trimmed mean: rank window and agg share the per-type key") {
+    // one hash exchange on event_type serves both the rank window and
+    // the final aggregate — the corpus shuffles once
+    val plan = planOf(Stats.queries, "a69_trimmed_mean")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected one hash exchange:\n${plan.take(2000)}")
+  }
+
+  test("mm10 scene change: per-doc window only, no corpus-wide window") {
+    // the lag window partitions by doc_id — a missing partition key
+    // would single-partition every sampled frame of the corpus
+    val plan = planOf(Multimodal.queries, "mm10_scene_change")
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(!plan.toLowerCase.contains("window operation"),
+      plan.take(1500))
+    assert(plan.contains("hashpartitioning(doc_id"),
+      s"lag window must key on doc_id:\n${plan.take(2000)}")
+  }
 }
