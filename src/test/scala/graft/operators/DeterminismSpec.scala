@@ -86,7 +86,17 @@ class DeterminismSpec extends AnyFunSuite {
     // same argument as d10; and LPA labels are exact integers from a
     // deterministic synchronous update
     "decon2_fuzzy_overlap" -> Curation.queries,
-    "d14_label_prop" -> Dedup.queries)
+    "d14_label_prop" -> Dedup.queries,
+    // round 9: chunk identity, curriculum rank, bigram folds, frame
+    // windows, prefix edit distances and the full-corpus graph runs
+    // must all be pure functions of the data
+    "ds14_chunk_overlap" -> DatasetOps.queries,
+    "ds15_curriculum" -> DatasetOps.queries,
+    "txt17_bigram_loglik" -> TextAnalysis.queries,
+    "mm10_scene_change" -> Multimodal.queries,
+    "f13_edit_distance" -> Relational.queries,
+    "d10_cc_corpus" -> Dedup.queries,
+    "d12_tri_corpus" -> Dedup.queries)
 
   cases.foreach { case (name, qs) =>
     test(s"$name is identical across file layouts and shuffle widths") {
