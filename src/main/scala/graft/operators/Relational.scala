@@ -1574,6 +1574,30 @@ object Relational {
             .getField("k").as("k"))
         .orderBy("event_id")),
 
+    // F14: the Spark-4 VARIANT surface — parse-once, navigate-lazily
+    // semi-structured data (the open-format answer to schema'd
+    // from_json when the schema ISN'T known up front): parse_json →
+    // binary variant, variant_get with a typed path for extraction,
+    // a missing-path probe (NULL, not error), and try_parse_json as
+    // the dead-letter gate (every 37th row gets a truncated payload
+    // planted — the s23 pattern: the ORACLE classifies by the ground-
+    // truth plant, the engine by the parser, so the hash match proves
+    // the variant parser's corrupt verdict identifies exactly the
+    // planted rows). At scale variant decouples ingest schema from
+    // query schema — shredded storage keeps pushdown. Fully
+    // oracle-checked (extraction ≡ DuckDB json_extract).
+    "f14_variant" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("payload",
+          when(col("event_id") % 37 === 0, substring(col("props"), 1, 3))
+            .otherwise(col("props")))
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k_int"),
+          expr("variant_get(parse_json(props), '$.missing', 'int')")
+            .as("k_missing"),
+          expr("try_parse_json(payload) IS NULL").as("corrupt"))
+        .orderBy("event_id")),
+
     // F8: array higher-order functions — filter / exists / zip_with /
     // aggregate / array_sort, the lambda surface F4's element access
     // stops short of. These run INTERPRETED (no codegen) — fine for a
@@ -2632,6 +2656,16 @@ object Relational {
          FROM embeddings ORDER BY vec_id""",
     "f5_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+         FROM events ORDER BY event_id""",
+    // extraction mirrors json_extract; the corrupt column classifies
+    // by the GROUND-TRUTH plant (event_id % 37), so equality proves
+    // the engine's variant parser flags exactly the planted rows
+    "f14_variant" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+                CAST(json_extract_string(props, '$.missing') AS INT)
+                  AS k_missing,
+                event_id % 37 = 0 AS corrupt
          FROM events ORDER BY event_id""",
     "a9_win_loss" ->
       """SELECT user_id,
