@@ -560,6 +560,32 @@ object EventStream {
     s.table("t1_mem")
   }
 
+  /** T24: the Spark-4 STATE DATA SOURCE — reading a streaming
+    * checkpoint's state store as a plain DataFrame
+    * (`spark.read.format("statestore")`), the first-class operational
+    * surface for state inspection/repair/migration (replacing ad-hoc
+    * checkpoint-file forensics like T12's provider proof). The rig
+    * runs the T1 windowed agg to completion on its own checkpoint,
+    * then reads the state back: key = (window, event_type), value =
+    * the AGGREGATION BUFFER (count, decimal sum, isEmpty) — the
+    * reconstruction sum/count must reproduce the query's own output,
+    * and the oracle checks it against the batch aggregate, so the
+    * round-trip proves the store holds exactly the aggregate's state.
+    */
+  def runStateRead(s: SparkSession, d: String): DataFrame = {
+    val rig = stageRig(s, d)
+    val base = freshDir(s"/tmp/graft-stream-t24-run${nextRunId()}")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
+    runToCompletion(s, src, ckpt, "t24_mem")
+    s.read.format("statestore").load(ckpt)
+      .select(col("key.window.start").as("win_start"),
+        col("key.event_type").as("event_type"),
+        col("value.count").as("n"),
+        round(col("value.sum").cast("double") / col("value.count"), 6)
+          .as("avg_value"))
+  }
+
   /** T2: checkpoint/offset resume, proven by the result. First run
     * consumes the chronological first half and terminates (simulated
     * shutdown). The second half is then dropped into the source dir
@@ -1247,6 +1273,12 @@ object EventStream {
     "t2_checkpoint_resume" -> ((s, d) =>
       runCheckpointResume(s, d).orderBy("win_start", "event_type")),
 
+    // T24: state-store read-back (Spark 4 state data source) — the
+    // checkpoint's aggregation buffers reconstructed to the batch
+    // aggregate (oracle = the same windowed counts from events).
+    "t24_state_read" -> ((s, d) =>
+      runStateRead(s, d).orderBy("win_start", "event_type")),
+
     // T4: keyed publish executed as a real writeStream (file sink
     // standing in for the Kafka sink; same key/value contract).
     "t4_keyed_publish" -> ((s, d) =>
@@ -1426,6 +1458,14 @@ object EventStream {
                FROM counts)
          WHERE rnk <= 3 ORDER BY win_start, rnk""",
     "t1_streaming_window_agg" ->
+      """SELECT date_trunc('day', ts) AS win_start, event_type,
+                count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                      / count(*), 6) AS avg_value
+         FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    // the state store must hold exactly the aggregate's buffers: the
+    // read-back reconstruction equals the batch windowed aggregate
+    "t24_state_read" ->
       """SELECT date_trunc('day', ts) AS win_start, event_type,
                 count(*) AS n,
                 round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
