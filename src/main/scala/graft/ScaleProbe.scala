@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling probe: measures how the corpus-heavy paths behave when the
+  * documents/embeddings tables grow 10×, against the same code the
+  * driver benches at sf0.1.
+  *
+  * The replica multiplies the sf0.1 corpus tenfold by unioning ten
+  * id-offset copies (doc_id + k·10⁶, vec_id + k·10⁶) written as 10
+  * parquet files — each copy preserves the original's internal
+  * near-dup structure, so the pair graph, cluster count, and
+  * per-doc work all scale ×10 while cross-copy ids never collide
+  * (offsets far above any real id). This is a MEASUREMENT input
+  * derived from the driver's data (never a correctness oracle input —
+  * those stay on the read-only sf dirs).
+  *
+  * Usage: `sbt 'runMain graft.ScaleProbe'` — prints one JSON line
+  * `{"q": {"x1": sec, "x10": sec, "ratio": r}, ...}`. A ratio near 10
+  * on a fixed-core machine means linear work growth (the 100 TB
+  * design claim: no super-linear pair blowup, no accidental
+  * quadratic); under 10 means the fixed costs still dominate at this
+  * size.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val x10Dir = "/tmp/graft-scale10"
+    val marker = new java.io.File(s"$x10Dir/_READY")
+    if (!marker.exists()) {
+      val docs = Tables.documents(spark, sfDir)
+      val embs = Tables.embeddings(spark, sfDir)
+      val docs10 = (0 until 10).map(k =>
+        docs.withColumn("doc_id", col("doc_id") + lit(k * 1000000L)))
+        .reduce(_ unionByName _)
+      val embs10 = (0 until 10).map(k =>
+        embs.withColumn("vec_id", col("vec_id") + lit(k * 1000000L)))
+        .reduce(_ unionByName _)
+      docs10.repartition(10).write.mode("overwrite")
+        .parquet(s"$x10Dir/documents.parquet")
+      embs10.repartition(10).write.mode("overwrite")
+        .parquet(s"$x10Dir/embeddings.parquet")
+      marker.createNewFile()
+    }
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // warm-up
+    noop(Tables.documents(spark, sfDir).groupBy("source").count())
+    noop(Tables.documents(spark, x10Dir).groupBy("source").count())
+
+    val probes: Seq[(String, String => Unit)] = Seq(
+      "sig_build" -> { d =>
+        graft.operators.Dedup.signatures.invalidate(spark, d)
+        graft.operators.Dedup.signatures(spark, d)
+        ()
+      },
+      "corpus_pairs_build" -> { d =>
+        graft.operators.Dedup.corpusPairs.invalidate(spark, d)
+        graft.operators.Dedup.corpusPairs(spark, d)
+        ()
+      },
+      "d10_cc_corpus" -> { d =>
+        noop(graft.operators.Dedup.queries("d10_cc_corpus")(spark, d))
+      },
+      "txt17_bigram_loglik" -> { d =>
+        noop(graft.operators.TextAnalysis
+          .queries("txt17_bigram_loglik")(spark, d))
+      },
+      "ds14_chunk_overlap" -> { d =>
+        noop(graft.operators.DatasetOps
+          .queries("ds14_chunk_overlap")(spark, d))
+      },
+      "sim8_mrl_topk" -> { d =>
+        noop(graft.operators.Similarity.queries("sim8_mrl_topk")(spark, d))
+      },
+      "d1_exact_dedup" -> { d =>
+        noop(graft.operators.TextAnalysis.queries("d1_exact_dedup")(spark, d))
+      })
+
+    val out = probes.map { case (name, run) =>
+      // two reps, min: single-shot in a shared sandbox is
+      // load-poisoned (Bench's methodology, lighter form)
+      val t1 = (1 to 2).map(_ => time(run(sfDir))).min
+      val t10 = (1 to 2).map(_ => time(run(x10Dir))).min
+      val ratio = math.rint(t10 / t1 * 100) / 100
+      s""""$name":{"x1":${math.rint(t1 * 1000) / 1000},""" +
+        s""""x10":${math.rint(t10 * 1000) / 1000},"ratio":$ratio}"""
+    }
+    println(out.mkString("{", ",", "}"))
+    spark.stop()
+  }
+}
