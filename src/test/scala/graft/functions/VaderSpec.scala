@@ -42,7 +42,8 @@ class VaderSpec extends AnyFunSuite {
       "extended13" -> VaderLexicon.extended13.keySet,
       "extended14" -> VaderLexicon.extended14.keySet,
       "extended15" -> VaderLexicon.extended15.keySet,
-      "extended16" -> VaderLexicon.extended16.keySet)
+      "extended16" -> VaderLexicon.extended16.keySet,
+      "extended17" -> VaderLexicon.extended17.keySet)
     for (Seq((na, a), (nb, bk)) <- blocks.combinations(2)) {
       val shared = a.intersect(bk)
       assert(shared.isEmpty, s"$na∩$nb: $shared")
