@@ -360,4 +360,34 @@ class StatsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("a67/a68 closed-form chi-square tails hit published critical values") {
+    // the whole point of choosing even df: χ²₂'s survival is
+    // exp(−x/2) and χ²₄'s is exp(−x/2)(1 + x/2) — pin both against
+    // the textbook 5% and 1% critical values (Abramowitz & Stegun
+    // table 26.8: χ²₂ 5.991/9.210, χ²₄ 9.488/13.277)
+    def s2(x: Double) = math.exp(-x / 2)
+    def s4(x: Double) = math.exp(-x / 2) * (1 + x / 2)
+    assert(math.abs(s2(5.991) - 0.05) < 1e-4)
+    assert(math.abs(s2(9.210) - 0.01) < 1e-4)
+    assert(math.abs(s4(9.488) - 0.05) < 1e-4)
+    assert(math.abs(s4(13.277) - 0.01) < 1e-4)
+    // and the a67/a68 queries' p columns are probabilities consistent
+    // with their statistics under exactly these forms
+    val jb = Stats.queries("a67_jarque_bera")(spark, sf).collect()
+    jb.foreach { r =>
+      val stat = r.getDouble(r.fieldIndex("jb_stat"))
+      val p = r.getDouble(r.fieldIndex("p_value"))
+      assert(math.abs(p - math.rint(s2(stat) * 1e6) / 1e6) <= 1e-6,
+        s"jb p=$p vs ${s2(stat)}")
+    }
+    val lb = Stats.queries("a68_ljung_box")(spark, sf).collect()
+    lb.foreach { r =>
+      val q = r.getDouble(r.fieldIndex("q_stat"))
+      val p = r.getDouble(r.fieldIndex("p_value"))
+      // q_stat is rounded to 6dp in the output while p was computed
+      // from the unrounded q — compare within the rounding slack
+      assert(math.abs(p - s4(q)) < 1e-5, s"lb p=$p vs ${s4(q)}")
+    }
+  }
 }
