@@ -586,6 +586,46 @@ object EventStream {
           .as("avg_value"))
   }
 
+  /** T25: the state source's CHANGE FEED — the CDC view of the state
+    * store (`readChangeFeed`): every (batch_id, change_type, key,
+    * value) the store wrote across the run's micro-batches, the
+    * surface for auditing how state evolved (T24 reads the final
+    * snapshot; this reads the history). The rig forces a MULTI-batch
+    * run (maxFilesPerTrigger=1 over the staged files) so the feed has
+    * real per-batch evolution; the query then LOG-COMPACTS it —
+    * latest change per key wins — and the reconstruction must equal
+    * the batch aggregate (oracle), proving the feed carries the
+    * complete update history. */
+  def runStateChangeFeed(s: SparkSession, d: String): DataFrame = {
+    val rig = stageRig(s, d)
+    val base = freshDir(s"/tmp/graft-stream-t25-run${nextRunId()}")
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
+    withReplayWidth(s) {
+      val q = windowAgg(readJsonStream(s, src, maxFilesPerTrigger = Some(1)))
+        .writeStream.format("memory").queryName("t25_mem")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val feed = s.read.format("statestore")
+      .option("readChangeFeed", "true")
+      .option("changeStartBatchId", "0")
+      .load(ckpt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("batch_id").desc)
+    feed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("change_type") =!= "delete")
+      .select(col("key.window.start").as("win_start"),
+        col("key.event_type").as("event_type"),
+        col("value.count").as("n"),
+        round(col("value.sum").cast("double") / col("value.count"), 6)
+          .as("avg_value"))
+  }
+
   /** T2: checkpoint/offset resume, proven by the result. First run
     * consumes the chronological first half and terminates (simulated
     * shutdown). The second half is then dropped into the source dir
@@ -1279,6 +1319,12 @@ object EventStream {
     "t24_state_read" -> ((s, d) =>
       runStateRead(s, d).orderBy("win_start", "event_type")),
 
+    // T25: the state CHANGE FEED log-compacted (latest change per key
+    // wins) back to the batch aggregate — proves the CDC view carries
+    // the complete multi-batch update history (oracle).
+    "t25_state_changefeed" -> ((s, d) =>
+      runStateChangeFeed(s, d).orderBy("win_start", "event_type")),
+
     // T4: keyed publish executed as a real writeStream (file sink
     // standing in for the Kafka sink; same key/value contract).
     "t4_keyed_publish" -> ((s, d) =>
@@ -1466,6 +1512,14 @@ object EventStream {
     // the state store must hold exactly the aggregate's buffers: the
     // read-back reconstruction equals the batch windowed aggregate
     "t24_state_read" ->
+      """SELECT date_trunc('day', ts) AS win_start, event_type,
+                count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                      / count(*), 6) AS avg_value
+         FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    // the change feed's latest-per-key compaction must land on the
+    // same batch aggregate — the CDC history is complete
+    "t25_state_changefeed" ->
       """SELECT date_trunc('day', ts) AS win_start, event_type,
                 count(*) AS n,
                 round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
