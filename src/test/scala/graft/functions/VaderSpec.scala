@@ -44,7 +44,8 @@ class VaderSpec extends AnyFunSuite {
       "extended15" -> VaderLexicon.extended15.keySet,
       "extended16" -> VaderLexicon.extended16.keySet,
       "extended17" -> VaderLexicon.extended17.keySet,
-      "extended18" -> VaderLexicon.extended18.keySet)
+      "extended18" -> VaderLexicon.extended18.keySet,
+      "extended19" -> VaderLexicon.extended19.keySet)
     for (Seq((na, a), (nb, bk)) <- blocks.combinations(2)) {
       val shared = a.intersect(bk)
       assert(shared.isEmpty, s"$na∩$nb: $shared")
