@@ -2613,6 +2613,12 @@ object Stats {
                       / abs(sum(CASE WHEN pnl <= 0 THEN pnl ELSE 0.0 END)), 6) AS profit_factor,
                 round(avg(pnl), 6) AS expectancy
          FROM t""",
+    // the annualizing pow() can exceed float range on a tiny, volatile
+    // series ((1+mu)^252 hit 1.3e136 at sf0.001): Spark's double→float
+    // cast SATURATES to Infinity there while DuckDB's CAST(… AS REAL)
+    // raises — the fcast() CASE mirrors Spark's IEEE round-to-nearest
+    // saturation (threshold = the float-max/inf midpoint) so both
+    // engines emit inf and the hash still matches
     "a10_risk_metrics" ->
       """WITH day AS (
            SELECT date_trunc('day', o_orderdate) AS day, sum(o_totalprice) AS rev
@@ -2631,16 +2637,37 @@ object Stats {
            SELECT avg(r) AS mu, stddev_samp(r) AS sigma,
                   stddev_samp(CASE WHEN r < 0 THEN r END) AS downside,
                   min(dd) AS max_dd
-           FROM dd)
+           FROM dd),
+         m AS (
+           SELECT mu, sigma, downside, max_dd,
+                  pow(1.0 + mu, 252.0) - 1 AS ar
+           FROM agg)
          SELECT CAST(round(mu, 6) AS REAL) AS mean_daily,
                 CAST(round(sigma, 6) AS REAL) AS std_daily,
-                CAST(pow(1.0 + mu, 252.0) - 1 AS REAL) AS ann_return,
+                CASE WHEN ar >= 3.4028235677973366e38 THEN CAST('inf' AS REAL)
+                     WHEN ar <= -3.4028235677973366e38 THEN CAST('-inf' AS REAL)
+                     ELSE CAST(ar AS REAL) END AS ann_return,
                 CAST(round(sigma * sqrt(252.0), 6) AS REAL) AS ann_vol,
-                CAST((pow(1.0 + mu, 252.0) - 1) / (sigma * sqrt(252.0)) AS REAL) AS sharpe,
-                CAST((pow(1.0 + mu, 252.0) - 1) / (downside * sqrt(252.0)) AS REAL) AS sortino,
-                CAST((pow(1.0 + mu, 252.0) - 1) / abs(max_dd) AS REAL) AS calmar,
+                CASE WHEN ar / (sigma * sqrt(252.0)) >= 3.4028235677973366e38
+                     THEN CAST('inf' AS REAL)
+                     WHEN ar / (sigma * sqrt(252.0)) <= -3.4028235677973366e38
+                     THEN CAST('-inf' AS REAL)
+                     ELSE CAST(ar / (sigma * sqrt(252.0)) AS REAL)
+                END AS sharpe,
+                CASE WHEN ar / (downside * sqrt(252.0)) >= 3.4028235677973366e38
+                     THEN CAST('inf' AS REAL)
+                     WHEN ar / (downside * sqrt(252.0)) <= -3.4028235677973366e38
+                     THEN CAST('-inf' AS REAL)
+                     ELSE CAST(ar / (downside * sqrt(252.0)) AS REAL)
+                END AS sortino,
+                CASE WHEN ar / abs(max_dd) >= 3.4028235677973366e38
+                     THEN CAST('inf' AS REAL)
+                     WHEN ar / abs(max_dd) <= -3.4028235677973366e38
+                     THEN CAST('-inf' AS REAL)
+                     ELSE CAST(ar / abs(max_dd) AS REAL)
+                END AS calmar,
                 CAST(round(max_dd, 6) AS REAL) AS max_dd
-         FROM agg""",
+         FROM m""",
     "a11_monthly_returns" ->
       """WITH day AS (
            SELECT date_trunc('day', o_orderdate) AS day, sum(o_totalprice) AS rev
