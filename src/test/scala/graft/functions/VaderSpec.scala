@@ -46,7 +46,8 @@ class VaderSpec extends AnyFunSuite {
       "extended17" -> VaderLexicon.extended17.keySet,
       "extended18" -> VaderLexicon.extended18.keySet,
       "extended19" -> VaderLexicon.extended19.keySet,
-      "extended20" -> VaderLexicon.extended20.keySet)
+      "extended20" -> VaderLexicon.extended20.keySet,
+      "extended21" -> VaderLexicon.extended21.keySet)
     for (Seq((na, a), (nb, bk)) <- blocks.combinations(2)) {
       val shared = a.intersect(bk)
       assert(shared.isEmpty, s"$na∩$nb: $shared")
