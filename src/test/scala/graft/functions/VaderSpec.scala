@@ -47,7 +47,8 @@ class VaderSpec extends AnyFunSuite {
       "extended18" -> VaderLexicon.extended18.keySet,
       "extended19" -> VaderLexicon.extended19.keySet,
       "extended20" -> VaderLexicon.extended20.keySet,
-      "extended21" -> VaderLexicon.extended21.keySet)
+      "extended21" -> VaderLexicon.extended21.keySet,
+      "extended22" -> VaderLexicon.extended22.keySet)
     for (Seq((na, a), (nb, bk)) <- blocks.combinations(2)) {
       val shared = a.intersect(bk)
       assert(shared.isEmpty, s"$na∩$nb: $shared")
