@@ -1547,6 +1547,46 @@ object Stats {
               (lit(1.0) / col("n1") + lit(1.0) / col("n2")))).as("z"))
     }),
 
+    // A70: power analysis / required sample size — the question every
+    // experiment DESIGN starts with, computed from A45's OBSERVED
+    // proportions treated as the planning effect: n per arm =
+    // (z_{α/2} + z_β)² · (p₁(1−p₁) + p₂(1−p₂)) / (p₁−p₂)² for 5%
+    // two-sided α / 80% power (z constants 1.959964, 0.841621 — the
+    // same published-literal discipline as the EWMA weights), plus
+    // the MDE the CURRENT sample could detect at that power (the
+    // inverse reading: solve the same identity for |p₁−p₂| at
+    // n = min(n₁,n₂)). Pure closed-form double arithmetic over the
+    // exact integer counts → fully oracle-checked; one 1-row agg.
+    "a70_power_analysis" -> ((s, d) => {
+      val zA = 1.959964; val zB = 0.841621
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select((col("event_type") === "click").as("g1"),
+          (col("value") > 50).as("hit"))
+      val base = ev.agg(
+          sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("g1") && col("hit"), 1L).otherwise(0L)).as("x1"),
+          sum(when(!col("g1"), 1L).otherwise(0L)).as("n2"),
+          sum(when(!col("g1") && col("hit"), 1L).otherwise(0L)).as("x2"))
+        .withColumn("p1", col("x1").cast("double") / col("n1"))
+        .withColumn("p2", col("x2").cast("double") / col("n2"))
+      val varSum = col("p1") * (lit(1.0) - col("p1")) +
+        col("p2") * (lit(1.0) - col("p2"))
+      val zz = lit((zA + zB) * (zA + zB))
+      base
+        .withColumn("n_required",
+          ceil(zz * varSum /
+            ((col("p1") - col("p2")) * (col("p1") - col("p2"))))
+            .cast("long"))
+        .withColumn("mde",
+          sqrt(zz * varSum / least(col("n1"), col("n2"))))
+        .select(col("n1"), col("n2"),
+          r6(col("p1")).as("p1"), r6(col("p2")).as("p2"),
+          col("n_required"), r6(col("mde")).as("mde"),
+          (least(col("n1"), col("n2")) >= col("n_required"))
+            .as("powered"))
+    }),
+
     // A41 p-value twin — χ² folded in (type, dow) order over the
     // oracle-checked rounded terms (the A29 pattern), df derived from
     // the observed margins ((R−1)(C−1)), upper-tail p via the
@@ -2361,6 +2401,40 @@ object Stats {
                 round((p1 - p2) / sqrt(pp * (1.0 - pp) *
                       (1.0 / n1 + 1.0 / n2)), 6) AS z
          FROM p""",
+    // z constants as 6dp literals in both engines; ceil on the exact
+    // double expression is deterministic (the ratio sits far from
+    // integer boundaries on real proportions)
+    "a70_power_analysis" ->
+      """WITH agg AS (
+           SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS n1,
+                  sum(CASE WHEN event_type = 'click' AND value > 50
+                           THEN 1 ELSE 0 END) AS x1,
+                  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS n2,
+                  sum(CASE WHEN event_type = 'purchase' AND value > 50
+                           THEN 1 ELSE 0 END) AS x2
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         p AS (
+           SELECT n1, n2,
+                  CAST(x1 AS DOUBLE) / n1 AS p1,
+                  CAST(x2 AS DOUBLE) / n2 AS p2
+           FROM agg),
+         m AS (
+           SELECT n1, n2, p1, p2,
+                  (CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+                  * (CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+                    AS zz,
+                  p1 * (1.0 - p1) + p2 * (1.0 - p2) AS vs
+           FROM p)
+         SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                round(p1, 6) AS p1, round(p2, 6) AS p2,
+                CAST(ceil(zz * vs / ((p1 - p2) * (p1 - p2))) AS BIGINT)
+                  AS n_required,
+                round(sqrt(zz * vs / least(n1, n2)), 6) AS mde,
+                least(n1, n2) >=
+                  ceil(zz * vs / ((p1 - p2) * (p1 - p2))) AS powered
+         FROM m""",
     "a42_weekly_seasonality" ->
       """WITH daily AS (
            SELECT date_trunc('day', ts) AS day,
