@@ -120,7 +120,9 @@ object Bench {
     // sets the filter, so round artifacts always carry the full map.
     val buildDeps: Map[String, Set[String]] = Map(
       "sig_build" -> Set("d3_minhash_lsh", "d6_lsh_verified",
-        "decon2_fuzzy_overlap", "d10_cc_corpus", "d12_tri_corpus"),
+        "decon2_fuzzy_overlap", "d10_cc_corpus", "d12_tri_corpus",
+        "d11_pr_corpus", "d13_coeff_corpus", "d14_lpa_corpus",
+        "sql7_closure_corpus"),
       "grid_build" -> Set("lag_grid_corr", "lag_grid_best",
         "lag_grid_best_config", "lag_grid_artifact"),
       "s15_layout_build" -> Set("s15_bucketed_join"),
@@ -130,7 +132,9 @@ object Bench {
         "mm9_image_clusters"),
       "s22_layout_build" -> Set("s22_zorder_prune"),
       "a55_base_build" -> Set("a55_mann_kendall", "a55_mk_pvalue"),
-      "corpus_pairs_build" -> Set("d10_cc_corpus", "d12_tri_corpus"))
+      "corpus_pairs_build" -> Set("d10_cc_corpus", "d12_tri_corpus",
+        "d11_pr_corpus", "d13_coeff_corpus", "d14_lpa_corpus",
+        "sql7_closure_corpus"))
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     def keep(name: String): Boolean = only.forall(_.contains(name))

@@ -619,6 +619,61 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // D11b: FULL-CORPUS PageRank — the rank-weighted canonical
+    // election run over the PRODUCTION edge graph (signatures →
+    // banded LSH → exact verify at J ≥ 0.5, the same materialized
+    // table D10b/D12b consume) instead of the doc_id < 100 demo
+    // slice. Vertices = every document: isolated docs (the vast
+    // majority — dup clusters are rare) sit exactly on the teleport
+    // floor (1−d)/N, which the spec asserts alongside bit-level
+    // agreement with a sequential power iteration over the same
+    // edges. Rows-only (iterative agg is outside rCTE semantics);
+    // scale shape is unchanged from D11 — 10 fixed rounds of keyed
+    // join + hash agg with O(1) plans — but now the iteration
+    // constants are MEASURED on the corpus graph, not argued from a
+    // planted slice.
+    "d11_pr_corpus" -> ((s, d) =>
+      pageRank(verifiedCorpusPairs(s, d, 0.5),
+        Tables.documents(s, d).select(col("doc_id")),
+        iters = 10, damp = 0.85)
+        .orderBy("doc_id")),
+
+    // D13b: FULL-CORPUS local clustering coefficient over the same
+    // verified graph — cc = 2·tri/(deg·(deg−1)) for every corpus doc
+    // with deg ≥ 2, separating closed duplicate rings (cc = 1) from
+    // boilerplate hubs at corpus scale. Integer-exact inputs (degree
+    // counts + D12b's triangle counts) → fully oracle-checked: the
+    // DuckDB twin recomputes the exhaustive exact-Jaccard 0.5 graph,
+    // the identical degree-ordered wedge arithmetic, and the same
+    // normalization, so the hash match again proves banded recall.
+    "d13_coeff_corpus" -> ((s, d) => {
+      val und = verifiedCorpusPairs(s, d, 0.5)
+      val deg = und.select(col("da").as("doc_id"))
+        .unionAll(und.select(col("db").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+      deg.filter(col("deg") >= 2)
+        .join(triangleCounts(und), Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_tri"))
+        .select(col("doc_id"), col("deg"), col("n_tri"),
+          round(lit(2.0) * col("n_tri") /
+            (col("deg") * (col("deg") - 1)).cast("double"), 6).as("cc"))
+        .orderBy("doc_id")
+    }),
+
+    // D14b: FULL-CORPUS label-propagation communities over the same
+    // verified graph — the over-merge-resistant canonical election at
+    // corpus scale (D10b collapses transitive chains; D14b keeps
+    // densely-linked rings separate when a hub doc bridges them).
+    // Vertices = every document; isolated docs keep their own id.
+    // Rows-only; the spec replays the identical synchronous
+    // self-vote/min-tie update sequentially over the same edges and
+    // requires bit-for-bit label equality plus community ⊆ D10b
+    // component nesting.
+    "d14_lpa_corpus" -> ((s, d) =>
+      labelPropagation(verifiedCorpusPairs(s, d, 0.5),
+        Tables.documents(s, d).select(col("doc_id")), iters = 4)
+        .orderBy("doc_id")),
+
     // D4: 64-bit SimHash signature per document (bitstring form).
     "d4_simhash" -> ((s, d) =>
       simhashBitSums(s, d)
@@ -724,6 +779,59 @@ object Dedup {
          SELECT doc_id, count(*) AS n_tri
          FROM (SELECT unnest([u, v1, w1]) AS doc_id FROM tri)
          GROUP BY 1 ORDER BY doc_id""",
+    // D13b: d12_tri_corpus's exhaustive full-corpus CTE chain + the
+    // d13 degree normalization (deg < 2 excluded) — hash equality
+    // again proves the banded LSH graph recalled every exhaustive
+    // edge before the coefficient arithmetic ran
+    "d13_coeff_corpus" ->
+      """WITH docs AS (
+             SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             FROM documents),
+           sh AS (
+             SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+             FROM docs WHERE len(t) >= 3),
+           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           inter AS (
+             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           pairs AS (
+             SELECT da, db FROM inter
+             JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+             WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.5),
+           deg AS (
+             SELECT v, count(*) AS dg FROM (
+               SELECT da AS v FROM pairs
+               UNION ALL SELECT db AS v FROM pairs)
+             GROUP BY 1),
+           e AS (
+             SELECT CASE WHEN x.dg < y.dg OR (x.dg = y.dg AND da < db)
+                         THEN da ELSE db END AS src,
+                    CASE WHEN x.dg < y.dg OR (x.dg = y.dg AND da < db)
+                         THEN db ELSE da END AS dst,
+                    CASE WHEN x.dg < y.dg OR (x.dg = y.dg AND da < db)
+                         THEN y.dg ELSE x.dg END AS ddst
+             FROM pairs JOIN deg x ON da = x.v JOIN deg y ON db = y.v),
+           wed AS (
+             SELECT a.src AS u, a.dst AS v1, b.dst AS w1
+             FROM e a JOIN e b ON a.src = b.src
+               AND (a.ddst < b.ddst
+                    OR (a.ddst = b.ddst AND a.dst < b.dst))),
+           tri AS (
+             SELECT u, v1, w1 FROM wed
+             JOIN e ON wed.v1 = e.src AND wed.w1 = e.dst),
+           pt AS (
+             SELECT doc_id, count(*) AS n_tri
+             FROM (SELECT unnest([u, v1, w1]) AS doc_id FROM tri)
+             GROUP BY 1)
+         SELECT deg.v AS doc_id, CAST(deg.dg AS BIGINT) AS deg,
+                CAST(coalesce(pt.n_tri, 0) AS BIGINT) AS n_tri,
+                round(CAST(2 AS DOUBLE) * coalesce(pt.n_tri, 0) /
+                      (deg.dg * (deg.dg - 1)), 6) AS cc
+         FROM deg LEFT JOIN pt ON deg.v = pt.doc_id
+         WHERE deg.dg >= 2 ORDER BY doc_id""",
     // same pair SQL (maxId 200, threshold 0.01), then the identical
     // degree-ordered orientation + wedge-close join as the query
     "d12_triangle_count" ->

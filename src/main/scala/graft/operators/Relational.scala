@@ -963,6 +963,36 @@ object Relational {
         GROUP BY id ORDER BY doc_id""")
     }),
 
+    // SQL7b: the same in-plan recursion over the FULL corpus — the
+    // recursive-CTE path consuming the PRODUCTION edge graph (the
+    // banded-LSH → exact-verify J ≥ 0.5 materialized table D10b/D12b
+    // share) instead of the demo slice. Depth 8 stays exact: corpus
+    // dup clusters are ≤ 4 docs (measured at sf0.001/0.01/0.1), so
+    // diameter ≤ 3 ≪ 8, and walk multiplicity on these near-cliques
+    // is bounded by deg⁸ ≤ 3⁸ per vertex — absorbed by the final
+    // min/GROUP BY. Fully oracle-checked against the exhaustive
+    // exact-Jaccard graph + recursive closure (d10_cc_corpus's
+    // oracle), and spec-asserted row-identical to the iterative
+    // DataFrame components — the two corpus component paths (driver
+    // loop vs in-plan recursion) cannot diverge silently.
+    "sql7_closure_corpus" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"))
+        .createOrReplaceTempView("docs_corpus_v")
+      Dedup.corpusPairs(s, d).createOrReplaceTempView("pairs_corpus_v")
+      s.sql("""
+        WITH RECURSIVE
+          edges AS (SELECT da AS src, db AS dst FROM pairs_corpus_v
+                    UNION SELECT db AS src, da AS dst FROM pairs_corpus_v),
+          reach AS (
+            SELECT doc_id AS id, doc_id AS r, 0 AS lvl FROM docs_corpus_v
+            UNION ALL
+            SELECT reach.id, e.dst, reach.lvl + 1 FROM reach
+            JOIN edges e ON reach.r = e.src
+            WHERE reach.lvl < 8)
+        SELECT id AS doc_id, min(r) AS canonical_id FROM reach
+        GROUP BY id ORDER BY doc_id""")
+    }),
+
     // SQL8: correlated LATERAL subquery with ORDER BY + LIMIT — the
     // "top-2 line items per part" shape through the declarative SQL
     // path (SQL6 is the window-function form of top-n; LATERAL is the
@@ -2184,6 +2214,11 @@ object Relational {
              SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
          SELECT id AS doc_id, min(r) AS canonical_id FROM reach
          GROUP BY id ORDER BY doc_id""",
+    // SQL7b: D10b's full-corpus oracle verbatim — exhaustive
+    // exact-Jaccard 0.5 graph + recursive min-propagation closure;
+    // the rCTE runs over the engine's banded-LSH verified pair table,
+    // so the hash match proves banded recall through the SQL surface
+    "sql7_closure_corpus" -> Dedup.oracles("d10_cc_corpus"),
     "a20_pivot" ->
       """SELECT user_id,
                 count(*) FILTER (event_type = 'click') AS n_click,

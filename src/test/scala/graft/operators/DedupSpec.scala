@@ -454,6 +454,118 @@ class DedupSpec extends AnyFunSuite {
       33L -> 30L, 34L -> 30L))
   }
 
+  // shared fixture for the full-corpus graph anchors below: the
+  // verified J ≥ 0.5 edge table + the full vertex set at sf0.001
+  private def corpusGraph: (Array[Long], Array[(Long, Long)]) = {
+    import org.apache.spark.sql.functions.col
+    val sf = SparkTestSession.Sf0001
+    val nodes = graft.Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val pairs = Dedup.corpusPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "vacuous: no verified corpus dup edges")
+    (nodes, pairs)
+  }
+
+  test("D11b corpus PageRank equals a sequential power iteration (≤1e-9/node)") {
+    // the corpus variant of the D11 anchor: same 10-round damped
+    // power iteration, but over the verified LSH graph and EVERY doc
+    val sf = SparkTestSession.Sf0001
+    val (nodes, pairs) = corpusGraph
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    val n = nodes.length
+    val damp = 0.85; val teleport = (1.0 - damp) / n
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 10) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Double]
+        .withDefaultValue(0.0)
+      adj.foreach { case (src, dsts) =>
+        val share = rank(src) / dsts.length
+        dsts.foreach(dst => contrib(dst) += share)
+      }
+      rank = nodes.map(v => v -> (teleport + damp * contrib(v))).toMap
+    }
+    val got = Dedup.queries("d11_pr_corpus")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == rank.keySet)
+    rank.foreach { case (v, r) =>
+      assert(math.abs(got(v) - r) <= 1e-9, s"node $v: seq=$r got=${got(v)}")
+    }
+    // isolated docs (the corpus majority) sit exactly on the teleport
+    // floor; total mass bounded (dangling mass undistributed)
+    val isolated = nodes.filterNot(adj.contains)
+    assert(isolated.length > nodes.length / 2,
+      "fixture drift: dup clusters should be rare in the corpus")
+    isolated.foreach(v => assert(got(v) == teleport))
+    assert(got.values.sum <= 1.0 + 1e-9)
+  }
+
+  test("D14b corpus LPA matches the sequential update; communities nest in D10b components") {
+    val sf = SparkTestSession.Sf0001
+    val (nodes, pairs) = corpusGraph
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    var label = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to 4) {
+      label = nodes.map { v =>
+        val votes = (v +: adj.getOrElse(v, Seq.empty))
+          .map(label).groupBy(identity).map { case (l, o) => l -> o.size }
+        v -> votes.toSeq.minBy { case (l, n) => (-n, l) }._1
+      }.toMap
+    }
+    val got = Dedup.queries("d14_lpa_corpus")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == label.keySet)
+    label.foreach { case (v, l) =>
+      assert(got(v) == l, s"node $v: seq=$l got=${got(v)}")
+    }
+    val comp = Dedup.queries("d10_cc_corpus")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.groupBy(_._2).foreach { case (lbl, members) =>
+      val comps = members.keys.map(comp).toSet
+      assert(comps.size == 1, s"community $lbl spans components $comps")
+    }
+    assert(got.groupBy(_._2).exists(_._2.size > 1),
+      "vacuous: no multi-doc corpus community formed")
+  }
+
+  test("SQL7b corpus closure is row-identical to the iterative D10b components") {
+    // the two corpus component paths — in-plan recursion (depth-8
+    // bounded walk) vs the driver-loop fixpoint — must land on the
+    // SAME clusters; this is also the exactness guard for the depth
+    // bound (a cluster outgrowing diameter 8 would diverge here)
+    val sf = SparkTestSession.Sf0001
+    val viaSql = Relational.queries("sql7_closure_corpus")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val viaLoop = Dedup.queries("d10_cc_corpus")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(viaSql.sameElements(viaLoop))
+    assert(viaSql.exists { case (id, c) => id != c },
+      "vacuous: no non-trivial corpus cluster")
+  }
+
+  test("D13b corpus clustering coefficient equals the sequential recompute") {
+    val sf = SparkTestSession.Sf0001
+    val (_, pairs) = corpusGraph
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val want = adj.filter(_._2.size >= 2).map { case (v, nbrs) =>
+      val tri = nbrs.toSeq.combinations(2)
+        .count { case Seq(a, b) => adj(a).contains(b) }
+      val cc = BigDecimal(2.0 * tri / (nbrs.size.toLong * (nbrs.size - 1)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      v -> ((nbrs.size.toLong, tri.toLong, cc))
+    }
+    val got = Dedup.queries("d13_coeff_corpus")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(want.nonEmpty, "vacuous: no deg ≥ 2 corpus node")
+    assert(got == want,
+      s"mismatch: got ${got.toSeq.sorted} want ${want.toSeq.sorted}")
+    assert(got.values.exists(_._3 > 0.0), "vacuous: no corpus triangle")
+  }
+
   test("simhash: identical docs share the signature, disjoint differ") {
     val d = docs(1L -> wordsA, 2L -> wordsA, 3L -> wordsB)
     val sh = Dedup.queries("d4_simhash")(spark, d).collect()
