@@ -401,21 +401,23 @@ object Relational {
     // (CMS never undercounts) — both bounds + merge associativity
     // asserted in ApproxAggSpec against the exact counts. Sketch
     // internals have no DuckDB twin → rows-only, anchored.
-    // NOTE: the sketch agg executes EAGERLY (.head on the driver)
-    // while the DataFrame is being constructed — the driver-sketch
-    // pattern requires it (the probe table is built from the sketch).
-    // This is the one entry in `queries` that breaks the
-    // build-is-lazy contract: plan-only callers (plan-shape
-    // inspection, explain tooling) pay a full corpus scan here.
+    // Fully LAZY (round 10 — it used to .head the sketch at plan
+    // construction): the 1-row sketch aggregate is broadcast onto the
+    // 20-row watchlist and a probe UDF deserializes + queries it per
+    // probe row. The corpus scan now runs only when the plan executes
+    // (plan-only callers pay nothing), and the probe stays off the
+    // cluster's hot path — 20 deserializations of a ~1 MB binary,
+    // driver-pattern cost, executor location.
     "a53_cms_freq" -> ((s, d) => {
-      import s.implicits._
-      val bin = Tables.events(s, d)
+      val probe = udf((bin: Array[Byte], u: Long) =>
+        org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(bin)).estimateCount(u))
+      val sk = Tables.events(s, d)
         .agg(expr("count_min_sketch(user_id, 0.0001d, 0.99d, 42)").as("sk"))
-        .head.getAs[Array[Byte]](0)
-      val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(bin))
-      (0L until 20L).map(u => (u, sk.estimateCount(u)))
-        .toDF("user_id", "est_n").orderBy("user_id")
+      s.range(0, 20).select(col("id").as("user_id"))
+        .crossJoin(broadcast(sk))
+        .select(col("user_id"), probe(col("sk"), col("user_id")).as("est_n"))
+        .orderBy("user_id")
     }),
 
     // A59: HLL set ALGEBRA — what makes persisted sketches (A32) an

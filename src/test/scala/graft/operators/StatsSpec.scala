@@ -390,4 +390,38 @@ class StatsSpec extends AnyFunSuite {
       assert(math.abs(p - s4(q)) < 1e-5, s"lb p=$p vs ${s4(q)}")
     }
   }
+  test("a58 zero-sum seasonal holds on a series with fewer than 7 dow groups") {
+    // 9 consecutive days, one type: the 3-day trend edges NULL out,
+    // so only days 3..5 survive detrending — exactly 3 weekday
+    // groups. The re-centering must divide by the ACTUAL group count
+    // (a literal 7 would silently break the identifiability
+    // constraint Σ seasonal = 0, and an oracle making the same
+    // mistake could never catch it).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = SparkTestSession.fixtureDir("a58-fix")
+    val rows = for (i <- 0 until 9; k <- 0 until 2) yield
+      (i.toLong * 2 + k,
+        new java.sql.Timestamp(i.toLong * 86400000L + k * 3600000L),
+        i.toLong, "click", 10.0 + i * 3.0 + k + (i % 3) * 0.7, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    // the final (event_type, dow) join keeps only rows whose weekday
+    // has a seasonal estimate — here exactly the 3 full-window days
+    val out = Stats.queries("a58_seasonal_decomp")(spark, d).collect()
+    val withTrend = out.filter(!_.isNullAt(3))
+    assert(out.length == 3 && withTrend.length == 3,
+      "3-day full-window trend rows expected")
+    val seasonalByDow = withTrend
+      .map(r => r.getTimestamp(1) -> r.getDouble(4)).toMap.values.toSeq
+    assert(seasonalByDow.size == 3, "fixture must yield < 7 dow groups")
+    // zero-sum identifiability over the 3 groups (1.5e-6 rounding slack)
+    assert(math.abs(seasonalByDow.sum) <= 2e-6,
+      s"seasonal must re-center to zero: ${seasonalByDow.toList}")
+    // decomposition identity on every defined row
+    withTrend.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3) - r.getDouble(4) -
+        r.getDouble(5)) <= 2e-6)
+    }
+  }
 }
