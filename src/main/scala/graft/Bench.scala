@@ -75,43 +75,34 @@ object Bench {
     // entries — invalidate before each rep so every rep pays the full
     // corpus pass; the final rep leaves a warm cache for the query loop
     // (which then times post-build consumption, as in production).
-    val builds: Seq[(String, Double)] = Seq(
-      "sig_build" -> medianOf("sig_build",
-        () => graft.operators.Dedup.signatures.invalidate(spark, sfDir)) { () =>
-        graft.operators.Dedup.signatures(spark, sfDir)
-      },
-      "grid_build" -> medianOf("grid_build",
-        () => graft.operators.LagGrid.grid.invalidate(spark, sfDir)) { () =>
-        graft.operators.LagGrid.grid(spark, sfDir)
-      },
-      "s15_layout_build" -> medianOf("s15_layout_build",
-        () => graft.operators.SourceSinks.invalidateBucketed(spark, sfDir)) { () =>
-        graft.operators.SourceSinks.bucketedTable(spark, sfDir)
-      },
-      "ivf_build" -> medianOf("ivf_build",
-        () => graft.operators.Similarity.invalidateIvf(spark, sfDir)) { () =>
-        graft.operators.Similarity.ivfIndex(spark, sfDir)
-      },
-      "bloom_build" -> medianOf("bloom_build",
-        () => graft.operators.Dedup.invalidateBloom(spark, sfDir)) { () =>
-        graft.operators.Dedup.bloomOf(spark, sfDir)
-      },
-      "phash_tight_build" -> medianOf("phash_tight_build",
-        () => graft.operators.Multimodal.phashTight.invalidate(spark, sfDir)) { () =>
-        graft.operators.Multimodal.phashTight(spark, sfDir)
-      },
-      "s22_layout_build" -> medianOf("s22_layout_build",
-        () => graft.operators.SourceSinks.invalidateZorder(spark, sfDir)) { () =>
-        graft.operators.SourceSinks.zorderDir(spark, sfDir)
-      },
-      "a55_base_build" -> medianOf("a55_base_build",
-        () => graft.operators.Stats.mkBase.invalidate(spark, sfDir)) { () =>
-        graft.operators.Stats.mkBase(spark, sfDir)
-      },
-      "corpus_pairs_build" -> medianOf("corpus_pairs_build",
-        () => graft.operators.Dedup.corpusPairs.invalidate(spark, sfDir)) { () =>
-        graft.operators.Dedup.corpusPairs(spark, sfDir)
-      })
+    val buildDefs: Seq[(String, () => Unit, () => Unit)] = Seq(
+      ("sig_build",
+        () => graft.operators.Dedup.signatures.invalidate(spark, sfDir),
+        () => { graft.operators.Dedup.signatures(spark, sfDir); () }),
+      ("grid_build",
+        () => graft.operators.LagGrid.grid.invalidate(spark, sfDir),
+        () => { graft.operators.LagGrid.grid(spark, sfDir); () }),
+      ("s15_layout_build",
+        () => graft.operators.SourceSinks.invalidateBucketed(spark, sfDir),
+        () => { graft.operators.SourceSinks.bucketedTable(spark, sfDir); () }),
+      ("ivf_build",
+        () => graft.operators.Similarity.invalidateIvf(spark, sfDir),
+        () => { graft.operators.Similarity.ivfIndex(spark, sfDir); () }),
+      ("bloom_build",
+        () => graft.operators.Dedup.invalidateBloom(spark, sfDir),
+        () => { graft.operators.Dedup.bloomOf(spark, sfDir); () }),
+      ("phash_tight_build",
+        () => graft.operators.Multimodal.phashTight.invalidate(spark, sfDir),
+        () => { graft.operators.Multimodal.phashTight(spark, sfDir); () }),
+      ("s22_layout_build",
+        () => graft.operators.SourceSinks.invalidateZorder(spark, sfDir),
+        () => { graft.operators.SourceSinks.zorderDir(spark, sfDir); () }),
+      ("a55_base_build",
+        () => graft.operators.Stats.mkBase.invalidate(spark, sfDir),
+        () => { graft.operators.Stats.mkBase(spark, sfDir); () }),
+      ("corpus_pairs_build",
+        () => graft.operators.Dedup.corpusPairs.invalidate(spark, sfDir),
+        () => { graft.operators.Dedup.corpusPairs(spark, sfDir); () }))
     // Local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 times just those
     // queries. A named query that consumes a staged build artifact
     // pulls that build in automatically (the caches are lazy, so the
@@ -141,19 +132,73 @@ object Bench {
     def keepBuild(name: String): Boolean = only.forall(o =>
       o.contains(name) ||
         buildDeps.getOrElse(name, Set.empty).exists(o.contains))
-    val results = builds.filter(b => keepBuild(b._1)) ++
-      SparkEntry.queries.filter(q => keep(q._1)).map { case (name, fn) =>
-      name -> medianOf(name) { () =>
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      }
+    val defs: Seq[(String, () => Unit, () => Unit)] =
+      buildDefs.filter(b => keepBuild(b._1)) ++
+        SparkEntry.queries.toSeq.sortBy(_._1).filter(q => keep(q._1))
+          .map { case (name, fn) =>
+            (name, () => (), () => {
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            })
+          }
+    def loadAvg: Double = math.rint(java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage * 100) / 100
+    val loadStart = loadAvg
+    val firstPass: Seq[(String, Double)] = defs.map { case (n, su, r) =>
+      n -> medianOf(n, su)(r)
     }
+    // Load-poisoning guard (round 10): a full sweep shares one machine
+    // with whatever else runs, and round 9's working-tree refresh
+    // proved a noisy sweep can overwrite a clean artifact with 5-13x
+    // phantom regressions. Compare each entry against the PREVIOUS
+    // committed round's full map; anything >3x slower (and >0.5 s
+    // absolute growth — ratio alone flags 0.1 s noise) is re-run once
+    // after the sweep, when its neighbors' load has drained, and the
+    // better median wins. Re-run names are stamped into the artifact
+    // ("reruns") together with the start/end 1-min load averages, so
+    // a poisoned sweep is visible instead of silently authoritative.
+    val prevQueries: Map[String, Double] = {
+      val prevFile = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => "^BENCH_FULL_r(\\d+)\\.json$".r
+          .findFirstMatchIn(f.getName).map(m => m.group(1).toInt -> f))
+        .sortBy(-_._1).headOption.map(_._2)
+      prevFile.map { f =>
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val qStart = txt.indexOf("\"queries\":{")
+        // a prior artifact from a DIFFERENT sf dir is no baseline —
+        // cross-sf ratios would flag everything or nothing
+        val sameSf = txt.contains(s""""sf":"$sfDir"""")
+        if (qStart < 0 || !sameSf) Map.empty[String, Double]
+        else {
+          val body = txt.substring(qStart + 11, txt.indexOf("}", qStart))
+          "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }.getOrElse(Map.empty)
+    }
+    val suspects = firstPass
+      .filter { case (name, t) =>
+        t > 0 && prevQueries.get(name)
+          .exists(p => p > 0 && t > 3 * p && t - p > 0.5)
+      }
+      .sortBy { case (name, t) => -(t / prevQueries(name)) }
+      .take(15).map(_._1)
+    val rerun: Map[String, Double] = suspects.flatMap { n =>
+      defs.find(_._1 == n).map { case (_, su, r) => n -> medianOf(n, su)(r) }
+    }.toMap
+    val results = firstPass.map { case (n, t) =>
+      n -> rerun.get(n).filter(t2 => t2 > 0 && t2 < t).getOrElse(t)
+    }
+    val loadEnd = loadAvg
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
+    val reruns = suspects.map(n => s"\"$n\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reruns":$reruns,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}"""
     println(line)
     // Persist the COMPLETE per-query map to files as well: the harness
     // captures a bounded stdout tail, which truncated ~28 of 90 query
