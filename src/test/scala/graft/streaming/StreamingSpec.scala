@@ -246,6 +246,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(asSet(spark.table("t6_mem")) == batchExpected)
   }
 
+  test("source independence: MemoryStream and the file source agree on the stateful pipeline") {
+    // The Kafka claim made testable without a broker: dedupWindowAgg
+    // (watermark -> state-store dedup -> event-time window agg) is a
+    // pure function of the arriving rows, independent of WHICH
+    // streaming source implementation delivers them. Run the
+    // identical transform through two genuinely different source
+    // stacks — the JSON file source (offset = file list, the Kafka
+    // stand-in everywhere else) and MemoryStream (DSv2 in-memory
+    // source, offset = batch id) fed in 3 explicit batches — and
+    // require bit-identical results, both equal to the batch
+    // aggregate. A source-dependent leak (ordering assumptions,
+    // per-source timestamp handling, state keyed on file identity)
+    // would split the two.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // memory-source leg, 3 micro-batches
+    val rows = Tables.events(spark, sf).as[EventStream.Event]
+      .collect().sortBy(_.event_id)
+    val ms = MemoryStream[EventStream.Event]
+    val mq = EventStream.dedupWindowAgg(ms.toDF())
+      .writeStream.format("memory").queryName("srcindep_mem")
+      .outputMode("complete").start()
+    rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+      ms.addData(chunk.toSeq); mq.processAllAvailable()
+    }
+    val dataBatches = mq.recentProgress.count(_.numInputRows > 0)
+    val viaMemory = asSet(spark.table("srcindep_mem"))
+    mq.stop()
+    assert(dataBatches >= 2,
+      s"replay must cross micro-batches to exercise state ($dataBatches)")
+    // file-source leg over the same rows
+    val base = java.nio.file.Files.createTempDirectory("srcindep").toFile
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    Tables.events(spark, sf).coalesce(1).write.mode("overwrite").json(src)
+    val fq = EventStream.dedupWindowAgg(EventStream.readJsonStream(spark, src))
+      .writeStream.format("memory").queryName("srcindep_file")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    fq.awaitTermination()
+    val viaFile = asSet(spark.table("srcindep_file"))
+    assert(viaMemory == viaFile,
+      "the same pipeline diverged across source implementations")
+    assert(viaFile == batchExpected)
+  }
+
   test("T8: flatMapGroupsWithState tallies survive a checkpoint restart") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("t8-stream").toFile
