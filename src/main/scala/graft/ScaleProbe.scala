@@ -36,21 +36,31 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val x10Dir = "/tmp/graft-scale10"
+    // v2: round 10 adds a 10× events replica (event_id offset far
+    // above any real id; user_id/ts preserved, so per-user streaming
+    // state and the lag-grid join both grow ×10 in rows-per-key — the
+    // scaling axis that actually stresses them)
+    val x10Dir = "/tmp/graft-scale10-v2"
     val marker = new java.io.File(s"$x10Dir/_READY")
     if (!marker.exists()) {
       val docs = Tables.documents(spark, sfDir)
       val embs = Tables.embeddings(spark, sfDir)
+      val evs = Tables.events(spark, sfDir)
       val docs10 = (0 until 10).map(k =>
         docs.withColumn("doc_id", col("doc_id") + lit(k * 1000000L)))
         .reduce(_ unionByName _)
       val embs10 = (0 until 10).map(k =>
         embs.withColumn("vec_id", col("vec_id") + lit(k * 1000000L)))
         .reduce(_ unionByName _)
+      val evs10 = (0 until 10).map(k =>
+        evs.withColumn("event_id", col("event_id") + lit(k * 1000000000L)))
+        .reduce(_ unionByName _)
       docs10.repartition(10).write.mode("overwrite")
         .parquet(s"$x10Dir/documents.parquet")
       embs10.repartition(10).write.mode("overwrite")
         .parquet(s"$x10Dir/embeddings.parquet")
+      evs10.repartition(10).write.mode("overwrite")
+        .parquet(s"$x10Dir/events.parquet")
       marker.createNewFile()
     }
 
@@ -60,9 +70,13 @@ object ScaleProbe {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // warm-up
+    // warm-up + untimed streaming-rig staging (Bench's protocol: the
+    // timed streaming entries measure readStream → sink, not the JSON
+    // render of the source corpus)
     noop(Tables.documents(spark, sfDir).groupBy("source").count())
     noop(Tables.documents(spark, x10Dir).groupBy("source").count())
+    graft.streaming.EventStream.stageRig(spark, sfDir)
+    graft.streaming.EventStream.stageRig(spark, x10Dir)
 
     val probes: Seq[(String, String => Unit)] = Seq(
       "sig_build" -> { d =>
@@ -91,6 +105,23 @@ object ScaleProbe {
       },
       "d1_exact_dedup" -> { d =>
         noop(graft.operators.TextAnalysis.queries("d1_exact_dedup")(spark, d))
+      },
+      // round 10: the three remaining family heads — config-grid ×
+      // events interval join, and the two state-store-heavy streaming
+      // paths (watermarked dedup+window agg; session windows). The
+      // streaming entries run the full readStream → stateful agg →
+      // sink pipeline on a rig staged from the 10× events table, so
+      // the ratio measures state-store growth, not JSON rendering.
+      "grid_build" -> { d =>
+        graft.operators.LagGrid.grid.invalidate(spark, d)
+        graft.operators.LagGrid.grid(spark, d)
+        ()
+      },
+      "t3_stream_dedup_agg" -> { d =>
+        noop(graft.streaming.EventStream.queries("t3_stream_dedup_agg")(spark, d))
+      },
+      "t16_session_stream" -> { d =>
+        noop(graft.streaming.EventStream.queries("t16_session_stream")(spark, d))
       })
 
     val out = probes.map { case (name, run) =>

@@ -566,4 +566,53 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning(doc_id"),
       s"lag window must key on doc_id:\n${plan.take(2000)}")
   }
+  test("no-partition windows only ever sit on bounded hypothesis-grid frames") {
+    // The WindowExec "No Partition Defined" warning marks a frame that
+    // materializes on ONE partition — fatal on a corpus-sized input,
+    // fine on a ≤O(grid) aggregate (a 20-row hypothesis grid, a
+    // ranked p-value list). This guard enumerates every query whose
+    // OPTIMIZED plan carries an empty-partition Window and pins the
+    // set to the audited allowlist below, so a refactor that slips a
+    // corpus-sized frame onto one partition (or silently grows the
+    // list) fails here instead of in production. Each allowlisted
+    // query's single-partition frame is post-aggregation: its row
+    // count is bounded by the group/grid cardinality, not the corpus.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // sql17 parses vader_compound through the SQL surface — the test
+    // session has no GraftExtensions, so bridge the live registry
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunctions(spark)
+    val families = Relational.queries ++ Windows.queries ++
+      Stats.queries ++ LagGrid.queries ++ DatasetOps.queries ++
+      Curation.queries ++ TextAnalysis.queries ++
+      IntervalJoins.queries ++ Similarity.queries ++ Signals.queries
+    val offenders = families.keys.toSeq.sorted.flatMap { name =>
+      val hits = families(name)(spark, sf)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+      if (hits.nonEmpty) Some(name) else None
+    }
+    val allow = Set(
+      // day/month-level series frames (≤ calendar cardinality):
+      "a10_risk_metrics", "a11_monthly_returns", "a12_annual_rollup",
+      "a66_rank_corr", "w7_daily_returns", "a50_kaplan_meier",
+      // hypothesis-grid / p-value ranking frames (≤ grid cells):
+      "a14_heatmap_argmax", "a46_bh_fdr", "a63_holm", "a35_mw_pvalue",
+      // the documented two-level ECDF merges (one single-partition
+      // window each over the merged boundary set — see the a33/a35
+      // test above):
+      "a33_ks_test", "a35_mannwhitney",
+      // vocab-sized rank spines (≤ |vocab|, the operator's subject):
+      "txt8_vocab", "txt15_zipf",
+      // post-agg user-quartile spine (O(users) rows — the global
+      // ntile A36's semantics require; documented in Relational):
+      "a36_rfm",
+      // distinct-score histogram spine, broadcast back (ds15's
+      // integer-exact rank trick; the corpus-sized row_number is
+      // PARTITIONED by score):
+      "ds15_curriculum")
+    assert(offenders.toSet == allow,
+      s"no-partition window set drifted:\n  got   ${offenders.sorted}" +
+      s"\n  allow ${allow.toList.sorted}")
+  }
 }
