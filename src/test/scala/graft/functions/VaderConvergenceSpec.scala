@@ -86,6 +86,12 @@ class VaderConvergenceSpec extends AnyFunSuite {
     // Round-8 measured 0.332; the round-9 market-register tranche
     // (beat/lifts/secures/reassures/brightens + inflections) moved the
     // fixture to 0.387 — the bands are tightened to hold that.
+    // Round 10 completed the lexicon to published-file breadth
+    // (~7,455 entries) and the mean moved by exactly 0: every
+    // sentiment-bearing fixture word was already scored, so the
+    // residual vs 0.433 is the fixture's stronger-than-corpus
+    // negative tail, and narrowing the band further would assert a
+    // number this fixture structurally cannot reach.
     assert(mean > 0.38 && mean < 0.48, f"mean drifted: $mean%.3f")
     assert(posShare > 0.65 && posShare < 0.85,
       f"positive share drifted: $posShare%.3f")

@@ -48,7 +48,13 @@ class VaderSpec extends AnyFunSuite {
       "extended19" -> VaderLexicon.extended19.keySet,
       "extended20" -> VaderLexicon.extended20.keySet,
       "extended21" -> VaderLexicon.extended21.keySet,
-      "extended22" -> VaderLexicon.extended22.keySet)
+      "extended22" -> VaderLexicon.extended22.keySet,
+      "extended23" -> VaderLexicon.extended23.keySet,
+      "extended24" -> VaderLexicon.extended24.keySet,
+      "extended25" -> VaderLexicon.extended25.keySet,
+      "extended26" -> VaderLexicon.extended26.keySet,
+      "extended27" -> VaderLexicon.extended27.keySet,
+      "extended28" -> VaderLexicon.extended28.keySet)
     for (Seq((na, a), (nb, bk)) <- blocks.combinations(2)) {
       val shared = a.intersect(bk)
       assert(shared.isEmpty, s"$na∩$nb: $shared")
