@@ -634,6 +634,28 @@ object Similarity {
         .orderBy("va", "vb")
     }),
 
+    // D16: embedding near-dup CLUSTER resolution — the missing last
+    // stage for the embedding modality, completing the
+    // pairs-are-not-clusters story across all three: text (D2/D6 →
+    // D10), images (MM5 → MM9), and now vectors (D9 → D16). The
+    // banded-LSH verified cosine pair graph resolves to canonical
+    // groups via the shared property-tested connected-components
+    // kernel (min-id election), every embedding a vertex. "Keep one
+    // of each embedding family" becomes a join against this table.
+    // Rows-only (the hyperplane literals have no SQL twin); the spec
+    // anchors the exact integer labels against a sequential
+    // union-find over the same collected D9 edges, and transitively
+    // the edges' cosines are D5-anchored (SimilaritySpec).
+    "d16_emb_clusters" -> ((s, d) => {
+      val pairs = queries("d9_embedding_neardup_lsh")(s, d)
+        .select(col("va").as("da"), col("vb").as("db"))
+      val verts = Tables.embeddings(s, d)
+        .select(col("vec_id").as("doc_id"))
+      Dedup.connectedComponents(pairs, verts)
+        .select(col("doc_id").as("vec_id"), col("comp").as("canonical_id"))
+        .orderBy("vec_id")
+    }),
+
     // D5: embedding-cosine near-duplicate pairs (vec_id < 200, τ=0.35).
     "d5_embedding_neardup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).filter(col("vec_id") < 200)

@@ -229,4 +229,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(shared.nonEmpty)
     shared.foreach { k => assert(exact(k) == approx(k), s"cosine differs at $k") }
   }
+  test("D16 embedding clusters equal a sequential union-find over the D9 edges") {
+    // the cluster stage must add NOTHING beyond transitive closure of
+    // the (deterministic, D5-anchored) D9 pair graph: exact integer
+    // label equality against a sequential min-canonical union-find,
+    // every embedding a vertex, singletons included
+    import org.apache.spark.sql.functions.col
+    val edges = Similarity.queries("d9_embedding_neardup_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "vacuous: no D9 edges at sf0.001")
+    val verts = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted
+    val parent = scala.collection.mutable.Map(verts.map(v => v -> v): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val byRoot = verts.groupBy(find)
+    val expected = verts.map(v => v -> byRoot(find(v)).min).toMap
+    val got = Similarity.queries("d16_emb_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.exists { case (v, c) => v != c },
+      "vacuous: no non-trivial embedding cluster")
+  }
 }
