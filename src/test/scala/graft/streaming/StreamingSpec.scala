@@ -294,6 +294,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaFile == batchExpected)
   }
 
+  test("format(\"kafka\") fails at DataSource lookup - the documented container boundary") {
+    // Pins the README Kafka-section claim as an executable fact: the
+    // spark-sql-kafka-0-10 connector jar is absent and unfetchable
+    // (offline Coursier, zero egress), so the kafka source fails
+    // BEFORE any plan is built. This is the precise boundary between
+    // what this container proves (the source-agnostic stateful
+    // pipeline - see "source independence" above) and what needs a
+    // real cluster (the broker round-trip). If a future environment
+    // DOES ship the connector, this test fails loudly and the
+    // README's boundary section must be rewritten to run the real
+    // thing instead.
+    val e = intercept[Throwable] {
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", "localhost:9092")
+        .option("subscribe", "events").load()
+    }
+    val msg = (Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse(""))
+      .toLowerCase
+    assert(msg.contains("kafka"),
+      s"expected a kafka DataSource-lookup failure, got: $msg")
+  }
+
   test("T8: flatMapGroupsWithState tallies survive a checkpoint restart") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("t8-stream").toFile
