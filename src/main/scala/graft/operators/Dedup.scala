@@ -212,6 +212,13 @@ object Dedup {
     * @param vertices (doc_id) — every doc in scope; docs in no pair
     *                 come out as their own singleton component
     */
+  /** Rounds the most recent [[connectedComponents]] call took to
+    * converge (propagation rounds + the final fixpoint confirmation).
+    * Telemetry for specs/benchmarks: the scale claim is "rounds ≈
+    * cluster diameter", and this makes it MEASURED on the corpus
+    * graphs instead of argued (DedupSpec pins the corpus bound). */
+  private[graft] val lastCcRounds = new java.util.concurrent.atomic.AtomicLong(0)
+
   private[operators] def connectedComponents(pairs: DataFrame,
       vertices: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -241,6 +248,7 @@ object Dedup {
       if (changed == 0) {
         result = next
         edges.unpersist()
+        lastCcRounds.set(iter + 1)
       } else {
         labels = next
         iter += 1

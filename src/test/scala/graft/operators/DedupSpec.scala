@@ -566,6 +566,22 @@ class DedupSpec extends AnyFunSuite {
     assert(got.values.exists(_._3 > 0.0), "vacuous: no corpus triangle")
   }
 
+  test("corpus CC converges in at most diameter+1 rounds (measured, not argued)") {
+    // the 100 TB scale claim for every CC consumer (d10_cc_corpus,
+    // mm9, d16) is "rounds ~ cluster diameter"; this measures it on
+    // the real corpus graph. Max corpus cluster size is 4 (measured
+    // at sf0.001/0.01/0.1) so diameter <= 3; allow diameter rounds +
+    // the fixpoint confirmation round.
+    val sf = SparkTestSession.Sf0001
+    val (_, pairs) = corpusGraph
+    val maxClusterDiameter = 3
+    Dedup.queries("d10_cc_corpus")(spark, sf).collect()
+    val rounds = Dedup.lastCcRounds.get()
+    assert(rounds >= 1 && rounds <= maxClusterDiameter + 1,
+      s"corpus CC took $rounds rounds (bound ${maxClusterDiameter + 1})")
+    assert(pairs.nonEmpty)
+  }
+
   test("simhash: identical docs share the signature, disjoint differ") {
     val d = docs(1L -> wordsA, 2L -> wordsA, 3L -> wordsB)
     val sh = Dedup.queries("d4_simhash")(spark, d).collect()
