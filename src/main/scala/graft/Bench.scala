@@ -102,7 +102,10 @@ object Bench {
         () => { graft.operators.Stats.mkBase(spark, sfDir); () }),
       ("corpus_pairs_build",
         () => graft.operators.Dedup.corpusPairs.invalidate(spark, sfDir),
-        () => { graft.operators.Dedup.corpusPairs(spark, sfDir); () }))
+        () => { graft.operators.Dedup.corpusPairs(spark, sfDir); () }),
+      ("emb_pairs_build",
+        () => graft.operators.Similarity.embPairs.invalidate(spark, sfDir),
+        () => { graft.operators.Similarity.embPairs(spark, sfDir); () }))
     // Local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 times just those
     // queries. A named query that consumes a staged build artifact
     // pulls that build in automatically (the caches are lazy, so the
@@ -125,7 +128,9 @@ object Bench {
       "a55_base_build" -> Set("a55_mann_kendall", "a55_mk_pvalue"),
       "corpus_pairs_build" -> Set("d10_cc_corpus", "d12_tri_corpus",
         "d11_pr_corpus", "d13_coeff_corpus", "d14_lpa_corpus",
-        "sql7_closure_corpus"))
+        "sql7_closure_corpus"),
+      "emb_pairs_build" -> Set("d9_embedding_neardup_lsh",
+        "d16_emb_clusters"))
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     def keep(name: String): Boolean = only.forall(_.contains(name))

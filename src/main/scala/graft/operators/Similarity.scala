@@ -275,6 +275,47 @@ object Similarity {
     ivfIndexTable.invalidate(s, d)
   }
 
+  /** The verified embedding near-dup pair graph (D9's output):
+    * 6 hyperplane-sign bands → candidate bucket-mates → exact-cosine
+    * verify ≥ τ = 0.35, with the codegen dot running BEFORE the dedup
+    * shuffle so only τ-passing pairs shuffle (shuffling every wide
+    * candidate row first was the dominant cost of this search).
+    * Materialized once per (session, dir) — round 10: BOTH the pair
+    * query (D9) and the cluster resolution (D16) consume the same
+    * edge table, and the band join + verify is their dominant shared
+    * cost (the corpus_pairs pattern); Bench times the build as its
+    * own `emb_pairs_build` entry. Edge-count sized, so the persist
+    * overhead is nil. */
+  private def embPairsPlan(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      .withColumn("bb", banded(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+    val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("nrm").as("na"), col("band"), col("bkt"))
+    val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("nrm").as("nb"), col("band"), col("bkt"))
+    a.join(b, Seq("band", "bkt"))
+      .filter(col("va") < col("vb"))
+      .withColumn("cosine",
+        dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= 0.35)
+      .select(col("va"), col("vb"), r6(col("cosine")).as("cosine"))
+      .dropDuplicates("va", "vb")
+  }
+
+  private[graft] val embPairs = new graft.MaterializedTable(embPairsPlan)
+
+  /** D16's duplicate-grade cosine cut over the D9 edge table: 0.45
+    * separates duplicate FAMILIES (clusters ≤ 4, diameter ≤ 3 at
+    * every SF — measured) from the retrieval-similarity blob that
+    * transitive closure at D9's τ = 0.35 produces (one 1,964-vector
+    * component at sf0.1). Non-vacuous at all three SFs (7/14/121
+    * non-trivial exact families). */
+  private[operators] val EmbDupTau = 0.45
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SIM1: brute-force cosine top-5 per query vector (vec_id < 10).
     // SIM7: maximum-inner-product search (MIPS) — retrieval scored by
@@ -608,46 +649,31 @@ object Similarity {
     // against the oracle-checked D5 slice in SimilaritySpec. Rows-only
     // (the plane literals have no SQL twin); precision is exact by
     // construction (the verify stage recomputes the true cosine).
-    "d9_embedding_neardup_lsh" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"))
-        .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
-        .withColumn("bb", banded(col("embedding")))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          col("bb.band").as("band"), col("bb.bkt").as("bkt"))
-      val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"),
-        col("nrm").as("na"), col("band"), col("bkt"))
-      val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-        col("nrm").as("nb"), col("band"), col("bkt"))
-      // verify BEFORE dedup: the codegen dot runs once per band
-      // collision inside the join's output partition (no shuffle), so
-      // the dedup shuffle carries only pairs that already passed the
-      // τ filter — shuffling every wide candidate row first was the
-      // dominant cost of this query
-      a.join(b, Seq("band", "bkt"))
-        .filter(col("va") < col("vb"))
-        .withColumn("cosine",
-          dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-        .filter(col("cosine") >= 0.35)
-        .select(col("va"), col("vb"), r6(col("cosine")).as("cosine"))
-        .dropDuplicates("va", "vb")
-        .orderBy("va", "vb")
-    }),
+    "d9_embedding_neardup_lsh" -> ((s, d) =>
+      embPairs(s, d).orderBy("va", "vb")),
 
     // D16: embedding near-dup CLUSTER resolution — the missing last
     // stage for the embedding modality, completing the
     // pairs-are-not-clusters story across all three: text (D2/D6 →
     // D10), images (MM5 → MM9), and now vectors (D9 → D16). The
-    // banded-LSH verified cosine pair graph resolves to canonical
-    // groups via the shared property-tested connected-components
-    // kernel (min-id election), every embedding a vertex. "Keep one
-    // of each embedding family" becomes a join against this table.
-    // Rows-only (the hyperplane literals have no SQL twin); the spec
-    // anchors the exact integer labels against a sequential
-    // union-find over the same collected D9 edges, and transitively
-    // the edges' cosines are D5-anchored (SimilaritySpec).
+    // materialized banded-LSH verified pair graph resolves to
+    // canonical groups via the shared property-tested
+    // connected-components kernel (min-id election), every embedding
+    // a vertex. THRESHOLD MATTERS here: D9's τ = 0.35 is a RETRIEVAL
+    // similarity cut, and transitive closure at retrieval similarity
+    // over-merges catastrophically — measured on this corpus: one
+    // 1,964-vector blob (diameter 12) swallows 40% of sf0.1 at 0.35,
+    // where the duplicate-grade cut below yields 121 tight families
+    // of ≤ 4 (diameter ≤ 3, so the CC loop also converges in ≤ 4
+    // rounds instead of ~13). Same filter-on-materialized-edges as a
+    // production pipeline: one pair search serves retrieval AND
+    // dedup. Rows-only (the hyperplane literals have no SQL twin);
+    // the spec anchors the exact integer labels against a sequential
+    // union-find over the same collected, threshold-filtered D9
+    // edges, and transitively the edges' cosines are D5-anchored
+    // (SimilaritySpec).
     "d16_emb_clusters" -> ((s, d) => {
-      val pairs = queries("d9_embedding_neardup_lsh")(s, d)
+      val pairs = embPairs(s, d).filter(col("cosine") >= EmbDupTau)
         .select(col("va").as("da"), col("vb").as("db"))
       val verts = Tables.embeddings(s, d)
         .select(col("vec_id").as("doc_id"))

@@ -231,13 +231,15 @@ class SimilaritySpec extends AnyFunSuite {
   }
   test("D16 embedding clusters equal a sequential union-find over the D9 edges") {
     // the cluster stage must add NOTHING beyond transitive closure of
-    // the (deterministic, D5-anchored) D9 pair graph: exact integer
-    // label equality against a sequential min-canonical union-find,
-    // every embedding a vertex, singletons included
+    // the (deterministic, D5-anchored) D9 pair graph at the
+    // duplicate-grade cut: exact integer label equality against a
+    // sequential min-canonical union-find, every embedding a vertex,
+    // singletons included
     import org.apache.spark.sql.functions.col
     val edges = Similarity.queries("d9_embedding_neardup_lsh")(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(edges.nonEmpty, "vacuous: no D9 edges at sf0.001")
+      .collect().filter(_.getDouble(2) >= Similarity.EmbDupTau)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "vacuous: no dup-grade D9 edges at sf0.001")
     val verts = graft.Tables.embeddings(spark, sf)
       .select(col("vec_id")).collect().map(_.getLong(0)).sorted
     val parent = scala.collection.mutable.Map(verts.map(v => v -> v): _*)
