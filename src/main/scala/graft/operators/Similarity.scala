@@ -286,7 +286,7 @@ object Similarity {
     * cost (the corpus_pairs pattern); Bench times the build as its
     * own `emb_pairs_build` entry. Edge-count sized, so the persist
     * overhead is nil. */
-  private def embPairsPlan(s: SparkSession, d: String): DataFrame = {
+  private[operators] def embPairsPlan(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))

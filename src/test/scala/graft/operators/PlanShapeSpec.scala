@@ -118,6 +118,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding pair-graph build joins on (band, bkt), never all pairs") {
+    // the materialized D9/D16 edge table: candidate generation must
+    // stay a keyed equi-join on the 6 hyperplane-sign buckets
+    Similarity.embPairs.invalidate(spark, sf)  // raw plan, not the cache
+    val plan = Similarity.embPairsPlan(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("banded ANN joins on (band, bucket), never all pairs") {
     val plan = planOf(Similarity.queries, "sim2_lsh_ann")
     assert(!plan.contains("CartesianProduct") &&
