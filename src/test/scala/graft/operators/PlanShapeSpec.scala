@@ -52,6 +52,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("UnionLoop"), plan.take(1500))
   }
 
+  test("sql7 corpus closure also plans as in-plan recursion (UnionLoop)") {
+    // the full-corpus rCTE must exercise the same recursion machinery
+    // as the slice variant — over the materialized corpus_pairs view
+    val plan = planOf(Relational.queries, "sql7_closure_corpus")
+    assert(plan.contains("UnionLoop"), plan.take(1500))
+  }
+
   test("sql8 lateral top-n decorrelates to a window plan, no nested loop") {
     // the correlated LATERAL + LIMIT must decorrelate into a ranked
     // window + keyed join — a per-outer-row nested loop would be the
