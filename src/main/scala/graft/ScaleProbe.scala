@@ -92,6 +92,23 @@ object ScaleProbe {
       "d10_cc_corpus" -> { d =>
         noop(graft.operators.Dedup.queries("d10_cc_corpus")(spark, d))
       },
+      // round 10: the clustering-coefficient consumer of the shared
+      // edge table. Two corpus queries are DELIBERATELY absent from
+      // the probe because the id-offset replica copies every row 10×,
+      // planting a dense 10-clique of identical content behind each
+      // original — an artifact of the replica, not the operator:
+      // d9/d16 (every embedding × its 9 copies at cosine 1.0 → 45·V
+      // synthetic edges) and sql7_closure_corpus (J = 1.0 cliques of
+      // degree 9 make the bounded UNION ALL walk multiply as deg^depth
+      // ≈ 9⁴ per vertex, tripping Spark's 10⁶ recursion-row guard —
+      // measured, and exactly the documented rCTE-vs-driver-loop
+      // trade-off: in-plan recursion is the shallow-sparse path; the
+      // D10 loop, probed above, handles the dense graph at ratio ~1.6).
+      // The d12/d13 wedge kernel is polynomial (O(m·α)), so d13 probes
+      // cleanly over the same clique-heavy graph.
+      "d13_coeff_corpus" -> { d =>
+        noop(graft.operators.Dedup.queries("d13_coeff_corpus")(spark, d))
+      },
       "txt17_bigram_loglik" -> { d =>
         noop(graft.operators.TextAnalysis
           .queries("txt17_bigram_loglik")(spark, d))

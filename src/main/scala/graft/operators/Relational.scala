@@ -968,15 +968,20 @@ object Relational {
     // SQL7b: the same in-plan recursion over the FULL corpus — the
     // recursive-CTE path consuming the PRODUCTION edge graph (the
     // banded-LSH → exact-verify J ≥ 0.5 materialized table D10b/D12b
-    // share) instead of the demo slice. Depth 8 stays exact: corpus
-    // dup clusters are ≤ 4 docs (measured at sf0.001/0.01/0.1), so
-    // diameter ≤ 3 ≪ 8, and walk multiplicity on these near-cliques
-    // is bounded by deg⁸ ≤ 3⁸ per vertex — absorbed by the final
-    // min/GROUP BY. Fully oracle-checked against the exhaustive
-    // exact-Jaccard graph + recursive closure (d10_cc_corpus's
-    // oracle), and spec-asserted row-identical to the iterative
-    // DataFrame components — the two corpus component paths (driver
-    // loop vs in-plan recursion) cannot diverge silently.
+    // share) instead of the demo slice. The depth bound tracks the
+    // MEASURED graph: corpus dup clusters are ≤ 4 docs at every SF
+    // (diameter ≤ 3), so depth 4 = diameter + 1 margin is exact —
+    // and the bound is load-bearing at scale, not cosmetic: bounded
+    // UNION ALL walks multiply as Σ deg^depth over edge-endpoints,
+    // and the slice variant's depth 8 blew Spark's 10⁶ recursion-row
+    // safety limit on the 10× ScaleProbe replica where depth 4 walks
+    // 16× fewer rows (the documented rCTE trade-off: in-plan
+    // recursion for shallow closures, the D10 driver loop for deep
+    // graphs). Exactness is double-guarded: fully oracle-checked
+    // against the exhaustive exact-Jaccard graph + recursive closure
+    // (d10_cc_corpus's oracle), and spec-asserted row-identical to
+    // the iterative DataFrame components — a cluster outgrowing the
+    // depth bound fails both comparisons loudly.
     "sql7_closure_corpus" -> ((s, d) => {
       Tables.documents(s, d).select(col("doc_id"))
         .createOrReplaceTempView("docs_corpus_v")
@@ -990,7 +995,7 @@ object Relational {
             UNION ALL
             SELECT reach.id, e.dst, reach.lvl + 1 FROM reach
             JOIN edges e ON reach.r = e.src
-            WHERE reach.lvl < 8)
+            WHERE reach.lvl < 4)
         SELECT id AS doc_id, min(r) AS canonical_id FROM reach
         GROUP BY id ORDER BY doc_id""")
     }),
