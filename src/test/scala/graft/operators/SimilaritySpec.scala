@@ -229,6 +229,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(shared.nonEmpty)
     shared.foreach { k => assert(exact(k) == approx(k), s"cosine differs at $k") }
   }
+  test("dup-grade LSH edges: precision exact, recall measured against the exhaustive graph") {
+    // D16's input graph quality, pinned: every dup-grade LSH edge
+    // must appear in the EXHAUSTIVE cosine >= tau pair set with the
+    // identical cosine (precision is exact by construction - the
+    // verify stage recomputes the true cosine), and the seeded
+    // hyperplanes make observed recall a fixed quantity, asserted
+    // against a floor below the analytic 1-(1-p^3)^6 ~ 0.85 at the
+    // tau = 0.45 boundary (higher-cosine edges recall better).
+    // Measured: 5/7 = 0.71 at sf0.001 - the boundary-cosine edge set
+    // where per-edge recall is weakest; the floor pins it.
+    import org.apache.spark.sql.functions.{col, sqrt}
+    val tau = Similarity.EmbDupTau
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm",
+        sqrt(graft.functions.DotProduct.dot(col("embedding"), col("embedding"))))
+    val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val exact = a.crossJoin(b).filter(col("va") < col("vb"))
+      .withColumn("cosine", org.apache.spark.sql.functions.round(
+        graft.functions.DotProduct.dot(col("ea"), col("eb")) /
+          (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= tau)
+      .select(col("va"), col("vb"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(exact.nonEmpty, "vacuous: no exhaustive dup-grade pair")
+    val lsh = Similarity.queries("d9_embedding_neardup_lsh")(spark, sf)
+      .collect().filter(_.getDouble(2) >= tau)
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { case (p, c) =>
+      assert(exact.get(p).contains(c),
+        s"LSH pair $p (cosine $c) not in the exhaustive graph")
+    }
+    val recall = lsh.size.toDouble / exact.size
+    info(f"dup-grade recall = ${lsh.size}/${exact.size} = $recall%.2f")
+    assert(recall >= 0.7, f"recall $recall%.2f below floor 0.7")
+  }
+
   test("D16 embedding clusters equal a sequential union-find over the D9 edges") {
     // the cluster stage must add NOTHING beyond transitive closure of
     // the (deterministic, D5-anchored) D9 pair graph at the
