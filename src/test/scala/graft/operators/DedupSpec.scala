@@ -582,6 +582,76 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
   }
 
+  test("triangle counts equal the naive closed-wedge count on random graphs") {
+    // property: for ANY edge set - including degree ties, where the
+    // (degree, id) orientation tiebreak is the part a real-data
+    // anchor may never exercise - the degree-ordered kernel must
+    // equal a sequential adjacency-set recomputation. 12 seeded
+    // random graphs across densities; splitmix64, no wall-clock
+    // randomness.
+    import spark.implicits._
+    def sm(x: Long): Long = graft.SparkTestSession.splitmix64(x)
+    for (trial <- 1 to 12) {
+      val nV = 6 + (math.abs(sm(trial * 3011L)) % 20).toInt
+      val nE = (math.abs(sm(trial * 4021L)) % (3 * nV)).toInt
+      val edges = (0 until nE).map { i =>
+        val a = math.abs(sm(trial * 90001L + i * 2)) % nV
+        val b = math.abs(sm(trial * 90001L + i * 2 + 1)) % nV
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        val want = collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        for ((a, b) <- edges; c <- adj(a) if c > b && adj(b).contains(c)) {
+          want(a) += 1; want(b) += 1; want(c) += 1
+        }
+        val got = Dedup.triangleCounts(edges.toDF("da", "db"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want.toMap,
+          s"trial $trial (nV=$nV, edges=$edges): $got vs $want")
+      }
+    }
+  }
+
+  test("label propagation equals the sequential synchronous update on random graphs") {
+    // property companion to the real-data D14 anchors: the
+    // distributed join/agg/window formulation must reproduce the
+    // sequential self-vote/min-tie update bit-for-bit on ANY graph,
+    // including vote ties and isolated vertices
+    import spark.implicits._
+    def sm(x: Long): Long = graft.SparkTestSession.splitmix64(x)
+    for (trial <- 1 to 8) {
+      val nV = 5 + (math.abs(sm(trial * 5003L)) % 16).toInt
+      val nE = (math.abs(sm(trial * 6007L)) % (2 * nV)).toInt
+      val edges = (0 until nE).map { i =>
+        val a = math.abs(sm(trial * 110001L + i * 2)) % nV
+        val b = math.abs(sm(trial * 110001L + i * 2 + 1)) % nV
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val verts = (0 until nV).map(_.toLong)
+        val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+        var label = verts.map(v => v -> v).toMap
+        for (_ <- 1 to 4) {
+          label = verts.map { v =>
+            val votes = (v +: adj.getOrElse(v, Seq.empty))
+              .map(label).groupBy(identity)
+              .map { case (l, o) => l -> o.size }
+            v -> votes.toSeq.minBy { case (l, n) => (-n, l) }._1
+          }.toMap
+        }
+        val got = Dedup.labelPropagation(edges.toDF("da", "db"),
+            verts.toDF("doc_id"), iters = 4)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == label,
+          s"trial $trial (nV=$nV, edges=$edges): $got vs $label")
+      }
+    }
+  }
+
   test("simhash: identical docs share the signature, disjoint differ") {
     val d = docs(1L -> wordsA, 2L -> wordsA, 3L -> wordsB)
     val sh = Dedup.queries("d4_simhash")(spark, d).collect()
