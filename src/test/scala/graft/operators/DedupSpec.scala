@@ -652,6 +652,48 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("PageRank equals the sequential power iteration on random graphs") {
+    // completes the kernel property family (CC, triangles, LPA, PR):
+    // damped power iteration with undistributed dangling mass must
+    // match the sequential recomputation within float noise on ANY
+    // graph, isolated vertices pinned to the teleport floor
+    import spark.implicits._
+    def sm(x: Long): Long = graft.SparkTestSession.splitmix64(x)
+    for (trial <- 1 to 6) {
+      val nV = 5 + (math.abs(sm(trial * 7013L)) % 14).toInt
+      val nE = (math.abs(sm(trial * 8017L)) % (2 * nV)).toInt
+      val edges = (0 until nE).map { i =>
+        val a = math.abs(sm(trial * 130001L + i * 2)) % nV
+        val b = math.abs(sm(trial * 130001L + i * 2 + 1)) % nV
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val verts = (0 until nV).map(_.toLong)
+        val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+        val damp = 0.85; val teleport = (1.0 - damp) / nV
+        var rank = verts.map(_ -> 1.0 / nV).toMap
+        for (_ <- 1 to 6) {
+          val contrib = collection.mutable.Map.empty[Long, Double]
+            .withDefaultValue(0.0)
+          adj.foreach { case (src, dsts) =>
+            val share = rank(src) / dsts.length
+            dsts.foreach(dst => contrib(dst) += share)
+          }
+          rank = verts.map(v => v -> (teleport + damp * contrib(v))).toMap
+        }
+        val got = Dedup.pageRank(edges.toDF("da", "db"),
+            verts.toDF("doc_id"), iters = 6, damp = damp)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(got.keySet == rank.keySet)
+        rank.foreach { case (v, r) =>
+          assert(math.abs(got(v) - r) <= 1e-9,
+            s"trial $trial node $v: seq=$r got=${got(v)}")
+        }
+      }
+    }
+  }
+
   test("simhash: identical docs share the signature, disjoint differ") {
     val d = docs(1L -> wordsA, 2L -> wordsA, 3L -> wordsB)
     val sh = Dedup.queries("d4_simhash")(spark, d).collect()
