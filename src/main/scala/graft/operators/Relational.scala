@@ -1403,6 +1403,38 @@ object Relational {
           AND l_quantity < 24""")
     }),
 
+    // SQL23: TPC-H Q15 — top supplier by a 3-month revenue VIEW: the
+    // one remaining TPC-H query the testdata schema can express (the
+    // others need partsupp / shipmode / commitdate). The shape SQL1–22
+    // don't cover: the SAME derived aggregate consumed TWICE in one
+    // statement — once as the join input, once inside the scalar MAX
+    // subquery that selects the winner. The argmax equality runs on
+    // the EXACT decimal sums (never the rounded double render), so
+    // ties and near-ties are bit-deterministic on both engines; the
+    // double appears only in the output projection. Plan shape: the
+    // scalar max executes once (subquery node, plan-asserted), the
+    // revenue aggregate is one keyed hash agg over the pushed 3-month
+    // scan, and supplier joins it keyed — no per-row re-aggregation.
+    // s_address/s_phone (absent from testdata) → s_nationkey/s_acctbal.
+    "sql23_tpch_q15" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      s.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(24,10))) AS total_revenue
+          FROM lineitem_v
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+               round(CAST(total_revenue AS DOUBLE), 6) AS total_revenue
+        FROM supplier_v JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey""")
+    }),
+
     // U4: INTERSECT — distinct (user, day) pairs where a click AND a
     // purchase both happened: the set-semantics operator (Catalyst
     // plans it as a distinct + left-semi hash join — keyed shuffle,
@@ -2531,6 +2563,24 @@ object Relational {
            AND l_discount BETWEEN CAST(0.05 AS DOUBLE)
                               AND CAST(0.07 AS DOUBLE)
            AND l_quantity < 24""",
+    // same text modulo the view suffix + the VARCHAR-hop double cast
+    // (DuckDB's decimal→double rounds differently from the string
+    // path; the argmax itself compares exact decimals on both engines)
+    "sql23_tpch_q15" ->
+      """WITH revenue AS (
+           SELECT l_suppkey AS supplier_no,
+                  sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(24,10))) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+                round(CAST(CAST(total_revenue AS VARCHAR) AS DOUBLE), 6)
+                  AS total_revenue
+         FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+         ORDER BY s_suppkey""",
     "sql14_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist
          FROM (SELECT c_custkey, count(o_orderkey) AS c_count

@@ -369,6 +369,42 @@ object Similarity {
         .orderBy("q_id", "rank")
     }),
 
+    // SIM9: FILTERED vector search — cosine top-5 restricted to
+    // candidates sharing the query's label (the hybrid
+    // metadata-predicate + ANN form every production retrieval stack
+    // needs: "nearest neighbors within this language/domain/tenant").
+    // The scale point: an EQUALITY filter turns the search from a
+    // broadcast cross join over the whole corpus (SIM1's shape) into
+    // a keyed join on the filter column — candidates shrink by the
+    // label's selectivity BEFORE any distance math runs (10× here;
+    // 1000× for a 1000-tenant corpus), and the plan stays a broadcast
+    // hash join on (label), never a post-hoc filter over all-pairs
+    // scores. Composes with every ANN index in the suite (SIM2/3/6
+    // buckets simply gain the label as a leading key). Deterministic
+    // ranking (score desc, id) → fully oracle-checked.
+    "sim9_filtered_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label"),
+          col("embedding").as("qe"))
+        .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
+      val c = emb
+        .select(col("vec_id").as("c_id"), col("label"),
+          col("embedding").as("ce"))
+        .withColumn("cn", sqrt(dot(col("ce"), col("ce"))))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("c_id"))
+      c.join(broadcast(q), Seq("label"))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine",
+          dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("label"), col("rank"), col("c_id"),
+          r6(col("cosine")).as("cosine"))
+        .orderBy("q_id", "rank")
+    }),
+
     // SIM2: banded-LSH ANN — top-k among candidates that share ANY of
     // the 6 band buckets with the query (rows-only check; recall vs
     // brute force asserted in SimilaritySpec). Each side explodes ×6
@@ -930,6 +966,28 @@ object Similarity {
            FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
          SELECT q_id, rank, c_id, round(cosine, 6) AS cosine FROM (
            SELECT q_id, c_id, cosine,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, c_id) AS rank
+           FROM pairs) WHERE rank <= 5
+         ORDER BY q_id, rank""",
+    // sim1's arithmetic gated by the label-equality predicate
+    "sim9_filtered_topk" ->
+      """WITH v AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, label, e,
+                  sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+           FROM v),
+         pairs AS (
+           SELECT q.vec_id AS q_id, q.label AS label, c.vec_id AS c_id,
+                  list_sum(list_transform(generate_series(1, len(q.e)),
+                    i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS cosine
+           FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+                            AND q.label = c.label)
+         SELECT q_id, label, rank, c_id, round(cosine, 6) AS cosine FROM (
+           SELECT q_id, label, c_id, cosine,
                   row_number() OVER (PARTITION BY q_id
                     ORDER BY cosine DESC, c_id) AS rank
            FROM pairs) WHERE rank <= 5

@@ -585,7 +585,49 @@ object TextAnalysis {
           r6(col("i").cast("double") / col("sza")).as("cont_a_in_b"),
           r6(col("i").cast("double") / col("szb")).as("cont_b_in_a"))
         .filter(col("cont_a_in_b") >= 0.5 || col("cont_b_in_a") >= 0.5)
-        .orderBy("da", "db"))
+        .orderBy("da", "db")),
+
+    // D17: cross-doc repeated-SPAN statistics — substring-level dedup
+    // (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    // Models Better"): whole-doc dedup (D1) and doc-pair near-dup
+    // (D2/D3) both miss the boilerplate CASE — a license header or
+    // navigation block repeated across thousands of otherwise-distinct
+    // pages. The published remedy fingerprints fixed-width token
+    // windows and measures, per doc, the fraction of its windows that
+    // recur in OTHER docs — the removal/trim signal. Window width 8
+    // tokens here (the paper uses 50; testdata docs run 10–99 tokens,
+    // so 8 keeps every doc ≥ the width while preserving the
+    // rare-by-chance property a span match needs).
+    //
+    // Shape at 100 TB: explode to (doc, span) occurrences, hash-agg to
+    // (doc, span, count) — map-side combinable, the corpus pass —
+    // derive each span's distinct-doc count from THAT aggregate (one
+    // more hash agg over already-collapsed rows, never the raw
+    // occurrences), join back keyed on the span, and fold per doc.
+    // Two shuffles on the span key + one on doc_id; no all-pairs
+    // anywhere, and no second corpus scan. Exact integer counts →
+    // fully oracle-checked (DuckDB replays the identical windows).
+    "d17_repeated_spans" -> ((s, d) => {
+      val W = 8
+      val occ = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= W)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("t")) - W),
+            i => concat_ws(" ",
+              (1 to W).map(k => element_at(col("t"), i + k)): _*))).as("sp"))
+        .groupBy("doc_id", "sp").agg(count(lit(1)).as("c"))
+      // occ is one row per (doc, span): counting rows per span IS the
+      // distinct-doc count, with no second pass over raw occurrences
+      val docsPerSpan = occ.groupBy("sp").agg(count(lit(1)).as("nd"))
+      occ.join(docsPerSpan, Seq("sp"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_spans"),
+          sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup"),
+          r6(col("n_dup").cast("double") / col("n_spans")).as("dup_frac"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -957,6 +999,29 @@ object TextAnalysis {
                       JOIN sizes y ON db = y.doc_id)
          SELECT da, db, cont_a_in_b, cont_b_in_a FROM c
          WHERE cont_a_in_b >= 0.5 OR cont_b_in_a >= 0.5
-         ORDER BY da, db"""
+         ORDER BY da, db""",
+    // identical 8-token windows (ALL occurrences, not distinct — a
+    // within-doc repeat is still an occurrence), identical span-recurs-
+    // in-≥2-docs rule, exact integer folds
+    "d17_repeated_spans" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         w AS (
+           SELECT doc_id, unnest(list_transform(
+                    generate_series(1, len(t) - 7),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                         t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                         t[i+6] || ' ' || t[i+7])) AS sp
+           FROM docs WHERE len(t) >= 8),
+         occ AS (SELECT doc_id, sp, count(*) AS c FROM w GROUP BY 1, 2),
+         nd AS (SELECT sp, count(*) AS nd FROM occ GROUP BY 1)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_spans,
+                CAST(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT)
+                  AS n_dup,
+                round(CAST(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END)
+                      AS DOUBLE) / sum(c), 6) AS dup_frac
+         FROM occ JOIN nd USING (sp)
+         GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -507,6 +507,38 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(pushed.contains(c), s"$c not pushed: $pushed"))
   }
 
+  test("sql23: Q15's scalar max runs once; the revenue join is keyed") {
+    // the revenue CTE feeds both the join and the scalar MAX — the
+    // max must be a one-shot subquery (never re-aggregated per
+    // supplier row), and supplier joins the aggregate keyed
+    val plan = planOf(Relational.queries, "sql23_tpch_q15")
+    assert(plan.contains("Subquery subquery") || plan.contains("ReusedSubquery")
+        || plan.contains("scalar-subquery"),
+      s"expected the one-shot scalar max subquery:\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+  }
+
+  test("sim9: the filtered search joins keyed on the label, no cross join") {
+    // the whole point of the filter-equality form: candidates arrive
+    // through a hash join on (label) — never SIM1's crossJoin with a
+    // post-hoc filter over all-pairs scores
+    val plan = planOf(Similarity.queries, "sim9_filtered_topk")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("d17: repeated-span counts derive from the collapsed aggregate") {
+    // the span recurrence join must be keyed on the span — an
+    // unkeyed plan would be the all-pairs failure at corpus scale
+    val plan = planOf(TextAnalysis.queries, "d17_repeated_spans")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      plan.take(2000))
+  }
+
   test("sql5: the correlated scalar subquery decorrelates to an aggregate join") {
     // the per-part average threshold must become one grouped
     // aggregate joined back on the correlation key — never a scalar

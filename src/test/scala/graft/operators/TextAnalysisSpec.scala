@@ -46,6 +46,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(f6(1L) > 0 && f6(2L) < 0 && f6(5L) == 0.0)
   }
 
+  test("d17: repeated-span goldens — cross-doc counts, within-doc repeats") {
+    // W = 8. doc1/doc2 share exactly their first window; doc3's one
+    // window is unique; doc4 repeats one span TWICE WITHIN ITSELF
+    // (occurrences count, but one distinct doc ≠ shared); doc5 is
+    // below the width and must be absent
+    val d = docs(
+      1L -> "a b c d e f g h i",
+      2L -> "a b c d e f g h x",
+      3L -> "p q r s t u v w",
+      4L -> "m n m n m n m n m n",
+      5L -> "short doc")
+    val out = TextAnalysis.queries("d17_repeated_spans")(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == ((2L, 1L, 0.5)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, 0.5)), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((1L, 0L, 0.0)), s"doc3: ${out(3L)}")
+    assert(out(4L) == ((3L, 0L, 0.0)), s"doc4: ${out(4L)}")
+  }
+
   test("txt12: BM25 golden — tf, idf and length normalization by hand") {
     // N = 4 docs, avgdl = (3+2+4+1)/4 = 2.5; query = {spark, stream, dup}
     val d = docs(
