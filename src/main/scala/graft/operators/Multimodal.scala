@@ -162,6 +162,54 @@ object Multimodal {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // MM11: silence-RUN detection — the audio-preprocessing mirror of
+    // MM10's scene cuts: every speech/audio pipeline trims or
+    // segments on low-energy runs before featurization (VAD's crude
+    // ancestor). Same stub-decoder contract (byte signal stands in
+    // for samples): frame energy = mean SQUARE over 16-byte frames
+    // (the RMS form — integer square sums, exact; ÷16 is exact binary
+    // division), quiet frames (energy < 9000, ~7% of this corpus'
+    // frames — measured, non-vacuous) merge into maximal consecutive
+    // RUNS via the gaps-and-islands idiom (frame_idx − row_number
+    // over quiet frames per doc is constant exactly within a run —
+    // W13's sessionize pattern on an integer axis). Scale: the frame
+    // explode is per-doc bounded (|bytes|/16 rows), the island window
+    // partitions by doc_id — one even shuffle; run output ≪ frames.
+    // Exact integer frame indices/counts → fully oracle-checked.
+    "mm11_silence_runs" -> ((s, d) => {
+      val FrameBytes = 16
+      val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      Tables.documents(s, d)
+        .filter(octet_length(encode(col("text"), "UTF-8")) >= FrameBytes)
+        .select(col("doc_id"),
+          hex(encode(col("text"), "UTF-8")).as("hx"),
+          (octet_length(encode(col("text"), "UTF-8")) / FrameBytes)
+            .cast("long").as("n_frames"))
+        .select(col("doc_id"), col("hx"),
+          explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          (aggregate(
+            transform(sequence(lit(0), lit(FrameBytes - 1)),
+              i => {
+                val v = conv(col("hx").substr(
+                  (col("frame_idx") * FrameBytes + i) * 2 + 1, lit(2)),
+                  16, 10).cast("long")
+                v * v
+              }),
+            lit(0L), (acc, x) => acc + x).cast("double") / FrameBytes)
+            .as("mean_sq"))
+        .filter(col("mean_sq") < 9000.0d)
+        .withColumn("isl", col("frame_idx") - row_number().over(w))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("frame_idx")).as("start_frame"),
+          max(col("frame_idx")).as("end_frame"),
+          count(lit(1)).as("n_quiet"),
+          round(min(col("mean_sq")), 6).as("min_energy"))
+        .select(col("doc_id"), col("start_frame"), col("end_frame"),
+          col("n_quiet"), col("min_energy"))
+        .orderBy("doc_id", "start_frame")
+    }),
+
     // MM2: decode + feature-extract over the binary payload.
     // STUB decode: a real deployment would decode image/audio here;
     // this container has no codecs, so the "decoder" is a
@@ -529,6 +577,34 @@ object Multimodal {
                           AND abs(frame_mean - prev) >= 8.0
                      THEN 1 ELSE 0 END AS BIGINT) AS is_boundary
          FROM lagd ORDER BY doc_id, frame_idx""",
+    // every frame (no stride), square sums, the same gaps-and-islands
+    // run merge over quiet frames
+    "mm11_silence_runs" ->
+      """WITH b AS (
+           SELECT doc_id, upper(hex(encode(text))) AS hx,
+                  octet_length(encode(text)) // 16 AS n_frames
+           FROM documents WHERE octet_length(encode(text)) >= 16),
+         fr AS (
+           SELECT doc_id, hx, unnest(range(0, n_frames)) AS frame_idx
+           FROM b),
+         m AS (
+           SELECT doc_id, frame_idx,
+                  CAST(list_sum(list_transform(range(0, 16),
+                    i -> POWER(('0x' || substring(hx,
+                      CAST((frame_idx * 16 + i) * 2 + 1 AS INT), 2))
+                      ::BIGINT, 2))) AS DOUBLE) / 16 AS mean_sq
+           FROM fr),
+         quiet AS (
+           SELECT doc_id, frame_idx, mean_sq,
+                  frame_idx - row_number() OVER (
+                    PARTITION BY doc_id ORDER BY frame_idx) AS isl
+           FROM m WHERE mean_sq < 9000.0)
+         SELECT doc_id, CAST(min(frame_idx) AS BIGINT) AS start_frame,
+                CAST(max(frame_idx) AS BIGINT) AS end_frame,
+                CAST(count(*) AS BIGINT) AS n_quiet,
+                round(min(mean_sq), 6) AS min_energy
+         FROM quiet GROUP BY doc_id, isl
+         ORDER BY doc_id, start_frame""",
     // same nibble classes from the hex expansion; Spark's hex() is
     // uppercase — upper() aligns DuckDB's
     "mm8_byte_entropy" ->

@@ -1587,6 +1587,61 @@ object Stats {
             .as("powered"))
     }),
 
+    // A71: Population Stability Index — THE production drift monitor
+    // (credit-risk/ML-ops standard): how far has each series' value
+    // distribution moved between the first and second half of the
+    // month? Ten FIXED-WIDTH bins over the global [min, max] (exact
+    // double endpoints both engines read identically — no quantile
+    // cuts, the DS15 ulp lesson), Laplace-smoothed proportions
+    // (cnt+1)/(n+10) so empty bins stay finite (and the zero-guard is
+    // arithmetic, not a CASE), psi = Σ(p_b − p_a)·ln(p_b/p_a) with
+    // each bin term rounded THEN decimal-summed (the A48 discipline:
+    // the fold order can't move the scalar) over a complete
+    // type × bin spine (a bin empty in BOTH periods still
+    // contributes its smoothing term — the spine makes that
+    // deterministic rather than row-absence-dependent). Scale: one
+    // corpus pass into a (type, bin) hash agg (conditional counts —
+    // both periods in ONE pass, map-side combinable); everything
+    // after runs on ≤ |types|·10 rows. Fully oracle-checked.
+    // Interpretation bands (industry convention): <0.10 stable,
+    // 0.10–0.25 moderate shift, >0.25 action.
+    "a71_psi_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("value"), col("ts"))
+      val rng = ev.agg(min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"))
+      val binned = ev.crossJoin(broadcast(rng))
+        .withColumn("bin",
+          least(floor((col("value") - col("vmin")) /
+            (col("vmax") - col("vmin")) * 10), lit(9L)))
+        .withColumn("in_a",
+          (col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+            .cast("long"))
+      val counts = binned.groupBy(col("event_type"), col("bin"))
+        .agg(sum(col("in_a")).as("ca"),
+          sum(lit(1L) - col("in_a")).as("cb"))
+      val spine = counts.select(col("event_type")).distinct()
+        .select(col("event_type"),
+          explode(sequence(lit(0L), lit(9L))).as("bin"))
+      val tot = counts.groupBy(col("event_type"))
+        .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      spine
+        .join(counts, Seq("event_type", "bin"), "left")
+        .na.fill(0L, Seq("ca", "cb"))
+        .join(tot, Seq("event_type"))
+        .withColumn("pa",
+          (col("ca") + 1).cast("double") / (col("na") + 10))
+        .withColumn("pb",
+          (col("cb") + 1).cast("double") / (col("nb") + 10))
+        .withColumn("term",
+          round((col("pb") - col("pa")) * log(col("pb") / col("pa")), 6))
+        .groupBy(col("event_type"))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          round(sum(col("term").cast("decimal(24,10)")).cast("double"), 6)
+            .as("psi"))
+        .orderBy("event_type")
+    }),
+
     // A41 p-value twin — χ² folded in (type, dow) order over the
     // oracle-checked rounded terms (the A29 pattern), df derived from
     // the observed margins ((R−1)(C−1)), upper-tail p via the
@@ -2435,6 +2490,44 @@ object Stats {
                 least(n1, n2) >=
                   ceil(zz * vs / ((p1 - p2) * (p1 - p2))) AS powered
          FROM m""",
+    // identical fixed-width binning over the exact global [min, max],
+    // identical Laplace smoothing, per-bin terms rounded then
+    // decimal-summed (the a48 fold discipline)
+    "a71_psi_drift" ->
+      """WITH rng AS (SELECT min(value) AS vmin, max(value) AS vmax
+                      FROM events),
+         binned AS (
+           SELECT event_type,
+                  least(CAST(floor((value - vmin) / (vmax - vmin) * 10)
+                        AS BIGINT), 9) AS bin,
+                  CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                       THEN 1 ELSE 0 END AS in_a
+           FROM events, rng),
+         counts AS (
+           SELECT event_type, bin, sum(in_a) AS ca,
+                  sum(1 - in_a) AS cb
+           FROM binned GROUP BY 1, 2),
+         spine AS (
+           SELECT DISTINCT event_type, g.b AS bin
+           FROM counts, generate_series(0, 9) AS g(b)),
+         tot AS (
+           SELECT event_type, sum(ca) AS na, sum(cb) AS nb
+           FROM counts GROUP BY 1),
+         terms AS (
+           SELECT s.event_type, t.na, t.nb,
+                  CAST(coalesce(c.ca, 0) + 1 AS DOUBLE) /
+                    CAST(t.na + 10 AS DOUBLE) AS pa,
+                  CAST(coalesce(c.cb, 0) + 1 AS DOUBLE) /
+                    CAST(t.nb + 10 AS DOUBLE) AS pb
+           FROM spine s
+           LEFT JOIN counts c
+             ON s.event_type = c.event_type AND s.bin = c.bin
+           JOIN tot t ON s.event_type = t.event_type)
+         SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+                CAST(max(nb) AS BIGINT) AS n_b,
+                round(CAST(CAST(sum(CAST(round((pb - pa) * ln(pb / pa), 6)
+                      AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE), 6) AS psi
+         FROM terms GROUP BY event_type ORDER BY event_type""",
     "a42_weekly_seasonality" ->
       """WITH daily AS (
            SELECT date_trunc('day', ts) AS day,

@@ -570,6 +570,45 @@ object Windows {
         .orderBy("event_type", "day")
     }),
 
+    // W24: running intraday VWAP — the execution-quality benchmark
+    // every trading/backtest stack compares fills against (the
+    // reference's OHLCV pipeline consumes exactly this class of
+    // rolling price statistic): per (series, day), cumulative
+    // Σ(price·qty)/Σ(qty) ordered by event time, with `value` as the
+    // price and the props JSON's `k` as the quantity (the F5-proven
+    // extraction — a weighted window over a SEMI-STRUCTURED column,
+    // which is how real tick payloads arrive). Both running sums fold
+    // through the decimal discipline (w17's contract: window
+    // re-accumulation can't drift from a segment-tree evaluation, and
+    // both engines see identical exact numerators), the quantity sum
+    // is exact integer; the division to double happens once per row.
+    // One hash shuffle on (event_type, day) — the even per-series
+    // window shape everywhere else here.
+    "w24_vwap" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("qty",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("pv",
+          sum((col("value") * col("qty")).cast("decimal(24,10)")).over(w)
+            .cast("double"))
+        .withColumn("vol", sum(col("qty")).over(w))
+        // a leading run of zero-quantity ticks leaves vol = 0: VWAP is
+        // undefined there → NULL (nullif guard; ANSI would throw).
+        // RAW double output — the numerator is the same correctly-
+        // rounded decimal→double on both engines and the division is
+        // one elementwise IEEE op, so the quotients are bit-identical;
+        // round(…, 6) would REINTRODUCE divergence on ×1e6 half-ties
+        // (sf0.1 has one: 64.5915625)
+        .select(col("event_id"), col("event_type"), col("day"),
+          col("qty"),
+          (col("pv") / when(col("vol") =!= 0L, col("vol"))).as("vwap"))
+        .orderBy("event_id")
+    }),
+
     "w17_rolling_zscore" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id")).rowsBetween(-15, -1)
@@ -927,6 +966,25 @@ object Windows {
                 round((px - (mid - 2.0 * sd)) /
                       ((mid + 2.0 * sd) - (mid - 2.0 * sd)), 6) AS pct_b
          FROM b ORDER BY event_type, day""",
+    // same decimal running numerator (VARCHAR-hop double render),
+    // exact integer volume, F5's JSON quantity extraction
+    "w24_vwap" ->
+      """WITH e AS (
+           SELECT event_id, event_type, date_trunc('day', ts) AS day,
+                  ts, value,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty
+           FROM events),
+         win AS (
+           SELECT event_id, event_type, day, qty,
+                  CAST(CAST(sum(CAST(value * qty AS DECIMAL(24,10)))
+                       OVER w AS VARCHAR) AS DOUBLE) AS pv,
+                  sum(qty) OVER w AS vol
+           FROM e
+           WINDOW w AS (PARTITION BY event_type, day ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, event_type, day, qty,
+                pv / nullif(vol, 0) AS vwap
+         FROM win ORDER BY event_id""",
     "w17_rolling_zscore" ->
       """WITH win AS (
            SELECT user_id, event_id, value,
