@@ -172,33 +172,47 @@ object Multimodal {
     // frames — measured, non-vacuous) merge into maximal consecutive
     // RUNS via the gaps-and-islands idiom (frame_idx − row_number
     // over quiet frames per doc is constant exactly within a run —
-    // W13's sessionize pattern on an integer axis). Scale: the frame
-    // explode is per-doc bounded (|bytes|/16 rows), the island window
-    // partitions by doc_id — one even shuffle; run output ≪ frames.
-    // Exact integer frame indices/counts → fully oracle-checked.
+    // W13's sessionize pattern on an integer axis).
+    //
+    // Kernel shape, measured at sf0.1 (isolated): (1) explode ALL
+    // frames → hex conv(substr) byte sums → filter, 6.4 s — the hex
+    // expansion doubles the string, conv re-parses a radix per byte,
+    // and 93% of the exploded rows are discarded by the quiet filter
+    // AFTER materializing; (2) per-byte ascii(substr) with the quiet
+    // filter in-row, 3.7 s — UTF8String.substring walks from the
+    // string head, so per-byte extraction is O(L²) per doc; (3) this
+    // form, 1.3 s: split("") materializes the codepoint array ONCE
+    // per doc (O(L); exact byte values for the ASCII corpus — the
+    // perceptHash guard makes that explicit, and the oracle carries
+    // the same guard), frame energies are O(16) slice-folds over it,
+    // and the quiet filter runs INSIDE the row over the frame struct
+    // array, so only the ~7% quiet frames ever explode or shuffle —
+    // filter-before-explode, the projection analogue of
+    // verify-before-dedup. Per-doc bounded arithmetic, one even
+    // doc-keyed shuffle of quiet frames; run output ≪ frames. Exact
+    // frame indices/counts → fully oracle-checked.
     "mm11_silence_runs" -> ((s, d) => {
       val FrameBytes = 16
       val w = Window.partitionBy("doc_id").orderBy("frame_idx")
       Tables.documents(s, d)
-        .filter(octet_length(encode(col("text"), "UTF-8")) >= FrameBytes)
+        .filter(length(col("text")) >= FrameBytes &&
+          octet_length(encode(col("text"), "UTF-8")) === length(col("text")))
         .select(col("doc_id"),
-          hex(encode(col("text"), "UTF-8")).as("hx"),
-          (octet_length(encode(col("text"), "UTF-8")) / FrameBytes)
-            .cast("long").as("n_frames"))
-        .select(col("doc_id"), col("hx"),
-          explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
-        .select(col("doc_id"), col("frame_idx"),
-          (aggregate(
-            transform(sequence(lit(0), lit(FrameBytes - 1)),
-              i => {
-                val v = conv(col("hx").substr(
-                  (col("frame_idx") * FrameBytes + i) * 2 + 1, lit(2)),
-                  16, 10).cast("long")
-                v * v
-              }),
-            lit(0L), (acc, x) => acc + x).cast("double") / FrameBytes)
-            .as("mean_sq"))
-        .filter(col("mean_sq") < 9000.0d)
+          transform(split(col("text"), ""), c => ascii(c).cast("long"))
+            .as("bv"),
+          (length(col("text")) / FrameBytes).cast("long").as("n_frames"))
+        .select(col("doc_id"),
+          explode(filter(
+            transform(sequence(lit(0L), col("n_frames") - 1),
+              k => struct(k.as("frame_idx"),
+                (aggregate(
+                  slice(col("bv"), (k * FrameBytes + 1).cast("int"),
+                    lit(FrameBytes)),
+                  lit(0L), (acc, x) => acc + x * x).cast("double") /
+                  FrameBytes).as("mean_sq"))),
+            fr => fr.getField("mean_sq") < 9000.0d)).as("q"))
+        .select(col("doc_id"), col("q.frame_idx").as("frame_idx"),
+          col("q.mean_sq").as("mean_sq"))
         .withColumn("isl", col("frame_idx") - row_number().over(w))
         .groupBy(col("doc_id"), col("isl"))
         .agg(min(col("frame_idx")).as("start_frame"),
@@ -578,12 +592,15 @@ object Multimodal {
                      THEN 1 ELSE 0 END AS BIGINT) AS is_boundary
          FROM lagd ORDER BY doc_id, frame_idx""",
     // every frame (no stride), square sums, the same gaps-and-islands
-    // run merge over quiet frames
+    // run merge over quiet frames; the ASCII guard mirrors the
+    // engine's (ascii(substr) byte reads are exact only there)
     "mm11_silence_runs" ->
       """WITH b AS (
            SELECT doc_id, upper(hex(encode(text))) AS hx,
                   octet_length(encode(text)) // 16 AS n_frames
-           FROM documents WHERE octet_length(encode(text)) >= 16),
+           FROM documents
+           WHERE octet_length(encode(text)) >= 16
+             AND octet_length(encode(text)) = length(text)),
          fr AS (
            SELECT doc_id, hx, unnest(range(0, n_frames)) AS frame_idx
            FROM b),
