@@ -296,9 +296,10 @@ object Dedup {
       // the un-truncated plan grows LINEARLY, not exponentially — a
       // 2-round window keeps plans bounded at two join/agg layers
       // while halving the eager materialization jobs. Measured at
-      // sf0.1: ~10% (4.9 → 4.4 s) — the residual cost is fixed
-      // per-round job scheduling, which only fewer ROUNDS (not fewer
-      // checkpoints) would remove, and the round count is the
+      // sf0.1: ~10% (4.9 → 4.4 s; re-confirmed 5.9 → 5.3 s isolated
+      // back-to-back on a slower machine) — the residual cost is
+      // fixed per-round job scheduling, which only fewer ROUNDS (not
+      // fewer checkpoints) would remove, and the round count is the
       // documented convergence contract.
       if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint()
     }
