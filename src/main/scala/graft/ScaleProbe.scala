@@ -113,6 +113,15 @@ object ScaleProbe {
         noop(graft.operators.TextAnalysis
           .queries("txt17_bigram_loglik")(spark, d))
       },
+      // round 10 late: the repeated-span corpus pass (window explode →
+      // two span-keyed hash aggs → join back). On the replica every
+      // span trivially recurs across the 10 copies, so dup_frac
+      // saturates — the TIMING still exercises the real scaling axis
+      // (occurrence volume ×10 through both aggs and the join).
+      "d17_repeated_spans" -> { d =>
+        noop(graft.operators.TextAnalysis
+          .queries("d17_repeated_spans")(spark, d))
+      },
       "ds14_chunk_overlap" -> { d =>
         noop(graft.operators.DatasetOps
           .queries("ds14_chunk_overlap")(spark, d))
