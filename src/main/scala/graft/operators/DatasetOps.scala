@@ -223,6 +223,33 @@ object DatasetOps {
         .orderBy("doc_id")
     }),
 
+    // DS16: token-budget mixture draw — corpus assembly by TOKEN
+    // budget, not row count: real mixture recipes say "500M tokens of
+    // source X", and DS2/DS5/DS8 all sample rows/fractions. Greedy
+    // fill without overflow: each source's docs in the deterministic
+    // seeded-md5 order (DS7's permutation discipline — rerunnable,
+    // engine-agnostic), running token prefix-sum per source, keep
+    // while the cumulative count stays ≤ the budget; the first doc
+    // that would overflow (and everything after it in the
+    // permutation) is dropped. Scale: one corpus pass for token
+    // counts, one per-source window — the even keyed shuffle every
+    // DS op here uses; budgets bound OUTPUT, not work. Exact integer
+    // sums over the shared tokenizer → fully oracle-checked.
+    "ds16_token_budget" -> ((s, d) => {
+      val Budget = 500L
+      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(TextAnalysis.toks).cast("long").as("n_tok"))
+        .withColumn("h",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") <= Budget)
+        .select(col("source"), col("doc_id"), col("n_tok"), col("cum_tok"))
+        .orderBy("source", "cum_tok")
+    }),
+
     // DS14: overlapping-window chunking — the RAG/retrieval-corpus
     // sibling of DS3's pack-and-chunk: each document yields windows of
     // 64 tokens every 48 (16-token overlap so no boundary sentence is
@@ -564,6 +591,23 @@ object DatasetOps {
          SELECT split, count(*) AS n_rows,
                 count(DISTINCT user_id) AS n_users
          FROM tagged GROUP BY split ORDER BY split""",
+    // the same seeded-md5 permutation, per-source running token sum,
+    // greedy keep while <= 500
+    "ds16_token_budget" ->
+      """WITH t AS (
+           SELECT source, doc_id,
+                  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+                  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    ::BIGINT AS h
+           FROM documents),
+         c AS (
+           SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+                  sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum_tok
+           FROM t)
+         SELECT source, doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+         FROM c WHERE cum_tok <= 500 ORDER BY source, cum_tok""",
     "ds2_balanced_sample" ->
       """SELECT event_id, event_type, value FROM (
            SELECT event_id, event_type, value,

@@ -105,4 +105,35 @@ class PipelineIntegrationSpec extends AnyFunSuite {
     info(s"160 → ${afterIngest.size} after ingest → ${kept.size} kept → " +
       s"${decontaminated.size} decontaminated; ${written.size} shards")
   }
+
+  test("d17 repeated-span fractions agree with exact dedup") {
+    // cross-operator invariant: a doc that is an exact duplicate of
+    // another (a d1 group of size ≥ 2) has EVERY 8-token window
+    // recurring in its twin — its d17 dup_frac must be exactly 1.0.
+    // The natural corpus has no whole-doc exact dups at any SF, so
+    // the invariant runs on a planted fixture: 24-token unique docs
+    // (the PipelineIntegrationSpec generator), docs 40/41 exact
+    // copies of docs 1/2, and the rest pairwise distinct.
+    val vocab = (0 until 40).map(i => s"tok$i")
+    def sm(x: Long): Long = SparkTestSession.splitmix64(x)
+    def text(id: Long): String =
+      (0 until 24).map(j => vocab(((sm(id * 777 + j) % 40 + 40) % 40).toInt))
+        .mkString(" ")
+    val rows = (0L until 60L).map { id =>
+      val t = if (id == 40) text(1) else if (id == 41) text(2) else text(id)
+      (id, t, s"src${id % 4}")
+    }
+    val d = SparkTestSession.fixtureDir("d17-x-d1")
+    writeDocs(d, rows)
+    val d1 = TextAnalysis.queries("d1_exact_dedup")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(d1(1L) == 2L && d1(2L) == 2L, "planted dups must group in d1")
+    val d17 = TextAnalysis.queries("d17_repeated_spans")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    Seq(1L, 2L, 40L, 41L).foreach { id =>
+      assert(d17(id) == 1.0, s"exact-dup doc $id has dup_frac ${d17(id)}")
+    }
+    // non-vacuous the other way: unique docs are NOT fully duplicated
+    assert(d17.count(_._2 < 1.0) >= 50)
+  }
 }
