@@ -157,6 +157,32 @@ object SourceSinks {
     // proves file lineage and content agree row-for-row. Distinct
     // file count per partition rides along (the small-files audit
     // S19's compaction acts on).
+    // S26: binaryFile ingest — how multimodal payloads actually
+    // arrive at 100 TB: one OBJECT per image/audio clip, not rows in
+    // a table. Stage: a bounded slice (doc_id < 100) lands as one
+    // newline-terminated object per doc through the text sink under
+    // doc_id= partition dirs; `format("binaryFile")` reads the
+    // objects back as (path, modificationTime, length, content) with
+    // partition discovery recovering the id — the exact ingest plan
+    // an image corpus uses (content stays an opaque binary column
+    // through the scan, MM1's contract). Identity is proven by
+    // content hash: md5 over the raw object bytes must equal md5 of
+    // the source text + the sink's newline, recomputed by DuckDB
+    // from the table alone — so the file round trip (write → object
+    // listing → binary read) is lossless end to end. Fully
+    // oracle-checked.
+    "s26_binary_files" -> ((s, d) => {
+      val out = tmp("s26")
+      Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+        .write.mode("overwrite").partitionBy("doc_id").text(out)
+      s.read.format("binaryFile").load(out)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_hash"))
+        .orderBy("doc_id")
+    }),
+
     "s25_file_provenance" -> ((s, d) => {
       val out = tmp("s25")
       Tables.events(s, d)
@@ -491,6 +517,12 @@ object SourceSinks {
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                 count(*) AS n_rows, CAST(1 AS BIGINT) AS n_files
          FROM events GROUP BY 1 ORDER BY day""",
+    // the object bytes are the text + the sink's one trailing newline
+    "s26_binary_files" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
+                md5(text || chr(10)) AS content_hash
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
     "s4_csv_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
          ORDER BY c_custkey""",
