@@ -59,4 +59,36 @@ class DatasetOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1)))
     assert(got.toSeq == again.toSeq)
   }
+
+  test("ds16: kept docs are exactly the maximal within-budget prefix") {
+    // the greedy-fill contract, recomputed sequentially from the
+    // corpus: per source, walk the seeded-md5 permutation and keep
+    // while the running token sum stays ≤ 500 — the query must
+    // return exactly that prefix (no skip-and-continue, no overflow)
+    val got = DatasetOps.queries("ds16_token_budget")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        size(TextAnalysis.toks).cast("long").as("n_tok"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // NB: .toSeq before flatMap — flatMapping a Map into pairs would
+    // rebuild a Map and silently collapse to one doc per source key
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (r._4, r._2)).iterator.takeWhile { r =>
+        cum += r._3; cum <= 500L
+      }.map { r => (src, r._2) }.toList
+    }.toSet
+    assert(got.map(r => (r._1, r._2)).toSet == expected)
+    assert(expected.nonEmpty && expected.size < docs.length,
+      "budget must bind: some docs kept, some dropped")
+    // budget invariant straight off the output
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.map(_._4).max <= 500L, s"$src exceeded the budget")
+    }
+  }
 }

@@ -424,4 +424,40 @@ class StatsSpec extends AnyFunSuite {
         r.getDouble(5)) <= 2e-6)
     }
   }
+
+  test("a71: identical periods score psi exactly 0; drift scores > 0") {
+    // PSI semantics pinned where the real corpus can't: (1) the same
+    // value multiset in both halves → every bin's smoothed p_a = p_b
+    // → each term is exactly 0·ln(1) = 0 → psi 0.0 bit-exactly;
+    // (2) shifting the second half's values must push psi strictly
+    // positive (every PSI term (b−a)ln(b/a) is ≥ 0, so any bin
+    // mismatch surfaces). Period split is the calendar literal
+    // 2024-01-16 the query documents.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def write(d: String, shift: Double): Unit =
+      (0 until 40).map { i =>
+        val period = i % 2 // 0 → Jan 10, 1 → Jan 20
+        val v = 10.0 + (i / 2 % 10) + (if (period == 1) shift else 0.0)
+        (i.toLong,
+          java.sql.Timestamp.valueOf(
+            if (period == 0) "2024-01-10 12:00:00" else "2024-01-20 12:00:00"),
+          i.toLong, if (i < 20) "click" else "purchase", v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+
+    val d0 = SparkTestSession.fixtureDir("psi-null")
+    write(d0, 0.0)
+    val calm = Stats.queries("a71_psi_drift")(spark, d0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(calm.size == 2 && calm.values.forall(_ == 0.0),
+      s"identical halves must score 0: $calm")
+
+    val d1 = SparkTestSession.fixtureDir("psi-shift")
+    write(d1, 5.0)
+    val drifted = Stats.queries("a71_psi_drift")(spark, d1)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(drifted.values.forall(_ > 0.0),
+      s"a shifted second half must score > 0: $drifted")
+  }
 }
