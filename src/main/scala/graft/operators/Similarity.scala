@@ -405,6 +405,64 @@ object Similarity {
         .orderBy("q_id", "rank")
     }),
 
+    // SIM10: time-series SUBSEQUENCE similarity search — the
+    // UCR-suite/MASS primitive (z-normalized Euclidean distance over
+    // sliding windows) the quant reference's pattern-matching
+    // questions reduce to: "which 8-day stretches of any series move
+    // like this series' latest 8 days?" Z-normalization inside each
+    // window makes the match shape-based (level and scale drop out —
+    // the property that distinguishes subsequence search from plain
+    // curve distance). Query = the most recent click window;
+    // candidates = every window of every series (the query window
+    // itself excluded); top-5 by distance with a full deterministic
+    // tie order. Per-series day arrays are TIME-bounded (the a40/a54
+    // scale argument), windows explode per series, every mean/σ/
+    // distance folds in fixed index order over ≤8 elements — raw
+    // IEEE doubles both engines reproduce bit-identically (the w24
+    // no-rounding discipline) → fully oracle-checked. At corpus
+    // scale the same plan fans out per series key; the broadcast is
+    // one z-vector.
+    "sim10_subseq_match" -> ((s, d) => {
+      val W = 8
+      val dly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("px"))
+      val wins = dly.groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("day"), col("px"))))
+          .as("sp"))
+        .select(col("event_type"),
+          transform(col("sp"), x => x.getField("px")).as("v"))
+        .select(col("event_type"), col("v"),
+          explode(sequence(lit(0), size(col("v")) - W)).as("st"))
+        .select(col("event_type"), col("st"),
+          slice(col("v"), col("st") + 1, lit(W)).as("w"))
+        .withColumn("mu",
+          aggregate(col("w"), lit(0.0d), (a, x) => a + x) / W)
+        .withColumn("sg", sqrt(aggregate(col("w"), lit(0.0d),
+          (a, x) => a + (x - col("mu")) * (x - col("mu"))) / W))
+        .filter(col("sg") > 0)
+        .withColumn("z",
+          transform(col("w"), x => (x - col("mu")) / col("sg")))
+        .select(col("event_type"), col("st"), col("z"))
+      val q = wins.filter(col("event_type") === "click")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("st").desc)))
+        .filter(col("rk") === 1)
+        .select(col("z").as("qz"), col("event_type").as("q_type"),
+          col("st").as("q_st"))
+      wins.crossJoin(broadcast(q))
+        .filter(!(col("event_type") === col("q_type") &&
+                  col("st") === col("q_st")))
+        .withColumn("dist", sqrt(aggregate(
+          zip_with(col("z"), col("qz"), (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (a, x) => a + x)))
+        .orderBy(col("dist"), col("event_type"), col("st"))
+        .limit(5)
+        .select(col("event_type"), col("st").cast("long").as("win_start"),
+          col("dist"))
+    }),
+
     // SIM2: banded-LSH ANN — top-k among candidates that share ANY of
     // the 6 band buckets with the query (rows-only check; recall vs
     // brute force asserted in SimilaritySpec). Each side explodes ×6
@@ -970,6 +1028,48 @@ object Similarity {
                     ORDER BY cosine DESC, c_id) AS rank
            FROM pairs) WHERE rank <= 5
          ORDER BY q_id, rank""",
+    // identical window slicing, ordered ≤8-element list folds, raw
+    // IEEE doubles end to end (no rounding — the w24 discipline)
+    "sim10_subseq_match" ->
+      """WITH dly AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS px
+           FROM events GROUP BY 1, 2),
+         ser AS (
+           SELECT event_type, list(px ORDER BY day) AS v
+           FROM dly GROUP BY 1),
+         wins AS (
+           SELECT event_type, v,
+                  unnest(generate_series(0, len(v) - 8)) AS st
+           FROM ser),
+         sliced AS (
+           SELECT event_type, st, v[st + 1 : st + 8] AS w
+           FROM wins),
+         m AS (SELECT event_type, st, w, list_sum(w) / 8 AS mu
+               FROM sliced),
+         sd AS (
+           SELECT event_type, st, w, mu,
+                  sqrt(list_sum(list_transform(w,
+                    x -> (x - mu) * (x - mu))) / 8) AS sg
+           FROM m),
+         zn AS (
+           SELECT event_type, st,
+                  list_transform(w, x -> (x - mu) / sg) AS z
+           FROM sd WHERE sg > 0),
+         q AS (
+           SELECT event_type AS q_type, st AS q_st, z AS qz
+           FROM zn WHERE event_type = 'click'
+           ORDER BY st DESC LIMIT 1),
+         dist AS (
+           SELECT zn.event_type, zn.st,
+                  sqrt(list_sum(list_transform(generate_series(1, 8),
+                    i -> (zn.z[i] - q.qz[i]) * (zn.z[i] - q.qz[i]))))
+                    AS dist
+           FROM zn, q
+           WHERE NOT (zn.event_type = q.q_type AND zn.st = q.q_st))
+         SELECT event_type, CAST(st AS BIGINT) AS win_start, dist
+         FROM dist ORDER BY dist, event_type, win_start LIMIT 5""",
     // sim1's arithmetic gated by the label-equality predicate
     "sim9_filtered_topk" ->
       """WITH v AS (
