@@ -1642,6 +1642,104 @@ object Stats {
         .orderBy("event_type")
     }),
 
+    // A72: ROC AUC — THE binary-ranking evaluation metric (every
+    // model-quality dashboard reports it). Does `value` rank the
+    // payload label k ≥ 50 (the F5-proven JSON path) above k < 50,
+    // per series? AUC = P(score⁺ > score⁻) + ½P(tie), computed by
+    // the rank-free bin decomposition: 1000 fixed-width score bins
+    // on the exact global [min, max] (a71's binning — no quantile
+    // cuts), per bin positive/negative counts, then
+    // num2 = Σ_b pos_b·(2·negBelow_b + neg_b) and
+    // auc = num2 / (2·P·N) — scores in one bin count as ties, so
+    // the statistic is the EXACT tie-corrected Mann–Whitney AUC of
+    // the discretized scores. Everything is integer until the single
+    // final division (num2 ≤ 2N² < 2⁶³; 2·P·N < 2⁵³ as double), so
+    // the RAW double hash-matches (the W24 discipline — no round).
+    // Scale: one corpus pass → (type, bin) hash agg (map-side
+    // combinable); the cumulative window runs on ≤ 1000 rows per
+    // series partition. No global sort, no per-row ranks — the
+    // shape survives 100 TB where a rank-window AUC would not.
+    "a72_roc_auc" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("value"),
+          (get_json_object(col("props"), "$.k").cast("long") >= 50)
+            .as("pos"))
+      val rng = ev.agg(min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"))
+      val counts = ev.crossJoin(broadcast(rng))
+        .withColumn("bin",
+          least(floor((col("value") - col("vmin")) /
+            (col("vmax") - col("vmin")) * 1000), lit(999L)))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("p"),
+          sum(when(col("pos"), 0L).otherwise(1L)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      counts
+        .withColumn("below", coalesce(sum(col("n")).over(w), lit(0L)))
+        .groupBy(col("event_type"))
+        .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
+          sum(col("p") * (lit(2L) * col("below") + col("n"))).as("num2"))
+        .select(col("event_type"), col("n_pos"), col("n_neg"),
+          (col("num2").cast("double") /
+            (lit(2.0d) * col("n_pos") * col("n_neg"))).as("auc"))
+        .orderBy("event_type")
+    }),
+
+    // A74: Levene's homogeneity-of-variance test (mean-centered
+    // form) — the gate every ANOVA/t-test user should run first:
+    // are the five series' value SPREADS equal? Per-group absolute
+    // deviations z = |x − mean_g| (group means from decimal-pinned
+    // sums — identical correctly-rounded doubles both engines), then
+    // the one-way F of A52 re-run on z: per-group (n, Σz, Σz²) hash
+    // agg, SSB/SSW folded in event_type order over the K-row group
+    // frame (the A29/A52 pinned-fold discipline). Two corpus passes
+    // (means, then deviations — unavoidable for the mean-centered
+    // form), both map-side-combinable hash aggs; the broadcast mean
+    // join never shuffles the corpus. Fully oracle-checked.
+    "a74_levene" -> ((s, d) => {
+      def dsum(c: Column) = sum(c.cast("decimal(30,12)")).cast("double")
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      val means = ev.groupBy("event_type")
+        .agg((dsum(col("value")) / count(lit(1))).as("mu"))
+      val g = ev.join(broadcast(means), Seq("event_type"))
+        .select(col("event_type"),
+          abs(col("value") - col("mu")).as("z"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_g"), dsum(col("z")).as("s_g"),
+          dsum(col("z") * col("z")).as("q_g"))
+      def fold(body: Column => Column) =
+        aggregate(col("gs"), lit(0.0d), (acc, x) => acc + body(x))
+      g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+          array_sort(collect_list(struct(col("event_type"), col("n_g"),
+            col("s_g"), col("q_g")))).as("gs"))
+        .withColumn("sum_s", fold(_.getField("s_g")))
+        .withColumn("sum_sq_over_n", fold(x =>
+          x.getField("s_g") * x.getField("s_g") /
+            x.getField("n_g").cast("double")))
+        .withColumn("sum_q", fold(_.getField("q_g")))
+        .withColumn("ssb", col("sum_sq_over_n") -
+          col("sum_s") * col("sum_s") / col("n").cast("double"))
+        .withColumn("ssw", col("sum_q") - col("sum_sq_over_n"))
+        .select(col("k"), col("n"), r6(col("ssb")).as("ssb_dev"),
+          r6(col("ssw")).as("ssw_dev"),
+          r6((col("ssb") / (col("k") - 1).cast("double")) /
+             (col("ssw") / (col("n") - col("k")).cast("double")))
+            .as("w_stat"))
+    }),
+
+    // A74 p twin — Levene's W is F-distributed at (k−1, N−k) under
+    // H₀; upper tail via the FPValue kernel. Rows-only; StatsSpec
+    // anchors by recomputation from a74's oracle-checked row.
+    "a74_levene_pvalue" -> ((s, d) =>
+      queries("a74_levene")(s, d)
+        .select(col("w_stat"),
+          (col("k") - 1).cast("double").as("d1"),
+          (col("n") - col("k")).cast("double").as("d2"))
+        .select(col("w_stat"), col("d1"), col("d2"),
+          r6(graft.functions.FPValue.pValue(col("w_stat"), col("d1"),
+            col("d2"))).as("p_value"))),
+
     // A41 p-value twin — χ² folded in (type, dow) order over the
     // oracle-checked rounded terms (the A29 pattern), df derived from
     // the observed margins ((R−1)(C−1)), upper-tail p via the
@@ -2528,6 +2626,69 @@ object Stats {
                 round(CAST(CAST(sum(CAST(round((pb - pa) * ln(pb / pa), 6)
                       AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE), 6) AS psi
          FROM terms GROUP BY event_type ORDER BY event_type""",
+    // identical fixed-width binning, integer tie-corrected
+    // Mann–Whitney decomposition, one final raw-double division
+    "a72_roc_auc" ->
+      """WITH rng AS (SELECT min(value) AS vmin, max(value) AS vmax
+                      FROM events),
+         b AS (
+           SELECT event_type,
+                  least(CAST(floor((value - vmin) / (vmax - vmin) * 1000)
+                        AS BIGINT), 999) AS bin,
+                  CASE WHEN CAST(json_extract_string(props, '$.k')
+                            AS BIGINT) >= 50 THEN 1 ELSE 0 END AS pos
+           FROM events, rng),
+         c AS (
+           SELECT event_type, bin, sum(pos) AS p, sum(1 - pos) AS n
+           FROM b GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, p, n,
+                  coalesce(sum(n) OVER (PARTITION BY event_type
+                    ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS below
+           FROM c)
+         SELECT event_type, CAST(sum(p) AS BIGINT) AS n_pos,
+                CAST(sum(n) AS BIGINT) AS n_neg,
+                CAST(CAST(sum(p * (2 * below + n)) AS BIGINT) AS DOUBLE) /
+                  (2.0 * CAST(sum(p) AS BIGINT) * CAST(sum(n) AS BIGINT))
+                  AS auc
+         FROM w GROUP BY event_type ORDER BY event_type""",
+    // identical decimal-pinned group means, |dev| re-ANOVA with the
+    // a52 ordered-list fold
+    "a74_levene" ->
+      """WITH m AS (
+           SELECT event_type,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS mu
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         z AS (
+           SELECT e.event_type, abs(e.value - m.mu) AS z
+           FROM events e JOIN m ON e.event_type = m.event_type
+           WHERE e.value IS NOT NULL),
+         g AS (
+           SELECT event_type, count(*) AS n_g,
+                  CAST(CAST(sum(CAST(z AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) AS s_g,
+                  CAST(CAST(sum(CAST(z * z AS DECIMAL(30,12)))
+                       AS VARCHAR) AS DOUBLE) AS q_g
+           FROM z GROUP BY 1),
+         f AS (
+           SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+                  list_sum(list(s_g ORDER BY event_type)) AS sum_s,
+                  list_sum(list(s_g * s_g / CAST(n_g AS DOUBLE)
+                           ORDER BY event_type)) AS sum_sq_over_n,
+                  list_sum(list(q_g ORDER BY event_type)) AS sum_q
+           FROM g),
+         c AS (
+           SELECT k, n,
+                  sum_sq_over_n - sum_s * sum_s / CAST(n AS DOUBLE)
+                    AS ssb,
+                  sum_q - sum_sq_over_n AS ssw
+           FROM f)
+         SELECT k, n, round(ssb, 6) AS ssb_dev, round(ssw, 6) AS ssw_dev,
+                round((ssb / CAST(k - 1 AS DOUBLE)) /
+                      (ssw / CAST(n - k AS DOUBLE)), 6) AS w_stat
+         FROM c""",
     "a42_weekly_seasonality" ->
       """WITH daily AS (
            SELECT date_trunc('day', ts) AS day,

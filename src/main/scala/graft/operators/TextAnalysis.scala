@@ -431,6 +431,100 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // TXT18: classifier evaluation block — the scorecard every
+    // labeling/routing heuristic needs before it gates a corpus:
+    // TXT3's language-ID predictions against the stored gold label,
+    // as the full confusion-matrix metric set. Per class (full-outer
+    // spine of actual ∪ predicted — fr/zh exist in gold but are
+    // never predicted, so the spine is NOT the diagonal's):
+    // precision, recall, F1; on every row the global accuracy and
+    // Cohen's κ = (pₒ − pₑ)/(1 − pₑ) with chance agreement
+    // pₑ = Σ_c rowTot_c·colTot_c / N². All counts are exact integers
+    // (Σ rowTot·colTot < 2⁵³ far past 100 TB), every derived metric
+    // is a fixed-order division chain over identical doubles → RAW
+    // doubles hash-match (the W24 discipline). Scale: the corpus
+    // pass is TXT3's map work + one (actual, pred) hash agg; all
+    // metric arithmetic runs on the ≤|classes|² confusion frame.
+    "txt18_langid_eval" -> ((s, d) => {
+      val conf = queries("txt3_langid")(s, d)
+        .groupBy(col("lang_actual"), col("lang_pred"))
+        .agg(count(lit(1)).as("c"))
+      val act = conf.groupBy(col("lang_actual").as("lang"))
+        .agg(sum(col("c")).as("n_actual"))
+      val prd = conf.groupBy(col("lang_pred").as("lang"))
+        .agg(sum(col("c")).as("n_pred"))
+      val tp = conf.filter(col("lang_actual") === col("lang_pred"))
+        .select(col("lang_actual").as("lang"), col("c").as("tp"))
+      val cls = act.join(prd, Seq("lang"), "full")
+        .join(tp, Seq("lang"), "left")
+        .na.fill(0L, Seq("n_actual", "n_pred", "tp"))
+      val tot = cls.agg(sum(col("n_actual")).as("n"),
+        sum(col("tp")).as("diag"),
+        sum(col("n_actual") * col("n_pred")).as("pe_num"))
+      cls.crossJoin(broadcast(tot))
+        .withColumn("accuracy", col("diag").cast("double") / col("n"))
+        .withColumn("pe", col("pe_num").cast("double") /
+          (col("n").cast("double") * col("n")))
+        .withColumn("kappa",
+          (col("accuracy") - col("pe")) / (lit(1.0d) - col("pe")))
+        .withColumn("prec", when(col("n_pred") > 0,
+          col("tp").cast("double") / col("n_pred")).otherwise(lit(0.0d)))
+        .withColumn("rec", when(col("n_actual") > 0,
+          col("tp").cast("double") / col("n_actual")).otherwise(lit(0.0d)))
+        .withColumn("f1", when(col("prec") + col("rec") > 0,
+          lit(2.0d) * col("prec") * col("rec") /
+            (col("prec") + col("rec"))).otherwise(lit(0.0d)))
+        .select(col("lang"), col("n_actual"), col("n_pred"), col("tp"),
+          col("prec").as("precision"), col("rec").as("recall"),
+          col("f1"), col("accuracy"), col("kappa"))
+        .orderBy("lang")
+    }),
+
+    // TXT19: PMI collocations — the corpus-linguistics companion to
+    // TXT17's Dunning log-likelihood (Church & Hanks 1990): which
+    // adjacent word pairs co-occur far above chance?
+    // pmi = ln(P(xy) / (P(x)·P(y))) with P(xy) over the bigram total
+    // and P(x) over the token total, computed as ONE ratio of exact
+    // integer products (c_xy·T_tok² / (T_bg·c_x·c_y), both < 2⁵³ at
+    // any plausible corpus vocabulary) so the single ln() sees the
+    // identical double on both engines; ln() itself is libm-version
+    // 1-ulp territory → round6 (measured: one sf0.01 pair differed
+    // in the 16th digit).
+    // Min-count 5 kills the hapax-pair noise PMI is notorious for;
+    // top-20 under a fully deterministic (pmi, w1, w2) order. Scale:
+    // two map-side-combinable hash aggs (bigrams, unigrams) over one
+    // corpus pass each; the vocabulary-sized count tables broadcast.
+    "txt19_pmi_collocations" -> ((s, d) => {
+      val tok = Tables.documents(s, d).select(toks.as("t"))
+      val uni = tok.select(explode(col("t")).as("w"))
+      val uc = uni.groupBy("w").agg(count(lit(1)).as("cw"))
+      val tt = uni.agg(count(lit(1)).as("ttok"))
+      val bg = tok.filter(size(col("t")) >= 2)
+        .select(explode(transform(
+          sequence(lit(0), size(col("t")) - 2),
+          i => struct(element_at(col("t"), i + 1).as("w1"),
+            element_at(col("t"), i + 2).as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val tb = bg.agg(count(lit(1)).as("tbg"))
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+        .filter(col("cxy") >= 5)
+        .join(broadcast(uc.select(col("w").as("w1"), col("cw").as("cx"))),
+          Seq("w1"))
+        .join(broadcast(uc.select(col("w").as("w2"), col("cw").as("cy"))),
+          Seq("w2"))
+        .crossJoin(broadcast(tt)).crossJoin(broadcast(tb))
+        // round6 absorbs the 1-ulp libm ln() divergence (the txt12
+        // discipline), and ORDERING by the rounded value keeps the
+        // top-20 cut engine-stable too
+        .withColumn("pmi", r6(log(
+          (col("cxy") * col("ttok") * col("ttok")).cast("double") /
+          (col("tbg") * col("cx") * col("cy")).cast("double"))))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+        .select(col("w1"), col("w2"), col("cxy"), col("cx"), col("cy"),
+          col("pmi"))
+    }),
+
     // broadcast. Float discipline: per-doc term sum folds in sorted
     // term order (TXT11's pattern), ln() divergence absorbed by round6.
     "txt12_bm25" -> ((s, d) => {
@@ -757,6 +851,99 @@ object TextAnalysis {
          SELECT doc_id, n_bigrams, round(ll, 6) AS log_lik,
                 round(ll / n_bigrams, 6) AS avg_log_lik
          FROM agg ORDER BY doc_id""",
+    // txt3's prediction CTE inlined, then pure integer confusion
+    // arithmetic and fixed-order division chains (raw doubles)
+    "txt18_langid_eval" ->
+      """WITH t AS (
+           SELECT doc_id, lang AS lang_actual,
+                  string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         v AS (
+           SELECT doc_id, lang_actual,
+                  len(list_filter(toks, x -> x IN
+                    ('the','and','of','to','is','a'))) AS en_votes,
+                  len(list_filter(toks, x -> x IN
+                    ('der','die','das','und','ist','ein'))) AS de_votes,
+                  len(list_filter(toks, x -> x IN
+                    ('el','la','los','de','es','un'))) AS es_votes
+           FROM t),
+         pred AS (
+           SELECT lang_actual,
+                  CASE WHEN en_votes >= de_votes AND en_votes >= es_votes
+                         THEN 'en'
+                       WHEN de_votes >= es_votes THEN 'de'
+                       ELSE 'es' END AS lang_pred
+           FROM v),
+         conf AS (
+           SELECT lang_actual, lang_pred, count(*) AS c
+           FROM pred GROUP BY 1, 2),
+         act AS (SELECT lang_actual AS lang, CAST(sum(c) AS BIGINT)
+                        AS n_actual FROM conf GROUP BY 1),
+         prd AS (SELECT lang_pred AS lang, CAST(sum(c) AS BIGINT)
+                        AS n_pred FROM conf GROUP BY 1),
+         tp AS (SELECT lang_actual AS lang, CAST(c AS BIGINT) AS tp
+                FROM conf WHERE lang_actual = lang_pred),
+         cls AS (
+           SELECT coalesce(a.lang, p.lang) AS lang,
+                  coalesce(a.n_actual, 0) AS n_actual,
+                  coalesce(p.n_pred, 0) AS n_pred,
+                  coalesce(t.tp, 0) AS tp
+           FROM act a FULL JOIN prd p ON a.lang = p.lang
+           LEFT JOIN tp t ON coalesce(a.lang, p.lang) = t.lang),
+         tot AS (
+           SELECT CAST(sum(n_actual) AS BIGINT) AS n,
+                  CAST(sum(tp) AS BIGINT) AS diag,
+                  CAST(sum(n_actual * n_pred) AS BIGINT) AS pe_num
+           FROM cls),
+         m AS (
+           SELECT lang, n_actual, n_pred, tp,
+                  CAST(diag AS DOUBLE) / n AS accuracy,
+                  CAST(pe_num AS DOUBLE) /
+                    (CAST(n AS DOUBLE) * n) AS pe,
+                  CASE WHEN n_pred > 0
+                       THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0
+                  END AS prec,
+                  CASE WHEN n_actual > 0
+                       THEN CAST(tp AS DOUBLE) / n_actual ELSE 0.0
+                  END AS rec
+           FROM cls, tot)
+         SELECT lang, n_actual, n_pred, tp,
+                prec AS precision, rec AS recall,
+                CASE WHEN prec + rec > 0
+                     THEN 2.0 * prec * rec / (prec + rec)
+                     ELSE 0.0 END AS f1,
+                accuracy,
+                (accuracy - pe) / (1.0 - pe) AS kappa
+         FROM m ORDER BY lang""",
+    // identical integer product ratio into one ln(); deterministic
+    // (pmi, w1, w2) top-20
+    "txt19_pmi_collocations" ->
+      """WITH docs AS (
+           SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         uni AS (SELECT unnest(t) AS w FROM docs),
+         uc AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
+                FROM uni GROUP BY 1),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS ttok FROM uni),
+         bg AS (
+           SELECT unnest(list_transform(
+                    generate_series(1, len(t) - 1),
+                    i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+           FROM docs WHERE len(t) >= 2),
+         bp AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM bg),
+         tb AS (SELECT CAST(count(*) AS BIGINT) AS tbg FROM bp),
+         bc AS (
+           SELECT w1, w2, CAST(count(*) AS BIGINT) AS cxy
+           FROM bp GROUP BY 1, 2 HAVING count(*) >= 5),
+         j AS (
+           SELECT bc.w1, bc.w2, bc.cxy, x.cw AS cx, y.cw AS cy,
+                  round(ln(CAST(bc.cxy * tt.ttok * tt.ttok AS DOUBLE) /
+                     CAST(tb.tbg * x.cw * y.cw AS DOUBLE)), 6) AS pmi
+           FROM bc
+           JOIN uc x ON bc.w1 = x.w
+           JOIN uc y ON bc.w2 = y.w, tt, tb)
+         SELECT w1, w2, cxy, cx, cy, pmi
+         FROM j ORDER BY pmi DESC, w1, w2 LIMIT 20""",
     "txt11_unigram_loglik" ->
       """WITH tok AS (
            SELECT doc_id,

@@ -460,4 +460,77 @@ class StatsSpec extends AnyFunSuite {
     assert(drifted.values.forall(_ > 0.0),
       s"a shifted second half must score > 0: $drifted")
   }
+
+  test("a72 AUC on a planted fixture equals the pairwise-count definition") {
+    // click: positives score {3,4}, negatives {1,2,3} — a cross-group
+    // tie at 3 must count ½ → AUC = (2 + 0.5 + 3)/6 = 11/12;
+    // purchase: perfect separation → AUC = 1.0 (and value 11 = the
+    // global max must land IN range via the 999 cap, not fall out)
+    import spark.implicits._
+    val d = SparkTestSession.fixtureDir("auc-fix")
+    val rows = Seq(
+      ("click", 3.0, 80), ("click", 4.0, 80),
+      ("click", 1.0, 10), ("click", 2.0, 10), ("click", 3.0, 10),
+      ("purchase", 10.0, 80), ("purchase", 11.0, 80),
+      ("purchase", 1.0, 10), ("purchase", 2.0, 10))
+    rows.zipWithIndex.map { case ((t, v, k), i) => (i.toLong,
+        new java.sql.Timestamp(i.toLong * 1000L), i.toLong, t, v,
+        s"""{"k": $k}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = Stats.queries("a72_roc_auc")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out("click") == ((2L, 3L, 11.0 / 12.0)), s"click: $out")
+    assert(out("purchase") == ((2L, 2L, 1.0)), s"purchase: $out")
+    // pairwise definition, brute force (what the bin decomposition
+    // must reproduce exactly when every score has its own bin)
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val pos = rs.filter(_._3 >= 50).map(_._2)
+      val neg = rs.filter(_._3 < 50).map(_._2)
+      val won = (for (p <- pos; n <- neg) yield
+        if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+      assert(out(t)._3 == won / (pos.size * neg.size), s"$t brute force")
+    }
+  }
+
+  test("a74 Levene W equals a sequential recomputation at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val row = Stats.queries("a74_levene")(spark, sf).head()
+    val (k, n, wq) = (row.getLong(0), row.getLong(1), row.getDouble(4))
+    val vals = graft.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(k == vals.map(_._1).distinct.size && n == vals.length)
+    // mirror the decimal(30,12) pinning: each double quantized at 12
+    // decimals (HALF_UP — Spark's decimal cast mode), summed exactly
+    def dsum(xs: Seq[Double]): Double =
+      xs.map(BigDecimal(_).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val groups = vals.groupBy(_._1).toSeq.sortBy(_._1)
+    val mus = groups.map { case (g, xs) =>
+      g -> dsum(xs.map(_._2).toSeq) / xs.length }.toMap
+    val gstats = groups.map { case (g, xs) =>
+      val z = xs.map(x => math.abs(x._2 - mus(g))).toSeq
+      (g, xs.length.toLong, dsum(z), dsum(z.map(v => v * v)))
+    }
+    var sumS = 0.0; var sumQn = 0.0; var sumQ = 0.0
+    gstats.foreach { case (_, ng, sg, qg) =>
+      sumS += sg; sumQn += sg * sg / ng; sumQ += qg }
+    val ssb = sumQn - sumS * sumS / n
+    val ssw = sumQ - sumQn
+    val w = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(wq - math.rint(w * 1e6) / 1e6) <= 1e-6,
+      s"W $wq vs sequential $w")
+    // p twin anchors to the oracle-checked W through the F kernel
+    val p = Stats.queries("a74_levene_pvalue")(spark, sf).head()
+    assert(p.getDouble(0) == wq)
+    val pRef = spark.range(1).select(
+      round(graft.functions.FPValue.pValue(lit(wq),
+        lit((k - 1).toDouble), lit((n - k).toDouble)), 6))
+      .head().getDouble(0)
+    assert(p.getDouble(3) == pRef && p.getDouble(3) >= 0.0 &&
+      p.getDouble(3) <= 1.0)
+  }
 }

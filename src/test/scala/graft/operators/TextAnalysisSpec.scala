@@ -220,4 +220,77 @@ class TextAnalysisSpec extends AnyFunSuite {
         assert(p == pConst, s"pearson_pvalue const $p vs $pConst")
     }
   }
+
+  test("txt18 kappa/F1 on a planted multilingual confusion matrix") {
+    // the sf corpora are all English-vocabulary text (TXT3 predicts
+    // 'en' everywhere → κ = 0 degenerately), so the kappa path needs
+    // a fixture with REAL de/es stopwords and planted mislabels:
+    // 5 de docs (4 German text, 1 English → off-diagonal), 3 en,
+    // 2 es, 1 fr-labeled English doc (a gold class never predicted).
+    // Hand confusion: diag = 9, N = 11, pe = (5·4 + 3·5 + 2·2)/121
+    // → κ = (99 − 39)/(121 − 39) = 60/82
+    import spark.implicits._
+    val d = SparkTestSession.fixtureDir("kappa-fix")
+    val de = "der die das und ist ein"
+    val en = "the and of to is a"
+    val es = "el la los de es un"
+    val docs = Seq(
+      (0L, de, "de"), (1L, de, "de"), (2L, de, "de"), (3L, de, "de"),
+      (4L, en, "de"),
+      (5L, en, "en"), (6L, en, "en"), (7L, en, "en"),
+      (8L, es, "es"), (9L, es, "es"),
+      (10L, en, "fr"))
+    docs.map { case (id, t, l) => (id, t, l, "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextAnalysis.queries("txt18_langid_eval")(spark, d)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("de", "en", "es", "fr"))
+    val acc = 9.0 / 11
+    val pe = 39.0 / (11.0 * 11)
+    val kappa = (acc - pe) / (1.0 - pe)
+    out.values.foreach { r =>
+      assert(r.getDouble(7) == acc, s"accuracy ${r.getDouble(7)}")
+      assert(math.abs(r.getDouble(8) - kappa) < 1e-12,
+        s"kappa ${r.getDouble(8)} vs $kappa")
+    }
+    val deR = out("de")
+    assert(deR.getLong(1) == 5 && deR.getLong(2) == 4 &&
+      deR.getLong(3) == 4)
+    assert(deR.getDouble(4) == 1.0 && deR.getDouble(5) == 0.8)
+    assert(math.abs(deR.getDouble(6) - 2.0 * 0.8 / 1.8) < 1e-12)
+    val frR = out("fr") // never predicted: all-zero metrics, not NULLs
+    assert(frR.getLong(2) == 0 && frR.getDouble(4) == 0.0 &&
+      frR.getDouble(6) == 0.0)
+  }
+
+  test("txt19 PMI top-20 equals a sequential brute-force recompute") {
+    val sf = SparkTestSession.Sf0001
+    val docs = Tables.documents(spark, sf).select(lower(trim(col("text"))))
+      .collect().map(_.getString(0).split("\\s+").toSeq)
+    val uni = docs.flatten.groupBy(identity).map { case (w, o) =>
+      w -> o.size.toLong }
+    val ttok = docs.map(_.size).sum.toLong
+    val bgs = docs.filter(_.size >= 2).flatMap(t => t.zip(t.tail))
+    val tbg = bgs.size.toLong
+    val expect = bgs.groupBy(identity).toSeq
+      .map { case ((w1, w2), o) => (w1, w2, o.size.toLong) }
+      .filter(_._3 >= 5)
+      .map { case (w1, w2, c) =>
+        val pmi = math.rint(math.log(
+          (c * ttok * ttok).toDouble / (tbg * uni(w1) * uni(w2))) * 1e6) / 1e6
+        (w1, w2, c, uni(w1), uni(w2), pmi)
+      }
+      .sortBy { case (w1, w2, _, _, _, pmi) => (-pmi, w1, w2) }
+      .take(20)
+    val got = TextAnalysis.queries("txt19_pmi_collocations")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.nonEmpty && got.length == expect.length)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3 &&
+        g._4 == e._4 && g._5 == e._5, s"$g vs $e")
+      assert(math.abs(g._6 - e._6) <= 1e-9, s"pmi $g vs $e")
+    }
+  }
 }
