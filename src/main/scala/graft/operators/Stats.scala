@@ -1686,6 +1686,81 @@ object Stats {
         .orderBy("event_type")
     }),
 
+    // A73: Kruskal–Wallis H — the k-group rank test (A35's
+    // Mann–Whitney generalized the way A52 generalizes the t-test):
+    // do the five series' value DISTRIBUTIONS differ, without A52's
+    // normality assumption? The scale problem is global midranks —
+    // a rank window would put the corpus on one partition. Solved by
+    // the two-level decomposition A33's bucketed ECDF proved out:
+    // ranks only depend on the DISTINCT-value frame (domain-bounded:
+    // 2-decimal values), and rank(v) = cumBelow(bucket) + cumWithin
+    // (bucket, v) with 1000 fixed-width buckets — the global window
+    // runs on ≤ 1001 bucket rows, the per-value windows partition by
+    // bucket. Midranks kept as 2× integers (r2 = 2·below + cnt + 1),
+    // per-group rank sums Σ c_gv·r2 exact longs, H folded in
+    // event_type order over the K-row frame (A52's discipline), tie
+    // correction Σ(t³−t)/(N³−N) exact-integer-into-double. Fully
+    // oracle-checked; the χ²_{k−1} p twin is rows-only,
+    // StatsSpec-anchored (with a planted-tie sequential recompute).
+    "a73_kruskal_wallis" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+      val rng = ev.agg(min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"))
+      val vc = ev.groupBy(col("value"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val vt = vc.groupBy(col("value")).agg(sum(col("c")).as("cnt"))
+        .crossJoin(broadcast(rng))
+        .withColumn("bucket",
+          least(floor((col("value") - col("vmin")) /
+            (col("vmax") - col("vmin")) * 1000), lit(999L)))
+      val bt = vt.groupBy(col("bucket")).agg(sum(col("cnt")).as("bcnt"))
+        .withColumn("bbelow", coalesce(sum(col("bcnt")).over(
+          Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bucket"), col("bbelow"))
+      val ranks = vt.join(bt, Seq("bucket"))
+        .withColumn("wbelow", coalesce(sum(col("cnt")).over(
+          Window.partitionBy("bucket").orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("r2",
+          lit(2L) * (col("bbelow") + col("wbelow")) + col("cnt") + 1)
+        .select(col("value"), col("cnt"), col("r2"))
+      val g = vc.join(ranks, Seq("value"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n_g"), sum(col("c") * col("r2")).as("rs2"))
+      val ties = ranks
+        .agg(sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+          .as("t3"))
+      def fold(body: Column => Column) =
+        aggregate(col("gs"), lit(0.0d), (acc, x) => acc + body(x))
+      g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+          array_sort(collect_list(struct(col("event_type"), col("n_g"),
+            col("rs2")))).as("gs"))
+        .crossJoin(broadcast(ties))
+        // Σ_g R_g²/n_g with R_g = rs2/2 kept exact: rs2²/(4·n_g)
+        .withColumn("s", fold(x =>
+          x.getField("rs2").cast("double") * x.getField("rs2") /
+            (lit(4.0d) * x.getField("n_g"))))
+        .withColumn("h",
+          lit(12.0d) / (col("n") * (col("n") + 1)).cast("double") *
+            col("s") - lit(3.0d) * (col("n") + 1))
+        .withColumn("corr_c", lit(1.0d) - col("t3").cast("double") /
+          (col("n").cast("double") * col("n") * col("n") - col("n")))
+        .select(col("k"), col("n"), r6(col("h")).as("h"),
+          r6(col("h") / col("corr_c")).as("h_tied"))
+    }),
+
+    // A73 p twin — upper-tail χ²_{k−1} of the tie-corrected H via
+    // the ChiSquarePValue kernel. Rows-only; StatsSpec anchors by
+    // recomputation from a73's oracle-checked row.
+    "a73_kw_pvalue" -> ((s, d) =>
+      queries("a73_kruskal_wallis")(s, d)
+        .select(col("h_tied"), (col("k") - 1).cast("double").as("df"))
+        .select(col("h_tied"), col("df"),
+          r6(graft.functions.ChiSquarePValue.pValue(col("h_tied"),
+            col("df"))).as("p_value"))),
+
     // A74: Levene's homogeneity-of-variance test (mean-centered
     // form) — the gate every ANOVA/t-test user should run first:
     // are the five series' value SPREADS equal? Per-group absolute
@@ -2653,6 +2728,55 @@ object Stats {
                   (2.0 * CAST(sum(p) AS BIGINT) * CAST(sum(n) AS BIGINT))
                   AS auc
          FROM w GROUP BY event_type ORDER BY event_type""",
+    // identical two-level bucket midranks (2× integers), identical
+    // event_type-ordered fold and tie correction
+    "a73_kruskal_wallis" ->
+      """WITH ev AS (SELECT event_type, value FROM events
+                     WHERE value IS NOT NULL),
+         rng AS (SELECT min(value) AS vmin, max(value) AS vmax FROM ev),
+         vc AS (SELECT value, event_type, count(*) AS c
+                FROM ev GROUP BY 1, 2),
+         vt0 AS (SELECT value, CAST(sum(c) AS BIGINT) AS cnt
+                 FROM vc GROUP BY 1),
+         vt AS (SELECT value, cnt,
+                       least(CAST(floor((value - vmin) / (vmax - vmin)
+                             * 1000) AS BIGINT), 999) AS bucket
+                FROM vt0, rng),
+         bt AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS bcnt
+                FROM vt GROUP BY 1),
+         bb AS (SELECT bucket,
+                       coalesce(sum(bcnt) OVER (ORDER BY bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND
+                         1 PRECEDING), 0) AS bbelow
+                FROM bt),
+         ranks AS (
+           SELECT v.value, v.cnt,
+                  2 * (b.bbelow + coalesce(sum(v.cnt) OVER (
+                    PARTITION BY v.bucket ORDER BY v.value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0)) + v.cnt + 1 AS r2
+           FROM vt v JOIN bb b ON v.bucket = b.bucket),
+         g AS (
+           SELECT event_type, CAST(sum(c) AS BIGINT) AS n_g,
+                  CAST(sum(c * r.r2) AS BIGINT) AS rs2
+           FROM vc JOIN ranks r ON vc.value = r.value GROUP BY 1),
+         tt AS (SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS t3
+                FROM ranks),
+         f AS (
+           SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+                  list_sum(list(CAST(rs2 AS DOUBLE) * rs2 /
+                    (4.0 * n_g) ORDER BY event_type)) AS s
+           FROM g),
+         h AS (
+           SELECT k, n,
+                  12.0 / CAST(n * (n + 1) AS DOUBLE) * s
+                    - 3.0 * (n + 1) AS h,
+                  1.0 - CAST(t3 AS DOUBLE) /
+                    (CAST(n AS DOUBLE) * n * n - n) AS corr_c
+           FROM f, tt)
+         SELECT k, n, round(h, 6) AS h,
+                round(h / corr_c, 6) AS h_tied
+         FROM h""",
     // identical decimal-pinned group means, |dev| re-ANOVA with the
     // a52 ordered-list fold
     "a74_levene" ->

@@ -651,6 +651,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // window each over the merged boundary set — see the a33/a35
       // test above):
       "a33_ks_test", "a35_mannwhitney",
+      // a73's bucket-level cumulative: ≤ 1001 fixed bucket rows (the
+      // two-level midrank decomposition; per-VALUE windows partition
+      // by bucket):
+      "a73_kruskal_wallis", "a73_kw_pvalue",
       // vocab-sized rank spines (≤ |vocab|, the operator's subject):
       "txt8_vocab", "txt15_zipf",
       // post-agg user-quartile spine (O(users) rows — the global

@@ -494,6 +494,54 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("a73 Kruskal–Wallis on planted ties matches sequential midranks") {
+    // sf values are continuous, so the tie machinery needs a planted
+    // fixture: 3 groups with cross-group AND within-group ties
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = SparkTestSession.fixtureDir("kw-fix")
+    val groups = Map(
+      "click" -> Seq(1.0, 2.0, 2.0, 3.0),
+      "purchase" -> Seq(2.0, 3.0, 3.0, 5.0),
+      "error" -> Seq(5.0, 1.0))
+    groups.toSeq.flatMap { case (t, vs) => vs.map((t, _)) }
+      .zipWithIndex
+      .map { case ((t, v), i) => (i.toLong,
+        new java.sql.Timestamp(i.toLong * 1000L), i.toLong, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val row = Stats.queries("a73_kruskal_wallis")(spark, d).head()
+    val (k, n, hq, htq) = (row.getLong(0), row.getLong(1),
+      row.getDouble(2), row.getDouble(3))
+    assert(k == 3 && n == 10)
+    // sequential textbook recompute: midranks over the pooled sample
+    val all = groups.toSeq.flatMap { case (t, vs) => vs.map((t, _)) }
+    val byV = all.groupBy(_._2).toSeq.sortBy(_._1)
+    var below = 0L; var t3 = 0L
+    val midrank = byV.map { case (v, g) =>
+      val c = g.size
+      val mr = below + (c + 1) / 2.0
+      below += c; t3 += c.toLong * c * c - c
+      v -> mr
+    }.toMap
+    val rg = all.groupBy(_._1).map { case (t, xs) =>
+      t -> (xs.size, xs.map(x => midrank(x._2)).sum) }
+    val s = rg.values.map { case (ng, r) => r * r / ng }.sum
+    val h = 12.0 / (n * (n + 1)) * s - 3.0 * (n + 1)
+    val hTied = h / (1.0 - t3.toDouble / (n.toDouble * n * n - n))
+    assert(t3 > 0, "vacuous: fixture has no ties")
+    assert(math.abs(hq - h) <= 1e-6, s"h $hq vs sequential $h")
+    assert(math.abs(htq - hTied) <= 1e-6, s"h_tied $htq vs $hTied")
+    // p twin anchors to the oracle-checked h_tied through χ²_{k−1}
+    val p = Stats.queries("a73_kw_pvalue")(spark, d).head()
+    assert(p.getDouble(0) == htq && p.getDouble(1) == 2.0)
+    val pRef = spark.range(1).select(
+      round(graft.functions.ChiSquarePValue.pValue(lit(htq), lit(2.0d)),
+        6)).head().getDouble(0)
+    assert(p.getDouble(2) == pRef && p.getDouble(2) >= 0 &&
+      p.getDouble(2) <= 1)
+  }
+
   test("a74 Levene W equals a sequential recomputation at sf0.001") {
     import org.apache.spark.sql.functions._
     val row = Stats.queries("a74_levene")(spark, sf).head()
