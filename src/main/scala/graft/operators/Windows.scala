@@ -609,6 +609,83 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // W25: Average True Range (SMA-5 form) — THE volatility unit
+    // position-sizing and stop placement quote (Wilder 1978; the SMA
+    // variant keeps the statistic windowed instead of recursive, so
+    // it stays a pure frame aggregate at any scale): true range =
+    // max(high−low, |high−prevClose|, |low−prevClose|) over W16's
+    // daily candles — the prev-close terms capture overnight gaps a
+    // plain high−low range misses. TR is elementwise IEEE arithmetic
+    // on exact candle doubles (bit-identical both engines → RAW, no
+    // rounding); ATR = decimal-pinned 5-day sliding sum ÷ 5 (one
+    // division → raw, the W24 discipline), full windows only. One
+    // (type, day) candle shuffle + one per-type series window.
+    "w25_atr" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      val w5 = wd.rowsBetween(-4, 0)
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("value")).as("high"), min(col("value")).as("low"),
+          max(when(col("rn") === col("cnt"), col("value"))).as("close"))
+        .withColumn("prev_close", lag(col("close"), 1).over(wd))
+        .filter(col("prev_close").isNotNull)
+        .withColumn("tr", greatest(col("high") - col("low"),
+          abs(col("high") - col("prev_close")),
+          abs(col("low") - col("prev_close"))))
+        .withColumn("n_win", count(lit(1)).over(w5))
+        .withColumn("atr",
+          sum(col("tr").cast("decimal(24,10)")).over(w5).cast("double") /
+            5)
+        .filter(col("n_win") === 5)
+        .select(col("event_type"), col("day"), col("tr"), col("atr"))
+        .orderBy("event_type", "day")
+    }),
+
+    // W26: stochastic oscillator %K/%D — the bounded momentum gauge
+    // (where does today's close sit inside the 5-day high–low
+    // envelope?): %K = 100·(close − LL₅)/(HH₅ − LL₅) from W16's
+    // candles, %D = its 3-day SMA signal line. LL/HH are exact
+    // min/max picks; %K is one fixed-order division chain (raw
+    // doubles), defined only on full 5-day envelopes and NULL on a
+    // flat one (HH = LL — the identical conditional both engines,
+    // never a ÷0); %D decimal-pins the 3-window %K sum ÷ 3, emitted
+    // only when all three %K values exist. Same single per-type
+    // series window shape as W23.
+    "w26_stochastic" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      val w5 = wd.rowsBetween(-4, 0)
+      val w3 = wd.rowsBetween(-2, 0)
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("value")).as("high"), min(col("value")).as("low"),
+          max(when(col("rn") === col("cnt"), col("value"))).as("close"))
+        .withColumn("n_win", count(lit(1)).over(w5))
+        .withColumn("ll", min(col("low")).over(w5))
+        .withColumn("hh", max(col("high")).over(w5))
+        .withColumn("pct_k",
+          when(col("n_win") === 5 && col("hh") =!= col("ll"),
+            lit(100.0d) * (col("close") - col("ll")) /
+              (col("hh") - col("ll"))))
+        .withColumn("n_k", count(col("pct_k")).over(w3))
+        .withColumn("pct_d", when(col("n_k") === 3,
+          sum(col("pct_k").cast("decimal(24,10)")).over(w3)
+            .cast("double") / 3))
+        .filter(col("n_win") === 5)
+        .select(col("event_type"), col("day"), col("pct_k"),
+          col("pct_d"))
+        .orderBy("event_type", "day")
+    }),
+
     "w17_rolling_zscore" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id")).rowsBetween(-15, -1)
@@ -1024,6 +1101,81 @@ object Windows {
                 max(CASE WHEN rn = cnt THEN value END) AS close,
                 count(*) AS n
          FROM r GROUP BY 1, 2 ORDER BY event_type, day""",
+    // w16's candle CTE, then raw-IEEE true range and a decimal-pinned
+    // 5-day sliding mean (one division, no rounding)
+    "w25_atr" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day, max(value) AS high, min(value) AS low,
+                  max(CASE WHEN rn = cnt THEN value END) AS close
+           FROM r GROUP BY 1, 2),
+         pc AS (
+           SELECT *, lag(close) OVER (PARTITION BY event_type
+                                      ORDER BY day) AS prev_close
+           FROM c),
+         tr AS (
+           SELECT event_type, day,
+                  greatest(high - low, abs(high - prev_close),
+                           abs(low - prev_close)) AS tr
+           FROM pc WHERE prev_close IS NOT NULL),
+         w AS (
+           SELECT event_type, day, tr,
+                  count(*) OVER w5 AS n_win,
+                  CAST(CAST(sum(CAST(tr AS DECIMAL(24,10))) OVER w5
+                       AS VARCHAR) AS DOUBLE) / 5 AS atr
+           FROM tr
+           WINDOW w5 AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         SELECT event_type, day, tr, atr
+         FROM w WHERE n_win = 5 ORDER BY event_type, day""",
+    // w16's candle CTE, 5-day envelope %K (raw division chain) and
+    // decimal-pinned 3-day %D over full %K windows
+    "w26_stochastic" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day, max(value) AS high, min(value) AS low,
+                  max(CASE WHEN rn = cnt THEN value END) AS close
+           FROM r GROUP BY 1, 2),
+         k AS (
+           SELECT event_type, day,
+                  count(*) OVER w5 AS n_win,
+                  CASE WHEN count(*) OVER w5 = 5
+                            AND max(high) OVER w5 <> min(low) OVER w5
+                       THEN 100.0 * (close - min(low) OVER w5) /
+                            (max(high) OVER w5 - min(low) OVER w5)
+                  END AS pct_k
+           FROM c
+           WINDOW w5 AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+         dd AS (
+           SELECT event_type, day, n_win, pct_k,
+                  CASE WHEN count(pct_k) OVER w3 = 3
+                       THEN CAST(CAST(sum(CAST(pct_k AS DECIMAL(24,10)))
+                            OVER w3 AS VARCHAR) AS DOUBLE) / 3
+                  END AS pct_d
+           FROM k
+           WINDOW w3 AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+         SELECT event_type, day, pct_k, pct_d
+         FROM dd WHERE n_win = 5 ORDER BY event_type, day""",
     "w15_cum_return" ->
       """WITH daily AS (
            SELECT event_type, date_trunc('day', ts) AS day,

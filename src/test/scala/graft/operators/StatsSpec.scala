@@ -494,6 +494,56 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("w25/w26 ATR and stochastic match a sequential candle recompute") {
+    // both operators are deterministic functions of the (oracle-
+    // checked) w16 candles — recompute sequentially per series in day
+    // order, mirroring the decimal(24,10) window pinning
+    def dsum10(xs: Seq[Double]): Double =
+      xs.map(BigDecimal(_).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val candles = graft.operators.Windows.queries("w16_ohlc_candles")(
+        spark, sf).collect()
+      .map(r => (r.getString(0), r.get(1).toString, r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))  // type, day, high, low, close
+      .groupBy(_._1).map { case (t, rs) => t -> rs.sortBy(_._2).toList }
+    val atrQ = graft.operators.Windows.queries("w25_atr")(spark, sf)
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val stoQ = graft.operators.Windows.queries("w26_stochastic")(spark, sf)
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+         if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(atrQ.nonEmpty && stoQ.nonEmpty)
+    var checkedAtr = 0; var checkedD = 0
+    candles.foreach { case (t, days) =>
+      val trs = days.sliding(2).collect { case Seq(p, c) =>
+        c._2 -> math.max(c._3 - c._4,
+          math.max(math.abs(c._3 - p._5), math.abs(c._4 - p._5)))
+      }.toSeq
+      trs.sliding(5).foreach { win =>
+        if (win.size == 5) {
+          val (day, tr) = win.last
+          val atr = dsum10(win.map(_._2)) / 5
+          assert(atrQ((t, day)) == ((tr, atr)), s"$t $day atr")
+          checkedAtr += 1
+        }
+      }
+      val ks = days.sliding(5).collect { case win if win.size == 5 =>
+        val hh = win.map(_._3).max; val ll = win.map(_._4).min
+        win.last._2 -> (if (hh != ll)
+          Some(100.0 * (win.last._5 - ll) / (hh - ll)) else None)
+      }.toSeq
+      ks.zipWithIndex.foreach { case ((day, k), i) =>
+        val last3 = ks.slice(i - 2, i + 1).map(_._2)
+        val dv = if (last3.size == 3 && last3.forall(_.isDefined))
+          Some(dsum10(last3.map(_.get)) / 3) else None
+        assert(stoQ((t, day)) == ((k, dv)), s"$t $day stochastic")
+        if (dv.isDefined) checkedD += 1
+      }
+    }
+    assert(checkedAtr > 0 && checkedD > 0, "vacuous sweep")
+  }
+
   test("a73 Kruskal–Wallis on planted ties matches sequential midranks") {
     // sf values are continuous, so the tie machinery needs a planted
     // fixture: 3 groups with cross-group AND within-group ties
