@@ -66,6 +66,47 @@ object DatasetOps {
         .orderBy("doc_id")
     }),
 
+    // DS17: stratified EXACT-allocation split — what DS1's hash
+    // ladder cannot promise: per (lang, source) stratum the split
+    // sizes are exactly ⌊0.8n⌋ / ⌊0.9n⌋−⌊0.8n⌋ / rest BY
+    // CONSTRUCTION (hash splits only hit proportions in expectation
+    // — a 7-doc stratum can land 7/0/0), which is what "evaluate on
+    // every stratum" demands of small strata. Assignment = the doc's
+    // EXACT rank in the stratum's seeded-md5 permutation (DS7's
+    // rerunnable discipline), computed with the two-level
+    // decomposition (A73/DS15's trick) so no stratum ever ranks on
+    // one partition: rank = cumBelow(256 md5-prefix buckets; the
+    // bucket window runs on ≤256 rows per stratum) + row_number
+    // within (stratum, bucket) — partitions shrink 256× below
+    // stratum size. Pure integer arithmetic → fully oracle-checked.
+    "ds17_stratified_split" -> ((s, d) => {
+      val k = md5(concat_ws(":", lit("ds17"), col("doc_id")))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), k.as("k"))
+        .withColumn("bucket",
+          conv(substring(col("k"), 1, 2), 16, 10).cast("long"))
+      val bcnt = base.groupBy("lang", "source", "bucket")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("below", coalesce(sum(col("c")).over(
+          Window.partitionBy("lang", "source").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val n = bcnt.groupBy("lang", "source").agg(sum(col("c")).as("n"))
+      base
+        .withColumn("wrn", row_number().over(
+          Window.partitionBy("lang", "source", "bucket")
+            .orderBy("k", "doc_id")).cast("long"))
+        .join(bcnt.select(col("lang"), col("source"), col("bucket"),
+          col("below")), Seq("lang", "source", "bucket"))
+        .join(n, Seq("lang", "source"))
+        .withColumn("rnk", col("below") + col("wrn"))
+        .withColumn("split",
+          when(col("rnk") <= expr("div(n * 8, 10)"), "train")
+            .when(col("rnk") <= expr("div(n * 9, 10)"), "val")
+            .otherwise("test"))
+        .select(col("doc_id"), col("lang"), col("source"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // DS11: k-fold cross-validation assignment — GROUP-AWARE (every
     // event of a user lands in one fold, the same leakage guard as
     // DS1's split) via the md5-uniform ladder, with the audit a CV
@@ -496,6 +537,25 @@ object DatasetOps {
                 row_number() OVER (PARTITION BY shard
                                    ORDER BY k, doc_id) AS pos
          FROM sharded ORDER BY shard, pos""",
+    // the two-level rank collapses to a plain per-stratum permutation
+    // rank — DuckDB can afford the direct window; integer floor-div
+    // thresholds are exact on both engines
+    "ds17_stratified_split" ->
+      """WITH h AS (
+           SELECT doc_id, lang, source,
+                  md5('ds17:' || CAST(doc_id AS VARCHAR)) AS k
+           FROM documents),
+         r AS (
+           SELECT doc_id, lang, source,
+                  row_number() OVER (PARTITION BY lang, source
+                                     ORDER BY k, doc_id) AS rnk,
+                  count(*) OVER (PARTITION BY lang, source) AS n
+           FROM h)
+         SELECT doc_id, lang, source,
+                CASE WHEN rnk <= (n * 8) // 10 THEN 'train'
+                     WHEN rnk <= (n * 9) // 10 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM r ORDER BY doc_id""",
     "ds11_kfold" ->
       """WITH tagged AS (
            SELECT user_id, event_type,

@@ -671,6 +671,97 @@ object Relational {
         .orderBy("type_a", "type_b")
     }),
 
+    // A75: market-basket association rules — A31 stops at support;
+    // the retail/recommender standard adds the DIRECTION and the
+    // chance correction: per order the distinct brand set (lineitem
+    // ⋈ broadcast part — the canonical star join), pairs via the
+    // keyed self-join on orderkey (per-basket quadratic, ≤ C(25,2)
+    // brand pairs — never corpus-quadratic), then
+    // confidence(a→b) = n_ab/n_a and lift = n_ab·N/(n_a·n_b) (> 1 ⇔
+    // positively associated). Exact integer counts into single
+    // raw-double divisions (the W24 discipline); brand marginals are
+    // a 25-row broadcast; min-support 5 kills noise rules. Fully
+    // oracle-checked.
+    "a75_basket_lift" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"), col("l_partkey"))
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("okey"), col("p_brand").as("brand"))
+        .distinct()
+      val nb = items.select(col("okey")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val bc = items.groupBy(col("brand")).agg(count(lit(1)).as("n1"))
+      items.as("a").join(items.as("b"),
+          col("a.okey") === col("b.okey") &&
+            col("a.brand") < col("b.brand"))
+        .groupBy(col("a.brand").as("brand_a"),
+          col("b.brand").as("brand_b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 5)
+        .join(broadcast(bc.select(col("brand").as("brand_a"),
+          col("n1").as("n_a"))), Seq("brand_a"))
+        .join(broadcast(bc.select(col("brand").as("brand_b"),
+          col("n1").as("n_b"))), Seq("brand_b"))
+        .crossJoin(broadcast(nb))
+        .select(col("brand_a"), col("brand_b"), col("support"),
+          col("n_a"), col("n_b"),
+          (col("support").cast("double") / col("n_a")).as("confidence"),
+          ((col("support") * col("n_baskets")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double")).as("lift"))
+        .orderBy("brand_a", "brand_b")
+    }),
+
+    // A76: market concentration (HHI + CR4) — the antitrust/market-
+    // structure block (the regulator's own metric: HHI > 2500 =
+    // highly concentrated): per nation, supplier revenue shares from
+    // the decimal-exact TPC-H revenue expression, HHI = 10000·Σs²
+    // and CR4 = the top-4 share sum. Every sum (supplier revenue,
+    // nation total, Σshare², CR4) is decimal-pinned → association-
+    // order-free, so the per-nation folds never depend on merge
+    // order no matter how many suppliers a 100 TB nation has; shares
+    // are elementwise raw divisions; the top-4 pick is an exact
+    // (revenue, suppkey) rank window per nation. One lineitem pass;
+    // supplier/nation dims broadcast. Fully oracle-checked.
+    "a76_hhi_concentration" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("s_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(24,10)")).cast("double").as("rev"))
+      // nation totals via windows, not a groupBy+self-join: a
+      // DataFrame consumed twice re-executes its subtree (two
+      // lineitem scans — caught by PlanShapeSpec), while the three
+      // windows share one s_nationkey exchange over the
+      // O(suppliers) frame
+      val wN = Window.partitionBy("s_nationkey")
+      val shares = rev
+        .withColumn("tot",
+          sum(col("rev").cast("decimal(30,12)")).over(wN).cast("double"))
+        .withColumn("n_suppliers", count(lit(1)).over(wN))
+        .withColumn("share", col("rev") / col("tot"))
+        .withColumn("rk", row_number().over(
+          wN.orderBy(col("rev").desc, col("s_suppkey"))))
+      shares.groupBy(col("s_nationkey"))
+        .agg(max(col("n_suppliers")).as("n_suppliers"),
+          max(col("tot")).as("total_rev"),
+          (sum((col("share") * col("share")).cast("decimal(30,12)"))
+            .cast("double") * 10000).as("hhi"),
+          sum(when(col("rk") <= 4, col("share").cast("decimal(30,12)"))
+            .otherwise(lit(0).cast("decimal(30,12)")))
+            .cast("double").as("cr4"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("n_suppliers"),
+          r6(col("total_rev")).as("total_rev"), r6(col("hhi")).as("hhi"),
+          r6(col("cr4")).as("cr4"))
+        .orderBy("n_name")
+    }),
+
     // A36: RFM segmentation — the classic user-value scoring: per user
     // Recency (days from last activity to the corpus horizon),
     // Frequency (events), Monetary (decimal-exact value sum), each
@@ -2044,6 +2135,65 @@ object Relational {
                 CAST(support AS DOUBLE) / n_baskets AS support_share
          FROM pairs, tot
          ORDER BY type_a, type_b""",
+    // identical distinct-brand baskets, integer counts, raw-double
+    // confidence/lift divisions
+    "a75_basket_lift" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         nb AS (SELECT count(DISTINCT okey) AS n_baskets FROM items),
+         bc AS (SELECT brand, CAST(count(*) AS BIGINT) AS n1
+                FROM items GROUP BY 1),
+         pairs AS (
+           SELECT a.brand AS brand_a, b.brand AS brand_b,
+                  CAST(count(*) AS BIGINT) AS support
+           FROM items a JOIN items b
+             ON a.okey = b.okey AND a.brand < b.brand
+           GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT brand_a, brand_b, support, x.n1 AS n_a, y.n1 AS n_b,
+                CAST(support AS DOUBLE) / x.n1 AS confidence,
+                CAST(support * n_baskets AS DOUBLE) /
+                  CAST(x.n1 * y.n1 AS DOUBLE) AS lift
+         FROM pairs
+         JOIN bc x ON pairs.brand_a = x.brand
+         JOIN bc y ON pairs.brand_b = y.brand, nb
+         ORDER BY brand_a, brand_b""",
+    // identical decimal-pinned revenue/total/Σshare²/CR4 sums (the
+    // VARCHAR decimal→double bridge), raw share divisions, exact
+    // (revenue, suppkey) top-4 rank
+    "a76_hhi_concentration" ->
+      """WITH rev AS (
+           SELECT s_nationkey, s_suppkey,
+                  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE) AS rev
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           GROUP BY 1, 2),
+         tot AS (
+           SELECT s_nationkey,
+                  CAST(CAST(sum(CAST(rev AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) AS tot,
+                  CAST(count(*) AS BIGINT) AS n_suppliers
+           FROM rev GROUP BY 1),
+         sh AS (
+           SELECT r.s_nationkey, r.rev / t.tot AS share, t.tot,
+                  t.n_suppliers,
+                  row_number() OVER (PARTITION BY r.s_nationkey
+                    ORDER BY r.rev DESC, r.s_suppkey) AS rk
+           FROM rev r JOIN tot t ON r.s_nationkey = t.s_nationkey),
+         agg AS (
+           SELECT s_nationkey, max(n_suppliers) AS n_suppliers,
+                  max(tot) AS total_rev,
+                  CAST(CAST(sum(CAST(share * share AS DECIMAL(30,12)))
+                       AS VARCHAR) AS DOUBLE) * 10000 AS hhi,
+                  CAST(CAST(sum(CASE WHEN rk <= 4
+                         THEN CAST(share AS DECIMAL(30,12))
+                         ELSE CAST(0 AS DECIMAL(30,12)) END)
+                       AS VARCHAR) AS DOUBLE) AS cr4
+           FROM sh GROUP BY 1)
+         SELECT n_name, n_suppliers, round(total_rev, 6) AS total_rev,
+                round(hhi, 6) AS hhi, round(cr4, 6) AS cr4
+         FROM agg JOIN nation ON s_nationkey = n_nationkey
+         ORDER BY n_name""",
     "sql8_lateral_topn" ->
       """SELECT p.p_partkey, p.p_brand, t.l_orderkey, t.l_linenumber,
                 t.l_extendedprice

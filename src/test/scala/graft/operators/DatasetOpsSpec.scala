@@ -91,4 +91,40 @@ class DatasetOpsSpec extends AnyFunSuite {
       assert(rows.map(_._4).max <= 500L, s"$src exceeded the budget")
     }
   }
+
+  test("ds17: exact per-stratum allocation; two-level rank == direct sort") {
+    val out = DatasetOps.queries("ds17_stratified_split")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    assert(out.nonEmpty)
+    // exact ⌊0.8n⌋/⌊0.9n⌋−⌊0.8n⌋/rest allocation per stratum — the
+    // property hash splits only hit in expectation
+    out.groupBy(r => (r._2, r._3)).foreach { case (strat, rs) =>
+      val n = rs.length
+      val c = rs.groupBy(_._4).view.mapValues(_.length).toMap
+      assert(c.getOrElse("train", 0) == n * 8 / 10, s"$strat train")
+      assert(c.getOrElse("val", 0) == n * 9 / 10 - n * 8 / 10,
+        s"$strat val")
+      assert(c.getOrElse("test", 0) == n - n * 9 / 10, s"$strat test")
+    }
+    // the distributed two-level rank must equal a direct per-stratum
+    // sort of the md5 permutation keys (sequential recompute)
+    val mdAlg = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      mdAlg.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    out.groupBy(r => (r._2, r._3)).foreach { case (strat, rs) =>
+      val n = rs.length
+      val ranked = rs.map(r => (md5hex(s"ds17:${r._1}"), r._1))
+        .sortBy(identity).zipWithIndex
+        .map { case ((_, id), i) => id -> (i + 1) }.toMap
+      rs.foreach { case (id, _, _, split) =>
+        val rk = ranked(id)
+        val want = if (rk <= n * 8 / 10) "train"
+          else if (rk <= n * 9 / 10) "val" else "test"
+        assert(split == want, s"$strat doc $id rank $rk: $split")
+      }
+    }
+  }
 }

@@ -116,6 +116,21 @@ class PlanShapeSpec extends AnyFunSuite {
            plan.contains("BroadcastHashJoin"), plan.take(1200))
   }
 
+  test("a75 basket rules: dims broadcast, pair join keyed on orderkey") {
+    val plan = planOf(Relational.queries, "a75_basket_lift")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
+  test("a76 HHI: supplier/nation dims broadcast, one lineitem pass") {
+    val plan = planOf(Relational.queries, "a76_hhi_concentration")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    // one scan of the fact table: revenue aggregates once, every
+    // later stage runs on the O(suppliers) frame
+    assert("lineitem".r.findAllIn(plan).size <= 1, plan.take(1500))
+  }
+
   test("LSH dedup paths join on bucket keys, never all pairs") {
     for (q <- Seq("d3_minhash_lsh", "d6_lsh_verified")) {
       val plan = planOf(Dedup.queries, q)
