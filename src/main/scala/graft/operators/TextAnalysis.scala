@@ -525,6 +525,48 @@ object TextAnalysis {
           col("pmi"))
     }),
 
+    // TXT20: Jensen–Shannon source drift — the corpus-curation
+    // question TXT14/TXT11 don't answer: how far does each SOURCE's
+    // word distribution sit from the corpus (domain shift — the
+    // signal mixture designers weight by, symmetric and bounded
+    // [0, ln 2] where KL is neither)? JSD(Pₛ‖Q) over the complete
+    // source × vocab spine (a word absent from a source still
+    // contributes its ½·q·ln(q/m) mass — the spine makes that
+    // row-presence-independent, A71's lesson), p-terms gated
+    // arithmetically (p = 0 would put 0·ln 0 = NaN through the sum),
+    // each term rounded at 1e-12 then decimal-summed (the A48/A71
+    // fold discipline, 12 digits because JSD terms are O(q) ~ 1e-4
+    // and a 6-digit grid would swallow them). Scale: one corpus
+    // pass → (source, word) hash agg; the spine is sources × vocab
+    // (vocab-bounded, never corpus-bounded); marginals broadcast.
+    // Fully oracle-checked.
+    "txt20_jsd_drift" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(toks).as("w"))
+      val sw = tok.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+      val st = sw.groupBy("source").agg(sum(col("c_sw")).as("n_s"))
+      val wc = sw.groupBy("w").agg(sum(col("c_sw")).as("c_w"))
+      val nn = st.agg(sum(col("n_s")).as("n"))
+      val spine = st.select(col("source"), col("n_s"))
+        .crossJoin(broadcast(wc)).crossJoin(broadcast(nn))
+      spine
+        .join(sw, Seq("source", "w"), "left")
+        .na.fill(0L, Seq("c_sw"))
+        .withColumn("p", col("c_sw").cast("double") / col("n_s"))
+        .withColumn("q", col("c_w").cast("double") / col("n"))
+        .withColumn("m", (col("p") + col("q")) / 2)
+        .withColumn("term",
+          round(when(col("p") > 0,
+            lit(0.5d) * col("p") * log(col("p") / col("m")))
+            .otherwise(lit(0.0d)) +
+            lit(0.5d) * col("q") * log(col("q") / col("m")), 12))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_tokens"),
+          round(sum(col("term").cast("decimal(24,14)")).cast("double"),
+            6).as("jsd"))
+        .orderBy("source")
+    }),
+
     // broadcast. Float discipline: per-doc term sum folds in sorted
     // term order (TXT11's pattern), ln() divergence absorbed by round6.
     "txt12_bm25" -> ((s, d) => {
@@ -721,10 +763,104 @@ object TextAnalysis {
         .select(col("doc_id"), col("n_spans"), col("n_dup"),
           r6(col("n_dup").cast("double") / col("n_spans")).as("dup_frac"))
         .orderBy("doc_id")
+    }),
+
+    // D18: prefix-filtered EXACT similarity join (PPJoin candidate
+    // generation — Xiao et al. 2008 Lemma 1; Bayardo et al. 2007):
+    // all doc pairs with 3-gram shingle-set Jaccard ≥ 0.4 (D2's
+    // granularity — word sets are non-discriminative on this
+    // corpus's shared vocabulary: measured 30k pairs at J ≥ 0.8),
+    // where the inverted index posts only each doc's PREFIX —
+    // shingles ranked by global rarity (df asc, shingle asc — the
+    // order that makes prefixes maximally selective), prefix length
+    // n − ⌈0.4n⌉ + 1 in pure integer arithmetic (⌈2n/5⌉ =
+    // (2n+4) div 5 — no float threshold, the DS15 lesson), so a
+    // boilerplate shingle never posts while a rare one does.
+    // Candidates verify exactly via array_intersect on the carried
+    // sets; the qualifying test is the cross-multiplied integer form
+    // 7·i ≥ 2·(n_a+n_b). THE ORACLE IS THE EXHAUSTIVE JOIN — DuckDB
+    // posts every shingle — so the hash match itself proves the
+    // prefix filter drops no qualifying pair, every round, at every
+    // SF (plus the DedupSpec brute-force sweep). Bounded to the
+    // doc_id < 1000 slice for oracle tractability (D2's pattern);
+    // the plan is the 100 TB shape: keyed prefix-posting join, never
+    // all-pairs, candidate volume ∝ rare-shingle postings.
+    "d18_prefix_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 1000)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), array_distinct(transform(
+          sequence(lit(0), size(col("t")) - 3),
+          i => concat_ws(" ",
+            element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2),
+            element_at(col("t"), i + 3)))).as("tset"))
+      val tok = docs.select(col("doc_id"), explode(col("tset")).as("w"))
+      val freq = tok.groupBy("w").agg(count(lit(1)).as("df"))
+      val pref = tok.join(broadcast(freq), Seq("w"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("w"))))
+        .join(docs.select(col("doc_id"), size(col("tset")).as("n")),
+          Seq("doc_id"))
+        .filter(col("pos") <= col("n") - expr("div(2 * n + 4, 5)") + 1)
+        .select(col("doc_id"), col("w"))
+      val cand = pref.as("a").join(pref.as("b"),
+          col("a.w") === col("b.w") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      cand
+        .join(docs.select(col("doc_id").as("da"), col("tset").as("ta")),
+          Seq("da"))
+        .join(docs.select(col("doc_id").as("db"), col("tset").as("tb")),
+          Seq("db"))
+        .withColumn("i", size(array_intersect(col("ta"), col("tb")))
+          .cast("long"))
+        .withColumn("n_a", size(col("ta")).cast("long"))
+        .withColumn("n_b", size(col("tb")).cast("long"))
+        .filter(lit(7L) * col("i") >= lit(2L) * (col("n_a") + col("n_b")))
+        .select(col("da"), col("db"), col("i").as("inter"), col("n_a"),
+          col("n_b"),
+          (col("i").cast("double") /
+            (col("n_a") + col("n_b") - col("i"))).as("jaccard"))
+        .orderBy("da", "db")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // EXHAUSTIVE inverted-index join (every token posts — no prefix):
+    // hash-matching against the prefix-filtered Spark plan proves the
+    // filter drops no qualifying pair
+    "d18_prefix_jaccard" ->
+      """WITH raw AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents WHERE doc_id < 1000),
+         docs AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(
+                    generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                    AS tset
+           FROM raw WHERE len(t) >= 3),
+         d2 AS (SELECT doc_id, len(tset) AS n FROM docs),
+         tok AS (SELECT doc_id, unnest(tset) AS w FROM docs),
+         pairs AS (
+           SELECT a.doc_id AS da, b.doc_id AS db,
+                  CAST(count(*) AS BIGINT) AS i
+           FROM tok a JOIN tok b
+             ON a.w = b.w AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         j AS (
+           SELECT da, db, i, x.n AS n_a, y.n AS n_b
+           FROM pairs
+           JOIN d2 x ON da = x.doc_id
+           JOIN d2 y ON db = y.doc_id
+           WHERE 7 * i >= 2 * (x.n + y.n))
+         SELECT da, db, i AS inter, CAST(n_a AS BIGINT) AS n_a,
+                CAST(n_b AS BIGINT) AS n_b,
+                CAST(i AS DOUBLE) / (n_a + n_b - i) AS jaccard
+         FROM j ORDER BY da, db""",
     // DECIMAL literals cast to DOUBLE (DuckDB fractional literals are
     // decimals; the linear combination must be double math both sides)
     "txt16_readability" ->
@@ -944,6 +1080,37 @@ object TextAnalysis {
            JOIN uc y ON bc.w2 = y.w, tt, tb)
          SELECT w1, w2, cxy, cx, cy, pmi
          FROM j ORDER BY pmi DESC, w1, w2 LIMIT 20""",
+    // identical spine, arithmetic p-gate, 1e-12 term grid and
+    // decimal-pinned per-source sum
+    "txt20_jsd_drift" ->
+      """WITH tok AS (
+           SELECT source,
+                  unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+           FROM documents),
+         sw AS (SELECT source, w, count(*) AS c_sw
+                FROM tok GROUP BY 1, 2),
+         st AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s
+                FROM sw GROUP BY 1),
+         wc AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w
+                FROM sw GROUP BY 1),
+         nn AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM st),
+         terms AS (
+           SELECT st.source, st.n_s,
+                  CAST(coalesce(sw.c_sw, 0) AS DOUBLE) / st.n_s AS p,
+                  CAST(wc.c_w AS DOUBLE) / nn.n AS q
+           FROM st CROSS JOIN wc CROSS JOIN nn
+           LEFT JOIN sw ON sw.source = st.source AND sw.w = wc.w),
+         tt AS (
+           SELECT source, n_s,
+                  round(CASE WHEN p > 0
+                          THEN 0.5 * p * ln(p / ((p + q) / 2))
+                          ELSE 0.0 END +
+                        0.5 * q * ln(q / ((p + q) / 2)), 12) AS term
+           FROM terms)
+         SELECT source, max(n_s) AS n_tokens,
+                round(CAST(CAST(sum(CAST(term AS DECIMAL(24,14)))
+                      AS VARCHAR) AS DOUBLE), 6) AS jsd
+         FROM tt GROUP BY source ORDER BY source""",
     "txt11_unigram_loglik" ->
       """WITH tok AS (
            SELECT doc_id,

@@ -708,4 +708,48 @@ class DedupSpec extends AnyFunSuite {
     def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
     assert(ham(sh2(1L), sh2(2L)) < ham(sh2(1L), sh2(3L)))
   }
+
+  test("d18: prefix-filtered join == brute force; the prefix prunes postings") {
+    // the DuckDB oracle already proves no-false-negatives vs the
+    // exhaustive INDEX join; this sweep proves it against the raw
+    // definition (all pairs, set Jaccard), and measures the pruning
+    val sf = SparkTestSession.Sf0001
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 1000)
+      .select(col("doc_id"), lower(trim(col("text")))).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq)
+      .filter(_._2.size >= 3)
+      .map { case (id, t) =>
+        id -> t.sliding(3).map(_.mkString(" ")).toSet }
+    val brute = (for {
+      (da, ta) <- docs; (db, tb) <- docs if da < db
+      i = (ta & tb).size if 7L * i >= 2L * (ta.size + tb.size)
+    } yield (da, db, i.toLong, ta.size.toLong, tb.size.toLong)).toSet
+    val got = TextAnalysis.queries("d18_prefix_jaccard")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == brute, s"prefix join ${got.size} vs brute ${brute.size}")
+    assert(got.nonEmpty)
+    // pruning: the CANDIDATE PAIR volume (what verification pays for)
+    // must shrink strictly under the prefix index vs the full index
+    val df = docs.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size).toMap
+    def candPairs(post: Seq[(Long, Set[String])]): Int =
+      post.flatMap { case (id, ts) => ts.map(_ -> id) }
+        .groupBy(_._1).values
+        .flatMap(g => for (a <- g; b <- g if a._2 < b._2)
+          yield (a._2, b._2))
+        .toSet.size
+    val fullCand = candPairs(docs.toSeq)
+    val prefCand = candPairs(docs.toSeq.map { case (id, ts) =>
+      val n = ts.size
+      id -> ts.toSeq.sortBy(w => (df(w), w))
+        .take(n - (2 * n + 4) / 5 + 1).toSet })
+    assert(prefCand < fullCand,
+      s"prefix candidates $prefCand !< full $fullCand")
+    assert(brute.size <= prefCand,
+      "sanity: candidates must cover the qualifying pairs")
+  }
 }

@@ -264,6 +264,61 @@ class TextAnalysisSpec extends AnyFunSuite {
       frR.getDouble(6) == 0.0)
   }
 
+  test("txt20 JSD matches sequential recompute and planted extremes") {
+    val sf = SparkTestSession.Sf0001
+    // sequential mirror of the spine + round12 + decimal-14 fold
+    val rows = Tables.documents(spark, sf)
+      .select(col("source"), lower(trim(col("text")))).collect()
+      .map(r => (r.getString(0), r.getString(1).split("\\s+").toSeq))
+    val sw = rows.flatMap { case (s, ws) => ws.map((s, _)) }
+      .groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+    val ns = sw.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val cw = sw.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+    val n = ns.values.sum
+    val expect = ns.map { case (src, nS) =>
+      val terms = cw.toSeq.map { case (w, cW) =>
+        val p = sw.getOrElse((src, w), 0L).toDouble / nS
+        val q = cW.toDouble / n
+        val m = (p + q) / 2
+        val t = (if (p > 0) 0.5 * p * math.log(p / m) else 0.0) +
+          0.5 * q * math.log(q / m)
+        BigDecimal(math.rint(t * 1e12) / 1e12)
+          .setScale(14, BigDecimal.RoundingMode.HALF_UP)
+      }
+      src -> math.rint(terms.sum.toDouble * 1e6) / 1e6
+    }
+    val got = TextAnalysis.queries("txt20_jsd_drift")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == expect.keySet && got.nonEmpty)
+    got.foreach { case (s, j) =>
+      assert(math.abs(j - expect(s)) <= 1e-9, s"$s: $j vs ${expect(s)}")
+      assert(j >= 0.0 && j <= math.log(2.0) + 1e-9, s"$s out of [0, ln2]")
+    }
+    // planted extremes: a source sharing the corpus distribution
+    // scores exactly 0; two equal disjoint-vocabulary sources score
+    // JSD(P, ½P+½P′) = ½ln(4/3) + ¼ln(2/3) + ¼ln2 ≈ 0.2158 — NOT
+    // ln 2, because the reference Q is the corpus INCLUDING the
+    // source (the drift monitor's frame, not a two-sample JSD)
+    import spark.implicits._
+    val d = SparkTestSession.fixtureDir("jsd-fix")
+    Seq((0L, "x y", "en", "same", 3L), (1L, "x y", "en", "other", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val same = TextAnalysis.queries("txt20_jsd_drift")(spark, d)
+      .collect().map(r => r.getDouble(2))
+    assert(same.forall(_ == 0.0), s"identical dists must score 0: ${same.toList}")
+    val d2 = SparkTestSession.fixtureDir("jsd-fix2")
+    Seq((0L, "x x x", "en", "a", 5L), (1L, "y y y", "en", "b", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val disj = TextAnalysis.queries("txt20_jsd_drift")(spark, d2)
+      .collect().map(r => r.getDouble(2))
+    val want = 0.5 * math.log(4.0 / 3.0) + 0.25 * math.log(2.0 / 3.0) +
+      0.25 * math.log(2.0)
+    assert(disj.forall(j => math.abs(j - want) < 1e-6),
+      s"disjoint halves must score $want: ${disj.toList}")
+  }
+
   test("txt19 PMI top-20 equals a sequential brute-force recompute") {
     val sf = SparkTestSession.Sf0001
     val docs = Tables.documents(spark, sf).select(lower(trim(col("text"))))
