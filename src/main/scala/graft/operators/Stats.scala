@@ -1761,6 +1761,40 @@ object Stats {
           r6(graft.functions.ChiSquarePValue.pValue(col("h_tied"),
             col("df"))).as("p_value"))),
 
+    // A77: Page–Hinkley drift test — the sequential change detector
+    // beside A49's CUSUM (PH is the streaming-monitoring textbook
+    // form: Page 1954, the variant ML-ops libraries ship): per
+    // series in day order, term_t = x_t − mean(x₁..x_t) − δ against
+    // the RUNNING prefix mean (self-adapting where A49 fixes a
+    // reference), M_t = Σ terms, PH_t = M_t − min_{s≤t} M_s, alarm
+    // when PH > λ. Every cumulative (prefix sum for the mean, term
+    // sum, running min) is one per-series window pass over the
+    // O(types×days) daily frame; both running sums decimal-pinned
+    // (w17's contract), the min compares exact doubles, PH is one
+    // elementwise subtraction → RAW doubles hash-match. δ = 0.05,
+    // λ = 5 (scaled to the daily-mean magnitudes). Fully
+    // oracle-checked.
+    "a77_page_hinkley" -> ((s, d) => {
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      val wc = wd.rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("v"))
+        .withColumn("rn", row_number().over(wd).cast("long"))
+        .withColumn("runsum",
+          sum(col("v").cast("decimal(30,12)")).over(wc).cast("double"))
+        .withColumn("term",
+          col("v") - col("runsum") / col("rn") - lit(0.05d))
+        .withColumn("m",
+          sum(col("term").cast("decimal(30,12)")).over(wc).cast("double"))
+        .withColumn("m_min", min(col("m")).over(wc))
+        .withColumn("ph", col("m") - col("m_min"))
+        .select(col("event_type"), col("day"), col("v"), col("ph"),
+          (col("ph") > lit(5.0d)).as("alarm"))
+        .orderBy("event_type", "day")
+    }),
+
     // A74: Levene's homogeneity-of-variance test (mean-centered
     // form) — the gate every ANOVA/t-test user should run first:
     // are the five series' value SPREADS equal? Per-group absolute
@@ -2777,6 +2811,40 @@ object Stats {
          SELECT k, n, round(h, 6) AS h,
                 round(h / corr_c, 6) AS h_tied
          FROM h""",
+    // identical decimal-pinned prefix sums, raw-double PH chain
+    "a77_page_hinkley" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS v
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, day, v,
+                  row_number() OVER w AS rn,
+                  CAST(CAST(sum(CAST(v AS DECIMAL(30,12))) OVER wc
+                       AS VARCHAR) AS DOUBLE) AS runsum
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day),
+                  wc AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND
+                         CURRENT ROW)),
+         m AS (
+           SELECT event_type, day, v,
+                  CAST(CAST(sum(CAST(v - runsum / rn -
+                       CAST(0.05 AS DOUBLE) AS DECIMAL(30,12))) OVER wc
+                       AS VARCHAR) AS DOUBLE) AS m
+           FROM t
+           WINDOW wc AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND
+                         CURRENT ROW)),
+         p AS (
+           SELECT event_type, day, v,
+                  m - min(m) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS ph
+           FROM m)
+         SELECT event_type, day, v, ph, ph > CAST(5.0 AS DOUBLE) AS alarm
+         FROM p ORDER BY event_type, day""",
     // identical decimal-pinned group means, |dev| re-ANOVA with the
     // a52 ordered-list fold
     "a74_levene" ->

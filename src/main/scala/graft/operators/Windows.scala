@@ -915,6 +915,53 @@ object Windows {
             r6(col("fill_val"))))
         .select(col("user_id"), col("day"), col("asof_value"))
         .orderBy("user_id", "day")
+    }),
+
+    // J12: NEAREST-direction as-of join — pandas merge_asof
+    // direction='nearest' (J4 is 'backward', J8 adds tolerance):
+    // each (user, day) takes the purchase value whose source day is
+    // closest in EITHER direction, ties to the earlier (backward)
+    // source — the semantics sensor-fusion and quote-matching want
+    // when the best observation may be just ahead. Same J4 plan
+    // doubled: a backward last-ignoreNulls fill and a forward
+    // first-ignoreNulls fill (both value and source day), then the
+    // pick is a pure integer-day comparison projection — still no
+    // inequality join, still two passes over one per-user window
+    // exchange. Exact integer distances and exact value picks →
+    // fully oracle-checked (DuckDB replays the identical frames).
+    "j12_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val spine = ev.select(col("user_id"),
+        date_trunc("day", col("ts")).as("day")).distinct()
+      val wLast = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val pDaily = ev.filter(col("event_type") === "purchase")
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("value").as("day_val"),
+          col("day").as("src_day"))
+      val wB = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wF = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+      spine.join(pDaily, Seq("user_id", "day"), "left")
+        .withColumn("bv", last(col("day_val"), ignoreNulls = true).over(wB))
+        .withColumn("bs", last(col("src_day"), ignoreNulls = true).over(wB))
+        .withColumn("fv", first(col("day_val"), ignoreNulls = true).over(wF))
+        .withColumn("fs", first(col("src_day"), ignoreNulls = true).over(wF))
+        .withColumn("bd", datediff(col("day"), col("bs")).cast("long"))
+        .withColumn("fd", datediff(col("fs"), col("day")).cast("long"))
+        .withColumn("use_b", col("bd").isNotNull &&
+          (col("fd").isNull || col("bd") <= col("fd")))
+        .select(col("user_id"), col("day"),
+          when(col("use_b"), col("bv")).otherwise(col("fv"))
+            .as("nearest_value"),
+          when(col("use_b"), col("bd")).otherwise(col("fd"))
+            .as("dist_days"),
+          when(col("use_b"), lit("backward"))
+            .when(col("fd").isNotNull, lit("forward")).as("direction"))
+        .orderBy("user_id", "day")
     })
   )
 
@@ -1361,6 +1408,50 @@ object Windows {
                      THEN round(p.value, 6) END AS asof_value
          FROM spine s ASOF LEFT JOIN purchases p
            ON s.user_id = p.user_id AND s.day + INTERVAL 1 DAY > p.ts
-         ORDER BY s.user_id, s.day"""
+         ORDER BY s.user_id, s.day""",
+    // no native 'nearest' ASOF: replay the identical two-directional
+    // ignore-nulls fills (the forward pick is the LAST purchase of
+    // the nearest future day — an ASOF on raw ts would take the
+    // first, a different row)
+    "j12_asof_nearest" ->
+      """WITH spine AS (
+           SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+           FROM events),
+         pd AS (
+           SELECT user_id, day, value AS day_val, day AS src_day
+           FROM (
+             SELECT user_id, date_trunc('day', ts) AS day, value,
+                    row_number() OVER (
+                      PARTITION BY user_id, date_trunc('day', ts)
+                      ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events WHERE event_type = 'purchase')
+           WHERE rn = 1),
+         f AS (
+           SELECT s.user_id, s.day,
+                  last_value(p.day_val IGNORE NULLS) OVER wb AS bv,
+                  last_value(p.src_day IGNORE NULLS) OVER wb AS bs,
+                  first_value(p.day_val IGNORE NULLS) OVER wf AS fv,
+                  first_value(p.src_day IGNORE NULLS) OVER wf AS fs
+           FROM spine s LEFT JOIN pd p
+             ON s.user_id = p.user_id AND s.day = p.day
+           WINDOW wb AS (PARTITION BY s.user_id ORDER BY s.day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND
+                         CURRENT ROW),
+                  wf AS (PARTITION BY s.user_id ORDER BY s.day
+                         ROWS BETWEEN CURRENT ROW AND
+                         UNBOUNDED FOLLOWING)),
+         g AS (
+           SELECT user_id, day,
+                  bv, fv,
+                  CAST(datediff('day', bs, day) AS BIGINT) AS bd,
+                  CAST(datediff('day', day, fs) AS BIGINT) AS fd,
+                  bd IS NOT NULL AND (fd IS NULL OR bd <= fd) AS use_b
+           FROM f)
+         SELECT user_id, day,
+                CASE WHEN use_b THEN bv ELSE fv END AS nearest_value,
+                CASE WHEN use_b THEN bd ELSE fd END AS dist_days,
+                CASE WHEN use_b THEN 'backward'
+                     WHEN fd IS NOT NULL THEN 'forward' END AS direction
+         FROM g ORDER BY user_id, day"""
   )
 }

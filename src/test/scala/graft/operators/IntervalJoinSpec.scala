@@ -68,4 +68,43 @@ class IntervalJoinSpec extends AnyFunSuite {
       (1L, "2024-03-01 00:00:00.0", 10.0, 1L),     // own-day event only
       (1L, "2024-03-02 00:00:00.0", 15.0, 2L)))    // 24h back reaches both
   }
+
+  test("j12 nearest as-of: direction, tie-to-backward, and no-purchase NULLs") {
+    import spark.implicits._
+    val d = SparkTestSession.fixtureDir("j12-fix")
+    // user 1: purchases day 1 (two ticks — last wins: 11.0) and day 9;
+    // clicks create spine days 2 (back d1), 5 (tie 4/4 → backward),
+    // 7 (forward d2), 12 (backward past the last purchase).
+    // user 2: clicks only → all NULL.
+    Seq(
+      (1L, "2024-03-01 08:00:00", 1L, "purchase", 10.0),
+      (2L, "2024-03-01 09:00:00", 1L, "purchase", 11.0),
+      (3L, "2024-03-09 10:00:00", 1L, "purchase", 42.0),
+      (4L, "2024-03-02 10:00:00", 1L, "click", 0.0),
+      (5L, "2024-03-05 10:00:00", 1L, "click", 0.0),
+      (6L, "2024-03-07 10:00:00", 1L, "click", 0.0),
+      (7L, "2024-03-12 10:00:00", 1L, "click", 0.0),
+      (8L, "2024-03-03 10:00:00", 2L, "click", 0.0))
+      .map { case (eid, ts, uid, t, v) =>
+        (eid, java.sql.Timestamp.valueOf(ts), uid, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = graft.operators.Windows.queries("j12_asof_nearest")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.get(1).toString.take(10)) ->
+        ((if (r.isNullAt(2)) None else Some(r.getDouble(2))),
+         (if (r.isNullAt(3)) None else Some(r.getLong(3))),
+         Option(r.getString(4)))).toMap
+    assert(rows((1L, "2024-03-01")) ==
+      ((Some(11.0), Some(0L), Some("backward")))) // same day, last tick
+    assert(rows((1L, "2024-03-02")) ==
+      ((Some(11.0), Some(1L), Some("backward"))))
+    assert(rows((1L, "2024-03-05")) ==
+      ((Some(11.0), Some(4L), Some("backward")))) // 4 back vs 4 fwd: tie
+    assert(rows((1L, "2024-03-07")) ==
+      ((Some(42.0), Some(2L), Some("forward"))))
+    assert(rows((1L, "2024-03-12")) ==
+      ((Some(42.0), Some(3L), Some("backward"))))
+    assert(rows((2L, "2024-03-03")) == ((None, None, None)))
+  }
 }

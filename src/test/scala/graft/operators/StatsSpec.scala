@@ -494,6 +494,52 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("a77 Page–Hinkley: quiet series stays silent, planted shift alarms") {
+    import spark.implicits._
+    def write(d: String, shift: Double): Unit =
+      (0 until 60).map { i =>
+        val day = i / 2 + 1 // 30 days, 2 events/day
+        val v = 10.0 + (i % 2) + (if (day > 20) shift else 0.0)
+        (i.toLong,
+          java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:0${i % 2}"),
+          i.toLong, "click", v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val d0 = SparkTestSession.fixtureDir("ph-quiet")
+    write(d0, 0.0)
+    val quiet = Stats.queries("a77_page_hinkley")(spark, d0).collect()
+    assert(quiet.nonEmpty && quiet.forall(!_.getBoolean(4)),
+      "stationary series must never alarm")
+    val d1 = SparkTestSession.fixtureDir("ph-shift")
+    write(d1, 8.0)
+    val shifted = Stats.queries("a77_page_hinkley")(spark, d1).collect()
+      .map(r => (r.get(1).toString, r.getDouble(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    assert(shifted.take(20).forall(!_._3), "no alarm before the shift")
+    assert(shifted.drop(21).exists(_._3), "the +8 shift must alarm")
+    // sequential PH recompute on the shifted fixture (textbook form,
+    // mirroring the decimal pinning)
+    def dsum12(xs: Seq[Double]): Double =
+      xs.map(BigDecimal(_).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val vs = shifted.indices.map { i =>
+      // daily mean of the two planted events (via the same decimal path)
+      val day = i + 1
+      val base = 10.0 + (if (day > 20) 8.0 else 0.0)
+      dsum12(Seq(base, base + 1.0)) / 2
+    }
+    var mMin = Double.MaxValue
+    vs.indices.foreach { i =>
+      val runMean = dsum12(vs.take(i + 1)) / (i + 1)
+      val m = dsum12(vs.take(i + 1).zipWithIndex.map { case (_, j) =>
+        vs(j) - dsum12(vs.take(j + 1)) / (j + 1) - 0.05 })
+      mMin = math.min(mMin, m)
+      val ph = m - mMin
+      assert(math.abs(shifted(i)._2 - ph) < 1e-9,
+        s"day ${i + 1}: ph ${shifted(i)._2} vs sequential $ph")
+    }
+  }
+
   test("w25/w26 ATR and stochastic match a sequential candle recompute") {
     // both operators are deterministic functions of the (oracle-
     // checked) w16 candles — recompute sequentially per series in day
