@@ -281,6 +281,42 @@ object Curation {
           col("vocab_size"))
     }),
 
+    // PIPE5: mixture diversity block — the one-glance answer to "is
+    // this corpus dominated by a handful of sources?" that mixture
+    // designers check before weighting (PIPE4 reports sizes; this
+    // reports CONCENTRATION): per lang over its source distribution,
+    // Shannon entropy H = −Σ p·ln p (nats), the effective source
+    // count e^H (the interpretable form — "this lang effectively
+    // draws from 12.3 sources"), Simpson index Σp² and its inverse
+    // (A76's HHI, probability-scaled). Counts exact; p = one
+    // division; p·ln p and p² terms on a 1e-12 grid then
+    // decimal-summed (TXT20's discipline); e^H = one exp at the
+    // end. One (lang, source) hash agg — the frame after it is
+    // ≤ langs × sources. Fully oracle-checked.
+    "pipe5_mixture_diversity" -> ((s, d) => {
+      val ls = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+      val lt = ls.groupBy(col("lang")).agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_sources"))
+      ls.join(lt, Seq("lang"))
+        .withColumn("p", col("c").cast("double") / col("n"))
+        .withColumn("hterm", round(-col("p") * log(col("p")), 12))
+        .withColumn("sterm", round(col("p") * col("p"), 12))
+        .groupBy(col("lang"))
+        .agg(max(col("n")).as("n_docs"),
+          max(col("n_sources")).as("n_sources"),
+          sum(col("hterm").cast("decimal(24,14)")).cast("double")
+            .as("h"),
+          sum(col("sterm").cast("decimal(24,14)")).cast("double")
+            .as("simpson"))
+        .select(col("lang"), col("n_docs"), col("n_sources"),
+          round(col("h"), 6).as("entropy"),
+          round(exp(col("h")), 6).as("effective_sources"),
+          round(col("simpson"), 6).as("simpson"),
+          round(lit(1.0d) / col("simpson"), 6).as("inv_simpson"))
+        .orderBy("lang")
+    }),
+
     // TXT7: repetition signals (Gopher §A.1.1-style filters, adapted
     // to this corpus's line-less word-soup text): the fraction of
     // tokens that are the single most frequent token, and the
@@ -308,6 +344,32 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical 1e-12 term grid + decimal-pinned sums, one exp/division
+    "pipe5_mixture_diversity" ->
+      """WITH ls AS (
+           SELECT lang, source, count(*) AS c
+           FROM documents GROUP BY 1, 2),
+         lt AS (
+           SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS n_sources
+           FROM ls GROUP BY 1),
+         t AS (
+           SELECT ls.lang, lt.n, lt.n_sources,
+                  CAST(ls.c AS DOUBLE) / lt.n AS p
+           FROM ls JOIN lt ON ls.lang = lt.lang),
+         g AS (
+           SELECT lang, max(n) AS n_docs, max(n_sources) AS n_sources,
+                  CAST(CAST(sum(CAST(round(-p * ln(p), 12)
+                       AS DECIMAL(24,14))) AS VARCHAR) AS DOUBLE) AS h,
+                  CAST(CAST(sum(CAST(round(p * p, 12)
+                       AS DECIMAL(24,14))) AS VARCHAR) AS DOUBLE)
+                    AS simpson
+           FROM t GROUP BY 1)
+         SELECT lang, n_docs, n_sources, round(h, 6) AS entropy,
+                round(exp(h), 6) AS effective_sources,
+                round(simpson, 6) AS simpson,
+                round(1.0 / simpson, 6) AS inv_simpson
+         FROM g ORDER BY lang""",
     "pipe4_corpus_datasheet" ->
       """WITH base AS (
            SELECT doc_id, lang,

@@ -765,6 +765,45 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // D19: content-defined chunking + cross-doc chunk dedup — the
+    // storage/dataset layer's shift-resistant granularity (LBFS
+    // lineage; what DS3's fixed blocks lack: one insertion re-slices
+    // everything downstream of a fixed boundary, but CDC boundaries
+    // are decided by local content, so only ONE chunk changes): per
+    // doc, chunks from the native CdcChunks codegen kernel (Rabin
+    // K=8 gram hash ≡ 0 mod 64 → expected ~64-char chunks; pure
+    // integer arithmetic), then the D17-shaped corpus question —
+    // which chunks recur across ≥2 docs (the dedupable fraction a
+    // content-addressed store would collapse). One (doc, chash) hash
+    // agg + one chash-keyed doc-count agg; never all-pairs; the
+    // kernel is one O(len·K) pass inside whole-stage codegen. Fully
+    // oracle-checked (DuckDB replays gram hashes, cut set and chunk
+    // hashes with list primitives — txt6's replay pattern).
+    "d19_cdc_chunks" -> ((s, d) => {
+      val ch = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.CdcChunks.chunks(col("text"))).as("c"))
+        .select(col("doc_id"), col("c.len").cast("long").as("len"),
+          col("c.chash").as("chash"))
+      val occ = ch.groupBy("doc_id", "chash").agg(count(lit(1)).as("c"),
+        sum(col("len")).as("lsum"), max(col("len")).as("lmax"))
+      val docsPer = occ.groupBy("chash").agg(count(lit(1)).as("nd"))
+      occ.join(docsPer, Seq("chash"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_chunks"),
+          sum(col("lsum")).as("total_len"),
+          max(col("lmax")).as("max_len"),
+          sum(when(col("nd") >= 2, col("c")).otherwise(0L))
+            .as("n_shared"))
+        .select(col("doc_id"), col("n_chunks"),
+          (col("total_len").cast("double") / col("n_chunks"))
+            .as("avg_len"),
+          col("max_len"), col("n_shared"),
+          (col("n_shared").cast("double") / col("n_chunks"))
+            .as("shared_frac"))
+        .orderBy("doc_id")
+    }),
+
     // D18: prefix-filtered EXACT similarity join (PPJoin candidate
     // generation — Xiao et al. 2008 Lemma 1; Bayardo et al. 2007):
     // all doc pairs with 3-gram shingle-set Jaccard ≥ 0.4 (D2's
@@ -828,6 +867,64 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // full replay of the CDC kernel with list primitives: gram
+    // hashes, the mod-64 cut set, per-chunk polynomial hashes (the
+    // txt6 rolling-hash replay pattern, extended to chunking)
+    "d19_cdc_chunks" ->
+      """WITH d AS (
+           SELECT doc_id, lower(trim(text)) AS t
+           FROM documents WHERE length(trim(text)) > 0),
+         g AS (
+           SELECT doc_id, t, length(t) AS L,
+                  CASE WHEN length(t) >= 8 THEN
+                    list_transform(range(1, length(t) - 8 + 2),
+                      p -> list_reduce(
+                             list_prepend(CAST(0 AS BIGINT),
+                               list_transform(range(0, 8),
+                                 j -> CAST(ascii(substring(t, p + j, 1))
+                                      AS BIGINT))),
+                             (h, c) -> (h * 257 + c) % 1000000007))
+                  ELSE CAST([] AS BIGINT[]) END AS hs
+           FROM d),
+         cuts AS (
+           SELECT doc_id, t, L,
+                  list_prepend(0, list_append(
+                    list_sort(list_transform(
+                      list_filter(range(1, len(hs) + 1),
+                        p -> hs[p] % 64 = 0 AND p - 1 + 8 < L),
+                      p -> p - 1 + 8)), L)) AS bounds
+           FROM g),
+         ch AS (
+           SELECT doc_id,
+                  u.c.s AS s, u.c.e AS e,
+                  CAST(u.c.e - u.c.s AS BIGINT) AS len,
+                  list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(u.c.s + 1, u.c.e + 1),
+                        i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+                    (h, c) -> (h * 257 + c) % 1000000007) AS chash
+           FROM (
+             SELECT doc_id, t,
+                    unnest(list_transform(range(1, len(bounds)),
+                      i -> struct_pack(s := bounds[i],
+                                       e := bounds[i+1]))) AS c
+             FROM cuts) u),
+         occ AS (
+           SELECT doc_id, chash, count(*) AS c,
+                  CAST(sum(len) AS BIGINT) AS lsum, max(len) AS lmax
+           FROM ch GROUP BY 1, 2),
+         dp AS (SELECT chash, count(*) AS nd FROM occ GROUP BY 1)
+         SELECT occ.doc_id, CAST(sum(occ.c) AS BIGINT) AS n_chunks,
+                CAST(CAST(sum(occ.lsum) AS BIGINT) AS DOUBLE) /
+                  CAST(sum(occ.c) AS BIGINT) AS avg_len,
+                max(occ.lmax) AS max_len,
+                CAST(sum(CASE WHEN dp.nd >= 2 THEN occ.c ELSE 0 END)
+                     AS BIGINT) AS n_shared,
+                CAST(CAST(sum(CASE WHEN dp.nd >= 2 THEN occ.c ELSE 0
+                     END) AS BIGINT) AS DOUBLE) /
+                  CAST(sum(occ.c) AS BIGINT) AS shared_frac
+         FROM occ JOIN dp ON occ.chash = dp.chash
+         GROUP BY occ.doc_id ORDER BY occ.doc_id""",
     // EXHAUSTIVE inverted-index join (every token posts — no prefix):
     // hash-matching against the prefix-filtered Spark plan proves the
     // filter drops no qualifying pair

@@ -171,4 +171,29 @@ class CurationSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("pipe5: uniform mixture scores ln k / k / k; skew scores lower") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = SparkTestSession.fixtureDir("pipe5-fix")
+    // lang 'u': 4 sources × 3 docs (uniform); lang 'v': 9+1+1+1 (skew)
+    val docs =
+      (0 until 12).map(i => ("u", s"s${i % 4}")) ++
+      (0 until 12).map(i => ("v", if (i < 9) "s0" else s"s${i - 8}"))
+    docs.zipWithIndex.map { case ((l, src), i) =>
+      (i.toLong, s"doc $i text", l, src, 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Curation.queries("pipe5_mixture_diversity")(spark, d)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val u = out("u")
+    assert(u.getLong(1) == 12 && u.getLong(2) == 4)
+    assert(math.abs(u.getDouble(3) - math.log(4.0)) < 1e-6, "H = ln k")
+    assert(math.abs(u.getDouble(4) - 4.0) < 1e-5, "effective = k")
+    assert(math.abs(u.getDouble(6) - 4.0) < 1e-5, "inv Simpson = k")
+    val v = out("v")
+    assert(v.getLong(2) == 4 && v.getDouble(4) < u.getDouble(4),
+      "skewed mixture must score fewer effective sources")
+    assert(v.getDouble(3) < u.getDouble(3))
+  }
 }
