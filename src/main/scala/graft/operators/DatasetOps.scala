@@ -107,6 +107,49 @@ object DatasetOps {
         .orderBy("doc_id")
     }),
 
+    // DS18: length-distribution balancing — the histogram-matching
+    // curation step (long-doc bias is the classic web-corpus skew;
+    // DS9 clips values, this reshapes the SAMPLE): 10 fixed
+    // integer-arithmetic bins over the global token-count range
+    // ((n−min)·10 div (range+1) — exact on both engines, no float
+    // cuts), then every bin downsampled to EXACTLY the
+    // least-populated bin's count, members chosen by the seeded-md5
+    // permutation rank (DS7's rerunnable discipline) through the
+    // two-level (bin, md5-prefix-bucket) decomposition — DS17's
+    // shape, so no bin ever ranks on one partition. The uniform
+    // result histogram is BY CONSTRUCTION, not in expectation.
+    // Pure integer arithmetic → fully oracle-checked.
+    "ds18_balance_lengths" -> ((s, d) => {
+      val base0 = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextAnalysis.toks).cast("long").as("n_tok"))
+      val rng = base0.agg(min(col("n_tok")).as("tmin"),
+        max(col("n_tok")).as("tmax"))
+      val base = base0.crossJoin(broadcast(rng))
+        .withColumn("bin",
+          expr("div((n_tok - tmin) * 10, tmax - tmin + 1)"))
+        .withColumn("k", md5(concat_ws(":", lit("ds18"), col("doc_id"))))
+        .withColumn("bucket",
+          conv(substring(col("k"), 1, 2), 16, 10).cast("long"))
+      val bcnt = base.groupBy("bin", "bucket")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("below", coalesce(sum(col("c")).over(
+          Window.partitionBy("bin").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val target = bcnt.groupBy("bin").agg(sum(col("c")).as("nb"))
+        .agg(min(col("nb")).as("m"))
+      base
+        .withColumn("wrn", row_number().over(
+          Window.partitionBy("bin", "bucket").orderBy("k", "doc_id"))
+          .cast("long"))
+        .join(bcnt.select(col("bin"), col("bucket"), col("below")),
+          Seq("bin", "bucket"))
+        .crossJoin(broadcast(target))
+        .filter(col("below") + col("wrn") <= col("m"))
+        .select(col("doc_id"), col("n_tok"), col("bin"))
+        .orderBy("doc_id")
+    }),
+
     // DS11: k-fold cross-validation assignment — GROUP-AWARE (every
     // event of a user lands in one fold, the same leakage guard as
     // DS1's split) via the md5-uniform ladder, with the audit a CV
@@ -537,6 +580,31 @@ object DatasetOps {
                 row_number() OVER (PARTITION BY shard
                                    ORDER BY k, doc_id) AS pos
          FROM sharded ORDER BY shard, pos""",
+    // the two-level rank collapses to the direct per-bin permutation
+    // rank; identical integer binning and min-bin target
+    "ds18_balance_lengths" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                       AS BIGINT) AS n_tok,
+                  md5('ds18:' || CAST(doc_id AS VARCHAR)) AS k
+           FROM documents),
+         rng AS (SELECT min(n_tok) AS tmin, max(n_tok) AS tmax
+                 FROM base),
+         b AS (
+           SELECT doc_id, n_tok, k,
+                  ((n_tok - tmin) * 10) // (tmax - tmin + 1) AS bin
+           FROM base, rng),
+         r AS (
+           SELECT doc_id, n_tok, bin,
+                  row_number() OVER (PARTITION BY bin ORDER BY k, doc_id)
+                    AS rnk
+           FROM b),
+         m AS (
+           SELECT min(nb) AS m
+           FROM (SELECT bin, count(*) AS nb FROM b GROUP BY 1))
+         SELECT doc_id, n_tok, bin
+         FROM r, m WHERE rnk <= m.m ORDER BY doc_id""",
     // the two-level rank collapses to a plain per-stratum permutation
     // rank — DuckDB can afford the direct window; integer floor-div
     // thresholds are exact on both engines

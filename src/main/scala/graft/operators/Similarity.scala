@@ -317,6 +317,34 @@ object Similarity {
   private[operators] val EmbDupTau = 0.45
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SIM11: per-dimension feature statistics — the normalization
+    // constants every embedding pipeline precomputes before indexing
+    // (mean-centering/whitening for PQ and IVF training, the
+    // clipping ranges int8 SQ (SIM4) calibrates from, dead-dimension
+    // detection): per dimension over the whole corpus, n, mean, std,
+    // min, max. posexplode → one (dim) hash agg (map-side
+    // combinable; 64 groups regardless of corpus size); float→
+    // double casts exact, mean/std decimal-pinned (w23's moment
+    // discipline), min/max exact picks. Fully oracle-checked.
+    "sim11_feature_stats" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim").cast("long").as("dim"),
+          col("x").cast("double").as("x"))
+      e.groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(30,12)")).cast("double").as("s1"),
+          sum((col("x") * col("x")).cast("decimal(30,12)"))
+            .cast("double").as("s2"),
+          min(col("x")).as("xmin"), max(col("x")).as("xmax"))
+        .select(col("dim"), col("n"),
+          r6(col("s1") / col("n")).as("mean"),
+          r6(sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+            (col("n") - 1))).as("std"),
+          col("xmin"), col("xmax"))
+        .orderBy("dim")
+    }),
+
     // SIM1: brute-force cosine top-5 per query vector (vec_id < 10).
     // SIM7: maximum-inner-product search (MIPS) — retrieval scored by
     // the RAW dot product, the objective recommender/reranker models
@@ -859,6 +887,27 @@ object Similarity {
            GROUP BY enc.vec_id)"""
 
   val oracles: Map[String, String] = Map(
+    // identical float→double casts, decimal-pinned moments, exact
+    // min/max (unnest zips with generate_subscripts for the dim)
+    "sim11_feature_stats" ->
+      """WITH e AS (
+           SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                    AS dim,
+                  CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+         g AS (
+           SELECT dim, count(*) AS n,
+                  CAST(CAST(sum(CAST(x AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) AS s1,
+                  CAST(CAST(sum(CAST(x * x AS DECIMAL(30,12)))
+                       AS VARCHAR) AS DOUBLE) AS s2,
+                  min(x) AS xmin, max(x) AS xmax
+           FROM e GROUP BY 1)
+         SELECT dim, CAST(n AS BIGINT) AS n,
+                round(s1 / n, 6) AS mean,
+                round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS std,
+                xmin, xmax
+         FROM g ORDER BY dim""",
     "sim6_pq_codes" ->
       s"""$pqOracleCtes,
          codes AS (

@@ -1761,6 +1761,55 @@ object Stats {
           r6(graft.functions.ChiSquarePValue.pValue(col("h_tied"),
             col("df"))).as("p_value"))),
 
+    // A78: calibration block (Brier + reliability bins) — AUC (A72)
+    // ranks, but a score that RANKS well can still LIE about
+    // probabilities; this is the companion every model scorecard
+    // pairs with it: confidence p̂ = min-max-normalized value
+    // (A71's exact global-range binning), outcome y = payload
+    // k ≥ 50, Brier = mean (p̂−y)² per series (decimal-pinned sum,
+    // one division), and the 10-bin reliability diagram — per
+    // (series, confidence bin): n, mean confidence (decimal), the
+    // observed positive rate (one raw division), and the signed
+    // calibration gap. One corpus pass into a (type, bin) hash agg;
+    // Brier then folds over the ≤10-bin frame via a shared-exchange
+    // window and repeats per bin row (TXT18's repetition pattern —
+    // one result grain, never a second corpus pass). Fully
+    // oracle-checked.
+    "a78_calibration" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("value"),
+          (get_json_object(col("props"), "$.k").cast("long") >= 50)
+            .as("y"))
+      val rng = ev.agg(min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"))
+      val scored = ev.crossJoin(broadcast(rng))
+        .withColumn("conf", (col("value") - col("vmin")) /
+          (col("vmax") - col("vmin")))
+        .withColumn("bin", least(floor(col("conf") * 10), lit(9L)))
+        .withColumn("yd", col("y").cast("double"))
+      val bins = scored.groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("conf").cast("decimal(30,12)")).cast("double") /
+            count(lit(1))).as("avg_conf"),
+          sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+          sum(((col("conf") - col("yd")) * (col("conf") - col("yd")))
+            .cast("decimal(30,12)")).as("sqsum"))
+      // Brier via a window on the bin frame, not a groupBy+self-join
+      // (a DataFrame consumed twice re-executes the corpus agg — the
+      // A76 lesson); the window sums ≤10 decimal rows per series
+      val wT = Window.partitionBy("event_type")
+      bins
+        .withColumn("brier", sum(col("sqsum")).over(wT).cast("double") /
+          sum(col("n")).over(wT))
+        .select(col("event_type"), col("bin"), col("n"),
+          r6(col("avg_conf")).as("avg_conf"),
+          (col("n_pos").cast("double") / col("n")).as("frac_pos"),
+          r6(col("n_pos").cast("double") / col("n") - col("avg_conf"))
+            .as("gap"),
+          r6(col("brier")).as("brier"))
+        .orderBy("event_type", "bin")
+    }),
+
     // A77: Page–Hinkley drift test — the sequential change detector
     // beside A49's CUSUM (PH is the streaming-monitoring textbook
     // form: Page 1954, the variant ML-ops libraries ship): per
@@ -2811,6 +2860,38 @@ object Stats {
          SELECT k, n, round(h, 6) AS h,
                 round(h / corr_c, 6) AS h_tied
          FROM h""",
+    // identical min-max confidence, fixed bins, decimal-pinned sums,
+    // windowed Brier over the bin frame
+    "a78_calibration" ->
+      """WITH rng AS (SELECT min(value) AS vmin, max(value) AS vmax
+                      FROM events),
+         sc AS (
+           SELECT event_type,
+                  (value - vmin) / (vmax - vmin) AS conf,
+                  CASE WHEN CAST(json_extract_string(props, '$.k')
+                            AS BIGINT) >= 50 THEN 1 ELSE 0 END AS y
+           FROM events, rng),
+         b AS (
+           SELECT event_type,
+                  least(CAST(floor(conf * 10) AS BIGINT), 9) AS bin,
+                  count(*) AS n,
+                  CAST(CAST(sum(CAST(conf AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS avg_conf,
+                  CAST(sum(y) AS BIGINT) AS n_pos,
+                  sum(CAST((conf - y) * (conf - y) AS DECIMAL(30,12)))
+                    AS sqsum
+           FROM sc GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, bin, n, avg_conf, n_pos,
+                  CAST(CAST(sum(sqsum) OVER wt AS VARCHAR) AS DOUBLE) /
+                    sum(n) OVER wt AS brier
+           FROM b WINDOW wt AS (PARTITION BY event_type))
+         SELECT event_type, bin, CAST(n AS BIGINT) AS n,
+                round(avg_conf, 6) AS avg_conf,
+                CAST(n_pos AS DOUBLE) / n AS frac_pos,
+                round(CAST(n_pos AS DOUBLE) / n - avg_conf, 6) AS gap,
+                round(brier, 6) AS brier
+         FROM w ORDER BY event_type, bin""",
     // identical decimal-pinned prefix sums, raw-double PH chain
     "a77_page_hinkley" ->
       """WITH daily AS (

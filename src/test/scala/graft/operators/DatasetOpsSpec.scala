@@ -92,6 +92,36 @@ class DatasetOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ds18: every bin lands exactly at the min-bin count, by md5 rank") {
+    import org.apache.spark.sql.functions._
+    val out = DatasetOps.queries("ds18_balance_lengths")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // recompute input bins sequentially
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(org.apache.spark.sql.functions.split(
+          lower(trim(col("text"))), "\\s+")).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val tmin = docs.map(_._2).min; val tmax = docs.map(_._2).max
+    val binned = docs.map { case (id, n) =>
+      (id, n, (n - tmin) * 10 / (tmax - tmin + 1)) }
+    val m = binned.groupBy(_._3).values.map(_.size).min
+    // uniform BY CONSTRUCTION: every output bin has exactly m rows
+    out.groupBy(_._3).foreach { case (bin, rs) =>
+      assert(rs.length == m, s"bin $bin: ${rs.length} != $m") }
+    assert(out.length == m * binned.map(_._3).distinct.length)
+    // membership: the m smallest md5-permutation ranks per bin
+    val mdAlg = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      mdAlg.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val want = binned.groupBy(_._3).toSeq.flatMap { case (_, rs) =>
+      rs.toSeq.map(r => (md5hex(s"ds18:${r._1}"), r._1))
+        .sortBy(identity).take(m).map(_._2)
+    }.toSet
+    assert(out.map(_._1).toSet == want)
+  }
+
   test("ds17: exact per-stratum allocation; two-level rank == direct sort") {
     val out = DatasetOps.queries("ds17_stratified_split")(spark, sf)
       .collect()

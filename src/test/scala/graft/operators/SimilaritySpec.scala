@@ -302,4 +302,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.exists { case (v, c) => v != c },
       "vacuous: no non-trivial embedding cluster")
   }
+
+  test("sim11 feature stats match a sequential per-dimension recompute") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    val dims = vecs.head.length
+    def dsum12(xs: Seq[Double]): Double =
+      xs.map(BigDecimal(_).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val got = Similarity.queries("sim11_feature_stats")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+         r.getDouble(5))).toMap
+    assert(got.size == dims)
+    (0 until dims).foreach { d =>
+      val xs = vecs.map(_(d)).toSeq
+      val (n, meanQ, stdQ, minQ, maxQ) = got(d.toLong)
+      assert(n == xs.length && minQ == xs.min && maxQ == xs.max)
+      val s1 = dsum12(xs); val s2 = dsum12(xs.map(x => x * x))
+      val mean = math.rint(s1 / n * 1e6) / 1e6
+      val std = math.rint(
+        math.sqrt((s2 - s1 * s1 / n) / (n - 1)) * 1e6) / 1e6
+      assert(meanQ == mean && stdQ == std, s"dim $d: $meanQ/$stdQ")
+    }
+  }
 }

@@ -494,6 +494,40 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("a78 calibration block matches a sequential recompute at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2) >= 50))
+    val vmin = ev.map(_._2).min; val vmax = ev.map(_._2).max
+    def dsum12(xs: Seq[Double]): Double =
+      xs.map(BigDecimal(_).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val rows = Stats.queries("a78_calibration")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+         r.getDouble(6))).toMap
+    assert(rows.nonEmpty)
+    ev.groupBy(_._1).foreach { case (t, es) =>
+      val scored = es.map { case (_, v, y) =>
+        val conf = (v - vmin) / (vmax - vmin)
+        (math.min(math.floor(conf * 10).toLong, 9L), conf, y) }
+      val brier = dsum12(scored.map { case (_, c, y) =>
+        val d = c - (if (y) 1.0 else 0.0); d * d }.toSeq) / es.length
+      scored.groupBy(_._1).foreach { case (bin, bs) =>
+        val (n, avgQ, fracQ, gapQ, brierQ) = rows((t, bin))
+        assert(n == bs.length, s"$t/$bin n")
+        val avg = math.rint(dsum12(bs.map(_._2).toSeq) / bs.length * 1e6) / 1e6
+        val frac = bs.count(_._3).toDouble / bs.length
+        assert(avgQ == avg && fracQ == frac, s"$t/$bin conf/frac")
+        assert(math.abs(gapQ - (frac - dsum12(bs.map(_._2).toSeq) /
+          bs.length)) < 1e-6, s"$t/$bin gap")
+        assert(math.abs(brierQ - brier) < 1e-6, s"$t/$bin brier")
+      }
+    }
+  }
+
   test("a77 Page–Hinkley: quiet series stays silent, planted shift alarms") {
     import spark.implicits._
     def write(d: String, shift: Double): Unit =
