@@ -1761,6 +1761,93 @@ object Stats {
           r6(graft.functions.ChiSquarePValue.pValue(col("h_tied"),
             col("df"))).as("p_value"))),
 
+    // A79: binned Wasserstein-1 drift — the metric that fixes what
+    // PSI (A71) and KS (A33) each miss: PSI is bin-mass-only (blind
+    // to HOW FAR mass moved), KS is the single worst point; W₁ =
+    // ∫|CDF_a − CDF_b| integrates displacement × distance, in the
+    // value's own units. First-half vs second-half per series over
+    // 200 fixed-width bins on the exact global range (A71's binning
+    // and spine — a bin empty in both halves still contributes its
+    // CDF-gap term), cumulative counts via per-series bin windows
+    // (≤200 rows), |ΔCDF| on a 1e-12 grid then decimal-summed
+    // (TXT20's discipline), × the exact bin width once at the end.
+    // One corpus pass into a conditional (type, bin) hash agg.
+    // Fully oracle-checked.
+    "a79_wasserstein" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("value"), col("ts"))
+      val rng = ev.agg(min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"))
+      val counts = ev.crossJoin(broadcast(rng))
+        .withColumn("bin",
+          least(floor((col("value") - col("vmin")) /
+            (col("vmax") - col("vmin")) * 200), lit(199L)))
+        .withColumn("in_a",
+          (col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+            .cast("long"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(sum(col("in_a")).as("ca"),
+          sum(lit(1L) - col("in_a")).as("cb"))
+      val spine = counts.select(col("event_type")).distinct()
+        .select(col("event_type"),
+          explode(sequence(lit(0L), lit(199L))).as("bin"))
+      val wc = Window.partitionBy("event_type").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wt = Window.partitionBy("event_type")
+      spine
+        .join(counts, Seq("event_type", "bin"), "left")
+        .na.fill(0L, Seq("ca", "cb"))
+        .withColumn("na", sum(col("ca")).over(wt))
+        .withColumn("nb", sum(col("cb")).over(wt))
+        .withColumn("cuma", sum(col("ca")).over(wc))
+        .withColumn("cumb", sum(col("cb")).over(wc))
+        .withColumn("term", round(abs(
+          col("cuma").cast("double") / col("na") -
+          col("cumb").cast("double") / col("nb")), 12))
+        .groupBy(col("event_type"))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          sum(col("term").cast("decimal(24,14)")).cast("double")
+            .as("gap"))
+        .crossJoin(broadcast(rng))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          r6(col("gap") * ((col("vmax") - col("vmin")) / 200))
+            .as("w1"))
+        .orderBy("event_type")
+    }),
+
+    // A80: seasonal-naive forecast backtest (MASE — Hyndman &
+    // Koehler 2006): the scale-free "is this forecastable beyond
+    // persistence?" score every forecasting bake-off reports. Model
+    // = seasonal-naive (the value 7 days ago — A42 established the
+    // weekly cycle), benchmark = 1-day persistence; MASE =
+    // MAE_model / MAE_naive < 1 ⇔ the weekly pattern beats
+    // yesterday's value. Two lag columns over ONE per-series daily
+    // window (shared exchange), both absolute errors are elementwise
+    // IEEE on identical daily means, MAEs decimal-pinned, one final
+    // division. Evaluation restricted to days where BOTH lags exist
+    // (same frame both engines). Fully oracle-checked.
+    "a80_mase" -> ((s, d) => {
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("v"))
+        .withColumn("l7", lag(col("v"), 7).over(wd))
+        .withColumn("l1", lag(col("v"), 1).over(wd))
+        .filter(col("l7").isNotNull && col("l1").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_eval"),
+          (sum(abs(col("v") - col("l7")).cast("decimal(30,12)"))
+            .cast("double") / count(lit(1))).as("mae_model"),
+          (sum(abs(col("v") - col("l1")).cast("decimal(30,12)"))
+            .cast("double") / count(lit(1))).as("mae_naive"))
+        .select(col("event_type"), col("n_eval"),
+          r6(col("mae_model")).as("mae_model"),
+          r6(col("mae_naive")).as("mae_naive"),
+          r6(col("mae_model") / col("mae_naive")).as("mase"))
+        .orderBy("event_type")
+    }),
+
     // A78: calibration block (Brier + reliability bins) — AUC (A72)
     // ranks, but a score that RANKS well can still LIE about
     // probabilities; this is the companion every model scorecard
@@ -2860,6 +2947,75 @@ object Stats {
          SELECT k, n, round(h, 6) AS h,
                 round(h / corr_c, 6) AS h_tied
          FROM h""",
+    // identical 200-bin spine, cumulative CDF windows, 1e-12 gap grid,
+    // one width multiplication
+    "a79_wasserstein" ->
+      """WITH rng AS (SELECT min(value) AS vmin, max(value) AS vmax
+                      FROM events),
+         c AS (
+           SELECT event_type,
+                  least(CAST(floor((value - vmin) / (vmax - vmin) * 200)
+                        AS BIGINT), 199) AS bin,
+                  CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                       THEN 1 ELSE 0 END AS in_a
+           FROM events, rng),
+         cc AS (
+           SELECT event_type, bin, CAST(sum(in_a) AS BIGINT) AS ca,
+                  CAST(sum(1 - in_a) AS BIGINT) AS cb
+           FROM c GROUP BY 1, 2),
+         spine AS (
+           SELECT DISTINCT event_type, g.b AS bin
+           FROM cc, generate_series(0, 199) AS g(b)),
+         f AS (
+           SELECT s.event_type, s.bin,
+                  coalesce(cc.ca, 0) AS ca, coalesce(cc.cb, 0) AS cb
+           FROM spine s LEFT JOIN cc
+             ON s.event_type = cc.event_type AND s.bin = cc.bin),
+         w AS (
+           SELECT event_type,
+                  sum(ca) OVER wt AS na, sum(cb) OVER wt AS nb,
+                  sum(ca) OVER wc AS cuma, sum(cb) OVER wc AS cumb
+           FROM f
+           WINDOW wt AS (PARTITION BY event_type),
+                  wc AS (PARTITION BY event_type ORDER BY bin
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND
+                         CURRENT ROW)),
+         g AS (
+           SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+                  CAST(CAST(sum(CAST(round(abs(
+                    CAST(cuma AS DOUBLE) / na -
+                    CAST(cumb AS DOUBLE) / nb), 12)
+                    AS DECIMAL(24,14))) AS VARCHAR) AS DOUBLE) AS gap
+           FROM w GROUP BY 1)
+         SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+                CAST(n_b AS BIGINT) AS n_b,
+                round(gap * ((vmax - vmin) / 200), 6) AS w1
+         FROM g, rng ORDER BY event_type""",
+    // identical daily means, shared lag window, decimal-pinned MAEs
+    "a80_mase" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS v
+           FROM events GROUP BY 1, 2),
+         l AS (
+           SELECT event_type, v,
+                  lag(v, 7) OVER w AS l7, lag(v, 1) OVER w AS l1
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         g AS (
+           SELECT event_type, count(*) AS n_eval,
+                  CAST(CAST(sum(CAST(abs(v - l7) AS DECIMAL(30,12)))
+                       AS VARCHAR) AS DOUBLE) / count(*) AS mae_model,
+                  CAST(CAST(sum(CAST(abs(v - l1) AS DECIMAL(30,12)))
+                       AS VARCHAR) AS DOUBLE) / count(*) AS mae_naive
+           FROM l WHERE l7 IS NOT NULL AND l1 IS NOT NULL
+           GROUP BY 1)
+         SELECT event_type, CAST(n_eval AS BIGINT) AS n_eval,
+                round(mae_model, 6) AS mae_model,
+                round(mae_naive, 6) AS mae_naive,
+                round(mae_model / mae_naive, 6) AS mase
+         FROM g ORDER BY event_type""",
     // identical min-max confidence, fixed bins, decimal-pinned sums,
     // windowed Brier over the bin frame
     "a78_calibration" ->

@@ -494,6 +494,57 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("a79 W1: identical halves score exactly 0; a +5 shift scores ≈ 5") {
+    import spark.implicits._
+    def write(d: String, shift: Double): Unit =
+      (0 until 400).map { i =>
+        val period = i % 2
+        val v = 10.0 + (i / 2 % 100) * 0.1 + (if (period == 1) shift else 0.0)
+        (i.toLong,
+          java.sql.Timestamp.valueOf(
+            if (period == 0) "2024-01-10 12:00:00" else "2024-01-20 12:00:00"),
+          i.toLong, if (i < 200) "click" else "purchase", v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val d0 = SparkTestSession.fixtureDir("w1-null")
+    write(d0, 0.0)
+    val calm = Stats.queries("a79_wasserstein")(spark, d0)
+      .collect().map(_.getDouble(3))
+    assert(calm.nonEmpty && calm.forall(_ == 0.0),
+      s"identical halves must score exactly 0: ${calm.toList}")
+    val d1 = SparkTestSession.fixtureDir("w1-shift")
+    write(d1, 5.0)
+    val shifted = Stats.queries("a79_wasserstein")(spark, d1)
+      .collect().map(_.getDouble(3))
+    // W1 of a +5 location shift is 5 up to bin-edge discretization
+    assert(shifted.forall(w => w > 4.0 && w < 6.0),
+      s"+5 shift must score ≈ 5: ${shifted.toList}")
+  }
+
+  test("a80 MASE: a pure weekly cycle scores 0, a pure trend scores 7") {
+    import spark.implicits._
+    val d = SparkTestSession.fixtureDir("mase-fix")
+    val pattern = Seq(10.0, 12.0, 9.0, 14.0, 11.0, 13.0, 8.0)
+    ((1 to 28).map { day => // 'click': exact weekly cycle
+      (day.toLong, f"2024-01-$day%02d 12:00:00", "click",
+        pattern((day - 1) % 7))
+    } ++ (1 to 28).map { day => // 'view': pure linear trend
+      (100L + day, f"2024-01-$day%02d 12:00:00", "view", day * 2.0)
+    }).zipWithIndex.map { case ((eid, ts, t, v), i) =>
+      (eid, java.sql.Timestamp.valueOf(ts), i.toLong, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = Stats.queries("a80_mase")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val (nC, maeMC, _, maseC) = out("click")
+    assert(nC == 21 && maeMC == 0.0 && maseC == 0.0,
+      s"weekly cycle: $maeMC/$maseC") // seasonal-naive is exact
+    val (nV, maeMV, maeNV, maseV) = out("view")
+    assert(nV == 21 && maeMV == 14.0 && maeNV == 2.0 && maseV == 7.0,
+      s"linear trend: lag-7 error is exactly 7x the lag-1 error")
+  }
+
   test("a78 calibration block matches a sequential recompute at sf0.001") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.events(spark, sf)
