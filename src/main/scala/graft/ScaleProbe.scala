@@ -138,6 +138,27 @@ object ScaleProbe {
       // streaming entries run the full readStream → stateful agg →
       // sink pipeline on a rig staged from the 10× events table, so
       // the ratio measures state-store growth, not JSON rendering.
+      // round 10 final: the three new corpus-heavy families. d19 runs
+      // the CDC codegen kernel over every doc + two chash-keyed aggs
+      // (chunks recur ×10 on the replica, like d17 — the timing axis
+      // is occurrence volume). txt20 is the (source, word) corpus
+      // pass into the vocab-bounded spine. a73 is the distinct-value
+      // rank decomposition: the replica copies values, so the
+      // distinct-value frame is CONSTANT while the scan grows ×10 —
+      // the probe shows the post-scan phase is domain-bounded, the
+      // operator's whole scale argument.
+      "d19_cdc_chunks" -> { d =>
+        noop(graft.operators.TextAnalysis
+          .queries("d19_cdc_chunks")(spark, d))
+      },
+      "txt20_jsd_drift" -> { d =>
+        noop(graft.operators.TextAnalysis
+          .queries("txt20_jsd_drift")(spark, d))
+      },
+      "a73_kruskal_wallis" -> { d =>
+        noop(graft.operators.Stats
+          .queries("a73_kruskal_wallis")(spark, d))
+      },
       "grid_build" -> { d =>
         graft.operators.LagGrid.grid.invalidate(spark, d)
         graft.operators.LagGrid.grid(spark, d)
