@@ -686,6 +686,95 @@ object Windows {
         .orderBy("event_type", "day")
     }),
 
+    // W27: on-balance volume — the classic volume-flow accumulator
+    // (Granville 1963): OBV_t = OBV_{t-1} + sign(close_t −
+    // close_{t-1})·vol_t, the "is volume confirming the price move"
+    // line every charting stack draws under W16's candles. Daily close
+    // comes from the shared candle shape (one (type, day) shuffle);
+    // daily volume is the exact integer Σ of the props-JSON `k`
+    // quantity (W24's extraction). sign() of a double comparison is
+    // exact, the running Σ is pure long arithmetic — integer end to
+    // end, zero float risk anywhere. One per-type series window after
+    // the candle agg, the family's even shuffle shape.
+    "w27_obv" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      val cum = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("qty",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(when(col("rn") === col("cnt"), col("value"))).as("close"),
+          sum(col("qty")).as("vol"))
+        .withColumn("prev_close", lag(col("close"), 1).over(wd))
+        .filter(col("prev_close").isNotNull)
+        .withColumn("signed_vol",
+          when(col("close") > col("prev_close"), col("vol"))
+            .when(col("close") < col("prev_close"), -col("vol"))
+            .otherwise(lit(0L)))
+        .withColumn("obv", sum(col("signed_vol")).over(cum))
+        .select(col("event_type"), col("day"), col("vol"),
+          col("signed_vol"), col("obv"))
+        .orderBy("event_type", "day")
+    }),
+
+    // W28: Money Flow Index (5-day) — the volume-weighted RSI (W19's
+    // momentum gauge with W24's volume axis folded in): typical price
+    // tp = (high+low+close)/3, raw money flow = tp·vol, split into
+    // positive/negative by tp vs prev tp, MFI = 100·posMF/(posMF+negMF)
+    // over the window. The ratio is scale-invariant, so the computed
+    // flow drops the ÷3 ENTIRELY: mf₃ = (h+l+c)·vol stays on the
+    // source's exact 0.01 price grid (binary noise ~1e-9 absolute),
+    // where tp·vol's repeating ÷3 tail fills all 16 digits and a
+    // 10-place decimal cast hits the shortest-repr-vs-true-binary
+    // rounding split (the w24/round() gotcha — the first draft of
+    // this query diverged by one ulp at 53 of 125 sf0.01 rows).
+    // Direction compares the undivided sums too (exact doubles). The
+    // windowed sums pin through DECIMAL(28,4) — grid distance 5e-5 ≫
+    // product noise, both engines round to the same grid point; the
+    // final 100·pos/(pos+neg) is one fixed-order IEEE chain per row →
+    // RAW doubles. A flat 5-day stretch (pos+neg = 0) is NULL, the
+    // identical conditional both engines. Full windows only. Same
+    // candle shuffle + per-type series window as W25.
+    "w28_mfi" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      val w5 = wd.rowsBetween(-4, 0)
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("qty",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("value")).as("high"), min(col("value")).as("low"),
+          max(when(col("rn") === col("cnt"), col("value"))).as("close"),
+          sum(col("qty")).as("vol"))
+        .withColumn("tp3",
+          col("high") + col("low") + col("close"))
+        .withColumn("prev_tp3", lag(col("tp3"), 1).over(wd))
+        .filter(col("prev_tp3").isNotNull)
+        .withColumn("mf", col("tp3") * col("vol"))
+        .withColumn("pos_mf",
+          sum(when(col("tp3") > col("prev_tp3"), col("mf")).otherwise(lit(0.0d))
+            .cast("decimal(28,4)")).over(w5).cast("double"))
+        .withColumn("neg_mf",
+          sum(when(col("tp3") < col("prev_tp3"), col("mf")).otherwise(lit(0.0d))
+            .cast("decimal(28,4)")).over(w5).cast("double"))
+        .withColumn("n_win", count(lit(1)).over(w5))
+        .filter(col("n_win") === 5)
+        .select(col("event_type"), col("day"),
+          when(col("pos_mf") + col("neg_mf") > 0,
+            lit(100.0d) * col("pos_mf") /
+              (col("pos_mf") + col("neg_mf"))).as("mfi"))
+        .orderBy("event_type", "day")
+    }),
+
     "w17_rolling_zscore" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id")).rowsBetween(-15, -1)
@@ -1223,6 +1312,84 @@ object Windows {
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
          SELECT event_type, day, pct_k, pct_d
          FROM dd WHERE n_win = 5 ORDER BY event_type, day""",
+    // w16's candle CTE + the F5 JSON volume; sign split and running
+    // sum are pure BIGINT arithmetic — no float anywhere
+    "w27_obv" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day,
+                  max(CASE WHEN rn = cnt THEN value END) AS close,
+                  sum(qty) AS vol
+           FROM r GROUP BY 1, 2),
+         pc AS (
+           SELECT *, lag(close) OVER (PARTITION BY event_type
+                                      ORDER BY day) AS prev_close
+           FROM c),
+         sv AS (
+           SELECT event_type, day, vol,
+                  CASE WHEN close > prev_close THEN vol
+                       WHEN close < prev_close THEN -vol
+                       ELSE 0 END AS signed_vol
+           FROM pc WHERE prev_close IS NOT NULL)
+         SELECT event_type, day, vol, signed_vol,
+                sum(signed_vol) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obv
+         FROM sv ORDER BY event_type, day""",
+    // w16's candles + F5 JSON volume; tp and tp*vol raw IEEE,
+    // windowed pos/neg sums decimal-pinned, final chain raw
+    "w28_mfi" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day, max(value) AS high, min(value) AS low,
+                  max(CASE WHEN rn = cnt THEN value END) AS close,
+                  sum(qty) AS vol
+           FROM r GROUP BY 1, 2),
+         tp AS (
+           SELECT event_type, day,
+                  high + low + close AS tp3, vol,
+                  lag(high + low + close) OVER (
+                    PARTITION BY event_type ORDER BY day) AS prev_tp3
+           FROM c),
+         mf AS (
+           SELECT event_type, day, tp3, prev_tp3, tp3 * vol AS mf
+           FROM tp WHERE prev_tp3 IS NOT NULL),
+         w AS (
+           SELECT event_type, day,
+                  count(*) OVER w5 AS n_win,
+                  CAST(CAST(sum(CAST(CASE WHEN tp3 > prev_tp3 THEN mf
+                         ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(28,4)))
+                       OVER w5 AS VARCHAR) AS DOUBLE) AS pos_mf,
+                  CAST(CAST(sum(CAST(CASE WHEN tp3 < prev_tp3 THEN mf
+                         ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(28,4)))
+                       OVER w5 AS VARCHAR) AS DOUBLE) AS neg_mf
+           FROM mf
+           WINDOW w5 AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         SELECT event_type, day,
+                CASE WHEN pos_mf + neg_mf > 0
+                     THEN CAST(100.0 AS DOUBLE) * pos_mf /
+                          (pos_mf + neg_mf) END AS mfi
+         FROM w WHERE n_win = 5 ORDER BY event_type, day""",
     "w15_cum_return" ->
       """WITH daily AS (
            SELECT event_type, date_trunc('day', ts) AS day,

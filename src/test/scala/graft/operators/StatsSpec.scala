@@ -675,6 +675,64 @@ class StatsSpec extends AnyFunSuite {
     assert(checkedAtr > 0 && checkedD > 0, "vacuous sweep")
   }
 
+  test("w27/w28 OBV and MFI match a sequential candle+volume recompute") {
+    // both are deterministic functions of the (oracle-checked) w16
+    // candles plus the w24 JSON volume — recompute sequentially per
+    // series in day order: OBV in pure Long arithmetic, MFI via the
+    // decimal(28,4)-pinned windowed flow sums
+    def dsum4(xs: Seq[Double]): Double =
+      xs.map(BigDecimal(_).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    import org.apache.spark.sql.functions._
+    val days = graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withColumn("qty", get_json_object(col("props"), "$.k").cast("long"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Any]("day").toString,
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("value"), r.getAs[Long]("qty")))
+      .groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
+        val ord = es.sortBy(e => (e._3.getTime, e._4))
+        (t, day, ord.map(_._5).max, ord.map(_._5).min, ord.last._5,
+          ord.map(_._6).sum)
+      }.toSeq.groupBy(_._1).map { case (t, rs) =>
+        t -> rs.sortBy(_._2).toList  // (t, day, high, low, close, vol)
+      }
+    val obvQ = graft.operators.Windows.queries("w27_obv")(spark, sf)
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val mfiQ = graft.operators.Windows.queries("w28_mfi")(spark, sf)
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(obvQ.nonEmpty && mfiQ.nonEmpty)
+    var checked = 0
+    days.foreach { case (t, ds) =>
+      var obv = 0L
+      val flows = ds.sliding(2).collect { case List(p, c) =>
+        val tp3p = p._3 + p._4 + p._5; val tp3 = c._3 + c._4 + c._5
+        // OBV direction is close-vs-prev-close; MFI's is typical price
+        (c._2, c._6, c._5.compare(p._5), tp3.compare(tp3p), tp3 * c._6)
+      }.toList
+      flows.foreach { case (day, vol, dirC, _, _) =>
+        val sv = dirC * vol
+        obv += sv
+        assert(obvQ((t, day)) == ((vol, sv, obv)), s"$t $day obv")
+      }
+      flows.sliding(5).foreach { win =>
+        if (win.size == 5) {
+          val day = win.last._1
+          val pos = dsum4(win.collect { case (_, _, _, 1, mf) => mf })
+          val neg = dsum4(win.collect { case (_, _, _, -1, mf) => mf })
+          val exp = if (pos + neg > 0) Some(100.0 * pos / (pos + neg))
+                    else None
+          assert(mfiQ((t, day)) == exp, s"$t $day mfi")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 0, "vacuous sweep")
+  }
+
   test("a73 Kruskal–Wallis on planted ties matches sequential midranks") {
     // sf values are continuous, so the tie machinery needs a planted
     // fixture: 3 groups with cross-group AND within-group ties
