@@ -1848,6 +1848,114 @@ object Stats {
         .orderBy("event_type")
     }),
 
+    // A81: Durbin–Watson — the residual-autocorrelation diagnostic
+    // that tells you whether A34's OLS standard errors can be trusted
+    // at all (DW ≈ 2(1−ρ₁); A64 then REPAIRS the se, this DETECTS the
+    // need): per series, regress the daily mean on the day index and
+    // test the residual sequence. The cross-engine discipline is
+    // total pinning, not r6 roulette: every OLS sum is exact
+    // (decimal-pinned y/xy products, pure-integer x moments), each
+    // converts to double once (correctly rounded both engines), and
+    // slope → intercept → per-day residual → DW is then one fixed-
+    // order IEEE chain — bit-identical end to end, RAW output. The
+    // residual-square pins use DECIMAL scale 8, NOT the house 12: e²
+    // is an arbitrary full-tail double of magnitude ~1e2, so its
+    // shortest-repr (Spark) and true-binary (DuckDB) expansions part
+    // ways ~1e-15 absolute — against a 1e-12 rounding grid that's a
+    // per-row tie chance of ~1e-3, and one sf0.001 row DID flip; at
+    // scale 8 the margin is ~10⁵. Scale: one corpus pass to daily
+    // means; all regression arithmetic lives on the date-bounded
+    // frame (the a73 argument), one broadcast of the per-type
+    // coefficients back onto it. Fully oracle-checked.
+    "a81_durbin_watson" -> ((s, d) => {
+      val dly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("y"))
+        .withColumn("x", datediff(col("day"), lit("2024-01-01"))
+          .cast("long"))
+      val co = dly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y").cast("decimal(24,10)")).cast("double").as("sy"),
+          sum((col("x") * col("y")).cast("decimal(28,8)")).cast("double")
+            .as("sxy"))
+        .withColumn("beta",
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .withColumn("alpha",
+          (col("sy") - col("beta") * col("sx")) / col("n"))
+        .select(col("event_type"), col("n"), col("beta"), col("alpha"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      dly.join(broadcast(co), Seq("event_type"))
+        .withColumn("e", col("y") - (col("alpha") + col("beta") * col("x")))
+        .withColumn("e_prev", lag(col("e"), 1).over(wd))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_days"), max(col("beta")).as("slope"),
+          sum(((col("e") - col("e_prev")) * (col("e") - col("e_prev")))
+            .cast("decimal(30,8)")).cast("double").as("num"),
+          sum((col("e") * col("e")).cast("decimal(30,8)")).cast("double")
+            .as("den"))
+        .select(col("event_type"), col("n_days"), col("slope"),
+          (col("num") / col("den")).as("dw"),
+          (lit(1.0d) - col("num") / col("den") / 2).as("rho1"))
+        .orderBy("event_type")
+    }),
+
+    // A82: Dickey–Fuller unit-root test — "is this series actually
+    // mean-reverting, or a random walk that only LOOKS trendy?" (the
+    // stationarity gate in front of every A34/A40/A64 inference; the
+    // companion to A51's Hurst exponent, as a t-test instead of a
+    // scaling law): Δy_t = α + β·y_{t−1}, H₀: β = 0 (unit root),
+    // t = β̂/se(β̂) compared against the Dickey–Fuller (NOT Student-t)
+    // critical values — emitted as the literal −2.86/−3.43 5%/1%
+    // asymptotic constant-case thresholds. Same total-pinning
+    // discipline as A81: exact sums → one double render each → the
+    // β/α/SSE/se/t chain is fixed-order IEEE, bit-identical, RAW.
+    // One corpus pass to daily means; regression on the date-bounded
+    // frame. Fully oracle-checked.
+    "a82_dickey_fuller" -> ((s, d) => {
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      val dly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("y"))
+        .withColumn("xl", lag(col("y"), 1).over(wd))
+        .filter(col("xl").isNotNull)
+        .withColumn("dy", col("y") - col("xl"))
+      val co = dly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xl").cast("decimal(24,10)")).cast("double").as("sx"),
+          sum(col("dy").cast("decimal(24,10)")).cast("double").as("sy"),
+          sum((col("xl") * col("xl")).cast("decimal(28,8)")).cast("double")
+            .as("sxx"),
+          sum((col("xl") * col("dy")).cast("decimal(28,8)")).cast("double")
+            .as("sxy"))
+        .withColumn("beta",
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")))
+        .withColumn("alpha",
+          (col("sy") - col("beta") * col("sx")) / col("n"))
+      dly.join(broadcast(co), Seq("event_type"))
+        .withColumn("e",
+          col("dy") - (col("alpha") + col("beta") * col("xl")))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_obs"), max(col("beta")).as("beta"),
+          max(col("alpha")).as("alpha"),
+          max(col("sx")).as("sx"), max(col("sxx")).as("sxx"),
+          sum((col("e") * col("e")).cast("decimal(30,8)")).cast("double")
+            .as("sse"))
+        .select(col("event_type"), col("n_obs"), col("beta"),
+          (col("beta") /
+            sqrt((col("sse") / (col("n_obs") - 2)) /
+              (col("sxx") - col("sx") * col("sx") / col("n_obs"))))
+            .as("t_stat"),
+          (lit(1.0d) + col("beta")).as("rho"),
+          lit(-2.86d).as("crit_5pct"), lit(-3.43d).as("crit_1pct"))
+        .orderBy("event_type")
+    }),
+
     // A78: calibration block (Brier + reliability bins) — AUC (A72)
     // ranks, but a score that RANKS well can still LIE about
     // probabilities; this is the companion every model scorecard
@@ -3015,6 +3123,108 @@ object Stats {
                 round(mae_model, 6) AS mae_model,
                 round(mae_naive, 6) AS mae_naive,
                 round(mae_model / mae_naive, 6) AS mase
+         FROM g ORDER BY event_type""",
+    // exact integer x-moments, decimal-pinned y/xy sums (VARCHAR-hop
+    // renders), then the slope/intercept/residual/DW chain replays the
+    // identical fixed-order IEEE arithmetic — raw doubles throughout
+    "a81_durbin_watson" ->
+      """WITH dly AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS y
+           FROM events GROUP BY 1, 2),
+         xy AS (
+           SELECT event_type, day, y,
+                  datediff('day', DATE '2024-01-01', day) AS x
+           FROM dly),
+         co AS (
+           SELECT event_type, count(*) AS n,
+                  sum(x) AS sx, sum(x * x) AS sxx,
+                  CAST(CAST(sum(CAST(y AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) AS sy,
+                  CAST(CAST(sum(CAST(x * y AS DECIMAL(28,8))) AS VARCHAR)
+                       AS DOUBLE) AS sxy
+           FROM xy GROUP BY 1),
+         ab AS (
+           SELECT event_type, n, sx, sy,
+                  (n * sxy - sx * sy) /
+                    CAST(n * sxx - sx * sx AS DOUBLE) AS beta
+           FROM co),
+         ab2 AS (
+           SELECT event_type, n, beta,
+                  (sy - beta * sx) / n AS alpha
+           FROM ab),
+         res AS (
+           SELECT xy.event_type, xy.day, ab2.n, ab2.beta,
+                  xy.y - (ab2.alpha + ab2.beta * xy.x) AS e
+           FROM xy JOIN ab2 ON xy.event_type = ab2.event_type),
+         lg AS (
+           SELECT event_type, n, beta, e,
+                  lag(e) OVER (PARTITION BY event_type ORDER BY day)
+                    AS e_prev
+           FROM res),
+         g AS (
+           SELECT event_type, max(n) AS n_days, max(beta) AS slope,
+                  CAST(CAST(sum(CAST((e - e_prev) * (e - e_prev)
+                       AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS num,
+                  CAST(CAST(sum(CAST(e * e AS DECIMAL(30,8)))
+                       AS VARCHAR) AS DOUBLE) AS den
+           FROM lg GROUP BY 1)
+         SELECT event_type, n_days, slope,
+                num / den AS dw,
+                CAST(1.0 AS DOUBLE) - num / den / 2 AS rho1
+         FROM g ORDER BY event_type""",
+    // same total-pinning discipline on the lagged-level regression;
+    // the DF critical values are shared literals
+    "a82_dickey_fuller" ->
+      """WITH dly AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS y
+           FROM events GROUP BY 1, 2),
+         l AS (
+           SELECT event_type, day, y,
+                  lag(y) OVER (PARTITION BY event_type ORDER BY day) AS xl
+           FROM dly),
+         dd AS (
+           SELECT event_type, day, xl, y - xl AS dy
+           FROM l WHERE xl IS NOT NULL),
+         co AS (
+           SELECT event_type, count(*) AS n,
+                  CAST(CAST(sum(CAST(xl AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) AS sx,
+                  CAST(CAST(sum(CAST(dy AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) AS sy,
+                  CAST(CAST(sum(CAST(xl * xl AS DECIMAL(28,8))) AS VARCHAR)
+                       AS DOUBLE) AS sxx,
+                  CAST(CAST(sum(CAST(xl * dy AS DECIMAL(28,8))) AS VARCHAR)
+                       AS DOUBLE) AS sxy
+           FROM dd GROUP BY 1),
+         ab AS (
+           SELECT event_type, n, sx, sy, sxx,
+                  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta
+           FROM co),
+         ab2 AS (
+           SELECT event_type, n, sx, sxx, beta,
+                  (sy - beta * sx) / n AS alpha
+           FROM ab),
+         res AS (
+           SELECT dd.event_type, ab2.n, ab2.beta, ab2.alpha, ab2.sx,
+                  ab2.sxx,
+                  dd.dy - (ab2.alpha + ab2.beta * dd.xl) AS e
+           FROM dd JOIN ab2 ON dd.event_type = ab2.event_type),
+         g AS (
+           SELECT event_type, max(n) AS n_obs, max(beta) AS beta,
+                  max(sx) AS sx, max(sxx) AS sxx,
+                  CAST(CAST(sum(CAST(e * e AS DECIMAL(30,8)))
+                       AS VARCHAR) AS DOUBLE) AS sse
+           FROM res GROUP BY 1)
+         SELECT event_type, n_obs, beta,
+                beta / sqrt((sse / (n_obs - 2)) /
+                            (sxx - sx * sx / n_obs)) AS t_stat,
+                CAST(1.0 AS DOUBLE) + beta AS rho,
+                CAST(-2.86 AS DOUBLE) AS crit_5pct,
+                CAST(-3.43 AS DOUBLE) AS crit_1pct
          FROM g ORDER BY event_type""",
     // identical min-max confidence, fixed bins, decimal-pinned sums,
     // windowed Brier over the bin frame

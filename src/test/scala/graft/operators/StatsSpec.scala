@@ -733,6 +733,61 @@ class StatsSpec extends AnyFunSuite {
     assert(checked > 0, "vacuous sweep")
   }
 
+  test("a81/a82 DW and DF match a sequential OLS recompute") {
+    import org.apache.spark.sql.functions._
+    def dec(x: Double, sc: Int): BigDecimal =
+      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP)
+    // daily means via the same decimal discipline
+    val daily = graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Any]("day").toString,
+        r.getAs[Double]("value")))
+      .groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
+        (t, day, (es.map(e => dec(e._3, 10)).sum / es.size).toDouble)
+      }.toSeq.groupBy(_._1).map { case (t, rs) => t -> rs.sortBy(_._2) }
+    val epoch = java.time.LocalDate.parse("2024-01-01")
+    val dwQ = graft.operators.Stats.queries("a81_durbin_watson")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val dfQ = graft.operators.Stats.queries("a82_dickey_fuller")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(dwQ.nonEmpty && dfQ.nonEmpty)
+    daily.foreach { case (t, ds) =>
+      // A81: OLS on (day index, daily mean), DW over residuals
+      val xs = ds.map(r => java.time.temporal.ChronoUnit.DAYS.between(
+        epoch, java.time.LocalDate.parse(r._2.take(10))).toDouble)
+      val ys = ds.map(_._3)
+      val n = xs.size
+      val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+      val sy = ys.map(dec(_, 10)).sum.toDouble
+      val sxy = xs.zip(ys).map { case (x, y) => dec(x * y, 8) }.sum.toDouble
+      val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val alpha = (sy - beta * sx) / n
+      val es = xs.zip(ys).map { case (x, y) => y - (alpha + beta * x) }
+      val num = es.sliding(2).collect { case Seq(a, b) =>
+        dec((b - a) * (b - a), 8) }.sum.toDouble
+      val den = es.map(e => dec(e * e, 8)).sum.toDouble
+      assert(dwQ(t) == ((n.toLong, beta, num / den)), s"$t dw")
+      // A82: Δy on lagged level
+      val xl = ys.dropRight(1); val dy = ys.sliding(2).map(p =>
+        p(1) - p(0)).toSeq
+      val n2 = xl.size
+      val sx2 = xl.map(dec(_, 10)).sum.toDouble
+      val sy2 = dy.map(dec(_, 10)).sum.toDouble
+      val sxx2 = xl.map(v => dec(v * v, 8)).sum.toDouble
+      val sxy2 = xl.zip(dy).map { case (a, b) => dec(a * b, 8) }.sum.toDouble
+      val b2 = (n2 * sxy2 - sx2 * sy2) / (n2 * sxx2 - sx2 * sx2)
+      val a2 = (sy2 - b2 * sx2) / n2
+      val sse = xl.zip(dy).map { case (x, y) =>
+        val e = y - (a2 + b2 * x); dec(e * e, 8) }.sum.toDouble
+      val t2 = b2 / math.sqrt((sse / (n2 - 2)) /
+        (sxx2 - sx2 * sx2 / n2))
+      assert(dfQ(t) == ((n2.toLong, b2, t2)), s"$t df")
+    }
+  }
+
   test("a73 Kruskal–Wallis on planted ties matches sequential midranks") {
     // sf values are continuous, so the tie machinery needs a planted
     // fixture: 3 groups with cross-group AND within-group ties
