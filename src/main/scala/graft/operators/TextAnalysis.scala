@@ -567,6 +567,41 @@ object TextAnalysis {
         .orderBy("source")
     }),
 
+    // TXT21: lexical diversity (TTR + MATTR) — the vocabulary-richness
+    // curation signal (Covington & McFall 2010): raw type-token ratio
+    // collapses as docs grow (hapax exhaustion), so the robust form
+    // averages TTR over fixed 50-token segments — MATTR, the
+    // length-invariant diversity score corpus datasheets report next
+    // to TXT13's entropy (entropy weighs the histogram; this counts
+    // TYPES, catching template text that cycles a small vocabulary
+    // evenly — high entropy, low diversity). Entirely in-row: segment
+    // slices + distinct counts fold inside one projection over the
+    // shared tokenizer — NO explode, NO shuffle, the cheapest corpus
+    // pass in the txt family (MM8's in-row doctrine). The mean of
+    // per-segment TTRs with a common denominator is Σdistinctᵢ/(50·k)
+    // — one exact integer sum, ONE division → raw doubles, and docs
+    // shorter than one full segment are excluded (their MATTR is
+    // undefined, the published convention). Fully oracle-checked.
+    "txt21_lexical_diversity" -> ((s, d) => {
+      val Seg = 50
+      Tables.documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= Seg)
+        .withColumn("n_tokens", size(col("t")).cast("long"))
+        .withColumn("n_segments", expr(s"n_tokens div $Seg"))
+        .withColumn("dc", transform(
+          sequence(lit(0L), col("n_segments") - 1),
+          i => size(array_distinct(
+            slice(col("t"), (i * Seg + 1).cast("int"), lit(Seg))))))
+        .select(col("doc_id"), col("n_tokens"), col("n_segments"),
+          (size(array_distinct(col("t"))).cast("double") / col("n_tokens"))
+            .as("ttr"),
+          (aggregate(col("dc"), lit(0L), (acc, x) => acc + x)
+            .cast("double") / (col("n_segments") * Seg)).as("mattr"))
+        .orderBy("doc_id")
+    }),
+
     // broadcast. Float discipline: per-doc term sum folds in sorted
     // term order (TXT11's pattern), ln() divergence absorbed by round6.
     "txt12_bm25" -> ((s, d) => {
@@ -1208,6 +1243,31 @@ object TextAnalysis {
                 round(CAST(CAST(sum(CAST(term AS DECIMAL(24,14)))
                       AS VARCHAR) AS DOUBLE), 6) AS jsd
          FROM tt GROUP BY source ORDER BY source""",
+    // in-row segment slices, exact integer distinct counts, one
+    // division each for ttr/mattr — raw doubles
+    "txt21_lexical_diversity" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents WHERE length(trim(text)) > 0),
+         f AS (
+           SELECT doc_id, toks,
+                  CAST(len(toks) AS BIGINT) AS n_tokens,
+                  CAST(len(toks) // 50 AS BIGINT) AS n_segments
+           FROM t WHERE len(toks) >= 50),
+         dc AS (
+           SELECT doc_id, n_tokens, n_segments,
+                  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+                  list_transform(range(0, n_segments),
+                    i -> len(list_distinct(
+                           toks[CAST(i * 50 + 1 AS BIGINT)
+                              : CAST(i * 50 + 50 AS BIGINT)]))) AS seg_d
+           FROM f)
+         SELECT doc_id, n_tokens, n_segments,
+                CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+                CAST(list_sum(seg_d) AS DOUBLE) / (n_segments * 50)
+                  AS mattr
+         FROM dc ORDER BY doc_id""",
     "txt11_unigram_loglik" ->
       """WITH tok AS (
            SELECT doc_id,

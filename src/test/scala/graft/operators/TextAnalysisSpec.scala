@@ -348,4 +348,38 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(math.abs(g._6 - e._6) <= 1e-9, s"pmi $g vs $e")
     }
   }
+
+  test("txt21: MATTR equals a sequential segment sweep; goldens behave") {
+    val sf = SparkTestSession.Sf0001
+    val docs = graft.Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.toLowerCase.split("\\s+").toSeq)
+      .filter(_._2.size >= 50).toMap
+    val got = TextAnalysis.queries("txt21_lexical_diversity")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.nonEmpty && got.keySet == docs.keySet)
+    docs.foreach { case (id, t) =>
+      val k = t.size / 50
+      val sumD = (0 until k).map(i => t.slice(i * 50, i * 50 + 50)
+        .distinct.size.toLong).sum
+      val exp = (t.size.toLong, k.toLong,
+        t.distinct.size.toDouble / t.size, sumD.toDouble / (k * 50))
+      assert(got(id) == exp, s"doc $id: ${got(id)} vs $exp")
+    }
+    // golden contrasts: cycling a 5-word vocabulary is low-diversity
+    // however long the doc; all-distinct tokens score 1.0 exactly
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = SparkTestSession.fixtureDir("mattr-fix")
+    Seq(
+      (1L, (0 until 200).map(i => s"w${i % 5}").mkString(" "), "en", "a", 0L),
+      (2L, (0 until 200).map(i => s"u$i").mkString(" "), "en", "a", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val g = TextAnalysis.queries("txt21_lexical_diversity")(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(g(1L) == ((5.0 / 200, 0.1)) && g(2L) == ((1.0, 1.0)), g.toString)
+  }
 }
