@@ -334,6 +334,54 @@ object DatasetOps {
         .orderBy("source", "cum_tok")
     }),
 
+    // DS19: deterministic multi-source interleave — the fixed-order
+    // merge of mixture sources every multi-corpus training loop runs
+    // (HF interleave_datasets / tf.data sample_from_datasets, the
+    // deterministic strict-round-robin form): position r·S+j of the
+    // epoch stream is the r-th document of source j, so every prefix
+    // of the stream is source-balanced BY CONSTRUCTION — where DS5/
+    // DS12 sample proportions in EXPECTATION, this guarantees them
+    // per batch, and `first_exhausted` stops at the shortest source
+    // (rank ≤ min count) so the tail never degenerates to one source.
+    // The per-source permutation rank is NOT a per-source global
+    // window (5 sources = 5 reducers at 100 TB): DS15's two-level
+    // decomposition — a (source, hash-shard) histogram prefix-summed
+    // and broadcast back, plus a per-(source, shard) row_number over
+    // 256-way finer partitions. Everything integer; fully
+    // oracle-checked.
+    "ds19_interleave" -> ((s, d) => {
+      val epoch = 3
+      val base = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          md5(concat_ws(":", lit(epoch), col("doc_id"))).as("k"))
+        .withColumn("shard",
+          conv(substring(col("k"), 1, 2), 16, 10).cast("long"))
+      val wPre = Window.partitionBy("source").orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val hist = base.groupBy("source", "shard")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("before", coalesce(sum(col("c")).over(wPre), lit(0L)))
+        .select(col("source"), col("shard"), col("before"))
+      val wS = Window.partitionBy("source", "shard")
+        .orderBy(col("k"), col("doc_id"))
+      val ranked = base.join(broadcast(hist), Seq("source", "shard"))
+        .withColumn("rank", col("before") + row_number().over(wS))
+      val srcs = ranked.groupBy("source").agg(count(lit(1)).as("n_src"))
+        .withColumn("source_idx",
+          row_number().over(Window.orderBy("source")).cast("long"))
+        .withColumn("mn", min(col("n_src")).over(Window.partitionBy()))
+        .withColumn("n_sources",
+          count(lit(1)).over(Window.partitionBy()))
+        .select(col("source"), col("source_idx"), col("mn"),
+          col("n_sources"))
+      ranked.join(broadcast(srcs), Seq("source"))
+        .filter(col("rank") <= col("mn"))
+        .select(col("doc_id"), col("source"), col("rank"),
+          ((col("rank") - 1) * col("n_sources") + col("source_idx") - 1)
+            .as("global_pos"))
+        .orderBy("global_pos")
+    }),
+
     // DS14: overlapping-window chunking — the RAG/retrieval-corpus
     // sibling of DS3's pack-and-chunk: each document yields windows of
     // 64 tokens every 48 (16-token overlap so no boundary sentence is
@@ -580,6 +628,46 @@ object DatasetOps {
                 row_number() OVER (PARTITION BY shard
                                    ORDER BY k, doc_id) AS pos
          FROM sharded ORDER BY shard, pos""",
+    // the two-level rank (shard histogram prefix + per-shard
+    // row_number) replayed literally; pure integer interleave math
+    "ds19_interleave" ->
+      """WITH base AS (
+           SELECT source, doc_id,
+                  md5('3:' || CAST(doc_id AS VARCHAR)) AS k
+           FROM documents),
+         sh AS (
+           SELECT source, doc_id, k,
+                  ('0x' || substring(k, 1, 2))::BIGINT AS shard
+           FROM base),
+         hist AS (
+           SELECT source, shard,
+                  coalesce(sum(count(*)) OVER (
+                    PARTITION BY source ORDER BY shard
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS before
+           FROM sh GROUP BY 1, 2),
+         ranked AS (
+           SELECT s.source, s.doc_id,
+                  h.before + row_number() OVER (
+                    PARTITION BY s.source, s.shard
+                    ORDER BY s.k, s.doc_id) AS rank
+           FROM sh s JOIN hist h ON s.source = h.source
+                                AND s.shard = h.shard),
+         srcs AS (
+           SELECT source, count(*) AS n_src,
+                  row_number() OVER (ORDER BY source) AS source_idx
+           FROM ranked GROUP BY 1),
+         meta AS (
+           SELECT source, source_idx,
+                  min(n_src) OVER () AS mn,
+                  count(*) OVER () AS n_sources
+           FROM srcs)
+         SELECT r.doc_id, r.source, CAST(r.rank AS BIGINT) AS rank,
+                CAST((r.rank - 1) * m.n_sources + m.source_idx - 1
+                     AS BIGINT) AS global_pos
+         FROM ranked r JOIN meta m ON r.source = m.source
+         WHERE r.rank <= m.mn
+         ORDER BY global_pos""",
     // the two-level rank collapses to the direct per-bin permutation
     // rank; identical integer binning and min-bin target
     "ds18_balance_lengths" ->

@@ -157,4 +157,39 @@ class DatasetOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ds19: interleave is strict round-robin and matches the seeded order") {
+    val rows = graft.operators.DatasetOps.queries("ds19_interleave")(
+        spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._4)
+    assert(rows.nonEmpty)
+    val sources = rows.map(_._2).distinct.sorted
+    val nS = sources.length
+    // positions are a contiguous 0..N-1 run; every aligned prefix of
+    // length m*S holds exactly m docs of each source (the guarantee)
+    assert(rows.map(_._4).toSeq == (0L until rows.length).toSeq)
+    assert(rows.length % nS == 0)
+    rows.grouped(nS).foreach { batch =>
+      assert(batch.map(_._2).sorted.toSeq == sources.toSeq,
+        s"unbalanced batch at ${batch.head._4}")
+    }
+    // per-source order equals the sequential seeded-md5 permutation,
+    // truncated at the shortest source (first_exhausted)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String = md.digest(s"3:$id".getBytes)
+      .map("%02x".format(_)).mkString
+    val bySrc = graft.Tables.documents(spark, sf)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (src, ds) =>
+        src -> ds.map(_._2).map(id => (h(id), id)).sortBy(x => x).map(_._2)
+      }
+    val mn = bySrc.values.map(_.length).min
+    val got = rows.groupBy(_._2).map { case (src, rs) =>
+      src -> rs.sortBy(_._3).map(_._1).toSeq }
+    bySrc.foreach { case (src, perm) =>
+      assert(got(src) == perm.take(mn).toSeq, s"$src permutation")
+    }
+  }
 }
