@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -222,6 +222,50 @@ object Multimodal {
         .select(col("doc_id"), col("start_frame"), col("end_frame"),
           col("n_quiet"), col("min_energy"))
         .orderBy("doc_id", "start_frame")
+    }),
+
+    // MM12: aspect-ratio bucketing — the image-batching layout every
+    // large diffusion/vision training run uses (NovelAI/SDXL-style:
+    // group images by nearest canonical aspect so a batch shares one
+    // shape and nothing is center-crop-mutilated). Dimensions are the
+    // deterministic-fake stub (hash-derived 256..960 px — the MM2
+    // doctrine: the decode is stubbed, the Spark-side plumbing is
+    // real), the ladder is 9 canonical aspects, and NEAREST is an
+    // EXACT integer argmin: comparing |w/h − wb/hb| across candidates
+    // cross-multiplies to |w·hb − h·wb|·(3456/hb) — common-scaled
+    // integer metrics, no float ratio, no log, tie → lowest ladder
+    // index. The argmin folds in-row (array_min over a 9-struct
+    // literal — no explode); batch ids are per-(bucket, shard)
+    // row_numbers over 16 hash shards (the DS19/DS3 discipline —
+    // a 9-bucket global window would be 9 reducers at 100 TB; each
+    // shard packs its own batches of 8 independently). Pure integer
+    // output; fully oracle-checked.
+    "mm12_aspect_buckets" -> ((s, d) => {
+      val ladder = Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16),
+        (3, 2), (2, 3), (2, 1), (1, 2))
+      def hx(tag: String): Column = pmod(
+        conv(substring(md5(concat_ws(":", lit(tag), col("doc_id"))), 1, 2),
+          16, 10).cast("long"), lit(12L))
+      val best = array_min(array(ladder.zipWithIndex.map {
+        case ((wb, hb), i) => struct(
+          (abs(col("w") * hb - col("h") * wb) * (3456 / hb)).as("metric"),
+          lit(i.toLong).as("idx"), lit(s"$wb:$hb").as("bucket"))
+      }: _*))
+      val wB = Window.partitionBy("bucket", "shard")
+        .orderBy(col("k"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (lit(256L) + lit(64L) * hx("w")).as("w"),
+          (lit(256L) + lit(64L) * hx("h")).as("h"),
+          md5(concat_ws(":", lit("mm12"), col("doc_id"))).as("k"))
+        .withColumn("bucket", best.getField("bucket"))
+        .withColumn("shard", pmod(
+          conv(substring(col("k"), 1, 2), 16, 10).cast("long"), lit(16L)))
+        .withColumn("rn", row_number().over(wB))
+        .withColumn("batch", expr("(rn - 1) div 8"))
+        .select(col("doc_id"), col("w"), col("h"), col("bucket"),
+          col("shard"), col("batch"))
+        .orderBy("doc_id")
     }),
 
     // MM2: decode + feature-extract over the binary payload.
@@ -622,6 +666,46 @@ object Multimodal {
                 round(min(mean_sq), 6) AS min_energy
          FROM quiet GROUP BY doc_id, isl
          ORDER BY doc_id, start_frame""",
+    // identical hash-derived geometry; the in-row struct argmin
+    // re-expressed as a ladder cross join + row_number pick (the
+    // integer metric is engine-order-free, so both forms agree)
+    "mm12_aspect_buckets" ->
+      """WITH geo AS (
+           SELECT doc_id,
+                  256 + 64 * (('0x' || substring(
+                    md5('w:' || CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+                    % 12) AS w,
+                  256 + 64 * (('0x' || substring(
+                    md5('h:' || CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+                    % 12) AS h,
+                  md5('mm12:' || CAST(doc_id AS VARCHAR)) AS k
+           FROM documents),
+         ladder AS (
+           SELECT * FROM (VALUES
+             (0, 1, 1, 3456, '1:1'),  (1, 4, 3, 1152, '4:3'),
+             (2, 3, 4, 864, '3:4'),   (3, 16, 9, 384, '16:9'),
+             (4, 9, 16, 216, '9:16'), (5, 3, 2, 1728, '3:2'),
+             (6, 2, 3, 1152, '2:3'),  (7, 2, 1, 3456, '2:1'),
+             (8, 1, 2, 1728, '1:2'))
+             AS t(idx, wb, hb, scale, bucket)),
+         scored AS (
+           SELECT g.doc_id, g.w, g.h, g.k, l.bucket,
+                  row_number() OVER (PARTITION BY g.doc_id
+                    ORDER BY abs(g.w * l.hb - g.h * l.wb) * l.scale,
+                             l.idx) AS pick
+           FROM geo g CROSS JOIN ladder l),
+         sharded AS (
+           SELECT doc_id, w, h, bucket,
+                  ('0x' || substring(k, 1, 2))::BIGINT % 16 AS shard,
+                  row_number() OVER (
+                    PARTITION BY bucket,
+                                 ('0x' || substring(k, 1, 2))::BIGINT % 16
+                    ORDER BY k, doc_id) AS rn
+           FROM scored WHERE pick = 1)
+         SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+                bucket, CAST(shard AS BIGINT) AS shard,
+                CAST((rn - 1) // 8 AS BIGINT) AS batch
+         FROM sharded ORDER BY doc_id""",
     // same nibble classes from the hex expansion; Spark's hex() is
     // uppercase — upper() aligns DuckDB's
     "mm8_byte_entropy" ->

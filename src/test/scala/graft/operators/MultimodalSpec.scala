@@ -168,4 +168,41 @@ class MultimodalSpec extends AnyFunSuite {
       assert(hit.get._3 <= 2L, s"planted pair past the swap bound: $hit")
     }
   }
+
+  test("mm12: bucket is the true nearest aspect; batches are bounded") {
+    val ladder = Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16),
+      (3, 2), (2, 3), (2, 1), (1, 2))
+    val rows = graft.operators.Multimodal.queries("mm12_aspect_buckets")(
+        spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, w, h, bucket, _, _) =>
+      assert(w >= 256 && w <= 960 && (w - 256) % 64 == 0, s"doc $id w=$w")
+      assert(h >= 256 && h <= 960 && (h - 256) % 64 == 0, s"doc $id h=$h")
+      // independent exact-rational argmin (cross-multiplication, no
+      // 3456 common-scale constant): |w/h − a/b| < |w/h − c/d| ⟺
+      // |w·b − h·a|·d < |w·d − h·c|·b. Exact ties keep the earlier
+      // ladder entry, like the query (448×384 = 7:6 IS equidistant
+      // from 1:1 and 4:3 — a float comparator misorders that tie)
+      val best = ladder.reduceLeft { (a, b) =>
+        val na = BigInt((w * a._2 - h * a._1).abs) * b._2
+        val nb = BigInt((w * b._2 - h * b._1).abs) * a._2
+        if (nb < na) b else a
+      }
+      assert(bucket == s"${best._1}:${best._2}",
+        s"doc $id ${w}x$h: $bucket vs $best")
+    }
+    // every (bucket, shard, batch) cell holds at most 8 docs, all of
+    // one bucket, and batch ids are contiguous from 0 per cell
+    rows.groupBy(r => (r._4, r._5)).foreach { case ((b, sh), rs) =>
+      val byBatch = rs.groupBy(_._6)
+      assert(byBatch.keySet == (0L until byBatch.size).toSet, s"$b/$sh ids")
+      byBatch.foreach { case (bt, xs) =>
+        assert(xs.size <= 8, s"$b/$sh batch $bt size ${xs.size}")
+        if (bt < byBatch.size - 1)
+          assert(xs.size == 8, s"$b/$sh non-trailing batch $bt underfull")
+      }
+    }
+  }
 }
