@@ -775,6 +775,43 @@ object Windows {
         .orderBy("event_type", "day")
     }),
 
+    // W29: Donchian channel + breakout flags — the third classic
+    // band after W23's Bollinger (μ±2σ) and W25's ATR (true-range
+    // unit): upper/lower = the 5-day rolling extreme of the candle
+    // highs/lows, and a breakout fires when today's close clears the
+    // PRIOR window's band (the turtle-trading entry signal; rows
+    // without a full prior window are excluded so the flags are
+    // never NULL). Unlike
+    // every other band, this one is float-risk-FREE by construction:
+    // max/min are exact value picks and the flags are exact double
+    // comparisons — no sums, no divisions, nothing to pin. Same
+    // single candle shuffle + per-type series window as W25/W26.
+    "w29_donchian" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      val w5 = wd.rowsBetween(-4, 0)
+      val w5p = wd.rowsBetween(-5, -1)
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("value")).as("high"), min(col("value")).as("low"),
+          max(when(col("rn") === col("cnt"), col("value"))).as("close"))
+        .withColumn("n_win", count(lit(1)).over(w5))
+        .withColumn("upper", max(col("high")).over(w5))
+        .withColumn("lower", min(col("low")).over(w5))
+        .withColumn("n_prior", count(lit(1)).over(w5p))
+        .withColumn("breakout_up", col("close") > max(col("high")).over(w5p))
+        .withColumn("breakout_dn", col("close") < min(col("low")).over(w5p))
+        .filter(col("n_win") === 5 && col("n_prior") === 5)
+        .select(col("event_type"), col("day"), col("close"),
+          col("upper"), col("lower"),
+          col("breakout_up"), col("breakout_dn"))
+        .orderBy("event_type", "day")
+    }),
+
     "w17_rolling_zscore" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id")).rowsBetween(-15, -1)
@@ -1312,6 +1349,40 @@ object Windows {
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
          SELECT event_type, day, pct_k, pct_d
          FROM dd WHERE n_win = 5 ORDER BY event_type, day""",
+    // w16's candle CTE; exact extreme picks and comparisons only
+    "w29_donchian" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day, max(value) AS high, min(value) AS low,
+                  max(CASE WHEN rn = cnt THEN value END) AS close
+           FROM r GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, day, close,
+                  count(*) OVER w5 AS n_win,
+                  max(high) OVER w5 AS upper,
+                  min(low) OVER w5 AS lower,
+                  count(*) OVER w5p AS n_prior,
+                  close > max(high) OVER w5p AS breakout_up,
+                  close < min(low) OVER w5p AS breakout_dn
+           FROM c
+           WINDOW w5 AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                  w5p AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+           )
+         SELECT event_type, day, close, upper, lower,
+                breakout_up, breakout_dn
+         FROM w WHERE n_win = 5 AND n_prior = 5
+         ORDER BY event_type, day""",
     // w16's candle CTE + the F5 JSON volume; sign split and running
     // sum are pure BIGINT arithmetic — no float anywhere
     "w27_obv" ->

@@ -733,6 +733,34 @@ class StatsSpec extends AnyFunSuite {
     assert(checked > 0, "vacuous sweep")
   }
 
+  test("w29 Donchian channel matches a sequential candle recompute") {
+    val candles = graft.operators.Windows.queries("w16_ohlc_candles")(
+        spark, sf).collect()
+      .map(r => (r.getString(0), r.get(1).toString, r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))  // type, day, high, low, close
+      .groupBy(_._1).map { case (t, rs) => t -> rs.sortBy(_._2).toList }
+    val got = graft.operators.Windows.queries("w29_donchian")(spark, sf)
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+         r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(got.nonEmpty)
+    var n = 0
+    candles.foreach { case (t, days) =>
+      days.sliding(6).foreach { win =>
+        if (win.size == 6) {
+          val cur = win.drop(1); val prior = win.dropRight(1)
+          val day = cur.last._2
+          val exp = (cur.last._5, cur.map(_._3).max, cur.map(_._4).min,
+            cur.last._5 > prior.map(_._3).max,
+            cur.last._5 < prior.map(_._4).min)
+          assert(got((t, day)) == exp, s"$t $day")
+          n += 1
+        }
+      }
+    }
+    assert(n > 0 && n == got.size, s"swept $n of ${got.size}")
+  }
+
   test("a81/a82 DW and DF match a sequential OLS recompute") {
     import org.apache.spark.sql.functions._
     def dec(x: Double, sc: Int): BigDecimal =
