@@ -376,6 +376,40 @@ object Similarity {
         .orderBy("q_id", "rank")
     }),
 
+    // SIM12: range search — the OTHER retrieval primitive (faiss
+    // range_search): "everything within the radius", variable
+    // cardinality per query, where SIM1's top-k fixes the count and
+    // silently pads with garbage when a query has few true neighbors
+    // (dedup, recall evaluation and graph building all want the
+    // radius form). Exact brute force: the query batch broadcasts
+    // (50 rows) and every executor scans its candidate partition once
+    // — one corpus pass for the WHOLE batch, no shuffle of the big
+    // side, output bounded by the matches. Same codegen dot kernel
+    // and (score desc, id) determinism as SIM1; the lossy accelerated
+    // paths compose exactly as there (SIM2's sign-LSH bands or SIM3's
+    // IVF lists gate candidates BEFORE this scan). Fully
+    // oracle-checked — brute force IS the ground truth here.
+    "sim12_range_search" -> ((s, d) => {
+      val Tau = 0.25d
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
+      val c = emb
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        .withColumn("cn", sqrt(dot(col("ce"), col("ce"))))
+      c.crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine",
+          dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .filter(col("cosine") >= Tau)
+        .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("cosine").desc, col("c_id"))).cast("long"))
+        .select(col("q_id"), col("rank"), col("c_id"),
+          r6(col("cosine")).as("cosine"))
+        .orderBy("q_id", "rank")
+    }),
+
     "sim1_cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val q = emb.filter(col("vec_id") < 10)
@@ -1056,6 +1090,29 @@ object Similarity {
                   row_number() OVER (PARTITION BY q_id
                     ORDER BY score DESC, c_id) AS rank
            FROM pairs) WHERE rank <= 5
+         ORDER BY q_id, rank""",
+    // sim1's arithmetic with the radius predicate instead of the
+    // k-cutoff; the cosine doubles are bit-identical on both engines
+    // (index-order folds), so the threshold set matches exactly
+    "sim12_range_search" ->
+      """WITH v AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, e,
+                  sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+           FROM v),
+         pairs AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                  list_sum(list_transform(generate_series(1, len(q.e)),
+                    i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS cosine
+           FROM n q JOIN n c ON q.vec_id < 50 AND q.vec_id <> c.vec_id)
+         SELECT q_id, rank, c_id, round(cosine, 6) AS cosine FROM (
+           SELECT q_id, c_id, cosine,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, c_id) AS rank
+           FROM pairs WHERE cosine >= CAST(0.25 AS DOUBLE))
          ORDER BY q_id, rank""",
     "sim1_cosine_topk" ->
       """WITH v AS (

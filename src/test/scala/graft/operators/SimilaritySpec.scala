@@ -328,4 +328,29 @@ class SimilaritySpec extends AnyFunSuite {
       assert(meanQ == mean && stdQ == std, s"dim $d: $meanQ/$stdQ")
     }
   }
+
+  test("sim12: range search is complete and exact vs a brute-force sweep") {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val got = Similarity.queries("sim12_range_search")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val expect = (for {
+      (q, qv) <- vecs.toSeq; if q < 50
+      (c, cv) <- vecs.toSeq; if c != q
+      cos = dot(qv, cv) /
+        (math.sqrt(dot(qv, qv)) * math.sqrt(dot(cv, cv)))
+      if cos >= 0.25
+    } yield (q, c, math.rint(cos * 1e6) / 1e6)).toSet
+    assert(got.toSet == expect,
+      s"got ${got.size} vs expect ${expect.size}")
+    // variable cardinality is the point: not every query has the same
+    // number of in-radius neighbors (top-k would pad or truncate)
+    val sizes = got.groupBy(_._1).map(_._2.length).toSet
+    assert(sizes.size > 1, s"degenerate cardinalities: $sizes")
+  }
 }
