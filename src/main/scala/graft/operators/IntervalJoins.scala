@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Interval (time-range) joins and event-time windowed aggregation.
@@ -92,6 +93,59 @@ object IntervalJoins {
           col("w.end").as("sess_end"), col("n"), col("avg_value"))
         .orderBy("user_id", "sess_start")),
 
+    // J13: interval OVERLAP join — the last join shape the family was
+    // missing (J1 looks back from a point, J4/J8/J12 match a point to
+    // a row, J9 bands values, J11 bins space; this pairs INTERVAL with
+    // INTERVAL): which user sessions overlapped an error incident?
+    // Left = W13's 30-min-gap user sessions; right = day-scoped
+    // 10-min-gap incident windows over the error stream (day-bounded
+    // so the gaps-and-islands window shards by date instead of one
+    // global reducer). The scale move is the bucket rewrite: a raw
+    // overlap predicate is a range cross join (O(|L|·|R|) compares),
+    // so both sides explode into the HOUR buckets they cover, the
+    // join runs as an equi join on the bucket — candidates only where
+    // intervals share an hour — the exact predicate filters, and
+    // distinct() collapses multi-hour double-matches. The ORACLE runs
+    // the naive inequality join; the hash match is the proof the
+    // rewrite is lossless. All integer µs arithmetic end to end.
+    "j13_overlap_join" -> ((s, d) => {
+      val HourUs = 3600L * 1000000L
+      val wU = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val usC = unix_micros(col("ts"))
+      val sess = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("new_s", when(lag(usC, 1).over(wU).isNull ||
+          usC - lag(usC, 1).over(wU) > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_s"))
+          .over(wU.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_id")
+        .agg(min(usC).as("s_start"), max(usC).as("s_end"))
+      val wD = Window.partitionBy("inc_day").orderBy(col("ts"), col("event_id"))
+      val inc = Tables.events(s, d)
+        .filter(col("event_type") === "error")
+        .withColumn("inc_day", date_trunc("day", col("ts")))
+        .select(col("inc_day"), col("event_id"), col("ts"))
+        .withColumn("new_i", when(lag(usC, 1).over(wD).isNull ||
+          usC - lag(usC, 1).over(wD) > 600L * 1000000L, 1L).otherwise(0L))
+        .withColumn("inc_id", sum(col("new_i"))
+          .over(wD.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("inc_day", "inc_id")
+        .agg(min(usC).as("i_start"), max(usC).as("i_end"))
+      val sessH = sess.withColumn("hr",
+        explode(expr(s"sequence(s_start div $HourUs, s_end div $HourUs)")))
+      val incH = inc.withColumn("hr",
+        explode(expr(s"sequence(i_start div $HourUs, i_end div $HourUs)")))
+      sessH.join(broadcast(incH), Seq("hr"))
+        .filter(col("s_start") <= col("i_end") &&
+                col("i_start") <= col("s_end"))
+        .select(col("user_id"), col("sess_id"), col("inc_day"),
+          col("inc_id"),
+          (least(col("s_end"), col("i_end")) -
+            greatest(col("s_start"), col("i_start"))).as("overlap_us"))
+        .distinct()
+        .orderBy("user_id", "sess_id", "inc_day", "inc_id")
+    }),
+
     // T5 sliding: 48h window sliding every 24h — each event lands in 2
     // windows (Spark expands; oracle replicates via an offsets join).
     "t5_sliding_window" -> ((s, d) =>
@@ -105,6 +159,51 @@ object IntervalJoins {
   )
 
   val oracles: Map[String, String] = Map(
+    // the NAIVE inequality join — no hour buckets — so the hash match
+    // proves the Spark-side bucket rewrite drops and invents nothing
+    "j13_overlap_join" ->
+      """WITH b AS (
+           SELECT user_id, event_id, ts, epoch_us(ts) AS us, event_type
+           FROM events),
+         s1 AS (
+           SELECT user_id, event_id, ts, us,
+                  CASE WHEN lag(us) OVER w IS NULL
+                            OR us - lag(us) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS ns
+           FROM b
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s2 AS (
+           SELECT user_id, us,
+                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sess_id
+           FROM s1),
+         sess AS (
+           SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+                  min(us) AS s_start, max(us) AS s_end
+           FROM s2 GROUP BY 1, 2),
+         e1 AS (
+           SELECT date_trunc('day', ts) AS inc_day, event_id, ts, us,
+                  CASE WHEN lag(us) OVER w IS NULL
+                            OR us - lag(us) OVER w > 600000000
+                       THEN 1 ELSE 0 END AS ni
+           FROM b WHERE event_type = 'error'
+           WINDOW w AS (PARTITION BY date_trunc('day', ts)
+                        ORDER BY ts, event_id)),
+         e2 AS (
+           SELECT inc_day, us,
+                  sum(ni) OVER (PARTITION BY inc_day ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS inc_id
+           FROM e1),
+         inc AS (
+           SELECT inc_day, CAST(inc_id AS BIGINT) AS inc_id,
+                  min(us) AS i_start, max(us) AS i_end
+           FROM e2 GROUP BY 1, 2)
+         SELECT s.user_id, s.sess_id, i.inc_day, i.inc_id,
+                least(s.s_end, i.i_end) - greatest(s.s_start, i.i_start)
+                  AS overlap_us
+         FROM sess s JOIN inc i
+           ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+         ORDER BY s.user_id, s.sess_id, i.inc_day, i.inc_id""",
     "j1_interval_lookback" ->
       """WITH spine AS (
            SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)

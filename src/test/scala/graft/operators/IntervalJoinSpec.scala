@@ -27,7 +27,8 @@ class IntervalJoinSpec extends AnyFunSuite {
   }
 
   test("never a nested-loop join; joins on the equi key") {
-    for (q <- Seq("j1_interval_lookback", "j1_interval_sym")) {
+    for (q <- Seq("j1_interval_lookback", "j1_interval_sym",
+        "j13_overlap_join")) {
       val plan = IntervalJoins.queries(q)(spark, SparkTestSession.Sf0001)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
@@ -36,6 +37,45 @@ class IntervalJoinSpec extends AnyFunSuite {
         || plan.contains("BroadcastHashJoin"),
         s"$q missing a keyed join:\n${plan.take(2000)}")
     }
+  }
+
+  test("j13 bucket rewrite equals the naive overlap sweep") {
+    val sf = SparkTestSession.Sf0001
+    val got = IntervalJoins.queries("j13_overlap_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.get(2).toString, r.getLong(3), r.getLong(4))).toSet
+    assert(got.nonEmpty)
+    // rebuild both interval sets sequentially from raw events and
+    // sweep every (session, incident) pair with the plain predicate
+    val evs = graft.Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2), r.getString(3)))
+    def sessions[K](rows: Seq[(K, Long, Long)], gapUs: Long) =
+      rows.groupBy(_._1).toSeq.flatMap { case (k, es) =>
+        val ord = es.sortBy(e => (e._3, e._2)).map(_._3)
+        val flags = ord.zipWithIndex.map { case (u, i) =>
+          if (i == 0 || u - ord(i - 1) > gapUs) 1L else 0L }
+        val ids = flags.scanLeft(0L)(_ + _).drop(1)
+        ord.zip(ids).groupBy(_._2).map { case (id, xs) =>
+          (k, id, xs.map(_._1).min, xs.map(_._1).max) }
+      }
+    val us = (t: java.sql.Timestamp) => t.getTime * 1000 +
+      (t.getNanos / 1000) % 1000
+    val sess = sessions(evs.map(e => (e._1, e._2, us(e._3))).toSeq, 1800000000L)
+    val day = (t: java.sql.Timestamp) => {
+      val c = t.toLocalDateTime.toLocalDate.atStartOfDay()
+      java.sql.Timestamp.valueOf(c)
+    }
+    val inc = sessions(evs.filter(_._4 == "error")
+      .map(e => (day(e._3), e._2, us(e._3))).toSeq, 600000000L)
+    val expect = (for {
+      (u, sid, ss, se) <- sess
+      (dy, iid, is, ie) <- inc
+      if ss <= ie && is <= se
+    } yield (u, sid, dy.toString, iid,
+      math.min(se, ie) - math.max(ss, is))).toSet
+    assert(got == expect, s"got ${got.size} vs expect ${expect.size}")
   }
 
   test("half-open window semantics on a hand fixture") {
