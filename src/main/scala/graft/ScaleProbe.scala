@@ -159,6 +159,14 @@ object ScaleProbe {
         noop(graft.operators.Stats
           .queries("a73_kruskal_wallis")(spark, d))
       },
+      // j13: the bucket-rewritten overlap join — both gaps-and-islands
+      // passes see 10× events, and the replica's denser error stream
+      // MERGES incidents (longer windows → more hour buckets each),
+      // so the probe exercises the candidate-volume axis directly.
+      "j13_overlap_join" -> { d =>
+        noop(graft.operators.IntervalJoins
+          .queries("j13_overlap_join")(spark, d))
+      },
       "grid_build" -> { d =>
         graft.operators.LagGrid.grid.invalidate(spark, d)
         graft.operators.LagGrid.grid(spark, d)
@@ -171,7 +179,12 @@ object ScaleProbe {
         noop(graft.streaming.EventStream.queries("t16_session_stream")(spark, d))
       })
 
-    val out = probes.map { case (name, run) =>
+    // SPARK_GRAFT_PROBE_ONLY=a,b runs just the named probes (local
+    // iteration on a new entry; the full sweep stays the default)
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val out = probes.filter(p => only.forall(_.contains(p._1)))
+      .map { case (name, run) =>
       // two reps, min: single-shot in a shared sandbox is
       // load-poisoned (Bench's methodology, lighter form)
       val t1 = (1 to 2).map(_ => time(run(sfDir))).min

@@ -678,7 +678,12 @@ class PlanShapeSpec extends AnyFunSuite {
       // distinct-score histogram spine, broadcast back (ds15's
       // integer-exact rank trick; the corpus-sized row_number is
       // PARTITIONED by score):
-      "ds15_curriculum")
+      "ds15_curriculum",
+      // source-index spine: row_number over the ≤|sources| per-source
+      // count frame, broadcast back (the corpus-sized permutation
+      // rank is PARTITIONED by (source, shard) — ds19's two-level
+      // decomposition):
+      "ds19_interleave")
     assert(offenders.toSet == allow,
       s"no-partition window set drifted:\n  got   ${offenders.sorted}" +
       s"\n  allow ${allow.toList.sorted}")
