@@ -1956,6 +1956,80 @@ object Stats {
         .orderBy("event_type")
     }),
 
+    // A83: Hodges–Lehmann location estimate — the robust "where is
+    // this series centered" companion to A54's Theil–Sen slope (same
+    // 1963 lineage, same pairwise trick): the median of all Walsh
+    // averages (yᵢ+yⱼ)/2 over i ≤ j — 29% breakdown with near-normal
+    // efficiency, where the plain median wastes efficiency and the
+    // mean breaks at one outlier. Same scale shape as A54: the pair
+    // self-join is bounded by the TIME dimension (C(n_days+1, 2) rows
+    // per series however many billions of events fold into each daily
+    // mean); Walsh averages are elementwise IEEE on identical pinned
+    // means; both medians interpolate via the a17-proven percentile
+    // (r6 absorbs the interpolation ulp — the a54 contract). Fully
+    // oracle-checked.
+    "a83_hodges_lehmann" -> ((s, d) => {
+      val dly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("y"))
+      val a = dly.select(col("event_type"), col("day").as("d1"),
+        col("y").as("y1"))
+      val b = dly.select(col("event_type"), col("day").as("d2"),
+        col("y").as("y2"))
+      val walsh = a.join(b, Seq("event_type"))
+        .filter(col("d1") <= col("d2"))
+        .select(col("event_type"), ((col("y1") + col("y2")) / 2).as("w"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_walsh"),
+          round(expr("percentile(w, 0.5)"), 6).as("hl"))
+      dly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          round(expr("percentile(y, 0.5)"), 6).as("median"))
+        .join(walsh, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("n_walsh"),
+          col("median"), col("hl"))
+        .orderBy("event_type")
+    }),
+
+    // A84: Grubbs outlier statistic — "is the most extreme day REAL?"
+    // (the formal version of every ops dashboard's worst-day panel;
+    // A25's MAD flags many, this scores THE one): G = max|y − ȳ|/s
+    // over the daily means, reported with the offending day. The
+    // pinning discipline makes the ARGMAX itself deterministic — ȳ
+    // and s come from exact decimal sums (one double render each), so
+    // every deviation is a bit-identical IEEE double on both engines
+    // and the (dev desc, day) pick can't flip on a near-tie; G is one
+    // raw division chain, no r6 roulette anywhere. One corpus pass to
+    // daily means; everything after on the date-bounded frame. Fully
+    // oracle-checked.
+    "a84_grubbs" -> ((s, d) => {
+      val dly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("y"))
+      val mo = dly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("y").cast("decimal(24,10)")).cast("double").as("s1"),
+          sum((col("y") * col("y")).cast("decimal(28,8)")).cast("double")
+            .as("s2"))
+        .withColumn("mu", col("s1") / col("n_days"))
+        .withColumn("sd", sqrt(
+          (col("s2") - col("s1") * col("s1") / col("n_days")) /
+            (col("n_days") - 1)))
+        .select(col("event_type"), col("n_days"), col("mu"), col("sd"))
+      val wDev = Window.partitionBy("event_type")
+        .orderBy(col("dev").desc, col("day"))
+      dly.join(broadcast(mo), Seq("event_type"))
+        .withColumn("dev", abs(col("y") - col("mu")))
+        .withColumn("rk", row_number().over(wDev))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("n_days"),
+          col("day").as("worst_day"), col("y").as("worst_value"),
+          col("mu").as("mean"), (col("dev") / col("sd")).as("g"))
+        .orderBy("event_type")
+    }),
+
     // A78: calibration block (Brier + reliability bins) — AUC (A72)
     // ranks, but a score that RANKS well can still LIE about
     // probabilities; this is the companion every model scorecard
@@ -3226,6 +3300,52 @@ object Stats {
                 CAST(-2.86 AS DOUBLE) AS crit_5pct,
                 CAST(-3.43 AS DOUBLE) AS crit_1pct
          FROM g ORDER BY event_type""",
+    // a54's pairwise-percentile shape on Walsh averages (i <= j)
+    "a83_hodges_lehmann" ->
+      """WITH dly AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS y
+           FROM events GROUP BY 1, 2),
+         walsh AS (
+           SELECT a.event_type AS et, count(*) AS n_walsh,
+                  round(quantile_cont((a.y + b.y) / 2, 0.5), 6) AS hl
+           FROM dly a JOIN dly b
+             ON a.event_type = b.event_type AND a.day <= b.day
+           GROUP BY 1)
+         SELECT d.event_type, count(*) AS n_days, max(w.n_walsh) AS n_walsh,
+                round(quantile_cont(d.y, 0.5), 6) AS median,
+                max(w.hl) AS hl
+         FROM dly d JOIN walsh w ON d.event_type = w.et
+         GROUP BY d.event_type ORDER BY d.event_type""",
+    // exact-sum moments (one double render each) make every deviation
+    // bit-identical, so the argmax pick and the raw G chain replay
+    "a84_grubbs" ->
+      """WITH dly AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS y
+           FROM events GROUP BY 1, 2),
+         mo AS (
+           SELECT event_type, count(*) AS n_days,
+                  CAST(CAST(sum(CAST(y AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) AS s1,
+                  CAST(CAST(sum(CAST(y * y AS DECIMAL(28,8))) AS VARCHAR)
+                       AS DOUBLE) AS s2
+           FROM dly GROUP BY 1),
+         mo2 AS (
+           SELECT event_type, n_days, s1 / n_days AS mu,
+                  sqrt((s2 - s1 * s1 / n_days) / (n_days - 1)) AS sd
+           FROM mo),
+         dev AS (
+           SELECT d.event_type, mo2.n_days, d.day, d.y, mo2.mu, mo2.sd,
+                  abs(d.y - mo2.mu) AS dev,
+                  row_number() OVER (PARTITION BY d.event_type
+                    ORDER BY abs(d.y - mo2.mu) DESC, d.day) AS rk
+           FROM dly d JOIN mo2 ON d.event_type = mo2.event_type)
+         SELECT event_type, n_days, day AS worst_day, y AS worst_value,
+                mu AS mean, dev / sd AS g
+         FROM dev WHERE rk = 1 ORDER BY event_type""",
     // identical min-max confidence, fixed bins, decimal-pinned sums,
     // windowed Brier over the bin frame
     "a78_calibration" ->

@@ -812,6 +812,38 @@ object Windows {
         .orderBy("event_type", "day")
     }),
 
+    // W30: floor-trader pivot points — the classic intraday level
+    // grid every charting terminal precomputes for the NEXT session
+    // from the PRIOR day's candle: P = (h+l+c)/3, R1 = 2P−l,
+    // S1 = 2P−h, R2 = P+(h−l), S2 = P−(h−l). Each level is one
+    // fixed-order elementwise IEEE chain over the lagged exact candle
+    // picks — bit-identical both engines, RAW doubles (no sums, no
+    // pins; the w24 discipline at its purest). One candle shuffle +
+    // one lag over the per-type series window.
+    "w30_pivot_points" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("value")).as("high"), min(col("value")).as("low"),
+          max(when(col("rn") === col("cnt"), col("value"))).as("close"))
+        .withColumn("ph", lag(col("high"), 1).over(wd))
+        .withColumn("pl", lag(col("low"), 1).over(wd))
+        .withColumn("pc", lag(col("close"), 1).over(wd))
+        .filter(col("pc").isNotNull)
+        .withColumn("p", (col("ph") + col("pl") + col("pc")) / 3)
+        .select(col("event_type"), col("day"), col("p").as("pivot"),
+          (lit(2.0d) * col("p") - col("pl")).as("r1"),
+          (lit(2.0d) * col("p") - col("ph")).as("s1"),
+          (col("p") + (col("ph") - col("pl"))).as("r2"),
+          (col("p") - (col("ph") - col("pl"))).as("s2"))
+        .orderBy("event_type", "day")
+    }),
+
     "w17_rolling_zscore" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id")).rowsBetween(-15, -1)
@@ -1349,6 +1381,37 @@ object Windows {
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
          SELECT event_type, day, pct_k, pct_d
          FROM dd WHERE n_win = 5 ORDER BY event_type, day""",
+    // w16's candle CTE; every level is the same fixed-order IEEE
+    // chain over the lagged picks — raw doubles
+    "w30_pivot_points" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day, max(value) AS high, min(value) AS low,
+                  max(CASE WHEN rn = cnt THEN value END) AS close
+           FROM r GROUP BY 1, 2),
+         lagd AS (
+           SELECT event_type, day,
+                  lag(high) OVER w AS ph, lag(low) OVER w AS pl,
+                  lag(close) OVER w AS pc
+           FROM c WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         pp AS (
+           SELECT event_type, day, ph, pl, (ph + pl + pc) / 3 AS p
+           FROM lagd WHERE pc IS NOT NULL)
+         SELECT event_type, day, p AS pivot,
+                CAST(2.0 AS DOUBLE) * p - pl AS r1,
+                CAST(2.0 AS DOUBLE) * p - ph AS s1,
+                p + (ph - pl) AS r2,
+                p - (ph - pl) AS s2
+         FROM pp ORDER BY event_type, day""",
     // w16's candle CTE; exact extreme picks and comparisons only
     "w29_donchian" ->
       """WITH e AS (

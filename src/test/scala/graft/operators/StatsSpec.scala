@@ -816,6 +816,79 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("w30/a83/a84 pivots, Hodges-Lehmann and Grubbs match sequential sweeps") {
+    import org.apache.spark.sql.functions._
+    def dec(x: Double, sc: Int): BigDecimal =
+      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP)
+    val daily = graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Any]("day").toString,
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("value")))
+      .groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
+        val ord = es.sortBy(e => (e._3.getTime, e._4))
+        (t, day, ord.map(_._5).max, ord.map(_._5).min, ord.last._5,
+          (es.map(e => dec(e._5, 10)).sum / es.size).toDouble)
+      }.toSeq.groupBy(_._1).map { case (t, rs) => t -> rs.sortBy(_._2) }
+    // W30: levels from the prior candle
+    val piv = graft.operators.Windows.queries("w30_pivot_points")(spark, sf)
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+         r.getDouble(6))).toMap
+    assert(piv.nonEmpty)
+    daily.foreach { case (t, ds) =>
+      ds.sliding(2).foreach {
+        case Seq(p, c) =>
+          val pp = (p._3 + p._4 + p._5) / 3
+          assert(piv((t, c._2)) == ((pp, 2.0 * pp - p._4, 2.0 * pp - p._3,
+            pp + (p._3 - p._4), pp - (p._3 - p._4))), s"$t ${c._2} pivots")
+        case _ => ()
+      }
+    }
+    // A83: median of Walsh averages (i <= j), interpolated percentile
+    val hl = graft.operators.Stats.queries("a83_hodges_lehmann")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    daily.foreach { case (t, ds) =>
+      val ys = ds.map(_._6)
+      val walsh = for {
+        i <- ys.indices; j <- i until ys.size
+      } yield (ys(i) + ys(j)) / 2
+      val exp = (ys.size.toLong, walsh.size.toLong,
+        math.rint(median(ys) * 1e6) / 1e6,
+        math.rint(median(walsh) * 1e6) / 1e6)
+      val g = hl(t)
+      assert(g._1 == exp._1 && g._2 == exp._2, s"$t counts")
+      assert(math.abs(g._3 - exp._3) < 1e-9 &&
+             math.abs(g._4 - exp._4) < 1e-9, s"$t: $g vs $exp")
+      // robustness golden: HL sits between median and mean influence —
+      // both estimates are finite and near the data's center
+      assert(g._4 >= ys.min && g._4 <= ys.max, s"$t hl in range")
+    }
+    // A84: pinned moments, deterministic argmax, raw G
+    val gr = graft.operators.Stats.queries("a84_grubbs")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.get(2).toString, r.getDouble(3), r.getDouble(4),
+         r.getDouble(5))).toMap
+    daily.foreach { case (t, ds) =>
+      val ys = ds.map(_._6)
+      val n = ys.size
+      val s1 = ys.map(dec(_, 10)).sum.toDouble
+      val s2 = ys.map(v => dec(v * v, 8)).sum.toDouble
+      val mu = s1 / n
+      val sd = math.sqrt((s2 - s1 * s1 / n) / (n - 1))
+      val worst = ds.map(d => (math.abs(d._6 - mu), d._2, d._6))
+        .sortBy(x => (-x._1, x._2)).head
+      assert(gr(t) == ((n.toLong, worst._2, worst._3, mu, worst._1 / sd)),
+        s"$t grubbs")
+    }
+  }
+
   test("a73 Kruskal–Wallis on planted ties matches sequential midranks") {
     // sf values are continuous, so the tie machinery needs a planted
     // fixture: 3 groups with cross-group AND within-group ties
