@@ -2030,6 +2030,131 @@ object Stats {
         .orderBy("event_type")
     }),
 
+    // A85: Cook's distance + leverage — WHICH days drive A34/A81's
+    // regression (A84 scores the most extreme VALUE; this scores
+    // regression INFLUENCE, where an unremarkable value at the series
+    // edge can outweigh a spike in the middle): per day, leverage
+    // hᵢ = 1/n + (xᵢ−x̄)²/Sxx and Dᵢ = eᵢ²·hᵢ/(p·s²·(1−hᵢ)²) with
+    // p = 2, flagged at the textbook 4/n. A81's total-pinning
+    // discipline end to end — exact integer x-moments, decimal-pinned
+    // y/xy sums and SSE, one render each, then every hᵢ/eᵢ/Dᵢ is a
+    // fixed-order IEEE chain — bit-identical, RAW, even the flag
+    // comparison. One corpus pass to daily means; diagnostics live on
+    // the date-bounded frame. Fully oracle-checked.
+    "a85_cooks_distance" -> ((s, d) => {
+      val dly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("y"))
+        .withColumn("x", datediff(col("day"), lit("2024-01-01"))
+          .cast("long"))
+      val co = dly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y").cast("decimal(24,10)")).cast("double").as("sy"),
+          sum((col("x") * col("y")).cast("decimal(28,8)")).cast("double")
+            .as("sxy"))
+        .withColumn("beta",
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .withColumn("alpha",
+          (col("sy") - col("beta") * col("sx")) / col("n"))
+        .withColumn("xbar", col("sx").cast("double") / col("n"))
+        .withColumn("sxx_c",
+          col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx") / col("n"))
+        .select(col("event_type"), col("n"), col("beta"), col("alpha"),
+          col("xbar"), col("sxx_c"))
+      val withE = dly.join(broadcast(co), Seq("event_type"))
+        .withColumn("e", col("y") - (col("alpha") + col("beta") * col("x")))
+      val sse = withE.groupBy(col("event_type"))
+        .agg(sum((col("e") * col("e")).cast("decimal(30,8)")).cast("double")
+          .as("sse"))
+      withE.join(broadcast(sse), Seq("event_type"))
+        .withColumn("s2", col("sse") / (col("n") - 2))
+        .withColumn("h", lit(1.0d) / col("n") +
+          (col("x") - col("xbar")) * (col("x") - col("xbar")) / col("sxx_c"))
+        .withColumn("cooks_d",
+          col("e") * col("e") * col("h") /
+            (lit(2.0d) * col("s2") * (lit(1.0d) - col("h")) *
+              (lit(1.0d) - col("h"))))
+        .select(col("event_type"), col("day"), col("e").as("resid"),
+          col("h").as("leverage"), col("cooks_d"),
+          (col("cooks_d") > lit(4.0d) / col("n")).as("influential"))
+        .orderBy("event_type", "day")
+    }),
+
+    // A86: Breusch–Pagan heteroskedasticity test — "are A34/A81's
+    // constant-variance standard errors even the right model?" (the
+    // third leg of the diagnostic triad: A81 tests residual
+    // CORRELATION, A85 scores INFLUENCE, this tests residual
+    // VARIANCE structure): the auxiliary regression of e² on x,
+    // LM = n·R² with R² = Sxy²/(Sxx·Syy) on the centered (x, e²)
+    // moments ~ χ²₁ under homoskedasticity. Same total pinning: e is
+    // A81's bit-identical residual, e² its exact square, the
+    // auxiliary moments decimal-pinned, the R²/LM chain fixed-order
+    // IEEE — RAW. The χ² p twin rides the golden-tested gamma-Q
+    // kernel (rows-only, A41's contract). Fully oracle-checked.
+    "a86_breusch_pagan" -> ((s, d) => {
+      val dly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("y"))
+        .withColumn("x", datediff(col("day"), lit("2024-01-01"))
+          .cast("long"))
+      val co = dly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y").cast("decimal(24,10)")).cast("double").as("sy"),
+          sum((col("x") * col("y")).cast("decimal(28,8)")).cast("double")
+            .as("sxy"))
+        .withColumn("beta",
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .withColumn("alpha",
+          (col("sy") - col("beta") * col("sx")) / col("n"))
+        .select(col("event_type"), col("n"), col("sx"), col("sxx"),
+          col("beta"), col("alpha"))
+      dly.join(broadcast(co), Seq("event_type"))
+        .withColumn("e", col("y") - (col("alpha") + col("beta") * col("x")))
+        .withColumn("u", col("e") * col("e"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_days"),
+          max(col("sx")).as("sx2"), max(col("sxx")).as("sxx2"),
+          sum(col("u").cast("decimal(30,8)")).cast("double").as("su"),
+          sum((col("x") * col("u")).cast("decimal(32,6)")).cast("double")
+            .as("sxu"),
+          sum((col("u") * col("u")).cast("decimal(36,4)")).cast("double")
+            .as("suu"))
+        .withColumn("sxy_c",
+          col("sxu") - col("sx2").cast("double") * col("su") / col("n_days"))
+        .withColumn("sxx_c",
+          col("sxx2").cast("double") -
+            col("sx2").cast("double") * col("sx2") / col("n_days"))
+        .withColumn("syy_c",
+          col("suu") - col("su") * col("su") / col("n_days"))
+        .withColumn("r2",
+          col("sxy_c") * col("sxy_c") / (col("sxx_c") * col("syy_c")))
+        .select(col("event_type"), col("n_days"),
+          col("r2").as("aux_r2"),
+          (col("n_days") * col("r2")).as("lm_stat"),
+          (col("n_days") * col("r2") > lit(3.841458820694124d))
+            .as("heteroskedastic_5pct"))
+        .orderBy("event_type")
+    }),
+
+    // A86 p twin: P(χ²₁ > LM) via the quadrature-validated gamma-Q
+    // kernel (A41's contract). Not SQL-expressible → rows-only;
+    // StatsSpec anchors by recomputation from the oracle-checked LM.
+    "a86_bp_pvalue" -> ((s, d) =>
+      queries("a86_breusch_pagan")(s, d)
+        .select(col("event_type"), col("n_days"),
+          r6(col("lm_stat")).as("lm_stat"),
+          r6(graft.functions.ChiSquarePValue.pValue(
+            col("lm_stat"), lit(1.0d))).as("p_value"))),
+
     // A78: calibration block (Brier + reliability bins) — AUC (A72)
     // ranks, but a score that RANKS well can still LIE about
     // probabilities; this is the companion every model scorecard
@@ -3346,6 +3471,119 @@ object Stats {
          SELECT event_type, n_days, day AS worst_day, y AS worst_value,
                 mu AS mean, dev / sd AS g
          FROM dev WHERE rk = 1 ORDER BY event_type""",
+    // a81's pinned regression replayed, then leverage and Cook's D as
+    // the same fixed-order IEEE chains — raw doubles, raw flag
+    "a85_cooks_distance" ->
+      """WITH dly AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS y
+           FROM events GROUP BY 1, 2),
+         xy AS (
+           SELECT event_type, day, y,
+                  datediff('day', DATE '2024-01-01', day) AS x
+           FROM dly),
+         co AS (
+           SELECT event_type, count(*) AS n,
+                  sum(x) AS sx, sum(x * x) AS sxx,
+                  CAST(CAST(sum(CAST(y AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) AS sy,
+                  CAST(CAST(sum(CAST(x * y AS DECIMAL(28,8))) AS VARCHAR)
+                       AS DOUBLE) AS sxy
+           FROM xy GROUP BY 1),
+         ab AS (
+           SELECT event_type, n,
+                  (n * sxy - sx * sy) /
+                    CAST(n * sxx - sx * sx AS DOUBLE) AS beta,
+                  sx, sy, sxx
+           FROM co),
+         ab2 AS (
+           SELECT event_type, n, beta,
+                  (sy - beta * sx) / n AS alpha,
+                  CAST(sx AS DOUBLE) / n AS xbar,
+                  CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS sxx_c
+           FROM ab),
+         res AS (
+           SELECT xy.event_type, xy.day, xy.x, ab2.n, ab2.xbar, ab2.sxx_c,
+                  xy.y - (ab2.alpha + ab2.beta * xy.x) AS e
+           FROM xy JOIN ab2 ON xy.event_type = ab2.event_type),
+         sse AS (
+           SELECT event_type,
+                  CAST(CAST(sum(CAST(e * e AS DECIMAL(30,8)))
+                       AS VARCHAR) AS DOUBLE) AS sse
+           FROM res GROUP BY 1),
+         dd AS (
+           SELECT r.event_type, r.day, r.e,
+                  r.n, s.sse / (r.n - 2) AS s2,
+                  CAST(1.0 AS DOUBLE) / r.n +
+                    (r.x - r.xbar) * (r.x - r.xbar) / r.sxx_c AS h
+           FROM res r JOIN sse s ON r.event_type = s.event_type)
+         SELECT event_type, day, e AS resid, h AS leverage,
+                e * e * h / (CAST(2.0 AS DOUBLE) * s2 *
+                  (CAST(1.0 AS DOUBLE) - h) * (CAST(1.0 AS DOUBLE) - h))
+                  AS cooks_d,
+                e * e * h / (CAST(2.0 AS DOUBLE) * s2 *
+                  (CAST(1.0 AS DOUBLE) - h) * (CAST(1.0 AS DOUBLE) - h))
+                  > CAST(4.0 AS DOUBLE) / n AS influential
+         FROM dd ORDER BY event_type, day""",
+    // the auxiliary e²-on-x regression's centered moments replayed
+    // with the identical pins; LM chain raw, threshold a shared literal
+    "a86_breusch_pagan" ->
+      """WITH dly AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS y
+           FROM events GROUP BY 1, 2),
+         xy AS (
+           SELECT event_type, day, y,
+                  datediff('day', DATE '2024-01-01', day) AS x
+           FROM dly),
+         co AS (
+           SELECT event_type, count(*) AS n,
+                  sum(x) AS sx, sum(x * x) AS sxx,
+                  CAST(CAST(sum(CAST(y AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) AS sy,
+                  CAST(CAST(sum(CAST(x * y AS DECIMAL(28,8))) AS VARCHAR)
+                       AS DOUBLE) AS sxy
+           FROM xy GROUP BY 1),
+         ab AS (
+           SELECT event_type, n, sx, sxx,
+                  (n * sxy - sx * sy) /
+                    CAST(n * sxx - sx * sx AS DOUBLE) AS beta,
+                  sy
+           FROM co),
+         ab2 AS (
+           SELECT event_type, n, sx, sxx, beta,
+                  (sy - beta * sx) / n AS alpha
+           FROM ab),
+         res AS (
+           SELECT xy.event_type, xy.x, ab2.n, ab2.sx, ab2.sxx,
+                  (xy.y - (ab2.alpha + ab2.beta * xy.x)) *
+                  (xy.y - (ab2.alpha + ab2.beta * xy.x)) AS u
+           FROM xy JOIN ab2 ON xy.event_type = ab2.event_type),
+         g AS (
+           SELECT event_type, max(n) AS n_days,
+                  max(sx) AS sx2, max(sxx) AS sxx2,
+                  CAST(CAST(sum(CAST(u AS DECIMAL(30,8))) AS VARCHAR)
+                       AS DOUBLE) AS su,
+                  CAST(CAST(sum(CAST(x * u AS DECIMAL(32,6))) AS VARCHAR)
+                       AS DOUBLE) AS sxu,
+                  CAST(CAST(sum(CAST(u * u AS DECIMAL(36,4))) AS VARCHAR)
+                       AS DOUBLE) AS suu
+           FROM res GROUP BY 1),
+         r2 AS (
+           SELECT event_type, n_days,
+                  (sxu - CAST(sx2 AS DOUBLE) * su / n_days) *
+                  (sxu - CAST(sx2 AS DOUBLE) * su / n_days) /
+                  ((CAST(sxx2 AS DOUBLE) -
+                    CAST(sx2 AS DOUBLE) * sx2 / n_days) *
+                   (suu - su * su / n_days)) AS r2
+           FROM g)
+         SELECT event_type, n_days, r2 AS aux_r2,
+                n_days * r2 AS lm_stat,
+                n_days * r2 > CAST(3.841458820694124 AS DOUBLE)
+                  AS heteroskedastic_5pct
+         FROM r2 ORDER BY event_type""",
     // identical min-max confidence, fixed bins, decimal-pinned sums,
     // windowed Brier over the bin frame
     "a78_calibration" ->

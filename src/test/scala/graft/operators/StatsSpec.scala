@@ -772,7 +772,7 @@ class StatsSpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("event_type"), r.getAs[Any]("day").toString,
         r.getAs[Double]("value")))
       .groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
-        (t, day, (es.map(e => dec(e._3, 10)).sum / es.size).toDouble)
+        (t, day, es.map(e => dec(e._3, 10)).sum.toDouble / es.size)
       }.toSeq.groupBy(_._1).map { case (t, rs) => t -> rs.sortBy(_._2) }
     val epoch = java.time.LocalDate.parse("2024-01-01")
     val dwQ = graft.operators.Stats.queries("a81_durbin_watson")(spark, sf)
@@ -829,7 +829,7 @@ class StatsSpec extends AnyFunSuite {
       .groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
         val ord = es.sortBy(e => (e._3.getTime, e._4))
         (t, day, ord.map(_._5).max, ord.map(_._5).min, ord.last._5,
-          (es.map(e => dec(e._5, 10)).sum / es.size).toDouble)
+          es.map(e => dec(e._5, 10)).sum.toDouble / es.size)
       }.toSeq.groupBy(_._1).map { case (t, rs) => t -> rs.sortBy(_._2) }
     // W30: levels from the prior candle
     val piv = graft.operators.Windows.queries("w30_pivot_points")(spark, sf)
@@ -887,6 +887,80 @@ class StatsSpec extends AnyFunSuite {
       assert(gr(t) == ((n.toLong, worst._2, worst._3, mu, worst._1 / sd)),
         s"$t grubbs")
     }
+  }
+
+  test("a85/a86 Cook's distance and Breusch-Pagan match sequential OLS sweeps") {
+    import org.apache.spark.sql.functions._
+    // Spark's double→decimal cast rounds the SHORTEST repr
+    // (BigDecimal.valueOf), not the exact binary expansion — the
+    // recompute must mirror that (one signup e² sat exactly where the
+    // two readings part ways at scale 8)
+    def dec(x: Double, sc: Int): BigDecimal =
+      BigDecimal(java.math.BigDecimal.valueOf(x))
+        .setScale(sc, BigDecimal.RoundingMode.HALF_UP)
+    val daily = graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Any]("day").toString,
+        r.getAs[Double]("value")))
+      .groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
+        (t, day, es.map(e => dec(e._3, 10)).sum.toDouble / es.size)
+      }.toSeq.groupBy(_._1).map { case (t, rs) => t -> rs.sortBy(_._2) }
+    val epoch = java.time.LocalDate.parse("2024-01-01")
+    val ck = graft.operators.Stats.queries("a85_cooks_distance")(spark, sf)
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    val bp = graft.operators.Stats.queries("a86_breusch_pagan")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(ck.nonEmpty && bp.nonEmpty)
+    val pTwin = graft.operators.Stats.queries("a86_bp_pvalue")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    var flagged = 0
+    daily.foreach { case (t, ds) =>
+      val xs = ds.map(r => java.time.temporal.ChronoUnit.DAYS.between(
+        epoch, java.time.LocalDate.parse(r._2.take(10))).toDouble)
+      val ys = ds.map(_._3)
+      val n = xs.size
+      val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+      val sy = ys.map(dec(_, 10)).sum.toDouble
+      val sxy = xs.zip(ys).map { case (x, y) => dec(x * y, 8) }.sum.toDouble
+      val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val alpha = (sy - beta * sx) / n
+      val xbar = sx / n
+      val sxxC = sxx - sx * sx / n
+      val es = xs.zip(ys).map { case (x, y) => y - (alpha + beta * x) }
+      val sse = es.map(e => dec(e * e, 8)).sum.toDouble
+      val s2 = sse / (n - 2)
+      // A85 per day
+      ds.indices.foreach { i =>
+        val h = 1.0 / n + (xs(i) - xbar) * (xs(i) - xbar) / sxxC
+        val dcook = es(i) * es(i) * h / (2.0 * s2 * (1.0 - h) * (1.0 - h))
+        val infl = dcook > 4.0 / n
+        if (infl) flagged += 1
+        assert(ck((t, ds(i)._2)) == ((es(i), h, dcook, infl)),
+          s"$t ${ds(i)._2} cook")
+      }
+      // A86: auxiliary e² on x
+      val us = es.map(e => e * e)
+      val su = us.map(dec(_, 8)).sum.toDouble
+      val sxu = xs.zip(us).map { case (x, u) => dec(x * u, 6) }.sum.toDouble
+      val suu = us.map(u => dec(u * u, 4)).sum.toDouble
+      val sxyC = sxu - sx * su / n
+      val syyC = suu - su * su / n
+      val r2 = sxyC * sxyC / (sxxC * syyC)
+      val lm = n * r2
+      assert(bp(t) == ((n.toLong, r2, lm, lm > 3.841458820694124)),
+        s"$t bp")
+      // p twin anchors to the golden-tested χ²₁ kernel on this LM
+      val pRef = spark.range(1).select(
+        round(graft.functions.ChiSquarePValue.pValue(
+          lit(lm), lit(1.0d)), 6)).head().getDouble(0)
+      assert(pTwin(t) == pRef && pRef >= 0.0 && pRef <= 1.0, s"$t p")
+    }
+    assert(flagged > 0, "vacuous: no influential day anywhere")
   }
 
   test("a73 Kruskal–Wallis on planted ties matches sequential midranks") {
