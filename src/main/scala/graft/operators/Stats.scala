@@ -2155,6 +2155,70 @@ object Stats {
           r6(graft.functions.ChiSquarePValue.pValue(
             col("lm_stat"), lit(1.0d))).as("p_value"))),
 
+    // A87: Friedman test — the BLOCKED-design companion to A73's
+    // Kruskal–Wallis (KW compares independent groups; this blocks by
+    // DAY, ranking the k series within each day, so day-level shocks
+    // that hit every series cancel — the repeated-measures question
+    // "do the series systematically order the same way?"): midranks
+    // within complete blocks (rank + (ties−1)/2 — half-integers,
+    // EXACT in doubles, as are all their sums: no decimal pins needed
+    // anywhere — every addend sits on the exact 0.25 grid, so even
+    // the unordered window sums are associative), Conover's
+    // tie-robust form Q = (k−1)·Σ(Rⱼ − n(k+1)/2)² / (Σrᵢⱼ² −
+    // nk(k+1)²/4) ~ χ²ₖ₋₁ (inference in the p twin — a fixed 5%
+    // critical would hardcode k). Per-type rank sums repeat Q on each
+    // row (TXT18's one-grain pattern). One corpus pass to the
+    // (day, type) means;
+    // ranks are per-day windows over ≤k rows; everything after lives
+    // on the k-row frame. Fully oracle-checked.
+    "a87_friedman" -> ((s, d) => {
+      val cell = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("y"))
+      val k = cell.select(countDistinct(col("event_type")).as("k"))
+      val wDay = Window.partitionBy("day")
+      val ranked = cell.crossJoin(broadcast(k))
+        .withColumn("n_in_day", count(lit(1)).over(wDay))
+        .filter(col("n_in_day") === col("k"))
+        .withColumn("rnk", rank().over(wDay.orderBy("y")))
+        .withColumn("ct", count(lit(1)).over(
+          Window.partitionBy("day", "y")))
+        .withColumn("r", col("rnk") +
+          (col("ct") - 1).cast("double") / 2)
+      val perType = ranked.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("r")).as("rank_sum"),
+          sum(col("r") * col("r")).as("rsq_sum"),
+          max(col("k")).as("k"))
+      val wAll = Window.partitionBy()
+      perType
+        .withColumn("n", max(col("n_days")).over(wAll))
+        .withColumn("num", sum(
+          (col("rank_sum") - col("n") * (col("k") + 1).cast("double") / 2) *
+          (col("rank_sum") - col("n") * (col("k") + 1).cast("double") / 2))
+          .over(wAll))
+        .withColumn("den", sum(col("rsq_sum")).over(wAll) -
+          col("n") * col("k") * (col("k") + 1).cast("double") *
+            (col("k") + 1) / 4)
+        .withColumn("q_stat",
+          (col("k") - 1).cast("double") * col("num") / col("den"))
+        .select(col("event_type"), col("n_days"), col("k"),
+          col("rank_sum"),
+          (col("rank_sum") / col("n_days")).as("mean_rank"),
+          col("q_stat"))
+        .orderBy("event_type")
+    }),
+
+    // A87 p twin: P(χ²ₖ₋₁ > Q) via the golden gamma-Q kernel (A41's
+    // contract). Rows-only; StatsSpec anchors by recomputation.
+    "a87_friedman_pvalue" -> ((s, d) =>
+      queries("a87_friedman")(s, d)
+        .select(col("event_type"), col("n_days"), col("k"),
+          r6(col("q_stat")).as("q_stat"),
+          r6(graft.functions.ChiSquarePValue.pValue(
+            col("q_stat"), (col("k") - 1).cast("double"))).as("p_value"))),
+
     // A78: calibration block (Brier + reliability bins) — AUC (A72)
     // ranks, but a score that RANKS well can still LIE about
     // probabilities; this is the companion every model scorecard
@@ -3471,6 +3535,45 @@ object Stats {
          SELECT event_type, n_days, day AS worst_day, y AS worst_value,
                 mu AS mean, dev / sd AS g
          FROM dev WHERE rk = 1 ORDER BY event_type""",
+    // identical midranks (rank + (ties−1)/2 on the ≤k-row day
+    // windows), exact 0.25-grid sums, one raw Q chain
+    "a87_friedman" ->
+      """WITH cell AS (
+           SELECT date_trunc('day', ts) AS day, event_type,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS y
+           FROM events GROUP BY 1, 2),
+         kk AS (SELECT count(DISTINCT event_type) AS k FROM cell),
+         full_days AS (
+           SELECT day FROM cell, kk GROUP BY day, kk.k
+           HAVING count(*) = max(kk.k)),
+         ranked AS (
+           SELECT c.day, c.event_type, kk.k,
+                  rank() OVER (PARTITION BY c.day ORDER BY c.y) +
+                    CAST(count(*) OVER (PARTITION BY c.day, c.y) - 1
+                         AS DOUBLE) / 2 AS r
+           FROM cell c JOIN full_days f ON c.day = f.day
+           CROSS JOIN kk),
+         per_type AS (
+           SELECT event_type, count(*) AS n_days, sum(r) AS rank_sum,
+                  sum(r * r) AS rsq_sum, max(k) AS k
+           FROM ranked GROUP BY 1),
+         withn AS (
+           SELECT event_type, n_days, k, rank_sum, rsq_sum,
+                  max(n_days) OVER () AS n
+           FROM per_type),
+         tot AS (
+           SELECT event_type, n_days, k, rank_sum,
+                  sum((rank_sum - n * CAST(k + 1 AS DOUBLE) / 2) *
+                      (rank_sum - n * CAST(k + 1 AS DOUBLE) / 2))
+                    OVER () AS num,
+                  sum(rsq_sum) OVER () -
+                    n * k * CAST(k + 1 AS DOUBLE) * (k + 1) / 4 AS den
+           FROM withn)
+         SELECT event_type, n_days, CAST(k AS BIGINT) AS k, rank_sum,
+                rank_sum / n_days AS mean_rank,
+                CAST(k - 1 AS DOUBLE) * num / den AS q_stat
+         FROM tot ORDER BY event_type""",
     // a81's pinned regression replayed, then leverage and Cook's D as
     // the same fixed-order IEEE chains — raw doubles, raw flag
     "a85_cooks_distance" ->

@@ -963,6 +963,75 @@ class StatsSpec extends AnyFunSuite {
     assert(flagged > 0, "vacuous: no influential day anywhere")
   }
 
+  test("a87 Friedman matches sequential blocked midranks; ties exercised") {
+    import org.apache.spark.sql.functions._
+    def seqFriedman(days: Seq[Seq[(String, Double)]])
+        : (Map[String, Double], Double) = {
+      val k = days.head.size
+      val n = days.size
+      val ranks = days.flatMap { cells =>
+        cells.map { case (t, y) =>
+          val less = cells.count(_._2 < y)
+          val eq = cells.count(_._2 == y)
+          t -> ((less + 1) + (eq - 1) / 2.0)
+        }
+      }
+      val rs = ranks.groupBy(_._1).map { case (t, xs) =>
+        t -> xs.map(_._2).sum }
+      val rsq = ranks.map(r => r._2 * r._2).sum
+      val num = rs.values.map(r => (r - n * (k + 1) / 2.0) *
+        (r - n * (k + 1) / 2.0)).sum
+      val den = rsq - n.toDouble * k * (k + 1) * (k + 1) / 4
+      (rs, (k - 1) * num / den)
+    }
+    // planted fixture: 3 types × 4 days, within-day ties on days 2/4
+    import spark.implicits._
+    val d = SparkTestSession.fixtureDir("friedman-fix")
+    val plant = Seq(
+      ("2024-01-01", Seq("a" -> 1.0, "b" -> 2.0, "c" -> 3.0)),
+      ("2024-01-02", Seq("a" -> 2.0, "b" -> 2.0, "c" -> 5.0)),
+      ("2024-01-03", Seq("a" -> 1.0, "b" -> 4.0, "c" -> 2.0)),
+      ("2024-01-04", Seq("a" -> 3.0, "b" -> 3.0, "c" -> 3.0)))
+    plant.zipWithIndex.flatMap { case ((day, cells), i) =>
+      cells.zipWithIndex.map { case ((t, v), j) =>
+        ((i * 10 + j).toLong,
+          java.sql.Timestamp.valueOf(s"$day 12:00:00"),
+          j.toLong, t, v, "{}")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val (rsP, qP) = seqFriedman(plant.map(_._2))
+    val gotP = Stats.queries("a87_friedman")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(5))).toMap
+    rsP.foreach { case (t, r) =>
+      assert(gotP(t)._1 == r && gotP(t)._2 == qP, s"fixture $t")
+    }
+    // sf sweep: recompute from the (day, type) decimal daily means
+    val cells = graft.Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+        count(lit(1))).as("y"))
+      .collect().map(r => (r.get(0).toString, r.getString(1),
+        r.getDouble(2)))
+    val k = cells.map(_._2).distinct.size
+    val full = cells.groupBy(_._1).filter(_._2.size == k).toSeq
+      .sortBy(_._1).map(_._2.map(c => (c._2, c._3)).toSeq)
+    val (rs, q) = seqFriedman(full)
+    val got = Stats.queries("a87_friedman")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(5))).toMap
+    rs.foreach { case (t, r) =>
+      assert(got(t) == ((full.size.toLong, r, q)), s"$t sf sweep")
+    }
+    // p twin anchors to the golden χ² kernel at df = k−1, fed the
+    // RAW sequential Q (the twin rounds only its OUTPUT columns)
+    val p = Stats.queries("a87_friedman_pvalue")(spark, sf).head()
+    val pRef = spark.range(1).select(
+      round(graft.functions.ChiSquarePValue.pValue(
+        lit(q), lit((k - 1).toDouble)), 6)).head().getDouble(0)
+    assert(p.getDouble(4) == pRef && pRef >= 0 && pRef <= 1)
+  }
+
   test("a73 Kruskal–Wallis on planted ties matches sequential midranks") {
     // sf values are continuous, so the tie machinery needs a planted
     // fixture: 3 groups with cross-group AND within-group ties
