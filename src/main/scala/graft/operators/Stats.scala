@@ -2219,6 +2219,50 @@ object Stats {
           r6(graft.functions.ChiSquarePValue.pValue(
             col("q_stat"), (col("k") - 1).cast("double"))).as("p_value"))),
 
+    // A88: Tukey HSD pairwise contrasts — the post-hoc table that
+    // answers what A52's ANOVA leaves open (ANOVA says "SOME mean
+    // differs"; analysts immediately ask WHICH pairs): for every
+    // unordered series pair, the mean difference, its pooled-variance
+    // standard error and the studentized-range statistic
+    // q = |mᵢ−mⱼ|/√(MSW/2·(1/nᵢ+1/nⱼ)). Total pinning again: group
+    // sums and square-sums are exact decimals rendered once, so
+    // means and within-group SS are bit-identical IEEE; the ONE
+    // unordered k-row sum (ΣSSWg, arbitrary doubles — not A87's
+    // exact grid) pins through DECIMAL(30,4), then MSW and every
+    // pairwise chain replay fixed-order — RAW output (the q critical depends on
+    // (k, df); inference belongs to a studentized-range kernel, not a
+    // hardcoded literal). One conditional corpus hash agg; the pair
+    // join is the k-row frame against itself. Fully oracle-checked.
+    "a88_tukey_pairs" -> ((s, d) => {
+      val g = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(24,10)")).cast("double").as("s1"),
+          sum((col("value") * col("value")).cast("decimal(28,8)"))
+            .cast("double").as("s2"))
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("ssw_g", col("s2") - col("s1") * col("s1") / col("n"))
+      val wAll = Window.partitionBy()
+      val gm = g
+        .withColumn("k", count(lit(1)).over(wAll))
+        .withColumn("n_tot", sum(col("n")).over(wAll))
+        .withColumn("msw",
+          sum(col("ssw_g").cast("decimal(30,4)")).over(wAll).cast("double")
+            / (col("n_tot") - col("k")).cast("double"))
+      val a = gm.select(col("event_type").as("type_a"), col("n").as("n_a"),
+        col("mean").as("mean_a"), col("msw"))
+      val b = gm.select(col("event_type").as("type_b"), col("n").as("n_b"),
+        col("mean").as("mean_b"))
+      a.join(broadcast(b), col("type_a") < col("type_b"))
+        .withColumn("diff", col("mean_a") - col("mean_b"))
+        .withColumn("se", sqrt(col("msw") / 2 *
+          (lit(1.0d) / col("n_a") + lit(1.0d) / col("n_b"))))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("diff"), col("se"),
+          (abs(col("diff")) / col("se")).as("q_stat"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // A78: calibration block (Brier + reliability bins) — AUC (A72)
     // ranks, but a score that RANKS well can still LIE about
     // probabilities; this is the companion every model scorecard
@@ -3535,6 +3579,39 @@ object Stats {
          SELECT event_type, n_days, day AS worst_day, y AS worst_value,
                 mu AS mean, dev / sd AS g
          FROM dev WHERE rk = 1 ORDER BY event_type""",
+    // exact-decimal group moments rendered once; every pairwise
+    // chain replays fixed-order IEEE — raw doubles
+    "a88_tukey_pairs" ->
+      """WITH g AS (
+           SELECT event_type, count(*) AS n,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) AS s1,
+                  CAST(CAST(sum(CAST(value * value AS DECIMAL(28,8)))
+                       AS VARCHAR) AS DOUBLE) AS s2
+           FROM events GROUP BY 1),
+         m AS (
+           SELECT event_type, n, s1 / n AS mean,
+                  s2 - s1 * s1 / n AS ssw_g
+           FROM g),
+         gm AS (
+           SELECT event_type, n, mean,
+                  CAST(CAST(sum(CAST(ssw_g AS DECIMAL(30,4))) OVER ()
+                       AS VARCHAR) AS DOUBLE) /
+                    CAST(sum(n) OVER () - count(*) OVER () AS DOUBLE)
+                    AS msw
+           FROM m)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                a.n AS n_a, b.n AS n_b,
+                a.mean - b.mean AS diff,
+                sqrt(a.msw / 2 *
+                  (CAST(1.0 AS DOUBLE) / a.n +
+                   CAST(1.0 AS DOUBLE) / b.n)) AS se,
+                abs(a.mean - b.mean) /
+                  sqrt(a.msw / 2 *
+                    (CAST(1.0 AS DOUBLE) / a.n +
+                     CAST(1.0 AS DOUBLE) / b.n)) AS q_stat
+         FROM gm a JOIN gm b ON a.event_type < b.event_type
+         ORDER BY type_a, type_b""",
     // identical midranks (rank + (ties−1)/2 on the ≤k-row day
     // windows), exact 0.25-grid sums, one raw Q chain
     "a87_friedman" ->

@@ -294,6 +294,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("txt21 lexical diversity: pure projection — zero exchanges") {
+    // MATTR's whole scale claim: segment slices, distinct counts and
+    // both ratios fold inside one projection over the tokenizer. The
+    // final orderBy is a rangepartitioning presentation sort; nothing
+    // else may shuffle, and no hashpartitioning exchange may exist.
+    val plan = planOf(TextAnalysis.queries, "txt21_lexical_diversity")
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
   test("decon1: eval shingles broadcast, corpus side never shuffles to join") {
     // the eval side is tiny by construction (a benchmark suite vs the
     // corpus) — the membership probe must be a broadcast hash join;

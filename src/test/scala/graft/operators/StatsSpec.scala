@@ -1032,6 +1032,37 @@ class StatsSpec extends AnyFunSuite {
     assert(p.getDouble(4) == pRef && pRef >= 0 && pRef <= 1)
   }
 
+  test("a88 Tukey pairs match a sequential pooled-variance recompute") {
+    def dec(x: Double, sc: Int): BigDecimal =
+      BigDecimal(java.math.BigDecimal.valueOf(x))
+        .setScale(sc, BigDecimal.RoundingMode.HALF_UP)
+    val vals = graft.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSeq }
+    val moments = vals.map { case (t, xs) =>
+      val n = xs.size
+      val s1 = xs.map(dec(_, 10)).sum.toDouble
+      val s2 = xs.map(v => dec(v * v, 8)).sum.toDouble
+      (t, n, s1 / n, s2 - s1 * s1 / n)
+    }.toSeq.sortBy(_._1)
+    val k = moments.size
+    val nTot = moments.map(_._2).sum
+    val msw = moments.map(m => dec(m._4, 4)).sum.toDouble / (nTot - k)
+    val expect = (for {
+      (ta, na, ma, _) <- moments; (tb, nb, mb, _) <- moments; if ta < tb
+    } yield {
+      val se = math.sqrt(msw / 2 * (1.0 / na + 1.0 / nb))
+      (ta, tb, na.toLong, nb.toLong, ma - mb, se, math.abs(ma - mb) / se)
+    }).toSet
+    val got = graft.operators.Stats.queries("a88_tukey_pairs")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toSet
+    assert(got == expect && got.size == k * (k - 1) / 2,
+      s"got ${got.size} vs expect ${expect.size}")
+  }
+
   test("a73 Kruskal–Wallis on planted ties matches sequential midranks") {
     // sf values are continuous, so the tie machinery needs a planted
     // fixture: 3 groups with cross-group AND within-group ties
