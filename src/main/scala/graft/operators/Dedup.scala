@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import graft.Tables
 
@@ -534,6 +535,32 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // D20: representative selection — the step production dedup runs
+    // AFTER clustering that D10 stops short of: every near-dup
+    // cluster keeps exactly ONE copy, and not an arbitrary one — the
+    // longest (n_chars desc, doc_id tiebreak), the "keep the most
+    // complete variant" heuristic (truncated scrapes and boilerplate
+    // stubs lose to their fuller twins; min-id canonical election
+    // would keep whichever copy happened to get crawled first). One
+    // rank window keyed by the component id — bounded by cluster
+    // size, evenly keyed at any scale; pure integer comparisons.
+    // Every doc ships with its verdict so the drop set is auditable
+    // (the corpus datasheet wants both sides). Fully oracle-checked
+    // (the DuckDB replay extends D10's recursive-CTE components).
+    "d20_keep_best" -> ((s, d) => {
+      val clusters = queries("d10_dup_clusters")(s, d)
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("n_chars"))
+      val w = Window.partitionBy("canonical_id")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      clusters.join(docs, Seq("doc_id"))
+        .withColumn("pick", row_number().over(w))
+        .select(col("doc_id"), col("canonical_id"), col("n_chars"),
+          (col("pick") === 1).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // D11: PageRank centrality over the SAME near-dup edge slice D10
     // clusters — the rank-weighted alternative to min-id canonical
     // election. No SQL-expressible oracle (iterative aggregation is
@@ -974,6 +1001,43 @@ object Dedup {
              SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
          SELECT id AS doc_id, min(r) AS canonical_id FROM reach
          GROUP BY id ORDER BY doc_id""",
+    // d10's recursive-CTE components extended with the longest-copy
+    // pick — pure integer comparisons
+    "d20_keep_best" ->
+      """WITH RECURSIVE
+           docs AS (
+             SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             FROM documents WHERE doc_id < 100),
+           sh AS (
+             SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+             FROM docs WHERE len(t) >= 3),
+           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           inter AS (
+             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           pairs AS (
+             SELECT da, db FROM inter
+             JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+             WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.02),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION SELECT db AS src, da AS dst FROM pairs),
+           reach AS (
+             SELECT doc_id AS id, doc_id AS r FROM docs
+             UNION
+             SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+           comp AS (
+             SELECT id AS doc_id, min(r) AS canonical_id FROM reach
+             GROUP BY id),
+           ranked AS (
+             SELECT c.doc_id, c.canonical_id, d.n_chars,
+                    row_number() OVER (PARTITION BY c.canonical_id
+                      ORDER BY d.n_chars DESC, c.doc_id) AS pick
+             FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+         SELECT doc_id, canonical_id, n_chars, pick = 1 AS keep
+         FROM ranked ORDER BY doc_id""",
     "d7_incremental_new" ->
       """SELECT i.doc_id FROM documents i
          WHERE i.doc_id % 4 = 0 AND NOT EXISTS (

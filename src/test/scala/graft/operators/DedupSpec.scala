@@ -752,4 +752,25 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.size <= prefCand,
       "sanity: candidates must cover the qualifying pairs")
   }
+
+  test("d20: every cluster keeps exactly its longest copy") {
+    val sf = SparkTestSession.Sf0001
+    val rows = Dedup.queries("d20_keep_best")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // membership and cluster ids anchor to the oracle-checked d10
+    val d10 = Dedup.queries("d10_dup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == d10)
+    var multi = 0
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length == 1, s"cluster $c keeps ${kept.length}")
+      // the keeper is the longest; ties go to the lowest doc_id
+      val best = members.minBy(m => (-m._3, m._1))
+      assert(kept.head._1 == best._1, s"cluster $c kept ${kept.head._1}")
+      if (members.length > 1) multi += 1
+    }
+    assert(multi > 0, "vacuous: no multi-member cluster in the slice")
+  }
 }
