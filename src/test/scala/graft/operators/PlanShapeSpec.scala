@@ -693,7 +693,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // count frame, broadcast back (the corpus-sized permutation
       // rank is PARTITIONED by (source, shard) — ds19's two-level
       // decomposition):
-      "ds19_interleave")
+      "ds19_interleave",
+      // Q/MSW folds over the ≤k per-series aggregate frames (per-day
+      // ranks partition by day; group moments are one hash agg):
+      "a87_friedman", "a87_friedman_pvalue", "a88_tukey_pairs")
     assert(offenders.toSet == allow,
       s"no-partition window set drifted:\n  got   ${offenders.sorted}" +
       s"\n  allow ${allow.toList.sorted}")
