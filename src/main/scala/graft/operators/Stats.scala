@@ -99,6 +99,48 @@ object Stats {
           .otherwise(lit(0.0d)), 6).as("z"))
   })
 
+  /** A73's two-level exact-midrank decomposition, shared with A89's
+    * Dunn pairs: a 1000-bucket histogram of the DISTINCT-value frame
+    * prefix-sums across buckets (one ≤1000-row window) and each value
+    * ranks within its bucket — every corpus-wide quantity lives on
+    * the domain-bounded distinct-value frame, never the fact table.
+    * Ranks are carried DOUBLED (r2 = 2·below + cnt + 1) so midranks
+    * stay exact integers. Returns (per-group (n_g, rs2), global t3
+    * tie term Σ(t³−t)). */
+  private def kwGroupRanks(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val rng = ev.agg(min(col("value")).as("vmin"),
+      max(col("value")).as("vmax"))
+    val vc = ev.groupBy(col("value"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val vt = vc.groupBy(col("value")).agg(sum(col("c")).as("cnt"))
+      .crossJoin(broadcast(rng))
+      .withColumn("bucket",
+        least(floor((col("value") - col("vmin")) /
+          (col("vmax") - col("vmin")) * 1000), lit(999L)))
+    val bt = vt.groupBy(col("bucket")).agg(sum(col("cnt")).as("bcnt"))
+      .withColumn("bbelow", coalesce(sum(col("bcnt")).over(
+        Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("bbelow"))
+    val ranks = vt.join(bt, Seq("bucket"))
+      .withColumn("wbelow", coalesce(sum(col("cnt")).over(
+        Window.partitionBy("bucket").orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("r2",
+        lit(2L) * (col("bbelow") + col("wbelow")) + col("cnt") + 1)
+      .select(col("value"), col("cnt"), col("r2"))
+    val g = vc.join(ranks, Seq("value"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_g"), sum(col("c") * col("r2")).as("rs2"))
+    val ties = ranks
+      .agg(sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+        .as("t3"))
+    (g, ties)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A2: Pearson correlation per group (value vs the json-extracted k).
     "a2_pearson_corr" -> ((s, d) =>
@@ -1703,35 +1745,7 @@ object Stats {
     // oracle-checked; the χ²_{k−1} p twin is rows-only,
     // StatsSpec-anchored (with a planted-tie sequential recompute).
     "a73_kruskal_wallis" -> ((s, d) => {
-      val ev = Tables.events(s, d).filter(col("value").isNotNull)
-        .select(col("event_type"), col("value"))
-      val rng = ev.agg(min(col("value")).as("vmin"),
-        max(col("value")).as("vmax"))
-      val vc = ev.groupBy(col("value"), col("event_type"))
-        .agg(count(lit(1)).as("c"))
-      val vt = vc.groupBy(col("value")).agg(sum(col("c")).as("cnt"))
-        .crossJoin(broadcast(rng))
-        .withColumn("bucket",
-          least(floor((col("value") - col("vmin")) /
-            (col("vmax") - col("vmin")) * 1000), lit(999L)))
-      val bt = vt.groupBy(col("bucket")).agg(sum(col("cnt")).as("bcnt"))
-        .withColumn("bbelow", coalesce(sum(col("bcnt")).over(
-          Window.orderBy("bucket")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("bucket"), col("bbelow"))
-      val ranks = vt.join(bt, Seq("bucket"))
-        .withColumn("wbelow", coalesce(sum(col("cnt")).over(
-          Window.partitionBy("bucket").orderBy("value")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("r2",
-          lit(2L) * (col("bbelow") + col("wbelow")) + col("cnt") + 1)
-        .select(col("value"), col("cnt"), col("r2"))
-      val g = vc.join(ranks, Seq("value"))
-        .groupBy(col("event_type"))
-        .agg(sum(col("c")).as("n_g"), sum(col("c") * col("r2")).as("rs2"))
-      val ties = ranks
-        .agg(sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
-          .as("t3"))
+      val (g, ties) = kwGroupRanks(s, d)
       def fold(body: Column => Column) =
         aggregate(col("gs"), lit(0.0d), (acc, x) => acc + body(x))
       g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
@@ -1760,6 +1774,57 @@ object Stats {
         .select(col("h_tied"), col("df"),
           r6(graft.functions.ChiSquarePValue.pValue(col("h_tied"),
             col("df"))).as("p_value"))),
+
+    // A89: Dunn's post-hoc pairs — A88 for the NONPARAMETRIC branch
+    // (after A73's Kruskal–Wallis rejects, which series pairs differ?
+    // Dunn 1964 is the rank analogue of Tukey's table; running t-type
+    // contrasts on ranks is the textbook mistake): zᵢⱼ = (R̄ᵢ−R̄ⱼ)/
+    // √((N(N+1)/12 − Σ(t³−t)/(12(N−1)))·(1/nᵢ+1/nⱼ)) with the
+    // tie-corrected variance. Everything rides the SHARED two-level
+    // exact-midrank decomposition (kwGroupRanks — the a73 frames):
+    // rank sums and the tie term are exact integers, mean ranks one
+    // IEEE division each, the variance chain fixed-order — RAW
+    // doubles, bit-identical. The pair join is the k-row frame
+    // against itself. Fully oracle-checked.
+    "a89_dunn_pairs" -> ((s, d) => {
+      val (g, ties) = kwGroupRanks(s, d)
+      val wAll = Window.partitionBy()
+      val gm = g.crossJoin(broadcast(ties))
+        .withColumn("n", sum(col("n_g")).over(wAll))
+        .withColumn("mean_rank",
+          col("rs2").cast("double") / (lit(2.0d) * col("n_g")))
+        .withColumn("v",
+          (col("n") * (col("n") + 1)).cast("double") / 12 -
+            col("t3").cast("double") / (lit(12.0d) * (col("n") - 1)))
+      val a = gm.select(col("event_type").as("type_a"),
+        col("n_g").as("n_a"), col("mean_rank").as("mean_rank_a"),
+        col("v"))
+      val b = gm.select(col("event_type").as("type_b"),
+        col("n_g").as("n_b"), col("mean_rank").as("mean_rank_b"))
+      a.join(broadcast(b), col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("mean_rank_a"), col("mean_rank_b"),
+          ((col("mean_rank_a") - col("mean_rank_b")) /
+            sqrt(col("v") * (lit(1.0d) / col("n_a") +
+              lit(1.0d) / col("n_b")))).as("z"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    // A89 p twin: two-sided p per pair via the χ²₁ identity (A35's
+    // contract) plus the Bonferroni m = k(k−1)/2 family adjustment
+    // Dunn prescribed. Rows-only; StatsSpec anchors by recomputation.
+    "a89_dunn_pvalue" -> ((s, d) => {
+      // m from a lazy full-frame window, never a driver-side count()
+      // at plan-construction time (the a53 eager-head lesson)
+      val m = count(lit(1)).over(Window.partitionBy()).cast("double")
+      queries("a89_dunn_pairs")(s, d)
+        .select(col("type_a"), col("type_b"), r6(col("z")).as("z"),
+          r6(graft.functions.ChiSquarePValue.pValue(
+            col("z") * col("z"), lit(1.0d))).as("p_value"),
+          r6(least(lit(1.0d), graft.functions.ChiSquarePValue.pValue(
+            col("z") * col("z"), lit(1.0d)) * m)).as("p_bonferroni"))
+        .orderBy("type_a", "type_b")
+    }),
 
     // A79: binned Wasserstein-1 drift — the metric that fixes what
     // PSI (A71) and KS (A33) each miss: PSI is bin-mass-only (blind
@@ -3362,6 +3427,58 @@ object Stats {
          SELECT k, n, round(h, 6) AS h,
                 round(h / corr_c, 6) AS h_tied
          FROM h""",
+    // a73's two-level midrank CTE chain, then the tie-corrected
+    // pairwise z on the k-row group frame — raw doubles
+    "a89_dunn_pairs" ->
+      """WITH ev AS (SELECT event_type, value FROM events
+                     WHERE value IS NOT NULL),
+         rng AS (SELECT min(value) AS vmin, max(value) AS vmax FROM ev),
+         vc AS (SELECT value, event_type, count(*) AS c
+                FROM ev GROUP BY 1, 2),
+         vt0 AS (SELECT value, CAST(sum(c) AS BIGINT) AS cnt
+                 FROM vc GROUP BY 1),
+         vt AS (SELECT value, cnt,
+                       least(CAST(floor((value - vmin) / (vmax - vmin)
+                             * 1000) AS BIGINT), 999) AS bucket
+                FROM vt0, rng),
+         bt AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS bcnt
+                FROM vt GROUP BY 1),
+         bb AS (SELECT bucket,
+                       coalesce(sum(bcnt) OVER (ORDER BY bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND
+                         1 PRECEDING), 0) AS bbelow
+                FROM bt),
+         ranks AS (
+           SELECT v.value, v.cnt,
+                  2 * (b.bbelow + coalesce(sum(v.cnt) OVER (
+                    PARTITION BY v.bucket ORDER BY v.value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0)) + v.cnt + 1 AS r2
+           FROM vt v JOIN bb b ON v.bucket = b.bucket),
+         g AS (
+           SELECT event_type, CAST(sum(c) AS BIGINT) AS n_g,
+                  CAST(sum(c * r.r2) AS BIGINT) AS rs2
+           FROM vc JOIN ranks r ON vc.value = r.value GROUP BY 1),
+         tt AS (SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS t3
+                FROM ranks),
+         gm AS (
+           SELECT event_type, n_g,
+                  CAST(rs2 AS DOUBLE) /
+                    (CAST(2.0 AS DOUBLE) * n_g) AS mean_rank,
+                  CAST(sum(n_g) OVER () * (sum(n_g) OVER () + 1)
+                       AS DOUBLE) / 12 -
+                    CAST(t3 AS DOUBLE) /
+                      (CAST(12.0 AS DOUBLE) * (sum(n_g) OVER () - 1))
+                    AS v
+           FROM g, tt)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                a.n_g AS n_a, b.n_g AS n_b,
+                a.mean_rank AS mean_rank_a, b.mean_rank AS mean_rank_b,
+                (a.mean_rank - b.mean_rank) /
+                  sqrt(a.v * (CAST(1.0 AS DOUBLE) / a.n_g +
+                              CAST(1.0 AS DOUBLE) / b.n_g)) AS z
+         FROM gm a JOIN gm b ON a.event_type < b.event_type
+         ORDER BY type_a, type_b""",
     // identical 200-bin spine, cumulative CDF windows, 1e-12 gap grid,
     // one width multiplication
     "a79_wasserstein" ->

@@ -696,7 +696,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "ds19_interleave",
       // Q/MSW folds over the ≤k per-series aggregate frames (per-day
       // ranks partition by day; group moments are one hash agg):
-      "a87_friedman", "a87_friedman_pvalue", "a88_tukey_pairs")
+      "a87_friedman", "a87_friedman_pvalue", "a88_tukey_pairs",
+      // a73's ≤1000-row bucket prefix window plus the ≤k group-frame
+      // N fold (per-value ranks stay partitioned by bucket):
+      "a89_dunn_pairs", "a89_dunn_pvalue")
     assert(offenders.toSet == allow,
       s"no-partition window set drifted:\n  got   ${offenders.sorted}" +
       s"\n  allow ${allow.toList.sorted}")

@@ -1063,6 +1063,63 @@ class StatsSpec extends AnyFunSuite {
       s"got ${got.size} vs expect ${expect.size}")
   }
 
+  test("a89 Dunn pairs match sequential midranks; p twin anchored") {
+    import org.apache.spark.sql.functions._
+    val vals = graft.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    // sequential exact midranks over the pooled sample
+    val byVal = vals.groupBy(_._2).toSeq.sortBy(_._1)
+    var below = 0L
+    val rankOf = byVal.map { case (v, g) =>
+      val r = below + (g.length + 1) / 2.0
+      below += g.length
+      v -> r
+    }.toMap
+    val t3 = byVal.map(_._2.length.toLong)
+      .map(t => t * t * t - t).sum
+    val n = vals.length.toLong
+    val groups = vals.groupBy(_._1).map { case (t, xs) =>
+      (t, xs.length.toLong, xs.map(x => rankOf(x._2)).sum / xs.length)
+    }.toSeq.sortBy(_._1)
+    val v = n.toDouble * (n + 1) / 12 - t3.toDouble / (12.0 * (n - 1))
+    val expect = (for {
+      (ta, na, ra) <- groups; (tb, nb, rb) <- groups; if ta < tb
+    } yield (ta, tb, na, nb,
+      (ra - rb) / math.sqrt(v * (1.0 / na + 1.0 / nb)))).toSeq
+    val got = graft.operators.Stats.queries("a89_dunn_pairs")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(6)))
+    assert(got.nonEmpty && got.length == expect.length)
+    got.sortBy(g => (g._1, g._2)).zip(expect).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3 && g._4 == e._4,
+        s"$g vs $e")
+      // the query's mean ranks come through the doubled-rank integer
+      // path; the sequential sum-of-doubles path agrees to fp noise
+      assert(math.abs(g._5 - e._5) < 1e-9, s"z $g vs $e")
+    }
+    // p twin: χ²₁ identity + Bonferroni m, from the query's own z
+    val zq = graft.operators.Stats.queries("a89_dunn_pairs")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getDouble(6)).toMap
+    val m = zq.size.toDouble
+    val pv = graft.operators.Stats.queries("a89_dunn_pvalue")(spark, sf)
+      .collect()
+    assert(pv.length == zq.size)
+    pv.foreach { r =>
+      val z = zq((r.getString(0), r.getString(1)))
+      val pRef = spark.range(1).select(
+        round(graft.functions.ChiSquarePValue.pValue(
+          lit(z * z), lit(1.0d)), 6)).head().getDouble(0)
+      val pbRef = spark.range(1).select(
+        round(least(lit(1.0d), graft.functions.ChiSquarePValue.pValue(
+          lit(z * z), lit(1.0d)) * m), 6)).head().getDouble(0)
+      assert(r.getDouble(3) == pRef && r.getDouble(4) == pbRef,
+        s"${r.getString(0)}/${r.getString(1)}")
+    }
+  }
+
   test("a73 Kruskal–Wallis on planted ties matches sequential midranks") {
     // sf values are continuous, so the tie machinery needs a planted
     // fixture: 3 groups with cross-group AND within-group ties
