@@ -567,6 +567,66 @@ object TextAnalysis {
         .orderBy("source")
     }),
 
+    // TXT22: Heaps'-law vocabulary growth — the curve corpus
+    // datasheets draw to answer "is more data still buying new
+    // vocabulary?" (V(N) ≈ K·N^β, β ≈ 0.5 for natural text; a
+    // template-generated corpus saturates early and its fitted β
+    // collapses — a corpus-level diversity signal TXT21's per-doc
+    // MATTR can't see). The distributed trick: the prefix-vocabulary
+    // curve needs NO sequential scan — a word is in the prefix's
+    // vocabulary iff its FIRST-occurrence doc_id is ≤ the checkpoint,
+    // so ONE (word → min(doc_id), one hash agg) frame answers every
+    // checkpoint at once; prefix token counts are a second
+    // conditional agg over per-doc token counts. Checkpoints at fixed
+    // percents of max doc_id (integer div — exact). The Heaps β fits
+    // by OLS on (ln N, ln V) over the 7 checkpoints: ln() terms snap
+    // to TXT20's 1e-12 grid (cross-engine libm ulps), the regression
+    // then runs in exact-input IEEE, β/K reported r6. Fully
+    // oracle-checked.
+    "txt22_heaps_growth" -> ((s, d) => {
+      val pcts = Seq(1, 2, 5, 10, 20, 50, 100)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("t"))
+      val mx = docs.agg(max(col("doc_id")).as("mx"))
+      val firsts = docs.select(explode(col("t")).as("w"), col("doc_id"))
+        .groupBy("w").agg(min(col("doc_id")).as("first_doc"))
+      val dtok = docs.select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tok"))
+      val cps = mx.select(explode(array(pcts.map(lit): _*)).as("pct"),
+        col("mx")).withColumn("cp", expr("mx * pct div 100"))
+        .select(col("pct"), col("cp"))
+      val vocab = firsts.crossJoin(broadcast(cps))
+        .groupBy(col("pct"), col("cp"))
+        .agg(count(when(col("first_doc") <= col("cp"), 1)).as("vocab"))
+      val ntok = dtok.crossJoin(broadcast(cps))
+        .groupBy(col("pct"))
+        .agg(sum(when(col("doc_id") <= col("cp"), col("n_tok"))
+          .otherwise(lit(0L))).as("n_tokens"))
+      val pts = vocab.join(ntok, Seq("pct"))
+        .withColumn("x", round(log(col("n_tokens").cast("double")), 12))
+        .withColumn("y", round(log(col("vocab").cast("double")), 12))
+      val wAll = Window.partitionBy()
+      pts
+        .withColumn("m", count(lit(1)).over(wAll).cast("double"))
+        .withColumn("sx", sum(col("x").cast("decimal(24,14)")).over(wAll)
+          .cast("double"))
+        .withColumn("sy", sum(col("y").cast("decimal(24,14)")).over(wAll)
+          .cast("double"))
+        .withColumn("sxx", sum((col("x") * col("x"))
+          .cast("decimal(24,12)")).over(wAll).cast("double"))
+        .withColumn("sxy", sum((col("x") * col("y"))
+          .cast("decimal(24,12)")).over(wAll).cast("double"))
+        .withColumn("beta",
+          (col("m") * col("sxy") - col("sx") * col("sy")) /
+            (col("m") * col("sxx") - col("sx") * col("sx")))
+        .select(col("pct"), col("cp").as("n_docs"), col("n_tokens"),
+          col("vocab"),
+          r6(col("beta")).as("heaps_beta"),
+          r6(exp((col("sy") - col("beta") * col("sx")) / col("m")))
+            .as("heaps_k"))
+        .orderBy("pct")
+    }),
+
     // TXT21: lexical diversity (TTR + MATTR) — the vocabulary-richness
     // curation signal (Covington & McFall 2010): raw type-token ratio
     // collapses as docs grow (hapax exhaustion), so the robust form
@@ -1243,6 +1303,58 @@ object TextAnalysis {
                 round(CAST(CAST(sum(CAST(term AS DECIMAL(24,14)))
                       AS VARCHAR) AS DOUBLE), 6) AS jsd
          FROM tt GROUP BY source ORDER BY source""",
+    // identical first-occurrence frame, conditional checkpoint aggs,
+    // 1e-12 log grid, decimal-pinned regression sums
+    "txt22_heaps_growth" ->
+      """WITH docs AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         mx AS (SELECT max(doc_id) AS mx FROM docs),
+         firsts AS (
+           SELECT w, min(doc_id) AS first_doc FROM (
+             SELECT doc_id, unnest(t) AS w FROM docs)
+           GROUP BY 1),
+         dtok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok
+                  FROM docs),
+         cps AS (
+           SELECT pct, mx * pct // 100 AS cp
+           FROM mx, (SELECT unnest([1, 2, 5, 10, 20, 50, 100]) AS pct)),
+         vocab AS (
+           SELECT pct, cp,
+                  CAST(count(CASE WHEN first_doc <= cp THEN 1 END)
+                       AS BIGINT) AS vocab
+           FROM firsts CROSS JOIN cps GROUP BY 1, 2),
+         ntok AS (
+           SELECT pct,
+                  CAST(sum(CASE WHEN doc_id <= cp THEN n_tok
+                           ELSE 0 END) AS BIGINT) AS n_tokens
+           FROM dtok CROSS JOIN cps GROUP BY 1),
+         pts AS (
+           SELECT v.pct, v.cp, v.vocab, n.n_tokens,
+                  round(ln(CAST(n.n_tokens AS DOUBLE)), 12) AS x,
+                  round(ln(CAST(v.vocab AS DOUBLE)), 12) AS y
+           FROM vocab v JOIN ntok n ON v.pct = n.pct),
+         reg AS (
+           SELECT pct, cp, vocab, n_tokens,
+                  CAST(count(*) OVER () AS DOUBLE) AS m,
+                  CAST(CAST(sum(CAST(x AS DECIMAL(24,14))) OVER ()
+                       AS VARCHAR) AS DOUBLE) AS sx,
+                  CAST(CAST(sum(CAST(y AS DECIMAL(24,14))) OVER ()
+                       AS VARCHAR) AS DOUBLE) AS sy,
+                  CAST(CAST(sum(CAST(x * x AS DECIMAL(24,12))) OVER ()
+                       AS VARCHAR) AS DOUBLE) AS sxx,
+                  CAST(CAST(sum(CAST(x * y AS DECIMAL(24,12))) OVER ()
+                       AS VARCHAR) AS DOUBLE) AS sxy
+           FROM pts),
+         fit AS (
+           SELECT pct, cp, vocab, n_tokens, m, sx, sy,
+                  (m * sxy - sx * sy) / (m * sxx - sx * sx) AS beta
+           FROM reg)
+         SELECT pct, cp AS n_docs, n_tokens, vocab,
+                round(beta, 6) AS heaps_beta,
+                round(exp((sy - beta * sx) / m), 6) AS heaps_k
+         FROM fit ORDER BY pct""",
     // in-row segment slices, exact integer distinct counts, one
     // division each for ttr/mattr — raw doubles
     "txt21_lexical_diversity" ->

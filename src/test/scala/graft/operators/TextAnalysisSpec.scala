@@ -382,4 +382,55 @@ class TextAnalysisSpec extends AnyFunSuite {
       .toMap
     assert(g(1L) == ((5.0 / 200, 0.1)) && g(2L) == ((1.0, 1.0)), g.toString)
   }
+
+  test("txt22: growth points match a sequential sweep; beta separates corpora") {
+    val sf = SparkTestSession.Sf0001
+    // sequential recompute of the checkpoint curve
+    val docs = graft.Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.toLowerCase.split("\\s+").toSeq)
+      .sortBy(_._1)
+    val mx = docs.map(_._1).max
+    val first = scala.collection.mutable.Map[String, Long]()
+    docs.foreach { case (id, ts) =>
+      ts.foreach(w => if (!first.contains(w)) first(w) = id) }
+    val got = TextAnalysis.queries("txt22_heaps_growth")(spark, sf)
+      .collect().map(r => r.getInt(0).toLong ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 5L, 10L, 20L, 50L, 100L))
+    got.foreach { case (pct, (cp, nTok, vocab, _)) =>
+      assert(cp == mx * pct / 100, s"$pct cp")
+      assert(nTok == docs.filter(_._1 <= cp).map(_._2.size).sum,
+        s"$pct n_tokens")
+      assert(vocab == first.values.count(_ <= cp), s"$pct vocab")
+    }
+    // betas: all checkpoints carry the ONE fitted value. The sf
+    // corpus is template-generated and saturates its vocabulary by
+    // the 1% checkpoint, so its honest fit is β = 0 exactly — the
+    // saturation signal the operator exists to expose (natural text
+    // sits near 0.5; the goldens below prove the separation)
+    val betas = got.values.map(_._4).toSet
+    assert(betas.size == 1 && betas.head >= 0 && betas.head < 1, betas)
+    // golden separation: an all-new-words corpus fits beta ≈ 1, a
+    // fixed-vocabulary cycler saturates toward 0
+    import spark.implicits._
+    def fixture(name: String, mk: (Int, Int) => String): String = {
+      val d = SparkTestSession.fixtureDir(name)
+      (1 to 100).map { i =>
+        (i.toLong, (0 until 20).map(j => mk(i, j)).mkString(" "),
+          "en", "a", 0L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      d
+    }
+    val fresh = fixture("heaps-fresh", (i, j) => s"w${i}_$j")
+    val cycle = fixture("heaps-cycle", (_, j) => s"v$j")
+    def beta(d: String): Double =
+      TextAnalysis.queries("txt22_heaps_growth")(spark, d)
+        .head().getDouble(4)
+    val bF = beta(fresh); val bC = beta(cycle)
+    assert(math.abs(bF - 1.0) < 1e-6, s"fresh beta $bF")
+    assert(bC < 0.2 && bC >= 0.0, s"cycler beta $bC")
+  }
 }
