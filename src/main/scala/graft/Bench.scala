@@ -147,6 +147,26 @@ object Bench {
           }
     def loadAvg: Double = math.rint(java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage * 100) / 100
+    // Anchor all artifact reads/writes at the repo root (the dir
+    // holding build.sbt above the CWD) — run from anywhere else, the
+    // old `new File(".")` listing silently found no baseline and the
+    // load-poisoning guard degraded to a no-op (round-10 advice).
+    val repoRoot: java.io.File = {
+      var dir = new java.io.File(".").getCanonicalFile
+      while (dir != null && !new java.io.File(dir, "build.sbt").exists())
+        dir = dir.getParentFile
+      if (dir == null) new java.io.File(".").getCanonicalFile else dir
+    }
+    // The round being benched — one past the highest committed
+    // BENCH_r{N}.json (overridable via SPARK_GRAFT_ROUND). Computed
+    // up front because the guard below must EXCLUDE this round's own
+    // artifact from baseline selection.
+    val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+      val prev = Option(repoRoot.listFiles()).toSeq.flatten
+        .flatMap(f => "^BENCH_r(\\d+)\\.json$".r
+          .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      if (prev.isEmpty) 1 else prev.max + 1
+    }
     val loadStart = loadAvg
     val firstPass: Seq[(String, Double)] = defs.map { case (n, su, r) =>
       n -> medianOf(n, su)(r)
@@ -161,12 +181,19 @@ object Bench {
     // better median wins. Re-run names are stamped into the artifact
     // ("reruns") together with the start/end 1-min load averages, so
     // a poisoned sweep is visible instead of silently authoritative.
-    val prevQueries: Map[String, Double] = {
-      val prevFile = Option(new java.io.File(".").listFiles()).toSeq.flatten
+    // Round-11 hardening: the baseline is the newest artifact from a
+    // PRIOR round (an own-round refresh must never baseline itself —
+    // a poisoned value would instantly become authoritative), the
+    // chosen baseline is stamped into the artifact, and a guard that
+    // finds no usable baseline says so on stderr instead of silently
+    // re-running nothing.
+    val (prevQueries: Map[String, Double], baselineName: String) = {
+      val prevFile = Option(repoRoot.listFiles()).toSeq.flatten
         .flatMap(f => "^BENCH_FULL_r(\\d+)\\.json$".r
           .findFirstMatchIn(f.getName).map(m => m.group(1).toInt -> f))
+        .filter(_._1 < round)
         .sortBy(-_._1).headOption.map(_._2)
-      prevFile.map { f =>
+      val parsed = prevFile.map { f =>
         val txt = new String(
           java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8)
@@ -180,15 +207,25 @@ object Bench {
           "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(body)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
-      }.getOrElse(Map.empty)
+      }.getOrElse(Map.empty[String, Double])
+      if (parsed.isEmpty)
+        System.err.println("[bench] phantom-regression guard DISABLED: no " +
+          s"usable prior-round BENCH_FULL_r<N<$round>.json (same sf=$sfDir) " +
+          s"under $repoRoot")
+      (parsed, prevFile.map(_.getName).getOrElse("none"))
     }
-    val suspects = firstPass
+    val allSuspects = firstPass
       .filter { case (name, t) =>
         t > 0 && prevQueries.get(name)
           .exists(p => p > 0 && t > 3 * p && t - p > 0.5)
       }
       .sortBy { case (name, t) => -(t / prevQueries(name)) }
-      .take(15).map(_._1)
+    val suspects = allSuspects.take(15).map(_._1)
+    val suspectsDropped = allSuspects.drop(15).map(_._1)
+    if (suspectsDropped.nonEmpty)
+      System.err.println(s"[bench] WARNING: ${suspectsDropped.size} suspects " +
+        s"beyond the 15-rerun cap keep their possibly-poisoned first-pass " +
+        s"times: ${suspectsDropped.mkString(", ")}")
     val rerun: Map[String, Double] = suspects.flatMap { n =>
       defs.find(_._1 == n).map { case (_, su, r) => n -> medianOf(n, su)(r) }
     }.toMap
@@ -201,30 +238,24 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
     val reruns = suspects.map(n => s"\"$n\"").mkString("[", ",", "]")
+    val droppedJson = suspectsDropped.map(n => s"\"$n\"")
+      .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reruns":$reruns,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reruns":$reruns,"suspects_dropped":$droppedJson,"baseline":"$baselineName","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}"""
     println(line)
     // Persist the COMPLETE per-query map to files as well: the harness
     // captures a bounded stdout tail, which truncated ~28 of 90 query
     // timings out of the round-5 artifact, and target/ is overwritten
     // by every run. BENCH_FULL_r{N}.json at the repo root is tracked,
-    // so each round's full map survives in history; N is the round
-    // being benched — one past the highest BENCH_r{N}.json the driver
-    // has committed so far (overridable via SPARK_GRAFT_ROUND).
+    // so each round's full map survives in history.
     val bytes = (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val out = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, bytes)
-    val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
-      val prev = Option(new java.io.File(".").listFiles()).toSeq.flatten
-        .flatMap(f => "^BENCH_r(\\d+)\\.json$".r
-          .findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      if (prev.isEmpty) 1 else prev.max + 1
-    }
     if (only.isEmpty) // never clobber the round artifact from a filtered run
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(f"BENCH_FULL_r$round%02d.json"), bytes)
+        repoRoot.toPath.resolve(f"BENCH_FULL_r$round%02d.json"), bytes)
     spark.stop()
   }
 }

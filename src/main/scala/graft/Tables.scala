@@ -11,8 +11,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (`PushedFilters`/`ReadSchema` in explain output).
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  private val InferFromGenerate =
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+  /** Exclude Catalyst's InferFiltersFromGenerate for the session.
+    *
+    * The rule adds `size(e) > 0 AND isnotnull(e)` above every
+    * `explode(e)` — pure pushdown bait. When `e` is a COMPUTED array
+    * (this engine's dominant shape: shingle/token transforms built
+    * inline from `text`), predicate pushdown then substitutes the
+    * full expression into the filter, so the regex tokenize + lambda
+    * transform chain is re-evaluated several times per row in an
+    * interpreted (non-codegen) Filter before the Generate computes it
+    * once more. Measured on d18 at sf0.1: the shingle explode alone
+    * 9.2 s → 0.3 s, the whole query 15.5 s → 3.1 s once the rule is
+    * excluded. The filters it would add only ever pay off for STORED
+    * array columns (parquet isnotnull pushdown), which this engine's
+    * query surface never explodes, so the exclusion is strictly a
+    * win here; results are unaffected either way (outer=false
+    * Generate drops null/empty inputs itself). Applied on every
+    * table load (the Tables.events conf precedent) so any caller
+    * session gets it without its own setup. */
+  private def excludeInferFiltersFromGenerate(s: SparkSession): Unit = {
+    val cur = s.conf.getOption("spark.sql.optimizer.excludedRules")
+      .filter(_.nonEmpty)
+    if (!cur.exists(_.split(",").map(_.trim).contains(InferFromGenerate)))
+      s.conf.set("spark.sql.optimizer.excludedRules",
+        (cur.toSeq :+ InferFromGenerate).mkString(","))
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    excludeInferFiltersFromGenerate(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")

@@ -23,7 +23,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Same Rabin parameters as [[RollingFp]] (K = 8, B = 257,
   * M = 1e9+7), same normalization (space-trim + per-char lowercase —
-  * exact for the ASCII corpus). Each chunk reports (start, len,
+  * exact for the ASCII corpus). Divergence boundary: the per-char
+  * `Character.toLowerCase` is Unicode-aware per UTF-16 unit, so on
+  * non-ASCII text (Turkish dotted I, ß, combining marks) its output
+  * differs from a whole-string SQL `lower()` + `ascii()` replay —
+  * which is why the d19 query/oracle pair scopes BOTH sides to the
+  * `octet_length == length` (pure-ASCII) slice, where the two
+  * normalizations are provably identical. Each chunk reports (start, len,
   * chash) with chash the polynomial hash of the chunk's own chars —
   * the content identity cross-doc chunk dedup keys on. Pure integer
   * arithmetic end to end → oracle-exact.

@@ -317,6 +317,81 @@ object Curation {
         .orderBy("lang")
     }),
 
+    // PIPE6: the assembled story end to end — "build a training mix
+    // from deduped clusters" as ONE plan, chaining three fully
+    // hash-checked stages: D10b's full-corpus near-dup clusters
+    // (banded LSH → exact verify at J ≥ 0.5 → CC) → D20's keep-best
+    // representative election (longest per cluster, doc_id tiebreak)
+    // → DS17's seeded-md5 stratified 80/10/10 split per (lang,
+    // source) → DS19's round-robin source interleave of the train
+    // slice into one deterministic global_pos stream. What PIPE3
+    // proved for the filter funnel, this proves for the dedup →
+    // split → interleave composition: the stages compose without a
+    // driver round-trip, and the DuckDB oracle replays the WHOLE
+    // chain (the d10_cc_corpus exhaustive graph + window replays),
+    // so the hash match certifies the composition, not just the
+    // parts. Scale shape: each stage keyed on its own key (cluster
+    // id → stratum → source), the only single-partition frame is the
+    // ≤|sources| spine (DS19's documented bound).
+    "pipe6_dedup_mix" -> ((s, d) => {
+      val clusters = Dedup.queries("d10_cc_corpus")(s, d)
+      val kept = clusters
+        .join(Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars")), Seq("doc_id"))
+        .withColumn("pick", row_number().over(
+          Window.partitionBy("canonical_id")
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("pick") === 1)
+        .select(col("doc_id"), col("lang"), col("source"))
+      val base = kept
+        .withColumn("k", md5(concat_ws(":", lit("pipe6"), col("doc_id"))))
+        .withColumn("bucket",
+          conv(substring(col("k"), 1, 2), 16, 10).cast("long"))
+      val bcnt = base.groupBy("lang", "source", "bucket")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("below", coalesce(sum(col("c")).over(
+          Window.partitionBy("lang", "source").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val n = bcnt.groupBy("lang", "source").agg(sum(col("c")).as("n"))
+      val train = base
+        .withColumn("wrn", row_number().over(
+          Window.partitionBy("lang", "source", "bucket")
+            .orderBy("k", "doc_id")).cast("long"))
+        .join(bcnt.select(col("lang"), col("source"), col("bucket"),
+          col("below")), Seq("lang", "source", "bucket"))
+        .join(n, Seq("lang", "source"))
+        .filter(col("below") + col("wrn") <= expr("div(n * 8, 10)"))
+        .select(col("doc_id"), col("source"))
+      val tb = train
+        .withColumn("k", md5(concat_ws(":", lit("pipe6i"), col("doc_id"))))
+        .withColumn("shard",
+          conv(substring(col("k"), 1, 2), 16, 10).cast("long"))
+      val hist = tb.groupBy("source", "shard").agg(count(lit(1)).as("c"))
+        .withColumn("before", coalesce(sum(col("c")).over(
+          Window.partitionBy("source").orderBy("shard")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("source"), col("shard"), col("before"))
+      val ranked = tb.join(broadcast(hist), Seq("source", "shard"))
+        .withColumn("rank", col("before") + row_number().over(
+          Window.partitionBy("source", "shard")
+            .orderBy(col("k"), col("doc_id"))))
+      val srcs = ranked.groupBy("source").agg(count(lit(1)).as("n_src"))
+        .withColumn("source_idx",
+          row_number().over(Window.orderBy("source")).cast("long"))
+        .withColumn("mn", min(col("n_src")).over(Window.partitionBy()))
+        .withColumn("n_sources",
+          count(lit(1)).over(Window.partitionBy()))
+        .select(col("source"), col("source_idx"), col("mn"),
+          col("n_sources"))
+      ranked.join(broadcast(srcs), Seq("source"))
+        .filter(col("rank") <= col("mn"))
+        .select(col("doc_id"), col("source"), col("rank"),
+          ((col("rank") - 1) * col("n_sources") + col("source_idx") - 1)
+            .as("global_pos"))
+        .orderBy("global_pos")
+    }),
+
     // TXT7: repetition signals (Gopher §A.1.1-style filters, adapted
     // to this corpus's line-less word-soup text): the fraction of
     // tokens that are the single most frequent token, and the
@@ -344,6 +419,79 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // the full composition replayed: d10_cc_corpus's exhaustive
+    // J >= 0.5 graph + recursive closure, keep-best window, md5
+    // split ladder, md5 interleave — one CTE chain, so the hash
+    // match certifies the composed pipeline end to end
+    "pipe6_dedup_mix" ->
+      """WITH RECURSIVE
+           docs AS (
+             SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             FROM documents),
+           sh AS (
+             SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+             FROM docs WHERE len(t) >= 3),
+           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           inter AS (
+             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           prs AS (
+             SELECT da, db FROM inter
+             JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+             WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.5),
+           edges AS (SELECT da AS src, db AS dst FROM prs
+                     UNION SELECT db AS src, da AS dst FROM prs),
+           reach AS (
+             SELECT doc_id AS id, doc_id AS r FROM documents
+             UNION
+             SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+           comp AS (
+             SELECT id AS doc_id, min(r) AS canonical_id FROM reach
+             GROUP BY id),
+           kept AS (
+             SELECT doc_id, lang, source FROM (
+               SELECT c.doc_id, d.lang, d.source,
+                      row_number() OVER (PARTITION BY c.canonical_id
+                        ORDER BY d.n_chars DESC, c.doc_id) AS pick
+               FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+             WHERE pick = 1),
+           keyed AS (
+             SELECT doc_id, lang, source,
+                    md5('pipe6:' || CAST(doc_id AS VARCHAR)) AS k
+             FROM kept),
+           split AS (
+             SELECT doc_id, source,
+                    row_number() OVER (PARTITION BY lang, source
+                                       ORDER BY k, doc_id) AS rnk,
+                    count(*) OVER (PARTITION BY lang, source) AS n
+             FROM keyed),
+           train AS (
+             SELECT doc_id, source,
+                    md5('pipe6i:' || CAST(doc_id AS VARCHAR)) AS k
+             FROM split WHERE rnk <= (n * 8) // 10),
+           ranked AS (
+             SELECT doc_id, source,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY k, doc_id) AS rank
+             FROM train),
+           srcs AS (
+             SELECT source, count(*) AS n_src,
+                    row_number() OVER (ORDER BY source) AS source_idx
+             FROM ranked GROUP BY 1),
+           meta AS (
+             SELECT source, source_idx,
+                    min(n_src) OVER () AS mn,
+                    count(*) OVER () AS n_sources
+             FROM srcs)
+         SELECT r.doc_id, r.source, CAST(r.rank AS BIGINT) AS rank,
+                CAST((r.rank - 1) * m.n_sources + m.source_idx - 1
+                     AS BIGINT) AS global_pos
+         FROM ranked r JOIN meta m ON r.source = m.source
+         WHERE r.rank <= m.mn
+         ORDER BY global_pos""",
     // identical 1e-12 term grid + decimal-pinned sums, one exp/division
     "pipe5_mixture_diversity" ->
       """WITH ls AS (

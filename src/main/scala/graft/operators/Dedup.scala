@@ -217,7 +217,13 @@ object Dedup {
     * converge (propagation rounds + the final fixpoint confirmation).
     * Telemetry for specs/benchmarks: the scale claim is "rounds ≈
     * cluster diameter", and this makes it MEASURED on the corpus
-    * graphs instead of argued (DedupSpec pins the corpus bound). */
+    * graphs instead of argued (DedupSpec pins the corpus bound).
+    * Holds -1 while a call is in flight (and after a non-converged
+    * abort), so a spec can never read a PREVIOUS call's value and
+    * pass vacuously; only a converged run publishes a count. Like
+    * the shared caches, calls are effectively serialized per suite —
+    * a reader racing a concurrent call sees the -1 sentinel, not a
+    * stale count. */
   private[graft] val lastCcRounds = new java.util.concurrent.atomic.AtomicLong(0)
 
   private[operators] def connectedComponents(pairs: DataFrame,
@@ -237,6 +243,7 @@ object Dedup {
     val cap = vertices.count() + 2
     var iter = 0L
     var result: DataFrame = null
+    lastCcRounds.set(-1L) // sentinel until THIS call converges
     while (result == null) {
       val offered = edges.join(labels, col("src") === col("doc_id"))
         .select(col("dst").as("doc_id"), col("comp"))
@@ -710,10 +717,12 @@ object Dedup {
     // corpus scale (D10b collapses transitive chains; D14b keeps
     // densely-linked rings separate when a hub doc bridges them).
     // Vertices = every document; isolated docs keep their own id.
-    // Rows-only; the spec replays the identical synchronous
-    // self-vote/min-tie update sequentially over the same edges and
-    // requires bit-for-bit label equality plus community ⊆ D10b
-    // component nesting.
+    // FULLY oracle-checked since round 11: the fixed 4-round
+    // iteration unrolls into chained CTEs (integer votes, total-order
+    // tiebreak — no recursion, no float), so the DuckDB twin replays
+    // the exact synchronous update over the exhaustive graph; the
+    // spec's sequential recompute + community ⊆ D10b nesting stays
+    // as the independent anchor.
     "d14_lpa_corpus" -> ((s, d) =>
       labelPropagation(verifiedCorpusPairs(s, d, 0.5),
         Tables.documents(s, d).select(col("doc_id")), iters = 4)
@@ -824,6 +833,50 @@ object Dedup {
          SELECT doc_id, count(*) AS n_tri
          FROM (SELECT unnest([u, v1, w1]) AS doc_id FROM tri)
          GROUP BY 1 ORDER BY doc_id""",
+    // D14b: the same exhaustive full-corpus 0.5 graph, then the FOUR
+    // synchronous label-propagation rounds UNROLLED as chained CTEs —
+    // iteration count is a fixed literal of the operator, so no
+    // recursion is needed, and every update (per-(node, label) vote
+    // counts + the count-desc/label-asc tiebreak) is pure integer
+    // arithmetic with a total order: bit-exact on both engines. The
+    // hash match certifies the engine's iterative kernel AND (again)
+    // the banded LSH edge recall; the sequential-recompute spec
+    // anchor stays as the third leg (DedupSpec).
+    "d14_lpa_corpus" ->
+      s"""WITH docs AS (
+             SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+             FROM documents),
+           sh AS (
+             SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+             FROM docs WHERE len(t) >= 3),
+           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           inter AS (
+             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           pairs AS (
+             SELECT da, db FROM inter
+             JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+             WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.5),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION SELECT db AS src, da AS dst FROM pairs),
+           l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+           ${(1 to 4).map(i =>
+             s"""v$i AS (
+             SELECT e.dst AS doc_id, l.label
+             FROM edges e JOIN l${i - 1} l ON e.src = l.doc_id
+             UNION ALL SELECT doc_id, label FROM l${i - 1}),
+           c$i AS (
+             SELECT doc_id, label, count(*) AS n FROM v$i GROUP BY 1, 2),
+           l$i AS (
+             SELECT doc_id, label FROM (
+               SELECT doc_id, label,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY n DESC, label) AS rk
+               FROM c$i) WHERE rk = 1)""").mkString(",\n           ")}
+         SELECT doc_id, label FROM l4 ORDER BY doc_id""",
     // D13b: d12_tri_corpus's exhaustive full-corpus CTE chain + the
     // d13 degree normalization (deg < 2 excluded) — hash equality
     // again proves the banded LSH graph recalled every exhaustive

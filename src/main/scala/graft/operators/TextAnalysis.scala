@@ -875,7 +875,16 @@ object TextAnalysis {
     // oracle-checked (DuckDB replays gram hashes, cut set and chunk
     // hashes with list primitives — txt6's replay pattern).
     "d19_cdc_chunks" -> ((s, d) => {
+      // ASCII guard (octet_length == length, mirrored in the oracle —
+      // the MM11 pattern): the kernel lowercases per UTF-16 char while
+      // the oracle replay lowercases whole-string and reads ascii()
+      // code points; non-ASCII input (Turkish dotted I, sharp s) would
+      // silently diverge engine-vs-oracle, so both sides scope to the
+      // bytes==chars slice where the two normalizations are provably
+      // identical.
       val ch = Tables.documents(s, d)
+        .filter(octet_length(encode(col("text"), "UTF-8")) ===
+          length(col("text")))
         .select(col("doc_id"),
           explode(graft.functions.CdcChunks.chunks(col("text"))).as("c"))
         .select(col("doc_id"), col("c.len").cast("long").as("len"),
@@ -910,17 +919,39 @@ object TextAnalysis {
     // n − ⌈0.4n⌉ + 1 in pure integer arithmetic (⌈2n/5⌉ =
     // (2n+4) div 5 — no float threshold, the DS15 lesson), so a
     // boilerplate shingle never posts while a rare one does.
-    // Candidates verify exactly via array_intersect on the carried
-    // sets; the qualifying test is the cross-multiplied integer form
-    // 7·i ≥ 2·(n_a+n_b). THE ORACLE IS THE EXHAUSTIVE JOIN — DuckDB
-    // posts every shingle — so the hash match itself proves the
-    // prefix filter drops no qualifying pair, every round, at every
-    // SF (plus the DedupSpec brute-force sweep). Bounded to the
-    // doc_id < 1000 slice for oracle tractability (D2's pattern);
-    // the plan is the 100 TB shape: keyed prefix-posting join, never
-    // all-pairs, candidate volume ∝ rare-shingle postings.
-    "d18_prefix_jaccard" -> ((s, d) => {
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 1000)
+    // Candidate pairs are pre-pruned by PPJoin's LENGTH filter
+    // (J ≥ 2/5 forces 2·n_a ≤ 5·n_b and 2·n_b ≤ 5·n_a — a pair of
+    // very different set sizes can never qualify), applied on the
+    // posting join itself from sizes carried with the postings, so
+    // the dominant verify cost (array_intersect over full shingle
+    // sets) only ever runs on size-compatible candidates. Survivors
+    // verify exactly via array_intersect; the qualifying test is the
+    // cross-multiplied integer form 7·i ≥ 2·(n_a+n_b). THE ORACLE IS
+    // THE EXHAUSTIVE JOIN — DuckDB posts every shingle — so the hash
+    // match itself proves neither the prefix filter nor the length
+    // filter drops a qualifying pair, every round, at every SF (plus
+    // the DedupSpec brute-force sweep). Bounded to the doc_id < 1000
+    // slice for oracle tractability (D2's pattern); the plan is the
+    // 100 TB shape: keyed prefix-posting join, never all-pairs,
+    // candidate volume ∝ rare-shingle postings. The shingle-df table
+    // joins by KEY (w is already the posting key) rather than by
+    // broadcast: on a real corpus the 3-gram vocabulary is billions
+    // of rows — a broadcast of it kills the driver long before the
+    // join runs (round-10 verdict), while the keyed join co-shuffles
+    // with the posting explode it feeds.
+    "d18_prefix_jaccard" -> ((s, d) =>
+      prefixJaccardPairs(s, d, col("doc_id") < 1000))
+  )
+
+  /** D18's body with the doc slice as a parameter: the named query
+    * pins `doc_id < 1000` (oracle tractability — the DuckDB twin is
+    * the exhaustive join); ScaleProbe passes `doc_id % 1000000 <
+    * 1000` so the 10× salted replica keeps every copy's slice and
+    * the probe measures a genuinely 10×-distinct corpus (see
+    * ScaleProbe's d18 replica note). */
+  private[graft] def prefixJaccardPairs(s: SparkSession, d: String,
+      slice: Column): DataFrame = {
+      val docs = Tables.documents(s, d).filter(slice)
         .select(col("doc_id"), toks.as("t"))
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"), array_distinct(transform(
@@ -931,16 +962,18 @@ object TextAnalysis {
             element_at(col("t"), i + 3)))).as("tset"))
       val tok = docs.select(col("doc_id"), explode(col("tset")).as("w"))
       val freq = tok.groupBy("w").agg(count(lit(1)).as("df"))
-      val pref = tok.join(broadcast(freq), Seq("w"))
+      val pref = tok.join(freq, Seq("w"))
         .withColumn("pos", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("df"), col("w"))))
         .join(docs.select(col("doc_id"), size(col("tset")).as("n")),
           Seq("doc_id"))
         .filter(col("pos") <= col("n") - expr("div(2 * n + 4, 5)") + 1)
-        .select(col("doc_id"), col("w"))
+        .select(col("doc_id"), col("w"), col("n"))
       val cand = pref.as("a").join(pref.as("b"),
           col("a.w") === col("b.w") &&
-            col("a.doc_id") < col("b.doc_id"))
+            col("a.doc_id") < col("b.doc_id") &&
+            lit(2) * col("a.n") <= lit(5) * col("b.n") &&
+            lit(2) * col("b.n") <= lit(5) * col("a.n"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
       cand
@@ -958,8 +991,7 @@ object TextAnalysis {
           (col("i").cast("double") /
             (col("n_a") + col("n_b") - col("i"))).as("jaccard"))
         .orderBy("da", "db")
-    })
-  )
+  }
 
   val oracles: Map[String, String] = Map(
     // full replay of the CDC kernel with list primitives: gram
@@ -968,7 +1000,8 @@ object TextAnalysis {
     "d19_cdc_chunks" ->
       """WITH d AS (
            SELECT doc_id, lower(trim(text)) AS t
-           FROM documents WHERE length(trim(text)) > 0),
+           FROM documents WHERE length(trim(text)) > 0
+             AND octet_length(encode(text)) = length(text)),
          g AS (
            SELECT doc_id, t, length(t) AS L,
                   CASE WHEN length(t) >= 8 THEN

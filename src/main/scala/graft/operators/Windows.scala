@@ -1447,7 +1447,9 @@ object Windows {
          FROM w WHERE n_win = 5 AND n_prior = 5
          ORDER BY event_type, day""",
     // w16's candle CTE + the F5 JSON volume; sign split and running
-    // sum are pure BIGINT arithmetic — no float anywhere
+    // sum are integer end to end — but DuckDB widens BIGINT sums to
+    // HUGEINT (the a57/f12 class), so both the daily vol and the
+    // running obv pin back through CAST(... AS BIGINT)
     "w27_obv" ->
       """WITH e AS (
            SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
@@ -1463,7 +1465,7 @@ object Windows {
          c AS (
            SELECT event_type, day,
                   max(CASE WHEN rn = cnt THEN value END) AS close,
-                  sum(qty) AS vol
+                  CAST(sum(qty) AS BIGINT) AS vol
            FROM r GROUP BY 1, 2),
          pc AS (
            SELECT *, lag(close) OVER (PARTITION BY event_type
@@ -1476,8 +1478,9 @@ object Windows {
                        ELSE 0 END AS signed_vol
            FROM pc WHERE prev_close IS NOT NULL)
          SELECT event_type, day, vol, signed_vol,
-                sum(signed_vol) OVER (PARTITION BY event_type ORDER BY day
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obv
+                CAST(sum(signed_vol) OVER (PARTITION BY event_type
+                  ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+                  CURRENT ROW) AS BIGINT) AS obv
          FROM sv ORDER BY event_type, day""",
     // w16's candles + F5 JSON volume; tp and tp*vol raw IEEE,
     // windowed pos/neg sums decimal-pinned, final chain raw

@@ -531,10 +531,12 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("SQL7b corpus closure is row-identical to the iterative D10b components") {
-    // the two corpus component paths — in-plan recursion (depth-8
-    // bounded walk) vs the driver-loop fixpoint — must land on the
-    // SAME clusters; this is also the exactness guard for the depth
-    // bound (a cluster outgrowing diameter 8 would diverge here)
+    // the two corpus component paths — in-plan recursion (depth-4
+    // bounded walk, measured max cluster diameter 3 + 1 — matching
+    // the lvl < 4 bound in Relational and the README) vs the
+    // driver-loop fixpoint — must land on the SAME clusters; this is
+    // also the exactness guard for the depth bound (a cluster
+    // outgrowing diameter 4 would diverge here)
     val sf = SparkTestSession.Sf0001
     val viaSql = Relational.queries("sql7_closure_corpus")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
@@ -577,6 +579,8 @@ class DedupSpec extends AnyFunSuite {
     val maxClusterDiameter = 3
     Dedup.queries("d10_cc_corpus")(spark, sf).collect()
     val rounds = Dedup.lastCcRounds.get()
+    assert(rounds != -1L,
+      "CC left its in-flight sentinel — the run never converged")
     assert(rounds >= 1 && rounds <= maxClusterDiameter + 1,
       s"corpus CC took $rounds rounds (bound ${maxClusterDiameter + 1})")
     assert(pairs.nonEmpty)

@@ -694,6 +694,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // rank is PARTITIONED by (source, shard) — ds19's two-level
       // decomposition):
       "ds19_interleave",
+      // pipe6 composes ds19's interleave stage, inheriting the same
+      // ≤|sources| spine (its split/rank windows are all partitioned):
+      "pipe6_dedup_mix",
       // Q/MSW folds over the ≤k per-series aggregate frames (per-day
       // ranks partition by day; group moments are one hash agg):
       "a87_friedman", "a87_friedman_pvalue", "a88_tukey_pairs",
@@ -706,5 +709,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.toSet == allow,
       s"no-partition window set drifted:\n  got   ${offenders.sorted}" +
       s"\n  allow ${allow.toList.sorted}")
+  }
+  test("d18 carries no broadcast hint — the shingle-df join must stay keyed") {
+    // On a real corpus the 3-gram df table is vocabulary-sized
+    // (billions of rows at 100 TB) — a broadcast hint on it is a
+    // driver OOM written into the plan. The join must go through the
+    // keyed shuffle on `w` (AQE may still broadcast AT RUNTIME when a
+    // small SF makes the side tiny — that's the right behavior and
+    // exactly why the hint, not the physical strategy, is what this
+    // test pins).
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+    val plan = TextAnalysis.queries("d18_prefix_jaccard")(spark, sf)
+      .queryExecution.optimizedPlan
+    val hinted = plan.collect { case j: Join if j.hint != JoinHint.NONE => j }
+    assert(hinted.isEmpty,
+      s"broadcast-hinted joins in d18:\n${hinted.mkString("\n")}")
   }
 }
