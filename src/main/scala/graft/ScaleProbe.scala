@@ -64,6 +64,32 @@ object ScaleProbe {
       marker.createNewFile()
     }
 
+    // round 11: a SEPARATE documents replica for the d18 probe. The
+    // shared replica above copies text verbatim, which is right for
+    // the probes whose cost axis is occurrence volume — but wrong
+    // for a set-similarity JOIN: 10 identical copies plant a
+    // 10-clique behind every rare shingle (each df-1 posting becomes
+    // df-10 → ~45× cross-copy candidate pairs), a quadratic artifact
+    // of the replication, not the operator (the d9/d16/sql7
+    // exclusion note above). Salting every TOKEN with the copy index
+    // keeps each copy's internal near-dup structure byte-comparable
+    // while making the 3-gram vocabularies of different copies
+    // disjoint — the honest axis: a corpus of 10× DISTINCT docs,
+    // postings volume ×10, candidate volume ∝ rare-shingle postings.
+    val d18Dir = "/tmp/graft-scale10-d18"
+    val marker18 = new java.io.File(s"$d18Dir/_READY")
+    if (!marker18.exists()) {
+      val docs = Tables.documents(spark, sfDir)
+      (0 until 10).map(k =>
+        docs.withColumn("doc_id", col("doc_id") + lit(k * 1000000L))
+          .withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"$k$$1")))
+        .reduce(_ unionByName _)
+        .repartition(10).write.mode("overwrite")
+        .parquet(s"$d18Dir/documents.parquet")
+      marker18.createNewFile()
+    }
+
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
@@ -108,6 +134,24 @@ object ScaleProbe {
       // cleanly over the same clique-heavy graph.
       "d13_coeff_corpus" -> { d =>
         noop(graft.operators.Dedup.queries("d13_coeff_corpus")(spark, d))
+      },
+      // round 11: PageRank over the same shared edge table — 10 fixed
+      // keyed join+agg rounds; like d10/d13 it inherits the replica's
+      // planted 10-cliques through corpus_pairs, so the ratio reads
+      // on the edge-volume axis those probes established.
+      "d11_pr_corpus" -> { d =>
+        noop(graft.operators.Dedup.queries("d11_pr_corpus")(spark, d))
+      },
+      // round 11: the suite's most expensive query, on the token-
+      // salted replica (see the d18Dir note above). The slice keeps
+      // every copy's doc_id<1000 window so the probed corpus is 10×
+      // the sf0.1 slice with disjoint per-copy vocabularies.
+      "d18_prefix_jaccard" -> { d =>
+        val (dd, slice) =
+          if (d == sfDir) (d, col("doc_id") < 1000)
+          else (d18Dir, col("doc_id") % 1000000L < 1000)
+        noop(graft.operators.TextAnalysis
+          .prefixJaccardPairs(spark, dd, slice))
       },
       "txt17_bigram_loglik" -> { d =>
         noop(graft.operators.TextAnalysis
