@@ -242,7 +242,7 @@ object IntervalJoins {
          SELECT user_id, min(ts) AS sess_start,
                 max(ts) + INTERVAL 2 HOUR AS sess_end,
                 count(*) AS n,
-                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                round(CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE)
                       / count(*), 6) AS avg_value
          FROM s GROUP BY user_id, sid
          ORDER BY user_id, sess_start""",

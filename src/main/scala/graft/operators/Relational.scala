@@ -2284,7 +2284,7 @@ object Relational {
                 CASE WHEN GROUPING(day) = 1 THEN '(all)'
                      ELSE day END AS day,
                 count(*) AS n,
-                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                round(CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE)
                       / count(*), 6) AS avg_value
          FROM e GROUP BY ROLLUP (event_type, day)
          ORDER BY event_type, day""",
@@ -2303,7 +2303,7 @@ object Relational {
                      ELSE bucket END AS bucket,
                 CAST(GROUPING(event_type, day, bucket) AS BIGINT) AS gid,
                 count(*) AS n,
-                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                round(CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE)
                       / count(*), 6) AS avg_value
          FROM e GROUP BY CUBE (event_type, day, bucket)
          ORDER BY gid, event_type, day, bucket""",
@@ -2429,7 +2429,7 @@ object Relational {
     // the salted two-stage plan must equal the plain aggregate exactly
     "a15_salted_agg" ->
       """SELECT event_type,
-                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                round(CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE)
                       / count(*), 6) AS avg_value,
                 count(*) AS n
          FROM events GROUP BY 1 ORDER BY event_type""",
@@ -2596,14 +2596,14 @@ object Relational {
                 CASE WHEN GROUPING(day) = 1 THEN '(all)'
                      ELSE day END AS day,
                 count(*) AS n,
-                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                round(CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE)
                       / count(*), 6) AS avg_value
          FROM e
          GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))
          ORDER BY event_type, day""",
     "p9_day_slice" ->
       """SELECT event_type, count(*) AS n,
-                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                round(CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE)
                       / count(*), 6) AS avg_value
          FROM events
          WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-10 00:00:00'
@@ -2754,8 +2754,8 @@ object Relational {
            AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'""",
     "sql11_tpch_q10" ->
       """SELECT c_custkey, c_name,
-                round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                               AS DECIMAL(24,10))) AS DOUBLE), 6) AS revenue,
+                round(CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE), 6) AS revenue,
                 c_acctbal, n_name
          FROM customer
               JOIN orders   ON c_custkey = o_custkey
@@ -2769,7 +2769,7 @@ object Relational {
          LIMIT 20""",
     "sql12_tpch_q18" ->
       """SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
-                CAST(sum(CAST(l_quantity AS DECIMAL(24,10))) AS DOUBLE)
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE)
                   AS total_qty
          FROM customer
               JOIN orders   ON c_custkey = o_custkey
@@ -2782,8 +2782,8 @@ object Relational {
          LIMIT 20""",
     "sql13_disjunctive_scan" ->
       """SELECT l_returnflag,
-                round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                               AS DECIMAL(24,10))) AS DOUBLE), 6) AS revenue,
+                round(CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE), 6) AS revenue,
                 count(*) AS n
          FROM lineitem JOIN part ON p_partkey = l_partkey
          WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -2820,7 +2820,7 @@ object Relational {
     "sql9_ddl_insert" ->
       """SELECT event_type, date_trunc('day', ts) AS day,
                 count(*) AS n,
-                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                round(CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE)
                       / count(*), 6) AS avg_value
          FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
     "u6_except_all" ->

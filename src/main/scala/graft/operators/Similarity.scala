@@ -804,6 +804,31 @@ object Similarity {
         .orderBy("q_id", "rank")
     }),
 
+    // SIM13: ANN recall evaluation AS A QUERY — the offline harness
+    // every ANN deployment runs before shipping an index: per query
+    // vector, how many of the exact top-5 does the approximate
+    // (SQ8-quantized) ranking recover? Both rankings are themselves
+    // oracle-checked queries (SIM1 exact, SIM4b quantized), their
+    // deterministic tiebreaks make recall an INTEGER per q_id, and
+    // the join is a tiny keyed (q_id, c_id) equi-join — so unlike
+    // the spec-side recall assertions (sim2/sim3), this one is fully
+    // hash-checked end to end. Scale shape: both inputs are top-k
+    // frames (k·|Q| rows), the eval costs nothing beyond them.
+    "sim13_recall_eval" -> ((s, d) => {
+      val exact = queries("sim1_cosine_topk")(s, d)
+        .select(col("q_id"), col("c_id"))
+      val quant = queries("sim4_quant_topk")(s, d)
+        .select(col("q_id"), col("c_id"))
+      val matches = exact.join(quant, Seq("q_id", "c_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_match"))
+      exact.select("q_id").distinct()
+        .join(matches, Seq("q_id"), "left")
+        .na.fill(0L, Seq("n_match"))
+        .select(col("q_id"), col("n_match"),
+          (col("n_match").cast("double") / 5).as("recall_at_5"))
+        .orderBy("q_id")
+    }),
+
     // D9: LSH-banded embedding near-dup PAIRS — the scale path D5's
     // bounded all-pairs baseline exists to ground-truth. Every vector
     // lands in 6 (band, bucket) cells; candidate pairs are bucket-mates
@@ -941,6 +966,58 @@ object Similarity {
            GROUP BY enc.vec_id)"""
 
   val oracles: Map[String, String] = Map(
+    // SIM13: both ranking CTE chains are verbatim the sim1/sim4
+    // oracles (renamed CTEs), then the same integer overlap count
+    "sim13_recall_eval" ->
+      s"""$sq8Cte,
+         qz AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> round(x * scale)) AS q
+           FROM s),
+         nq AS (
+           SELECT vec_id, q,
+                  list_sum(list_transform(q, x -> x * x)) AS qq
+           FROM qz),
+         qpairs AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                  list_sum(list_transform(generate_series(1, len(q.q)),
+                    i -> q.q[i] * c.q[i])) / sqrt(q.qq * c.qq) AS cosine
+           FROM nq q JOIN nq c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         qtop AS (
+           SELECT q_id, c_id FROM (
+             SELECT q_id, c_id,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY cosine DESC, c_id) AS rank
+             FROM qpairs) WHERE rank <= 5),
+         ve AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+         ne AS (
+           SELECT vec_id, e,
+                  sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+           FROM ve),
+         epairs AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                  list_sum(list_transform(generate_series(1, len(q.e)),
+                    i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS cosine
+           FROM ne q JOIN ne c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         etop AS (
+           SELECT q_id, c_id FROM (
+             SELECT q_id, c_id,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY cosine DESC, c_id) AS rank
+             FROM epairs) WHERE rank <= 5),
+         m AS (
+           SELECT e.q_id, count(*) AS n
+           FROM etop e JOIN qtop q
+             ON e.q_id = q.q_id AND e.c_id = q.c_id
+           GROUP BY 1)
+         SELECT qq.q_id, CAST(COALESCE(m.n, 0) AS BIGINT) AS n_match,
+                CAST(COALESCE(m.n, 0) AS DOUBLE) / 5 AS recall_at_5
+         FROM (SELECT DISTINCT q_id FROM etop) qq
+         LEFT JOIN m USING (q_id)
+         ORDER BY q_id""",
     // D16: recursive min-propagation closure over the engine's
     // MATERIALIZED dup-grade edge artifact (see the query scaladoc —
     // an exhaustive oracle is impossible here because hyperplane

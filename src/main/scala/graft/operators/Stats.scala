@@ -2481,7 +2481,96 @@ object Stats {
             (countDistinct(col("dow")) - 1)).as("df"))
         .select(r6(col("chi2")).as("chi2"), col("df"),
           r6(graft.functions.ChiSquarePValue.pValue(col("chi2"),
-            col("df").cast("double"))).as("p_value")))
+            col("df").cast("double"))).as("p_value"))),
+
+    // A90: Wald–Wolfowitz runs test for randomness of each series'
+    // daily closes around their median — the is-this-walk-random
+    // screen run before trusting a trend statistic (A55's
+    // complement: Mann–Kendall asks IS there a trend; the runs test
+    // asks whether the sign sequence even deviates from exchangeable
+    // noise). Exact-median split (A17's percentile twin), ties at
+    // the median excluded per the textbook; runs counted by one
+    // lag-window pass; n1/n2/runs are INTEGERS, so μ, σ² and z are
+    // one fixed-shape IEEE chain from integers — raw doubles
+    // hash-match with no pins. Scale: candle hash-agg + one keyed
+    // window + a group-cardinality broadcast of the medians.
+    "a90_runs_test" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      val closes = Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(when(col("rn") === col("cnt"), col("value"))).as("close"))
+      val med = closes.groupBy("event_type")
+        .agg(expr("percentile(close, 0.5)").as("med"))
+      closes.join(broadcast(med), Seq("event_type"))
+        .filter(col("close") =!= col("med"))
+        .withColumn("sgn", (col("close") > col("med")).cast("long"))
+        .withColumn("prev", lag(col("sgn"), 1).over(wd))
+        .withColumn("newrun",
+          when(col("prev").isNull || col("sgn") =!= col("prev"), 1L)
+            .otherwise(0L))
+        .groupBy("event_type")
+        .agg(sum(col("sgn")).as("n1"),
+          sum(lit(1L) - col("sgn")).as("n2"),
+          sum(col("newrun")).as("runs"))
+        .filter(col("n1") > 0 && col("n2") > 0)
+        .withColumn("n", col("n1") + col("n2"))
+        .withColumn("t2", lit(2.0d) * col("n1") * col("n2"))
+        .withColumn("mu", col("t2") / col("n") + 1)
+        .withColumn("vr", col("t2") * (col("t2") - col("n")) /
+          (col("n") * col("n") * (col("n") - 1)).cast("double"))
+        .select(col("event_type"), col("n1"), col("n2"), col("runs"),
+          ((col("runs") - col("mu")) / sqrt(col("vr"))).as("z"))
+        .orderBy("event_type")
+    }),
+
+    // A91: Cochran's Q over the daily up/down panel — do the k
+    // series share one success rate of up-days, blocked by day (the
+    // binary-outcome sibling of A87's Friedman blocks)? Flags are
+    // exact-double close>prev comparisons; blocks incomplete after
+    // the first-day lag drop are excluded (every series needs a
+    // flag for the block to constrain Q). Column totals G_j, block
+    // totals B_i and N are pure integer sums, so
+    // Q = (k−1)(k·ΣG² − N²)/(k·N − ΣB²) is a single deterministic
+    // division from integers. Everything is hash-agg sized by
+    // k·days; the two 1-row total frames cross-join for free.
+    "a91_cochran_q" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      val flags = Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(when(col("rn") === col("cnt"), col("value"))).as("close"))
+        .withColumn("prev", lag(col("close"), 1).over(wd))
+        .filter(col("prev").isNotNull)
+        .withColumn("x", (col("close") > col("prev")).cast("long"))
+        .select(col("event_type"), col("day"), col("x"))
+      val kdf = flags.agg(countDistinct(col("event_type")).as("k"))
+      val days = flags.groupBy("day")
+        .agg(count(lit(1)).as("dcnt"), sum(col("x")).as("b"))
+      val cdays = days.join(broadcast(kdf), col("dcnt") === col("k"))
+        .select(col("day"), col("b"), col("k"))
+      val gj = flags.join(broadcast(cdays.select("day")), Seq("day"))
+        .groupBy("event_type").agg(sum(col("x")).as("g"))
+      val gtot = gj.agg(sum(col("g")).as("nn"),
+        sum(col("g") * col("g")).as("g2"))
+      val btot = cdays.groupBy("k")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(col("b") * col("b")).as("b2"))
+      btot.crossJoin(gtot)
+        .select(col("k"), col("n_blocks"), col("nn").as("n_success"),
+          ((col("k") - 1).cast("double") *
+            (col("k") * col("g2") - col("nn") * col("nn")).cast("double") /
+            (col("k") * col("nn") - col("b2")).cast("double"))
+            .as("q_stat"))
+    })
   )
 
   /** A51 oracle, GENERATED per block size so both engines run the
@@ -2567,6 +2656,101 @@ object Stats {
       math.log10(1.0 + 1.0 / dd))).mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // exact-median split (quantile_cont = Spark percentile), integer
+    // n1/n2/runs, then the identical fixed-shape IEEE z chain
+    "a90_runs_test" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day,
+                  max(CASE WHEN rn = cnt THEN value END) AS close
+           FROM r GROUP BY 1, 2),
+         md AS (
+           SELECT event_type, quantile_cont(close, 0.5) AS med
+           FROM c GROUP BY 1),
+         sgns AS (
+           SELECT c.event_type, c.day,
+                  CASE WHEN c.close > md.med THEN 1 ELSE 0 END AS sgn
+           FROM c JOIN md USING (event_type)
+           WHERE c.close <> md.med),
+         runsrc AS (
+           SELECT event_type, sgn,
+                  CASE WHEN lag(sgn) OVER w IS NULL
+                            OR sgn <> lag(sgn) OVER w
+                       THEN 1 ELSE 0 END AS newrun
+           FROM sgns
+           WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         agg AS (
+           SELECT event_type,
+                  CAST(sum(sgn) AS BIGINT) AS n1,
+                  CAST(sum(1 - sgn) AS BIGINT) AS n2,
+                  CAST(sum(newrun) AS BIGINT) AS runs
+           FROM runsrc GROUP BY 1),
+         st AS (
+           SELECT *, n1 + n2 AS n,
+                  CAST(2 AS DOUBLE) * n1 * n2 AS t2
+           FROM agg WHERE n1 > 0 AND n2 > 0),
+         mz AS (
+           SELECT *, t2 / n + 1 AS mu,
+                  t2 * (t2 - n) / CAST(n * n * (n - 1) AS DOUBLE) AS vr
+           FROM st)
+         SELECT event_type, n1, n2, runs, (runs - mu) / sqrt(vr) AS z
+         FROM mz ORDER BY event_type""",
+    // integer column/block totals over complete blocks; Q is one
+    // deterministic division from integers
+    "a91_cochran_q" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day,
+                  max(CASE WHEN rn = cnt THEN value END) AS close
+           FROM r GROUP BY 1, 2),
+         f AS (
+           SELECT event_type, day, close,
+                  lag(close) OVER (PARTITION BY event_type
+                                   ORDER BY day) AS prev
+           FROM c),
+         fx AS (
+           SELECT event_type, day,
+                  CAST(CASE WHEN close > prev THEN 1 ELSE 0 END
+                       AS BIGINT) AS x
+           FROM f WHERE prev IS NOT NULL),
+         k AS (SELECT count(DISTINCT event_type) AS k FROM fx),
+         days AS (
+           SELECT day, count(*) AS dcnt, sum(x) AS b FROM fx GROUP BY 1),
+         cd AS (
+           SELECT day, b FROM days, k WHERE dcnt = k.k),
+         g AS (
+           SELECT event_type, sum(x) AS g
+           FROM fx JOIN cd USING (day) GROUP BY 1),
+         gt AS (
+           SELECT CAST(sum(g) AS BIGINT) AS nn,
+                  CAST(sum(g * g) AS BIGINT) AS g2
+           FROM g),
+         bt AS (
+           SELECT count(*) AS n_blocks, CAST(sum(b * b) AS BIGINT) AS b2
+           FROM cd)
+         SELECT k.k AS k, bt.n_blocks AS n_blocks, gt.nn AS n_success,
+                CAST(k.k - 1 AS DOUBLE) *
+                  CAST(k.k * gt.g2 - gt.nn * gt.nn AS DOUBLE) /
+                  CAST(k.k * gt.nn - bt.b2 AS DOUBLE) AS q_stat
+         FROM k, gt, bt""",
     // single global window (the two-level decomposition is the Spark
     // side's scale concern, not the oracle's); every rank quantity is
     // an exact half-integer so the sums are order-insensitive

@@ -844,6 +844,84 @@ object Windows {
         .orderBy("event_type", "day")
     }),
 
+    // W31: Commodity Channel Index over the daily candles —
+    // cci = (tp − SMA(tp)) / (0.015 · meandev(tp)) on a 20-day frame.
+    // Two cross-engine determinism tricks: (a) CCI is scale-invariant
+    // in tp, so tp is carried as tp3 = high+low+close (NO ÷3 — the
+    // W28 lesson: keep intermediates on the source's exact decimal
+    // grid); (b) the frame's mean and mean-deviation are computed by
+    // an in-row left fold over `collect_list` of the ORDERED frame
+    // (aggregate HOF = DuckDB list_sum in index order), so the float
+    // sums are sequential in frame order on both engines — no
+    // parallel-reduction order lottery, no decimal pins needed, raw
+    // doubles hash-match. Scale shape: one hash-agg to candles, one
+    // partitioned window, then stateless per-row arithmetic.
+    // Reference: chart indicators family, dashboard/app.py:640-760.
+    "w31_cci" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      val w20 = wd.rowsBetween(-19, 0)
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("value")).as("high"), min(col("value")).as("low"),
+          max(when(col("rn") === col("cnt"), col("value"))).as("close"))
+        .withColumn("tp3", col("high") + col("low") + col("close"))
+        .withColumn("xs", collect_list(col("tp3")).over(w20))
+        .filter(size(col("xs")) === 20)
+        .withColumn("sma3",
+          aggregate(col("xs"), lit(0.0d), (acc, x) => acc + x) / 20)
+        .withColumn("md3",
+          aggregate(col("xs"), lit(0.0d),
+            (acc, x) => acc + abs(x - col("sma3"))) / 20)
+        .withColumn("cci", when(col("md3") =!= 0.0d,
+          (col("tp3") - col("sma3")) / (lit(0.015d) * col("md3"))))
+        .select(col("event_type"), col("day"), col("sma3"), col("md3"),
+          col("cci"))
+        .orderBy("event_type", "day")
+    }),
+
+    // W32: Aroon oscillator — how recently did the 14-day-lookback
+    // extreme print? days_since = position of the max/min in the
+    // REVERSED 15-row frame (most-recent occurrence wins ties, the
+    // charting convention), found by exact double equality against
+    // the frame's array_max/array_min — integer positions, so
+    // aroon_up/dn = 100·(14 − days_since)/14 is one deterministic
+    // division from integers. Same collect_list-over-ordered-frame
+    // shape as W31; DuckDB replays with list_reverse/list_position.
+    "w32_aroon" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      val w15 = wd.rowsBetween(-14, 0)
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("value")).as("high"), min(col("value")).as("low"))
+        .withColumn("hs", collect_list(col("high")).over(w15))
+        .withColumn("ls", collect_list(col("low")).over(w15))
+        .filter(size(col("hs")) === 15)
+        .withColumn("dsh",
+          expr("array_position(reverse(hs), array_max(hs))") - 1)
+        .withColumn("dsl",
+          expr("array_position(reverse(ls), array_min(ls))") - 1)
+        .withColumn("aroon_up",
+          lit(100.0d) * (lit(14L) - col("dsh")) / lit(14.0d))
+        .withColumn("aroon_dn",
+          lit(100.0d) * (lit(14L) - col("dsl")) / lit(14.0d))
+        .select(col("event_type"), col("day"),
+          col("dsh").cast("long").as("days_since_high"),
+          col("dsl").cast("long").as("days_since_low"),
+          col("aroon_up"), col("aroon_dn"),
+          (col("aroon_up") - col("aroon_dn")).as("aroon_osc"))
+        .orderBy("event_type", "day")
+    }),
+
     "w17_rolling_zscore" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id")).rowsBetween(-15, -1)
@@ -1165,8 +1243,8 @@ object Windows {
     "w21_range_frame" ->
       """SELECT user_id, event_id,
                 count(*) OVER w AS n_7d,
-                round(CAST(sum(CAST(value AS DECIMAL(24,10))) OVER w
-                      AS DOUBLE), 6) AS sum_7d
+                round(CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) OVER w
+                      AS VARCHAR) AS DOUBLE), 6) AS sum_7d
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                       RANGE BETWEEN 604800000000 PRECEDING
@@ -1196,7 +1274,7 @@ object Windows {
     "w11_gap_fill" ->
       """WITH daily AS (
            SELECT user_id, date_trunc('day', ts) AS day,
-                  round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE), 6)
+                  round(CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE), 6)
                     AS v
            FROM events GROUP BY 1, 2),
          spine AS (
@@ -1412,6 +1490,75 @@ object Windows {
                 p + (ph - pl) AS r2,
                 p - (ph - pl) AS s2
          FROM pp ORDER BY event_type, day""",
+    // w16's candle CTE; tp3 = h+l+c (no ÷3 — scale-invariant), frame
+    // sums replayed via list() OVER + list_sum in index order = the
+    // engine's left-fold aggregate HOF — raw doubles, no pins
+    "w31_cci" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day, max(value) AS high, min(value) AS low,
+                  max(CASE WHEN rn = cnt THEN value END) AS close
+           FROM r GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, day, high + low + close AS tp3 FROM c),
+         f AS (
+           SELECT event_type, day, tp3,
+                  list(tp3) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS xs
+           FROM t),
+         m AS (
+           SELECT event_type, day, tp3, list_sum(xs) / 20 AS sma3, xs
+           FROM f WHERE len(xs) = 20),
+         dv AS (
+           SELECT event_type, day, tp3, sma3,
+                  list_sum(list_transform(xs, x -> abs(x - sma3))) / 20
+                    AS md3
+           FROM m)
+         SELECT event_type, day, sma3, md3,
+                CASE WHEN md3 <> CAST(0 AS DOUBLE)
+                     THEN (tp3 - sma3) / (CAST(0.015 AS DOUBLE) * md3)
+                END AS cci
+         FROM dv ORDER BY event_type, day""",
+    // most-recent-extreme position via list_reverse + list_position
+    // (exact double equality); integer days_since → one division
+    "w32_aroon" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, value
+           FROM events),
+         c AS (
+           SELECT event_type, day, max(value) AS high, min(value) AS low
+           FROM e GROUP BY 1, 2),
+         f AS (
+           SELECT event_type, day,
+                  list(high) OVER w AS hs, list(low) OVER w AS ls
+           FROM c WINDOW w AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)),
+         p AS (
+           SELECT event_type, day,
+                  list_position(list_reverse(hs), list_max(hs)) - 1 AS dsh,
+                  list_position(list_reverse(ls), list_min(ls)) - 1 AS dsl
+           FROM f WHERE len(hs) = 15),
+         a AS (
+           SELECT event_type, day, dsh, dsl,
+                  CAST(100 AS DOUBLE) * (14 - dsh) / CAST(14 AS DOUBLE)
+                    AS aroon_up,
+                  CAST(100 AS DOUBLE) * (14 - dsl) / CAST(14 AS DOUBLE)
+                    AS aroon_dn
+           FROM p)
+         SELECT event_type, day,
+                CAST(dsh AS BIGINT) AS days_since_high,
+                CAST(dsl AS BIGINT) AS days_since_low,
+                aroon_up, aroon_dn, aroon_up - aroon_dn AS aroon_osc
+         FROM a ORDER BY event_type, day""",
     // w16's candle CTE; exact extreme picks and comparisons only
     "w29_donchian" ->
       """WITH e AS (
@@ -1579,7 +1726,7 @@ object Windows {
          FROM r WHERE n = 10 ORDER BY event_type, day""",
     "w9_rolling_mean" ->
       """SELECT user_id, event_id, value,
-                round(CAST(sum(CAST(value AS DECIMAL(24,10))) OVER w AS DOUBLE)
+                round(CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) OVER w AS VARCHAR) AS DOUBLE)
                       / count(*) OVER w, 6) AS roll_avg
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id

@@ -1452,7 +1452,7 @@ object EventStream {
          SELECT user_id, min(ts) AS sess_start,
                 max(ts) + INTERVAL 2 HOUR AS sess_end,
                 count(*) AS n,
-                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                round(CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE)
                       / count(*), 6) AS avg_value
          FROM s GROUP BY user_id, sid
          ORDER BY user_id, sess_start""",
@@ -1471,7 +1471,7 @@ object EventStream {
              FROM events) WHERE rn = 1)
          SELECT date_trunc('day', ts) AS win_start, event_type,
                 count(*) AS n,
-                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                round(CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE)
                       / count(*), 6) AS avg_value
          FROM dedup GROUP BY 1, 2 ORDER BY win_start, event_type""",
     "t20_scd2_history" ->
@@ -1506,7 +1506,7 @@ object EventStream {
     "t1_streaming_window_agg" ->
       """SELECT date_trunc('day', ts) AS win_start, event_type,
                 count(*) AS n,
-                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                round(CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE)
                       / count(*), 6) AS avg_value
          FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
     // the state store must hold exactly the aggregate's buffers: the
@@ -1514,7 +1514,7 @@ object EventStream {
     "t24_state_read" ->
       """SELECT date_trunc('day', ts) AS win_start, event_type,
                 count(*) AS n,
-                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                round(CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE)
                       / count(*), 6) AS avg_value
          FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
     // the change feed's latest-per-key compaction must land on the
@@ -1522,7 +1522,7 @@ object EventStream {
     "t25_state_changefeed" ->
       """SELECT date_trunc('day', ts) AS win_start, event_type,
                 count(*) AS n,
-                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                round(CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE)
                       / count(*), 6) AS avg_value
          FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
     // epoch-aligned 7-day buckets = Spark's window() origin;
@@ -1531,7 +1531,7 @@ object EventStream {
       """SELECT make_timestamp((epoch_us(ts) // 604800000000)
                                * 604800000000) AS week_start,
                 event_type, count(*) AS n,
-                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                round(CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE)
                       / count(*), 6) AS avg_value
          FROM events GROUP BY 1, 2 ORDER BY week_start, event_type""",
     // equals the ORIGINAL events exactly — the late plant (fresh
@@ -1542,19 +1542,19 @@ object EventStream {
     "t12_rocksdb_state" ->
       """SELECT date_trunc('day', ts) AS win_start, event_type,
                 count(*) AS n,
-                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                round(CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE)
                       / count(*), 6) AS avg_value
          FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
     "t13_bounded_backfill" ->
       """SELECT date_trunc('day', ts) AS win_start, event_type,
                 count(*) AS n,
-                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                round(CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE)
                       / count(*), 6) AS avg_value
          FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
     "t2_checkpoint_resume" ->
       """SELECT date_trunc('day', ts) AS win_start, event_type,
                 count(*) AS n,
-                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                round(CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE)
                       / count(*), 6) AS avg_value
          FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
     "t4_keyed_publish" ->
@@ -1570,7 +1570,7 @@ object EventStream {
          FROM events GROUP BY 1 ORDER BY user_id""",
     "t14_dedup_within_wm" ->
       """SELECT event_type, count(*) AS n,
-                round(CAST(sum(CAST(value AS DECIMAL(24,10))) AS DOUBLE)
+                round(CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE)
                       / count(*), 6) AS avg_value
          FROM events GROUP BY 1 ORDER BY event_type""",
     "t8_stateful_tally" ->

@@ -131,6 +131,64 @@ class OracleLintSpec extends AnyFunSuite {
     assert(unprotectedSumAliases(named) == Seq("s"))
   }
 
+  /** Occurrences of `CAST(<expr containing a DECIMAL sum> AS DOUBLE)`
+    * where the decimal never passes through the VARCHAR round-trip.
+    * DuckDB's decimal→double cast divides the scaled int128 in
+    * floating point and lands one ulp off Spark's correctly-rounded
+    * BigDecimal.doubleValue once the sum passes ~16 digits; the
+    * repo-wide discipline is `CAST(CAST(sum(...) AS VARCHAR) AS
+    * DOUBLE)` (see the verify skill notes), and this lint makes the
+    * discipline machine-checked instead of folklore. */
+  private[graft] def rawDecimalToDouble(sql: String): Seq[String] = {
+    val low = sql.toLowerCase
+    val out = scala.collection.mutable.ListBuffer[String]()
+    for (m <- "\\bcast\\s*\\(".r.findAllMatchIn(low)) {
+      val open = low.indexOf('(', m.start)
+      val close = balancedEnd(low, open)
+      if (close > 0) {
+        val body = low.substring(open + 1, close - 1)
+        // the cast's own type is the LAST top-level " as <type>"
+        var depth = 0; var lastAs = -1
+        var i = 0
+        while (i < body.length - 3) {
+          body(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ if depth == 0 && body.startsWith(" as ", i) => lastAs = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (lastAs > 0) {
+          val tpe = body.substring(lastAs + 4).trim
+          val expr = body.substring(0, lastAs)
+          if (tpe.startsWith("double") && expr.contains("as decimal") &&
+              expr.contains("sum") && !expr.contains("as varchar"))
+            out += body.take(60).replaceAll("\\s+", " ")
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("scanner catches the raw decimal→double shape (varchar round-trip skipped)") {
+    val buggy = "SELECT CAST(sum(CAST(x AS DECIMAL(24,10))) AS DOUBLE) AS s FROM t"
+    assert(rawDecimalToDouble(buggy).nonEmpty)
+    val fixed = "SELECT CAST(CAST(sum(CAST(x AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE) AS s FROM t"
+    assert(rawDecimalToDouble(fixed).isEmpty)
+    // plain integer/double casts are not the hazard
+    assert(rawDecimalToDouble("SELECT CAST(i AS DOUBLE) FROM t").isEmpty)
+  }
+
+  test("no oracle casts a decimal sum straight to DOUBLE (ulp-divergence class)") {
+    val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) => rawDecimalToDouble(sql).map(s => s"$name: $s")
+    }
+    assert(offenders.isEmpty,
+      "decimal sums must render through CAST(... AS VARCHAR) before " +
+        s"DOUBLE:\n  ${offenders.mkString("\n  ")}")
+  }
+
   test("no oracle leaves an integer sum uncast (HUGEINT hash-divergence class)") {
     val spark = SparkTestSession.spark
     org.apache.spark.sql.graftbridge.ColumnBridge.registerFunctions(spark)

@@ -353,4 +353,26 @@ class SimilaritySpec extends AnyFunSuite {
     val sizes = got.groupBy(_._1).map(_._2.length).toSet
     assert(sizes.size > 1, s"degenerate cardinalities: $sizes")
   }
+
+  test("sim13 recall eval is the exact-vs-quantized top-5 overlap") {
+    val exact = Similarity.queries("sim1_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val quant = Similarity.queries("sim4_quant_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val got = Similarity.queries("sim13_recall_eval")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == exact.keySet, "one eval row per exact query id")
+    exact.foreach { case (q, es) =>
+      assert(es.size == 5, s"q$q exact top-5 malformed")
+      val n = es.intersect(quant.getOrElse(q, Set.empty)).size.toLong
+      assert(got(q) == ((n, n / 5.0)), s"q$q recall")
+    }
+    // SQ8 at dim 64 preserves ranking well — the recall this query
+    // exists to certify; mean floor mirrors the sim4 spec's claim
+    val mean = got.values.map(_._2).sum / got.size
+    assert(mean >= 0.8, s"mean recall@5 $mean below the SQ8 floor")
+  }
 }

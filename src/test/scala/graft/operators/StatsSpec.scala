@@ -1207,4 +1207,125 @@ class StatsSpec extends AnyFunSuite {
     assert(p.getDouble(3) == pRef && p.getDouble(3) >= 0.0 &&
       p.getDouble(3) <= 1.0)
   }
+
+  private def dailyCandles(): Map[String, Seq[(String, Double, Double, Double)]] = {
+    import org.apache.spark.sql.functions._
+    graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Any]("day").toString,
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("value")))
+      .groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
+        val ord = es.sortBy(e => (e._3.getTime, e._4))
+        // flat 5-tuple, NOT (t, (..)): mapping a Map to pairs would
+        // re-key by t and silently keep one day per type
+        (t, day, ord.map(_._5).max, ord.map(_._5).min, ord.last._5)
+      }.toSeq.groupBy(_._1)
+      .map { case (t, rs) =>
+        t -> rs.map(r => (r._2, r._3, r._4, r._5)).sortBy(_._1) }
+  }
+
+  test("w31/w32 CCI and Aroon match sequential candle sweeps bit-exactly") {
+    // CCI: the engine's frame sums are left folds over the ORDERED
+    // frame (aggregate HOF), so the sequential recompute must fold in
+    // the same order — then every double matches bit-for-bit
+    val candles = dailyCandles()
+    val cci = graft.operators.Windows.queries("w31_cci")(spark, sf)
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(cci.nonEmpty)
+    var n1 = 0
+    candles.foreach { case (t, ds) =>
+      val tp3 = ds.map { case (day, h, l, c) => (day, h + l + c) }
+      tp3.sliding(20).foreach { win =>
+        if (win.size == 20) {
+          val xs = win.map(_._2)
+          val sma = xs.foldLeft(0.0)(_ + _) / 20
+          val md = xs.foldLeft(0.0)((a, x) => a + math.abs(x - sma)) / 20
+          val exp = (sma, md, (win.last._2 - sma) / (0.015 * md))
+          assert(cci((t, win.last._1)) == exp, s"$t ${win.last._1} cci")
+          n1 += 1
+        }
+      }
+    }
+    assert(n1 > 0 && n1 == cci.size, s"swept $n1 of ${cci.size}")
+    // Aroon: most-recent extreme wins ties (position in the REVERSED
+    // 15-row frame); integer days_since → exact division chain
+    val ar = graft.operators.Windows.queries("w32_aroon")(spark, sf)
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+         r.getDouble(6))).toMap
+    assert(ar.nonEmpty)
+    var n2 = 0
+    candles.foreach { case (t, ds) =>
+      ds.sliding(15).foreach { win =>
+        if (win.size == 15) {
+          val hs = win.map(_._2); val ls = win.map(_._3)
+          val dsh = hs.reverse.indexOf(hs.max).toLong
+          val dsl = ls.reverse.indexOf(ls.min).toLong
+          val up = 100.0 * (14L - dsh) / 14.0
+          val dn = 100.0 * (14L - dsl) / 14.0
+          assert(ar((t, win.last._1)) == ((dsh, dsl, up, dn, up - dn)),
+            s"$t ${win.last._1} aroon")
+          n2 += 1
+        }
+      }
+    }
+    assert(n2 > 0 && n2 == ar.size, s"swept $n2 of ${ar.size}")
+  }
+
+  test("a90/a91 runs test and Cochran Q match sequential recomputes") {
+    val candles = dailyCandles()
+    val closes = candles.map { case (t, ds) =>
+      t -> ds.map { case (day, _, _, c) => (day, c) } }
+    // A90: median split (interpolated even-count median = mean of the
+    // two middle order statistics — Spark percentile's definition),
+    // ties excluded, runs counted over the surviving day order
+    val rt = graft.operators.Stats.queries("a90_runs_test")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rt.nonEmpty)
+    closes.foreach { case (t, ds) =>
+      val ys = ds.map(_._2).sorted
+      val m = ys.size
+      val med = if (m % 2 == 1) ys(m / 2) else (ys(m / 2 - 1) + ys(m / 2)) / 2
+      val sgn = ds.map(_._2).filter(_ != med).map(c => if (c > med) 1 else 0)
+      val n1 = sgn.count(_ == 1).toLong
+      val n2 = sgn.count(_ == 0).toLong
+      if (n1 > 0 && n2 > 0) {
+        val runs = 1L + sgn.sliding(2).count {
+          case Seq(a, b) => a != b; case _ => false }
+        val n = n1 + n2
+        val t2 = 2.0 * n1 * n2
+        val mu = t2 / n + 1
+        val vr = t2 * (t2 - n) / (n * n * (n - 1)).toDouble
+        val z = (runs - mu) / math.sqrt(vr)
+        assert(rt(t) == ((n1, n2, runs, z)), s"$t runs")
+      } else assert(!rt.contains(t), s"$t degenerate split must drop")
+    }
+    // A91: up/down flags, complete blocks only, integer totals → Q
+    val q = graft.operators.Stats.queries("a91_cochran_q")(spark, sf)
+      .collect()
+    assert(q.length == 1)
+    val flags = closes.toSeq.flatMap { case (t, ds) =>
+      ds.sliding(2).collect { case Seq((_, p), (day, c)) =>
+        (day, t, if (c > p) 1L else 0L) }
+    }
+    val k = flags.map(_._2).distinct.size.toLong
+    val byDay = flags.groupBy(_._1).filter(_._2.size == k)
+    val nBlocks = byDay.size.toLong
+    val b2 = byDay.values.map(v => { val b = v.map(_._3).sum; b * b }).sum
+    val gj = byDay.values.flatten.groupBy(_._2)
+      .map(_._2.map(_._3).sum).toSeq
+    val nn = gj.sum
+    val g2 = gj.map(g => g * g).sum
+    val qExp = (k - 1).toDouble * (k * g2 - nn * nn).toDouble /
+      (k * nn - b2).toDouble
+    val row = q.head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getDouble(3)) == ((k, nBlocks, nn, qExp)))
+    // the statistic is nonnegative and finite on this panel
+    assert(qExp >= 0.0 && java.lang.Double.isFinite(qExp))
+  }
 }
