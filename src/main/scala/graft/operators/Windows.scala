@@ -922,6 +922,196 @@ object Windows {
         .orderBy("event_type", "day")
     }),
 
+    // W33: Williams %R — the inverted stochastic (%R = −100·(HH−close)
+    // /(HH−LL) over the 14-day envelope; Larry Williams' overbought/
+    // oversold gauge, bounded [−100, 0] where W26's %K is [0, 100]).
+    // Float-risk-free like W26: HH/LL are exact extreme picks, %R is
+    // one fixed-order division chain on raw candle doubles, NULL on a
+    // flat envelope (HH = LL), full 14-day windows only. Same single
+    // candle shuffle + per-type series window as the whole family.
+    // Reference: chart indicators family, dashboard/app.py:640-760.
+    "w33_williams_r" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      val w14 = wd.rowsBetween(-13, 0)
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("value")).as("high"), min(col("value")).as("low"),
+          max(when(col("rn") === col("cnt"), col("value"))).as("close"))
+        .withColumn("n_win", count(lit(1)).over(w14))
+        .withColumn("hh", max(col("high")).over(w14))
+        .withColumn("ll", min(col("low")).over(w14))
+        .filter(col("n_win") === 14)
+        .select(col("event_type"), col("day"), col("hh"), col("ll"),
+          when(col("hh") =!= col("ll"),
+            lit(-100.0d) * (col("hh") - col("close")) /
+              (col("hh") - col("ll"))).as("pct_r"))
+        .orderBy("event_type", "day")
+    }),
+
+    // W34: Keltner channel (the 1960 original SMA form — the later
+    // EMA±ATR variant is recursive; Keltner's own definition keeps
+    // the statistic a pure frame aggregate, the W25 scale argument):
+    // center = 10-day SMA of typical price (h+l+c)/3, band offset =
+    // 10-day SMA of the daily range (h−l). Determinism: tp is carried
+    // as tp3 = h+l+c on the candle's exact double grid and the ÷3
+    // folds into the SMA's ÷30 (ONE division per statistic — the W31
+    // lesson); both frame sums are decimal-pinned (exact, order-free)
+    // and rendered once; upper/lower are single IEEE adds of the two
+    // rendered doubles. Full windows only.
+    "w34_keltner" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      val w10 = wd.rowsBetween(-9, 0)
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("value")).as("high"), min(col("value")).as("low"),
+          max(when(col("rn") === col("cnt"), col("value"))).as("close"))
+        .withColumn("n_win", count(lit(1)).over(w10))
+        .withColumn("center",
+          sum((col("high") + col("low") + col("close"))
+            .cast("decimal(24,10)")).over(w10).cast("double") / 30)
+        .withColumn("band",
+          sum((col("high") - col("low"))
+            .cast("decimal(24,10)")).over(w10).cast("double") / 10)
+        .filter(col("n_win") === 10)
+        .select(col("event_type"), col("day"), col("center"),
+          (col("center") + col("band")).as("upper"),
+          (col("center") - col("band")).as("lower"))
+        .orderBy("event_type", "day")
+    }),
+
+    // W35: Ulcer index (Martin 1987) — the drawdown-depth volatility
+    // unit W4/W5 report the extremes of: per day, the percent
+    // drawdown from the 14-day trailing close high, and UI =
+    // sqrt(mean of the squared drawdowns over the same frame) — the
+    // denominator the Martin ratio divides by where Sharpe uses σ.
+    // Determinism: the trailing max is an exact pick, dd is one
+    // fixed-shape division chain (raw), dd² is elementwise, and the
+    // frame mean decimal-pins the dd² sum (order-free) before the
+    // single ÷14 → sqrt. Full windows only.
+    "w35_ulcer" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      val w14 = wd.rowsBetween(-13, 0)
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(when(col("rn") === col("cnt"), col("value"))).as("close"))
+        .withColumn("n_win", count(lit(1)).over(w14))
+        .withColumn("maxc", max(col("close")).over(w14))
+        .withColumn("dd",
+          lit(100.0d) * (col("close") - col("maxc")) / col("maxc"))
+        .withColumn("ulcer",
+          sqrt(sum((col("dd") * col("dd")).cast("decimal(28,8)"))
+            .over(w14).cast("double") / 14))
+        .filter(col("n_win") === 14)
+        .select(col("event_type"), col("day"), col("dd"), col("ulcer"))
+        .orderBy("event_type", "day")
+    }),
+
+    // W36: Vortex indicator (Botha 2010) — trend-direction strength
+    // from the crossing geometry of consecutive candles: VI+ =
+    // Σ|high − prevLow| / ΣTR and VI− = Σ|low − prevHigh| / ΣTR over
+    // a 14-day frame, with W25's true range as the normalizer. The
+    // per-row movements and TR are elementwise IEEE on exact candle
+    // doubles (raw); each frame sum is decimal-pinned and rendered
+    // once, so each VI is one division of two deterministic doubles.
+    // Rows need the prior candle (lag) and a full 14-day frame.
+    "w36_vortex" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      val w14 = wd.rowsBetween(-13, 0)
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("value")).as("high"), min(col("value")).as("low"),
+          max(when(col("rn") === col("cnt"), col("value"))).as("close"))
+        .withColumn("prev_close", lag(col("close"), 1).over(wd))
+        .withColumn("prev_high", lag(col("high"), 1).over(wd))
+        .withColumn("prev_low", lag(col("low"), 1).over(wd))
+        .filter(col("prev_close").isNotNull)
+        .withColumn("vm_p", abs(col("high") - col("prev_low")))
+        .withColumn("vm_m", abs(col("low") - col("prev_high")))
+        .withColumn("tr", greatest(col("high") - col("low"),
+          abs(col("high") - col("prev_close")),
+          abs(col("low") - col("prev_close"))))
+        .withColumn("n_win", count(lit(1)).over(w14))
+        .withColumn("s_vp",
+          sum(col("vm_p").cast("decimal(24,10)")).over(w14).cast("double"))
+        .withColumn("s_vm",
+          sum(col("vm_m").cast("decimal(24,10)")).over(w14).cast("double"))
+        .withColumn("s_tr",
+          sum(col("tr").cast("decimal(24,10)")).over(w14).cast("double"))
+        .filter(col("n_win") === 14)
+        .select(col("event_type"), col("day"),
+          when(col("s_tr") =!= 0.0d, col("s_vp") / col("s_tr"))
+            .as("vi_plus"),
+          when(col("s_tr") =!= 0.0d, col("s_vm") / col("s_tr"))
+            .as("vi_minus"))
+        .orderBy("event_type", "day")
+    }),
+
+    // W37: Chaikin money flow + accumulation/distribution line — the
+    // volume-weighted close-location gauge (where inside the day's
+    // range did the close land, weighted by how much traded there):
+    // mfm = ((c−l)−(h−c))/(h−l) (0 on a flat candle — Chaikin's
+    // convention), mfv = mfm·vol with W24's exact integer volume,
+    // CMF = Σ₂₀mfv / Σ₂₀vol and the A/D line = the running Σmfv.
+    // Determinism: mfm is one fixed-shape division (raw), mfv one
+    // multiply; both mfv sums pin the product on the decimal(28,4)
+    // grid (the W28 tp·vol coarsening — magnitude ~1e4 makes scale 4
+    // safe and scale 12 a tie lottery) and render once; CMF is one
+    // division by the exact integer volume sum. Same candle shuffle,
+    // two frames over one series window.
+    "w37_cmf" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      val w20 = wd.rowsBetween(-19, 0)
+      val wAll = wd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("qty",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("value")).as("high"), min(col("value")).as("low"),
+          max(when(col("rn") === col("cnt"), col("value"))).as("close"),
+          sum(col("qty")).as("vol"))
+        .withColumn("mfm", when(col("high") =!= col("low"),
+          ((col("close") - col("low")) - (col("high") - col("close"))) /
+            (col("high") - col("low"))).otherwise(lit(0.0d)))
+        .withColumn("mfv", col("mfm") * col("vol").cast("double"))
+        .withColumn("n_win", count(lit(1)).over(w20))
+        .withColumn("s_mfv",
+          sum(col("mfv").cast("decimal(28,4)")).over(w20).cast("double"))
+        .withColumn("s_vol", sum(col("vol")).over(w20))
+        .withColumn("ad_line",
+          sum(col("mfv").cast("decimal(28,4)")).over(wAll).cast("double"))
+        .select(col("event_type"), col("day"), col("mfv"),
+          when(col("n_win") === 20 && col("s_vol") =!= 0L,
+            col("s_mfv") / col("s_vol")).as("cmf"),
+          col("ad_line"))
+        .orderBy("event_type", "day")
+    }),
+
     "w17_rolling_zscore" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id")).rowsBetween(-15, -1)
@@ -1559,6 +1749,191 @@ object Windows {
                 CAST(dsl AS BIGINT) AS days_since_low,
                 aroon_up, aroon_dn, aroon_up - aroon_dn AS aroon_osc
          FROM a ORDER BY event_type, day""",
+    // w16's candle CTE; exact envelope extremes, one raw division
+    "w33_williams_r" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day, max(value) AS high, min(value) AS low,
+                  max(CASE WHEN rn = cnt THEN value END) AS close
+           FROM r GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, day, close,
+                  count(*) OVER w14 AS n_win,
+                  max(high) OVER w14 AS hh,
+                  min(low) OVER w14 AS ll
+           FROM c
+           WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT event_type, day, hh, ll,
+                CASE WHEN hh <> ll
+                     THEN CAST(-100 AS DOUBLE) * (hh - close) / (hh - ll)
+                END AS pct_r
+         FROM w WHERE n_win = 14 ORDER BY event_type, day""",
+    // w16's candle CTE; decimal-pinned SMA sums (VARCHAR-hop render),
+    // one division each, band adds on the rendered doubles
+    "w34_keltner" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day, max(value) AS high, min(value) AS low,
+                  max(CASE WHEN rn = cnt THEN value END) AS close
+           FROM r GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, day,
+                  count(*) OVER w10 AS n_win,
+                  CAST(CAST(sum(CAST(high + low + close AS DECIMAL(24,10)))
+                       OVER w10 AS VARCHAR) AS DOUBLE) / 30 AS center,
+                  CAST(CAST(sum(CAST(high - low AS DECIMAL(24,10)))
+                       OVER w10 AS VARCHAR) AS DOUBLE) / 10 AS band
+           FROM c
+           WINDOW w10 AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+         SELECT event_type, day, center,
+                center + band AS upper, center - band AS lower
+         FROM w WHERE n_win = 10 ORDER BY event_type, day""",
+    // close-only candle; exact trailing max, raw dd chain, pinned dd²
+    // frame mean, sqrt of the single division
+    "w35_ulcer" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day,
+                  max(CASE WHEN rn = cnt THEN value END) AS close
+           FROM r GROUP BY 1, 2),
+         dd AS (
+           SELECT event_type, day,
+                  count(*) OVER w14 AS n_win,
+                  CAST(100 AS DOUBLE) * (close - max(close) OVER w14)
+                    / (max(close) OVER w14) AS dd
+           FROM c
+           WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT event_type, day, dd,
+                sqrt(CAST(CAST(sum(CAST(dd * dd AS DECIMAL(28,8)))
+                     OVER w14 AS VARCHAR) AS DOUBLE) / 14) AS ulcer
+         FROM dd
+         WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         QUALIFY n_win = 14
+         ORDER BY event_type, day""",
+    // w25's TR plus the two crossing movements, three pinned frame
+    // sums, one division per VI
+    "w36_vortex" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day, max(value) AS high, min(value) AS low,
+                  max(CASE WHEN rn = cnt THEN value END) AS close
+           FROM r GROUP BY 1, 2),
+         pc AS (
+           SELECT *,
+                  lag(close) OVER wt AS prev_close,
+                  lag(high) OVER wt AS prev_high,
+                  lag(low) OVER wt AS prev_low
+           FROM c WINDOW wt AS (PARTITION BY event_type ORDER BY day)),
+         m AS (
+           SELECT event_type, day,
+                  abs(high - prev_low) AS vm_p,
+                  abs(low - prev_high) AS vm_m,
+                  greatest(high - low, abs(high - prev_close),
+                           abs(low - prev_close)) AS tr
+           FROM pc WHERE prev_close IS NOT NULL),
+         w AS (
+           SELECT event_type, day,
+                  count(*) OVER w14 AS n_win,
+                  CAST(CAST(sum(CAST(vm_p AS DECIMAL(24,10))) OVER w14
+                       AS VARCHAR) AS DOUBLE) AS s_vp,
+                  CAST(CAST(sum(CAST(vm_m AS DECIMAL(24,10))) OVER w14
+                       AS VARCHAR) AS DOUBLE) AS s_vm,
+                  CAST(CAST(sum(CAST(tr AS DECIMAL(24,10))) OVER w14
+                       AS VARCHAR) AS DOUBLE) AS s_tr
+           FROM m
+           WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT event_type, day,
+                CASE WHEN s_tr <> CAST(0 AS DOUBLE)
+                     THEN s_vp / s_tr END AS vi_plus,
+                CASE WHEN s_tr <> CAST(0 AS DOUBLE)
+                     THEN s_vm / s_tr END AS vi_minus
+         FROM w WHERE n_win = 14 ORDER BY event_type, day""",
+    // w24's JSON volume, raw mfm/mfv chain, decimal(28,4)-pinned mfv
+    // sums (frame + running), exact integer volume denominator
+    "w37_cmf" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day, max(value) AS high, min(value) AS low,
+                  max(CASE WHEN rn = cnt THEN value END) AS close,
+                  CAST(sum(qty) AS BIGINT) AS vol
+           FROM r GROUP BY 1, 2),
+         m AS (
+           SELECT event_type, day, vol,
+                  CASE WHEN high <> low
+                       THEN ((close - low) - (high - close)) / (high - low)
+                       ELSE CAST(0 AS DOUBLE) END
+                    * CAST(vol AS DOUBLE) AS mfv
+           FROM c),
+         w AS (
+           SELECT event_type, day, mfv,
+                  count(*) OVER w20 AS n_win,
+                  CAST(CAST(sum(CAST(mfv AS DECIMAL(28,4))) OVER w20
+                       AS VARCHAR) AS DOUBLE) AS s_mfv,
+                  CAST(sum(vol) OVER w20 AS BIGINT) AS s_vol,
+                  CAST(CAST(sum(CAST(mfv AS DECIMAL(28,4))) OVER wall
+                       AS VARCHAR) AS DOUBLE) AS ad_line
+           FROM m
+           WINDOW w20 AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+                  wall AS (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW))
+         SELECT event_type, day, mfv,
+                CASE WHEN n_win = 20 AND s_vol <> 0
+                     THEN s_mfv / s_vol END AS cmf,
+                ad_line
+         FROM w ORDER BY event_type, day""",
     // w16's candle CTE; exact extreme picks and comparisons only
     "w29_donchian" ->
       """WITH e AS (

@@ -1328,4 +1328,138 @@ class StatsSpec extends AnyFunSuite {
     // the statistic is nonnegative and finite on this panel
     assert(qExp >= 0.0 && java.lang.Double.isFinite(qExp))
   }
+
+  test("w33-w37 indicator family matches sequential candle sweeps") {
+    def dpin(scale: Int)(xs: Seq[Double]): Double =
+      xs.map(BigDecimal(_).setScale(scale, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    import org.apache.spark.sql.functions._
+    // (t, day, high, low, close, vol) in day order per series
+    val days = graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withColumn("qty", get_json_object(col("props"), "$.k").cast("long"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Any]("day").toString,
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("value"), r.getAs[Long]("qty")))
+      .groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
+        val ord = es.sortBy(e => (e._3.getTime, e._4))
+        (t, day, ord.map(_._5).max, ord.map(_._5).min, ord.last._5,
+          ord.map(_._6).sum)
+      }.toSeq.groupBy(_._1).map { case (t, rs) =>
+        t -> rs.sortBy(_._2).toList
+      }
+    def fetch(name: String) =
+      graft.operators.Windows.queries(name)(spark, sf).collect()
+    // W33 Williams %R: exact envelope extremes, one division
+    val wr = fetch("w33_williams_r").map(r =>
+      (r.getString(0), r.get(1).toString) ->
+        (r.getDouble(2), r.getDouble(3),
+         if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(wr.nonEmpty)
+    var nWr = 0
+    days.foreach { case (t, ds) =>
+      ds.sliding(14).foreach { win =>
+        if (win.size == 14) {
+          val hh = win.map(_._3).max; val ll = win.map(_._4).min
+          val exp = if (hh != ll)
+            Some(-100.0 * (hh - win.last._5) / (hh - ll)) else None
+          assert(wr((t, win.last._2)) == ((hh, ll, exp)),
+            s"$t ${win.last._2} pct_r")
+          nWr += 1
+        }
+      }
+    }
+    assert(nWr > 0 && nWr == wr.size)
+    // W34 Keltner: pinned SMA sums rendered once, band adds after
+    val ke = fetch("w34_keltner").map(r =>
+      (r.getString(0), r.get(1).toString) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    var nKe = 0
+    days.foreach { case (t, ds) =>
+      ds.sliding(10).foreach { win =>
+        if (win.size == 10) {
+          val center = dpin(10)(win.map(c => c._3 + c._4 + c._5)) / 30
+          val band = dpin(10)(win.map(c => c._3 - c._4)) / 10
+          assert(ke((t, win.last._2)) ==
+            ((center, center + band, center - band)),
+            s"$t ${win.last._2} keltner")
+          nKe += 1
+        }
+      }
+    }
+    assert(nKe > 0 && nKe == ke.size)
+    // W35 Ulcer: dd wrt the per-row trailing 14-day close max (the
+    // ramp-in frames), then the full-window pinned dd² mean
+    val ul = fetch("w35_ulcer").map(r =>
+      (r.getString(0), r.get(1).toString) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    var nUl = 0
+    days.foreach { case (t, ds) =>
+      val closes = ds.map(c => (c._2, c._5))
+      val dds = closes.zipWithIndex.map { case ((day, c), i) =>
+        val m = closes.slice(math.max(0, i - 13), i + 1).map(_._2).max
+        (day, 100.0 * (c - m) / m)
+      }
+      dds.sliding(14).foreach { win =>
+        if (win.size == 14) {
+          val ulcer = math.sqrt(dpin(8)(win.map(d => d._2 * d._2)) / 14)
+          assert(ul((t, win.last._1)) == ((win.last._2, ulcer)),
+            s"$t ${win.last._1} ulcer")
+          nUl += 1
+        }
+      }
+    }
+    assert(nUl > 0 && nUl == ul.size)
+    // W36 Vortex: raw movement/TR chains, three pinned frame sums
+    val vx = fetch("w36_vortex").map(r =>
+      (r.getString(0), r.get(1).toString) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+         if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    var nVx = 0
+    days.foreach { case (t, ds) =>
+      val ms = ds.sliding(2).collect { case List(p, c) =>
+        (c._2, math.abs(c._3 - p._4), math.abs(c._4 - p._3),
+          math.max(c._3 - c._4,
+            math.max(math.abs(c._3 - p._5), math.abs(c._4 - p._5))))
+      }.toList
+      ms.sliding(14).foreach { win =>
+        if (win.size == 14) {
+          val sTr = dpin(10)(win.map(_._4))
+          val vip = if (sTr != 0.0) Some(dpin(10)(win.map(_._2)) / sTr)
+                    else None
+          val vim = if (sTr != 0.0) Some(dpin(10)(win.map(_._3)) / sTr)
+                    else None
+          assert(vx((t, win.last._1)) == ((vip, vim)),
+            s"$t ${win.last._1} vortex")
+          nVx += 1
+        }
+      }
+    }
+    assert(nVx > 0 && nVx == vx.size)
+    // W37 CMF + A/D: raw mfm·vol, pinned(28,4) frame/running sums,
+    // integer volume denominator
+    val cm = fetch("w37_cmf").map(r =>
+      (r.getString(0), r.get(1).toString) ->
+        (r.getDouble(2),
+         if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+         r.getDouble(4))).toMap
+    var nCm = 0
+    days.foreach { case (t, ds) =>
+      val ms = ds.map { c =>
+        val mfm = if (c._3 != c._4)
+          ((c._5 - c._4) - (c._3 - c._5)) / (c._3 - c._4) else 0.0
+        (c._2, mfm * c._6.toDouble, c._6)
+      }
+      ms.zipWithIndex.foreach { case ((day, _, _), i) =>
+        val win = ms.slice(math.max(0, i - 19), i + 1)
+        val ad = dpin(4)(ms.take(i + 1).map(_._2))
+        val cmf = if (win.size == 20 && win.map(_._3).sum != 0L)
+          Some(dpin(4)(win.map(_._2)) / win.map(_._3).sum) else None
+        assert(cm((t, day)) == ((ms(i)._2, cmf, ad)), s"$t $day cmf")
+        nCm += 1
+      }
+    }
+    assert(nCm > 0 && nCm == cm.size)
+  }
 }
