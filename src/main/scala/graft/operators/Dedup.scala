@@ -276,29 +276,61 @@ object Dedup {
     * Isolated vertices hold the bare teleport term — dangling mass is
     * NOT redistributed (documented convention, mirrored exactly by the
     * spec's sequential recomputation). |V| is one bounded driver
-    * scalar (the teleport constant), same contract as the IVF rig. */
+    * scalar (the teleport constant), same contract as the IVF rig.
+    *
+    * Determinism contract (round 11 — what flips D11 from rows-only
+    * to hash-checked): the iteration runs in FIXED-POINT INTEGER
+    * arithmetic — rank carried as micro-units of 1e-15 total mass
+    * (BIGINT), damp as the /100 rational its 0.01-grid contract
+    * states (0.85 → 85), every division an integral `div` (both
+    * operands nonnegative, so Spark's truncating `div` ≡ DuckDB's
+    * flooring `//`), every reduction an exact integer sum. Zero
+    * float reductions means zero decimal-pin tie lottery: a first
+    * cut pinned the contribution sums on the decimal(38,12) grid,
+    * and the dense demo graph promptly hit the half-grid boundary
+    * (ranks there live NEAR short decimal grids — 1/n, /deg, ×0.85
+    * chains — exactly the structured-value regime the W28 flip
+    * documented; one sf0.001 row split shortest-repr vs true-binary
+    * at 8.5e-13). Integers cannot split. The only float op left is
+    * the final render rank = r/1e15, exact for r ≤ 1e15 < 2^53, so
+    * ten unrolled rounds replay bit-identically as chained DuckDB
+    * CTEs (the d14b unrolling extended to weighted state). Floor
+    * error: < deg(v)+2 units (1e-15) per vertex-round — the spec
+    * anchors' sequential DOUBLE power iteration agrees ≤ 1e-9, and
+    * the teleport floor for isolated vertices is exactly
+    * ((100−d)·M) div (100·n) units. Dangling remainder mass simply
+    * drops (each floor discards < 1 unit), keeping total mass ≤ 1 —
+    * the same convention production fixed-point graph engines use
+    * to make distributed float nondeterminism a non-issue. */
+  /** Micro-units per unit of total rank mass (the fixed-point grid). */
+  private[graft] val PrUnit = 1000000000000000L
+
   private[operators] def pageRank(pairs: DataFrame, vertices: DataFrame,
       iters: Int, damp: Double): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // damp on its 0.01-grid contract (0.85 → 85/100)
+    val dampNum = math.round(damp * 100)
+    require(dampNum > 0 && dampNum < 100, s"damp out of (0,1): $damp")
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .union(pairs.select(col("db").as("src"), col("da").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = vertices.count()
-    val teleport = (1.0 - damp) / n
-    var ranks = vertices.select(col("doc_id"), lit(1.0 / n).as("rank"))
+    val tInt = ((100L - dampNum) * PrUnit) / (100L * n)
+    var ranks = vertices.select(col("doc_id"), lit(PrUnit / n).as("r"))
       .localCheckpoint()
     for (i <- 1 to iters) {
       val contrib = edges.join(ranks, col("src") === col("doc_id"))
         .join(deg, "src")
-        .select(col("dst").as("doc_id"), (col("rank") / col("deg")).as("c"))
+        .select(col("dst").as("doc_id"), expr("r div deg").as("c"))
       ranks = vertices.select(col("doc_id"))
         .join(contrib.groupBy("doc_id").agg(sum(col("c")).as("cs")),
           Seq("doc_id"), "left")
         .select(col("doc_id"),
-          (lit(teleport) + lit(damp) * coalesce(col("cs"), lit(0.0)))
-            .as("rank"))
+          (lit(tInt) +
+            expr(s"($dampNum * coalesce(cs, CAST(0 AS BIGINT))) div 100"))
+            .as("r"))
       // truncate lineage every SECOND round (and on the last): unlike
       // the CC loop, `ranks` is referenced exactly ONCE per round, so
       // the un-truncated plan grows LINEARLY, not exponentially — a
@@ -312,7 +344,9 @@ object Dedup {
       if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint()
     }
     edges.unpersist(); deg.unpersist()
-    ranks
+    // the ONE float op: exact for r ≤ PrUnit < 2^53 on both engines
+    ranks.select(col("doc_id"),
+      (col("r").cast("double") / lit(1.0e15)).as("rank"))
   }
 
   /** D14's engine: synchronous label propagation (Raghavan et al.
@@ -570,11 +604,13 @@ object Dedup {
 
     // D11: PageRank centrality over the SAME near-dup edge slice D10
     // clusters — the rank-weighted alternative to min-id canonical
-    // election. No SQL-expressible oracle (iterative aggregation is
-    // outside recursive-CTE semantics) → rows-only; DedupSpec anchors
-    // it against a sequential driver-side power iteration (≤1e-9 per
-    // node) plus structural invariants (mass bound, isolated-vertex
-    // teleport floor).
+    // election. FULLY hash-checked since round 11: the kernel's
+    // fixed-point integer arithmetic makes each round bit-exact, so
+    // the fixed 10-round iteration unrolls into chained CTEs (the
+    // d14b trick extended to weighted state — see pageRankOracle);
+    // DedupSpec's sequential power iteration (≤1e-9 per node) and
+    // structural invariants (mass bound, isolated-vertex teleport
+    // floor) stay as the independent anchor.
     "d11_pagerank" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .filter(col("doc_id") < 100).select(col("doc_id"))
@@ -590,10 +626,11 @@ object Dedup {
     // chaining two otherwise-unrelated plagiarism rings joins ONE
     // ring instead of gluing both into a single canonical group (the
     // over-merge failure mode of pure connected components at scale).
-    // Iterative (outside recursive-CTE semantics) → rows-only;
-    // DedupSpec anchors the exact integer labels against a
-    // sequential recomputation of the same synchronous update AND
-    // asserts every community stays inside one D10 component.
+    // FULLY hash-checked since round 11: the fixed 4-round integer
+    // iteration unrolls into chained CTEs exactly like d14_lpa_corpus
+    // (same SQL, slice-scoped); DedupSpec's sequential recomputation
+    // of the synchronous self-vote/min-tie update AND the
+    // community-⊆-component nesting stay as the independent anchor.
     "d14_label_prop" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .filter(col("doc_id") < 100).select(col("doc_id"))
@@ -677,10 +714,12 @@ object Dedup {
     // table D10b/D12b consume) instead of the doc_id < 100 demo
     // slice. Vertices = every document: isolated docs (the vast
     // majority — dup clusters are rare) sit exactly on the teleport
-    // floor (1−d)/N, which the spec asserts alongside bit-level
+    // floor (1−d)/N, which the spec asserts alongside ≤1e-9
     // agreement with a sequential power iteration over the same
-    // edges. Rows-only (iterative agg is outside rCTE semantics);
-    // scale shape is unchanged from D11 — 10 fixed rounds of keyed
+    // edges. FULLY hash-checked since round 11: the fixed-point
+    // kernel + the unrolled-CTE oracle over the exhaustive corpus
+    // graph (so the match again proves banded LSH recall); scale
+    // shape is unchanged from D11 — 10 fixed rounds of keyed
     // join + hash agg with O(1) plans — but now the iteration
     // constants are MEASURED on the corpus graph, not argued from a
     // planted slice.
@@ -755,9 +794,104 @@ object Dedup {
     })
   )
 
+  /** Shared oracle CTE chain `docs → sh → sizes → inter → pairs`: the
+    * exhaustive exact-Jaccard 3-gram pair graph the graph-kernel
+    * oracles replay (docFilter scopes the demo slices, tau is the
+    * Jaccard threshold). Matches [[graft.operators.TextAnalysis
+    * .ngramJaccardPairs]] on slices and [[verifiedCorpusPairs]] on
+    * the corpus (where a hash match ALSO proves banded LSH recall). */
+  private def pairsCtes(docFilter: String, tau: String): String =
+    s"""docs AS (
+             SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+             FROM documents$docFilter),
+           sh AS (
+             SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+             FROM docs WHERE len(t) >= 3),
+           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           inter AS (
+             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           pairs AS (
+             SELECT da, db FROM inter
+             JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+             WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= $tau)"""
+
+  /** D11's ten damped power-iteration rounds UNROLLED as chained CTEs
+    * (the d14b trick, extended to weighted state by the kernel's
+    * FIXED-POINT contract): rank is BIGINT micro-units of 1e-15
+    * mass, so every round is exact integer arithmetic — `//` on the
+    * nonnegative domain is Spark's `div`, the contribution sum is
+    * CAST back to BIGINT (DuckDB widens integer sums to HUGEINT —
+    * the a57/f12/w27 lint class), and the single float op is the
+    * final exact ÷1e15 render. n and the teleport floor are computed
+    * IN SQL from the same vertex set with the identical integer
+    * floor divisions the Scala driver runs. */
+  private def pageRankOracle(docFilter: String, tau: String): String = {
+    val rounds = (1 to 10).map { i =>
+      s"""s$i AS (
+             SELECT e.dst AS doc_id,
+                    CAST(sum(r.r // dg.dg) AS BIGINT) AS cs
+             FROM edges e JOIN r${i - 1} r ON e.src = r.doc_id
+             JOIN deg dg ON dg.v = e.src
+             GROUP BY 1),
+           r$i AS (
+             SELECT v.doc_id,
+                    (SELECT t FROM tele)
+                      + (85 * coalesce(s.cs, CAST(0 AS BIGINT))) // 100
+                      AS r
+             FROM verts v LEFT JOIN s$i s ON s.doc_id = v.doc_id)"""
+    }.mkString(",\n           ")
+    s"""WITH ${pairsCtes(docFilter, tau)},
+           verts AS (SELECT doc_id FROM documents$docFilter),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION ALL SELECT db AS src, da AS dst FROM pairs),
+           deg AS (SELECT src AS v, count(*) AS dg FROM edges GROUP BY 1),
+           nn AS (SELECT count(*) AS n FROM verts),
+           tele AS (SELECT (15 * $PrUnit) // (100 * n) AS t FROM nn),
+           r0 AS (SELECT doc_id, $PrUnit // n AS r FROM verts, nn),
+           $rounds
+         SELECT doc_id, CAST(r AS DOUBLE) / 1e15 AS rank
+         FROM r10 ORDER BY doc_id"""
+  }
+
   /** xxhash64 has no DuckDB equivalent → rows-only for the hash-family
     * queries; the md5-based exact incremental twin IS oracle-checked. */
   val oracles: Map[String, String] = Map(
+    // D11: the demo-slice pair graph (doc_id < 100, J ≥ 0.02), then
+    // ten unrolled decimal-pinned power-iteration rounds — flipped
+    // from rows-only in round 11 by the kernel's determinism
+    // contract (see pageRank / pageRankOracle scaladoc)
+    "d11_pagerank" -> pageRankOracle(" WHERE doc_id < 100", "0.02"),
+    // D11b: the exhaustive FULL-CORPUS 0.5 graph (hash match again
+    // proves banded LSH recall, as for d10b/d12b/d13b/d14b), then
+    // the same ten unrolled rounds
+    "d11_pr_corpus" -> pageRankOracle("", "0.5"),
+    // D14: the demo-slice pair graph + the four unrolled integer
+    // label-propagation rounds (exactly the d14_lpa_corpus SQL,
+    // scoped to the slice)
+    "d14_label_prop" ->
+      s"""WITH ${pairsCtes(" WHERE doc_id < 100", "0.02")},
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION SELECT db AS src, da AS dst FROM pairs),
+           l0 AS (SELECT doc_id, doc_id AS label FROM documents
+                  WHERE doc_id < 100),
+           ${(1 to 4).map(i =>
+             s"""v$i AS (
+             SELECT e.dst AS doc_id, l.label
+             FROM edges e JOIN l${i - 1} l ON e.src = l.doc_id
+             UNION ALL SELECT doc_id, label FROM l${i - 1}),
+           c$i AS (
+             SELECT doc_id, label, count(*) AS n FROM v$i GROUP BY 1, 2),
+           l$i AS (
+             SELECT doc_id, label FROM (
+               SELECT doc_id, label,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY n DESC, label) AS rk
+               FROM c$i) WHERE rk = 1)""").mkString(",\n           ")}
+         SELECT doc_id, label FROM l4 ORDER BY doc_id""",
     // D10b: exhaustive exact-Jaccard pairs over the FULL corpus at
     // the same 0.5 threshold, closed by recursive min-propagation —
     // hash equality proves the engine's banded LSH path recalled

@@ -2570,6 +2570,140 @@ object Stats {
             (col("k") * col("g2") - col("nn") * col("nn")).cast("double") /
             (col("k") * col("nn") - col("b2")).cast("double"))
             .as("q_stat"))
+    }),
+
+    // A92: McNemar's test on the paired binary panel A91 blocks over —
+    // per (event_type, day): x = price up-day (close > prev close),
+    // y = volume up-day (vol > prev vol); did the price and volume
+    // direction DISAGREE more often one way than the other? Only the
+    // discordant cells matter: b = up-price/down-volume, c = the
+    // reverse; χ² = (b−c)²/(b+c) plus the Edwards continuity twin
+    // (|b−c|−1)²/(b+c). Integer counts end to end (double
+    // comparisons are exact cross-engine), ONE division each —
+    // nothing to pin. Types with b+c = 0 are excluded (the statistic
+    // is 0/0). One candle shuffle + per-type lag + one hash agg.
+    "a92_mcnemar" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("qty",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(when(col("rn") === col("cnt"), col("value"))).as("close"),
+          sum(col("qty")).as("vol"))
+        .withColumn("pc", lag(col("close"), 1).over(wd))
+        .withColumn("pv", lag(col("vol"), 1).over(wd))
+        .filter(col("pc").isNotNull)
+        .withColumn("x", (col("close") > col("pc")).cast("long"))
+        .withColumn("y", (col("vol") > col("pv")).cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("x") === 1 && col("y") === 0, 1L).otherwise(0L))
+            .as("b"),
+          sum(when(col("x") === 0 && col("y") === 1, 1L).otherwise(0L))
+            .as("c"))
+        .filter(col("b") + col("c") > 0)
+        .select(col("event_type"), col("n_pairs"), col("b"), col("c"),
+          (((col("b") - col("c")) * (col("b") - col("c"))).cast("double") /
+            (col("b") + col("c")).cast("double")).as("chi2"),
+          (((abs(col("b") - col("c")) - 1) *
+            (abs(col("b") - col("c")) - 1)).cast("double") /
+            (col("b") + col("c")).cast("double")).as("chi2_cc"))
+        .orderBy("event_type")
+    }),
+
+    // A93: Wilcoxon signed-rank — the one-sample rank twin of A35's
+    // Mann–Whitney: is the median daily close move zero, per type?
+    // Zero deltas drop (Wilcoxon's convention), |Δ| gets MIDRANKS
+    // carried as the exact integer rank2 = 2·rank + t_eq − 1 (twice
+    // the midrank — the ×2 trick that keeps every rank quantity on
+    // the integer grid through the sums), W⁺ = Σ rank2[Δ>0]/2, and
+    // the tie-corrected normal z is ONE fixed IEEE chain from four
+    // integer totals: z = (2W₂ − n(n+1))/4 ÷ √((2n(n+1)(2n+1) −
+    // Σ(t³−t))/48), with Σ(t³−t) summed per-row as t_eq² − 1.
+    // Determinism: integers until the final two divisions + sqrt.
+    "a93_wilcoxon_signed" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      val ranked = Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(when(col("rn") === col("cnt"), col("value"))).as("close"))
+        .withColumn("dd", col("close") - lag(col("close"), 1).over(wd))
+        .filter(col("dd").isNotNull && col("dd") =!= 0.0d)
+        .withColumn("ad", abs(col("dd")))
+        .withColumn("rk",
+          rank().over(Window.partitionBy("event_type").orderBy("ad")))
+        .withColumn("teq",
+          count(lit(1)).over(Window.partitionBy("event_type", "ad")))
+        .withColumn("rank2", lit(2L) * col("rk") + col("teq") - 1)
+      ranked.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dd") > 0, col("rank2")).otherwise(0L)).as("w2"),
+          sum(col("teq") * col("teq") - 1).as("tcorr"))
+        .select(col("event_type"), col("n"),
+          (col("w2").cast("double") / 2).as("w_plus"),
+          (((lit(2L) * col("w2") - col("n") * (col("n") + 1))
+            .cast("double") / 4) /
+            sqrt((lit(2L) * col("n") * (col("n") + 1) *
+              (lit(2L) * col("n") + 1) - col("tcorr")).cast("double") / 48))
+            .as("z"))
+        .orderBy("event_type")
+    }),
+
+    // A94: Kendall's τ-b between daily close and volume, per type —
+    // the third rank-correlation lens next to A43's Spearman ρ and
+    // A66's grid twin: τ counts pairwise ORDER agreements, so it is
+    // integer-exact by construction and robust where Spearman's
+    // squared rank gaps overweight far-apart ties. All C(D,2) day
+    // pairs per type via one equi-join on the type key (the a54
+    // Theil–Sen shape — O(days²) per type over the BOUNDED panel
+    // dimension, not the corpus; days don't grow with SF), then one
+    // hash agg to the five integer pair counts and τ-b = (C−D)/
+    // √((n₀−tx)(n₀−ty)) as one fixed IEEE chain. Strict-both pairs
+    // count C/D; tx/ty count ALL x-ties / y-ties (both-tied pairs
+    // land in both, per the τ-b definition).
+    "a94_kendall_tau" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val c = Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("qty",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(when(col("rn") === col("cnt"), col("value"))).as("close"),
+          sum(col("qty")).as("vol"))
+      val a = c.select(col("event_type"), col("day").as("da"),
+        col("close").as("xa"), col("vol").as("ya"))
+      val b = c.select(col("event_type"), col("day").as("db"),
+        col("close").as("xb"), col("vol").as("yb"))
+      a.join(b, Seq("event_type")).filter(col("da") < col("db"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n0"),
+          sum(when((col("xa") < col("xb") && col("ya") < col("yb")) ||
+                   (col("xa") > col("xb") && col("ya") > col("yb")), 1L)
+            .otherwise(0L)).as("conc"),
+          sum(when((col("xa") < col("xb") && col("ya") > col("yb")) ||
+                   (col("xa") > col("xb") && col("ya") < col("yb")), 1L)
+            .otherwise(0L)).as("disc"),
+          sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("tx"),
+          sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("ty"))
+        .filter(col("n0") > col("tx") && col("n0") > col("ty"))
+        .select(col("event_type"), col("n0"), col("conc"), col("disc"),
+          col("tx"), col("ty"),
+          ((col("conc") - col("disc")).cast("double") /
+            sqrt((col("n0") - col("tx")).cast("double") *
+              (col("n0") - col("ty")).cast("double"))).as("tau_b"))
+        .orderBy("event_type")
     })
   )
 
@@ -2751,6 +2885,133 @@ object Stats {
                   CAST(k.k * gt.g2 - gt.nn * gt.nn AS DOUBLE) /
                   CAST(k.k * gt.nn - bt.b2 AS DOUBLE) AS q_stat
          FROM k, gt, bt""",
+    // integer discordant-cell counts (exact double comparisons), one
+    // division per statistic
+    "a92_mcnemar" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day,
+                  max(CASE WHEN rn = cnt THEN value END) AS close,
+                  CAST(sum(qty) AS BIGINT) AS vol
+           FROM r GROUP BY 1, 2),
+         p AS (
+           SELECT event_type, day, close, vol,
+                  lag(close) OVER w AS pc, lag(vol) OVER w AS pv
+           FROM c WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         f AS (
+           SELECT event_type,
+                  CAST(close > pc AS BIGINT) AS x,
+                  CAST(vol > pv AS BIGINT) AS y
+           FROM p WHERE pc IS NOT NULL),
+         agg AS (
+           SELECT event_type, count(*) AS n_pairs,
+                  CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS b,
+                  CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c
+           FROM f GROUP BY 1)
+         SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs, b, c,
+                CAST((b - c) * (b - c) AS DOUBLE) /
+                  CAST(b + c AS DOUBLE) AS chi2,
+                CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE) /
+                  CAST(b + c AS DOUBLE) AS chi2_cc
+         FROM agg WHERE b + c > 0 ORDER BY event_type""",
+    // ×2-midrank integers (rank2 = 2·rank + t_eq − 1), per-row tie
+    // correction t_eq²−1, then the identical fixed z chain
+    "a93_wilcoxon_signed" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day,
+                  max(CASE WHEN rn = cnt THEN value END) AS close
+           FROM r GROUP BY 1, 2),
+         dl AS (
+           SELECT event_type, day,
+                  close - lag(close) OVER (PARTITION BY event_type
+                                           ORDER BY day) AS dd
+           FROM c),
+         nz AS (
+           SELECT event_type, dd, abs(dd) AS ad
+           FROM dl WHERE dd IS NOT NULL AND dd <> CAST(0 AS DOUBLE)),
+         rk AS (
+           SELECT event_type, dd,
+                  rank() OVER (PARTITION BY event_type ORDER BY ad)
+                    AS rk,
+                  count(*) OVER (PARTITION BY event_type, ad) AS teq
+           FROM nz),
+         agg AS (
+           SELECT event_type, count(*) AS n,
+                  CAST(sum(CASE WHEN dd > 0 THEN 2 * rk + teq - 1
+                                ELSE 0 END) AS BIGINT) AS w2,
+                  CAST(sum(teq * teq - 1) AS BIGINT) AS tcorr
+           FROM rk GROUP BY 1)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+                CAST(w2 AS DOUBLE) / 2 AS w_plus,
+                (CAST(2 * w2 - n * (n + 1) AS DOUBLE) / 4) /
+                  sqrt(CAST(2 * n * (n + 1) * (2 * n + 1) - tcorr
+                       AS DOUBLE) / 48) AS z
+         FROM agg ORDER BY event_type""",
+    // all day pairs per type (bounded panel dimension), five integer
+    // pair counts, one sqrt chain
+    "a94_kendall_tau" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day,
+                  max(CASE WHEN rn = cnt THEN value END) AS close,
+                  CAST(sum(qty) AS BIGINT) AS vol
+           FROM r GROUP BY 1, 2),
+         p AS (
+           SELECT a.event_type,
+                  a.close AS xa, a.vol AS ya,
+                  b.close AS xb, b.vol AS yb
+           FROM c a JOIN c b ON a.event_type = b.event_type
+                            AND a.day < b.day),
+         agg AS (
+           SELECT event_type, count(*) AS n0,
+                  CAST(sum(CASE WHEN (xa < xb AND ya < yb)
+                                  OR (xa > xb AND ya > yb)
+                                THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+                  CAST(sum(CASE WHEN (xa < xb AND ya > yb)
+                                  OR (xa > xb AND ya < yb)
+                                THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+                  CAST(sum(CASE WHEN xa = xb THEN 1 ELSE 0 END)
+                       AS BIGINT) AS tx,
+                  CAST(sum(CASE WHEN ya = yb THEN 1 ELSE 0 END)
+                       AS BIGINT) AS ty
+           FROM p GROUP BY 1)
+         SELECT event_type, CAST(n0 AS BIGINT) AS n0, conc, disc, tx, ty,
+                CAST(conc - disc AS DOUBLE) /
+                  sqrt(CAST(n0 - tx AS DOUBLE) *
+                       CAST(n0 - ty AS DOUBLE)) AS tau_b
+         FROM agg WHERE n0 > tx AND n0 > ty ORDER BY event_type""",
     // single global window (the two-level decomposition is the Spark
     // side's scale concern, not the oracle's); every rank quantity is
     // an exact half-integer so the sums are order-insensitive

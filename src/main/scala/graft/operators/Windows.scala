@@ -1112,6 +1112,77 @@ object Windows {
         .orderBy("event_type", "day")
     }),
 
+    // W38: Chande momentum oscillator — W19's gain/loss split with
+    // BOTH sums in the numerator: CMO = 100·(su−sd)/(su+sd) over the
+    // 14-day frame, the unsmoothed (-100, 100) momentum gauge that
+    // reaches its bounds where RSI saturates asymptotically.
+    // Determinism: deltas are one IEEE subtraction on exact candle
+    // closes, each frame sum decimal-pinned and rendered once, then
+    // su−sd / su+su is a fixed 3-flop chain; NULL when su+sd = 0
+    // (a 14-day dead-flat series has no momentum sign). Full frames
+    // of 14 deltas only; same single candle shuffle as the family.
+    "w38_cmo" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      val w14 = wd.rowsBetween(-13, 0)
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(when(col("rn") === col("cnt"), col("value"))).as("close"))
+        .withColumn("delta", col("close") - lag(col("close"), 1).over(wd))
+        .withColumn("gain",
+          when(col("delta") > 0, col("delta")).otherwise(lit(0.0)))
+        .withColumn("loss",
+          when(col("delta") < 0, -col("delta")).otherwise(lit(0.0)))
+        .withColumn("n", count(col("delta")).over(w14))
+        .withColumn("su",
+          sum(col("gain").cast("decimal(30,12)")).over(w14).cast("double"))
+        .withColumn("sd",
+          sum(col("loss").cast("decimal(30,12)")).over(w14).cast("double"))
+        .filter(col("n") === 14 && col("delta").isNotNull)
+        .select(col("event_type"), col("day"), col("su"), col("sd"),
+          when(col("su") + col("sd") =!= 0.0d,
+            lit(100.0d) * (col("su") - col("sd")) /
+              (col("su") + col("sd"))).as("cmo"))
+        .orderBy("event_type", "day")
+    }),
+
+    // W39: Elder's force index — price change weighted by how much
+    // conviction (volume) drove it: fi = (close − prevClose)·vol,
+    // plus the 13-day frame sum that separates a sustained push from
+    // one heavy day. Determinism: the delta is one IEEE subtraction,
+    // fi one multiply by the exact integer volume (magnitude ~1e4 →
+    // the decimal(28,4) pin is far off the product's mantissa tail —
+    // the W28/W37 coarsening lesson applied up front); the frame sum
+    // renders once. Full 13-delta frames only.
+    "w39_force_index" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      val w13 = wd.rowsBetween(-12, 0)
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("qty",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(when(col("rn") === col("cnt"), col("value"))).as("close"),
+          sum(col("qty")).as("vol"))
+        .withColumn("fi",
+          (col("close") - lag(col("close"), 1).over(wd)) *
+            col("vol").cast("double"))
+        .withColumn("n", count(col("fi")).over(w13))
+        .withColumn("fi13",
+          sum(col("fi").cast("decimal(28,4)")).over(w13).cast("double"))
+        .filter(col("n") === 13)
+        .select(col("event_type"), col("day"), col("fi"), col("fi13"))
+        .orderBy("event_type", "day")
+    }),
+
     "w17_rolling_zscore" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id")).rowsBetween(-15, -1)
@@ -1934,6 +2005,86 @@ object Windows {
                      THEN s_mfv / s_vol END AS cmf,
                 ad_line
          FROM w ORDER BY event_type, day""",
+    // close-only candle; raw IEEE deltas, pinned frame sums rendered
+    // once, one fixed 3-flop CMO chain
+    "w38_cmo" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day,
+                  max(CASE WHEN rn = cnt THEN value END) AS close
+           FROM r GROUP BY 1, 2),
+         dl AS (
+           SELECT event_type, day,
+                  close - lag(close) OVER (PARTITION BY event_type
+                                           ORDER BY day) AS delta
+           FROM c),
+         g AS (
+           SELECT event_type, day, delta,
+                  CASE WHEN delta > 0 THEN delta
+                       ELSE CAST(0 AS DOUBLE) END AS gain,
+                  CASE WHEN delta < 0 THEN -delta
+                       ELSE CAST(0 AS DOUBLE) END AS loss
+           FROM dl),
+         w AS (
+           SELECT event_type, day, delta,
+                  count(delta) OVER w14 AS n,
+                  CAST(CAST(sum(CAST(gain AS DECIMAL(30,12))) OVER w14
+                       AS VARCHAR) AS DOUBLE) AS su,
+                  CAST(CAST(sum(CAST(loss AS DECIMAL(30,12))) OVER w14
+                       AS VARCHAR) AS DOUBLE) AS sd
+           FROM g
+           WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT event_type, day, su, sd,
+                CASE WHEN su + sd <> CAST(0 AS DOUBLE)
+                     THEN CAST(100 AS DOUBLE) * (su - sd) / (su + sd)
+                END AS cmo
+         FROM w WHERE n = 14 AND delta IS NOT NULL
+         ORDER BY event_type, day""",
+    // w24's JSON volume; raw delta·vol product, decimal(28,4)-pinned
+    // frame sum rendered once
+    "w39_force_index" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day,
+                  max(CASE WHEN rn = cnt THEN value END) AS close,
+                  CAST(sum(qty) AS BIGINT) AS vol
+           FROM r GROUP BY 1, 2),
+         f AS (
+           SELECT event_type, day,
+                  (close - lag(close) OVER (PARTITION BY event_type
+                                            ORDER BY day))
+                    * CAST(vol AS DOUBLE) AS fi
+           FROM c),
+         w AS (
+           SELECT event_type, day, fi,
+                  count(fi) OVER w13 AS n,
+                  CAST(CAST(sum(CAST(fi AS DECIMAL(28,4))) OVER w13
+                       AS VARCHAR) AS DOUBLE) AS fi13
+           FROM f
+           WINDOW w13 AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 12 PRECEDING AND CURRENT ROW))
+         SELECT event_type, day, fi, fi13
+         FROM w WHERE n = 13 ORDER BY event_type, day""",
     // w16's candle CTE; exact extreme picks and comparisons only
     "w29_donchian" ->
       """WITH e AS (

@@ -232,7 +232,11 @@ class DedupSpec extends AnyFunSuite {
     // teleport floor; total mass stays ≤ 1 (dangling mass undistributed)
     val isolated = nodes.filterNot(adj.contains)
     assert(isolated.nonEmpty, "vacuous: every doc has a near-dup edge?")
-    isolated.foreach(v => assert(got(v) == teleport))
+    // fixed-point kernel: the floor is EXACTLY ((100-85)*1e15 div
+    // (100*n)) micro-units rendered once (exact below 2^53)
+    val tFloor = ((15L * graft.operators.Dedup.PrUnit) / (100L * n))
+      .toDouble / 1e15
+    isolated.foreach(v => assert(got(v) == tFloor))
     assert(got.values.sum <= 1.0 + 1e-9)
   }
 
@@ -497,7 +501,11 @@ class DedupSpec extends AnyFunSuite {
     val isolated = nodes.filterNot(adj.contains)
     assert(isolated.length > nodes.length / 2,
       "fixture drift: dup clusters should be rare in the corpus")
-    isolated.foreach(v => assert(got(v) == teleport))
+    // fixed-point kernel: the floor is EXACTLY ((100-85)*1e15 div
+    // (100*n)) micro-units rendered once (exact below 2^53)
+    val tFloor = ((15L * graft.operators.Dedup.PrUnit) / (100L * n))
+      .toDouble / 1e15
+    isolated.foreach(v => assert(got(v) == tFloor))
     assert(got.values.sum <= 1.0 + 1e-9)
   }
 

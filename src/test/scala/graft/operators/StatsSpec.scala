@@ -1462,4 +1462,157 @@ class StatsSpec extends AnyFunSuite {
     }
     assert(nCm > 0 && nCm == cm.size)
   }
+
+  test("w38/w39 momentum-volume pair matches sequential candle sweeps") {
+    def dpin(scale: Int)(xs: Seq[Double]): Double =
+      xs.map(BigDecimal(_).setScale(scale, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    import org.apache.spark.sql.functions._
+    val days = graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withColumn("qty", get_json_object(col("props"), "$.k").cast("long"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Any]("day").toString,
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("value"), r.getAs[Long]("qty")))
+      .groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
+        val ord = es.sortBy(e => (e._3.getTime, e._4))
+        (t, day, ord.last._5, ord.map(_._6).sum)
+      }.toSeq.groupBy(_._1).map { case (t, rs) =>
+        t -> rs.sortBy(_._2).toList
+      }
+    // W38 CMO: raw IEEE deltas, pinned gain/loss frame sums
+    val cmo = graft.operators.Windows.queries("w38_cmo")(spark, sf)
+      .collect().map(r =>
+        (r.getString(0), r.get(1).toString) ->
+          (r.getDouble(2), r.getDouble(3),
+           if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    var nCmo = 0
+    days.foreach { case (t, ds) =>
+      val deltas = ds.sliding(2).collect {
+        case List(p, c) => (c._2, c._3 - p._3)
+      }.toList
+      deltas.sliding(14).foreach { win =>
+        if (win.size == 14) {
+          val su = dpin(12)(win.map(d => math.max(d._2, 0.0)))
+          val sd = dpin(12)(win.map(d => math.max(-d._2, 0.0)))
+          val exp = if (su + sd != 0.0)
+            Some(100.0 * (su - sd) / (su + sd)) else None
+          assert(cmo((t, win.last._1)) == ((su, sd, exp)),
+            s"$t ${win.last._1} cmo")
+          nCmo += 1
+        }
+      }
+    }
+    assert(nCmo > 0 && nCmo == cmo.size)
+    // W39 force index: raw delta·vol, pinned(28,4) 13-frame sum
+    val fi = graft.operators.Windows.queries("w39_force_index")(spark, sf)
+      .collect().map(r =>
+        (r.getString(0), r.get(1).toString) ->
+          (r.getDouble(2), r.getDouble(3))).toMap
+    var nFi = 0
+    days.foreach { case (t, ds) =>
+      val fis = ds.sliding(2).collect {
+        case List(p, c) => (c._2, (c._3 - p._3) * c._4.toDouble)
+      }.toList
+      fis.sliding(13).foreach { win =>
+        if (win.size == 13) {
+          val f13 = dpin(4)(win.map(_._2))
+          assert(fi((t, win.last._1)) == ((win.last._2, f13)),
+            s"$t ${win.last._1} force index")
+          nFi += 1
+        }
+      }
+    }
+    assert(nFi > 0 && nFi == fi.size)
+  }
+
+  test("a92-a94 paired/rank tests match sequential recomputations") {
+    import org.apache.spark.sql.functions._
+    // per-type day-ordered (close, vol) panel
+    val days = graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withColumn("qty", get_json_object(col("props"), "$.k").cast("long"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Any]("day").toString,
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("value"), r.getAs[Long]("qty")))
+      .groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
+        val ord = es.sortBy(e => (e._3.getTime, e._4))
+        (t, day, ord.last._5, ord.map(_._6).sum)
+      }.toSeq.groupBy(_._1).map { case (t, rs) =>
+        t -> rs.sortBy(_._2).toList
+      }
+    // A92 McNemar: discordant up-day pairs, exact integers
+    val mc = graft.operators.Stats.queries("a92_mcnemar")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+         r.getDouble(4), r.getDouble(5))).toMap
+    days.foreach { case (t, ds) =>
+      val pairs = ds.sliding(2).collect { case List(p, c) =>
+        (if (c._3 > p._3) 1 else 0, if (c._4 > p._4) 1 else 0)
+      }.toList
+      val b = pairs.count(p => p._1 == 1 && p._2 == 0).toLong
+      val c = pairs.count(p => p._1 == 0 && p._2 == 1).toLong
+      if (b + c > 0) {
+        val chi2 = ((b - c) * (b - c)).toDouble / (b + c)
+        val cc = ((math.abs(b - c) - 1) * (math.abs(b - c) - 1)).toDouble /
+          (b + c)
+        assert(mc(t) == ((pairs.size.toLong, b, c, chi2, cc)), s"$t mcnemar")
+      } else assert(!mc.contains(t))
+    }
+    assert(mc.nonEmpty)
+    // A93 Wilcoxon signed-rank: ×2-midrank integers, fixed z chain
+    val wx = graft.operators.Stats.queries("a93_wilcoxon_signed")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    days.foreach { case (t, ds) =>
+      val dd = ds.sliding(2).collect { case List(p, c) => c._3 - p._3 }
+        .toList.filter(_ != 0.0)
+      if (dd.nonEmpty) {
+        val ad = dd.map(math.abs)
+        val sorted = ad.sorted
+        def rank2(a: Double): Long = {
+          val lt = sorted.count(_ < a).toLong
+          val eq = sorted.count(_ == a).toLong
+          2 * (lt + 1) + eq - 1
+        }
+        val n = dd.size.toLong
+        val w2 = dd.filter(_ > 0).map(d => rank2(math.abs(d))).sum
+        val tcorr = ad.map(a => {
+          val t2 = sorted.count(_ == a).toLong; t2 * t2 - 1
+        }).sum
+        val z = ((2 * w2 - n * (n + 1)).toDouble / 4) /
+          math.sqrt((2 * n * (n + 1) * (2 * n + 1) - tcorr).toDouble / 48)
+        val got = wx(t)
+        assert(got._1 == n && got._2 == w2.toDouble / 2 && got._3 == z,
+          s"$t wilcoxon: got=$got exp=($n, ${w2.toDouble / 2}, $z)")
+      }
+    }
+    assert(wx.nonEmpty)
+    // A94 Kendall τ-b: five integer pair counts, one sqrt chain
+    val kt = graft.operators.Stats.queries("a94_kendall_tau")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getLong(5), r.getDouble(6))).toMap
+    days.foreach { case (t, ds) =>
+      val pts = ds.map(d => (d._3, d._4))
+      val prs = for {
+        i <- pts.indices; j <- (i + 1) until pts.size
+      } yield (pts(i), pts(j))
+      val n0 = prs.size.toLong
+      val conc = prs.count { case ((xa, ya), (xb, yb)) =>
+        (xa < xb && ya < yb) || (xa > xb && ya > yb) }.toLong
+      val disc = prs.count { case ((xa, ya), (xb, yb)) =>
+        (xa < xb && ya > yb) || (xa > xb && ya < yb) }.toLong
+      val tx = prs.count { case ((xa, _), (xb, _)) => xa == xb }.toLong
+      val ty = prs.count { case ((_, ya), (_, yb)) => ya == yb }.toLong
+      if (n0 > tx && n0 > ty) {
+        val tau = (conc - disc).toDouble /
+          math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble)
+        assert(kt(t) == ((n0, conc, disc, tx, ty, tau)), s"$t kendall")
+      } else assert(!kt.contains(t))
+    }
+    assert(kt.nonEmpty)
+  }
 }
