@@ -440,6 +440,85 @@ object Similarity {
         .orderBy("q_id", "rank")
     }),
 
+    // SIM14: MMR — maximal-marginal-relevance diversified top-k
+    // (Carbonell & Goldstein 1998), the post-ANN rerank every
+    // retrieval and training-data-diversity pipeline runs: greedily
+    // pick k=5 of the top-20 candidates maximizing λ·sim(q,d) −
+    // (1−λ)·max_{s∈S} sim(d,s) with λ = 0.7, so near-duplicates of
+    // an already-picked result are penalized out in favor of NEW
+    // information. Scale shape: the greedy loop runs on the BOUNDED
+    // rerank frame (20 candidates/query → ≤400 pair sims), never the
+    // corpus — SIM1's one broadcast-batch scan produces the frame,
+    // then 5 keyed-join rounds of O(queries·20) rows each
+    // (localCheckpoint keeps each round's plan flat, the D10
+    // pattern). Determinism: sims are the index-ordered dot kernel
+    // (bit-identical to DuckDB list_sum), the score one fixed 3-flop
+    // chain on identical doubles (step 1's empty-set penalty is an
+    // exact ·0.0), argmax tiebreaks (score DESC, c_id ASC) — so the
+    // whole greedy trajectory is bit-reproducible and the oracle
+    // UNROLLS the 5 steps as chained CTEs over a seed empty u0 (the
+    // d11/d14 unrolling, now for a greedy selection).
+    "sim14_mmr_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
+      val c = emb
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        .withColumn("cn", sqrt(dot(col("ce"), col("ce"))))
+      val w20 = Window.partitionBy("q_id")
+        .orderBy(col("simq").desc, col("c_id"))
+      val cand = c.crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("simq",
+          dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("rk", row_number().over(w20))
+        .filter(col("rk") <= 20)
+        .select(col("q_id"), col("c_id"), col("ce"), col("cn"),
+          col("simq"))
+        .localCheckpoint()
+      val pa = cand.select(col("q_id"), col("c_id").as("ca"),
+        col("ce").as("ea"), col("cn").as("na"))
+      val pb = cand.select(col("q_id"), col("c_id").as("cb"),
+        col("ce").as("eb"), col("cn").as("nb"))
+      val pairs = pa.join(pb, Seq("q_id"))
+        .filter(col("ca") =!= col("cb"))
+        .select(col("q_id"), col("ca"), col("cb"),
+          (dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+            .as("simc"))
+        .localCheckpoint()
+      val base = cand.select(col("q_id"), col("c_id"), col("simq"))
+      val wPick = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("c_id"))
+      var sel: org.apache.spark.sql.DataFrame = null
+      for (step <- 1 to 5) {
+        val scored =
+          if (sel == null) base.withColumn("maxpen", lit(0.0))
+          else {
+            val pen = pairs
+              .join(sel.select(col("q_id"), col("c_id").as("cb")),
+                Seq("q_id", "cb"))
+              .groupBy(col("q_id"), col("ca"))
+              .agg(max(col("simc")).as("maxpen"))
+              .withColumnRenamed("ca", "c_id")
+            base.join(sel.select(col("q_id"), col("c_id")),
+                Seq("q_id", "c_id"), "left_anti")
+              .join(pen, Seq("q_id", "c_id"), "left")
+              .withColumn("maxpen", coalesce(col("maxpen"), lit(0.0)))
+          }
+        val pick = scored
+          .withColumn("score",
+            lit(0.7) * col("simq") - lit(0.3) * col("maxpen"))
+          .withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("q_id"), lit(step.toLong).as("step"), col("c_id"),
+            col("score"), col("simq"))
+        sel = (if (sel == null) pick else sel.unionByName(pick))
+          .localCheckpoint()
+      }
+      sel.orderBy("q_id", "step")
+    }),
+
     // SIM9: FILTERED vector search — cosine top-5 restricted to
     // candidates sharing the query's label (the hybrid
     // metadata-predicate + ANN form every production retrieval stack
@@ -1114,6 +1193,65 @@ object Similarity {
                         ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
                FROM exact)
          WHERE rank <= 5 ORDER BY q_id, rank""",
+    // SIM14: the identical index-ordered dot sims over the same
+    // top-20 frame, then the FIVE greedy MMR steps unrolled as
+    // chained CTEs over a seed empty selection u0 — penalty via a
+    // correlated max over prs×uₖ₋₁, NOT EXISTS for the shrinking
+    // remainder, the same (score DESC, c_id) tiebreak (the d11/d14
+    // unrolling applied to a greedy selection)
+    "sim14_mmr_topk" ->
+      s"""WITH v AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, e,
+                  sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+           FROM v),
+         allc AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                  list_sum(list_transform(generate_series(1, len(q.e)),
+                    i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS simq
+           FROM n q JOIN n c ON q.vec_id < 3 AND q.vec_id <> c.vec_id),
+         c20 AS (
+           SELECT q_id, c_id, simq FROM (
+             SELECT q_id, c_id, simq,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY simq DESC, c_id) AS rk
+             FROM allc) WHERE rk <= 20),
+         prs AS (
+           SELECT a.q_id, a.c_id AS ca, b.c_id AS cb,
+                  list_sum(list_transform(generate_series(1, len(x.e)),
+                    i -> x.e[i] * y.e[i])) / (x.nrm * y.nrm) AS simc
+           FROM c20 a JOIN c20 b ON a.q_id = b.q_id AND a.c_id <> b.c_id
+           JOIN n x ON x.vec_id = a.c_id
+           JOIN n y ON y.vec_id = b.c_id),
+         u0 AS (SELECT q_id, c_id FROM c20 WHERE 1 = 0),
+         ${(1 to 5).map(k =>
+           s"""p$k AS (
+           SELECT c.q_id, c.c_id, c.simq,
+                  CAST(0.7 AS DOUBLE) * c.simq - CAST(0.3 AS DOUBLE) *
+                    coalesce((SELECT max(p.simc) FROM prs p
+                              JOIN u${k - 1} u ON u.q_id = p.q_id
+                                              AND u.c_id = p.cb
+                              WHERE p.q_id = c.q_id AND p.ca = c.c_id),
+                             CAST(0 AS DOUBLE)) AS score
+           FROM c20 c
+           WHERE NOT EXISTS (SELECT 1 FROM u${k - 1} u
+                             WHERE u.q_id = c.q_id
+                               AND u.c_id = c.c_id)),
+         w$k AS (
+           SELECT q_id, CAST($k AS BIGINT) AS step, c_id, score, simq
+           FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                   ORDER BY score DESC, c_id) AS rn FROM p$k)
+           WHERE rn = 1),
+         u$k AS (SELECT q_id, c_id FROM u${k - 1}
+                 UNION ALL SELECT q_id, c_id FROM w$k)""")
+          .mkString(",\n         ")}
+         SELECT q_id, step, c_id, score, simq
+         FROM (${(1 to 5).map(k => s"SELECT * FROM w$k")
+           .mkString(" UNION ALL ")})
+         ORDER BY q_id, step""",
     "sim5_jl_project" ->
       s"""$jlProjCte,
          u AS (

@@ -375,4 +375,52 @@ class SimilaritySpec extends AnyFunSuite {
     val mean = got.values.map(_._2).sum / got.size
     assert(mean >= 0.8, s"mean recall@5 $mean below the SQ8 floor")
   }
+
+  test("sim14: MMR trajectory equals the sequential greedy; diversity engages") {
+    // sequential recomputation of the exact greedy: top-20 by
+    // (cosine desc, id), then 5 picks maximizing
+    // 0.7·sim(q,d) − 0.3·max_{s∈S} sim(d,s) with the same tiebreak —
+    // must match the distributed 5-round plan bit-for-bit
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Long, b: Long): Double =
+      dotd(emb(a), emb(b)) /
+        (math.sqrt(dotd(emb(a), emb(a))) * math.sqrt(dotd(emb(b), emb(b))))
+    val got = Similarity.queries("sim14_mmr_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.nonEmpty)
+    var divergedFromTopK = false
+    (0L until 3L).foreach { qid =>
+      val cands = emb.keys.filter(_ != qid).toSeq
+        .map(c => c -> cos(qid, c))
+        .sortBy { case (c, s) => (-s, c) }.take(20)
+      var sel = Vector.empty[Long]
+      for (step <- 1 to 5) {
+        val scored = cands.filterNot(c => sel.contains(c._1)).map {
+          case (c, simq) =>
+            val pen = if (sel.isEmpty) 0.0
+                      else sel.map(s => cos(c, s)).max
+            (c, 0.7 * simq - 0.3 * pen, simq)
+        }
+        val (pc, ps, psim) = scored.minBy { case (c, s, _) => (-s, c) }
+        assert(got((qid, step.toLong)) == ((pc, ps, psim)),
+          s"q$qid step $step: got=${got((qid, step.toLong))} " +
+            s"exp=($pc, $ps, $psim)")
+        if (pc != cands(step - 1)._1) divergedFromTopK = true
+        sel :+= pc
+      }
+    }
+    // the penalty must actually change a pick somewhere, or the
+    // fixture exercises nothing beyond top-5
+    assert(divergedFromTopK, "vacuous: MMR picked the pure top-5 everywhere")
+  }
 }
