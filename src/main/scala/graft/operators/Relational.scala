@@ -1495,8 +1495,8 @@ object Relational {
     }),
 
     // SQL23: TPC-H Q15 — top supplier by a 3-month revenue VIEW: the
-    // one remaining TPC-H query the testdata schema can express (the
-    // others need partsupp / shipmode / commitdate). The shape SQL1–22
+    // last TPC-H query the schema expresses without adaptation
+    // (SQL24–28 below adapt the partsupp family). The shape SQL1–22
     // don't cover: the SAME derived aggregate consumed TWICE in one
     // statement — once as the join input, once inside the scalar MAX
     // subquery that selects the winner. The argmax equality runs on
@@ -1524,6 +1524,157 @@ object Relational {
         FROM supplier_v JOIN revenue ON s_suppkey = supplier_no
         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
         ORDER BY s_suppkey""")
+    }),
+
+    // SQL24: TPC-H Q9 shape (product type profit), adapted — the
+    // testdata has no partsupp, so supply cost is the deterministic
+    // per-part proxy p_retailprice/10 (the SHAPE is what matters: a
+    // 5-table snowflake whose measure combines columns of THREE fact/
+    // dim tables, grouped by supplier nation × order year). Per-row
+    // profit is one fixed IEEE chain (double mul/sub, bit-identical
+    // on both engines), then decimal-cast before the sum so the
+    // aggregate is order-independent and exact; one double render at
+    // the end (the sql20/21 discipline). The p_name LIKE filter
+    // prunes parts BEFORE the fact join (broadcast dim filter).
+    // Ref workload shape: scripts/07_backtest.py P&L attribution;
+    // surface-parity extension (SURVEY §2.4 SQL family).
+    "sql24_tpch_q9" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT nation, o_year,
+               round(CAST(sum(CAST(amount AS DECIMAL(24,10)))
+                     AS DOUBLE), 6) AS sum_profit
+        FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                     l_extendedprice * (1 - l_discount)
+                       - (p_retailprice / 10) * l_quantity AS amount
+              FROM part_v
+                   JOIN lineitem_v ON p_partkey = l_partkey
+                   JOIN supplier_v ON s_suppkey = l_suppkey
+                   JOIN orders_v   ON o_orderkey = l_orderkey
+                   JOIN nation_v   ON s_nationkey = n_nationkey
+              WHERE p_name LIKE '%widget%')
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC""")
+    }),
+
+    // SQL25: TPC-H Q11 shape (important stock), adapted over the
+    // lineitem value ledger (no partsupp): per-part revenue share
+    // with a HAVING clause compared against a GLOBAL scalar subquery
+    // — the one TPC-H decorrelation shape SQL1–24 didn't cover (the
+    // scalar executes once and broadcasts into the post-agg filter,
+    // never per group). The comparison runs on EXACT decimal sums
+    // ×100 vs the exact total (integer scaling, the sql23 argmax
+    // discipline: no rounded double ever gates a row), doubles only
+    // in the output projection.
+    "sql25_tpch_q11" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT l_partkey AS ps_partkey,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(24,10))) AS DOUBLE), 6) AS part_value
+        FROM lineitem_v
+             JOIN supplier_v ON l_suppkey = s_suppkey
+             JOIN nation_v   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1'
+        GROUP BY l_partkey
+        HAVING sum(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(24,10))) * 100 >
+               (SELECT sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(24,10)))
+                FROM lineitem_v
+                     JOIN supplier_v ON l_suppkey = s_suppkey
+                     JOIN nation_v   ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_1')
+        ORDER BY part_value DESC, ps_partkey""")
+    }),
+
+    // SQL26: TPC-H Q16 shape (parts/supplier relationship), adapted —
+    // the observed supplier×part pairs come from lineitem (no
+    // partsupp), and the excluded-supplier set ("complaints") is the
+    // negative-balance suppliers. The NEW shape is the NOT IN
+    // subquery: Catalyst must plan it as a NULL-AWARE anti join
+    // (BroadcastNestedLoopJoin degenerates only when the subquery can
+    // produce nulls — s_suppkey can't, so it stays a broadcast
+    // null-aware anti). count(DISTINCT) after dedup → integers only.
+    "sql26_tpch_q16" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier_v
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+    }),
+
+    // SQL27: TPC-H Q20 shape (potential part promotion), adapted —
+    // the NESTED semi-join chain: an IN whose subquery itself
+    // contains an IN (suppliers who shipped heavy volume of
+    // small-named parts in 1996), each level decorrelating to a keyed
+    // left-semi join rather than a per-row rescan. The volume
+    // threshold compares a sum of integer-valued doubles (exact at
+    // any summation order below 2^53) — no float boundary risk.
+    "sql27_tpch_q20" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT s_name, s_nationkey
+        FROM supplier_v JOIN nation_v ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN
+              (SELECT l_suppkey FROM lineitem_v
+               WHERE l_partkey IN (SELECT p_partkey FROM part_v
+                                   WHERE p_name LIKE 'small%')
+                 AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                 AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+               GROUP BY l_suppkey, l_partkey
+               HAVING sum(l_quantity) > 50)
+        ORDER BY s_name, s_nationkey""")
+    }),
+
+    // SQL28: TPC-H Q2 shape (minimum cost supplier), adapted — the
+    // per-(part,supplier) offer ledger derives from lineitem (unit
+    // price = min extendedprice/quantity observed; no partsupp), and
+    // the Q2 signature shape is the CORRELATED scalar subquery whose
+    // result immediately REJOINS the same derived table: cost =
+    // (SELECT min(cost) ... WHERE same part). Catalyst decorrelates
+    // to one keyed min-agg + equi-join — a naive engine recomputes
+    // the min per row. The min folds over doubles (no summation), so
+    // the equality compares bit-identical values on both engines.
+    "sql28_tpch_q2" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      s.sql("""
+        WITH offers AS (
+          SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                 min(l_extendedprice / l_quantity) AS unit_cost
+          FROM lineitem_v
+          GROUP BY l_partkey, l_suppkey)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_type, unit_cost
+        FROM offers o
+             JOIN part_v     ON p_partkey = o.partkey
+             JOIN supplier_v ON s_suppkey = o.suppkey
+             JOIN nation_v   ON s_nationkey = n_nationkey
+        WHERE p_size = 16
+          AND o.unit_cost = (SELECT min(o2.unit_cost) FROM offers o2
+                             WHERE o2.partkey = o.partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100""")
     }),
 
     // U4: INTERSECT — distinct (user, day) pairs where a click AND a
@@ -2731,6 +2882,79 @@ object Relational {
          FROM supplier JOIN revenue ON s_suppkey = supplier_no
          WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
          ORDER BY s_suppkey""",
+    "sql24_tpch_q9" ->
+      """SELECT nation, o_year,
+                round(CAST(CAST(sum(CAST(amount AS DECIMAL(24,10)))
+                      AS VARCHAR) AS DOUBLE), 6) AS sum_profit
+         FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                      l_extendedprice * (1 - l_discount)
+                        - (p_retailprice / 10) * l_quantity AS amount
+               FROM part
+                    JOIN lineitem ON p_partkey = l_partkey
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN orders   ON o_orderkey = l_orderkey
+                    JOIN nation   ON s_nationkey = n_nationkey
+               WHERE p_name LIKE '%widget%')
+         GROUP BY nation, o_year
+         ORDER BY nation, o_year DESC""",
+    "sql25_tpch_q11" ->
+      """SELECT l_partkey AS ps_partkey,
+                round(CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE), 6)
+                  AS part_value
+         FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation   ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_1'
+         GROUP BY l_partkey
+         HAVING sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(24,10))) * 100 >
+                (SELECT sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(24,10)))
+                 FROM lineitem
+                      JOIN supplier ON l_suppkey = s_suppkey
+                      JOIN nation   ON s_nationkey = n_nationkey
+                 WHERE n_name = 'NATION_1')
+         ORDER BY part_value DESC, ps_partkey""",
+    "sql26_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+                count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand <> 'Brand#1'
+           AND p_type <> 'PROMO'
+           AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "sql27_tpch_q20" ->
+      """SELECT s_name, s_nationkey
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE s_suppkey IN
+               (SELECT l_suppkey FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE 'small%')
+                  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                GROUP BY l_suppkey, l_partkey
+                HAVING sum(l_quantity) > 50)
+         ORDER BY s_name, s_nationkey""",
+    "sql28_tpch_q2" ->
+      """WITH offers AS (
+           SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                  min(l_extendedprice / l_quantity) AS unit_cost
+           FROM lineitem
+           GROUP BY l_partkey, l_suppkey)
+         SELECT s_acctbal, s_name, n_name, p_partkey, p_type, unit_cost
+         FROM offers o
+              JOIN part     ON p_partkey = o.partkey
+              JOIN supplier ON s_suppkey = o.suppkey
+              JOIN nation   ON s_nationkey = n_nationkey
+         WHERE p_size = 16
+           AND o.unit_cost = (SELECT min(o2.unit_cost) FROM offers o2
+                              WHERE o2.partkey = o.partkey)
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         LIMIT 100""",
     "sql14_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist
          FROM (SELECT c_custkey, count(o_orderkey) AS c_count

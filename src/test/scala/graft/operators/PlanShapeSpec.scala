@@ -725,4 +725,61 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hinted.isEmpty,
       s"broadcast-hinted joins in d18:\n${hinted.mkString("\n")}")
   }
+
+  test("sql24 (Q9): dims broadcast onto one fact chain, no nested loop") {
+    // part/supplier/nation are tiny dims against the lineitem-orders
+    // fact chain — each must broadcast; a cartesian/BNLJ anywhere is
+    // the quadratic failure at 100 TB
+    val plan = planOf(Relational.queries, "sql24_tpch_q9")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3,
+      s"part/supplier/nation should all broadcast:\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+  }
+
+  test("sql25 (Q11): the HAVING threshold is a one-shot scalar subquery") {
+    // the global total must execute exactly once and broadcast into
+    // the post-agg filter — never re-aggregate per group
+    val plan = planOf(Relational.queries, "sql25_tpch_q11")
+    assert(plan.contains("Subquery subquery") || plan.contains("ReusedSubquery")
+        || plan.contains("scalar-subquery"),
+      s"expected the one-shot scalar total subquery:\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+  }
+
+  test("sql26 (Q16): NOT IN plans as a hash null-aware anti join") {
+    // the excluded-supplier NOT IN must become a BROADCAST HASH anti
+    // join (single non-nullable key → NAAJ eligible); falling back to
+    // BroadcastNestedLoopJoin would probe every lineitem row against
+    // the whole exclusion list linearly
+    val plan = planOf(Relational.queries, "sql26_tpch_q16")
+    assert(plan.contains("LeftAnti"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+  }
+
+  test("sql27 (Q20): both IN levels decorrelate to keyed semi joins") {
+    // supplier IN (… lineitem WHERE partkey IN (… part …)) — the
+    // nested chain must plan as two keyed LeftSemi joins, no per-row
+    // rescan at either level
+    val plan = planOf(Relational.queries, "sql27_tpch_q20")
+    assert("LeftSemi".r.findAllIn(plan).length >= 2,
+      s"both IN levels should be semi joins:\n${plan.take(2500)}")
+    assert(!plan.contains("SubqueryExec") && !plan.contains("Subquery subquery"),
+      s"per-row subquery survived decorrelation:\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+  }
+
+  test("sql28 (Q2): the correlated min decorrelates to one keyed agg-join") {
+    // cost = (SELECT min(cost) WHERE same part) must become ONE
+    // partkey-keyed min aggregate joined back — never a re-aggregation
+    // of the offers table per outer row
+    val plan = planOf(Relational.queries, "sql28_tpch_q2")
+    assert(!plan.contains("SubqueryExec") && !plan.contains("Subquery subquery"),
+      s"per-row subquery survived decorrelation:\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+  }
 }
