@@ -2704,6 +2704,179 @@ object Stats {
             sqrt((col("n0") - col("tx")).cast("double") *
               (col("n0") - col("ty")).cast("double"))).as("tau_b"))
         .orderBy("event_type")
+    }),
+
+    // A95: Mood's median test — do the k series share one median
+    // daily close? Pool ALL closes, take the grand median (exact
+    // interpolated percentile, identical on both engines), count
+    // above/below per type (exact-equal rows drop, the a90
+    // convention), and report each type's 2-cell χ² CONTRIBUTION
+    // rather than one cross-type sum — per-type rows keep every
+    // arithmetic chain fixed-shape per row (a cross-group float sum
+    // would be summation-order-sensitive; the integers A/B/N it
+    // would need are returned alongside, so the caller can fold).
+    // Expected counts are one division from integers (< 2^53 exact).
+    "a95_mood_median" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val closes = Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(when(col("rn") === col("cnt"), col("value"))).as("close"))
+      val med = closes.agg(expr("percentile(close, 0.5)").as("med"))
+      val counts = closes.crossJoin(broadcast(med))
+        .filter(col("close") =!= col("med"))
+        .groupBy("event_type")
+        .agg(sum((col("close") > col("med")).cast("long")).as("n_above"),
+          sum((col("close") < col("med")).cast("long")).as("n_below"))
+      val tot = counts.agg(sum(col("n_above")).as("ta"),
+        sum(col("n_below")).as("tb"),
+        sum(col("n_above") + col("n_below")).as("nn"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("ng", col("n_above") + col("n_below"))
+        .withColumn("ea",
+          (col("ng") * col("ta")).cast("double") / col("nn"))
+        .withColumn("eb",
+          (col("ng") * col("tb")).cast("double") / col("nn"))
+        .select(col("event_type"), col("n_above"), col("n_below"),
+          col("ta"), col("tb"), col("ea").as("exp_above"),
+          ((col("n_above") - col("ea")) * (col("n_above") - col("ea")) /
+            col("ea") +
+           (col("n_below") - col("eb")) * (col("n_below") - col("eb")) /
+            col("eb")).as("chi2_contrib"))
+        .orderBy("event_type")
+    }),
+
+    // A96: sign test on daily close moves — is the median move zero,
+    // per type, using ONLY signs (the assumption-free floor under
+    // A93's signed-rank)? Zero deltas drop; S⁺/S⁻ are integer
+    // counts; the continuity-corrected normal z is
+    // (2S⁺ − n − sgn(2S⁺ − n))/√n — an INTEGER numerator (the ×2
+    // trick dodges the n/2 half-grid entirely) over one sqrt.
+    "a96_sign_test" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(when(col("rn") === col("cnt"), col("value"))).as("close"))
+        .withColumn("dd", col("close") - lag(col("close"), 1).over(wd))
+        .filter(col("dd").isNotNull && col("dd") =!= 0.0d)
+        .groupBy("event_type")
+        .agg(sum(when(col("dd") > 0, 1L).otherwise(0L)).as("s_pos"),
+          sum(when(col("dd") < 0, 1L).otherwise(0L)).as("s_neg"))
+        .withColumn("n", col("s_pos") + col("s_neg"))
+        .withColumn("num2", lit(2L) * col("s_pos") - col("n"))
+        .select(col("event_type"), col("s_pos"), col("s_neg"), col("n"),
+          ((col("num2") - signum(col("num2")).cast("long"))
+            .cast("double") / sqrt(col("n").cast("double"))).as("z_cc"))
+        .orderBy("event_type")
+    }),
+
+    // A97: Cliff's delta between click and purchase values — the
+    // nonparametric EFFECT SIZE beside A35's Mann–Whitney decision:
+    // δ = (#(x>y) − #(x<y))/(n₁n₂), computed from the SAME rank-sum
+    // frame (never the n₁·n₂ pair materialization — the rank path is
+    // the 100 TB shape): δ = (2R₁ − n₁(n₁+1) − n₁n₂)/(n₁n₂) where
+    // 2R₁ stays on the ×2 integer grid (midranks are half-integers),
+    // so the numerator is an exact BIGINT and δ is ONE division. The
+    // magnitude label compares |numerator|·1000 against Romano's
+    // thresholds ×(n₁n₂·1000) cross-multiplied in integers — no
+    // float boundary can flip a label.
+    "a97_cliffs_delta" -> ((s, d) => {
+      val B = 1024
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("value"), (col("event_type") === "click").as("g1"))
+      val bounds = ev.agg(min(col("value")).as("lo"),
+        max(col("value")).as("hi"),
+        sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("g1"), 1L).otherwise(0L)).as("n2"))
+      val perv = ev.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          least(floor((col("value") - col("lo")) /
+            (col("hi") - col("lo")) * B), lit(B - 1)).cast("int"))
+        .groupBy(col("bucket"), col("value"))
+        .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("k1"),
+          count(lit(1)).as("k"))
+      val wIn = Window.partitionBy("bucket").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wB = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = perv.groupBy("bucket").agg(sum(col("k")).as("bk"))
+        .withColumn("off", coalesce(sum(col("bk")).over(wB), lit(0L)))
+        .select(col("bucket"), col("off"))
+      val r2 = perv
+        .withColumn("cin", coalesce(sum(col("k")).over(wIn), lit(0L)))
+        .join(offs, Seq("bucket"))
+        // ×2 rank-sum contribution: k1 rows at midrank off+cin+(k+1)/2
+        // stay on the integer grid as k1·(2·(off+cin) + k + 1)
+        .withColumn("r2c",
+          col("k1") * (lit(2L) * (col("off") + col("cin")) +
+            col("k") + 1))
+      val agg = r2.agg(sum(col("r2c")).as("r1x2"))
+      agg.crossJoin(broadcast(bounds.select(col("n1"), col("n2"))))
+        .withColumn("num",
+          col("r1x2") - col("n1") * (col("n1") + 1) - col("n1") * col("n2"))
+        .withColumn("den", col("n1") * col("n2"))
+        .select(col("n1"), col("n2"),
+          (col("num").cast("double") / col("den").cast("double"))
+            .as("cliffs_delta"),
+          when(abs(col("num")) * 1000 < col("den") * 147, "negligible")
+            .when(abs(col("num")) * 1000 < col("den") * 330, "small")
+            .when(abs(col("num")) * 1000 < col("den") * 474, "medium")
+            .otherwise("large").as("magnitude"))
+    }),
+
+    // A98: Goodman–Kruskal γ and both Somers' D asymmetries over
+    // A94's five-integer pair-count frame (plus the both-tied count
+    // that separates x-only from y-only ties): γ = (C−D)/(C+D)
+    // ignores all ties; D_yx = (C−D)/(n₀−tx) penalizes y-ties
+    // (x the predictor); D_xy the transpose. Each is ONE division
+    // from exact integers — the τ-b lens family completed.
+    "a98_gamma_somers" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val c = Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("qty",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(when(col("rn") === col("cnt"), col("value"))).as("close"),
+          sum(col("qty")).as("vol"))
+      val a = c.select(col("event_type"), col("day").as("da"),
+        col("close").as("xa"), col("vol").as("ya"))
+      val b = c.select(col("event_type"), col("day").as("db"),
+        col("close").as("xb"), col("vol").as("yb"))
+      a.join(b, Seq("event_type")).filter(col("da") < col("db"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n0"),
+          sum(when((col("xa") < col("xb") && col("ya") < col("yb")) ||
+                   (col("xa") > col("xb") && col("ya") > col("yb")), 1L)
+            .otherwise(0L)).as("conc"),
+          sum(when((col("xa") < col("xb") && col("ya") > col("yb")) ||
+                   (col("xa") > col("xb") && col("ya") < col("yb")), 1L)
+            .otherwise(0L)).as("disc"),
+          sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("tx"),
+          sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("ty"))
+        .filter(col("conc") + col("disc") > 0 &&
+          col("n0") > col("tx") && col("n0") > col("ty"))
+        .select(col("event_type"), col("n0"), col("conc"), col("disc"),
+          col("tx"), col("ty"),
+          ((col("conc") - col("disc")).cast("double") /
+            (col("conc") + col("disc")).cast("double")).as("gamma"),
+          ((col("conc") - col("disc")).cast("double") /
+            (col("n0") - col("tx")).cast("double")).as("d_yx"),
+          ((col("conc") - col("disc")).cast("double") /
+            (col("n0") - col("ty")).cast("double")).as("d_xy"))
+        .orderBy("event_type")
     })
   )
 
@@ -3012,6 +3185,177 @@ object Stats {
                   sqrt(CAST(n0 - tx AS DOUBLE) *
                        CAST(n0 - ty AS DOUBLE)) AS tau_b
          FROM agg WHERE n0 > tx AND n0 > ty ORDER BY event_type""",
+    // grand median split (quantile_cont = Spark percentile); per-type
+    // integer cells; expected counts and the 2-cell contribution are
+    // one fixed IEEE chain per ROW (never a cross-group float sum)
+    "a95_mood_median" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day,
+                  max(CASE WHEN rn = cnt THEN value END) AS close
+           FROM r GROUP BY 1, 2),
+         md AS (SELECT quantile_cont(close, 0.5) AS med FROM c),
+         cc AS (
+           SELECT event_type,
+                  CAST(sum(CASE WHEN close > med THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_above,
+                  CAST(sum(CASE WHEN close < med THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_below
+           FROM c, md WHERE close <> med GROUP BY 1),
+         t AS (
+           SELECT CAST(sum(n_above) AS BIGINT) AS ta,
+                  CAST(sum(n_below) AS BIGINT) AS tb,
+                  CAST(sum(n_above + n_below) AS BIGINT) AS nn
+           FROM cc),
+         x AS (
+           SELECT cc.*, t.ta, t.tb, t.nn,
+                  n_above + n_below AS ng,
+                  CAST((n_above + n_below) * t.ta AS DOUBLE) / t.nn AS ea,
+                  CAST((n_above + n_below) * t.tb AS DOUBLE) / t.nn AS eb
+           FROM cc, t)
+         SELECT event_type, n_above, n_below, ta, tb, ea AS exp_above,
+                (n_above - ea) * (n_above - ea) / ea +
+                (n_below - eb) * (n_below - eb) / eb AS chi2_contrib
+         FROM x ORDER BY event_type""",
+    // integer S+/S-; the continuity-corrected z has an INTEGER
+    // numerator (2S+ − n − sgn) over one sqrt
+    "a96_sign_test" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day,
+                  max(CASE WHEN rn = cnt THEN value END) AS close
+           FROM r GROUP BY 1, 2),
+         dl AS (
+           SELECT event_type,
+                  close - lag(close) OVER (PARTITION BY event_type
+                                           ORDER BY day) AS dd
+           FROM c),
+         agg AS (
+           SELECT event_type,
+                  CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS s_pos,
+                  CAST(sum(CASE WHEN dd < 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS s_neg
+           FROM dl WHERE dd IS NOT NULL AND dd <> CAST(0 AS DOUBLE)
+           GROUP BY 1),
+         st AS (
+           SELECT *, s_pos + s_neg AS n,
+                  2 * s_pos - (s_pos + s_neg) AS num2
+           FROM agg)
+         SELECT event_type, s_pos, s_neg, n,
+                CAST(num2 - (CASE WHEN num2 > 0 THEN 1
+                                  WHEN num2 < 0 THEN -1
+                                  ELSE 0 END) AS DOUBLE) /
+                  sqrt(CAST(n AS DOUBLE)) AS z_cc
+         FROM st ORDER BY event_type""",
+    // the a35 rank-sum frame on the ×2 integer grid: one global
+    // value window (the two-level decomposition is the Spark side's
+    // scale concern, not the oracle's); numerator exact BIGINT,
+    // magnitude label decided by integer cross-multiplication
+    "a97_cliffs_delta" ->
+      """WITH s AS (
+           SELECT value, event_type = 'click' AS g1
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         n AS (
+           SELECT CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n1,
+                  CAST(sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n2
+           FROM s),
+         perv AS (
+           SELECT value,
+                  CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS k1,
+                  CAST(count(*) AS BIGINT) AS k
+           FROM s GROUP BY value),
+         r AS (
+           SELECT k1, k,
+                  coalesce(sum(k) OVER (ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cbef
+           FROM perv),
+         a AS (
+           SELECT CAST(sum(k1 * (2 * cbef + k + 1)) AS BIGINT) AS r1x2
+           FROM r),
+         f AS (
+           SELECT n1, n2,
+                  r1x2 - n1 * (n1 + 1) - n1 * n2 AS num,
+                  n1 * n2 AS den
+           FROM a, n)
+         SELECT n1, n2,
+                CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                  AS cliffs_delta,
+                CASE WHEN abs(num) * 1000 < den * 147 THEN 'negligible'
+                     WHEN abs(num) * 1000 < den * 330 THEN 'small'
+                     WHEN abs(num) * 1000 < den * 474 THEN 'medium'
+                     ELSE 'large' END AS magnitude
+         FROM f""",
+    // a94's pair frame with γ / D_yx / D_xy — one division each from
+    // the same exact integer counts
+    "a98_gamma_somers" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day,
+                  max(CASE WHEN rn = cnt THEN value END) AS close,
+                  CAST(sum(qty) AS BIGINT) AS vol
+           FROM r GROUP BY 1, 2),
+         p AS (
+           SELECT a.event_type,
+                  a.close AS xa, a.vol AS ya,
+                  b.close AS xb, b.vol AS yb
+           FROM c a JOIN c b ON a.event_type = b.event_type
+                            AND a.day < b.day),
+         agg AS (
+           SELECT event_type, count(*) AS n0,
+                  CAST(sum(CASE WHEN (xa < xb AND ya < yb)
+                                  OR (xa > xb AND ya > yb)
+                                THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+                  CAST(sum(CASE WHEN (xa < xb AND ya > yb)
+                                  OR (xa > xb AND ya < yb)
+                                THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+                  CAST(sum(CASE WHEN xa = xb THEN 1 ELSE 0 END)
+                       AS BIGINT) AS tx,
+                  CAST(sum(CASE WHEN ya = yb THEN 1 ELSE 0 END)
+                       AS BIGINT) AS ty
+           FROM p GROUP BY 1)
+         SELECT event_type, CAST(n0 AS BIGINT) AS n0, conc, disc, tx, ty,
+                CAST(conc - disc AS DOUBLE) /
+                  CAST(conc + disc AS DOUBLE) AS gamma,
+                CAST(conc - disc AS DOUBLE) /
+                  CAST(n0 - tx AS DOUBLE) AS d_yx,
+                CAST(conc - disc AS DOUBLE) /
+                  CAST(n0 - ty AS DOUBLE) AS d_xy
+         FROM agg
+         WHERE conc + disc > 0 AND n0 > tx AND n0 > ty
+         ORDER BY event_type""",
     // single global window (the two-level decomposition is the Spark
     // side's scale concern, not the oracle's); every rank quantity is
     // an exact half-integer so the sums are order-insensitive

@@ -674,8 +674,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "a14_heatmap_argmax", "a46_bh_fdr", "a63_holm", "a35_mw_pvalue",
       // the documented two-level ECDF merges (one single-partition
       // window each over the merged boundary set — see the a33/a35
-      // test above):
-      "a33_ks_test", "a35_mannwhitney",
+      // test above); a97 reuses the identical bucketized rank frame
+      // (its single-partition window is the ≤1024-row bucket spine):
+      "a33_ks_test", "a35_mannwhitney", "a97_cliffs_delta",
       // a73's bucket-level cumulative: ≤ 1001 fixed bucket rows (the
       // two-level midrank decomposition; per-VALUE windows partition
       // by bucket):

@@ -1615,4 +1615,120 @@ class StatsSpec extends AnyFunSuite {
     }
     assert(kt.nonEmpty)
   }
+
+  test("a95-a98 median/sign/effect-size tests match sequential recomputes") {
+    import org.apache.spark.sql.functions._
+    val days = graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withColumn("qty", get_json_object(col("props"), "$.k").cast("long"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Any]("day").toString,
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("value"), r.getAs[Long]("qty")))
+      .groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
+        val ord = es.sortBy(e => (e._3.getTime, e._4))
+        (t, day, ord.last._5, ord.map(_._6).sum)
+      }.toSeq.groupBy(_._1).map { case (t, rs) =>
+        t -> rs.sortBy(_._2).toList
+      }
+    // A95 Mood's median: exact interpolated grand median, per-type
+    // integer cells, the same fixed 2-term contribution chain
+    val allCloses = days.values.flatten.map(_._3).toSeq.sorted
+    val med = {
+      val idx = 0.5 * (allCloses.size - 1)
+      val lo = allCloses(idx.toInt)
+      val hi = allCloses(math.ceil(idx).toInt)
+      lo + (hi - lo) * (idx - idx.toInt)
+    }
+    val cells = days.map { case (t, ds) =>
+      t -> (ds.count(_._3 > med).toLong, ds.count(_._3 < med).toLong)
+    }
+    val ta = cells.values.map(_._1).sum
+    val tb = cells.values.map(_._2).sum
+    val nn = ta + tb
+    val mm = graft.operators.Stats.queries("a95_mood_median")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getDouble(5), r.getDouble(6))).toMap
+    cells.foreach { case (t, (na, nb)) =>
+      val ng = na + nb
+      val ea = (ng * ta).toDouble / nn
+      val eb = (ng * tb).toDouble / nn
+      val contrib = (na - ea) * (na - ea) / ea + (nb - eb) * (nb - eb) / eb
+      assert(mm(t) == ((na, nb, ta, tb, ea, contrib)), s"$t mood")
+    }
+    assert(mm.size == cells.size && mm.nonEmpty)
+    // A96 sign test: integer numerator over one sqrt
+    val st = graft.operators.Stats.queries("a96_sign_test")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    days.foreach { case (t, ds) =>
+      val dd = ds.sliding(2).collect { case List(p, c) => c._3 - p._3 }
+        .toList.filter(_ != 0.0)
+      val pos = dd.count(_ > 0).toLong
+      val neg = dd.count(_ < 0).toLong
+      val n = pos + neg
+      if (n > 0) {
+        val num2 = 2 * pos - n
+        val z = (num2 - num2.sign).toDouble / math.sqrt(n.toDouble)
+        assert(st(t) == ((pos, neg, n, z)), s"$t sign test")
+      }
+    }
+    assert(st.nonEmpty)
+    // A97 Cliff's delta: brute-force pairwise sign count vs the
+    // rank-frame derivation (the two must agree EXACTLY — the
+    // integer-grid identity, not an approximation)
+    val vals = graft.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("value"), (col("event_type") === "click").as("g1"))
+      .collect().map(r => (r.getDouble(0), r.getBoolean(1)))
+    val xs = vals.filter(_._2).map(_._1)
+    val ys = vals.filterNot(_._2).map(_._1)
+    var numPairs = 0L
+    xs.foreach(x => ys.foreach { y =>
+      if (x > y) numPairs += 1 else if (x < y) numPairs -= 1
+    })
+    val den = xs.length.toLong * ys.length
+    val expDelta = numPairs.toDouble / den.toDouble
+    val expMag =
+      if (math.abs(numPairs) * 1000 < den * 147) "negligible"
+      else if (math.abs(numPairs) * 1000 < den * 330) "small"
+      else if (math.abs(numPairs) * 1000 < den * 474) "medium"
+      else "large"
+    val cd = graft.operators.Stats.queries("a97_cliffs_delta")(spark, sf)
+      .collect()
+    assert(cd.length == 1)
+    assert(cd(0).getLong(0) == xs.length.toLong &&
+      cd(0).getLong(1) == ys.length.toLong)
+    assert(cd(0).getDouble(2) == expDelta,
+      s"delta ${cd(0).getDouble(2)} != $expDelta")
+    assert(cd(0).getString(3) == expMag)
+    // A98 gamma / Somers' D from the same pair counts as a94
+    val gs = graft.operators.Stats.queries("a98_gamma_somers")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getLong(5), r.getDouble(6), r.getDouble(7), r.getDouble(8)))
+      .toMap
+    days.foreach { case (t, ds) =>
+      val pts = ds.map(d => (d._3, d._4))
+      val prs = for {
+        i <- pts.indices; j <- (i + 1) until pts.size
+      } yield (pts(i), pts(j))
+      val n0 = prs.size.toLong
+      val conc = prs.count { case ((xa, ya), (xb, yb)) =>
+        (xa < xb && ya < yb) || (xa > xb && ya > yb) }.toLong
+      val disc = prs.count { case ((xa, ya), (xb, yb)) =>
+        (xa < xb && ya > yb) || (xa > xb && ya < yb) }.toLong
+      val tx = prs.count { case ((xa, _), (xb, _)) => xa == xb }.toLong
+      val ty = prs.count { case ((_, ya), (_, yb)) => ya == yb }.toLong
+      if (conc + disc > 0 && n0 > tx && n0 > ty) {
+        val gamma = (conc - disc).toDouble / (conc + disc).toDouble
+        val dyx = (conc - disc).toDouble / (n0 - tx).toDouble
+        val dxy = (conc - disc).toDouble / (n0 - ty).toDouble
+        assert(gs(t) == ((n0, conc, disc, tx, ty, gamma, dyx, dxy)),
+          s"$t gamma/somers")
+      } else assert(!gs.contains(t))
+    }
+    assert(gs.nonEmpty)
+  }
 }
