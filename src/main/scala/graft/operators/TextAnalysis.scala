@@ -583,6 +583,62 @@ object TextAnalysis {
     // to TXT20's 1e-12 grid (cross-engine libm ulps), the regression
     // then runs in exact-input IEEE, β/K reported r6. Fully
     // oracle-checked.
+    // TXT23: Yule's characteristic K + Simpson's lexical concentration
+    // — the repeat-rate constants corpus datasheets report beside
+    // TXT13's entropy and TXT21's MATTR (Yule 1944): K =
+    // 10⁴·(Σm²·V(m) − N)/N² and D = Σm(m−1)/(N(N−1)) over the
+    // frequency SPECTRUM V(m) (how many types occur m times). Both
+    // fold to INTEGER totals (Σm²V(m) = Σ over types of count², a
+    // single hash agg over the token counts — the spectrum never
+    // materializes for the constants) with ONE fixed division each;
+    // hapax/dis-legomena counts V(1)/V(2) ride along as the tail
+    // diagnostics. Scale: explode → two chained hash aggs (token,
+    // then 1-row) — map-side-combinable end to end.
+    "txt23_yules_k" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("m"))
+        .agg(sum(col("m")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(col("m") * col("m")).as("m2"),
+          sum(when(col("m") === 1, 1L).otherwise(0L)).as("v1"),
+          sum(when(col("m") === 2, 1L).otherwise(0L)).as("v2"))
+        .select(col("n_tokens"), col("n_types"), col("v1"), col("v2"),
+          (lit(10000.0d) * (col("m2") - col("n_tokens")).cast("double") /
+            (col("n_tokens") * col("n_tokens")).cast("double"))
+            .as("yules_k"),
+          ((col("m2") - col("n_tokens")).cast("double") /
+            (col("n_tokens") * (col("n_tokens") - 1)).cast("double"))
+            .as("simpson_d"))
+    }),
+
+    // TXT24: Good–Turing frequency spectrum — the smoothed count
+    // table every n-gram language model starts from (Good 1953):
+    // for each observed frequency r, N_r types and the adjusted
+    // r* = (r+1)·N_{r+1}/N_r, with p_gt = r*/N the smoothed
+    // per-type probability. Rows where N_{r+1} is empty drop (the
+    // unsmoothable spectrum tail, the published convention); the
+    // spectrum joins ITSELF on r+1 — a ≤|distinct r| frame, tiny at
+    // any corpus size (the spectrum, not the vocab, is the join
+    // input). Integer products, two fixed divisions.
+    "txt24_good_turing" -> ((s, d) => {
+      val spectrum = Tables.documents(s, d)
+        .select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("r"))
+        .groupBy("r").agg(count(lit(1)).as("n_r"))
+      val tot = spectrum.agg(sum(col("r") * col("n_r")).as("nn"))
+      val nxt = spectrum.select((col("r") - 1).as("r"),
+        col("n_r").as("n_r1"))
+      spectrum.join(nxt, Seq("r"))
+        .crossJoin(broadcast(tot))
+        .withColumn("r_star",
+          ((col("r") + 1) * col("n_r1")).cast("double") /
+            col("n_r").cast("double"))
+        .select(col("r"), col("n_r"), col("n_r1"), col("r_star"),
+          (col("r_star") / col("nn").cast("double")).as("p_gt"))
+        .orderBy("r")
+    }),
+
     "txt22_heaps_growth" -> ((s, d) => {
       val pcts = Seq(1, 2, 5, 10, 20, 50, 100)
       val docs = Tables.documents(s, d)
@@ -1498,6 +1554,44 @@ object TextAnalysis {
                   row_number() OVER (ORDER BY n DESC, w) AS rank
            FROM agg)
          WHERE rank <= 1000 ORDER BY rank""",
+    // integer spectrum totals (Σm² = Σ count² over types), one fixed
+    // division per constant
+    "txt23_yules_k" ->
+      """WITH wc AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+           FROM documents),
+         tc AS (SELECT w, CAST(count(*) AS BIGINT) AS m FROM wc GROUP BY 1),
+         agg AS (
+           SELECT CAST(sum(m) AS BIGINT) AS n_tokens,
+                  CAST(count(*) AS BIGINT) AS n_types,
+                  CAST(sum(m * m) AS BIGINT) AS m2,
+                  CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS v1,
+                  CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS v2
+           FROM tc)
+         SELECT n_tokens, n_types, v1, v2,
+                CAST(10000 AS DOUBLE) * CAST(m2 - n_tokens AS DOUBLE) /
+                  CAST(n_tokens * n_tokens AS DOUBLE) AS yules_k,
+                CAST(m2 - n_tokens AS DOUBLE) /
+                  CAST(n_tokens * (n_tokens - 1) AS DOUBLE) AS simpson_d
+         FROM agg""",
+    // the spectrum self-join on r+1; integer products, two divisions
+    "txt24_good_turing" ->
+      """WITH wc AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+           FROM documents),
+         tc AS (SELECT w, CAST(count(*) AS BIGINT) AS r FROM wc GROUP BY 1),
+         sp AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r
+                FROM tc GROUP BY 1),
+         tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS nn FROM sp)
+         SELECT a.r, a.n_r, b.n_r AS n_r1,
+                CAST((a.r + 1) * b.n_r AS DOUBLE) / CAST(a.n_r AS DOUBLE)
+                  AS r_star,
+                CAST((a.r + 1) * b.n_r AS DOUBLE) / CAST(a.n_r AS DOUBLE)
+                  / CAST(t.nn AS DOUBLE) AS p_gt
+         FROM sp a JOIN sp b ON b.r = a.r + 1, tot t
+         ORDER BY a.r""",
     "txt1_token_stats" ->
       """SELECT doc_id,
                 CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,

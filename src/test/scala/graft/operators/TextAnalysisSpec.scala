@@ -433,4 +433,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(bF - 1.0) < 1e-6, s"fresh beta $bF")
     assert(bC < 0.2 && bC >= 0.0, s"cycler beta $bC")
   }
+
+  test("txt23/txt24: spectrum constants match a sequential recompute") {
+    val sf = SparkTestSession.Sf0001
+    val counts = graft.Tables.documents(spark, sf).collect()
+      .flatMap(_.getAs[String]("text").trim.toLowerCase.split("\\s+"))
+      .groupBy(identity).map { case (_, ws) => ws.length.toLong }.toSeq
+    val n = counts.sum
+    val m2 = counts.map(m => m * m).sum
+    // TXT23: Yule's K + Simpson D from the same integer totals
+    val yk = TextAnalysis.queries("txt23_yules_k")(spark, sf).head()
+    assert(yk.getLong(0) == n && yk.getLong(1) == counts.size.toLong)
+    assert(yk.getLong(2) == counts.count(_ == 1L).toLong)
+    assert(yk.getLong(3) == counts.count(_ == 2L).toLong)
+    assert(yk.getDouble(4) == 10000.0 * (m2 - n).toDouble / (n * n).toDouble)
+    assert(yk.getDouble(5) == (m2 - n).toDouble / (n * (n - 1)).toDouble)
+    // sanity: a maximally repetitive corpus has a larger K than the
+    // real one (repeat-rate direction)
+    assert(yk.getDouble(4) > 0.0 && yk.getDouble(5) > 0.0)
+    // TXT24: Good–Turing r* over the spectrum self-join
+    val spectrum = counts.groupBy(identity)
+      .map { case (r, ts) => r -> ts.length.toLong }
+    val gt = TextAnalysis.queries("txt24_good_turing")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val expKeys = spectrum.keySet.filter(r => spectrum.contains(r + 1))
+    assert(gt.keySet == expKeys && gt.nonEmpty)
+    gt.foreach { case (r, (nr, nr1, rStar, pGt)) =>
+      assert(nr == spectrum(r) && nr1 == spectrum(r + 1), s"r=$r spectrum")
+      val exp = ((r + 1) * spectrum(r + 1)).toDouble / spectrum(r).toDouble
+      assert(rStar == exp, s"r=$r r_star")
+      assert(pGt == exp / n.toDouble, s"r=$r p_gt")
+      // smoothing direction: the adjusted mass is finite and positive
+      assert(rStar > 0.0)
+    }
+  }
 }
