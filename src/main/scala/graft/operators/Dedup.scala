@@ -767,6 +767,86 @@ object Dedup {
         Tables.documents(s, d).select(col("doc_id")), iters = 4)
         .orderBy("doc_id")),
 
+    // D21: k-core decomposition (coreness capped at 3) over the same
+    // verified corpus graph — the density LADDER the flat D13
+    // coefficient can't see: coreness 1 = merely-paired doc,
+    // 2 = member of a cycle/ring, 3 = embedded in a near-clique (the
+    // boilerplate-template core dedup wants to collapse first). The
+    // peel is SYNCHRONOUS with a FIXED 8-round budget per level
+    // (n_r = nodes with deg ≥ k in e_{r−1}; e_r = e_{r−1} restricted
+    // to n_r×n_r — the sql7 bounded-iteration doctrine: the bound is
+    // a literal of the operator, DedupSpec asserts the fixed point
+    // was reached inside it, and the DuckDB twin UNROLLS the same 16
+    // rounds as chained CTEs over the exhaustive graph). Integer set
+    // arithmetic end to end → fully hash-checked; each round is two
+    // keyed semi-joins + one hash agg with an O(1) localCheckpoint'd
+    // plan (the D10 pattern).
+    "d21_kcore" -> ((s, d) => {
+      val e0 = verifiedCorpusPairs(s, d, 0.5).localCheckpoint()
+      def peel(e: DataFrame, k: Int, rounds: Int): (DataFrame, DataFrame) = {
+        var cur = e
+        var keep: DataFrame = cur.select(col("da").as("v")).limit(0)
+        for (_ <- 1 to rounds) {
+          val deg = cur.select(col("da").as("v"))
+            .unionAll(cur.select(col("db").as("v")))
+            .groupBy("v").agg(count(lit(1)).as("dg"))
+          keep = deg.filter(col("dg") >= k).select("v").localCheckpoint()
+          cur = cur
+            .join(keep.select(col("v").as("da")), Seq("da"), "left_semi")
+            .join(keep.select(col("v").as("db")), Seq("db"), "left_semi")
+            .localCheckpoint()
+        }
+        (keep, cur)
+      }
+      val (n2, e2) = peel(e0, 2, 8)
+      val (n3, _) = peel(e2, 3, 8)
+      val c1 = e0.select(col("da").as("doc_id"))
+        .unionAll(e0.select(col("db").as("doc_id"))).distinct()
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(c1.withColumn("c1", lit(1L)), Seq("doc_id"), "left")
+        .join(n2.select(col("v").as("doc_id"), lit(1L).as("c2")),
+          Seq("doc_id"), "left")
+        .join(n3.select(col("v").as("doc_id"), lit(1L).as("c3")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("c3") * 3, col("c2") * 2, col("c1"), lit(0L))
+            .as("coreness"))
+        .orderBy("doc_id")
+    }),
+
+    // D22: degree assortativity of the verified corpus graph — does
+    // boilerplate link hub-to-hub (r > 0, one template family) or
+    // hub-to-leaf (r < 0, a star of variants around one source)?
+    // Newman's r is the Pearson correlation of endpoint degrees over
+    // DIRECTED edge copies: r = (M·Σjk − (Σj)²)/(M·Σj² − (Σj)²) —
+    // every sum an exact BIGINT (degrees are counts), ONE division
+    // at the end; the zero-variance regular-graph case is excluded
+    // by an exact integer filter. One degree agg + two keyed joins +
+    // one 1-row fold.
+    "d22_assortativity" -> ((s, d) => {
+      val p = verifiedCorpusPairs(s, d, 0.5)
+      val deg = p.select(col("da").as("v"))
+        .unionAll(p.select(col("db").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+      val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+      val dir = p.select(col("da"), col("db"))
+        .unionAll(p.select(col("db").as("da"), col("da").as("db")))
+      dir
+        .join(deg.select(col("v").as("da"), col("dg").as("j")), Seq("da"))
+        .join(deg.select(col("v").as("db"), col("dg").as("k")), Seq("db"))
+        .agg(count(lit(1)).as("m2"),
+          sum(col("j") * col("k")).as("sjk"),
+          sum(col("j")).as("sj"),
+          sum(col("j") * col("j")).as("sj2"))
+        .filter(col("m2") * col("sj2") - col("sj") * col("sj") =!= 0)
+        .crossJoin(broadcast(nodes))
+        .select((col("m2").cast("double") / 2).cast("long").as("n_edges"),
+          col("n_nodes"),
+          ((col("m2") * col("sjk") - col("sj") * col("sj")).cast("double") /
+            (col("m2") * col("sj2") - col("sj") * col("sj")).cast("double"))
+            .as("assortativity"))
+    }),
+
     // D4: 64-bit SimHash signature per document (bitstring form).
     "d4_simhash" -> ((s, d) =>
       simhashBitSums(s, d)
@@ -1011,6 +1091,100 @@ object Dedup {
                                          ORDER BY n DESC, label) AS rk
                FROM c$i) WHERE rk = 1)""").mkString(",\n           ")}
          SELECT doc_id, label FROM l4 ORDER BY doc_id""",
+    // D21: the exhaustive corpus 0.5 graph, then the SAME 8+8
+    // synchronous peel rounds unrolled as chained CTEs (fixed-round
+    // literal of the operator — no recursion, pure integer set
+    // arithmetic, bit-exact on both engines). Every round CTE is
+    // MATERIALIZED: DuckDB inlines CTEs by default, and each round
+    // references its predecessor 4× — unmaterialized, the 16-round
+    // chain re-expands the base scan 4¹⁶ times and dies on file
+    // handles before it dies on CPU.
+    "d21_kcore" -> {
+      def peelCtes(lvl: Int, k: Int, seed: String): String =
+        (1 to 8).map { r =>
+          val prev = if (r == 1) seed else s"e${lvl}_${r - 1}"
+          s"""n${lvl}_$r AS MATERIALIZED (
+             SELECT v FROM (SELECT da AS v FROM $prev
+                            UNION ALL SELECT db AS v FROM $prev)
+             GROUP BY v HAVING count(*) >= $k),
+           e${lvl}_$r AS MATERIALIZED (
+             SELECT da, db FROM $prev
+             WHERE da IN (SELECT v FROM n${lvl}_$r)
+               AND db IN (SELECT v FROM n${lvl}_$r))"""
+        }.mkString(",\n           ")
+      s"""WITH docs AS (
+             SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+             FROM documents),
+           sh AS (
+             SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+             FROM docs WHERE len(t) >= 3),
+           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           inter AS (
+             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           pairs AS MATERIALIZED (
+             SELECT da, db FROM inter
+             JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+             WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.5),
+           ${peelCtes(2, 2, "pairs")},
+           ${peelCtes(3, 3, "e2_8")},
+           c1 AS (
+             SELECT DISTINCT v FROM (SELECT da AS v FROM pairs
+                                     UNION ALL SELECT db AS v FROM pairs))
+         SELECT d.doc_id,
+                CAST(CASE WHEN d.doc_id IN (SELECT v FROM n3_8) THEN 3
+                          WHEN d.doc_id IN (SELECT v FROM n2_8) THEN 2
+                          WHEN d.doc_id IN (SELECT v FROM c1) THEN 1
+                          ELSE 0 END AS BIGINT) AS coreness
+         FROM documents d ORDER BY doc_id"""
+    },
+    // D22: same exhaustive graph; Newman's r over directed edge
+    // copies — integer sums, one division
+    "d22_assortativity" ->
+      """WITH docs AS (
+             SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             FROM documents),
+           sh AS (
+             SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+             FROM docs WHERE len(t) >= 3),
+           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           inter AS (
+             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           pairs AS (
+             SELECT da, db FROM inter
+             JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+             WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.5),
+           deg AS (
+             SELECT v, CAST(count(*) AS BIGINT) AS dg FROM (
+               SELECT da AS v FROM pairs
+               UNION ALL SELECT db AS v FROM pairs)
+             GROUP BY 1),
+           nodes AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+           dir AS (
+             SELECT da, db FROM pairs
+             UNION ALL SELECT db AS da, da AS db FROM pairs),
+           de AS (
+             SELECT x.dg AS j, y.dg AS k
+             FROM dir JOIN deg x ON dir.da = x.v
+                      JOIN deg y ON dir.db = y.v),
+           agg AS (
+             SELECT CAST(count(*) AS BIGINT) AS m2,
+                    CAST(sum(j * k) AS BIGINT) AS sjk,
+                    CAST(sum(j) AS BIGINT) AS sj,
+                    CAST(sum(j * j) AS BIGINT) AS sj2
+             FROM de)
+         SELECT CAST(CAST(m2 AS DOUBLE) / 2 AS BIGINT) AS n_edges,
+                n_nodes,
+                CAST(m2 * sjk - sj * sj AS DOUBLE) /
+                  CAST(m2 * sj2 - sj * sj AS DOUBLE) AS assortativity
+         FROM agg, nodes WHERE m2 * sj2 - sj * sj <> 0""",
     // D13b: d12_tri_corpus's exhaustive full-corpus CTE chain + the
     // d13 degree normalization (deg < 2 excluded) — hash equality
     // again proves the banded LSH graph recalled every exhaustive

@@ -594,6 +594,64 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
   }
 
+  test("D21 k-core matches a sequential peel and reaches its fixed point") {
+    val sf = SparkTestSession.Sf0001
+    val (nodes, pairs) = corpusGraph
+    // sequential synchronous peel, same fixed 8-round budget
+    def peel(edges: Set[(Long, Long)], k: Int)
+        : (Vector[Set[Long]], Set[(Long, Long)]) = {
+      var e = edges
+      var ns = Vector.empty[Set[Long]]
+      for (_ <- 1 to 8) {
+        val deg = e.toSeq.flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).map { case (v, c) => v -> c.size }
+        val keep = deg.filter(_._2 >= k).keySet.toSet
+        ns :+= keep
+        e = e.filter(p => keep(p._1) && keep(p._2))
+      }
+      (ns, e)
+    }
+    val (n2s, e2) = peel(pairs.toSet, 2)
+    val (n3s, _) = peel(e2, 3)
+    // the 8-round budget is a literal of the operator: the peel must
+    // be AT its fixed point by the last round, or the bound is a lie
+    assert(n2s(7) == n2s(6), "2-core peel not at fixpoint within 8 rounds")
+    assert(n3s(7) == n3s(6), "3-core peel not at fixpoint within 8 rounds")
+    val c1 = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val exp = nodes.map { v =>
+      v -> (if (n3s(7)(v)) 3L else if (n2s(7)(v)) 2L
+            else if (c1(v)) 1L else 0L)
+    }.toMap
+    val got = Dedup.queries("d21_kcore")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp)
+    // non-vacuity: the corpus graph populates the whole ladder
+    assert(Set(0L, 1L, 2L, 3L).subsetOf(got.values.toSet),
+      s"coreness ladder degenerate: ${got.values.toSet}")
+  }
+
+  test("D22 assortativity matches the sequential Newman r; cliques explain 1") {
+    val sf = SparkTestSession.Sf0001
+    val (_, pairs) = corpusGraph
+    val deg = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (v, c) => v -> c.size.toLong }
+    val dir = pairs ++ pairs.map(p => (p._2, p._1))
+    val m2 = dir.length.toLong
+    val sjk = dir.map(p => deg(p._1) * deg(p._2)).sum
+    val sj = dir.map(p => deg(p._1)).sum
+    val sj2 = dir.map(p => deg(p._1) * deg(p._1)).sum
+    val r = (m2 * sjk - sj * sj).toDouble / (m2 * sj2 - sj * sj).toDouble
+    val row = Dedup.queries("d22_assortativity")(spark, sf).head()
+    assert(row.getLong(0) == m2 / 2 && row.getLong(1) == deg.size.toLong)
+    assert(row.getDouble(2) == r, s"got ${row.getDouble(2)} exp $r")
+    // the corpus dup graph is clique-structured: every edge joins
+    // equal-degree endpoints, which forces r = 1 exactly — assert the
+    // structural CAUSE alongside the value so a future corpus that
+    // breaks the pattern fails here with the right message
+    if (pairs.forall(p => deg(p._1) == deg(p._2)))
+      assert(row.getDouble(2) == 1.0)
+  }
+
   test("triangle counts equal the naive closed-wedge count on random graphs") {
     // property: for ANY edge set - including degree ties, where the
     // (degree, id) orientation tiebreak is the part a real-data
