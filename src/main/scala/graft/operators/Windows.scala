@@ -156,6 +156,91 @@ object Windows {
        FROM sig ORDER BY event_type, day"""
   }
 
+  /** W41 oracle — macdOracleSql's generated cascade with the
+    * percentage normalization (same weights, same emission rules). */
+  private def ppoOracleSql: String = {
+    def w(span: Int, j: Int): String = "%.17e".formatLocal(
+      java.util.Locale.ROOT, macdWeight(span, j))
+    def ewma(span: Int, c0: String, p: String): String = {
+      def cn(j: Int) = if (j == 0) c0 else s"$p$j"
+      def term(j: Int, body: String): String =
+        s"CASE WHEN ${cn(j)} IS NOT NULL THEN $body ELSE 0.0 END"
+      val num = (0 until MacdK).map(j =>
+        term(j, s"${w(span, j)} * ${cn(j)}")).mkString(" + ")
+      val den = (0 until MacdK).map(j =>
+        term(j, w(span, j))).mkString(" + ")
+      s"(($num) / ($den))"
+    }
+    val pxLags = (1 until MacdK).map(j =>
+      s"lag(px, $j) OVER wt AS l$j").mkString(",\n                  ")
+    val pLags = (1 until MacdK).map(j =>
+      s"lag(ppo, $j) OVER wt AS p$j").mkString(",\n                  ")
+    s"""WITH $DailyPxCte,
+         lagged AS (
+           SELECT event_type, day, px,
+                  $pxLags
+           FROM daily
+           WINDOW wt AS (PARTITION BY event_type ORDER BY day)),
+         m AS (
+           SELECT event_type, day,
+                  CAST(100 AS DOUBLE) *
+                    (${ewma(12, "px", "l")} - ${ewma(26, "px", "l")}) /
+                    ${ewma(26, "px", "l")} AS ppo
+           FROM lagged),
+         lagged2 AS (
+           SELECT event_type, day, ppo,
+                  $pLags
+           FROM m
+           WINDOW wt AS (PARTITION BY event_type ORDER BY day)),
+         sig AS (
+           SELECT event_type, day, ppo,
+                  ${ewma(9, "ppo", "p")} AS signal
+           FROM lagged2)
+       SELECT event_type, day, ppo, signal, ppo - signal AS hist
+       FROM sig ORDER BY event_type, day"""
+  }
+
+  /** W42 oracle — W19's RSI chain verbatim, then the %K fold over
+    * the RSI series itself. */
+  private def stochRsiOracleSql: String =
+    s"""WITH $DailyPxCte,
+         d AS (
+           SELECT event_type, day, px,
+                  px - lag(px, 1) OVER (PARTITION BY event_type
+                                        ORDER BY day) AS delta
+           FROM daily),
+         g AS (
+           SELECT event_type, day, px, delta,
+                  CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS gain,
+                  CASE WHEN delta < 0 THEN -delta ELSE 0.0 END AS loss
+           FROM d),
+         r AS (
+           SELECT event_type, day,
+                  count(delta) OVER f AS n,
+                  CAST(CAST(sum(CAST(gain AS DECIMAL(30,12))) OVER f
+                       AS VARCHAR) AS DOUBLE) AS sg,
+                  CAST(CAST(sum(CAST(loss AS DECIMAL(30,12))) OVER f
+                       AS VARCHAR) AS DOUBLE) AS sl
+           FROM g
+           WINDOW f AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+         rs AS (
+           SELECT event_type, day,
+                  CASE WHEN sl = 0 THEN 100.0
+                       ELSE 100.0 - 100.0 /
+                            (1.0 + (sg / n) / (sl / n)) END AS rsi
+           FROM r WHERE n = 14),
+         k AS (
+           SELECT event_type, day, rsi,
+                  count(*) OVER f2 AS n2,
+                  min(rsi) OVER f2 AS mn,
+                  max(rsi) OVER f2 AS mx
+           FROM rs
+           WINDOW f2 AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+       SELECT event_type, day, rsi, (rsi - mn) / (mx - mn) AS stoch_rsi
+       FROM k WHERE n2 = 14 AND mx > mn ORDER BY event_type, day"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // W1: calendar forward return over the next row (+ P6 null gate).
     "w1_forward_return" -> ((s, d) =>
@@ -439,6 +524,116 @@ object Windows {
         .withColumn("signal", ewma(9, mcol))
         .select(col("event_type"), col("day"), col("macd"),
           col("signal"), (col("macd") - col("signal")).as("hist"))
+        .orderBy("event_type", "day")
+    }),
+
+    // W40: detrended price oscillator — price relative to a DISPLACED
+    // 20-day SMA (DPO = px[t−11] − SMA₂₀[t]): kills the trend
+    // component so cycle length reads directly off the zero
+    // crossings. One decimal-pinned frame sum → one render → one
+    // division → one subtraction on raw doubles (nothing to round);
+    // full 20-row frames only. Same single per-type shuffle as W9.
+    "w40_dpo" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("px"))
+      val wT = Window.partitionBy("event_type").orderBy("day")
+      val frame = wT.rowsBetween(-19, 0)
+      daily
+        .withColumn("n", count(lit(1)).over(frame))
+        .withColumn("sma",
+          sum(col("px").cast("decimal(30,12)")).over(frame)
+            .cast("double") / 20)
+        .withColumn("ref", lag(col("px"), 11).over(wT))
+        .filter(col("n") === 20)
+        .select(col("event_type"), col("day"), col("px"), col("sma"),
+          (col("ref") - col("sma")).as("dpo"))
+        .orderBy("event_type", "day")
+    }),
+
+    // W41: percentage price oscillator — W20's MACD normalized by the
+    // slow EMA (ppo = 100·(EMA₁₂−EMA₂₆)/EMA₂₆, signal = 9-EMA of
+    // ppo, hist = ppo−signal), the scale-free form that compares
+    // across differently-priced series. Reuses W20's truncated-EWMA
+    // cascade verbatim (same MacdK depth, same 17-digit literal
+    // weights, same left-associated sums, ONE hash exchange for both
+    // window passes) — only the final arithmetic differs, and it is
+    // a fixed IEEE chain on identical doubles.
+    "w41_ppo" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("px"))
+      val wT = Window.partitionBy("event_type").orderBy("day")
+      def ewma(span: Int, cn: Int => Column): Column = {
+        val terms = (0 until MacdK).map { j =>
+          val c = cn(j)
+          (when(c.isNotNull, lit(macdWeight(span, j)) * c)
+             .otherwise(lit(0.0)),
+           when(c.isNotNull, lit(macdWeight(span, j))).otherwise(lit(0.0)))
+        }
+        terms.map(_._1).reduce(_ + _) / terms.map(_._2).reduce(_ + _)
+      }
+      val lagged = (1 until MacdK).foldLeft(daily)((df, j) =>
+        df.withColumn(s"l$j", lag(col("px"), j).over(wT)))
+      def lcol(j: Int) = if (j == 0) col("px") else col(s"l$j")
+      val withPpo = lagged
+        .withColumn("ppo",
+          lit(100.0) * (ewma(12, lcol) - ewma(26, lcol)) / ewma(26, lcol))
+        .select(col("event_type"), col("day"), col("ppo"))
+      val lagged2 = (1 until MacdK).foldLeft(withPpo)((df, j) =>
+        df.withColumn(s"p$j", lag(col("ppo"), j).over(wT)))
+      def pcol(j: Int) = if (j == 0) col("ppo") else col(s"p$j")
+      lagged2
+        .withColumn("signal", ewma(9, pcol))
+        .select(col("event_type"), col("day"), col("ppo"),
+          col("signal"), (col("ppo") - col("signal")).as("hist"))
+        .orderBy("event_type", "day")
+    }),
+
+    // W42: stochastic RSI — W26's %K lens applied to W19's RSI
+    // instead of price ((rsi − min₁₄rsi)/(max₁₄rsi − min₁₄rsi)): how
+    // overbought is the oscillator RELATIVE TO ITS OWN RANGE, the
+    // faster-turning second derivative traders layer on RSI. The RSI
+    // chain is W19's verbatim (decimal-pinned gain/loss frame sums,
+    // one render each); min/max fold with NO summation over those
+    // bit-identical doubles, one division; flat windows (max = min)
+    // are excluded by an exact double comparison. Two chained frames
+    // over one per-type shuffle.
+    "w42_stochrsi" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("px"))
+      val wT = Window.partitionBy("event_type").orderBy("day")
+      val frame = wT.rowsBetween(-13, 0)
+      def s14(c: Column) = sum(c.cast("decimal(30,12)")).over(frame)
+        .cast("double")
+      val rsi = daily
+        .withColumn("delta", col("px") - lag(col("px"), 1).over(wT))
+        .withColumn("gain",
+          when(col("delta") > 0, col("delta")).otherwise(lit(0.0)))
+        .withColumn("loss",
+          when(col("delta") < 0, -col("delta")).otherwise(lit(0.0)))
+        .withColumn("n", count(col("delta")).over(frame))
+        .withColumn("sg", s14(col("gain")))
+        .withColumn("sl", s14(col("loss")))
+        .filter(col("n") === 14)
+        .select(col("event_type"), col("day"),
+          when(col("sl") === 0, lit(100.0))
+            .otherwise(lit(100.0) - lit(100.0) /
+              (lit(1.0) + (col("sg") / col("n")) / (col("sl") / col("n"))))
+            .as("rsi"))
+      val frame2 = wT.rowsBetween(-13, 0)
+      rsi
+        .withColumn("n2", count(lit(1)).over(frame2))
+        .withColumn("mn", min(col("rsi")).over(frame2))
+        .withColumn("mx", max(col("rsi")).over(frame2))
+        .filter(col("n2") === 14 && col("mx") > col("mn"))
+        .select(col("event_type"), col("day"), col("rsi"),
+          ((col("rsi") - col("mn")) / (col("mx") - col("mn")))
+            .as("stoch_rsi"))
         .orderBy("event_type", "day")
     }),
 
@@ -1532,6 +1727,24 @@ object Windows {
          FROM att WHERE event_type = 'purchase'
          ORDER BY event_id""",
     "w20_macd" -> macdOracleSql,
+    "w41_ppo" -> ppoOracleSql,
+    "w42_stochrsi" -> stochRsiOracleSql,
+    // one pinned frame sum → one render → one division; dpo on raw
+    // doubles (pure elementwise, nothing to round)
+    "w40_dpo" ->
+      s"""WITH $DailyPxCte,
+         f AS (
+           SELECT event_type, day, px,
+                  count(*) OVER w AS n,
+                  CAST(CAST(sum(CAST(px AS DECIMAL(30,12))) OVER w
+                       AS VARCHAR) AS DOUBLE) / 20 AS sma,
+                  lag(px, 11) OVER (PARTITION BY event_type
+                                    ORDER BY day) AS ref
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+       SELECT event_type, day, px, sma, ref - sma AS dpo
+       FROM f WHERE n = 20 ORDER BY event_type, day""",
     "w11_gap_fill" ->
       """WITH daily AS (
            SELECT user_id, date_trunc('day', ts) AS day,

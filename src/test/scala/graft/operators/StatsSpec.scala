@@ -1527,6 +1527,100 @@ class StatsSpec extends AnyFunSuite {
     assert(nFi > 0 && nFi == fi.size)
   }
 
+  test("w40-w42 detrend/ppo/stochrsi match sequential daily-mean sweeps") {
+    def dpin(scale: Int)(xs: Seq[Double]): Double =
+      xs.map(BigDecimal(_).setScale(scale, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    import org.apache.spark.sql.functions._
+    // per-type day-ordered daily MEAN px (the W19/W20 series: exact
+    // decimal sum → one double render → IEEE divide by count)
+    val px = graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Any]("day").toString,
+        r.getAs[Double]("value")))
+      .groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
+        (t, day, dpin(10)(es.map(_._3).toSeq) / es.size)
+      }.toSeq.groupBy(_._1).map { case (t, rs) =>
+        t -> rs.sortBy(_._2).map(r => (r._2, r._3)).toList
+      }
+    // W40 DPO: displaced SMA
+    val dpo = graft.operators.Windows.queries("w40_dpo")(spark, sf)
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    var nDpo = 0
+    px.foreach { case (t, ds) =>
+      ds.indices.foreach { i =>
+        if (i >= 19) {
+          val win = ds.slice(i - 19, i + 1).map(_._2)
+          val sma = dpin(12)(win) / 20
+          val ref = ds(i - 11)._2
+          assert(dpo((t, ds(i)._1)) == ((ds(i)._2, sma, ref - sma)),
+            s"$t ${ds(i)._1} dpo")
+          nDpo += 1
+        }
+      }
+    }
+    assert(nDpo > 0 && nDpo == dpo.size)
+    // W41 PPO: truncated-EWMA cascade, left-associated sums
+    def mw(span: Int, j: Int): Double =
+      math.pow((span - 1.0) / (span + 1.0), j)
+    def ewmaAt(series: List[Double], i: Int, span: Int): Double = {
+      var num = 0.0; var den = 0.0
+      (0 until 24).foreach { j =>
+        if (i - j >= 0) { num += mw(span, j) * series(i - j)
+          den += mw(span, j) }
+        else { num += 0.0; den += 0.0 }
+      }
+      num / den
+    }
+    val ppo = graft.operators.Windows.queries("w41_ppo")(spark, sf)
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    px.foreach { case (t, ds) =>
+      val s = ds.map(_._2)
+      val pline = s.indices.map(i =>
+        100.0 * (ewmaAt(s, i, 12) - ewmaAt(s, i, 26)) /
+          ewmaAt(s, i, 26)).toList
+      s.indices.foreach { i =>
+        val sig = ewmaAt(pline, i, 9)
+        assert(ppo((t, ds(i)._1)) == ((pline(i), sig, pline(i) - sig)),
+          s"$t ${ds(i)._1} ppo")
+      }
+    }
+    assert(ppo.nonEmpty)
+    // W42 StochRSI: the W19 chain then the %K fold over RSI itself
+    val sr = graft.operators.Windows.queries("w42_stochrsi")(spark, sf)
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    var nSr = 0
+    px.foreach { case (t, ds) =>
+      val deltas = ds.sliding(2).collect {
+        case List(p, c) => (c._1, c._2 - p._2)
+      }.toList
+      val rsis = deltas.sliding(14).collect {
+        case win if win.size == 14 =>
+          val sg = dpin(12)(win.map(d => math.max(d._2, 0.0)))
+          val sl = dpin(12)(win.map(d => math.max(-d._2, 0.0)))
+          (win.last._1,
+            if (sl == 0.0) 100.0
+            else 100.0 - 100.0 / (1.0 + (sg / 14) / (sl / 14)))
+      }.toList
+      rsis.sliding(14).foreach { win =>
+        if (win.size == 14) {
+          val mn = win.map(_._2).min; val mx = win.map(_._2).max
+          if (mx > mn) {
+            val exp = (win.last._2 - mn) / (mx - mn)
+            assert(sr((t, win.last._1)) == ((win.last._2, exp)),
+              s"$t ${win.last._1} stochrsi")
+            nSr += 1
+          } else assert(!sr.contains((t, win.last._1)))
+        }
+      }
+    }
+    assert(nSr > 0 && nSr == sr.size)
+  }
+
   test("a92-a94 paired/rank tests match sequential recomputations") {
     import org.apache.spark.sql.functions._
     // per-type day-ordered (close, vol) panel
