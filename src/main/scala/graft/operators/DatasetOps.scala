@@ -382,6 +382,51 @@ object DatasetOps {
         .orderBy("global_pos")
     }),
 
+    // DS20: rolling-origin evaluation splits (expanding-window
+    // time-series CV, Tashman 2000) — the split DS1/DS11's hash folds
+    // must NEVER be used for on temporal data (random folds leak the
+    // future into training): fold f trains on everything up to
+    // cutoff_f and tests on the (cutoff_f, cutoff_{f+1}] slice, with
+    // cutoffs on the INTEGER day-offset grid (offset = datediff from
+    // the corpus min day; cutoff_f = span·f div (K+1) — integer
+    // division, no date arithmetic anywhere a binary-rounded double
+    // could touch). Audit columns: per-fold train/test row counts and
+    // the user overlap between train and test (temporal splits keep
+    // entities on both sides — the overlap is the point, reported not
+    // hidden). One broadcast 4-row spine × conditional hash agg; the
+    // distinct-user overlap joins two ≤|users| frames keyed on fold.
+    "ds20_rolling_origin" -> ((s, d) => {
+      val K = 4
+      val days = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          date_trunc("day", col("ts")).as("day"))
+      val bounds = days.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        .withColumn("span", datediff(col("mx"), col("mn")).cast("long"))
+      val spine = bounds.select(col("mn"), col("span"),
+        explode(array((1 to K).map(lit): _*)).as("fold"))
+        .withColumn("train_end_off",
+          expr("span * fold div 5"))
+        .withColumn("test_end_off",
+          expr("span * (fold + 1) div 5"))
+        .select(col("mn"), col("fold").cast("long").as("fold"),
+          col("train_end_off"), col("test_end_off"))
+      val tagged = days.crossJoin(broadcast(spine))
+        .withColumn("off", datediff(col("day"), col("mn")).cast("long"))
+      tagged.groupBy("fold", "train_end_off", "test_end_off")
+        .agg(
+          sum(when(col("off") <= col("train_end_off"), 1L).otherwise(0L))
+            .as("n_train"),
+          sum(when(col("off") > col("train_end_off") &&
+                   col("off") <= col("test_end_off"), 1L).otherwise(0L))
+            .as("n_test"),
+          countDistinct(when(col("off") <= col("train_end_off"),
+            col("user_id"))).as("train_users"),
+          countDistinct(when(col("off") > col("train_end_off") &&
+            col("off") <= col("test_end_off"), col("user_id")))
+            .as("test_users"))
+        .orderBy("fold")
+    }),
+
     // DS14: overlapping-window chunking — the RAG/retrieval-corpus
     // sibling of DS3's pack-and-chunk: each document yields windows of
     // 64 tokens every 48 (16-token overlap so no boundary sentence is
@@ -668,6 +713,40 @@ object DatasetOps {
          FROM ranked r JOIN meta m ON r.source = m.source
          WHERE r.rank <= m.mn
          ORDER BY global_pos""",
+    // integer day-offset cutoffs (span·f // 5), conditional integer
+    // counts — no date arithmetic past the datediff
+    "ds20_rolling_origin" ->
+      """WITH days AS (
+           SELECT user_id, event_id, date_trunc('day', ts) AS day
+           FROM events),
+         b AS (
+           SELECT min(day) AS mn,
+                  CAST(datediff('day', min(day), max(day)) AS BIGINT)
+                    AS span
+           FROM days),
+         spine AS (
+           SELECT mn, CAST(f AS BIGINT) AS fold,
+                  span * f // 5 AS train_end_off,
+                  span * (f + 1) // 5 AS test_end_off
+           FROM b, unnest([1, 2, 3, 4]) AS t(f)),
+         tagged AS (
+           SELECT s.fold, s.train_end_off, s.test_end_off, d.user_id,
+                  CAST(datediff('day', s.mn, d.day) AS BIGINT) AS off
+           FROM days d, spine s)
+         SELECT fold, train_end_off, test_end_off,
+                CAST(sum(CASE WHEN off <= train_end_off THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_train,
+                CAST(sum(CASE WHEN off > train_end_off
+                               AND off <= test_end_off THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_test,
+                CAST(count(DISTINCT CASE WHEN off <= train_end_off
+                                         THEN user_id END) AS BIGINT)
+                  AS train_users,
+                CAST(count(DISTINCT CASE WHEN off > train_end_off
+                                          AND off <= test_end_off
+                                         THEN user_id END) AS BIGINT)
+                  AS test_users
+         FROM tagged GROUP BY 1, 2, 3 ORDER BY fold""",
     // the two-level rank collapses to the direct per-bin permutation
     // rank; identical integer binning and min-bin target
     "ds18_balance_lengths" ->

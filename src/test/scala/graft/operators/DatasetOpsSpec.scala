@@ -192,4 +192,39 @@ class DatasetOpsSpec extends AnyFunSuite {
       assert(got(src) == perm.take(mn).toSeq, s"$src permutation")
     }
   }
+
+  test("ds20 rolling-origin splits: expanding trains, disjoint future tests") {
+    import org.apache.spark.sql.functions._
+    val offs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("day").getTime / 86400000L))
+    val mn = offs.map(_._2).min
+    val span = offs.map(_._2).max - mn
+    val rel = offs.map { case (u, d) => (u, d - mn) }
+    val got = graft.operators.DatasetOps.queries("ds20_rolling_origin")(
+        spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    (1 to 4).foreach { f =>
+      val te = span * f / 5; val xe = span * (f + 1) / 5
+      val train = rel.filter(_._2 <= te)
+      val test = rel.filter(e => e._2 > te && e._2 <= xe)
+      assert(got(f.toLong) == ((te, xe, train.length.toLong,
+        test.length.toLong, train.map(_._1).distinct.length.toLong,
+        test.map(_._1).distinct.length.toLong)), s"fold $f")
+      assert(test.nonEmpty, s"fold $f vacuous test slice")
+    }
+    // temporal-CV invariants: trains EXPAND monotonically, every test
+    // slice sits strictly in its train's future, consecutive test
+    // windows tile without overlap
+    val byFold = (1 to 4).map(f => got(f.toLong))
+    assert(byFold.map(_._3).sliding(2).forall(p => p(0) <= p(1)),
+      "train sizes must be monotone")
+    (1 to 4).foreach(f => assert(got(f.toLong)._1 < got(f.toLong)._2))
+    (1 to 3).foreach(f =>
+      assert(got(f.toLong)._2 == got(f.toLong + 1)._1,
+        "test windows must tile: fold f's test end = fold f+1's train end"))
+  }
 }
