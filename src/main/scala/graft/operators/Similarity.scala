@@ -519,6 +519,54 @@ object Similarity {
       sel.orderBy("q_id", "step")
     }),
 
+    // SIM15: per-label centroid + MEDOID election — the cluster-
+    // representative step every embedding-clustered pipeline runs
+    // after D16/MM9 (ship ONE real vector per cluster, not the
+    // synthetic mean): centroid = per-dimension mean QUANTIZED at
+    // 1e-6 as the operator's contract (decimal-pinned sums over the
+    // posexploded frame → one render → round(·,6); a RAW mean would
+    // re-run the W28 tie lottery — Spark renders the decimal sum
+    // through BigDecimal.valueOf's shortest repr, DuckDB through the
+    // true binary expansion, and at scale 12 over full-tail float
+    // sums the 13th digit flips ~1e-3/row, measured live at sf0.01
+    // before this quantization), medoid = the member minimizing
+    // squared Euclidean distance to it, expanded as de − 2·dc + cc
+    // over THREE dot-kernel folds (index-ordered, bit-identical to
+    // DuckDB list_sum) — on the quantized centroid every downstream
+    // double is bit-identical, so the (dist², vec_id) argmin and the
+    // raw outputs hash-match. Scale: one (label, dim) hash agg + a
+    // ≤|labels| broadcast of centroid arrays + one candidate scan —
+    // no pair join anywhere.
+    "sim15_centroid_medoid" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val means = emb
+        .select(col("label"), posexplode(col("embedding"))
+          .as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(round(sum(col("x").cast("double").cast("decimal(30,12)"))
+          .cast("double") / count(lit(1)), 6).as("mean"))
+      val cents = means.groupBy("label")
+        .agg(array_sort(collect_list(struct(col("dim"), col("mean"))))
+          .as("sm"))
+        .select(col("label"),
+          transform(col("sm"), s => s.getField("mean")).as("cent"))
+      val wL = Window.partitionBy("label")
+        .orderBy(col("dist2"), col("vec_id"))
+      emb.join(broadcast(cents), Seq("label"))
+        .withColumn("dist2",
+          dot(col("embedding"), col("embedding")) -
+            lit(2.0) * dot(col("embedding"), col("cent")) +
+            dot(col("cent"), col("cent")))
+        .withColumn("rk", row_number().over(wL))
+        .withColumn("n_members", count(lit(1)).over(
+          Window.partitionBy("label")))
+        .filter(col("rk") === 1)
+        .select(col("label").cast("long").as("label"), col("n_members"),
+          col("vec_id").as("medoid_id"), col("dist2"),
+          dot(col("cent"), col("cent")).as("cnorm2"))
+        .orderBy("label")
+    }),
+
     // SIM9: FILTERED vector search — cosine top-5 restricted to
     // candidates sharing the query's label (the hybrid
     // metadata-predicate + ANN form every production retrieval stack
@@ -1252,6 +1300,47 @@ object Similarity {
          FROM (${(1 to 5).map(k => s"SELECT * FROM w$k")
            .mkString(" UNION ALL ")})
          ORDER BY q_id, step""",
+    // SIM15: zipped unnest → pinned per-dim means (VARCHAR-hop
+    // render), list(ORDER BY dim) centroids, the identical three
+    // index-ordered folds and (dist2, vec_id) argmin
+    "sim15_centroid_medoid" ->
+      """WITH v AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+         px AS (
+           SELECT label, unnest(generate_series(1, len(e))) AS dim,
+                  unnest(e) AS x
+           FROM v),
+         m AS (
+           SELECT label, dim,
+                  round(CAST(CAST(sum(CAST(x AS DECIMAL(30,12)))
+                        AS VARCHAR) AS DOUBLE) / count(*), 6) AS mean
+           FROM px GROUP BY 1, 2),
+         c AS (SELECT label, list(mean ORDER BY dim) AS cent
+               FROM m GROUP BY 1),
+         sc AS (
+           SELECT v.vec_id, v.label,
+                  list_sum(list_transform(generate_series(1, len(v.e)),
+                    i -> v.e[i] * v.e[i]))
+                  - CAST(2 AS DOUBLE) *
+                    list_sum(list_transform(generate_series(1, len(v.e)),
+                      i -> v.e[i] * c.cent[i]))
+                  + list_sum(list_transform(
+                      generate_series(1, len(c.cent)),
+                      i -> c.cent[i] * c.cent[i])) AS dist2,
+                  list_sum(list_transform(generate_series(1, len(c.cent)),
+                    i -> c.cent[i] * c.cent[i])) AS cnorm2,
+                  count(*) OVER (PARTITION BY v.label) AS nm
+           FROM v JOIN c USING (label)),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY label
+                       ORDER BY dist2, vec_id) AS rk
+           FROM sc)
+         SELECT CAST(label AS BIGINT) AS label,
+                CAST(nm AS BIGINT) AS n_members,
+                vec_id AS medoid_id, dist2, cnorm2
+         FROM r WHERE rk = 1 ORDER BY label""",
     "sim5_jl_project" ->
       s"""$jlProjCte,
          u AS (

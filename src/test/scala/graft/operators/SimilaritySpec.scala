@@ -423,4 +423,44 @@ class SimilaritySpec extends AnyFunSuite {
     // fixture exercises nothing beyond top-5
     assert(divergedFromTopK, "vacuous: MMR picked the pure top-5 everywhere")
   }
+
+  test("sim15: medoid equals the sequential quantized-centroid argmin") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).toArray))
+    val byLabel = rows.groupBy(_._2)
+    val got = Similarity.queries("sim15_centroid_medoid")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet == byLabel.keySet)
+    byLabel.foreach { case (lbl, ms) =>
+      val dims = ms.head._3.length
+      // quantized centroid: exact decimal sum → one render → /n → r6
+      val cent = (0 until dims).map { i =>
+        val s = ms.map(m => BigDecimal(m._3(i).toDouble)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        BigDecimal(s / ms.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toArray
+      def fold(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }
+        s
+      }
+      val cc = fold(cent, cent)
+      val scored = ms.map { case (id, _, e) =>
+        val ed = e.map(_.toDouble)
+        (id, fold(ed, ed) - 2.0 * fold(ed, cent) + cc)
+      }
+      val (mid, md) = scored.minBy { case (id, d2) => (d2, id) }
+      assert(got(lbl) == ((ms.length.toLong, mid, md, cc)),
+        s"label $lbl: got=${got(lbl)} exp=(${ms.length}, $mid, $md, $cc)")
+      // the medoid is a REAL member and dominates every member's dist
+      assert(scored.forall { case (id, d2) =>
+        d2 > md || (d2 == md && id >= mid) })
+    }
+  }
 }
