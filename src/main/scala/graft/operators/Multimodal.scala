@@ -122,6 +122,35 @@ object Multimodal {
           }), 6).as("entropy"))
         .orderBy("doc_id")),
 
+    // MM13: χ² uniformity of the byte-class histogram — the
+    // compressed/encrypted-payload detector next to MM8's entropy
+    // (entropy saturates near log 16 for ANY near-uniform histogram;
+    // χ² keeps resolving HOW uniform, the standard randomness screen
+    // for "is this blob already compressed?" in ingest triage). Same
+    // nibble-class expansion as MM8, but the fold runs over the FULL
+    // 16-slot positional array (zero classes contribute E exactly),
+    // E = n/16 is an exact binary fraction, every term one fixed
+    // IEEE chain, the 16-term sum index-ordered on both engines →
+    // raw-double hash match. Stateless per-row projection.
+    "mm13_byte_chi2" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(octet_length(col("text")) > 0)
+        .select(col("doc_id"),
+          regexp_replace(hex(encode(col("text"), "UTF-8")),
+            "(.).", "$1").as("hs"))
+        .select(col("doc_id"),
+          length(col("hs")).cast("long").as("n_bytes"),
+          array("0123456789ABCDEF".map(c =>
+            (length(col("hs")) -
+              length(expr(s"replace(hs, '$c', '')"))).cast("long")): _*)
+            .as("hist"))
+        .select(col("doc_id"), col("n_bytes"),
+          aggregate(col("hist"), lit(0.0d), (acc, x) => {
+            val e = col("n_bytes").cast("double") / 16
+            acc + (x.cast("double") - e) * (x.cast("double") - e) / e
+          }).as("chi2"))
+        .orderBy("doc_id")),
+
     // MM10: scene-change detection over the sampled frame stream —
     // the video-curation primitive built on MM3's frames (sample
     // every 4th 16-byte frame) computed DECLARATIVELY (the MM8-twin
@@ -708,6 +737,27 @@ object Multimodal {
          FROM sharded ORDER BY doc_id""",
     // same nibble classes from the hex expansion; Spark's hex() is
     // uppercase — upper() aligns DuckDB's
+    // MM13: same nibble-string expansion, the SAME 16 positional
+    // terms left-associated (generated so the order is one source of
+    // truth), E an exact binary fraction
+    "mm13_byte_chi2" -> {
+      def cnt(c: Char) =
+        s"CAST(length(hs) - length(replace(hs, '$c', '')) AS DOUBLE)"
+      val terms = "0123456789ABCDEF".map(c =>
+        s"(${cnt(c)} - e) * (${cnt(c)} - e) / e").mkString("\n                + ")
+      s"""WITH b AS (
+           SELECT doc_id,
+                  regexp_replace(upper(hex(encode(text))), '(.).', '\\1',
+                                 'g') AS hs
+           FROM documents WHERE octet_length(encode(text)) > 0),
+         t AS (
+           SELECT doc_id, CAST(length(hs) AS BIGINT) AS n_bytes, hs,
+                  CAST(length(hs) AS DOUBLE) / 16 AS e
+           FROM b)
+         SELECT doc_id, n_bytes,
+                ($terms) AS chi2
+         FROM t ORDER BY doc_id"""
+    },
     "mm8_byte_entropy" ->
       """WITH nib AS (
            SELECT doc_id,

@@ -2453,6 +2453,46 @@ object Stats {
             .as("w_stat"))
     }),
 
+    // A99: Brown–Forsythe — A74's Levene with MEDIAN centers, the
+    // robust default scipy/R recommend when tails are heavy (the
+    // mean-centered W inflates under skew; the median variant holds
+    // its size): z = |value − median_g| with median_g the exact
+    // interpolated per-group percentile (identical on both engines),
+    // then the IDENTICAL decimal-pinned fold chain as A74 (same
+    // array_sort'd group frame, same fixed term order, same r6
+    // renders). One extra tiny agg + broadcast vs A74 — the median
+    // needs its own pass where the mean rode the main agg.
+    "a99_brown_forsythe" -> ((s, d) => {
+      def dsum(c: Column) = sum(c.cast("decimal(30,12)")).cast("double")
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      val meds = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("md"))
+      val g = ev.join(broadcast(meds), Seq("event_type"))
+        .select(col("event_type"),
+          abs(col("value") - col("md")).as("z"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_g"), dsum(col("z")).as("s_g"),
+          dsum(col("z") * col("z")).as("q_g"))
+      def fold(body: Column => Column) =
+        aggregate(col("gs"), lit(0.0d), (acc, x) => acc + body(x))
+      g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+          array_sort(collect_list(struct(col("event_type"), col("n_g"),
+            col("s_g"), col("q_g")))).as("gs"))
+        .withColumn("sum_s", fold(_.getField("s_g")))
+        .withColumn("sum_sq_over_n", fold(x =>
+          x.getField("s_g") * x.getField("s_g") /
+            x.getField("n_g").cast("double")))
+        .withColumn("sum_q", fold(_.getField("q_g")))
+        .withColumn("ssb", col("sum_sq_over_n") -
+          col("sum_s") * col("sum_s") / col("n").cast("double"))
+        .withColumn("ssw", col("sum_q") - col("sum_sq_over_n"))
+        .select(col("k"), col("n"), r6(col("ssb")).as("ssb_dev"),
+          r6(col("ssw")).as("ssw_dev"),
+          r6((col("ssb") / (col("k") - 1).cast("double")) /
+             (col("ssw") / (col("n") - col("k")).cast("double")))
+            .as("bf_stat"))
+    }),
+
     // A74 p twin — Levene's W is F-distributed at (k−1, N−k) under
     // H₀; upper tail via the FPValue kernel. Rows-only; StatsSpec
     // anchors by recomputation from a74's oracle-checked row.
@@ -4771,6 +4811,40 @@ object Stats {
          SELECT k, n, round(ssb, 6) AS ssb_dev, round(ssw, 6) AS ssw_dev,
                 round((ssb / CAST(k - 1 AS DOUBLE)) /
                       (ssw / CAST(n - k AS DOUBLE)), 6) AS w_stat
+         FROM c""",
+    // A74's chain with MEDIAN centers (quantile_cont = Spark
+    // percentile), same ordered folds and renders
+    "a99_brown_forsythe" ->
+      """WITH m AS (
+           SELECT event_type, quantile_cont(value, 0.5) AS md
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         z AS (
+           SELECT e.event_type, abs(e.value - m.md) AS z
+           FROM events e JOIN m ON e.event_type = m.event_type
+           WHERE e.value IS NOT NULL),
+         g AS (
+           SELECT event_type, count(*) AS n_g,
+                  CAST(CAST(sum(CAST(z AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) AS s_g,
+                  CAST(CAST(sum(CAST(z * z AS DECIMAL(30,12)))
+                       AS VARCHAR) AS DOUBLE) AS q_g
+           FROM z GROUP BY 1),
+         f AS (
+           SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+                  list_sum(list(s_g ORDER BY event_type)) AS sum_s,
+                  list_sum(list(s_g * s_g / CAST(n_g AS DOUBLE)
+                           ORDER BY event_type)) AS sum_sq_over_n,
+                  list_sum(list(q_g ORDER BY event_type)) AS sum_q
+           FROM g),
+         c AS (
+           SELECT k, n,
+                  sum_sq_over_n - sum_s * sum_s / CAST(n AS DOUBLE)
+                    AS ssb,
+                  sum_q - sum_sq_over_n AS ssw
+           FROM f)
+         SELECT k, n, round(ssb, 6) AS ssb_dev, round(ssw, 6) AS ssw_dev,
+                round((ssb / CAST(k - 1 AS DOUBLE)) /
+                      (ssw / CAST(n - k AS DOUBLE)), 6) AS bf_stat
          FROM c""",
     "a42_weekly_seasonality" ->
       """WITH daily AS (

@@ -639,6 +639,36 @@ object TextAnalysis {
         .orderBy("r")
     }),
 
+    // TXT25: token dispersion (Fano factor) — the burstiness screen
+    // separating TOPICAL tokens (bursty: all their mass in few docs,
+    // Fano ≫ 1) from function words and template boilerplate (evenly
+    // dispersed, Fano ≈ 1, the Poisson floor), per Church & Gale
+    // 1995: Fano = Var/Mean of the per-document occurrence count
+    // INCLUDING zero docs, which collapses to the all-integer form
+    // (D·Σc² − T²)/(D·T) — one division, nothing to pin. Top-20
+    // corpus tokens by (count desc, token) over the vocab-sized rank
+    // spine (the TXT8 shape). One token hash agg + one (token, doc)
+    // agg feeding it.
+    "txt25_dispersion" -> ((s, d) => {
+      val dtot = Tables.documents(s, d).agg(count(lit(1)).as("dd"))
+      val perDoc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("w"))
+        .groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
+      val byTok = perDoc.groupBy("w")
+        .agg(sum(col("c")).as("total"), count(lit(1)).as("df"),
+          sum(col("c") * col("c")).as("c2"))
+      val w20 = Window.orderBy(col("total").desc, col("w"))
+      byTok.crossJoin(broadcast(dtot))
+        .withColumn("rank", row_number().over(w20).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("w").as("token"), col("total"),
+          col("df"),
+          ((col("dd") * col("c2") - col("total") * col("total"))
+            .cast("double") /
+            (col("dd") * col("total")).cast("double")).as("fano"))
+        .orderBy("rank")
+    }),
+
     "txt22_heaps_growth" -> ((s, d) => {
       val pcts = Seq(1, 2, 5, 10, 20, 50, 100)
       val docs = Tables.documents(s, d)
@@ -1576,6 +1606,29 @@ object TextAnalysis {
                 CAST(m2 - n_tokens AS DOUBLE) /
                   CAST(n_tokens * (n_tokens - 1) AS DOUBLE) AS simpson_d
          FROM agg""",
+    // all-integer Fano numerator/denominator, one division; same
+    // rank spine as txt8
+    "txt25_dispersion" ->
+      """WITH wc AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+           FROM documents),
+         pd AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c
+                FROM wc GROUP BY 1, 2),
+         bt AS (
+           SELECT w, CAST(sum(c) AS BIGINT) AS total,
+                  CAST(count(*) AS BIGINT) AS df,
+                  CAST(sum(c * c) AS BIGINT) AS c2
+           FROM pd GROUP BY 1),
+         dd AS (SELECT CAST(count(*) AS BIGINT) AS dd FROM documents),
+         r AS (
+           SELECT w, total, df, c2,
+                  row_number() OVER (ORDER BY total DESC, w) AS rank
+           FROM bt)
+         SELECT CAST(rank AS BIGINT) AS rank, w AS token, total, df,
+                CAST(dd * c2 - total * total AS DOUBLE) /
+                  CAST(dd * total AS DOUBLE) AS fano
+         FROM r, dd WHERE rank <= 20 ORDER BY rank""",
     // the spectrum self-join on r+1; integer products, two divisions
     "txt24_good_turing" ->
       """WITH wc AS (

@@ -205,4 +205,32 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("mm13 byte chi2 matches a sequential 16-slot fold; separates regimes") {
+    val sf = graft.SparkTestSession.Sf0001
+    val got = Multimodal.queries("mm13_byte_chi2")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter(_._2.getBytes("UTF-8").nonEmpty)
+    assert(got.keySet == docs.map(_._1).toSet && got.nonEmpty)
+    docs.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val hist = new Array[Long](16)
+      bytes.foreach(b => hist((b & 0xF0) >> 4) += 1)
+      val e = bytes.length.toDouble / 16
+      var chi2 = 0.0
+      (0 until 16).foreach { c =>
+        chi2 += (hist(c).toDouble - e) * (hist(c).toDouble - e) / e
+      }
+      assert(got(id) == ((bytes.length.toLong, chi2)), s"doc $id chi2")
+    }
+    // regime separation: ASCII text concentrates in nibble classes
+    // 2/6/7 → chi2 far above the uniform expectation (~15 = df);
+    // a uniform-ish synthetic blob must score far lower
+    assert(got.values.forall(_._2 > 100.0),
+      "text should be wildly non-uniform in byte classes")
+  }
 }

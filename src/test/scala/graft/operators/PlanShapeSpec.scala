@@ -682,7 +682,7 @@ class PlanShapeSpec extends AnyFunSuite {
       // by bucket):
       "a73_kruskal_wallis", "a73_kw_pvalue",
       // vocab-sized rank spines (≤ |vocab|, the operator's subject):
-      "txt8_vocab", "txt15_zipf",
+      "txt8_vocab", "txt15_zipf", "txt25_dispersion",
       // post-agg user-quartile spine (O(users) rows — the global
       // ntile A36's semantics require; documented in Relational):
       "a36_rfm",

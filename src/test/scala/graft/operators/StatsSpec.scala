@@ -1208,6 +1208,45 @@ class StatsSpec extends AnyFunSuite {
       p.getDouble(3) <= 1.0)
   }
 
+  test("a99 Brown-Forsythe equals a sequential median-centered recompute") {
+    import org.apache.spark.sql.functions._
+    val row = Stats.queries("a99_brown_forsythe")(spark, sf).head()
+    val (k, n, bf) = (row.getLong(0), row.getLong(1), row.getDouble(4))
+    val vals = graft.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(k == vals.map(_._1).distinct.size && n == vals.length)
+    def dsum(xs: Seq[Double]): Double =
+      xs.map(BigDecimal(_).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val idx = 0.5 * (s.size - 1)
+      val lo = s(idx.toInt); val hi = s(math.ceil(idx).toInt)
+      lo + (hi - lo) * (idx - idx.toInt)
+    }
+    val groups = vals.groupBy(_._1).toSeq.sortBy(_._1)
+    val gstats = groups.map { case (g, xs) =>
+      val md = medianOf(xs.map(_._2).toSeq)
+      val z = xs.map(x => math.abs(x._2 - md)).toSeq
+      (g, xs.length.toLong, dsum(z), dsum(z.map(v => v * v)))
+    }
+    var sumS = 0.0; var sumQn = 0.0; var sumQ = 0.0
+    gstats.foreach { case (_, ng, sg, qg) =>
+      sumS += sg; sumQn += sg * sg / ng; sumQ += qg }
+    val ssb = sumQn - sumS * sumS / n
+    val ssw = sumQ - sumQn
+    val w = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(bf - math.rint(w * 1e6) / 1e6) <= 1e-6,
+      s"BF $bf vs sequential $w")
+    // the median-centered statistic must differ from the
+    // mean-centered a74 (same data, different centers) — otherwise
+    // the variant is vacuous on this corpus
+    val w74 = Stats.queries("a74_levene")(spark, sf).head().getDouble(4)
+    assert(bf != w74, "BF identical to Levene — vacuous fixture")
+  }
+
   private def dailyCandles(): Map[String, Seq[(String, Double, Double, Double)]] = {
     import org.apache.spark.sql.functions._
     graft.Tables.events(spark, sf)

@@ -469,4 +469,33 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(rStar > 0.0)
     }
   }
+
+  test("txt25: Fano dispersion matches a sequential recompute") {
+    val sf = SparkTestSession.Sf0001
+    val docs = graft.Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.toLowerCase.split("\\s+").toSeq)
+    val dd = docs.length.toLong
+    val perDoc = docs.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (w, ws) => (w, id, ws.length.toLong) }
+    }
+    val byTok = perDoc.groupBy(_._1).map { case (w, rs) =>
+      w -> (rs.map(_._3).sum, rs.length.toLong,
+        rs.map(r => r._3 * r._3).sum)
+    }
+    val top = byTok.toSeq.sortBy { case (w, (t, _, _)) => (-t, w) }.take(20)
+    val got = TextAnalysis.queries("txt25_dispersion")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got.size == 20)
+    top.zipWithIndex.foreach { case ((w, (total, df, c2)), i) =>
+      val fano = (dd * c2 - total * total).toDouble / (dd * total).toDouble
+      assert(got(i + 1L) == ((w, total, df, fano)), s"rank ${i + 1}")
+    }
+    // the signal exists: at least one top token is bursty (Fano > 1
+    // by a margin) and none is negative
+    assert(got.values.exists(_._4 > 1.5), "no bursty token found")
+    assert(got.values.forall(_._4 >= 0.0))
+  }
 }
