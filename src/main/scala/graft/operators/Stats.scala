@@ -2275,6 +2275,80 @@ object Stats {
         .orderBy("event_type")
     }),
 
+    // A101: Kendall's coefficient of concordance W — "how much do
+    // the days agree on the ranking of the series?", the effect-size
+    // companion to A87's Friedman decision via the exact identity
+    // W = Q/(m(k−1)) (tie-corrected on both sides, Kendall & Babington
+    // Smith 1939). Derived from A87's oracle-checked frame with one
+    // extra division — max() folds over the constant-per-type columns
+    // (no float summation anywhere new).
+    "a101_kendalls_w" -> ((s, d) =>
+      queries("a87_friedman")(s, d)
+        .agg(max(col("k")).as("k"), max(col("n_days")).as("n_blocks"),
+          max(col("q_stat")).as("q_stat"))
+        .select(col("k"), col("n_blocks"), col("q_stat"),
+          (col("q_stat") /
+            (col("n_blocks") * (col("k") - 1)).cast("double"))
+            .as("kendalls_w"))),
+
+    // A100: first-order partial correlation — does close co-move
+    // with volume BEYOND what the shared time trend explains?
+    // r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) over
+    // (x = daily mean value, y = daily volume, z = day index), each
+    // pairwise r from one moments agg (x sums decimal-pinned, y/z
+    // sums exact integers) rendered at r6 (the A2 contract — r6
+    // absorbs the engines' different moment-update orders), then the
+    // partial is ONE fixed IEEE chain on those identical rounded
+    // doubles. Degenerate |r| = 1 controls excluded on the rounded
+    // values (exact comparison).
+    "a100_partial_corr" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("qty",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"), col("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("x"), sum(col("qty")).as("y"))
+        .withColumn("z",
+          datediff(col("day"), lit("2024-01-01").cast("date"))
+            .cast("long"))
+      val m = daily.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(30,12)")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("z")).cast("double").as("sz"),
+        sum((col("x") * col("x")).cast("decimal(38,12)")).cast("double")
+          .as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"),
+        sum(col("z") * col("z")).cast("double").as("szz"),
+        sum((col("x") * col("y").cast("double")).cast("decimal(38,8)"))
+          .cast("double").as("sxy"),
+        sum((col("x") * col("z").cast("double")).cast("decimal(38,8)"))
+          .cast("double").as("sxz"),
+        sum(col("y") * col("z")).cast("double").as("syz"))
+      def rr(sab: Column, sa: Column, sb: Column, saa: Column,
+          sbb: Column): Column = {
+        val nd = col("n").cast("double")
+        r6((nd * sab - sa * sb) /
+          sqrt((nd * saa - sa * sa) * (nd * sbb - sb * sb)))
+      }
+      m.withColumn("r_xy", rr(col("sxy"), col("sx"), col("sy"),
+          col("sxx"), col("syy")))
+        .withColumn("r_xz", rr(col("sxz"), col("sx"), col("sz"),
+          col("sxx"), col("szz")))
+        .withColumn("r_yz", rr(col("syz"), col("sy"), col("sz"),
+          col("syy"), col("szz")))
+        .filter((lit(1.0) - col("r_xz") * col("r_xz")) *
+          (lit(1.0) - col("r_yz") * col("r_yz")) > 0)
+        .select(col("event_type"), col("n"), col("r_xy"), col("r_xz"),
+          col("r_yz"),
+          ((col("r_xy") - col("r_xz") * col("r_yz")) /
+            sqrt((lit(1.0) - col("r_xz") * col("r_xz")) *
+              (lit(1.0) - col("r_yz") * col("r_yz"))))
+            .as("partial_r"))
+        .orderBy("event_type")
+    }),
+
     // A87 p twin: P(χ²ₖ₋₁ > Q) via the golden gamma-Q kernel (A41's
     // contract). Rows-only; StatsSpec anchors by recomputation.
     "a87_friedman_pvalue" -> ((s, d) =>
@@ -4597,6 +4671,101 @@ object Stats {
                 rank_sum / n_days AS mean_rank,
                 CAST(k - 1 AS DOUBLE) * num / den AS q_stat
          FROM tot ORDER BY event_type""",
+    // A101: a87's chain reduced to one row, W = Q/(m(k−1))
+    "a101_kendalls_w" ->
+      """WITH cell AS (
+           SELECT date_trunc('day', ts) AS day, event_type,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS y
+           FROM events GROUP BY 1, 2),
+         kk AS (SELECT count(DISTINCT event_type) AS k FROM cell),
+         full_days AS (
+           SELECT day FROM cell, kk GROUP BY day, kk.k
+           HAVING count(*) = max(kk.k)),
+         ranked AS (
+           SELECT c.day, c.event_type, kk.k,
+                  rank() OVER (PARTITION BY c.day ORDER BY c.y) +
+                    CAST(count(*) OVER (PARTITION BY c.day, c.y) - 1
+                         AS DOUBLE) / 2 AS r
+           FROM cell c JOIN full_days f ON c.day = f.day
+           CROSS JOIN kk),
+         per_type AS (
+           SELECT event_type, count(*) AS n_days, sum(r) AS rank_sum,
+                  sum(r * r) AS rsq_sum, max(k) AS k
+           FROM ranked GROUP BY 1),
+         withn AS (
+           SELECT event_type, n_days, k, rank_sum, rsq_sum,
+                  max(n_days) OVER () AS n
+           FROM per_type),
+         tot AS (
+           SELECT event_type, n_days, k, rank_sum,
+                  sum((rank_sum - n * CAST(k + 1 AS DOUBLE) / 2) *
+                      (rank_sum - n * CAST(k + 1 AS DOUBLE) / 2))
+                    OVER () AS num,
+                  sum(rsq_sum) OVER () -
+                    n * k * CAST(k + 1 AS DOUBLE) * (k + 1) / 4 AS den
+           FROM withn),
+         q AS (
+           SELECT n_days, k,
+                  CAST(k - 1 AS DOUBLE) * num / den AS q_stat
+           FROM tot)
+         SELECT CAST(max(k) AS BIGINT) AS k,
+                CAST(max(n_days) AS BIGINT) AS n_blocks,
+                max(q_stat) AS q_stat,
+                max(q_stat) / CAST(max(n_days) * (max(k) - 1) AS DOUBLE)
+                  AS kendalls_w
+         FROM q""",
+    // A100: pinned x-moments + exact integer y/z moments, r6 per
+    // pairwise r (the A2 contract), one fixed chain for the partial
+    "a100_partial_corr" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS x,
+                  CAST(sum(CAST(json_extract_string(props, '$.k')
+                       AS BIGINT)) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         xyz AS (
+           SELECT event_type, x, y,
+                  CAST(datediff('day', DATE '2024-01-01', day) AS BIGINT)
+                    AS z
+           FROM daily),
+         m AS (
+           SELECT event_type, count(*) AS n,
+                  CAST(CAST(sum(CAST(x AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) AS sx,
+                  CAST(sum(y) AS DOUBLE) AS sy,
+                  CAST(sum(z) AS DOUBLE) AS sz,
+                  CAST(CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS VARCHAR)
+                       AS DOUBLE) AS sxx,
+                  CAST(sum(y * y) AS DOUBLE) AS syy,
+                  CAST(sum(z * z) AS DOUBLE) AS szz,
+                  CAST(CAST(sum(CAST(x * CAST(y AS DOUBLE)
+                       AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxy,
+                  CAST(CAST(sum(CAST(x * CAST(z AS DOUBLE)
+                       AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxz,
+                  CAST(sum(y * z) AS DOUBLE) AS syz
+           FROM xyz GROUP BY 1),
+         r AS (
+           SELECT event_type, CAST(n AS BIGINT) AS n,
+                  round((n * sxy - sx * sy) /
+                    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                    AS r_xy,
+                  round((n * sxz - sx * sz) /
+                    sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)), 6)
+                    AS r_xz,
+                  round((n * syz - sy * sz) /
+                    sqrt((n * syy - sy * sy) * (n * szz - sz * sz)), 6)
+                    AS r_yz
+           FROM m)
+         SELECT event_type, n, r_xy, r_xz, r_yz,
+                (r_xy - r_xz * r_yz) /
+                  sqrt((CAST(1 AS DOUBLE) - r_xz * r_xz) *
+                       (CAST(1 AS DOUBLE) - r_yz * r_yz)) AS partial_r
+         FROM r
+         WHERE (CAST(1 AS DOUBLE) - r_xz * r_xz) *
+               (CAST(1 AS DOUBLE) - r_yz * r_yz) > 0
+         ORDER BY event_type""",
     // a81's pinned regression replayed, then leverage and Cook's D as
     // the same fixed-order IEEE chains — raw doubles, raw flag
     "a85_cooks_distance" ->

@@ -1660,6 +1660,80 @@ class StatsSpec extends AnyFunSuite {
     assert(nSr > 0 && nSr == sr.size)
   }
 
+  test("a100/a101 partial correlation and Kendall's W anchor to their parents") {
+    import org.apache.spark.sql.functions._
+    // A101: the identity W = Q/(m(k-1)) against the oracle-checked
+    // a87 row, plus the [0, 1] range contract
+    val fr = Stats.queries("a87_friedman")(spark, sf).head()
+    val (nDays, k87, q87) =
+      (fr.getLong(1), fr.getLong(2), fr.getDouble(5))
+    val kw = Stats.queries("a101_kendalls_w")(spark, sf).head()
+    assert(kw.getLong(0) == k87 && kw.getLong(1) == nDays)
+    assert(kw.getDouble(2) == q87)
+    assert(kw.getDouble(3) == q87 / (nDays * (k87 - 1)).toDouble)
+    assert(kw.getDouble(3) >= 0.0 && kw.getDouble(3) <= 1.0,
+      s"W out of range: ${kw.getDouble(3)}")
+    // A100: sequential recompute of the three r6'd correlations and
+    // the partial chain on the daily (x = mean value, y = vol,
+    // z = day index) panel
+    def dpin(scale: Int)(xs: Seq[Double]): Double =
+      xs.map(BigDecimal(_).setScale(scale, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val epoch = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    val daily = graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withColumn("qty", get_json_object(col("props"), "$.k").cast("long"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("day").getTime / 86400000L - epoch,
+        r.getAs[Double]("value"), r.getAs[Long]("qty")))
+      .groupBy(e => (e._1, e._2)).map { case ((t, z), es) =>
+        (t, z, dpin(10)(es.map(_._3).toSeq) / es.size,
+          es.map(_._4).sum)
+      }.toSeq.groupBy(_._1)
+    val got = Stats.queries("a100_partial_corr")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+         r.getDouble(5))).toMap
+    daily.foreach { case (t, rows) =>
+      val n = rows.size
+      val xs = rows.map(_._3).toSeq
+      val ys = rows.map(_._4.toDouble).toSeq
+      val zs = rows.map(_._2.toDouble).toSeq
+      def r6v(v: Double) = math.rint(v * 1e6) / 1e6
+      def corr(a: Seq[Double], b: Seq[Double], sa: Double, sb: Double,
+          saa: Double, sbb: Double, sab: Double): Double =
+        r6v((n * sab - sa * sb) /
+          math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)))
+      val (sx, sy, sz) = (dpin(12)(xs), ys.sum, zs.sum)
+      val sxx = dpin(12)(xs.map(x => x * x))
+      val (syy, szz) = (ys.map(y => y * y).sum, zs.map(z => z * z).sum)
+      val sxy = dpin(8)(xs.zip(ys).map(p => p._1 * p._2))
+      val sxz = dpin(8)(xs.zip(zs).map(p => p._1 * p._2))
+      val syz = ys.zip(zs).map(p => p._1 * p._2).sum
+      val rxy = corr(xs, ys, sx, sy, sxx, syy, sxy)
+      val rxz = corr(xs, zs, sx, sz, sxx, szz, sxz)
+      val ryz = corr(ys, zs, sy, sz, syy, szz, syz)
+      val den = (1.0 - rxz * rxz) * (1.0 - ryz * ryz)
+      if (den > 0) {
+        val pr = (rxy - rxz * ryz) / math.sqrt(den)
+        val g = got(t)
+        assert(g._1 == n.toLong, s"$t n")
+        // the r6'd inputs must match within one 1e-6 grid step (the
+        // spec recompute can't replay Spark's exact moment-merge
+        // order; the ORACLE hash already proves exact equality)
+        assert(math.abs(g._2 - rxy) <= 1e-6 &&
+               math.abs(g._3 - rxz) <= 1e-6 &&
+               math.abs(g._4 - ryz) <= 1e-6, s"$t correlations")
+        assert(math.abs(g._5 - pr) <= 1e-5, s"$t partial")
+        // non-vacuity: partialling the trend out must CHANGE the
+        // association (the corpus series all carry a drift)
+        assert(g._5 != g._2, s"$t partial == raw, vacuous control")
+      } else assert(!got.contains(t))
+    }
+    assert(got.nonEmpty)
+  }
+
   test("a92-a94 paired/rank tests match sequential recomputations") {
     import org.apache.spark.sql.functions._
     // per-type day-ordered (close, vol) panel
