@@ -401,6 +401,38 @@ object Dedup {
     * enumerate only from each triangle's minimum vertex and the wedge
     * count is bounded by O(m·α) (arboricity), not Σdeg². Both joins
     * are keyed hash joins (src; then (v, w) pair), never all-pairs. */
+  /** D23's shell kernel: exact distance-1/2/3 shell counts + the
+    * truncated harmonic fold over an undirected (da, db) pair table.
+    * Factored out so the spec can drive the shell logic on planted
+    * path graphs — the clique-structured corpus never exercises
+    * distance > 1. */
+  private[graft] def harmonicShells(pairTable: DataFrame): DataFrame = {
+    val p = pairTable.localCheckpoint()
+    val dir = p.select(col("da").as("v"), col("db").as("u"))
+      .unionAll(p.select(col("db").as("v"), col("da").as("u")))
+      .distinct().localCheckpoint()
+    val hop = dir.select(col("v").as("hv"), col("u").as("hu"))
+    val r1 = dir
+    val r2 = r1.join(hop, r1("u") === hop("hv"))
+      .select(r1("v"), hop("hu").as("u")).distinct()
+      .filter(col("u") =!= col("v"))
+      .join(r1, Seq("v", "u"), "left_anti").localCheckpoint()
+    val r3 = r2.join(hop, r2("u") === hop("hv"))
+      .select(r2("v"), hop("hu").as("u")).distinct()
+      .filter(col("u") =!= col("v"))
+      .join(r2, Seq("v", "u"), "left_anti")
+      .join(r1, Seq("v", "u"), "left_anti").localCheckpoint()
+    def cnt(r: DataFrame, name: String) =
+      r.groupBy("v").agg(count(lit(1)).as(name))
+    cnt(r1, "n1")
+      .join(cnt(r2, "n2"), Seq("v"), "left")
+      .join(cnt(r3, "n3"), Seq("v"), "left")
+      .na.fill(0L, Seq("n2", "n3"))
+      .select(col("v").as("doc_id"), col("n1"), col("n2"), col("n3"),
+        (col("n1").cast("double") + col("n2").cast("double") / 2 +
+          col("n3").cast("double") / 3).as("harmonic"))
+  }
+
   private[operators] def triangleCounts(und: DataFrame): DataFrame = {
     val deg = und.select(col("da").as("v"))
       .unionAll(und.select(col("db").as("v")))
@@ -814,6 +846,21 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // D23: bounded-depth harmonic centrality (Boldi & Vigna 2014) —
+    // WHICH doc sits at the center of a boilerplate neighborhood
+    // (the doc to keep when a cluster is sampled, the doc to inspect
+    // when one is audited): H(v) = Σ 1/d(v,u) truncated at d ≤ 3
+    // (the measured corpus cluster diameter — the sql7 bound),
+    // computed as n1 + n2/2 + n3/3 from the EXACT distance-shell
+    // counts. Shells build by 3 rounds of keyed join + distinct +
+    // anti-join against nearer shells — integer set arithmetic, the
+    // fold one fixed 5-flop chain → fully hash-checked against a
+    // MATERIALIZED-CTE DuckDB twin over the exhaustive graph. Only
+    // docs IN the graph emit rows (isolated docs have H = 0 and no
+    // shells — excluded like D13's deg < 2).
+    "d23_harmonic" -> ((s, d) =>
+      harmonicShells(verifiedCorpusPairs(s, d, 0.5)).orderBy("doc_id")),
+
     // D22: degree assortativity of the verified corpus graph — does
     // boilerplate link hub-to-hub (r > 0, one template family) or
     // hub-to-leaf (r < 0, a star of variants around one source)?
@@ -1141,6 +1188,56 @@ object Dedup {
                           ELSE 0 END AS BIGINT) AS coreness
          FROM documents d ORDER BY doc_id"""
     },
+    // D23: exhaustive graph; 3 MATERIALIZED shell CTEs (distinct +
+    // tuple NOT IN against nearer shells), the same fixed fold
+    "d23_harmonic" ->
+      """WITH docs AS (
+             SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             FROM documents),
+           sh AS (
+             SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+             FROM docs WHERE len(t) >= 3),
+           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           inter AS (
+             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           pairs AS MATERIALIZED (
+             SELECT da, db FROM inter
+             JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+             WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.5),
+           r1 AS MATERIALIZED (
+             SELECT DISTINCT v, u FROM (
+               SELECT da AS v, db AS u FROM pairs
+               UNION ALL SELECT db AS v, da AS u FROM pairs)),
+           r2 AS MATERIALIZED (
+             SELECT DISTINCT a.v, b.u FROM r1 a JOIN r1 b ON a.u = b.v
+             WHERE b.u <> a.v
+               AND NOT EXISTS (SELECT 1 FROM r1 x
+                               WHERE x.v = a.v AND x.u = b.u)),
+           r3 AS MATERIALIZED (
+             SELECT DISTINCT a.v, b.u FROM r2 a JOIN r1 b ON a.u = b.v
+             WHERE b.u <> a.v
+               AND NOT EXISTS (SELECT 1 FROM r2 x
+                               WHERE x.v = a.v AND x.u = b.u)
+               AND NOT EXISTS (SELECT 1 FROM r1 y
+                               WHERE y.v = a.v AND y.u = b.u)),
+           c1 AS (SELECT v, CAST(count(*) AS BIGINT) AS n1
+                  FROM r1 GROUP BY 1),
+           c2 AS (SELECT v, CAST(count(*) AS BIGINT) AS n2
+                  FROM r2 GROUP BY 1),
+           c3 AS (SELECT v, CAST(count(*) AS BIGINT) AS n3
+                  FROM r3 GROUP BY 1)
+         SELECT c1.v AS doc_id, c1.n1,
+                coalesce(c2.n2, 0) AS n2, coalesce(c3.n3, 0) AS n3,
+                CAST(c1.n1 AS DOUBLE) +
+                  CAST(coalesce(c2.n2, 0) AS DOUBLE) / 2 +
+                  CAST(coalesce(c3.n3, 0) AS DOUBLE) / 3 AS harmonic
+         FROM c1 LEFT JOIN c2 ON c1.v = c2.v
+                 LEFT JOIN c3 ON c1.v = c3.v
+         ORDER BY doc_id""",
     // D22: same exhaustive graph; Newman's r over directed edge
     // copies — integer sums, one division
     "d22_assortativity" ->

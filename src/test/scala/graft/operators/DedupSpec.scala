@@ -652,6 +652,43 @@ class DedupSpec extends AnyFunSuite {
       assert(row.getDouble(2) == 1.0)
   }
 
+  test("D23 harmonic centrality matches a sequential BFS shell count") {
+    val sf = SparkTestSession.Sf0001
+    val (_, pairs) = corpusGraph
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      .withDefaultValue(Set.empty[Long])
+    val got = Dedup.queries("d23_harmonic")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet == adj.keys.toSet && got.nonEmpty)
+    adj.keys.foreach { v =>
+      val s1 = adj(v)
+      val s2 = s1.flatMap(adj) -- s1 - v
+      val s3 = s2.flatMap(adj) -- s2 -- s1 - v
+      val h = s1.size.toDouble + s2.size.toDouble / 2 + s3.size.toDouble / 3
+      assert(got(v) == ((s1.size.toLong, s2.size.toLong, s3.size.toLong,
+        h)), s"node $v shells")
+    }
+    // the clique-structured corpus never sees past distance 1 (all
+    // shells n2 = n3 = 0 — asserted, it IS the corpus's structure)…
+    assert(got.values.forall(r => r._2 == 0 && r._3 == 0),
+      "corpus grew non-clique structure; update this spec's claim")
+    // …so the distance-2/3 shell logic is exercised on a planted
+    // path graph 0-1-2-3-4-5 where every shell size is known
+    import spark.implicits._
+    val path = (0L to 4L).map(i => (i, i + 1)).toDF("da", "db")
+    val h = Dedup.harmonicShells(path).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // node 0: shells {1}, {2}, {3} → H = 1 + 1/2 + 1/3
+    assert(h(0L) == ((1L, 1L, 1L, 1.0 + 0.5 + 1.0 / 3)))
+    // node 2 (interior): {1,3}, {0,4}, {5} → 2 + 1 + 1/3
+    assert(h(2L) == ((2L, 2L, 1L, 2.0 + 1.0 + 1.0 / 3)))
+    // node 3 (interior, symmetric): {2,4}, {1,5}, {0}
+    assert(h(3L) == ((2L, 2L, 1L, 2.0 + 1.0 + 1.0 / 3)))
+  }
+
   test("triangle counts equal the naive closed-wedge count on random graphs") {
     // property: for ANY edge set - including degree ties, where the
     // (degree, id) orientation tiebreak is the part a real-data
