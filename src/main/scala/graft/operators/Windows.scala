@@ -200,6 +200,54 @@ object Windows {
        FROM sig ORDER BY event_type, day"""
   }
 
+  /** W43 oracle — three generated span-15 cascades (same weights and
+    * emission rules as macdOracleSql), then the Δ/prev ratio. */
+  private def trixOracleSql: String = {
+    def w(j: Int): String = "%.17e".formatLocal(
+      java.util.Locale.ROOT, macdWeight(15, j))
+    def ewma(c0: String, p: String): String = {
+      def cn(j: Int) = if (j == 0) c0 else s"$p$j"
+      def term(j: Int, body: String): String =
+        s"CASE WHEN ${cn(j)} IS NOT NULL THEN $body ELSE 0.0 END"
+      val num = (0 until MacdK).map(j =>
+        term(j, s"${w(j)} * ${cn(j)}")).mkString(" + ")
+      val den = (0 until MacdK).map(j => term(j, w(j))).mkString(" + ")
+      s"(($num) / ($den))"
+    }
+    def lags(src: String, p: String): String = (1 until MacdK).map(j =>
+      s"lag($src, $j) OVER wt AS $p$j").mkString(",\n                  ")
+    s"""WITH $DailyPxCte,
+         l1 AS (
+           SELECT event_type, day, px,
+                  ${lags("px", "a")}
+           FROM daily
+           WINDOW wt AS (PARTITION BY event_type ORDER BY day)),
+         s1 AS (
+           SELECT event_type, day, ${ewma("px", "a")} AS t1 FROM l1),
+         l2 AS (
+           SELECT event_type, day, t1,
+                  ${lags("t1", "b")}
+           FROM s1
+           WINDOW wt AS (PARTITION BY event_type ORDER BY day)),
+         s2 AS (
+           SELECT event_type, day, ${ewma("t1", "b")} AS t2 FROM l2),
+         l3 AS (
+           SELECT event_type, day, t2,
+                  ${lags("t2", "c")}
+           FROM s2
+           WINDOW wt AS (PARTITION BY event_type ORDER BY day)),
+         s3 AS (
+           SELECT event_type, day, ${ewma("t2", "c")} AS t3 FROM l3),
+         f AS (
+           SELECT event_type, day, t3,
+                  lag(t3, 1) OVER (PARTITION BY event_type
+                                   ORDER BY day) AS prev
+           FROM s3)
+       SELECT event_type, day, t3,
+              CAST(100 AS DOUBLE) * (t3 - prev) / prev AS trix
+       FROM f WHERE prev IS NOT NULL ORDER BY event_type, day"""
+  }
+
   /** W42 oracle — W19's RSI chain verbatim, then the %K fold over
     * the RSI series itself. */
   private def stochRsiOracleSql: String =
@@ -589,6 +637,47 @@ object Windows {
         .withColumn("signal", ewma(9, pcol))
         .select(col("event_type"), col("day"), col("ppo"),
           col("signal"), (col("ppo") - col("signal")).as("hist"))
+        .orderBy("event_type", "day")
+    }),
+
+    // W43: TRIX — the 1-period rate of change of a TRIPLE-smoothed
+    // EMA (span 15): three cascaded truncated-EWMA passes (the W12/
+    // W20 design, identical literal weights and left-associated
+    // sums) kill noise a single EMA keeps, then trix = 100·Δt3/t3.
+    // The compositional DEPTH test of the cascade machinery: every
+    // pass re-lags the PREVIOUS pass's output, three hash-exchange-
+    // sharing window cascades in one plan; the final ratio is one
+    // fixed IEEE chain on bit-identical doubles.
+    "w43_trix" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("px"))
+      val wT = Window.partitionBy("event_type").orderBy("day")
+      def ewmaOf(df: org.apache.spark.sql.DataFrame, src: String,
+          out: String, pref: String): org.apache.spark.sql.DataFrame = {
+        val lagged = (1 until MacdK).foldLeft(df)((acc, j) =>
+          acc.withColumn(s"$pref$j", lag(col(src), j).over(wT)))
+        def cc(j: Int) = if (j == 0) col(src) else col(s"$pref$j")
+        val terms = (0 until MacdK).map { j =>
+          val c = cc(j)
+          (when(c.isNotNull, lit(macdWeight(15, j)) * c)
+             .otherwise(lit(0.0)),
+           when(c.isNotNull, lit(macdWeight(15, j))).otherwise(lit(0.0)))
+        }
+        lagged
+          .withColumn(out,
+            terms.map(_._1).reduce(_ + _) / terms.map(_._2).reduce(_ + _))
+          .select(col("event_type"), col("day"), col(out))
+      }
+      val t1 = ewmaOf(daily, "px", "t1", "a")
+      val t2 = ewmaOf(t1, "t1", "t2", "b")
+      val t3 = ewmaOf(t2, "t2", "t3", "c")
+      t3.withColumn("prev", lag(col("t3"), 1).over(wT))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"), col("day"), col("t3"),
+          (lit(100.0) * (col("t3") - col("prev")) / col("prev"))
+            .as("trix"))
         .orderBy("event_type", "day")
     }),
 
@@ -1729,6 +1818,7 @@ object Windows {
     "w20_macd" -> macdOracleSql,
     "w41_ppo" -> ppoOracleSql,
     "w42_stochrsi" -> stochRsiOracleSql,
+    "w43_trix" -> trixOracleSql,
     // one pinned frame sum → one render → one division; dpo on raw
     // doubles (pure elementwise, nothing to round)
     "w40_dpo" ->

@@ -1566,7 +1566,7 @@ class StatsSpec extends AnyFunSuite {
     assert(nFi > 0 && nFi == fi.size)
   }
 
-  test("w40-w42 detrend/ppo/stochrsi match sequential daily-mean sweeps") {
+  test("w40-w43 detrend/ppo/stochrsi/trix match sequential daily-mean sweeps") {
     def dpin(scale: Int)(xs: Seq[Double]): Double =
       xs.map(BigDecimal(_).setScale(scale, BigDecimal.RoundingMode.HALF_UP))
         .sum.toDouble
@@ -1632,6 +1632,21 @@ class StatsSpec extends AnyFunSuite {
     val sr = graft.operators.Windows.queries("w42_stochrsi")(spark, sf)
       .collect().map(r => (r.getString(0), r.get(1).toString) ->
         (r.getDouble(2), r.getDouble(3))).toMap
+    // W43 TRIX: three left-associated cascades then the ratio
+    val trix = graft.operators.Windows.queries("w43_trix")(spark, sf)
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    px.foreach { case (t, ds) =>
+      def cascade(series: List[Double]): List[Double] =
+        series.indices.map(i => ewmaAt(series, i, 15)).toList
+      val t3 = cascade(cascade(cascade(ds.map(_._2))))
+      (1 until ds.size).foreach { i =>
+        val exp = 100.0 * (t3(i) - t3(i - 1)) / t3(i - 1)
+        assert(trix((t, ds(i)._1)) == ((t3(i), exp)),
+          s"$t ${ds(i)._1} trix")
+      }
+    }
+    assert(trix.nonEmpty)
     var nSr = 0
     px.foreach { case (t, ds) =>
       val deltas = ds.sliding(2).collect {
