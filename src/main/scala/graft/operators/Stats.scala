@@ -2730,6 +2730,60 @@ object Stats {
         .orderBy("event_type")
     }),
 
+    // A102: odds ratio + relative risk on A92's 2×2 up-price/up-volume
+    // panel — the epidemiology-style effect sizes the McNemar decision
+    // doesn't report: OR = ad/bc and RR = a(c+d)/(c(a+b)) are ONE
+    // division each from exact integer cell products; the Woolf CI
+    // rides on log OR with SE = √(1/a+1/b+1/c+1/d) (fixed 4-term
+    // order) — ln/exp are libm calls, so those three columns render
+    // at r6 (the A2 contract: r6 absorbs last-ulp libm divergence),
+    // while or/rr stay raw. Types with any empty cell are excluded
+    // (the statistic is undefined, and ANSI division would throw).
+    "a102_odds_ratio" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("qty",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(when(col("rn") === col("cnt"), col("value"))).as("close"),
+          sum(col("qty")).as("vol"))
+        .withColumn("pc", lag(col("close"), 1).over(wd))
+        .withColumn("pv", lag(col("vol"), 1).over(wd))
+        .filter(col("pc").isNotNull)
+        .withColumn("x", (col("close") > col("pc")).cast("long"))
+        .withColumn("y", (col("vol") > col("pv")).cast("long"))
+        .groupBy("event_type")
+        .agg(sum(when(col("x") === 1 && col("y") === 1, 1L).otherwise(0L))
+            .as("a"),
+          sum(when(col("x") === 1 && col("y") === 0, 1L).otherwise(0L))
+            .as("b"),
+          sum(when(col("x") === 0 && col("y") === 1, 1L).otherwise(0L))
+            .as("c"),
+          sum(when(col("x") === 0 && col("y") === 0, 1L).otherwise(0L))
+            .as("d"))
+        .filter(col("a") > 0 && col("b") > 0 && col("c") > 0 &&
+          col("d") > 0)
+        .withColumn("or_", (col("a") * col("d")).cast("double") /
+          (col("b") * col("c")).cast("double"))
+        .withColumn("se", sqrt(
+          lit(1.0) / col("a") + lit(1.0) / col("b") +
+            lit(1.0) / col("c") + lit(1.0) / col("d")))
+        .select(col("event_type"), col("a"), col("b"), col("c"),
+          col("d"), col("or_").as("odds_ratio"),
+          ((col("a") * (col("c") + col("d"))).cast("double") /
+            (col("c") * (col("a") + col("b"))).cast("double"))
+            .as("rel_risk"),
+          r6(log(col("or_"))).as("log_or"),
+          r6(exp(log(col("or_")) - lit(1.96) * col("se"))).as("ci_lo"),
+          r6(exp(log(col("or_")) + lit(1.96) * col("se"))).as("ci_hi"))
+        .orderBy("event_type")
+    }),
+
     // A93: Wilcoxon signed-rank — the one-sample rank twin of A35's
     // Mann–Whitney: is the median daily close move zero, per type?
     // Zero deltas drop (Wilcoxon's convention), |Δ| gets MIDRANKS
@@ -3213,6 +3267,59 @@ object Stats {
                 CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE) /
                   CAST(b + c AS DOUBLE) AS chi2_cc
          FROM agg WHERE b + c > 0 ORDER BY event_type""",
+    // integer 2×2 cells; OR/RR one division each; the libm columns
+    // (ln/exp) render at r6
+    "a102_odds_ratio" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day,
+                  max(CASE WHEN rn = cnt THEN value END) AS close,
+                  CAST(sum(qty) AS BIGINT) AS vol
+           FROM r GROUP BY 1, 2),
+         p AS (
+           SELECT event_type, day, close, vol,
+                  lag(close) OVER w AS pc, lag(vol) OVER w AS pv
+           FROM c WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         f AS (
+           SELECT event_type,
+                  CAST(close > pc AS BIGINT) AS x,
+                  CAST(vol > pv AS BIGINT) AS y
+           FROM p WHERE pc IS NOT NULL),
+         cells AS (
+           SELECT event_type,
+                  CAST(sum(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS a,
+                  CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS b,
+                  CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c,
+                  CAST(sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS d
+           FROM f GROUP BY 1),
+         st AS (
+           SELECT *,
+                  CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE) AS orr,
+                  sqrt(CAST(1 AS DOUBLE) / a + CAST(1 AS DOUBLE) / b +
+                       CAST(1 AS DOUBLE) / c + CAST(1 AS DOUBLE) / d)
+                    AS se
+           FROM cells WHERE a > 0 AND b > 0 AND c > 0 AND d > 0)
+         SELECT event_type, a, b, c, d, orr AS odds_ratio,
+                CAST(a * (c + d) AS DOUBLE) /
+                  CAST(c * (a + b) AS DOUBLE) AS rel_risk,
+                round(ln(orr), 6) AS log_or,
+                round(exp(ln(orr) - CAST(1.96 AS DOUBLE) * se), 6) AS ci_lo,
+                round(exp(ln(orr) + CAST(1.96 AS DOUBLE) * se), 6) AS ci_hi
+         FROM st ORDER BY event_type""",
     // ×2-midrank integers (rank2 = 2·rank + t_eq − 1), per-row tie
     // correction t_eq²−1, then the identical fixed z chain
     "a93_wilcoxon_signed" ->

@@ -1784,6 +1784,38 @@ class StatsSpec extends AnyFunSuite {
       } else assert(!mc.contains(t))
     }
     assert(mc.nonEmpty)
+    // A102 odds ratio / relative risk on the same 2×2 panel
+    val orr = graft.operators.Stats.queries("a102_odds_ratio")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8),
+         r.getDouble(9))).toMap
+    days.foreach { case (t, ds) =>
+      val pairs = ds.sliding(2).collect { case List(p, c) =>
+        (if (c._3 > p._3) 1 else 0, if (c._4 > p._4) 1 else 0)
+      }.toList
+      val a = pairs.count(p => p._1 == 1 && p._2 == 1).toLong
+      val b = pairs.count(p => p._1 == 1 && p._2 == 0).toLong
+      val c = pairs.count(p => p._1 == 0 && p._2 == 1).toLong
+      val dd = pairs.count(p => p._1 == 0 && p._2 == 0).toLong
+      if (a > 0 && b > 0 && c > 0 && dd > 0) {
+        val or = (a * dd).toDouble / (b * c).toDouble
+        val rr = (a * (c + dd)).toDouble / (c * (a + b)).toDouble
+        val se = math.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / dd)
+        def r6v(v: Double) = math.rint(v * 1e6) / 1e6
+        val got = orr(t)
+        assert(got._1 == a && got._2 == b && got._3 == c && got._4 == dd)
+        assert(got._5 == or && got._6 == rr, s"$t or/rr")
+        assert(math.abs(got._7 - r6v(math.log(or))) <= 1e-6 &&
+          math.abs(got._8 - r6v(math.exp(math.log(or) - 1.96 * se)))
+            <= 1e-6 &&
+          math.abs(got._9 - r6v(math.exp(math.log(or) + 1.96 * se)))
+            <= 1e-6, s"$t CI")
+        // the CI must bracket the point estimate
+        assert(got._8 < got._5 && got._5 < got._9, s"$t CI order")
+      } else assert(!orr.contains(t))
+    }
+    assert(orr.nonEmpty)
     // A93 Wilcoxon signed-rank: ×2-midrank integers, fixed z chain
     val wx = graft.operators.Stats.queries("a93_wilcoxon_signed")(spark, sf)
       .collect().map(r => r.getString(0) ->
