@@ -392,6 +392,35 @@ object Curation {
         .orderBy("global_pos")
     }),
 
+    // PIPE7: graph TRIAGE — the dedup dashboard the graph family's
+    // pieces exist to feed, as ONE oracle-checked table: for every
+    // doc in the verified corpus dup graph, its cluster id (D10's
+    // corpus CC), its density rung (D21's coreness), its
+    // neighborhood centrality (D23's truncated harmonic), and the
+    // keep/drop verdict (D20's longest-wins election generalized to
+    // the full corpus). The composition is three keyed joins over
+    // doc-count frames — each input is itself a fully hash-checked
+    // query, and the composed DuckDB twin replays all four chains
+    // over ONE shared exhaustive-graph CTE spine, so the hash match
+    // certifies the JOINS compose correctly, not just the parts.
+    "pipe7_graph_triage" -> ((s, d) => {
+      val cc = Dedup.queries("d10_cc_corpus")(s, d)
+      val core = Dedup.queries("d21_kcore")(s, d)
+      val harm = Dedup.queries("d23_harmonic")(s, d)
+        .select(col("doc_id"), col("harmonic"))
+      val keep = cc
+        .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          Seq("doc_id"))
+        .withColumn("pick", row_number().over(
+          Window.partitionBy("canonical_id")
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+      keep.join(core, Seq("doc_id")).join(harm, Seq("doc_id"))
+        .select(col("doc_id"), col("canonical_id"), col("coreness"),
+          col("harmonic"), (col("pick") === 1).as("keep"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // TXT7: repetition signals (Gopher §A.1.1-style filters, adapted
     // to this corpus's line-less word-soup text): the fraction of
     // tokens that are the single most frequent token, and the
@@ -419,6 +448,94 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // PIPE7: one shared exhaustive-graph spine feeding all four
+    // replayed chains (recursive CC, 8+8 materialized peel, 3
+    // materialized harmonic shells, keep-best window)
+    "pipe7_graph_triage" -> {
+      def peelCtes(lvl: Int, k: Int, seed: String): String =
+        (1 to 8).map { r =>
+          val prev = if (r == 1) seed else s"e${lvl}_${r - 1}"
+          s"""n${lvl}_$r AS MATERIALIZED (
+             SELECT v FROM (SELECT da AS v FROM $prev
+                            UNION ALL SELECT db AS v FROM $prev)
+             GROUP BY v HAVING count(*) >= $k),
+           e${lvl}_$r AS MATERIALIZED (
+             SELECT da, db FROM $prev
+             WHERE da IN (SELECT v FROM n${lvl}_$r)
+               AND db IN (SELECT v FROM n${lvl}_$r))"""
+        }.mkString(",\n           ")
+      s"""WITH RECURSIVE
+           docs AS (
+             SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+             FROM documents),
+           sh0 AS (
+             SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+             FROM docs WHERE len(t) >= 3),
+           sizes AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY 1),
+           inter AS (
+             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             FROM sh0 a JOIN sh0 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           pairs AS MATERIALIZED (
+             SELECT da, db FROM inter
+             JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+             WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.5),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION SELECT db AS src, da AS dst FROM pairs),
+           reach AS (
+             SELECT doc_id AS id, doc_id AS r FROM documents
+             UNION
+             SELECT reach.id, e.dst FROM reach JOIN edges e
+               ON reach.r = e.src),
+           cc AS MATERIALIZED (
+             SELECT id AS doc_id, min(r) AS canonical_id FROM reach
+             GROUP BY id),
+           ${peelCtes(2, 2, "pairs")},
+           ${peelCtes(3, 3, "e2_8")},
+           r1 AS MATERIALIZED (
+             SELECT DISTINCT v, u FROM (
+               SELECT da AS v, db AS u FROM pairs
+               UNION ALL SELECT db AS v, da AS u FROM pairs)),
+           r2 AS MATERIALIZED (
+             SELECT DISTINCT a.v, b.u FROM r1 a JOIN r1 b ON a.u = b.v
+             WHERE b.u <> a.v
+               AND NOT EXISTS (SELECT 1 FROM r1 x
+                               WHERE x.v = a.v AND x.u = b.u)),
+           r3 AS MATERIALIZED (
+             SELECT DISTINCT a.v, b.u FROM r2 a JOIN r1 b ON a.u = b.v
+             WHERE b.u <> a.v
+               AND NOT EXISTS (SELECT 1 FROM r2 x
+                               WHERE x.v = a.v AND x.u = b.u)
+               AND NOT EXISTS (SELECT 1 FROM r1 y
+                               WHERE y.v = a.v AND y.u = b.u)),
+           c1 AS (SELECT v, CAST(count(*) AS BIGINT) AS n1
+                  FROM r1 GROUP BY 1),
+           c2 AS (SELECT v, CAST(count(*) AS BIGINT) AS n2
+                  FROM r2 GROUP BY 1),
+           c3 AS (SELECT v, CAST(count(*) AS BIGINT) AS n3
+                  FROM r3 GROUP BY 1),
+           harm AS (
+             SELECT c1.v AS doc_id,
+                    CAST(c1.n1 AS DOUBLE) +
+                      CAST(coalesce(c2.n2, 0) AS DOUBLE) / 2 +
+                      CAST(coalesce(c3.n3, 0) AS DOUBLE) / 3 AS harmonic
+             FROM c1 LEFT JOIN c2 ON c1.v = c2.v
+                     LEFT JOIN c3 ON c1.v = c3.v),
+           keepr AS (
+             SELECT cc.doc_id, cc.canonical_id, d.n_chars,
+                    row_number() OVER (PARTITION BY cc.canonical_id
+                      ORDER BY d.n_chars DESC, cc.doc_id) AS pick
+             FROM cc JOIN documents d USING (doc_id))
+         SELECT k.doc_id, k.canonical_id,
+                CAST(CASE WHEN k.doc_id IN (SELECT v FROM n3_8) THEN 3
+                          WHEN k.doc_id IN (SELECT v FROM n2_8) THEN 2
+                          ELSE 1 END AS BIGINT) AS coreness,
+                h.harmonic, k.pick = 1 AS keep, k.n_chars
+         FROM keepr k JOIN harm h ON k.doc_id = h.doc_id
+         ORDER BY k.doc_id"""
+    },
     // the full composition replayed: d10_cc_corpus's exhaustive
     // J >= 0.5 graph + recursive closure, keep-best window, md5
     // split ladder, md5 interleave — one CTE chain, so the hash

@@ -196,4 +196,34 @@ class CurationSpec extends AnyFunSuite {
       "skewed mixture must score fewer effective sources")
     assert(v.getDouble(3) < u.getDouble(3))
   }
+
+  test("pipe7 triage rows agree with every parent query; one keeper per cluster") {
+    val sf = SparkTestSession.Sf0001
+    val triage = Curation.queries("pipe7_graph_triage")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4),
+         r.getLong(5))).toMap
+    assert(triage.nonEmpty)
+    val cc = Dedup.queries("d10_cc_corpus")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val core = Dedup.queries("d21_kcore")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val harm = Dedup.queries("d23_harmonic")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // exactly the graph members appear, and every column equals its
+    // parent query's value — the composition adds joins, not logic
+    assert(triage.keySet == harm.keySet)
+    triage.foreach { case (id, (can, cr, h, _, _)) =>
+      assert(can == cc(id) && cr == core(id) && h == harm(id), s"doc $id")
+    }
+    // every cluster in the output elects exactly ONE keeper, and the
+    // keeper is a longest member (n_chars ties broken by min id)
+    triage.groupBy(_._2._1).foreach { case (can, ms) =>
+      val keepers = ms.filter(_._2._4)
+      assert(keepers.size == 1, s"cluster $can: ${keepers.size} keepers")
+      val (kid, krow) = keepers.head
+      val best = ms.toSeq.map { case (id, r) => (-r._5, id) }.min
+      assert((-krow._5, kid) == best, s"cluster $can keeper not longest")
+    }
+  }
 }
