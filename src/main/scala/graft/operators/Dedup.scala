@@ -433,6 +433,146 @@ object Dedup {
           col("n3").cast("double") / 3).as("harmonic"))
   }
 
+  /** D24's kernel: Newman–Girvan modularity decomposed per community
+    * over an undirected (da, db) pair table + a (doc_id, label)
+    * assignment — q_c = l_c/m − (d_c/(2m))², where l_c counts
+    * intra-community edges, d_c sums member degrees (intra edges
+    * twice + boundary edges once) and m is the total edge count.
+    * Inputs are exact integers, the per-row chain is two identical
+    * IEEE divisions, one self-multiply and one subtraction — fixed
+    * shape per ROW (the A95 convention: no cross-community float sum
+    * ever happens inside the operator; a caller folding Σq_c does so
+    * over the emitted rows). Factored out so the spec can drive the
+    * kernel on a planted two-triangle bridge graph where communities
+    * have BOUNDARY edges (d_c ≠ 2·l_c) — the clique-structured corpus
+    * never exercises that term. Only graph members emit rows
+    * (isolated docs are singleton communities with q = 0, excluded
+    * like D13's deg < 2). */
+  private[graft] def modularityBlocks(pairTable: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val p = pairTable.localCheckpoint()
+    val deg = p.select(col("da").as("doc_id"))
+      .unionAll(p.select(col("db").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    val mem = labels.join(deg, Seq("doc_id"))
+    val m = p.agg(count(lit(1)).as("m"))
+    val dTot = mem.groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_total"))
+    val lIntra = p
+      .join(mem.select(col("doc_id").as("da"), col("label").as("lab_a")),
+        Seq("da"))
+      .join(mem.select(col("doc_id").as("db"), col("label").as("lab_b")),
+        Seq("db"))
+      .filter(col("lab_a") === col("lab_b"))
+      .groupBy(col("lab_a").as("label")).agg(count(lit(1)).as("l_intra"))
+    val half = col("d_total").cast("double") /
+      (col("m") * 2).cast("double")
+    dTot.join(lIntra, Seq("label"), "left")
+      .na.fill(0L, Seq("l_intra"))
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("n_nodes"), col("l_intra"),
+        col("d_total"), col("m"),
+        (col("l_intra").cast("double") / col("m").cast("double") -
+          half * half).as("q_contrib"))
+  }
+
+  /** D25's kernel: per-EDGE strength scores over an undirected
+    * (da, db) pair table — common-neighbor count and Adamic–Adar
+    * (Adamic & Adar 2003) AA = Σ_{z∈N(a)∩N(b)} 1/ln(deg z). Every
+    * common neighbor is adjacent to both endpoints, so deg z ≥ 2 and
+    * ln(deg z) ≥ ln 2 > 0 — the division can never blow up. Each
+    * 1/ln term renders at r6 then decimal-sums (the TXT20 exact-grid
+    * trick: the per-z float chain is fixed-shape, the cross-z fold
+    * exact), so the sum is summation-order-free. Edges with NO
+    * common neighbor (bridges — the false-merge suspects this
+    * operator exists to flag) surface as (0, 0.0) rather than
+    * dropping. Factored out so the spec can drive it on a planted
+    * two-triangle bridge where every cell is hand-countable. */
+  private[graft] def edgeStrength(pairTable: DataFrame): DataFrame = {
+    val p = pairTable.localCheckpoint()
+    val edges = p.select(col("da").as("src"), col("db").as("dst"))
+      .unionAll(p.select(col("db").as("src"), col("da").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("v"), col("deg"))
+    val cn = p.select(col("da"), col("db"))
+      .join(edges.select(col("src").as("da"), col("dst").as("z")),
+        Seq("da"))
+      .join(edges.select(col("src").as("db"), col("dst").as("z")),
+        Seq("db", "z"))
+      .join(deg.select(col("v").as("z"), col("deg")), Seq("z"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("common_cnt"),
+        sum(r6(lit(1.0) / log(col("deg").cast("double")))
+          .cast("decimal(24,10)")).cast("double").as("aa"))
+    p.join(cn, Seq("da", "db"), "left")
+      .na.fill(0L, Seq("common_cnt")).na.fill(0.0, Seq("aa"))
+      .select(col("da"), col("db"), col("common_cnt"),
+        r6(col("aa")).as("aa_score"))
+  }
+
+  /** D26's kernel: per-EDGE neighborhood Jaccard over an undirected
+    * (da, db) pair table — |N(a)∩N(b)| / |N(a)\{b} ∪ N(b)\{a}|, the
+    * NORMALIZED twin of D25's raw common-neighbor count (a 2-common-
+    * neighbor edge means something different between degree-3 and
+    * degree-30 endpoints). union = deg_a + deg_b − 2 − common in
+    * pure integer arithmetic; the lone division is one IEEE op on
+    * exact integers (bit-identical across engines, no rounding);
+    * a both-endpoints-degree-1 edge (union 0) emits 0.0 exactly.
+    * Factored out so the spec can drive it on a planted two-triangle
+    * bridge where every cell is hand-countable. */
+  private[graft] def edgeJaccard(pairTable: DataFrame): DataFrame = {
+    val p = pairTable.localCheckpoint()
+    val edges = p.select(col("da").as("src"), col("db").as("dst"))
+      .unionAll(p.select(col("db").as("src"), col("da").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("v"), col("deg"))
+    val cn = p.select(col("da"), col("db"))
+      .join(edges.select(col("src").as("da"), col("dst").as("z")),
+        Seq("da"))
+      .join(edges.select(col("src").as("db"), col("dst").as("z")),
+        Seq("db", "z"))
+      .groupBy("da", "db").agg(count(lit(1)).as("common_cnt"))
+    val uni = col("deg_a") + col("deg_b") - 2 - col("common_cnt")
+    p.join(cn, Seq("da", "db"), "left")
+      .na.fill(0L, Seq("common_cnt"))
+      .join(deg.select(col("v").as("da"), col("deg").as("deg_a")),
+        Seq("da"))
+      .join(deg.select(col("v").as("db"), col("deg").as("deg_b")),
+        Seq("db"))
+      .select(col("da"), col("db"), col("deg_a"), col("deg_b"),
+        col("common_cnt"), uni.as("union_cnt"),
+        when(uni === 0, lit(0.0))
+          .otherwise(col("common_cnt").cast("double") /
+            uni.cast("double")).as("nbr_jaccard"))
+  }
+
+  /** D27's kernel: depth-bounded eccentricity + per-component
+    * center/periphery election over an undirected (da, db) pair
+    * table. ecc(v) = the outermost nonempty D23 distance shell —
+    * min(true eccentricity, 3), exact whenever the component's
+    * diameter is ≤ 3 (true for the measured corpus; the spec pins
+    * the truncation semantics on a planted path that outgrows the
+    * bound). reach = n1+n2+n3; component ids from the D10 fixpoint;
+    * min/max ecc by integer agg; flags by integer equality — ALL
+    * integer/boolean, nothing to pin. Factored out so the spec can
+    * drive planted stars and paths. */
+  private[graft] def eccentricityBlocks(pairTable: DataFrame,
+      vertices: DataFrame): DataFrame = {
+    val p = pairTable.localCheckpoint()
+    val ecc = harmonicShells(p).select(col("doc_id"),
+      when(col("n3") > 0, lit(3L)).when(col("n2") > 0, lit(2L))
+        .otherwise(lit(1L)).as("ecc"),
+      (col("n1") + col("n2") + col("n3")).as("reach"))
+    val comp = connectedComponents(p, vertices)
+    val mem = ecc.join(comp, Seq("doc_id"))
+    val stats = mem.groupBy("comp")
+      .agg(min(col("ecc")).as("min_ecc"), max(col("ecc")).as("max_ecc"))
+    mem.join(stats, Seq("comp"))
+      .select(col("doc_id"), col("comp").as("component"), col("ecc"),
+        col("reach"), (col("ecc") === col("min_ecc")).as("is_center"),
+        (col("ecc") === col("max_ecc")).as("is_periphery"))
+  }
+
   private[operators] def triangleCounts(und: DataFrame): DataFrame = {
     val deg = und.select(col("da").as("v"))
       .unionAll(und.select(col("db").as("v")))
@@ -894,6 +1034,71 @@ object Dedup {
             .as("assortativity"))
     }),
 
+    // D24: per-community modularity over the verified corpus graph,
+    // with D14b's 4-round LPA labels as the partition — the QUALITY
+    // gauge for the community structure the dedup pipeline acts on
+    // (Newman & Girvan 2004): q_c = l_c/m − (d_c/(2m))² per
+    // community, positive when the community is denser than the
+    // degree-preserving random expectation. All inputs exact integers
+    // (edge counts, degree sums) from three keyed joins over
+    // node/edge-sized frames; the per-row float chain is fixed-shape
+    // (two divisions, one square, one subtraction) so the oracle —
+    // the exhaustive pair graph + the SAME unrolled 4-round LPA +
+    // the identical arithmetic — hash-matches exactly. No global
+    // float fold inside the operator (the A95 convention); the spec
+    // folds Σq_c and exercises the boundary-edge term on a planted
+    // bridge graph the all-clique corpus can't reach.
+    "d24_modularity" -> ((s, d) => {
+      val und = verifiedCorpusPairs(s, d, 0.5)
+      val labels = labelPropagation(und,
+        Tables.documents(s, d).select(col("doc_id")), iters = 4)
+      modularityBlocks(und, labels).orderBy("label")
+    }),
+
+    // D25: edge-strength triage over the verified corpus graph —
+    // per EDGE, the common-neighbor count and Adamic–Adar score
+    // (Adamic & Adar 2003), the link-prediction lenses production
+    // dedup uses BACKWARDS: a verified pair whose endpoints share no
+    // other neighbors is a BRIDGE (the false-merge suspect D24's
+    // boundary term prices; inspect before collapsing two clusters),
+    // while a high-AA edge is redundantly confirmed by its
+    // neighborhood. Integer degrees and counts from keyed joins over
+    // edge-sized frames; each 1/ln(deg z) term r6'd then
+    // decimal-summed (order-free); bridges surface as (0, 0.0). The
+    // oracle replays the exhaustive graph, so the hash also
+    // re-proves banded LSH recall per round.
+    "d25_edge_strength" -> ((s, d) =>
+      edgeStrength(verifiedCorpusPairs(s, d, 0.5))
+        .orderBy("da", "db")),
+
+    // D26: per-edge neighborhood Jaccard over the verified corpus
+    // graph — D25's common-neighbor count NORMALIZED by the joint
+    // neighborhood size, so edge strength compares across degree
+    // scales (2 shared neighbors is conclusive between degree-3
+    // endpoints, noise between degree-30 ones). Pure integer cells +
+    // one IEEE division (bit-identical, no rounding grid); the
+    // oracle replays the exhaustive graph, re-proving banded LSH
+    // recall.
+    "d26_edge_jaccard" -> ((s, d) =>
+      edgeJaccard(verifiedCorpusPairs(s, d, 0.5))
+        .orderBy("da", "db")),
+
+    // D27: depth-bounded eccentricity + per-component center/
+    // periphery election over the verified corpus graph — WHERE in
+    // its cluster each doc sits (the center is D23's harmonic
+    // argmax's cheap integer twin; the periphery is the crawl
+    // frontier — the docs to inspect when a cluster looks wrongly
+    // merged). ecc(v) = the outermost nonempty D23 distance shell
+    // (exact for this corpus: measured diameter 3), reach = n1+n2+n3;
+    // per-component min/max ecc by integer agg on the D10 component
+    // id, flags by integer equality. ALL integer/boolean — nothing
+    // to pin; fully hash-checked vs the exhaustive-graph +
+    // recursive-closure twin.
+    "d27_eccentricity" -> ((s, d) =>
+      eccentricityBlocks(verifiedCorpusPairs(s, d, 0.5),
+        Tables.documents(s, d).select(col("doc_id")))
+        .orderBy("doc_id")),
+
     // D4: 64-bit SimHash signature per document (bitstring form).
     "d4_simhash" -> ((s, d) =>
       simhashBitSums(s, d)
@@ -1138,6 +1343,174 @@ object Dedup {
                                          ORDER BY n DESC, label) AS rk
                FROM c$i) WHERE rk = 1)""").mkString(",\n           ")}
          SELECT doc_id, label FROM l4 ORDER BY doc_id""",
+    // D24: the exhaustive corpus 0.5 graph, the SAME unrolled 4-round
+    // LPA as d14_lpa_corpus, then the per-community modularity
+    // arithmetic — integer cells (edge counts, degree sums; the
+    // BIGINT casts pin DuckDB's HUGEINT sum widening, the a57/f12/w27
+    // lint class), the q chain phrased operation-for-operation like
+    // the engine (two divisions, one self-multiply, one subtraction)
+    "d24_modularity" ->
+      s"""WITH ${pairsCtes("", "0.5")},
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION SELECT db AS src, da AS dst FROM pairs),
+           l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+           ${(1 to 4).map(i =>
+             s"""v$i AS (
+             SELECT e.dst AS doc_id, l.label
+             FROM edges e JOIN l${i - 1} l ON e.src = l.doc_id
+             UNION ALL SELECT doc_id, label FROM l${i - 1}),
+           c$i AS (
+             SELECT doc_id, label, count(*) AS n FROM v$i GROUP BY 1, 2),
+           l$i AS (
+             SELECT doc_id, label FROM (
+               SELECT doc_id, label,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY n DESC, label) AS rk
+               FROM c$i) WHERE rk = 1)""").mkString(",\n           ")},
+           deg AS (
+             SELECT v AS doc_id, count(*) AS deg FROM (
+               SELECT da AS v FROM pairs
+               UNION ALL SELECT db AS v FROM pairs)
+             GROUP BY 1),
+           mem AS (
+             SELECT l.doc_id, l.label, deg.deg
+             FROM l4 l JOIN deg USING (doc_id)),
+           mm AS (SELECT count(*) AS m FROM pairs),
+           dt AS (
+             SELECT label, count(*) AS n_nodes,
+                    CAST(sum(deg) AS BIGINT) AS d_total
+             FROM mem GROUP BY 1),
+           li AS (
+             SELECT a.label, count(*) AS l_intra
+             FROM pairs p
+             JOIN mem a ON p.da = a.doc_id
+             JOIN mem b ON p.db = b.doc_id AND a.label = b.label
+             GROUP BY 1)
+         SELECT dt.label, dt.n_nodes,
+                CAST(coalesce(li.l_intra, 0) AS BIGINT) AS l_intra,
+                dt.d_total, mm.m,
+                CAST(coalesce(li.l_intra, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE)
+                  - (CAST(dt.d_total AS DOUBLE) / CAST(mm.m * 2 AS DOUBLE))
+                    * (CAST(dt.d_total AS DOUBLE) / CAST(mm.m * 2 AS DOUBLE))
+                  AS q_contrib
+         FROM dt LEFT JOIN li USING (label), mm
+         ORDER BY dt.label""",
+    // D25: the exhaustive corpus 0.5 graph, directed edge copies,
+    // integer degrees, then the per-edge common-neighbor join —
+    // COUNTs stay BIGINT (the HUGEINT lint class pinned via CAST),
+    // each 1/ln term r6'd onto the exact decimal grid before the
+    // fold, bridges kept via LEFT JOIN + coalesce
+    "d25_edge_strength" ->
+      s"""WITH ${pairsCtes("", "0.5")},
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION ALL SELECT db AS src, da AS dst FROM pairs),
+           deg AS (SELECT src AS v, count(*) AS deg FROM edges
+                   GROUP BY 1),
+           cn AS (
+             SELECT p.da, p.db, count(*) AS common_cnt,
+                    CAST(CAST(sum(CAST(round(
+                        CAST(1 AS DOUBLE) / ln(CAST(dg.deg AS DOUBLE)), 6)
+                      AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE) AS aa
+             FROM pairs p
+             JOIN edges ea ON ea.src = p.da
+             JOIN edges eb ON eb.src = p.db AND eb.dst = ea.dst
+             JOIN deg dg ON dg.v = ea.dst
+             GROUP BY 1, 2)
+         SELECT p.da, p.db,
+                CAST(coalesce(cn.common_cnt, 0) AS BIGINT) AS common_cnt,
+                round(coalesce(cn.aa, 0), 6) AS aa_score
+         FROM pairs p LEFT JOIN cn USING (da, db)
+         ORDER BY da, db""",
+    // D26: the exhaustive corpus 0.5 graph, directed edge copies,
+    // integer degrees and common-neighbor counts, the union by the
+    // same integer identity, the lone division in exact CASE-guarded
+    // double form (counts BIGINT-cast — the HUGEINT lint class)
+    "d26_edge_jaccard" ->
+      s"""WITH ${pairsCtes("", "0.5")},
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION ALL SELECT db AS src, da AS dst FROM pairs),
+           deg AS (SELECT src AS v, count(*) AS deg FROM edges
+                   GROUP BY 1),
+           cn AS (
+             SELECT p.da, p.db, count(*) AS common_cnt
+             FROM pairs p
+             JOIN edges ea ON ea.src = p.da
+             JOIN edges eb ON eb.src = p.db AND eb.dst = ea.dst
+             GROUP BY 1, 2)
+         SELECT p.da, p.db,
+                CAST(da_deg.deg AS BIGINT) AS deg_a,
+                CAST(db_deg.deg AS BIGINT) AS deg_b,
+                CAST(coalesce(cn.common_cnt, 0) AS BIGINT) AS common_cnt,
+                CAST(da_deg.deg + db_deg.deg - 2
+                     - coalesce(cn.common_cnt, 0) AS BIGINT) AS union_cnt,
+                CASE WHEN da_deg.deg + db_deg.deg - 2
+                          - coalesce(cn.common_cnt, 0) = 0
+                     THEN CAST(0 AS DOUBLE)
+                     ELSE CAST(coalesce(cn.common_cnt, 0) AS DOUBLE) /
+                          CAST(da_deg.deg + db_deg.deg - 2
+                               - coalesce(cn.common_cnt, 0) AS DOUBLE)
+                END AS nbr_jaccard
+         FROM pairs p
+         LEFT JOIN cn USING (da, db)
+         JOIN deg da_deg ON da_deg.v = p.da
+         JOIN deg db_deg ON db_deg.v = p.db
+         ORDER BY da, db""",
+    // D27: the exhaustive corpus 0.5 graph, D23's MATERIALIZED
+    // distance shells for the bounded eccentricity, the recursive
+    // closure (d10's) for component ids, integer min/max per
+    // component, boolean flags by integer equality — no floats at all
+    "d27_eccentricity" ->
+      s"""WITH RECURSIVE ${pairsCtes("", "0.5")},
+           r1 AS MATERIALIZED (
+             SELECT DISTINCT v, u FROM (
+               SELECT da AS v, db AS u FROM pairs
+               UNION ALL SELECT db AS v, da AS u FROM pairs)),
+           r2 AS MATERIALIZED (
+             SELECT DISTINCT a.v, b.u FROM r1 a JOIN r1 b ON a.u = b.v
+             WHERE b.u <> a.v
+               AND NOT EXISTS (SELECT 1 FROM r1 x
+                               WHERE x.v = a.v AND x.u = b.u)),
+           r3 AS MATERIALIZED (
+             SELECT DISTINCT a.v, b.u FROM r2 a JOIN r1 b ON a.u = b.v
+             WHERE b.u <> a.v
+               AND NOT EXISTS (SELECT 1 FROM r2 x
+                               WHERE x.v = a.v AND x.u = b.u)
+               AND NOT EXISTS (SELECT 1 FROM r1 y
+                               WHERE y.v = a.v AND y.u = b.u)),
+           c1 AS (SELECT v, CAST(count(*) AS BIGINT) AS n1
+                  FROM r1 GROUP BY 1),
+           c2 AS (SELECT v, CAST(count(*) AS BIGINT) AS n2
+                  FROM r2 GROUP BY 1),
+           c3 AS (SELECT v, CAST(count(*) AS BIGINT) AS n3
+                  FROM r3 GROUP BY 1),
+           ecc AS (
+             SELECT c1.v AS doc_id,
+                    CASE WHEN coalesce(c3.n3, 0) > 0 THEN CAST(3 AS BIGINT)
+                         WHEN coalesce(c2.n2, 0) > 0 THEN CAST(2 AS BIGINT)
+                         ELSE CAST(1 AS BIGINT) END AS ecc,
+                    c1.n1 + coalesce(c2.n2, 0) + coalesce(c3.n3, 0)
+                      AS reach
+             FROM c1 LEFT JOIN c2 ON c1.v = c2.v
+                     LEFT JOIN c3 ON c1.v = c3.v),
+           gedges AS (SELECT da AS src, db AS dst FROM pairs
+                      UNION SELECT db AS src, da AS dst FROM pairs),
+           closure AS (
+             SELECT doc_id AS id, doc_id AS r FROM documents
+             UNION
+             SELECT closure.id, e.dst FROM closure
+             JOIN gedges e ON closure.r = e.src),
+           comp AS (SELECT id AS doc_id, min(r) AS component
+                    FROM closure GROUP BY id),
+           mem AS (SELECT ecc.doc_id, comp.component, ecc.ecc, ecc.reach
+                   FROM ecc JOIN comp USING (doc_id)),
+           st AS (SELECT component, min(ecc) AS min_ecc,
+                         max(ecc) AS max_ecc
+                  FROM mem GROUP BY 1)
+         SELECT mem.doc_id, mem.component, mem.ecc, mem.reach,
+                mem.ecc = st.min_ecc AS is_center,
+                mem.ecc = st.max_ecc AS is_periphery
+         FROM mem JOIN st USING (component)
+         ORDER BY doc_id""",
     // D21: the exhaustive corpus 0.5 graph, then the SAME 8+8
     // synchronous peel rounds unrolled as chained CTEs (fixed-round
     // literal of the operator — no recursion, pure integer set

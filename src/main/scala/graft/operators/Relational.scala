@@ -1677,6 +1677,35 @@ object Relational {
         LIMIT 100""")
     }),
 
+    // SQL29: TPC-H Q12 shape (shipping modes and order priority),
+    // adapted — lineitem carries no l_shipmode/l_commitdate/
+    // l_receiptdate, so the "mode" becomes a lateness class derived
+    // from the ship lag (datediff(shipdate, orderdate) > 60 days ⇒
+    // SLOW — both engines count midnight-aligned day boundaries, an
+    // exact integer) and "late delivery" simply restricts to the
+    // 1996 ship-year window. The Q12 signature shape survives
+    // intact: one orders↔lineitem equi join where the AGGREGATE
+    // splits each group into priority classes via CASE — the
+    // conditional-count idiom (counts, not sums: DuckDB widens
+    // integer SUMs to HUGEINT, the a57/f12/w27 lint class, while
+    // count() is BIGINT on both engines). Integers end to end.
+    "sql29_tpch_q12" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT CASE WHEN datediff(l_shipdate, o_orderdate) > 60
+                    THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+               count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS high_line_count,
+               count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS low_line_count
+        FROM orders_v JOIN lineitem_v ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1
+        ORDER BY ship_class""")
+    }),
+
     // U4: INTERSECT — distinct (user, day) pairs where a click AND a
     // purchase both happened: the set-semantics operator (Catalyst
     // plans it as a distinct + left-semi hash join — keyed shuffle,
@@ -2955,6 +2984,20 @@ object Relational {
                               WHERE o2.partkey = o.partkey)
          ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
          LIMIT 100""",
+    // day-boundary datediff on midnight-aligned timestamps (exact
+    // integer both engines); conditional COUNTs, never integer sums
+    "sql29_tpch_q12" ->
+      """SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60
+                     THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+                count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 END) AS high_line_count,
+                count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                           THEN 1 END) AS low_line_count
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY 1
+         ORDER BY ship_class""",
     "sql14_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist
          FROM (SELECT c_custkey, count(o_orderkey) AS c_count

@@ -41,6 +41,50 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     graft.functions.DotProduct.dot(a, b)
 
+  /** Per-label centroid arrays, QUANTIZED at 1e-6 as the operator
+    * contract (SIM15's lesson, shared verbatim by SIM16): each
+    * dimension is a decimal-pinned mean rendered through round(·,6),
+    * so every downstream double computed FROM a centroid is
+    * bit-identical across engines. One (label, dim) hash agg →
+    * ≤|labels| rows. */
+  private def quantizedCentroids(emb: DataFrame): DataFrame = {
+    val means = emb
+      .select(col("label"), posexplode(col("embedding"))
+        .as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(sum(col("x").cast("double").cast("decimal(30,12)"))
+        .cast("double") / count(lit(1)), 6).as("mean"))
+    means.groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean"))))
+        .as("sm"))
+      .select(col("label"),
+        transform(col("sm"), s => s.getField("mean")).as("cent"))
+  }
+
+  /** SIM16's kernel: the pairwise (cosine, squared-Euclidean) grid
+    * between per-label quantized centroids — a broadcast self-join
+    * of the ≤|labels|-row centroid frame; on 1e-6-quantized inputs
+    * every dot/norm fold is index-ordered and bit-identical across
+    * engines, so both outputs ship as raw doubles. Factored so the
+    * spec can drive it on planted vectors with hand-computable
+    * cosines. */
+  private[graft] def centroidGrid(emb: DataFrame): DataFrame = {
+    val cents = quantizedCentroids(emb)
+    val a = cents.select(col("label").cast("long").as("label_a"),
+      col("cent").as("ca"))
+    val b = cents.select(col("label").cast("long").as("label_b"),
+      col("cent").as("cb"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        (dot(col("ca"), col("cb")) /
+          (sqrt(dot(col("ca"), col("ca"))) *
+           sqrt(dot(col("cb"), col("cb"))))).as("cosine"),
+        (dot(col("ca"), col("ca")) -
+          lit(2.0) * dot(col("ca"), col("cb")) +
+          dot(col("cb"), col("cb"))).as("dist2"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** 18 deterministic hyperplanes (splitmix64 components), used
     * as 6 bands × 3 sign bits. One band of many bits prunes hard but
     * misses neighbors (measured recall 0.16 with a single 8-bit
@@ -539,17 +583,7 @@ object Similarity {
     // no pair join anywhere.
     "sim15_centroid_medoid" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val means = emb
-        .select(col("label"), posexplode(col("embedding"))
-          .as(Seq("dim", "x")))
-        .groupBy(col("label"), col("dim"))
-        .agg(round(sum(col("x").cast("double").cast("decimal(30,12)"))
-          .cast("double") / count(lit(1)), 6).as("mean"))
-      val cents = means.groupBy("label")
-        .agg(array_sort(collect_list(struct(col("dim"), col("mean"))))
-          .as("sm"))
-        .select(col("label"),
-          transform(col("sm"), s => s.getField("mean")).as("cent"))
+      val cents = quantizedCentroids(emb)
       val wL = Window.partitionBy("label")
         .orderBy(col("dist2"), col("vec_id"))
       emb.join(broadcast(cents), Seq("label"))
@@ -564,6 +598,74 @@ object Similarity {
         .select(col("label").cast("long").as("label"), col("n_members"),
           col("vec_id").as("medoid_id"), col("dist2"),
           dot(col("cent"), col("cent")).as("cnorm2"))
+        .orderBy("label")
+    }),
+
+    // SIM16: inter-cluster centroid similarity grid — the
+    // cluster-MERGE decision table every embedding-clustered corpus
+    // pipeline consults after SIM15 elects representatives (labels
+    // whose centroids sit at cosine ≈ 1 are one topic split by the
+    // labeler; candidates for D16-style merging): pairwise cosine
+    // AND squared Euclidean distance between every label pair's
+    // QUANTIZED centroids (SIM15's 1e-6 contract — on quantized
+    // inputs every dot/norm fold is index-ordered and bit-identical
+    // to DuckDB's list_sum, so cosine/dist2 ship as RAW doubles).
+    // Scale: the grid is |labels|² rows from a broadcast self-join
+    // of a ≤|labels|-row frame — the corpus is touched once, by the
+    // shared (label, dim) hash agg.
+    "sim16_centroid_grid" -> ((s, d) =>
+      centroidGrid(Tables.embeddings(s, d))),
+
+    // SIM17: Davies–Bouldin terms per cluster (Davies & Bouldin
+    // 1979) — the cluster-quality gauge that decides whether SIM16's
+    // merge candidates SHOULD merge: for each label, scatter sᵢ =
+    // mean member distance to the quantized centroid, worst ratio
+    // Rᵢ = max_j (sᵢ+sⱼ)/dᵢⱼ over SIM16's centroid grid (the DB
+    // index is the mean of these terms — folded in the spec, the
+    // A95/D24 no-cross-group-float-sum convention). Determinism:
+    // per-member dist² is the bit-identical index-ordered fold
+    // (sim15's), sqrt is IEEE-exact, each distance renders at r6
+    // before the decimal-pinned mean; dᵢⱼ likewise r6'd; the ratio
+    // chain runs on identical rounded doubles, the argmax is decided
+    // by (ratio DESC, label) ordering on those identical values.
+    // Zero-distance centroid pairs (identical quantized centroids)
+    // are excluded by exact comparison. Scale: one corpus scan for
+    // scatters (broadcast centroids), then everything on ≤|labels|²
+    // rows.
+    "sim17_davies_bouldin" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = quantizedCentroids(emb)
+      val scat = emb.join(broadcast(cents), Seq("label"))
+        .withColumn("dist2",
+          dot(col("embedding"), col("embedding")) -
+            lit(2.0) * dot(col("embedding"), col("cent")) +
+            dot(col("cent"), col("cent")))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"),
+          (sum(r6(sqrt(col("dist2"))).cast("decimal(24,10)"))
+            .cast("double") / count(lit(1))).as("sraw"))
+        .select(col("label").cast("long").as("label"),
+          col("n_members"), r6(col("sraw")).as("scatter"))
+      val grid = centroidGrid(emb)
+      val sym = grid.select(col("label_a").as("li"),
+          col("label_b").as("lj"), col("dist2"))
+        .unionAll(grid.select(col("label_b").as("li"),
+          col("label_a").as("lj"), col("dist2")))
+        .withColumn("dij", r6(sqrt(col("dist2"))))
+        .filter(col("dij") > 0)
+      val w = Window.partitionBy("li")
+        .orderBy(col("rij").desc, col("lj"))
+      sym
+        .join(scat.select(col("label").as("li"), col("n_members"),
+          col("scatter").as("si")), Seq("li"))
+        .join(scat.select(col("label").as("lj"),
+          col("scatter").as("sj")), Seq("lj"))
+        .withColumn("rij", (col("si") + col("sj")) / col("dij"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("li").as("label"), col("n_members"),
+          col("si").as("scatter"), col("lj").as("worst_other"),
+          r6(col("rij")).as("db_term"))
         .orderBy("label")
     }),
 
@@ -1341,6 +1443,112 @@ object Similarity {
                 CAST(nm AS BIGINT) AS n_members,
                 vec_id AS medoid_id, dist2, cnorm2
          FROM r WHERE rk = 1 ORDER BY label""",
+    // sim15's quantized-centroid spine, then the label self-join:
+    // every fold runs over the 1e-6-quantized means, so cosine and
+    // dist2 are raw bit-identical doubles on both engines
+    "sim16_centroid_grid" ->
+      """WITH v AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+         px AS (
+           SELECT label, unnest(generate_series(1, len(e))) AS dim,
+                  unnest(e) AS x
+           FROM v),
+         m AS (
+           SELECT label, dim,
+                  round(CAST(CAST(sum(CAST(x AS DECIMAL(30,12)))
+                        AS VARCHAR) AS DOUBLE) / count(*), 6) AS mean
+           FROM px GROUP BY 1, 2),
+         c AS (SELECT label, list(mean ORDER BY dim) AS cent
+               FROM m GROUP BY 1)
+         SELECT CAST(a.label AS BIGINT) AS label_a,
+                CAST(b.label AS BIGINT) AS label_b,
+                list_sum(list_transform(generate_series(1, len(a.cent)),
+                    i -> a.cent[i] * b.cent[i]))
+                  / (sqrt(list_sum(list_transform(
+                        generate_series(1, len(a.cent)),
+                        i -> a.cent[i] * a.cent[i])))
+                     * sqrt(list_sum(list_transform(
+                         generate_series(1, len(b.cent)),
+                         i -> b.cent[i] * b.cent[i])))) AS cosine,
+                list_sum(list_transform(generate_series(1, len(a.cent)),
+                    i -> a.cent[i] * a.cent[i]))
+                  - CAST(2 AS DOUBLE) *
+                    list_sum(list_transform(generate_series(1, len(a.cent)),
+                      i -> a.cent[i] * b.cent[i]))
+                  + list_sum(list_transform(generate_series(1, len(b.cent)),
+                      i -> b.cent[i] * b.cent[i])) AS dist2
+         FROM c a JOIN c b ON a.label < b.label
+         ORDER BY label_a, label_b""",
+    // sim15's quantized-centroid spine + per-member dist2 fold, r6'd
+    // distances into a pinned per-label mean; sim16's grid phrasing
+    // for dij; the (ratio DESC, label) argmax on identical doubles
+    "sim17_davies_bouldin" ->
+      """WITH v AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+         px AS (
+           SELECT label, unnest(generate_series(1, len(e))) AS dim,
+                  unnest(e) AS x
+           FROM v),
+         m AS (
+           SELECT label, dim,
+                  round(CAST(CAST(sum(CAST(x AS DECIMAL(30,12)))
+                        AS VARCHAR) AS DOUBLE) / count(*), 6) AS mean
+           FROM px GROUP BY 1, 2),
+         c AS (SELECT label, list(mean ORDER BY dim) AS cent
+               FROM m GROUP BY 1),
+         sc AS (
+           SELECT v.label,
+                  round(sqrt(
+                    list_sum(list_transform(generate_series(1, len(v.e)),
+                      i -> v.e[i] * v.e[i]))
+                    - CAST(2 AS DOUBLE) *
+                      list_sum(list_transform(generate_series(1, len(v.e)),
+                        i -> v.e[i] * c.cent[i]))
+                    + list_sum(list_transform(
+                        generate_series(1, len(c.cent)),
+                        i -> c.cent[i] * c.cent[i]))), 6) AS dst
+           FROM v JOIN c USING (label)),
+         scat AS (
+           SELECT CAST(label AS BIGINT) AS label,
+                  CAST(count(*) AS BIGINT) AS n_members,
+                  round(CAST(CAST(sum(CAST(dst AS DECIMAL(24,10)))
+                        AS VARCHAR) AS DOUBLE) / count(*), 6) AS scatter
+           FROM sc GROUP BY 1),
+         grid AS (
+           SELECT CAST(a.label AS BIGINT) AS li,
+                  CAST(b.label AS BIGINT) AS lj,
+                  list_sum(list_transform(generate_series(1, len(a.cent)),
+                      i -> a.cent[i] * a.cent[i]))
+                    - CAST(2 AS DOUBLE) *
+                      list_sum(list_transform(generate_series(1, len(a.cent)),
+                        i -> a.cent[i] * b.cent[i]))
+                    + list_sum(list_transform(generate_series(1, len(b.cent)),
+                        i -> b.cent[i] * b.cent[i])) AS dist2
+           FROM c a JOIN c b ON a.label < b.label),
+         bidir AS (
+           SELECT li, lj, dist2 FROM grid
+           UNION ALL SELECT lj AS li, li AS lj, dist2 FROM grid),
+         sym AS (
+           SELECT li, lj, round(sqrt(dist2), 6) AS dij
+           FROM bidir WHERE round(sqrt(dist2), 6) > 0),
+         r AS (
+           SELECT sym.li, sym.lj, sa.n_members, sa.scatter AS si,
+                  sb.scatter AS sj,
+                  (sa.scatter + sb.scatter) / sym.dij AS rij
+           FROM sym
+           JOIN scat sa ON sa.label = sym.li
+           JOIN scat sb ON sb.label = sym.lj),
+         rk AS (
+           SELECT *, row_number() OVER (PARTITION BY li
+                       ORDER BY rij DESC, lj) AS rk
+           FROM r)
+         SELECT li AS label, n_members, si AS scatter,
+                lj AS worst_other, round(rij, 6) AS db_term
+         FROM rk WHERE rk = 1 ORDER BY label""",
     "sim5_jl_project" ->
       s"""$jlProjCte,
          u AS (

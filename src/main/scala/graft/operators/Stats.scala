@@ -2784,6 +2784,178 @@ object Stats {
         .orderBy("event_type")
     }),
 
+    // A103: Theil's U (uncertainty coefficient) — the ASYMMETRIC
+    // categorical-association gauge A44/A48 don't report: U(X|Y) =
+    // (H(X)+H(Y)−H(X,Y))/H(X) answers "what fraction of event-type
+    // uncertainty does knowing the weekday remove" — directional,
+    // unlike Cramér's V, and normalized per-variable, unlike raw MI.
+    // Same (event_type, dow) contingency as A48; each entropy is a
+    // decimal-pinned sum of r6'd per-cell terms (the A48 determinism
+    // contract: ln over exact integer ratios, both engines feed libm
+    // the same double), the two U's are one division each over those
+    // identical rounded entropies, r6-rendered.
+    "a103_theils_u" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .select(col("event_type"), dayofweek(col("ts")).as("dow"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum(col("n")).as("t"))
+      def ent(df: DataFrame, keys: Seq[String], out: String) = df
+        .groupBy(keys.map(col): _*).agg(sum(col("n")).as("k"))
+        .crossJoin(broadcast(tot))
+        .withColumn("term",
+          r6(-(col("k").cast("double") / col("t")) *
+            log(col("k").cast("double") / col("t").cast("double"))))
+        .agg(sum(col("term").cast("decimal(24,10)")).cast("double")
+          .as(out))
+      val hx = ent(cells, Seq("event_type"), "hx")
+      val hy = ent(cells, Seq("dow"), "hy")
+      val hxy = ent(cells, Seq("event_type", "dow"), "hxy")
+      hx.crossJoin(broadcast(hy)).crossJoin(broadcast(hxy))
+        .select(r6(col("hx")).as("h_type"), r6(col("hy")).as("h_dow"),
+          r6(col("hxy")).as("h_joint"),
+          r6((col("hx") + col("hy") - col("hxy")) / col("hx"))
+            .as("u_type_given_dow"),
+          r6((col("hx") + col("hy") - col("hxy")) / col("hy"))
+            .as("u_dow_given_type"))
+    }),
+
+    // A104: Cronbach's alpha — the internal-consistency gauge over
+    // the daily panel (Cronbach 1951): items = the k event types'
+    // daily mean values, subjects = the days (a complete k×n panel —
+    // every type posts every day, asserted in-spec); α = k/(k−1) ·
+    // (1 − Σᵢσ²ᵢ/σ²_total) where σ²ᵢ is each item's sample variance
+    // and σ²_total the variance of the per-day SUM across items.
+    // Float discipline: every variance derives from decimal-pinned
+    // Σv/Σv² (raw double products are exact IEEE; the pin makes the
+    // summation order vanish), renders at r6; the per-day total is
+    // itself a decimal-pinned sum (a raw k-term float sum would be
+    // order-sensitive); Σᵢσ²ᵢ decimal-sums the r6'd variances (the
+    // TXT20 exact-grid trick); α is one fixed IEEE chain on those
+    // identical rounded doubles. Scale: one (type, day) hash agg,
+    // then two aggregations over O(types×days) rows — nothing
+    // corpus-sized past the first exchange.
+    "a104_cronbach_alpha" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("v"))
+      val itemVar = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(24,10)")).cast("double").as("s1"),
+          sum((col("v") * col("v")).cast("decimal(30,10)")).cast("double")
+            .as("s2"))
+        .select(r6((col("s2") - col("s1") * col("s1") / col("n")) /
+          (col("n") - 1)).as("ivar"))
+      val iv = itemVar.agg(count(lit(1)).as("k"),
+        sum(col("ivar").cast("decimal(24,10)")).cast("double").as("siv"))
+      val tv = daily.groupBy("day")
+        .agg(sum(col("v").cast("decimal(24,10)")).cast("double").as("tot"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("tot").cast("decimal(24,10)")).cast("double").as("s1"),
+          sum((col("tot") * col("tot")).cast("decimal(30,10)"))
+            .cast("double").as("s2"))
+        .select(col("n_days"),
+          r6((col("s2") - col("s1") * col("s1") / col("n_days")) /
+            (col("n_days") - 1)).as("tvar"))
+      iv.crossJoin(broadcast(tv))
+        .select(col("k"), col("n_days"),
+          r6(col("siv")).as("sum_item_var"), col("tvar").as("total_var"),
+          r6((col("k").cast("double") / (col("k") - 1)) *
+            (lit(1.0) - col("siv") / col("tvar"))).as("alpha"))
+    }),
+
+    // A105: intraclass correlation ICC(3,1) + ICC(2,1) (Shrout &
+    // Fleiss 1979) — the AGREEMENT twin of A104's consistency: do
+    // the k event types rank the days the same way (consistency,
+    // ICC(3,1)) and do they agree in LEVEL too (absolute agreement,
+    // ICC(2,1))? Two-way ANOVA decomposition over A104's complete
+    // k×n panel: SS_R (days), SS_C (types), SS_E = SS_T − SS_R −
+    // SS_C, each from decimal-pinned Σv/Σv²/Σtot²/Σts² aggregates
+    // (v is the bit-identical pinned daily mean; tot/ts are
+    // themselves pinned sums, so their squares are exact IEEE
+    // products of identical doubles) — the SS/MS/ICC chains are
+    // fixed-shape IEEE on those identical aggregates, r6 only at
+    // emission. Scale: one (type, day) hash agg, then three small
+    // aggs over O(k×n) rows.
+    "a105_icc" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("v"))
+      val g = daily.agg(count(lit(1)).as("nk"),
+        sum(col("v").cast("decimal(24,10)")).cast("double").as("s"),
+        sum((col("v") * col("v")).cast("decimal(30,10)")).cast("double")
+          .as("ssq"))
+      val rows = daily.groupBy("day")
+        .agg(sum(col("v").cast("decimal(24,10)")).cast("double").as("tot"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("tot") * col("tot")).cast("decimal(30,10)"))
+            .cast("double").as("srow"))
+      val cols = daily.groupBy("event_type")
+        .agg(sum(col("v").cast("decimal(24,10)")).cast("double").as("ts"))
+        .agg(count(lit(1)).as("k"),
+          sum((col("ts") * col("ts")).cast("decimal(30,10)"))
+            .cast("double").as("scol"))
+      val cf = col("s") * col("s") / col("nk").cast("double")
+      val ssr = col("srow") / col("k").cast("double") - cf
+      val ssc = col("scol") / col("n").cast("double") - cf
+      val sst = col("ssq") - cf
+      val sse = sst - ssr - ssc
+      val msr = ssr / (col("n") - 1).cast("double")
+      val msc = ssc / (col("k") - 1).cast("double")
+      val mse = sse / ((col("n") - 1) * (col("k") - 1)).cast("double")
+      val icc31 = (msr - mse) / (msr + (col("k") - 1).cast("double") * mse)
+      val icc21 = (msr - mse) /
+        (msr + (col("k") - 1).cast("double") * mse +
+          col("k").cast("double") * (msc - mse) / col("n").cast("double"))
+      g.crossJoin(broadcast(rows)).crossJoin(broadcast(cols))
+        .select(col("k"), col("n").as("n_days"),
+          r6(msr).as("ms_rows"), r6(msc).as("ms_cols"),
+          r6(mse).as("ms_err"), r6(icc31).as("icc_3_1"),
+          r6(icc21).as("icc_2_1"))
+    }),
+
+    // A106: Bartlett's test — the variance-homogeneity gauge that
+    // completes the family (A74 Levene = mean centers, A99 Brown–
+    // Forsythe = median centers, Bartlett = the normal-theory
+    // original scipy pairs them with): T = ((N−k)·ln Sp² −
+    // Σ(nᵢ−1)·ln Sᵢ²)/C with C = 1 + (Σ1/(nᵢ−1) − 1/(N−k))/(3(k−1)),
+    // over the raw per-event values grouped by type. Float
+    // discipline: each group variance from pinned Σx/Σx² rendered at
+    // r6; each ln TERM r6'd whole (the A103 libm-absorption
+    // contract); the three cross-group folds (pooled numerator, ln
+    // terms, reciprocals) decimal-pinned over r6'd summands
+    // (order-free); T and C one fixed chain each. Degenerate
+    // zero-variance groups excluded by an exact filter.
+    "a106_bartlett" -> ((s, d) => {
+      val grp = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("ni"),
+          sum(col("value").cast("decimal(24,10)")).cast("double").as("s1"),
+          sum((col("value") * col("value")).cast("decimal(30,10)"))
+            .cast("double").as("s2"))
+        .withColumn("svar",
+          r6((col("s2") - col("s1") * col("s1") / col("ni")) /
+            (col("ni") - 1)))
+        .filter(col("svar") > 0)
+      val agg = grp.agg(count(lit(1)).as("k"),
+        sum(col("ni")).as("nn"),
+        sum(((col("ni") - 1).cast("double") * col("svar"))
+          .cast("decimal(30,10)")).cast("double").as("pool_num"),
+        sum(r6((col("ni") - 1).cast("double") *
+            log(col("svar"))).cast("decimal(30,10)"))
+          .cast("double").as("ln_terms"),
+        sum(r6(lit(1.0) / (col("ni") - 1).cast("double"))
+          .cast("decimal(24,10)")).cast("double").as("recip"))
+      val df = (col("nn") - col("k")).cast("double")
+      val sp2 = r6(col("pool_num") / df)
+      val c = lit(1.0) + (col("recip") - lit(1.0) / df) /
+        (lit(3.0) * (col("k") - 1).cast("double"))
+      val t = (df * r6(log(sp2)) - col("ln_terms")) / c
+      agg.select(col("k"), col("nn").as("n"), sp2.as("pooled_var"),
+        r6(c).as("correction_c"), r6(t).as("bartlett_t"))
+    }),
+
     // A93: Wilcoxon signed-rank — the one-sample rank twin of A35's
     // Mann–Whitney: is the median daily close move zero, per type?
     // Zero deltas drop (Wilcoxon's convention), |Δ| gets MIDRANKS
@@ -4184,6 +4356,185 @@ object Stats {
          SELECT round(mi, 6) AS mi, round(h_joint, 6) AS h_joint,
                 round(mi / h_joint, 6) AS nmi
          FROM agg""",
+    // a48's contingency; each entropy a decimal-pinned sum of r6'd
+    // −p·ln p terms (BIGINT-cast marginals — the HUGEINT lint class),
+    // the two U's one division each over identical rounded entropies
+    "a103_theils_u" ->
+      """WITH base AS (
+           SELECT event_type, dayofweek(ts) + 1 AS dow FROM events),
+         cells AS (
+           SELECT event_type, dow, count(*) AS n FROM base GROUP BY 1, 2),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells),
+         hx AS (
+           SELECT CAST(CAST(sum(CAST(round(
+                    -(CAST(k AS DOUBLE) / t) *
+                      ln(CAST(k AS DOUBLE) / CAST(t AS DOUBLE)), 6)
+                  AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE) AS hx
+           FROM (SELECT event_type, CAST(sum(n) AS BIGINT) AS k
+                 FROM cells GROUP BY 1), tot),
+         hy AS (
+           SELECT CAST(CAST(sum(CAST(round(
+                    -(CAST(k AS DOUBLE) / t) *
+                      ln(CAST(k AS DOUBLE) / CAST(t AS DOUBLE)), 6)
+                  AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE) AS hy
+           FROM (SELECT dow, CAST(sum(n) AS BIGINT) AS k
+                 FROM cells GROUP BY 1), tot),
+         hxy AS (
+           SELECT CAST(CAST(sum(CAST(round(
+                    -(CAST(k AS DOUBLE) / t) *
+                      ln(CAST(k AS DOUBLE) / CAST(t AS DOUBLE)), 6)
+                  AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE) AS hxy
+           FROM (SELECT event_type, dow, CAST(sum(n) AS BIGINT) AS k
+                 FROM cells GROUP BY 1, 2), tot)
+         SELECT round(hx, 6) AS h_type, round(hy, 6) AS h_dow,
+                round(hxy, 6) AS h_joint,
+                round((hx + hy - hxy) / hx, 6) AS u_type_given_dow,
+                round((hx + hy - hxy) / hy, 6) AS u_dow_given_type
+         FROM hx, hy, hxy""",
+    // decimal-pinned Σv/Σv² variances rendered at r6, the per-day
+    // totals themselves pinned sums, Σᵢσ²ᵢ a decimal fold of the
+    // r6'd variances, α one fixed chain on identical doubles
+    "a104_cronbach_alpha" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS v
+           FROM events GROUP BY 1, 2),
+         ivr AS (
+           SELECT round((s2 - s1 * s1 / n) / (n - 1), 6) AS ivar
+           FROM (SELECT event_type, count(*) AS n,
+                        CAST(CAST(sum(CAST(v AS DECIMAL(24,10)))
+                             AS VARCHAR) AS DOUBLE) AS s1,
+                        CAST(CAST(sum(CAST(v * v AS DECIMAL(30,10)))
+                             AS VARCHAR) AS DOUBLE) AS s2
+                 FROM daily GROUP BY 1)),
+         iv AS (
+           SELECT count(*) AS k,
+                  CAST(CAST(sum(CAST(ivar AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) AS siv
+           FROM ivr),
+         tot AS (
+           SELECT day, CAST(CAST(sum(CAST(v AS DECIMAL(24,10)))
+                       AS VARCHAR) AS DOUBLE) AS tot
+           FROM daily GROUP BY 1),
+         tvr AS (
+           SELECT n_days,
+                  round((s2 - s1 * s1 / n_days) / (n_days - 1), 6) AS tvar
+           FROM (SELECT count(*) AS n_days,
+                        CAST(CAST(sum(CAST(tot AS DECIMAL(24,10)))
+                             AS VARCHAR) AS DOUBLE) AS s1,
+                        CAST(CAST(sum(CAST(tot * tot AS DECIMAL(30,10)))
+                             AS VARCHAR) AS DOUBLE) AS s2
+                 FROM tot))
+         SELECT k, n_days, round(siv, 6) AS sum_item_var,
+                tvar AS total_var,
+                round((CAST(k AS DOUBLE) / (k - 1)) * (1 - siv / tvar), 6)
+                  AS alpha
+         FROM iv, tvr""",
+    // a104's pinned panel aggregates (v, per-day tot, per-type ts —
+    // squares are exact IEEE products of identical doubles), then the
+    // two-way SS/MS/ICC chains phrased operation-for-operation like
+    // the engine; r6 only at emission
+    "a105_icc" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS v
+           FROM events GROUP BY 1, 2),
+         g AS (
+           SELECT count(*) AS nk,
+                  CAST(CAST(sum(CAST(v AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) AS s,
+                  CAST(CAST(sum(CAST(v * v AS DECIMAL(30,10))) AS VARCHAR)
+                       AS DOUBLE) AS ssq
+           FROM daily),
+         rt AS (
+           SELECT day, CAST(CAST(sum(CAST(v AS DECIMAL(24,10)))
+                       AS VARCHAR) AS DOUBLE) AS tot
+           FROM daily GROUP BY 1),
+         rows_agg AS (
+           SELECT count(*) AS n,
+                  CAST(CAST(sum(CAST(tot * tot AS DECIMAL(30,10)))
+                       AS VARCHAR) AS DOUBLE) AS srow
+           FROM rt),
+         ct AS (
+           SELECT event_type, CAST(CAST(sum(CAST(v AS DECIMAL(24,10)))
+                       AS VARCHAR) AS DOUBLE) AS ts
+           FROM daily GROUP BY 1),
+         cols_agg AS (
+           SELECT count(*) AS k,
+                  CAST(CAST(sum(CAST(ts * ts AS DECIMAL(30,10)))
+                       AS VARCHAR) AS DOUBLE) AS scol
+           FROM ct),
+         ss AS (
+           SELECT k, n,
+                  srow / CAST(k AS DOUBLE)
+                    - s * s / CAST(nk AS DOUBLE) AS ssr,
+                  scol / CAST(n AS DOUBLE)
+                    - s * s / CAST(nk AS DOUBLE) AS ssc,
+                  ssq - s * s / CAST(nk AS DOUBLE) AS sst
+           FROM g, rows_agg, cols_agg),
+         ms AS (
+           SELECT k, n,
+                  ssr / CAST(n - 1 AS DOUBLE) AS msr,
+                  ssc / CAST(k - 1 AS DOUBLE) AS msc,
+                  (sst - ssr - ssc) / CAST((n - 1) * (k - 1) AS DOUBLE)
+                    AS mse
+           FROM ss)
+         SELECT k, n AS n_days,
+                round(msr, 6) AS ms_rows, round(msc, 6) AS ms_cols,
+                round(mse, 6) AS ms_err,
+                round((msr - mse) /
+                      (msr + CAST(k - 1 AS DOUBLE) * mse), 6) AS icc_3_1,
+                round((msr - mse) /
+                      (msr + CAST(k - 1 AS DOUBLE) * mse
+                           + CAST(k AS DOUBLE) * (msc - mse)
+                             / CAST(n AS DOUBLE)), 6) AS icc_2_1
+         FROM ms""",
+    // pinned per-type Σx/Σx² variances rendered at r6, each ln term
+    // r6'd whole (the a103 libm-absorption contract), the three
+    // cross-group folds decimal-pinned over r6'd summands, T and C
+    // one fixed chain each; sum(ni) BIGINT-cast (the HUGEINT class)
+    "a106_bartlett" ->
+      """WITH grp AS (
+           SELECT event_type, count(*) AS ni,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) AS s1,
+                  CAST(CAST(sum(CAST(value * value AS DECIMAL(30,10)))
+                       AS VARCHAR) AS DOUBLE) AS s2
+           FROM events GROUP BY 1),
+         sv AS (
+           SELECT ni, round((s2 - s1 * s1 / ni) / (ni - 1), 6) AS svar
+           FROM grp),
+         fl AS (SELECT * FROM sv WHERE svar > 0),
+         agg AS (
+           SELECT count(*) AS k, CAST(sum(ni) AS BIGINT) AS nn,
+                  CAST(CAST(sum(CAST(CAST(ni - 1 AS DOUBLE) * svar
+                       AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+                    AS pool_num,
+                  CAST(CAST(sum(CAST(round(CAST(ni - 1 AS DOUBLE) *
+                       ln(svar), 6) AS DECIMAL(30,10))) AS VARCHAR)
+                       AS DOUBLE) AS ln_terms,
+                  CAST(CAST(sum(CAST(round(CAST(1 AS DOUBLE) /
+                       CAST(ni - 1 AS DOUBLE), 6) AS DECIMAL(24,10)))
+                       AS VARCHAR) AS DOUBLE) AS recip
+           FROM fl),
+         ch AS (
+           SELECT k, nn, CAST(nn - k AS DOUBLE) AS df,
+                  round(pool_num / CAST(nn - k AS DOUBLE), 6) AS sp2,
+                  ln_terms, recip
+           FROM agg),
+         cc AS (
+           SELECT k, nn, df, sp2, ln_terms,
+                  CAST(1 AS DOUBLE) +
+                    (recip - CAST(1 AS DOUBLE) / df) /
+                    (CAST(3 AS DOUBLE) * CAST(k - 1 AS DOUBLE)) AS c
+           FROM ch)
+         SELECT k, nn AS n, sp2 AS pooled_var,
+                round(c, 6) AS correction_c,
+                round((df * round(ln(sp2), 6) - ln_terms) / c, 6)
+                  AS bartlett_t
+         FROM cc""",
     "a47_ols_multiple" ->
       """WITH base AS (
            SELECT event_type, value AS y,

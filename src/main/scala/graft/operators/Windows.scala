@@ -248,6 +248,99 @@ object Windows {
        FROM f WHERE prev IS NOT NULL ORDER BY event_type, day"""
   }
 
+  /** W45 oracle — three generated span-10 cascades (trixOracleSql's
+    * machinery), then the fixed DEMA/TEMA combination chains. */
+  private def demaTemaOracleSql: String = {
+    def w(j: Int): String = "%.17e".formatLocal(
+      java.util.Locale.ROOT, macdWeight(10, j))
+    def ewma(c0: String, p: String): String = {
+      def cn(j: Int) = if (j == 0) c0 else s"$p$j"
+      def term(j: Int, body: String): String =
+        s"CASE WHEN ${cn(j)} IS NOT NULL THEN $body ELSE 0.0 END"
+      val num = (0 until MacdK).map(j =>
+        term(j, s"${w(j)} * ${cn(j)}")).mkString(" + ")
+      val den = (0 until MacdK).map(j => term(j, w(j))).mkString(" + ")
+      s"(($num) / ($den))"
+    }
+    def lags(src: String, p: String): String = (1 until MacdK).map(j =>
+      s"lag($src, $j) OVER wt AS $p$j").mkString(",\n                  ")
+    s"""WITH $DailyPxCte,
+         l1 AS (
+           SELECT event_type, day, px,
+                  ${lags("px", "a")}
+           FROM daily
+           WINDOW wt AS (PARTITION BY event_type ORDER BY day)),
+         s1 AS (
+           SELECT event_type, day, ${ewma("px", "a")} AS e1 FROM l1),
+         l2 AS (
+           SELECT event_type, day, e1,
+                  ${lags("e1", "b")}
+           FROM s1
+           WINDOW wt AS (PARTITION BY event_type ORDER BY day)),
+         s2 AS (
+           SELECT event_type, day, e1, ${ewma("e1", "b")} AS e2 FROM l2),
+         l3 AS (
+           SELECT event_type, day, e1, e2,
+                  ${lags("e2", "c")}
+           FROM s2
+           WINDOW wt AS (PARTITION BY event_type ORDER BY day)),
+         s3 AS (
+           SELECT event_type, day, e1, e2,
+                  ${ewma("e2", "c")} AS e3 FROM l3)
+       SELECT event_type, day, e1,
+              CAST(2 AS DOUBLE) * e1 - e2 AS dema,
+              CAST(3 AS DOUBLE) * e1 - CAST(3 AS DOUBLE) * e2 + e3 AS tema
+       FROM s3 ORDER BY event_type, day"""
+  }
+
+  /** W46 oracle — two generated span-9 cascades over the candle
+    * range, r6'd ratios, then the decimal-pinned 10-day frame sum. */
+  private def massIndexOracleSql: String = {
+    def w(j: Int): String = "%.17e".formatLocal(
+      java.util.Locale.ROOT, macdWeight(9, j))
+    def ewma(c0: String, p: String): String = {
+      def cn(j: Int) = if (j == 0) c0 else s"$p$j"
+      def term(j: Int, body: String): String =
+        s"CASE WHEN ${cn(j)} IS NOT NULL THEN $body ELSE 0.0 END"
+      val num = (0 until MacdK).map(j =>
+        term(j, s"${w(j)} * ${cn(j)}")).mkString(" + ")
+      val den = (0 until MacdK).map(j => term(j, w(j))).mkString(" + ")
+      s"(($num) / ($den))"
+    }
+    def lags(src: String, p: String): String = (1 until MacdK).map(j =>
+      s"lag($src, $j) OVER wt AS $p$j").mkString(",\n                  ")
+    s"""WITH candles AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  max(value) - min(value) AS rng
+           FROM events GROUP BY 1, 2),
+         l1 AS (
+           SELECT event_type, day, rng,
+                  ${lags("rng", "a")}
+           FROM candles
+           WINDOW wt AS (PARTITION BY event_type ORDER BY day)),
+         s1 AS (
+           SELECT event_type, day, ${ewma("rng", "a")} AS e1 FROM l1),
+         l2 AS (
+           SELECT event_type, day, e1,
+                  ${lags("e1", "b")}
+           FROM s1
+           WINDOW wt AS (PARTITION BY event_type ORDER BY day)),
+         s2 AS (
+           SELECT event_type, day, e1, ${ewma("e1", "b")} AS e2 FROM l2),
+         rr AS (
+           SELECT event_type, day, round(e1 / e2, 6) AS ratio FROM s2),
+         mm AS (
+           SELECT event_type, day, ratio,
+                  count(*) OVER f AS n,
+                  CAST(CAST(sum(CAST(ratio AS DECIMAL(24,10))) OVER f
+                       AS VARCHAR) AS DOUBLE) AS mass
+           FROM rr
+           WINDOW f AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+       SELECT event_type, day, ratio, mass
+       FROM mm WHERE n = 10 ORDER BY event_type, day"""
+  }
+
   /** W42 oracle — W19's RSI chain verbatim, then the %K fold over
     * the RSI series itself. */
   private def stochRsiOracleSql: String =
@@ -678,6 +771,148 @@ object Windows {
         .select(col("event_type"), col("day"), col("t3"),
           (lit(100.0) * (col("t3") - col("prev")) / col("prev"))
             .as("trix"))
+        .orderBy("event_type", "day")
+    }),
+
+    // W44: Ichimoku cloud (Hosoda's equilibrium system), scaled to
+    // the corpus's 30-day panel (5/10/20 spans with a 5-day
+    // displacement — the classic 9/26/52 needs 78 daily candles;
+    // W29's 5-day Donchian precedent, documented adaptation):
+    // tenkan = (max₅ high + min₅ low)/2, kijun = the 10-day twin,
+    // senkou A = the (tenkan+kijun)/2 of 5 days AGO and senkou B =
+    // the 20-day midpoint of 5 days ago (the displaced cloud edges
+    // in effect today), chikou = the close 5 days AHEAD (null on
+    // each series' last 5 days — kept, both engines agree on the
+    // frame edge). Full displaced windows only: the row qualifies
+    // when the 20-day window was already full at the DISPLACED
+    // source row (lagged count = 20), which makes every other
+    // window full a fortiori. Float-risk-FREE by construction
+    // (W29's class): every input is an exact candle pick and every
+    // output one fixed IEEE chain (one add, one halving) — raw
+    // doubles, no sums, nothing to pin. One candle shuffle, then
+    // per-type series windows sharing one exchange.
+    "w44_ichimoku" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      val w5 = wd.rowsBetween(-4, 0)
+      val w10 = wd.rowsBetween(-9, 0)
+      val w20 = wd.rowsBetween(-19, 0)
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("value")).as("high"), min(col("value")).as("low"),
+          max(when(col("rn") === col("cnt"), col("value"))).as("close"))
+        .withColumn("n20", count(lit(1)).over(w20))
+        .withColumn("tenkan",
+          (max(col("high")).over(w5) + min(col("low")).over(w5)) / 2)
+        .withColumn("kijun",
+          (max(col("high")).over(w10) + min(col("low")).over(w10)) / 2)
+        .withColumn("sb20",
+          (max(col("high")).over(w20) + min(col("low")).over(w20)) / 2)
+        .withColumn("senkou_a",
+          lag((col("tenkan") + col("kijun")) / 2, 5).over(wd))
+        .withColumn("senkou_b", lag(col("sb20"), 5).over(wd))
+        .withColumn("n20l", lag(col("n20"), 5).over(wd))
+        .withColumn("chikou", lead(col("close"), 5).over(wd))
+        .filter(col("n20l") === 20)
+        .select(col("event_type"), col("day"), col("close"),
+          col("tenkan"), col("kijun"), col("senkou_a"),
+          col("senkou_b"), col("chikou"))
+        .orderBy("event_type", "day")
+    }),
+
+    // W45: DEMA + TEMA (Mulloy 1994) — the lag-reduced EMA family
+    // from the SAME truncated-cascade machinery W43 stress-tested:
+    // dema = 2·e1 − e2 and tema = 3·e1 − 3·e2 + e3 where e2/e3
+    // re-smooth the previous pass's output (span 10 on the 30-day
+    // panel; the classic 20+ spans never exit warm-up here — W29's
+    // documented-adaptation precedent). Every eᵢ is the identical-
+    // literal-weight left-associated cascade fold (bit-identical
+    // doubles across engines), and both outputs are one fixed IEEE
+    // chain each on those identical inputs — raw doubles, no sums
+    // outside the proven cascade, nothing to pin. Three hash-
+    // exchange-sharing window cascades in one plan (W43's shape).
+    "w45_dema_tema" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("px"))
+      val wT = Window.partitionBy("event_type").orderBy("day")
+      def ewmaOf(df: org.apache.spark.sql.DataFrame, src: String,
+          out: String, pref: String,
+          keep: Seq[String]): org.apache.spark.sql.DataFrame = {
+        val lagged = (1 until MacdK).foldLeft(df)((acc, j) =>
+          acc.withColumn(s"$pref$j", lag(col(src), j).over(wT)))
+        def cc(j: Int) = if (j == 0) col(src) else col(s"$pref$j")
+        val terms = (0 until MacdK).map { j =>
+          val c = cc(j)
+          (when(c.isNotNull, lit(macdWeight(10, j)) * c)
+             .otherwise(lit(0.0)),
+           when(c.isNotNull, lit(macdWeight(10, j))).otherwise(lit(0.0)))
+        }
+        lagged
+          .withColumn(out,
+            terms.map(_._1).reduce(_ + _) / terms.map(_._2).reduce(_ + _))
+          .select((Seq("event_type", "day") ++ keep :+ out).map(col): _*)
+      }
+      val e1 = ewmaOf(daily, "px", "e1", "a", Nil)
+      val e2 = ewmaOf(e1, "e1", "e2", "b", Seq("e1"))
+      val e3 = ewmaOf(e2, "e2", "e3", "c", Seq("e1", "e2"))
+      e3
+        .select(col("event_type"), col("day"), col("e1"),
+          (lit(2.0) * col("e1") - col("e2")).as("dema"),
+          (lit(3.0) * col("e1") - lit(3.0) * col("e2") + col("e3"))
+            .as("tema"))
+        .orderBy("event_type", "day")
+    }),
+
+    // W46: mass index (Dorsey 1992) — the range-expansion reversal
+    // screen: EMA(range)/EMA(EMA(range)) summed over a trailing
+    // window spots "bulges" where daily ranges widen regardless of
+    // direction. Scaled to the 30-day panel: span-9 EMAs (the
+    // classic), 10-day sum instead of 25 (W29's documented-
+    // adaptation precedent). range = candle high − low (exact picks,
+    // one exact IEEE subtraction); both EMAs are the proven
+    // truncated-cascade folds (bit-identical doubles); the ratio is
+    // one division; the SUM is the one new float fold — each ratio
+    // renders at r6 onto the exact decimal grid, then the 10-term
+    // frame sum runs in decimal (order-free, the TXT20 trick) and
+    // casts back exactly. Full 10-day frames only.
+    "w46_mass_index" -> ((s, d) => {
+      val candles = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((max(col("value")) - min(col("value"))).as("rng"))
+      val wT = Window.partitionBy("event_type").orderBy("day")
+      def ewmaOf(df: org.apache.spark.sql.DataFrame, src: String,
+          out: String, pref: String,
+          keep: Seq[String]): org.apache.spark.sql.DataFrame = {
+        val lagged = (1 until MacdK).foldLeft(df)((acc, j) =>
+          acc.withColumn(s"$pref$j", lag(col(src), j).over(wT)))
+        def cc(j: Int) = if (j == 0) col(src) else col(s"$pref$j")
+        val terms = (0 until MacdK).map { j =>
+          val c = cc(j)
+          (when(c.isNotNull, lit(macdWeight(9, j)) * c)
+             .otherwise(lit(0.0)),
+           when(c.isNotNull, lit(macdWeight(9, j))).otherwise(lit(0.0)))
+        }
+        lagged
+          .withColumn(out,
+            terms.map(_._1).reduce(_ + _) / terms.map(_._2).reduce(_ + _))
+          .select((Seq("event_type", "day") ++ keep :+ out).map(col): _*)
+      }
+      val e1 = ewmaOf(candles, "rng", "e1", "a", Nil)
+      val e2 = ewmaOf(e1, "e1", "e2", "b", Seq("e1"))
+      val frame = wT.rowsBetween(-9, 0)
+      e2.withColumn("ratio", r6(col("e1") / col("e2")))
+        .withColumn("n", count(lit(1)).over(frame))
+        .withColumn("mass",
+          sum(col("ratio").cast("decimal(24,10)")).over(frame)
+            .cast("double"))
+        .filter(col("n") === 10)
+        .select(col("event_type"), col("day"), col("ratio"), col("mass"))
         .orderBy("event_type", "day")
     }),
 
@@ -1816,9 +2051,55 @@ object Windows {
          FROM att WHERE event_type = 'purchase'
          ORDER BY event_id""",
     "w20_macd" -> macdOracleSql,
+    // w16's candle CTE, then exact frame extremes and their displaced
+    // lags — every column a fixed IEEE chain on exact picks (the w29/
+    // w30 float-risk-free class), raw doubles end to end; chikou's
+    // trailing nulls agree on both engines' frame edges
+    "w44_ichimoku" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day, max(value) AS high, min(value) AS low,
+                  max(CASE WHEN rn = cnt THEN value END) AS close
+           FROM r GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, day, close,
+                  count(*) OVER w20 AS n20,
+                  (max(high) OVER w5 + min(low) OVER w5) / 2 AS tenkan,
+                  (max(high) OVER w10 + min(low) OVER w10) / 2 AS kijun,
+                  (max(high) OVER w20 + min(low) OVER w20) / 2 AS sb20
+           FROM c
+           WINDOW w5 AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                  w10 AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+                  w20 AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         dsp AS (
+           SELECT event_type, day, close, tenkan, kijun,
+                  lag((tenkan + kijun) / 2, 5) OVER wd AS senkou_a,
+                  lag(sb20, 5) OVER wd AS senkou_b,
+                  lag(n20, 5) OVER wd AS n20l,
+                  lead(close, 5) OVER wd AS chikou
+           FROM w
+           WINDOW wd AS (PARTITION BY event_type ORDER BY day))
+         SELECT event_type, day, close, tenkan, kijun, senkou_a,
+                senkou_b, chikou
+         FROM dsp WHERE n20l = 20
+         ORDER BY event_type, day""",
     "w41_ppo" -> ppoOracleSql,
     "w42_stochrsi" -> stochRsiOracleSql,
     "w43_trix" -> trixOracleSql,
+    "w45_dema_tema" -> demaTemaOracleSql,
+    "w46_mass_index" -> massIndexOracleSql,
     // one pinned frame sum → one render → one division; dpo on raw
     // doubles (pure elementwise, nothing to round)
     "w40_dpo" ->

@@ -689,6 +689,188 @@ class DedupSpec extends AnyFunSuite {
     assert(h(3L) == ((2L, 2L, 1L, 2.0 + 1.0 + 1.0 / 3)))
   }
 
+  test("D24 modularity: boundary-edge kernel on a planted bridge; corpus blocks fold") {
+    import spark.implicits._
+    // planted: triangles {1,2,3} and {4,5,6} bridged by edge 3–4,
+    // hand-labeled as two communities — the one shape the all-clique
+    // corpus can't produce: a community with a BOUNDARY edge, where
+    // d_c (7 = 2·3 intra + 1 bridge) ≠ 2·l_c and the −(d/(2m))²
+    // term does real work. Every cell is hand-countable: m = 7,
+    // q_c = 3/7 − (7/14)² for both communities.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("da", "db")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("doc_id", "label")
+    val blocks = Dedup.modularityBlocks(pairs, labels).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val qExp = 3.0 / 7.0 - (7.0 / 14.0) * (7.0 / 14.0)
+    assert(blocks(1L) == ((3L, 3L, 7L, 7L, qExp)))
+    assert(blocks(4L) == ((3L, 3L, 7L, 7L, qExp)))
+    // the bridge edge is counted in m but in neither l_intra
+    assert(blocks.values.map(_._2).sum == 6L &&
+      blocks.values.head._4 == 7L)
+
+    // corpus run: labels are D14b's LPA labels, so every block must
+    // match a real community; the clique-structured corpus has no
+    // boundary edges (d_c = 2·l_c exactly — asserted, it IS the
+    // structure), and the Σq_c fold lands in modularity's range
+    val sf = SparkTestSession.Sf0001
+    val corpus = Dedup.queries("d24_modularity")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(corpus.nonEmpty, "vacuous: no corpus communities")
+    corpus.foreach { b =>
+      assert(b._4 == 2 * b._3,
+        s"community ${b._1} grew a boundary edge; update this claim")
+    }
+    val m = corpus.head._5
+    assert(corpus.map(_._3).sum == m, "intra edges must partition m")
+    val q = corpus.map(_._6).sum
+    assert(q >= 0.0 && q <= 1.0, s"Q=$q outside modularity range")
+    // cross-op consistency: the member set equals the degree-≥1 docs
+    // of the corpus pair graph
+    val (_, edges) = corpusGraph
+    val members = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    assert(corpus.map(_._2).sum == members.size.toLong)
+  }
+
+  test("D25 edge strength: bridge scores zero on a planted graph; corpus matches clique structure") {
+    import spark.implicits._
+    def r6v(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // planted: triangles {1,2,3} and {4,5,6} bridged by 3–4. The
+    // bridge has NO common neighbor (the false-merge signature);
+    // each triangle edge has exactly one, whose degree is 2 except
+    // the bridge endpoints' shared neighbors (deg 3). Hand-counts:
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("da", "db")
+    val m = Dedup.edgeStrength(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(m.size == 7)
+    assert(m((3L, 4L)) == ((0L, 0.0)), "bridge must score zero")
+    // (1,2)'s common neighbor is 3 (deg 3: 1,2,4); (1,3)/(2,3)'s is
+    // the opposite triangle corner at deg 2; symmetric on 4/5/6
+    assert(m((1L, 2L)) == ((1L, r6v(1.0 / math.log(3.0)))))
+    assert(m((5L, 6L)) == ((1L, r6v(1.0 / math.log(3.0)))))
+    assert(m((1L, 3L)) == ((1L, r6v(1.0 / math.log(2.0)))))
+    assert(m((2L, 3L)) == ((1L, r6v(1.0 / math.log(2.0)))))
+    assert(m((4L, 5L)) == ((1L, r6v(1.0 / math.log(2.0)))))
+    assert(m((4L, 6L)) == ((1L, r6v(1.0 / math.log(2.0)))))
+
+    // corpus: the dup graph is clique-structured (asserted by
+    // D22/D23), so every edge inside a size-c component must carry
+    // cn = c−2 and aa = (c−2)·r6(1/ln(c−1)) — the decimal fold of
+    // identical 6-dp terms is an exact multiple
+    val sf = SparkTestSession.Sf0001
+    val comp = Dedup.queries("d10_cc_corpus")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = comp.groupBy(_._2).map { case (l, ms) => l -> ms.size }
+    val es = Dedup.queries("d25_edge_strength")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(es.nonEmpty, "vacuous: no corpus edges")
+    es.foreach { case (da, db, cn, aa) =>
+      val c = sizes(comp(da))
+      assert(comp(da) == comp(db), s"edge ($da,$db) spans components")
+      assert(cn == c - 2L,
+        s"edge ($da,$db): cn=$cn in a size-$c clique; structure changed")
+      if (c == 2) assert(aa == 0.0, s"pair-only edge ($da,$db) aa")
+      else {
+        val term = BigDecimal(r6v(1.0 / math.log((c - 1).toDouble)))
+        assert(aa == (term * (c - 2)).toDouble, s"edge ($da,$db) aa")
+      }
+    }
+  }
+
+  test("D26 edge Jaccard: planted bridge cells are hand-countable; corpus edges saturate") {
+    import spark.implicits._
+    // the D25 planted shape: triangles {1,2,3} and {4,5,6} bridged
+    // by 3–4. Degrees: 1,2,5,6 → 2; 3,4 → 3. Hand counts:
+    // (1,2): common {3}, union 2+2−2−1 = 1 → J = 1.0
+    // (1,3): common {2}, union 2+3−2−1 = 2 → J = 0.5
+    // (3,4): common ∅,  union 3+3−2−0 = 4 → J = 0.0 (the bridge)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("da", "db")
+    val m = Dedup.edgeJaccard(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6))).toMap
+    assert(m.size == 7)
+    assert(m((1L, 2L)) == ((2L, 2L, 1L, 1L, 1.0)))
+    assert(m((5L, 6L)) == ((2L, 2L, 1L, 1L, 1.0)))
+    assert(m((1L, 3L)) == ((2L, 3L, 1L, 2L, 0.5)))
+    assert(m((2L, 3L)) == ((2L, 3L, 1L, 2L, 0.5)))
+    assert(m((4L, 5L)) == ((3L, 2L, 1L, 2L, 0.5)))
+    assert(m((4L, 6L)) == ((3L, 2L, 1L, 2L, 0.5)))
+    assert(m((3L, 4L)) == ((3L, 3L, 0L, 4L, 0.0)), "bridge")
+    // the union-0 guard: a lone pair edge emits 0.0, not NaN
+    val lone = Dedup.edgeJaccard(Seq((7L, 8L)).toDF("da", "db"))
+      .collect().head
+    assert(lone.getLong(5) == 0L && lone.getDouble(6) == 0.0)
+
+    // corpus: clique structure ⇒ size-c component edges carry
+    // common = union = c−2 (J = 1.0 for c ≥ 3; the c = 2 pair edge
+    // is the guarded 0/0 → 0.0)
+    val sf = SparkTestSession.Sf0001
+    val comp = Dedup.queries("d10_cc_corpus")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = comp.groupBy(_._2).map { case (l, ms) => l -> ms.size }
+    val es = Dedup.queries("d26_edge_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5),
+        r.getDouble(6)))
+    assert(es.nonEmpty, "vacuous: no corpus edges")
+    es.foreach { case (da, db, cn, un, j) =>
+      val c = sizes(comp(da))
+      assert(cn == c - 2L && un == c - 2L,
+        s"edge ($da,$db) in size-$c clique: cn=$cn un=$un")
+      assert(j == (if (c == 2) 0.0 else 1.0), s"edge ($da,$db) J=$j")
+    }
+  }
+
+  test("D27 eccentricity: star and bounded-path semantics; corpus cliques are all-center") {
+    import spark.implicits._
+    // planted star 1–{2,3,4}: the center has ecc 1, leaves ecc 2 —
+    // flags elect exactly one center and all leaves as periphery
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("da", "db")
+    val verts = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val sm = Dedup.eccentricityBlocks(star, verts).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(sm(1L) == ((1L, 1L, 3L, true, false)), "center")
+    Seq(2L, 3L, 4L).foreach(v =>
+      assert(sm(v) == ((1L, 2L, 3L, false, true)), s"leaf $v"))
+
+    // planted 6-path 1–2–…–6: true ecc 5/4/3 exceeds the depth
+    // bound, so the kernel reports min(ecc, 3) and reach counts only
+    // the ≤3 shells — the documented truncation semantics, pinned
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("da", "db")
+    val pv = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pm = Dedup.eccentricityBlocks(path, pv).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(pm(1L) == ((3L, 3L)) && pm(6L) == ((3L, 3L)))
+    assert(pm(2L) == ((3L, 4L)) && pm(5L) == ((3L, 4L)))
+    assert(pm(3L) == ((3L, 5L)) && pm(4L) == ((3L, 5L)))
+
+    // corpus: clique structure ⇒ every member has ecc 1, reach c−1,
+    // and is simultaneously center and periphery (min = max = 1)
+    val sf = SparkTestSession.Sf0001
+    val comp = Dedup.queries("d10_cc_corpus")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = comp.groupBy(_._2).map { case (l, ms) => l -> ms.size }
+    val got = Dedup.queries("d27_eccentricity")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    assert(got.nonEmpty, "vacuous: no corpus graph members")
+    got.foreach { case (id, cp, ecc, reach, ctr, per) =>
+      assert(cp == comp(id), s"doc $id component")
+      val c = sizes(comp(id))
+      assert(ecc == 1L && reach == c - 1L && ctr && per,
+        s"doc $id in size-$c clique: ecc=$ecc reach=$reach")
+    }
+  }
+
   test("triangle counts equal the naive closed-wedge count on random graphs") {
     // property: for ANY edge set - including degree ties, where the
     // (degree, id) orientation tiebreak is the part a real-data

@@ -701,6 +701,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // Q/MSW folds over the ≤k per-series aggregate frames (per-day
       // ranks partition by day; group moments are one hash agg):
       "a87_friedman", "a87_friedman_pvalue", "a88_tukey_pairs",
+      // a101 reduces a87's ≤k-row frame once more (the same bounded
+      // Q/MSW fold, one extra division — nothing corpus-sized):
+      "a101_kendalls_w",
       // a73's ≤1000-row bucket prefix window plus the ≤k group-frame
       // N fold (per-value ranks stay partitioned by bucket):
       "a89_dunn_pairs", "a89_dunn_pvalue",
@@ -771,6 +774,48 @@ class PlanShapeSpec extends AnyFunSuite {
       s"per-row subquery survived decorrelation:\n${plan.take(2500)}")
     assert(!plan.contains("CartesianProduct") &&
            !plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+  }
+
+  test("sql29 (Q12): the ship-year window pushes to the lineitem scan; counts match a recompute") {
+    val plan = planOf(Relational.queries, "sql29_tpch_q12")
+    val scans = plan.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(scans.contains("GreaterThanOrEqual(l_shipdate"),
+      s"ship window not pushed:\n$scans")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+    // sequential recompute of both conditional counts per class
+    import org.apache.spark.sql.functions.col
+    import java.time.LocalDateTime
+    // the ts class depends on whether an earlier test already flipped
+    // the session's NTZ-inference flag (Tables.events does) — accept
+    // both renderings of the same midnight-aligned instant
+    def ldt(x: Any): LocalDateTime = x match {
+      case l: LocalDateTime => l
+      case t: java.sql.Timestamp => t.toLocalDateTime
+    }
+    val lo = LocalDateTime.parse("1996-01-01T00:00:00")
+    val hi = LocalDateTime.parse("1997-01-01T00:00:00")
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_shipdate")).collect()
+      .map(r => (r.getLong(0), ldt(r.get(1))))
+      .filter(r => !r._2.isBefore(lo) && r._2.isBefore(hi))
+    val om = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .collect().map(r => r.getLong(0) ->
+        (ldt(r.get(1)), r.getString(2))).toMap
+    val exp = li.map { case (ok, ship) =>
+      val (od, pri) = om(ok)
+      val lag = java.time.temporal.ChronoUnit.DAYS.between(
+        od.toLocalDate, ship.toLocalDate)
+      (if (lag > 60) "SLOW" else "FAST",
+        pri == "1-URGENT" || pri == "2-HIGH")
+    }.groupBy(_._1).map { case (cls, es) =>
+      cls -> (es.count(_._2).toLong, es.count(!_._2).toLong) }
+    val got = Relational.queries("sql29_tpch_q12")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == exp && got.keySet == Set("SLOW", "FAST"),
+      s"got=$got exp=$exp")
   }
 
   test("sql28 (Q2): the correlated min decorrelates to one keyed agg-join") {

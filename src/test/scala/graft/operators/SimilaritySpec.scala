@@ -463,4 +463,123 @@ class SimilaritySpec extends AnyFunSuite {
         d2 > md || (d2 == md && id >= mid) })
     }
   }
+
+  test("sim16: planted centroid cosines exact; corpus grid matches a sequential recompute") {
+    import spark.implicits._
+    // planted: label 0's centroid is (1,0) (two identical members),
+    // label 1's (0,1), label 2's (3,4) — every cosine/dist2 is
+    // hand-computable and exactly representable
+    val emb = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(1.0f, 0.0f)),
+      (3L, 1, Seq(0.0f, 1.0f)), (4L, 2, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val g = Similarity.centroidGrid(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(g.size == 3)
+    assert(g((0L, 1L)) == ((0.0, 2.0)))
+    assert(g((0L, 2L)) == ((0.6, 20.0)))
+    assert(g((1L, 2L)) == ((0.8, 18.0)))
+
+    // corpus: recompute the quantized centroids sequentially (the
+    // sim15 discipline) and every pair's cosine/dist2 must match
+    // EXACTLY — identical index-ordered folds on identical inputs
+    import org.apache.spark.sql.functions.col
+    val rows = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).toArray))
+    val cents = rows.groupBy(_._2).map { case (lbl, ms) =>
+      val dims = ms.head._3.length
+      lbl -> (0 until dims).map { i =>
+        val s = ms.map(m => BigDecimal(m._3(i).toDouble)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        BigDecimal(s / ms.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toArray
+    }
+    def fold(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val got = Similarity.queries("sim16_centroid_grid")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val labels = cents.keys.toSeq.sorted
+    assert(got.size == labels.size * (labels.size - 1) / 2,
+      "grid must cover every label pair exactly once")
+    for (a <- labels; b <- labels if a < b) {
+      val (ca, cb) = (cents(a), cents(b))
+      val ab = fold(ca, cb)
+      val exp = (ab / (math.sqrt(fold(ca, ca)) * math.sqrt(fold(cb, cb))),
+        fold(ca, ca) - 2.0 * fold(ca, cb) + fold(cb, cb))
+      assert(got((a, b)) == exp, s"pair ($a,$b)")
+    }
+  }
+
+  test("sim17: Davies–Bouldin terms match a sequential recompute; DB index sane") {
+    import org.apache.spark.sql.functions.col
+    def r6v(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).toArray))
+    val cents = rows.groupBy(_._2).map { case (lbl, ms) =>
+      val dims = ms.head._3.length
+      lbl -> (0 until dims).map { i =>
+        val s = ms.map(m => BigDecimal(m._3(i).toDouble)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        BigDecimal(s / ms.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toArray
+    }
+    def fold(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val scat = rows.groupBy(_._2).map { case (lbl, ms) =>
+      val c = cents(lbl)
+      val ds = ms.map { m =>
+        val e = m._3.map(_.toDouble)
+        r6v(math.sqrt(fold(e, e) - 2.0 * fold(e, c) + fold(c, c)))
+      }
+      val mean = ds.map(BigDecimal(_)
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble /
+        ms.length
+      lbl -> (ms.length.toLong, r6v(mean))
+    }
+    val labels = cents.keys.toSeq.sorted
+    // canonical (smaller, larger) orientation, like the operator
+    val dij = (for (a <- labels; b <- labels if a < b) yield {
+      val d2 = fold(cents(a), cents(a)) -
+        2.0 * fold(cents(a), cents(b)) + fold(cents(b), cents(b))
+      (a, b) -> r6v(math.sqrt(d2))
+    }).toMap
+    def dist(a: Long, b: Long) = if (a < b) dij((a, b)) else dij((b, a))
+    val got = Similarity.queries("sim17_davies_bouldin")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got.size == labels.size, "every label must emit a DB term")
+    labels.foreach { li =>
+      val cands = labels
+        .filter(lj => lj != li && dist(li, lj) > 0)
+        .map(lj => ((scat(li)._2 + scat(lj)._2) / dist(li, lj), lj))
+        .sortBy(c => (-c._1, c._2))
+      val (rij, lj) = cands.head
+      val (nm, sc, wo, db) = got(li)
+      assert(nm == scat(li)._1, s"label $li n_members")
+      assert(math.abs(sc - scat(li)._2) <= 1e-6, s"label $li scatter")
+      assert(wo == lj, s"label $li worst_other")
+      assert(math.abs(db - r6v(rij)) <= 1e-6, s"label $li db_term")
+    }
+    // the DB index (the spec-side fold, per the operator contract):
+    // mean of per-label worst ratios — finite and nonnegative
+    val dbIdx = got.values.map(_._4).sum / got.size
+    assert(dbIdx >= 0.0 && !dbIdx.isNaN && !dbIdx.isInfinite)
+    assert(got.values.exists(_._4 > 0), "vacuous: all DB terms zero")
+  }
 }

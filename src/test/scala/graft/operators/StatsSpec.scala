@@ -761,6 +761,235 @@ class StatsSpec extends AnyFunSuite {
     assert(n > 0 && n == got.size, s"swept $n of ${got.size}")
   }
 
+  test("w44 Ichimoku matches a sequential candle recompute") {
+    val candles = graft.operators.Windows.queries("w16_ohlc_candles")(
+        spark, sf).collect()
+      .map(r => (r.getString(0), r.get(1).toString, r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))  // type, day, high, low, close
+      .groupBy(_._1).map { case (t, rs) =>
+        t -> rs.sortBy(_._2).toIndexedSeq }
+    val got = graft.operators.Windows.queries("w44_ichimoku")(spark, sf)
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+         r.getDouble(6),
+         if (r.isNullAt(7)) None else Some(r.getDouble(7)))).toMap
+    assert(got.nonEmpty)
+    var n = 0
+    candles.foreach { case (t, arr) =>
+      // midpoint of the inclusive day-index window [lo, hi]
+      def mid(lo: Int, hi: Int): Double =
+        (arr.slice(lo, hi + 1).map(_._3).max +
+         arr.slice(lo, hi + 1).map(_._4).min) / 2
+      arr.indices.foreach { i =>
+        // qualifies when the 20-day window was full at the DISPLACED
+        // row i-5, i.e. i-5 >= 19
+        if (i >= 24) {
+          val senA = (mid(i - 9, i - 5) + mid(i - 14, i - 5)) / 2
+          val exp = (arr(i)._5, mid(i - 4, i), mid(i - 9, i),
+            senA, mid(i - 24, i - 5),
+            if (i + 5 < arr.size) Some(arr(i + 5)._5) else None)
+          assert(got((t, arr(i)._2)) == exp, s"$t ${arr(i)._2}")
+          n += 1
+        }
+      }
+    }
+    assert(n > 0 && n == got.size, s"swept $n of ${got.size}")
+  }
+
+  test("a104 Cronbach's alpha matches a sequential panel recompute") {
+    import org.apache.spark.sql.functions._
+    def dec(x: Double, sc: Int): BigDecimal =
+      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP)
+    def r6v(v: Double) = math.rint(v * 1e6) / 1e6
+    val daily = graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Any]("day").toString,
+        r.getAs[Double]("value")))
+      .groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
+        (t, day, es.map(e => dec(e._3, 10)).sum.toDouble / es.size)
+      }.toSeq
+    // complete panel precondition the operator documents
+    val types = daily.map(_._1).distinct
+    val days = daily.map(_._2).distinct
+    assert(daily.size == types.size * days.size, "panel has holes")
+    def sampleVar(xs: Seq[Double]): Double = {
+      val n = xs.size
+      val s1 = xs.map(dec(_, 10)).sum.toDouble
+      val s2 = xs.map(x => dec(x * x, 10)).sum.toDouble
+      (s2 - s1 * s1 / n) / (n - 1)
+    }
+    val ivars = types.map(t =>
+      r6v(sampleVar(daily.filter(_._1 == t).map(_._3))))
+    val siv = ivars.map(dec(_, 10)).sum.toDouble
+    val totals = days.map(d =>
+      daily.filter(_._2 == d).map(v => dec(v._3, 10)).sum.toDouble)
+    val tvar = r6v(sampleVar(totals))
+    val k = types.size
+    val alpha = (k.toDouble / (k - 1)) * (1.0 - siv / tvar)
+    val row = graft.operators.Stats.queries("a104_cronbach_alpha")(
+      spark, sf).collect().head
+    assert(row.getLong(0) == k.toLong && row.getLong(1) == days.size.toLong)
+    assert(math.abs(row.getDouble(2) - siv) <= 5e-6, "sum_item_var")
+    assert(math.abs(row.getDouble(3) - tvar) <= 5e-6, "total_var")
+    assert(math.abs(row.getDouble(4) - alpha) <= 1e-5, "alpha")
+    assert(row.getDouble(4) <= 1.0 + 1e-9, "alpha cannot exceed 1")
+  }
+
+  test("a105 ICC matches a sequential two-way ANOVA recompute") {
+    import org.apache.spark.sql.functions._
+    def dec(x: Double, sc: Int): BigDecimal =
+      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP)
+    def r6v(v: Double) = math.rint(v * 1e6) / 1e6
+    val daily = graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Any]("day").toString,
+        r.getAs[Double]("value")))
+      .groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
+        (t, day, es.map(e => dec(e._3, 10)).sum.toDouble / es.size)
+      }.toSeq
+    val types = daily.map(_._1).distinct
+    val days = daily.map(_._2).distinct
+    assert(daily.size == types.size * days.size, "panel has holes")
+    val k = types.size; val n = days.size; val nk = daily.size
+    val s = daily.map(e => dec(e._3, 10)).sum.toDouble
+    val ssq = daily.map(e => dec(e._3 * e._3, 10)).sum.toDouble
+    val tots = days.map(d =>
+      daily.filter(_._2 == d).map(e => dec(e._3, 10)).sum.toDouble)
+    val srow = tots.map(t => dec(t * t, 10)).sum.toDouble
+    val tss = types.map(t =>
+      daily.filter(_._1 == t).map(e => dec(e._3, 10)).sum.toDouble)
+    val scol = tss.map(t => dec(t * t, 10)).sum.toDouble
+    val cf = s * s / nk
+    val ssr = srow / k - cf
+    val ssc = scol / n - cf
+    val sse = (ssq - cf) - ssr - ssc
+    val msr = ssr / (n - 1); val msc = ssc / (k - 1)
+    val mse = sse / ((n - 1) * (k - 1))
+    val icc31 = (msr - mse) / (msr + (k - 1) * mse)
+    val icc21 = (msr - mse) /
+      (msr + (k - 1) * mse + k * (msc - mse) / n.toDouble)
+    val row = graft.operators.Stats.queries("a105_icc")(spark, sf)
+      .collect().head
+    assert(row.getLong(0) == k.toLong && row.getLong(1) == n.toLong)
+    assert(math.abs(row.getDouble(2) - r6v(msr)) <= 1e-6, "ms_rows")
+    assert(math.abs(row.getDouble(3) - r6v(msc)) <= 1e-6, "ms_cols")
+    assert(math.abs(row.getDouble(4) - r6v(mse)) <= 1e-6, "ms_err")
+    assert(math.abs(row.getDouble(5) - icc31) <= 1e-5, "icc_3_1")
+    assert(math.abs(row.getDouble(6) - icc21) <= 1e-5, "icc_2_1")
+    // ICC(2,1) penalizes the level disagreement ICC(3,1) forgives,
+    // so consistency bounds agreement from above
+    assert(row.getDouble(6) <= row.getDouble(5) + 1e-9)
+    assert(row.getDouble(5) <= 1.0 + 1e-9)
+  }
+
+  test("a106 Bartlett matches a sequential variance recompute") {
+    def dec(x: Double, sc: Int): BigDecimal =
+      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP)
+    def r6v(v: Double) = math.rint(v * 1e6) / 1e6
+    val vals = graft.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (t, es) => t -> es.map(_._2).toSeq }
+    val cells = vals.toSeq.map { case (_, xs) =>
+      val ni = xs.size
+      val s1 = xs.map(dec(_, 10)).sum.toDouble
+      val s2 = xs.map(x => dec(x * x, 10)).sum.toDouble
+      (ni, r6v((s2 - s1 * s1 / ni) / (ni - 1)))
+    }.filter(_._2 > 0)
+    val k = cells.size
+    val nn = cells.map(_._1).sum
+    val poolNum = cells.map { case (ni, sv) =>
+      dec((ni - 1).toDouble * sv, 10) }.sum.toDouble
+    val lnTerms = cells.map { case (ni, sv) =>
+      dec(r6v((ni - 1).toDouble * math.log(sv)), 10) }.sum.toDouble
+    val recip = cells.map { case (ni, _) =>
+      dec(r6v(1.0 / (ni - 1)), 10) }.sum.toDouble
+    val df = (nn - k).toDouble
+    val sp2 = r6v(poolNum / df)
+    val c = 1.0 + (recip - 1.0 / df) / (3.0 * (k - 1))
+    val t = (df * r6v(math.log(sp2)) - lnTerms) / c
+    val row = graft.operators.Stats.queries("a106_bartlett")(spark, sf)
+      .collect().head
+    assert(row.getLong(0) == k.toLong && row.getLong(1) == nn.toLong)
+    assert(math.abs(row.getDouble(2) - sp2) <= 1e-6, "pooled_var")
+    assert(math.abs(row.getDouble(3) - c) <= 5e-6, "correction_c")
+    assert(math.abs(row.getDouble(4) - t) <= 1e-4, "bartlett_t")
+    // the statistic is a log-sum-inequality deficit: nonnegative
+    assert(row.getDouble(4) >= -1e-6, "Bartlett T cannot be negative")
+  }
+
+  test("w45 DEMA/TEMA and w46 mass index match sequential cascades") {
+    def dpin(scale: Int)(xs: Seq[Double]): Double =
+      xs.map(BigDecimal(_).setScale(scale, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    def r6v(v: Double) = math.rint(v * 1e6) / 1e6
+    import org.apache.spark.sql.functions._
+    def mw(span: Int, j: Int): Double =
+      math.pow((span - 1.0) / (span + 1.0), j)
+    def ewmaAt(series: List[Double], i: Int, span: Int): Double = {
+      var num = 0.0; var den = 0.0
+      (0 until 24).foreach { j =>
+        if (i - j >= 0) { num += mw(span, j) * series(i - j)
+          den += mw(span, j) }
+        else { num += 0.0; den += 0.0 }
+      }
+      num / den
+    }
+    val byDay = graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Any]("day").toString,
+        r.getAs[Double]("value")))
+      .groupBy(e => (e._1, e._2))
+    // W45 over the daily MEAN px
+    val px = byDay.map { case ((t, day), es) =>
+      (t, day, dpin(10)(es.map(_._3).toSeq) / es.size)
+    }.toSeq.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.sortBy(_._2).map(r => (r._2, r._3)).toList }
+    val dt = graft.operators.Windows.queries("w45_dema_tema")(spark, sf)
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    px.foreach { case (t, ds) =>
+      def cascade(series: List[Double]): List[Double] =
+        series.indices.map(i => ewmaAt(series, i, 10)).toList
+      val e1 = cascade(ds.map(_._2))
+      val e2 = cascade(e1); val e3 = cascade(e2)
+      ds.indices.foreach { i =>
+        val exp = (e1(i), 2.0 * e1(i) - e2(i),
+          3.0 * e1(i) - 3.0 * e2(i) + e3(i))
+        assert(dt((t, ds(i)._1)) == exp, s"$t ${ds(i)._1} dema/tema")
+      }
+    }
+    assert(dt.nonEmpty)
+    // W46 over the daily candle RANGE
+    val rng = byDay.map { case ((t, day), es) =>
+      (t, day, es.map(_._3).max - es.map(_._3).min)
+    }.toSeq.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.sortBy(_._2).map(r => (r._2, r._3)).toList }
+    val mi = graft.operators.Windows.queries("w46_mass_index")(spark, sf)
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    var nMi = 0
+    rng.foreach { case (t, ds) =>
+      def cascade(series: List[Double]): List[Double] =
+        series.indices.map(i => ewmaAt(series, i, 9)).toList
+      val e1 = cascade(ds.map(_._2))
+      val e2 = cascade(e1)
+      val ratios = ds.indices.map(i => r6v(e1(i) / e2(i))).toList
+      ds.indices.foreach { i =>
+        if (i >= 9) {
+          val mass = dpin(10)(ratios.slice(i - 9, i + 1))
+          assert(mi((t, ds(i)._1)) == ((ratios(i), mass)),
+            s"$t ${ds(i)._1} mass")
+          nMi += 1
+        }
+      }
+    }
+    assert(nMi > 0 && nMi == mi.size)
+  }
+
   test("a81/a82 DW and DF match a sequential OLS recompute") {
     import org.apache.spark.sql.functions._
     def dec(x: Double, sc: Int): BigDecimal =
@@ -1984,5 +2213,36 @@ class StatsSpec extends AnyFunSuite {
       } else assert(!gs.contains(t))
     }
     assert(gs.nonEmpty)
+  }
+
+  test("a103 Theil's U matches a sequential entropy recompute; asymmetric in [0,1]") {
+    import org.apache.spark.sql.functions.{col, dayofweek}
+    val sf = SparkTestSession.Sf0001
+    val pairs = graft.Tables.events(spark, sf)
+      .select(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val t = pairs.length.toDouble
+    def r6v(v: Double) = math.rint(v * 1e6) / 1e6
+    def ent(ks: Iterable[Int]): Double =
+      ks.map(k => r6v(-(k / t) * math.log(k / t))).sum
+    val hx = ent(pairs.groupBy(_._1).values.map(_.size))
+    val hy = ent(pairs.groupBy(_._2).values.map(_.size))
+    val hxy = ent(pairs.groupBy(identity).values.map(_.size))
+    val row = graft.operators.Stats.queries("a103_theils_u")(spark, sf)
+      .collect().head
+    assert(math.abs(row.getDouble(0) - hx) <= 5e-6, "h_type")
+    assert(math.abs(row.getDouble(1) - hy) <= 5e-6, "h_dow")
+    assert(math.abs(row.getDouble(2) - hxy) <= 5e-6, "h_joint")
+    val uxy = (hx + hy - hxy) / hx
+    val uyx = (hx + hy - hxy) / hy
+    assert(math.abs(row.getDouble(3) - uxy) <= 1e-5, "u_type_given_dow")
+    assert(math.abs(row.getDouble(4) - uyx) <= 1e-5, "u_dow_given_type")
+    // both U's live in [0,1]: MI is nonnegative and ≤ min(H(X), H(Y))
+    assert(row.getDouble(3) >= -1e-9 && row.getDouble(3) <= 1 + 1e-9)
+    assert(row.getDouble(4) >= -1e-9 && row.getDouble(4) <= 1 + 1e-9)
+    // asymmetry is the operator's point: H(type) ≠ H(dow) here, so
+    // the two directions must report different coefficients
+    assert(row.getDouble(3) != row.getDouble(4),
+      "corpus entropies collided; the asymmetry claim needs new columns")
   }
 }
