@@ -421,6 +421,31 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // PIPE8: per-EDGE triage table — PIPE7's per-node election
+    // paired with the edge-level evidence an auditor acts on: for
+    // every verified pair, its component, the D25 redundancy
+    // evidence (common neighbors + Adamic–Adar), the D26 normalized
+    // strength, and the is_bridge verdict (zero common neighbors —
+    // the false-merge suspects to inspect before collapsing). One
+    // composition plan over the shared materialized corpus_pairs;
+    // the DuckDB twin replays all three chains over ONE
+    // exhaustive-graph spine, so the hash certifies the composed
+    // export end to end (PIPE7's contract, edge-side).
+    "pipe8_edge_audit" -> ((s, d) => {
+      val strength = Dedup.queries("d25_edge_strength")(s, d)
+      val jac = Dedup.queries("d26_edge_jaccard")(s, d)
+        .select(col("da"), col("db"), col("deg_a"), col("deg_b"),
+          col("union_cnt"), col("nbr_jaccard"))
+      val cc = Dedup.queries("d10_cc_corpus")(s, d)
+        .select(col("doc_id").as("da"), col("canonical_id").as("component"))
+      strength.join(jac, Seq("da", "db")).join(cc, Seq("da"))
+        .select(col("da"), col("db"), col("component"), col("deg_a"),
+          col("deg_b"), col("common_cnt"), col("union_cnt"),
+          col("aa_score"), col("nbr_jaccard"),
+          (col("common_cnt") === 0).as("is_bridge"))
+        .orderBy("da", "db")
+    }),
+
     // TXT7: repetition signals (Gopher §A.1.1-style filters, adapted
     // to this corpus's line-less word-soup text): the fraction of
     // tokens that are the single most frequent token, and the
@@ -448,6 +473,72 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // PIPE8: one shared exhaustive-graph spine feeding the d25 AA
+    // cells, the d26 degree/union cells, and the recursive closure —
+    // the composed edge-audit export certified by one hash
+    "pipe8_edge_audit" ->
+      """WITH RECURSIVE
+           docs AS (
+             SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             FROM documents),
+           sh AS (
+             SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+             FROM docs WHERE len(t) >= 3),
+           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           inter AS (
+             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           pairs AS MATERIALIZED (
+             SELECT da, db FROM inter
+             JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+             WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.5),
+           dedges AS (SELECT da AS src, db AS dst FROM pairs
+                      UNION ALL SELECT db AS src, da AS dst FROM pairs),
+           deg AS (SELECT src AS v, count(*) AS deg FROM dedges
+                   GROUP BY 1),
+           cn AS (
+             SELECT p.da, p.db, count(*) AS common_cnt,
+                    CAST(CAST(sum(CAST(round(
+                        CAST(1 AS DOUBLE) / ln(CAST(dg.deg AS DOUBLE)), 6)
+                      AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE) AS aa
+             FROM pairs p
+             JOIN dedges ea ON ea.src = p.da
+             JOIN dedges eb ON eb.src = p.db AND eb.dst = ea.dst
+             JOIN deg dg ON dg.v = ea.dst
+             GROUP BY 1, 2),
+           uedges AS (SELECT da AS src, db AS dst FROM pairs
+                      UNION SELECT db AS src, da AS dst FROM pairs),
+           reach AS (
+             SELECT doc_id AS id, doc_id AS r FROM documents
+             UNION
+             SELECT reach.id, e.dst FROM reach JOIN uedges e
+               ON reach.r = e.src),
+           cc AS (SELECT id AS doc_id, min(r) AS component FROM reach
+                  GROUP BY id)
+         SELECT p.da, p.db, cc.component,
+                CAST(da_deg.deg AS BIGINT) AS deg_a,
+                CAST(db_deg.deg AS BIGINT) AS deg_b,
+                CAST(coalesce(cn.common_cnt, 0) AS BIGINT) AS common_cnt,
+                CAST(da_deg.deg + db_deg.deg - 2
+                     - coalesce(cn.common_cnt, 0) AS BIGINT) AS union_cnt,
+                round(coalesce(cn.aa, 0), 6) AS aa_score,
+                CASE WHEN da_deg.deg + db_deg.deg - 2
+                          - coalesce(cn.common_cnt, 0) = 0
+                     THEN CAST(0 AS DOUBLE)
+                     ELSE CAST(coalesce(cn.common_cnt, 0) AS DOUBLE) /
+                          CAST(da_deg.deg + db_deg.deg - 2
+                               - coalesce(cn.common_cnt, 0) AS DOUBLE)
+                END AS nbr_jaccard,
+                coalesce(cn.common_cnt, 0) = 0 AS is_bridge
+         FROM pairs p
+         LEFT JOIN cn USING (da, db)
+         JOIN deg da_deg ON da_deg.v = p.da
+         JOIN deg db_deg ON db_deg.v = p.db
+         JOIN cc ON cc.doc_id = p.da
+         ORDER BY da, db""",
     // PIPE7: one shared exhaustive-graph spine feeding all four
     // replayed chains (recursive CC, 8+8 materialized peel, 3
     // materialized harmonic shells, keep-best window)

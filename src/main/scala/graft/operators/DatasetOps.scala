@@ -395,6 +395,33 @@ object DatasetOps {
     // entities on both sides — the overlap is the point, reported not
     // hidden). One broadcast 4-row spine × conditional hash agg; the
     // distinct-user overlap joins two ≤|users| frames keyed on fold.
+    // DS22: split-leakage audit — the MEASUREMENT behind DS13's fix:
+    // how many verified near-dup pairs STRADDLE a naive per-doc md5
+    // split (each straddling pair is a paraphrase of training data
+    // sitting in the eval set)? Composes the shared materialized
+    // corpus_pairs with DS1's split ladder applied per doc; emits
+    // the pair count per unordered split combination with the
+    // is_leak verdict. Exact integers; the oracle replays the
+    // exhaustive graph + the same md5 CASE, so the hash also
+    // re-proves banded LSH recall. The number DS13 drives to zero
+    // by splitting on the component id instead.
+    "ds22_leakage_audit" -> ((s, d) => {
+      val sp = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("doc_id")).as("sp"))
+      val pairs = graft.operators.Dedup.corpusPairs(s, d)
+      pairs
+        .join(sp.select(col("doc_id").as("da"), col("sp").as("sa")),
+          Seq("da"))
+        .join(sp.select(col("doc_id").as("db"), col("sp").as("sb")),
+          Seq("db"))
+        .groupBy(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("split_a"), col("split_b"), col("n_pairs"),
+          (col("split_a") =!= col("split_b")).as("is_leak"))
+        .orderBy("split_a", "split_b")
+    }),
+
     "ds20_rolling_origin" -> ((s, d) => {
       val K = 4
       val days = Tables.events(s, d)
@@ -713,6 +740,40 @@ object DatasetOps {
          FROM ranked r JOIN meta m ON r.source = m.source
          WHERE r.rank <= m.mn
          ORDER BY global_pos""",
+    // exhaustive corpus 0.5 graph + the ds1 md5 CASE per endpoint,
+    // unordered split combination by least/greatest, BIGINT counts
+    "ds22_leakage_audit" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+           FROM docs WHERE len(t) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT da, db FROM inter
+           JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+           WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.5),
+         sp AS (
+           SELECT doc_id,
+                  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                            < 'd'
+                       THEN 'train' ELSE 'val' END AS sp
+           FROM documents)
+         SELECT least(sa.sp, sb.sp) AS split_a,
+                greatest(sa.sp, sb.sp) AS split_b,
+                CAST(count(*) AS BIGINT) AS n_pairs,
+                least(sa.sp, sb.sp) <> greatest(sa.sp, sb.sp) AS is_leak
+         FROM pairs p
+         JOIN sp sa ON sa.doc_id = p.da
+         JOIN sp sb ON sb.doc_id = p.db
+         GROUP BY 1, 2 ORDER BY split_a, split_b""",
     // integer day-offset cutoffs (span·f // 5), conditional integer
     // counts — no date arithmetic past the datediff
     "ds20_rolling_origin" ->

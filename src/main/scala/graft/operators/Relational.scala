@@ -1706,6 +1706,58 @@ object Relational {
         ORDER BY ship_class""")
     }),
 
+    // SQL30: TPC-H Q4 shape (order priority checking), adapted —
+    // count orders per priority where SOME lineitem shipped late
+    // (the sql29 lateness class: datediff > 60 on midnight-aligned
+    // timestamps, since l_commitdate/l_receiptdate don't exist). The
+    // Q4 signature shape survives: a CORRELATED EXISTS whose inner
+    // predicate references BOTH sides (l_orderkey equality + the
+    // datediff against the outer o_orderdate) — Catalyst must
+    // decorrelate to ONE left-semi hash join with the extra
+    // condition in the join predicate, never a per-row subquery
+    // (plan-asserted). Counts only — integers end to end.
+    "sql30_tpch_q4" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders_v o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem_v l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND datediff(l.l_shipdate, o.o_orderdate) > 60)
+        GROUP BY 1
+        ORDER BY o_orderpriority""")
+    }),
+
+    // SQL31: TPC-H Q17 shape (small-quantity-order revenue), adapted
+    // to the testdata's part table (brand filter only — no
+    // container column): average yearly revenue lost if small orders
+    // (quantity below 20% of the part's average) stopped shipping.
+    // The signature is the CORRELATED scalar AVG that rejoins its
+    // own fact table — Catalyst must decorrelate to ONE
+    // partkey-keyed average + equi-join (plan-asserted, the sql28
+    // class). Float discipline: the threshold is one IEEE multiply
+    // on a pinned-avg render (identical doubles → identical <
+    // comparisons); the revenue sum is decimal-pinned; ÷7 exact.
+    "sql31_tpch_q17" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      s.sql("""
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(24,10)))
+                    AS DOUBLE) / 7 AS avg_yearly,
+               count(*) AS n_small
+        FROM lineitem_v l JOIN part_v p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#13'
+          AND l.l_quantity <
+            (SELECT CAST(0.2 AS DOUBLE) *
+                    (CAST(sum(CAST(l2.l_quantity AS DECIMAL(24,10)))
+                          AS DOUBLE) / count(*))
+             FROM lineitem_v l2
+             WHERE l2.l_partkey = p.p_partkey)""")
+    }),
+
     // U4: INTERSECT — distinct (user, day) pairs where a click AND a
     // purchase both happened: the set-semantics operator (Catalyst
     // plans it as a distinct + left-semi hash join — keyed shuffle,
@@ -2998,6 +3050,33 @@ object Relational {
            AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
          GROUP BY 1
          ORDER BY ship_class""",
+    // correlated EXISTS with the cross-side datediff predicate;
+    // counts only (BIGINT both engines)
+    "sql30_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND datediff('day', o.o_orderdate,
+                                      l.l_shipdate) > 60)
+         GROUP BY 1
+         ORDER BY o_orderpriority""",
+    // the correlated scalar AVG decorrelates on both engines; pinned
+    // quantity average (VARCHAR round-trip) and pinned revenue sum
+    "sql31_tpch_q17" ->
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(24,10)))
+                     AS VARCHAR) AS DOUBLE) / 7 AS avg_yearly,
+                count(*) AS n_small
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_brand = 'Brand#13'
+           AND l.l_quantity <
+             (SELECT CAST(0.2 AS DOUBLE) *
+                     (CAST(CAST(sum(CAST(l2.l_quantity AS DECIMAL(24,10)))
+                           AS VARCHAR) AS DOUBLE) / count(*))
+              FROM lineitem l2
+              WHERE l2.l_partkey = p.p_partkey)""",
     "sql14_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist
          FROM (SELECT c_custkey, count(o_orderkey) AS c_count

@@ -2956,6 +2956,202 @@ object Stats {
         r6(c).as("correction_c"), r6(t).as("bartlett_t"))
     }),
 
+    // A107: Siegel repeated-medians slope (Siegel 1982) — the
+    // higher-breakdown robust regression completing A54's Theil–Sen
+    // (50% breakdown vs 29%: a corrupted day poisons at most its own
+    // inner median, never the outer): per day i, the inner median of
+    // pairwise slopes to every other day; the slope is the OUTER
+    // median of those; the intercept the median of y − slope·x. All
+    // slopes are single IEEE divisions on the bit-identical daily
+    // panel; medians are exact interpolations (the A54/A99 contract
+    // — averaging two identical doubles is one identical IEEE op);
+    // r6 only at emission. Scale: a per-type day-pair join, ≤ days²
+    // rows per type (A54's bound), then ≤ days-row medians.
+    "a107_siegel_slopes" -> ((s, d) => {
+      val dly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("y"))
+        .withColumn("x",
+          datediff(col("day"), lit("2024-01-01")).cast("double"))
+        .select(col("event_type"), col("x"), col("y"))
+      val a = dly.select(col("event_type"), col("x").as("x1"),
+        col("y").as("y1"))
+      val b = dly.select(col("event_type"), col("x").as("x2"),
+        col("y").as("y2"))
+      val inner = a.join(b, Seq("event_type"))
+        .filter(col("x2") =!= col("x1"))
+        .select(col("event_type"), col("x1"), col("y1"),
+          ((col("y2") - col("y1")) / (col("x2") - col("x1"))).as("m"))
+        .groupBy(col("event_type"), col("x1"), col("y1"))
+        .agg(expr("percentile(m, 0.5)").as("mi"))
+      val slope = inner.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          expr("percentile(mi, 0.5)").as("slope"))
+      inner.join(slope, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_days")).as("n_days"),
+          round(max(col("slope")), 6).as("slope"),
+          round(expr("percentile(y1 - slope * x1, 0.5)"), 6)
+            .as("intercept"))
+        .orderBy("event_type")
+    }),
+
+    // A108: Page's L trend test (Page 1963) — the ORDERED
+    // alternative A87's Friedman can't see: Friedman asks "do the
+    // types differ at all?", Page asks "do they INCREASE in the
+    // hypothesized order?" (here: alphabetical event_type order, the
+    // documented a-priori ordering). L = Σ j·R_j over A87's
+    // oracle-checked midrank frame — midranks are exact halves, so
+    // every product and sum is exactly representable and the fold is
+    // order-free; z = (L − nk(k+1)²/4)/√(nk²(k+1)(k²−1)/144), the
+    // standard tie-uncorrected normal form, one fixed IEEE chain on
+    // exact integers. Complete blocks only (A87's gate).
+    "a108_page_trend" -> ((s, d) => {
+      val cell = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("y"))
+      val k = cell.select(countDistinct(col("event_type")).as("k"))
+      val wDay = Window.partitionBy("day")
+      val ranked = cell.crossJoin(broadcast(k))
+        .withColumn("n_in_day", count(lit(1)).over(wDay))
+        .filter(col("n_in_day") === col("k"))
+        .withColumn("rnk", rank().over(wDay.orderBy("y")))
+        .withColumn("ct", count(lit(1)).over(
+          Window.partitionBy("day", "y")))
+        .withColumn("r", col("rnk") +
+          (col("ct") - 1).cast("double") / 2)
+      val perType = ranked.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("r")).as("rank_sum"), max(col("k")).as("k"))
+      val agg = perType
+        .withColumn("j", row_number().over(
+          Window.orderBy("event_type")))
+        .agg(max(col("k")).as("k"), max(col("n_days")).as("n"),
+          sum(col("j").cast("double") * col("rank_sum")).as("l_stat"))
+      agg.select(col("k"), col("n"), col("l_stat"),
+        ((col("l_stat") -
+          (col("n") * col("k") * (col("k") + 1) * (col("k") + 1))
+            .cast("double") / 4) /
+          sqrt((col("n") * col("k") * col("k") * (col("k") + 1) *
+            (col("k") * col("k") - 1)).cast("double") / 144)).as("z"))
+    }),
+
+    // A109: Jonckheere–Terpstra trend test (Jonckheere 1954) — the
+    // ORDERED alternative for INDEPENDENT groups, completing the
+    // family the way A108 completes A87's blocked design: A73's
+    // Kruskal–Wallis asks "do the type distributions differ at
+    // all?", JT asks "do they SHIFT UPWARD in the hypothesized —
+    // alphabetical, documented — order?". J = Σ_{g<h} U_gh with each
+    // U from the Mann–Whitney midrank identity over the (g,h) union;
+    // every rank quantity rides the ×2 integer grid (r2 = 2·below +
+    // cnt + 1), so U2 = RS2_h − n_h(n_h+1) and J2 = ΣU2 are exact
+    // BIGINTs; z is the standard tie-uncorrected normal form — one
+    // fixed IEEE chain on exact integers. Scale: per-pair two-level
+    // bucketed ranking (A35/A73's 1024-bucket decomposition, keyed
+    // by the pair) — no global sequential window, no pair join over
+    // rows; the per-value frame is |distinct values|·(k−1) rows.
+    "a109_jonckheere" -> ((s, d) => {
+      val B = 1024
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+      val types = ev.select(col("event_type")).distinct()
+      val prs = types.select(col("event_type").as("g"))
+        .join(broadcast(types.select(col("event_type").as("h"))),
+          col("g") < col("h"))
+      val vc = ev.groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("c"))
+      val sideG = broadcast(prs)
+        .join(vc.withColumnRenamed("event_type", "g"), Seq("g"))
+        .select(col("g"), col("h"), col("value"), col("c").as("cg"),
+          lit(0L).as("ch"))
+      val sideH = broadcast(prs)
+        .join(vc.withColumnRenamed("event_type", "h"), Seq("h"))
+        .select(col("g"), col("h"), col("value"), lit(0L).as("cg"),
+          col("c").as("ch"))
+      val rng = ev.agg(min(col("value")).as("lo"),
+        max(col("value")).as("hi"))
+      val perv = sideG.unionAll(sideH)
+        .groupBy(col("g"), col("h"), col("value"))
+        .agg(sum(col("cg")).as("kg"), sum(col("ch")).as("kh"))
+        .crossJoin(broadcast(rng))
+        .withColumn("bucket",
+          least(floor((col("value") - col("lo")) /
+            (col("hi") - col("lo")) * B), lit(B - 1)).cast("int"))
+        .withColumn("k", col("kg") + col("kh"))
+      val wIn = Window.partitionBy("g", "h", "bucket").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wB = Window.partitionBy("g", "h").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = perv.groupBy(col("g"), col("h"), col("bucket"))
+        .agg(sum(col("k")).as("bk"))
+        .withColumn("off", coalesce(sum(col("bk")).over(wB), lit(0L)))
+        .select(col("g"), col("h"), col("bucket"), col("off"))
+      val ranked = perv
+        .withColumn("cin", coalesce(sum(col("k")).over(wIn), lit(0L)))
+        .join(offs, Seq("g", "h", "bucket"))
+        .withColumn("r2",
+          lit(2L) * (col("off") + col("cin")) + col("k") + 1)
+      val per = ranked.groupBy(col("g"), col("h"))
+        .agg(sum(col("kh") * col("r2")).as("rs2h"),
+          sum(col("kh")).as("nh"))
+        .withColumn("u2", col("rs2h") - col("nh") * (col("nh") + 1))
+      val tot = per.agg(sum(col("u2")).as("j2"))
+      val gsz = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("ng"))
+        .agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+          sum(col("ng") * col("ng")).as("sn2"),
+          sum(col("ng") * col("ng") * (lit(2L) * col("ng") + 3))
+            .as("sn23"))
+      tot.crossJoin(broadcast(gsz))
+        .select(col("k"), col("n"),
+          (col("j2").cast("double") / 2).as("j_stat"),
+          ((col("j2").cast("double") / 2 -
+            (col("n") * col("n") - col("sn2")).cast("double") / 4) /
+            sqrt((col("n") * col("n") * (lit(2L) * col("n") + 3) -
+              col("sn23")).cast("double") / 72)).as("z"))
+    }),
+
+    // A110: Cochran–Armitage trend test (Cochran 1954, Armitage
+    // 1955) — the BINARY-outcome trend completing the ordered family
+    // (A108 = blocked ranks, A109 = independent ranks, A110 =
+    // proportions): does the up-day RATE increase across the types
+    // in the hypothesized — alphabetical, documented — order?
+    // Per type: n_j = days with a defined daily move, r_j = up days
+    // (exact integer cells from the bit-identical daily panel);
+    // scores w_j = j; T = Σ j·r_j − p̄·Σ j·n_j and z = T/√(p̄(1−p̄)·
+    // (Σ j²n_j − (Σ j·n_j)²/N)) — one fixed IEEE chain on exact
+    // BIGINTs. The j election is a row_number over the ≤k per-type
+    // frame (the A108 allowlisted shape).
+    "a110_cochran_armitage" -> ((s, d) => {
+      val wT = Window.partitionBy("event_type").orderBy("day")
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("px"))
+        .withColumn("delta", col("px") - lag(col("px"), 1).over(wT))
+        .filter(col("delta").isNotNull)
+      val perType = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nj"),
+          sum(when(col("delta") > 0, 1L).otherwise(0L)).as("rj"))
+      val agg = perType
+        .withColumn("j", row_number().over(Window.orderBy("event_type")))
+        .agg(count(lit(1)).as("k"), sum(col("nj")).as("n"),
+          sum(col("rj")).as("r"),
+          sum(col("j") * col("rj")).as("sjr"),
+          sum(col("j") * col("nj")).as("sjn"),
+          sum(col("j") * col("j") * col("nj")).as("sj2n"))
+      val pbar = col("r").cast("double") / col("n").cast("double")
+      val t = col("sjr").cast("double") - pbar * col("sjn").cast("double")
+      val v = pbar * (lit(1.0) - pbar) *
+        (col("sj2n").cast("double") -
+          (col("sjn") * col("sjn")).cast("double") /
+            col("n").cast("double"))
+      agg.select(col("k"), col("n"), col("r"), t.as("trend_t"),
+        (t / sqrt(v)).as("z"))
+    }),
+
     // A93: Wilcoxon signed-rank — the one-sample rank twin of A35's
     // Mann–Whitney: is the median daily close move zero, per type?
     // Zero deltas drop (Wilcoxon's convention), |Δ| gets MIDRANKS
@@ -4431,6 +4627,162 @@ object Stats {
                 round((CAST(k AS DOUBLE) / (k - 1)) * (1 - siv / tvar), 6)
                   AS alpha
          FROM iv, tvr""",
+    // the pinned daily panel, exact up-day cells, alphabetical j,
+    // then the fixed T/z chain on BIGINT-cast sums (HUGEINT class)
+    "a110_cochran_armitage" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS px
+           FROM events GROUP BY 1, 2),
+         dl AS (
+           SELECT event_type,
+                  px - lag(px, 1) OVER (PARTITION BY event_type
+                                        ORDER BY day) AS delta
+           FROM daily),
+         per AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS nj,
+                  CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS rj
+           FROM dl WHERE delta IS NOT NULL GROUP BY 1),
+         jj AS (
+           SELECT *, row_number() OVER (ORDER BY event_type) AS j
+           FROM per),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+                  CAST(sum(nj) AS BIGINT) AS n,
+                  CAST(sum(rj) AS BIGINT) AS r,
+                  CAST(sum(j * rj) AS BIGINT) AS sjr,
+                  CAST(sum(j * nj) AS BIGINT) AS sjn,
+                  CAST(sum(j * j * nj) AS BIGINT) AS sj2n
+           FROM jj)
+         SELECT k, n, r,
+                CAST(sjr AS DOUBLE)
+                  - (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                    * CAST(sjn AS DOUBLE) AS trend_t,
+                (CAST(sjr AS DOUBLE)
+                  - (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                    * CAST(sjn AS DOUBLE))
+                / sqrt((CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) *
+                       (CAST(1 AS DOUBLE)
+                        - CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) *
+                       (CAST(sj2n AS DOUBLE)
+                        - CAST(sjn * sjn AS DOUBLE)
+                          / CAST(n AS DOUBLE))) AS z
+         FROM agg""",
+    // per-pair unions over distinct-value counts, the same ×2
+    // integer rank grid as the engine (the oracle skips the 1024
+    // buckets — rank identity is what's checked), BIGINT casts on
+    // every integer sum (the HUGEINT lint class), z one fixed chain
+    "a109_jonckheere" ->
+      """WITH ev AS (
+           SELECT event_type, value FROM events WHERE value IS NOT NULL),
+         ty AS (SELECT DISTINCT event_type FROM ev),
+         prs AS (
+           SELECT a.event_type AS g, b.event_type AS h
+           FROM ty a JOIN ty b ON a.event_type < b.event_type),
+         vc AS (
+           SELECT event_type, value, CAST(count(*) AS BIGINT) AS c
+           FROM ev GROUP BY 1, 2),
+         sides AS (
+           SELECT p.g, p.h, v.value, v.c AS cg, CAST(0 AS BIGINT) AS ch
+           FROM prs p JOIN vc v ON v.event_type = p.g
+           UNION ALL
+           SELECT p.g, p.h, v.value, CAST(0 AS BIGINT) AS cg, v.c AS ch
+           FROM prs p JOIN vc v ON v.event_type = p.h),
+         perv AS (
+           SELECT g, h, value, CAST(sum(cg) AS BIGINT) AS kg,
+                  CAST(sum(ch) AS BIGINT) AS kh
+           FROM sides GROUP BY 1, 2, 3),
+         r AS (
+           SELECT g, h, kg, kh, kg + kh AS k,
+                  coalesce(sum(kg + kh) OVER (PARTITION BY g, h
+                    ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS below
+           FROM perv),
+         per AS (
+           SELECT g, h,
+                  CAST(sum(kh * (2 * below + k + 1)) AS BIGINT) AS rs2h,
+                  CAST(sum(kh) AS BIGINT) AS nh
+           FROM r GROUP BY 1, 2),
+         tot AS (
+           SELECT CAST(sum(rs2h - nh * (nh + 1)) AS BIGINT) AS j2
+           FROM per),
+         gsz AS (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+                  CAST(sum(ng) AS BIGINT) AS n,
+                  CAST(sum(ng * ng) AS BIGINT) AS sn2,
+                  CAST(sum(ng * ng * (2 * ng + 3)) AS BIGINT) AS sn23
+           FROM (SELECT CAST(count(*) AS BIGINT) AS ng
+                 FROM ev GROUP BY event_type))
+         SELECT k, n, CAST(j2 AS DOUBLE) / 2 AS j_stat,
+                (CAST(j2 AS DOUBLE) / 2
+                   - CAST(n * n - sn2 AS DOUBLE) / 4) /
+                  sqrt(CAST(n * n * (2 * n + 3) - sn23 AS DOUBLE) / 72)
+                  AS z
+         FROM tot, gsz""",
+    // a54's daily panel and pair join with the i≠j filter, exact
+    // interpolated medians (quantile_cont) at both levels, r6 at
+    // emission only
+    "a107_siegel_slopes" ->
+      """WITH dly AS (
+           SELECT event_type,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS y,
+                  CAST(datediff('day', DATE '2024-01-01',
+                       date_trunc('day', ts)) AS DOUBLE) AS x
+           FROM events GROUP BY event_type, date_trunc('day', ts)),
+         inner_med AS (
+           SELECT a.event_type, a.x AS x1, a.y AS y1,
+                  quantile_cont((b.y - a.y) / (b.x - a.x), 0.5) AS mi
+           FROM dly a JOIN dly b
+             ON a.event_type = b.event_type AND b.x <> a.x
+           GROUP BY 1, 2, 3),
+         sl AS (
+           SELECT event_type, count(*) AS n_days,
+                  quantile_cont(mi, 0.5) AS slope
+           FROM inner_med GROUP BY 1)
+         SELECT i.event_type, max(s.n_days) AS n_days,
+                round(max(s.slope), 6) AS slope,
+                round(quantile_cont(i.y1 - s.slope * i.x1, 0.5), 6)
+                  AS intercept
+         FROM inner_med i JOIN sl s ON i.event_type = s.event_type
+         GROUP BY i.event_type ORDER BY i.event_type""",
+    // a87's midrank frame (exact halves), alphabetical j, the exact
+    // Σ j·R_j fold, then the fixed normal chain on exact integers
+    "a108_page_trend" ->
+      """WITH cell AS (
+           SELECT date_trunc('day', ts) AS day, event_type,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS y
+           FROM events GROUP BY 1, 2),
+         kk AS (SELECT count(DISTINCT event_type) AS k FROM cell),
+         full_days AS (
+           SELECT day FROM cell, kk GROUP BY day, kk.k
+           HAVING count(*) = max(kk.k)),
+         ranked AS (
+           SELECT c.day, c.event_type, kk.k,
+                  rank() OVER (PARTITION BY c.day ORDER BY c.y) +
+                    CAST(count(*) OVER (PARTITION BY c.day, c.y) - 1
+                         AS DOUBLE) / 2 AS r
+           FROM cell c JOIN full_days f ON c.day = f.day
+           CROSS JOIN kk),
+         per_type AS (
+           SELECT event_type, count(*) AS n_days, sum(r) AS rank_sum,
+                  max(k) AS k
+           FROM ranked GROUP BY 1),
+         jj AS (
+           SELECT *, row_number() OVER (ORDER BY event_type) AS j
+           FROM per_type),
+         agg AS (
+           SELECT max(k) AS k, max(n_days) AS n,
+                  sum(CAST(j AS DOUBLE) * rank_sum) AS l_stat
+           FROM jj)
+         SELECT k, n, l_stat,
+                (l_stat - CAST(n * k * (k + 1) * (k + 1) AS DOUBLE) / 4) /
+                  sqrt(CAST(n * k * k * (k + 1) * (k * k - 1) AS DOUBLE)
+                       / 144) AS z
+         FROM agg""",
     // a104's pinned panel aggregates (v, per-day tot, per-type ts —
     // squares are exact IEEE products of identical doubles), then the
     // two-way SS/MS/ICC chains phrased operation-for-operation like

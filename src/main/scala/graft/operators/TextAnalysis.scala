@@ -642,6 +642,38 @@ object TextAnalysis {
     // TXT25: token dispersion (Fano factor) — the burstiness screen
     // separating TOPICAL tokens (bursty: all their mass in few docs,
     // Fano ≫ 1) from function words and template boilerplate (evenly
+    // TXT26: n-gram novelty — the memorization-risk lens mixture
+    // designers read BEFORE upsampling a source: what fraction of a
+    // doc's distinct 3-grams appears NOWHERE else in the corpus?
+    // Novelty ≈ 1 = unique content worth keeping; ≈ 0 = the doc is
+    // assembled from corpus boilerplate (D2/D18 find its twins, this
+    // scores the doc without needing a pair). One corpus-wide
+    // shingle df hash agg (the D2/D18 spine), one keyed join back,
+    // integer counts and ONE division — bit-identical, nothing to
+    // pin. Docs under 3 tokens have no 3-grams and drop (the D2
+    // gate, documented).
+    "txt26_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= 3)
+      val sh = docs.select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("t")) - 3),
+          i => concat_ws(" ",
+            element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2),
+            element_at(col("t"), i + 3))))).as("sh"))
+      val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      sh.join(df, Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+          (col("n_unique").cast("double") /
+            col("n_shingles").cast("double")).as("novelty"))
+        .orderBy("doc_id")
+    }),
+
     // dispersed, Fano ≈ 1, the Poisson floor), per Church & Gale
     // 1995: Fano = Var/Mean of the per-document occurrence count
     // INCLUDING zero docs, which collapses to the all-integer form
@@ -1606,6 +1638,26 @@ object TextAnalysis {
                 CAST(m2 - n_tokens AS DOUBLE) /
                   CAST(n_tokens * (n_tokens - 1) AS DOUBLE) AS simpson_d
          FROM agg""",
+    // the shared distinct-3-gram spine, one corpus df agg, integer
+    // cells and one exact division (counts BIGINT both engines)
+    "txt26_novelty" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+           FROM docs WHERE len(t) >= 3),
+         df AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+         SELECT s.doc_id,
+                CAST(count(*) AS BIGINT) AS n_shingles,
+                CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_unique,
+                CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
+                     AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+         FROM sh s JOIN df USING (sh)
+         GROUP BY s.doc_id ORDER BY s.doc_id""",
     // all-integer Fano numerator/denominator, one division; same
     // rank spine as txt8
     "txt25_dispersion" ->

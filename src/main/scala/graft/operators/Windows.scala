@@ -916,6 +916,86 @@ object Windows {
         .orderBy("event_type", "day")
     }),
 
+    // W47: Coppock curve (Coppock 1962) — the long-horizon momentum
+    // bottom-finder: WMA of the SUM of two rates of change. Scaled
+    // to the 30-day panel: ROC(10) + ROC(7) under a 5-day
+    // front-weighted WMA (classic 14/11/10 — W29's documented-
+    // adaptation precedent). Float shape: each ROC is one fixed
+    // chain (division, subtraction, ×100) on bit-identical daily
+    // means; the WMA is a FIXED 5-term left-associated chain of
+    // integer-weighted lags over one exact ÷15 — not an aggregation,
+    // so there is no summation order to pin; full lag windows only
+    // (the deepest lag is the gate — every shallower lag exists a
+    // fortiori). Raw doubles end to end.
+    "w47_coppock" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("px"))
+      val wT = Window.partitionBy("event_type").orderBy("day")
+      val withRoc = daily
+        .withColumn("p10", lag(col("px"), 10).over(wT))
+        .withColumn("p7", lag(col("px"), 7).over(wT))
+        .withColumn("s",
+          lit(100.0) * (col("px") / col("p10") - 1) +
+            lit(100.0) * (col("px") / col("p7") - 1))
+      val lagged = (1 to 4).foldLeft(withRoc)((acc, j) =>
+        acc.withColumn(s"s$j", lag(col("s"), j).over(wT)))
+      lagged
+        .filter(col("s4").isNotNull)
+        .select(col("event_type"), col("day"), col("s").as("roc_sum"),
+          ((lit(5.0) * col("s") + lit(4.0) * col("s1") +
+            lit(3.0) * col("s2") + lit(2.0) * col("s3") + col("s4")) /
+            15).as("coppock"))
+        .orderBy("event_type", "day")
+    }),
+
+    // W48: KST — Pring's Know Sure Thing, the four-horizon summary
+    // momentum oscillator (W47's Coppock generalized): four ROCs at
+    // widening spans, each SMA-smoothed, combined 1:2:3:4, plus an
+    // SMA signal line. Scaled to the 30-day panel: ROC(5/7/10/14)
+    // under SMA(5) each, signal SMA(5) (classic 10/15/20/30 —
+    // documented adaptation). Float discipline: ROCs are fixed
+    // chains on bit-identical daily means; every SMA is a
+    // decimal-pinned frame sum of r6'd inputs over an exact count
+    // division, rendered at r6 (order-free); the 1:2:3:4 combination
+    // is one fixed left-associated chain on those identical rounded
+    // doubles; the signal re-pins r6(kst). Full frames only — the
+    // deepest ROC's SMA frame gates every shallower one a fortiori.
+    "w48_kst" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("px"))
+      val wT = Window.partitionBy("event_type").orderBy("day")
+      val f5 = wT.rowsBetween(-4, 0)
+      def roc(k: Int): Column =
+        r6(lit(100.0) * (col("px") / lag(col("px"), k).over(wT) - 1))
+      def sma(c: String): Column =
+        r6(sum(col(c).cast("decimal(24,10)")).over(f5).cast("double") /
+          count(col(c)).over(f5))
+      val withRocs = daily
+        .withColumn("r5", roc(5)).withColumn("r7", roc(7))
+        .withColumn("r10", roc(10)).withColumn("r14", roc(14))
+        .withColumn("full14", count(col("r14")).over(f5) === 5)
+        .withColumn("s1", sma("r5")).withColumn("s2", sma("r7"))
+        .withColumn("s3", sma("r10")).withColumn("s4", sma("r14"))
+      val kst = withRocs
+        .withColumn("kst_raw",
+          when(col("full14"),
+            col("s1") + lit(2.0) * col("s2") + lit(3.0) * col("s3") +
+              lit(4.0) * col("s4")))
+      kst
+        .withColumn("nsig", count(col("kst_raw")).over(f5))
+        .withColumn("signal",
+          sum(r6(col("kst_raw")).cast("decimal(24,10)")).over(f5)
+            .cast("double") / 5)
+        .filter(col("nsig") === 5)
+        .select(col("event_type"), col("day"),
+          r6(col("kst_raw")).as("kst"), r6(col("signal")).as("signal"))
+        .orderBy("event_type", "day")
+    }),
+
     // W42: stochastic RSI — W26's %K lens applied to W19's RSI
     // instead of price ((rsi − min₁₄rsi)/(max₁₄rsi − min₁₄rsi)): how
     // overbought is the oscillator RELATIVE TO ITS OWN RANGE, the
@@ -2100,6 +2180,86 @@ object Windows {
     "w43_trix" -> trixOracleSql,
     "w45_dema_tema" -> demaTemaOracleSql,
     "w46_mass_index" -> massIndexOracleSql,
+    // two fixed ROC chains on the daily means, then the 5-term
+    // left-associated integer-weighted WMA — no aggregation, nothing
+    // to pin; the deepest lag gates the full window
+    "w47_coppock" ->
+      s"""WITH $DailyPxCte,
+         l AS (
+           SELECT event_type, day, px,
+                  lag(px, 10) OVER wt AS p10,
+                  lag(px, 7) OVER wt AS p7
+           FROM daily
+           WINDOW wt AS (PARTITION BY event_type ORDER BY day)),
+         s AS (
+           SELECT event_type, day,
+                  CAST(100 AS DOUBLE) * (px / p10 - 1) +
+                    CAST(100 AS DOUBLE) * (px / p7 - 1) AS s
+           FROM l),
+         g AS (
+           SELECT event_type, day, s,
+                  lag(s, 1) OVER wt AS s1, lag(s, 2) OVER wt AS s2,
+                  lag(s, 3) OVER wt AS s3, lag(s, 4) OVER wt AS s4
+           FROM s
+           WINDOW wt AS (PARTITION BY event_type ORDER BY day))
+       SELECT event_type, day, s AS roc_sum,
+              (CAST(5 AS DOUBLE) * s + CAST(4 AS DOUBLE) * s1 +
+               CAST(3 AS DOUBLE) * s2 + CAST(2 AS DOUBLE) * s3 + s4)
+                / 15 AS coppock
+       FROM g WHERE s4 IS NOT NULL ORDER BY event_type, day""",
+    // four r6'd ROC chains, pinned 5-frame SMA folds rendered at r6,
+    // the fixed 1:2:3:4 combination, the signal re-pinning r6(kst);
+    // the deepest ROC's full frame gates emission
+    "w48_kst" ->
+      s"""WITH $DailyPxCte,
+         rr AS (
+           SELECT event_type, day,
+                  round(CAST(100 AS DOUBLE) *
+                        (px / lag(px, 5) OVER wt - 1), 6) AS r5,
+                  round(CAST(100 AS DOUBLE) *
+                        (px / lag(px, 7) OVER wt - 1), 6) AS r7,
+                  round(CAST(100 AS DOUBLE) *
+                        (px / lag(px, 10) OVER wt - 1), 6) AS r10,
+                  round(CAST(100 AS DOUBLE) *
+                        (px / lag(px, 14) OVER wt - 1), 6) AS r14
+           FROM daily
+           WINDOW wt AS (PARTITION BY event_type ORDER BY day)),
+         sm AS (
+           SELECT event_type, day,
+                  count(r14) OVER f5 AS c14,
+                  round(CAST(CAST(sum(CAST(r5 AS DECIMAL(24,10)))
+                        OVER f5 AS VARCHAR) AS DOUBLE)
+                        / count(r5) OVER f5, 6) AS s1,
+                  round(CAST(CAST(sum(CAST(r7 AS DECIMAL(24,10)))
+                        OVER f5 AS VARCHAR) AS DOUBLE)
+                        / count(r7) OVER f5, 6) AS s2,
+                  round(CAST(CAST(sum(CAST(r10 AS DECIMAL(24,10)))
+                        OVER f5 AS VARCHAR) AS DOUBLE)
+                        / count(r10) OVER f5, 6) AS s3,
+                  round(CAST(CAST(sum(CAST(r14 AS DECIMAL(24,10)))
+                        OVER f5 AS VARCHAR) AS DOUBLE)
+                        / count(r14) OVER f5, 6) AS s4
+           FROM rr
+           WINDOW f5 AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+         kk AS (
+           SELECT event_type, day,
+                  CASE WHEN c14 = 5 THEN
+                    s1 + CAST(2 AS DOUBLE) * s2 + CAST(3 AS DOUBLE) * s3
+                       + CAST(4 AS DOUBLE) * s4 END AS kst_raw
+           FROM sm),
+         sg AS (
+           SELECT event_type, day, kst_raw,
+                  count(kst_raw) OVER f5 AS nsig,
+                  CAST(CAST(sum(CAST(round(kst_raw, 6)
+                       AS DECIMAL(24,10))) OVER f5 AS VARCHAR) AS DOUBLE)
+                    / 5 AS signal
+           FROM kk
+           WINDOW f5 AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+       SELECT event_type, day, round(kst_raw, 6) AS kst,
+              round(signal, 6) AS signal
+       FROM sg WHERE nsig = 5 ORDER BY event_type, day""",
     // one pinned frame sum → one render → one division; dpo on raw
     // doubles (pure elementwise, nothing to round)
     "w40_dpo" ->

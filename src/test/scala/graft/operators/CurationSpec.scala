@@ -226,4 +226,35 @@ class CurationSpec extends AnyFunSuite {
       assert((-krow._5, kid) == best, s"cluster $can keeper not longest")
     }
   }
+
+  test("pipe8 edge audit agrees with d25/d26/d10; bridge flag is the zero-common verdict") {
+    val sf = SparkTestSession.Sf0001
+    val audit = Curation.queries("pipe8_edge_audit")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+         r.getLong(6), r.getDouble(7), r.getDouble(8), r.getBoolean(9)))
+      .toMap
+    assert(audit.nonEmpty)
+    val strength = Dedup.queries("d25_edge_strength")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val jac = Dedup.queries("d26_edge_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(5), r.getDouble(6))).toMap
+    val cc = Dedup.queries("d10_cc_corpus")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exactly the verified edge set, and every column equals its
+    // parent query's value — the composition adds joins, not logic
+    assert(audit.keySet == strength.keySet && audit.keySet == jac.keySet)
+    audit.foreach { case (e @ (da, _),
+        (comp, dgA, dgB, cn, un, aa, nj, bridge)) =>
+      val (scn, saa) = strength(e)
+      val (jda, jdb, jun, jj) = jac(e)
+      assert(comp == cc(da), s"edge $e component")
+      assert(cn == scn && aa == saa, s"edge $e strength")
+      assert(dgA == jda && dgB == jdb && un == jun && nj == jj,
+        s"edge $e jaccard cells")
+      assert(bridge == (cn == 0L), s"edge $e bridge verdict")
+    }
+  }
 }

@@ -227,4 +227,35 @@ class DatasetOpsSpec extends AnyFunSuite {
       assert(got(f.toLong)._2 == got(f.toLong + 1)._1,
         "test windows must tile: fold f's test end = fold f+1's train end"))
   }
+
+  test("ds22 leakage audit: pair counts partition corpus_pairs; ds13 exists for the leaks") {
+    val sf = SparkTestSession.Sf0001
+    def sp(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString
+      if (hex.charAt(0) < 'd') "train" else "val"
+    }
+    // the verified pair set via the oracle-checked d25 surface
+    val pairs = graft.operators.Dedup.queries("d25_edge_strength")(
+      spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exp = pairs.groupBy { case (a, b) =>
+      val (x, y) = (sp(a), sp(b))
+      (if (x <= y) x else y, if (x <= y) y else x)
+    }.map { case (k, v) => k -> v.size.toLong }
+    val got = DatasetOps.queries("ds22_leakage_audit")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got.map(_._2._1).sum == pairs.size.toLong,
+      "pair counts must partition the verified edge set")
+    exp.foreach { case (k, n) =>
+      val (gn, leak) = got(k)
+      assert(gn == n, s"$k")
+      assert(leak == (k._1 != k._2), s"$k leak verdict")
+    }
+    // the audit's point: the naive split DOES leak on this corpus
+    assert(got.exists { case ((a, b), (n, leak)) => leak && n > 0 },
+      "vacuous: no straddling near-dup pair; rebalance the fixture claim")
+  }
+
 }

@@ -704,6 +704,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // a101 reduces a87's ≤k-row frame once more (the same bounded
       // Q/MSW fold, one extra division — nothing corpus-sized):
       "a101_kendalls_w",
+      // a108's alphabetical-j election: row_number over the ≤k
+      // per-type rank-sum frame (the corpus-sized ranks partition
+      // by day, a87's shape); a110 reuses the same ≤k election
+      // (its daily-delta window partitions by type):
+      "a108_page_trend", "a110_cochran_armitage",
       // a73's ≤1000-row bucket prefix window plus the ≤k group-frame
       // N fold (per-value ranks stay partitioned by bucket):
       "a89_dunn_pairs", "a89_dunn_pvalue",
@@ -827,5 +832,65 @@ class PlanShapeSpec extends AnyFunSuite {
       s"per-row subquery survived decorrelation:\n${plan.take(2500)}")
     assert(!plan.contains("CartesianProduct") &&
            !plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+  }
+
+  test("sql30 (Q4): cross-side EXISTS decorrelates to one semi join; counts match") {
+    // the EXISTS carries a predicate referencing BOTH sides
+    // (datediff(outer orderdate, inner shipdate)) — it must still
+    // plan as ONE left-semi hash join with the extra condition in
+    // the join predicate, never a per-outer-row subquery
+    val plan = planOf(Relational.queries, "sql30_tpch_q4")
+    assert(plan.contains("LeftSemi"),
+      s"EXISTS did not become a semi join:\n${plan.take(2500)}")
+    assert(!plan.contains("SubqueryExec") &&
+           !plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+    // sequential recompute of the priority counts
+    import org.apache.spark.sql.functions.col
+    import java.time.LocalDateTime
+    def ldt(x: Any): LocalDateTime = x match {
+      case l: LocalDateTime => l
+      case t: java.sql.Timestamp => t.toLocalDateTime
+    }
+    val lo = LocalDateTime.parse("1996-01-01T00:00:00")
+    val hi = LocalDateTime.parse("1996-07-01T00:00:00")
+    val lateOrders: Map[Long, Array[(Long, LocalDateTime)]] =
+      graft.Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_shipdate")).collect()
+        .map(r => (r.getLong(0), ldt(r.get(1)))).groupBy(_._1)
+    val exp = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .collect()
+      .map(r => (r.getLong(0), ldt(r.get(1)), r.getString(2)))
+      .filter(o => !o._2.isBefore(lo) && o._2.isBefore(hi))
+      .filter(o => lateOrders.getOrElse(o._1,
+        Array.empty[(Long, LocalDateTime)]).exists(l =>
+        java.time.temporal.ChronoUnit.DAYS.between(
+          o._2.toLocalDate, l._2.toLocalDate) > 60))
+      .groupBy(_._3).map { case (p, os) => p -> os.size.toLong }
+    val got = Relational.queries("sql30_tpch_q4")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exp, s"got=$got exp=$exp")
+    assert(got.values.sum > 0, "vacuous: no late orders in the window")
+  }
+
+  test("sql31 (Q17): the correlated avg decorrelates; the small-order set is non-trivial") {
+    val plan = planOf(Relational.queries, "sql31_tpch_q17")
+    assert(!plan.contains("SubqueryExec") &&
+           !plan.contains("Subquery subquery"),
+      s"per-row subquery survived decorrelation:\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+    val row = Relational.queries("sql31_tpch_q17")(spark, sf)
+      .collect().head
+    // the threshold really prunes: some but not all brand lineitems
+    import org.apache.spark.sql.functions.col
+    val brandAll = graft.Tables.lineitem(spark, sf).alias("l")
+      .join(graft.Tables.part(spark, sf).alias("p"),
+        col("p.p_partkey") === col("l.l_partkey"))
+      .filter(col("p.p_brand") === "Brand#13").count()
+    assert(row.getLong(1) > 0 && row.getLong(1) < brandAll,
+      s"small=${row.getLong(1)} all=$brandAll")
+    assert(row.getDouble(0) > 0)
   }
 }

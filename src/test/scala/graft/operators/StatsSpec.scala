@@ -990,6 +990,232 @@ class StatsSpec extends AnyFunSuite {
     assert(nMi > 0 && nMi == mi.size)
   }
 
+  test("a107 Siegel slopes match a sequential repeated-medians recompute") {
+    import org.apache.spark.sql.functions._
+    def dec(x: Double, sc: Int): BigDecimal =
+      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP)
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val base = java.time.LocalDate.parse("2024-01-01")
+    val panel = graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Any]("day").toString,
+        r.getAs[Double]("value")))
+      .groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
+        val x = java.time.temporal.ChronoUnit.DAYS.between(
+          base, java.time.LocalDate.parse(day.take(10))).toDouble
+        (t, x, es.map(e => dec(e._3, 10)).sum.toDouble / es.size)
+      }.toSeq.groupBy(_._1)
+    val got = graft.operators.Stats.queries("a107_siegel_slopes")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    panel.foreach { case (t, pts) =>
+      val ds = pts.map(p => (p._2, p._3)).toSeq
+      val inner = ds.map { case (xi, yi) =>
+        (xi, yi, med(ds.filter(_._1 != xi).map { case (xj, yj) =>
+          (yj - yi) / (xj - xi) }))
+      }
+      val slope = med(inner.map(_._3))
+      val icept = med(inner.map { case (xi, yi, _) => yi - slope * xi })
+      val (n, gs, gi) = got(t)
+      assert(n == ds.size.toLong, s"$t n_days")
+      assert(math.abs(gs - slope) <= 1e-6, s"$t slope")
+      assert(math.abs(gi - icept) <= 1e-6, s"$t intercept")
+    }
+  }
+
+  test("a108 Page trend matches a sequential midrank recompute") {
+    import org.apache.spark.sql.functions._
+    def dec(x: Double, sc: Int): BigDecimal =
+      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP)
+    val cells = graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Any]("day").toString,
+        r.getAs[Double]("value")))
+      .groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
+        (t, day, es.map(e => dec(e._3, 10)).sum.toDouble / es.size)
+      }.toSeq
+    val types = cells.map(_._1).distinct.sorted
+    val k = types.size
+    val fullDays = cells.groupBy(_._2).filter(_._2.size == k).keySet
+    val blocks = cells.filter(c => fullDays(c._2)).groupBy(_._2)
+    // midranks per complete day
+    val rankSum = scala.collection.mutable.Map.empty[String, Double]
+      .withDefaultValue(0.0)
+    blocks.foreach { case (_, rows) =>
+      val ys = rows.map(_._3).toSeq
+      rows.foreach { case (t, _, y) =>
+        val below = ys.count(_ < y); val eq = ys.count(_ == y)
+        rankSum(t) += (below + 1) + (eq - 1) / 2.0
+      }
+    }
+    val n = blocks.size
+    val l = types.zipWithIndex.map { case (t, i) =>
+      (i + 1).toDouble * rankSum(t) }.sum
+    val mean = (n.toLong * k * (k + 1) * (k + 1)).toDouble / 4
+    val varL = (n.toLong * k * k * (k + 1) * (k * k - 1)).toDouble / 144
+    val z = (l - mean) / math.sqrt(varL)
+    val row = graft.operators.Stats.queries("a108_page_trend")(spark, sf)
+      .collect().head
+    assert(row.getLong(0) == k.toLong && row.getLong(1) == n.toLong)
+    assert(row.getDouble(2) == l, "L is exact on the half grid")
+    assert(math.abs(row.getDouble(3) - z) <= 1e-9, "z")
+  }
+
+  test("w47 Coppock matches a sequential ROC+WMA recompute") {
+    import org.apache.spark.sql.functions._
+    def dpin(xs: Seq[Double]): Double =
+      xs.map(BigDecimal(_).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val px = graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Any]("day").toString,
+        r.getAs[Double]("value")))
+      .groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
+        (t, day, dpin(es.map(_._3).toSeq) / es.size)
+      }.toSeq.groupBy(_._1).map { case (t, rs) =>
+        t -> rs.sortBy(_._2).map(r => (r._2, r._3)).toList }
+    val got = graft.operators.Windows.queries("w47_coppock")(spark, sf)
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    var nG = 0
+    px.foreach { case (t, ds) =>
+      val p = ds.map(_._2)
+      def s(i: Int): Double =
+        100.0 * (p(i) / p(i - 10) - 1) + 100.0 * (p(i) / p(i - 7) - 1)
+      ds.indices.foreach { i =>
+        if (i >= 14) {
+          val w = (5.0 * s(i) + 4.0 * s(i - 1) + 3.0 * s(i - 2) +
+            2.0 * s(i - 3) + s(i - 4)) / 15
+          assert(got((t, ds(i)._1)) == ((s(i), w)), s"$t ${ds(i)._1}")
+          nG += 1
+        }
+      }
+    }
+    assert(nG > 0 && nG == got.size, s"swept $nG of ${got.size}")
+  }
+
+  test("a109 Jonckheere matches a brute-force ordered-pair count") {
+    // brute force: J = Σ_{g<h alphabetical} (#(x<y) + ½#(x=y)) over
+    // raw values — the definition, no ranks at all; the engine's
+    // midrank identity must land on exactly this number
+    val vals = graft.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (t, es) => t -> es.map(_._2).toSeq }
+    val types = vals.keys.toSeq.sorted
+    var j2 = 0L
+    for (gi <- types.indices; hi <- (gi + 1) until types.size) {
+      val (g, h) = (vals(types(gi)), vals(types(hi)))
+      g.foreach { x =>
+        h.foreach { y =>
+          if (x < y) j2 += 2 else if (x == y) j2 += 1
+        }
+      }
+    }
+    val n = vals.values.map(_.size.toLong).sum
+    val sn2 = vals.values.map(v => v.size.toLong * v.size).sum
+    val sn23 = vals.values.map(v =>
+      v.size.toLong * v.size * (2L * v.size + 3)).sum
+    val jStat = j2.toDouble / 2
+    val z = (jStat - (n * n - sn2).toDouble / 4) /
+      math.sqrt((n * n * (2 * n + 3) - sn23).toDouble / 72)
+    val row = graft.operators.Stats.queries("a109_jonckheere")(spark, sf)
+      .collect().head
+    assert(row.getLong(0) == types.size.toLong && row.getLong(1) == n)
+    assert(row.getDouble(2) == jStat, "J must be exact on the half grid")
+    assert(math.abs(row.getDouble(3) - z) <= 1e-9, "z")
+  }
+
+  test("w48 KST matches a sequential four-cascade recompute") {
+    import org.apache.spark.sql.functions._
+    def dpin(xs: Seq[Double]): Double =
+      xs.map(BigDecimal(_).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    def r6v(v: Double) = math.rint(v * 1e6) / 1e6
+    val px = graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Any]("day").toString,
+        r.getAs[Double]("value")))
+      .groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
+        (t, day, dpin(es.map(_._3).toSeq) / es.size)
+      }.toSeq.groupBy(_._1).map { case (t, rs) =>
+        t -> rs.sortBy(_._2).map(r => (r._2, r._3)).toList }
+    val got = graft.operators.Windows.queries("w48_kst")(spark, sf)
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    var nG = 0
+    px.foreach { case (t, ds) =>
+      val p = ds.map(_._2)
+      def roc(i: Int, k: Int): Option[Double] =
+        if (i >= k) Some(r6v(100.0 * (p(i) / p(i - k) - 1))) else None
+      def smaAt(i: Int, k: Int): Option[Double] = {
+        val w = (i - 4 to i).flatMap(j => if (j >= 0) roc(j, k) else None)
+        if (w.size == 5) Some(r6v(dpin(w) / 5)) else None
+      }
+      val kst = ds.indices.map { i =>
+        if (i >= 18)
+          Some((smaAt(i, 5).get + 2.0 * smaAt(i, 7).get +
+            3.0 * smaAt(i, 10).get + 4.0 * smaAt(i, 14).get))
+        else None
+      }
+      ds.indices.foreach { i =>
+        if (i >= 22) {
+          val sig = dpin((i - 4 to i).map(j => r6v(kst(j).get))) / 5
+          assert(got((t, ds(i)._1)) ==
+            ((r6v(kst(i).get), r6v(sig))), s"$t ${ds(i)._1}")
+          nG += 1
+        }
+      }
+    }
+    assert(nG > 0 && nG == got.size, s"swept $nG of ${got.size}")
+  }
+
+  test("a110 Cochran-Armitage matches a sequential up-rate recompute") {
+    import org.apache.spark.sql.functions._
+    def dec(x: Double): BigDecimal =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    val panel = graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Any]("day").toString,
+        r.getAs[Double]("value")))
+      .groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
+        (t, day, es.map(e => dec(e._3)).sum.toDouble / es.size)
+      }.toSeq.groupBy(_._1).map { case (t, rs) =>
+        t -> rs.sortBy(_._2).map(_._3).toList }
+    val types = panel.keys.toSeq.sorted
+    val cells = types.map { t =>
+      val p = panel(t)
+      val deltas = p.indices.drop(1).map(i => p(i) - p(i - 1))
+      (deltas.size.toLong, deltas.count(_ > 0).toLong)
+    }
+    val n = cells.map(_._1).sum; val r = cells.map(_._2).sum
+    val sjr = cells.zipWithIndex.map { case ((_, rj), i) =>
+      (i + 1) * rj }.sum
+    val sjn = cells.zipWithIndex.map { case ((nj, _), i) =>
+      (i + 1) * nj }.sum
+    val sj2n = cells.zipWithIndex.map { case ((nj, _), i) =>
+      (i + 1).toLong * (i + 1) * nj }.sum
+    val pbar = r.toDouble / n.toDouble
+    val t = sjr.toDouble - pbar * sjn.toDouble
+    val v = pbar * (1.0 - pbar) *
+      (sj2n.toDouble - (sjn * sjn).toDouble / n.toDouble)
+    val row = graft.operators.Stats.queries("a110_cochran_armitage")(
+      spark, sf).collect().head
+    assert(row.getLong(0) == types.size.toLong && row.getLong(1) == n &&
+      row.getLong(2) == r)
+    assert(row.getDouble(3) == t, "trend T is exact on integer cells")
+    assert(math.abs(row.getDouble(4) - t / math.sqrt(v)) <= 1e-9, "z")
+  }
+
   test("a81/a82 DW and DF match a sequential OLS recompute") {
     import org.apache.spark.sql.functions._
     def dec(x: Double, sc: Int): BigDecimal =

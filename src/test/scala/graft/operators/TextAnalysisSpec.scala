@@ -498,4 +498,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.values.exists(_._4 > 1.5), "no bursty token found")
     assert(got.values.forall(_._4 >= 0.0))
   }
+
+  test("txt26 novelty matches a sequential shingle-df recompute") {
+    val sf = SparkTestSession.Sf0001
+    val docs: Array[(Long, Set[String])] =
+      graft.Tables.documents(spark, sf)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0),
+          r.getString(1).trim.toLowerCase.split("\\s+").toSeq))
+        .filter(_._2.size >= 3)
+        .map { case (id, ts) =>
+          id -> ts.sliding(3).map(_.mkString(" ")).toSet }
+    val df = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    docs.foreach { case (_, shs) => shs.foreach(s => df(s) += 1) }
+    val got = TextAnalysis.queries("txt26_novelty")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.size == docs.size)
+    docs.foreach { case (id, shs) =>
+      val uniq = shs.count(s => df(s) == 1).toLong
+      val exp = (shs.size.toLong, uniq,
+        uniq.toDouble / shs.size.toDouble)
+      assert(got(id) == exp, s"doc $id")
+    }
+    // the lens separates: the corpus has both boilerplate-heavy and
+    // unique docs
+    assert(got.values.exists(_._3 < 0.9) && got.values.exists(_._3 > 0.1))
+  }
+
 }
