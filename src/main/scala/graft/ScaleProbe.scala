@@ -203,6 +203,23 @@ object ScaleProbe {
         noop(graft.operators.Stats
           .queries("a73_kruskal_wallis")(spark, d))
       },
+      // round 11: the per-PAIR variant of a73's rank decomposition —
+      // the replica copies values, so each pair's distinct-value
+      // union is constant while the scan grows ×10; the probe shows
+      // the k(k−1)/2-keyed post-scan phase is domain-bounded (the
+      // same argument, per pair).
+      "a109_jonckheere" -> { d =>
+        noop(graft.operators.Stats
+          .queries("a109_jonckheere")(spark, d))
+      },
+      // round 11: the corpus-wide shingle-df spine consumer — df
+      // KEYS stay constant on the verbatim replica while occurrence
+      // volume grows ×10 through the agg and the join back (txt20's
+      // axis over 3-gram granularity).
+      "txt26_novelty" -> { d =>
+        noop(graft.operators.TextAnalysis
+          .queries("txt26_novelty")(spark, d))
+      },
       // j13: the bucket-rewritten overlap join — both gaps-and-islands
       // passes see 10× events, and the replica's denser error stream
       // MERGES incidents (longer windows → more hour buckets each),

@@ -3152,6 +3152,72 @@ object Stats {
         (t / sqrt(v)).as("z"))
     }),
 
+    // A111: Ansari–Bradley scale test (Ansari & Bradley 1960) — the
+    // DISPERSION twin of A35's location test on the same two groups:
+    // same medians but different spread is invisible to Mann–Whitney
+    // (and to A74's variance tests when tails are heavy); AB scores
+    // each observation by its distance from the rank EDGES, a_i =
+    // min(rank_i, N+1−rank_i), small at the extremes. Rides A35's
+    // bucketed two-level midrank decomposition on the ×2 integer
+    // grid: a2 = min(r2, 2(N+1)−r2) is an exact BIGINT per value,
+    // AB2 = Σ k₁·a2 exact, and the even/odd-N null moments are each
+    // one fixed IEEE chain on exact integers (tie-uncorrected
+    // standard form, the A108/A109 convention).
+    "a111_ansari_bradley" -> ((s, d) => {
+      val B = 1024
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("value"), (col("event_type") === "click").as("g1"))
+      val bounds = ev.agg(min(col("value")).as("lo"),
+        max(col("value")).as("hi"),
+        sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("g1"), 1L).otherwise(0L)).as("n2"))
+      val perv = ev.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          least(floor((col("value") - col("lo")) /
+            (col("hi") - col("lo")) * B), lit(B - 1)).cast("int"))
+        .groupBy(col("bucket"), col("value"))
+        .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("k1"),
+          count(lit(1)).as("k"))
+      val wIn = Window.partitionBy("bucket").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wB = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = perv.groupBy("bucket").agg(sum(col("k")).as("bk"))
+        .withColumn("off", coalesce(sum(col("bk")).over(wB), lit(0L)))
+        .select(col("bucket"), col("off"))
+      val agg = perv
+        .withColumn("cin", coalesce(sum(col("k")).over(wIn), lit(0L)))
+        .join(offs, Seq("bucket"))
+        .crossJoin(broadcast(bounds.select(
+          (col("n1") + col("n2")).as("nn"))))
+        .withColumn("r2",
+          lit(2L) * (col("off") + col("cin")) + col("k") + 1)
+        .withColumn("a2",
+          least(col("r2"), lit(2L) * (col("nn") + 1) - col("r2")))
+        .agg(sum(col("k1") * col("a2")).as("ab2"))
+      agg.crossJoin(broadcast(bounds.select(col("n1"), col("n2"))))
+        .withColumn("n", col("n1") + col("n2"))
+        .withColumn("ab", col("ab2").cast("double") / 2)
+        .withColumn("mean",
+          when(col("n") % 2 === 0,
+            (col("n1") * (col("n") + 2)).cast("double") / 4)
+          .otherwise((col("n1") * (col("n") + 1) * (col("n") + 1))
+            .cast("double") / (lit(4L) * col("n")).cast("double")))
+        .withColumn("variance",
+          when(col("n") % 2 === 0,
+            (col("n1") * col("n2")).cast("double") *
+              ((col("n") + 2) * (col("n") - 2)).cast("double") /
+              (lit(48L) * (col("n") - 1)).cast("double"))
+          .otherwise(
+            (col("n1") * col("n2")).cast("double") *
+              ((col("n") + 1)).cast("double") *
+              (lit(3L) + col("n") * col("n")).cast("double") /
+              (lit(48L) * col("n") * col("n")).cast("double")))
+        .select(col("n1"), col("n2"), col("ab"),
+          ((col("ab") - col("mean")) / sqrt(col("variance"))).as("z"))
+    }),
+
     // A93: Wilcoxon signed-rank — the one-sample rank twin of A35's
     // Mann–Whitney: is the median daily close move zero, per type?
     // Zero deltas drop (Wilcoxon's convention), |Δ| gets MIDRANKS
@@ -4627,6 +4693,55 @@ object Stats {
                 round((CAST(k AS DOUBLE) / (k - 1)) * (1 - siv / tvar), 6)
                   AS alpha
          FROM iv, tvr""",
+    // a35's distinct-value window (rank identity is what's checked),
+    // the ×2 edge-distance scores as exact BIGINTs, the even/odd
+    // null-moment chains phrased operation-for-operation
+    "a111_ansari_bradley" ->
+      """WITH s AS (
+           SELECT value, event_type = 'click' AS g1
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         nn AS (
+           SELECT CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n1,
+                  CAST(sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n2
+           FROM s),
+         perv AS (
+           SELECT value,
+                  CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS k1,
+                  CAST(count(*) AS BIGINT) AS k
+           FROM s GROUP BY value),
+         r AS (
+           SELECT k1, k,
+                  coalesce(sum(k) OVER (ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cbef
+           FROM perv),
+         a AS (
+           SELECT CAST(sum(k1 * least(2 * cbef + k + 1,
+                    2 * (nn.n1 + nn.n2 + 1) - (2 * cbef + k + 1)))
+                  AS BIGINT) AS ab2
+           FROM r, nn),
+         m AS (
+           SELECT n1, n2, n1 + n2 AS n, CAST(ab2 AS DOUBLE) / 2 AS ab,
+                  CASE WHEN (n1 + n2) % 2 = 0
+                       THEN CAST(n1 * (n1 + n2 + 2) AS DOUBLE) / 4
+                       ELSE CAST(n1 * (n1 + n2 + 1) * (n1 + n2 + 1)
+                                 AS DOUBLE)
+                            / CAST(4 * (n1 + n2) AS DOUBLE) END AS mean,
+                  CASE WHEN (n1 + n2) % 2 = 0
+                       THEN CAST(n1 * n2 AS DOUBLE) *
+                            CAST((n1 + n2 + 2) * (n1 + n2 - 2) AS DOUBLE)
+                            / CAST(48 * (n1 + n2 - 1) AS DOUBLE)
+                       ELSE CAST(n1 * n2 AS DOUBLE) *
+                            CAST(n1 + n2 + 1 AS DOUBLE) *
+                            CAST(3 + (n1 + n2) * (n1 + n2) AS DOUBLE)
+                            / CAST(48 * (n1 + n2) * (n1 + n2) AS DOUBLE)
+                  END AS variance
+           FROM a, nn)
+         SELECT n1, n2, ab, (ab - mean) / sqrt(variance) AS z
+         FROM m""",
     // the pinned daily panel, exact up-day cells, alphabetical j,
     // then the fixed T/z chain on BIGINT-cast sums (HUGEINT class)
     "a110_cochran_armitage" ->

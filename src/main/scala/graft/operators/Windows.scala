@@ -341,6 +341,42 @@ object Windows {
        FROM mm WHERE n = 10 ORDER BY event_type, day"""
   }
 
+  /** W49 oracle — one generated span-13 cascade beside the exact
+    * candle extremes, then two exact subtractions. */
+  private def elderRayOracleSql: String = {
+    def w(j: Int): String = "%.17e".formatLocal(
+      java.util.Locale.ROOT, macdWeight(13, j))
+    def ewma(c0: String, p: String): String = {
+      def cn(j: Int) = if (j == 0) c0 else s"$p$j"
+      def term(j: Int, body: String): String =
+        s"CASE WHEN ${cn(j)} IS NOT NULL THEN $body ELSE 0.0 END"
+      val num = (0 until MacdK).map(j =>
+        term(j, s"${w(j)} * ${cn(j)}")).mkString(" + ")
+      val den = (0 until MacdK).map(j => term(j, w(j))).mkString(" + ")
+      s"(($num) / ($den))"
+    }
+    val lags = (1 until MacdK).map(j =>
+      s"lag(px, $j) OVER wt AS a$j").mkString(",\n                  ")
+    s"""WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  max(value) AS high, min(value) AS low,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS px
+           FROM events GROUP BY 1, 2),
+         l AS (
+           SELECT event_type, day, high, low, px,
+                  $lags
+           FROM daily
+           WINDOW wt AS (PARTITION BY event_type ORDER BY day)),
+         e AS (
+           SELECT event_type, day, high, low,
+                  ${ewma("px", "a")} AS ema
+           FROM l)
+       SELECT event_type, day, ema,
+              high - ema AS bull_power, low - ema AS bear_power
+       FROM e ORDER BY event_type, day"""
+  }
+
   /** W42 oracle — W19's RSI chain verbatim, then the %K fold over
     * the RSI series itself. */
   private def stochRsiOracleSql: String =
@@ -993,6 +1029,39 @@ object Windows {
         .filter(col("nsig") === 5)
         .select(col("event_type"), col("day"),
           r6(col("kst_raw")).as("kst"), r6(col("signal")).as("signal"))
+        .orderBy("event_type", "day")
+    }),
+
+    // W49: Elder Ray (Elder 1993) — bull power = high − EMA13 and
+    // bear power = low − EMA13: how far do buyers push above (and
+    // sellers below) the consensus trend each day? One candle agg
+    // yields exact high/low picks AND the pinned daily mean; the
+    // EMA is the proven span-13 truncated cascade; each power is ONE
+    // exact IEEE subtraction on bit-identical doubles — raw outputs,
+    // nothing to pin, no full-window gate (the truncated cascade is
+    // defined from row 1 by renormalized weights, W12's contract).
+    "w49_elder_ray" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(max(col("value")).as("high"), min(col("value")).as("low"),
+          (sum(col("value").cast("decimal(24,10)")).cast("double") /
+            count(lit(1))).as("px"))
+      val wT = Window.partitionBy("event_type").orderBy("day")
+      val lagged = (1 until MacdK).foldLeft(daily)((acc, j) =>
+        acc.withColumn(s"a$j", lag(col("px"), j).over(wT)))
+      def cc(j: Int) = if (j == 0) col("px") else col(s"a$j")
+      val terms = (0 until MacdK).map { j =>
+        val c = cc(j)
+        (when(c.isNotNull, lit(macdWeight(13, j)) * c)
+           .otherwise(lit(0.0)),
+         when(c.isNotNull, lit(macdWeight(13, j))).otherwise(lit(0.0)))
+      }
+      lagged
+        .withColumn("ema",
+          terms.map(_._1).reduce(_ + _) / terms.map(_._2).reduce(_ + _))
+        .select(col("event_type"), col("day"), col("ema"),
+          (col("high") - col("ema")).as("bull_power"),
+          (col("low") - col("ema")).as("bear_power"))
         .orderBy("event_type", "day")
     }),
 
@@ -2180,6 +2249,7 @@ object Windows {
     "w43_trix" -> trixOracleSql,
     "w45_dema_tema" -> demaTemaOracleSql,
     "w46_mass_index" -> massIndexOracleSql,
+    "w49_elder_ray" -> elderRayOracleSql,
     // two fixed ROC chains on the daily means, then the 5-term
     // left-associated integer-weighted WMA — no aggregation, nothing
     // to pin; the deepest lag gates the full window

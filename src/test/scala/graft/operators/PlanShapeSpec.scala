@@ -675,8 +675,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // the documented two-level ECDF merges (one single-partition
       // window each over the merged boundary set — see the a33/a35
       // test above); a97 reuses the identical bucketized rank frame
-      // (its single-partition window is the ≤1024-row bucket spine):
+      // (its single-partition window is the ≤1024-row bucket spine);
+      // a111 rides a35's exact decomposition (same bucket spine,
+      // edge-distance scores instead of rank sums):
       "a33_ks_test", "a35_mannwhitney", "a97_cliffs_delta",
+      "a111_ansari_bradley",
       // a73's bucket-level cumulative: ≤ 1001 fixed bucket rows (the
       // two-level midrank decomposition; per-VALUE windows partition
       // by bucket):

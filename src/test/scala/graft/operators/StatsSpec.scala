@@ -1216,6 +1216,76 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(4) - t / math.sqrt(v)) <= 1e-9, "z")
   }
 
+  test("a111 Ansari-Bradley matches a sequential edge-rank recompute") {
+    val rows = graft.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .filter(r => r._1 == "click" || r._1 == "purchase")
+    val n1 = rows.count(_._1 == "click").toLong
+    val n2 = rows.count(_._1 == "purchase").toLong
+    val n = n1 + n2
+    // ×2 midranks then the edge-distance scores
+    val sorted = rows.map(_._2).sorted
+    def r2(v: Double): Long = {
+      val below = sorted.count(_ < v).toLong
+      val eq = sorted.count(_ == v).toLong
+      2 * below + eq + 1
+    }
+    val ab2 = rows.filter(_._1 == "click").map { case (_, v) =>
+      math.min(r2(v), 2 * (n + 1) - r2(v)) }.sum
+    val ab = ab2.toDouble / 2
+    val (mean, variance) =
+      if (n % 2 == 0)
+        ((n1 * (n + 2)).toDouble / 4,
+          (n1 * n2).toDouble * ((n + 2) * (n - 2)).toDouble /
+            (48 * (n - 1)).toDouble)
+      else
+        ((n1 * (n + 1) * (n + 1)).toDouble / (4 * n).toDouble,
+          (n1 * n2).toDouble * (n + 1).toDouble *
+            (3 + n * n).toDouble / (48 * n * n).toDouble)
+    val row = graft.operators.Stats.queries("a111_ansari_bradley")(
+      spark, sf).collect().head
+    assert(row.getLong(0) == n1 && row.getLong(1) == n2)
+    assert(row.getDouble(2) == ab, "AB is exact on the half grid")
+    assert(math.abs(row.getDouble(3) - (ab - mean) / math.sqrt(variance))
+      <= 1e-9, "z")
+  }
+
+  test("w49 Elder Ray matches a sequential cascade recompute") {
+    import org.apache.spark.sql.functions._
+    def dpin(xs: Seq[Double]): Double =
+      xs.map(BigDecimal(_).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    def mw(j: Int): Double = math.pow(12.0 / 14.0, j)
+    val byDay = graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Any]("day").toString,
+        r.getAs[Double]("value")))
+      .groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
+        (t, day, es.map(_._3).max, es.map(_._3).min,
+          dpin(es.map(_._3).toSeq) / es.size)
+      }.toSeq.groupBy(_._1).map { case (t, rs) =>
+        t -> rs.sortBy(_._2).toList }
+    val got = graft.operators.Windows.queries("w49_elder_ray")(spark, sf)
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    byDay.foreach { case (t, ds) =>
+      val p = ds.map(_._5)
+      ds.indices.foreach { i =>
+        var num = 0.0; var den = 0.0
+        (0 until 24).foreach { j =>
+          if (i - j >= 0) { num += mw(j) * p(i - j); den += mw(j) }
+          else { num += 0.0; den += 0.0 }
+        }
+        val ema = num / den
+        assert(got((t, ds(i)._2)) ==
+          ((ema, ds(i)._3 - ema, ds(i)._4 - ema)), s"$t ${ds(i)._2}")
+      }
+    }
+    assert(got.nonEmpty)
+  }
+
   test("a81/a82 DW and DF match a sequential OLS recompute") {
     import org.apache.spark.sql.functions._
     def dec(x: Double, sc: Int): BigDecimal =
