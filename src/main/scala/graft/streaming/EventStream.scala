@@ -1155,6 +1155,66 @@ object EventStream {
     s.read.parquet(out)
   }
 
+  /** T26: streaming drift monitor — A77's Page–Hinkley detector run
+    * AS A STREAM: a complete-mode daily aggregation (pinned decimal
+    * sums + counts, so the per-day mean is the bit-identical batch
+    * value) feeds foreachBatch, which re-derives the FULL detector
+    * trajectory over the aggregated O(types × days) frame and
+    * overwrites the monitor table each micro-batch — the T19
+    * leaderboard shape applied to drift detection. Re-deriving from
+    * totals (rather than carrying m/M in keyed state) is the right
+    * streaming form for this detector: the detector's input is the
+    * DAILY panel, which complete mode already maintains exactly, the
+    * per-batch recompute is bounded by the panel (never the stream),
+    * and crash replay rewrites the same table (self-healing, the T19
+    * argument). The final table must therefore EQUAL the batch A77
+    * — which is exactly what the oracle checks, making the streaming
+    * path fully hash-verified. */
+  def runDriftMonitor(s: SparkSession, d: String): DataFrame = {
+    val rig = stageRig(s, d)
+    val base = freshDir(s"/tmp/graft-stream-t26-run${nextRunId()}")
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
+    withReplayWidth(s) {
+      val daily = readJsonStream(s, src)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(sum(col("value").cast("decimal(24,10)")).as("vsum"),
+          count(lit(1)).as("vn"))
+        .select(col("w.start").as("day"), col("event_type"),
+          col("vsum"), col("vn"))
+      val q = daily.writeStream
+        .outputMode("complete")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val wd = org.apache.spark.sql.expressions.Window
+            .partitionBy("event_type").orderBy("day")
+          val wc = wd.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+          batch
+            .withColumn("v", col("vsum").cast("double") / col("vn"))
+            .withColumn("rn", row_number().over(wd).cast("long"))
+            .withColumn("runsum",
+              sum(col("v").cast("decimal(30,12)")).over(wc).cast("double"))
+            .withColumn("term",
+              col("v") - col("runsum") / col("rn") - lit(0.05d))
+            .withColumn("m",
+              sum(col("term").cast("decimal(30,12)")).over(wc)
+                .cast("double"))
+            .withColumn("m_min", min(col("m")).over(wc))
+            .withColumn("ph", col("m") - col("m_min"))
+            .select(col("event_type"), col("day"), col("v"), col("ph"),
+              (col("ph") > lit(5.0d)).as("alarm"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out)
+  }
+
   /** T21: sketch-in-state streaming distinct — the bounded-memory
     * streaming answer to COUNT(DISTINCT): exact distinct in a stream
     * needs an unbounded per-window value set in the state store;
@@ -1350,6 +1410,13 @@ object EventStream {
     "t23_bloom_ingest" -> ((s, d) =>
       runBloomIngestFilter(s, d).orderBy("event_id")),
 
+    // T26: the streaming Page–Hinkley drift monitor — final table
+    // equals batch A77 exactly (fully hash-checked; see
+    // runDriftMonitor's doc for why re-derive-from-totals is the
+    // right streaming form here).
+    "t26_drift_monitor" -> ((s, d) =>
+      runDriftMonitor(s, d).orderBy("event_type", "day")),
+
     "t19_trending_topk" -> ((s, d) =>
       runTrendingTopK(s, d).orderBy("win_start", "rnk")),
 
@@ -1436,6 +1503,42 @@ object EventStream {
   )
 
   val oracles: Map[String, String] = Map(
+    // T26: the streamed monitor table must equal batch A77 — the
+    // identical pinned daily means and PH window chain (a77's oracle
+    // verbatim; `day` is the daily window start = date_trunc day)
+    "t26_drift_monitor" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS v
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, day, v,
+                  row_number() OVER w AS rn,
+                  CAST(CAST(sum(CAST(v AS DECIMAL(30,12))) OVER wc
+                       AS VARCHAR) AS DOUBLE) AS runsum
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day),
+                  wc AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND
+                         CURRENT ROW)),
+         m AS (
+           SELECT event_type, day, v,
+                  CAST(CAST(sum(CAST(v - runsum / rn -
+                       CAST(0.05 AS DOUBLE) AS DECIMAL(30,12))) OVER wc
+                       AS VARCHAR) AS DOUBLE) AS m
+           FROM t
+           WINDOW wc AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND
+                         CURRENT ROW)),
+         p AS (
+           SELECT event_type, day, v,
+                  m - min(m) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS ph
+           FROM m)
+         SELECT event_type, day, v, ph, ph > CAST(5.0 AS DOUBLE) AS alarm
+         FROM p ORDER BY event_type, day""",
     // same island reconstruction as T5's batch session oracle — the
     // streamed, state-merged sessions must land on the identical set.
     "t16_session_stream" ->

@@ -402,6 +402,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("T26: the streaming drift monitor equals batch A77 row for row") {
+    // the streamed complete-mode panel + foreachBatch re-derivation
+    // must land EXACTLY on the batch detector (same pinned means,
+    // same PH chain) — bitwise, including the alarm verdicts
+    val got = EventStream.queries("t26_drift_monitor")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.get(1).toString, r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    val want = graft.operators.Stats.queries("a77_page_hinkley")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.get(1).toString, r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    assert(got == want)
+    // the detector is live: ph is nonnegative everywhere and some
+    // day actually accumulates drift pressure
+    assert(got.forall(_._4 >= 0.0))
+    assert(got.exists(_._4 > 0.0), "vacuous: PH identically zero")
+  }
+
   test("T12: the RocksDB provider actually backs the state store") {
     // the result compare (oracle) can't see WHICH provider ran — the
     // default heap provider would produce identical numbers. Prove
