@@ -446,6 +446,41 @@ object Curation {
         .orderBy("da", "db")
     }),
 
+    // PIPE9: the split-strategy A/B audit — DS22 measures the leak,
+    // DS13 prescribes the fix; this runs BOTH strategies over the
+    // SAME full-corpus near-dup graph and emits the two-row verdict
+    // a pipeline review reads: per strategy (md5 on the doc id vs
+    // md5 on the D10 component id), the verified-pair total, how
+    // many pairs straddle the split, and the leak rate. The
+    // component row's n_leaks = 0 is STRUCTURAL (both endpoints of
+    // a verified pair share a component, hence a split) — and the
+    // DuckDB twin re-derives that zero from the exhaustive graph +
+    // recursive closure, so the guarantee is hash-certified rather
+    // than asserted. One composition plan over the shared
+    // materialized corpus_pairs + the D10 labels; exact integers,
+    // one division.
+    "pipe9_split_contrast" -> ((s, d) => {
+      val pairs = Dedup.corpusPairs(s, d).select(col("da"), col("db"))
+      val sp = Dedup.queries("d10_cc_corpus")(s, d)
+        .withColumn("naive", DatasetOps.split(col("doc_id")))
+        .withColumn("cluster", DatasetOps.split(col("canonical_id")))
+      def audit(strategy: String, c: String) = pairs
+        .join(sp.select(col("doc_id").as("da"), col(c).as("sa")),
+          Seq("da"))
+        .join(sp.select(col("doc_id").as("db"), col(c).as("sb")),
+          Seq("db"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+            .as("n_leaks"))
+        .select(lit(strategy).as("strategy"), col("n_pairs"),
+          col("n_leaks"),
+          (col("n_leaks").cast("double") / col("n_pairs").cast("double"))
+            .as("leak_rate"))
+      audit("doc_hash", "naive")
+        .unionAll(audit("component_hash", "cluster"))
+        .orderBy("strategy")
+    }),
+
     // TXT7: repetition signals (Gopher §A.1.1-style filters, adapted
     // to this corpus's line-less word-soup text): the fraction of
     // tokens that are the single most frequent token, and the
@@ -539,6 +574,68 @@ object Curation {
          JOIN deg db_deg ON db_deg.v = p.db
          JOIN cc ON cc.doc_id = p.da
          ORDER BY da, db""",
+    // PIPE9: the exhaustive graph + recursive closure spine, then the
+    // DS1 md5 CASE applied to BOTH keys (doc id, component id) and
+    // the two strategy rows aggregated — the component row's zero is
+    // re-derived, not assumed
+    "pipe9_split_contrast" ->
+      """WITH RECURSIVE
+           docs AS (
+             SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             FROM documents),
+           sh AS (
+             SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+             FROM docs WHERE len(t) >= 3),
+           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           inter AS (
+             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           pairs AS MATERIALIZED (
+             SELECT da, db FROM inter
+             JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+             WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.5),
+           uedges AS (SELECT da AS src, db AS dst FROM pairs
+                      UNION SELECT db AS src, da AS dst FROM pairs),
+           reach AS (
+             SELECT doc_id AS id, doc_id AS r FROM documents
+             UNION
+             SELECT reach.id, e.dst FROM reach JOIN uedges e
+               ON reach.r = e.src),
+           cc AS (SELECT id AS doc_id, min(r) AS component FROM reach
+                  GROUP BY id),
+           sp AS (
+             SELECT doc_id,
+                    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                              < 'd'
+                         THEN 'train' ELSE 'val' END AS naive,
+                    CASE WHEN substring(md5(CAST(component AS VARCHAR)),
+                                        1, 1) < 'd'
+                         THEN 'train' ELSE 'val' END AS cluster
+             FROM cc),
+           a AS (
+             SELECT 'doc_hash' AS strategy,
+                    CAST(count(*) AS BIGINT) AS n_pairs,
+                    CAST(sum(CASE WHEN sa.naive <> sb.naive
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_leaks
+             FROM pairs p
+             JOIN sp sa ON sa.doc_id = p.da
+             JOIN sp sb ON sb.doc_id = p.db),
+           b AS (
+             SELECT 'component_hash' AS strategy,
+                    CAST(count(*) AS BIGINT) AS n_pairs,
+                    CAST(sum(CASE WHEN sa.cluster <> sb.cluster
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_leaks
+             FROM pairs p
+             JOIN sp sa ON sa.doc_id = p.da
+             JOIN sp sb ON sb.doc_id = p.db)
+         SELECT strategy, n_pairs, n_leaks,
+                CAST(n_leaks AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+                  AS leak_rate
+         FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+         ORDER BY strategy""",
     // PIPE7: one shared exhaustive-graph spine feeding all four
     // replayed chains (recursive CC, 8+8 materialized peel, 3
     // materialized harmonic shells, keep-best window)

@@ -151,6 +151,52 @@ object Multimodal {
           }).as("chi2"))
         .orderBy("doc_id")),
 
+    // MM14: lag-1 serial byte correlation — the ORDER-sensitive
+    // payload screen the histogram family (MM8 entropy, MM13 χ²)
+    // cannot give: two blobs with identical byte histograms but
+    // different structure (text vs shuffled text, raw samples vs
+    // packed records) separate on the Pearson correlation between
+    // consecutive bytes — near 0 for compressed/encrypted payloads,
+    // high for smooth signals, the standard third axis of ingest
+    // randomness triage. The five sums (Σx, Σy, Σx², Σy², Σxy over
+    // the L−1 adjacent pairs) are exact BIGINTs folded in one O(L)
+    // pass over the codepoint array (ASCII-guarded like MM11, so
+    // byte = codepoint exactly); both variance gates are exact
+    // integer comparisons, and r is ONE fixed IEEE chain
+    // (num/(√vx·√vy), the two sqrts pinned separately) on integers
+    // ≪2⁵³ — raw doubles, fully hash-checked. Stateless per-row
+    // projection, no shuffle.
+    "mm14_byte_autocorr" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(length(col("text")) >= 2 &&
+          octet_length(encode(col("text"), "UTF-8")) === length(col("text")))
+        .select(col("doc_id"),
+          transform(split(col("text"), ""), c => ascii(c).cast("long"))
+            .as("bv"),
+          (length(col("text")) - 1).cast("long").as("np"))
+        .select(col("doc_id"), col("np"),
+          aggregate(sequence(lit(1), col("np").cast("int")), lit(0L),
+            (acc, i) => acc + element_at(col("bv"), i)).as("sx"),
+          aggregate(sequence(lit(2), (col("np") + 1).cast("int")), lit(0L),
+            (acc, i) => acc + element_at(col("bv"), i)).as("sy"),
+          aggregate(sequence(lit(1), col("np").cast("int")), lit(0L),
+            (acc, i) => acc + element_at(col("bv"), i) *
+              element_at(col("bv"), i)).as("sxx"),
+          aggregate(sequence(lit(2), (col("np") + 1).cast("int")), lit(0L),
+            (acc, i) => acc + element_at(col("bv"), i) *
+              element_at(col("bv"), i)).as("syy"),
+          aggregate(sequence(lit(1), col("np").cast("int")), lit(0L),
+            (acc, i) => acc + element_at(col("bv"), i) *
+              element_at(col("bv"), i + 1)).as("sxy"))
+        .withColumn("vx", col("np") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("vy", col("np") * col("syy") - col("sy") * col("sy"))
+        .filter(col("vx") > 0 && col("vy") > 0)
+        .select(col("doc_id"), col("np"),
+          ((col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt(col("vx").cast("double")) *
+              sqrt(col("vy").cast("double")))).as("autocorr"))
+        .orderBy("doc_id")),
+
     // MM10: scene-change detection over the sampled frame stream —
     // the video-curation primitive built on MM3's frames (sample
     // every 4th 16-byte frame) computed DECLARATIVELY (the MM8-twin
@@ -758,6 +804,47 @@ object Multimodal {
                 ($terms) AS chi2
          FROM t ORDER BY doc_id"""
     },
+    // MM14: the same codepoint reads (ASCII-guarded), five exact
+    // integer sums over the adjacent-pair range, the identical
+    // num/(√vx·√vy) chain — integers ≪2⁵³ so the double casts are
+    // exact on both engines
+    "mm14_byte_autocorr" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  list_transform(generate_series(1, length(text)),
+                    i -> CAST(ascii(substring(text, CAST(i AS INT), 1))
+                              AS BIGINT)) AS bv,
+                  CAST(length(text) - 1 AS BIGINT) AS np
+           FROM documents
+           WHERE length(text) >= 2
+             AND octet_length(encode(text)) = length(text)),
+         t AS (
+           SELECT doc_id, np,
+                  list_sum(list_transform(generate_series(1, CAST(np AS INT)),
+                    i -> bv[i])) AS sx,
+                  list_sum(list_transform(
+                    generate_series(2, CAST(np AS INT) + 1),
+                    i -> bv[i])) AS sy,
+                  list_sum(list_transform(generate_series(1, CAST(np AS INT)),
+                    i -> bv[i] * bv[i])) AS sxx,
+                  list_sum(list_transform(
+                    generate_series(2, CAST(np AS INT) + 1),
+                    i -> bv[i] * bv[i])) AS syy,
+                  list_sum(list_transform(generate_series(1, CAST(np AS INT)),
+                    i -> bv[i] * bv[i + 1])) AS sxy
+           FROM b),
+         g AS (
+           SELECT doc_id, np,
+                  np * sxy - sx * sy AS num,
+                  np * sxx - sx * sx AS vx,
+                  np * syy - sy * sy AS vy
+           FROM t)
+         SELECT doc_id, np,
+                CAST(num AS DOUBLE) /
+                  (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE)))
+                  AS autocorr
+         FROM g WHERE vx > 0 AND vy > 0
+         ORDER BY doc_id""",
     "mm8_byte_entropy" ->
       """WITH nib AS (
            SELECT doc_id,

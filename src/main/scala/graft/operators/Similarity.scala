@@ -669,6 +669,48 @@ object Similarity {
         .orderBy("label")
     }),
 
+    // SIM18: simplified silhouette — the PER-MEMBER verdict the
+    // cluster-level SIM17 can't give (Rousseeuw 1987, centroid form:
+    // a = distance to own centroid, b = distance to the NEAREST
+    // other centroid, s = (b−a)/max(a,b) ∈ [−1,1]); a negative s
+    // names a member sitting closer to a foreign centroid than its
+    // own — the misfile list a curator re-routes before training,
+    // and the per-label mean ranks cluster coherence on a scale SIM17's
+    // unbounded ratio doesn't give. The full-pairwise silhouette is
+    // O(n²) and adds nothing here; the centroid form is the standard
+    // large-corpus substitute and keeps the plan ONE corpus scan
+    // against ≤|labels| broadcast quantized centroids, a per-row
+    // argmin, and one per-label hash agg. Determinism is SIM17's:
+    // every distance r6'd off the 1e-6-quantized centroids, s one
+    // IEEE chain on those pinned doubles, the mean decimal-pinned
+    // over r6'd terms, the misfit count an exact comparison.
+    "sim18_silhouette" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = quantizedCentroids(emb)
+        .select(col("label").cast("long").as("cl"), col("cent"))
+      val perVec = emb
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding"))
+        .crossJoin(broadcast(cents))
+        .withColumn("dist", r6(sqrt(
+          dot(col("embedding"), col("embedding")) -
+            lit(2.0) * dot(col("embedding"), col("cent")) +
+            dot(col("cent"), col("cent")))))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(min(when(col("label") === col("cl"), col("dist"))).as("a"),
+          min(when(col("label") =!= col("cl"), col("dist"))).as("b"))
+        .withColumn("sil",
+          when(greatest(col("a"), col("b")) > 0,
+            (col("b") - col("a")) / greatest(col("a"), col("b")))
+            .otherwise(lit(0.0)))
+      perVec.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"),
+          r6(sum(r6(col("sil")).cast("decimal(24,10)")).cast("double") /
+            count(lit(1))).as("mean_sil"),
+          sum(when(col("sil") < 0, 1L).otherwise(0L)).as("n_misfit"))
+        .orderBy("label")
+    }),
+
     // SIM9: FILTERED vector search — cosine top-5 restricted to
     // candidates sharing the query's label (the hybrid
     // metadata-predicate + ANN form every production retrieval stack
@@ -1549,6 +1591,53 @@ object Similarity {
          SELECT li AS label, n_members, si AS scatter,
                 lj AS worst_other, round(rij, 6) AS db_term
          FROM rk WHERE rk = 1 ORDER BY label""",
+    // sim17's quantized-centroid spine; per (vec, centroid) r6'd
+    // distance, per-vec a/b picks, s one IEEE chain, pinned mean
+    "sim18_silhouette" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+         px AS (
+           SELECT label, unnest(generate_series(1, len(e))) AS dim,
+                  unnest(e) AS x
+           FROM v),
+         m AS (
+           SELECT label, dim,
+                  round(CAST(CAST(sum(CAST(x AS DECIMAL(30,12)))
+                        AS VARCHAR) AS DOUBLE) / count(*), 6) AS mean
+           FROM px GROUP BY 1, 2),
+         c AS (SELECT label AS cl, list(mean ORDER BY dim) AS cent
+               FROM m GROUP BY 1),
+         dist AS (
+           SELECT v.vec_id, v.label, c.cl,
+                  round(sqrt(
+                    list_sum(list_transform(generate_series(1, len(v.e)),
+                      i -> v.e[i] * v.e[i]))
+                    - CAST(2 AS DOUBLE) *
+                      list_sum(list_transform(generate_series(1, len(v.e)),
+                        i -> v.e[i] * c.cent[i]))
+                    + list_sum(list_transform(
+                        generate_series(1, len(c.cent)),
+                        i -> c.cent[i] * c.cent[i]))), 6) AS d
+           FROM v CROSS JOIN c),
+         ab AS (
+           SELECT vec_id, label,
+                  min(CASE WHEN label = cl THEN d END) AS a,
+                  min(CASE WHEN label <> cl THEN d END) AS b
+           FROM dist GROUP BY 1, 2),
+         sv AS (
+           SELECT label,
+                  CASE WHEN greatest(a, b) > 0
+                       THEN (b - a) / greatest(a, b)
+                       ELSE CAST(0 AS DOUBLE) END AS sil
+           FROM ab)
+         SELECT label, CAST(count(*) AS BIGINT) AS n_members,
+                round(CAST(CAST(sum(CAST(round(sil, 6) AS DECIMAL(24,10)))
+                      AS VARCHAR) AS DOUBLE) / count(*), 6) AS mean_sil,
+                CAST(sum(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_misfit
+         FROM sv GROUP BY label ORDER BY label""",
     "sim5_jl_project" ->
       s"""$jlProjCte,
          u AS (

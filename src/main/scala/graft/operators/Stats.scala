@@ -25,6 +25,49 @@ object Stats {
 
   private def r6(c: Column): Column = round(c, 6)
 
+  /** Shared A112/A113 spine: per distinct click/purchase value, the
+    * group tallies (k1, k2), the INCLUSIVE combined cumulatives
+    * (c1, c2) via the A33/A35 bucketed two-level decomposition (no
+    * global sort — per-bucket windows + a ≤B-row bucket-offset
+    * frame), the group sizes, and the scaled ECDF gap
+    * dd = n2·c1 − n1·c2 (exact BIGINT: F−G at that value times
+    * n1·n2). Everything downstream of this frame is integer
+    * arithmetic plus one final division. */
+  private def cvmSpine(s: SparkSession, d: String): DataFrame = {
+    val B = 1024
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("value"), (col("event_type") === "click").as("g1"))
+    val bounds = ev.agg(min(col("value")).as("lo"),
+      max(col("value")).as("hi"),
+      sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(!col("g1"), 1L).otherwise(0L)).as("n2"))
+    val perv = ev.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(floor((col("value") - col("lo")) /
+          (col("hi") - col("lo")) * B), lit(B - 1)).cast("int"))
+      .groupBy(col("bucket"), col("value"))
+      .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("k1"),
+        sum(when(!col("g1"), 1L).otherwise(0L)).as("k2"))
+    val wIn = Window.partitionBy("bucket").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wB = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = perv.groupBy("bucket")
+      .agg(sum(col("k1")).as("b1"), sum(col("k2")).as("b2"))
+      .withColumn("off1", coalesce(sum(col("b1")).over(wB), lit(0L)))
+      .withColumn("off2", coalesce(sum(col("b2")).over(wB), lit(0L)))
+      .select(col("bucket"), col("off1"), col("off2"))
+    perv
+      .withColumn("c1in", sum(col("k1")).over(wIn))
+      .withColumn("c2in", sum(col("k2")).over(wIn))
+      .join(offs, Seq("bucket"))
+      .crossJoin(broadcast(bounds.select(col("n1"), col("n2"))))
+      .withColumn("c1", col("off1") + col("c1in"))
+      .withColumn("c2", col("off2") + col("c2in"))
+      .withColumn("dd", col("n2") * col("c1") - col("n1") * col("c2"))
+  }
+
   /** Daily avg value per event_type — the shared grid input. */
   private def daily(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -3218,6 +3261,109 @@ object Stats {
           ((col("ab") - col("mean")) / sqrt(col("variance"))).as("z"))
     }),
 
+    // A112: two-sample Cramér–von Mises — the WHOLE-CURVE distance
+    // between the click and purchase ECDFs, where A33's KS reads
+    // only the single worst gap: T = (n₁n₂/N²)·Σ_z k_z·(F(z)−G(z))²
+    // over every combined observation (tie-weighted discrete form).
+    // The integer core: at each distinct value the scaled gap
+    // d = n₂·c₁ − n₁·c₂ is an exact BIGINT (|d| ≤ n₁n₂), so the
+    // numerator Σ k·d² accumulates on the integer grid — in
+    // DECIMAL(38,0) here and HUGEINT in the oracle, because d² alone
+    // reaches ~1e17 at sf0.1 and the sum passes BIGINT — and T is
+    // ONE division of that exact integer (correctly-rounded to
+    // double on both engines via the VARCHAR hop) by the pinned
+    // (n₁n₂)·N² double product. Same bucketed two-level cumulative
+    // as A33/A35 — no global sort, no p-value (the limiting CvM
+    // distribution has no elementary series; the STATISTIC is the
+    // deliverable, fully hash-checked).
+    "a112_cramer_von_mises" -> ((s, d) => {
+      cvmSpine(s, d)
+        .withColumn("term",
+          col("dd").cast("decimal(20,0)") * col("dd") *
+            (col("k1") + col("k2")))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          sum(col("term")).as("num"))
+        .select(col("n1"), col("n2"),
+          (col("num").cast("double") /
+            ((col("n1") * col("n2")).cast("double") *
+              ((col("n1") + col("n2")) * (col("n1") + col("n2")))
+                .cast("double"))).as("cvm_t"))
+    }),
+
+    // A113: Kuiper's test — the rotation-invariant KS variant that
+    // weighs BOTH tails equally: V = D⁺ + D⁻ (the largest ECDF gap
+    // above plus the largest below), the standard choice when a
+    // shift in EITHER direction matters symmetrically (and, on
+    // circular/periodic data, the only one of the two that is
+    // origin-free). Shares A112's integer spine: D⁺ = max(0, max d)
+    // and D⁻ = max(0, −min d) are exact BIGINT extreme picks over
+    // the same d = n₂·c₁ − n₁·c₂ grid (the 0 clamps are the
+    // before-first-jump baseline where F = G = 0), and each output
+    // is one exact-integer-to-double division by n₁n₂ — raw doubles,
+    // fully hash-checked.
+    "a113_kuiper" -> ((s, d) => {
+      cvmSpine(s, d)
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          greatest(max(col("dd")), lit(0L)).as("dmax"),
+          (-least(min(col("dd")), lit(0L))).as("dmin"))
+        .select(col("n1"), col("n2"),
+          (col("dmax").cast("double") /
+            (col("n1") * col("n2")).cast("double")).as("d_plus"),
+          (col("dmin").cast("double") /
+            (col("n1") * col("n2")).cast("double")).as("d_minus"),
+          ((col("dmax") + col("dmin")).cast("double") /
+            (col("n1") * col("n2")).cast("double")).as("kuiper_v"))
+    }),
+
+    // A114: two-sample Anderson–Darling (Scholz & Stephens 1987,
+    // tie-adjusted midrank form A²akN, k = 2) — completes the GoF
+    // triple: KS reads the worst ECDF gap (A33), CvM the whole curve
+    // evenly (A112), AD the whole curve with 1/(F(1−F)) tail
+    // weighting — the standard pick when distributional differences
+    // hide in the tails. The midrank quantities ride the ×2 integer
+    // grid (A111's trick): B2 = 2c − l and M2ᵢ = 2cᵢ − kᵢ are exact
+    // BIGINTs per distinct value, the quarter-grid halves cancel
+    // algebraically, and each term lⱼ·(N·M2ᵢ − nᵢ·B2)²/(B2(2N−B2) −
+    // N·l) has an exact-integer numerator (DECIMAL(38,0)/HUGEINT —
+    // the square passes BIGINT at sf0.1) over a positive exact-BIGINT
+    // denominator (l(N−l) at the extremes, larger between). Each
+    // term's integer→double conversions are correctly rounded on
+    // both engines, the division is one IEEE op, terms are r6'd into
+    // a decimal-pinned order-free sum, and A² is one fixed chain.
+    // No p twin: the standardization needs the O(N²) pairwise g
+    // fold and table interpolation — the STATISTIC is the
+    // deliverable, fully hash-checked.
+    "a114_anderson_darling" -> ((s, d) => {
+      cvmSpine(s, d)
+        .withColumn("nn", col("n1") + col("n2"))
+        .withColumn("l", col("k1") + col("k2"))
+        .withColumn("b2", lit(2L) * (col("c1") + col("c2")) - col("l"))
+        .withColumn("den",
+          (col("b2") * (lit(2L) * col("nn") - col("b2")) -
+            col("nn") * col("l")).cast("double"))
+        .withColumn("num1",
+          col("nn") * (lit(2L) * col("c1") - col("k1")) -
+            col("n1") * col("b2"))
+        .withColumn("num2",
+          col("nn") * (lit(2L) * col("c2") - col("k2")) -
+            col("n2") * col("b2"))
+        .withColumn("t1",
+          r6((col("num1").cast("decimal(19,0)") * col("num1") * col("l"))
+            .cast("double") / col("den")))
+        .withColumn("t2",
+          r6((col("num2").cast("decimal(19,0)") * col("num2") * col("l"))
+            .cast("double") / col("den")))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          sum(col("t1").cast("decimal(30,12)")).cast("double").as("s1"),
+          sum(col("t2").cast("decimal(30,12)")).cast("double").as("s2"))
+        .select(col("n1"), col("n2"),
+          (((col("n1") + col("n2") - 1).cast("double") /
+            ((col("n1") + col("n2")) * (col("n1") + col("n2")))
+              .cast("double")) *
+            (col("s1") / col("n1").cast("double") +
+             col("s2") / col("n2").cast("double"))).as("a2_akn"))
+    }),
+
     // A93: Wilcoxon signed-rank — the one-sample rank twin of A35's
     // Mann–Whitney: is the median daily close move zero, per type?
     // Zero deltas drop (Wilcoxon's convention), |Δ| gets MIDRANKS
@@ -4742,6 +4888,126 @@ object Stats {
            FROM a, nn)
          SELECT n1, n2, ab, (ab - mean) / sqrt(variance) AS z
          FROM m""",
+    // the exact-integer gap grid d = n2·c1 − n1·c2 per distinct
+    // value (single global window — result identity is what's
+    // checked); the numerator accumulates in HUGEINT (d² passes
+    // BIGINT at sf0.1), lands on double via the VARCHAR hop, and T
+    // is one division by the pinned (n1·n2)·N² product
+    "a112_cramer_von_mises" ->
+      """WITH s AS (
+           SELECT value, event_type = 'click' AS g1
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         n AS (
+           SELECT CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                  CAST(sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n2
+           FROM s),
+         perv AS (
+           SELECT value,
+                  CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+                  CAST(sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS k2
+           FROM s GROUP BY value),
+         r AS (
+           SELECT k1, k2,
+                  sum(k1) OVER w AS c1, sum(k2) OVER w AS c2
+           FROM perv
+           WINDOW w AS (ORDER BY value ROWS UNBOUNDED PRECEDING)),
+         a AS (
+           SELECT sum(CAST(n2 * c1 - n1 * c2 AS HUGEINT) *
+                      (n2 * c1 - n1 * c2) * (k1 + k2)) AS num
+           FROM r, n)
+         SELECT n1, n2,
+                CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+                  (CAST(n1 * n2 AS DOUBLE) *
+                   CAST((n1 + n2) * (n1 + n2) AS DOUBLE)) AS cvm_t
+         FROM a, n""",
+    // the same gap grid; D± are exact BIGINT extreme picks (0-clamped
+    // at the before-first-jump baseline), one division each
+    "a113_kuiper" ->
+      """WITH s AS (
+           SELECT value, event_type = 'click' AS g1
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         n AS (
+           SELECT CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                  CAST(sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n2
+           FROM s),
+         perv AS (
+           SELECT value,
+                  CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+                  CAST(sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS k2
+           FROM s GROUP BY value),
+         r AS (
+           SELECT sum(k1) OVER w AS c1, sum(k2) OVER w AS c2
+           FROM perv
+           WINDOW w AS (ORDER BY value ROWS UNBOUNDED PRECEDING)),
+         a AS (
+           SELECT greatest(max(n2 * c1 - n1 * c2), 0) AS dmax,
+                  -least(min(n2 * c1 - n1 * c2), 0) AS dmin
+           FROM r, n)
+         SELECT n1, n2,
+                CAST(dmax AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d_plus,
+                CAST(dmin AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d_minus,
+                CAST(dmax + dmin AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)
+                  AS kuiper_v
+         FROM a, n""",
+    // the same ×2 integer grid; per-value term numerators in HUGEINT
+    // (VARCHAR-hop to correctly-rounded doubles), positive BIGINT
+    // denominators, r6'd terms into decimal-pinned order-free sums,
+    // one fixed final chain
+    "a114_anderson_darling" ->
+      """WITH s AS (
+           SELECT value, event_type = 'click' AS g1
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         n AS (
+           SELECT CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                  CAST(sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n2
+           FROM s),
+         perv AS (
+           SELECT value,
+                  CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+                  CAST(sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS k2
+           FROM s GROUP BY value),
+         r AS (
+           SELECT k1, k2,
+                  sum(k1) OVER w AS c1, sum(k2) OVER w AS c2
+           FROM perv
+           WINDOW w AS (ORDER BY value ROWS UNBOUNDED PRECEDING)),
+         g AS (
+           SELECT k1, k2, c1, c2, n1, n2, n1 + n2 AS nn, k1 + k2 AS l,
+                  2 * (c1 + c2) - (k1 + k2) AS b2
+           FROM r, n),
+         t AS (
+           SELECT n1, n2, nn,
+                  round(CAST(CAST(CAST(nn * (2 * c1 - k1) - n1 * b2
+                                       AS HUGEINT) *
+                                  (nn * (2 * c1 - k1) - n1 * b2) * l
+                                  AS VARCHAR) AS DOUBLE) /
+                        CAST(b2 * (2 * nn - b2) - nn * l AS DOUBLE), 6)
+                    AS t1,
+                  round(CAST(CAST(CAST(nn * (2 * c2 - k2) - n2 * b2
+                                       AS HUGEINT) *
+                                  (nn * (2 * c2 - k2) - n2 * b2) * l
+                                  AS VARCHAR) AS DOUBLE) /
+                        CAST(b2 * (2 * nn - b2) - nn * l AS DOUBLE), 6)
+                    AS t2
+           FROM g),
+         a AS (
+           SELECT n1, n2, nn,
+                  CAST(CAST(sum(CAST(t1 AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) AS s1,
+                  CAST(CAST(sum(CAST(t2 AS DECIMAL(30,12))) AS VARCHAR)
+                       AS DOUBLE) AS s2
+           FROM t GROUP BY n1, n2, nn)
+         SELECT n1, n2,
+                (CAST(nn - 1 AS DOUBLE) / CAST(nn * nn AS DOUBLE)) *
+                  (s1 / CAST(n1 AS DOUBLE) + s2 / CAST(n2 AS DOUBLE))
+                  AS a2_akn
+         FROM a""",
     // the pinned daily panel, exact up-day cells, alphabetical j,
     // then the fixed T/z chain on BIGINT-cast sums (HUGEINT class)
     "a110_cochran_armitage" ->

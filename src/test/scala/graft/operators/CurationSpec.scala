@@ -257,4 +257,29 @@ class CurationSpec extends AnyFunSuite {
       assert(bridge == (cn == 0L), s"edge $e bridge verdict")
     }
   }
+
+  test("pipe9: both strategies audit the same graph; the component fix is leak-free") {
+    val sf = SparkTestSession.Sf0001
+    val got = Curation.queries("pipe9_split_contrast")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set("doc_hash", "component_hash"))
+    val (npDoc, leakDoc, rateDoc) = got("doc_hash")
+    val (npCc, leakCc, rateCc) = got("component_hash")
+    // same verified edge set under both strategies
+    assert(npDoc == npCc, "strategies must audit the same pair total")
+    // cross-anchor against DS22: the doc-hash leak count is exactly
+    // the sum of DS22's is_leak cells over the same graph
+    val ds22 = graft.operators.DatasetOps.queries("ds22_leakage_audit")(
+      spark, sf).collect()
+      .map(r => (r.getLong(2), r.getBoolean(3)))
+    assert(npDoc == ds22.map(_._1).sum, "pair total vs ds22 partition")
+    assert(leakDoc == ds22.filter(_._2).map(_._1).sum,
+      "doc-hash leaks vs ds22 is_leak mass")
+    // the operator's point, both directions
+    assert(leakDoc > 0, "vacuous: the naive split must leak here")
+    assert(leakCc == 0L && rateCc == 0.0,
+      "component split must be structurally leak-free")
+    assert(rateDoc == leakDoc.toDouble / npDoc)
+  }
 }

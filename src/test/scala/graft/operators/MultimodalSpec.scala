@@ -233,4 +233,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.values.forall(_._2 > 100.0),
       "text should be wildly non-uniform in byte classes")
   }
+
+  test("mm14 byte autocorrelation matches a sequential recompute") {
+    val sf = graft.SparkTestSession.Sf0001
+    val got = Multimodal.queries("mm14_byte_autocorr")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val exp = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter { case (_, t) => t.length >= 2 && t.forall(_ < 128) }
+      .flatMap { case (id, t) =>
+        val b = t.map(_.toLong)
+        val np = (b.length - 1).toLong
+        val x = b.dropRight(1); val y = b.drop(1)
+        val sx = x.sum; val sy = y.sum
+        val sxx = x.map(v => v * v).sum
+        val syy = y.map(v => v * v).sum
+        val sxy = x.zip(y).map { case (a, c) => a * c }.sum
+        val vx = np * sxx - sx * sx
+        val vy = np * syy - sy * sy
+        if (vx > 0 && vy > 0)
+          Some(id -> ((np, (np * sxy - sx * sy).toDouble /
+            (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble)))))
+        else None
+      }.toMap
+    assert(got.keySet == exp.keySet, "doc coverage")
+    assert(got.nonEmpty)
+    exp.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id autocorr")
+      assert(got(id)._2 >= -1.0 && got(id)._2 <= 1.0, s"doc $id bound")
+    }
+    // the word-stream corpus has real serial structure (letters
+    // predict letters; spaces recur) — a shuffled-byte blob would sit
+    // near 0. Non-degeneracy: correlations must not all collapse to
+    // one sign/magnitude cell.
+    assert(got.values.map(_._2).toSet.size > 1, "vacuous: constant r")
+  }
 }

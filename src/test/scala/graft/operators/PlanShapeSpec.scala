@@ -680,6 +680,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // edge-distance scores instead of rank sums):
       "a33_ks_test", "a35_mannwhitney", "a97_cliffs_delta",
       "a111_ansari_bradley",
+      // a112/a113/a114 share the cvmSpine: the same ≤1024-row bucket
+      // offset frame (per-value cumulatives partition by bucket):
+      "a112_cramer_von_mises", "a113_kuiper", "a114_anderson_darling",
       // a73's bucket-level cumulative: ≤ 1001 fixed bucket rows (the
       // two-level midrank decomposition; per-VALUE windows partition
       // by bucket):

@@ -582,4 +582,58 @@ class SimilaritySpec extends AnyFunSuite {
     assert(dbIdx >= 0.0 && !dbIdx.isNaN && !dbIdx.isInfinite)
     assert(got.values.exists(_._4 > 0), "vacuous: all DB terms zero")
   }
+
+  test("sim18: silhouette terms match a sequential recompute; bounds hold") {
+    import org.apache.spark.sql.functions.col
+    def r6v(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).toArray))
+    val cents = rows.groupBy(_._2).map { case (lbl, ms) =>
+      val dims = ms.head._3.length
+      lbl -> (0 until dims).map { i =>
+        val s = ms.map(m => BigDecimal(m._3(i).toDouble)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        BigDecimal(s / ms.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toArray
+    }
+    def fold(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val labels = cents.keys.toSeq.sorted
+    val perLabel = rows.groupBy(_._2).map { case (lbl, ms) =>
+      val sils = ms.map { m =>
+        val e = m._3.map(_.toDouble)
+        def d(c: Array[Double]) =
+          r6v(math.sqrt(fold(e, e) - 2.0 * fold(e, c) + fold(c, c)))
+        val a = d(cents(lbl))
+        val b = labels.filter(_ != lbl).map(l => d(cents(l))).min
+        if (math.max(a, b) > 0) (b - a) / math.max(a, b) else 0.0
+      }
+      val mean = sils.map(s => BigDecimal(r6v(s))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble /
+        ms.length
+      lbl -> (ms.length.toLong, r6v(mean), sils.count(_ < 0).toLong)
+    }
+    val got = Similarity.queries("sim18_silhouette")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(got.size == labels.size, "every label must emit a silhouette")
+    labels.foreach { lbl =>
+      val (nm, ms, misfit) = perLabel(lbl)
+      val (gn, gm, gmis) = got(lbl)
+      assert(gn == nm, s"label $lbl n_members")
+      assert(math.abs(gm - ms) <= 1e-6, s"label $lbl mean_sil")
+      assert(gmis == misfit, s"label $lbl n_misfit")
+      assert(gm >= -1.0 && gm <= 1.0, s"label $lbl silhouette bound")
+    }
+    // near-random synthetic embeddings: SOME members must sit closer
+    // to a foreign centroid, or the misfit column is vacuous
+    assert(got.values.map(_._3).sum > 0, "vacuous: zero misfits corpus-wide")
+  }
 }

@@ -1286,6 +1286,88 @@ class StatsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("a112/a113 CvM and Kuiper match a sequential ECDF sweep") {
+    import org.apache.spark.sql.functions.col
+    // one sorted pass over the combined sample: inclusive cumulatives,
+    // the exact integer gap dd = n2·c1 − n1·c2 per distinct value, the
+    // BigInt CvM numerator and the Kuiper extreme picks — the anchor
+    // that proves the bucketed two-level decomposition is drift-free
+    val rows = graft.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0) == "click", r.getDouble(1)))
+    val n1 = rows.count(_._1).toLong
+    val n2 = rows.length.toLong - n1
+    var c1 = 0L; var c2 = 0L
+    var num = BigInt(0); var dmax = 0L; var dmin = 0L
+    rows.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (_, g) =>
+      val k1 = g.count(_._1).toLong
+      val k = g.length.toLong
+      c1 += k1; c2 += k - k1
+      val dd = n2 * c1 - n1 * c2
+      num += BigInt(dd) * BigInt(dd) * BigInt(k)
+      if (dd > dmax) dmax = dd
+      if (dd < dmin) dmin = dd
+    }
+    val nn = n1 + n2
+    val expT = num.toDouble / ((n1 * n2).toDouble * (nn * nn).toDouble)
+    val cvm = graft.operators.Stats.queries("a112_cramer_von_mises")(
+      spark, sf).collect().head
+    assert(cvm.getLong(0) == n1 && cvm.getLong(1) == n2)
+    assert(cvm.getDouble(2) == expT, "cvm_t is exact (integer core)")
+    assert(expT > 0, "vacuous: identical ECDFs")
+    val dplus = math.max(dmax, 0L).toDouble / (n1 * n2).toDouble
+    val dminus = (-math.min(dmin, 0L)).toDouble / (n1 * n2).toDouble
+    val v = (math.max(dmax, 0L) - math.min(dmin, 0L)).toDouble /
+      (n1 * n2).toDouble
+    val kp = graft.operators.Stats.queries("a113_kuiper")(spark, sf)
+      .collect().head
+    assert(kp.getLong(0) == n1 && kp.getLong(1) == n2)
+    assert(kp.getDouble(2) == dplus, "d_plus exact")
+    assert(kp.getDouble(3) == dminus, "d_minus exact")
+    assert(kp.getDouble(4) == v, "kuiper_v exact")
+    assert(v >= math.max(dplus, dminus) && v <= dplus + dminus + 1e-15,
+      "V must sit between max and sum of the one-sided gaps")
+  }
+
+  test("a114 Anderson–Darling matches a sequential midrank recompute") {
+    import org.apache.spark.sql.functions.col
+    def r6v(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = graft.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0) == "click", r.getDouble(1)))
+    val n1 = rows.count(_._1).toLong
+    val n2 = rows.length.toLong - n1
+    val nn = n1 + n2
+    var c1 = 0L; var c2 = 0L
+    val t1s = List.newBuilder[Double]; val t2s = List.newBuilder[Double]
+    rows.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (_, g) =>
+      val k1 = g.count(_._1).toLong
+      val k = g.length.toLong
+      c1 += k1; c2 += k - k1
+      val l = k
+      val b2 = 2 * (c1 + c2) - l
+      val den = (b2 * (2 * nn - b2) - nn * l).toDouble
+      val num1 = nn * (2 * c1 - k1) - n1 * b2
+      val num2 = nn * (2 * c2 - (k - k1)) - n2 * b2
+      t1s += r6v((BigInt(num1) * BigInt(num1) * BigInt(l)).toDouble / den)
+      t2s += r6v((BigInt(num2) * BigInt(num2) * BigInt(l)).toDouble / den)
+    }
+    def dsum(xs: List[Double]) = xs
+      .map(BigDecimal(_).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    val a2 = ((nn - 1).toDouble / (nn * nn).toDouble) *
+      (dsum(t1s.result()) / n1.toDouble + dsum(t2s.result()) / n2.toDouble)
+    val row = graft.operators.Stats.queries("a114_anderson_darling")(
+      spark, sf).collect().head
+    assert(row.getLong(0) == n1 && row.getLong(1) == n2)
+    assert(row.getDouble(2) == a2, "a2_akn matches the sequential sweep")
+    assert(a2 > 0, "vacuous: identical samples")
+  }
+
+
   test("a81/a82 DW and DF match a sequential OLS recompute") {
     import org.apache.spark.sql.functions._
     def dec(x: Double, sc: Int): BigDecimal =
