@@ -3364,6 +3364,60 @@ object Stats {
              col("s2") / col("n2").cast("double"))).as("a2_akn"))
     }),
 
+    // A115: Hellinger distance + Bhattacharyya coefficient — the
+    // BOUNDED drift metrics beside A71's unbounded PSI on the
+    // identical drift frame (same two periods, same 10 fixed-width
+    // bins over the exact global [min,max], same Laplace smoothing,
+    // same complete type × bin spine): BC = Σ√(p_a·p_b) ∈ (0,1]
+    // reads as overlap mass, H = √(1−BC) ∈ [0,1) is a true metric
+    // (PSI is neither bounded nor symmetric-scaled), B = −ln BC the
+    // exponent large-deviation theory wants. Per-bin terms are one
+    // sqrt over two exact-integer-derived doubles, rounded THEN
+    // decimal-summed (the A48/A71 fold discipline); the 1−BC
+    // argument is 0-clamped (r6 per-term can push a perfect overlap
+    // a hair past 1). Scale: A71's one-pass conditional-count hash
+    // agg; everything after runs on ≤|types|·10 rows.
+    "a115_hellinger" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("value"), col("ts"))
+      val rng = ev.agg(min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"))
+      val binned = ev.crossJoin(broadcast(rng))
+        .withColumn("bin",
+          least(floor((col("value") - col("vmin")) /
+            (col("vmax") - col("vmin")) * 10), lit(9L)))
+        .withColumn("in_a",
+          (col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+            .cast("long"))
+      val counts = binned.groupBy(col("event_type"), col("bin"))
+        .agg(sum(col("in_a")).as("ca"),
+          sum(lit(1L) - col("in_a")).as("cb"))
+      val spine = counts.select(col("event_type")).distinct()
+        .select(col("event_type"),
+          explode(sequence(lit(0L), lit(9L))).as("bin"))
+      val tot = counts.groupBy(col("event_type"))
+        .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      spine
+        .join(counts, Seq("event_type", "bin"), "left")
+        .na.fill(0L, Seq("ca", "cb"))
+        .join(tot, Seq("event_type"))
+        .withColumn("pa",
+          (col("ca") + 1).cast("double") / (col("na") + 10))
+        .withColumn("pb",
+          (col("cb") + 1).cast("double") / (col("nb") + 10))
+        .withColumn("term", round(sqrt(col("pa") * col("pb")), 6))
+        .groupBy(col("event_type"))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          sum(col("term").cast("decimal(24,10)")).cast("double").as("bc"))
+        .select(col("event_type"), col("n_a"), col("n_b"), col("bc"),
+          // bc is the same correctly-rounded decimal render on both
+          // engines; 1−bc and the IEEE-exact sqrt stay raw, only the
+          // libm ln gets the round6 discipline (the a33 convention)
+          sqrt(greatest(lit(0.0), lit(1.0) - col("bc"))).as("hellinger"),
+          r6(-log(col("bc"))).as("bhattacharyya"))
+        .orderBy("event_type")
+    }),
+
     // A93: Wilcoxon signed-rank — the one-sample rank twin of A35's
     // Mann–Whitney: is the median daily close move zero, per type?
     // Zero deltas drop (Wilcoxon's convention), |Δ| gets MIDRANKS
@@ -5445,6 +5499,50 @@ object Stats {
                 round(CAST(CAST(sum(CAST(round((pb - pa) * ln(pb / pa), 6)
                       AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE), 6) AS psi
          FROM terms GROUP BY event_type ORDER BY event_type""",
+    // a71's exact drift spine verbatim; √(pa·pb) terms rounded then
+    // decimal-summed, BC rendered via the VARCHAR hop, sqrt IEEE-raw,
+    // only the libm ln rounded
+    "a115_hellinger" ->
+      """WITH rng AS (SELECT min(value) AS vmin, max(value) AS vmax
+                      FROM events),
+         binned AS (
+           SELECT event_type,
+                  least(CAST(floor((value - vmin) / (vmax - vmin) * 10)
+                        AS BIGINT), 9) AS bin,
+                  CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                       THEN 1 ELSE 0 END AS in_a
+           FROM events, rng),
+         counts AS (
+           SELECT event_type, bin, sum(in_a) AS ca,
+                  sum(1 - in_a) AS cb
+           FROM binned GROUP BY 1, 2),
+         spine AS (
+           SELECT DISTINCT event_type, g.b AS bin
+           FROM counts, generate_series(0, 9) AS g(b)),
+         tot AS (
+           SELECT event_type, sum(ca) AS na, sum(cb) AS nb
+           FROM counts GROUP BY 1),
+         terms AS (
+           SELECT s.event_type, t.na, t.nb,
+                  CAST(coalesce(c.ca, 0) + 1 AS DOUBLE) /
+                    CAST(t.na + 10 AS DOUBLE) AS pa,
+                  CAST(coalesce(c.cb, 0) + 1 AS DOUBLE) /
+                    CAST(t.nb + 10 AS DOUBLE) AS pb
+           FROM spine s
+           LEFT JOIN counts c
+             ON s.event_type = c.event_type AND s.bin = c.bin
+           JOIN tot t ON s.event_type = t.event_type),
+         agg AS (
+           SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+                  CAST(max(nb) AS BIGINT) AS n_b,
+                  CAST(CAST(sum(CAST(round(sqrt(pa * pb), 6)
+                       AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE) AS bc
+           FROM terms GROUP BY event_type)
+         SELECT event_type, n_a, n_b, bc,
+                sqrt(greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - bc))
+                  AS hellinger,
+                round(-ln(bc), 6) AS bhattacharyya
+         FROM agg ORDER BY event_type""",
     // identical fixed-width binning, integer tie-corrected
     // Mann–Whitney decomposition, one final raw-double division
     "a72_roc_auc" ->

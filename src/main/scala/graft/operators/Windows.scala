@@ -1065,6 +1065,101 @@ object Windows {
         .orderBy("event_type", "day")
     }),
 
+    // W50: Ease of Movement (Arms) — how far price midpoints travel
+    // PER UNIT of volume pushing them: emv = ((h+l)/2 − (h₋₁+l₋₁)/2)
+    // · (h−l) · 10⁴ / vol (the classic distance-moved ÷ box-ratio
+    // identity, box = vol/scale/(h−l), algebraically folded so the
+    // h = l candle contributes exactly 0 instead of a 0-division).
+    // The one indicator here whose SUBJECT is the volume column:
+    // W24/W28 weight price BY volume, EMV asks what volume BUYS.
+    // Volume is the exact integer Σqty from the F5-proven JSON
+    // extraction; midpoints/ranges are exact candle picks, emv one
+    // fixed IEEE chain on them — raw doubles. The 5-day signal SMA
+    // folds raw emv through the decimal(30,12) frame discipline
+    // (W9's contract), one render + one division. Zero-volume days
+    // drop by an exact integer gate; same single candle shuffle +
+    // per-type series window as W25/W29.
+    "w50_emv" -> ((s, d) => {
+      val wT = Window.partitionBy("event_type").orderBy("day")
+      val frame = wT.rowsBetween(-4, 0)
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("qty",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("value")).as("high"), min(col("value")).as("low"),
+          sum(col("qty")).as("vol"))
+        .withColumn("mid_prev",
+          (lag(col("high"), 1).over(wT) + lag(col("low"), 1).over(wT)) /
+            lit(2.0))
+        .filter(col("mid_prev").isNotNull && col("vol") > 0)
+        .withColumn("emv",
+          ((col("high") + col("low")) / lit(2.0) - col("mid_prev")) *
+            (col("high") - col("low")) * lit(10000.0) /
+            col("vol").cast("double"))
+        .withColumn("n", count(lit(1)).over(frame))
+        // emv reaches ~1e4, where a double's ulp (~1e-12) straddles
+        // the scale-12 decimal grid — raw-double→decimal(30,12) cast
+        // ties diverge between engines. Round to the 1e-6 grid FIRST
+        // (safely inside the ulp), then decimal-sum (the A48/A71
+        // fold discipline applied to a frame).
+        .withColumn("emv_sma5",
+          sum(round(col("emv"), 6).cast("decimal(24,10)")).over(frame)
+            .cast("double") / col("n"))
+        .filter(col("n") === 5)
+        .select(col("event_type"), col("day"), col("vol"), col("emv"),
+          col("emv_sma5"))
+        .orderBy("event_type", "day")
+    }),
+
+    // W51: Ultimate Oscillator (Williams) — the three-horizon
+    // buying-pressure composite that fixes the single-window
+    // oscillator's whipsaw: BP = close − min(low, close₋₁), TR =
+    // max(high, close₋₁) − min(low, close₋₁) (W25's true-range
+    // picks), then UO = 100·(4·Σ₃BP/Σ₃TR + 2·Σ₆BP/Σ₆TR +
+    // Σ₁₂BP/Σ₁₂TR)/7 — the classic 7/14/28 geometry's 1:2:4 ratio
+    // scaled to the 30-day panel (the W44/W12 convention). BP/TR are
+    // exact picks + one IEEE subtraction each; the six frame sums
+    // fold through decimal(30,12) (order-free), each average ONE
+    // division of rendered doubles, UO one fixed chain. Full-frame
+    // and positive-TR gates are exact comparisons. Same single
+    // candle shuffle + per-type series window as W25.
+    "w51_ultimate_osc" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val wT = Window.partitionBy("event_type").orderBy("day")
+      def fsum(c: Column, k: Int) =
+        sum(c.cast("decimal(30,12)")).over(wT.rowsBetween(1 - k, 0))
+          .cast("double")
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("value")).as("high"), min(col("value")).as("low"),
+          max(when(col("rn") === col("cnt"), col("value"))).as("close"))
+        .withColumn("pc", lag(col("close"), 1).over(wT))
+        .filter(col("pc").isNotNull)
+        .withColumn("bp", col("close") - least(col("low"), col("pc")))
+        .withColumn("tr",
+          greatest(col("high"), col("pc")) - least(col("low"), col("pc")))
+        .withColumn("n12", count(lit(1)).over(wT.rowsBetween(-11, 0)))
+        .withColumn("bp3", fsum(col("bp"), 3))
+        .withColumn("tr3", fsum(col("tr"), 3))
+        .withColumn("bp6", fsum(col("bp"), 6))
+        .withColumn("tr6", fsum(col("tr"), 6))
+        .withColumn("bp12", fsum(col("bp"), 12))
+        .withColumn("tr12", fsum(col("tr"), 12))
+        .filter(col("n12") === 12 && col("tr3") > 0 && col("tr6") > 0 &&
+          col("tr12") > 0)
+        .select(col("event_type"), col("day"),
+          (lit(100.0) *
+            (lit(4.0) * (col("bp3") / col("tr3")) +
+             lit(2.0) * (col("bp6") / col("tr6")) +
+             col("bp12") / col("tr12")) / lit(7.0)).as("uo"))
+        .orderBy("event_type", "day")
+    }),
+
     // W42: stochastic RSI — W26's %K lens applied to W19's RSI
     // instead of price ((rsi − min₁₄rsi)/(max₁₄rsi − min₁₄rsi)): how
     // overbought is the oscillator RELATIVE TO ITS OWN RANGE, the
@@ -2250,6 +2345,94 @@ object Windows {
     "w45_dema_tema" -> demaTemaOracleSql,
     "w46_mass_index" -> massIndexOracleSql,
     "w49_elder_ray" -> elderRayOracleSql,
+    // daily candle + exact integer volume (BIGINT-cast sum — the w27
+    // HUGEINT class), the same folded emv chain, decimal frame sum
+    // via the VARCHAR hop for the signal SMA
+    "w50_emv" ->
+      """WITH c AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  max(value) AS high, min(value) AS low,
+                  CAST(sum(CAST(json_extract_string(props, '$.k')
+                                AS BIGINT)) AS BIGINT) AS vol
+           FROM events GROUP BY 1, 2),
+         p AS (
+           SELECT event_type, day, high, low, vol,
+                  (lag(high, 1) OVER wt + lag(low, 1) OVER wt) / 2
+                    AS mid_prev
+           FROM c
+           WINDOW wt AS (PARTITION BY event_type ORDER BY day)),
+         e AS (
+           SELECT event_type, day, vol,
+                  ((high + low) / 2 - mid_prev) * (high - low) *
+                    CAST(10000 AS DOUBLE) / CAST(vol AS DOUBLE) AS emv
+           FROM p WHERE mid_prev IS NOT NULL AND vol > 0),
+         w AS (
+           SELECT event_type, day, vol, emv,
+                  count(*) OVER w5 AS n,
+                  CAST(CAST(sum(CAST(round(emv, 6) AS DECIMAL(24,10)))
+                       OVER w5 AS VARCHAR) AS DOUBLE) AS s5
+           FROM e
+           WINDOW w5 AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         SELECT event_type, day, vol, emv, s5 / n AS emv_sma5
+         FROM w WHERE n = 5 ORDER BY event_type, day""",
+    // w16's candle CTE, W25's true-range picks, six decimal frame
+    // sums (VARCHAR-hop renders), one fixed UO chain
+    "w51_ultimate_osc" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day, max(value) AS high, min(value) AS low,
+                  max(CASE WHEN rn = cnt THEN value END) AS close
+           FROM r GROUP BY 1, 2),
+         pc AS (
+           SELECT event_type, day, high, low, close,
+                  lag(close, 1) OVER (PARTITION BY event_type
+                                      ORDER BY day) AS pcl
+           FROM c),
+         bt AS (
+           SELECT event_type, day,
+                  close - least(low, pcl) AS bp,
+                  greatest(high, pcl) - least(low, pcl) AS tr
+           FROM pc WHERE pcl IS NOT NULL),
+         w AS (
+           SELECT event_type, day,
+                  count(*) OVER w12 AS n12,
+                  CAST(CAST(sum(CAST(bp AS DECIMAL(30,12))) OVER w3
+                       AS VARCHAR) AS DOUBLE) AS bp3,
+                  CAST(CAST(sum(CAST(tr AS DECIMAL(30,12))) OVER w3
+                       AS VARCHAR) AS DOUBLE) AS tr3,
+                  CAST(CAST(sum(CAST(bp AS DECIMAL(30,12))) OVER w6
+                       AS VARCHAR) AS DOUBLE) AS bp6,
+                  CAST(CAST(sum(CAST(tr AS DECIMAL(30,12))) OVER w6
+                       AS VARCHAR) AS DOUBLE) AS tr6,
+                  CAST(CAST(sum(CAST(bp AS DECIMAL(30,12))) OVER w12
+                       AS VARCHAR) AS DOUBLE) AS bp12,
+                  CAST(CAST(sum(CAST(tr AS DECIMAL(30,12))) OVER w12
+                       AS VARCHAR) AS DOUBLE) AS tr12
+           FROM bt
+           WINDOW w3 AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                  w6 AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+                  w12 AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+         SELECT event_type, day,
+                CAST(100 AS DOUBLE) *
+                  (CAST(4 AS DOUBLE) * (bp3 / tr3) +
+                   CAST(2 AS DOUBLE) * (bp6 / tr6) +
+                   bp12 / tr12) / CAST(7 AS DOUBLE) AS uo
+         FROM w
+         WHERE n12 = 12 AND tr3 > 0 AND tr6 > 0 AND tr12 > 0
+         ORDER BY event_type, day""",
     // two fixed ROC chains on the daily means, then the 5-term
     // left-associated integer-weighted WMA — no aggregation, nothing
     // to pin; the deepest lag gates the full window

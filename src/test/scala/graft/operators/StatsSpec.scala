@@ -1367,6 +1367,119 @@ class StatsSpec extends AnyFunSuite {
     assert(a2 > 0, "vacuous: identical samples")
   }
 
+  test("a115 Hellinger/BC match a sequential binned recompute") {
+    import org.apache.spark.sql.functions.col
+    def r6v(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cut = java.time.Instant.parse("2024-01-16T00:00:00Z").toEpochMilli
+    val rows = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        r.getTimestamp(2).getTime < cut))
+    val vmin = rows.map(_._2).min; val vmax = rows.map(_._2).max
+    def bin(v: Double) =
+      math.min(math.floor((v - vmin) / (vmax - vmin) * 10).toLong, 9L)
+    val got = graft.operators.Stats.queries("a115_hellinger")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+         r.getDouble(5))).toMap
+    val types = rows.map(_._1).distinct.sorted
+    assert(got.keySet == types.toSet)
+    types.foreach { t =>
+      val sub = rows.filter(_._1 == t)
+      val na = sub.count(_._3).toLong
+      val nb = sub.length.toLong - na
+      val terms = (0L to 9L).map { b =>
+        val ca = sub.count(e => e._3 && bin(e._2) == b).toLong
+        val cb = sub.count(e => !e._3 && bin(e._2) == b).toLong
+        val pa = (ca + 1).toDouble / (na + 10).toDouble
+        val pb = (cb + 1).toDouble / (nb + 10).toDouble
+        r6v(math.sqrt(pa * pb))
+      }
+      val bc = terms
+        .map(BigDecimal(_).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      val (gna, gnb, gbc, gh, gb) = got(t)
+      assert(gna == na && gnb == nb, s"$t frame")
+      assert(gbc == bc, s"$t bc")
+      assert(gh == math.sqrt(math.max(0.0, 1.0 - bc)), s"$t hellinger")
+      assert(gb == r6v(-math.log(bc)), s"$t bhattacharyya")
+      assert(gbc > 0 && gbc <= 1.0 + 1e-6 && gh >= 0 && gh < 1, s"$t bounds")
+    }
+  }
+
+  test("w50 EMV and w51 Ultimate Oscillator match sequential recomputes") {
+    import org.apache.spark.sql.functions._
+    def r6v(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val evs = graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withColumn("qty", get_json_object(col("props"), "$.k").cast("long"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Any]("day").toString,
+        r.getAs[java.sql.Timestamp]("ts").getTime,
+        r.getAs[Long]("event_id"), r.getAs[Double]("value"),
+        r.getAs[Long]("qty")))
+    val byType = evs.groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
+      val close = es.maxBy(e => (e._3, e._4))._5
+      (t, day, es.map(_._5).max, es.map(_._5).min, close, es.map(_._6).sum)
+    }.toSeq.groupBy(_._1).map { case (t, cs) => t -> cs.sortBy(_._2) }
+    // W50 EMV
+    val gotEmv = graft.operators.Windows.queries("w50_emv")(spark, sf)
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    var nEmv = 0
+    byType.foreach { case (t, cs) =>
+      val emvs = scala.collection.mutable.ArrayBuffer[(String, Long, Double)]()
+      cs.indices.foreach { i =>
+        if (i >= 1 && cs(i)._6 > 0) {
+          val (h, l, vol) = (cs(i)._3, cs(i)._4, cs(i)._6)
+          val midPrev = (cs(i - 1)._3 + cs(i - 1)._4) / 2.0
+          val emv = ((h + l) / 2.0 - midPrev) * (h - l) * 10000.0 /
+            vol.toDouble
+          emvs += ((cs(i)._2, vol, emv))
+        }
+      }
+      emvs.indices.foreach { j =>
+        if (j >= 4) {
+          val sma = emvs.slice(j - 4, j + 1).map(e => BigDecimal(r6v(e._3))
+            .setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / 5
+          assert(gotEmv((t, emvs(j)._1)) ==
+            ((emvs(j)._2, emvs(j)._3, sma)), s"$t ${emvs(j)._1}")
+          nEmv += 1
+        } else assert(!gotEmv.contains((t, emvs(j)._1)), "gate")
+      }
+    }
+    assert(nEmv > 0)
+    // W51 Ultimate Oscillator
+    val gotUo = graft.operators.Windows.queries("w51_ultimate_osc")(spark, sf)
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        r.getDouble(2)).toMap
+    var nUo = 0
+    byType.foreach { case (t, cs) =>
+      val bt = (1 until cs.length).map { i =>
+        val (h, l, c, pc) = (cs(i)._3, cs(i)._4, cs(i)._5, cs(i - 1)._5)
+        (cs(i)._2, c - math.min(l, pc), math.max(h, pc) - math.min(l, pc))
+      }
+      def psum(xs: Seq[Double]) = xs.map(BigDecimal(_)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      bt.indices.foreach { j =>
+        if (j >= 11) {
+          val a3 = psum(bt.slice(j - 2, j + 1).map(_._2)) /
+            psum(bt.slice(j - 2, j + 1).map(_._3))
+          val a6 = psum(bt.slice(j - 5, j + 1).map(_._2)) /
+            psum(bt.slice(j - 5, j + 1).map(_._3))
+          val a12 = psum(bt.slice(j - 11, j + 1).map(_._2)) /
+            psum(bt.slice(j - 11, j + 1).map(_._3))
+          val uo = 100.0 * (4.0 * a3 + 2.0 * a6 + a12) / 7.0
+          assert(gotUo((t, bt(j)._1)) == uo, s"$t ${bt(j)._1}")
+          nUo += 1
+        }
+      }
+    }
+    assert(nUo > 0)
+  }
+
 
   test("a81/a82 DW and DF match a sequential OLS recompute") {
     import org.apache.spark.sql.functions._
