@@ -1990,6 +1990,30 @@ object Relational {
           expr("try_parse_json(payload) IS NULL").as("corrupt"))
         .orderBy("event_id")),
 
+    // F15: calendar functions — the scheduling surface F2's
+    // extract/trunc/plain-interval arithmetic stops short of:
+    // quarter and ISO-week bucketing, weekday classification
+    // (Sunday=1 convention, the weekend flag), month-end alignment
+    // (last_day), END-OF-MONTH-CLAMPED month shifts (add_months:
+    // Dec 31 + 2 months = Feb 29, the clamp a naive day-interval
+    // add gets wrong), and the day-count anchor every retention
+    // query needs. Every output is an exact integer/date/boolean —
+    // nothing to pin; the hash proves BOTH engines implement the
+    // same ISO-week and month-clamp conventions, which is the whole
+    // risk in calendar code. Stateless projection, no shuffle.
+    "f15_calendar_funcs" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          quarter(col("o_orderdate")).cast("int").as("qtr"),
+          weekofyear(col("o_orderdate")).cast("int").as("iso_week"),
+          dayofweek(col("o_orderdate")).cast("int").as("dow"),
+          dayofweek(col("o_orderdate")).isin(1, 7).as("is_weekend"),
+          last_day(col("o_orderdate")).as("month_end"),
+          add_months(col("o_orderdate").cast("date"), 2).as("plus2m"),
+          datediff(col("o_orderdate"), lit("2024-01-01").cast("date"))
+            .cast("long").as("days_since"))
+        .orderBy("o_orderkey")),
+
     // F8: array higher-order functions — filter / exists / zip_with /
     // aggregate / array_sort, the lambda surface F4's element access
     // stops short of. These run INTERPRETED (no codegen) — fine for a
@@ -3245,6 +3269,23 @@ object Relational {
     "f5_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
          FROM events ORDER BY event_id""",
+    // F15: DuckDB's dayofweek is 0-based Sunday (+1 aligns to Spark's
+    // 1=Sunday); DATE + INTERVAL MONTH widens to TIMESTAMP, cast back;
+    // both engines clamp month-end shifts and use ISO weeks — the
+    // conventions the hash certifies
+    "f15_calendar_funcs" ->
+      """SELECT o_orderkey,
+                CAST(quarter(o_orderdate) AS INT) AS qtr,
+                CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+                CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+                dayofweek(o_orderdate) + 1 IN (1, 7) AS is_weekend,
+                last_day(CAST(o_orderdate AS DATE)) AS month_end,
+                CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)
+                  AS plus2m,
+                CAST(datediff('day', DATE '2024-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT)
+                  AS days_since
+         FROM orders ORDER BY o_orderkey""",
     // extraction mirrors json_extract; the corrupt column classifies
     // by the GROUND-TRUTH plant (event_id % 37), so equality proves
     // the engine's variant parser flags exactly the planted rows
