@@ -219,6 +219,38 @@ object SourceSinks {
         .orderBy("c_custkey")
     }),
 
+    // S27: compressed-text ingest — the codec leg S4/S6 leave
+    // uncovered, and at 100 TB the one that decides task parallelism:
+    // gzip is NOT splittable (one task per file — fine for many-file
+    // object-store layouts, fatal for single-file dumps), bzip2 IS
+    // (block-split boundaries let one file fan out across executors).
+    // One query certifies BOTH codec paths end to end: the same
+    // orders projection written as gzip CSV and bzip2 JSON, read back
+    // schema'd, and joined on the key — the oracle reads the
+    // uncompressed source, so the hash proves bit-exact round-trips
+    // through both codecs (doubles survive via the shortest-repr
+    // text render, the S4 contract).
+    "s27_compressed_roundtrip" -> ((s, d) => {
+      val outGz = tmp("s27gz"); val outBz = tmp("s27bz")
+      val src = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      src.write.mode("overwrite").option("header", "true")
+        .option("compression", "gzip").csv(outGz)
+      src.write.mode("overwrite")
+        .option("compression", "bzip2").json(outBz)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType)))
+      val gz = s.read.option("header", "true").schema(schema).csv(outGz)
+      val bz = s.read.schema(schema).json(outBz)
+        .select(col("o_orderkey"),
+          col("o_orderstatus").as("status_bz"),
+          col("o_totalprice").as("price_bz"))
+      gz.join(bz, Seq("o_orderkey")).orderBy("o_orderkey")
+    }),
+
     // S6+S7: JSON write then schema'd read.
     "s6_json_roundtrip" -> ((s, d) => {
       val out = tmp("s6")
@@ -529,6 +561,11 @@ object SourceSinks {
     "s6_json_roundtrip" ->
       """SELECT s_suppkey, s_name, s_acctbal FROM supplier
          ORDER BY s_suppkey""",
+    // both codec legs must reproduce the uncompressed source exactly
+    "s27_compressed_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+                o_orderstatus AS status_bz, o_totalprice AS price_bz
+         FROM orders ORDER BY o_orderkey""",
     "s14_chart_data" ->
       """SELECT date_trunc('day', ts) AS day,
                 round(sum(value), 6) AS total_value, count(*) AS n_events
