@@ -1071,6 +1071,39 @@ object Dedup {
       edgeStrength(verifiedCorpusPairs(s, d, 0.5))
         .orderBy("da", "db")),
 
+    // D28: cross-source duplication matrix — WHICH sources duplicate
+    // WHICH over the verified corpus graph (the provenance axis of
+    // the dedup report: a heavy cross cell between two crawls means
+    // one mirrors the other and the mixture weights double-count it;
+    // a heavy diagonal cell means a source self-duplicates and its
+    // effective size is smaller than its row count). One unordered
+    // (source, source) rollup of the shared materialized
+    // corpus_pairs against the doc→source projection: exact pair
+    // counts, the cross/diagonal verdict an exact string comparison,
+    // and each cell's share of all verified pairs one exact-integer
+    // division. The DuckDB twin replays the exhaustive graph — the
+    // hash again re-proves banded LSH recall, now per source cell.
+    "d28_source_overlap" -> ((s, d) => {
+      val pairs = verifiedCorpusPairs(s, d, 0.5)
+      val src = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+      val cells = pairs
+        .join(src.select(col("doc_id").as("da"), col("source").as("sa")),
+          Seq("da"))
+        .join(src.select(col("doc_id").as("db"), col("source").as("sb")),
+          Seq("db"))
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val total = cells.agg(sum(col("n_pairs")).as("n_total"))
+      cells.crossJoin(broadcast(total))
+        .select(col("source_a"), col("source_b"), col("n_pairs"),
+          (col("source_a") =!= col("source_b")).as("is_cross"),
+          (col("n_pairs").cast("double") / col("n_total").cast("double"))
+            .as("share"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // D26: per-edge neighborhood Jaccard over the verified corpus
     // graph — D25's common-neighbor count NORMALIZED by the joint
     // neighborhood size, so edge strength compares across degree
@@ -1400,6 +1433,27 @@ object Dedup {
     // COUNTs stay BIGINT (the HUGEINT lint class pinned via CAST),
     // each 1/ln term r6'd onto the exact decimal grid before the
     // fold, bridges kept via LEFT JOIN + coalesce
+    // D28: the exhaustive corpus 0.5 graph joined to doc sources,
+    // unordered (source, source) cells by least/greatest, BIGINT
+    // counts, the share one exact-integer division
+    "d28_source_overlap" ->
+      s"""WITH ${pairsCtes("", "0.5")},
+           src AS (SELECT doc_id, source FROM documents),
+           cells AS (
+             SELECT least(sa.source, sb.source) AS source_a,
+                    greatest(sa.source, sb.source) AS source_b,
+                    CAST(count(*) AS BIGINT) AS n_pairs
+             FROM pairs p
+             JOIN src sa ON sa.doc_id = p.da
+             JOIN src sb ON sb.doc_id = p.db
+             GROUP BY 1, 2),
+           tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n_total
+                   FROM cells)
+         SELECT source_a, source_b, n_pairs,
+                source_a <> source_b AS is_cross,
+                CAST(n_pairs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+         FROM cells, tot
+         ORDER BY source_a, source_b""",
     "d25_edge_strength" ->
       s"""WITH ${pairsCtes("", "0.5")},
            edges AS (SELECT da AS src, db AS dst FROM pairs

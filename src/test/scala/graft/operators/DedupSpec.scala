@@ -1062,4 +1062,34 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(multi > 0, "vacuous: no multi-member cluster in the slice")
   }
+
+  test("d28 source-overlap cells partition the verified edge set") {
+    val sf = graft.SparkTestSession.Sf0001
+    // the verified pair set via the oracle-checked d25 surface, and
+    // the doc→source map — the cells must be exactly their rollup
+    val pairs = Dedup.queries("d25_edge_strength")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val src = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exp = pairs.groupBy { case (a, b) =>
+      val (x, y) = (src(a), src(b))
+      (if (x <= y) x else y, if (x <= y) y else x)
+    }.map { case (k, v) => k -> v.size.toLong }
+    val got = Dedup.queries("d28_source_overlap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3), r.getDouble(4))).toMap
+    assert(got.keySet == exp.keySet, "cell coverage")
+    val total = pairs.length.toLong
+    exp.foreach { case (k, n) =>
+      val (gn, cross, share) = got(k)
+      assert(gn == n, s"cell $k count")
+      assert(cross == (k._1 != k._2), s"cell $k verdict")
+      assert(share == n.toDouble / total.toDouble, s"cell $k share")
+    }
+    assert(got.values.map(_._1).sum == total,
+      "cells must partition the verified edge set")
+    assert(got.values.exists(_._2) && got.values.exists(!_._2),
+      "need both cross-source and self-duplication cells")
+  }
 }
