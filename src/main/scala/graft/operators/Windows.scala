@@ -1160,6 +1160,63 @@ object Windows {
         .orderBy("event_type", "day")
     }),
 
+    // W52: ADX / directional movement (Wilder) — the trend-STRENGTH
+    // gauge the oscillator family lacks (W19/W26/W42 say overbought/
+    // oversold, ADX says whether there IS a trend to trade): +DM =
+    // h−h₋₁ when the up-move beats the down-move (else 0), −DM the
+    // mirror, both exact candle subtractions under exact
+    // comparisons; ±DI = 100·Σ₆DM/Σ₆TR over W25's true-range picks
+    // (6-day sums scaled from Wilder's 14 to the 30-day panel, SMA
+    // smoothing documented in place of Wilder's recursive RMA — the
+    // W34-vs-EMA convention); DX = 100·|+DI−−DI|/(+DI+−DI); ADX =
+    // 6-day SMA of DX. The DM/TR sums fold through decimal(30,12)
+    // (values O(candle range)); DX ≤ 100 so the ADX fold uses the
+    // r6-then-decimal discipline. Positive-TR / positive-DI-sum /
+    // full-frame gates are exact comparisons. Same single candle
+    // shuffle + per-type series window as W25/W51.
+    "w52_adx" -> ((s, d) => {
+      val wT = Window.partitionBy("event_type").orderBy("day")
+      def fsum(c: Column, k: Int) =
+        sum(c.cast("decimal(30,12)")).over(wT.rowsBetween(1 - k, 0))
+          .cast("double")
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("value")).as("high"), min(col("value")).as("low"))
+        .withColumn("ph", lag(col("high"), 1).over(wT))
+        .withColumn("pl", lag(col("low"), 1).over(wT))
+        .filter(col("ph").isNotNull)
+        .withColumn("up", col("high") - col("ph"))
+        .withColumn("dn", col("pl") - col("low"))
+        .withColumn("dm_p",
+          when(col("up") > col("dn") && col("up") > 0, col("up"))
+            .otherwise(lit(0.0)))
+        .withColumn("dm_m",
+          when(col("dn") > col("up") && col("dn") > 0, col("dn"))
+            .otherwise(lit(0.0)))
+        .withColumn("tr",
+          greatest(col("high"), col("ph")) - least(col("low"), col("pl")))
+        .withColumn("n6", count(lit(1)).over(wT.rowsBetween(-5, 0)))
+        .withColumn("str", fsum(col("tr"), 6))
+        .withColumn("sdp", fsum(col("dm_p"), 6))
+        .withColumn("sdm", fsum(col("dm_m"), 6))
+        .filter(col("n6") === 6 && col("str") > 0)
+        .withColumn("di_plus", lit(100.0) * col("sdp") / col("str"))
+        .withColumn("di_minus", lit(100.0) * col("sdm") / col("str"))
+        .filter(col("di_plus") + col("di_minus") > 0)
+        .withColumn("dx",
+          lit(100.0) * abs(col("di_plus") - col("di_minus")) /
+            (col("di_plus") + col("di_minus")))
+        .withColumn("nadx", count(lit(1)).over(wT.rowsBetween(-5, 0)))
+        .withColumn("adx",
+          sum(round(col("dx"), 6).cast("decimal(24,10)"))
+            .over(wT.rowsBetween(-5, 0)).cast("double") / col("nadx"))
+        .filter(col("nadx") === 6)
+        .select(col("event_type"), col("day"), col("di_plus"),
+          col("di_minus"), col("dx"), col("adx"))
+        .orderBy("event_type", "day")
+    }),
+
     // W42: stochastic RSI — W26's %K lens applied to W19's RSI
     // instead of price ((rsi − min₁₄rsi)/(max₁₄rsi − min₁₄rsi)): how
     // overbought is the oscillator RELATIVE TO ITS OWN RANGE, the
@@ -2376,6 +2433,60 @@ object Windows {
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
          SELECT event_type, day, vol, emv, s5 / n AS emv_sma5
          FROM w WHERE n = 5 ORDER BY event_type, day""",
+    // daily high/low candle, exact DM/TR picks, the same staged
+    // gates (frame → TR → DI-sum) BETWEEN the window stages so the
+    // ADX frame runs over the same surviving dx rows, r6'd DX into
+    // the decimal ADX fold
+    "w52_adx" ->
+      """WITH c AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  max(value) AS high, min(value) AS low
+           FROM events GROUP BY 1, 2),
+         p AS (
+           SELECT event_type, day, high, low,
+                  lag(high, 1) OVER wt AS ph, lag(low, 1) OVER wt AS pl
+           FROM c
+           WINDOW wt AS (PARTITION BY event_type ORDER BY day)),
+         m AS (
+           SELECT event_type, day,
+                  CASE WHEN high - ph > pl - low AND high - ph > 0
+                       THEN high - ph ELSE CAST(0 AS DOUBLE) END AS dm_p,
+                  CASE WHEN pl - low > high - ph AND pl - low > 0
+                       THEN pl - low ELSE CAST(0 AS DOUBLE) END AS dm_m,
+                  greatest(high, ph) - least(low, pl) AS tr
+           FROM p WHERE ph IS NOT NULL),
+         w AS (
+           SELECT event_type, day,
+                  count(*) OVER w6 AS n6,
+                  CAST(CAST(sum(CAST(tr AS DECIMAL(30,12))) OVER w6
+                       AS VARCHAR) AS DOUBLE) AS str,
+                  CAST(CAST(sum(CAST(dm_p AS DECIMAL(30,12))) OVER w6
+                       AS VARCHAR) AS DOUBLE) AS sdp,
+                  CAST(CAST(sum(CAST(dm_m AS DECIMAL(30,12))) OVER w6
+                       AS VARCHAR) AS DOUBLE) AS sdm
+           FROM m
+           WINDOW w6 AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+         di AS (
+           SELECT event_type, day,
+                  CAST(100 AS DOUBLE) * sdp / str AS di_plus,
+                  CAST(100 AS DOUBLE) * sdm / str AS di_minus
+           FROM w WHERE n6 = 6 AND str > 0),
+         dx AS (
+           SELECT event_type, day, di_plus, di_minus,
+                  CAST(100 AS DOUBLE) * abs(di_plus - di_minus) /
+                    (di_plus + di_minus) AS dx
+           FROM di WHERE di_plus + di_minus > 0),
+         adx AS (
+           SELECT event_type, day, di_plus, di_minus, dx,
+                  count(*) OVER w6 AS nadx,
+                  CAST(CAST(sum(CAST(round(dx, 6) AS DECIMAL(24,10)))
+                       OVER w6 AS VARCHAR) AS DOUBLE) AS sdx
+           FROM dx
+           WINDOW w6 AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+         SELECT event_type, day, di_plus, di_minus, dx, sdx / nadx AS adx
+         FROM adx WHERE nadx = 6 ORDER BY event_type, day""",
     // w16's candle CTE, W25's true-range picks, six decimal frame
     // sums (VARCHAR-hop renders), one fixed UO chain
     "w51_ultimate_osc" ->

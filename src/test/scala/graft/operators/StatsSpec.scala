@@ -1480,6 +1480,60 @@ class StatsSpec extends AnyFunSuite {
     assert(nUo > 0)
   }
 
+  test("w52 ADX matches a sequential directional-movement recompute") {
+    import org.apache.spark.sql.functions._
+    def r6v(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def psum(xs: Seq[Double], sc: Int) = xs.map(BigDecimal(_)
+      .setScale(sc, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val candles = graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts"))).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Any]("day").toString,
+        r.getAs[Double]("value")))
+      .groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
+        (t, day, es.map(_._3).max, es.map(_._3).min)
+      }.toSeq.groupBy(_._1).map { case (t, cs) => t -> cs.sortBy(_._2) }
+    val got = graft.operators.Windows.queries("w52_adx")(spark, sf)
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    var n = 0
+    candles.foreach { case (t, cs) =>
+      val m = (1 until cs.length).map { i =>
+        val (h, l, ph, pl) = (cs(i)._3, cs(i)._4, cs(i - 1)._3, cs(i - 1)._4)
+        val up = h - ph; val dn = pl - l
+        (cs(i)._2,
+          if (up > dn && up > 0) up else 0.0,
+          if (dn > up && dn > 0) dn else 0.0,
+          math.max(h, ph) - math.min(l, pl))
+      }
+      val dxRows = m.indices.flatMap { j =>
+        if (j >= 5) {
+          val str = psum(m.slice(j - 5, j + 1).map(_._4), 12)
+          if (str > 0) {
+            val dip = 100.0 * psum(m.slice(j - 5, j + 1).map(_._2), 12) / str
+            val dim = 100.0 * psum(m.slice(j - 5, j + 1).map(_._3), 12) / str
+            if (dip + dim > 0)
+              Some((m(j)._1, dip, dim,
+                100.0 * math.abs(dip - dim) / (dip + dim)))
+            else None
+          } else None
+        } else None
+      }
+      dxRows.indices.foreach { j =>
+        if (j >= 5) {
+          val adx = dxRows.slice(j - 5, j + 1)
+            .map(r => BigDecimal(r6v(r._4))
+              .setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / 6
+          val (day, dip, dim, dx) = dxRows(j)
+          assert(got((t, day)) == ((dip, dim, dx, adx)), s"$t $day")
+          n += 1
+        } else assert(!got.contains((t, dxRows(j)._1)), "adx gate")
+      }
+    }
+    assert(n > 0)
+  }
+
 
   test("a81/a82 DW and DF match a sequential OLS recompute") {
     import org.apache.spark.sql.functions._
