@@ -711,6 +711,44 @@ object Similarity {
         .orderBy("label")
     }),
 
+    // SIM19: per-label centroid drift between two corpus halves —
+    // the embedding-drift monitor every retrieval/classification
+    // stack runs between index snapshots ("did this label's region
+    // MOVE since the last embed run?"): split by vec_id parity (the
+    // deterministic stand-in for two ingest snapshots), compute each
+    // half's quantized centroid under the SIM15 1e-6 contract, and
+    // report the Euclidean displacement per label plus both member
+    // counts. A displacement far above the half-sampling noise floor
+    // flags re-embedding or upstream distribution change; A115 gives
+    // the same verdict for scalar columns, this is the vector-column
+    // twin. Two (label, dim) hash aggs + a ≤|labels| join — one
+    // corpus pass per half, everything downstream on tiny frames;
+    // distances r6'd off quantized centroids (bit-identical), fully
+    // hash-checked.
+    "sim19_centroid_drift" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      def half(even: Boolean) =
+        emb.filter((col("vec_id") % 2 === 0) === even)
+      def stats(even: Boolean, n: String) =
+        half(even).groupBy(col("label").cast("long").as("label"))
+          .agg(count(lit(1)).as(n))
+      val ca = quantizedCentroids(half(true))
+        .select(col("label").cast("long").as("label"),
+          col("cent").as("cent_a"))
+      val cb = quantizedCentroids(half(false))
+        .select(col("label").cast("long").as("label"),
+          col("cent").as("cent_b"))
+      ca.join(cb, Seq("label"))
+        .join(stats(true, "n_even"), Seq("label"))
+        .join(stats(false, "n_odd"), Seq("label"))
+        .select(col("label"), col("n_even"), col("n_odd"),
+          r6(sqrt(
+            dot(col("cent_a"), col("cent_a")) -
+              lit(2.0) * dot(col("cent_a"), col("cent_b")) +
+              dot(col("cent_b"), col("cent_b")))).as("drift"))
+        .orderBy("label")
+    }),
+
     // SIM9: FILTERED vector search — cosine top-5 restricted to
     // candidates sharing the query's label (the hybrid
     // metadata-predicate + ANN form every production retrieval stack
@@ -1591,6 +1629,41 @@ object Similarity {
          SELECT li AS label, n_members, si AS scatter,
                 lj AS worst_other, round(rij, 6) AS db_term
          FROM rk WHERE rk = 1 ORDER BY label""",
+    // sim15's per-half quantized-centroid spine; the same
+    // index-ordered dist2 fold between the two half-centroids, r6'd
+    "sim19_centroid_drift" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  vec_id % 2 = 0 AS even,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+         px AS (
+           SELECT label, even, unnest(generate_series(1, len(e))) AS dim,
+                  unnest(e) AS x
+           FROM v),
+         m AS (
+           SELECT label, even, dim,
+                  round(CAST(CAST(sum(CAST(x AS DECIMAL(30,12)))
+                        AS VARCHAR) AS DOUBLE) / count(*), 6) AS mean
+           FROM px GROUP BY 1, 2, 3),
+         c AS (SELECT label, even, list(mean ORDER BY dim) AS cent
+               FROM m GROUP BY 1, 2),
+         n AS (SELECT label, even, CAST(count(*) AS BIGINT) AS n
+               FROM v GROUP BY 1, 2)
+         SELECT a.label, na.n AS n_even, nb.n AS n_odd,
+                round(sqrt(
+                  list_sum(list_transform(generate_series(1, len(a.cent)),
+                    i -> a.cent[i] * a.cent[i]))
+                  - CAST(2 AS DOUBLE) *
+                    list_sum(list_transform(generate_series(1, len(a.cent)),
+                      i -> a.cent[i] * b.cent[i]))
+                  + list_sum(list_transform(generate_series(1, len(b.cent)),
+                      i -> b.cent[i] * b.cent[i]))), 6) AS drift
+         FROM c a
+         JOIN c b ON a.label = b.label AND a.even AND NOT b.even
+         JOIN n na ON na.label = a.label AND na.even
+         JOIN n nb ON nb.label = a.label AND NOT nb.even
+         ORDER BY a.label""",
     // sim17's quantized-centroid spine; per (vec, centroid) r6'd
     // distance, per-vec a/b picks, s one IEEE chain, pinned mean
     "sim18_silhouette" ->

@@ -636,4 +636,50 @@ class SimilaritySpec extends AnyFunSuite {
     // to a foreign centroid, or the misfit column is vacuous
     assert(got.values.map(_._3).sum > 0, "vacuous: zero misfits corpus-wide")
   }
+
+  test("sim19: centroid drift matches a sequential per-half recompute") {
+    import org.apache.spark.sql.functions.col
+    def r6v(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).toArray))
+    def cents(sub: Array[(Long, Long, Array[Float])]) =
+      sub.groupBy(_._2).map { case (lbl, ms) =>
+        val dims = ms.head._3.length
+        val cent = (0 until dims).map { i =>
+          val sm = ms.map(m => BigDecimal(m._3(i).toDouble)
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+          BigDecimal(sm / ms.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }.toArray
+        (lbl, (cent, ms.length.toLong))
+      }
+    val even = cents(rows.filter(_._1 % 2 == 0))
+    val odd = cents(rows.filter(_._1 % 2 == 1))
+    def fold(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val got = Similarity.queries("sim19_centroid_drift")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val shared = even.keySet intersect odd.keySet
+    assert(got.keySet == shared && got.nonEmpty)
+    shared.foreach { lbl =>
+      val (ca, na) = even(lbl); val (cb, nb) = odd(lbl)
+      val drift = r6v(math.sqrt(
+        fold(ca, ca) - 2.0 * fold(ca, cb) + fold(cb, cb)))
+      val (gn, go, gd) = got(lbl)
+      assert(gn == na && go == nb, s"label $lbl counts")
+      assert(gd == drift, s"label $lbl drift")
+      assert(gd >= 0, s"label $lbl nonneg")
+    }
+    // the halves are random splits of the same distribution: drift
+    // must be small but NONZERO (a zero drift would mean the halves
+    // share a centroid exactly — vacuous quantization)
+    assert(got.values.exists(_._3 > 0), "vacuous: all drifts zero")
+  }
 }
