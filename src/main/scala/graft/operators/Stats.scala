@@ -2111,6 +2111,50 @@ object Stats {
     // raw division chain, no r6 roulette anywhere. One corpus pass to
     // daily means; everything after on the date-bounded frame. Fully
     // oracle-checked.
+    // A116: Dixon's Q — the SMALL-SAMPLE gap-ratio outlier test
+    // beside A84's z-based Grubbs (the lab-stats classic: on a
+    // 30-point series a single wild value inflates Grubbs' own sd
+    // denominator; Q reads only ORDER STATISTICS, immune to that
+    // masking): Q_low = (x₍₂₎−x₍₁₎)/(x₍ₙ₎−x₍₁₎), Q_high the mirror,
+    // over the pinned daily panel per type. The order statistics are
+    // exact picks — row_number over (y, day) and its reverse on
+    // bit-identical pinned means, so no near-tie can flip engines —
+    // and each Q is ONE IEEE division of exact subtractions; the
+    // verdict compares against Rorabacher's published r₁₀(0.05, 30)
+    // = 0.260 critical value (the panel is 30 days at every SF; the
+    // n_days column lets a reader re-look-up any other n). Zero-range
+    // series drop by an exact comparison.
+    "a116_dixon_q" -> ((s, d) => {
+      val dly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("y"))
+      val asc = Window.partitionBy("event_type")
+        .orderBy(col("y").asc, col("day").asc)
+      val desc = Window.partitionBy("event_type")
+        .orderBy(col("y").desc, col("day").desc)
+      dly
+        .withColumn("ra", row_number().over(asc))
+        .withColumn("rd", row_number().over(desc))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          max(when(col("ra") === 1, col("y"))).as("x1"),
+          max(when(col("ra") === 2, col("y"))).as("x2"),
+          max(when(col("rd") === 2, col("y"))).as("xn1"),
+          max(when(col("rd") === 1, col("y"))).as("xn"))
+        .filter(col("xn") > col("x1"))
+        .select(col("event_type"), col("n_days"), col("x1"), col("xn"),
+          ((col("x2") - col("x1")) / (col("xn") - col("x1")))
+            .as("q_low"),
+          ((col("xn") - col("xn1")) / (col("xn") - col("x1")))
+            .as("q_high"),
+          ((col("x2") - col("x1")) / (col("xn") - col("x1")) >
+            lit(0.260d)).as("low_outlier"),
+          ((col("xn") - col("xn1")) / (col("xn") - col("x1")) >
+            lit(0.260d)).as("high_outlier"))
+        .orderBy("event_type")
+    }),
+
     "a84_grubbs" -> ((s, d) => {
       val dly = Tables.events(s, d)
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
@@ -5862,6 +5906,37 @@ object Stats {
          GROUP BY d.event_type ORDER BY d.event_type""",
     // exact-sum moments (one double render each) make every deviation
     // bit-identical, so the argmax pick and the raw G chain replay
+    // the same pinned daily panel; order statistics via the two
+    // deterministic row_numbers, one IEEE division each, the same
+    // published 0.260 critical constant
+    "a116_dixon_q" ->
+      """WITH dly AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS y
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT event_type, day, y,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY y ASC, day ASC) AS ra,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY y DESC, day DESC) AS rd
+           FROM dly),
+         a AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                  max(CASE WHEN ra = 1 THEN y END) AS x1,
+                  max(CASE WHEN ra = 2 THEN y END) AS x2,
+                  max(CASE WHEN rd = 2 THEN y END) AS xn1,
+                  max(CASE WHEN rd = 1 THEN y END) AS xn
+           FROM r GROUP BY 1)
+         SELECT event_type, n_days, x1, xn,
+                (x2 - x1) / (xn - x1) AS q_low,
+                (xn - xn1) / (xn - x1) AS q_high,
+                (x2 - x1) / (xn - x1) > CAST(0.260 AS DOUBLE)
+                  AS low_outlier,
+                (xn - xn1) / (xn - x1) > CAST(0.260 AS DOUBLE)
+                  AS high_outlier
+         FROM a WHERE xn > x1 ORDER BY event_type""",
     "a84_grubbs" ->
       """WITH dly AS (
            SELECT event_type, date_trunc('day', ts) AS day,

@@ -1535,6 +1535,41 @@ class StatsSpec extends AnyFunSuite {
   }
 
 
+  test("a116 Dixon Q matches a sequential order-statistic recompute") {
+    import org.apache.spark.sql.functions._
+    def dpin(xs: Seq[Double]): Double =
+      xs.map(BigDecimal(_).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val daily = graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts"))).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Any]("day").toString,
+        r.getAs[Double]("value")))
+      .groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
+        (t, day, dpin(es.map(_._3).toSeq) / es.size)
+      }.toSeq.groupBy(_._1)
+    val got = graft.operators.Stats.queries("a116_dixon_q")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+         r.getDouble(5), r.getBoolean(6), r.getBoolean(7))).toMap
+    daily.foreach { case (t, ds) =>
+      val sorted = ds.sortBy(e => (e._3, e._2))
+      val x1 = sorted.head._3; val x2 = sorted(1)._3
+      val revSorted = ds.sortBy(e => (e._3, e._2))(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse,
+          Ordering.String.reverse))
+      val xn = revSorted.head._3; val xn1 = revSorted(1)._3
+      if (xn > x1) {
+        val (n, gx1, gxn, ql, qh, lo, hi) = got(t)
+        assert(n == ds.size.toLong && gx1 == x1 && gxn == xn, s"$t picks")
+        assert(ql == (x2 - x1) / (xn - x1), s"$t q_low")
+        assert(qh == (xn - xn1) / (xn - x1), s"$t q_high")
+        assert(lo == (ql > 0.260) && hi == (qh > 0.260), s"$t verdicts")
+        assert(ql >= 0 && ql <= 1 && qh >= 0 && qh <= 1, s"$t bounds")
+      } else assert(!got.contains(t), s"$t zero-range gate")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("a81/a82 DW and DF match a sequential OLS recompute") {
     import org.apache.spark.sql.functions._
     def dec(x: Double, sc: Int): BigDecimal =
