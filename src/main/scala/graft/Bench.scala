@@ -214,12 +214,22 @@ object Bench {
           s"under $repoRoot")
       (parsed, prevFile.map(_.getName).getOrElse("none"))
     }
+    // A BRAND-NEW entry has no prior-round baseline, so the 3× rule
+    // can never flag it — which is exactly how a pathological first
+    // implementation (mm14's O(L²) interpreted-HOF fold, 905 s at
+    // sf0.1) sailed through a sweep unflagged. Absolute backstop: any
+    // baseline-less entry over 60 s (4× the suite's slowest legit
+    // query) is re-timed like a regression suspect; if the re-time
+    // agrees, the number stands and the name in "reruns" marks it for
+    // a human look.
     val allSuspects = firstPass
       .filter { case (name, t) =>
-        t > 0 && prevQueries.get(name)
-          .exists(p => p > 0 && t > 3 * p && t - p > 0.5)
+        t > 0 && (prevQueries.get(name)
+          .exists(p => p > 0 && t > 3 * p && t - p > 0.5) ||
+          (!prevQueries.contains(name) && t > 60.0))
       }
-      .sortBy { case (name, t) => -(t / prevQueries(name)) }
+      .sortBy { case (name, t) =>
+        -(t / prevQueries.getOrElse(name, 1.0)) }
     val suspects = allSuspects.take(15).map(_._1)
     val suspectsDropped = allSuspects.drop(15).map(_._1)
     if (suspectsDropped.nonEmpty)
