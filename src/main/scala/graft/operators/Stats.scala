@@ -2155,6 +2155,76 @@ object Stats {
         .orderBy("event_type")
     }),
 
+    // A117: two-way ANOVA with interaction — the FACTORIAL design
+    // the family's endpoints stop short of (A52 one-way, A62 a 2×2
+    // difference-in-differences): does the type effect, the
+    // time-phase effect, and — the question only the two-way can ask
+    // — their INTERACTION explain the daily panel? Factors: event
+    // type × calendar phase (day-offset mod 3 over the 30
+    // consecutive panel days → exactly 10 obs per cell, a BALANCED
+    // a×3 design; under imbalance the same formulas remain the
+    // weighted sequential decomposition, documented). Float
+    // discipline: every level/cell mean is a render of an exact
+    // decimal sum at the y≈50 magnitude (A84's pinning), each SS
+    // term n·(mean−grand)² is one fixed IEEE chain r6'd into a
+    // decimal-pinned order-free sum, SS_AB = SS_cells−SS_A−SS_B and
+    // the three F ratios are fixed chains on those pinned scalars.
+    // SS_E uses the per-cell computational form q − n·m² (identical
+    // cancellation on identical doubles). One corpus pass to the
+    // panel; every aggregate after runs on ≤a·3 rows.
+    "a117_two_way_anova" -> ((s, d) => {
+      val dly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("y"))
+      val d0 = dly.agg(min(col("day")).as("d0"))
+      val panel = dly.crossJoin(broadcast(d0))
+        .withColumn("phase",
+          (datediff(col("day"), col("d0")) % 3).cast("long"))
+      val grand = panel.agg(count(lit(1)).as("n"),
+        sum(col("y").cast("decimal(24,10)")).cast("double").as("sg"))
+        .select(col("n"), (col("sg") / col("n")).as("gmean"))
+      def ssLevel(key: String, levels: String, ss: String) = panel
+        .groupBy(col(key))
+        .agg(count(lit(1)).as("nl"),
+          sum(col("y").cast("decimal(24,10)")).cast("double").as("sl"))
+        .crossJoin(broadcast(grand))
+        .withColumn("dev", col("sl") / col("nl") - col("gmean"))
+        .agg(count(lit(1)).as(levels),
+          sum(round(col("nl") * col("dev") * col("dev"), 6)
+            .cast("decimal(24,10)")).cast("double").as(ss))
+      val ssA = ssLevel("event_type", "a_levels", "ss_a")
+      val ssB = ssLevel("phase", "b_levels", "ss_b")
+      val cells = panel.groupBy(col("event_type"), col("phase"))
+        .agg(count(lit(1)).as("nc"),
+          sum(col("y").cast("decimal(24,10)")).cast("double").as("sc"),
+          sum((col("y") * col("y")).cast("decimal(28,8)")).cast("double")
+            .as("qc"))
+        .crossJoin(broadcast(grand))
+        .withColumn("cmean", col("sc") / col("nc"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(round(col("nc") * (col("cmean") - col("gmean")) *
+            (col("cmean") - col("gmean")), 6).cast("decimal(24,10)"))
+            .cast("double").as("ss_cells"),
+          sum(round(col("qc") - col("nc") * col("cmean") * col("cmean"), 6)
+            .cast("decimal(24,10)")).cast("double").as("ss_e"))
+      ssA.crossJoin(broadcast(ssB)).crossJoin(broadcast(cells))
+        .crossJoin(broadcast(grand))
+        .withColumn("dfa", col("a_levels") - 1)
+        .withColumn("dfb", col("b_levels") - 1)
+        .withColumn("dfab", col("dfa") * col("dfb"))
+        .withColumn("dfe", col("n") - col("n_cells"))
+        .withColumn("ss_ab", col("ss_cells") - col("ss_a") - col("ss_b"))
+        .select(col("a_levels"), col("b_levels"), col("n"),
+          col("ss_a"), col("ss_b"), col("ss_ab"), col("ss_e"),
+          ((col("ss_a") / col("dfa")) / (col("ss_e") / col("dfe")))
+            .as("f_a"),
+          ((col("ss_b") / col("dfb")) / (col("ss_e") / col("dfe")))
+            .as("f_b"),
+          ((col("ss_ab") / col("dfab")) / (col("ss_e") / col("dfe")))
+            .as("f_ab"))
+    }),
+
     "a84_grubbs" -> ((s, d) => {
       val dly = Tables.events(s, d)
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
@@ -5906,6 +5976,72 @@ object Stats {
          GROUP BY d.event_type ORDER BY d.event_type""",
     // exact-sum moments (one double render each) make every deviation
     // bit-identical, so the argmax pick and the raw G chain replay
+    // the same pinned daily panel; phase from the calendar offset,
+    // level/cell sums VARCHAR-hop rendered, SS terms r6'd then
+    // decimal-summed, the identical fixed F chains
+    "a117_two_way_anova" ->
+      """WITH dly AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS y
+           FROM events GROUP BY 1, 2),
+         d0 AS (SELECT min(day) AS d0 FROM dly),
+         panel AS (
+           SELECT event_type,
+                  CAST(datediff('day', d0, day) % 3 AS BIGINT) AS phase,
+                  y
+           FROM dly, d0),
+         grand AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(CAST(sum(CAST(y AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS gmean
+           FROM panel),
+         la AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS nl,
+                  CAST(CAST(sum(CAST(y AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) AS sl
+           FROM panel GROUP BY 1),
+         sa AS (
+           SELECT CAST(count(*) AS BIGINT) AS a_levels,
+                  CAST(CAST(sum(CAST(round(
+                    nl * (sl / nl - gmean) * (sl / nl - gmean), 6)
+                    AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE) AS ss_a
+           FROM la, grand),
+         lb AS (
+           SELECT phase, CAST(count(*) AS BIGINT) AS nl,
+                  CAST(CAST(sum(CAST(y AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) AS sl
+           FROM panel GROUP BY 1),
+         sb AS (
+           SELECT CAST(count(*) AS BIGINT) AS b_levels,
+                  CAST(CAST(sum(CAST(round(
+                    nl * (sl / nl - gmean) * (sl / nl - gmean), 6)
+                    AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE) AS ss_b
+           FROM lb, grand),
+         lc AS (
+           SELECT event_type, phase, CAST(count(*) AS BIGINT) AS nc,
+                  CAST(CAST(sum(CAST(y AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) AS sc,
+                  CAST(CAST(sum(CAST(y * y AS DECIMAL(28,8))) AS VARCHAR)
+                       AS DOUBLE) AS qc
+           FROM panel GROUP BY 1, 2),
+         scell AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                  CAST(CAST(sum(CAST(round(
+                    nc * (sc / nc - gmean) * (sc / nc - gmean), 6)
+                    AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE) AS ss_cells,
+                  CAST(CAST(sum(CAST(round(
+                    qc - nc * (sc / nc) * (sc / nc), 6)
+                    AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE) AS ss_e
+           FROM lc, grand)
+         SELECT a_levels, b_levels, n, ss_a, ss_b,
+                ss_cells - ss_a - ss_b AS ss_ab, ss_e,
+                (ss_a / (a_levels - 1)) / (ss_e / (n - n_cells)) AS f_a,
+                (ss_b / (b_levels - 1)) / (ss_e / (n - n_cells)) AS f_b,
+                ((ss_cells - ss_a - ss_b) /
+                 ((a_levels - 1) * (b_levels - 1))) /
+                  (ss_e / (n - n_cells)) AS f_ab
+         FROM sa, sb, scell, grand""",
     // the same pinned daily panel; order statistics via the two
     // deterministic row_numbers, one IEEE division each, the same
     // published 0.260 critical constant

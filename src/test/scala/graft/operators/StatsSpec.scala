@@ -1570,6 +1570,61 @@ class StatsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("a117 two-way ANOVA matches a sequential factorial recompute") {
+    import org.apache.spark.sql.functions._
+    def dpin(xs: Seq[Double], sc: Int): Double =
+      xs.map(BigDecimal(_).setScale(sc, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    def r6v(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val panel = graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts"))).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Any]("day").toString,
+        r.getAs[Double]("value")))
+      .groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
+        (t, day, dpin(es.map(_._3).toSeq, 10) / es.size)
+      }.toSeq
+    val days = panel.map(_._2).distinct.sorted
+    def phase(day: String) = days.indexOf(day).toLong % 3
+    val n = panel.size.toLong
+    val gmean = dpin(panel.map(_._3), 10) / n
+    def ssOf[K](key: ((String, String, Double)) => K): (Long, Double) = {
+      val gs = panel.groupBy(key)
+      (gs.size.toLong, dpin(gs.values.toSeq.map { ms =>
+        val dev = dpin(ms.map(_._3), 10) / ms.size - gmean
+        r6v(ms.size * dev * dev)
+      }, 10))
+    }
+    val (aL, ssA) = ssOf(_._1)
+    val (bL, ssB) = ssOf(e => phase(e._2))
+    val (nCells, ssCells) = ssOf(e => (e._1, phase(e._2)))
+    val ssE = dpin(panel.groupBy(e => (e._1, phase(e._2))).values.toSeq
+      .map { ms =>
+        val sc = dpin(ms.map(_._3), 10)
+        val qc = dpin(ms.map(m => m._3 * m._3), 8)
+        val cm = sc / ms.size
+        r6v(qc - ms.size * cm * cm)
+      }, 10)
+    val row = graft.operators.Stats.queries("a117_two_way_anova")(
+      spark, sf).collect().head
+    assert(row.getLong(0) == aL && row.getLong(1) == bL &&
+      row.getLong(2) == n)
+    assert(math.abs(row.getDouble(3) - ssA) < 1e-9, "ss_a")
+    assert(math.abs(row.getDouble(4) - ssB) < 1e-9, "ss_b")
+    assert(math.abs(row.getDouble(5) - (ssCells - ssA - ssB)) < 1e-9,
+      "ss_ab")
+    assert(math.abs(row.getDouble(6) - ssE) < 1e-9, "ss_e")
+    val mse = ssE / (n - nCells)
+    assert(math.abs(row.getDouble(7) - ssA / (aL - 1) / mse) < 1e-9, "f_a")
+    assert(math.abs(row.getDouble(8) - ssB / (bL - 1) / mse) < 1e-9, "f_b")
+    // the balanced design: every (type, phase) cell holds the same
+    // number of days
+    val cellSizes = panel.groupBy(e => (e._1, phase(e._2))).values
+      .map(_.size).toSet
+    assert(cellSizes.size == 1, s"unbalanced cells: $cellSizes")
+    assert(row.getDouble(6) > 0, "vacuous: zero within-cell variance")
+  }
+
   test("a81/a82 DW and DF match a sequential OLS recompute") {
     import org.apache.spark.sql.functions._
     def dec(x: Double, sc: Int): BigDecimal =
