@@ -181,19 +181,28 @@ object Bench {
     // better median wins. Re-run names are stamped into the artifact
     // ("reruns") together with the start/end 1-min load averages, so
     // a poisoned sweep is visible instead of silently authoritative.
-    // Round-11 hardening: the baseline is the newest artifact from a
-    // PRIOR round (an own-round refresh must never baseline itself —
-    // a poisoned value would instantly become authoritative), the
-    // chosen baseline is stamped into the artifact, and a guard that
-    // finds no usable baseline says so on stderr instead of silently
+    // Round-11 hardening: the baseline comes from PRIOR rounds only
+    // (an own-round refresh must never baseline itself — a poisoned
+    // value would instantly become authoritative), the chosen
+    // baseline is stamped into the artifact, and a guard that finds
+    // no usable baseline says so on stderr instead of silently
     // re-running nothing.
+    // Round-12 hardening: baseline each entry against the per-entry
+    // MIN across the last THREE prior-round artifacts, not the single
+    // newest one. Load poisoning only ever inflates a timing, so min
+    // is robust to any one bad sweep — round 11 proved the failure
+    // mode: r10's committed artifact carried a load-poisoned 7.92 s
+    // for a78_calibration (true ~0.9 s), so a 7.49 s phantom passed
+    // the 3× rule against it. With the min over r9/r10/r11 the
+    // baseline snaps back to the clean value regardless of which
+    // single sweep was dirty.
     val (prevQueries: Map[String, Double], baselineName: String) = {
-      val prevFile = Option(repoRoot.listFiles()).toSeq.flatten
+      val prevFiles = Option(repoRoot.listFiles()).toSeq.flatten
         .flatMap(f => "^BENCH_FULL_r(\\d+)\\.json$".r
           .findFirstMatchIn(f.getName).map(m => m.group(1).toInt -> f))
         .filter(_._1 < round)
-        .sortBy(-_._1).headOption.map(_._2)
-      val parsed = prevFile.map { f =>
+        .sortBy(-_._1).take(3).map(_._2)
+      def parse(f: java.io.File): Map[String, Double] = {
         val txt = new String(
           java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8)
@@ -207,12 +216,23 @@ object Bench {
           "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(body)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
-      }.getOrElse(Map.empty[String, Double])
-      if (parsed.isEmpty)
+      }
+      val maps = prevFiles.map(f => f.getName -> parse(f))
+        .filter(_._2.nonEmpty)
+      // per-entry min over positive readings only — a recorded failure
+      // (-1) or zero in one artifact must not mask a real baseline in
+      // another
+      val merged = maps.flatMap(_._2.toSeq)
+        .filter(_._2 > 0)
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+      if (merged.isEmpty)
         System.err.println("[bench] phantom-regression guard DISABLED: no " +
           s"usable prior-round BENCH_FULL_r<N<$round>.json (same sf=$sfDir) " +
           s"under $repoRoot")
-      (parsed, prevFile.map(_.getName).getOrElse("none"))
+      (merged, maps.map(_._1).mkString("min(", ",", ")") match {
+        case "min()" => "none"
+        case s => s
+      })
     }
     // A BRAND-NEW entry has no prior-round baseline, so the 3× rule
     // can never flag it — which is exactly how a pathological first
@@ -221,7 +241,9 @@ object Bench {
     // baseline-less entry over 60 s (4× the suite's slowest legit
     // query) is re-timed like a regression suspect; if the re-time
     // agrees, the number stands and the name in "reruns" marks it for
-    // a human look.
+    // a human look. Entries whose only prior readings were recorded
+    // failures (<= 0) are filtered out of the merged baseline above,
+    // so they land here too instead of slipping between the two rules.
     val allSuspects = firstPass
       .filter { case (name, t) =>
         t > 0 && (prevQueries.get(name)

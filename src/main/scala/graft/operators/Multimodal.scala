@@ -180,9 +180,9 @@ object Multimodal {
         // collapse inlines bv's split+transform chain into the
         // lambda body, and the interpreted HOF then re-derives the
         // whole array PER ITERATION, turning each fold O(L²)
-        // (measured: 905 s at sf0.1 for the element_at form vs
-        // sub-second for this one — F8's interpreted-HOF caveat
-        // made concrete).
+        // (measured at sf0.1: 905 s for the element_at form vs
+        // ~4 s for this one, BENCH_FULL_r11 3.93 s — F8's
+        // interpreted-HOF caveat made concrete).
         .select(col("doc_id"), col("np"),
           slice(col("bv"), lit(1), col("np").cast("int")).as("x"),
           slice(col("bv"), lit(2), col("np").cast("int")).as("y"))

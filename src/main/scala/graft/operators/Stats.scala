@@ -2148,10 +2148,17 @@ object Stats {
             .as("q_low"),
           ((col("xn") - col("xn1")) / (col("xn") - col("x1")))
             .as("q_high"),
-          ((col("x2") - col("x1")) / (col("xn") - col("x1")) >
-            lit(0.260d)).as("low_outlier"),
-          ((col("xn") - col("xn1")) / (col("xn") - col("x1")) >
-            lit(0.260d)).as("high_outlier"))
+          // the 0.260 critical value IS r10(0.05, n=30) — on any
+          // other panel length the boolean would be statistically
+          // mislabeled, so the verdict is gated to n_days = 30 and
+          // NULL otherwise (q_low/q_high still report; a reader
+          // re-looks-up r10 for the emitted n_days)
+          when(col("n_days") === 30,
+            (col("x2") - col("x1")) / (col("xn") - col("x1")) >
+              lit(0.260d)).as("low_outlier"),
+          when(col("n_days") === 30,
+            (col("xn") - col("xn1")) / (col("xn") - col("x1")) >
+              lit(0.260d)).as("high_outlier"))
         .orderBy("event_type")
     }),
 
@@ -3526,9 +3533,13 @@ object Stats {
         .select(col("event_type"), col("n_a"), col("n_b"), col("bc"),
           // bc is the same correctly-rounded decimal render on both
           // engines; 1−bc and the IEEE-exact sqrt stay raw, only the
-          // libm ln gets the round6 discipline (the a33 convention)
+          // libm ln gets the round6 discipline (the a33 convention).
+          // Both bc-near-1 clamps are mirrored: per-term r6 rounding
+          // can push bc a hair past 1, which would take hellinger's
+          // sqrt negative (the greatest guard) AND −ln(bc) below the
+          // documented B ≥ 0 bound (the least guard).
           sqrt(greatest(lit(0.0), lit(1.0) - col("bc"))).as("hellinger"),
-          r6(-log(col("bc"))).as("bhattacharyya"))
+          r6(-log(least(col("bc"), lit(1.0)))).as("bhattacharyya"))
         .orderBy("event_type")
     }),
 
@@ -5655,7 +5666,8 @@ object Stats {
          SELECT event_type, n_a, n_b, bc,
                 sqrt(greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - bc))
                   AS hellinger,
-                round(-ln(bc), 6) AS bhattacharyya
+                round(-ln(least(bc, CAST(1 AS DOUBLE))), 6)
+                  AS bhattacharyya
          FROM agg ORDER BY event_type""",
     // identical fixed-width binning, integer tie-corrected
     // Mann–Whitney decomposition, one final raw-double division
@@ -6068,10 +6080,12 @@ object Stats {
          SELECT event_type, n_days, x1, xn,
                 (x2 - x1) / (xn - x1) AS q_low,
                 (xn - xn1) / (xn - x1) AS q_high,
-                (x2 - x1) / (xn - x1) > CAST(0.260 AS DOUBLE)
-                  AS low_outlier,
-                (xn - xn1) / (xn - x1) > CAST(0.260 AS DOUBLE)
-                  AS high_outlier
+                CASE WHEN n_days = 30 THEN
+                  (x2 - x1) / (xn - x1) > CAST(0.260 AS DOUBLE)
+                END AS low_outlier,
+                CASE WHEN n_days = 30 THEN
+                  (xn - xn1) / (xn - x1) > CAST(0.260 AS DOUBLE)
+                END AS high_outlier
          FROM a WHERE xn > x1 ORDER BY event_type""",
     "a84_grubbs" ->
       """WITH dly AS (
