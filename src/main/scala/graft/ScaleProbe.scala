@@ -90,6 +90,22 @@ object ScaleProbe {
       marker18.createNewFile()
     }
 
+    // round 12: a 10× ORDERS replica for the s27 codec probe (its
+    // cost axis is compressed I/O volume, not the corpus tables the
+    // shared replica carries). Own dir + marker so the existing
+    // replicas stay valid.
+    val ordDir = "/tmp/graft-scale10-orders"
+    val markerOrd = new java.io.File(s"$ordDir/_READY")
+    if (!markerOrd.exists()) {
+      val ord = Tables.orders(spark, sfDir)
+      (0 until 10).map(k =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * 100000000L)))
+        .reduce(_ unionByName _)
+        .repartition(10).write.mode("overwrite")
+        .parquet(s"$ordDir/orders.parquet")
+      markerOrd.createNewFile()
+    }
+
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
@@ -238,6 +254,39 @@ object ScaleProbe {
       },
       "t16_session_stream" -> { d =>
         noop(graft.streaming.EventStream.queries("t16_session_stream")(spark, d))
+      },
+      // round 12: the committed-artifact heavies that had no measured
+      // scaling row. mm14 is the suite's slowest stateless entry — a
+      // zero-shuffle codegen fold whose cost axis is raw byte volume,
+      // so the verbatim replica is the honest input.
+      "mm14_byte_autocorr" -> { d =>
+        noop(graft.operators.Multimodal
+          .queries("mm14_byte_autocorr")(spark, d))
+      },
+      // d21/d28/pipe7 consume the shared verified corpus graph like
+      // d10/d11/d13 — they inherit the replica's planted 10-cliques
+      // (the documented edge-volume axis those probes established):
+      // d21's synchronous peel is two semi-joins + one agg per round
+      // on edge-sized frames, d28 a (source, source) rollup, pipe7
+      // the three-way doc-keyed composition of cc/coreness/harmonic.
+      "d21_kcore" -> { d =>
+        noop(graft.operators.Dedup.queries("d21_kcore")(spark, d))
+      },
+      "d28_source_overlap" -> { d =>
+        noop(graft.operators.Dedup.queries("d28_source_overlap")(spark, d))
+      },
+      "pipe7_graph_triage" -> { d =>
+        noop(graft.operators.Curation
+          .queries("pipe7_graph_triage")(spark, d))
+      },
+      // s27 on the 10× orders replica: both codec legs (single-stream
+      // gzip CSV, block-splittable bzip2 JSON) write + read 10× the
+      // bytes; the interesting reading is whether the non-splittable
+      // gzip read leg degrades toward single-task wall-clock.
+      "s27_compressed_roundtrip" -> { d =>
+        val dd = if (d == sfDir) d else ordDir
+        noop(graft.operators.SourceSinks
+          .queries("s27_compressed_roundtrip")(spark, dd))
       })
 
     // SPARK_GRAFT_PROBE_ONLY=a,b runs just the named probes (local
