@@ -369,6 +369,14 @@ object Similarity {
     * the checked query just wrote. */
   private[operators] val D16EdgeDump = "/tmp/graft_d16_edges.parquet"
 
+  /** SIM2's (vec_id, band, bkt) hyperplane-sign buckets, dumped for
+    * the oracle (the D16/D3 materialized-intermediate pattern, round
+    * 12): the splitmix64 plane constants have no DuckDB twin, but
+    * bucket join → dedup → cosine → top-k are all replayable from the
+    * dump, and the engine reads the dump back so both sides consume
+    * the identical bucket artifact. */
+  private[operators] val Sim2BandDump = "/tmp/graft_sim2_bands.parquet"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SIM11: per-dimension feature statistics — the normalization
     // constants every embedding pipeline precomputes before indexing
@@ -844,17 +852,23 @@ object Similarity {
     }),
 
     // SIM2: banded-LSH ANN — top-k among candidates that share ANY of
-    // the 6 band buckets with the query (rows-only check; recall vs
-    // brute force asserted in SimilaritySpec). Each side explodes ×6
-    // on (band, bkt); the union of band matches is deduped BEFORE the
+    // the 6 band buckets with the query. Each side explodes ×6 on
+    // (band, bkt); the union of band matches is deduped BEFORE the
     // cosine, so the expensive dot product runs once per candidate.
+    // The bucket table is dumped and read back (Sim2BandDump) — the
+    // oracle replays bucket join, dedup, cosine, and top-k from it,
+    // flipping the query from rows-only to full hash in round 12
+    // (recall vs brute force stays asserted in SimilaritySpec).
     "sim2_lsh_ann" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), banded(col("embedding")).as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"),
+          col("bb.bkt").as("bkt"))
+        .write.mode("overwrite").parquet(Sim2BandDump)
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
         .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
-        .withColumn("bb", banded(col("embedding")))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+        .join(s.read.parquet(Sim2BandDump), Seq("vec_id"))
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
           col("nrm").as("qn"), col("band"), col("bkt"))
@@ -884,7 +898,11 @@ object Similarity {
     // Queries probe their nprobe=2 closest lists; candidates co-locate
     // by an equi-join on the list id — at 100 TB the lists
     // shuffle-partition the corpus and each query touches ~2/16 of it.
-    // Rows-only (recall vs brute force asserted in SimilaritySpec).
+    // Fully hash-checked since round 12: the quantizer is
+    // deterministic SQL (vec_id % 31 sample, limit 16), so the DuckDB
+    // twin replays sampling, assignment argmax, probe ranking, and
+    // top-k end to end with no dump (recall vs brute force stays
+    // asserted in SimilaritySpec).
     "sim3_ivf_ann" -> ((s, d) => {
       val cents = centroids(s, d)
       // corpus side: the prebuilt inverted lists (nearest list only)
@@ -1275,6 +1293,88 @@ object Similarity {
            GROUP BY enc.vec_id)"""
 
   val oracles: Map[String, String] = Map(
+    // SIM2: candidates from the dumped bucket table, then the exact
+    // sim1 cosine/rank machinery over the candidate pairs
+    "sim2_lsh_ann" ->
+      s"""WITH bands AS (
+           SELECT vec_id, band, bkt FROM '$Sim2BandDump/*.parquet'),
+         v AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, e,
+                  sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+           FROM v),
+         cand AS (
+           SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+           FROM bands q JOIN bands c
+             ON q.band = c.band AND q.bkt = c.bkt
+           WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         pairs AS (
+           SELECT cand.q_id, cand.c_id,
+                  list_sum(list_transform(generate_series(1, len(qe.e)),
+                    i -> qe.e[i] * ce.e[i])) / (qe.nrm * ce.nrm) AS cosine
+           FROM cand
+           JOIN n qe ON qe.vec_id = cand.q_id
+           JOIN n ce ON ce.vec_id = cand.c_id)
+         SELECT q_id, rank, c_id, round(cosine, 6) AS cosine FROM (
+           SELECT q_id, c_id, cosine,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, c_id) AS rank
+           FROM pairs) WHERE rank <= 5
+         ORDER BY q_id, rank""",
+    // SIM3: the full IVF pipeline in SQL — the deterministic
+    // quantizer sample (vec_id % 31, first 16), per-vector centroid
+    // cosines, nearest-list assignment and nprobe=2 probe ranking
+    // both with Spark's struct-max tiebreak (cos DESC, cid DESC),
+    // then the sim1 cosine/rank machinery over the list-mates
+    "sim3_ivf_ann" ->
+      """WITH v AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, e,
+                  sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+           FROM v),
+         cents AS (
+           SELECT vec_id AS cid, e, nrm FROM n
+           WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16),
+         cc AS (
+           SELECT n.vec_id, c.cid,
+                  list_sum(list_transform(generate_series(1, len(n.e)),
+                    i -> n.e[i] * c.e[i])) / (n.nrm * c.nrm) AS cos
+           FROM n, cents c),
+         asg AS (
+           SELECT vec_id AS c_id, lst FROM (
+             SELECT vec_id, cid AS lst,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cos DESC, cid DESC) AS rk
+             FROM cc) WHERE rk = 1),
+         probes AS (
+           SELECT vec_id AS q_id, lst FROM (
+             SELECT vec_id, cid AS lst,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cos DESC, cid DESC) AS rk
+             FROM cc WHERE vec_id < 10) WHERE rk <= 2),
+         cand AS (
+           SELECT DISTINCT p.q_id, a.c_id
+           FROM probes p JOIN asg a ON a.lst = p.lst
+           WHERE a.c_id <> p.q_id),
+         pairs AS (
+           SELECT cand.q_id, cand.c_id,
+                  list_sum(list_transform(generate_series(1, len(qe.e)),
+                    i -> qe.e[i] * ce.e[i])) / (qe.nrm * ce.nrm) AS cosine
+           FROM cand
+           JOIN n qe ON qe.vec_id = cand.q_id
+           JOIN n ce ON ce.vec_id = cand.c_id)
+         SELECT q_id, rank, c_id, round(cosine, 6) AS cosine FROM (
+           SELECT q_id, c_id, cosine,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, c_id) AS rank
+           FROM pairs) WHERE rank <= 5
+         ORDER BY q_id, rank""",
     // SIM13: both ranking CTE chains are verbatim the sim1/sim4
     // oracles (renamed CTEs), then the same integer overlap count
     "sim13_recall_eval" ->
