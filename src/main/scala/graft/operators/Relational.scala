@@ -27,6 +27,18 @@ object Relational {
   /** Round doubles for oracle-tolerant compare (BOTH sides round to 6). */
   private def r6(c: Column): Column = round(c, 6)
 
+  /** SQL7's bounded-walk depths — shared constants so the exactness
+    * guards in DedupSpec assert against the SAME literal the SQL
+    * interpolates (the bound is tested, not narrated): the walk is
+    * exact iff every component's diameter is ≤ the depth. Slice graph
+    * (J ≥ 0.02, doc_id < 100): depth 8 ≫ the tiny demo clusters.
+    * Corpus graph (verified J ≥ 0.5): depth 4 = measured diameter 3
+    * + 1 margin — load-bearing at scale, since bounded UNION ALL
+    * walks multiply as Σ deg^depth (see the sql7_closure_corpus
+    * scaladoc). */
+  val Sql7SliceDepth = 8
+  val Sql7CorpusDepth = 4
+
   /** Distinct (user, day) pairs for one event type — the common side
     * of the U4/U5 set-operator complement pair (one definition, so the
     * day derivation can't drift between the two). */
@@ -1042,7 +1054,7 @@ object Relational {
         .select(col("doc_id")).createOrReplaceTempView("docs_v")
       TextAnalysis.ngramJaccardPairs(s, d, maxId = 100, minJ = 0.02)
         .select(col("da"), col("db")).createOrReplaceTempView("pairs_v")
-      s.sql("""
+      s.sql(s"""
         WITH RECURSIVE
           edges AS (SELECT da AS src, db AS dst FROM pairs_v
                     UNION SELECT db AS src, da AS dst FROM pairs_v),
@@ -1051,7 +1063,7 @@ object Relational {
             UNION ALL
             SELECT reach.id, e.dst, reach.lvl + 1 FROM reach
             JOIN edges e ON reach.r = e.src
-            WHERE reach.lvl < 8)
+            WHERE reach.lvl < $Sql7SliceDepth)
         SELECT id AS doc_id, min(r) AS canonical_id FROM reach
         GROUP BY id ORDER BY doc_id""")
     }),
@@ -1077,7 +1089,7 @@ object Relational {
       Tables.documents(s, d).select(col("doc_id"))
         .createOrReplaceTempView("docs_corpus_v")
       Dedup.corpusPairs(s, d).createOrReplaceTempView("pairs_corpus_v")
-      s.sql("""
+      s.sql(s"""
         WITH RECURSIVE
           edges AS (SELECT da AS src, db AS dst FROM pairs_corpus_v
                     UNION SELECT db AS src, da AS dst FROM pairs_corpus_v),
@@ -1086,7 +1098,7 @@ object Relational {
             UNION ALL
             SELECT reach.id, e.dst, reach.lvl + 1 FROM reach
             JOIN edges e ON reach.r = e.src
-            WHERE reach.lvl < 4)
+            WHERE reach.lvl < $Sql7CorpusDepth)
         SELECT id AS doc_id, min(r) AS canonical_id FROM reach
         GROUP BY id ORDER BY doc_id""")
     }),

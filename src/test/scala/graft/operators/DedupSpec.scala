@@ -433,12 +433,14 @@ class DedupSpec extends AnyFunSuite {
     val viaLoop = Dedup.queries("d10_dup_clusters")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaSql == viaLoop)
-    // guard for sql7's depth-8 termination bound: the bounded walk is
-    // exact only while every component's diameter stays ≤ 8; cluster
-    // size bounds diameter + 1
+    // guard for sql7's termination bound (the SHARED constant the SQL
+    // interpolates): the bounded walk is exact only while every
+    // component's diameter stays ≤ the depth; cluster size bounds
+    // diameter + 1
     val maxCluster = viaLoop.groupBy(_._2).values.map(_.size).max
-    assert(maxCluster <= 9, s"cluster of $maxCluster docs — sql7's " +
-      "depth bound no longer covers the diameter")
+    assert(maxCluster <= Relational.Sql7SliceDepth + 1,
+      s"cluster of $maxCluster docs — sql7's depth bound " +
+        s"${Relational.Sql7SliceDepth} no longer covers the diameter")
   }
 
   test("connected components: transitive chains collapse, singletons stand") {
@@ -539,12 +541,11 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("SQL7b corpus closure is row-identical to the iterative D10b components") {
-    // the two corpus component paths — in-plan recursion (depth-4
-    // bounded walk, measured max cluster diameter 3 + 1 — matching
-    // the lvl < 4 bound in Relational and the README) vs the
-    // driver-loop fixpoint — must land on the SAME clusters; this is
-    // also the exactness guard for the depth bound (a cluster
-    // outgrowing diameter 4 would diverge here)
+    // the two corpus component paths — in-plan recursion (bounded
+    // walk at the SHARED Relational.Sql7CorpusDepth the SQL
+    // interpolates) vs the driver-loop fixpoint — must land on the
+    // SAME clusters; this is also the exactness guard for the depth
+    // bound (a cluster outgrowing the depth would diverge here)
     val sf = SparkTestSession.Sf0001
     val viaSql = Relational.queries("sql7_closure_corpus")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
@@ -553,6 +554,27 @@ class DedupSpec extends AnyFunSuite {
     assert(viaSql.sameElements(viaLoop))
     assert(viaSql.exists { case (id, c) => id != c },
       "vacuous: no non-trivial corpus cluster")
+    // measure the ACTUAL graph diameter (per-component BFS over the
+    // collected corpus edges — components are tiny) and assert it
+    // against the constant, so the bound's validity is a measured
+    // invariant rather than a narrated one
+    val (_, pairs) = corpusGraph
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def ecc(src: Long): Int = {
+      var frontier = Set(src); var seen = Set(src); var depth = 0
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj(_)).diff(seen)
+        if (next.nonEmpty) depth += 1
+        seen ++= next; frontier = next
+      }
+      depth
+    }
+    val diameter = if (adj.isEmpty) 0 else adj.keys.map(ecc).max
+    assert(diameter <= Relational.Sql7CorpusDepth,
+      s"measured corpus diameter $diameter exceeds sql7_closure_corpus's " +
+        s"depth bound ${Relational.Sql7CorpusDepth} — the bounded walk " +
+        "is no longer exact")
   }
 
   test("D13b corpus clustering coefficient equals the sequential recompute") {
