@@ -43,9 +43,15 @@ object Stats {
       sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
       sum(when(!col("g1"), 1L).otherwise(0L)).as("n2"))
     val perv = ev.crossJoin(broadcast(bounds))
+      // hi = lo (every value identical) would make the bin division
+      // 0/0 → NaN and poison the downstream int cast under ANSI; one
+      // bucket is also the RIGHT decomposition for a single distinct
+      // value (degenerate-fixture spec: StatsDegenerateSpec)
       .withColumn("bucket",
-        least(floor((col("value") - col("lo")) /
-          (col("hi") - col("lo")) * B), lit(B - 1)).cast("int"))
+        when(col("hi") > col("lo"),
+          least(floor((col("value") - col("lo")) /
+            (col("hi") - col("lo")) * B), lit(B - 1)))
+          .otherwise(lit(0L)).cast("int"))
       .groupBy(col("bucket"), col("value"))
       .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("k1"),
         sum(when(!col("g1"), 1L).otherwise(0L)).as("k2"))
@@ -160,9 +166,13 @@ object Stats {
       .agg(count(lit(1)).as("c"))
     val vt = vc.groupBy(col("value")).agg(sum(col("c")).as("cnt"))
       .crossJoin(broadcast(rng))
+      // vmax = vmin -> one bucket (degenerate-range guard; spec:
+      // StatsDegenerateSpec)
       .withColumn("bucket",
-        least(floor((col("value") - col("vmin")) /
-          (col("vmax") - col("vmin")) * 1000), lit(999L)))
+        when(col("vmax") > col("vmin"),
+          least(floor((col("value") - col("vmin")) /
+            (col("vmax") - col("vmin")) * 1000), lit(999L)))
+          .otherwise(lit(0L)))
     val bt = vt.groupBy(col("bucket")).agg(sum(col("cnt")).as("bcnt"))
       .withColumn("bbelow", coalesce(sum(col("bcnt")).over(
         Window.orderBy("bucket")
@@ -1696,9 +1706,13 @@ object Stats {
       val rng = ev.agg(min(col("value")).as("vmin"),
         max(col("value")).as("vmax"))
       val binned = ev.crossJoin(broadcast(rng))
+        // vmax = vmin -> one bin (degenerate-range guard; spec:
+        // StatsDegenerateSpec)
         .withColumn("bin",
-          least(floor((col("value") - col("vmin")) /
-            (col("vmax") - col("vmin")) * 10), lit(9L)))
+          when(col("vmax") > col("vmin"),
+            least(floor((col("value") - col("vmin")) /
+              (col("vmax") - col("vmin")) * 10), lit(9L)))
+            .otherwise(lit(0L)))
         .withColumn("in_a",
           (col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
             .cast("long"))
@@ -1752,9 +1766,13 @@ object Stats {
       val rng = ev.agg(min(col("value")).as("vmin"),
         max(col("value")).as("vmax"))
       val counts = ev.crossJoin(broadcast(rng))
+        // vmax = vmin -> one bin (degenerate-range guard; spec:
+        // StatsDegenerateSpec)
         .withColumn("bin",
-          least(floor((col("value") - col("vmin")) /
-            (col("vmax") - col("vmin")) * 1000), lit(999L)))
+          when(col("vmax") > col("vmin"),
+            least(floor((col("value") - col("vmin")) /
+              (col("vmax") - col("vmin")) * 1000), lit(999L)))
+            .otherwise(lit(0L)))
         .groupBy(col("event_type"), col("bin"))
         .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("p"),
           sum(when(col("pos"), 0L).otherwise(1L)).as("n"))
@@ -1766,8 +1784,11 @@ object Stats {
         .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
           sum(col("p") * (lit(2L) * col("below") + col("n"))).as("num2"))
         .select(col("event_type"), col("n_pos"), col("n_neg"),
-          (col("num2").cast("double") /
-            (lit(2.0d) * col("n_pos") * col("n_neg"))).as("auc"))
+          // one class absent -> AUC undefined -> NULL (ANSI /0 guard;
+          // spec: StatsDegenerateSpec)
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            col("num2").cast("double") /
+              (lit(2.0d) * col("n_pos") * col("n_neg"))).as("auc"))
         .orderBy("event_type")
     }),
 
@@ -1802,10 +1823,17 @@ object Stats {
         .withColumn("h",
           lit(12.0d) / (col("n") * (col("n") + 1)).cast("double") *
             col("s") - lit(3.0d) * (col("n") + 1))
-        .withColumn("corr_c", lit(1.0d) - col("t3").cast("double") /
-          (col("n").cast("double") * col("n") * col("n") - col("n")))
+        // every observation identical -> t3 = n^3 - n -> corr_c = 0
+        // (and n <= 1 zeroes the t3 denominator): the tie-corrected H
+        // is undefined -> NULL (ANSI /0 guard; spec:
+        // StatsDegenerateSpec)
+        .withColumn("corr_c",
+          when(col("n") > 1,
+            lit(1.0d) - col("t3").cast("double") /
+              (col("n").cast("double") * col("n") * col("n") - col("n"))))
         .select(col("k"), col("n"), r6(col("h")).as("h"),
-          r6(col("h") / col("corr_c")).as("h_tied"))
+          when(col("corr_c") =!= 0.0d, r6(col("h") / col("corr_c")))
+            .as("h_tied"))
     }),
 
     // A73 p twin — upper-tail χ²_{k−1} of the tie-corrected H via
@@ -1887,9 +1915,13 @@ object Stats {
       val rng = ev.agg(min(col("value")).as("vmin"),
         max(col("value")).as("vmax"))
       val counts = ev.crossJoin(broadcast(rng))
+        // vmax = vmin -> one bin (degenerate-range guard; spec:
+        // StatsDegenerateSpec)
         .withColumn("bin",
-          least(floor((col("value") - col("vmin")) /
-            (col("vmax") - col("vmin")) * 200), lit(199L)))
+          when(col("vmax") > col("vmin"),
+            least(floor((col("value") - col("vmin")) /
+              (col("vmax") - col("vmin")) * 200), lit(199L)))
+            .otherwise(lit(0L)))
         .withColumn("in_a",
           (col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
             .cast("long"))
@@ -2224,11 +2256,18 @@ object Stats {
         .withColumn("ss_ab", col("ss_cells") - col("ss_a") - col("ss_b"))
         .select(col("a_levels"), col("b_levels"), col("n"),
           col("ss_a"), col("ss_b"), col("ss_ab"), col("ss_e"),
-          ((col("ss_a") / col("dfa")) / (col("ss_e") / col("dfe")))
+          // ANSI throws on /0: a single-level factor (df = 0), a
+          // saturated design (dfe = 0), or a zero-variance panel
+          // (ss_e = 0) all make the F ratio undefined -> NULL
+          // (spec: StatsDegenerateSpec)
+          when(col("dfa") > 0 && col("dfe") > 0 && col("ss_e") > 0,
+            (col("ss_a") / col("dfa")) / (col("ss_e") / col("dfe")))
             .as("f_a"),
-          ((col("ss_b") / col("dfb")) / (col("ss_e") / col("dfe")))
+          when(col("dfb") > 0 && col("dfe") > 0 && col("ss_e") > 0,
+            (col("ss_b") / col("dfb")) / (col("ss_e") / col("dfe")))
             .as("f_b"),
-          ((col("ss_ab") / col("dfab")) / (col("ss_e") / col("dfe")))
+          when(col("dfab") > 0 && col("dfe") > 0 && col("ss_e") > 0,
+            (col("ss_ab") / col("dfab")) / (col("ss_e") / col("dfe")))
             .as("f_ab"))
     }),
 
@@ -3240,9 +3279,12 @@ object Stats {
         .groupBy(col("g"), col("h"), col("value"))
         .agg(sum(col("cg")).as("kg"), sum(col("ch")).as("kh"))
         .crossJoin(broadcast(rng))
+        // lo = hi → one bucket (the cvmSpine degenerate-range guard)
         .withColumn("bucket",
-          least(floor((col("value") - col("lo")) /
-            (col("hi") - col("lo")) * B), lit(B - 1)).cast("int"))
+          when(col("hi") > col("lo"),
+            least(floor((col("value") - col("lo")) /
+              (col("hi") - col("lo")) * B), lit(B - 1)))
+            .otherwise(lit(0L)).cast("int"))
         .withColumn("k", col("kg") + col("kh"))
       val wIn = Window.partitionBy("g", "h", "bucket").orderBy("value")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -3405,10 +3447,14 @@ object Stats {
         .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
           sum(col("term")).as("num"))
         .select(col("n1"), col("n2"),
-          (col("num").cast("double") /
-            ((col("n1") * col("n2")).cast("double") *
-              ((col("n1") + col("n2")) * (col("n1") + col("n2")))
-                .cast("double"))).as("cvm_t"))
+          // ANSI throws on ANY /0 (even double): an empty comparison
+          // group -> NULL statistic (a two-sample test needs two
+          // samples; spec: StatsDegenerateSpec)
+          when(col("n1") > 0 && col("n2") > 0,
+            col("num").cast("double") /
+              ((col("n1") * col("n2")).cast("double") *
+                ((col("n1") + col("n2")) * (col("n1") + col("n2")))
+                  .cast("double"))).as("cvm_t"))
     }),
 
     // A113: Kuiper's test — the rotation-invariant KS variant that
@@ -3428,12 +3474,16 @@ object Stats {
           greatest(max(col("dd")), lit(0L)).as("dmax"),
           (-least(min(col("dd")), lit(0L))).as("dmin"))
         .select(col("n1"), col("n2"),
-          (col("dmax").cast("double") /
-            (col("n1") * col("n2")).cast("double")).as("d_plus"),
-          (col("dmin").cast("double") /
-            (col("n1") * col("n2")).cast("double")).as("d_minus"),
-          ((col("dmax") + col("dmin")).cast("double") /
-            (col("n1") * col("n2")).cast("double")).as("kuiper_v"))
+          // empty group -> NULL (the a112 ANSI guard)
+          when(col("n1") > 0 && col("n2") > 0,
+            col("dmax").cast("double") /
+              (col("n1") * col("n2")).cast("double")).as("d_plus"),
+          when(col("n1") > 0 && col("n2") > 0,
+            col("dmin").cast("double") /
+              (col("n1") * col("n2")).cast("double")).as("d_minus"),
+          when(col("n1") > 0 && col("n2") > 0,
+            (col("dmax") + col("dmin")).cast("double") /
+              (col("n1") * col("n2")).cast("double")).as("kuiper_v"))
     }),
 
     // A114: two-sample Anderson–Darling (Scholz & Stephens 1987,
@@ -3468,21 +3518,30 @@ object Stats {
         .withColumn("num2",
           col("nn") * (lit(2L) * col("c2") - col("k2")) -
             col("n2") * col("b2"))
+        // den = 0 only at a fully-degenerate single-distinct-value
+        // sample (l = N), where both numerators are identically 0 —
+        // resolve the 0/0 to a 0 term (the NaN would otherwise throw
+        // in the decimal-pinned sum under ANSI; degenerate-fixture
+        // spec: StatsDegenerateSpec)
         .withColumn("t1",
-          r6((col("num1").cast("decimal(19,0)") * col("num1") * col("l"))
-            .cast("double") / col("den")))
+          when(col("den") > 0,
+            r6((col("num1").cast("decimal(19,0)") * col("num1") * col("l"))
+              .cast("double") / col("den"))).otherwise(lit(0.0d)))
         .withColumn("t2",
-          r6((col("num2").cast("decimal(19,0)") * col("num2") * col("l"))
-            .cast("double") / col("den")))
+          when(col("den") > 0,
+            r6((col("num2").cast("decimal(19,0)") * col("num2") * col("l"))
+              .cast("double") / col("den"))).otherwise(lit(0.0d)))
         .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
           sum(col("t1").cast("decimal(30,12)")).cast("double").as("s1"),
           sum(col("t2").cast("decimal(30,12)")).cast("double").as("s2"))
         .select(col("n1"), col("n2"),
-          (((col("n1") + col("n2") - 1).cast("double") /
-            ((col("n1") + col("n2")) * (col("n1") + col("n2")))
-              .cast("double")) *
-            (col("s1") / col("n1").cast("double") +
-             col("s2") / col("n2").cast("double"))).as("a2_akn"))
+          // empty group -> NULL (the a112 ANSI guard)
+          when(col("n1") > 0 && col("n2") > 0,
+            ((col("n1") + col("n2") - 1).cast("double") /
+              ((col("n1") + col("n2")) * (col("n1") + col("n2")))
+                .cast("double")) *
+              (col("s1") / col("n1").cast("double") +
+               col("s2") / col("n2").cast("double"))).as("a2_akn"))
     }),
 
     // A115: Hellinger distance + Bhattacharyya coefficient — the
@@ -3504,9 +3563,13 @@ object Stats {
       val rng = ev.agg(min(col("value")).as("vmin"),
         max(col("value")).as("vmax"))
       val binned = ev.crossJoin(broadcast(rng))
+        // vmax = vmin -> one bin (degenerate-range guard; spec:
+        // StatsDegenerateSpec)
         .withColumn("bin",
-          least(floor((col("value") - col("vmin")) /
-            (col("vmax") - col("vmin")) * 10), lit(9L)))
+          when(col("vmax") > col("vmin"),
+            least(floor((col("value") - col("vmin")) /
+              (col("vmax") - col("vmin")) * 10), lit(9L)))
+            .otherwise(lit(0L)))
         .withColumn("in_a",
           (col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
             .cast("long"))
@@ -5097,9 +5160,10 @@ object Stats {
                       (n2 * c1 - n1 * c2) * (k1 + k2)) AS num
            FROM r, n)
          SELECT n1, n2,
+                CASE WHEN n1 > 0 AND n2 > 0 THEN
                 CAST(CAST(num AS VARCHAR) AS DOUBLE) /
                   (CAST(n1 * n2 AS DOUBLE) *
-                   CAST((n1 + n2) * (n1 + n2) AS DOUBLE)) AS cvm_t
+                   CAST((n1 + n2) * (n1 + n2) AS DOUBLE)) END AS cvm_t
          FROM a, n""",
     // the same gap grid; D± are exact BIGINT extreme picks (0-clamped
     // at the before-first-jump baseline), one division each
@@ -5127,10 +5191,13 @@ object Stats {
                   -least(min(n2 * c1 - n1 * c2), 0) AS dmin
            FROM r, n)
          SELECT n1, n2,
-                CAST(dmax AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d_plus,
-                CAST(dmin AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d_minus,
-                CAST(dmax + dmin AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)
-                  AS kuiper_v
+                CASE WHEN n1 > 0 AND n2 > 0 THEN CAST(dmax AS DOUBLE) /
+                  CAST(n1 * n2 AS DOUBLE) END AS d_plus,
+                CASE WHEN n1 > 0 AND n2 > 0 THEN CAST(dmin AS DOUBLE) /
+                  CAST(n1 * n2 AS DOUBLE) END AS d_minus,
+                CASE WHEN n1 > 0 AND n2 > 0 THEN
+                  CAST(dmax + dmin AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)
+                END AS kuiper_v
          FROM a, n""",
     // the same ×2 integer grid; per-value term numerators in HUGEINT
     // (VARCHAR-hop to correctly-rounded doubles), positive BIGINT
@@ -5162,18 +5229,20 @@ object Stats {
            FROM r, n),
          t AS (
            SELECT n1, n2, nn,
+                  CASE WHEN b2 * (2 * nn - b2) - nn * l > 0 THEN
                   round(CAST(CAST(CAST(nn * (2 * c1 - k1) - n1 * b2
                                        AS HUGEINT) *
                                   (nn * (2 * c1 - k1) - n1 * b2) * l
                                   AS VARCHAR) AS DOUBLE) /
                         CAST(b2 * (2 * nn - b2) - nn * l AS DOUBLE), 6)
-                    AS t1,
+                  ELSE CAST(0 AS DOUBLE) END AS t1,
+                  CASE WHEN b2 * (2 * nn - b2) - nn * l > 0 THEN
                   round(CAST(CAST(CAST(nn * (2 * c2 - k2) - n2 * b2
                                        AS HUGEINT) *
                                   (nn * (2 * c2 - k2) - n2 * b2) * l
                                   AS VARCHAR) AS DOUBLE) /
                         CAST(b2 * (2 * nn - b2) - nn * l AS DOUBLE), 6)
-                    AS t2
+                  ELSE CAST(0 AS DOUBLE) END AS t2
            FROM g),
          a AS (
            SELECT n1, n2, nn,
@@ -5183,9 +5252,10 @@ object Stats {
                        AS DOUBLE) AS s2
            FROM t GROUP BY n1, n2, nn)
          SELECT n1, n2,
+                CASE WHEN n1 > 0 AND n2 > 0 THEN
                 (CAST(nn - 1 AS DOUBLE) / CAST(nn * nn AS DOUBLE)) *
                   (s1 / CAST(n1 AS DOUBLE) + s2 / CAST(n2 AS DOUBLE))
-                  AS a2_akn
+                END AS a2_akn
          FROM a""",
     // the pinned daily panel, exact up-day cells, alphabetical j,
     // then the fixed T/z chain on BIGINT-cast sums (HUGEINT class)
@@ -5692,9 +5762,10 @@ object Stats {
            FROM c)
          SELECT event_type, CAST(sum(p) AS BIGINT) AS n_pos,
                 CAST(sum(n) AS BIGINT) AS n_neg,
+                CASE WHEN sum(p) > 0 AND sum(n) > 0 THEN
                 CAST(CAST(sum(p * (2 * below + n)) AS BIGINT) AS DOUBLE) /
                   (2.0 * CAST(sum(p) AS BIGINT) * CAST(sum(n) AS BIGINT))
-                  AS auc
+                END AS auc
          FROM w GROUP BY event_type ORDER BY event_type""",
     // identical two-level bucket midranks (2× integers), identical
     // event_type-ordered fold and tie correction
@@ -5739,11 +5810,12 @@ object Stats {
            SELECT k, n,
                   12.0 / CAST(n * (n + 1) AS DOUBLE) * s
                     - 3.0 * (n + 1) AS h,
-                  1.0 - CAST(t3 AS DOUBLE) /
-                    (CAST(n AS DOUBLE) * n * n - n) AS corr_c
+                  CASE WHEN n > 1 THEN 1.0 - CAST(t3 AS DOUBLE) /
+                    (CAST(n AS DOUBLE) * n * n - n) END AS corr_c
            FROM f, tt)
          SELECT k, n, round(h, 6) AS h,
-                round(h / corr_c, 6) AS h_tied
+                CASE WHEN corr_c <> 0 THEN round(h / corr_c, 6)
+                END AS h_tied
          FROM h""",
     // a73's two-level midrank CTE chain, then the tie-corrected
     // pairwise z on the k-row group frame — raw doubles
@@ -6048,11 +6120,18 @@ object Stats {
            FROM lc, grand)
          SELECT a_levels, b_levels, n, ss_a, ss_b,
                 ss_cells - ss_a - ss_b AS ss_ab, ss_e,
-                (ss_a / (a_levels - 1)) / (ss_e / (n - n_cells)) AS f_a,
-                (ss_b / (b_levels - 1)) / (ss_e / (n - n_cells)) AS f_b,
-                ((ss_cells - ss_a - ss_b) /
-                 ((a_levels - 1) * (b_levels - 1))) /
-                  (ss_e / (n - n_cells)) AS f_ab
+                CASE WHEN a_levels > 1 AND n > n_cells AND ss_e > 0 THEN
+                  (ss_a / (a_levels - 1)) / (ss_e / (n - n_cells))
+                END AS f_a,
+                CASE WHEN b_levels > 1 AND n > n_cells AND ss_e > 0 THEN
+                  (ss_b / (b_levels - 1)) / (ss_e / (n - n_cells))
+                END AS f_b,
+                CASE WHEN a_levels > 1 AND b_levels > 1
+                      AND n > n_cells AND ss_e > 0 THEN
+                  ((ss_cells - ss_a - ss_b) /
+                   ((a_levels - 1) * (b_levels - 1))) /
+                    (ss_e / (n - n_cells))
+                END AS f_ab
          FROM sa, sb, scell, grand""",
     // the same pinned daily panel; order statistics via the two
     // deterministic row_numbers, one IEEE division each, the same
