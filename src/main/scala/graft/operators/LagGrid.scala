@@ -111,6 +111,34 @@ object LagGrid {
     * its own `grid_build` entry. */
   val grid = new graft.MaterializedTable(gridPlan)
 
+  /** Per-cell dump with ENGINE-computed p-values — the
+    * materialized-intermediate oracle pattern (round 12): the
+    * PearsonPValue kernel has no DuckDB twin (anchored by
+    * StudentTSpec goldens), but once p is data, the argmax ranking
+    * and the byte-exact JSON composition are replayable in SQL, so
+    * lag_grid_best_config and lag_grid_artifact flip to full hash
+    * checks. Doubles are normalized with +0.0 (Java format_string
+    * renders -0.0 as "-0.000000", DuckDB printf as "0.000000"). */
+  private[operators] val CellDump = "/tmp/graft_laggrid_cells.parquet"
+
+  private def cellsWithP(s: SparkSession, d: String): DataFrame = {
+    // degenerate cells (n = 2 → |r| = 1, p undefined) must not
+    // NULL-poison downstream rendering: undefined p renders as 1.0
+    // ("no evidence"), the conservative reading of an unestimable
+    // significance
+    val pv = coalesce(nanvl(
+      r6(graft.functions.PearsonPValue.pValue(col("c"), col("n"))),
+      lit(1.0)), lit(1.0))
+    grid(s, d).filter(col("c").isNotNull)
+      .select(col("user_id"), col("lookback_h"), col("lead_days"),
+        (r6(col("c")) + lit(0.0d)).as("r"),
+        (pv + lit(0.0d)).as("p_value"), col("n"),
+        (r6(col("mr")) + lit(0.0d)).as("mr"),
+        (r6(col("ms")) + lit(0.0d)).as("ms"))
+      .write.mode("overwrite").parquet(CellDump)
+    s.read.parquet(CellDump)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The grid itself — SQL-expressible, fully oracle-checked.
     "lag_grid_corr" -> ((s, d) =>
@@ -143,32 +171,25 @@ object LagGrid {
     // fields :193-198, per-cell fields :154-158). The JSON is
     // composed with format_string / array_sort / array_join — not
     // to_json — so the byte layout is deterministic (fixed key order,
-    // %.6f numerics, cells sorted by (lookback, lead)); p_value makes
-    // it rows-only, anchored in LagGridSpec: best_config fields are
-    // re-parsed and matched row-for-row against the oracle-checked
-    // lag_grid_best, and the cell count against lag_grid_corr.
+    // %.6f numerics, cells sorted by (lookback, lead)). Fully
+    // hash-checked since round 12 via the CellDump pattern: p rides
+    // the dump as data and the DuckDB twin replays the argmax and the
+    // byte-exact composition (LagGridSpec's re-parse anchors stay).
     "lag_grid_artifact" -> ((s, d) => {
-      // degenerate cells (n = 2 → |r| = 1, p-value undefined) must
-      // not NULL-poison the document: format_string propagates a
-      // NULL/NaN p into the cell string, a NULL best cell would
-      // null the whole concat, and array_join silently DROPS null
-      // cells — so undefined p renders as 1.0 ("no evidence"), the
-      // conservative reading of an unestimable significance
-      val pv = coalesce(nanvl(
-        r6(graft.functions.PearsonPValue.pValue(col("c"), col("n"))),
-        lit(1.0)), lit(1.0))
+      val cells = cellsWithP(s, d)
       val cell = format_string(
         "\"%dh_%dd\":{\"correlation\":%.6f,\"p_value\":%.6f," +
           "\"observations\":%d,\"mean_return\":%.6f,\"mean_sentiment\":%.6f}",
-        col("lookback_h"), col("lead_days"), r6(col("c")), pv, col("n"),
-        r6(col("mr")), r6(col("ms")))
+        col("lookback_h"), col("lead_days"), col("r"), col("p_value"),
+        col("n"), col("mr"), col("ms"))
       val best = format_string(
         "{\"lookback_hours\":%d,\"lead_days\":%d,\"correlation\":%.6f," +
           "\"p_value\":%.6f,\"observations\":%d}",
-        col("lookback_h"), col("lead_days"), r6(col("c")), pv, col("n"))
+        col("lookback_h"), col("lead_days"), col("r"), col("p_value"),
+        col("n"))
       val w = Window.partitionBy("user_id")
-        .orderBy(abs(r6(col("c"))).desc, col("lookback_h"), col("lead_days"))
-      grid(s, d).filter(col("c").isNotNull)
+        .orderBy(abs(col("r")).desc, col("lookback_h"), col("lead_days"))
+      cells
         .withColumn("cell", cell)
         .withColumn("best", best)
         .withColumn("rn", row_number().over(w))
@@ -185,20 +206,20 @@ object LagGrid {
         .orderBy("user_id")
     }),
 
-    // Best config per key by |corr| + its p-value (native expression,
-    // not SQL-expressible → rows-only; p-value math golden-tested in
-    // StudentTSpec).
+    // Best config per key by |corr| + its p-value. Fully hash-checked
+    // since round 12 (the CellDump pattern): ranking runs on the
+    // DUMPED r6'd |r| — the same 1e-6-grid + (lookback, lead)
+    // tiebreak discipline as lag_grid_best, so the selection is
+    // deterministic across engines; the p-value math itself stays
+    // golden-tested in StudentTSpec.
     "lag_grid_best_config" -> ((s, d) => {
-      val pv = (r: Column, n: Column) =>
-        graft.functions.PearsonPValue.pValue(r, n)
       val w = Window.partitionBy("user_id")
-        .orderBy(abs(col("c")).desc, col("lookback_h"), col("lead_days"))
-      grid(s, d)
+        .orderBy(abs(col("r")).desc, col("lookback_h"), col("lead_days"))
+      cellsWithP(s, d)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("lookback_h"), col("lead_days"),
-          r6(col("c")).as("r"), r6(pv(col("c"), col("n"))).as("p_value"),
-          col("n"))
+          col("r"), col("p_value"), col("n"))
         .orderBy("user_id")
     })
   )
@@ -276,6 +297,37 @@ object LagGrid {
            SELECT *, row_number() OVER (PARTITION BY user_id
                      ORDER BY abs(round(c, 6)) DESC, lookback_h, lead_days) AS rn
            FROM cells WHERE c IS NOT NULL)
-         WHERE rn = 1 ORDER BY user_id"""
+         WHERE rn = 1 ORDER BY user_id""",
+    // the dumped cells (p is engine data, anchored by StudentTSpec);
+    // the oracle replays the r6-grid argmax
+    "lag_grid_best_config" ->
+      s"""WITH cells AS (SELECT * FROM '$CellDump/*.parquet')
+         SELECT user_id, lookback_h, lead_days, r, p_value, n FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+                     ORDER BY abs(r) DESC, lookback_h, lead_days) AS rn
+           FROM cells)
+         WHERE rn = 1 ORDER BY user_id""",
+    // same dump; the oracle replays the argmax AND the byte-exact
+    // JSON composition (printf mirrors format_string on the r6'd,
+    // -0.0-normalized doubles; string_agg mirrors the
+    // (lookback, lead) cell sort)
+    "lag_grid_artifact" ->
+      s"""WITH cells AS (SELECT * FROM '$CellDump/*.parquet'),
+         cs AS (
+           SELECT user_id, lookback_h, lead_days,
+                  printf('"%dh_%dd":{"correlation":%.6f,"p_value":%.6f,"observations":%d,"mean_return":%.6f,"mean_sentiment":%.6f}',
+                         lookback_h, lead_days, r, p_value, n, mr, ms)
+                    AS cell,
+                  printf('{"lookback_hours":%d,"lead_days":%d,"correlation":%.6f,"p_value":%.6f,"observations":%d}',
+                         lookback_h, lead_days, r, p_value, n) AS best,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY abs(r) DESC, lookback_h, lead_days) AS rn
+           FROM cells)
+         SELECT user_id,
+                '{"best_config":' || max(CASE WHEN rn = 1 THEN best END) ||
+                ',"all_configs":{' ||
+                string_agg(cell, ',' ORDER BY lookback_h, lead_days) ||
+                '}}' AS artifact
+         FROM cs GROUP BY user_id ORDER BY user_id"""
   )
 }
