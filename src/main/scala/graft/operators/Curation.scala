@@ -121,9 +121,16 @@ object Curation {
     // (MinHash has no SQL twin); DedupSpec anchors precision exactly
     // (every true_jaccard ≡ the D2-style exact recomputation) and
     // recall ≥ 0.7 against the exhaustive exact crossing pairs.
+    // Signature dump as in d3/d6 (byte-identical content — the same
+    // memoized table), so the DuckDB twin replays banding, the
+    // eval↔corpus crossing filter, and the exact shingle verify —
+    // flipped from rows-only in round 12 (the precision/recall
+    // anchors vs decon1 stay in CurationSpec).
     "decon2_fuzzy_overlap" -> ((s, d) => {
+      Dedup.signatures(s, d).write.mode("overwrite")
+        .parquet(Dedup.D3SigDump)
       val crossings = Dedup
-        .minhashPairs(Dedup.signatures(s, d), 0.5)
+        .minhashPairs(s.read.parquet(Dedup.D3SigDump), 0.5)
         .filter((col("da") % 5 === 0) =!= (col("db") % 5 === 0))
       Dedup.verifyPairs(s, d, crossings)
         .filter(col("true_jaccard") >= 0.5)
@@ -508,6 +515,46 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // DECON2: d3's banding + estimate from the signature dump, the
+    // eval↔corpus crossing filter, then the exact shingle verify (the
+    // d6 SQL) with the ≥ 0.5 threshold on the ROUNDED true Jaccard
+    // (mirroring the engine's filter on the r6'd column)
+    "decon2_fuzzy_overlap" ->
+      s"""WITH ${Dedup.d3CandCtes},
+           cross0 AS (
+             SELECT da, db, est_jaccard FROM cand
+             WHERE (da % 5 = 0) <> (db % 5 = 0)),
+           cdocs AS (SELECT da AS doc_id FROM cross0
+                     UNION SELECT db FROM cross0),
+           docs AS (
+             SELECT dd.doc_id,
+                    string_split_regex(lower(trim(dd.text)), '\\s+') AS t
+             FROM documents dd JOIN cdocs USING (doc_id)),
+           shg AS (
+             SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+             FROM docs WHERE len(t) >= 3),
+           sizes AS (SELECT doc_id, count(*) AS sz FROM shg GROUP BY 1),
+           inter AS (
+             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             FROM shg a JOIN shg b
+               ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           verified AS (
+             SELECT c.da, c.db, c.est_jaccard,
+                    round(CAST(coalesce(i.i, 0) AS DOUBLE) /
+                          (x.sz + y.sz - coalesce(i.i, 0)), 6)
+                      AS true_jaccard
+             FROM cross0 c
+             JOIN sizes x ON c.da = x.doc_id
+             JOIN sizes y ON c.db = y.doc_id
+             LEFT JOIN inter i ON i.da = c.da AND i.db = c.db)
+         SELECT CASE WHEN da % 5 = 0 THEN db ELSE da END AS corpus_doc,
+                CASE WHEN da % 5 = 0 THEN da ELSE db END AS eval_doc,
+                est_jaccard, true_jaccard
+         FROM verified WHERE true_jaccard >= CAST(0.5 AS DOUBLE)
+         ORDER BY corpus_doc, eval_doc""",
     // PIPE8: one shared exhaustive-graph spine feeding the d25 AA
     // cells, the d26 degree/union cells, and the recursive closure —
     // the composed edge-audit export certified by one hash

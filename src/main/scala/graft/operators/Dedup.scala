@@ -1261,7 +1261,7 @@ object Dedup {
     * estimate the matching-position count over the position-exploded
     * signatures, the ≥ 0.5 threshold exact (m/32 is a dyadic
     * rational). */
-  private def d3CandCtes: String =
+  private[operators] def d3CandCtes: String =
     s"""sigs AS (SELECT doc_id, sig FROM '$D3SigDump/*.parquet'),
            bd AS (
              SELECT doc_id, j AS band,

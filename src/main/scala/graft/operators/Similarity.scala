@@ -1166,8 +1166,19 @@ object Similarity {
     // against the oracle-checked D5 slice in SimilaritySpec. Rows-only
     // (the plane literals have no SQL twin); precision is exact by
     // construction (the verify stage recomputes the true cosine).
-    "d9_embedding_neardup_lsh" -> ((s, d) =>
-      embPairs(s, d).orderBy("va", "vb")),
+    // Writes the Sim2BandDump bucket table (the same banded()
+    // projection the memoized pair build uses) so the DuckDB twin can
+    // replay bucket join → cosine verify ≥ τ → distinct — flipped
+    // from rows-only in round 12; SimilaritySpec's recall/precision
+    // anchors vs the d5 exact baseline stay.
+    "d9_embedding_neardup_lsh" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), banded(col("embedding")).as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"),
+          col("bb.bkt").as("bkt"))
+        .write.mode("overwrite").parquet(Sim2BandDump)
+      embPairs(s, d).orderBy("va", "vb")
+    }),
 
     // D16: embedding near-dup CLUSTER resolution — the missing last
     // stage for the embedding modality, completing the
@@ -1293,6 +1304,35 @@ object Similarity {
            GROUP BY enc.vec_id)"""
 
   val oracles: Map[String, String] = Map(
+    // D9: bucket-mate candidates from the dumped band table, then the
+    // exact index-order cosine with the τ = 0.35 verify — the whole
+    // banded-LSH verified pair search replayed from the dump
+    "d9_embedding_neardup_lsh" ->
+      s"""WITH bands AS (
+           SELECT vec_id, band, bkt FROM '$Sim2BandDump/*.parquet'),
+         v AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, e,
+                  sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+           FROM v),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkt = b.bkt
+           WHERE a.vec_id < b.vec_id),
+         pairs AS (
+           SELECT cand.va, cand.vb,
+                  list_sum(list_transform(generate_series(1, len(qa.e)),
+                    i -> qa.e[i] * qb.e[i])) / (qa.nrm * qb.nrm) AS cosine
+           FROM cand
+           JOIN n qa ON qa.vec_id = cand.va
+           JOIN n qb ON qb.vec_id = cand.vb)
+         SELECT va, vb, round(cosine, 6) AS cosine
+         FROM pairs WHERE cosine >= CAST(0.35 AS DOUBLE)
+         ORDER BY va, vb""",
     // SIM2: candidates from the dumped bucket table, then the exact
     // sim1 cosine/rank machinery over the candidate pairs
     "sim2_lsh_ann" ->

@@ -194,6 +194,20 @@ object Stats {
     (g, ties)
   }
 
+  /** A46/A63's p-value frame, dumped for their oracles (the round-12
+    * materialized-intermediate pattern): the PearsonPValue kernel has
+    * no DuckDB twin, but the multiple-testing CORRECTIONS — the
+    * actual operators — are pure window SQL once p is data. The frame
+    * is read back so the engine transforms byte-for-byte what the
+    * oracle replays. */
+  private[operators] val PValDump = "/tmp/graft_a3_pvalues.parquet"
+
+  private def corrPValuesDumped(s: SparkSession, d: String): DataFrame = {
+    queries("a3_corr_pvalue")(s, d)
+      .write.mode("overwrite").parquet(PValDump)
+    s.read.parquet(PValDump)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A2: Pearson correlation per group (value vs the json-extracted k).
     "a2_pearson_corr" -> ((s, d) =>
@@ -543,11 +557,14 @@ object Stats {
     // running min window. The windows are single-partition but run
     // over the m-row GRID (m = 20 here, m = #hypotheses always),
     // never the fact table — the standard shape for decision layers.
-    // Rows-only (p comes from the custom kernel); StatsSpec anchors
-    // the whole transform against a sequential recompute from the
-    // a3-anchored p-values.
+    // Fully hash-checked since round 12 (the materialized-intermediate
+    // pattern): the kernel p-values are dumped as data (PValDump) and
+    // the DuckDB twin replays the whole step-up transform -- ranking,
+    // raw = p*m/rank, the suffix-min monotone enforcement, the clamp,
+    // and the unrounded 0.05 verdict. StatsSpec's sequential-recompute
+    // anchor stays.
     "a46_bh_fdr" -> ((s, d) => {
-      val pv = queries("a3_corr_pvalue")(s, d)
+      val pv = corrPValuesDumped(s, d)
       val byP = Window.orderBy(col("p_value"), col("event_type"), col("k"))
       val suffix = Window
         .orderBy(col("p_value").desc, col("event_type").desc, col("k").desc)
@@ -570,10 +587,12 @@ object Stats {
     // ascending, raw_i = (m − i + 1)·p_i, adjusted = running PREFIX
     // MAX of raw (monotone enforcement is forward here where BH's is
     // a suffix min), clamp at 1. Same lag-grid p-value family, same
-    // two-window shape. Rows-only (kernel p-values); StatsSpec
-    // anchors against a sequential textbook recompute.
+    // two-window shape. Fully hash-checked since round 12 via the
+    // shared PValDump (the a46 pattern -- the oracle replays the
+    // step-down transform from the dumped p-values); StatsSpec's
+    // sequential textbook recompute stays.
     "a63_holm" -> ((s, d) => {
-      val pv = queries("a3_corr_pvalue")(s, d)
+      val pv = corrPValuesDumped(s, d)
       val byP = Window.orderBy(col("p_value"), col("event_type"), col("k"))
       val prefix = byP.rowsBetween(Window.unboundedPreceding,
         Window.currentRow)
@@ -3953,6 +3972,46 @@ object Stats {
       math.log10(1.0 + 1.0 / dd))).mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // A46: the BH step-up replayed from the dumped p-values —
+    // ranking, raw = p·m/rank (the identical double chain), the
+    // suffix-min monotone enforcement, the clamp, and the UNROUNDED
+    // 0.05 verdict (the rounded p_adj is output-only)
+    "a46_bh_fdr" ->
+      s"""WITH pv AS (SELECT * FROM '$PValDump/*.parquet'),
+         r AS (
+           SELECT *, count(*) OVER () AS m,
+                  row_number() OVER (ORDER BY p_value, event_type, k)
+                    AS rnk
+           FROM pv),
+         adj AS (
+           SELECT *, least(CAST(1.0 AS DOUBLE),
+                  min(p_value * m / rnk) OVER (
+                    ORDER BY p_value DESC, event_type DESC, k DESC
+                    ROWS UNBOUNDED PRECEDING)) AS p_adj
+           FROM r)
+         SELECT event_type, k, p_value, CAST(rnk AS BIGINT) AS rnk,
+                round(p_adj, 6) AS p_adj,
+                p_adj <= CAST(0.05 AS DOUBLE) AS significant
+         FROM adj ORDER BY event_type, k""",
+    // A63: the Holm step-down from the same dump — prefix MAX where
+    // BH's is a suffix min
+    "a63_holm" ->
+      s"""WITH pv AS (SELECT * FROM '$PValDump/*.parquet'),
+         r AS (
+           SELECT *, count(*) OVER () AS m,
+                  row_number() OVER (ORDER BY p_value, event_type, k)
+                    AS rnk
+           FROM pv),
+         adj AS (
+           SELECT *, least(CAST(1.0 AS DOUBLE),
+                  max(p_value * (m - rnk + 1)) OVER (
+                    ORDER BY p_value, event_type, k
+                    ROWS UNBOUNDED PRECEDING)) AS p_adj
+           FROM r)
+         SELECT event_type, k, p_value, CAST(rnk AS BIGINT) AS rnk,
+                round(p_adj, 6) AS p_adj,
+                p_adj <= CAST(0.05 AS DOUBLE) AS significant
+         FROM adj ORDER BY event_type, k""",
     // exact-median split (quantile_cont = Spark percentile), integer
     // n1/n2/runs, then the identical fixed-shape IEEE z chain
     "a90_runs_test" ->
