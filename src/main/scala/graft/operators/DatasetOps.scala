@@ -405,6 +405,38 @@ object DatasetOps {
     // exhaustive graph + the same md5 CASE, so the hash also
     // re-proves banded LSH recall. The number DS13 drives to zero
     // by splitting on the component id instead.
+    // DS21: dedup-aware mixture weights — the SemDeDup-style "count
+    // each near-dup family ONCE" correction every mixture design
+    // needs between D10's cluster resolution and DS5/DS12's sampling:
+    // a source whose docs sit in big duplicate clusters contributes
+    // less UNIQUE signal than its raw row count claims, so per doc
+    // w = 1/|cluster| (uniform credit split within a family) and per
+    // source n_effective = Σw beside the raw n_docs — the
+    // dedup_ratio is the number the mixture weights should multiply.
+    // Weights are r6'd then decimal-pinned (the order-free fold
+    // discipline; 1/|cluster| has no exact binary form), the ratio
+    // one division of the pinned render. Composes the shared
+    // verified corpus graph → CC → one source rollup; the DuckDB
+    // twin replays the exhaustive graph + closure (the hash re-proves
+    // banded LSH recall) + the identical weight algebra. Fully
+    // oracle-checked.
+    "ds21_dedup_weights" -> ((s, d) => {
+      val cc = graft.operators.Dedup.queries("d10_cc_corpus")(s, d)
+      val csize = cc.groupBy(col("canonical_id"))
+        .agg(count(lit(1)).as("cs"))
+      val w = cc.join(csize, Seq("canonical_id"))
+        .withColumn("w", round(lit(1.0) / col("cs"), 6))
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(w, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cs") > 1, 1L).otherwise(0L)).as("n_in_clusters"),
+          sum(col("w").cast("decimal(24,10)")).cast("double")
+            .as("n_effective"))
+        .withColumn("dedup_ratio", col("n_effective") / col("n_docs"))
+        .orderBy("source")
+    }),
+
     "ds22_leakage_audit" -> ((s, d) => {
       val sp = Tables.documents(s, d)
         .select(col("doc_id"), split(col("doc_id")).as("sp"))
@@ -686,6 +718,51 @@ object DatasetOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // DS21: the exhaustive exact-Jaccard corpus graph + recursive
+    // closure (the d10b chain), then the identical weight algebra —
+    // r6'd 1/|cluster| into a decimal-pinned sum, one division
+    "ds21_dedup_weights" ->
+      """WITH RECURSIVE
+           docs AS (
+             SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             FROM documents),
+           sh AS (
+             SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+             FROM docs WHERE len(t) >= 3),
+           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           inter AS (
+             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           pairs AS (
+             SELECT da, db FROM inter
+             JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+             WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.5),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION SELECT db AS src, da AS dst FROM pairs),
+           reach AS (
+             SELECT doc_id AS id, doc_id AS r FROM documents
+             UNION
+             SELECT reach.id, e.dst FROM reach
+             JOIN edges e ON reach.r = e.src),
+           cc AS (SELECT id AS doc_id, min(r) AS canonical_id
+                  FROM reach GROUP BY id),
+           cs AS (SELECT canonical_id, count(*) AS cs
+                  FROM cc GROUP BY 1),
+           w AS (SELECT cc.doc_id, cs.cs,
+                        round(CAST(1.0 AS DOUBLE) / cs.cs, 6) AS w
+                 FROM cc JOIN cs USING (canonical_id))
+         SELECT dd.source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN w.cs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_in_clusters,
+                CAST(CAST(sum(CAST(w.w AS DECIMAL(24,10))) AS VARCHAR)
+                     AS DOUBLE) AS n_effective,
+                CAST(CAST(sum(CAST(w.w AS DECIMAL(24,10))) AS VARCHAR)
+                     AS DOUBLE) / count(*) AS dedup_ratio
+         FROM documents dd JOIN w ON w.doc_id = dd.doc_id
+         GROUP BY 1 ORDER BY 1""",
     // Spark concat_ws(':', 7, doc_id) == '7:' || doc_id; shard is the
     // hash's first byte mod 8 (hex via the 0x-cast bridge)
     "ds7_epoch_shuffle" ->

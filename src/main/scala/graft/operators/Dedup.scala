@@ -1188,6 +1188,32 @@ object Dedup {
             when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
             .reduce(_ bitwiseOR _).as("sh"))
       hammingPairs(sig, "doc_id", "sh", bands = 4, maxDist = 3)
+    }),
+
+    // D29: SimHash duplicate-CLUSTER resolution — completes the
+    // pairs-are-not-clusters story for the SimHash modality exactly
+    // as D10 does for shingle Jaccard, MM9 for pHash, and D16 for
+    // embeddings: the D8 pair graph (Hamming ≤ 3, banding
+    // pigeonhole-complete at that radius) resolves to canonical
+    // groups via the shared property-tested connected-components
+    // kernel, every doc a vertex (h ≤ 3-isolated docs stand as
+    // singletons). Fully hash-checked via the D8SumsDump: the oracle
+    // replays thresholding + banding + Hamming AND the recursive
+    // min-propagation closure — the hash certifies the composed
+    // pipeline end to end.
+    "d29_simhash_clusters" -> ((s, d) => {
+      simhashBitSums(s, d).write.mode("overwrite").parquet(D8SumsDump)
+      val sig = s.read.parquet(D8SumsDump)
+        .select(col("doc_id"),
+          (0 until 64).map(i =>
+            when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+            .reduce(_ bitwiseOR _).as("sh"))
+      val pairs = hammingPairs(sig, "doc_id", "sh", bands = 4, maxDist = 3)
+        .select(col("da"), col("db"))
+      connectedComponents(pairs,
+        Tables.documents(s, d).select(col("doc_id")))
+        .select(col("doc_id"), col("comp").as("canonical_id"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1292,6 +1318,35 @@ object Dedup {
              FROM mm
              WHERE m / CAST($NumHashes AS DOUBLE) >= CAST(0.5 AS DOUBLE))"""
 
+  /** D8's banding + Hamming verify from the bit-sum dump, ending in
+    * `prs(da, db, hamming)` — shared by the d8 and d29 oracles (band
+    * b's key is Σ bit_{16b+r}·2^r — exactly Spark's
+    * (sh >> 16b) & 0xFFFF; hamming the 64-term bit disagreement). */
+  private def d8PairsCtes: String = {
+    val bandSelects = (0 until 4).map { b =>
+      val key = (0 until 16).map(r =>
+        s"(CASE WHEN s${16 * b + r} > 0 THEN ${1 << r} ELSE 0 END)")
+        .mkString(" + ")
+      s"SELECT doc_id, $b AS band, $key AS bk FROM sums"
+    }.mkString("\n           UNION ALL ")
+    val ham = (0 until 64).map(i =>
+      s"(CASE WHEN (a.s$i > 0) <> (b.s$i > 0) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""sums AS (SELECT * FROM '$D8SumsDump/*.parquet'),
+           bd AS ($bandSelects),
+           cand AS (
+             SELECT DISTINCT ba.doc_id AS da, bb.doc_id AS db
+             FROM bd ba JOIN bd bb
+               ON ba.band = bb.band AND ba.bk = bb.bk
+              AND ba.doc_id < bb.doc_id),
+           prs AS (
+             SELECT c.da, c.db, CAST($ham AS BIGINT) AS hamming
+             FROM cand c
+             JOIN sums a ON a.doc_id = c.da
+             JOIN sums b ON b.doc_id = c.db
+             WHERE $ham <= 3)"""
+  }
+
   /** Until round 12 the whole hash family was rows-only (xxhash64 has
     * no DuckDB twin). The materialized-intermediate dumps (D3SigDump /
     * D8SumsDump) now let the oracle replay everything downstream of
@@ -1345,30 +1400,22 @@ object Dedup {
     // D8: 4×16 banding + bucket join + 64-term bit disagreement from
     // the bit-sum dump (band b's key is Σ bit_{16b+r}·2^r — exactly
     // Spark's (sh >> 16b) & 0xFFFF)
-    "d8_simhash_pairs" -> {
-      val bandSelects = (0 until 4).map { b =>
-        val key = (0 until 16).map(r =>
-          s"(CASE WHEN s${16 * b + r} > 0 THEN ${1 << r} ELSE 0 END)")
-          .mkString(" + ")
-        s"SELECT doc_id, $b AS band, $key AS bk FROM sums"
-      }.mkString("\n           UNION ALL ")
-      val ham = (0 until 64).map(i =>
-        s"(CASE WHEN (a.s$i > 0) <> (b.s$i > 0) THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH sums AS (SELECT * FROM '$D8SumsDump/*.parquet'),
-           bd AS ($bandSelects),
-           cand AS (
-             SELECT DISTINCT ba.doc_id AS da, bb.doc_id AS db
-             FROM bd ba JOIN bd bb
-               ON ba.band = bb.band AND ba.bk = bb.bk
-              AND ba.doc_id < bb.doc_id)
-         SELECT c.da, c.db, CAST($ham AS BIGINT) AS hamming
-         FROM cand c
-         JOIN sums a ON a.doc_id = c.da
-         JOIN sums b ON b.doc_id = c.db
-         WHERE $ham <= 3
-         ORDER BY c.da, c.db"""
-    },
+    "d8_simhash_pairs" ->
+      s"""WITH $d8PairsCtes
+         SELECT da, db, hamming FROM prs ORDER BY da, db""",
+    // D29: the d8 pair replay + the d16 recursive min-propagation
+    // closure over the full vertex set
+    "d29_simhash_clusters" ->
+      s"""WITH RECURSIVE $d8PairsCtes,
+           edges AS (SELECT da AS src, db AS dst FROM prs
+                     UNION SELECT db AS src, da AS dst FROM prs),
+           reach AS (
+             SELECT doc_id AS id, doc_id AS r FROM documents
+             UNION
+             SELECT reach.id, e.dst FROM reach
+             JOIN edges e ON reach.r = e.src)
+         SELECT id AS doc_id, min(r) AS canonical_id FROM reach
+         GROUP BY id ORDER BY doc_id""",
     // D11: the demo-slice pair graph (doc_id < 100, J ≥ 0.02), then
     // ten unrolled decimal-pinned power-iteration rounds — flipped
     // from rows-only in round 11 by the kernel's determinism

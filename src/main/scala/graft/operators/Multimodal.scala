@@ -122,6 +122,58 @@ object Multimodal {
           }), 6).as("entropy"))
         .orderBy("doc_id")),
 
+    // MM15: conditional byte-class entropy H(next | prev) — the
+    // SEQUENCE axis of randomness triage that MM8/MM13/MM14 cannot
+    // see: MM8's marginal entropy and MM13's χ² read the histogram
+    // (order-blind), MM14 reads only lag-1 linear correlation; text
+    // and structured binaries have LOW conditional entropy (the next
+    // byte class is predictable from the previous) while compressed/
+    // encrypted payloads stay near the marginal even conditionally.
+    // H(next|prev) = H(pairs) − H(prev-marginal), both from ONE
+    // (doc, prev, next) class-pair count table: the pair explode uses
+    // MM14's sliced-value-array shape (never element_at in a lambda —
+    // the documented O(L²) projection-collapse trap), counts shuffle
+    // once on (doc, pair) with map-side combine, the marginal derives
+    // from the pair counts by a second tiny agg, and each entropy
+    // term −p·ln p is r6'd then decimal-pinned (the a48/a71 order-free
+    // fold discipline — these sums cross partitions, unlike MM8's
+    // in-row ordered fold). h_cond is one subtraction of the two
+    // pinned renders. Byte-level via hex/encode like MM8 — no ASCII
+    // assumption. Fully hash-checked.
+    "mm15_byte_cond_entropy" -> ((s, d) => {
+      val pairs = Tables.documents(s, d)
+        .filter(octet_length(encode(col("text"), "UTF-8")) >= 2)
+        .select(col("doc_id"),
+          regexp_replace(hex(encode(col("text"), "UTF-8")),
+            "(.).", "$1").as("hs"))
+        .select(col("doc_id"),
+          (length(col("hs")) - 1).cast("long").as("np"),
+          split(col("hs"), "").as("bv"))
+        .select(col("doc_id"), col("np"),
+          explode(zip_with(
+            slice(col("bv"), lit(1), col("np").cast("int")),
+            slice(col("bv"), lit(2), col("np").cast("int")),
+            (a, b) => concat(a, b))).as("pair"))
+      val cc = pairs.groupBy(col("doc_id"), col("np"), col("pair"))
+        .agg(count(lit(1)).as("c"))
+      def entropyOf(counts: DataFrame, out: String): DataFrame = counts
+        .withColumn("t", round(
+          -(col("c").cast("double") / col("np")) *
+            log(col("c").cast("double") / col("np")), 6))
+        .groupBy(col("doc_id"), col("np"))
+        .agg(sum(col("t").cast("decimal(24,10)")).cast("double").as(out))
+      val hPair = entropyOf(cc, "h_pair")
+      val hPrev = entropyOf(
+        cc.groupBy(col("doc_id"), col("np"),
+            substring(col("pair"), 1, 1).as("a"))
+          .agg(sum(col("c")).as("c")), "h_prev")
+      hPair.join(hPrev, Seq("doc_id", "np"))
+        .select(col("doc_id"), col("np").as("n_pairs"),
+          col("h_pair"), col("h_prev"),
+          (col("h_pair") - col("h_prev")).as("h_cond"))
+        .orderBy("doc_id")
+    }),
+
     // MM13: χ² uniformity of the byte-class histogram — the
     // compressed/encrypted-payload detector next to MM8's entropy
     // (entropy saturates near log 16 for ANY near-uniform histogram;
@@ -849,6 +901,45 @@ object Multimodal {
                   (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE)))
                   AS autocorr
          FROM g WHERE vx > 0 AND vy > 0
+         ORDER BY doc_id""",
+    // the same hex/encode nibble classes with positional pairing;
+    // r6'd terms into decimal-pinned order-free sums on both sides
+    "mm15_byte_cond_entropy" ->
+      """WITH pos AS (
+           SELECT doc_id, text,
+                  unnest(range(1, octet_length(encode(text)))) AS i
+           FROM documents WHERE octet_length(encode(text)) >= 2),
+         pr AS (
+           SELECT doc_id,
+                  substring(upper(hex(encode(text))), (i - 1) * 2 + 1, 1)
+                    || substring(upper(hex(encode(text))), i * 2 + 1, 1)
+                    AS pair
+           FROM pos),
+         cc AS (SELECT doc_id, pair, count(*) AS c
+                FROM pr GROUP BY 1, 2),
+         tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS np
+                 FROM cc GROUP BY 1),
+         hp AS (
+           SELECT cc.doc_id,
+                  CAST(CAST(sum(CAST(round(
+                    -(CAST(c AS DOUBLE) / np) *
+                     ln(CAST(c AS DOUBLE) / np), 6)
+                    AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE) AS h_pair
+           FROM cc JOIN tot USING (doc_id) GROUP BY 1),
+         mc AS (
+           SELECT doc_id, substring(pair, 1, 1) AS a,
+                  CAST(sum(c) AS BIGINT) AS c
+           FROM cc GROUP BY 1, 2),
+         hm AS (
+           SELECT mc.doc_id,
+                  CAST(CAST(sum(CAST(round(
+                    -(CAST(c AS DOUBLE) / np) *
+                     ln(CAST(c AS DOUBLE) / np), 6)
+                    AS DECIMAL(24,10))) AS VARCHAR) AS DOUBLE) AS h_prev
+           FROM mc JOIN tot USING (doc_id) GROUP BY 1)
+         SELECT tot.doc_id, tot.np AS n_pairs, hp.h_pair, hm.h_prev,
+                hp.h_pair - hm.h_prev AS h_cond
+         FROM tot JOIN hp USING (doc_id) JOIN hm USING (doc_id)
          ORDER BY doc_id""",
     "mm8_byte_entropy" ->
       """WITH nib AS (

@@ -2051,6 +2051,45 @@ object Relational {
     // exposed as queryable scalars. Pure codegen projections, exact
     // integer semantics on both engines (ids are small, no overflow
     // near the ANSI fault line).
+    // F16: the Spark 4 bitmap-aggregate surface — EXACT distinct
+    // counting via roaring-style bucket bitmaps, the deterministic
+    // twin of the A16/A32 HLL family (same rollup shapes, zero
+    // error): per (type, bucket) a bitmap_construct_agg of bit
+    // positions, counts summed across buckets; a second leg proves
+    // the MERGE algebra (bitmap_or_agg of per-day bitmaps ≡ the
+    // whole-period count — the property that makes persisted bitmap
+    // rollups safe, here exact instead of a32's 5% band). The oracle
+    // is plain COUNT(DISTINCT ...) — the bitmap machinery must land
+    // on the exact answer, so the hash check certifies the whole
+    // surface. Scale: bitmaps partition by bucket_number (2^15 ids
+    // per bucket), so the agg state is bounded per group and the
+    // shuffle carries one ≤4 KB binary per (group, bucket) — the
+    // standard exact-distinct design at 100 TB.
+    "f16_bitmap_funcs" -> ((s, d) => {
+      val perBucket = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+          .as("bm"))
+      val direct = perBucket
+        .groupBy(col("event_type"))
+        .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+      val perDay = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+          .as("bm"))
+      val merged = perDay
+        .groupBy(col("event_type"), col("bkt"))
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+        .groupBy(col("event_type"))
+        .agg(sum(expr("bitmap_count(bm)")).as("n_users_merged"))
+      direct.join(merged, Seq("event_type"))
+        .select(col("event_type"), col("n_users"), col("n_users_merged"),
+          (col("n_users") === col("n_users_merged")).as("merge_exact"))
+        .orderBy("event_type")
+    }),
+
     "f9_bitwise_funcs" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
@@ -2472,6 +2511,14 @@ object Relational {
                   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
                   LIMIT 2) t
          ORDER BY p.p_partkey, t.l_orderkey, t.l_linenumber""",
+    // the bitmap machinery must land on the EXACT distinct count, so
+    // the oracle is plain COUNT(DISTINCT) on both legs
+    "f16_bitmap_funcs" ->
+      """SELECT event_type,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_merged,
+                TRUE AS merge_exact
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "f9_bitwise_funcs" ->
       """SELECT event_id,
                 event_id & 255 AS band,

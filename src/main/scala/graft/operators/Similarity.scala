@@ -1156,6 +1156,35 @@ object Similarity {
         .orderBy("q_id")
     }),
 
+    // SIM20: recall@k CURVE for the banded-LSH ANN — SIM13's recall
+    // evaluation generalized from one scalar to the curve an ANN
+    // deployment actually tunes against (recall@1 is "did the top
+    // answer survive banding", recall@5 the working-set quality;
+    // the gap between them is the re-rank headroom). hits@k =
+    // |exact top-k ∩ LSH top-k| per query for k ∈ {1, 3, 5}, from
+    // ONE (q, c) rank join exploded over the three cutoffs — counts
+    // are exact integers, recall one division each. Fully
+    // hash-checked: both rankings replay in SQL (sim1's exact chain;
+    // sim2's from the bucket dump).
+    "sim20_recall_curve" -> ((s, d) => {
+      val exact = queries("sim1_cosine_topk")(s, d)
+        .select(col("q_id"), col("rank"), col("c_id"))
+      val lsh = queries("sim2_lsh_ann")(s, d)
+        .select(col("q_id"), col("rank").as("lrank"), col("c_id"))
+      val ks = array(lit(1L), lit(3L), lit(5L))
+      val hits = exact.join(lsh, Seq("q_id", "c_id"))
+        .withColumn("k", explode(ks))
+        .filter(col("rank") <= col("k") && col("lrank") <= col("k"))
+        .groupBy("q_id", "k").agg(count(lit(1)).as("hits"))
+      exact.select("q_id").distinct()
+        .withColumn("k", explode(ks))
+        .join(hits, Seq("q_id", "k"), "left")
+        .na.fill(0L, Seq("hits"))
+        .select(col("q_id"), col("k"), col("hits"),
+          (col("hits").cast("double") / col("k")).as("recall_at_k"))
+        .orderBy("q_id", "k")
+    }),
+
     // D9: LSH-banded embedding near-dup PAIRS — the scale path D5's
     // bounded all-pairs baseline exists to ground-truth. Every vector
     // lands in 6 (band, bucket) cells; candidate pairs are bucket-mates
@@ -1163,10 +1192,9 @@ object Similarity {
     // ≥ τ=0.35 — the same band-prune-then-verify shape as D6/D8/MM5,
     // here over hyperplane sign bits. Analytic recall at cosine 0.35:
     // per-bit agreement p = 1−θ/π ≈ 0.61 → 1−(1−p³)⁶ ≈ 0.78; measured
-    // against the oracle-checked D5 slice in SimilaritySpec. Rows-only
-    // (the plane literals have no SQL twin); precision is exact by
-    // construction (the verify stage recomputes the true cosine).
-    // Writes the Sim2BandDump bucket table (the same banded()
+    // against the oracle-checked D5 slice in SimilaritySpec; precision
+    // is exact by construction (the verify stage recomputes the true
+    // cosine). Writes the Sim2BandDump bucket table (the same banded()
     // projection the memoized pair build uses) so the DuckDB twin can
     // replay bucket join → cosine verify ≥ τ → distinct — flipped
     // from rows-only in round 12; SimilaritySpec's recall/precision
@@ -1333,6 +1361,63 @@ object Similarity {
          SELECT va, vb, round(cosine, 6) AS cosine
          FROM pairs WHERE cosine >= CAST(0.35 AS DOUBLE)
          ORDER BY va, vb""",
+    // SIM20: the sim1 exact ranking + the sim2 dump ranking, then the
+    // exploded per-k intersection counts
+    "sim20_recall_curve" ->
+      s"""WITH v AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, e,
+                  sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+           FROM v),
+         ep AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                  list_sum(list_transform(generate_series(1, len(q.e)),
+                    i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS cosine
+           FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         exact AS (
+           SELECT q_id, c_id, rank FROM (
+             SELECT q_id, c_id,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY cosine DESC, c_id) AS rank
+             FROM ep) WHERE rank <= 5),
+         bands AS (
+           SELECT vec_id, band, bkt FROM '$Sim2BandDump/*.parquet'),
+         lcand AS (
+           SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+           FROM bands q JOIN bands c
+             ON q.band = c.band AND q.bkt = c.bkt
+           WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         lp AS (
+           SELECT lcand.q_id, lcand.c_id,
+                  list_sum(list_transform(generate_series(1, len(qe.e)),
+                    i -> qe.e[i] * ce.e[i])) / (qe.nrm * ce.nrm) AS cosine
+           FROM lcand
+           JOIN n qe ON qe.vec_id = lcand.q_id
+           JOIN n ce ON ce.vec_id = lcand.c_id),
+         lsh AS (
+           SELECT q_id, c_id, lrank FROM (
+             SELECT q_id, c_id,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY cosine DESC, c_id) AS lrank
+             FROM lp) WHERE lrank <= 5),
+         ks AS (SELECT unnest([1, 3, 5]) AS k),
+         hits AS (
+           SELECT e.q_id, ks.k, count(*) AS hits
+           FROM exact e
+           JOIN lsh l ON e.q_id = l.q_id AND e.c_id = l.c_id
+           CROSS JOIN ks
+           WHERE e.rank <= ks.k AND l.lrank <= ks.k
+           GROUP BY 1, 2)
+         SELECT q.q_id, CAST(ks.k AS BIGINT) AS k,
+                CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+                CAST(coalesce(h.hits, 0) AS DOUBLE) / ks.k AS recall_at_k
+         FROM (SELECT DISTINCT q_id FROM exact) q
+         CROSS JOIN ks
+         LEFT JOIN hits h ON h.q_id = q.q_id AND h.k = ks.k
+         ORDER BY q.q_id, k""",
     // SIM2: candidates from the dumped bucket table, then the exact
     // sim1 cosine/rank machinery over the candidate pairs
     "sim2_lsh_ann" ->

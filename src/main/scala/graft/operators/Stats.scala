@@ -2230,6 +2230,75 @@ object Stats {
     // SS_E uses the per-cell computational form q − n·m² (identical
     // cancellation on identical doubles). One corpus pass to the
     // panel; every aggregate after runs on ≤a·3 rows.
+    // A118: Chow structural-break F test — the REGIME question the
+    // trend family stops short of (A34 fits one line, A49/A77 detect
+    // WHEN a mean drifts; Chow asks whether the LINE ITSELF — level
+    // and slope — changed at a known break): split the pinned daily
+    // panel at mid-window (day offset 15 of the 30-day panel, the
+    // documented fixed breakpoint), fit OLS on each segment and
+    // pooled, F = ((SSR_p − SSR_1 − SSR_2)/k) / ((SSR_1 + SSR_2)/
+    // (n − 2k)) with k = 2 (intercept + slope). Float discipline is
+    // A85's verbatim: x-moments exact BIGINTs, y/xy/yy sums
+    // decimal-pinned with one double render each, every SSR the same
+    // fixed computational chain Syy_c − Sxy_c²/Sxx_c on those pinned
+    // scalars, F one fixed chain — raw doubles, fully hash-checked.
+    // Degenerate guards (ANSI): a flat panel (SSR₁+SSR₂ = 0), a
+    // segment with < 3 days, or n ≤ 4 → NULL F.
+    "a118_chow" -> ((s, d) => {
+      val dly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("y"))
+        .withColumn("x", datediff(col("day"), lit("2024-01-01"))
+          .cast("long"))
+        .withColumn("seg", when(col("x") < 15, 1L).otherwise(2L))
+      def ssrOf(grouped: DataFrame): DataFrame = grouped
+        .withColumn("sxxc",
+          col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx") / col("n"))
+        .withColumn("ssr",
+          when(col("sxxc") > 0,
+            col("syy") - col("sy") * col("sy") / col("n") -
+              (col("sxy") - col("sx").cast("double") * col("sy") /
+                col("n")) *
+              (col("sxy") - col("sx").cast("double") * col("sy") /
+                col("n")) / col("sxxc")))
+      val segs = ssrOf(dly.groupBy(col("event_type"), col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y").cast("decimal(24,10)")).cast("double").as("sy"),
+          sum((col("x") * col("y")).cast("decimal(28,8)")).cast("double")
+            .as("sxy"),
+          sum((col("y") * col("y")).cast("decimal(28,8)")).cast("double")
+            .as("syy")))
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_check"),
+          min(col("n")).as("n_min"),
+          max(when(col("seg") === 1L, col("n"))).as("n1"),
+          max(when(col("seg") === 2L, col("n"))).as("n2"),
+          max(when(col("seg") === 1L, col("ssr"))).as("ssr_1"),
+          max(when(col("seg") === 2L, col("ssr"))).as("ssr_2"))
+      val pooled = ssrOf(dly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y").cast("decimal(24,10)")).cast("double").as("sy"),
+          sum((col("x") * col("y")).cast("decimal(28,8)")).cast("double")
+            .as("sxy"),
+          sum((col("y") * col("y")).cast("decimal(28,8)")).cast("double")
+            .as("syy")))
+        .select(col("event_type"), col("n"), col("ssr").as("ssr_pooled"))
+      pooled.join(segs, Seq("event_type"))
+        .select(col("event_type"), col("n"), col("n1"), col("n2"),
+          col("ssr_pooled"), col("ssr_1"), col("ssr_2"),
+          when(col("n") > 4 && col("n_min") >= 3 &&
+               col("ssr_1").isNotNull && col("ssr_2").isNotNull &&
+               col("ssr_1") + col("ssr_2") > 0,
+            ((col("ssr_pooled") - col("ssr_1") - col("ssr_2")) / 2) /
+              ((col("ssr_1") + col("ssr_2")) / (col("n") - 4)))
+            .as("chow_f"))
+        .orderBy("event_type")
+    }),
+
     "a117_two_way_anova" -> ((s, d) => {
       val dly = Tables.events(s, d)
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
@@ -6420,6 +6489,81 @@ object Stats {
          ORDER BY event_type""",
     // a81's pinned regression replayed, then leverage and Cook's D as
     // the same fixed-order IEEE chains — raw doubles, raw flag
+    // the same pinned daily panel and decimal renders; every SSR the
+    // identical fixed Syy_c − Sxy_c²/Sxx_c chain, F one fixed chain,
+    // degenerate guards mirrored as CASE WHEN
+    "a118_chow" ->
+      """WITH dly AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS y
+           FROM events GROUP BY 1, 2),
+         xy AS (
+           SELECT event_type, y,
+                  CAST(datediff('day', DATE '2024-01-01', day) AS BIGINT)
+                    AS x,
+                  CASE WHEN datediff('day', DATE '2024-01-01', day) < 15
+                       THEN 1 ELSE 2 END AS seg
+           FROM dly),
+         mo AS (
+           SELECT event_type, seg, count(*) AS n,
+                  sum(x) AS sx, sum(x * x) AS sxx,
+                  CAST(CAST(sum(CAST(y AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) AS sy,
+                  CAST(CAST(sum(CAST(x * y AS DECIMAL(28,8))) AS VARCHAR)
+                       AS DOUBLE) AS sxy,
+                  CAST(CAST(sum(CAST(y * y AS DECIMAL(28,8))) AS VARCHAR)
+                       AS DOUBLE) AS syy
+           FROM xy GROUP BY 1, 2),
+         mop AS (
+           SELECT event_type, count(*) AS n,
+                  sum(x) AS sx, sum(x * x) AS sxx,
+                  CAST(CAST(sum(CAST(y AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) AS sy,
+                  CAST(CAST(sum(CAST(x * y AS DECIMAL(28,8))) AS VARCHAR)
+                       AS DOUBLE) AS sxy,
+                  CAST(CAST(sum(CAST(y * y AS DECIMAL(28,8))) AS VARCHAR)
+                       AS DOUBLE) AS syy
+           FROM xy GROUP BY 1),
+         ssrs AS (
+           SELECT event_type, seg, n,
+                  CASE WHEN CAST(sxx AS DOUBLE) -
+                            CAST(sx AS DOUBLE) * sx / n > 0 THEN
+                    syy - sy * sy / n -
+                      (sxy - CAST(sx AS DOUBLE) * sy / n) *
+                      (sxy - CAST(sx AS DOUBLE) * sy / n) /
+                      (CAST(sxx AS DOUBLE) -
+                       CAST(sx AS DOUBLE) * sx / n)
+                  END AS ssr
+           FROM mo),
+         ssrp AS (
+           SELECT event_type, n,
+                  CASE WHEN CAST(sxx AS DOUBLE) -
+                            CAST(sx AS DOUBLE) * sx / n > 0 THEN
+                    syy - sy * sy / n -
+                      (sxy - CAST(sx AS DOUBLE) * sy / n) *
+                      (sxy - CAST(sx AS DOUBLE) * sy / n) /
+                      (CAST(sxx AS DOUBLE) -
+                       CAST(sx AS DOUBLE) * sx / n)
+                  END AS ssr_pooled
+           FROM mop),
+         segw AS (
+           SELECT event_type, min(n) AS n_min,
+                  CAST(max(CASE WHEN seg = 1 THEN n END) AS BIGINT) AS n1,
+                  CAST(max(CASE WHEN seg = 2 THEN n END) AS BIGINT) AS n2,
+                  max(CASE WHEN seg = 1 THEN ssr END) AS ssr_1,
+                  max(CASE WHEN seg = 2 THEN ssr END) AS ssr_2
+           FROM ssrs GROUP BY 1)
+         SELECT p.event_type, CAST(p.n AS BIGINT) AS n, s.n1, s.n2,
+                p.ssr_pooled, s.ssr_1, s.ssr_2,
+                CASE WHEN p.n > 4 AND s.n_min >= 3
+                      AND s.ssr_1 IS NOT NULL AND s.ssr_2 IS NOT NULL
+                      AND s.ssr_1 + s.ssr_2 > 0 THEN
+                  ((p.ssr_pooled - s.ssr_1 - s.ssr_2) / 2) /
+                    ((s.ssr_1 + s.ssr_2) / (p.n - 4))
+                END AS chow_f
+         FROM ssrp p JOIN segw s ON p.event_type = s.event_type
+         ORDER BY p.event_type""",
     "a85_cooks_distance" ->
       """WITH dly AS (
            SELECT event_type, date_trunc('day', ts) AS day,

@@ -144,4 +144,31 @@ class ApproxAggSpec extends AnyFunSuite {
     assert(got == direct)
     assert(plain.count() > 0)
   }
+
+  test("f16 bitmap distinct is exact and bucket-spanning ids sum correctly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // natural user_ids may all fall inside ONE 2^15-id bitmap bucket,
+    // leaving the cross-bucket sum untested — plant ids that span
+    // three buckets (0, 40k, 70k) plus duplicates
+    val d = SparkTestSession.fixtureDir("f16-fix")
+    val ids = Seq(1L, 2L, 2L, 40000L, 40000L, 70000L, 70001L)
+    ids.zipWithIndex.map { case (u, i) =>
+      (i.toLong, new java.sql.Timestamp(1704067200000L + i * 86400000L),
+        u, "click", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = Relational.queries("f16_bitmap_funcs")(spark, d).head()
+    assert(r.getLong(1) == 5L, s"n_users ${r.getLong(1)}")
+    assert(r.getLong(2) == 5L && r.getBoolean(3))
+    // and on the natural corpus the bitmap count must equal the
+    // oracle-checked exact distinct (a6) per group
+    val exact = Relational.queries("a6_distinct_count")(spark, sf)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    Relational.queries("f16_bitmap_funcs")(spark, sf).collect()
+      .foreach { x =>
+        assert(x.getLong(1) == exact(x.getString(0)), x.getString(0))
+        assert(x.getBoolean(3), s"${x.getString(0)} merge_exact")
+      }
+  }
 }

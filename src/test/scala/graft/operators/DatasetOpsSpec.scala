@@ -258,4 +258,40 @@ class DatasetOpsSpec extends AnyFunSuite {
       "vacuous: no straddling near-dup pair; rebalance the fixture claim")
   }
 
+  test("ds21 dedup weights: credit splits uniformly, effective <= raw") {
+    import org.apache.spark.sql.functions._
+    val sf = graft.SparkTestSession.Sf0001
+    val cc = graft.operators.Dedup.queries("d10_cc_corpus")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val sizes = cc.groupBy(_._2).map { case (c, m) => c -> m.size }
+    val docSrc = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // sequential recompute: per source, Σ r6(1/|cluster|)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = cc.groupBy(t => docSrc(t._1)).map { case (src, ds) =>
+      val eff = BigDecimal(ds.map(t =>
+        BigDecimal(r6(1.0 / sizes(t._2)))).sum.toDouble)
+      src -> ((ds.size.toLong,
+        ds.count(t => sizes(t._2) > 1).toLong, eff.toDouble))
+    }
+    val got = DatasetOps.queries("ds21_dedup_weights")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (src, (n, inCl, eff)) =>
+      val (gn, gin, geff, gr) = got(src)
+      assert(gn == n && gin == inCl, s"$src counts")
+      assert(math.abs(geff - eff) <= 1e-9, s"$src effective")
+      // effective mass can never exceed raw rows, and the ratio is
+      // exactly their quotient
+      assert(geff <= gn + 1e-9 && gr == geff / gn, s"$src ratio")
+    }
+    // non-vacuous: the corpus HAS clusters, so some source must lose
+    // effective mass
+    assert(got.values.exists { case (n, _, eff, _) => eff < n },
+      "vacuous: no dedup discount anywhere")
+  }
 }

@@ -1114,4 +1114,31 @@ class DedupSpec extends AnyFunSuite {
     assert(got.values.exists(_._2) && got.values.exists(!_._2),
       "need both cross-source and self-duplication cells")
   }
+
+  test("d29 simhash clusters agree with a sequential union-find over d8's pairs") {
+    val sf = SparkTestSession.Sf0001
+    val pairs = Dedup.queries("d8_simhash_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = Dedup.queries("d29_simhash_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sequential union-find with min-id canonical election
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val lo = math.min(ra, rb)
+        parent(math.max(ra, rb)) = lo; parent(ra) = lo; parent(rb) = lo }
+    }
+    got.foreach { case (id, canon) =>
+      assert(canon == find(id), s"doc $id: got $canon want ${find(id)}")
+    }
+    // every doc is a vertex; paired docs must form >= 1 real cluster
+    assert(got.keySet.size > pairs.length,
+      "vertex set must cover the whole corpus, not just paired docs")
+    assert(pairs.nonEmpty && pairs.forall { case (a, b) =>
+      got(a) == got(b) }, "pair endpoints must share a cluster")
+  }
 }

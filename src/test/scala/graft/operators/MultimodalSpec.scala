@@ -270,4 +270,47 @@ class MultimodalSpec extends AnyFunSuite {
     // one sign/magnitude cell.
     assert(got.values.map(_._2).toSet.size > 1, "vacuous: constant r")
   }
+
+  test("mm15 conditional entropy on planted docs matches hand values") {
+    import spark.implicits._
+    val d = SparkTestSession.fixtureDir("mm15-fix")
+    // "aA0a": high nibbles 6,4,3,6 -> 3 distinct pairs (each p=1/3)
+    //   H_pair = ln 3 from the r6'd-term sum; prev marginal also
+    //   uniform over 3 -> H_cond = 0
+    // "aaaa": one pair class -> everything 0
+    // "aA": a single pair -> everything 0
+    Seq((1L, "aA0a", "en", "wiki", 4L), (2L, "aaaa", "en", "wiki", 4L),
+      (3L, "aA", "en", "wiki", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Multimodal.queries("mm15_byte_cond_entropy")(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val lnTerm = BigDecimal(-(1.0 / 3) * math.log(1.0 / 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val h3 = BigDecimal(3 * lnTerm).setScale(10,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._1 == 3L && got(1L)._2 == h3 && got(1L)._4 == 0.0)
+    assert(got(2L) == ((3L, 0.0, 0.0, 0.0)))
+    assert(got(3L) == ((1L, 0.0, 0.0, 0.0)))
+  }
+
+  test("mm15 corpus: h_cond in [0, h_pair], text scores below uniform") {
+    val rows = Multimodal.queries("mm15_byte_cond_entropy")(
+      spark, SparkTestSession.Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (hp, hprev, hc) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      // information-theoretic bounds (up to the 1e-6 term rounding):
+      // 0 <= H(next|prev) <= H(pairs), H(prev) <= H(pairs)
+      assert(hc >= -1e-4 && hc <= hp + 1e-4, s"doc ${r.getLong(0)}")
+      assert(hprev <= hp + 1e-4)
+    }
+    // real text is serially predictable: conditional entropy must sit
+    // strictly below the marginal for most docs (not a constant-0 or
+    // equal-to-marginal degenerate)
+    val below = rows.count(r => r.getDouble(4) < r.getDouble(3))
+    assert(below * 2 > rows.length, "vacuous: no serial structure")
+  }
 }

@@ -682,4 +682,30 @@ class SimilaritySpec extends AnyFunSuite {
     // share a centroid exactly — vacuous quantization)
     assert(got.values.exists(_._3 > 0), "vacuous: all drifts zero")
   }
+
+  test("sim20 recall curve: recomputed from the two rankings, monotone in k") {
+    val sf = graft.SparkTestSession.Sf0001
+    val exact = Similarity.queries("sim1_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lsh = Similarity.queries("sim2_lsh_ann")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = Similarity.queries("sim20_recall_curve")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    for (q <- exact.map(_._1).distinct; k <- Seq(1L, 3L, 5L)) {
+      val e = exact.filter(t => t._1 == q && t._2 <= k).map(_._3).toSet
+      val l = lsh.filter(t => t._1 == q && t._2 <= k).map(_._3).toSet
+      val want = e.intersect(l).size.toLong
+      assert(got((q, k)) == ((want, want.toDouble / k)),
+        s"q=$q k=$k: got ${got((q, k))} want $want")
+    }
+    // hits monotone in k; every recall in [0, 1]
+    got.groupBy(_._1._1).foreach { case (q, m) =>
+      val byK = m.map { case ((_, k), (h, _)) => k -> h }
+      assert(byK(1L) <= byK(3L) && byK(3L) <= byK(5L), s"q=$q monotone")
+    }
+    assert(got.values.forall { case (_, r) => r >= 0.0 && r <= 1.0 })
+    assert(got.values.exists(_._1 > 0), "vacuous: zero recall everywhere")
+  }
 }

@@ -2880,4 +2880,56 @@ class StatsSpec extends AnyFunSuite {
     assert(row.getDouble(3) != row.getDouble(4),
       "corpus entropies collided; the asymmetry claim needs new columns")
   }
+
+  test("a118 Chow F matches a sequential two-segment OLS recompute") {
+    import org.apache.spark.sql.functions._
+    val sf = SparkTestSession.Sf0001
+    // the pinned daily panel, collected once (small: days × types)
+    val panel = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+        count(lit(1))).as("y"))
+      .withColumn("x", datediff(col("day"), lit("2024-01-01")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getDouble(2)))
+    def ssr(pts: Seq[(Long, Double)]): Option[Double] = {
+      val n = pts.size
+      val sx = pts.map(_._1).sum; val sxx = pts.map(p => p._1 * p._1).sum
+      val sy = pts.map(_._2).sum; val syy = pts.map(p => p._2 * p._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxxc = sxx.toDouble - sx.toDouble * sx / n
+      if (sxxc <= 0) None
+      else Some(syy - sy * sy / n -
+        (sxy - sx.toDouble * sy / n) * (sxy - sx.toDouble * sy / n) / sxxc)
+    }
+    val got = Stats.queries("a118_chow")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.nonEmpty)
+    panel.groupBy(_._1).foreach { case (t, rows) =>
+      val pts = rows.map(r => (r._2, r._3)).toSeq
+      val (s1, s2) = pts.partition(_._1 < 15)
+      val r = got(t)
+      assert(r.getLong(1) == pts.size && r.getLong(2) == s1.size &&
+        r.getLong(3) == s2.size, s"$t sizes")
+      // sequential float sums differ from the engine's decimal-pinned
+      // renders only in summation order — compare at 1e-6
+      for ((want, i) <- Seq(ssr(pts) -> 4, ssr(s1) -> 5, ssr(s2) -> 6))
+        want match {
+          case Some(w) =>
+            assert(math.abs(r.getDouble(i) - w) <= 1e-6 * math.max(1, w.abs),
+              s"$t ssr col $i")
+          case None => assert(r.isNullAt(i), s"$t null ssr col $i")
+        }
+      (ssr(pts), ssr(s1), ssr(s2)) match {
+        case (Some(sp), Some(sa), Some(sb))
+            if pts.size > 4 && math.min(s1.size, s2.size) >= 3 &&
+              sa + sb > 0 =>
+          val f = ((sp - sa - sb) / 2) / ((sa + sb) / (pts.size - 4))
+          assert(math.abs(r.getDouble(7) - f) <= 1e-4 * math.max(1, f.abs),
+            s"$t chow_f")
+          // pooled SSR can never undercut the sum of segment fits
+          assert(r.getDouble(7) >= -1e-6, s"$t F nonneg")
+        case _ => assert(r.isNullAt(7), s"$t null F")
+      }
+    }
+  }
 }
