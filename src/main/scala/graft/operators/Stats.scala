@@ -3021,6 +3021,69 @@ object Stats {
         .orderBy("event_type")
     }),
 
+    // A119: Cochran–Mantel–Haenszel χ² — the STRATIFIED association
+    // test the 2×2 family needs at the corpus level (A92/A102 score
+    // each series' up-price × up-volume table separately; pooling the
+    // tables naively invites Simpson's paradox — CMH pools the
+    // EVIDENCE instead, one (a_k − E_k) contribution per stratum):
+    // strata = event_type over the shared daily up-price/up-volume
+    // panel, χ²_CMH = (max(0, |Σa − ΣE| − ½))² / ΣV with
+    // E_k = r1·c1/n and V_k = r1(n−r1)c1(n−c1)/(n²(n−1)), continuity
+    // corrected. Float discipline: all cells exact BIGINTs, each
+    // E_k/V_k one division of exact integer products (bounded ≪2⁵³ at
+    // panel sizes), the cross-strata sums folded in event_type order
+    // over the collected ≤k-row frame (the a52 ordered-fold pattern,
+    // mirrored by list_sum ORDER BY), the final χ² one fixed chain —
+    // raw doubles, fully hash-checked. Single-day strata drop (V
+    // undefined at n = 1); ΣV = 0 → NULL (the ANSI guard).
+    "a119_cmh" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      val strata = Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("qty",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(when(col("rn") === col("cnt"), col("value"))).as("close"),
+          sum(col("qty")).as("vol"))
+        .withColumn("pc", lag(col("close"), 1).over(wd))
+        .withColumn("pv", lag(col("vol"), 1).over(wd))
+        .filter(col("pc").isNotNull)
+        .withColumn("x", (col("close") > col("pc")).cast("long"))
+        .withColumn("y", (col("vol") > col("pv")).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nk"),
+          sum(col("x") * col("y")).as("a"),
+          sum(col("x")).as("r1"),
+          sum(col("y")).as("c1"))
+        .filter(col("nk") > 1)
+      def fold(body: Column => Column) =
+        aggregate(col("gs"), lit(0.0d), (acc, x) => acc + body(x))
+      strata
+        .agg(count(lit(1)).as("k"), sum(col("nk")).as("n"),
+          sum(col("a")).as("sum_a"),
+          array_sort(collect_list(struct(col("event_type"), col("nk"),
+            col("a"), col("r1"), col("c1")))).as("gs"))
+        .withColumn("sum_e", fold(x =>
+          (x.getField("r1") * x.getField("c1")).cast("double") /
+            x.getField("nk").cast("double")))
+        .withColumn("sum_v", fold(x =>
+          (x.getField("r1") * (x.getField("nk") - x.getField("r1")) *
+            x.getField("c1") * (x.getField("nk") - x.getField("c1")))
+            .cast("double") /
+            (x.getField("nk") * x.getField("nk") *
+              (x.getField("nk") - 1)).cast("double")))
+        .withColumn("g", greatest(lit(0.0d),
+          abs(col("sum_a").cast("double") - col("sum_e")) - lit(0.5d)))
+        .select(col("k"), col("n"), col("sum_a"), col("sum_e"),
+          col("sum_v"),
+          when(col("sum_v") > 0,
+            col("g") * col("g") / col("sum_v")).as("cmh_chi2"))
+    }),
+
     // A102: odds ratio + relative risk on A92's 2×2 up-price/up-volume
     // panel — the epidemiology-style effect sizes the McNemar decision
     // doesn't report: OR = ad/bc and RR = a(c+d)/(c(a+b)) are ONE
@@ -4178,6 +4241,60 @@ object Stats {
          FROM k, gt, bt""",
     // integer discordant-cell counts (exact double comparisons), one
     // division per statistic
+    // a92's daily up-price/up-volume panel, per-stratum integer
+    // cells, the event_type-ordered list_sum folds mirroring the
+    // engine's ordered aggregate, one fixed final chain
+    "a119_cmh" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day,
+                  max(CASE WHEN rn = cnt THEN value END) AS close,
+                  CAST(sum(qty) AS BIGINT) AS vol
+           FROM r GROUP BY 1, 2),
+         p AS (
+           SELECT event_type, day, close, vol,
+                  lag(close) OVER w AS pc, lag(vol) OVER w AS pv
+           FROM c WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         f AS (
+           SELECT event_type,
+                  CAST(close > pc AS BIGINT) AS x,
+                  CAST(vol > pv AS BIGINT) AS y
+           FROM p WHERE pc IS NOT NULL),
+         st AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS nk,
+                  CAST(sum(x * y) AS BIGINT) AS a,
+                  CAST(sum(x) AS BIGINT) AS r1,
+                  CAST(sum(y) AS BIGINT) AS c1
+           FROM f GROUP BY 1 HAVING count(*) > 1),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+                  CAST(sum(nk) AS BIGINT) AS n,
+                  CAST(sum(a) AS BIGINT) AS sum_a,
+                  list_sum(list(CAST(r1 * c1 AS DOUBLE) /
+                    CAST(nk AS DOUBLE) ORDER BY event_type)) AS sum_e,
+                  list_sum(list(
+                    CAST(r1 * (nk - r1) * c1 * (nk - c1) AS DOUBLE) /
+                    CAST(nk * nk * (nk - 1) AS DOUBLE)
+                    ORDER BY event_type)) AS sum_v
+           FROM st),
+         gg AS (
+           SELECT *, greatest(CAST(0 AS DOUBLE),
+                    abs(CAST(sum_a AS DOUBLE) - sum_e)
+                      - CAST(0.5 AS DOUBLE)) AS g
+           FROM agg)
+         SELECT k, n, sum_a, sum_e, sum_v,
+                CASE WHEN sum_v > 0 THEN g * g / sum_v END AS cmh_chi2
+         FROM gg""",
     "a92_mcnemar" ->
       """WITH e AS (
            SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,

@@ -382,6 +382,62 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // TXT27: domain-fit cross-entropy — the mixture-diagnosis signal
+    // between TXT11's single-model fluency score and PIPE5's
+    // diversity rollup: per doc, the average cross-entropy of its
+    // tokens under its OWN source's unigram model vs under the
+    // global corpus model. fit_gap = ce_global − ce_own is the
+    // domain-specificity of the doc (strongly positive = the doc
+    // speaks its source's dialect — generic docs score ≈ 0), the
+    // standard cheap proxy for "does this source contribute a
+    // distinct distribution to the mixture" (Moore–Lewis selection
+    // uses exactly this difference, source↔target reversed). MLE
+    // needs no smoothing on either side (doc ⊂ source ⊂ corpus, so
+    // every scored token exists in both models). TXT11's float
+    // discipline verbatim: raw ln terms folded in token order over
+    // the collected per-doc frame (mirrored by list_sum ORDER BY),
+    // r6 renders at the end, the gap one subtraction of the renders.
+    // Scale: the source model joins on (source, w) — a keyed shuffle,
+    // never a broadcast (Σ per-source vocabs outgrows the driver);
+    // the global model broadcasts like TXT11. Fully hash-checked.
+    "txt27_domain_fit" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), explode(toks).as("w"))
+      val srcTot = tok.groupBy("source").agg(count(lit(1)).as("stot"))
+      val srcModel = tok.groupBy("source", "w")
+        .agg(count(lit(1)).as("scnt"))
+        .join(broadcast(srcTot), Seq("source"))
+        .select(col("source"), col("w"),
+          log(col("scnt").cast("double") / col("stot").cast("double"))
+            .as("logp_s"))
+      val vocab = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum(col("cnt")).as("tot"))
+      val glModel = vocab.crossJoin(broadcast(total))
+        .select(col("w"),
+          log(col("cnt").cast("double") / col("tot").cast("double"))
+            .as("logp_g"))
+      tok.groupBy("doc_id", "source", "w").agg(count(lit(1)).as("n"))
+        .join(srcModel, Seq("source", "w"))
+        .join(broadcast(glModel), Seq("w"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("n")).as("n_tokens"),
+          aggregate(
+            array_sort(collect_list(struct(col("w"),
+              (col("n").cast("double") * col("logp_s")).as("ts"),
+              (col("n").cast("double") * col("logp_g")).as("tg")))),
+            lit(0.0d), (acc, x) => acc + x.getField("ts")).as("lls"),
+          aggregate(
+            array_sort(collect_list(struct(col("w"),
+              (col("n").cast("double") * col("logp_s")).as("ts"),
+              (col("n").cast("double") * col("logp_g")).as("tg")))),
+            lit(0.0d), (acc, x) => acc + x.getField("tg")).as("llg"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          r6(-col("lls") / col("n_tokens")).as("ce_own"),
+          r6(-col("llg") / col("n_tokens")).as("ce_global"))
+        .withColumn("fit_gap", col("ce_global") - col("ce_own"))
+        .orderBy("doc_id")
+    }),
+
     // TXT12: BM25 ranked retrieval — the relevance score behind
     // domain-targeted corpus selection (keep documents that score high
     // against a topic query). Okapi BM25 (Robertson & Spärck Jones;
@@ -1531,6 +1587,47 @@ object TextAnalysis {
                 CAST(list_sum(seg_d) AS DOUBLE) / (n_segments * 50)
                   AS mattr
          FROM dc ORDER BY doc_id""",
+    // txt11's MLE-model machinery twice (per-source + global), the
+    // identical token-ordered list_sum folds, r6 renders, one raw
+    // subtraction
+    "txt27_domain_fit" ->
+      """WITH tok AS (
+           SELECT doc_id, source,
+                  unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+           FROM documents),
+         stot AS (SELECT source, count(*) AS stot FROM tok GROUP BY 1),
+         smodel AS (
+           SELECT t.source, t.w,
+                  ln(CAST(count(*) AS DOUBLE) / CAST(s.stot AS DOUBLE))
+                    AS logp_s
+           FROM tok t JOIN stot s ON t.source = s.source
+           GROUP BY t.source, t.w, s.stot),
+         vocab AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+         gmodel AS (
+           SELECT w, ln(CAST(cnt AS DOUBLE) /
+                        CAST((SELECT sum(cnt) FROM vocab) AS DOUBLE))
+                    AS logp_g
+           FROM vocab),
+         dw AS (SELECT doc_id, source, w, count(*) AS n
+                FROM tok GROUP BY 1, 2, 3),
+         j AS (
+           SELECT d.doc_id, d.source, d.w, CAST(d.n AS BIGINT) AS n,
+                  CAST(d.n AS DOUBLE) * sm.logp_s AS ts,
+                  CAST(d.n AS DOUBLE) * gm.logp_g AS tg
+           FROM dw d
+           JOIN smodel sm ON d.source = sm.source AND d.w = sm.w
+           JOIN gmodel gm ON d.w = gm.w),
+         agg AS (
+           SELECT doc_id, source, CAST(sum(n) AS BIGINT) AS n_tokens,
+                  list_sum(list(ts ORDER BY w)) AS lls,
+                  list_sum(list(tg ORDER BY w)) AS llg
+           FROM j GROUP BY 1, 2)
+         SELECT doc_id, source, n_tokens,
+                round(-lls / n_tokens, 6) AS ce_own,
+                round(-llg / n_tokens, 6) AS ce_global,
+                round(-llg / n_tokens, 6) - round(-lls / n_tokens, 6)
+                  AS fit_gap
+         FROM agg ORDER BY doc_id""",
     "txt11_unigram_loglik" ->
       """WITH tok AS (
            SELECT doc_id,

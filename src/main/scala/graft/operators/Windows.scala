@@ -1466,6 +1466,50 @@ object Windows {
         .orderBy("event_type", "day")
     }),
 
+    // W53: Chandelier Exit — the ATR-scaled TRAILING STOP the
+    // indicator family computes volatility FOR (W25 measures ATR;
+    // this is the classic position-management consumer): long stop =
+    // HH₅ − 3·ATR₅, short stop = LL₅ + 3·ATR₅ over the same 5-day
+    // lookback as W25's ATR, plus the "close still above the long
+    // stop" verdict a backtest keys exits on. HH/LL are exact extreme
+    // picks over the raw candle highs/lows, ATR is W25's
+    // decimal-pinned 5-sum render, each stop ONE fixed IEEE chain on
+    // those pinned scalars and the verdict an exact comparison —
+    // raw doubles, fully hash-checked. Same single per-type series
+    // window shape as W23/W25 (bounded frames, no global sort).
+    "w53_chandelier" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      val w5 = wd.rowsBetween(-4, 0)
+      Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("value")).as("high"), min(col("value")).as("low"),
+          max(when(col("rn") === col("cnt"), col("value"))).as("close"))
+        .withColumn("prev_close", lag(col("close"), 1).over(wd))
+        .filter(col("prev_close").isNotNull)
+        .withColumn("tr", greatest(col("high") - col("low"),
+          abs(col("high") - col("prev_close")),
+          abs(col("low") - col("prev_close"))))
+        .withColumn("n_win", count(lit(1)).over(w5))
+        .withColumn("atr",
+          sum(col("tr").cast("decimal(24,10)")).over(w5).cast("double") /
+            5)
+        .withColumn("hh", max(col("high")).over(w5))
+        .withColumn("ll", min(col("low")).over(w5))
+        .filter(col("n_win") === 5)
+        .select(col("event_type"), col("day"), col("atr"),
+          col("hh"), col("ll"),
+          (col("hh") - lit(3.0d) * col("atr")).as("long_stop"),
+          (col("ll") + lit(3.0d) * col("atr")).as("short_stop"),
+          (col("close") > col("hh") - lit(3.0d) * col("atr"))
+            .as("above_long_stop"))
+        .orderBy("event_type", "day")
+    }),
+
     // W26: stochastic oscillator %K/%D — the bounded momentum gauge
     // (where does today's close sit inside the 5-day high–low
     // envelope?): %K = 100·(close − LL₅)/(HH₅ − LL₅) from W16's
@@ -2788,6 +2832,47 @@ object Windows {
            WINDOW w5 AS (PARTITION BY event_type ORDER BY day
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
          SELECT event_type, day, tr, atr
+         FROM w WHERE n_win = 5 ORDER BY event_type, day""",
+    // w25's candle/TR/pinned-ATR chain + exact HH/LL extreme picks;
+    // stops one fixed chain each, verdict an exact comparison
+    "w53_chandelier" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day, max(value) AS high, min(value) AS low,
+                  max(CASE WHEN rn = cnt THEN value END) AS close
+           FROM r GROUP BY 1, 2),
+         pc AS (
+           SELECT *, lag(close) OVER (PARTITION BY event_type
+                                      ORDER BY day) AS prev_close
+           FROM c),
+         tr AS (
+           SELECT event_type, day, high, low, close,
+                  greatest(high - low, abs(high - prev_close),
+                           abs(low - prev_close)) AS tr
+           FROM pc WHERE prev_close IS NOT NULL),
+         w AS (
+           SELECT event_type, day, close,
+                  count(*) OVER w5 AS n_win,
+                  CAST(CAST(sum(CAST(tr AS DECIMAL(24,10))) OVER w5
+                       AS VARCHAR) AS DOUBLE) / 5 AS atr,
+                  max(high) OVER w5 AS hh,
+                  min(low) OVER w5 AS ll
+           FROM tr
+           WINDOW w5 AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         SELECT event_type, day, atr, hh, ll,
+                hh - CAST(3.0 AS DOUBLE) * atr AS long_stop,
+                ll + CAST(3.0 AS DOUBLE) * atr AS short_stop,
+                close > hh - CAST(3.0 AS DOUBLE) * atr AS above_long_stop
          FROM w WHERE n_win = 5 ORDER BY event_type, day""",
     // w16's candle CTE, 5-day envelope %K (raw division chain) and
     // decimal-pinned 3-day %D over full %K windows

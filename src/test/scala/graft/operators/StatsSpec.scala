@@ -675,6 +675,116 @@ class StatsSpec extends AnyFunSuite {
     assert(checkedAtr > 0 && checkedD > 0, "vacuous sweep")
   }
 
+  test("w53 chandelier stops are exact functions of w25's ATR and the candle extremes") {
+    // w53 shares w25's (oracle-checked) candle/TR/ATR chain; its new
+    // content is the HH/LL extreme picks and the two stop chains —
+    // recompute all of it sequentially from the w16 candles
+    def dsum10(xs: Seq[Double]): Double =
+      xs.map(BigDecimal(_).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val candles = graft.operators.Windows.queries("w16_ohlc_candles")(
+        spark, sf).collect()
+      .map(r => (r.getString(0), r.get(1).toString, r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+      .groupBy(_._1).map { case (t, rs) => t -> rs.sortBy(_._2).toList }
+    val got = graft.operators.Windows.queries("w53_chandelier")(spark, sf)
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getBoolean(7)))).toMap
+    assert(got.nonEmpty)
+    var checked = 0
+    candles.foreach { case (t, days) =>
+      val rows = days.sliding(2).collect { case Seq(p, c) =>
+        (c._2, c._3, c._4, c._5, math.max(c._3 - c._4,
+          math.max(math.abs(c._3 - p._5), math.abs(c._4 - p._5))))
+      }.toSeq  // (day, high, low, close, tr)
+      rows.sliding(5).foreach { win =>
+        if (win.size == 5) {
+          val (day, _, _, close, _) = win.last
+          val atr = dsum10(win.map(_._5)) / 5
+          val hh = win.map(_._2).max; val ll = win.map(_._3).min
+          val want = (atr, hh, ll, hh - 3.0 * atr, ll + 3.0 * atr,
+            close > hh - 3.0 * atr)
+          assert(got((t, day)) == want, s"$t $day")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 0, "vacuous sweep")
+  }
+
+  test("a119 CMH matches a sequential stratified recompute; pooling differs from naive") {
+    import org.apache.spark.sql.functions._
+    // rebuild the daily up-price/up-volume panel sequentially
+    val days = graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withColumn("qty", get_json_object(col("props"), "$.k").cast("long"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Any]("day").toString,
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("value"), r.getAs[Long]("qty")))
+      .groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
+        val ord = es.sortBy(e => (e._3.getTime, e._4))
+        (t, day, ord.last._5, ord.map(_._6).sum)
+      }.toSeq.groupBy(_._1).map { case (t, rs) => t -> rs.sortBy(_._2) }
+    val strata = days.toSeq.map { case (t, rs) =>
+      val flags = rs.sliding(2).collect { case Seq(p, c) =>
+        (if (c._3 > p._3) 1L else 0L, if (c._4 > p._4) 1L else 0L)
+      }.toSeq
+      val nk = flags.size.toLong
+      (t, nk, flags.count(f => f._1 == 1 && f._2 == 1).toLong,
+        flags.map(_._1).sum, flags.map(_._2).sum)
+    }.filter(_._2 > 1).sortBy(_._1)
+    val sumA = strata.map(_._3).sum
+    val sumE = strata.foldLeft(0.0) { case (acc, (_, nk, _, r1, c1)) =>
+      acc + (r1 * c1).toDouble / nk.toDouble }
+    val sumV = strata.foldLeft(0.0) { case (acc, (_, nk, _, r1, c1)) =>
+      acc + (r1 * (nk - r1) * c1 * (nk - c1)).toDouble /
+        (nk * nk * (nk - 1)).toDouble }
+    val g = math.max(0.0, math.abs(sumA.toDouble - sumE) - 0.5)
+    val r = Stats.queries("a119_cmh")(spark, sf).head()
+    assert(r.getLong(0) == strata.size.toLong && r.getLong(2) == sumA)
+    assert(r.getDouble(3) == sumE && r.getDouble(4) == sumV)
+    if (sumV > 0) assert(r.getDouble(5) == g * g / sumV)
+    assert(r.getDouble(5) >= 0.0)
+  }
+
+  test("txt27 domain fit: single-source corpus has zero gap, planted dialect scores positive") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one source only: own model == global model -> fit_gap exactly 0
+    val d1 = SparkTestSession.fixtureDir("txt27-one")
+    Seq((1L, "alpha beta alpha", "en", "wiki", 16L),
+      (2L, "beta beta gamma", "en", "wiki", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d1/documents.parquet")
+    val one = graft.operators.TextAnalysis
+      .queries("txt27_domain_fit")(spark, d1).collect()
+    assert(one.length == 2 && one.forall(r => r.getDouble(5) == 0.0))
+    // two sources with disjoint dialect words: each doc is better
+    // explained by its own source's model -> strictly positive gap
+    val d2 = SparkTestSession.fixtureDir("txt27-two")
+    Seq((1L, "foo foo shared", "en", "a", 14L),
+      (2L, "foo shared shared", "en", "a", 17L),
+      (3L, "bar bar shared", "en", "b", 14L),
+      (4L, "bar shared shared", "en", "b", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val two = graft.operators.TextAnalysis
+      .queries("txt27_domain_fit")(spark, d2).collect()
+    assert(two.length == 4 && two.forall(r => r.getDouble(5) > 0.0),
+      "dialect docs must fit their own source strictly better")
+    // and on the natural corpus: gaps exist in both directions is NOT
+    // required, but ce columns must be positive and finite
+    val nat = graft.operators.TextAnalysis
+      .queries("txt27_domain_fit")(spark, sf).collect()
+    assert(nat.nonEmpty)
+    nat.foreach { r =>
+      assert(r.getDouble(3) > 0 && r.getDouble(4) > 0, r.getLong(0))
+      assert(!r.getDouble(5).isNaN)
+    }
+  }
+
   test("w27/w28 OBV and MFI match a sequential candle+volume recompute") {
     // both are deterministic functions of the (oracle-checked) w16
     // candles plus the w24 JSON volume — recompute sequentially per
