@@ -279,6 +279,13 @@ object ScaleProbe {
         noop(graft.operators.Curation
           .queries("pipe7_graph_triage")(spark, d))
       },
+      // round 12: the simhash pair graph + CC composition — the
+      // bit-sum agg scans 10× tokens, the banded pair search and the
+      // closure rounds ride the replica's copy-clique edge volume
+      // (the d10/d21 axis).
+      "d29_simhash_clusters" -> { d =>
+        noop(graft.operators.Dedup.queries("d29_simhash_clusters")(spark, d))
+      },
       // s27 on the 10× orders replica: both codec legs (single-stream
       // gzip CSV, block-splittable bzip2 JSON) write + read 10× the
       // bytes; the interesting reading is whether the non-splittable

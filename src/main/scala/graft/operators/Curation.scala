@@ -143,6 +143,37 @@ object Curation {
         .orderBy("corpus_doc", "eval_doc")
     }),
 
+    // PIPE10: dedup-corrected temperature mixture — the composition
+    // DS21 exists to feed: DS12's temperature reweighting applied to
+    // EFFECTIVE source masses (Σ 1/|cluster|) instead of raw row
+    // counts, because temperature sampling on raw counts double-pays
+    // sources whose volume is internal duplication. Per source both
+    // mixtures (q_raw from n_docs^α/Z, q_eff from n_effective^α/Z,
+    // α = 0.7 — DS12's constant) and dup_shift = q_eff − q_raw, the
+    // signed correction the naive mixture needs. Float discipline is
+    // DS12's: both Z sums decimal-pinned (libm pow accumulation must
+    // not move with order), q's r6'd off the pinned renders, the
+    // shift one subtraction. Fully hash-checked — the DuckDB twin
+    // replays the DS21 closure chain AND both mixture formulas.
+    "pipe10_effective_mix" -> ((s, d) => {
+      val alpha = 0.7
+      val eff = DatasetOps.queries("ds21_dedup_weights")(s, d)
+        .select(col("source"), col("n_docs"), col("n_effective"))
+      val tot = eff.agg(
+        sum(pow(col("n_docs").cast("double"), lit(alpha))
+          .cast("decimal(30,12)")).cast("double").as("z_raw"),
+        sum(pow(col("n_effective"), lit(alpha))
+          .cast("decimal(30,12)")).cast("double").as("z_eff"))
+      eff.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_effective"),
+          round(pow(col("n_docs").cast("double"), lit(alpha)) /
+            col("z_raw"), 6).as("q_raw"),
+          round(pow(col("n_effective"), lit(alpha)) /
+            col("z_eff"), 6).as("q_eff"))
+        .withColumn("dup_shift", col("q_eff") - col("q_raw"))
+        .orderBy("source")
+    }),
+
     // PIPE1: the composed corpus filter — the C4/Gopher-style cleaning
     // decision a training-data pipeline applies before assembly. Every
     // doc gets its quality signals (token count, mean token length,
@@ -515,6 +546,65 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // PIPE10: the DS21 closure chain + both temperature formulas,
+    // decimal-pinned Z sums, r6'd q renders, one raw subtraction
+    "pipe10_effective_mix" ->
+      """WITH RECURSIVE
+           docs AS (
+             SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             FROM documents),
+           sh AS (
+             SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+             FROM docs WHERE len(t) >= 3),
+           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           inter AS (
+             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           pairs AS (
+             SELECT da, db FROM inter
+             JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+             WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.5),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION SELECT db AS src, da AS dst FROM pairs),
+           reach AS (
+             SELECT doc_id AS id, doc_id AS r FROM documents
+             UNION
+             SELECT reach.id, e.dst FROM reach
+             JOIN edges e ON reach.r = e.src),
+           cc AS (SELECT id AS doc_id, min(r) AS canonical_id
+                  FROM reach GROUP BY id),
+           cs AS (SELECT canonical_id, count(*) AS cs
+                  FROM cc GROUP BY 1),
+           w AS (SELECT cc.doc_id,
+                        round(CAST(1.0 AS DOUBLE) / cs.cs, 6) AS w
+                 FROM cc JOIN cs USING (canonical_id)),
+           eff AS (
+             SELECT dd.source, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(CAST(sum(CAST(w.w AS DECIMAL(24,10))) AS VARCHAR)
+                         AS DOUBLE) AS n_effective
+             FROM documents dd JOIN w ON w.doc_id = dd.doc_id
+             GROUP BY 1),
+           tot AS (
+             SELECT CAST(CAST(sum(CAST(pow(CAST(n_docs AS DOUBLE),
+                      CAST(0.7 AS DOUBLE)) AS DECIMAL(30,12))) AS VARCHAR)
+                      AS DOUBLE) AS z_raw,
+                    CAST(CAST(sum(CAST(pow(n_effective,
+                      CAST(0.7 AS DOUBLE)) AS DECIMAL(30,12))) AS VARCHAR)
+                      AS DOUBLE) AS z_eff
+             FROM eff)
+         SELECT e.source, e.n_docs, e.n_effective,
+                round(pow(CAST(e.n_docs AS DOUBLE), CAST(0.7 AS DOUBLE))
+                      / t.z_raw, 6) AS q_raw,
+                round(pow(e.n_effective, CAST(0.7 AS DOUBLE))
+                      / t.z_eff, 6) AS q_eff,
+                round(pow(e.n_effective, CAST(0.7 AS DOUBLE))
+                      / t.z_eff, 6) -
+                round(pow(CAST(e.n_docs AS DOUBLE), CAST(0.7 AS DOUBLE))
+                      / t.z_raw, 6) AS dup_shift
+         FROM eff e, tot t ORDER BY e.source""",
     // DECON2: d3's banding + estimate from the signature dump, the
     // eval↔corpus crossing filter, then the exact shingle verify (the
     // d6 SQL) with the ≥ 0.5 threshold on the ROUNDED true Jaccard

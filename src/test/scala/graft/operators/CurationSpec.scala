@@ -282,4 +282,25 @@ class CurationSpec extends AnyFunSuite {
       "component split must be structurally leak-free")
     assert(rateDoc == leakDoc.toDouble / npDoc)
   }
+
+  test("pipe10: both mixtures normalize, duplication shifts mass away") {
+    val sf = graft.SparkTestSession.Sf0001
+    val rows = Curation.queries("pipe10_effective_mix")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.length > 1)
+    // r6'd shares must still sum to 1 within the rounding grid
+    val sumRaw = rows.map(_._4).sum; val sumEff = rows.map(_._5).sum
+    assert(math.abs(sumRaw - 1.0) < 1e-4 && math.abs(sumEff - 1.0) < 1e-4)
+    rows.foreach { case (src, n, eff, qr, qe, shift) =>
+      assert(eff <= n + 1e-9, s"$src effective mass bound")
+      assert(qr > 0 && qe > 0, src)
+      assert(shift == qe - qr, s"$src shift identity")
+    }
+    // the composition's point: the mixtures must actually DIFFER
+    // (the corpus has uneven duplication across sources), and the
+    // shifts must balance to ~0 (mass is conserved)
+    assert(rows.exists(_._6 != 0.0), "vacuous: identical mixtures")
+    assert(math.abs(rows.map(_._6).sum) < 1e-4, "shift mass conservation")
+  }
 }
