@@ -899,4 +899,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"small=${row.getLong(1)} all=$brandAll")
     assert(row.getDouble(0) > 0)
   }
+
+  test("txt27: both model joins plan as keyed equi-joins, no cartesian") {
+    // the (source, w) model and the global model must attach via
+    // hash equi-joins (the 1-row totals attach is a bounded broadcast
+    // cross — the txt11 shape — and is the only non-equi join allowed)
+    val plan = planOf(TextAnalysis.queries, "txt27_domain_fit")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin") ||
+           plan.contains("SortMergeJoin") ||
+           plan.contains("ShuffledHashJoin"), plan.take(1500))
+  }
+
+  test("mm15: pair counts shuffle once, no nested loop anywhere") {
+    val plan = planOf(Multimodal.queries, "mm15_byte_cond_entropy")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
+  test("d29/sim20: composed cluster/recall paths stay bucket-keyed") {
+    for ((qs, q) <- Seq(
+        (Dedup.queries, "d29_simhash_clusters"),
+        (Similarity.queries, "sim20_recall_curve"))) {
+      val plan = planOf(qs, q)
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(1500)}")
+    }
+  }
 }
