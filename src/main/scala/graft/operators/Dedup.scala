@@ -44,7 +44,12 @@ object Dedup {
     * (so the engine consumes byte-for-byte what the oracle reads),
     * and the DuckDB twin replays the entire candidate+verify pipeline
     * from the dump. The hash check then certifies the whole decision
-    * path, leaving only the seeded hashing itself to the spec anchors. */
+    * path, leaving only the seeded hashing itself to the spec anchors.
+    * The paths are FIXED (the static oracle SQL must name them), so
+    * they assume the driver's serial flow: a concurrent run against a
+    * DIFFERENT sf dir would clobber a sweep's dump between the query
+    * and its DuckDB compare. (This holds for every graft_* dump:
+    * D16EdgeDump, Sim2BandDump, PValDump, CellDump.) */
   private[operators] val D3SigDump = "/tmp/graft_d3_sigs.parquet"
   private[operators] val D8SumsDump = "/tmp/graft_d8_sums.parquet"
 
