@@ -293,8 +293,11 @@ object Stats {
         .withColumn("ssw", col("sum_q") - col("sum_sq_over_n"))
         .select(col("k"), col("n"), r6(col("ssb")).as("ssb"),
           r6(col("ssw")).as("ssw"),
-          r6((col("ssb") / (col("k") - 1).cast("double")) /
-             (col("ssw") / (col("n") - col("k")).cast("double")))
+          // zero within-group variance (every observation identical)
+          // -> F undefined -> NULL (ANSI /0 guard; StatsDegenerateSpec)
+          when(col("ssw") > 0 && col("k") > 1,
+            r6((col("ssb") / (col("k") - 1).cast("double")) /
+               (col("ssw") / (col("n") - col("k")).cast("double"))))
             .as("f_stat"))
     }),
 
@@ -671,8 +674,12 @@ object Stats {
         .withColumn("sp", sqrt(
           ((col("n_a") - 1) * col("var_a") + (col("n_b") - 1) * col("var_b"))
             / (col("n_a") + col("n_b") - 2)))
+        // zero pooled variance (all observations identical) -> the
+        // standardized effect is undefined -> NULL (ANSI /0 guard;
+        // spec: StatsDegenerateSpec)
         .withColumn("d_raw",
-          (col("mean_a") - col("mean_b")) / col("sp"))
+          when(col("sp") > 0,
+            (col("mean_a") - col("mean_b")) / col("sp")))
         .select(col("n_a"), col("n_b"),
           round(col("d_raw"), 6).as("cohens_d"),
           round(col("d_raw") * (lit(1.0) -
@@ -2382,7 +2389,10 @@ object Stats {
         .filter(col("rk") === 1)
         .select(col("event_type"), col("n_days"),
           col("day").as("worst_day"), col("y").as("worst_value"),
-          col("mu").as("mean"), (col("dev") / col("sd")).as("g"))
+          col("mu").as("mean"),
+          // a flat panel has sd = 0 and no outlier to score -> NULL
+          // (ANSI /0 guard; spec: StatsDegenerateSpec)
+          when(col("sd") > 0, col("dev") / col("sd")).as("g"))
         .orderBy("event_type")
     }),
 
@@ -4752,9 +4762,12 @@ object Stats {
            FROM events),
          s AS (
            SELECT n_a, n_b,
-                  (mean_a - mean_b) /
-                    sqrt(((n_a - 1) * var_a + (n_b - 1) * var_b)
-                         / (n_a + n_b - 2)) AS d_raw
+                  CASE WHEN sqrt(((n_a - 1) * var_a + (n_b - 1) * var_b)
+                                 / (n_a + n_b - 2)) > 0 THEN
+                    (mean_a - mean_b) /
+                      sqrt(((n_a - 1) * var_a + (n_b - 1) * var_b)
+                           / (n_a + n_b - 2))
+                  END AS d_raw
            FROM m)
          SELECT n_a, n_b, round(d_raw, 6) AS cohens_d,
                 round(d_raw * (CAST(1.0 AS DOUBLE) -
@@ -5156,8 +5169,10 @@ object Stats {
                   sum_q - sum_sq_over_n AS ssw
            FROM f)
          SELECT k, n, round(ssb, 6) AS ssb, round(ssw, 6) AS ssw,
-                round((ssb / CAST(k - 1 AS DOUBLE)) /
-                      (ssw / CAST(n - k AS DOUBLE)), 6) AS f_stat
+                CASE WHEN ssw > 0 AND k > 1 THEN
+                  round((ssb / CAST(k - 1 AS DOUBLE)) /
+                        (ssw / CAST(n - k AS DOUBLE)), 6)
+                END AS f_stat
          FROM c""",
     "a50_kaplan_meier" ->
       """WITH life AS (
@@ -6435,7 +6450,8 @@ object Stats {
                     ORDER BY abs(d.y - mo2.mu) DESC, d.day) AS rk
            FROM dly d JOIN mo2 ON d.event_type = mo2.event_type)
          SELECT event_type, n_days, day AS worst_day, y AS worst_value,
-                mu AS mean, dev / sd AS g
+                mu AS mean,
+                CASE WHEN sd > 0 THEN dev / sd END AS g
          FROM dev WHERE rk = 1 ORDER BY event_type""",
     // exact-decimal group moments rendered once; every pairwise
     // chain replays fixed-order IEEE — raw doubles

@@ -328,7 +328,9 @@ object Windows {
          s2 AS (
            SELECT event_type, day, e1, ${ewma("e1", "b")} AS e2 FROM l2),
          rr AS (
-           SELECT event_type, day, round(e1 / e2, 6) AS ratio FROM s2),
+           SELECT event_type, day,
+                  CASE WHEN e2 <> 0 THEN round(e1 / e2, 6) END AS ratio
+           FROM s2),
          mm AS (
            SELECT event_type, day, ratio,
                   count(*) OVER f AS n,
@@ -612,11 +614,16 @@ object Windows {
         .withColumn("syy", s1(col("y") * col("y")))
         .withColumn("sxy", s1(col("x") * col("y")))
         .filter(col("n") === 10)
+        // zero variance in either series inside a window (a flat
+        // regime) makes r undefined — NULL, never a /0 (ANSI throws
+        // on double division too; WindowsDegenerateSpec)
+        .withColumn("den",
+          (col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))
         .select(col("event_type"), col("day"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")) /
-            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-                 (col("n") * col("syy") - col("sy") * col("sy"))), 6)
-            .as("roll_corr"))
+          when(col("den") > 0,
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt(col("den")), 6)).as("roll_corr"))
         .orderBy("event_type", "day")
     }),
 
@@ -942,7 +949,11 @@ object Windows {
       val e1 = ewmaOf(candles, "rng", "e1", "a", Nil)
       val e2 = ewmaOf(e1, "e1", "e2", "b", Seq("e1"))
       val frame = wT.rowsBetween(-9, 0)
-      e2.withColumn("ratio", r6(col("e1") / col("e2")))
+      // a zero-range regime (flat candles) zeroes BOTH EMAs — the
+      // ratio is undefined there, NULL, never a /0 (ANSI throws on
+      // double division too; WindowsDegenerateSpec)
+      e2.withColumn("ratio",
+          when(col("e2") =!= 0.0d, r6(col("e1") / col("e2"))))
         .withColumn("n", count(lit(1)).over(frame))
         .withColumn("mass",
           sum(col("ratio").cast("decimal(24,10)")).over(frame)
@@ -3440,8 +3451,10 @@ object Windows {
            WINDOW w AS (PARTITION BY event_type ORDER BY day
                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
          SELECT event_type, day,
-                round((n*sxy - sx*sy) /
-                  sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS roll_corr
+                CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0 THEN
+                  round((n*sxy - sx*sy) /
+                    sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+                END AS roll_corr
          FROM r WHERE n = 10 ORDER BY event_type, day""",
     "w9_rolling_mean" ->
       """SELECT user_id, event_id, value,

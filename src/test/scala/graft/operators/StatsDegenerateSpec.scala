@@ -16,16 +16,24 @@ import org.scalatest.funsuite.AnyFunSuite
 class StatsDegenerateSpec extends AnyFunSuite {
   private lazy val spark = graft.SparkTestSession.spark
 
-  /** events.parquet fixture: (event_type, value, ts) rows with ids. */
+  /** events.parquet fixture: (event_type, value, ts) rows with ids,
+    * plus a flat-revenue orders table for the orders-reading queries. */
   private def eventsDir(prefix: String,
       rows: Seq[(String, Double, String)]): String = {
     import spark.implicits._
     val d = graft.SparkTestSession.fixtureDir(prefix)
     rows.zipWithIndex.map { case ((t, v, day), i) =>
       (i.toLong, java.sql.Timestamp.valueOf(day + " 12:00:00"),
-        i.toLong % 7, t, v, "{}")
+        i.toLong % 7, t, v, "{\"k\": 10}")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    (1 to 40).map { day =>
+      (day.toLong, day.toLong % 5, "F", 100.0,
+        new java.sql.Timestamp(1704067200000L + day.toLong * 86400000L),
+        "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/orders.parquet")
     d
   }
 
@@ -132,6 +140,51 @@ class StatsDegenerateSpec extends AnyFunSuite {
 
   test("a73 zero-range values: shared rank spine survives one bucket") {
     run("a73_kruskal_wallis", flatDir).collect()
+  }
+
+  // The RATCHET inventory for the family-wide zero-variance screen
+  // below: statistical kernels whose divisions are known to throw
+  // under ANSI when EVERY observation in the corpus is identical — a
+  // pathological input the natural testdata never approaches (the
+  // statistics themselves are undefined there). The screen pins the
+  // set so it can only SHRINK: a new operator that crashes on zero
+  // variance fails the test, and each guard added in a future round
+  // removes its entry. Round-12 burn-down: a52/a65/a84 (plus the
+  // GOF/rank family fixed outright in this round's first pass).
+  private val KnownZeroVarianceThrows: Set[String] = Set(
+    "a100_partial_corr", "a101_kendalls_w", "a104_cronbach_alpha",
+    "a105_icc", "a10_risk_metrics", "a110_cochran_armitage",
+    "a111_ansari_bradley", "a13_histogram", "a28_welch_pvalue",
+    "a28_welch_ttest", "a2_pearson_corr", "a33_ks_test",
+    "a35_mannwhitney", "a35_mw_pvalue", "a3_corr_grid",
+    "a3_corr_pvalue", "a40_acf", "a43_spearman", "a45_two_proportion_z",
+    "a46_bh_fdr", "a47_ols_multiple", "a4_best_config",
+    "a60_cuped", "a63_holm",
+    "a66_rank_corr", "a67_jarque_bera", "a68_ljung_box",
+    "a70_power_analysis", "a74_levene", "a74_levene_pvalue",
+    "a78_calibration", "a81_durbin_watson", "a82_dickey_fuller",
+    "a85_cooks_distance", "a86_bp_pvalue", "a86_breusch_pagan",
+    "a87_friedman", "a87_friedman_pvalue", "a88_tukey_pairs",
+    "a89_dunn_pairs", "a89_dunn_pvalue", "a91_cochran_q",
+    "a97_cliffs_delta", "a99_brown_forsythe")
+
+  test("zero-variance crash set can only shrink (family-wide ANSI ratchet)") {
+    // the WindowsDegenerateSpec pattern at family scale: run EVERY
+    // A-family query on the all-equal fixture; anything that throws
+    // must already be in the documented inventory above (so new
+    // operators can't add crashers), and anything in the inventory
+    // that stops throwing should be removed from it (burn-down)
+    val failures = Stats.queries.keys.toSeq.sorted.flatMap { name =>
+      try { Stats.queries(name)(spark, flatDir).collect(); None }
+      catch { case _: Throwable => Some(name) }
+    }
+    val newCrashes = failures.filterNot(KnownZeroVarianceThrows)
+    assert(newCrashes.isEmpty,
+      s"NEW zero-variance ANSI crashes (guard them): $newCrashes")
+    val fixed = KnownZeroVarianceThrows
+      .intersect(Stats.queries.keySet).diff(failures.toSet)
+    assert(fixed.isEmpty,
+      s"these no longer throw — remove from the ratchet: $fixed")
   }
 
   test("txt26 sub-shingle corpus: every doc under 3 tokens yields an empty frame") {
