@@ -151,6 +151,13 @@ class StatsDegenerateSpec extends AnyFunSuite {
   // variance fails the test, and each guard added in a future round
   // removes its entry. Round-12 burn-down: a52/a65/a84 (plus the
   // GOF/rank family fixed outright in this round's first pass).
+  // Burn-down caveat for the corr family (a2/a3/a24/a43/lag_grid…):
+  // the throw is INSIDE Spark's builtin corr aggregate
+  // (evaluateExpression is a Divide, computed before any projection
+  // guard can apply), so fixing those means re-deriving r from
+  // moments — a change to an established cross-engine float contract,
+  // to be done deliberately with both-SF re-verification, not as a
+  // mechanical guard.
   private val KnownZeroVarianceThrows: Set[String] = Set(
     "a100_partial_corr", "a101_kendalls_w", "a104_cronbach_alpha",
     "a105_icc", "a10_risk_metrics", "a110_cochran_armitage",
