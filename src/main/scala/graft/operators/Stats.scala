@@ -704,14 +704,24 @@ object Stats {
           var_samp(a).as("var_a"),
           count(b).as("n_b"), avg(b).as("mean_b"),
           var_samp(b).as("var_b"))
-        .withColumn("se2_a", col("var_a") / col("n_a"))
-        .withColumn("se2_b", col("var_b") / col("n_b"))
+        // zero variance in BOTH groups (or an empty/singleton group)
+        // makes t/df undefined -> NULL (ANSI /0 guard;
+        // StatsDegenerateSpec ratchet)
+        .withColumn("se2_a",
+          when(col("n_a") > 0, col("var_a") / col("n_a")))
+        .withColumn("se2_b",
+          when(col("n_b") > 0, col("var_b") / col("n_b")))
         .withColumn("t_raw",
-          (col("mean_a") - col("mean_b")) / sqrt(col("se2_a") + col("se2_b")))
+          when(col("se2_a") + col("se2_b") > 0,
+            (col("mean_a") - col("mean_b")) /
+              sqrt(col("se2_a") + col("se2_b"))))
         .withColumn("df_raw",
-          pow(col("se2_a") + col("se2_b"), 2) /
-            (pow(col("se2_a"), 2) / (col("n_a") - 1) +
-             pow(col("se2_b"), 2) / (col("n_b") - 1)))
+          when(col("n_a") > 1 && col("n_b") > 1 &&
+               pow(col("se2_a"), 2) / (col("n_a") - 1) +
+                 pow(col("se2_b"), 2) / (col("n_b") - 1) > 0,
+            pow(col("se2_a") + col("se2_b"), 2) /
+              (pow(col("se2_a"), 2) / (col("n_a") - 1) +
+               pow(col("se2_b"), 2) / (col("n_b") - 1))))
         .select(col("n_a"), col("n_b"),
           r6(col("mean_a")).as("mean_a"), r6(col("mean_b")).as("mean_b"),
           r6(col("t_raw")).as("t_stat"), r6(col("df_raw")).as("df_welch"))
@@ -1367,9 +1377,13 @@ object Stats {
       val ev = Tables.events(s, d)
       val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
       ev.crossJoin(broadcast(bounds))
+        // hi = lo -> one bin (the degenerate-range guard class;
+        // spec: StatsDegenerateSpec ratchet)
         .withColumn("bin",
-          least(floor((col("value") - col("lo")) /
-            ((col("hi") - col("lo")) / 15.0)), lit(14.0)).cast("long"))
+          when(col("hi") > col("lo"),
+            least(floor((col("value") - col("lo")) /
+              ((col("hi") - col("lo")) / 15.0)), lit(14.0)))
+            .otherwise(lit(0.0)).cast("long"))
         .groupBy(col("event_type"), col("bin"))
         .agg(count(lit(1)).as("n"))
         .orderBy("event_type", "bin")
@@ -1657,15 +1671,24 @@ object Stats {
           sum(when(col("g1") && col("hit"), 1L).otherwise(0L)).as("x1"),
           sum(when(!col("g1"), 1L).otherwise(0L)).as("n2"),
           sum(when(!col("g1") && col("hit"), 1L).otherwise(0L)).as("x2"))
-        .withColumn("p1", col("x1").cast("double") / col("n1"))
-        .withColumn("p2", col("x2").cast("double") / col("n2"))
+        // degenerate arms (empty group; all-hit or no-hit pooled
+        // proportion) make z undefined -> NULL (ANSI /0 guard;
+        // StatsDegenerateSpec ratchet)
+        .withColumn("p1",
+          when(col("n1") > 0, col("x1").cast("double") / col("n1")))
+        .withColumn("p2",
+          when(col("n2") > 0, col("x2").cast("double") / col("n2")))
         .withColumn("pp",
-          (col("x1") + col("x2")).cast("double") / (col("n1") + col("n2")))
+          when(col("n1") + col("n2") > 0,
+            (col("x1") + col("x2")).cast("double") /
+              (col("n1") + col("n2"))))
         .select(col("n1"), col("x1"), col("n2"), col("x2"),
           r6(col("p1")).as("p1"), r6(col("p2")).as("p2"),
-          r6((col("p1") - col("p2")) /
-            sqrt(col("pp") * (lit(1.0) - col("pp")) *
-              (lit(1.0) / col("n1") + lit(1.0) / col("n2")))).as("z"))
+          when(col("n1") > 0 && col("n2") > 0 &&
+               col("pp") > 0 && col("pp") < 1,
+            r6((col("p1") - col("p2")) /
+              sqrt(col("pp") * (lit(1.0) - col("pp")) *
+                (lit(1.0) / col("n1") + lit(1.0) / col("n2"))))).as("z"))
     }),
 
     // A70: power analysis / required sample size — the question every
@@ -1689,18 +1712,25 @@ object Stats {
           sum(when(col("g1") && col("hit"), 1L).otherwise(0L)).as("x1"),
           sum(when(!col("g1"), 1L).otherwise(0L)).as("n2"),
           sum(when(!col("g1") && col("hit"), 1L).otherwise(0L)).as("x2"))
-        .withColumn("p1", col("x1").cast("double") / col("n1"))
-        .withColumn("p2", col("x2").cast("double") / col("n2"))
+        // degenerate designs (empty arm; identical observed
+        // proportions -> no effect to power against) -> NULLs (ANSI
+        // /0 guard; StatsDegenerateSpec ratchet)
+        .withColumn("p1",
+          when(col("n1") > 0, col("x1").cast("double") / col("n1")))
+        .withColumn("p2",
+          when(col("n2") > 0, col("x2").cast("double") / col("n2")))
       val varSum = col("p1") * (lit(1.0) - col("p1")) +
         col("p2") * (lit(1.0) - col("p2"))
       val zz = lit((zA + zB) * (zA + zB))
       base
         .withColumn("n_required",
-          ceil(zz * varSum /
-            ((col("p1") - col("p2")) * (col("p1") - col("p2"))))
+          when(col("p1") =!= col("p2"),
+            ceil(zz * varSum /
+              ((col("p1") - col("p2")) * (col("p1") - col("p2")))))
             .cast("long"))
         .withColumn("mde",
-          sqrt(zz * varSum / least(col("n1"), col("n2"))))
+          when(least(col("n1"), col("n2")) > 0,
+            sqrt(zz * varSum / least(col("n1"), col("n2")))))
         .select(col("n1"), col("n2"),
           r6(col("p1")).as("p1"), r6(col("p2")).as("p2"),
           col("n_required"), r6(col("mde")).as("mde"),
@@ -5140,11 +5170,17 @@ object Stats {
            FROM events)
          SELECT n_a, n_b, round(mean_a, 6) AS mean_a,
                 round(mean_b, 6) AS mean_b,
-                round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6)
-                  AS t_stat,
-                round(pow(var_a / n_a + var_b / n_b, 2) /
-                      (pow(var_a / n_a, 2) / (n_a - 1) +
-                       pow(var_b / n_b, 2) / (n_b - 1)), 6) AS df_welch
+                CASE WHEN var_a / n_a + var_b / n_b > 0 THEN
+                  round((mean_a - mean_b) /
+                        sqrt(var_a / n_a + var_b / n_b), 6)
+                END AS t_stat,
+                CASE WHEN n_a > 1 AND n_b > 1 AND
+                          pow(var_a / n_a, 2) / (n_a - 1) +
+                          pow(var_b / n_b, 2) / (n_b - 1) > 0 THEN
+                  round(pow(var_a / n_a + var_b / n_b, 2) /
+                        (pow(var_a / n_a, 2) / (n_a - 1) +
+                         pow(var_b / n_b, 2) / (n_b - 1)), 6)
+                END AS df_welch
          FROM agg""",
     "a51_hurst_rs" -> hurstOracleSql,
     "a52_anova" ->
@@ -5872,15 +5908,18 @@ object Stats {
            FROM events WHERE event_type IN ('click', 'purchase')),
          p AS (
            SELECT n1, x1, n2, x2,
-                  CAST(x1 AS DOUBLE) / n1 AS p1,
-                  CAST(x2 AS DOUBLE) / n2 AS p2,
-                  CAST(x1 + x2 AS DOUBLE) / (n1 + n2) AS pp
+                  CASE WHEN n1 > 0 THEN CAST(x1 AS DOUBLE) / n1 END AS p1,
+                  CASE WHEN n2 > 0 THEN CAST(x2 AS DOUBLE) / n2 END AS p2,
+                  CASE WHEN n1 + n2 > 0 THEN
+                    CAST(x1 + x2 AS DOUBLE) / (n1 + n2) END AS pp
            FROM agg)
          SELECT CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
                 CAST(n2 AS BIGINT) AS n2, CAST(x2 AS BIGINT) AS x2,
                 round(p1, 6) AS p1, round(p2, 6) AS p2,
-                round((p1 - p2) / sqrt(pp * (1.0 - pp) *
-                      (1.0 / n1 + 1.0 / n2)), 6) AS z
+                CASE WHEN n1 > 0 AND n2 > 0 AND pp > 0 AND pp < 1 THEN
+                  round((p1 - p2) / sqrt(pp * (1.0 - pp) *
+                        (1.0 / n1 + 1.0 / n2)), 6)
+                END AS z
          FROM p""",
     // z constants as 6dp literals in both engines; ceil on the exact
     // double expression is deterministic (the ratio sits far from
@@ -5898,8 +5937,8 @@ object Stats {
            FROM events WHERE event_type IN ('click', 'purchase')),
          p AS (
            SELECT n1, n2,
-                  CAST(x1 AS DOUBLE) / n1 AS p1,
-                  CAST(x2 AS DOUBLE) / n2 AS p2
+                  CASE WHEN n1 > 0 THEN CAST(x1 AS DOUBLE) / n1 END AS p1,
+                  CASE WHEN n2 > 0 THEN CAST(x2 AS DOUBLE) / n2 END AS p2
            FROM agg),
          m AS (
            SELECT n1, n2, p1, p2,
@@ -5910,11 +5949,15 @@ object Stats {
            FROM p)
          SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
                 round(p1, 6) AS p1, round(p2, 6) AS p2,
-                CAST(ceil(zz * vs / ((p1 - p2) * (p1 - p2))) AS BIGINT)
-                  AS n_required,
-                round(sqrt(zz * vs / least(n1, n2)), 6) AS mde,
+                CAST(CASE WHEN p1 <> p2 THEN
+                  ceil(zz * vs / ((p1 - p2) * (p1 - p2)))
+                END AS BIGINT) AS n_required,
+                CASE WHEN least(n1, n2) > 0 THEN
+                  round(sqrt(zz * vs / least(n1, n2)), 6) END AS mde,
                 least(n1, n2) >=
-                  ceil(zz * vs / ((p1 - p2) * (p1 - p2))) AS powered
+                  CASE WHEN p1 <> p2 THEN
+                    ceil(zz * vs / ((p1 - p2) * (p1 - p2)))
+                  END AS powered
          FROM m""",
     // identical fixed-width binning over the exact global [min, max],
     // identical Laplace smoothing, per-bin terms rounded then
@@ -7281,7 +7324,9 @@ object Stats {
     "a13_histogram" ->
       """WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
          SELECT event_type,
-                CAST(least(floor((value - lo) / ((hi - lo) / 15.0)), 14.0) AS BIGINT) AS bin,
+                CAST(CASE WHEN hi > lo THEN
+                  least(floor((value - lo) / ((hi - lo) / 15.0)), 14.0)
+                ELSE 0.0 END AS BIGINT) AS bin,
                 count(*) AS n
          FROM events CROSS JOIN bounds
          GROUP BY 1, 2 ORDER BY event_type, bin""",
