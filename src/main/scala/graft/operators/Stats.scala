@@ -2729,7 +2729,10 @@ object Stats {
           (lit(1.0d) / col("n_a") + lit(1.0d) / col("n_b"))))
         .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
           col("diff"), col("se"),
-          (abs(col("diff")) / col("se")).as("q_stat"))
+          // zero within-group mean square (flat corpus) -> q
+          // undefined -> NULL (ANSI /0 guard; ratchet spec)
+          when(col("se") > 0, abs(col("diff")) / col("se"))
+            .as("q_stat"))
         .orderBy("type_a", "type_b")
     }),
 
@@ -2853,8 +2856,11 @@ object Stats {
         .withColumn("ssw", col("sum_q") - col("sum_sq_over_n"))
         .select(col("k"), col("n"), r6(col("ssb")).as("ssb_dev"),
           r6(col("ssw")).as("ssw_dev"),
-          r6((col("ssb") / (col("k") - 1).cast("double")) /
-             (col("ssw") / (col("n") - col("k")).cast("double")))
+          // zero within-group deviation spread (flat corpus) -> W
+          // undefined -> NULL (the a52 ANSI guard; ratchet spec)
+          when(col("ssw") > 0 && col("k") > 1,
+            r6((col("ssb") / (col("k") - 1).cast("double")) /
+               (col("ssw") / (col("n") - col("k")).cast("double"))))
             .as("w_stat"))
     }),
 
@@ -2893,8 +2899,10 @@ object Stats {
         .withColumn("ssw", col("sum_q") - col("sum_sq_over_n"))
         .select(col("k"), col("n"), r6(col("ssb")).as("ssb_dev"),
           r6(col("ssw")).as("ssw_dev"),
-          r6((col("ssb") / (col("k") - 1).cast("double")) /
-             (col("ssw") / (col("n") - col("k")).cast("double")))
+          // the a74/a52 degenerate guard (ratchet spec)
+          when(col("ssw") > 0 && col("k") > 1,
+            r6((col("ssb") / (col("k") - 1).cast("double")) /
+               (col("ssw") / (col("n") - col("k")).cast("double"))))
             .as("bf_stat"))
     }),
 
@@ -3010,10 +3018,15 @@ object Stats {
         .agg(count(lit(1)).as("n_blocks"),
           sum(col("b") * col("b")).as("b2"))
       btot.crossJoin(gtot)
+        // all-success or all-failure blocks zero the denominator
+        // k·ΣL − Σb² (Q undefined: no within-block discordance) ->
+        // NULL (ANSI /0 guard; ratchet spec)
         .select(col("k"), col("n_blocks"), col("nn").as("n_success"),
-          ((col("k") - 1).cast("double") *
-            (col("k") * col("g2") - col("nn") * col("nn")).cast("double") /
-            (col("k") * col("nn") - col("b2")).cast("double"))
+          when(col("k") * col("nn") - col("b2") =!= 0,
+            (col("k") - 1).cast("double") *
+              (col("k") * col("g2") - col("nn") * col("nn"))
+                .cast("double") /
+              (col("k") * col("nn") - col("b2")).cast("double"))
             .as("q_stat"))
     }),
 
@@ -4275,9 +4288,11 @@ object Stats {
            SELECT count(*) AS n_blocks, CAST(sum(b * b) AS BIGINT) AS b2
            FROM cd)
          SELECT k.k AS k, bt.n_blocks AS n_blocks, gt.nn AS n_success,
-                CAST(k.k - 1 AS DOUBLE) *
-                  CAST(k.k * gt.g2 - gt.nn * gt.nn AS DOUBLE) /
-                  CAST(k.k * gt.nn - bt.b2 AS DOUBLE) AS q_stat
+                CASE WHEN k.k * gt.nn - bt.b2 <> 0 THEN
+                  CAST(k.k - 1 AS DOUBLE) *
+                    CAST(k.k * gt.g2 - gt.nn * gt.nn AS DOUBLE) /
+                    CAST(k.k * gt.nn - bt.b2 AS DOUBLE)
+                END AS q_stat
          FROM k, gt, bt""",
     // integer discordant-cell counts (exact double comparisons), one
     // division per statistic
@@ -6523,10 +6538,14 @@ object Stats {
                 sqrt(a.msw / 2 *
                   (CAST(1.0 AS DOUBLE) / a.n +
                    CAST(1.0 AS DOUBLE) / b.n)) AS se,
-                abs(a.mean - b.mean) /
-                  sqrt(a.msw / 2 *
-                    (CAST(1.0 AS DOUBLE) / a.n +
-                     CAST(1.0 AS DOUBLE) / b.n)) AS q_stat
+                CASE WHEN sqrt(a.msw / 2 *
+                       (CAST(1.0 AS DOUBLE) / a.n +
+                        CAST(1.0 AS DOUBLE) / b.n)) > 0 THEN
+                  abs(a.mean - b.mean) /
+                    sqrt(a.msw / 2 *
+                      (CAST(1.0 AS DOUBLE) / a.n +
+                       CAST(1.0 AS DOUBLE) / b.n))
+                END AS q_stat
          FROM gm a JOIN gm b ON a.event_type < b.event_type
          ORDER BY type_a, type_b""",
     // identical midranks (rank + (ties−1)/2 on the ≤k-row day
@@ -6950,8 +6969,10 @@ object Stats {
                   sum_q - sum_sq_over_n AS ssw
            FROM f)
          SELECT k, n, round(ssb, 6) AS ssb_dev, round(ssw, 6) AS ssw_dev,
-                round((ssb / CAST(k - 1 AS DOUBLE)) /
-                      (ssw / CAST(n - k AS DOUBLE)), 6) AS w_stat
+                CASE WHEN ssw > 0 AND k > 1 THEN
+                  round((ssb / CAST(k - 1 AS DOUBLE)) /
+                        (ssw / CAST(n - k AS DOUBLE)), 6)
+                END AS w_stat
          FROM c""",
     // A74's chain with MEDIAN centers (quantile_cont = Spark
     // percentile), same ordered folds and renders
@@ -6984,8 +7005,10 @@ object Stats {
                   sum_q - sum_sq_over_n AS ssw
            FROM f)
          SELECT k, n, round(ssb, 6) AS ssb_dev, round(ssw, 6) AS ssw_dev,
-                round((ssb / CAST(k - 1 AS DOUBLE)) /
-                      (ssw / CAST(n - k AS DOUBLE)), 6) AS bf_stat
+                CASE WHEN ssw > 0 AND k > 1 THEN
+                  round((ssb / CAST(k - 1 AS DOUBLE)) /
+                        (ssw / CAST(n - k AS DOUBLE)), 6)
+                END AS bf_stat
          FROM c""",
     "a42_weekly_seasonality" ->
       """WITH daily AS (

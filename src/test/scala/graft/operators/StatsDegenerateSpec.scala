@@ -167,12 +167,11 @@ class StatsDegenerateSpec extends AnyFunSuite {
     "a46_bh_fdr", "a47_ols_multiple", "a4_best_config",
     "a60_cuped", "a63_holm",
     "a66_rank_corr", "a67_jarque_bera", "a68_ljung_box",
-    "a74_levene", "a74_levene_pvalue",
     "a78_calibration", "a81_durbin_watson", "a82_dickey_fuller",
     "a85_cooks_distance", "a86_bp_pvalue", "a86_breusch_pagan",
-    "a87_friedman", "a87_friedman_pvalue", "a88_tukey_pairs",
-    "a89_dunn_pairs", "a89_dunn_pvalue", "a91_cochran_q",
-    "a97_cliffs_delta", "a99_brown_forsythe")
+    "a87_friedman", "a87_friedman_pvalue",
+    "a89_dunn_pairs", "a89_dunn_pvalue",
+    "a97_cliffs_delta")
 
   test("zero-variance crash set can only shrink (family-wide ANSI ratchet)") {
     // the WindowsDegenerateSpec pattern at family scale: run EVERY
