@@ -1494,8 +1494,10 @@ object Stats {
         lit(6.0d) * col("mu") * col("mu") * col("r2") -
         lit(3.0d) * col("mu") * col("mu") * col("mu") * col("mu")
       agg
-        .withColumn("skew", m3 / pow(m2, 1.5d))
-        .withColumn("kurt", m4 / (m2 * m2))
+        // zero variance -> moments undefined -> NULL (ANSI /0 guard;
+        // ratchet spec)
+        .withColumn("skew", when(m2 > 0, m3 / pow(m2, 1.5d)))
+        .withColumn("kurt", when(m2 > 0, m4 / (m2 * m2)))
         .withColumn("jb",
           col("n").cast("double") / 6.0d *
             (col("skew") * col("skew") +
@@ -2597,8 +2599,12 @@ object Stats {
         .withColumn("den", sum(col("rsq_sum")).over(wAll) -
           col("n") * col("k") * (col("k") + 1).cast("double") *
             (col("k") + 1) / 4)
+        // fully-tied blocks (flat corpus) zero the tie-corrected
+        // denominator -> Q undefined -> NULL (ANSI /0 guard; ratchet
+        // spec); n_days > 0 by construction
         .withColumn("q_stat",
-          (col("k") - 1).cast("double") * col("num") / col("den"))
+          when(col("den") =!= 0.0d,
+            (col("k") - 1).cast("double") * col("num") / col("den")))
         .select(col("event_type"), col("n_days"), col("k"),
           col("rank_sum"),
           (col("rank_sum") / col("n_days")).as("mean_rank"),
@@ -2758,8 +2764,12 @@ object Stats {
       val rng = ev.agg(min(col("value")).as("vmin"),
         max(col("value")).as("vmax"))
       val scored = ev.crossJoin(broadcast(rng))
-        .withColumn("conf", (col("value") - col("vmin")) /
-          (col("vmax") - col("vmin")))
+        // vmax = vmin -> conf 0, one bin (the degenerate-range guard
+        // class; ratchet spec)
+        .withColumn("conf",
+          when(col("vmax") > col("vmin"),
+            (col("value") - col("vmin")) / (col("vmax") - col("vmin")))
+            .otherwise(lit(0.0d)))
         .withColumn("bin", least(floor(col("conf") * 10), lit(9L)))
         .withColumn("yd", col("y").cast("double"))
       val bins = scored.groupBy(col("event_type"), col("bin"))
@@ -6585,7 +6595,8 @@ object Stats {
            FROM withn)
          SELECT event_type, n_days, CAST(k AS BIGINT) AS k, rank_sum,
                 rank_sum / n_days AS mean_rank,
-                CAST(k - 1 AS DOUBLE) * num / den AS q_stat
+                CASE WHEN den <> 0 THEN
+                  CAST(k - 1 AS DOUBLE) * num / den END AS q_stat
          FROM tot ORDER BY event_type""",
     // A101: a87's chain reduced to one row, W = Q/(m(k−1))
     "a101_kendalls_w" ->
@@ -6623,7 +6634,8 @@ object Stats {
            FROM withn),
          q AS (
            SELECT n_days, k,
-                  CAST(k - 1 AS DOUBLE) * num / den AS q_stat
+                  CASE WHEN den <> 0 THEN
+                    CAST(k - 1 AS DOUBLE) * num / den END AS q_stat
            FROM tot)
          SELECT CAST(max(k) AS BIGINT) AS k,
                 CAST(max(n_days) AS BIGINT) AS n_blocks,
@@ -6877,7 +6889,9 @@ object Stats {
                       FROM events),
          sc AS (
            SELECT event_type,
-                  (value - vmin) / (vmax - vmin) AS conf,
+                  CASE WHEN vmax > vmin THEN
+                    (value - vmin) / (vmax - vmin)
+                  ELSE CAST(0 AS DOUBLE) END AS conf,
                   CASE WHEN CAST(json_extract_string(props, '$.k')
                             AS BIGINT) >= 50 THEN 1 ELSE 0 END AS y
            FROM events, rng),
@@ -7089,8 +7103,9 @@ object Stats {
            FROM agg),
          sk AS (
            SELECT event_type, n,
-                  m3 / pow(m2, CAST(1.5 AS DOUBLE)) AS skew,
-                  m4 / (m2 * m2) AS kurt
+                  CASE WHEN m2 > 0 THEN
+                    m3 / pow(m2, CAST(1.5 AS DOUBLE)) END AS skew,
+                  CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END AS kurt
            FROM m),
          jb AS (
            SELECT event_type, n, skew, kurt,

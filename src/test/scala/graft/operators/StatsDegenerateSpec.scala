@@ -159,17 +159,16 @@ class StatsDegenerateSpec extends AnyFunSuite {
   // to be done deliberately with both-SF re-verification, not as a
   // mechanical guard.
   private val KnownZeroVarianceThrows: Set[String] = Set(
-    "a100_partial_corr", "a101_kendalls_w", "a104_cronbach_alpha",
+    "a100_partial_corr", "a104_cronbach_alpha",
     "a105_icc", "a10_risk_metrics", "a110_cochran_armitage",
     "a111_ansari_bradley", "a2_pearson_corr", "a33_ks_test",
     "a35_mannwhitney", "a35_mw_pvalue", "a3_corr_grid",
     "a3_corr_pvalue", "a40_acf", "a43_spearman",
     "a46_bh_fdr", "a47_ols_multiple", "a4_best_config",
     "a60_cuped", "a63_holm",
-    "a66_rank_corr", "a67_jarque_bera", "a68_ljung_box",
-    "a78_calibration", "a81_durbin_watson", "a82_dickey_fuller",
+    "a66_rank_corr", "a68_ljung_box",
+    "a81_durbin_watson", "a82_dickey_fuller",
     "a85_cooks_distance", "a86_bp_pvalue", "a86_breusch_pagan",
-    "a87_friedman", "a87_friedman_pvalue",
     "a89_dunn_pairs", "a89_dunn_pvalue",
     "a97_cliffs_delta")
 
