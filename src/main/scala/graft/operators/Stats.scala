@@ -2095,9 +2095,12 @@ object Stats {
             .cast("decimal(30,8)")).cast("double").as("num"),
           sum((col("e") * col("e")).cast("decimal(30,8)")).cast("double")
             .as("den"))
+        // a perfect fit (flat panel) zeroes the residual SS -> DW
+        // undefined -> NULL (ANSI /0 guard; ratchet spec)
         .select(col("event_type"), col("n_days"), col("slope"),
-          (col("num") / col("den")).as("dw"),
-          (lit(1.0d) - col("num") / col("den") / 2).as("rho1"))
+          when(col("den") > 0, col("num") / col("den")).as("dw"),
+          when(col("den") > 0,
+            lit(1.0d) - col("num") / col("den") / 2).as("rho1"))
         .orderBy("event_type")
     }),
 
@@ -2130,11 +2133,17 @@ object Stats {
             .as("sxx"),
           sum((col("xl") * col("dy")).cast("decimal(28,8)")).cast("double")
             .as("sxy"))
+        // a CONSTANT regressor (flat series: y_{t-1} never moves)
+        // zeroes the OLS denominator -> beta/alpha NULL and the rows
+        // drop (no regression to diagnose; ANSI /0 guard; ratchet
+        // spec)
         .withColumn("beta",
-          (col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx")))
+          when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))))
         .withColumn("alpha",
           (col("sy") - col("beta") * col("sx")) / col("n"))
+        .filter(col("beta").isNotNull)
       dly.join(broadcast(co), Seq("event_type"))
         .withColumn("e",
           col("dy") - (col("alpha") + col("beta") * col("xl")))
@@ -2144,10 +2153,13 @@ object Stats {
           max(col("sx")).as("sx"), max(col("sxx")).as("sxx"),
           sum((col("e") * col("e")).cast("decimal(30,8)")).cast("double")
             .as("sse"))
+        // a perfect fit (flat panel: sse = 0) or n <= 2 makes the
+        // DF t undefined -> NULL (ANSI /0 guard; ratchet spec)
         .select(col("event_type"), col("n_obs"), col("beta"),
-          (col("beta") /
-            sqrt((col("sse") / (col("n_obs") - 2)) /
-              (col("sxx") - col("sx") * col("sx") / col("n_obs"))))
+          when(col("sse") > 0 && col("n_obs") > 2,
+            col("beta") /
+              sqrt((col("sse") / (col("n_obs") - 2)) /
+                (col("sxx") - col("sx") * col("sx") / col("n_obs"))))
             .as("t_stat"),
           (lit(1.0d) + col("beta")).as("rho"),
           lit(-2.86d).as("crit_5pct"), lit(-3.43d).as("crit_1pct"))
@@ -2473,10 +2485,14 @@ object Stats {
         .withColumn("s2", col("sse") / (col("n") - 2))
         .withColumn("h", lit(1.0d) / col("n") +
           (col("x") - col("xbar")) * (col("x") - col("xbar")) / col("sxx_c"))
+        // a perfect fit (flat panel: s2 = 0) makes D undefined ->
+        // NULL (ANSI /0 guard; ratchet spec); 1-h > 0 always at the
+        // panel sizes (h < 1 strictly when n > 2)
         .withColumn("cooks_d",
-          col("e") * col("e") * col("h") /
-            (lit(2.0d) * col("s2") * (lit(1.0d) - col("h")) *
-              (lit(1.0d) - col("h"))))
+          when(col("s2") > 0,
+            col("e") * col("e") * col("h") /
+              (lit(2.0d) * col("s2") * (lit(1.0d) - col("h")) *
+                (lit(1.0d) - col("h")))))
         .select(col("event_type"), col("day"), col("e").as("resid"),
           col("h").as("leverage"), col("cooks_d"),
           (col("cooks_d") > lit(4.0d) / col("n")).as("influential"))
@@ -2533,8 +2549,13 @@ object Stats {
             col("sx2").cast("double") * col("sx2") / col("n_days"))
         .withColumn("syy_c",
           col("suu") - col("su") * col("su") / col("n_days"))
+        // homoskedastic-to-degeneracy (flat panel: every e² = 0 ->
+        // syy_c = 0) -> R²/LM undefined -> NULL (ANSI /0 guard;
+        // ratchet spec)
         .withColumn("r2",
-          col("sxy_c") * col("sxy_c") / (col("sxx_c") * col("syy_c")))
+          when(col("sxx_c") * col("syy_c") > 0,
+            col("sxy_c") * col("sxy_c") /
+              (col("sxx_c") * col("syy_c"))))
         .select(col("event_type"), col("n_days"),
           col("r2").as("aux_r2"),
           (col("n_days") * col("r2")).as("lm_stat"),
@@ -6313,8 +6334,9 @@ object Stats {
                        AS VARCHAR) AS DOUBLE) AS den
            FROM lg GROUP BY 1)
          SELECT event_type, n_days, slope,
-                num / den AS dw,
-                CAST(1.0 AS DOUBLE) - num / den / 2 AS rho1
+                CASE WHEN den > 0 THEN num / den END AS dw,
+                CASE WHEN den > 0 THEN
+                  CAST(1.0 AS DOUBLE) - num / den / 2 END AS rho1
          FROM g ORDER BY event_type""",
     // same total-pinning discipline on the lagged-level regression;
     // the DF critical values are shared literals
@@ -6344,12 +6366,14 @@ object Stats {
            FROM dd GROUP BY 1),
          ab AS (
            SELECT event_type, n, sx, sy, sxx,
-                  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta
+                  CASE WHEN n * sxx - sx * sx > 0 THEN
+                    (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                  END AS beta
            FROM co),
          ab2 AS (
            SELECT event_type, n, sx, sxx, beta,
                   (sy - beta * sx) / n AS alpha
-           FROM ab),
+           FROM ab WHERE beta IS NOT NULL),
          res AS (
            SELECT dd.event_type, ab2.n, ab2.beta, ab2.alpha, ab2.sx,
                   ab2.sxx,
@@ -6362,8 +6386,10 @@ object Stats {
                        AS VARCHAR) AS DOUBLE) AS sse
            FROM res GROUP BY 1)
          SELECT event_type, n_obs, beta,
-                beta / sqrt((sse / (n_obs - 2)) /
-                            (sxx - sx * sx / n_obs)) AS t_stat,
+                CASE WHEN sse > 0 AND n_obs > 2 THEN
+                  beta / sqrt((sse / (n_obs - 2)) /
+                              (sxx - sx * sx / n_obs))
+                END AS t_stat,
                 CAST(1.0 AS DOUBLE) + beta AS rho,
                 CAST(-2.86 AS DOUBLE) AS crit_5pct,
                 CAST(-3.43 AS DOUBLE) AS crit_1pct
@@ -6817,12 +6843,14 @@ object Stats {
                     (r.x - r.xbar) * (r.x - r.xbar) / r.sxx_c AS h
            FROM res r JOIN sse s ON r.event_type = s.event_type)
          SELECT event_type, day, e AS resid, h AS leverage,
-                e * e * h / (CAST(2.0 AS DOUBLE) * s2 *
-                  (CAST(1.0 AS DOUBLE) - h) * (CAST(1.0 AS DOUBLE) - h))
-                  AS cooks_d,
-                e * e * h / (CAST(2.0 AS DOUBLE) * s2 *
-                  (CAST(1.0 AS DOUBLE) - h) * (CAST(1.0 AS DOUBLE) - h))
-                  > CAST(4.0 AS DOUBLE) / n AS influential
+                CASE WHEN s2 > 0 THEN
+                  e * e * h / (CAST(2.0 AS DOUBLE) * s2 *
+                    (CAST(1.0 AS DOUBLE) - h) * (CAST(1.0 AS DOUBLE) - h))
+                END AS cooks_d,
+                CASE WHEN s2 > 0 THEN
+                  e * e * h / (CAST(2.0 AS DOUBLE) * s2 *
+                    (CAST(1.0 AS DOUBLE) - h) * (CAST(1.0 AS DOUBLE) - h))
+                END > CAST(4.0 AS DOUBLE) / n AS influential
          FROM dd ORDER BY event_type, day""",
     // the auxiliary e²-on-x regression's centered moments replayed
     // with the identical pins; LM chain raw, threshold a shared literal
@@ -6871,11 +6899,15 @@ object Stats {
            FROM res GROUP BY 1),
          r2 AS (
            SELECT event_type, n_days,
+                  CASE WHEN (CAST(sxx2 AS DOUBLE) -
+                             CAST(sx2 AS DOUBLE) * sx2 / n_days) *
+                            (suu - su * su / n_days) > 0 THEN
                   (sxu - CAST(sx2 AS DOUBLE) * su / n_days) *
                   (sxu - CAST(sx2 AS DOUBLE) * su / n_days) /
                   ((CAST(sxx2 AS DOUBLE) -
                     CAST(sx2 AS DOUBLE) * sx2 / n_days) *
-                   (suu - su * su / n_days)) AS r2
+                   (suu - su * su / n_days))
+                  END AS r2
            FROM g)
          SELECT event_type, n_days, r2 AS aux_r2,
                 n_days * r2 AS lm_stat,

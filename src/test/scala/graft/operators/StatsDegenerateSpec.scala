@@ -167,8 +167,6 @@ class StatsDegenerateSpec extends AnyFunSuite {
     "a46_bh_fdr", "a47_ols_multiple", "a4_best_config",
     "a60_cuped", "a63_holm",
     "a66_rank_corr", "a68_ljung_box",
-    "a81_durbin_watson", "a82_dickey_fuller",
-    "a85_cooks_distance", "a86_bp_pvalue", "a86_breusch_pagan",
     "a89_dunn_pairs", "a89_dunn_pvalue",
     "a97_cliffs_delta")
 
