@@ -792,9 +792,13 @@ object Stats {
         sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
         sum(when(!col("g1"), 1L).otherwise(0L)).as("n2"))
       val perv = ev.crossJoin(broadcast(bounds))
+        // hi = lo -> one bucket (the cvmSpine degenerate-range guard;
+        // ratchet spec)
         .withColumn("bucket",
-          least(floor((col("value") - col("lo")) /
-            (col("hi") - col("lo")) * B), lit(B - 1)).cast("int"))
+          when(col("hi") > col("lo"),
+            least(floor((col("value") - col("lo")) /
+              (col("hi") - col("lo")) * B), lit(B - 1)))
+            .otherwise(lit(0L)).cast("int"))
         .groupBy(col("bucket"), col("value"))
         .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("k1"),
           count(lit(1)).as("k"))
@@ -818,14 +822,19 @@ object Stats {
         .withColumn("n", col("n1") + col("n2"))
         .withColumn("u1",
           col("r1") - (col("n1") * (col("n1") + 1)).cast("double") / 2.0)
-        .withColumn("sigma", sqrt(
-          (col("n1") * col("n2")).cast("double") / 12.0 *
-            ((col("n") + 1).cast("double") -
-              col("ties").cast("double") /
-                (col("n") * (col("n") - 1)).cast("double"))))
+        // fully-tied samples zero sigma (and n <= 1 zeroes the
+        // tie-term denominator) -> z undefined -> NULL (ANSI /0
+        // guard; ratchet spec)
+        .withColumn("sigma",
+          when(col("n") > 1, sqrt(
+            (col("n1") * col("n2")).cast("double") / 12.0 *
+              ((col("n") + 1).cast("double") -
+                col("ties").cast("double") /
+                  (col("n") * (col("n") - 1)).cast("double")))))
         .withColumn("z",
-          (col("u1") - (col("n1") * col("n2")).cast("double") / 2.0) /
-            col("sigma"))
+          when(col("sigma") > 0,
+            (col("u1") - (col("n1") * col("n2")).cast("double") / 2.0) /
+              col("sigma")))
         .select(col("n1"), col("n2"), col("r1"), col("u1"), col("z"))
     }),
 
@@ -1242,9 +1251,13 @@ object Stats {
         sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
         sum(when(!col("g1"), 1L).otherwise(0L)).as("n2"))
       val perv = ev.crossJoin(broadcast(bounds))
+        // hi = lo -> one bucket (the cvmSpine degenerate-range guard;
+        // ratchet spec)
         .withColumn("bucket",
-          least(floor((col("value") - col("lo")) /
-            (col("hi") - col("lo")) * B), lit(B - 1)).cast("int"))
+          when(col("hi") > col("lo"),
+            least(floor((col("value") - col("lo")) /
+              (col("hi") - col("lo")) * B), lit(B - 1)))
+            .otherwise(lit(0L)).cast("int"))
         .groupBy(col("bucket"), col("value"))
         .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("k1"),
           sum(when(!col("g1"), 1L).otherwise(0L)).as("k2"))
@@ -1922,9 +1935,13 @@ object Stats {
         .withColumn("n", sum(col("n_g")).over(wAll))
         .withColumn("mean_rank",
           col("rs2").cast("double") / (lit(2.0d) * col("n_g")))
+        // fully-tied corpus: t3 = n^3 - n zeroes v (and n <= 1
+        // zeroes its own denominator) -> z NULL (ANSI /0 guard;
+        // ratchet spec)
         .withColumn("v",
-          (col("n") * (col("n") + 1)).cast("double") / 12 -
-            col("t3").cast("double") / (lit(12.0d) * (col("n") - 1)))
+          when(col("n") > 1,
+            (col("n") * (col("n") + 1)).cast("double") / 12 -
+              col("t3").cast("double") / (lit(12.0d) * (col("n") - 1))))
       val a = gm.select(col("event_type").as("type_a"),
         col("n_g").as("n_a"), col("mean_rank").as("mean_rank_a"),
         col("v"))
@@ -1933,9 +1950,10 @@ object Stats {
       a.join(broadcast(b), col("type_a") < col("type_b"))
         .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
           col("mean_rank_a"), col("mean_rank_b"),
-          ((col("mean_rank_a") - col("mean_rank_b")) /
-            sqrt(col("v") * (lit(1.0d) / col("n_a") +
-              lit(1.0d) / col("n_b")))).as("z"))
+          when(col("v") > 0,
+            (col("mean_rank_a") - col("mean_rank_b")) /
+              sqrt(col("v") * (lit(1.0d) / col("n_a") +
+                lit(1.0d) / col("n_b")))).as("z"))
         .orderBy("type_a", "type_b")
     }),
 
@@ -3614,9 +3632,13 @@ object Stats {
         sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
         sum(when(!col("g1"), 1L).otherwise(0L)).as("n2"))
       val perv = ev.crossJoin(broadcast(bounds))
+        // hi = lo -> one bucket (the cvmSpine degenerate-range guard;
+        // ratchet spec)
         .withColumn("bucket",
-          least(floor((col("value") - col("lo")) /
-            (col("hi") - col("lo")) * B), lit(B - 1)).cast("int"))
+          when(col("hi") > col("lo"),
+            least(floor((col("value") - col("lo")) /
+              (col("hi") - col("lo")) * B), lit(B - 1)))
+            .otherwise(lit(0L)).cast("int"))
         .groupBy(col("bucket"), col("value"))
         .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("k1"),
           count(lit(1)).as("k"))
@@ -4023,9 +4045,13 @@ object Stats {
         sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
         sum(when(!col("g1"), 1L).otherwise(0L)).as("n2"))
       val perv = ev.crossJoin(broadcast(bounds))
+        // hi = lo -> one bucket (the cvmSpine degenerate-range guard;
+        // ratchet spec)
         .withColumn("bucket",
-          least(floor((col("value") - col("lo")) /
-            (col("hi") - col("lo")) * B), lit(B - 1)).cast("int"))
+          when(col("hi") > col("lo"),
+            least(floor((col("value") - col("lo")) /
+              (col("hi") - col("lo")) * B), lit(B - 1)))
+            .otherwise(lit(0L)).cast("int"))
         .groupBy(col("bucket"), col("value"))
         .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("k1"),
           count(lit(1)).as("k"))
@@ -4761,12 +4787,18 @@ object Stats {
            FROM r)
          SELECT n1, n2, r1,
                 r1 - CAST(n1*(n1+1) AS DOUBLE)/2 AS u1,
+                CASE WHEN n1 + n2 > 1 AND
+                     sqrt(CAST(n1*n2 AS DOUBLE)/12 *
+                       (CAST(n1+n2+1 AS DOUBLE)
+                        - CAST(ties AS DOUBLE)
+                          / CAST((n1+n2)*(n1+n2-1) AS DOUBLE))) > 0 THEN
                 (r1 - CAST(n1*(n1+1) AS DOUBLE)/2
                     - CAST(n1*n2 AS DOUBLE)/2)
                 / sqrt(CAST(n1*n2 AS DOUBLE)/12 *
                     (CAST(n1+n2+1 AS DOUBLE)
                      - CAST(ties AS DOUBLE)
-                       / CAST((n1+n2)*(n1+n2-1) AS DOUBLE))) AS z
+                       / CAST((n1+n2)*(n1+n2-1) AS DOUBLE)))
+                END AS z
          FROM a, n""",
     "a34_ols_trend" ->
       """WITH dly AS (
@@ -6204,18 +6236,21 @@ object Stats {
            SELECT event_type, n_g,
                   CAST(rs2 AS DOUBLE) /
                     (CAST(2.0 AS DOUBLE) * n_g) AS mean_rank,
+                  CASE WHEN sum(n_g) OVER () > 1 THEN
                   CAST(sum(n_g) OVER () * (sum(n_g) OVER () + 1)
                        AS DOUBLE) / 12 -
                     CAST(t3 AS DOUBLE) /
                       (CAST(12.0 AS DOUBLE) * (sum(n_g) OVER () - 1))
-                    AS v
+                  END AS v
            FROM g, tt)
          SELECT a.event_type AS type_a, b.event_type AS type_b,
                 a.n_g AS n_a, b.n_g AS n_b,
                 a.mean_rank AS mean_rank_a, b.mean_rank AS mean_rank_b,
-                (a.mean_rank - b.mean_rank) /
-                  sqrt(a.v * (CAST(1.0 AS DOUBLE) / a.n_g +
-                              CAST(1.0 AS DOUBLE) / b.n_g)) AS z
+                CASE WHEN a.v > 0 THEN
+                  (a.mean_rank - b.mean_rank) /
+                    sqrt(a.v * (CAST(1.0 AS DOUBLE) / a.n_g +
+                                CAST(1.0 AS DOUBLE) / b.n_g))
+                END AS z
          FROM gm a JOIN gm b ON a.event_type < b.event_type
          ORDER BY type_a, type_b""",
     // identical 200-bin spine, cumulative CDF windows, 1e-12 gap grid,
