@@ -107,13 +107,19 @@ object TextAnalysis {
       val stopN = size(filter(toks, t => t.isInCollection(stop))).cast("double")
       val len = length(col("text")).cast("double")
       Tables.documents(s, d)
+        // an empty doc has no quality signals -> NULL ratios (ANSI /0
+        // guard; TextDegenerateSpec ratchet). nTok never reaches 0 on
+        // nonempty text (split of any nonempty string yields >= 1
+        // token), but the guard keys on it anyway for symmetry.
         .select(col("doc_id"),
-          r6(punct / len).as("punct_ratio"),
-          r6(digit / len).as("digit_ratio"),
-          r6(upper / len).as("upper_ratio"),
-          r6(stopN / nTok).as("stopword_ratio"),
-          r6(lit(0.5) * (stopN / nTok) + lit(0.3) * (lit(1.0) - punct / len) +
-             lit(0.2) * (lit(1.0) - digit / len)).as("quality"))
+          when(len > 0, r6(punct / len)).as("punct_ratio"),
+          when(len > 0, r6(digit / len)).as("digit_ratio"),
+          when(len > 0, r6(upper / len)).as("upper_ratio"),
+          when(nTok > 0, r6(stopN / nTok)).as("stopword_ratio"),
+          when(len > 0 && nTok > 0,
+            r6(lit(0.5) * (stopN / nTok) +
+               lit(0.3) * (lit(1.0) - punct / len) +
+               lit(0.2) * (lit(1.0) - digit / len))).as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -244,7 +250,10 @@ object TextAnalysis {
         SELECT doc_id,
                round(vader_compound(text), 6) AS compound,
                size(rolling_fp(text)) AS fp_n,
-               rolling_fp(text)[0] AS fp_head,
+               -- try_element_at: a sub-window doc has NO fingerprints
+               -- and a raw [0] subscript throws under ANSI
+               -- (TextDegenerateSpec)
+               try_element_at(rolling_fp(text), 1) AS fp_head,
                round(pearson_pvalue(CAST(0.3 AS DOUBLE),
                                     CAST(50 AS BIGINT)), 6) AS p_const
         FROM docs_v_sql17 ORDER BY doc_id""")
@@ -518,11 +527,17 @@ object TextAnalysis {
         sum(col("tp")).as("diag"),
         sum(col("n_actual") * col("n_pred")).as("pe_num"))
       cls.crossJoin(broadcast(tot))
-        .withColumn("accuracy", col("diag").cast("double") / col("n"))
-        .withColumn("pe", col("pe_num").cast("double") /
-          (col("n").cast("double") * col("n")))
+        // a single-class confusion (every doc predicted AND labeled
+        // one language) drives chance agreement pe to 1 -> kappa
+        // undefined -> NULL (ANSI /0 guard; TextDegenerateSpec)
+        .withColumn("accuracy",
+          when(col("n") > 0, col("diag").cast("double") / col("n")))
+        .withColumn("pe",
+          when(col("n") > 0, col("pe_num").cast("double") /
+            (col("n").cast("double") * col("n"))))
         .withColumn("kappa",
-          (col("accuracy") - col("pe")) / (lit(1.0d) - col("pe")))
+          when(col("pe") < 1.0d,
+            (col("accuracy") - col("pe")) / (lit(1.0d) - col("pe"))))
         .withColumn("prec", when(col("n_pred") > 0,
           col("tp").cast("double") / col("n_pred")).otherwise(lit(0.0d)))
         .withColumn("rec", when(col("n_actual") > 0,
@@ -1432,9 +1447,10 @@ object TextAnalysis {
            FROM cls),
          m AS (
            SELECT lang, n_actual, n_pred, tp,
-                  CAST(diag AS DOUBLE) / n AS accuracy,
-                  CAST(pe_num AS DOUBLE) /
-                    (CAST(n AS DOUBLE) * n) AS pe,
+                  CASE WHEN n > 0 THEN CAST(diag AS DOUBLE) / n
+                  END AS accuracy,
+                  CASE WHEN n > 0 THEN CAST(pe_num AS DOUBLE) /
+                    (CAST(n AS DOUBLE) * n) END AS pe,
                   CASE WHEN n_pred > 0
                        THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0
                   END AS prec,
@@ -1448,7 +1464,8 @@ object TextAnalysis {
                      THEN 2.0 * prec * rec / (prec + rec)
                      ELSE 0.0 END AS f1,
                 accuracy,
-                (accuracy - pe) / (1.0 - pe) AS kappa
+                CASE WHEN pe < 1.0 THEN
+                  (accuracy - pe) / (1.0 - pe) END AS kappa
          FROM m ORDER BY lang""",
     // identical integer product ratio into one ln(); deterministic
     // (pmi, w1, w2) top-20
@@ -1817,12 +1834,18 @@ object TextAnalysis {
                     ('the','a','of','and','to','in','is','on'))) AS DOUBLE) AS stop_n
            FROM t)
          SELECT doc_id,
-                round(punct / len, 6) AS punct_ratio,
-                round(digit / len, 6) AS digit_ratio,
-                round(upper / len, 6) AS upper_ratio,
-                round(stop_n / n_tok, 6) AS stopword_ratio,
-                round(0.5 * (stop_n / n_tok) + 0.3 * (1.0 - punct / len)
-                      + 0.2 * (1.0 - digit / len), 6) AS quality
+                CASE WHEN len > 0 THEN round(punct / len, 6) END
+                  AS punct_ratio,
+                CASE WHEN len > 0 THEN round(digit / len, 6) END
+                  AS digit_ratio,
+                CASE WHEN len > 0 THEN round(upper / len, 6) END
+                  AS upper_ratio,
+                CASE WHEN n_tok > 0 THEN round(stop_n / n_tok, 6) END
+                  AS stopword_ratio,
+                CASE WHEN len > 0 AND n_tok > 0 THEN
+                  round(0.5 * (stop_n / n_tok) + 0.3 * (1.0 - punct / len)
+                        + 0.2 * (1.0 - digit / len), 6)
+                END AS quality
          FROM r ORDER BY doc_id""",
     "txt3_langid" ->
       """WITH t AS (
