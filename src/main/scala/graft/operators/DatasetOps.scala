@@ -585,7 +585,11 @@ object DatasetOps {
     // decision arithmetic in both engines. Weights here derive from
     // the source index (stand-in for a mixture config table).
     "ds5_mixture_sample" -> ((s, d) => {
-      val idx = substring(col("source"), 4, 10).cast("int")
+      // try_cast: the weight derivation assumes srcN-style names —
+      // a foreign source name must weight at the base 0.1, not throw
+      // (TextDegenerateSpec screen)
+      val idx = coalesce(
+        expr("try_cast(substring(source, 4, 10) AS INT)"), lit(0))
       val w = lit(0.1) + lit(0.04) * (idx % 10).cast("double")
       val frac = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
           16, 10).cast("long").cast("double") /
@@ -710,7 +714,17 @@ object DatasetOps {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("shard")
       .parquet(out)
-    s.read.parquet(out)
+    // explicit schema: a corpus whose every doc the filter drops
+    // writes ZERO files, and inference on an empty dir throws
+    // (TextDegenerateSpec screen) — the read-back must stay total
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.IntegerType)))
+    s.read.schema(schema).parquet(out)
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"))
@@ -1157,7 +1171,8 @@ object DatasetOps {
       """WITH tagged AS (
            SELECT source,
                   CAST(0.1 AS DOUBLE) + CAST(0.04 AS DOUBLE) *
-                    (CAST(substring(source, 4) AS INT) % 10) AS target_frac,
+                    (coalesce(TRY_CAST(substring(source, 4) AS INT), 0)
+                     % 10) AS target_frac,
                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                     / CAST(1152921504606846976 AS DOUBLE) AS frac
            FROM documents)

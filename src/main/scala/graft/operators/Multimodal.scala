@@ -149,10 +149,13 @@ object Multimodal {
         .select(col("doc_id"),
           (length(col("hs")) - 1).cast("long").as("np"),
           split(col("hs"), "").as("bv"))
+        // the mm14 totality clamp (see its comment)
         .select(col("doc_id"), col("np"),
           explode(zip_with(
-            slice(col("bv"), lit(1), col("np").cast("int")),
-            slice(col("bv"), lit(2), col("np").cast("int")),
+            slice(col("bv"), lit(1),
+              greatest(col("np"), lit(0L)).cast("int")),
+            slice(col("bv"), lit(2),
+              greatest(col("np"), lit(0L)).cast("int")),
             (a, b) => concat(a, b))).as("pair"))
       val cc = pairs.groupBy(col("doc_id"), col("np"), col("pair"))
         .agg(count(lit(1)).as("c"))
@@ -235,9 +238,16 @@ object Multimodal {
         // (measured at sf0.1: 905 s for the element_at form vs
         // ~4 s for this one, BENCH_FULL_r11 3.93 s — F8's
         // interpreted-HOF caveat made concrete).
+        // greatest(np, 0): the length >= 2 filter SHOULD exclude
+        // np < 1 rows, but the optimizer can evaluate this projection
+        // for a row the filter later drops (observed: an empty doc
+        // reached slice with length -1, which throws) — clamp so the
+        // expression is total (TextDegenerateSpec screen)
         .select(col("doc_id"), col("np"),
-          slice(col("bv"), lit(1), col("np").cast("int")).as("x"),
-          slice(col("bv"), lit(2), col("np").cast("int")).as("y"))
+          slice(col("bv"), lit(1),
+            greatest(col("np"), lit(0L)).cast("int")).as("x"),
+          slice(col("bv"), lit(2),
+            greatest(col("np"), lit(0L)).cast("int")).as("y"))
         .select(col("doc_id"), col("np"),
           aggregate(col("x"), lit(0L), (acc, v) => acc + v).as("sx"),
           aggregate(col("y"), lit(0L), (acc, v) => acc + v).as("sy"),

@@ -50,4 +50,37 @@ class TextDegenerateSpec extends AnyFunSuite {
     assert(fixed.isEmpty,
       s"these no longer throw — remove from the ratchet: $fixed")
   }
+
+  // The same contract over the OTHER document-family operators.
+  // Queries needing tables the fixture doesn't carry (events,
+  // embeddings, orders) surface as PATH_NOT_FOUND — a fixture gap,
+  // not a kernel crash — and are skipped explicitly.
+  private val KnownTinyDocThrowsOther: Set[String] = Set()
+
+  test("dedup/multimodal/assembly tiny-doc crash set can only shrink") {
+    val families = Seq(
+      Dedup.queries, Multimodal.queries, DatasetOps.queries,
+      Curation.queries)
+    val all = families.flatMap(_.toSeq).sortBy(_._1)
+    var skipped = 0
+    val failures = all.flatMap { case (name, fn) =>
+      try { fn(spark, tinyDir).collect(); None }
+      catch {
+        case e: Throwable
+            if e.getMessage != null &&
+              e.getMessage.contains("PATH_NOT_FOUND") =>
+          skipped += 1; None
+        case e: Throwable =>
+          Some(name -> e.getMessage.linesIterator.take(1).mkString)
+      }
+    }
+    val newCrashes = failures.filterNot(f => KnownTinyDocThrowsOther(f._1))
+    assert(newCrashes.isEmpty,
+      s"NEW tiny-doc ANSI crashes (guard them): $newCrashes")
+    val fixed = KnownTinyDocThrowsOther
+      .intersect(all.map(_._1).toSet).diff(failures.map(_._1).toSet)
+    assert(fixed.isEmpty,
+      s"these no longer throw — remove from the ratchet: $fixed")
+    assert(skipped < all.size, "vacuous: every query skipped")
+  }
 }
