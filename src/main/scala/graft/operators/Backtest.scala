@@ -58,6 +58,16 @@ object Backtest {
 
   private def r6(c: Column): Column = round(c, 6)
 
+  /** Materialized-intermediate dump for the T7 metric blocks (the
+    * D3SigDump pattern): the fold itself is the only non-SQL stage, so
+    * the metric queries write its output here, read it back (both
+    * engines consume identical bytes), and the DuckDB oracles replay
+    * the entire 34-metric arithmetic from the dump. The hash check
+    * then certifies everything downstream of the fold; the fold stays
+    * anchored by BacktestSpec + GoldenRunA/B. Fixed path ⇒ assumes the
+    * driver's serial query→compare flow (same caveat as D3SigDump). */
+  private[operators] val T7FoldDump = "/tmp/graft_t7_fold.parquet"
+
   /** NULL-on-zero division: Spark 4 ANSI mode throws DIVIDE_BY_ZERO
     * even for doubles, and a wiped-out portfolio legitimately reaches
     * equity = 0 (ratio metrics are undefined from there on). */
@@ -172,6 +182,16 @@ object Backtest {
       .mapPartitions(rows => fold(rows, cfg)).toDF()
   }
 
+  /** The default-config fold output, dumped to [[T7FoldDump]] and read
+    * back — the shared input of the three hash-checked metric queries
+    * and their DuckDB oracles. The dump doubles as the materialize-once
+    * point (replacing the earlier localCheckpoint): the fold runs one
+    * job, and every downstream subtree scans the parquet. */
+  private def foldDump(s: SparkSession, d: String): DataFrame = {
+    run(s, d).write.mode("overwrite").parquet(T7FoldDump)
+    s.read.parquet(T7FoldDump)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T7: the fold itself — trades + equity curve.
     "t7_portfolio_fold" -> ((s, d) =>
@@ -187,8 +207,10 @@ object Backtest {
         .orderBy(col("kind"), col("day"), col("key"))),
 
     // A8 over fold output: the trade-metrics block of 07_backtest.py:284-303.
+    // HASH-CHECKED (round 13): consumes the T7FoldDump intermediate;
+    // the DuckDB twin recomputes the block from the dump.
     "t7_trade_metrics" -> ((s, d) =>
-      run(s, d).filter(col("kind") === "trade")
+      foldDump(s, d).filter(col("kind") === "trade")
         .agg(
           count(lit(1)).as("n_trades"),
           sum(when(col("pnl") > 0, 1L).otherwise(0L)).as("wins"),
@@ -201,19 +223,16 @@ object Backtest {
     // The reference's full backtest summary (scripts/07_backtest.py:
     // 368-418): trade stats, exit-reason counts, streaks, days-held,
     // equity/drawdown and annualized risk metrics — one wide row over
-    // the fold output. Order-sensitive fold upstream → rows-only.
+    // the fold output. HASH-CHECKED (round 13): the fold dump replaces
+    // the earlier localCheckpoint as the materialize-once point, and
+    // the DuckDB twin replays all 34 metrics from it.
     "t7_full_metrics" -> ((s, d) =>
-      // localCheckpoint, not cache(): materializes the fold ONCE for
-      // the several downstream subtrees, and its blocks are released
-      // when the plan is GC'd — a .cache() here accumulated pinned
-      // entries across a Verify sweep with no unpersist point (the
-      // query builder never owns the action).
-      fullMetricsOf(run(s, d).localCheckpoint(),
-        BacktestConfig.Default.initialCash)),
+      fullMetricsOf(foldDump(s, d), BacktestConfig.Default.initialCash)),
 
     // A10 over fold output: equity-curve risk block (drawdown etc).
+    // HASH-CHECKED (round 13) via the T7FoldDump intermediate.
     "t7_equity_metrics" -> ((s, d) => {
-      val eq = run(s, d).filter(col("kind") === "equity")
+      val eq = foldDump(s, d).filter(col("kind") === "equity")
         .select(col("day"), col("equity"))
       val w = org.apache.spark.sql.expressions.Window.orderBy("day")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -244,10 +263,16 @@ object Backtest {
 
       // win/loss streaks: sessionize consecutive same-sign trades
       // (scripts/07_backtest.py:308-314) — W6 over the trade log.
+      // daysHeld DESC breaks the one possible (day, key) tie — a key
+      // that exits in phase 1 of the last day, re-enters in phase 2
+      // and is force-closed emits TWO trade rows that day (the exit
+      // with daysHeld ≥ 1 chronologically before the force-close with
+      // daysHeld = 0) — so the ordering is total and both engines
+      // sessionize the dumped log identically.
       val wOrd = org.apache.spark.sql.expressions.Window
-        .orderBy("day", "key")
+        .orderBy(col("day"), col("key"), col("daysHeld").desc)
       val wCum = org.apache.spark.sql.expressions.Window
-        .orderBy("day", "key")
+        .orderBy(col("day"), col("key"), col("daysHeld").desc)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       val streaks = trades
         .withColumn("win", (col("pnl") > 0).cast("int"))
@@ -344,7 +369,143 @@ object Backtest {
       tradeAgg.crossJoin(streaks).crossJoin(eqAgg).crossJoin(ddPeriod)
   }
 
-  /** Fold is order-sensitive multi-output — not SQL-expressible;
-    * rows-only checks (invariants in BacktestSpec). */
-  val oracles: Map[String, String] = Map()
+  /** The fold itself (t7_portfolio_fold, _h24) is order-sensitive and
+    * not SQL-expressible — rows-only, anchored by BacktestSpec +
+    * GoldenRunA/B. The three metric blocks ARE plain SQL over the fold
+    * output, so their oracles replay the full arithmetic from
+    * [[T7FoldDump]] (materialized-intermediate pattern, round 13).
+    * Convention notes mirrored from the a8/a10 oracles: counts cast to
+    * BIGINT (DuckDB sum(int) is HUGEINT); every Spark safeDiv becomes
+    * an explicit CASE (DuckDB double/0.0 is ±inf, Spark's guard is
+    * NULL); float casts saturate via the float-max/inf midpoint CASE
+    * (DuckDB CAST(… AS REAL) raises on overflow, Spark saturates). */
+  private val Dump = s"'$T7FoldDump/*.parquet'"
+
+  /** DuckDB REAL-cast with Spark's IEEE saturation semantics. */
+  private def fcast(e: String): String =
+    s"""CASE WHEN ($e) >= 3.4028235677973366e38 THEN CAST('inf' AS REAL)
+       |     WHEN ($e) <= -3.4028235677973366e38 THEN CAST('-inf' AS REAL)
+       |     ELSE CAST(($e) AS REAL) END""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "t7_trade_metrics" ->
+      s"""WITH t AS (SELECT pnl FROM $Dump WHERE kind = 'trade')
+         |SELECT count(*) AS n_trades,
+         |       CAST(sum(CASE WHEN pnl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+         |       round(avg(CASE WHEN pnl > 0 THEN pnl END), 6) AS avg_win,
+         |       round(avg(CASE WHEN pnl <= 0 THEN pnl END), 6) AS avg_loss,
+         |       round(max(pnl), 6) AS largest_win,
+         |       round(min(pnl), 6) AS largest_loss,
+         |       round(sum(pnl), 6) AS total_pnl
+         |FROM t""".stripMargin,
+
+    "t7_equity_metrics" ->
+      s"""WITH eq AS (SELECT day, equity FROM $Dump WHERE kind = 'equity'),
+         |c AS (SELECT day, equity,
+         |             max(equity) OVER (ORDER BY day
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+         |      FROM eq)
+         |SELECT round(min(equity / peak - 1), 6) AS max_drawdown,
+         |       round(arg_max(equity, day), 6) AS final_equity,
+         |       round(arg_max(equity, day) / 10000.0 - 1, 6) AS total_return,
+         |       count(*) AS n_days
+         |FROM c""".stripMargin,
+
+    "t7_full_metrics" ->
+      s"""WITH trades AS (SELECT * FROM $Dump WHERE kind = 'trade'),
+         |tradeagg AS (
+         |  SELECT count(*) AS n_trades,
+         |         CAST(sum(CASE WHEN pnl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+         |         CAST(sum(CASE WHEN pnl <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS losses,
+         |         CASE WHEN count(*) <> 0 THEN
+         |           round(sum(CASE WHEN pnl > 0 THEN 1.0 ELSE 0.0 END) / count(*), 6)
+         |         END AS win_rate,
+         |         round(avg(CASE WHEN pnl > 0 THEN pnl END), 6) AS avg_win,
+         |         round(avg(CASE WHEN pnl <= 0 THEN pnl END), 6) AS avg_loss,
+         |         round(max(pnl), 6) AS largest_win,
+         |         round(min(pnl), 6) AS largest_loss,
+         |         CASE WHEN abs(sum(CASE WHEN pnl <= 0 THEN pnl ELSE 0.0 END)) <> 0 THEN
+         |           round(sum(CASE WHEN pnl > 0 THEN pnl ELSE 0.0 END)
+         |                 / abs(sum(CASE WHEN pnl <= 0 THEN pnl ELSE 0.0 END)), 6)
+         |         END AS profit_factor,
+         |         round(avg(pnl), 6) AS expectancy,
+         |         round(sum(pnl), 6) AS total_pnl,
+         |         round(avg("daysHeld"), 6) AS avg_days_held,
+         |         max("daysHeld") AS max_days_held,
+         |         CAST(sum(CASE WHEN "exitReason" = 'stop_loss' THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_loss,
+         |         CAST(sum(CASE WHEN "exitReason" = 'take_profit' THEN 1 ELSE 0 END) AS BIGINT) AS n_take_profit,
+         |         CAST(sum(CASE WHEN "exitReason" = 'hold_period' THEN 1 ELSE 0 END) AS BIGINT) AS n_hold_period,
+         |         CAST(sum(CASE WHEN "exitReason" = 'end_of_backtest' THEN 1 ELSE 0 END) AS BIGINT) AS n_end_close
+         |  FROM trades),
+         |sbase AS (
+         |  SELECT CASE WHEN pnl > 0 THEN 1 ELSE 0 END AS win,
+         |         row_number() OVER (ORDER BY day, key, "daysHeld" DESC) AS rn
+         |  FROM trades),
+         |schg AS (
+         |  SELECT win, rn,
+         |         CASE WHEN lag(win) OVER (ORDER BY rn) IS DISTINCT FROM win
+         |              THEN 1 ELSE 0 END AS chg
+         |  FROM sbase),
+         |sess AS (SELECT win, sum(chg) OVER (ORDER BY rn) AS sid FROM schg),
+         |runs AS (SELECT sid, win, count(*) AS len FROM sess GROUP BY sid, win),
+         |streaks AS (
+         |  SELECT max(CASE WHEN win = 1 THEN len END) AS max_win_streak,
+         |         max(CASE WHEN win = 0 THEN len END) AS max_loss_streak
+         |  FROM runs),
+         |eq AS (SELECT day, equity FROM $Dump WHERE kind = 'equity'),
+         |cwin AS (
+         |  SELECT day, equity,
+         |         lag(equity) OVER (ORDER BY day) AS prev,
+         |         max(equity) OVER (ORDER BY day
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+         |  FROM eq),
+         |curve AS (
+         |  SELECT day, equity, peak,
+         |         CASE WHEN prev <> 0 THEN equity / prev - 1 END AS r,
+         |         CASE WHEN peak <> 0 THEN equity / peak - 1 END AS dd
+         |  FROM cwin),
+         |eagg AS (
+         |  SELECT count(*) AS n_days,
+         |         arg_max(equity, day) AS fe,
+         |         avg(r) AS mu,
+         |         stddev_pop(r) AS sigma,
+         |         stddev_pop(CASE WHEN r < 0 THEN r END) AS downside,
+         |         round(min(dd), 6) AS max_drawdown,
+         |         round(max(r), 6) AS best_day,
+         |         round(min(r), 6) AS worst_day
+         |  FROM curve),
+         |em AS (SELECT *, pow(1.0 + mu, 252.0) - 1 AS ar FROM eagg),
+         |eqblock AS (
+         |  SELECT n_days,
+         |         round(fe, 6) AS final_equity,
+         |         round(fe / 10000.0 - 1, 6) AS total_return,
+         |         round(mu, 6) AS mean_daily,
+         |         round(sigma, 6) AS std_daily,
+         |         ${fcast("ar")} AS ann_return,
+         |         CAST(round(sigma * sqrt(252.0), 6) AS REAL) AS ann_vol,
+         |         CASE WHEN sigma * sqrt(252.0) = 0 THEN NULL
+         |              ELSE ${fcast("ar / (sigma * sqrt(252.0))")} END AS sharpe,
+         |         CASE WHEN downside * sqrt(252.0) = 0 THEN NULL
+         |              ELSE ${fcast("ar / (downside * sqrt(252.0))")} END AS sortino,
+         |         max_drawdown, best_day, worst_day
+         |  FROM em),
+         |trough AS (
+         |  SELECT day AS trough_day, peak AS peak_val
+         |  FROM (SELECT day, peak, dd,
+         |               row_number() OVER (ORDER BY dd ASC NULLS LAST, day) AS trn
+         |        FROM curve)
+         |  WHERE trn = 1),
+         |peakday AS (
+         |  SELECT min(c.day) AS peak_day, min(t.trough_day) AS trough_day
+         |  FROM curve c, trough t
+         |  WHERE c.day <= t.trough_day AND c.equity = t.peak_val),
+         |ddp AS (
+         |  SELECT CAST(peak_day AS DATE) AS max_dd_peak_date,
+         |         CAST(trough_day AS DATE) AS max_dd_trough_date,
+         |         date_diff('day', CAST(peak_day AS DATE),
+         |                   CAST(trough_day AS DATE)) AS max_dd_duration_days
+         |  FROM peakday)
+         |SELECT t.*, s.*, e.*, d.*
+         |FROM tradeagg t, streaks s, eqblock e, ddp d""".stripMargin
+  )
 }
