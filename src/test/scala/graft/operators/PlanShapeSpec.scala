@@ -194,6 +194,20 @@ class PlanShapeSpec extends AnyFunSuite {
            !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
+  test("pipe11 sweep broadcasts the grid; one fact scan feeds the surface") {
+    // the 9-row (tau, min_news) grid multiply must be a broadcast of a
+    // local relation (the grid_build shape) — at 100 TB the fact table
+    // is scanned once for the daily agg and never shuffles to meet the
+    // grid; the only nested loop allowed is that broadcast multiply
+    val plan = planOf(Signals.queries, "pipe11_strategy_sweep")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    val nlj = plan.linesIterator
+      .count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj <= 1, s"unexpected nested loops:\n${plan.take(2000)}")
+    assert(plan.contains("LocalTableScan"),
+      "grid should be a local (broadcast) relation")
+  }
+
   test("j6 salted join: shuffle join keyed on (key, salt), no broadcast") {
     // the query's whole purpose is spreading a hot key over 16
     // reducers — a broadcast join would bypass the shuffle the salt

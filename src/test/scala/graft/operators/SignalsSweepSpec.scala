@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** PIPE11 — the strategy slider sweep (`pipe11_strategy_sweep`).
+  * The DuckDB oracle certifies exact values; these invariants pin the
+  * SHAPE of the response surface a dashboard reader relies on:
+  * completeness of the grid, conservation of signal mass per cell,
+  * and the two slider monotonicities (raising the news bar can only
+  * add HOLDs; raising the sentiment bar can only remove trades).
+  */
+class SignalsSweepSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.Sf0001
+
+  private lazy val rows =
+    Signals.queries("pipe11_strategy_sweep")(spark, sf)
+      .collect()
+      .map(r => (r.getDouble(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+
+  test("the grid is complete: one row per (tau, min_news, lookback)") {
+    val cells = rows.map { case (t, m, l, _, _, _, _, _) => (t, m, l) }.toSet
+    val expected = (for {
+      t <- Signals.SweepTaus; m <- Signals.SweepMinNews
+      l <- Signals.SweepLookbacks
+    } yield (t, m, l)).toSet
+    assert(cells == expected)
+  }
+
+  test("signal mass is conserved: buy+sell+hold constant per lookback") {
+    // every cell of a lookback classifies the SAME (key, day) rows
+    rows.groupBy(_._3).foreach { case (_, cells) =>
+      val masses = cells.map { case (_, _, _, b, s, h, _, _) => b + s + h }
+      assert(masses.toSet.size == 1, masses.mkString(","))
+      assert(masses.head > 0)
+    }
+  }
+
+  test("raising min_news only converts trades to HOLDs") {
+    for {
+      t <- Signals.SweepTaus; l <- Signals.SweepLookbacks
+      sorted = rows.filter(r => r._1 == t && r._3 == l).sortBy(_._2)
+      Array(lo, hi) <- sorted.map(_._6).sliding(2).map(_.toArray)
+    } assert(lo <= hi, s"n_hold not monotone in min_news at tau=$t l=$l")
+  }
+
+  test("raising tau only removes trade signals") {
+    for {
+      m <- Signals.SweepMinNews; l <- Signals.SweepLookbacks
+      sorted = rows.filter(r => r._2 == m && r._3 == l).sortBy(_._1)
+      Array(lo, hi) <- sorted.map(c => c._4 + c._5).sliding(2).map(_.toArray)
+    } assert(lo >= hi, s"trades not antitone in tau at m=$m l=$l")
+  }
+
+  test("entries are BUY transitions: n_entries <= n_buy, keys bounded") {
+    val nKeys = graft.Tables.events(spark, sf)
+      .select("event_type").distinct().count()
+    rows.foreach { case (t, m, l, b, _, _, e, k) =>
+      assert(e <= b, s"entries > buys at ($t,$m,$l)")
+      assert(k <= nKeys && (e == 0 || k >= 1))
+    }
+  }
+}
