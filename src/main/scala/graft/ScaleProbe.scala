@@ -294,6 +294,31 @@ object ScaleProbe {
         val dd = if (d == sfDir) d else ordDir
         noop(graft.operators.SourceSinks
           .queries("s27_compressed_roundtrip")(spark, dd))
+      },
+      // round 13: the last two >2.5 s entries without a measured row.
+      // Both consume the verified corpus graph, so they probe on the
+      // TOKEN-SALTED replica (d18Dir), not the verbatim one: verbatim
+      // copies plant a J = 1.0 10-clique behind every original, and
+      // bounded UNION ALL walks multiply as Σ deg^depth on cliques —
+      // the round-11 measurement that tripped Spark's 10⁶
+      // recursion-row guard and got sql7 excluded. Salting keeps each
+      // copy's internal near-dup structure while making copies
+      // disjoint: 10× DISTINCT docs, 10× copy-local edges, cluster
+      // diameter unchanged — exactly the axis a 100× reader asks of
+      // the UnionLoop (walk volume ∝ edges, not deg^depth).
+      "sql7_closure_corpus" -> { d =>
+        val dd = if (d == sfDir) d else d18Dir
+        noop(graft.operators.Relational
+          .queries("sql7_closure_corpus")(spark, dd))
+      },
+      // pipe6 chains the same graph (d10 clusters) into keep-best →
+      // stratified split → interleave; every post-graph stage is
+      // keyed on (cluster | stratum | source), so the salted replica
+      // measures the composition at 10× distinct docs.
+      "pipe6_dedup_mix" -> { d =>
+        val dd = if (d == sfDir) d else d18Dir
+        noop(graft.operators.Curation
+          .queries("pipe6_dedup_mix")(spark, dd))
       })
 
     // SPARK_GRAFT_PROBE_ONLY=a,b runs just the named probes (local
