@@ -76,9 +76,18 @@ object Vader {
   private def isAllCaps(t: String): Boolean =
     t.exists(_.isLetter) && t.forall(c => !c.isLetter || c.isUpper)
 
-  /** Compound score in [-1, 1]; 0.0 for empty/neutral text. */
-  def compound(text: String): Double = {
-    if (text == null || text.isEmpty) return 0.0
+  /** Per-token adjusted valences — one entry per SCORED token
+    * (lexicon hit not consumed by the "no"-negation special case), in
+    * token order, with every rule already applied (caps emphasis,
+    * booster decay, negation flips, the "but" pivot). This is the
+    * materialized-intermediate boundary of the F7 oracle: the
+    * sequential-lookback rule state lives INSIDE each entry, and
+    * everything downstream of the array — the sum, the exclamation
+    * emphasis, the α = 15 normalization, the clamp — is plain SQL a
+    * DuckDB twin replays from the dump. [[compound]] consumes this
+    * array left-to-right, so the two can never drift. */
+  def tokenScores(text: String): Array[Double] = {
+    if (text == null || text.isEmpty) return Array.emptyDoubleArray
     // published tokenization: punctuation is stripped from a token
     // UNLESS the raw form is itself a lexicon entry — that's how
     // emoticons (":)", "<3") and scored punctuation-words survive
@@ -92,7 +101,7 @@ object Vader {
     val capsDiff = nCaps > 0 && nCaps < raw.length
     val butIdx = toks.indexOf("but")
     val decay = Array(1.0, 0.95, 0.9)
-    var s = 0.0
+    val out = new scala.collection.mutable.ArrayBuffer[Double]()
     var i = 0
     while (i < toks.length) {
       // "no" directly before a lexicon word acts as pure negation:
@@ -122,10 +131,29 @@ object Vader {
           if (i < butIdx) v *= 0.5
           else if (i > butIdx) v *= 1.5
         }
-        s += v
+        out += v
       }
       i += 1
     }
+    out.toArray
+  }
+
+  /** Codegen bridge: [[tokenScores]] boxed as Catalyst ArrayData (the
+    * generated code assigns it to an ArrayData-typed slot). */
+  def tokenScoresData(text: String):
+      org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(tokenScores(text))
+
+  /** Compound score in [-1, 1]; 0.0 for empty/neutral text. The
+    * left-to-right sum over [[tokenScores]] is bit-identical to the
+    * pre-refactor in-loop accumulator. */
+  def compound(text: String): Double = {
+    if (text == null || text.isEmpty) return 0.0
+    val vs = tokenScores(text)
+    var s = 0.0
+    var i = 0
+    while (i < vs.length) { s += vs(i); i += 1 }
     if (s != 0.0) {
       val bangs = math.min(text.count(_ == '!'), 4)
       s += math.signum(s) * bangs * BangIncr

@@ -43,3 +43,37 @@ object VaderCompound {
   def compound(text: Column): Column =
     ColumnBridge.column(VaderCompound(ColumnBridge.expression(text)))
 }
+
+/** Per-token adjusted valences ([[Vader.tokenScores]]) as a codegen
+  * array expression — the materialized-intermediate boundary of the
+  * F7 oracle: the sequential rule state (negation lookback, booster
+  * decay, the "but" pivot) lives inside each entry; everything
+  * downstream of the array is plain SQL a DuckDB twin replays from
+  * the parquet dump. NULL text → NULL array (empty text → empty
+  * array), mirroring [[VaderCompound]]'s null contract.
+  */
+case class VaderTokenScores(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vader_token_scores"
+
+  override def nullSafeEval(t: Any): Any =
+    Vader.tokenScoresData(t.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val kernel = Vader.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = $kernel.tokenScoresData($t.toString());")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): VaderTokenScores = copy(child = newChild)
+}
+
+object VaderTokenScores {
+  /** Column-API entry point: per-token adjusted VADER valences. */
+  def tokenScores(text: Column): Column =
+    ColumnBridge.column(VaderTokenScores(ColumnBridge.expression(text)))
+}

@@ -25,6 +25,12 @@ object TextAnalysis {
 
   private def r6(c: Column): Column = round(c, 6)
 
+  /** Materialized-intermediate dump for the F7 oracle (the D3SigDump
+    * pattern — see Dedup for the serial-flow caveat): per-doc
+    * token-valence arrays + capped exclamation count; both engines
+    * recompute the compound from these identical bytes. */
+  private[operators] val F7VaderDump = "/tmp/graft_f7_vader.parquet"
+
   /** Whitespace tokenization of lowercased text — the one definition
     * shared by every query here AND by the DuckDB oracles. */
   /** THE corpus tokenizer — whitespace split of lower(trim(text)).
@@ -220,17 +226,37 @@ object TextAnalysis {
     }),
 
     // F7: full VADER rule engine (negation / boosters / ALL-CAPS /
-    // "but" pivot / exclamation emphasis) as a native codegen
-    // expression over the text column — the reference's actual scorer
-    // (scripts/03_add_sentiment.py:10,28). Not SQL-expressible →
-    // rows-only; rule semantics golden-tested in VaderSpec, codegen
-    // path in VaderCompoundSpec.
-    "f7_vader_rules" -> ((s, d) =>
+    // "but" pivot / exclamation emphasis) — the reference's actual
+    // scorer (scripts/03_add_sentiment.py:10,28). HASH-CHECKED since
+    // round 13 via the materialized-intermediate pattern: the codegen
+    // kernel emits the per-token adjusted valences (all sequential
+    // rule state applied), the query dumps (doc_id, vals, bangs) to
+    // parquet and recomputes the compound from the dump with a
+    // left-to-right array fold — bit-identical to the scorer's own
+    // accumulator — and the DuckDB twin replays the sum, the
+    // exclamation emphasis, the α = 15 normalization and the clamp
+    // from the same bytes. Rule semantics stay golden-tested in
+    // VaderSpec, the codegen path in VaderCompoundSpec.
+    "f7_vader_rules" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"),
-          r6(graft.functions.VaderCompound.compound(col("text")))
-            .as("compound"))
-        .orderBy("doc_id")),
+          graft.functions.VaderTokenScores.tokenScores(col("text"))
+            .as("vals"),
+          least(length(col("text")) -
+            length(translate(col("text"), "!", "")), lit(4))
+            .cast("int").as("bangs"))
+        .write.mode("overwrite").parquet(F7VaderDump)
+      val dumped = s.read.parquet(F7VaderDump)
+      val sRaw = aggregate(col("vals"), lit(0.0), (acc, x) => acc + x)
+      val sAdj = when(sRaw =!= 0.0,
+        sRaw + signum(sRaw) * col("bangs").cast("double") * lit(0.292))
+        .otherwise(sRaw)
+      dumped
+        .select(col("doc_id"),
+          r6(greatest(lit(-1.0), least(lit(1.0),
+            sAdj / sqrt(sAdj * sAdj + lit(15.0))))).as("compound"))
+        .orderBy("doc_id")
+    }),
 
     // SQL17: the custom Catalyst expressions through the SQL
     // front-end — the point of registering them via
@@ -1918,6 +1944,31 @@ object TextAnalysis {
            GROUP BY 1)
          SELECT doc_id, round(sv / sqrt(sv * sv + 15.0), 6) AS compound, n_hits
          FROM scored ORDER BY doc_id""",
+    // F7 replays everything downstream of the per-token rule kernel
+    // from the F7VaderDump intermediate: in-order list sum (Spark's
+    // aggregate fold is the same left-to-right order), the
+    // exclamation emphasis gated on s <> 0, the α = 15 normalization
+    // and the clamp. Empty arrays must sum to 0.0 (Spark's fold
+    // does; DuckDB's list_sum returns NULL) — hence the COALESCE
+    // gated on vals IS NOT NULL so NULL text stays NULL.
+    "f7_vader_rules" ->
+      s"""WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN vals IS NULL THEN NULL
+                        ELSE COALESCE(list_sum(vals), 0.0) END AS s,
+                   bangs
+            FROM '$F7VaderDump/*.parquet'),
+          adj AS (
+            SELECT doc_id,
+                   CASE WHEN s <> 0 THEN
+                     s + sign(s) * bangs * CAST(0.292 AS DOUBLE)
+                   ELSE s END AS s2
+            FROM base)
+          SELECT doc_id,
+                 round(greatest(CAST(-1.0 AS DOUBLE),
+                   least(CAST(1.0 AS DOUBLE),
+                     s2 / sqrt(s2 * s2 + 15.0))), 6) AS compound
+          FROM adj ORDER BY doc_id""",
     "d1_exact_dedup" ->
       """WITH hashed AS (
            SELECT doc_id,
