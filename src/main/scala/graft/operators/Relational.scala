@@ -415,20 +415,20 @@ object Relational {
     // internals have no DuckDB twin → rows-only, anchored.
     // Fully LAZY (round 10 — it used to .head the sketch at plan
     // construction): the 1-row sketch aggregate is broadcast onto the
-    // 20-row watchlist and a probe UDF deserializes + queries it per
-    // probe row. The corpus scan now runs only when the plan executes
+    // 20-row watchlist and the codegen CmsProbe kernel deserializes +
+    // queries it per probe row (round 13 — was the suite's last Scala
+    // UDF). The corpus scan runs only when the plan executes
     // (plan-only callers pay nothing), and the probe stays off the
     // cluster's hot path — 20 deserializations of a ~1 MB binary,
     // driver-pattern cost, executor location.
     "a53_cms_freq" -> ((s, d) => {
-      val probe = udf((bin: Array[Byte], u: Long) =>
-        org.apache.spark.util.sketch.CountMinSketch.readFrom(
-          new java.io.ByteArrayInputStream(bin)).estimateCount(u))
       val sk = Tables.events(s, d)
         .agg(expr("count_min_sketch(user_id, 0.0001d, 0.99d, 42)").as("sk"))
       s.range(0, 20).select(col("id").as("user_id"))
         .crossJoin(broadcast(sk))
-        .select(col("user_id"), probe(col("sk"), col("user_id")).as("est_n"))
+        .select(col("user_id"),
+          graft.functions.CmsProbe.probe(col("sk"), col("user_id"))
+            .as("est_n"))
         .orderBy("user_id")
     }),
 
