@@ -89,20 +89,27 @@ object Signals {
   val SweepMinNews: Seq[Int] = Seq(2, 5, 7)
   val SweepLookbacks: Seq[Int] = Seq(1, 3, 7)
 
-  def strategySweep(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val ev = Tables.events(s, d)
-    val keyCfg = ev
-      .select(col("event_type"), col("value"),
-        get_json_object(col("props"), "$.k").cast("double").as("k"))
-      .groupBy(col("event_type"))
-      .agg(corr(col("value"), col("k")).as("r"))
-    val daily = ev
+  /** Decimal-pinned per-(key, day) sums — the one fact-table agg every
+    * sweep query starts from. */
+  private def sweepDaily(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(sum(col("value").cast("decimal(18,6)")).as("sum_v"),
         count(lit(1)).as("n"))
       .withColumn("day_idx",
         datediff(to_date(col("day")), to_date(lit("1970-01-01"))))
+
+  /** The shared per-(key, day, cell) signal frame of PIPE11/PIPE12:
+    * trailing-lookback sentiment branches × broadcast (τ, min_news)
+    * grid × inverse-flip config, with the BUY-transition entry flag. */
+  private def sweepSignals(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keyCfg = Tables.events(s, d)
+      .select(col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("double").as("k"))
+      .groupBy(col("event_type"))
+      .agg(corr(col("value"), col("k")).as("r"))
+    val daily = sweepDaily(s, d)
     val trailing = SweepLookbacks.map { l =>
       val w = Window.partitionBy("event_type").orderBy("day_idx")
         .rangeBetween(-(l - 1), 0)
@@ -131,6 +138,10 @@ object Signals {
       .withColumn("is_entry",
         (col("signal") === "BUY" &&
           (col("prev_sig").isNull || col("prev_sig") =!= "BUY")).cast("int"))
+  }
+
+  def strategySweep(s: SparkSession, d: String): DataFrame =
+    sweepSignals(s, d)
       .groupBy(col("tau"), col("min_news"), col("lookback"))
       .agg(
         sum(when(col("signal") === "BUY", 1L).otherwise(0L)).as("n_buy"),
@@ -140,6 +151,53 @@ object Signals {
         countDistinct(when(col("is_entry") === 1, col("event_type")))
           .as("n_keys_traded"))
       .orderBy("tau", "min_news", "lookback")
+
+  /** How many trading days ahead PIPE12 scores an entry — the default
+    * backtest hold period (BacktestConfig.Default.holdDays). */
+  val OutcomeHorizon = 5
+
+  /** PIPE12 — the outcome surface behind PIPE11's counts: the
+    * reference's re-run loop exists to answer "which slider setting
+    * MAKES MONEY", which it learns by running the full backtest per
+    * point (`app/experiment.py:303-325`). This query answers the same
+    * question declaratively for every grid cell at once: per
+    * (τ, min_news, lookback), the 5-trading-day forward return of the
+    * cell's position entries — mean, hit rate, best/worst — computed
+    * from ONE lead window over the daily price frame joined back to
+    * the shared signal frame. Entries in the final `horizon` days
+    * have no measurable window and are excluded from the scored
+    * columns (n_scored ≤ n_entries keeps the censoring visible).
+    * Scale shape: the forward return is computed ONCE per (key, day)
+    * — O(keys × days), before the ×27 grid multiply — and the join
+    * back to entries is keyed on (key, day_idx). */
+  def strategyOutcomes(s: SparkSession, d: String): DataFrame = {
+    val wLead = Window.partitionBy("event_type").orderBy("day_idx")
+    val fwd = sweepDaily(s, d)
+      .select(col("event_type"), col("day_idx"),
+        (col("sum_v").cast("double") / col("n").cast("double")).as("p"))
+      .withColumn("p_fwd", lead(col("p"), OutcomeHorizon).over(wLead))
+      // ANSI guard: a zero mark price has no defined return
+      .withColumn("fwd_ret",
+        when(col("p") =!= 0.0 && col("p_fwd").isNotNull,
+          col("p_fwd") / col("p") - 1))
+      .select(col("event_type"), col("day_idx"), col("fwd_ret"))
+    val entered = col("is_entry") === 1
+    val scored = entered && col("fwd_ret").isNotNull
+    sweepSignals(s, d)
+      .join(fwd, Seq("event_type", "day_idx"))
+      .groupBy(col("tau"), col("min_news"), col("lookback"))
+      .agg(
+        sum(col("is_entry").cast("long")).as("n_entries"),
+        sum(when(scored, 1L).otherwise(0L)).as("n_scored"),
+        r6(avg(when(scored, col("fwd_ret")))).as("avg_fwd_ret"),
+        // numerator 0.0-defaulted so an all-losing cell reads 0.0, not
+        // NULL; denominator NULL-or-positive (sum of a no-otherwise
+        // CASE), so the ANSI division can never see a zero
+        r6(sum(when(scored && col("fwd_ret") > 0, 1.0).otherwise(0.0))
+          / sum(when(scored, 1.0))).as("hit_rate"),
+        r6(max(when(scored, col("fwd_ret")))).as("best_entry"),
+        r6(min(when(scored, col("fwd_ret")))).as("worst_entry"))
+      .orderBy("tau", "min_news", "lookback")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -147,7 +205,8 @@ object Signals {
     // The parameterized re-run (both threshold sliders moved), fully
     // oracle-checked like the default — thresholds are SQL constants.
     "p8_signal_strict" -> ((s, d) => pipeline(s, d, SignalConfig.Strict)),
-    "pipe11_strategy_sweep" -> ((s, d) => strategySweep(s, d))
+    "pipe11_strategy_sweep" -> ((s, d) => strategySweep(s, d)),
+    "pipe12_sweep_outcomes" -> ((s, d) => strategyOutcomes(s, d))
   )
 
   /** Oracle SQL interpolates the SAME config constants the Spark plan
@@ -187,7 +246,9 @@ object Signals {
        |             RANGE BETWEEN ${l - 1} PRECEDING AND CURRENT ROW)"""
       .stripMargin
 
-  private val sweepOracle: String = {
+  /** Shared CTE prefix of the PIPE11/PIPE12 oracles — everything
+    * through the per-(cell, key, day) entry flag. */
+  private val sweepCommonCtes: String = {
     val tauRows = SweepTaus.map(t => s"($t)").mkString(",")
     val mRows = SweepMinNews.map(m => s"($m)").mkString(",")
     s"""WITH cfg AS (
@@ -219,13 +280,17 @@ object Signals {
        |  CROSS JOIN grid g
        |  JOIN cfg c ON t.event_type = c.event_type),
        |ent AS (
-       |  SELECT tau, min_news, lookback, event_type, signal,
+       |  SELECT tau, min_news, lookback, event_type, day_idx, signal,
        |         CASE WHEN signal = 'BUY' AND (prev IS NULL OR prev <> 'BUY')
        |              THEN 1 ELSE 0 END AS is_entry
        |  FROM (SELECT *, lag(signal) OVER (
        |          PARTITION BY event_type, lookback, tau, min_news
        |          ORDER BY day_idx) AS prev
-       |        FROM sig))
+       |        FROM sig))""".stripMargin
+  }
+
+  private val sweepOracle: String =
+    s"""$sweepCommonCtes
        |SELECT tau, min_news, lookback,
        |       CAST(sum(CASE WHEN signal = 'BUY' THEN 1 ELSE 0 END) AS BIGINT) AS n_buy,
        |       CAST(sum(CASE WHEN signal = 'SELL' THEN 1 ELSE 0 END) AS BIGINT) AS n_sell,
@@ -235,11 +300,43 @@ object Signals {
        |FROM ent
        |GROUP BY 1, 2, 3
        |ORDER BY 1, 2, 3""".stripMargin
-  }
+
+  private val outcomesOracle: String =
+    s"""$sweepCommonCtes,
+       |fwd AS (
+       |  SELECT event_type, day_idx,
+       |         CASE WHEN p <> 0 AND p_fwd IS NOT NULL
+       |              THEN p_fwd / p - 1 END AS fwd_ret
+       |  FROM (SELECT event_type, day_idx, p,
+       |               lead(p, $OutcomeHorizon) OVER (
+       |                 PARTITION BY event_type ORDER BY day_idx) AS p_fwd
+       |        FROM (SELECT event_type, day_idx,
+       |                     CAST(sum_v AS DOUBLE) / CAST(n AS DOUBLE) AS p
+       |              FROM didx)))
+       |SELECT e.tau, e.min_news, e.lookback,
+       |       CAST(sum(e.is_entry) AS BIGINT) AS n_entries,
+       |       CAST(sum(CASE WHEN e.is_entry = 1 AND f.fwd_ret IS NOT NULL
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+       |       round(avg(CASE WHEN e.is_entry = 1 AND f.fwd_ret IS NOT NULL
+       |                      THEN f.fwd_ret END), 6) AS avg_fwd_ret,
+       |       round(sum(CASE WHEN e.is_entry = 1 AND f.fwd_ret IS NOT NULL
+       |                           AND f.fwd_ret > 0
+       |                      THEN 1.0 ELSE 0.0 END)
+       |             / sum(CASE WHEN e.is_entry = 1 AND f.fwd_ret IS NOT NULL
+       |                        THEN 1.0 END), 6) AS hit_rate,
+       |       round(max(CASE WHEN e.is_entry = 1 AND f.fwd_ret IS NOT NULL
+       |                      THEN f.fwd_ret END), 6) AS best_entry,
+       |       round(min(CASE WHEN e.is_entry = 1 AND f.fwd_ret IS NOT NULL
+       |                      THEN f.fwd_ret END), 6) AS worst_entry
+       |FROM ent e
+       |JOIN fwd f ON e.event_type = f.event_type AND e.day_idx = f.day_idx
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1, 2, 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "p8_signal_pipeline" -> oracleFor(SignalConfig.Default),
     "p8_signal_strict" -> oracleFor(SignalConfig.Strict),
-    "pipe11_strategy_sweep" -> sweepOracle
+    "pipe11_strategy_sweep" -> sweepOracle,
+    "pipe12_sweep_outcomes" -> outcomesOracle
   )
 }

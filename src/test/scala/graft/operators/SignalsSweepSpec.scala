@@ -55,6 +55,33 @@ class SignalsSweepSpec extends AnyFunSuite {
     } assert(lo >= hi, s"trades not antitone in tau at m=$m l=$l")
   }
 
+  test("pipe12 outcomes agree with pipe11's entry counts per cell") {
+    // the two queries share sweepSignals — a drift in the refactor
+    // would show up as diverging n_entries on the same corpus
+    val p11 = rows.map { case (t, m, l, _, _, _, e, _) => (t, m, l) -> e }
+      .toMap
+    val out = Signals.queries("pipe12_sweep_outcomes")(spark, sf).collect()
+    assert(out.length == p11.size)
+    out.foreach { r =>
+      val cell = (r.getDouble(0), r.getInt(1), r.getInt(2))
+      val (entries, scored) = (r.getLong(3), r.getLong(4))
+      assert(entries == p11(cell), s"entry drift at $cell")
+      assert(scored <= entries)
+      if (scored > 0) {
+        val (avg, best, worst) =
+          (r.getDouble(5), r.getDouble(7), r.getDouble(8))
+        val hit = r.getDouble(6)
+        assert(hit >= 0.0 && hit <= 1.0, s"hit_rate $hit at $cell")
+        assert(worst <= avg + 1e-9 && avg <= best + 1e-9,
+          s"ordering $worst/$avg/$best at $cell")
+      } else {
+        assert(r.isNullAt(5) && r.isNullAt(6), s"unscored cell $cell")
+      }
+    }
+    // non-vacuous: at least one cell actually scores entries
+    assert(out.exists(r => r.getLong(4) > 0))
+  }
+
   test("entries are BUY transitions: n_entries <= n_buy, keys bounded") {
     val nKeys = graft.Tables.events(spark, sf)
       .select("event_type").distinct().count()
