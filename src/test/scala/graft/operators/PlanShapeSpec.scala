@@ -208,6 +208,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "grid should be a local (broadcast) relation")
   }
 
+  test("pipe12 outcomes: keyed join back, no cartesian beside the grid") {
+    // the forward-return frame joins the signal frame on
+    // (event_type, day_idx) — a keyed join; the only nested loop
+    // allowed is pipe11's broadcast grid multiply
+    val plan = planOf(Signals.queries, "pipe12_sweep_outcomes")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    val nlj = plan.linesIterator
+      .count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj <= 1, s"unexpected nested loops:\n${plan.take(2000)}")
+  }
+
   test("j6 salted join: shuffle join keyed on (key, salt), no broadcast") {
     // the query's whole purpose is spreading a hot key over 16
     // reducers — a broadcast join would bypass the shuffle the salt
