@@ -95,7 +95,10 @@ object LagGrid {
     lookbackSignal(s, d)
       .join(forwardReturns(s, d), Seq("user_id", "day"))
       .groupBy(col("user_id"), col("lookback_h"), col("lead_days"))
-      .agg(corr(col("senti"), col("fwd_ret")).as("c"),
+      // Stats.corrSafe, not the corr builtin: NULL (like DuckDB corr)
+      // instead of an ANSI divide-by-zero throw on a zero-variance
+      // cell — see the corrSafe Scaladoc (round-13 ratchet burndown)
+      .agg(Stats.corrSafe(col("senti"), col("fwd_ret")).as("c"),
            count(lit(1)).as("n"),
            // the artifact's per-cell means (scripts/05_lag_analysis.py
            // :154-158) — same hash agg, zero extra passes

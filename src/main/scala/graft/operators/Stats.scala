@@ -91,6 +91,21 @@ object Stats {
       .select(col("day"), col("rev"), (col("rev") / col("prev") - 1).as("r"))
   }
 
+  /** Pearson r via co-moments with DuckDB-corr NULL semantics: Spark's
+    * `corr` builtin THROWS on zero variance under ANSI (the divide
+    * lives inside the aggregate's evaluateExpression, unguardable from
+    * outside — the StatsDegenerate ratchet's corr residue, burned down
+    * in round 13). covar_pop / (σ·σ) through try_divide is the same
+    * co-moment quantity — Spark computes covar_pop and stddev_pop from
+    * the identical merge machinery corr uses, so natural-corpus values
+    * agree to well under the r6 grid (re-verified hash-green at all
+    * three SFs) — and a constant series yields NULL exactly like
+    * DuckDB's corr. The when-gates replicate corr's pairwise deletion:
+    * each stddev sees only rows where the OTHER column is non-null. */
+  private[operators] def corrSafe(x: Column, y: Column): Column =
+    try_divide(covar_pop(x, y),
+      stddev_pop(when(y.isNotNull, x)) * stddev_pop(when(x.isNotNull, y)))
+
   /** Autocorrelation grid: corr(v_t, v_{t+k}) per (event_type, k). */
   private def grid(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("day")
@@ -101,7 +116,7 @@ object Stats {
       .select(col("event_type"), col("v"),
         expr("stack(3, 1, l1, 2, l2, 3, l3) as (k, fwd)"))
       .groupBy(col("event_type"), col("k"))
-      .agg(corr(col("v"), col("fwd")).as("c"), count(col("fwd")).as("n"))
+      .agg(corrSafe(col("v"), col("fwd")).as("c"), count(col("fwd")).as("n"))
   }
 
   /** A55's base result (event_type, n_days, s, z — one row per type),
@@ -215,7 +230,7 @@ object Stats {
         .select(col("event_type"), col("value"),
           get_json_object(col("props"), "$.k").cast("double").as("k"))
         .groupBy(col("event_type"))
-        .agg(r6(corr(col("value"), col("k"))).as("r"),
+        .agg(r6(corrSafe(col("value"), col("k"))).as("r"),
              count(lit(1)).as("n"))
         .orderBy("event_type")),
 
@@ -961,7 +976,7 @@ object Stats {
         .withColumn("rp",
           rank().over(Window.orderBy("xp")).cast("double"))
       val rho = ranked.agg(count(lit(1)).as("n_days"),
-        corr(col("rc"), col("rp")).as("rho"))
+        corrSafe(col("rc"), col("rp")).as("rho"))
       val sAgg = j.select(col("day").as("d1"), col("xc").as("c1"),
           col("xp").as("p1"))
         .join(broadcast(j.select(col("day").as("d2"), col("xc").as("c2"),
@@ -1444,7 +1459,7 @@ object Stats {
             .as(Seq("lag_k", "prev")))
         .filter(col("prev").isNotNull)
         .groupBy(col("event_type"), col("lag_k"))
-        .agg(r6(corr(col("px"), col("prev"))).as("acf"),
+        .agg(r6(corrSafe(col("px"), col("prev"))).as("acf"),
           count(lit(1)).as("n"))
         .orderBy("event_type", "lag_k")
     }),
@@ -1547,7 +1562,7 @@ object Stats {
             .as(Seq("lag_k", "prev")))
         .filter(col("prev").isNotNull)
         .groupBy(col("event_type"), col("lag_k"))
-        .agg(round(corr(col("px"), col("prev")), 6).as("rho"))
+        .agg(round(corrSafe(col("px"), col("prev")), 6).as("rho"))
       val nD = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       rho.join(nD, Seq("event_type"))
         .withColumn("term", col("rho") * col("rho") /
@@ -1646,7 +1661,7 @@ object Stats {
         .withColumn("rv", midrank("value"))
         .withColumn("rk", midrank("k"))
       ranked.groupBy("event_type")
-        .agg(r6(corr(col("rv"), col("rk"))).as("rho"),
+        .agg(r6(corrSafe(col("rv"), col("rk"))).as("rho"),
           count(lit(1)).as("n"))
         .orderBy("event_type")
     }),

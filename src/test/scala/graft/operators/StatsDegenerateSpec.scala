@@ -151,22 +151,18 @@ class StatsDegenerateSpec extends AnyFunSuite {
   // variance fails the test, and each guard added in a future round
   // removes its entry. Round-12 burn-down: a52/a65/a84 (plus the
   // GOF/rank family fixed outright in this round's first pass).
-  // Burn-down caveat for the corr family (a2/a3/a24/a43/lag_grid…):
-  // the throw is INSIDE Spark's builtin corr aggregate
-  // (evaluateExpression is a Divide, computed before any projection
-  // guard can apply), so fixing those means re-deriving r from
-  // moments — a change to an established cross-engine float contract,
-  // to be done deliberately with both-SF re-verification, not as a
-  // mechanical guard.
+  // Round-13 burn-down: the corr-builtin family (a2, a3 grid + p
+  // twin, a4, a40, a43, a46, a63, a66, a68 — ten entries) fixed by
+  // Stats.corrSafe, which re-derives r as try_divide(covar_pop, σ·σ)
+  // from the same co-moment machinery (NULL on zero variance, exactly
+  // DuckDB corr), re-verified hash-green at all three SFs. The
+  // residue below is the deep-kernel divisions (matrix solves,
+  // variance-ratio chains) — each with the same burn-down contract:
+  // a guard must mirror in the oracle where the quantity is output.
   private val KnownZeroVarianceThrows: Set[String] = Set(
     "a100_partial_corr", "a104_cronbach_alpha",
     "a105_icc", "a10_risk_metrics", "a110_cochran_armitage",
-    "a2_pearson_corr",
-    "a3_corr_grid",
-    "a3_corr_pvalue", "a40_acf", "a43_spearman",
-    "a46_bh_fdr", "a47_ols_multiple", "a4_best_config",
-    "a60_cuped", "a63_holm",
-    "a66_rank_corr", "a68_ljung_box")
+    "a47_ols_multiple", "a60_cuped")
 
   test("zero-variance crash set can only shrink (family-wide ANSI ratchet)") {
     // the WindowsDegenerateSpec pattern at family scale: run EVERY
