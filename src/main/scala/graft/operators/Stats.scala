@@ -552,9 +552,13 @@ object Stats {
       val d2 = col("n") * (col("s11") * col("s2y") - col("s1y") * col("s12")) -
         col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2")) +
         col("sy") * (col("s1") * col("s12") - col("s11") * col("s2"))
-      m.withColumn("b0", d0 / det)
-        .withColumn("b1", d1 / det)
-        .withColumn("b2", d2 / det)
+      // singular-design guard (ANSI): a constant regressor makes the
+      // normal-equation determinant 0 (flat corpus) ⇒ coefficients
+      // undefined ⇒ NULL row, not a throw; likewise sst = 0 (constant
+      // y) leaves R² undefined (both mirrored in the oracle)
+      m.withColumn("b0", when(det =!= 0.0, d0 / det))
+        .withColumn("b1", when(det =!= 0.0, d1 / det))
+        .withColumn("b2", when(det =!= 0.0, d2 / det))
         .withColumn("sse", col("syy") - col("b0") * col("sy") -
           col("b1") * col("s1y") - col("b2") * col("s2y"))
         .withColumn("sst",
@@ -562,7 +566,8 @@ object Stats {
         .select(col("event_type"), col("n").cast("long").as("n"),
           r6(col("b0")).as("b0"), r6(col("b1")).as("b1"),
           r6(col("b2")).as("b2"),
-          r6(lit(1.0) - col("sse") / col("sst")).as("r2"))
+          r6(when(col("sst") =!= 0.0,
+            lit(1.0) - col("sse") / col("sst"))).as("r2"))
         .orderBy("event_type")
     }),
 
@@ -1172,12 +1177,18 @@ object Stats {
           covar_pop(col("x"), col("y")).as("cxy"),
           var_pop(col("x")).as("vx"),
           var_pop(col("y")).as("vy"))
+        // zero-variance guards (ANSI): a flat corpus has vx = vy = 0
+        // ⇒ θ and the reduction are undefined ⇒ NULL, not a throw
+        // (mirrored in the oracle)
         .select(col("n_users"),
-          round(col("cxy") / col("vx"), 6).as("theta"),
+          round(when(col("vx") =!= 0.0, col("cxy") / col("vx")), 6)
+            .as("theta"),
           round(col("vy"), 6).as("var_y"),
-          round(col("vy") - col("cxy") * col("cxy") / col("vx"), 6)
+          round(when(col("vx") =!= 0.0,
+            col("vy") - col("cxy") * col("cxy") / col("vx")), 6)
             .as("var_y_adj"),
-          round((col("cxy") * col("cxy") / col("vx")) / col("vy"), 6)
+          round(when(col("vx") =!= 0.0 && col("vy") =!= 0.0,
+            (col("cxy") * col("cxy") / col("vx")) / col("vy")), 6)
             .as("var_reduction"))
     }),
 
@@ -1374,11 +1385,18 @@ object Stats {
           r6(col("sigma")).cast("float").as("std_daily"),
           (pow(lit(1.0) + col("mu"), 252.0) - 1).cast("float").as("ann_return"),
           r6(col("sigma") * sqrt(lit(252.0))).cast("float").as("ann_vol"),
-          ((pow(lit(1.0) + col("mu"), 252.0) - 1) /
-             (col("sigma") * sqrt(lit(252.0)))).cast("float").as("sharpe"),
-          ((pow(lit(1.0) + col("mu"), 252.0) - 1) /
-             (col("downside") * sqrt(lit(252.0)))).cast("float").as("sortino"),
-          ((pow(lit(1.0) + col("mu"), 252.0) - 1) / abs(col("max_dd")))
+          // zero-denominator guards (ANSI): a flat revenue series has
+          // σ = 0 and max_dd = 0 ⇒ the ratios are undefined ⇒ NULL,
+          // not a throw (mirrored in the oracle's CASE arms)
+          when(col("sigma") * sqrt(lit(252.0)) =!= 0.0,
+            (pow(lit(1.0) + col("mu"), 252.0) - 1) /
+              (col("sigma") * sqrt(lit(252.0)))).cast("float").as("sharpe"),
+          when(col("downside") * sqrt(lit(252.0)) =!= 0.0,
+            (pow(lit(1.0) + col("mu"), 252.0) - 1) /
+              (col("downside") * sqrt(lit(252.0)))).cast("float")
+            .as("sortino"),
+          when(abs(col("max_dd")) =!= 0.0,
+            (pow(lit(1.0) + col("mu"), 252.0) - 1) / abs(col("max_dd")))
             .cast("float").as("calmar"),
           r6(col("max_dd")).cast("float").as("max_dd"))
     }),
@@ -2720,8 +2738,10 @@ object Stats {
       def rr(sab: Column, sa: Column, sb: Column, saa: Column,
           sbb: Column): Column = {
         val nd = col("n").cast("double")
-        r6((nd * sab - sa * sb) /
-          sqrt((nd * saa - sa * sa) * (nd * sbb - sb * sb)))
+        // zero-variance guard (ANSI): NULL r like DuckDB corr — the
+        // downstream (1−r²)(1−r²) > 0 filter then drops the row
+        val den = sqrt((nd * saa - sa * sa) * (nd * sbb - sb * sb))
+        r6(when(den =!= 0.0, (nd * sab - sa * sb) / den))
       }
       m.withColumn("r_xy", rr(col("sxy"), col("sx"), col("sy"),
           col("sxx"), col("syy")))
@@ -3331,8 +3351,11 @@ object Stats {
       iv.crossJoin(broadcast(tv))
         .select(col("k"), col("n_days"),
           r6(col("siv")).as("sum_item_var"), col("tvar").as("total_var"),
-          r6((col("k").cast("double") / (col("k") - 1)) *
-            (lit(1.0) - col("siv") / col("tvar"))).as("alpha"))
+          // zero total variance (flat panel) ⇒ α undefined, NULL not
+          // an ANSI throw (mirrored in the oracle)
+          r6(when(col("tvar") =!= 0.0,
+            (col("k").cast("double") / (col("k") - 1)) *
+              (lit(1.0) - col("siv") / col("tvar")))).as("alpha"))
     }),
 
     // A105: intraclass correlation ICC(3,1) + ICC(2,1) (Shrout &
@@ -3375,10 +3398,14 @@ object Stats {
       val msr = ssr / (col("n") - 1).cast("double")
       val msc = ssc / (col("k") - 1).cast("double")
       val mse = sse / ((col("n") - 1) * (col("k") - 1)).cast("double")
-      val icc31 = (msr - mse) / (msr + (col("k") - 1).cast("double") * mse)
-      val icc21 = (msr - mse) /
-        (msr + (col("k") - 1).cast("double") * mse +
-          col("k").cast("double") * (msc - mse) / col("n").cast("double"))
+      // zero-variance guards (ANSI): a flat panel has msr = mse = 0 ⇒
+      // both ICC denominators vanish ⇒ NULL, not a throw (mirrored in
+      // the oracle)
+      val den31 = msr + (col("k") - 1).cast("double") * mse
+      val icc31 = when(den31 =!= 0.0, (msr - mse) / den31)
+      val den21 = msr + (col("k") - 1).cast("double") * mse +
+        col("k").cast("double") * (msc - mse) / col("n").cast("double")
+      val icc21 = when(den21 =!= 0.0, (msr - mse) / den21)
       g.crossJoin(broadcast(rows)).crossJoin(broadcast(cols))
         .select(col("k"), col("n").as("n_days"),
           r6(msr).as("ms_rows"), r6(msc).as("ms_cols"),
@@ -3623,7 +3650,10 @@ object Stats {
           (col("sjn") * col("sjn")).cast("double") /
             col("n").cast("double"))
       agg.select(col("k"), col("n"), col("r"), t.as("trend_t"),
-        (t / sqrt(v)).as("z"))
+        // v = 0 when pbar ∈ {0, 1} (no successes / all successes —
+        // the flat-corpus case): z undefined, NULL not an ANSI throw
+        // (mirrored in the oracle)
+        when(v > 0, t / sqrt(v)).as("z"))
     }),
 
     // A111: Ansari–Bradley scale test (Ansari & Bradley 1960) — the
@@ -5025,12 +5055,15 @@ object Stats {
                         THEN 1 END) AS ny
            FROM events GROUP BY user_id)
          SELECT count(*) AS n_users,
-                round(covar_pop(x, y) / var_pop(x), 6) AS theta,
+                round(CASE WHEN var_pop(x) <> 0 THEN
+                  covar_pop(x, y) / var_pop(x) END, 6) AS theta,
                 round(var_pop(y), 6) AS var_y,
-                round(var_pop(y) - covar_pop(x, y) * covar_pop(x, y)
-                      / var_pop(x), 6) AS var_y_adj,
-                round((covar_pop(x, y) * covar_pop(x, y) / var_pop(x))
-                      / var_pop(y), 6) AS var_reduction
+                round(CASE WHEN var_pop(x) <> 0 THEN
+                  var_pop(y) - covar_pop(x, y) * covar_pop(x, y)
+                      / var_pop(x) END, 6) AS var_y_adj,
+                round(CASE WHEN var_pop(x) <> 0 AND var_pop(y) <> 0 THEN
+                  (covar_pop(x, y) * covar_pop(x, y) / var_pop(x))
+                      / var_pop(y) END, 6) AS var_reduction
          FROM pu WHERE nx > 0 AND ny > 0""",
     "a57_permutation_test" ->
       """WITH dly AS (
@@ -5467,7 +5500,8 @@ object Stats {
                  FROM tot))
          SELECT k, n_days, round(siv, 6) AS sum_item_var,
                 tvar AS total_var,
-                round((CAST(k AS DOUBLE) / (k - 1)) * (1 - siv / tvar), 6)
+                round(CASE WHEN tvar <> 0 THEN
+                  (CAST(k AS DOUBLE) / (k - 1)) * (1 - siv / tvar) END, 6)
                   AS alpha
          FROM iv, tvr""",
     // a35's distinct-value window (rank identity is what's checked),
@@ -5679,6 +5713,12 @@ object Stats {
                 CAST(sjr AS DOUBLE)
                   - (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
                     * CAST(sjn AS DOUBLE) AS trend_t,
+                CASE WHEN (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) *
+                       (CAST(1 AS DOUBLE)
+                        - CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) *
+                       (CAST(sj2n AS DOUBLE)
+                        - CAST(sjn * sjn AS DOUBLE)
+                          / CAST(n AS DOUBLE)) > 0 THEN
                 (CAST(sjr AS DOUBLE)
                   - (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
                     * CAST(sjn AS DOUBLE))
@@ -5687,7 +5727,7 @@ object Stats {
                         - CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) *
                        (CAST(sj2n AS DOUBLE)
                         - CAST(sjn * sjn AS DOUBLE)
-                          / CAST(n AS DOUBLE))) AS z
+                          / CAST(n AS DOUBLE))) END AS z
          FROM agg""",
     // per-pair unions over distinct-value counts, the same ×2
     // integer rank grid as the engine (the oracle skips the 1024
@@ -5855,12 +5895,16 @@ object Stats {
          SELECT k, n AS n_days,
                 round(msr, 6) AS ms_rows, round(msc, 6) AS ms_cols,
                 round(mse, 6) AS ms_err,
-                round((msr - mse) /
-                      (msr + CAST(k - 1 AS DOUBLE) * mse), 6) AS icc_3_1,
-                round((msr - mse) /
+                round(CASE WHEN msr + CAST(k - 1 AS DOUBLE) * mse <> 0 THEN
+                      (msr - mse) /
+                      (msr + CAST(k - 1 AS DOUBLE) * mse) END, 6) AS icc_3_1,
+                round(CASE WHEN msr + CAST(k - 1 AS DOUBLE) * mse
+                           + CAST(k AS DOUBLE) * (msc - mse)
+                             / CAST(n AS DOUBLE) <> 0 THEN
+                      (msr - mse) /
                       (msr + CAST(k - 1 AS DOUBLE) * mse
                            + CAST(k AS DOUBLE) * (msc - mse)
-                             / CAST(n AS DOUBLE)), 6) AS icc_2_1
+                             / CAST(n AS DOUBLE)) END, 6) AS icc_2_1
          FROM ms""",
     // pinned per-type Σx/Σx² variances rendered at r6, each ln term
     // r6'd whole (the a103 libm-absorption contract), the three
@@ -5949,13 +5993,16 @@ object Stats {
            FROM m),
          b AS (
            SELECT event_type, n, sy, s1y, s2y, syy,
-                  d0/det AS b0, d1/det AS b1, d2/det AS b2
+                  CASE WHEN det <> 0 THEN d0/det END AS b0,
+                  CASE WHEN det <> 0 THEN d1/det END AS b1,
+                  CASE WHEN det <> 0 THEN d2/det END AS b2
            FROM c)
          SELECT event_type, CAST(n AS BIGINT) AS n,
                 round(b0, 6) AS b0, round(b1, 6) AS b1,
                 round(b2, 6) AS b2,
-                round(1.0 - (syy - b0*sy - b1*s1y - b2*s2y) /
-                      (syy - sy*sy / n), 6) AS r2
+                round(CASE WHEN syy - sy*sy / n <> 0 THEN
+                      1.0 - (syy - b0*sy - b1*s1y - b2*s2y) /
+                      (syy - sy*sy / n) END, 6) AS r2
          FROM b ORDER BY event_type""",
     "a44_cramers_v" ->
       """WITH base AS (
@@ -6752,14 +6799,20 @@ object Stats {
            FROM xyz GROUP BY 1),
          r AS (
            SELECT event_type, CAST(n AS BIGINT) AS n,
-                  round((n * sxy - sx * sy) /
-                    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                  round(CASE WHEN
+                    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) <> 0
+                    THEN (n * sxy - sx * sy) /
+                    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
                     AS r_xy,
-                  round((n * sxz - sx * sz) /
-                    sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)), 6)
+                  round(CASE WHEN
+                    sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)) <> 0
+                    THEN (n * sxz - sx * sz) /
+                    sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)) END, 6)
                     AS r_xz,
-                  round((n * syz - sy * sz) /
-                    sqrt((n * syy - sy * sy) * (n * szz - sz * sz)), 6)
+                  round(CASE WHEN
+                    sqrt((n * syy - sy * sy) * (n * szz - sz * sz)) <> 0
+                    THEN (n * syz - sy * sz) /
+                    sqrt((n * syy - sy * sy) * (n * szz - sz * sz)) END, 6)
                     AS r_yz
            FROM m)
          SELECT event_type, n, r_xy, r_xz, r_yz,
@@ -7394,19 +7447,22 @@ object Stats {
                      WHEN ar <= -3.4028235677973366e38 THEN CAST('-inf' AS REAL)
                      ELSE CAST(ar AS REAL) END AS ann_return,
                 CAST(round(sigma * sqrt(252.0), 6) AS REAL) AS ann_vol,
-                CASE WHEN ar / (sigma * sqrt(252.0)) >= 3.4028235677973366e38
+                CASE WHEN sigma * sqrt(252.0) = 0 THEN NULL
+                     WHEN ar / (sigma * sqrt(252.0)) >= 3.4028235677973366e38
                      THEN CAST('inf' AS REAL)
                      WHEN ar / (sigma * sqrt(252.0)) <= -3.4028235677973366e38
                      THEN CAST('-inf' AS REAL)
                      ELSE CAST(ar / (sigma * sqrt(252.0)) AS REAL)
                 END AS sharpe,
-                CASE WHEN ar / (downside * sqrt(252.0)) >= 3.4028235677973366e38
+                CASE WHEN downside * sqrt(252.0) = 0 THEN NULL
+                     WHEN ar / (downside * sqrt(252.0)) >= 3.4028235677973366e38
                      THEN CAST('inf' AS REAL)
                      WHEN ar / (downside * sqrt(252.0)) <= -3.4028235677973366e38
                      THEN CAST('-inf' AS REAL)
                      ELSE CAST(ar / (downside * sqrt(252.0)) AS REAL)
                 END AS sortino,
-                CASE WHEN ar / abs(max_dd) >= 3.4028235677973366e38
+                CASE WHEN abs(max_dd) = 0 THEN NULL
+                     WHEN ar / abs(max_dd) >= 3.4028235677973366e38
                      THEN CAST('inf' AS REAL)
                      WHEN ar / abs(max_dd) <= -3.4028235677973366e38
                      THEN CAST('-inf' AS REAL)

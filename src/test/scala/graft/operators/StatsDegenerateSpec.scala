@@ -151,18 +151,19 @@ class StatsDegenerateSpec extends AnyFunSuite {
   // variance fails the test, and each guard added in a future round
   // removes its entry. Round-12 burn-down: a52/a65/a84 (plus the
   // GOF/rank family fixed outright in this round's first pass).
-  // Round-13 burn-down: the corr-builtin family (a2, a3 grid + p
-  // twin, a4, a40, a43, a46, a63, a66, a68 — ten entries) fixed by
-  // Stats.corrSafe, which re-derives r as try_divide(covar_pop, σ·σ)
-  // from the same co-moment machinery (NULL on zero variance, exactly
-  // DuckDB corr), re-verified hash-green at all three SFs. The
-  // residue below is the deep-kernel divisions (matrix solves,
-  // variance-ratio chains) — each with the same burn-down contract:
-  // a guard must mirror in the oracle where the quantity is output.
-  private val KnownZeroVarianceThrows: Set[String] = Set(
-    "a100_partial_corr", "a104_cronbach_alpha",
-    "a105_icc", "a10_risk_metrics", "a110_cochran_armitage",
-    "a47_ols_multiple", "a60_cuped")
+  // Round-13 burn-down CLOSED THE SET: the corr-builtin family (a2,
+  // a3 grid + p twin, a4, a40, a43, a46, a63, a66, a68 — ten entries)
+  // fixed by Stats.corrSafe, which re-derives r as
+  // try_divide(covar_pop, σ·σ) from the same co-moment machinery
+  // (NULL on zero variance, exactly DuckDB corr); the seven
+  // deep-kernel divisions (a100's pairwise-r chain, a104's α, a105's
+  // two ICC denominators, a10's sharpe/sortino/calmar, a110's
+  // sqrt(v), a47's determinant + SST, a60's θ/reduction) guarded with
+  // when(denom ≠ 0) ⇒ NULL, every guard mirrored as CASE WHEN in its
+  // DuckDB oracle, and every affected query re-verified hash-green at
+  // all three SFs. The set is EMPTY and ratcheted so it stays empty:
+  // any new operator that throws on zero variance fails the screen.
+  private val KnownZeroVarianceThrows: Set[String] = Set()
 
   test("zero-variance crash set can only shrink (family-wide ANSI ratchet)") {
     // the WindowsDegenerateSpec pattern at family scale: run EVERY
