@@ -79,6 +79,25 @@ class SignalsDegenerateSpec extends AnyFunSuite {
     }
   }
 
+  test("lag grid survives a flat corpus: every cell NULL-r, no throw") {
+    // corrSafe makes every grid cell's correlation NULL on a flat
+    // corpus (zero variance both sides); the downstream argmax /
+    // config / artifact queries must ride the all-NULL grid without
+    // an ANSI throw, and the grid keeps its full cell count
+    LagGrid.grid.invalidate(spark, flatDir)
+    val failures = LagGrid.queries.keys.toSeq.sorted.flatMap { name =>
+      try { LagGrid.queries(name)(spark, flatDir).collect(); None }
+      catch { case e: Throwable =>
+        Some(name -> e.getMessage.linesIterator.take(1).mkString) }
+    }
+    assert(failures.isEmpty,
+      "flat-grid ANSI crashes:\n" + failures.map { case (n, m) =>
+        s"  $n: $m" }.mkString("\n"))
+    val cells = LagGrid.queries("lag_grid_corr")(spark, flatDir).collect()
+    assert(cells.nonEmpty && cells.forall(_.isNullAt(3)),
+      "every flat-corpus cell correlation must be NULL")
+  }
+
   test("zero-price corpus exercises the p != 0 forward-return guard") {
     screen(zeroDir, "zero-price")
     val out = Signals.queries("pipe12_sweep_outcomes")(spark, zeroDir)
