@@ -1556,6 +1556,85 @@ object Stats {
         .orderBy("event_type")
     }),
 
+    // A120: D'Agostino K² omnibus normality test (scipy's normaltest:
+    // D'Agostino 1970 skewness z + Anscombe–Glynn 1983 kurtosis z) —
+    // the FINITE-n companion to A67: JB's χ²₂ approximation is an
+    // asymptotic result, while K² standardizes √b1 and b2 with their
+    // exact small-sample null moments first, so the two disagree
+    // exactly on the per-group slices a real pipeline tests. Same
+    // one-pass pinned power sums as A67; every transform after is a
+    // fixed closed-form IEEE chain on identical doubles, so the whole
+    // test — both z's and the χ²₂ closed-form p = exp(−K²/2) — is
+    // fully oracle-checked, no quadrature kernel. Zero variance ⇒
+    // NULL block (the ratchet guard); the one data-dependent zero
+    // (the kurtosis transform's 1 + x·√(2/(A−4)) denominator) is
+    // guarded ⇒ NULL, mirrored in the oracle.
+    "a120_dagostino_k2" -> ((s, d) => {
+      val x = col("value")
+      val agg = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(x.cast("decimal(24,10)")).as("s1"),
+          sum((x * x).cast("decimal(28,8)")).as("s2"),
+          sum((x * x * x).cast("decimal(32,6)")).as("s3"),
+          sum((x * x * x * x).cast("decimal(36,4)")).as("s4"))
+        .select(col("event_type"), col("n"),
+          col("n").cast("double").as("nd"),
+          (col("s1").cast("double") / col("n")).as("mu"),
+          (col("s2").cast("double") / col("n")).as("r2"),
+          (col("s3").cast("double") / col("n")).as("r3"),
+          (col("s4").cast("double") / col("n")).as("r4"))
+      val m2 = col("r2") - col("mu") * col("mu")
+      val m3 = col("r3") - lit(3.0d) * col("mu") * col("r2") +
+        lit(2.0d) * col("mu") * col("mu") * col("mu")
+      val m4 = col("r4") - lit(4.0d) * col("mu") * col("r3") +
+        lit(6.0d) * col("mu") * col("mu") * col("r2") -
+        lit(3.0d) * col("mu") * col("mu") * col("mu") * col("mu")
+      val nd = col("nd")
+      val withMoments = agg
+        .withColumn("g1", when(m2 > 0, m3 / pow(m2, 1.5d)))
+        .withColumn("b2", when(m2 > 0, m4 / (m2 * m2)))
+        // D'Agostino skewness transform
+        .withColumn("y", col("g1") *
+          sqrt((nd + 1) * (nd + 3) / (lit(6.0d) * (nd - 2))))
+        .withColumn("beta2", lit(3.0d) *
+          (nd * nd + lit(27.0d) * nd - 70) * (nd + 1) * (nd + 3) /
+          ((nd - 2) * (nd + 5) * (nd + 7) * (nd + 9)))
+        .withColumn("w2", sqrt(lit(2.0d) * (col("beta2") - 1)) - 1)
+        .withColumn("dlt", lit(1.0d) / sqrt(log(sqrt(col("w2")))))
+        .withColumn("alpha", sqrt(lit(2.0d) / (col("w2") - 1)))
+        .withColumn("z1", col("dlt") *
+          log(col("y") / col("alpha") +
+            sqrt(col("y") / col("alpha") * (col("y") / col("alpha")) + 1)))
+        // Anscombe–Glynn kurtosis transform
+        .withColumn("eb2", lit(3.0d) * (nd - 1) / (nd + 1))
+        .withColumn("vb2", lit(24.0d) * nd * (nd - 2) * (nd - 3) /
+          ((nd + 1) * (nd + 1) * (nd + 3) * (nd + 5)))
+        .withColumn("xx", (col("b2") - col("eb2")) / sqrt(col("vb2")))
+        .withColumn("sb1", lit(6.0d) *
+          (nd * nd - lit(5.0d) * nd + 2) / ((nd + 3) * (nd + 5)) *
+          sqrt(lit(6.0d) * (nd + 3) * (nd + 5) /
+            (nd * (nd - 2) * (nd - 3))))
+        .withColumn("aa", lit(6.0d) + lit(8.0d) / col("sb1") *
+          (lit(2.0d) / col("sb1") +
+            sqrt(lit(1.0d) + lit(4.0d) / (col("sb1") * col("sb1")))))
+        .withColumn("dnm",
+          lit(1.0d) + col("xx") * sqrt(lit(2.0d) / (col("aa") - 4)))
+        .withColumn("z2", when(col("dnm") =!= 0.0,
+          ((lit(1.0d) - lit(2.0d) / (lit(9.0d) * col("aa"))) -
+            cbrt((lit(1.0d) - lit(2.0d) / col("aa")) / col("dnm"))) /
+            sqrt(lit(2.0d) / (lit(9.0d) * col("aa")))))
+        .withColumn("k2", col("z1") * col("z1") + col("z2") * col("z2"))
+      withMoments.select(col("event_type"), col("n"),
+          r6(col("g1")).as("skewness"),
+          r6(col("b2")).as("kurtosis"),
+          r6(col("z1")).as("z_skew"),
+          r6(col("z2")).as("z_kurt"),
+          r6(col("k2")).as("k2_stat"),
+          r6(exp(-col("k2") / 2.0d)).as("p_value"))
+        .orderBy("event_type")
+    }),
+
     // A68: Ljung–Box portmanteau test per event type — "is there ANY
     // serial dependence in the first 4 lags": Q = n(n+2)·Σ ρ²ₖ/(n−k)
     // over A40's per-lag autocorrelations (documented variant: ρₖ is
@@ -7252,6 +7331,84 @@ object Stats {
                 round(jb, 6) AS jb_stat,
                 round(exp(-jb / 2.0), 6) AS p_value
          FROM jb ORDER BY event_type""",
+    // A120: a67's pinned power sums, then the two finite-n
+    // z-transforms and the χ²₂ closed form as the identical fixed
+    // IEEE chain, phrased operation-for-operation like the engine
+    // (each intermediate its own column, the kurtosis-denominator
+    // guard mirrored as CASE WHEN)
+    "a120_dagostino_k2" ->
+      """WITH agg AS (
+           SELECT event_type, count(*) AS n,
+                  CAST(count(*) AS DOUBLE) AS nd,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                       AS DOUBLE) / count(*) AS mu,
+                  CAST(CAST(sum(CAST(value * value AS DECIMAL(28,8)))
+                       AS VARCHAR) AS DOUBLE) / count(*) AS r2,
+                  CAST(CAST(sum(CAST(value * value * value
+                       AS DECIMAL(32,6))) AS VARCHAR) AS DOUBLE)
+                    / count(*) AS r3,
+                  CAST(CAST(sum(CAST(value * value * value * value
+                       AS DECIMAL(36,4))) AS VARCHAR) AS DOUBLE)
+                    / count(*) AS r4
+           FROM events GROUP BY 1),
+         m AS (
+           SELECT event_type, n, nd,
+                  r2 - mu * mu AS m2,
+                  r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+                  r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+                     - 3.0 * mu * mu * mu * mu AS m4
+           FROM agg),
+         g AS (
+           SELECT event_type, n, nd,
+                  CASE WHEN m2 > 0 THEN
+                    m3 / pow(m2, CAST(1.5 AS DOUBLE)) END AS g1,
+                  CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END AS b2
+           FROM m),
+         sk AS (
+           SELECT *,
+                  g1 * sqrt((nd + 1) * (nd + 3) / (6.0 * (nd - 2))) AS y,
+                  3.0 * (nd * nd + 27.0 * nd - 70) * (nd + 1) * (nd + 3)
+                    / ((nd - 2) * (nd + 5) * (nd + 7) * (nd + 9)) AS beta2
+           FROM g),
+         sw AS (SELECT *, sqrt(2.0 * (beta2 - 1)) - 1 AS w2 FROM sk),
+         sz AS (
+           SELECT *,
+                  (1.0 / sqrt(ln(sqrt(w2)))) *
+                    ln(y / sqrt(2.0 / (w2 - 1)) +
+                       sqrt(y / sqrt(2.0 / (w2 - 1)) *
+                            (y / sqrt(2.0 / (w2 - 1))) + 1)) AS z1
+           FROM sw),
+         ku AS (
+           SELECT *,
+                  (b2 - 3.0 * (nd - 1) / (nd + 1)) /
+                    sqrt(24.0 * nd * (nd - 2) * (nd - 3) /
+                         ((nd + 1) * (nd + 1) * (nd + 3) * (nd + 5)))
+                    AS xx,
+                  6.0 * (nd * nd - 5.0 * nd + 2) / ((nd + 3) * (nd + 5))
+                    * sqrt(6.0 * (nd + 3) * (nd + 5) /
+                           (nd * (nd - 2) * (nd - 3))) AS sb1
+           FROM sz),
+         ka AS (
+           SELECT *,
+                  6.0 + 8.0 / sb1 *
+                    (2.0 / sb1 + sqrt(1.0 + 4.0 / (sb1 * sb1))) AS aa
+           FROM ku),
+         kd AS (
+           SELECT *, 1.0 + xx * sqrt(2.0 / (aa - 4)) AS dnm FROM ka),
+         kz AS (
+           SELECT *,
+                  CASE WHEN dnm <> 0 THEN
+                    ((1.0 - 2.0 / (9.0 * aa)) -
+                     cbrt((1.0 - 2.0 / aa) / dnm)) /
+                    sqrt(2.0 / (9.0 * aa)) END AS z2
+           FROM kd),
+         k2t AS (SELECT *, z1 * z1 + z2 * z2 AS k2 FROM kz)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+                round(g1, 6) AS skewness, round(b2, 6) AS kurtosis,
+                round(z1, 6) AS z_skew, round(z2, 6) AS z_kurt,
+                round(k2, 6) AS k2_stat,
+                round(exp(-k2 / 2.0), 6) AS p_value
+         FROM k2t ORDER BY event_type""",
     "a68_ljung_box" ->
       """WITH daily AS (
            SELECT event_type, date_trunc('day', ts) AS day,

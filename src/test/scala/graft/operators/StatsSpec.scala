@@ -3042,4 +3042,60 @@ class StatsSpec extends AnyFunSuite {
       }
     }
   }
+  test("a120 D'Agostino K2 matches a sequential recompute on a skewed fixture") {
+    // exponential-ish planted skew: the transforms' every branch is
+    // exercised (g1 > 0, b2 far from 3) and the sequential recompute
+    // follows the published chain verbatim, single-threaded
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = SparkTestSession.fixtureDir("a120-fix")
+    val vals = (1 to 40).map(i => math.pow(1.18, i))  // skewed growth
+    vals.zipWithIndex
+      .map { case (v, i) => (i.toLong,
+        new java.sql.Timestamp(i.toLong * 1000L), i.toLong, "click",
+        math.rint(v * 1e6) / 1e6, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val row = Stats.queries("a120_dagostino_k2")(spark, d).head()
+    val xs = vals.map(v => math.rint(v * 1e6) / 1e6)
+    val n = xs.size.toDouble
+    val mu = xs.sum / n
+    val m2 = xs.map(x => (x - mu) * (x - mu)).sum / n
+    val m3 = xs.map(x => math.pow(x - mu, 3)).sum / n
+    val m4 = xs.map(x => math.pow(x - mu, 4)).sum / n
+    val g1 = m3 / math.pow(m2, 1.5)
+    val b2 = m4 / (m2 * m2)
+    // D'Agostino skewness z
+    val y = g1 * math.sqrt((n + 1) * (n + 3) / (6 * (n - 2)))
+    val beta2 = 3 * (n * n + 27 * n - 70) * (n + 1) * (n + 3) /
+      ((n - 2) * (n + 5) * (n + 7) * (n + 9))
+    val w2 = math.sqrt(2 * (beta2 - 1)) - 1
+    val dlt = 1 / math.sqrt(math.log(math.sqrt(w2)))
+    val alpha = math.sqrt(2 / (w2 - 1))
+    val z1 = dlt * math.log(y / alpha + math.sqrt(y / alpha * (y / alpha) + 1))
+    // Anscombe-Glynn kurtosis z
+    val eb2 = 3 * (n - 1) / (n + 1)
+    val vb2 = 24 * n * (n - 2) * (n - 3) / ((n + 1) * (n + 1) * (n + 3) * (n + 5))
+    val xx = (b2 - eb2) / math.sqrt(vb2)
+    val sb1 = 6 * (n * n - 5 * n + 2) / ((n + 3) * (n + 5)) *
+      math.sqrt(6 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3)))
+    val aa = 6 + 8 / sb1 * (2 / sb1 + math.sqrt(1 + 4 / (sb1 * sb1)))
+    val dnm = 1 + xx * math.sqrt(2 / (aa - 4))
+    val z2 = ((1 - 2 / (9 * aa)) - math.cbrt((1 - 2 / aa) / dnm)) /
+      math.sqrt(2 / (9 * aa))
+    val k2 = z1 * z1 + z2 * z2
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(math.abs(row.getDouble(row.fieldIndex("skewness")) - r6(g1)) <= 2e-6,
+      s"skew ${row.getDouble(2)} vs $g1")
+    assert(math.abs(row.getDouble(row.fieldIndex("z_skew")) - r6(z1)) <= 2e-6,
+      s"z1 ${row.getDouble(4)} vs $z1")
+    assert(math.abs(row.getDouble(row.fieldIndex("z_kurt")) - r6(z2)) <= 2e-6,
+      s"z2 ${row.getDouble(5)} vs $z2")
+    assert(math.abs(row.getDouble(row.fieldIndex("k2_stat")) - r6(k2)) <= 5e-6,
+      s"k2 ${row.getDouble(6)} vs $k2")
+    // a genuinely skewed sample must REJECT where a67's asymptotic JB
+    // also rejects -- and both p's live on the same closed chi2_2 form
+    assert(row.getDouble(row.fieldIndex("p_value")) < 0.05)
+    assert(g1 > 1.0, "fixture must actually be skewed")
+  }
 }
