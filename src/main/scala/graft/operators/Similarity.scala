@@ -250,6 +250,21 @@ object Similarity {
         transform(col("embedding"), x => round(x * col("scale"))))
       .select(col("vec_id"), col("scale"), col("q"))
 
+  /** SIM21 sign codes: bit i of half h = 1 iff embedding[h·32 + i]
+    * > 0. Each half < 2³² — exact in both engines' BIGINT (see the
+    * sim21 query note on why NOT one 64-bit word). */
+  private def binaryCodes(emb: DataFrame): DataFrame = {
+    def half(off: Int): Column =
+      aggregate(sequence(lit(0), lit(31)), lit(0L),
+        (acc, i) => acc + when(
+          element_at(col("embedding"), (i + lit(off + 1)).cast("int")) > 0,
+          pow(lit(2.0), i).cast("long")).otherwise(0L))
+    emb.select(col("vec_id"), col("embedding"))
+      .withColumn("h1", half(0))
+      .withColumn("h2", half(32))
+      .select(col("vec_id"), col("h1"), col("h2"))
+  }
+
   /** The IVF coarse quantizer: 16 deterministically sampled corpus
     * vectors (every 31st vec_id, first 16) as (id, components, norm),
     * collected once per (session, dir) — the probe side needs them on
@@ -1128,6 +1143,93 @@ object Similarity {
         .filter(col("rank") <= 5)
         .select(col("q_id"), col("rank"), col("c_id"),
           r6(col("cosine")).as("cosine"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // SIM21: binary (1-bit sign) quantization — the most aggressive
+    // member of the quantization family (SQ8 4×, PQ 16×, this 32×:
+    // a 64-dim float32 vector becomes 8 BYTES) and the first pass of
+    // every modern binary-quantized vector index: Hamming distance on
+    // sign codes approximates angle (it IS the hyperplane-LSH
+    // estimator with the identity rotation — the D9/SIM2 family's
+    // signature, kept whole instead of banded), and popcount(xor) is
+    // the cheapest distance a CPU can evaluate. Codes are packed as
+    // TWO 32-bit halves per vector: bit 63 of a single long flips the
+    // sign in both engines' BIGINT (Spark wraps, DuckDB's `<<` class
+    // errors), while 32-bit halves are exact integers everywhere —
+    // so codes, XORs, popcounts and the ranking are all exact and
+    // fully oracle-checked (the SIM4 integer-exactness argument).
+    "sim21_binary_codes" -> ((s, d) =>
+      binaryCodes(Tables.embeddings(s, d)).orderBy("vec_id")),
+
+    // SIM21b: brute-force Hamming top-5 over the packed codes — the
+    // memory-bound first pass of a binary-quantized engine (a
+    // production system rescopes exact cosine over these survivors,
+    // exactly SIM4b's pattern). 10-query demo via broadcast like
+    // SIM1/SIM4b; integer distances + c_id tiebreak ⇒ deterministic ⇒
+    // hash-checked. Recall vs the exact SIM1 top-5 is asserted in
+    // SimilaritySpec.
+    "sim21_hamming_topk" -> ((s, d) => {
+      val codes = binaryCodes(Tables.embeddings(s, d))
+      val q = codes.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("h1").as("qh1"),
+          col("h2").as("qh2"))
+      val c = codes.select(col("vec_id").as("c_id"), col("h1"), col("h2"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("hamming").asc, col("c_id"))
+      c.crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("hamming",
+          (bit_count(col("qh1").bitwiseXOR(col("h1"))) +
+            bit_count(col("qh2").bitwiseXOR(col("h2")))).cast("long"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("c_id"), col("hamming"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // SIM21c: the PRODUCTION shape — Hamming shortlist (top-64 codes)
+    // → exact-cosine re-rank to top-5. Raw 64-bit sign codes are a
+    // coarse filter (measured recall@5 0.16 at sf0.001 / 0.08 at
+    // sf0.1 — near-random embeddings cluster at 90°, where the sign
+    // estimator is noisiest), which is WHY every binary-quantized
+    // engine oversamples and re-ranks: the shortlist×rerank lifts
+    // recall to 0.86 / 0.52 while touching 64 full vectors per query
+    // instead of the corpus. Exact integer shortlist + the SIM1
+    // index-order cosine ⇒ deterministic ⇒ fully hash-checked.
+    "sim21_rerank_topk" -> ((s, d) => {
+      val Shortlist = 64
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      val codes = binaryCodes(Tables.embeddings(s, d))
+      val q = codes.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("h1").as("qh1"),
+          col("h2").as("qh2"))
+      val c = codes.select(col("vec_id").as("c_id"), col("h1"), col("h2"))
+      val wH = Window.partitionBy("q_id")
+        .orderBy(col("hamming").asc, col("c_id"))
+      val short = c.crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("hamming",
+          (bit_count(col("qh1").bitwiseXOR(col("h1"))) +
+            bit_count(col("qh2").bitwiseXOR(col("h2")))).cast("long"))
+        .withColumn("hrank", row_number().over(wH))
+        .filter(col("hrank") <= Shortlist)
+        .select(col("q_id"), col("c_id"), col("hamming"))
+      val wC = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("c_id"))
+      short
+        .join(emb.select(col("vec_id").as("q_id"),
+          col("embedding").as("qe"), col("nrm").as("qn")), Seq("q_id"))
+        .join(emb.select(col("vec_id").as("c_id"),
+          col("embedding").as("ce"), col("nrm").as("cn")), Seq("c_id"))
+        .withColumn("cosine",
+          dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(wC).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("c_id"),
+          r6(col("cosine")).as("cosine"), col("hamming"))
         .orderBy("q_id", "rank")
     }),
 
@@ -2134,6 +2236,90 @@ object Similarity {
                   row_number() OVER (PARTITION BY q_id
                     ORDER BY cosine DESC, c_id) AS rank
            FROM pairs) WHERE rank <= 5
+         ORDER BY q_id, rank""",
+    "sim21_binary_codes" ->
+      """WITH codes AS (
+           SELECT vec_id,
+                  CAST(list_sum(list_transform(generate_series(1, 32),
+                    i -> CASE WHEN embedding[i] > 0
+                         THEN (1::BIGINT << (i - 1))
+                         ELSE 0::BIGINT END)) AS BIGINT) AS h1,
+                  CAST(list_sum(list_transform(generate_series(1, 32),
+                    i -> CASE WHEN embedding[i + 32] > 0
+                         THEN (1::BIGINT << (i - 1))
+                         ELSE 0::BIGINT END)) AS BIGINT) AS h2
+           FROM embeddings)
+         SELECT vec_id, h1, h2 FROM codes ORDER BY vec_id""",
+    "sim21_hamming_topk" ->
+      """WITH codes AS (
+           SELECT vec_id,
+                  CAST(list_sum(list_transform(generate_series(1, 32),
+                    i -> CASE WHEN embedding[i] > 0
+                         THEN (1::BIGINT << (i - 1))
+                         ELSE 0::BIGINT END)) AS BIGINT) AS h1,
+                  CAST(list_sum(list_transform(generate_series(1, 32),
+                    i -> CASE WHEN embedding[i + 32] > 0
+                         THEN (1::BIGINT << (i - 1))
+                         ELSE 0::BIGINT END)) AS BIGINT) AS h2
+           FROM embeddings),
+         q AS (SELECT vec_id AS q_id, h1 AS qh1, h2 AS qh2
+               FROM codes WHERE vec_id < 10),
+         r AS (
+           SELECT q.q_id, c.vec_id AS c_id,
+                  CAST(bit_count(xor(q.qh1, c.h1)) +
+                       bit_count(xor(q.qh2, c.h2)) AS BIGINT) AS hamming
+           FROM codes c CROSS JOIN q
+           WHERE q.q_id <> c.vec_id),
+         t AS (
+           SELECT q_id, c_id, hamming,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY hamming, c_id) AS BIGINT) AS rank
+           FROM r)
+         SELECT q_id, rank, c_id, hamming
+         FROM t WHERE rank <= 5 ORDER BY q_id, rank""",
+    "sim21_rerank_topk" ->
+      """WITH codes AS (
+           SELECT vec_id,
+                  CAST(list_sum(list_transform(generate_series(1, 32),
+                    i -> CASE WHEN embedding[i] > 0
+                         THEN (1::BIGINT << (i - 1))
+                         ELSE 0::BIGINT END)) AS BIGINT) AS h1,
+                  CAST(list_sum(list_transform(generate_series(1, 32),
+                    i -> CASE WHEN embedding[i + 32] > 0
+                         THEN (1::BIGINT << (i - 1))
+                         ELSE 0::BIGINT END)) AS BIGINT) AS h2
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, embedding AS e,
+                  sqrt(list_sum(list_transform(embedding, x -> x * x)))
+                    AS nrm
+           FROM embeddings),
+         q AS (SELECT vec_id AS q_id, h1 AS qh1, h2 AS qh2
+               FROM codes WHERE vec_id < 10),
+         ham AS (
+           SELECT q.q_id, c.vec_id AS c_id,
+                  CAST(bit_count(xor(q.qh1, c.h1)) +
+                       bit_count(xor(q.qh2, c.h2)) AS BIGINT) AS hamming
+           FROM codes c CROSS JOIN q
+           WHERE q.q_id <> c.vec_id),
+         short AS (
+           SELECT q_id, c_id, hamming FROM (
+             SELECT q_id, c_id, hamming,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY hamming, c_id) AS hrank
+             FROM ham) WHERE hrank <= 64),
+         rer AS (
+           SELECT s.q_id, s.c_id, s.hamming,
+                  list_sum(list_transform(generate_series(1, len(nq.e)),
+                    i -> nq.e[i] * nc.e[i])) / (nq.nrm * nc.nrm) AS cosine
+           FROM short s
+           JOIN n nq ON nq.vec_id = s.q_id
+           JOIN n nc ON nc.vec_id = s.c_id)
+         SELECT q_id, rank, c_id, round(cosine, 6) AS cosine, hamming
+         FROM (SELECT q_id, c_id, cosine, hamming,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+               FROM rer) WHERE rank <= 5
          ORDER BY q_id, rank""",
     "sim4_quantize_int8" ->
       s"""$sq8Cte,
