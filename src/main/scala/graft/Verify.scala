@@ -48,8 +48,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Materialized-intermediate dumps are keyed by the sf-dir basename
+    // (operators.Dumps) so interleaved sf0.01/sf0.1 driver executions
+    // can't clobber each other; the static oracle SQL embeds the
+    // placeholder tag, resolved here — after the queries above wrote
+    // the matching dumps for THIS sf dir.
+    val sfTag = graft.operators.Dumps.tag(sfDir)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(graft.operators.Dumps.SfTag, sfTag))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -65,7 +65,13 @@ object Vader {
 
   private val CapsIncr = 0.733   // published C_INCR
   private val NegScalar = -0.74  // published N_SCALAR
-  private val BangIncr = 0.292   // per-'!' emphasis, capped at 4
+  // BangIncr/Alpha/BangCap are private[graft]: the f7_vader_rules
+  // compound recompute (TextAnalysis) and its DuckDB oracle
+  // interpolate them so the query/oracle pair can never silently
+  // desynchronize from this kernel.
+  private[graft] val BangIncr = 0.292 // per-'!' emphasis
+  private[graft] val BangCap = 4      // max '!' counted
+  private[graft] val Alpha = 15.0     // published normalization alpha
 
   private def stripPunct(t: String): String =
     t.dropWhile(c => !c.isLetterOrDigit)
@@ -155,10 +161,10 @@ object Vader {
     var i = 0
     while (i < vs.length) { s += vs(i); i += 1 }
     if (s != 0.0) {
-      val bangs = math.min(text.count(_ == '!'), 4)
+      val bangs = math.min(text.count(_ == '!'), BangCap)
       s += math.signum(s) * bangs * BangIncr
     }
-    val c = s / math.sqrt(s * s + 15.0)
+    val c = s / math.sqrt(s * s + Alpha)
     math.max(-1.0, math.min(1.0, c))
   }
 }

@@ -64,9 +64,10 @@ object Backtest {
     * engines consume identical bytes), and the DuckDB oracles replay
     * the entire 34-metric arithmetic from the dump. The hash check
     * then certifies everything downstream of the fold; the fold stays
-    * anchored by BacktestSpec + GoldenRunA/B. Fixed path ⇒ assumes the
-    * driver's serial query→compare flow (same caveat as D3SigDump). */
-  private[operators] val T7FoldDump = "/tmp/graft_t7_fold.parquet"
+    * anchored by BacktestSpec + GoldenRunA/B. Keyed by sf dir (see
+    * [[Dumps]]) so interleaved executions at different scale factors
+    * never clobber a pending oracle read. */
+  private[operators] def T7FoldDump(d: String) = Dumps.path("t7_fold", d)
 
   /** NULL-on-zero division: Spark 4 ANSI mode throws DIVIDE_BY_ZERO
     * even for doubles, and a wiped-out portfolio legitimately reaches
@@ -188,8 +189,8 @@ object Backtest {
     * point (replacing the earlier localCheckpoint): the fold runs one
     * job, and every downstream subtree scans the parquet. */
   private def foldDump(s: SparkSession, d: String): DataFrame = {
-    run(s, d).write.mode("overwrite").parquet(T7FoldDump)
-    s.read.parquet(T7FoldDump)
+    run(s, d).write.mode("overwrite").parquet(T7FoldDump(d))
+    s.read.parquet(T7FoldDump(d))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -379,7 +380,7 @@ object Backtest {
     * an explicit CASE (DuckDB double/0.0 is ±inf, Spark's guard is
     * NULL); float casts saturate via the float-max/inf midpoint CASE
     * (DuckDB CAST(… AS REAL) raises on overflow, Spark saturates). */
-  private val Dump = s"'$T7FoldDump/*.parquet'"
+  private val Dump = s"'${Dumps.oraclePath("t7_fold")}/*.parquet'"
 
   /** DuckDB REAL-cast with Spark's IEEE saturation semantics. */
   private def fcast(e: String): String =
@@ -407,7 +408,7 @@ object Backtest {
          |      FROM eq)
          |SELECT round(min(equity / peak - 1), 6) AS max_drawdown,
          |       round(arg_max(equity, day), 6) AS final_equity,
-         |       round(arg_max(equity, day) / 10000.0 - 1, 6) AS total_return,
+         |       round(arg_max(equity, day) / ${BacktestConfig.Default.initialCash} - 1, 6) AS total_return,
          |       count(*) AS n_days
          |FROM c""".stripMargin,
 
@@ -478,7 +479,7 @@ object Backtest {
          |eqblock AS (
          |  SELECT n_days,
          |         round(fe, 6) AS final_equity,
-         |         round(fe / 10000.0 - 1, 6) AS total_return,
+         |         round(fe / ${BacktestConfig.Default.initialCash} - 1, 6) AS total_return,
          |         round(mu, 6) AS mean_daily,
          |         round(sigma, 6) AS std_daily,
          |         ${fcast("ar")} AS ann_return,

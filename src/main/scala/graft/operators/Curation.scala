@@ -128,9 +128,9 @@ object Curation {
     // anchors vs decon1 stay in CurationSpec).
     "decon2_fuzzy_overlap" -> ((s, d) => {
       Dedup.signatures(s, d).write.mode("overwrite")
-        .parquet(Dedup.D3SigDump)
+        .parquet(Dedup.D3SigDump(d))
       val crossings = Dedup
-        .minhashPairs(s.read.parquet(Dedup.D3SigDump), 0.5)
+        .minhashPairs(s.read.parquet(Dedup.D3SigDump(d)), 0.5)
         .filter((col("da") % 5 === 0) =!= (col("db") % 5 === 0))
       Dedup.verifyPairs(s, d, crossings)
         .filter(col("true_jaccard") >= 0.5)

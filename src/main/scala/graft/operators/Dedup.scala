@@ -45,13 +45,14 @@ object Dedup {
     * and the DuckDB twin replays the entire candidate+verify pipeline
     * from the dump. The hash check then certifies the whole decision
     * path, leaving only the seeded hashing itself to the spec anchors.
-    * The paths are FIXED (the static oracle SQL must name them), so
-    * they assume the driver's serial flow: a concurrent run against a
-    * DIFFERENT sf dir would clobber a sweep's dump between the query
-    * and its DuckDB compare. (This holds for every graft_* dump:
-    * D16EdgeDump, Sim2BandDump, PValDump, CellDump.) */
-  private[operators] val D3SigDump = "/tmp/graft_d3_sigs.parquet"
-  private[operators] val D8SumsDump = "/tmp/graft_d8_sums.parquet"
+    * The paths are keyed by the sf-dir basename (see [[Dumps]] — the
+    * oracle side embeds the placeholder tag that graft.Verify
+    * resolves), so the driver's interleaved sf0.01 correctness pass
+    * and sf0.1 bench can never clobber each other's dumps. (This
+    * holds for every graft_* dump: D16EdgeDump, Sim2BandDump,
+    * PValDump, CellDump, F7VaderDump, T7FoldDump.) */
+  private[operators] def D3SigDump(d: String) = Dumps.path("d3_sigs", d)
+  private[operators] def D8SumsDump(d: String) = Dumps.path("d8_sums", d)
 
   private def toks: Column = TextAnalysis.toks
 
@@ -694,8 +695,8 @@ object Dedup {
     // engines band/estimate the identical artifact (see D3SigDump) —
     // flipped from rows-only in round 12.
     "d3_minhash_lsh" -> ((s, d) => {
-      signatures(s, d).write.mode("overwrite").parquet(D3SigDump)
-      minhashPairs(s.read.parquet(D3SigDump), 0.5).orderBy("da", "db")
+      signatures(s, d).write.mode("overwrite").parquet(D3SigDump(d))
+      minhashPairs(s.read.parquet(D3SigDump(d)), 0.5).orderBy("da", "db")
     }),
 
     // D6: the complete scale-dedup pipeline — LSH candidates verified
@@ -708,8 +709,8 @@ object Dedup {
     // Signature dump as in D3; the oracle replays banding + estimate
     // AND the exact shingle verify (the D2 SQL) over the candidates.
     "d6_lsh_verified" -> ((s, d) => {
-      signatures(s, d).write.mode("overwrite").parquet(D3SigDump)
-      verifyPairs(s, d, minhashPairs(s.read.parquet(D3SigDump), 0.5))
+      signatures(s, d).write.mode("overwrite").parquet(D3SigDump(d))
+      verifyPairs(s, d, minhashPairs(s.read.parquet(D3SigDump(d)), 0.5))
         .orderBy("da", "db")
     }),
 
@@ -1165,8 +1166,8 @@ object Dedup {
     // thresholding and bitstring render — flipped from rows-only in
     // round 12.
     "d4_simhash" -> ((s, d) => {
-      simhashBitSums(s, d).write.mode("overwrite").parquet(D8SumsDump)
-      s.read.parquet(D8SumsDump)
+      simhashBitSums(s, d).write.mode("overwrite").parquet(D8SumsDump(d))
+      s.read.parquet(D8SumsDump(d))
         .select(col("doc_id"),
           concat((63 to 0 by -1).map(i =>
             when(col(s"s$i") > 0, "1").otherwise("0")): _*).as("simhash"))
@@ -1186,8 +1187,8 @@ object Dedup {
     // banding, the bucket join, and the 64-bit disagreement count —
     // flipped from rows-only in round 12.
     "d8_simhash_pairs" -> ((s, d) => {
-      simhashBitSums(s, d).write.mode("overwrite").parquet(D8SumsDump)
-      val sig = s.read.parquet(D8SumsDump)
+      simhashBitSums(s, d).write.mode("overwrite").parquet(D8SumsDump(d))
+      val sig = s.read.parquet(D8SumsDump(d))
         .select(col("doc_id"),
           (0 until 64).map(i =>
             when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
@@ -1207,8 +1208,8 @@ object Dedup {
     // min-propagation closure — the hash certifies the composed
     // pipeline end to end.
     "d29_simhash_clusters" -> ((s, d) => {
-      simhashBitSums(s, d).write.mode("overwrite").parquet(D8SumsDump)
-      val sig = s.read.parquet(D8SumsDump)
+      simhashBitSums(s, d).write.mode("overwrite").parquet(D8SumsDump(d))
+      val sig = s.read.parquet(D8SumsDump(d))
         .select(col("doc_id"),
           (0 until 64).map(i =>
             when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
@@ -1293,7 +1294,7 @@ object Dedup {
     * signatures, the ≥ 0.5 threshold exact (m/32 is a dyadic
     * rational). */
   private[operators] def d3CandCtes: String =
-    s"""sigs AS (SELECT doc_id, sig FROM '$D3SigDump/*.parquet'),
+    s"""sigs AS (SELECT doc_id, sig FROM '${Dumps.oraclePath("d3_sigs")}/*.parquet'),
            bd AS (
              SELECT doc_id, j AS band,
                     array_to_string(
@@ -1337,7 +1338,7 @@ object Dedup {
     val ham = (0 until 64).map(i =>
       s"(CASE WHEN (a.s$i > 0) <> (b.s$i > 0) THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""sums AS (SELECT * FROM '$D8SumsDump/*.parquet'),
+    s"""sums AS (SELECT * FROM '${Dumps.oraclePath("d8_sums")}/*.parquet'),
            bd AS ($bandSelects),
            cand AS (
              SELECT DISTINCT ba.doc_id AS da, bb.doc_id AS db
@@ -1401,7 +1402,7 @@ object Dedup {
                 ${(63 to 0 by -1).map(i =>
                     s"(CASE WHEN s$i > 0 THEN '1' ELSE '0' END)")
                   .mkString(" || ")} AS simhash
-         FROM '$D8SumsDump/*.parquet' ORDER BY doc_id""",
+         FROM '${Dumps.oraclePath("d8_sums")}/*.parquet' ORDER BY doc_id""",
     // D8: 4×16 banding + bucket join + 64-term bit disagreement from
     // the bit-sum dump (band b's key is Σ bit_{16b+r}·2^r — exactly
     // Spark's (sh >> 16b) & 0xFFFF)

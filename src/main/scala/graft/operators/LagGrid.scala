@@ -122,7 +122,7 @@ object LagGrid {
     * lag_grid_best_config and lag_grid_artifact flip to full hash
     * checks. Doubles are normalized with +0.0 (Java format_string
     * renders -0.0 as "-0.000000", DuckDB printf as "0.000000"). */
-  private[operators] val CellDump = "/tmp/graft_laggrid_cells.parquet"
+  private[operators] def CellDump(d: String) = Dumps.path("laggrid_cells", d)
 
   private def cellsWithP(s: SparkSession, d: String): DataFrame = {
     // degenerate cells (n = 2 → |r| = 1, p undefined) must not
@@ -138,8 +138,8 @@ object LagGrid {
         (pv + lit(0.0d)).as("p_value"), col("n"),
         (r6(col("mr")) + lit(0.0d)).as("mr"),
         (r6(col("ms")) + lit(0.0d)).as("ms"))
-      .write.mode("overwrite").parquet(CellDump)
-    s.read.parquet(CellDump)
+      .write.mode("overwrite").parquet(CellDump(d))
+    s.read.parquet(CellDump(d))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -304,7 +304,7 @@ object LagGrid {
     // the dumped cells (p is engine data, anchored by StudentTSpec);
     // the oracle replays the r6-grid argmax
     "lag_grid_best_config" ->
-      s"""WITH cells AS (SELECT * FROM '$CellDump/*.parquet')
+      s"""WITH cells AS (SELECT * FROM '${Dumps.oraclePath("laggrid_cells")}/*.parquet')
          SELECT user_id, lookback_h, lead_days, r, p_value, n FROM (
            SELECT *, row_number() OVER (PARTITION BY user_id
                      ORDER BY abs(r) DESC, lookback_h, lead_days) AS rn
@@ -315,7 +315,7 @@ object LagGrid {
     // -0.0-normalized doubles; string_agg mirrors the
     // (lookback, lead) cell sort)
     "lag_grid_artifact" ->
-      s"""WITH cells AS (SELECT * FROM '$CellDump/*.parquet'),
+      s"""WITH cells AS (SELECT * FROM '${Dumps.oraclePath("laggrid_cells")}/*.parquet'),
          cs AS (
            SELECT user_id, lookback_h, lead_days,
                   printf('"%dh_%dd":{"correlation":%.6f,"p_value":%.6f,"observations":%d,"mean_return":%.6f,"mean_sentiment":%.6f}',

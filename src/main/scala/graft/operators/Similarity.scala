@@ -378,19 +378,19 @@ object Similarity {
   /** Where d16 persists its threshold-filtered edge table — the
     * materialized intermediate its DuckDB oracle closes over (the
     * same artifact a production pipeline keeps from its one pair
-    * search). Absolute and SF-independent: each d16 evaluation
-    * overwrites it, and Verify runs queries and dumps oracle SQL for
-    * ONE sf dir per invocation, so the oracle always reads the dump
-    * the checked query just wrote. */
-  private[operators] val D16EdgeDump = "/tmp/graft_d16_edges.parquet"
+    * search). Keyed by the sf dir (see [[Dumps]]): the driver
+    * interleaves the sf0.01 correctness pass with the sf0.1 bench,
+    * and a fixed path would let one execution overwrite the bytes a
+    * pending oracle compare still needs. */
+  private[operators] def D16EdgeDump(d: String) = Dumps.path("d16_edges", d)
 
   /** SIM2's (vec_id, band, bkt) hyperplane-sign buckets, dumped for
     * the oracle (the D16/D3 materialized-intermediate pattern, round
     * 12): the splitmix64 plane constants have no DuckDB twin, but
     * bucket join → dedup → cosine → top-k are all replayable from the
     * dump, and the engine reads the dump back so both sides consume
-    * the identical bucket artifact. */
-  private[operators] val Sim2BandDump = "/tmp/graft_sim2_bands.parquet"
+    * the identical bucket artifact. Keyed by sf dir (see [[Dumps]]). */
+  private[operators] def Sim2BandDump(d: String) = Dumps.path("sim2_bands", d)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SIM11: per-dimension feature statistics — the normalization
@@ -879,11 +879,11 @@ object Similarity {
         .select(col("vec_id"), banded(col("embedding")).as("bb"))
         .select(col("vec_id"), col("bb.band").as("band"),
           col("bb.bkt").as("bkt"))
-        .write.mode("overwrite").parquet(Sim2BandDump)
+        .write.mode("overwrite").parquet(Sim2BandDump(d))
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
         .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
-        .join(s.read.parquet(Sim2BandDump), Seq("vec_id"))
+        .join(s.read.parquet(Sim2BandDump(d)), Seq("vec_id"))
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
           col("nrm").as("qn"), col("band"), col("bkt"))
@@ -1306,7 +1306,7 @@ object Similarity {
         .select(col("vec_id"), banded(col("embedding")).as("bb"))
         .select(col("vec_id"), col("bb.band").as("band"),
           col("bb.bkt").as("bkt"))
-        .write.mode("overwrite").parquet(Sim2BandDump)
+        .write.mode("overwrite").parquet(Sim2BandDump(d))
       embPairs(s, d).orderBy("va", "vb")
     }),
 
@@ -1343,10 +1343,10 @@ object Similarity {
         .select(col("va").as("da"), col("vb").as("db"))
       // read the dump back so the CC consumes byte-for-byte the same
       // edge artifact the oracle closes over
-      pairs.write.mode("overwrite").parquet(D16EdgeDump)
+      pairs.write.mode("overwrite").parquet(D16EdgeDump(d))
       val verts = Tables.embeddings(s, d)
         .select(col("vec_id").as("doc_id"))
-      Dedup.connectedComponents(s.read.parquet(D16EdgeDump), verts)
+      Dedup.connectedComponents(s.read.parquet(D16EdgeDump(d)), verts)
         .select(col("doc_id").as("vec_id"), col("comp").as("canonical_id"))
         .orderBy("vec_id")
     }),
@@ -1439,7 +1439,7 @@ object Similarity {
     // banded-LSH verified pair search replayed from the dump
     "d9_embedding_neardup_lsh" ->
       s"""WITH bands AS (
-           SELECT vec_id, band, bkt FROM '$Sim2BandDump/*.parquet'),
+           SELECT vec_id, band, bkt FROM '${Dumps.oraclePath("sim2_bands")}/*.parquet'),
          v AS (
            SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1486,7 +1486,7 @@ object Similarity {
                       ORDER BY cosine DESC, c_id) AS rank
              FROM ep) WHERE rank <= 5),
          bands AS (
-           SELECT vec_id, band, bkt FROM '$Sim2BandDump/*.parquet'),
+           SELECT vec_id, band, bkt FROM '${Dumps.oraclePath("sim2_bands")}/*.parquet'),
          lcand AS (
            SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
            FROM bands q JOIN bands c
@@ -1524,7 +1524,7 @@ object Similarity {
     // sim1 cosine/rank machinery over the candidate pairs
     "sim2_lsh_ann" ->
       s"""WITH bands AS (
-           SELECT vec_id, band, bkt FROM '$Sim2BandDump/*.parquet'),
+           SELECT vec_id, band, bkt FROM '${Dumps.oraclePath("sim2_bands")}/*.parquet'),
          v AS (
            SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1663,7 +1663,7 @@ object Similarity {
     "d16_emb_clusters" ->
       s"""WITH RECURSIVE
            prs AS (
-             SELECT da, db FROM '$D16EdgeDump/*.parquet'),
+             SELECT da, db FROM '${Dumps.oraclePath("d16_edges")}/*.parquet'),
            edges AS (SELECT da AS src, db AS dst FROM prs
                      UNION SELECT db AS src, da AS dst FROM prs),
            reach AS (

@@ -215,12 +215,12 @@ object Stats {
     * actual operators — are pure window SQL once p is data. The frame
     * is read back so the engine transforms byte-for-byte what the
     * oracle replays. */
-  private[operators] val PValDump = "/tmp/graft_a3_pvalues.parquet"
+  private[operators] def PValDump(d: String) = Dumps.path("a3_pvalues", d)
 
   private def corrPValuesDumped(s: SparkSession, d: String): DataFrame = {
     queries("a3_corr_pvalue")(s, d)
-      .write.mode("overwrite").parquet(PValDump)
-    s.read.parquet(PValDump)
+      .write.mode("overwrite").parquet(PValDump(d))
+    s.read.parquet(PValDump(d))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4343,7 +4343,7 @@ object Stats {
     // suffix-min monotone enforcement, the clamp, and the UNROUNDED
     // 0.05 verdict (the rounded p_adj is output-only)
     "a46_bh_fdr" ->
-      s"""WITH pv AS (SELECT * FROM '$PValDump/*.parquet'),
+      s"""WITH pv AS (SELECT * FROM '${Dumps.oraclePath("a3_pvalues")}/*.parquet'),
          r AS (
            SELECT *, count(*) OVER () AS m,
                   row_number() OVER (ORDER BY p_value, event_type, k)
@@ -4362,7 +4362,7 @@ object Stats {
     // A63: the Holm step-down from the same dump — prefix MAX where
     // BH's is a suffix min
     "a63_holm" ->
-      s"""WITH pv AS (SELECT * FROM '$PValDump/*.parquet'),
+      s"""WITH pv AS (SELECT * FROM '${Dumps.oraclePath("a3_pvalues")}/*.parquet'),
          r AS (
            SELECT *, count(*) OVER () AS m,
                   row_number() OVER (ORDER BY p_value, event_type, k)

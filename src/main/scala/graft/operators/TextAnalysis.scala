@@ -28,8 +28,10 @@ object TextAnalysis {
   /** Materialized-intermediate dump for the F7 oracle (the D3SigDump
     * pattern — see Dedup for the serial-flow caveat): per-doc
     * token-valence arrays + capped exclamation count; both engines
-    * recompute the compound from these identical bytes. */
-  private[operators] val F7VaderDump = "/tmp/graft_f7_vader.parquet"
+    * recompute the compound from these identical bytes. Keyed by the
+    * sf dir (see [[Dumps]]) so the driver's interleaved sf0.01
+    * correctness pass and sf0.1 bench can't clobber each other. */
+  private[operators] def F7VaderDump(d: String) = Dumps.path("f7_vader", d)
 
   /** Whitespace tokenization of lowercased text — the one definition
     * shared by every query here AND by the DuckDB oracles. */
@@ -243,18 +245,21 @@ object TextAnalysis {
           graft.functions.VaderTokenScores.tokenScores(col("text"))
             .as("vals"),
           least(length(col("text")) -
-            length(translate(col("text"), "!", "")), lit(4))
+            length(translate(col("text"), "!", "")),
+            lit(graft.functions.Vader.BangCap))
             .cast("int").as("bangs"))
-        .write.mode("overwrite").parquet(F7VaderDump)
-      val dumped = s.read.parquet(F7VaderDump)
+        .write.mode("overwrite").parquet(F7VaderDump(d))
+      val dumped = s.read.parquet(F7VaderDump(d))
       val sRaw = aggregate(col("vals"), lit(0.0), (acc, x) => acc + x)
       val sAdj = when(sRaw =!= 0.0,
-        sRaw + signum(sRaw) * col("bangs").cast("double") * lit(0.292))
+        sRaw + signum(sRaw) * col("bangs").cast("double") *
+          lit(graft.functions.Vader.BangIncr))
         .otherwise(sRaw)
       dumped
         .select(col("doc_id"),
           r6(greatest(lit(-1.0), least(lit(1.0),
-            sAdj / sqrt(sAdj * sAdj + lit(15.0))))).as("compound"))
+            sAdj / sqrt(sAdj * sAdj +
+              lit(graft.functions.Vader.Alpha))))).as("compound"))
         .orderBy("doc_id")
     }),
 
@@ -1957,17 +1962,19 @@ object TextAnalysis {
                    CASE WHEN vals IS NULL THEN NULL
                         ELSE COALESCE(list_sum(vals), 0.0) END AS s,
                    bangs
-            FROM '$F7VaderDump/*.parquet'),
+            FROM '${Dumps.oraclePath("f7_vader")}/*.parquet'),
           adj AS (
             SELECT doc_id,
                    CASE WHEN s <> 0 THEN
-                     s + sign(s) * bangs * CAST(0.292 AS DOUBLE)
+                     s + sign(s) * bangs *
+                       CAST(${graft.functions.Vader.BangIncr} AS DOUBLE)
                    ELSE s END AS s2
             FROM base)
           SELECT doc_id,
                  round(greatest(CAST(-1.0 AS DOUBLE),
                    least(CAST(1.0 AS DOUBLE),
-                     s2 / sqrt(s2 * s2 + 15.0))), 6) AS compound
+                     s2 / sqrt(s2 * s2 + ${graft.functions.Vader.Alpha}))),
+                   6) AS compound
           FROM adj ORDER BY doc_id""",
     "d1_exact_dedup" ->
       """WITH hashed AS (
