@@ -1594,12 +1594,19 @@ object Stats {
       val withMoments = agg
         .withColumn("g1", when(m2 > 0, m3 / pow(m2, 1.5d)))
         .withColumn("b2", when(m2 > 0, m4 / (m2 * m2)))
-        // D'Agostino skewness transform
-        .withColumn("y", col("g1") *
-          sqrt((nd + 1) * (nd + 3) / (lit(6.0d) * (nd - 2))))
-        .withColumn("beta2", lit(3.0d) *
+        // D'Agostino skewness transform. The z chain is gated on
+        // n >= 8 (scipy normaltest's documented minimum): n = 7 makes
+        // beta2 = 3 exactly so both sqrt(2/(w2-1)) and 1/sqrt(ln√w2)
+        // divide by zero; n <= 3 hits the (n-2)/(n-3) divisors; and
+        // 4 <= n <= 6 gives w2 < 1 where Spark would NaN but DuckDB
+        // errors on sqrt of a negative. Gating the chain roots (y,
+        // beta2, xx, sb1) NULLs z/k2/p by propagation; raw skewness
+        // and kurtosis stay reported for any n with m2 > 0.
+        .withColumn("y", when(nd >= 8, col("g1") *
+          sqrt((nd + 1) * (nd + 3) / (lit(6.0d) * (nd - 2)))))
+        .withColumn("beta2", when(nd >= 8, lit(3.0d) *
           (nd * nd + lit(27.0d) * nd - 70) * (nd + 1) * (nd + 3) /
-          ((nd - 2) * (nd + 5) * (nd + 7) * (nd + 9)))
+          ((nd - 2) * (nd + 5) * (nd + 7) * (nd + 9))))
         .withColumn("w2", sqrt(lit(2.0d) * (col("beta2") - 1)) - 1)
         .withColumn("dlt", lit(1.0d) / sqrt(log(sqrt(col("w2")))))
         .withColumn("alpha", sqrt(lit(2.0d) / (col("w2") - 1)))
@@ -1610,11 +1617,12 @@ object Stats {
         .withColumn("eb2", lit(3.0d) * (nd - 1) / (nd + 1))
         .withColumn("vb2", lit(24.0d) * nd * (nd - 2) * (nd - 3) /
           ((nd + 1) * (nd + 1) * (nd + 3) * (nd + 5)))
-        .withColumn("xx", (col("b2") - col("eb2")) / sqrt(col("vb2")))
-        .withColumn("sb1", lit(6.0d) *
+        .withColumn("xx", when(nd >= 8,
+          (col("b2") - col("eb2")) / sqrt(col("vb2"))))
+        .withColumn("sb1", when(nd >= 8, lit(6.0d) *
           (nd * nd - lit(5.0d) * nd + 2) / ((nd + 3) * (nd + 5)) *
           sqrt(lit(6.0d) * (nd + 3) * (nd + 5) /
-            (nd * (nd - 2) * (nd - 3))))
+            (nd * (nd - 2) * (nd - 3)))))
         .withColumn("aa", lit(6.0d) + lit(8.0d) / col("sb1") *
           (lit(2.0d) / col("sb1") +
             sqrt(lit(1.0d) + lit(4.0d) / (col("sb1") * col("sb1")))))
@@ -7366,9 +7374,13 @@ object Stats {
            FROM m),
          sk AS (
            SELECT *,
-                  g1 * sqrt((nd + 1) * (nd + 3) / (6.0 * (nd - 2))) AS y,
-                  3.0 * (nd * nd + 27.0 * nd - 70) * (nd + 1) * (nd + 3)
-                    / ((nd - 2) * (nd + 5) * (nd + 7) * (nd + 9)) AS beta2
+                  CASE WHEN nd >= 8 THEN
+                    g1 * sqrt((nd + 1) * (nd + 3) / (6.0 * (nd - 2)))
+                  END AS y,
+                  CASE WHEN nd >= 8 THEN
+                    3.0 * (nd * nd + 27.0 * nd - 70) * (nd + 1) * (nd + 3)
+                      / ((nd - 2) * (nd + 5) * (nd + 7) * (nd + 9))
+                  END AS beta2
            FROM g),
          sw AS (SELECT *, sqrt(2.0 * (beta2 - 1)) - 1 AS w2 FROM sk),
          sz AS (
@@ -7380,13 +7392,16 @@ object Stats {
            FROM sw),
          ku AS (
            SELECT *,
-                  (b2 - 3.0 * (nd - 1) / (nd + 1)) /
-                    sqrt(24.0 * nd * (nd - 2) * (nd - 3) /
-                         ((nd + 1) * (nd + 1) * (nd + 3) * (nd + 5)))
-                    AS xx,
-                  6.0 * (nd * nd - 5.0 * nd + 2) / ((nd + 3) * (nd + 5))
-                    * sqrt(6.0 * (nd + 3) * (nd + 5) /
-                           (nd * (nd - 2) * (nd - 3))) AS sb1
+                  CASE WHEN nd >= 8 THEN
+                    (b2 - 3.0 * (nd - 1) / (nd + 1)) /
+                      sqrt(24.0 * nd * (nd - 2) * (nd - 3) /
+                           ((nd + 1) * (nd + 1) * (nd + 3) * (nd + 5)))
+                  END AS xx,
+                  CASE WHEN nd >= 8 THEN
+                    6.0 * (nd * nd - 5.0 * nd + 2) / ((nd + 3) * (nd + 5))
+                      * sqrt(6.0 * (nd + 3) * (nd + 5) /
+                             (nd * (nd - 2) * (nd - 3)))
+                  END AS sb1
            FROM sz),
          ka AS (
            SELECT *,

@@ -184,6 +184,37 @@ class StatsDegenerateSpec extends AnyFunSuite {
       s"these no longer throw — remove from the ratchet: $fixed")
   }
 
+  // groups sized exactly at the a120 crash points: n = 2, 3 hit the
+  // (n−2)/(n−3) divisors, n = 7 makes beta2 = 3 exactly (w2 = 1 ⇒
+  // sqrt(2/(w2−1)) and 1/sqrt(ln√w2) both divide by zero), n = 4
+  // lands in the w2 < 1 band (Spark NaN, DuckDB sqrt-of-negative
+  // error); n = 9 is past the n ≥ 8 gate and must produce the stat
+  private lazy val smallNDir = eventsDir("deg-smalln",
+    Seq("n2" -> 2, "n3" -> 3, "n4" -> 4, "n7" -> 7, "n9" -> 9).flatMap {
+      case (t, n) => (1 to n).map(i =>
+        (t, i * 1.5 + (i % 3), f"2024-01-${10 + i}%02d"))
+    })
+
+  test("a120 small-n groups: z chain NULL below n = 8, present at n >= 8, no throw") {
+    val rows = run("a120_dagostino_k2", smallNDir).collect()
+    assert(rows.length == 5)
+    val m = rows.head.schema.fieldNames.zipWithIndex.toMap
+    rows.foreach { r =>
+      val n = r.getLong(m("n"))
+      // raw moments stay reported for every group (m2 > 0 here)
+      assert(!r.isNullAt(m("skewness")) && !r.isNullAt(m("kurtosis")),
+        s"n=$n must keep raw skewness/kurtosis")
+      if (n < 8)
+        assert(r.isNullAt(m("z_skew")) && r.isNullAt(m("z_kurt")) &&
+          r.isNullAt(m("k2_stat")) && r.isNullAt(m("p_value")),
+          s"n=$n must NULL the z-transform chain")
+      else
+        assert(!r.isNullAt(m("z_skew")) && !r.isNullAt(m("z_kurt")) &&
+          !r.isNullAt(m("k2_stat")) && !r.isNullAt(m("p_value")),
+          s"n=$n must produce the full statistic")
+    }
+  }
+
   test("txt26 sub-shingle corpus: every doc under 3 tokens yields an empty frame") {
     // no doc reaches a 3-gram → the shingle explode filters all rows
     // and the n_shingles division never sees a zero (it can't: every
