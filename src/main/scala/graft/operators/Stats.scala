@@ -858,16 +858,16 @@ object Stats {
         .select(col("n1"), col("n2"), col("r1"), col("u1"), col("z"))
     }),
 
-    // A35 p twin: two-sided asymptotic p = P(|Z| > |z|) = P(χ²₁ > z²)
-    // — the exact distributional identity that lets the quadrature-
-    // validated gamma-Q kernel (A29's) serve as the normal tail, with
-    // no erf anywhere. Not SQL-expressible → rows-only; StatsSpec
-    // anchors by recomputation from the oracle-checked z.
+    // A35 p twin: two-sided asymptotic p = P(|Z| > |z|) = erfc(|z|/√2)
+    // via the PinnedSeries exact Taylor chain — pure IEEE arithmetic
+    // on the main query's hash-checked raw z, so p is BIT-IDENTICAL
+    // across engines (no rounding anywhere) and the twin is fully
+    // hash-checked (flipped from rows-only in round 14; the kernel
+    // agreement stays pinned in StatsSpec + PinnedSeriesSpec).
     "a35_mw_pvalue" -> ((s, d) =>
       queries("a35_mannwhitney")(s, d)
-        .select(col("n1"), col("n2"), r6(col("z")).as("z"),
-          r6(graft.functions.ChiSquarePValue.pValue(
-            col("z") * col("z"), lit(1.0d))).as("p_value"))),
+        .select(col("n1"), col("n2"), col("z"),
+          PinnedSeries.normalTwoSidedCol(col("z")).as("p_value"))),
 
     // A34: OLS trend per series — slope/intercept/R² of the daily
     // average against the day index, the "is this series drifting"
@@ -942,16 +942,15 @@ object Stats {
       mkBase(s, d).orderBy("event_type")),
 
     // A55 p twin: two-sided normal tail of the oracle-checked z via
-    // the χ²₁ identity (P(|Z|>z) = P(χ²₁ > z²)) — no erf, same
-    // quadrature-validated gamma-Q kernel as A35/A41. Rows-only;
-    // StatsSpec anchors by recomputation from a55's z. Consumes the
-    // SAME materialized base as a55 — the twin pair pays the day-pair
-    // join once, not twice.
+    // the PinnedSeries erfc chain — mkBase's z is 6-dp-rounded and
+    // hash-proven, so the pure-IEEE series gives a bit-identical raw
+    // p in both engines (flipped from rows-only in round 14).
+    // Consumes the SAME materialized base as a55 — the twin pair pays
+    // the day-pair join once, not twice.
     "a55_mk_pvalue" -> ((s, d) =>
       mkBase(s, d)
         .select(col("event_type"), col("n_days"), col("s"), col("z"),
-          r6(graft.functions.ChiSquarePValue.pValue(
-            col("z") * col("z"), lit(1.0d))).as("p_value"))
+          PinnedSeries.normalTwoSidedCol(col("z")).as("p_value"))
         .orderBy("event_type")),
 
     // A66: rank correlation between the click and purchase daily-mean
@@ -1318,17 +1317,17 @@ object Stats {
 
     // A29 p-value twin: χ² = Σ terms (folded in digit order over the
     // ROUNDED oracle-checked terms) at 8 dof, upper-tail p via the
-    // ChiSquarePValue codegen expression (regularized gamma Q kernel).
-    // Not SQL-expressible → rows-only; anchored in StatsSpec by
-    // recomputation from a29's oracle-checked rows + the
-    // quadrature-validated kernel (StudentTSpec).
+    // PinnedSeries exact even-df survival series on the 6-dp-rounded
+    // fold; 6-dp output for the one exp(−y). Fully hash-checked
+    // (flipped from rows-only in round 14): the DuckDB twin replays
+    // the digit-ordered fold with list_sum and the identical series.
     "a29_benford_pvalue" -> ((s, d) =>
       queries("a29_benford")(s, d)
         .agg(aggregate(
           array_sort(collect_list(struct(col("digit"), col("term")))),
           lit(0.0d), (acc, x) => acc + x.getField("term")).as("chi2"))
         .select(r6(col("chi2")).as("chi2"), lit(8L).as("df"),
-          r6(graft.functions.ChiSquarePValue.pValue(col("chi2"), lit(8.0d)))
+          r6(PinnedSeries.chiSqPCol(r6(col("chi2")), lit(8.0d)))
             .as("p_value"))),
 
     // A4: best config per key by max |corr| (deterministic tiebreak).
@@ -2027,15 +2026,17 @@ object Stats {
             .as("h_tied"))
     }),
 
-    // A73 p twin — upper-tail χ²_{k−1} of the tie-corrected H via
-    // the ChiSquarePValue kernel. Rows-only; StatsSpec anchors by
-    // recomputation from a73's oracle-checked row.
+    // A73 p twin — upper-tail χ²_{k−1} of the tie-corrected H via the
+    // PinnedSeries exact finite survival series on the main query's
+    // hash-checked 6-dp h_tied; the one exp(−y) costs libm ulps →
+    // 6-dp output (the a68/a120 discipline). Fully hash-checked
+    // (flipped from rows-only in round 14).
     "a73_kw_pvalue" -> ((s, d) =>
       queries("a73_kruskal_wallis")(s, d)
         .select(col("h_tied"), (col("k") - 1).cast("double").as("df"))
         .select(col("h_tied"), col("df"),
-          r6(graft.functions.ChiSquarePValue.pValue(col("h_tied"),
-            col("df"))).as("p_value"))),
+          r6(PinnedSeries.chiSqPCol(col("h_tied"), col("df")))
+            .as("p_value"))),
 
     // A89: Dunn's post-hoc pairs — A88 for the NONPARAMETRIC branch
     // (after A73's Kruskal–Wallis rejects, which series pairs differ?
@@ -2077,19 +2078,20 @@ object Stats {
         .orderBy("type_a", "type_b")
     }),
 
-    // A89 p twin: two-sided p per pair via the χ²₁ identity (A35's
-    // contract) plus the Bonferroni m = k(k−1)/2 family adjustment
-    // Dunn prescribed. Rows-only; StatsSpec anchors by recomputation.
+    // A89 p twin: two-sided p per pair via the PinnedSeries erfc chain
+    // on the main query's hash-checked raw z, plus the Bonferroni
+    // m = k(k−1)/2 family adjustment Dunn prescribed (exact IEEE
+    // multiply + least). Pure-IEEE chain → bit-identical raw doubles,
+    // fully hash-checked (flipped from rows-only in round 14).
     "a89_dunn_pvalue" -> ((s, d) => {
       // m from a lazy full-frame window, never a driver-side count()
       // at plan-construction time (the a53 eager-head lesson)
       val m = count(lit(1)).over(Window.partitionBy()).cast("double")
+      val p = PinnedSeries.normalTwoSidedCol(col("z"))
       queries("a89_dunn_pairs")(s, d)
-        .select(col("type_a"), col("type_b"), r6(col("z")).as("z"),
-          r6(graft.functions.ChiSquarePValue.pValue(
-            col("z") * col("z"), lit(1.0d))).as("p_value"),
-          r6(least(lit(1.0d), graft.functions.ChiSquarePValue.pValue(
-            col("z") * col("z"), lit(1.0d)) * m)).as("p_bonferroni"))
+        .select(col("type_a"), col("type_b"), col("z"),
+          p.as("p_value"),
+          least(lit(1.0d), p * m).as("p_bonferroni"))
         .orderBy("type_a", "type_b")
     }),
 
@@ -2702,15 +2704,15 @@ object Stats {
         .orderBy("event_type")
     }),
 
-    // A86 p twin: P(χ²₁ > LM) via the quadrature-validated gamma-Q
-    // kernel (A41's contract). Not SQL-expressible → rows-only;
-    // StatsSpec anchors by recomputation from the oracle-checked LM.
+    // A86 p twin: P(χ²₁ > LM) = erfc(√(LM/2)) via the PinnedSeries
+    // erfc chain on the main query's hash-checked raw LM — pure IEEE
+    // (sqrt is correctly rounded), bit-identical raw doubles, fully
+    // hash-checked (flipped from rows-only in round 14).
     "a86_bp_pvalue" -> ((s, d) =>
       queries("a86_breusch_pagan")(s, d)
-        .select(col("event_type"), col("n_days"),
-          r6(col("lm_stat")).as("lm_stat"),
-          r6(graft.functions.ChiSquarePValue.pValue(
-            col("lm_stat"), lit(1.0d))).as("p_value"))),
+        .select(col("event_type"), col("n_days"), col("lm_stat"),
+          PinnedSeries.erfcCol(sqrt(col("lm_stat") / lit(2.0)))
+            .as("p_value"))),
 
     // A87: Friedman test — the BLOCKED-design companion to A73's
     // Kruskal–Wallis (KW compares independent groups; this blocks by
@@ -2847,14 +2849,15 @@ object Stats {
         .orderBy("event_type")
     }),
 
-    // A87 p twin: P(χ²ₖ₋₁ > Q) via the golden gamma-Q kernel (A41's
-    // contract). Rows-only; StatsSpec anchors by recomputation.
+    // A87 p twin: P(χ²ₖ₋₁ > Q) via the PinnedSeries exact survival
+    // series on the main query's hash-checked raw Q; 6-dp output for
+    // the one exp(−y). Fully hash-checked (flipped in round 14).
     "a87_friedman_pvalue" -> ((s, d) =>
       queries("a87_friedman")(s, d)
         .select(col("event_type"), col("n_days"), col("k"),
-          r6(col("q_stat")).as("q_stat"),
-          r6(graft.functions.ChiSquarePValue.pValue(
-            col("q_stat"), (col("k") - 1).cast("double"))).as("p_value"))),
+          col("q_stat"),
+          r6(PinnedSeries.chiSqPCol(col("q_stat"),
+            (col("k") - 1).cast("double"))).as("p_value"))),
 
     // A88: Tukey HSD pairwise contrasts — the post-hoc table that
     // answers what A52's ANOVA leaves open (ANOVA says "SOME mean
@@ -3092,8 +3095,9 @@ object Stats {
     // A41 p-value twin — χ² folded in (type, dow) order over the
     // oracle-checked rounded terms (the A29 pattern), df derived from
     // the observed margins ((R−1)(C−1)), upper-tail p via the
-    // ChiSquarePValue codegen kernel. Rows-only; anchored in
-    // StatsSpec by recomputation from a41's oracle-checked rows.
+    // PinnedSeries exact survival series on the 6-dp-rounded fold;
+    // 6-dp output for the one exp(−y). Fully hash-checked (flipped
+    // from rows-only in round 14).
     "a41_chi2_pvalue" -> ((s, d) =>
       queries("a41_chi2_independence")(s, d)
         .agg(
@@ -3104,7 +3108,7 @@ object Stats {
           ((countDistinct(col("event_type")) - 1) *
             (countDistinct(col("dow")) - 1)).as("df"))
         .select(r6(col("chi2")).as("chi2"), col("df"),
-          r6(graft.functions.ChiSquarePValue.pValue(col("chi2"),
+          r6(PinnedSeries.chiSqPCol(r6(col("chi2")),
             col("df").cast("double"))).as("p_value"))),
 
     // A90: Wald–Wolfowitz runs test for randomness of each series'
@@ -4345,7 +4349,7 @@ object Stats {
     (1 to 9).map(dd => "%.17e".formatLocal(java.util.Locale.ROOT,
       math.log10(1.0 + 1.0 / dd))).mkString("[", ", ", "]")
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     // A46: the BH step-up replayed from the dumped p-values —
     // ranking, raw = p·m/rank (the identical double chain), the
     // suffix-min monotone enforcement, the clamp, and the UNROUNDED
@@ -7698,5 +7702,83 @@ object Stats {
            SELECT *, row_number() OVER (ORDER BY ret ASC, month) AS rn
            FROM monthly) WHERE rn = 1
          ORDER BY kind"""
+  )
+
+  /** The p-value twins, flipped from rows-only in round 14: each twin
+    * oracle wraps its hash-checked main oracle in a CTE and replays
+    * the EXACT closed-form tail chain ([[PinnedSeries]]) on the main's
+    * own z / statistic columns. The erfc-only family (χ²₁ / normal z:
+    * a35, a55, a86, a89) is pure IEEE arithmetic — raw doubles,
+    * bit-identical across engines, no rounding; the general-χ² family
+    * (a29, a41, a73, a87) carries one exp(−y) → 6-dp rounding (the
+    * a68/a120 closed-form discipline). */
+  val oracles: Map[String, String] = baseOracles ++ Map(
+    "a35_mw_pvalue" -> {
+      val (defs, last) =
+        PinnedSeries.normalTwoSidedSqlCtes("m14", "z", "p14", "x14_")
+      s"""WITH m14 AS (${baseOracles("a35_mannwhitney")}), $defs
+          SELECT n1, n2, z, p14 AS p_value FROM $last"""
+    },
+    "a55_mk_pvalue" -> {
+      val (defs, last) =
+        PinnedSeries.normalTwoSidedSqlCtes("m14", "z", "p14", "x14_")
+      s"""WITH m14 AS (${baseOracles("a55_mann_kendall")}), $defs
+          SELECT event_type, n_days, s, z, p14 AS p_value FROM $last
+          ORDER BY event_type"""
+    },
+    "a89_dunn_pvalue" -> {
+      val (defs, last) =
+        PinnedSeries.normalTwoSidedSqlCtes("m14", "z", "p14", "x14_")
+      s"""WITH m14 AS (${baseOracles("a89_dunn_pairs")}), $defs
+          SELECT type_a, type_b, z, p14 AS p_value,
+                 least(CAST(1.0 AS DOUBLE),
+                   p14 * CAST(COUNT(*) OVER () AS DOUBLE)) AS p_bonferroni
+          FROM $last ORDER BY type_a, type_b"""
+    },
+    "a86_bp_pvalue" -> {
+      val (defs, last) =
+        PinnedSeries.erfcSqlCtes("m14", "sqrt(lm_stat / 2.0)", "p14", "x14_")
+      s"""WITH m14 AS (${baseOracles("a86_breusch_pagan")}), $defs
+          SELECT event_type, n_days, lm_stat, p14 AS p_value FROM $last
+          ORDER BY event_type"""
+    },
+    "a73_kw_pvalue" -> {
+      val (defs, last) =
+        PinnedSeries.chiSqPSqlCtes("f14", "h_tied", "df", "p14", "q14_")
+      s"""WITH m14 AS (${baseOracles("a73_kruskal_wallis")}),
+          f14 AS (SELECT h_tied, CAST(k - 1 AS DOUBLE) AS df FROM m14),
+          $defs
+          SELECT h_tied, df, round(p14, 6) AS p_value FROM $last"""
+    },
+    "a87_friedman_pvalue" -> {
+      val (defs, last) =
+        PinnedSeries.chiSqPSqlCtes("m14", "q_stat", "k - 1", "p14", "q14_")
+      s"""WITH m14 AS (${baseOracles("a87_friedman")}), $defs
+          SELECT event_type, n_days, k, q_stat,
+                 round(p14, 6) AS p_value
+          FROM $last ORDER BY event_type"""
+    },
+    "a29_benford_pvalue" -> {
+      val (defs, last) =
+        PinnedSeries.chiSqPSqlCtes("f14", "chi2", "df", "p14", "q14_")
+      s"""WITH m14 AS (${baseOracles("a29_benford")}),
+          f14 AS (SELECT round(list_sum(list(term ORDER BY digit)), 6)
+                    AS chi2, CAST(8 AS BIGINT) AS df FROM m14),
+          $defs
+          SELECT chi2, df, round(p14, 6) AS p_value FROM $last"""
+    },
+    "a41_chi2_pvalue" -> {
+      val (defs, last) =
+        PinnedSeries.chiSqPSqlCtes("f14", "chi2", "df", "p14", "q14_")
+      s"""WITH m14 AS (${baseOracles("a41_chi2_independence")}),
+          f14 AS (SELECT
+                    round(list_sum(list(term ORDER BY event_type, dow)), 6)
+                      AS chi2,
+                    CAST((COUNT(DISTINCT event_type) - 1) *
+                         (COUNT(DISTINCT dow) - 1) AS BIGINT) AS df
+                  FROM m14),
+          $defs
+          SELECT chi2, df, round(p14, 6) AS p_value FROM $last"""
+    }
   )
 }
