@@ -156,6 +156,59 @@ class PlanShapeSpec extends AnyFunSuite {
            !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
+  test("sim3/sim6 probes stay collect-free once the quantizer is warm") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // the 16-centroid coarse quantizer is the ONE sanctioned
+    // driver-side collect on the similarity path — bounded (limit 16)
+    // and cached per (session, dir). This pins the boundary as the
+    // suite evolves: once the caches are warm, CONSTRUCTING the probe
+    // DataFrames (including their executed plans) must run ZERO Spark
+    // jobs — any new job here means a collect crept into the build
+    // path (the a53 eager-head lesson).
+    Similarity.queries("sim3_ivf_ann")(spark, sf)
+    Similarity.queries("sim6_pq_topk")(spark, sf)
+    // benign construction-time jobs exist (parquet footer/schema
+    // reads, the sentinel's own AQE stages) — the banned class is the
+    // eager driver-side ACTION, whose job stages carry the
+    // collect/head/take callsite
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val sentinel = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        js.stageInfos.foreach(si => jobs.add(si.name))
+        sentinel.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val p3 = Similarity.queries("sim3_ivf_ann")(spark, sf)
+        .queryExecution.executedPlan.toString
+      val p6 = Similarity.queries("sim6_pq_topk")(spark, sf)
+        .queryExecution.executedPlan.toString
+      // the probes inline the quantizer as literals and broadcast the
+      // ≤10-row query side: sim3 joins keyed on the list id (no
+      // nested loop at all); sim6's documented shape is the ≤10-row
+      // BROADCAST query side crossing the candidate scan (the SIM
+      // family's bounded baseline) — a non-broadcast cartesian is
+      // still banned for both
+      assert(!p3.contains("CartesianProduct") &&
+             !p3.contains("BroadcastNestedLoopJoin"), p3.take(1200))
+      assert(!p6.contains("CartesianProduct"), p6.take(1200))
+      // the listener bus is async: run one sentinel action and wait
+      // for its JobStart — FIFO ordering then guarantees any
+      // construction-time job was counted too
+      spark.range(1).count()
+      val deadline = System.currentTimeMillis + 30000
+      while (sentinel.get() < 1 && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      val eager = jobs.toArray(Array.empty[String])
+        .filter(_.matches("(?s)^(collect|head|first|take\\w*) at .*"))
+      assert(eager.isEmpty,
+        s"warm sim3/sim6 construction ran eager driver-side action(s): " +
+          eager.mkString("; "))
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("hamming pair searches join on band buckets, never all pairs") {
     // d8 (simhash) and mm5 (perceptual hash) both promise banding in
     // place of an all-pairs scan — hold them to it

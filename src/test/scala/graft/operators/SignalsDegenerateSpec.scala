@@ -45,6 +45,8 @@ class SignalsDegenerateSpec extends AnyFunSuite {
   private lazy val flatDir = eventsFixture("sig-flat", days(12, 5.0))
   private lazy val oneDayDir = eventsFixture("sig-oneday", days(1, 150.0))
   private lazy val zeroDir = eventsFixture("sig-zero", days(12, 0.0))
+  // value 100.0 ⇒ sent = 0 exactly ⇒ inside every ±τ band ⇒ all HOLD
+  private lazy val holdDir = eventsFixture("sig-hold", days(12, 100.0))
 
   private def screen(dir: String, label: String): Unit = {
     val failures = Signals.queries.keys.toSeq.sorted.flatMap { name =>
@@ -65,6 +67,30 @@ class SignalsDegenerateSpec extends AnyFunSuite {
       .collect()
     assert(sweep.length == 27)
     assert(sweep.forall(r => r.getLong(6) == 0L), "no entries on SELLs")
+  }
+
+  test("all-HOLD corpus: zero trades in every sweep cell, outcomes NULL") {
+    // the round-13 verdict's screen extension: with every signal HOLD
+    // the grid agg's hit-rate denominator sum(when(scored, 1.0)) is
+    // NULL (never 0), so the whole surface must flow NULLs, not throw
+    screen(holdDir, "all-hold")
+    val sweep = Signals.queries("pipe11_strategy_sweep")(spark, holdDir)
+      .collect()
+    assert(sweep.length == 27)
+    sweep.foreach { r =>
+      assert(r.getLong(3) == 0L && r.getLong(4) == 0L,
+        "no trades at sent = 0")
+      assert(r.getLong(5) > 0L, "all mass must land in HOLD")
+      assert(r.getLong(6) == 0L && r.getLong(7) == 0L)
+    }
+    val out = Signals.queries("pipe12_sweep_outcomes")(spark, holdDir)
+      .collect()
+    assert(out.length == 27)
+    out.foreach { r =>
+      assert(r.getLong(3) == 0L && r.getLong(4) == 0L)
+      assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7) &&
+        r.isNullAt(8), "outcome columns must be NULL with no entries")
+    }
   }
 
   test("one-day corpus: every PIPE12 cell fully censored, grid intact") {

@@ -82,6 +82,26 @@ class SignalsSweepSpec extends AnyFunSuite {
     assert(out.exists(r => r.getLong(4) > 0))
   }
 
+  test("the tau=0.4/min_news=7 sweep cell equals a single-point P8 run") {
+    // the reference's published single-point counts anchor P8
+    // (docs/imp_numbers.txt:324-333 — 95/202/27 of 324 at τ=0.4);
+    // this ties the sweep surface to that anchor: the sweep's
+    // (0.4, 7, lookback=1) cell must reproduce exactly what the P8
+    // pipeline reports when RUN at that slider point on the same
+    // frame (lookback=1 IS the P8 path — plain daily sentiment, no
+    // trailing window), so the 27-cell surface and the single-point
+    // query can never drift apart
+    val cell = rows.filter(r => r._1 == 0.4 && r._2 == 7 && r._3 == 1)
+    assert(cell.length == 1)
+    val (_, _, _, b, sl, h, _, _) = cell.head
+    val p8 = Signals.pipeline(spark, sf, SignalConfig(0.4, 7))
+      .groupBy("signal").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p8.getOrElse("BUY", 0L) == b && p8.getOrElse("SELL", 0L) == sl &&
+      p8.getOrElse("HOLD", 0L) == h, s"sweep ($b,$sl,$h) vs p8 $p8")
+    assert(b + sl + h == p8.values.sum)
+  }
+
   test("entries are BUY transitions: n_entries <= n_buy, keys bounded") {
     val nKeys = graft.Tables.events(spark, sf)
       .select("event_type").distinct().count()
