@@ -284,7 +284,15 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
-    val reruns = suspects.map(n => s"\"$n\"").mkString("[", ",", "]")
+    // Each rerun entry keeps BOTH readings — the possibly-poisoned
+    // first pass and the quiet re-time — so a reader can tell "loaded
+    // machine, rerun agreed" from "genuine regression" without
+    // rebuilding the story from round-over-round diffs.
+    val firstByName = firstPass.toMap
+    val reruns = suspects.map { n =>
+      s"""{"name":"$n","first":${firstByName.getOrElse(n, -1.0)},""" +
+        s""""rerun":${rerun.getOrElse(n, -1.0)}}"""
+    }.mkString("[", ",", "]")
     val droppedJson = suspectsDropped.map(n => s"\"$n\"")
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
