@@ -266,16 +266,18 @@ object Stats {
         .select(col("event_type"), col("k"), r6(col("c")).as("r"), col("n"))
         .orderBy("event_type", "k")),
 
-    // A3: correlation p-value — native Catalyst expression (Student-t
-    // via regularized incomplete beta, codegen'd straight into the
-    // stage; see PearsonPValue). Not SQL-expressible in DuckDB →
-    // rows-only check; exact values covered by StudentTSpec goldens.
+    // A3: correlation p-value — Student-t via the PINNED-iteration
+    // incomplete-beta chain (PinnedBeta), fed the ROUNDED r the
+    // oracle reproduces bit-exactly (the a41 flip precedent), so the
+    // p column is cross-engine hash-checked; 6-dp output for the
+    // prefactor's exp/ln. Flipped from rows-only in round 14; the
+    // chain anchors to the quadrature kernel in PinnedBetaSpec.
     "a3_corr_pvalue" -> ((s, d) =>
       grid(s, d)
         .select(col("event_type"), col("k"),
-          r6(col("c")).as("r"), col("n"),
-          r6(graft.functions.PearsonPValue.pValue(col("c"), col("n")))
-            .as("p_value"))
+          r6(col("c")).as("r"), col("n"))
+        .select(col("event_type"), col("k"), col("r"), col("n"),
+          r6(PinnedBeta.pearsonPCol(col("r"), col("n"))).as("p_value"))
         .orderBy("event_type", "k")),
 
     // A52: one-way ANOVA — does mean(value) differ across the k event
@@ -316,17 +318,16 @@ object Stats {
             .as("f_stat"))
     }),
 
-    // A52 p twin — upper-tail F p at (k−1, N−k) via the FPValue
-    // codegen kernel (incomplete beta, the same machinery the t and
-    // χ² twins trust). Rows-only; StatsSpec anchors by recomputation
-    // from a52's oracle-checked row.
+    // A52 p twin — upper-tail F p at (k−1, N−k) via the pinned
+    // incomplete-beta chain (PinnedBeta; flipped from rows-only in
+    // round 14) on a52's oracle-checked rounded F row.
     "a52_anova_pvalue" -> ((s, d) =>
       queries("a52_anova")(s, d)
         .select(col("f_stat"),
           (col("k") - 1).cast("double").as("d1"),
           (col("n") - col("k")).cast("double").as("d2"))
         .select(col("f_stat"), col("d1"), col("d2"),
-          r6(graft.functions.FPValue.pValue(col("f_stat"), col("d1"),
+          r6(PinnedBeta.fUpperPCol(col("f_stat"), col("d1"),
             col("d2"))).as("p_value"))),
 
     // A51: Hurst exponent by rescaled-range (R/S) analysis — the
@@ -747,17 +748,15 @@ object Stats {
           r6(col("t_raw")).as("t_stat"), r6(col("df_raw")).as("df_welch"))
     }),
 
-    // A28 p-value twin: adds the two-sided p at the FRACTIONAL Welch
-    // df via the TTestPValue codegen expression (the incomplete-beta
-    // kernel is continuous in df). Not SQL-expressible → rows-only;
-    // every other column anchors to the oracle-checked a28 row
-    // (StatsSpec asserts the match + recomputes p from the
-    // golden-tested kernel).
+    // A28 p-value twin: two-sided p at the FRACTIONAL Welch df — the
+    // pinned incomplete-beta chain is continuous in df exactly like
+    // the kernel, so even Satterthwaite's non-integer df replays in
+    // DuckDB (PinnedBeta; flipped from rows-only in round 14). Inputs
+    // are a28's own rounded t/df columns, hash-checked upstream.
     "a28_welch_pvalue" -> ((s, d) => {
       val base = queries("a28_welch_ttest")(s, d)
       base.withColumn("p_value",
-        r6(graft.functions.TTestPValue.pValue(
-          col("t_stat"), col("df_welch"))))
+        r6(PinnedBeta.tTwoSidedPCol(col("t_stat"), col("df_welch"))))
     }),
 
     // A29: Benford first-digit screen — the classic financial-forensics
@@ -3081,15 +3080,16 @@ object Stats {
     }),
 
     // A74 p twin — Levene's W is F-distributed at (k−1, N−k) under
-    // H₀; upper tail via the FPValue kernel. Rows-only; StatsSpec
-    // anchors by recomputation from a74's oracle-checked row.
+    // H₀; upper tail via the pinned incomplete-beta chain
+    // (PinnedBeta; flipped from rows-only in round 14) on a74's
+    // oracle-checked rounded W row.
     "a74_levene_pvalue" -> ((s, d) =>
       queries("a74_levene")(s, d)
         .select(col("w_stat"),
           (col("k") - 1).cast("double").as("d1"),
           (col("n") - col("k")).cast("double").as("d2"))
         .select(col("w_stat"), col("d1"), col("d2"),
-          r6(graft.functions.FPValue.pValue(col("w_stat"), col("d1"),
+          r6(PinnedBeta.fUpperPCol(col("w_stat"), col("d1"),
             col("d2"))).as("p_value"))),
 
     // A41 p-value twin — χ² folded in (type, dow) order over the
@@ -7779,6 +7779,83 @@ object Stats {
                   FROM m14),
           $defs
           SELECT chi2, df, round(p14, 6) AS p_value FROM $last"""
+    },
+    // The four incomplete-beta twins (PinnedBeta): each chain feeds
+    // on its main query's ROUNDED, hash-checked statistic columns;
+    // guarded rows get safe dummies (DuckDB ln() errors on ≤ 0) and
+    // the final CASE never reads the chain there.
+    "a3_corr_pvalue" -> {
+      val (defs, last) = PinnedBeta.betaincSqlCtes("f14",
+        "CASE WHEN ok THEN dfd / 2.0 ELSE 1.0 END",
+        "CAST(0.5 AS DOUBLE)",
+        "CASE WHEN ok THEN dfd / (dfd + t2) ELSE 0.5 END",
+        "p14", "b14_")
+      s"""WITH RECURSIVE m14 AS (${baseOracles("a3_corr_grid")}),
+          f14 AS (SELECT event_type, k, r, n,
+                    CAST(n - 2 AS DOUBLE) AS dfd,
+                    (r IS NOT NULL AND n >= 3 AND abs(r) < 1.0) AS ok,
+                    CASE WHEN r IS NOT NULL AND n >= 3 AND abs(r) < 1.0
+                      THEN r * r * dfd / (1.0 - r * r) END AS t2
+                  FROM m14),
+          $defs
+          SELECT event_type, k, r, n,
+                 CASE WHEN r IS NULL OR n < 3 THEN NULL
+                      WHEN abs(r) >= 1.0 THEN 0.0
+                      ELSE round(p14, 6) END AS p_value
+          FROM $last ORDER BY event_type, k"""
+    },
+    "a28_welch_pvalue" -> {
+      val (defs, last) = PinnedBeta.betaincSqlCtes("f14",
+        "CASE WHEN ok THEN df_welch / 2.0 ELSE 1.0 END",
+        "CAST(0.5 AS DOUBLE)",
+        "CASE WHEN ok THEN df_welch / (df_welch + t_stat * t_stat) " +
+          "ELSE 0.5 END",
+        "p14", "b14_")
+      s"""WITH RECURSIVE m14 AS (${baseOracles("a28_welch_ttest")}),
+          f14 AS (SELECT *, (t_stat IS NOT NULL AND df_welch IS NOT NULL
+                             AND df_welch > 0.0) AS ok FROM m14),
+          $defs
+          SELECT n_a, n_b, mean_a, mean_b, t_stat, df_welch,
+                 CASE WHEN ok THEN round(p14, 6) END AS p_value
+          FROM $last"""
+    },
+    "a52_anova_pvalue" -> {
+      val (defs, last) = PinnedBeta.betaincSqlCtes("f14",
+        "CASE WHEN ok THEN d2 / 2.0 ELSE 1.0 END",
+        "CASE WHEN ok THEN d1 / 2.0 ELSE 1.0 END",
+        "CASE WHEN ok THEN d2 / (d2 + d1 * f_stat) ELSE 0.5 END",
+        "p14", "b14_")
+      s"""WITH RECURSIVE m14 AS (${baseOracles("a52_anova")}),
+          f14 AS (SELECT f_stat,
+                    CAST(k - 1 AS DOUBLE) AS d1,
+                    CAST(n - k AS DOUBLE) AS d2,
+                    (f_stat IS NOT NULL AND f_stat >= 0.0 AND
+                     CAST(k - 1 AS DOUBLE) >= 1.0 AND
+                     CAST(n - k AS DOUBLE) >= 1.0) AS ok
+                  FROM m14),
+          $defs
+          SELECT f_stat, d1, d2,
+                 CASE WHEN ok THEN round(p14, 6) END AS p_value
+          FROM $last"""
+    },
+    "a74_levene_pvalue" -> {
+      val (defs, last) = PinnedBeta.betaincSqlCtes("f14",
+        "CASE WHEN ok THEN d2 / 2.0 ELSE 1.0 END",
+        "CASE WHEN ok THEN d1 / 2.0 ELSE 1.0 END",
+        "CASE WHEN ok THEN d2 / (d2 + d1 * w_stat) ELSE 0.5 END",
+        "p14", "b14_")
+      s"""WITH RECURSIVE m14 AS (${baseOracles("a74_levene")}),
+          f14 AS (SELECT w_stat,
+                    CAST(k - 1 AS DOUBLE) AS d1,
+                    CAST(n - k AS DOUBLE) AS d2,
+                    (w_stat IS NOT NULL AND w_stat >= 0.0 AND
+                     CAST(k - 1 AS DOUBLE) >= 1.0 AND
+                     CAST(n - k AS DOUBLE) >= 1.0) AS ok
+                  FROM m14),
+          $defs
+          SELECT w_stat, d1, d2,
+                 CASE WHEN ok THEN round(p14, 6) END AS p_value
+          FROM $last"""
     }
   )
 }
