@@ -51,8 +51,11 @@ object BacktestConfig {
   * `coalesce(1).mapPartitions` running the pure fold. At 100 TB the
   * fold input stays the same size; only the upstream agg scales.
   *
-  * Not SQL-expressible → omitted from oracleSql (rows-only check);
-  * exact semantics covered by BacktestSpec invariants + golden fold.
+  * Round 14: the fold IS hash-checked — [[foldOracleSql]] replays the
+  * whole state machine as a DuckDB recursive CTE over the dumped
+  * input frame, bit-identical at every SF for both shipped configs;
+  * BacktestSpec invariants + the golden folds stay as semantic
+  * anchors.
   */
 object Backtest {
 
@@ -171,12 +174,29 @@ object Backtest {
           .when(col("price") < 80, "SELL")
           .otherwise("HOLD").as("signal"))
 
+  /** Materialized-intermediate dump of [[dayInputs]] — the fold's
+    * input frame. The ONE non-replayable op upstream of the fold is
+    * the float `avg(value)` price (summation-order-sensitive across
+    * engines), so the fold queries consume these dumped bytes and the
+    * round-14 fold oracles replay the ENTIRE day-ordered state
+    * machine from the identical inputs (see [[foldOracleSql]]).
+    * O(days × keys) rows — tiny at any fact-table scale. */
+  private[operators] def T7InDump(d: String) = Dumps.path("t7_in", d)
+
+  private def inputsDumped(s: SparkSession, d: String): DataFrame = {
+    dayInputs(s, d)
+      .select(col("day"), col("key"), col("signal"), col("price"))
+      .write.mode("overwrite").parquet(T7InDump(d))
+    s.read.parquet(T7InDump(d))
+  }
+
   /** The full fold as a DataFrame query (single deliberate partition
-    * over the already-aggregated day rows only). */
+    * over the already-aggregated day rows only), reading the dumped
+    * input frame so the DuckDB fold replay sees identical bytes. */
   def run(s: SparkSession, d: String,
           cfg: BacktestConfig = BacktestConfig.Default): DataFrame = {
     import s.implicits._
-    val in = dayInputs(s, d)
+    val in = inputsDumped(s, d)
       .select(col("day"), col("key"), col("signal"), col("price"))
       .as[DayRow]
     in.coalesce(1).sortWithinPartitions("day", "key")
@@ -370,17 +390,211 @@ object Backtest {
       tradeAgg.crossJoin(streaks).crossJoin(eqAgg).crossJoin(ddPeriod)
   }
 
-  /** The fold itself (t7_portfolio_fold, _h24) is order-sensitive and
-    * not SQL-expressible — rows-only, anchored by BacktestSpec +
-    * GoldenRunA/B. The three metric blocks ARE plain SQL over the fold
-    * output, so their oracles replay the full arithmetic from
-    * [[T7FoldDump]] (materialized-intermediate pattern, round 13).
-    * Convention notes mirrored from the a8/a10 oracles: counts cast to
-    * BIGINT (DuckDB sum(int) is HUGEINT); every Spark safeDiv becomes
-    * an explicit CASE (DuckDB double/0.0 is ±inf, Spark's guard is
-    * NULL); float casts saturate via the float-max/inf midpoint CASE
-    * (DuckDB CAST(… AS REAL) raises on overflow, Spark saturates). */
+  /** Round-14: the fold ITSELF is now hash-checked too —
+    * [[foldOracleSql]] replays the whole day-ordered state machine as
+    * a DuckDB recursive CTE over the dumped input frame ([[T7InDump]]).
+    * Every per-day op is +,−,×,÷ (IEEE-exact in both engines) plus the
+    * math.rint output rounding, emulated exactly as a floor/parity
+    * CASE — so the replay is BIT-IDENTICAL, verified at all three SFs
+    * for both shipped configs before landing. The three metric blocks
+    * are plain SQL over the fold output, so their oracles replay the
+    * full arithmetic from [[T7FoldDump]] (round 13). Convention notes
+    * mirrored from the a8/a10 oracles: counts cast to BIGINT (DuckDB
+    * sum(int) is HUGEINT); every Spark safeDiv becomes an explicit
+    * CASE (DuckDB double/0.0 is ±inf, Spark's guard is NULL); float
+    * casts saturate via the float-max/inf midpoint CASE (DuckDB
+    * CAST(… AS REAL) raises on overflow, Spark saturates). */
   private val Dump = s"'${Dumps.oraclePath("t7_fold")}/*.parquet'"
+
+  private val InDump = s"'${Dumps.oraclePath("t7_in")}/*.parquet'"
+
+  private def dlit(v: Double): String = s"CAST('${v}' AS DOUBLE)"
+
+  /** math.rint (round half to even) of column-reference expression
+    * `y`, exact for |y| < 2^52: floor() and the subtraction are
+    * IEEE-exact, ties resolve on the integer's parity. Callers must
+    * pass a COLUMN NAME (the 6 references would otherwise re-inline
+    * the producing expression — see the layering note below). */
+  private def rintSql(y: String): String =
+    s"(CASE WHEN (($y) - floor($y)) > 0.5 THEN floor($y) + 1.0 " +
+      s"WHEN (($y) - floor($y)) < 0.5 THEN floor($y) " +
+      s"WHEN CAST(floor($y) AS BIGINT) % 2 = 0 THEN floor($y) " +
+      s"ELSE floor($y) + 1.0 END)"
+
+  /** The DuckDB replay of [[fold]] — a WITH RECURSIVE CTE iterating
+    * one day per recursion step over the [[T7InDump]] bytes, its state
+    * exactly the loop's: cash, the ≤maxPositions position slots in
+    * LinkedHashMap INSERTION order (each carrying its lastPrice), and
+    * this day's emitted trade rows as a struct list. Key-ordered exit
+    * cash additions (list_sort), compounding entries (one layer per
+    * entry), insertion-ordered mark-to-market — every float op in the
+    * loop's own order.
+    *
+    * Layering is load-bearing: DuckDB inlines same-SELECT lateral
+    * aliases by EXPRESSION SUBSTITUTION, so a chain like
+    * cash_e3 → cash_e2 → … referenced 4-5× per level explodes the
+    * bound tree exponentially (the first draft took 10 s PER
+    * ITERATION and OOM'd at 5 days). Each stage therefore lives in
+    * its own nested subquery, making every cross-stage reference a
+    * projected column read. */
+  private[operators] def foldOracleSql(cfg: BacktestConfig): String = {
+    val mp = cfg.maxPositions
+    val slots = 1 to mp
+    val (ic, pf, sl, tp, co, sp) = (dlit(cfg.initialCash),
+      dlit(cfg.positionFrac), dlit(cfg.stopLoss), dlit(cfg.takeProfit),
+      dlit(cfg.cost), dlit(cfg.slippage))
+    val pst = "STRUCT(k BIGINT, e DOUBLE, s DOUBLE, h INTEGER, px DOUBLE)[]"
+    val trt = "STRUCT(key BIGINT, e DOUBLE, xp DOUBLE, sh DOUBLE, " +
+      "pnl DOUBLE, pct DOUBLE, reason VARCHAR, dh INTEGER)[]"
+
+    val layers = Seq.newBuilder[Seq[String]]
+    // slot px refresh (lastPrice update) + aging
+    layers += (slots.map(i =>
+        s"coalesce(list_filter(oal, x -> x.k = ops[$i].k)[1].p, " +
+          s"ops[$i].px) AS px$i") ++
+      slots.map(i => s"ops[$i].h + 1 AS hh$i"))
+    // exit decisions + trade arithmetic, one dependency level per layer
+    layers += (slots.map(i => s"px$i / ops[$i].e - 1.0 AS ret$i") ++
+      slots.map(i => s"px$i * (1.0 - $sp) AS pxs$i"))
+    layers += (slots.map(i =>
+        s"CASE WHEN ret$i <= $sl THEN 'stop_loss' " +
+          s"WHEN ret$i >= $tp THEN 'take_profit' " +
+          s"WHEN hh$i >= ${cfg.holdDays} THEN 'hold_period' END AS reason$i") ++
+      slots.map(i => s"ops[$i].s * pxs$i * (1.0 - $co) AS proceeds$i") ++
+      slots.map(i => s"ops[$i].s * ops[$i].e AS costb$i"))
+    layers += slots.map(i => s"proceeds$i - costb$i AS pnl$i")
+    layers += (slots.map(i => s"pnl$i * 1000000.0 AS pnl6_$i") ++
+      slots.map(i => s"pnl$i / costb$i * 100000000.0 AS pct8_$i"))
+    layers += (slots.map(i =>
+        s"${rintSql(s"pnl6_$i")} / 1000000.0 AS pnlr$i") ++
+      slots.map(i => s"${rintSql(s"pct8_$i")} / 100000000.0 AS pctr$i"))
+    // key-ordered exit proceeds, insertion-ordered survivors, trades
+    val pe = "list_sort(list_filter([" + slots.map(i =>
+        s"CASE WHEN reason$i IS NOT NULL THEN " +
+          s"{'k': ops[$i].k, 'p': proceeds$i} END").mkString(", ") +
+      "], x -> x IS NOT NULL))"
+    layers += Seq(
+      s"$pe AS pe",
+      "list_filter([" + slots.map(i =>
+          s"CASE WHEN len(ops) >= $i AND reason$i IS NULL THEN " +
+            s"{'k': ops[$i].k, 'e': ops[$i].e, 's': ops[$i].s, " +
+            s"'h': hh$i, 'px': px$i} END").mkString(", ") +
+        "], x -> x IS NOT NULL) AS ps1",
+      "list_filter([" + slots.map(i =>
+          s"CASE WHEN reason$i IS NOT NULL THEN " +
+            s"{'key': ops[$i].k, 'e': ops[$i].e, 'xp': pxs$i, " +
+            s"'sh': ops[$i].s, 'pnl': pnlr$i, 'pct': pctr$i, " +
+            s"'reason': reason$i, 'dh': hh$i} END").mkString(", ") +
+        "], x -> x IS NOT NULL) AS tr1")
+    layers += Seq(
+      slots.foldLeft("ocash")((acc, i) =>
+        s"($acc + coalesce(pe[$i].p, 0.0))") + " AS cash_ae",
+      "list_transform(ps1, x -> x.k) AS held",
+      s"$mp - len(ps1) AS ncap")
+    layers += Seq(
+      "list_filter(obl, x -> NOT list_contains(held, x.k) AND x.p > 0.0)" +
+        " AS elig")
+    // sequential entries: the kernel's byKey scan takes the first
+    // ncap eligible BUYs with compounding cash — one entry per layer
+    var prevCash = "cash_ae"
+    for (j <- slots) {
+      layers += Seq(
+        s"struct_extract(elig[$j], 'k') AS ck$j",
+        s"struct_extract(elig[$j], 'p') AS cp$j",
+        s"($j <= ncap AND elig[$j] IS NOT NULL AND $prevCash > 0.0) AS do$j")
+      layers += Seq(
+        s"cp$j * (1.0 + $sp) AS pxb$j",
+        s"$prevCash * $pf AS alloc$j")
+      layers += Seq(s"alloc$j / (pxb$j * (1.0 + $co)) AS sh$j")
+      layers += Seq(
+        s"CASE WHEN do$j THEN $prevCash - sh$j * pxb$j * (1.0 + $co) " +
+          s"ELSE $prevCash END AS cash_e$j")
+      prevCash = s"cash_e$j"
+    }
+    layers += Seq(
+      "list_concat(ps1, list_filter([" + slots.map(j =>
+          s"CASE WHEN do$j THEN {'k': ck$j, 'e': pxb$j, 's': sh$j, " +
+            s"'h': CAST(0 AS INTEGER), 'px': cp$j} END").mkString(", ") +
+        "], x -> x IS NOT NULL)) AS ps_fin")
+    layers += Seq(
+      slots.foldLeft("0.0")((acc, i) =>
+        s"($acc + coalesce(ps_fin[$i].s * ps_fin[$i].px, 0.0))") + " AS mtm")
+    layers += Seq(
+      s"($prevCash + mtm) * 1000000.0 AS eq6",
+      s"$prevCash * 1000000.0 AS ca6")
+    layers += Seq(
+      s"${rintSql("eq6")} / 1000000.0 AS equity1",
+      s"${rintSql("ca6")} / 1000000.0 AS cashr1")
+
+    val inner =
+      s"""SELECT f.m AS m, f.ps AS ops, f.cash AS ocash, d.day AS dday,
+         |       CASE WHEN b.bl IS NULL
+         |         THEN CAST([] AS STRUCT(k BIGINT, p DOUBLE)[])
+         |         ELSE b.bl END AS obl,
+         |       a.al AS oal
+         |FROM f JOIN di d ON d.i = f.m + 1
+         |       LEFT JOIN buys b ON b.day = d.day
+         |       JOIN allrows a ON a.day = d.day""".stripMargin
+    val body = layers.result().zipWithIndex.foldLeft(inner) {
+      case (b, (items, li)) =>
+        s"SELECT *, ${items.mkString(", ")}\nFROM ($b) l$li"
+    }
+
+    s"""WITH RECURSIVE
+       |di AS (SELECT day, row_number() OVER (ORDER BY day) AS i
+       |       FROM (SELECT DISTINCT day FROM $InDump)),
+       |buys AS (SELECT day, list({'k': key, 'p': price} ORDER BY key) AS bl
+       |         FROM $InDump WHERE signal = 'BUY' GROUP BY day),
+       |allrows AS (SELECT day, list({'k': key, 'p': price} ORDER BY key) AS al
+       |            FROM $InDump GROUP BY day),
+       |f AS (
+       |  SELECT CAST(0 AS BIGINT) AS m, CAST(NULL AS TIMESTAMP) AS day,
+       |         CAST([] AS $pst) AS ps, $ic AS cash,
+       |         CAST(NULL AS DOUBLE) AS equity, CAST(NULL AS DOUBLE) AS cashr,
+       |         CAST(NULL AS INTEGER) AS np, CAST([] AS $trt) AS tr
+       |  UNION ALL
+       |  SELECT s.m + 1 AS m, s.dday AS day, s.ps_fin AS ps,
+       |         s.$prevCash AS cash, s.equity1 AS equity, s.cashr1 AS cashr,
+       |         CAST(len(s.ps_fin) AS INTEGER) AS np, s.tr1 AS tr
+       |  FROM ($body) s
+       |),
+       |last AS (SELECT * FROM f WHERE m = (SELECT max(m) FROM f)),
+       |fcu AS (SELECT day, unnest(ps) AS u FROM last),
+       |fc AS (SELECT day, u.k AS key, u.e AS e, u.s AS sh, u.h AS dh,
+       |              u.px AS px
+       |       FROM fcu),
+       |fct AS (SELECT day, key, e, sh, dh,
+       |          px * (1.0 - $sp) AS xp,
+       |          sh * (px * (1.0 - $sp)) * (1.0 - $co) - sh * e AS pnlraw,
+       |          sh * e AS costb
+       |        FROM fc),
+       |fcr AS (SELECT *, pnlraw * 1000000.0 AS p6,
+       |               pnlraw / costb * 100000000.0 AS p8 FROM fct),
+       |trrows AS (
+       |  SELECT day, unnest(tr, recursive := true) FROM f WHERE m >= 1
+       |),
+       |alltr AS (
+       |  SELECT day, key, e, xp, sh, pnl, pct, reason, dh FROM trrows
+       |  UNION ALL
+       |  SELECT day, key, e, xp, sh,
+       |         ${rintSql("p6")} / 1000000.0 AS pnl,
+       |         ${rintSql("p8")} / 100000000.0 AS pct,
+       |         'end_of_backtest' AS reason, dh
+       |  FROM fcr
+       |)
+       |SELECT 'trade' AS kind, day, key,
+       |       e AS "entryPrice", xp AS "exitPrice", sh AS shares,
+       |       pnl, pct AS "pnlPct", reason AS "exitReason",
+       |       CAST(dh AS INTEGER) AS "daysHeld",
+       |       0.0 AS equity, 0.0 AS cash, CAST(0 AS INTEGER) AS "numPositions"
+       |FROM alltr
+       |UNION ALL
+       |SELECT 'equity' AS kind, day, CAST(-1 AS BIGINT) AS key,
+       |       0.0, 0.0, 0.0, 0.0, 0.0, '', CAST(0 AS INTEGER),
+       |       equity, cashr, np
+       |FROM f WHERE m >= 1
+       |ORDER BY kind, day, key""".stripMargin
+  }
 
   /** DuckDB REAL-cast with Spark's IEEE saturation semantics. */
   private def fcast(e: String): String =
@@ -389,6 +603,8 @@ object Backtest {
        |     ELSE CAST(($e) AS REAL) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t7_portfolio_fold" -> foldOracleSql(BacktestConfig.Default),
+    "t7_portfolio_fold_h24" -> foldOracleSql(BacktestConfig.Hold24),
     "t7_trade_metrics" ->
       s"""WITH t AS (SELECT pnl FROM $Dump WHERE kind = 'trade')
          |SELECT count(*) AS n_trades,
