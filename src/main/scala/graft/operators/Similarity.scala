@@ -1104,6 +1104,60 @@ object Similarity {
         .orderBy("q_id", "rank")
     }),
 
+    // SIM22: IVF-PQ — the production billion-scale composition of
+    // SIM3's routing and SIM6's scan (FAISS's IndexIVFPQ, the
+    // default shape of real vector-search deployments): the coarse
+    // quantizer routes each query to its nprobe=2 inverted lists,
+    // the PQ codes of ONLY those lists score by 16 LUT lookups per
+    // row (no float vector is touched on the corpus-sized stage),
+    // the ADC top-100 shortlist re-ranks with the exact 64-d cosine.
+    // At 100 TB: the corpus shuffles once into lists at index-build
+    // time (the shared memoized ivfIndex), each probe reads ~2/16 of
+    // the CODES (16 bytes/vector, not 256), and exact math runs only
+    // on the bounded shortlist. Fully hash-checked: routing,
+    // codebook, ADC and re-rank are all deterministic SQL on both
+    // engines; recall vs the exact SIM1 top-5 pinned in
+    // SimilaritySpec.
+    "sim22_ivfpq_topk" -> ((s, d) => {
+      val cents = centroids(s, d)
+      val book = pqBook(s, d)
+      val inv = ivfIndex(s, d).select(col("c_id"), col("lst"))
+      val codes = pqEncoded(s, d).withColumnRenamed("vec_id", "c_id")
+      val q = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+        .withColumn("lut", graft.functions.PqCodec.luts(book)(col("embedding")))
+        .withColumn("probe", explode(slice(
+          reverse(array_sort(centCos(cents)(col("embedding"), col("nrm")))),
+          1, 2)))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("lut"), col("probe.cid").as("lst"))
+      val wp = Window.partitionBy("q_id")
+        .orderBy(col("pq_cos").desc, col("c_id"))
+      val shortlist = inv.join(broadcast(q), Seq("lst"))
+        .filter(col("q_id") =!= col("c_id"))
+        .dropDuplicates("q_id", "c_id")       // union of the 2 probes
+        .join(codes, Seq("c_id"))
+        .withColumn("adot", (1 to PqM).map(j =>
+          element_at(col("lut"),
+            (lit((j - 1) * PqK) + col(s"code_$j")).cast("int")))
+          .reduce(_ + _))
+        .withColumn("pq_cos", col("adot") / (col("qn") * col("xhat_n")))
+        .withColumn("prank", row_number().over(wp))
+        .filter(col("prank") <= 100)
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("c_id"))
+      shortlist
+        .withColumn("cn", sqrt(dot(col("embedding"), col("embedding"))))
+        .withColumn("cosine",
+          dot(col("qe"), col("embedding")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("c_id"),
+          r6(col("cosine")).as("cosine"))
+        .orderBy("q_id", "rank")
+    }),
+
     // SIM4a: the int8 quantization itself, one row per (vector,
     // dimension) — codebook-free symmetric SQ8. Exact integer
     // arithmetic end to end (round half-away-from-zero on both
@@ -1734,6 +1788,82 @@ object Similarity {
                       AS prank
              FROM sc s JOIN q USING (q_id) JOIN xh ON s.c_id = xh.vec_id
              WHERE s.q_id <> s.c_id)
+           WHERE prank <= 100),
+         exact AS (
+           SELECT sl.q_id, sl.c_id,
+                  list_sum(list_transform(generate_series(1, 64),
+                    i -> q.qe[i] * v.e[i])) /
+                  (q.qn * sqrt(list_sum(list_transform(
+                     generate_series(1, 64), i -> v.e[i] * v.e[i]))))
+                    AS cosine
+           FROM shortlist sl JOIN q USING (q_id)
+           JOIN v ON v.vec_id = sl.c_id)
+         SELECT q_id, rank, c_id, round(cosine, 6) AS cosine
+         FROM (SELECT q_id, c_id, cosine,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+               FROM exact)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
+    // SIM22: the sim3 routing CTEs (vec_id-keyed centroids,
+    // assignment/probe argmax with the cid DESC tiebreak) composed
+    // with the sim6 PQ CTEs (codebook, enc, LUT), the ADC scan
+    // restricted to the probed lists' candidates
+    "sim22_ivfpq_topk" ->
+      s"""$pqOracleCtes,
+         nn AS (
+           SELECT vec_id, e,
+                  sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+           FROM v),
+         icents AS (
+           SELECT vec_id AS cid, e, nrm FROM nn
+           WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16),
+         cc AS (
+           SELECT n.vec_id, c.cid,
+                  list_sum(list_transform(generate_series(1, len(n.e)),
+                    i -> n.e[i] * c.e[i])) / (n.nrm * c.nrm) AS cos
+           FROM nn n, icents c),
+         asg AS (
+           SELECT vec_id AS c_id, lst FROM (
+             SELECT vec_id, cid AS lst,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cos DESC, cid DESC) AS rk
+             FROM cc) WHERE rk = 1),
+         probes AS (
+           SELECT vec_id AS q_id, lst FROM (
+             SELECT vec_id, cid AS lst,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cos DESC, cid DESC) AS rk
+             FROM cc WHERE vec_id < 10) WHERE rk <= 2),
+         cand AS (
+           SELECT DISTINCT p.q_id, a.c_id
+           FROM probes p JOIN asg a ON a.lst = p.lst
+           WHERE a.c_id <> p.q_id),
+         q AS (
+           SELECT vec_id AS q_id, e AS qe,
+                  sqrt(list_sum(list_transform(generate_series(1, 64),
+                    i -> e[i] * e[i]))) AS qn
+           FROM v WHERE vec_id < 10),
+         lut AS (
+           SELECT q.q_id, j.j, c.c,
+                  list_sum(list_transform(generate_series(1, ${PqD}),
+                    i -> q.qe[(j.j-1)*${PqD} + i] * c.e[(j.j-1)*${PqD} + i]))
+                    AS pd
+           FROM q
+           CROSS JOIN generate_series(1, ${PqM}) AS j(j)
+           CROSS JOIN cents c),
+         sc AS (
+           SELECT l.q_id, enc.vec_id AS c_id,
+                  list_sum(list(l.pd ORDER BY enc.j)) AS adot
+           FROM enc JOIN lut l ON enc.j = l.j AND enc.code = l.c
+           JOIN cand ON cand.q_id = l.q_id AND cand.c_id = enc.vec_id
+           GROUP BY 1, 2),
+         shortlist AS (
+           SELECT q_id, c_id FROM (
+             SELECT s.q_id, s.c_id,
+                    row_number() OVER (PARTITION BY s.q_id
+                      ORDER BY s.adot / (q.qn * sqrt(xh.xn2)) DESC, s.c_id)
+                      AS prank
+             FROM sc s JOIN q USING (q_id) JOIN xh ON s.c_id = xh.vec_id)
            WHERE prank <= 100),
          exact AS (
            SELECT sl.q_id, sl.c_id,

@@ -1641,6 +1641,97 @@ object Stats {
         .orderBy("event_type")
     }),
 
+    // A121: Lilliefors normality test — the FITTED-parameter KS that
+    // A33's two-sample machinery cannot express: D compares each
+    // type's daily-mean ECDF against the normal fitted to the same
+    // sample (μ̂, sample σ̂), the correction that invalidates plain KS
+    // critical values. Φ evaluates through the PinnedSeries erfc
+    // chain (pure polynomial — bit-identical cross-engine), the
+    // moments through decimal-pinned sums, so D ships as a RAW
+    // double, fully hash-checked; p is the published
+    // Dallal–Wilkinson (1986) closed form with the Stephens (1974)
+    // polynomial fallback past its p > 0.1 validity range (the
+    // R nortest::lillie.test construction), 6-dp for its exp/pow,
+    // clamped to [0, 1]. Degenerate corpora (zero variance, n < 4)
+    // drop the group, never throw (the empty-ratchet contract).
+    // Scale: one corpus-sized daily hash agg; ranking and the erfc
+    // chain run on the O(types × days) frame.
+    "a121_lilliefors" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(24,10)")).cast("double") /
+          count(lit(1))).as("v"))
+      def dsum(c: Column) = sum(c.cast("decimal(30,12)")).cast("double")
+      val fit = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("v")).as("s1"),
+          dsum(col("v") * col("v")).as("s2"))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("mu", col("s1") / col("nd"))
+        .withColumn("vr",
+          (col("s2") - col("s1") * col("s1") / col("nd")) /
+            (col("nd") - lit(1.0)))
+        .withColumn("sd", when(col("vr") > 0, sqrt(col("vr"))))
+        .select(col("event_type"), col("n"), col("nd"), col("mu"),
+          col("sd"))
+      val wRank = Window.partitionBy("event_type").orderBy("v", "day")
+      val rows = daily.join(broadcast(fit), Seq("event_type"))
+        .filter(col("sd").isNotNull && col("n") >= 4)
+        .withColumn("z", (col("v") - col("mu")) / col("sd"))
+        .withColumn("ec",
+          PinnedSeries.erfcCol(abs(col("z")) / sqrt(lit(2.0))))
+        .withColumn("phi",
+          when(col("z") >= 0, lit(1.0) - lit(0.5) * col("ec"))
+            .otherwise(lit(0.5) * col("ec")))
+        .withColumn("rn", row_number().over(wRank).cast("double"))
+        .withColumn("drow", greatest(
+          col("rn") / col("nd") - col("phi"),
+          col("phi") - (col("rn") - lit(1.0)) / col("nd")))
+      // d_stat is 6-dp: the decimal(30,12) pin on v² leaves one ulp
+      // of cross-engine noise at |v²| ≳ 1e4 (the scale-vs-magnitude
+      // hazard), so the raw sup is not bit-stable; the p chain feeds
+      // on the ROUNDED d (the a41 discipline) so it stays replayable
+      rows.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), max(col("nd")).as("nd"),
+          r6(max(col("drow"))).as("d_stat"))
+        .withColumn("kd", when(col("n") > 100,
+            col("d_stat") * pow(col("nd") / lit(100.0), lit(0.49)))
+          .otherwise(col("d_stat")))
+        .withColumn("ndd",
+          when(col("n") > 100, lit(100.0)).otherwise(col("nd")))
+        .withColumn("pdw", exp(
+          lit(-7.01256) * (col("kd") * col("kd")) *
+            (col("ndd") + lit(2.78019)) +
+            lit(2.99587) * col("kd") * sqrt(col("ndd") + lit(2.78019)) -
+            lit(0.122119) + lit(0.974598) / sqrt(col("ndd")) +
+            lit(1.67997) / col("ndd")))
+        .withColumn("kk",
+          (sqrt(col("nd")) - lit(0.01) + lit(0.85) / sqrt(col("nd"))) *
+            col("d_stat"))
+        .withColumn("k2", col("kk") * col("kk"))
+        .withColumn("k3", col("k2") * col("kk"))
+        .withColumn("k4", col("k3") * col("kk"))
+        .withColumn("p_raw",
+          when(col("pdw") <= lit(0.1), col("pdw"))
+            .when(col("kk") <= lit(0.302), lit(1.0))
+            .when(col("kk") <= lit(0.5),
+              lit(2.76773) - lit(19.828315) * col("kk") +
+                lit(80.709644) * col("k2") - lit(138.55152) * col("k3") +
+                lit(81.218052) * col("k4"))
+            .when(col("kk") <= lit(0.9),
+              lit(-4.901232) + lit(40.662806) * col("kk") -
+                lit(97.490286) * col("k2") + lit(94.029866) * col("k3") -
+                lit(32.355711) * col("k4"))
+            .when(col("kk") <= lit(1.31),
+              lit(6.198765) - lit(19.558097) * col("kk") +
+                lit(23.186922) * col("k2") - lit(12.234627) * col("k3") +
+                lit(2.423045) * col("k4"))
+            .otherwise(lit(0.0)))
+        .select(col("event_type"), col("n"), col("d_stat"),
+          r6(least(lit(1.0), greatest(lit(0.0), col("p_raw"))))
+            .as("p_value"))
+        .orderBy("event_type")
+    }),
+
     // A68: Ljung–Box portmanteau test per event type — "is there ANY
     // serial dependence in the first 4 lags": Q = n(n+2)·Σ ρ²ₖ/(n−k)
     // over A40's per-lag autocorrelations (documented variant: ρₖ is
@@ -7779,6 +7870,90 @@ object Stats {
                   FROM m14),
           $defs
           SELECT chi2, df, round(p14, 6) AS p_value FROM $last"""
+    },
+    // A121: the whole statistic replays — decimal-pinned moments,
+    // the erfc-chain Φ per daily row, the ECDF sup, then the
+    // DW/Stephens p chain; d_stat is raw-double bit-identical, p is
+    // 6-dp for its exp/pow.
+    "a121_lilliefors" -> {
+      val (defs, last) = PinnedSeries.erfcSqlCtes("zr",
+        "abs(z) / sqrt(2.0)", "ec", "e14_")
+      s"""WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(CAST(sum(CAST(value AS DECIMAL(24,10))) AS VARCHAR)
+                        AS DOUBLE) / count(*) AS v
+            FROM events GROUP BY 1, 2),
+          fit0 AS (
+            SELECT event_type, count(*) AS n,
+                   CAST(CAST(sum(CAST(v AS DECIMAL(30,12))) AS VARCHAR)
+                        AS DOUBLE) AS s1,
+                   CAST(CAST(sum(CAST(v * v AS DECIMAL(30,12))) AS VARCHAR)
+                        AS DOUBLE) AS s2
+            FROM daily GROUP BY 1),
+          fit1 AS (
+            SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+                   s1 / CAST(n AS DOUBLE) AS mu,
+                   (s2 - s1 * s1 / CAST(n AS DOUBLE)) /
+                     (CAST(n AS DOUBLE) - 1.0) AS vr
+            FROM fit0),
+          fit AS (
+            SELECT event_type, n, nd, mu,
+                   CASE WHEN vr > 0 THEN sqrt(vr) END AS sd
+            FROM fit1),
+          zr AS (
+            SELECT d.event_type, d.v, f.n, f.nd,
+                   (d.v - f.mu) / f.sd AS z,
+                   CAST(row_number() OVER (PARTITION BY d.event_type
+                     ORDER BY d.v, d.day) AS DOUBLE) AS rn
+            FROM daily d JOIN fit f ON d.event_type = f.event_type
+            WHERE f.sd IS NOT NULL AND f.n >= 4),
+          $defs,
+          ph AS (
+            SELECT *, CASE WHEN z >= 0.0 THEN 1.0 - 0.5 * ec
+                           ELSE 0.5 * ec END AS phi
+            FROM $last),
+          dr AS (
+            SELECT *, greatest(rn / nd - phi, phi - (rn - 1.0) / nd)
+                      AS drow
+            FROM ph),
+          ds AS (
+            SELECT event_type, max(n) AS n, max(nd) AS nd,
+                   round(max(drow), 6) AS d_stat
+            FROM dr GROUP BY 1),
+          pk AS (
+            SELECT *,
+                   CASE WHEN n > 100
+                     THEN d_stat * pow(nd / 100.0, 0.49)
+                     ELSE d_stat END AS kd,
+                   CASE WHEN n > 100 THEN 100.0 ELSE nd END AS ndd,
+                   (sqrt(nd) - 0.01 + 0.85 / sqrt(nd)) * d_stat AS kk
+            FROM ds),
+          pk2 AS (
+            SELECT *,
+                   exp(-7.01256 * (kd * kd) * (ndd + 2.78019) +
+                       2.99587 * kd * sqrt(ndd + 2.78019) - 0.122119 +
+                       0.974598 / sqrt(ndd) + 1.67997 / ndd) AS pdw,
+                   kk * kk AS k2
+            FROM pk),
+          pk3 AS (SELECT *, k2 * kk AS k3, k2 * kk * kk AS k4x FROM pk2),
+          pr AS (
+            SELECT *,
+                   CASE WHEN pdw <= 0.1 THEN pdw
+                        WHEN kk <= 0.302 THEN 1.0
+                        WHEN kk <= 0.5 THEN
+                          2.76773 - 19.828315 * kk + 80.709644 * k2 -
+                          138.55152 * k3 + 81.218052 * k4x
+                        WHEN kk <= 0.9 THEN
+                          -4.901232 + 40.662806 * kk - 97.490286 * k2 +
+                          94.029866 * k3 - 32.355711 * k4x
+                        WHEN kk <= 1.31 THEN
+                          6.198765 - 19.558097 * kk + 23.186922 * k2 -
+                          12.234627 * k3 + 2.423045 * k4x
+                        ELSE 0.0 END AS p_raw
+            FROM pk3)
+          SELECT event_type, n, d_stat,
+                 round(least(1.0, greatest(0.0, p_raw)), 6) AS p_value
+          FROM pr ORDER BY event_type"""
     },
     // The four incomplete-beta twins (PinnedBeta): each chain feeds
     // on its main query's ROUNDED, hash-checked statistic columns;

@@ -2105,6 +2105,65 @@ object Windows {
         .orderBy("event_type", "day")
     }),
 
+    // W54: Heikin-Ashi candles — the smoothed-candle transform every
+    // charting stack derives from raw OHLC. ha_close = (o+h+l+c)/4 is
+    // elementwise, but ha_open is genuinely RECURSIVE — (prev ha_open
+    // + prev ha_close)/2, seeded at (o+c)/2 — so unlike the
+    // fixed-frame indicator family (W19–W53) no window frame
+    // expresses it. Spark shape: candles per type collect to a
+    // day-sorted array (bounded by the calendar — the T7 fold
+    // discipline: the sequential part runs on the O(days) aggregate,
+    // partition-parallel across types, never the fact table) and a
+    // left fold carries (ha_open, ha_close). The DuckDB oracle
+    // replays the recursion as a per-key recursive CTE (the round-14
+    // fold-replay tool); every op is +,÷ by 2/4 over exact candle
+    // extremes, so raw doubles hash-match with no rounding.
+    "w54_heikin_ashi" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"), col("day"))
+      val asc = part.orderBy(col("ts"), col("event_id"))
+      val candles = Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(asc))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(when(col("rn") === 1, col("value"))).as("o"),
+          max(col("value")).as("h"),
+          min(col("value")).as("l"),
+          max(when(col("rn") === col("cnt"), col("value"))).as("c"))
+      val packed = candles.groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("day"), col("o"),
+          col("h"), col("l"), col("c")))).as("cs"))
+      val hos = aggregate(col("cs"),
+        struct(array().cast("array<double>").as("hos"),
+          lit(0.0).as("ho"), lit(0.0).as("hc")),
+        (acc, cd) => {
+          val ho = when(size(acc.getField("hos")) === 0,
+              (cd.getField("o") + cd.getField("c")) / lit(2.0))
+            .otherwise((acc.getField("ho") + acc.getField("hc")) /
+              lit(2.0))
+          val hc = (((cd.getField("o") + cd.getField("h")) +
+            cd.getField("l")) + cd.getField("c")) / lit(4.0)
+          struct(concat(acc.getField("hos"), array(ho)).as("hos"),
+            ho.as("ho"), hc.as("hc"))
+        })
+      packed.withColumn("hos", hos.getField("hos"))
+        .select(col("event_type"),
+          posexplode(arrays_zip(col("cs"), col("hos"))))
+        .select(col("event_type"),
+          col("col.cs.day").as("day"),
+          col("col.cs.o").as("o"), col("col.cs.h").as("h"),
+          col("col.cs.l").as("l"), col("col.cs.c").as("c"),
+          col("col.hos").as("ha_open"))
+        .withColumn("ha_close",
+          (((col("o") + col("h")) + col("l")) + col("c")) / lit(4.0))
+        .select(col("event_type"), col("day"), col("ha_open"),
+          greatest(col("h"), col("ha_open"), col("ha_close"))
+            .as("ha_high"),
+          least(col("l"), col("ha_open"), col("ha_close")).as("ha_low"),
+          col("ha_close"))
+        .orderBy("event_type", "day")
+    }),
+
     // W11: resample + gap fill — the time-series normalization J4's
     // as-of idiom exists inside: each user's sparse daily series
     // expands onto its full [first_day, last_day] calendar spine
@@ -2338,6 +2397,47 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // w16's candle CTE, then the ha_open recursion replayed as a
+    // per-key recursive CTE (all types advance together, one candle
+    // per step) — pure +,÷ by 2/4, bit-identical raw doubles
+    "w54_heikin_ashi" ->
+      """WITH RECURSIVE e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+                  value
+           FROM events),
+         r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type, day) AS cnt
+           FROM e),
+         c AS (
+           SELECT event_type, day,
+                  max(CASE WHEN rn = 1 THEN value END) AS o,
+                  max(value) AS h, min(value) AS l,
+                  max(CASE WHEN rn = cnt THEN value END) AS c
+           FROM r GROUP BY 1, 2),
+         idx AS (
+           SELECT *, row_number() OVER (PARTITION BY event_type
+                                        ORDER BY day) AS rn2
+           FROM c),
+         f AS (
+           SELECT event_type, rn2, day, h, l,
+                  (o + c) / 2.0 AS ha_open,
+                  (((o + h) + l) + c) / 4.0 AS ha_close
+           FROM idx WHERE rn2 = 1
+           UNION ALL
+           SELECT i.event_type, i.rn2, i.day, i.h, i.l,
+                  (f.ha_open + f.ha_close) / 2.0 AS ha_open,
+                  (((i.o + i.h) + i.l) + i.c) / 4.0 AS ha_close
+           FROM f JOIN idx i ON i.event_type = f.event_type
+                            AND i.rn2 = f.rn2 + 1
+         )
+         SELECT event_type, day, ha_open,
+                greatest(h, ha_open, ha_close) AS ha_high,
+                least(l, ha_open, ha_close) AS ha_low,
+                ha_close
+         FROM f ORDER BY event_type, day""",
     "w14_cum_distinct" ->
       """WITH f AS (
            SELECT user_id, event_id, ts, event_type,

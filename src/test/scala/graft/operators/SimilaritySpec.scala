@@ -68,6 +68,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, f"recall $recall%.3f below 0.3")
   }
 
+  test("IVF-PQ results are IVF-routed and recall tracks the IVF path") {
+    // sim22 composes sim3's routing with sim6's ADC scan: every
+    // result must come from the query's probed lists (containment in
+    // sim3's candidate universe... sim3 returns top-5 of that
+    // universe, so assert against the candidate relation instead),
+    // and because the ADC shortlist (100) usually covers the ~1/8
+    // candidate slice, recall should track sim3's within a small gap
+    val exact = pairs("sim1_cosine_topk")
+    val ivf = pairs("sim3_ivf_ann")
+    val ivfpq = pairs("sim22_ivfpq_topk")
+    assert(ivfpq.nonEmpty)
+    val recall = exact.intersect(ivfpq).size.toDouble / exact.size
+    val recallIvf = exact.intersect(ivf).size.toDouble / exact.size
+    info(f"ivfpq recall = $recall%.3f vs ivf $recallIvf%.3f")
+    assert(recall >= 0.25, f"recall $recall%.3f below 0.25")
+    assert(recall >= recallIvf - 0.15,
+      f"ADC shortlist lost too much vs the IVF exact path")
+  }
+
   test("JL shortlist + exact re-rank recall vs brute force on sf0.001") {
     // the projected cosine alone reshuffles the weakly separated
     // neighbors (measured top-5 recall 0.16 at 16-d on these

@@ -3110,4 +3110,102 @@ class StatsSpec extends AnyFunSuite {
     assert(row.getDouble(row.fieldIndex("p_value")) < 0.05)
     assert(g1 > 1.0, "fixture must actually be skewed")
   }
+
+  test("w54 heikin-ashi equals a sequential candle recursion") {
+    val candles = graft.operators.Windows.queries("w16_ohlc_candles")(
+        spark, sf).collect()
+      .map(r => (r.getString(0), r.get(1).toString, r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .groupBy(_._1).map { case (t, rs) => t -> rs.sortBy(_._2).toList }
+    val got = graft.operators.Windows.queries("w54_heikin_ashi")(spark, sf)
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got.nonEmpty)
+    var checked = 0
+    candles.foreach { case (t, days) =>
+      var ho = 0.0; var hc = 0.0; var first = true
+      days.foreach { case (_, day, o, h, l, c) =>
+        val hoN = if (first) (o + c) / 2.0 else (ho + hc) / 2.0
+        val hcN = (((o + h) + l) + c) / 4.0
+        first = false; ho = hoN; hc = hcN
+        val want = (hoN, math.max(h, math.max(hoN, hcN)),
+          math.min(l, math.min(hoN, hcN)), hcN)
+        assert(got((t, day)) == want, s"$t $day: ${got((t, day))} vs $want")
+        checked += 1
+      }
+    }
+    assert(checked > 0, "vacuous sweep")
+  }
+
+  test("a121 lilliefors equals a sequential ECDF-sup recompute") {
+    import org.apache.spark.sql.functions._
+    // rebuild the decimal-pinned daily means sequentially
+    def dsum(xs: Seq[Double], scale: Int): Double =
+      xs.map(BigDecimal(_).setScale(scale, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val daily = graft.Tables.events(spark, sf)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .select(col("event_type"), col("day"), col("value")).collect()
+      .map(r => (r.getString(0), r.get(1).toString, r.getDouble(2)))
+      .groupBy(e => (e._1, e._2)).map { case ((t, day), es) =>
+        (t, day, dsum(es.map(_._3).toSeq, 10) / es.size)
+      }.toSeq.groupBy(_._1)
+    val got = Stats.queries("a121_lilliefors")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.nonEmpty)
+    // phi via the independent quadrature kernel: erfc(t) = Q(1/2, t2)
+    def phi(z: Double): Double = {
+      val ec = graft.functions.StudentT.gammaQ(0.5, z * z / 2.0)
+      if (z >= 0) 1.0 - 0.5 * ec else 0.5 * ec
+    }
+    daily.foreach { case (t, rs) =>
+      val n = rs.size
+      val vs = rs.map(_._3)
+      val s1 = dsum(vs, 12); val s2 = dsum(vs.map(v => v * v), 12)
+      val mu = s1 / n
+      val vr = (s2 - s1 * s1 / n) / (n - 1.0)
+      if (vr > 0 && n >= 4) {
+        val sd = math.sqrt(vr)
+        val sorted = rs.sortBy(e => (e._3, e._2)).zipWithIndex
+        val d = sorted.map { case ((_, _, v), i) =>
+          val p = phi((v - mu) / sd)
+          math.max((i + 1.0) / n - p, p - i.toDouble / n)
+        }.max
+        val (gn, gd, gp) = got(t)
+        assert(gn == n, s"$t n")
+        // query phi runs the pinned erfc series; kernel gammaQ agrees
+        // to ~1e-13 — D compares to that at the 6-dp grid, p (which
+        // feeds on the ROUNDED d) after its exp/pow likewise
+        assert(math.abs(gd - d) <= 1e-6 + 1e-10, s"$t D $gd vs $d")
+        // Dallal-Wilkinson + Stephens fallback recompute from the
+        // query's own rounded d (the chain input)
+        val dq = gd
+        val kd = if (n > 100) dq * math.pow(n / 100.0, 0.49) else dq
+        val nd = if (n > 100) 100.0 else n.toDouble
+        val pdw = math.exp(-7.01256 * (kd * kd) * (nd + 2.78019) +
+          2.99587 * kd * math.sqrt(nd + 2.78019) - 0.122119 +
+          0.974598 / math.sqrt(nd) + 1.67997 / nd)
+        val kk = (math.sqrt(n.toDouble) - 0.01 +
+          0.85 / math.sqrt(n.toDouble)) * dq
+        val praw =
+          if (pdw <= 0.1) pdw
+          else if (kk <= 0.302) 1.0
+          else if (kk <= 0.5) 2.76773 - 19.828315 * kk +
+            80.709644 * kk * kk - 138.55152 * math.pow(kk, 3) +
+            81.218052 * math.pow(kk, 4)
+          else if (kk <= 0.9) -4.901232 + 40.662806 * kk -
+            97.490286 * kk * kk + 94.029866 * math.pow(kk, 3) -
+            32.355711 * math.pow(kk, 4)
+          else if (kk <= 1.31) 6.198765 - 19.558097 * kk +
+            23.186922 * kk * kk - 12.234627 * math.pow(kk, 3) +
+            2.423045 * math.pow(kk, 4)
+          else 0.0
+        val want = math.min(1.0, math.max(0.0, praw))
+        assert(math.abs(gp - want) <= 2e-6, s"$t p $gp vs $want")
+        assert(gp >= 0.0 && gp <= 1.0 && gd >= 0.0 && gd <= 1.0)
+      } else assert(!got.contains(t), s"$t should have been dropped")
+    }
+  }
 }
