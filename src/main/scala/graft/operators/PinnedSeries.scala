@@ -65,19 +65,33 @@ object PinnedSeries {
   // ---------------------------------------------------------------
 
   /** erfc(t) for t ≥ 0 (NULL-propagating): 1 − (2/√π)·Σ uⱼ/(2j+1)
-    * with u₀ = t, uⱼ = uⱼ₋₁·(−t²)/j; 0.0 at/beyond the cut. */
+    * with u₀ = t, uⱼ = uⱼ₋₁·(−t²)/j; 0.0 at/beyond the cut.
+    *
+    * Implemented as an `aggregate` HOF fold, NOT an unrolled Column
+    * chain: the original 64-term unrolled tree compiled to a huge
+    * janino method whose COMPILATION (not evaluation) cost 8–20 s
+    * per query stage at bench time — the round-14 full sweep caught
+    * every chain-carrying p twin regressing from sub-second to
+    * 10 s+. The fold's expression tree is constant-size (the HOF is
+    * CodegenFallback, so no giant method is ever generated) and the
+    * per-step op order is IDENTICAL to the unrolled form — same
+    * left-associated adds, same divisors — so every hash-checked
+    * value is bit-for-bit unchanged (re-verified at all three SFs
+    * after the rewrite). */
   def erfcCol(t: Column): Column = {
     val m = -(t * t)
-    var u = t
-    var sum = u / lit(1.0)
-    var j = 1
-    while (j < ErfTerms) {
-      u = u * m / lit(j.toDouble)
-      sum = sum + u / lit((2 * j + 1).toDouble)
-      j += 1
-    }
+    val st = aggregate(
+      sequence(lit(1), lit(ErfTerms - 1)),
+      struct(t.as("u"), (t / lit(1.0)).as("sum")),
+      (acc, ji) => {
+        val j = ji.cast("double")
+        val u = acc.getField("u") * m / j
+        struct(u.as("u"),
+          (acc.getField("sum") +
+            u / (lit(2.0) * j + lit(1.0))).as("sum"))
+      })
     when(t >= lit(ErfCut), lit(0.0))
-      .otherwise(lit(1.0) - lit(TwoOverSqrtPi) * sum)
+      .otherwise(lit(1.0) - lit(TwoOverSqrtPi) * st.getField("sum"))
   }
 
   /** Two-sided normal tail P(|Z| > |z|) = erfc(|z|/√2). */
@@ -139,21 +153,30 @@ object PinnedSeries {
     val mEven = dfD / lit(2.0)              // gate: j < mEven
     val mOdd = (dfD - lit(1.0)) / lit(2.0)  // gate: j < mOdd
     // even series: t₀ = 1, tⱼ = tⱼ₋₁·y/j
-    var t = lit(1.0)
-    var sE = when(lit(0.0) < mEven, t).otherwise(lit(0.0))
     // odd series: r₀ = √y/Γ(3/2), rⱼ = rⱼ₋₁·y/(j+0.5)
-    var r = sqrt(y) / lit(GammaThreeHalves)
-    var sO = when(lit(0.0) < mOdd, r).otherwise(lit(0.0))
-    var j = 1
-    while (j < MaxHalfDf) {
-      t = t * y / lit(j.toDouble)
-      sE = sE + when(lit(j.toDouble) < mEven, t).otherwise(lit(0.0))
-      r = r * y / lit(j.toDouble + 0.5)
-      sO = sO + when(lit(j.toDouble) < mOdd, r).otherwise(lit(0.0))
-      j += 1
-    }
-    val pEven = exp(-y) * sE
-    val pOdd = erfcCol(sqrt(y)) + exp(-y) * sO
+    // Folded, not unrolled, for the same janino-compile-time reason
+    // as [[erfcCol]] — identical per-step op order, bit-identical
+    // values.
+    val r0 = sqrt(y) / lit(GammaThreeHalves)
+    val init = struct(
+      lit(1.0).as("t"),
+      when(lit(0.0) < mEven, lit(1.0)).otherwise(lit(0.0)).as("se"),
+      r0.as("r"),
+      when(lit(0.0) < mOdd, r0).otherwise(lit(0.0)).as("so"))
+    val st = aggregate(sequence(lit(1), lit(MaxHalfDf - 1)), init,
+      (acc, ji) => {
+        val j = ji.cast("double")
+        val t = acc.getField("t") * y / j
+        val r = acc.getField("r") * y / (j + lit(0.5))
+        struct(t.as("t"),
+          (acc.getField("se") +
+            when(j < mEven, t).otherwise(lit(0.0))).as("se"),
+          r.as("r"),
+          (acc.getField("so") +
+            when(j < mOdd, r).otherwise(lit(0.0))).as("so"))
+      })
+    val pEven = exp(-y) * st.getField("se")
+    val pOdd = erfcCol(sqrt(y)) + exp(-y) * st.getField("so")
     when(dfD >= lit(1.0) && dfD <= lit(2.0 * MaxHalfDf) &&
         (dfD % lit(2.0)) === lit(0.0), pEven)
       .when(dfD >= lit(1.0) && dfD <= lit(2.0 * MaxHalfDf) &&
