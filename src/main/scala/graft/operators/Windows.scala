@@ -2164,6 +2164,78 @@ object Windows {
         .orderBy("event_type", "day")
     }),
 
+    // W55: Parabolic SAR — Wilder's stop-and-reverse, THE canonical
+    // branchy-recursive indicator (state = trend direction, SAR
+    // level, extreme point, acceleration factor, and the two prior
+    // lows/highs for the clamp; every update is a CASE on a
+    // comparison against the evolving state — strictly beyond any
+    // window frame AND beyond W54's linear recursion). Kernel
+    // (documented variant: seed long at candle 1 with SAR = low₁,
+    // EP = high₁, AF = 0.02; step 0.02, cap 0.2; two-prior-period
+    // clamp): sarP = sar + af·(ep − sar); long clamps
+    // least(sarP, l₁, l₂) and reverses when low(t) crosses under —
+    // new SAR = EP, EP = low(t), AF resets; the short side mirrors.
+    // Same Spark shape as W54 (per-type calendar-bounded candle
+    // fold), same oracle tool (per-key recursive CTE); min/max,
+    // +, × only — raw doubles hash-match at every SF.
+    "w55_parabolic_sar" -> ((s, d) => {
+      // only the extremes — no open/close, so no intra-day window
+      val candles = Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("value")).as("h"), min(col("value")).as("l"))
+      val packed = candles.groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("day"), col("h"),
+          col("l")))).as("cs"))
+      val outT = "array<struct<day:timestamp,sar:double,is_up:boolean," +
+        "ep:double,af:double,reversal:boolean>>"
+      val folded = aggregate(col("cs"),
+        struct(lit(true).as("up"), lit(0.0).as("sar"), lit(0.0).as("ep"),
+          lit(0.02).as("af"), lit(0.0).as("l1"), lit(0.0).as("l2"),
+          lit(0.0).as("h1"), lit(0.0).as("h2"),
+          expr(s"CAST(array() AS $outT)").as("out")),
+        (acc, cd) => {
+          val (dy, hi, lo) = (cd.getField("day"), cd.getField("h"),
+            cd.getField("l"))
+          val first = size(acc.getField("out")) === 0
+          val (up, sar, ep, af) = (acc.getField("up"), acc.getField("sar"),
+            acc.getField("ep"), acc.getField("af"))
+          val sarP = sar + af * (ep - sar)
+          val clampU = least(sarP, acc.getField("l1"), acc.getField("l2"))
+          val clampD = greatest(sarP, acc.getField("h1"), acc.getField("h2"))
+          val revU = up && lo < clampU       // long stopped out
+          val revD = !up && hi > clampD      // short stopped out
+          val up2 = when(first, lit(true))
+            .when(revU, lit(false)).when(revD, lit(true)).otherwise(up)
+          val sar2 = when(first, lo)
+            .when(revU || revD, ep)
+            .when(up, clampU).otherwise(clampD)
+          val ep2 = when(first, hi)
+            .when(revU, lo).when(revD, hi)
+            .when(up, greatest(ep, hi)).otherwise(least(ep, lo))
+          val af2 = when(first || revU || revD, lit(0.02))
+            .when(up && hi > ep || !up && lo < ep,
+              least(af + lit(0.02), lit(0.2)))
+            .otherwise(af)
+          val rev = when(first, lit(false)).otherwise(revU || revD)
+          struct(up2.as("up"), sar2.as("sar"), ep2.as("ep"), af2.as("af"),
+            lo.as("l1"),
+            when(first, lo).otherwise(acc.getField("l1")).as("l2"),
+            hi.as("h1"),
+            when(first, hi).otherwise(acc.getField("h1")).as("h2"),
+            concat(acc.getField("out"), array(struct(dy.as("day"),
+              sar2.as("sar"), up2.as("is_up"), ep2.as("ep"), af2.as("af"),
+              rev.as("reversal")))).as("out"))
+        })
+      packed.select(col("event_type"),
+          explode(folded.getField("out")).as("o"))
+        .select(col("event_type"), col("o.day").as("day"),
+          col("o.sar").as("sar"), col("o.is_up").as("is_up"),
+          col("o.ep").as("ep"), col("o.af").as("af"),
+          col("o.reversal").as("reversal"))
+        .orderBy("event_type", "day")
+    }),
+
     // W11: resample + gap fill — the time-series normalization J4's
     // as-of idiom exists inside: each user's sparse daily series
     // expands onto its full [first_day, last_day] calendar spine
@@ -2437,6 +2509,72 @@ object Windows {
                 greatest(h, ha_open, ha_close) AS ha_high,
                 least(l, ha_open, ha_close) AS ha_low,
                 ha_close
+         FROM f ORDER BY event_type, day""",
+    // w55: candle CTE, then the SAR state machine replayed as a
+    // per-key recursive CTE — state (up, sar, ep, af, two prior
+    // lows/highs) advances one candle per step; min/max/+/× only
+    "w55_parabolic_sar" ->
+      """WITH RECURSIVE e AS (
+           SELECT event_type, date_trunc('day', ts) AS day, value
+           FROM events),
+         c AS (
+           SELECT event_type, day, max(value) AS h, min(value) AS l
+           FROM e GROUP BY 1, 2),
+         idx AS (
+           SELECT *, row_number() OVER (PARTITION BY event_type
+                                        ORDER BY day) AS rn2
+           FROM c),
+         f AS (
+           SELECT event_type, rn2, day,
+                  TRUE AS up, l AS sar, h AS ep,
+                  CAST(0.02 AS DOUBLE) AS af,
+                  l AS l1, l AS l2, h AS h1, h AS h2,
+                  FALSE AS reversal
+           FROM idx WHERE rn2 = 1
+           UNION ALL
+           SELECT event_type, rn2, day, up2 AS up, sar2 AS sar,
+                  ep2 AS ep, af2 AS af,
+                  lo AS l1, ol1 AS l2, hi AS h1, oh1 AS h2,
+                  rev AS reversal
+           FROM (
+             SELECT *,
+               CASE WHEN revU THEN FALSE WHEN revD THEN TRUE
+                    ELSE up END AS up2,
+               CASE WHEN revU OR revD THEN ep
+                    WHEN up THEN clampU ELSE clampD END AS sar2,
+               CASE WHEN revU THEN lo WHEN revD THEN hi
+                    WHEN up THEN greatest(ep, hi)
+                    ELSE least(ep, lo) END AS ep2,
+               CASE WHEN revU OR revD THEN CAST(0.02 AS DOUBLE)
+                    WHEN (up AND hi > ep) OR ((NOT up) AND lo < ep)
+                    THEN least(af + CAST(0.02 AS DOUBLE),
+                               CAST(0.2 AS DOUBLE))
+                    ELSE af END AS af2,
+               revU OR revD AS rev
+             FROM (
+               SELECT *,
+                 up AND lo < clampU AS revU,
+                 (NOT up) AND hi > clampD AS revD
+               FROM (
+                 SELECT *,
+                   least(sarP, ol1, ol2) AS clampU,
+                   greatest(sarP, oh1, oh2) AS clampD
+                 FROM (
+                   SELECT f.event_type AS event_type, f.up AS up,
+                          f.sar AS sar, f.ep AS ep, f.af AS af,
+                          f.l1 AS ol1, f.l2 AS ol2,
+                          f.h1 AS oh1, f.h2 AS oh2,
+                          i.rn2 AS rn2, i.day AS day,
+                          i.h AS hi, i.l AS lo,
+                          f.sar + f.af * (f.ep - f.sar) AS sarP
+                   FROM f JOIN idx i ON i.event_type = f.event_type
+                                    AND i.rn2 = f.rn2 + 1
+                 ) s0
+               ) s1
+             ) s2
+           ) s3
+         )
+         SELECT event_type, day, sar, up AS is_up, ep, af, reversal
          FROM f ORDER BY event_type, day""",
     "w14_cum_distinct" ->
       """WITH f AS (

@@ -3138,6 +3138,55 @@ class StatsSpec extends AnyFunSuite {
     assert(checked > 0, "vacuous sweep")
   }
 
+  test("w55 parabolic SAR equals a sequential state-machine recompute") {
+    val candles = graft.operators.Windows.queries("w16_ohlc_candles")(
+        spark, sf).collect()
+      .map(r => (r.getString(0), r.get(1).toString, r.getDouble(3),
+        r.getDouble(4)))
+      .groupBy(_._1).map { case (t, rs) => t -> rs.sortBy(_._2).toList }
+    val got = graft.operators.Windows.queries("w55_parabolic_sar")(
+        spark, sf).collect()
+      .map(r => (r.getString(0), r.get(1).toString) ->
+        ((r.getDouble(2), r.getBoolean(3), r.getDouble(4),
+          r.getDouble(5), r.getBoolean(6)))).toMap
+    var checked = 0
+    candles.foreach { case (t, days) =>
+      var up = true; var sar = 0.0; var ep = 0.0; var af = 0.02
+      var l1 = 0.0; var l2 = 0.0; var h1 = 0.0; var h2 = 0.0
+      var first = true
+      days.foreach { case (_, day, hi, lo) =>
+        var rev = false
+        if (first) {
+          up = true; sar = lo; ep = hi; af = 0.02
+          l1 = lo; l2 = lo; h1 = hi; h2 = hi; first = false
+        } else {
+          val sarP = sar + af * (ep - sar)
+          val clampU = math.min(sarP, math.min(l1, l2))
+          val clampD = math.max(sarP, math.max(h1, h2))
+          val revU = up && lo < clampU
+          val revD = !up && hi > clampD
+          rev = revU || revD
+          val up2 = if (revU) false else if (revD) true else up
+          val sar2 = if (rev) ep else if (up) clampU else clampD
+          val ep2 = if (revU) lo else if (revD) hi
+            else if (up) math.max(ep, hi) else math.min(ep, lo)
+          val af2 = if (rev) 0.02
+            else if (up && hi > ep || !up && lo < ep)
+              math.min(af + 0.02, 0.2)
+            else af
+          up = up2; sar = sar2; ep = ep2; af = af2
+          l2 = l1; l1 = lo; h2 = h1; h1 = hi
+        }
+        val want = (sar, up, ep, af, rev)
+        assert(got((t, day)) == want, s"$t $day: ${got((t, day))} vs $want")
+        checked += 1
+      }
+    }
+    assert(checked > 0 && got.size == checked)
+    // non-vacuity: a stop must actually fire somewhere on this corpus
+    assert(got.values.exists(_._5), "no reversal ever fired — vacuous")
+  }
+
   test("a121 lilliefors equals a sequential ECDF-sup recompute") {
     import org.apache.spark.sql.functions._
     // rebuild the decimal-pinned daily means sequentially
