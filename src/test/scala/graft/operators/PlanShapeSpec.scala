@@ -18,6 +18,20 @@ class PlanShapeSpec extends AnyFunSuite {
       String) => org.apache.spark.sql.DataFrame], q: String): String =
     qs(q)(spark, sf).queryExecution.executedPlan.toString
 
+  test("w54/w55 recursive folds stay partition-parallel per type") {
+    // the sequential part of both recursive indicators runs INSIDE a
+    // per-event_type fold over the collected calendar-bounded candle
+    // array — the plan must shuffle on event_type (the fold's group)
+    // and never pass the corpus through a global sort or cartesian
+    Seq("w54_heikin_ashi", "w55_parabolic_sar").foreach { q =>
+      val plan = planOf(Windows.queries, q)
+      assert(plan.contains("hashpartitioning(event_type"),
+        s"$q fold must key on event_type:\n${plan.take(1500)}")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    }
+  }
+
   test("w16 candles reuse one hash exchange for window + aggregate") {
     // the ranking window and the final hash agg both key on
     // (event_type, day): exactly ONE hash-partitioning exchange may
