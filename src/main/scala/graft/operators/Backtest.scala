@@ -183,10 +183,24 @@ object Backtest {
     * O(days × keys) rows — tiny at any fact-table scale. */
   private[operators] def T7InDump(d: String) = Dumps.path("t7_in", d)
 
+  // Write-once per (session, dir): all five t7 queries share the
+  // input dump, and the fold oracles read it at end-of-run compare
+  // time — a rewrite per query would make the hash check depend on
+  // the float avg(value) agg reproducing bit-identically across
+  // re-executions (the clobbered-pending-read class the sf-keyed
+  // Dumps refactor exists to kill), and wastes four corpus passes.
+  private val inDumpWritten =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
+
   private def inputsDumped(s: SparkSession, d: String): DataFrame = {
-    dayInputs(s, d)
-      .select(col("day"), col("key"), col("signal"), col("price"))
-      .write.mode("overwrite").parquet(T7InDump(d))
+    synchronized {
+      inDumpWritten.getOrElseUpdate((s, d), {
+        dayInputs(s, d)
+          .select(col("day"), col("key"), col("signal"), col("price"))
+          .write.mode("overwrite").parquet(T7InDump(d))
+        true
+      })
+    }
     s.read.parquet(T7InDump(d))
   }
 
@@ -408,8 +422,6 @@ object Backtest {
 
   private val InDump = s"'${Dumps.oraclePath("t7_in")}/*.parquet'"
 
-  private def dlit(v: Double): String = s"CAST('${v}' AS DOUBLE)"
-
   /** math.rint (round half to even) of column-reference expression
     * `y`, exact for |y| < 2^52: floor() and the subtraction are
     * IEEE-exact, ties resolve on the integer's parity. Callers must
@@ -440,9 +452,9 @@ object Backtest {
   private[operators] def foldOracleSql(cfg: BacktestConfig): String = {
     val mp = cfg.maxPositions
     val slots = 1 to mp
-    val (ic, pf, sl, tp, co, sp) = (dlit(cfg.initialCash),
-      dlit(cfg.positionFrac), dlit(cfg.stopLoss), dlit(cfg.takeProfit),
-      dlit(cfg.cost), dlit(cfg.slippage))
+    val (ic, pf, sl, tp, co, sp) = (PinnedSeries.dlit(cfg.initialCash),
+      PinnedSeries.dlit(cfg.positionFrac), PinnedSeries.dlit(cfg.stopLoss), PinnedSeries.dlit(cfg.takeProfit),
+      PinnedSeries.dlit(cfg.cost), PinnedSeries.dlit(cfg.slippage))
     val pst = "STRUCT(k BIGINT, e DOUBLE, s DOUBLE, h INTEGER, px DOUBLE)[]"
     val trt = "STRUCT(key BIGINT, e DOUBLE, xp DOUBLE, sh DOUBLE, " +
       "pnl DOUBLE, pct DOUBLE, reason VARCHAR, dh INTEGER)[]"

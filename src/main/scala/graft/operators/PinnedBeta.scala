@@ -65,8 +65,6 @@ object PinnedBeta {
   /** 0.5·ln(2π), folded once in Scala; both engines load the bits. */
   val HalfLog2Pi: Double = 0.5 * math.log(2 * math.Pi)
 
-  private def dlit(v: Double): String = s"CAST('${v}' AS DOUBLE)"
-
   // ---------------------------------------------------------------
   // Spark side
   // ---------------------------------------------------------------
@@ -165,18 +163,18 @@ object PinnedBeta {
   /** SQL expr for ln Γ(x ≥ 0.5), mirroring [[logGammaCol]]. */
   def logGammaSql(x: String): String = {
     val xx = s"(($x) - 1.0)"
-    var aSum = dlit(G(0))
+    var aSum = PinnedSeries.dlit(G(0))
     var i = 1
     while (i < 9) {
-      aSum = s"($aSum + ${dlit(G(i))} / ($xx + ${i.toDouble}))"
+      aSum = s"($aSum + ${PinnedSeries.dlit(G(i))} / ($xx + ${i.toDouble}))"
       i += 1
     }
     val t = s"($xx + 7.5)"
-    s"(${dlit(HalfLog2Pi)} + ($xx + 0.5) * ln($t) - $t + ln($aSum))"
+    s"(${PinnedSeries.dlit(HalfLog2Pi)} + ($xx + 0.5) * ln($t) - $t + ln($aSum))"
   }
 
   private def clampSql(v: String, out: String): String =
-    s"CASE WHEN abs($v) < ${dlit(FpMin)} THEN ${dlit(FpMin)} ELSE $v END AS $out"
+    s"CASE WHEN abs($v) < ${PinnedSeries.dlit(FpMin)} THEN ${PinnedSeries.dlit(FpMin)} ELSE $v END AS $out"
 
   /** One full CF iteration's lateral-alias items (two half-steps),
     * mirroring the fold body. Returns (items, cFinal, ddFinal,
@@ -218,7 +216,7 @@ object PinnedBeta {
     val p = pfx
     val initItems = Seq(
       s"($aE) AS ${p}a", s"($bE) AS ${p}b",
-      s"greatest(least(($xE), ${dlit(XHi)}), ${dlit(XLo)}) AS ${p}x",
+      s"greatest(least(($xE), ${PinnedSeries.dlit(XHi)}), ${PinnedSeries.dlit(XLo)}) AS ${p}x",
       s"($xE) AS ${p}xraw",
       s"${p}a + ${p}b AS ${p}qab",
       // CF1 = betacf(a, b, x)

@@ -58,7 +58,13 @@ object PinnedSeries {
     * (testdata maxes at a41's (5−1)(7−1) = 24). */
   val MaxHalfDf = 24
 
-  private def dlit(v: Double): String = s"CAST('${v}' AS DOUBLE)"
+  /** Correctly-rounded double literal for DuckDB SQL: bare fractional
+    * literals parse as DECIMAL and the decimal→double conversion
+    * double-rounds past 15 digits; string→double parsing is correctly
+    * rounded, guaranteeing the same bits Spark's `lit` loads. Shared
+    * by every oracle generator (PinnedBeta, Backtest).  */
+  private[operators] def dlit(v: Double): String =
+    s"CAST('${v}' AS DOUBLE)"
 
   // ---------------------------------------------------------------
   // erfc — Spark side

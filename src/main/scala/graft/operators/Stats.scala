@@ -1652,8 +1652,15 @@ object Stats {
     // Dallal–Wilkinson (1986) closed form with the Stephens (1974)
     // polynomial fallback past its p > 0.1 validity range (the
     // R nortest::lillie.test construction), 6-dp for its exp/pow,
-    // clamped to [0, 1]. Degenerate corpora (zero variance, n < 4)
-    // drop the group, never throw (the empty-ratchet contract).
+    // clamped to [0, 1]. The p formula SELECTION (pdw ≤ 0.1) is the
+    // published algorithm's own gate and necessarily compares a
+    // transcendental: if pdw ever landed within a libm ulp of 0.1
+    // the engines could pick different formulas — the same
+    // measure-zero boundary class as every r6 rounding tie, accepted
+    // and noted here because unlike a rounding tie the divergence
+    // would exceed one grid step. Degenerate corpora (zero variance,
+    // n < 4) drop the group, never throw (the empty-ratchet
+    // contract).
     // Scale: one corpus-sized daily hash agg; ranking and the erfc
     // chain run on the O(types × days) frame.
     "a121_lilliefors" -> ((s, d) => {

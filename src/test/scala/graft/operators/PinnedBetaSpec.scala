@@ -100,7 +100,7 @@ class PinnedBetaSpec extends AnyFunSuite {
   }
 
   test("flipped queries carry chain p on their oracle-checked stats") {
-    val sf = "/root/testdata/sf0.001"
+    val sf = graft.SparkTestSession.Sf0001
     // a52/a74: p recomputed from the kernel at the query's own
     // rounded (stat, d1, d2) — one 6-dp grid step is the bound
     Seq("a52_anova_pvalue" -> StudentT.fPValue _,

@@ -186,11 +186,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // eager driver-side ACTION, whose job stages carry the
     // collect/head/take callsite
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val sentinel = new java.util.concurrent.atomic.AtomicInteger(0)
     val l = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        js.stageInfos.foreach(si => jobs.add(si.name))
-        sentinel.incrementAndGet(); ()
+        js.stageInfos.foreach(si => jobs.add(si.name)); ()
       }
     }
     spark.sparkContext.addSparkListener(l)
@@ -208,13 +206,18 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!p3.contains("CartesianProduct") &&
              !p3.contains("BroadcastNestedLoopJoin"), p3.take(1200))
       assert(!p6.contains("CartesianProduct"), p6.take(1200))
-      // the listener bus is async: run one sentinel action and wait
-      // for its JobStart — FIFO ordering then guarantees any
-      // construction-time job was counted too
-      spark.range(1).count()
-      val deadline = System.currentTimeMillis + 30000
-      while (sentinel.get() < 1 && System.currentTimeMillis < deadline)
-        Thread.sleep(50)
+      // the listener bus is async: DRAIN it before reading the
+      // recorded jobs (waiting for a sentinel action's event count
+      // would race — an earlier benign job's event can satisfy the
+      // wait while an illicit collect's event is still queued, and
+      // under AQE the sentinel's stages carry generic
+      // CompletableFuture callsites that can't be matched by name).
+      // listenerBus is private[spark]; tests reach waitUntilEmpty
+      // reflectively, the same thing Spark's own test harness calls.
+      val busM = spark.sparkContext.getClass.getMethod("listenerBus")
+      val bus = busM.invoke(spark.sparkContext)
+      bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+        .invoke(bus, java.lang.Long.valueOf(30000L))
       val eager = jobs.toArray(Array.empty[String])
         .filter(_.matches("(?s)^(collect|head|first|take\\w*) at .*"))
       assert(eager.isEmpty,
