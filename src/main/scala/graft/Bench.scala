@@ -105,7 +105,18 @@ object Bench {
         () => { graft.operators.Dedup.corpusPairs(spark, sfDir); () }),
       ("emb_pairs_build",
         () => graft.operators.Similarity.embPairs.invalidate(spark, sfDir),
-        () => { graft.operators.Similarity.embPairs(spark, sfDir); () }))
+        () => { graft.operators.Similarity.embPairs(spark, sfDir); () }),
+      ("cc_labels_build",
+        () => graft.operators.Dedup.ccLabels.invalidate(spark, sfDir),
+        () => { graft.operators.Dedup.ccLabels(spark, sfDir); () }),
+      ("slice100_build",
+        () => graft.operators.TextAnalysis.slicePairs100
+          .invalidate(spark, sfDir),
+        () => { graft.operators.TextAnalysis.slicePairs100(spark, sfDir); () }),
+      ("slice200_build",
+        () => graft.operators.TextAnalysis.slicePairs200
+          .invalidate(spark, sfDir),
+        () => { graft.operators.TextAnalysis.slicePairs200(spark, sfDir); () }))
     // Local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 times just those
     // queries. A named query that consumes a staged build artifact
     // pulls that build in automatically (the caches are lazy, so the
@@ -130,7 +141,15 @@ object Bench {
         "d11_pr_corpus", "d13_coeff_corpus", "d14_lpa_corpus",
         "sql7_closure_corpus"),
       "emb_pairs_build" -> Set("d9_embedding_neardup_lsh",
-        "d16_emb_clusters"))
+        "d16_emb_clusters"),
+      "cc_labels_build" -> Set("d10_cc_corpus", "pipe6_dedup_mix",
+        "pipe7_graph_triage", "pipe8_edge_audit", "pipe9_split_contrast",
+        "ds21_dedup_weights"),
+      "slice100_build" -> Set("d10_dup_clusters", "d20_keep_best",
+        "d11_pagerank", "d14_label_prop", "ds13_cluster_split",
+        "sql7_recursive_closure"),
+      "slice200_build" -> Set("d12_triangle_count",
+        "d13_clustering_coeff"))
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     def keep(name: String): Boolean = only.forall(_.contains(name))

@@ -223,7 +223,12 @@ object Backtest {
     * point (replacing the earlier localCheckpoint): the fold runs one
     * job, and every downstream subtree scans the parquet. */
   private def foldDump(s: SparkSession, d: String): DataFrame = {
-    run(s, d).write.mode("overwrite").parquet(T7FoldDump(d))
+    // write-once per (session, dir) — deterministic bytes (the fold is
+    // one ordered partition over the write-once input dump), and all
+    // three metric queries share it (see Dumps.writeOnce)
+    Dumps.writeOnce(s, T7FoldDump(d)) {
+      run(s, d).write.mode("overwrite").parquet(T7FoldDump(d))
+    }
     s.read.parquet(T7FoldDump(d))
   }
 

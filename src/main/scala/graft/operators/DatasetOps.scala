@@ -58,8 +58,7 @@ object DatasetOps {
     "ds13_cluster_split" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .filter(col("doc_id") < 100).select(col("doc_id"))
-      val pairs = TextAnalysis.ngramJaccardPairs(s, d, maxId = 100,
-        minJ = 0.02)
+      val pairs = TextAnalysis.slicePairs100(s, d)
       Dedup.connectedComponents(pairs, docs)
         .select(col("doc_id"), col("comp").as("canonical_id"),
           split(col("comp")).as("split"))

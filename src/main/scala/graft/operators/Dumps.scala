@@ -37,4 +37,33 @@ object Dumps {
   /** Oracle-side path template for the same dump (tag unresolved). */
   def oraclePath(name: String): String =
     s"/tmp/graft_${name}_$SfTag.parquet"
+
+  /** Write a dump ONCE per (session, path) — the Backtest.T7InDump
+    * convention generalized (round 14). Every dump is deterministic
+    * bytes-for-bytes given the (immutable) sf dir, but a REWRITE per
+    * consuming query (a) re-runs the whole upstream job at every
+    * DataFrame construction — D8's token-explode bit-sum corpus pass
+    * ran nine times per bench sweep (3 queries × 3 reps) for
+    * identical bytes — and (b) leaves a pending oracle read exposed
+    * to a concurrent rewrite of the same path (the clobbered-
+    * pending-read class the sf-keyed paths narrowed; write-once
+    * closes it within a scale factor). Callers pass the producing
+    * plan lazily; the first caller pays the write, everyone reads the
+    * same bytes back. Keyed (session, path): a new session (fresh
+    * /tmp contract) rewrites, tests with planted dirs under one
+    * session key by dir via the path's sf tag.
+    */
+  private val written = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), Boolean]
+
+  def writeOnce(s: org.apache.spark.sql.SparkSession, p: String)(
+      write: => Unit): Unit = synchronized {
+    written.getOrElseUpdate((s, p), { write; true })
+  }
+
+  /** Test hook: forget every (session, path) so the next writeOnce
+    * re-executes (suites that rewrite planted corpora in place). */
+  private[graft] def resetWriteOnce(): Unit = synchronized {
+    written.clear()
+  }
 }

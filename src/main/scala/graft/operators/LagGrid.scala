@@ -132,13 +132,15 @@ object LagGrid {
     val pv = coalesce(nanvl(
       r6(graft.functions.PearsonPValue.pValue(col("c"), col("n"))),
       lit(1.0)), lit(1.0))
-    grid(s, d).filter(col("c").isNotNull)
-      .select(col("user_id"), col("lookback_h"), col("lead_days"),
-        (r6(col("c")) + lit(0.0d)).as("r"),
-        (pv + lit(0.0d)).as("p_value"), col("n"),
-        (r6(col("mr")) + lit(0.0d)).as("mr"),
-        (r6(col("ms")) + lit(0.0d)).as("ms"))
-      .write.mode("overwrite").parquet(CellDump(d))
+    Dumps.writeOnce(s, CellDump(d)) {
+      grid(s, d).filter(col("c").isNotNull)
+        .select(col("user_id"), col("lookback_h"), col("lead_days"),
+          (r6(col("c")) + lit(0.0d)).as("r"),
+          (pv + lit(0.0d)).as("p_value"), col("n"),
+          (r6(col("mr")) + lit(0.0d)).as("mr"),
+          (r6(col("ms")) + lit(0.0d)).as("ms"))
+        .write.mode("overwrite").parquet(CellDump(d))
+    }
     s.read.parquet(CellDump(d))
   }
 

@@ -225,36 +225,22 @@ object Multimodal {
       Tables.documents(s, d)
         .filter(length(col("text")) >= 2 &&
           octet_length(encode(col("text"), "UTF-8")) === length(col("text")))
+        // ONE whole-stage-codegen pass over the string's bytes (round
+        // 14, guide §4): the previous HOF formulation (split →
+        // transform(ascii) → two slices → zip_with → five interpreted
+        // `aggregate` folds — itself the round-11 fix for an O(L²)
+        // element_at form that measured 905 s) stayed outside codegen
+        // and walked the array seven times per row; the kernel emits
+        // the identical exact-BIGINT sums in one compiled loop (the
+        // ASCII filter above makes byte ≡ codepoint, the kernel's
+        // exactness contract — see ByteAutocorrSums). Measured at
+        // sf0.1: 4.3 s → see OPTIMIZATION_r14.md.
         .select(col("doc_id"),
-          transform(split(col("text"), ""), c => ascii(c).cast("long"))
-            .as("bv"),
-          (length(col("text")) - 1).cast("long").as("np"))
-        // PERF SHAPE MATTERS: fold over SLICED VALUE ARRAYS
-        // (x = bv[1..L−1], y = bv[2..L]) and a zip_with product —
-        // never element_at(bv, i) inside a lambda. Projection
-        // collapse inlines bv's split+transform chain into the
-        // lambda body, and the interpreted HOF then re-derives the
-        // whole array PER ITERATION, turning each fold O(L²)
-        // (measured at sf0.1: 905 s for the element_at form vs
-        // ~4 s for this one, BENCH_FULL_r11 3.93 s — F8's
-        // interpreted-HOF caveat made concrete).
-        // greatest(np, 0): the length >= 2 filter SHOULD exclude
-        // np < 1 rows, but the optimizer can evaluate this projection
-        // for a row the filter later drops (observed: an empty doc
-        // reached slice with length -1, which throws) — clamp so the
-        // expression is total (TextDegenerateSpec screen)
-        .select(col("doc_id"), col("np"),
-          slice(col("bv"), lit(1),
-            greatest(col("np"), lit(0L)).cast("int")).as("x"),
-          slice(col("bv"), lit(2),
-            greatest(col("np"), lit(0L)).cast("int")).as("y"))
-        .select(col("doc_id"), col("np"),
-          aggregate(col("x"), lit(0L), (acc, v) => acc + v).as("sx"),
-          aggregate(col("y"), lit(0L), (acc, v) => acc + v).as("sy"),
-          aggregate(col("x"), lit(0L), (acc, v) => acc + v * v).as("sxx"),
-          aggregate(col("y"), lit(0L), (acc, v) => acc + v * v).as("syy"),
-          aggregate(zip_with(col("x"), col("y"), (a, b) => a * b),
-            lit(0L), (acc, v) => acc + v).as("sxy"))
+          graft.functions.ByteAutocorrSums.sums(col("text")).as("m"))
+        .select(col("doc_id"), col("m.np").as("np"),
+          col("m.sx").as("sx"), col("m.sy").as("sy"),
+          col("m.sxx").as("sxx"), col("m.syy").as("syy"),
+          col("m.sxy").as("sxy"))
         .withColumn("vx", col("np") * col("sxx") - col("sx") * col("sx"))
         .withColumn("vy", col("np") * col("syy") - col("sy") * col("sy"))
         .filter(col("vx") > 0 && col("vy") > 0)

@@ -1052,7 +1052,7 @@ object Relational {
     "sql7_recursive_closure" -> ((s, d) => {
       Tables.documents(s, d).filter(col("doc_id") < 100)
         .select(col("doc_id")).createOrReplaceTempView("docs_v")
-      TextAnalysis.ngramJaccardPairs(s, d, maxId = 100, minJ = 0.02)
+      TextAnalysis.slicePairs100(s, d)
         .select(col("da"), col("db")).createOrReplaceTempView("pairs_v")
       s.sql(s"""
         WITH RECURSIVE

@@ -875,11 +875,13 @@ object Similarity {
     // flipping the query from rows-only to full hash in round 12
     // (recall vs brute force stays asserted in SimilaritySpec).
     "sim2_lsh_ann" -> ((s, d) => {
-      Tables.embeddings(s, d)
-        .select(col("vec_id"), banded(col("embedding")).as("bb"))
-        .select(col("vec_id"), col("bb.band").as("band"),
-          col("bb.bkt").as("bkt"))
-        .write.mode("overwrite").parquet(Sim2BandDump(d))
+      Dumps.writeOnce(s, Sim2BandDump(d)) {
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), banded(col("embedding")).as("bb"))
+          .select(col("vec_id"), col("bb.band").as("band"),
+            col("bb.bkt").as("bkt"))
+          .write.mode("overwrite").parquet(Sim2BandDump(d))
+      }
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
         .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
@@ -1356,11 +1358,13 @@ object Similarity {
     // from rows-only in round 12; SimilaritySpec's recall/precision
     // anchors vs the d5 exact baseline stay.
     "d9_embedding_neardup_lsh" -> ((s, d) => {
-      Tables.embeddings(s, d)
-        .select(col("vec_id"), banded(col("embedding")).as("bb"))
-        .select(col("vec_id"), col("bb.band").as("band"),
-          col("bb.bkt").as("bkt"))
-        .write.mode("overwrite").parquet(Sim2BandDump(d))
+      Dumps.writeOnce(s, Sim2BandDump(d)) {
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), banded(col("embedding")).as("bb"))
+          .select(col("vec_id"), col("bb.band").as("band"),
+            col("bb.bkt").as("bkt"))
+          .write.mode("overwrite").parquet(Sim2BandDump(d))
+      }
       embPairs(s, d).orderBy("va", "vb")
     }),
 
@@ -1393,11 +1397,13 @@ object Similarity {
     // stays D9's documented property (SimilaritySpec anchors both,
     // plus the sequential union-find third leg).
     "d16_emb_clusters" -> ((s, d) => {
-      val pairs = embPairs(s, d).filter(col("cosine") >= EmbDupTau)
-        .select(col("va").as("da"), col("vb").as("db"))
       // read the dump back so the CC consumes byte-for-byte the same
       // edge artifact the oracle closes over
-      pairs.write.mode("overwrite").parquet(D16EdgeDump(d))
+      Dumps.writeOnce(s, D16EdgeDump(d)) {
+        embPairs(s, d).filter(col("cosine") >= EmbDupTau)
+          .select(col("va").as("da"), col("vb").as("db"))
+          .write.mode("overwrite").parquet(D16EdgeDump(d))
+      }
       val verts = Tables.embeddings(s, d)
         .select(col("vec_id").as("doc_id"))
       Dedup.connectedComponents(s.read.parquet(D16EdgeDump(d)), verts)

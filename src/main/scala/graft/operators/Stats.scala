@@ -218,8 +218,10 @@ object Stats {
   private[operators] def PValDump(d: String) = Dumps.path("a3_pvalues", d)
 
   private def corrPValuesDumped(s: SparkSession, d: String): DataFrame = {
-    queries("a3_corr_pvalue")(s, d)
-      .write.mode("overwrite").parquet(PValDump(d))
+    Dumps.writeOnce(s, PValDump(d)) {
+      queries("a3_corr_pvalue")(s, d)
+        .write.mode("overwrite").parquet(PValDump(d))
+    }
     s.read.parquet(PValDump(d))
   }
 

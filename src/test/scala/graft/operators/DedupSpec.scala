@@ -607,6 +607,11 @@ class DedupSpec extends AnyFunSuite {
     val sf = SparkTestSession.Sf0001
     val (_, pairs) = corpusGraph
     val maxClusterDiameter = 3
+    // d10_cc_corpus serves the memoized ccLabels table (round 14) —
+    // invalidate so THIS collect runs the CC loop and lastCcRounds
+    // reflects it, not whichever CC call built the cache earlier
+    // (the invalidate-before-assert convention of the shared caches)
+    Dedup.ccLabels.invalidate(spark, sf)
     Dedup.queries("d10_cc_corpus")(spark, sf).collect()
     val rounds = Dedup.lastCcRounds.get()
     assert(rounds != -1L,
