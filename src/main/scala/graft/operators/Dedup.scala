@@ -252,30 +252,24 @@ object Dedup {
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .union(pairs.select(col("db").as("src"), col("da").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // ACTIVE-VERTEX iteration (round 14, guide §2.3 — shuffle fewer
-    // rows): only an edge endpoint can ever receive a foreign label;
-    // every other vertex holds comp = doc_id from round 0 to the end.
-    // On a dedup corpus the touched set is per-mille of |V| (dup
-    // clusters are rare), so iterating over endpoints shrinks every
-    // round's join/agg/convergence-count from |V| rows to |touched| —
-    // the isolated majority joins back once, after convergence, via a
-    // left join + coalesce. Exact: labels propagate only along edges,
-    // both directions of which live in `edges`, so the endpoint set is
-    // closed under propagation and an isolated vertex's min-fold is
-    // its own label every round. Precondition (every call site + the
-    // kernel property specs): vertices ⊇ pair endpoints.
+    // Round-14 note: an active-vertex variant (iterate over edge
+    // endpoints only, left-join the isolated majority back once) was
+    // implemented and MEASURED SLOWER at sf0.1 on local[32] (d24
+    // 1.4→2.2 s, d27 0.9→1.9 s, d11_pr_corpus 3.6→4.2 s): the upfront
+    // endpoint-distinct materialization plus the final assembly join
+    // cost more fixed jobs than the smaller per-round frames save —
+    // per-round cost here is job scheduling, not row count. At true
+    // 100 TB vertex counts the endpoint restriction becomes the right
+    // shape again; revisit when |V| per round dominates.
     // eager localCheckpoint per round: each `labels` is a flat scan of
     // materialized blocks, so every round's plan is O(1) regardless of
-    // how many rounds the diameter demands (this first checkpoint also
-    // doubles as the active-set materialization — no separate job)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("comp"))
+    // how many rounds the diameter demands
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("comp"))
       .localCheckpoint()
     // convergence bound from the input itself: propagation needs at
-    // most diameter rounds and diameter < |active| — a fixed literal
-    // cap would reject long-but-convergent chains (count scans the
-    // checkpointed blocks — cheap)
-    val cap = labels.count() + 2
+    // most diameter rounds and diameter < |V| — a fixed literal cap
+    // would reject long-but-convergent chains
+    val cap = vertices.count() + 2
     var iter = 0L
     var result: DataFrame = null
     lastCcRounds.set(-1L) // sentinel until THIS call converges
@@ -298,12 +292,7 @@ object Dedup {
         require(iter < cap, "label propagation failed to converge")
       }
     }
-    // final assembly: ONE left join over the vertex spine (endpoints ⊆
-    // vertices — the precondition above), isolated vertices coalesce to
-    // their own id; the converged label table is checkpointed, so the
-    // join side is a flat scan (and broadcast-sized on dedup graphs)
-    vertices.join(result, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+    result
   }
 
   /** D11 iterative kernel: damped PageRank by power iteration over the
@@ -360,26 +349,16 @@ object Dedup {
     val deg = edgesRaw.groupBy("src").agg(count(lit(1)).as("deg"))
     val edges = edgesRaw.join(deg, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // ACTIVE-VERTEX iteration (round 14, guide §2.3 — the CC kernel's
-    // argument verbatim): contributions flow only along edges, so a
-    // vertex with none holds exactly the teleport floor tInt from
-    // round 1 onward — the isolated majority joins back once, after
-    // the loop, instead of carrying |V| rows through every join/agg
-    // round. The teleport constant still divides by the FULL
-    // |vertices| (the mass convention is unchanged). Precondition as
-    // in CC: vertices ⊇ pair endpoints.
+    // (the active-vertex endpoint restriction was measured slower at
+    // sf0.1 — see the connectedComponents round-14 note)
     val n = vertices.count()
     val tInt = ((100L - dampNum) * PrUnit) / (100L * n)
-    var ranks = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), lit(PrUnit / n).as("r"))
+    var ranks = vertices.select(col("doc_id"), lit(PrUnit / n).as("r"))
       .localCheckpoint()
-    // the endpoint spine for every round's left join — a projection of
-    // the checkpointed initial ranks, not a separate materialization
-    val active = ranks.select(col("doc_id"))
     for (i <- 1 to iters) {
       val contrib = edges.join(ranks, col("src") === col("doc_id"))
         .select(col("dst").as("doc_id"), expr("r div deg").as("c"))
-      ranks = active
+      ranks = vertices.select(col("doc_id"))
         .join(contrib.groupBy("doc_id").agg(sum(col("c")).as("cs")),
           Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -399,14 +378,9 @@ object Dedup {
       if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint()
     }
     edges.unpersist()
-    // final assembly: ONE left join over the vertex spine (endpoints ⊆
-    // vertices), isolated vertices coalesce to the exact teleport floor
-    // tInt they hold from round 1 onward in the full iteration.
     // the ONE float op: exact for r ≤ PrUnit < 2^53 on both engines
-    vertices.join(ranks, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        (coalesce(col("r"), lit(tInt)).cast("double") / lit(1.0e15))
-          .as("rank"))
+    ranks.select(col("doc_id"),
+      (col("r").cast("double") / lit(1.0e15)).as("rank"))
   }
 
   /** D14's engine: synchronous label propagation (Raghavan et al.
@@ -428,14 +402,9 @@ object Dedup {
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .union(pairs.select(col("db").as("src"), col("da").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // ACTIVE-VERTEX iteration (round 14, guide §2.3 — the CC kernel's
-    // argument verbatim): a vertex with no edges sees only its own
-    // self-vote every round and keeps its label forever, so the loop
-    // runs over edge endpoints only and the isolated majority joins
-    // back once, after the loop, via a left join + coalesce.
-    // Precondition as in CC: vertices ⊇ pair endpoints.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("label"))
+    // (the active-vertex endpoint restriction was measured slower at
+    // sf0.1 — see the connectedComponents round-14 note)
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
       val votes = edges.join(labels, col("src") === col("doc_id"))
@@ -450,11 +419,7 @@ object Dedup {
       labels = best.localCheckpoint()
     }
     edges.unpersist()
-    // final assembly: ONE left join over the vertex spine (endpoints ⊆
-    // vertices), isolated vertices coalesce to their own label
-    vertices.join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("label"), col("doc_id")).as("label"))
+    labels
   }
 
   /** D6/DECON2's exact-verification stage: candidate pairs →
@@ -525,7 +490,10 @@ object Dedup {
     val deg = p.select(col("da").as("doc_id"))
       .unionAll(p.select(col("db").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("deg"))
-    val mem = labels.join(deg, Seq("doc_id"))
+    // materialized once (round 14): three subtrees consume mem (the
+    // community totals and both endpoint label attachments), and the
+    // labels input is itself a lazy kernel-assembly join
+    val mem = labels.join(deg, Seq("doc_id")).localCheckpoint()
     val m = p.agg(count(lit(1)).as("m"))
     val dTot = mem.groupBy("label")
       .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_total"))
@@ -635,7 +603,10 @@ object Dedup {
         .otherwise(lit(1L)).as("ecc"),
       (col("n1") + col("n2") + col("n3")).as("reach"))
     val comp = connectedComponents(p, vertices)
-    val mem = ecc.join(comp, Seq("doc_id"))
+    // materialized once (round 14): the per-component stats agg and
+    // the final join both consume mem, and both its inputs (the shell
+    // fold and the CC kernel's assembly join) are worth one pass each
+    val mem = ecc.join(comp, Seq("doc_id")).localCheckpoint()
     val stats = mem.groupBy("comp")
       .agg(min(col("ecc")).as("min_ecc"), max(col("ecc")).as("max_ecc"))
     mem.join(stats, Seq("comp"))
@@ -653,10 +624,15 @@ object Dedup {
       .join(deg.select(col("v").as("db"), col("dg").as("dgb")), Seq("db"))
     val aFirst = col("dga") < col("dgb") ||
       (col("dga") === col("dgb") && col("da") < col("db"))
+    // materialize the oriented edge table once (round 14, guide §2.4):
+    // THREE subtrees consume it (both wedge self-join aliases and the
+    // closing join) — un-truncated, the degree agg + two joins behind
+    // it re-ran per reference
     val e = wd.select(
       when(aFirst, col("da")).otherwise(col("db")).as("src"),
       when(aFirst, col("db")).otherwise(col("da")).as("dst"),
       when(aFirst, col("dgb")).otherwise(col("dga")).as("ddst"))
+      .localCheckpoint()
     val wedges = e.as("x").join(e.as("y"),
         col("x.src") === col("y.src") &&
           (col("x.ddst") < col("y.ddst") ||

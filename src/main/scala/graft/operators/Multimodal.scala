@@ -141,24 +141,23 @@ object Multimodal {
     // pinned renders. Byte-level via hex/encode like MM8 — no ASCII
     // assumption. Fully hash-checked.
     "mm15_byte_cond_entropy" -> ((s, d) => {
-      val pairs = Tables.documents(s, d)
+      // ONE compiled pass per row (round 14, guide §4): the per-BYTE
+      // relational expansion (hex → regexp_replace → split → two
+      // slices → interpreted zip_with+concat → explode of one row per
+      // byte → hash agg) becomes the NibblePairCounts kernel emitting
+      // the ≤256 non-zero (pair, count) cells directly — identical
+      // exact counts, identical pair rendering (uppercase high-nibble
+      // hex chars), and the explode shrinks from |bytes| rows to the
+      // cell count. Downstream entropy arithmetic unchanged.
+      val cc = Tables.documents(s, d)
         .filter(octet_length(encode(col("text"), "UTF-8")) >= 2)
         .select(col("doc_id"),
-          regexp_replace(hex(encode(col("text"), "UTF-8")),
-            "(.).", "$1").as("hs"))
-        .select(col("doc_id"),
-          (length(col("hs")) - 1).cast("long").as("np"),
-          split(col("hs"), "").as("bv"))
-        // the mm14 totality clamp (see its comment)
+          (octet_length(encode(col("text"), "UTF-8")) - 1).cast("long")
+            .as("np"),
+          explode(graft.functions.NibblePairCounts.counts(col("text")))
+            .as("pc"))
         .select(col("doc_id"), col("np"),
-          explode(zip_with(
-            slice(col("bv"), lit(1),
-              greatest(col("np"), lit(0L)).cast("int")),
-            slice(col("bv"), lit(2),
-              greatest(col("np"), lit(0L)).cast("int")),
-            (a, b) => concat(a, b))).as("pair"))
-      val cc = pairs.groupBy(col("doc_id"), col("np"), col("pair"))
-        .agg(count(lit(1)).as("c"))
+          col("pc.pair").as("pair"), col("pc.c").as("c"))
       def entropyOf(counts: DataFrame, out: String): DataFrame = counts
         .withColumn("t", round(
           -(col("c").cast("double") / col("np")) *

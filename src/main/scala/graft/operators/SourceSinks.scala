@@ -232,9 +232,18 @@ object SourceSinks {
     // text render, the S4 contract).
     "s27_compressed_roundtrip" -> ((s, d) => {
       val outGz = tmp("s27gz"); val outBz = tmp("s27bz")
+      // the single-parquet-file source arrives as ONE partition, so
+      // both codec writes ran as one task — the whole gzip+bzip2 CPU
+      // serialized on one core (guide §2.5: input skew from one
+      // unsplittable-ish file; repartition right after the read).
+      // Keyed repartition (deterministic, no sort-before-repartition)
+      // at the session's parallelism spreads the compression; result
+      // rows are unchanged (the read-back join + final orderBy are
+      // partition-layout-blind).
       val src = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice"))
+        .repartition(s.sparkContext.defaultParallelism, col("o_orderkey"))
       src.write.mode("overwrite").option("header", "true")
         .option("compression", "gzip").csv(outGz)
       src.write.mode("overwrite")
