@@ -109,6 +109,9 @@ object Bench {
       ("cc_labels_build",
         () => graft.operators.Dedup.ccLabels.invalidate(spark, sfDir),
         () => { graft.operators.Dedup.ccLabels(spark, sfDir); () }),
+      ("coreness_build",
+        () => graft.operators.Dedup.coreness.invalidate(spark, sfDir),
+        () => { graft.operators.Dedup.coreness(spark, sfDir); () }),
       ("slice100_build",
         () => graft.operators.TextAnalysis.slicePairs100
           .invalidate(spark, sfDir),
@@ -145,6 +148,7 @@ object Bench {
       "cc_labels_build" -> Set("d10_cc_corpus", "pipe6_dedup_mix",
         "pipe7_graph_triage", "pipe8_edge_audit", "pipe9_split_contrast",
         "ds21_dedup_weights"),
+      "coreness_build" -> Set("d21_kcore", "pipe7_graph_triage"),
       "slice100_build" -> Set("d10_dup_clusters", "d20_keep_best",
         "d11_pagerank", "d14_label_prop", "ds13_cluster_split",
         "sql7_recursive_closure"),

@@ -445,7 +445,9 @@ object Curation {
     // certifies the JOINS compose correctly, not just the parts.
     "pipe7_graph_triage" -> ((s, d) => {
       val cc = Dedup.queries("d10_cc_corpus")(s, d)
-      val core = Dedup.queries("d21_kcore")(s, d)
+      // the materialized coreness table directly (round 14): the d21
+      // query is the same rows + an orderBy this join would discard
+      val core = Dedup.coreness(s, d)
       val harm = Dedup.queries("d23_harmonic")(s, d)
         .select(col("doc_id"), col("harmonic"))
       val keep = cc

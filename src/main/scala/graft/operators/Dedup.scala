@@ -268,28 +268,41 @@ object Dedup {
       .localCheckpoint()
     // convergence bound from the input itself: propagation needs at
     // most diameter rounds and diameter < |V| — a fixed literal cap
-    // would reject long-but-convergent chains
-    val cap = vertices.count() + 2
+    // would reject long-but-convergent chains. Computed LAZILY (round
+    // 14, guide §2.4): the count job only runs if a call exceeds 32
+    // rounds, so every real corpus graph (diameter ≈ 3) never pays it.
+    var cap = -1L
     var iter = 0L
     var result: DataFrame = null
     lastCcRounds.set(-1L) // sentinel until THIS call converges
     while (result == null) {
+      // change detection WITHOUT the per-round join (round 14, guide
+      // §2.4): each label row carries its own comp as `prev` (offered
+      // rows a typed NULL, which min() ignores — exactly one labels
+      // row per vertex exists every round, so min(prev) IS the old
+      // comp), and the fixpoint test becomes a flat filter over the
+      // checkpointed blocks instead of a join of two label frames.
       val offered = edges.join(labels, col("src") === col("doc_id"))
-        .select(col("dst").as("doc_id"), col("comp"))
-      val next = labels.unionByName(offered)
-        .groupBy("doc_id").agg(min(col("comp")).as("comp"))
+        .select(col("dst").as("doc_id"), col("comp"),
+          when(lit(false), col("comp")).as("prev"))
+      val next = labels
+        .select(col("doc_id"), col("comp"), col("comp").as("prev"))
+        .unionByName(offered)
+        .groupBy("doc_id")
+        .agg(min(col("comp")).as("comp"), min(col("prev")).as("prev"))
         .localCheckpoint()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), Seq("doc_id"))
-        .filter(col("n.comp") =!= col("o.comp")).count()
+      val changed = next.filter(col("comp") =!= col("prev")).count()
       if (changed == 0) {
-        result = next
+        result = next.select(col("doc_id"), col("comp"))
         edges.unpersist()
         lastCcRounds.set(iter + 1)
       } else {
-        labels = next
+        labels = next.select(col("doc_id"), col("comp"))
         iter += 1
-        require(iter < cap, "label propagation failed to converge")
+        if (iter >= 32) {
+          if (cap < 0) cap = vertices.count() + 2
+          require(iter < cap, "label propagation failed to converge")
+        }
       }
     }
     result
@@ -692,6 +705,61 @@ object Dedup {
     connectedComponents(corpusPairs(s, d),
       Tables.documents(s, d).select(col("doc_id"))))
 
+  /** Full-corpus k-core coreness (doc_id, coreness ∈ 0..3),
+    * materialized once per (session, dir) — round 14 (optimization
+    * pass 2): BOTH d21_kcore and pipe7_graph_triage re-ran the whole
+    * two-level peel per construction (~1.7 s each at sf0.1); the
+    * coreness ladder is exactly the kind of derived table production
+    * persists after the one graph pass (the ccLabels precedent).
+    * Bench times the build as `coreness_build`. */
+  private[graft] val coreness = new graft.MaterializedTable((s, d) => {
+    val e0 = verifiedCorpusPairs(s, d, 0.5).localCheckpoint()
+    def peel(e: DataFrame, k: Int, rounds: Int): (DataFrame, DataFrame) = {
+      var cur = e
+      var curCnt = cur.count()
+      var keep: DataFrame = cur.select(col("da").as("v")).limit(0)
+      // Early exit at the fixed point (round 14): each round only
+      // RESTRICTS the edge set, so an unchanged count proves an
+      // unchanged set, and every later round of the fixed budget is
+      // a provable no-op (keep_{r+1} derives from the same cur) —
+      // the 8-round budget stays the documented bound, the skipped
+      // rounds are the ones the spec already asserts do nothing.
+      // Counts scan already-checkpointed blocks, so the check is
+      // per-round-job-cheap vs the two semi-joins it saves.
+      var r = 0
+      var fixed = false
+      while (r < rounds && !fixed) {
+        val deg = cur.select(col("da").as("v"))
+          .unionAll(cur.select(col("db").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("dg"))
+        keep = deg.filter(col("dg") >= k).select("v").localCheckpoint()
+        val nxt = cur
+          .join(keep.select(col("v").as("da")), Seq("da"), "left_semi")
+          .join(keep.select(col("v").as("db")), Seq("db"), "left_semi")
+          .localCheckpoint()
+        val nxtCnt = nxt.count()
+        fixed = nxtCnt == curCnt
+        cur = nxt
+        curCnt = nxtCnt
+        r += 1
+      }
+      (keep, cur)
+    }
+    val (n2, e2) = peel(e0, 2, 8)
+    val (n3, _) = peel(e2, 3, 8)
+    val c1 = e0.select(col("da").as("doc_id"))
+      .unionAll(e0.select(col("db").as("doc_id"))).distinct()
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(c1.withColumn("c1", lit(1L)), Seq("doc_id"), "left")
+      .join(n2.select(col("v").as("doc_id"), lit(1L).as("c2")),
+        Seq("doc_id"), "left")
+      .join(n3.select(col("v").as("doc_id"), lit(1L).as("c3")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("c3") * 3, col("c2") * 2, col("c1"), lit(0L))
+          .as("coreness"))
+  })
+
   private[operators] def verifyPairs(s: SparkSession, d: String,
       candidates: DataFrame): DataFrame = {
     val cand = candidates.localCheckpoint()
@@ -1019,55 +1087,10 @@ object Dedup {
     // rounds as chained CTEs over the exhaustive graph). Integer set
     // arithmetic end to end → fully hash-checked; each round is two
     // keyed semi-joins + one hash agg with an O(1) localCheckpoint'd
-    // plan (the D10 pattern).
-    "d21_kcore" -> ((s, d) => {
-      val e0 = verifiedCorpusPairs(s, d, 0.5).localCheckpoint()
-      def peel(e: DataFrame, k: Int, rounds: Int): (DataFrame, DataFrame) = {
-        var cur = e
-        var curCnt = cur.count()
-        var keep: DataFrame = cur.select(col("da").as("v")).limit(0)
-        // Early exit at the fixed point (round 14): each round only
-        // RESTRICTS the edge set, so an unchanged count proves an
-        // unchanged set, and every later round of the fixed budget is
-        // a provable no-op (keep_{r+1} derives from the same cur) —
-        // the 8-round budget stays the documented bound, the skipped
-        // rounds are the ones the spec already asserts do nothing.
-        // Counts scan already-checkpointed blocks, so the check is
-        // per-round-job-cheap vs the two semi-joins it saves.
-        var r = 0
-        var fixed = false
-        while (r < rounds && !fixed) {
-          val deg = cur.select(col("da").as("v"))
-            .unionAll(cur.select(col("db").as("v")))
-            .groupBy("v").agg(count(lit(1)).as("dg"))
-          keep = deg.filter(col("dg") >= k).select("v").localCheckpoint()
-          val nxt = cur
-            .join(keep.select(col("v").as("da")), Seq("da"), "left_semi")
-            .join(keep.select(col("v").as("db")), Seq("db"), "left_semi")
-            .localCheckpoint()
-          val nxtCnt = nxt.count()
-          fixed = nxtCnt == curCnt
-          cur = nxt
-          curCnt = nxtCnt
-          r += 1
-        }
-        (keep, cur)
-      }
-      val (n2, e2) = peel(e0, 2, 8)
-      val (n3, _) = peel(e2, 3, 8)
-      val c1 = e0.select(col("da").as("doc_id"))
-        .unionAll(e0.select(col("db").as("doc_id"))).distinct()
-      Tables.documents(s, d).select(col("doc_id"))
-        .join(c1.withColumn("c1", lit(1L)), Seq("doc_id"), "left")
-        .join(n2.select(col("v").as("doc_id"), lit(1L).as("c2")),
-          Seq("doc_id"), "left")
-        .join(n3.select(col("v").as("doc_id"), lit(1L).as("c3")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("c3") * 3, col("c2") * 2, col("c1"), lit(0L))
-            .as("coreness"))
-        .orderBy("doc_id")
-    }),
+    // plan (the D10 pattern). The peel itself lives in the
+    // [[coreness]] MaterializedTable (round 14: d21 and pipe7 shared
+    // it per-construction; Bench times the build as `coreness_build`).
+    "d21_kcore" -> ((s, d) => coreness(s, d).orderBy("doc_id")),
 
     // D23: bounded-depth harmonic centrality (Boldi & Vigna 2014) —
     // WHICH doc sits at the center of a boilerplate neighborhood

@@ -100,19 +100,21 @@ object Multimodal {
     // the explode form; the remainder is the single-file corpus
     // running as one input split (see Tables.documents), not plan
     // shape. (translate() for the scans measured 2.4 s — slower than
-    // replace().) MM2's mapPartitions stays the imperative fast
-    // path; MM8 is the declarative twin.
+    // replace().) (4) Round 14 (guide §4): the replace()-scan stack
+    // (hex + regexp_replace building two O(2L) temporaries, then 16
+    // full-string scans) becomes the compiled NibbleClassCounts
+    // kernel — ONE O(L) pass over the raw UTF-8 bytes emitting the
+    // dense 16-slot class histogram in the same index order, so the
+    // filter(>0) list and the entropy fold read identically
+    // (NibbleClassCountsSpec pins kernel ≡ replace()-form on the real
+    // corpus + edge rows). MM2's mapPartitions stays the imperative
+    // fast path; MM8 is the declarative twin.
     "mm8_byte_entropy" -> ((s, d) =>
       Tables.documents(s, d)
         .filter(octet_length(col("text")) > 0)
         .select(col("doc_id"),
-          regexp_replace(hex(encode(col("text"), "UTF-8")),
-            "(.).", "$1").as("hs"))
-        .select(col("doc_id"),
-          length(col("hs")).cast("long").as("n_bytes"),
-          filter(array("0123456789ABCDEF".map(c =>
-              (length(col("hs")) -
-                length(expr(s"replace(hs, '$c', '')"))).cast("long")): _*),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          filter(graft.functions.NibbleClassCounts.counts(col("text")),
             x => x > 0).as("hist"))
         .select(col("doc_id"), col("n_bytes"),
           size(col("hist")).cast("long").as("n_classes"),
@@ -185,18 +187,16 @@ object Multimodal {
     // 16-slot positional array (zero classes contribute E exactly),
     // E = n/16 is an exact binary fraction, every term one fixed
     // IEEE chain, the 16-term sum index-ordered on both engines →
-    // raw-double hash match. Stateless per-row projection.
+    // raw-double hash match. Stateless per-row projection; round 14
+    // (guide §4): the 16 replace()-scans become the same compiled
+    // NibbleClassCounts pass as MM8 — the kernel's dense positional
+    // array is exactly the fold's input (zero slots included).
     "mm13_byte_chi2" -> ((s, d) =>
       Tables.documents(s, d)
         .filter(octet_length(col("text")) > 0)
         .select(col("doc_id"),
-          regexp_replace(hex(encode(col("text"), "UTF-8")),
-            "(.).", "$1").as("hs"))
-        .select(col("doc_id"),
-          length(col("hs")).cast("long").as("n_bytes"),
-          array("0123456789ABCDEF".map(c =>
-            (length(col("hs")) -
-              length(expr(s"replace(hs, '$c', '')"))).cast("long")): _*)
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          graft.functions.NibbleClassCounts.counts(col("text"))
             .as("hist"))
         .select(col("doc_id"), col("n_bytes"),
           aggregate(col("hist"), lit(0.0d), (acc, x) => {

@@ -695,6 +695,12 @@ object Relational {
     // a 25-row broadcast; min-support 5 kills noise rules. Fully
     // oracle-checked.
     "a75_basket_lift" -> ((s, d) => {
+      // items feeds FOUR subtrees (nb, bc, both self-join sides) —
+      // persisted LAZILY so each re-use reads the cached basket table
+      // instead of re-running the lineitem scan + broadcast join +
+      // distinct (round 14, guide §5; an eager localCheckpoint was
+      // measured SLOWER here — 1.5 → 2.0 s — the extra serialized job
+      // costs more than the duplicated subtrees at this scale).
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("okey"), col("l_partkey"))
         .join(broadcast(Tables.part(s, d)
@@ -702,6 +708,7 @@ object Relational {
           col("l_partkey") === col("p_partkey"))
         .select(col("okey"), col("p_brand").as("brand"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nb = items.select(col("okey")).distinct()
         .agg(count(lit(1)).as("n_baskets"))
       val bc = items.groupBy(col("brand")).agg(count(lit(1)).as("n1"))

@@ -175,10 +175,19 @@ object Stats {
       : (DataFrame, DataFrame) = {
     val ev = Tables.events(s, d).filter(col("value").isNotNull)
       .select(col("event_type"), col("value"))
-    val rng = ev.agg(min(col("value")).as("vmin"),
-      max(col("value")).as("vmax"))
+    // vc is the only fact-table aggregation; the value range comes off
+    // the distinct-value frame (min/max over distinct values ≡ min/max
+    // over the corpus), not a second corpus scan (round 14, guide
+    // §2.4). Deliberately NOT checkpointed: an eager-checkpoint cut of
+    // vc/ranks/g/ties was measured SLOWER at sf0.1 (a73 0.54 → 1.4-1.7
+    // s isolated) — four serialized jobs cost more than the duplicated
+    // lazy subtrees, which one parallel job absorbs at this scale (the
+    // connectedComponents active-vertex lesson). At 100 TB the
+    // re-derivations become real corpus passes — persist vc there.
     val vc = ev.groupBy(col("value"), col("event_type"))
       .agg(count(lit(1)).as("c"))
+    val rng = vc.agg(min(col("value")).as("vmin"),
+      max(col("value")).as("vmax"))
     val vt = vc.groupBy(col("value")).agg(sum(col("c")).as("cnt"))
       .crossJoin(broadcast(rng))
       // vmax = vmin -> one bucket (degenerate-range guard; spec:
@@ -3745,12 +3754,19 @@ object Stats {
       val B = 1024
       val ev = Tables.events(s, d).filter(col("value").isNotNull)
         .select(col("event_type"), col("value"))
-      val types = ev.select(col("event_type")).distinct()
+      // ONE corpus pass (round 14, guide §2.4/§5): vc is checkpointed
+      // and every other frame — the type list, the value range, the
+      // group sizes, both pair sides — derives from it (min/max over
+      // the distinct frame ≡ min/max over the corpus; Σc per type ≡
+      // the per-type row count). Before: ev was scanned 4× (types,
+      // vc, rng, gsz) and vc re-derived once per pair side.
+      val vc = ev.groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val types = vc.select(col("event_type")).distinct()
       val prs = types.select(col("event_type").as("g"))
         .join(broadcast(types.select(col("event_type").as("h"))),
           col("g") < col("h"))
-      val vc = ev.groupBy(col("event_type"), col("value"))
-        .agg(count(lit(1)).as("c"))
       val sideG = broadcast(prs)
         .join(vc.withColumnRenamed("event_type", "g"), Seq("g"))
         .select(col("g"), col("h"), col("value"), col("c").as("cg"),
@@ -3759,7 +3775,7 @@ object Stats {
         .join(vc.withColumnRenamed("event_type", "h"), Seq("h"))
         .select(col("g"), col("h"), col("value"), lit(0L).as("cg"),
           col("c").as("ch"))
-      val rng = ev.agg(min(col("value")).as("lo"),
+      val rng = vc.agg(min(col("value")).as("lo"),
         max(col("value")).as("hi"))
       val perv = sideG.unionAll(sideH)
         .groupBy(col("g"), col("h"), col("value"))
@@ -3772,6 +3788,9 @@ object Stats {
               (col("hi") - col("lo")) * B), lit(B - 1)))
             .otherwise(lit(0L)).cast("int"))
         .withColumn("k", col("kg") + col("kh"))
+        // perv feeds BOTH offs and ranked (different column prunings,
+        // so exchange reuse never fires) — one checkpoint, one pass
+        .localCheckpoint()
       val wIn = Window.partitionBy("g", "h", "bucket").orderBy("value")
         .rowsBetween(Window.unboundedPreceding, -1)
       val wB = Window.partitionBy("g", "h").orderBy("bucket")
@@ -3790,8 +3809,8 @@ object Stats {
           sum(col("kh")).as("nh"))
         .withColumn("u2", col("rs2h") - col("nh") * (col("nh") + 1))
       val tot = per.agg(sum(col("u2")).as("j2"))
-      val gsz = ev.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("ng"))
+      val gsz = vc.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("ng"))
         .agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
           sum(col("ng") * col("ng")).as("sn2"),
           sum(col("ng") * col("ng") * (lit(2L) * col("ng") + 3))

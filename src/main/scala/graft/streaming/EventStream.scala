@@ -222,6 +222,38 @@ object EventStream {
 
   private val rigStaged =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Corpus event-time horizon (max ts), memoized per sfDir like
+    * [[stageRig]]: the T10o/T18 sentinel ladders only need "a
+    * timestamp far past the horizon", which is rig scaffolding — a
+    * deterministic property of the immutable corpus — so benchmarks
+    * should time the stream, not a repeated max() scan per rep
+    * (round 14, guide §1.5/§5). */
+  private val horizonStaged =
+    scala.collection.concurrent.TrieMap.empty[String, java.sql.Timestamp]
+  private def corpusHorizon(s: SparkSession, d: String): java.sql.Timestamp =
+    horizonStaged.getOrElseUpdate(d,
+      Tables.events(s, d).agg(max(col("ts"))).head().getTimestamp(0))
+
+  /** T17's late plant (every 11th event, fresh negative id, ts − 60 d),
+    * staged once per sfDir like [[stageRig]]: a deterministic render
+    * of the immutable corpus — each timed rep should pay the watermark
+    * drop, not a corpus scan + count + single-file JSON write. Returns
+    * (dir, planted-row count). */
+  private val latePlantStaged =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+  private def stageLatePlant(s: SparkSession, d: String): (String, Long) =
+    latePlantStaged.getOrElseUpdate(d, {
+      val dir = freshDir(
+        s"/tmp/graft-stream-late-${new java.io.File(d).getName}")
+      val late = Tables.events(s, d).filter(col("event_id") % 11 === 0)
+        .withColumn("event_id", -col("event_id") - 1000000L)
+        .withColumn("ts", col("ts") - expr("INTERVAL 60 DAYS"))
+      val n = late.count()
+      late.coalesce(1).write.mode("overwrite")
+        .option("timestampFormat", TsFormat).json(dir)
+      (dir, n)
+    })
   /** Per-run work dirs carry the JVM pid: two concurrent processes
     * (a Verify next to a Bench, or a local test next to the driver)
     * each start their own sequence at 0, so a pid-free name would let
@@ -393,13 +425,11 @@ object EventStream {
     val base = freshDir(s"/tmp/graft-stream-t17-run${nextRunId()}")
     val src = s"$base/src"; val ckpt = s"$base/ckpt"
     deliver(s"$rig/half1", src); deliver(s"$rig/half2", src)
-    val lateDir = s"$base/late"
-    val late = Tables.events(s, d).filter(col("event_id") % 11 === 0)
-      .withColumn("event_id", -col("event_id") - 1000000L)
-      .withColumn("ts", col("ts") - expr("INTERVAL 60 DAYS"))
-    lastLatePlanted = late.count()
-    late.coalesce(1).write.mode("overwrite")
-      .option("timestampFormat", TsFormat).json(lateDir)
+    // the late plant is staged once per sfDir (round 14, the stageRig
+    // convention): a deterministic render of the immutable corpus, so
+    // each rep times the watermark drop, not a corpus scan + JSON write
+    val (lateDir, nPlanted) = stageLatePlant(s, d)
+    lastLatePlanted = nPlanted
     withReplayWidth(s) {
       val q = readJsonStream(s, src)
         .withWatermark("ts", "2 days")
@@ -451,7 +481,7 @@ object EventStream {
     try halves.foreach(f => java.nio.file.Files.copy(f.toPath, out))
     finally out.close()
     val t0 = dataOut.toFile.lastModified()
-    val maxTs = Tables.events(s, d).agg(max(col("ts"))).head().getTimestamp(0)
+    val maxTs = corpusHorizon(s, d)
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern(TsFormat).withZone(java.time.ZoneOffset.UTC)
     for (days <- Seq(30, 60)) {
@@ -778,7 +808,7 @@ object EventStream {
     val t0 = dataOut.toFile.lastModified()
     // sentinel: one event far past the corpus horizon (event-time is
     // what matters; the type matches neither side's filter)
-    val maxTs = Tables.events(s, d).agg(max(col("ts"))).head().getTimestamp(0)
+    val maxTs = corpusHorizon(s, d)
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern(TsFormat).withZone(java.time.ZoneOffset.UTC)
     for (days <- Seq(30, 60)) {
