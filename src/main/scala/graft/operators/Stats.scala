@@ -175,19 +175,22 @@ object Stats {
       : (DataFrame, DataFrame) = {
     val ev = Tables.events(s, d).filter(col("value").isNotNull)
       .select(col("event_type"), col("value"))
-    // vc is the only fact-table aggregation; the value range comes off
-    // the distinct-value frame (min/max over distinct values ≡ min/max
-    // over the corpus), not a second corpus scan (round 14, guide
-    // §2.4). Deliberately NOT checkpointed: an eager-checkpoint cut of
-    // vc/ranks/g/ties was measured SLOWER at sf0.1 (a73 0.54 → 1.4-1.7
-    // s isolated) — four serialized jobs cost more than the duplicated
-    // lazy subtrees, which one parallel job absorbs at this scale (the
-    // connectedComponents active-vertex lesson). At 100 TB the
-    // re-derivations become real corpus passes — persist vc there.
+    // Round-14 optimization notes, both variants MEASURED and
+    // reverted: (1) an eager-checkpoint cut of vc/ranks/g/ties was
+    // SLOWER at sf0.1 (a73 0.54 → 1.4-1.7 s isolated) — four
+    // serialized jobs cost more than the duplicated lazy subtrees,
+    // which one parallel job absorbs at this scale (the
+    // connectedComponents active-vertex lesson); (2) deriving rng
+    // from vc (min/max over the distinct frame ≡ corpus min/max —
+    // one less corpus scan) put a groupBy exchange inside the rng
+    // subtree, which a89's pair join duplicates 4-6×: the kw family
+    // regressed +1.6 s in-sweep (a89_dunn_pvalue 0.92 → 1.61). The
+    // flat scan+agg below is the cheaper duplicated subtree HERE; at
+    // 100 TB persist vc once and derive everything from it.
+    val rng = ev.agg(min(col("value")).as("vmin"),
+      max(col("value")).as("vmax"))
     val vc = ev.groupBy(col("value"), col("event_type"))
       .agg(count(lit(1)).as("c"))
-    val rng = vc.agg(min(col("value")).as("vmin"),
-      max(col("value")).as("vmax"))
     val vt = vc.groupBy(col("value")).agg(sum(col("c")).as("cnt"))
       .crossJoin(broadcast(rng))
       // vmax = vmin -> one bucket (degenerate-range guard; spec:
